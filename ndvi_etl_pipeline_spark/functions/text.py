@@ -1,0 +1,140 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+All pure Catalyst expressions (split / regexp / array functions) —
+JVM-side, codegen'd, no Python in the hot path. These are the
+text-side analog of the reference's per-pixel kernels: embarrassingly
+parallel per-row math that Spark scales linearly.
+
+Families: tokenization, shingling, quality scoring, language ID
+(marker-word heuristic), document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny multilingual stopword/marker table for the heuristic
+# language scorer. Deterministic, embedded in the plan as literals.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "and", "of", "to", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "que"),
+    "zh": ("de", "shi", "le", "bu", "wo", "zai"),
+}
+
+ENGLISH_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that",
+)
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization: split on runs of whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text, lowercase=False))
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization: split at whitespace AND punctuation
+    boundaries (GPT-2-style pre-tokenizer approximation), dropping
+    empty fragments.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(F.trim(c), r"[\s\p{Punct}]+")
+    return F.filter(pieces, lambda x: x != F.lit(""))
+
+
+def word_shingles(toks: Column, n: int = 3, distinct: bool = True) -> Column:
+    """n-word shingles from a token array.
+
+    Docs shorter than n tokens yield an empty array (not NULL), so
+    downstream explodes simply drop them.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(sh) if distinct else sh
+
+
+def char_len(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"\p{Punct}", "")
+    return (F.length(c) - F.length(stripped)).cast("double") / F.greatest(
+        F.length(c), F.lit(1)
+    ).cast("double")
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords (count-based, not set-based)."""
+    t = tokens(text)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return n_stop.cast("double") / F.greatest(F.size(t), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation
+    + reasonable mean token length. The standard cheap pre-filter in
+    training-data pipelines (C4/Gopher-style rules, simplified).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    n_tok = F.size(t)
+    mean_tok_len = (F.length(c) - n_tok + 1).cast("double") / F.greatest(n_tok, F.lit(1))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    tok_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), F.lit(0.3)).otherwise(
+        F.lit(0.0)
+    )
+    return len_ok + punct_ok + tok_ok
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-word hit counts per language over the token array."""
+    t = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    return out
+
+
+def predict_lang(text: Column | str) -> Column:
+    """Argmax language with deterministic tie-break (lexicographic).
+
+    Implemented as a sort over (score desc, lang asc) structs — pure
+    array ops, no UDF.
+    """
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang")) for lang in sorted(LANG_MARKERS)]
+    )
+    return F.array_sort(pairs)[0]["lang"]
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of casefolded, punctuation-stripped,
+    whitespace-collapsed text. Catches trivially-reformatted dups that
+    byte-exact hashing misses.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "), r"\s+", " "))
+    return F.md5(norm.cast("binary"))
+
+
+def exact_fingerprint(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c.cast("binary"))

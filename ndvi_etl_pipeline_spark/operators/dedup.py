@@ -1,0 +1,246 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The shape of every variant is the same three-stage plan, and every
+stage is shuffle-bounded by design:
+
+1. **signature** — per-doc hash/sketch (narrow, scan-speed, codegen);
+2. **candidate generation** — group/join on the sketch key, i.e. one
+   shuffle whose key cardinality we control (bands, buckets). Never
+   the O(n²) cross join;
+3. **verify** — exact similarity on the (tiny) candidate set only.
+
+MinHash math: P(two docs share a band) = 1 − (1 − j^r)^b for r rows
+per band and b bands (Broder '97; Leskovec et al., "Mining of Massive
+Datasets" ch.3). Defaults (8 hashes, 4 bands × 2) give a soft
+threshold around j ≈ 0.3 with high recall at j ≥ 0.8.
+
+Hash family: md5 over seed-prefixed shingles, min taken over the hex
+string ordering — engine-agnostic (any SQL engine reproduces it),
+deterministic, and uniformly distributed per seed prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import exact_fingerprint, tokens, word_shingles
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 4
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: one row per duplicated content hash with the
+    canonical (min) id and the group size. Hash-groupBy — a single
+    shuffle on the digest; at 100 TB this is the cheapest possible
+    formulation (the digest is 16 bytes regardless of doc size).
+    """
+    return (
+        df.select(exact_fingerprint(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one doc (min id) per exact content hash — the K3 'ON
+    CONFLICT DO NOTHING' idiom applied to content addressing.
+    """
+    w_keep = (
+        df.select(F.col(id_col), exact_fingerprint(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_keep.select(id_col), id_col, "left_semi")
+
+
+def shingle_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles ARRAY<STRING>) — distinct n-word shingles per doc."""
+    return df.select(
+        F.col(id_col), word_shingles(tokens(text_col), n=n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def _seed_min_hash(seed: int) -> Column:
+    """min over exploded shingles of md5('<seed>:'||shingle)."""
+    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")).cast("binary")))
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """(id, h0..h{k-1}): k MinHash values per doc.
+
+    One explode + one groupBy(id) = one shuffle; the k mins ride as
+    parallel partial aggregates (map-side combine keeps shuffle rows
+    at one per doc per task, independent of shingle count).
+    """
+    exploded = shingled.select(id_col, F.explode("shingles").alias("shingle"))
+    aggs = [_seed_min_hash(s).alias(f"h{s}") for s in range(num_hashes)]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, band_idx, band_key): one row per band; key = md5 of the
+    band's concatenated minhashes.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*parts).cast("binary")).alias("band_key"))
+        )
+    return signatures.select(
+        id_col, F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+
+
+def lsh_candidate_pairs(
+    banded: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 band bucket.
+
+    Self-equi-join on (band_idx, band_key): the shuffle key is the
+    bucket id, so co-bucketed docs land on one partition — the only
+    place pairs are formed. Skew guard: a pathological bucket (e.g.
+    thousands of identical docs) concentrates one partition; AQE's
+    skew-join split handles it, and the distinct() immediately after
+    caps the output.
+    """
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_jaccard_pairs(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on the candidate pairs only.
+
+    Joins the (small) candidate set to the shingle arrays twice, then
+    computes |∩|/|∪| with native array ops. Both joins broadcast the
+    candidate side when it is small (the common case); the arrays
+    never shuffle more than once each.
+    """
+    sa = shingled.select(
+        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup detection: (doc_a, doc_b, jaccard)."""
+    shingled = shingle_docs(df, text_col, id_col, n)
+    sigs = minhash_signatures(shingled, id_col, num_hashes)
+    cands = lsh_candidate_pairs(lsh_bands(sigs, id_col, num_hashes, bands), id_col)
+    return verified_jaccard_pairs(cands, shingled, id_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Charikar '02): per-doc b-bit fingerprint where bit i is the
+# sign of the weighted sum of token-hash bits. Near-dups have small
+# Hamming distance; identical fingerprints are the candidate buckets.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _nibble_value(hexchar: Column) -> Column:
+    """hex char → 0..15 via position in the hex alphabet (no UDF, and
+    reproducible in any engine with strpos)."""
+    return F.instr(F.lit("0123456789abcdef"), hexchar) - 1
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash LONG): b-bit simhash over whitespace tokens.
+
+    Token hash = first b bits of md5(token) (nibble-decoded from hex —
+    portable across engines). One explode to (doc, token), one explode
+    over bit positions, one groupBy(doc, bit) partial-sum, one
+    groupBy(doc) reassembly: two shuffles total, both on small rows.
+    """
+    assert bits % 4 == 0
+    nibbles = bits // 4
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tok = tok.withColumn("th", F.md5(F.col("token").cast("binary")))
+    # nibble-decode the first `nibbles` hex chars into a b-bit int
+    val = F.lit(0).cast("long")
+    for i in range(nibbles):
+        val = val * 16 + _nibble_value(F.substring("th", i + 1, 1)).cast("long")
+    tok = tok.select(id_col, val.alias("hbits"))
+    pos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos")
+    bitrows = tok.select(id_col, "hbits", pos).select(
+        id_col,
+        "pos",
+        F.when(F.expr("(shiftright(hbits, pos) & 1) = 1"), 1).otherwise(-1).alias("w"),
+    )
+    bitsums = bitrows.groupBy(id_col, "pos").agg(F.sum("w").alias("s"))
+    fp = bitsums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+    return fp
+
+
+def simhash_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Buckets of docs with identical simhash — candidate dup groups."""
+    return (
+        simhash(df, text_col, id_col, bits)
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

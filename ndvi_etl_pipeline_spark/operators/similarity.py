@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Two tiers, mirroring what a 100 TB pipeline actually runs:
+
+- **brute force** — exact cosine top-k: broadcast the (small) query
+  set, scan the corpus once, TakeOrderedAndProject per query. Cost is
+  one corpus scan per batch of queries — optimal when queries are few.
+- **sign-LSH bucketed** — random-hyperplane LSH (Charikar '02)
+  approximated with fixed coordinate hyperplanes (deterministic, no
+  RNG in the plan): bucket on the sign pattern of d selected dims,
+  then search within buckets only. Bucket count 2^d bounds the join
+  fan-out; the candidate shuffle replaces the O(n²) cross join.
+
+All vector math is native `aggregate`/`zip_with` on DOUBLE — stays in
+codegen, no Python. For very wide vectors a Pandas-UDF/numpy variant
+wins on constant factors; at 64 dims the native path is faster than
+the Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢbᵢ with left-to-right accumulation in double precision."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    sq = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return F.sqrt(sq)
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, vec_id, cosine_sim).
+
+    The query side is broadcast (it is small by construction), so the
+    corpus scans once with no shuffle; the per-query top-k is a window
+    row_number — with AQE this stays one stage + one small shuffle on
+    query_id. Similarity is rounded before ranking and ties break on
+    candidate id, making the result total-ordered and reproducible.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    sim = F.round(cosine("q_vec", vec_col), round_digits).alias("cosine_sim")
+    scored = c.crossJoin(F.broadcast(q)).select("query_id", id_col, sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cosine_sim")
+    )
+
+
+def sign_lsh_bucket(vec: Column | str, n_bits: int = 8) -> Column:
+    """Deterministic sign-LSH bucket id from the first n_bits dims.
+
+    bucket = Σ (vecᵢ ≥ 0) · 2ⁱ. With zero-centered embeddings each bit
+    is ~balanced, giving ~uniform 2^n buckets. (True random-hyperplane
+    LSH projects onto seeded random vectors; fixed axes keep the plan
+    deterministic and oracle-reproducible — swap in seeded planes for
+    production by replacing `element_at` with `dot(vec, plane_i)`.)
+    """
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    acc = F.lit(0).cast("long")
+    for i in range(n_bits):
+        bit = F.when(F.element_at(vec, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+        acc = acc + bit.cast("long") * F.lit(2**i).cast("long")
+    return acc
+
+
+def lsh_near_duplicate_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine_sim ≥ threshold) among same-bucket pairs.
+
+    One shuffle on bucket id; pairs form only within buckets
+    (n²/2^n_bits expected pairs). Raising n_bits trades recall for
+    candidate volume — at 100 TB use multiple independent bucket
+    tables (like LSH bands) to recover recall.
+    """
+    b = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    a1 = b.alias("a")
+    b1 = b.alias("b")
+    sim = F.round(
+        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_digits
+    ).alias("cosine_sim")
+    return (
+        a1.join(
+            b1,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            sim,
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

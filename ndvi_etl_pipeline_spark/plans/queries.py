@@ -1,0 +1,1237 @@
+"""The engine's query catalog: every SURVEY.md §2 operator class as a
+named, oracle-checked query.
+
+Each entry pairs a DataFrame-API builder (the Spark-first
+implementation, exercising the package's operators) with an ANSI-SQL
+oracle DuckDB runs over the same parquet tables. Column names and
+types are aligned on both sides (every computed column aliased
+identically; sums of ints cast to BIGINT; floats rounded at a fixed
+precision so cross-engine accumulation-order differences cannot leak
+into the compared values).
+
+Naming: q_<area>_<operator> with SURVEY §2 ids in the docstrings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..operators.bands import pair_bands
+from ..sources.testdata import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver falls back to rows-only check
+    headline: bool = False  # included in bench.py
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle, headline, tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ===========================================================================
+# A. Relational core on the TPC-H-style tables (SURVEY §2.2-§2.8)
+# ===========================================================================
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    tags=("agg", "filter"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → F2 date filter → 8-way hash aggregate.
+
+    The partial/final aggregate pair means shuffle traffic is one row
+    per (flag, status) per task regardless of input size.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "filter_pushdown_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+      AND o_totalprice <= 150000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=("filter",),
+)
+def q_filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2: threshold + temporal-range predicates, pushed to parquet."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderdate").cast("date").between("1996-01-01", "1997-12-31")
+            & (F.col("o_totalprice") <= 150000.0)
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "prefix_exclusion",
+    oracle="""
+    SELECT p_type, count(*) AS n_parts, CAST(sum(p_size) AS BIGINT) AS total_size
+    FROM part
+    WHERE NOT starts_with(p_brand, 'Brand#1') AND contains(p_name, 'bolt')
+    GROUP BY p_type
+    """,
+    tags=("filter", "string"),
+)
+def q_prefix_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (prefix exclusion, the LE07 idiom) + F7 (substring contains)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(~F.col("p_brand").startswith("Brand#1") & F.col("p_name").contains("bolt"))
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("p_size").cast("bigint").alias("total_size"),
+        )
+    )
+
+
+@register(
+    "parse_projection",
+    oracle="""
+    SELECT CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
+           string_split(o_orderpriority, '-')[2] AS prio_name,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("string", "projection"),
+)
+def q_parse_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: split-and-project, the filename-parsing idiom
+    (load_to_postgis.py:178-183) applied to priority codes."""
+    o = _t(spark, sf_dir, "orders")
+    parts = F.split(F.col("o_orderpriority"), "-")
+    return (
+        o.select(
+            F.element_at(parts, 1).cast("int").alias("prio_num"),
+            F.element_at(parts, 2).alias("prio_name"),
+        )
+        .groupBy("prio_num", "prio_name")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "join_chain_revenue",
+    oracle="""
+    SELECT n.n_name, r.r_name,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    headline=True,
+    tags=("join", "agg"),
+)
+def q_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J4/J5 equi-join chain. nation/region are broadcast (fixed-size
+    dims — no shuffle of the fact table for them); customer⋈orders⋈
+    lineitem shuffle on their keys, AQE re-plans from runtime sizes.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "upsert_ignore_antijoin",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+    """,
+    tags=("join",),
+)
+def q_upsert_ignore_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: the 'ON CONFLICT DO NOTHING' idiom — left anti join.
+
+    (Suppliers with no lineitems = rows that WOULD be inserted.)
+    """
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_anti").select("s_suppkey", "s_name")
+
+
+@register(
+    "semi_join_exists",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join",),
+)
+def q_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — J4's 'parent must exist' precheck."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "last_write_wins",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_date, o_totalprice
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+      ) AS rn
+      FROM orders
+    ) WHERE rn = 1 AND o_custkey <= 200
+    """,
+    tags=("window", "upsert"),
+)
+def q_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: 'ON CONFLICT DO UPDATE' as last-write-wins dedup — one row
+    per key by (date, key) recency. The upsert idiom for an
+    append-only parquet store (SURVEY §4.2 item 4)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("o_custkey") <= 200))
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+            "o_totalprice",
+        )
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L3/A7: global top-k = TakeOrderedAndProject (no full sort —
+    each task keeps a k-heap, driver merges k·tasks rows)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT l_returnflag, CAST(rk AS INT) AS rk, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+             ) AS rk
+      FROM lineitem
+    ) WHERE rk <= 3
+    """,
+    tags=("window",),
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (§2.9 extension surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_returnflag", "rk", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@register(
+    "set_ops_nations",
+    oracle="""
+    SELECT 'customers_only' AS tag, n_nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'both' AS tag, n_nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+    tags=("setop",),
+)
+def q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: EXCEPT / INTERSECT / UNION ALL in one result."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    only_c = c.distinct().subtract(s.distinct()).select(
+        F.lit("customers_only").alias("tag"), "n_nationkey"
+    )
+    both = c.distinct().intersect(s.distinct()).select(F.lit("both").alias("tag"), "n_nationkey")
+    return only_c.unionAll(both)
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (§2.5 noted extension): ROLLUP."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column DISTINCT aggregation (expand + two-phase agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "utm_zone_math",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 360) - 180 + 0.5 AS lon,
+             ((c_custkey * 7) % 180) - 90 + 0.5 AS lat
+      FROM customer
+    )
+    SELECT CAST(CASE WHEN lat >= 0 THEN 32600 ELSE 32700 END
+                + CAST(floor((lon + 180) / 6) AS BIGINT) + 1 AS BIGINT) AS epsg,
+           count(*) AS n_points,
+           round(avg(10.0 / (111.32 * cos(radians(lat)))), 6) AS avg_pad_deg
+    FROM pts
+    GROUP BY 1
+    """,
+    tags=("math",),
+)
+def q_utm_zone_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (UTM zone selection, load_to_postgis.py:18-38) + P8 (km→deg
+    bbox padding, download_landsat_stac.py:44-51) as column math."""
+    c = _t(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") % 360 - 180 + F.lit(0.5)).alias("lon")
+    lat = ((F.col("c_custkey") * 7) % 180 - 90 + F.lit(0.5)).alias("lat")
+    pts = c.select("c_custkey", lon, lat)
+    zone = F.floor((F.col("lon") + 180) / 6).cast("bigint") + 1
+    epsg = (
+        F.when(F.col("lat") >= 0, F.lit(32600)).otherwise(F.lit(32700)).cast("bigint") + zone
+    ).alias("epsg")
+    pad = 10.0 / (111.32 * F.cos(F.radians(F.col("lat"))))
+    return pts.select(epsg, "lat", pad.alias("pad")).groupBy("epsg").agg(
+        F.count("*").alias("n_points"), F.round(F.avg("pad"), 6).alias("avg_pad_deg")
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(substr(p_name, 1, 4)) AS prefix4,
+           CAST(length(p_name) AS INT) AS name_len,
+           CAST(nullif(regexp_extract(p_brand, 'Brand#(\\d+)', 1), '') AS INT) AS brand_num,
+           concat_ws('|', p_type, p_brand) AS type_brand,
+           replace(p_name, ' ', '_') AS name_snake
+    FROM part
+    WHERE p_partkey <= 100
+    """,
+    tags=("string",),
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string family: lower/upper/substr/length/regexp/concat_ws."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") <= 100).select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper(F.substring("p_name", 1, 4)).alias("prefix4"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.nullif(F.regexp_extract("p_brand", r"Brand#(\d+)", 1), F.lit("")).cast("int").alias(
+            "brand_num"
+        ),
+        F.concat_ws("|", "p_type", "p_brand").alias("type_brand"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           count(*) AS n_orders,
+           CAST(min(day(o_orderdate)) AS INT) AS first_day,
+           CAST(floor(avg(datediff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31')))
+                AS BIGINT) AS avg_age_days
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("date",),
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date family: year/month/day extraction, datediff, grouping
+    by calendar buckets (F2's partition-pruning access path)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(F.dayofmonth("o_orderdate")).cast("int").alias("first_day"),
+            F.floor(
+                F.avg(
+                    F.datediff(
+                        F.lit("2001-12-31").cast("date"), F.col("o_orderdate").cast("date")
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("avg_age_days"),
+        )
+    )
+
+
+@register(
+    "masked_mean_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(CASE WHEN value > 50.0 THEN 1 END) AS n_valid,
+           round(avg(CASE WHEN value > 50.0 THEN value END), 4) AS mean_valid
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "null"),
+)
+def q_masked_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+A1 on a generic table: sentinel→NULL masking then masked
+    mean — exactly the NDVI masked-mean shape, with avg skipping NULLs."""
+    e = _t(spark, sf_dir, "events")
+    masked = F.when(F.col("value") > 50.0, F.col("value"))
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(masked).alias("n_valid"),
+        F.round(F.avg(masked), 4).alias("mean_valid"),
+    )
+
+
+@register(
+    "pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("pivot",),
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = groupBy + conditional aggregation (single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+# ===========================================================================
+# B. Reference-shaped NDVI tier over a lineitem-derived pixel grid
+#    (same operators as plans/pipeline.py, but oracle-checkable in SQL)
+# ===========================================================================
+
+# Deterministic pixel grid derived from lineitem: 3 scenes, 100×100
+# grid, band from the linenumber parity, DN with planted fill zeros.
+_PIXELS_SQL = """
+      SELECT concat('LC08_L2SP_', lpad(CAST(187018 + (l_suppkey % 3) AS VARCHAR), 6, '0'),
+                    '_20220606_02_T1') AS scene_id,
+             CASE WHEN l_linenumber % 2 = 0 THEN 'red' ELSE 'nir' END AS band,
+             CAST(l_orderkey % 100 AS INT) AS y,
+             CAST(l_partkey % 100 AS INT) AS x,
+             CAST(CASE WHEN (l_orderkey + l_partkey) % 37 = 0 THEN 0
+                  ELSE (CAST(floor(l_quantity * 100) AS BIGINT) + l_partkey) % 65535 + 1
+             END AS INT) AS dn
+      FROM lineitem
+"""
+
+_NDVI_SQL = """
+    WITH px AS ({pixels}),
+    paired AS (
+      SELECT scene_id, y, x,
+             max(CASE WHEN band = 'red' THEN dn END) AS red_dn,
+             max(CASE WHEN band = 'nir' THEN dn END) AS nir_dn
+      FROM px GROUP BY scene_id, y, x
+    ),
+    nv AS (
+      SELECT scene_id, y, x,
+             CASE WHEN red_dn = 0 OR nir_dn = 0 THEN NULL
+                  ELSE greatest(-1.0, least(1.0,
+                       ((nir_dn * 0.0000275 - 0.2) - (red_dn * 0.0000275 - 0.2))
+                     / ((nir_dn * 0.0000275 - 0.2) + (red_dn * 0.0000275 - 0.2) + 0.000001)))
+             END AS ndvi
+      FROM paired
+      WHERE red_dn IS NOT NULL AND nir_dn IS NOT NULL
+    )
+""".format(pixels=_PIXELS_SQL)
+
+
+def derived_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _PIXELS_SQL (bit-identical integer math)."""
+    li = _t(spark, sf_dir, "lineitem")
+    scene = F.concat(
+        F.lit("LC08_L2SP_"),
+        F.lpad((F.lit(187018) + F.col("l_suppkey") % 3).cast("string"), 6, "0"),
+        F.lit("_20220606_02_T1"),
+    ).alias("scene_id")
+    band = F.when(F.col("l_linenumber") % 2 == 0, F.lit("red")).otherwise(F.lit("nir")).alias(
+        "band"
+    )
+    dn = (
+        F.when((F.col("l_orderkey") + F.col("l_partkey")) % 37 == 0, F.lit(0))
+        .otherwise(
+            (F.floor(F.col("l_quantity") * 100).cast("bigint") + F.col("l_partkey")) % 65535 + 1
+        )
+        .cast("int")
+        .alias("dn")
+    )
+    return li.select(
+        scene,
+        band,
+        (F.col("l_orderkey") % 100).cast("int").alias("y"),
+        (F.col("l_partkey") % 100).cast("int").alias("x"),
+        dn,
+    )
+
+
+def _ndvi_pixels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ndvi import ndvi_from_dn
+
+    paired = pair_bands(derived_pixels(spark, sf_dir))
+    return paired.select(
+        "scene_id", "y", "x", ndvi_from_dn("red_dn", "nir_dn", nodata_dn=0.0).alias("ndvi")
+    )
+
+
+@register(
+    "ndvi_scene_stats",
+    oracle=_NDVI_SQL
+    + """
+    SELECT scene_id, count(*) AS n_pixels, count(ndvi) AS n_valid,
+           round(avg(ndvi), 6) AS mean_ndvi
+    FROM nv GROUP BY scene_id
+    """,
+    headline=True,
+    tags=("ndvi", "agg", "join"),
+)
+def q_ndvi_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: P1-P6 band math + J1 pairing + A1 masked mean on a
+    pixel grid derived from lineitem (so DuckDB can replay it)."""
+    nv = _ndvi_pixels_df(spark, sf_dir)
+    return nv.groupBy("scene_id").agg(
+        F.count("*").alias("n_pixels"),
+        F.count("ndvi").alias("n_valid"),
+        F.round(F.avg("ndvi"), 6).alias("mean_ndvi"),
+    )
+
+
+@register(
+    "ndvi_bbox_clip",
+    oracle=_NDVI_SQL
+    + """
+    SELECT scene_id, count(*) AS n_pixels, round(avg(ndvi), 6) AS mean_ndvi
+    FROM nv
+    WHERE x BETWEEN 20 AND 59 AND y BETWEEN 30 AND 69
+    GROUP BY scene_id
+    """,
+    tags=("ndvi", "spatial"),
+)
+def q_ndvi_bbox_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2's sargable core: the AOI clip as a bbox range predicate
+    (the prefilter our st_* wrappers emit; FIXTURES.md §4 rectangle)."""
+    nv = _ndvi_pixels_df(spark, sf_dir)
+    return (
+        nv.filter(F.col("x").between(20, 59) & F.col("y").between(30, 69))
+        .groupBy("scene_id")
+        .agg(F.count("*").alias("n_pixels"), F.round(F.avg("ndvi"), 6).alias("mean_ndvi"))
+    )
+
+
+@register(
+    "ndvi_overviews",
+    oracle=_NDVI_SQL
+    + """
+    , l2 AS (
+      SELECT scene_id,
+             CAST(floor(y / 2) AS INT) AS ty, CAST(floor(x / 2) AS INT) AS tx,
+             avg(ndvi) AS v
+      FROM nv WHERE ndvi IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    l4 AS (
+      SELECT scene_id,
+             CAST(floor(ty / 2) AS INT) AS ty, CAST(floor(tx / 2) AS INT) AS tx,
+             avg(v) AS v
+      FROM l2 GROUP BY 1, 2, 3
+    )
+    SELECT 2 AS level, scene_id, count(*) AS n_tiles, round(avg(v), 6) AS mean_v FROM l2 GROUP BY scene_id
+    UNION ALL
+    SELECT 4 AS level, scene_id, count(*) AS n_tiles, round(avg(v), 6) AS mean_v FROM l4 GROUP BY scene_id
+    """,
+    tags=("ndvi", "agg"),
+)
+def q_ndvi_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the overview pyramid as a hash-agg cascade — each level ¼
+    the rows of the last (compute_ndvi.py:146-157). Level summaries
+    keep the compared result small while checking every tile."""
+    from ..operators.overviews import overview_cascade
+
+    nv = _ndvi_pixels_df(spark, sf_dir).filter(F.col("ndvi").isNotNull())
+    levels = overview_cascade(nv, factors=(2, 4), value_col="ndvi")
+    out = None
+    for lvl, df in levels.items():
+        s = df.groupBy("scene_id").agg(
+            F.count("*").alias("n_tiles"), F.round(F.avg("v"), 6).alias("mean_v")
+        ).select(F.lit(lvl).alias("level"), "scene_id", "n_tiles", "mean_v")
+        out = s if out is None else out.unionAll(s)
+    return out
+
+
+@register(
+    "band_pairing_counts",
+    oracle="""
+    WITH px AS ({pixels})
+    SELECT scene_id, band, count(*) AS n_rows,
+           count(DISTINCT (y, x)) AS n_cells
+    FROM px GROUP BY scene_id, band
+    """.format(pixels=_PIXELS_SQL),
+    tags=("ndvi",),
+)
+def q_band_pairing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 input audit: rows and distinct grid cells per (scene, band)."""
+    px = derived_pixels(spark, sf_dir)
+    return px.groupBy("scene_id", "band").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("y", "x").alias("n_cells"),
+    )
+
+
+# ===========================================================================
+# C. Training-data operators: dedup / text analysis (documents table)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+    FROM documents GROUP BY source
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup audit per source: hash-distinct vs raw counts."""
+    d = _t(spark, sf_dir, "documents")
+    h = TXT.exact_fingerprint("text")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count("*") - F.countDistinct(h)).alias("n_exact_dups"),
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM documents
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+    tags=("dedup",),
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dup groups (casefold + strip punct +
+    collapse whitespace → md5): catches reformat-only duplicates."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(TXT.normalized_fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_MINHASH_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+    ),
+    shl AS (
+      SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w) - 2, 0)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM tok WHERE len(w) >= 3
+    ),
+    sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    mh AS (
+      SELECT doc_id,
+             min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+             min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+             min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+             min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, unnest([md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)]) AS band
+      FROM mh
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+    FROM cand c
+    JOIN shl sa ON sa.doc_id = c.doc_a
+    JOIN shl sb ON sb.doc_id = c.doc_b
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.8
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    headline=True,
+    tags=("dedup",),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (3-word shingles, 8 hashes, 4 bands,
+    verify at jaccard ≥ 0.8) — operators/dedup.py end to end."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_near_duplicates(d, threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1) AS hbits
+      FROM tok
+    ),
+    bitsums AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN (hbits // CAST(pow(2, pos) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, (SELECT unnest(generate_series(0, 15)) AS pos)
+      GROUP BY doc_id, pos
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM bitsums GROUP BY doc_id
+    )
+    SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM fp GROUP BY simhash HAVING count(*) > 1
+    """,
+    tags=("dedup",),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) bucket groups — operators/dedup.py simhash."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_groups(d)
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+             AS total_tokens,
+           round(avg(len(string_split_regex(lower(trim(text)), '\\s+'))), 4) AS avg_tokens,
+           round(avg((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                     / greatest(length(text), 1)), 6) AS avg_punct_ratio,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality profile per source: token counts + punct ratio."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(TXT.tokens("text"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.round(F.avg(TXT.punct_ratio("text")), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "lang_id_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             [
+               {{'neg': -len(list_filter(w, t -> list_contains(['der','die','das','und','nicht','ist'], t))), 'lang': 'de'}},
+               {{'neg': -len(list_filter(w, t -> list_contains(['the','and','of','to','is','a'], t))), 'lang': 'en'}},
+               {{'neg': -len(list_filter(w, t -> list_contains(['el','la','de','que','y','es'], t))), 'lang': 'es'}},
+               {{'neg': -len(list_filter(w, t -> list_contains(['le','la','les','et','est','que'], t))), 'lang': 'fr'}},
+               {{'neg': -len(list_filter(w, t -> list_contains(['de','shi','le','bu','wo','zai'], t))), 'lang': 'zh'}}
+             ] AS pairs
+      FROM (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents)
+    )
+    SELECT lang, list_sort(pairs)[1]['lang'] AS pred_lang, count(*) AS n
+    FROM scored GROUP BY lang, pred_lang
+    """.replace("{{", "{").replace("}}", "}"),
+    tags=("text",),
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID vs the labeled lang: confusion counts."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", TXT.predict_lang("text").alias("pred_lang")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "token_counting",
+    oracle="""
+    SELECT lang,
+           CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(list_filter(string_split_regex(text, '[\\s[:punct:]]+'), x -> x != '')))
+             AS BIGINT) AS bpe_ish_tokens
+    FROM documents GROUP BY lang
+    """,
+    tags=("text",),
+)
+def q_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace + punctuation-aware."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.size(TXT.tokens("text", lowercase=False))).cast("bigint").alias("ws_tokens"),
+        F.sum(F.size(TXT.bpe_ish_tokens("text"))).cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+# ===========================================================================
+# D. Similarity search over embeddings
+# ===========================================================================
+
+_COSINE_SQL = """
+      list_sum(list_transform(generate_series(1, 64),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             round({_COSINE_SQL}, 6) AS cosine_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id >= 5
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    headline=True,
+    tags=("similarity",),
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 5 query vectors: broadcast queries, one
+    corpus scan, windowed top-k (operators/similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(
+        e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5), k=5
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(generate_series(1, 8),
+                  i -> CASE WHEN embedding[i] >= 0 THEN CAST(pow(2, i - 1) AS BIGINT)
+                            ELSE 0 END)) AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             round({_COSINE_SQL}, 6) AS cosine_sim
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < 5 AND b.vec_id >= 5
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: sign-LSH bucketing (8 fixed hyperplanes) then
+    top-k within the query's bucket only — candidate volume n/2^8."""
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "embedding", SIM.sign_lsh_bucket("embedding", 8).alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"), "bucket"
+    )
+    c = b.filter(F.col("vec_id") >= 5)
+    sim = F.round(SIM.cosine("q_vec", "embedding"), 6).alias("cosine_sim")
+    scored = c.join(F.broadcast(q), "bucket").select("query_id", "vec_id", sim)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+    )
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(generate_series(1, 8),
+                  i -> CASE WHEN embedding[i] >= 0 THEN CAST(pow(2, i - 1) AS BIGINT)
+                            ELSE 0 END)) AS BIGINT) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COSINE_SQL}, 6) AS cosine_sim
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_COSINE_SQL}, 6) >= 0.3
+    """,
+    tags=("similarity", "dedup"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within sign-LSH buckets."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_near_duplicate_pairs(e, threshold=0.3, n_bits=8)
+
+
+# ===========================================================================
+# E. Events: time-series / streaming-equivalent / as-of
+# ===========================================================================
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    headline=True,
+    tags=("events", "streaming"),
+)
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — the batch twin of the
+    streaming/events.py watermarked query (identical semantics)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+    tags=("events", "window"),
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap): lag + running sum of session starts
+    — the stateful-streaming shape expressed as batch windows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0)
+    sess = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(nullif(regexp_extract(props, '"k": (\\d+)', 1), '') AS INT)) AS BIGINT)
+             AS sum_k,
+           round(avg(CAST(nullif(regexp_extract(props, '"k": (\\d+)', 1), '') AS INT)), 4)
+             AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "json"),
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: extract props.k (the STAC-properties
+    idiom, SURVEY §1.1) via regexp — engine-portable JSON access."""
+    e = _t(spark, sf_dir, "events")
+    k = F.nullif(F.regexp_extract("props", r'"k": (\d+)', 1), F.lit("")).cast("int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS asof_orderkey,
+           strftime(o.o_orderdate + INTERVAL 25 YEAR, '%Y-%m-%d') AS asof_date
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate + INTERVAL 25 YEAR <= e.ts
+    QUALIFY row_number() OVER (
+      PARTITION BY e.event_id
+      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+    ) = 1
+    """,
+    tags=("events", "asof"),
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): each event matched to the
+    user's latest order at/before the event time (order dates shifted
+    +25y into the event era).
+
+    Implementation is the scalable union trick: interleave both
+    streams on (key, time), then `last(ignorenulls)` carries the most
+    recent order forward — ONE shuffle + ONE window pass, no per-row
+    subquery, no join explosion (operators/asof.py).
+    """
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 25 YEARS")).alias("o_ts"),
+            "o_orderkey",
+        )
+    )
+    joined = asof_join(
+        e,
+        o,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_ts",
+        right_cols=("o_orderkey", "o_ts"),
+        tie_break="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.date_format("o_ts", "yyyy-MM-dd").alias("asof_date"),
+    )
+
+
+@register(
+    "run_counters",
+    oracle="""
+    SELECT event_type AS status, count(*) AS n,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM events), 6) AS share
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "agg"),
+)
+def q_run_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: success/failure-style counters with shares (main.py:143-154)."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy(F.col("event_type").alias("status")).agg(F.count("*").alias("n"))
+    total = e.count()  # scalar action on a tiny aggregate — driver-side literal
+    return counts.select(
+        "status", "n", F.round(F.col("n").cast("double") / F.lit(total), 6).alias("share")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.builder for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.builder for n, s in REGISTRY.items() if s.headline}

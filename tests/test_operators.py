@@ -1,0 +1,100 @@
+"""Operator unit tests on tiny in-memory DataFrames (fast, exact)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ndvi_etl_pipeline_spark.operators.asof import asof_join
+from ndvi_etl_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash,
+)
+from ndvi_etl_pipeline_spark.operators.overviews import overview_cascade
+from ndvi_etl_pipeline_spark.operators.similarity import brute_force_topk, cosine
+from ndvi_etl_pipeline_spark.operators.upsert import upsert_ignore, upsert_replace
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 20, 100)],
+        "event_id int, user_id int, ts int",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 7), (10, 200, 8), (10, 100, 9), (30, 10, 1)],
+        "user_id int, o_ts int, o_orderkey int",
+    )
+    out = {
+        r.event_id: r.o_orderkey
+        for r in asof_join(
+            left, right, "user_id", "ts", "o_ts", ("o_orderkey",), tie_break="o_orderkey"
+        ).collect()
+    }
+    assert out == {1: 9, 2: 8, 3: None, 4: None}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id int, text string"
+    )
+    groups = exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0].keep_id == 1 and groups[0].n_dups == 2
+    kept = {r.doc_id for r in dedup_exact(df).collect()}
+    assert kept == {1, 3}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(49)) + " zz"  # 1 token changed
+    far = " ".join(f"v{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id int, text string"
+    )
+    pairs = minhash_near_duplicates(df, threshold=0.5).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.9
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    h = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert h[1] == h[2] != h[3]
+    assert 0 <= h[1] < 2**16
+
+
+def test_cosine_and_topk(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7071, 0.7071])],
+        "vec_id int, embedding array<float>",
+    )
+    out = brute_force_topk(df.filter("vec_id > 0"), df.filter("vec_id = 0"), k=2).collect()
+    assert [(r.rank, r.vec_id) for r in out] == [(1, 1), (2, 3)]
+    assert out[0].cosine_sim == 1.0
+    assert abs(out[1].cosine_sim - 0.7071) < 1e-3
+
+
+def test_overview_cascade_constant(spark):
+    px = spark.range(16 * 16).select(
+        F.lit("s").alias("scene_id"),
+        (F.col("id") / 16).cast("int").alias("y"),
+        (F.col("id") % 16).cast("int").alias("x"),
+        F.lit(0.5).alias("ndvi"),
+    )
+    levels = overview_cascade(px, factors=(2, 4, 8))
+    assert levels[2].count() == 64
+    assert levels[4].count() == 16
+    assert levels[8].count() == 4
+    vals = [r.v for r in levels[8].collect()]
+    assert all(abs(v - 0.5) < 1e-12 for v in vals)
+
+
+def test_upsert_ignore_and_replace(spark):
+    existing = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id int, name string, v int")
+    incoming = spark.createDataFrame([(2, "B", 99), (3, "c", 30)], "id int, name string, v int")
+    ign = {r.id: r.v for r in upsert_ignore(existing, incoming, keys=("id",)).collect()}
+    assert ign == {1: 10, 2: 20, 3: 30}
+    rep = {r.id: r.v for r in upsert_replace(existing, incoming, keys=("id",)).collect()}
+    assert rep == {1: 10, 2: 99, 3: 30}

@@ -5,8 +5,13 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <dir>}
 
-Each query is fully materialized (count + a cheap checksum collect)
-so the measured time includes the whole plan, not just planning.
+Each query is fully materialized so the measured time includes the
+whole plan, not just planning. Every query runs twice: the first run
+pays JVM JIT + whole-stage-codegen compilation (reported under
+"cold_queries"), the second is the steady-state engine number
+(reported under "queries" and summed into "value"). Cached relations
+are cleared between runs so no result reuse leaks into the warm time
+— warm measures the full recompute, JIT excluded.
 """
 
 from __future__ import annotations
@@ -33,12 +38,19 @@ def main() -> None:
     REGISTRY[names[0]].builder(spark, sf_dir).limit(1).collect()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = REGISTRY[name].builder(spark, sf_dir)
-        n = df.count()
+        n = REGISTRY[name].builder(spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n = REGISTRY[name].builder(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        sys.stderr.write(f"{name}: {timings[name]}s ({n} rows)\n")
+        spark.catalog.clearCache()
+        sys.stderr.write(
+            f"{name}: {timings[name]}s warm / {cold[name]}s cold ({n} rows)\n"
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -48,6 +60,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf_dir,
             }
         )

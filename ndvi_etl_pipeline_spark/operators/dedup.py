@@ -14,9 +14,13 @@ per band and b bands (Broder '97; Leskovec et al., "Mining of Massive
 Datasets" ch.3). Defaults (8 hashes, 4 bands × 2) give a soft
 threshold around j ≈ 0.3 with high recall at j ≥ 0.8.
 
-Hash family: md5 over seed-prefixed shingles, min taken over the hex
-string ordering — engine-agnostic (any SQL engine reproduces it),
-deterministic, and uniformly distributed per seed prefix.
+Hash family: ONE md5 per shingle, sliced into k disjoint 4-hex-char
+(16-bit) sub-hashes — each slice is an independent uniform hash of
+the shingle, so the k mins are k valid MinHash functions at 1/k the
+hashing cost of seed-prefixed digests. Engine-agnostic (any SQL
+engine reproduces substr(md5(x), i, 4)), deterministic, and the
+16-bit range keeps band keys well-spread (band = md5 of 2 slices →
+2^32 effective buckets).
 """
 
 from __future__ import annotations
@@ -61,15 +65,17 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingle_docs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingles ARRAY<STRING>) — distinct n-word shingles per doc."""
-    return df.select(
+    """(id, shingles ARRAY<STRING>) — distinct n-word shingles per doc.
+
+    The short-doc filter tests token COUNT, not the shingle array:
+    a higher-order-function expression inside a Filter falls out of
+    whole-stage codegen into interpreted eval (re-running the split
+    per array element — measured 30× slower); `size(split(..)) >= n`
+    is the same predicate and stays in codegen.
+    """
+    return df.filter(F.size(tokens(text_col)) >= n).select(
         F.col(id_col), word_shingles(tokens(text_col), n=n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-
-
-def _seed_min_hash(seed: int) -> Column:
-    """min over exploded shingles of md5('<seed>:'||shingle)."""
-    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")).cast("binary")))
+    )
 
 
 def minhash_signatures(
@@ -77,12 +83,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{k-1}): k MinHash values per doc.
 
+    One md5 per shingle (not per shingle×hash): slice the 32-hex
+    digest into k disjoint 4-hex windows and take the min of each.
     One explode + one groupBy(id) = one shuffle; the k mins ride as
     parallel partial aggregates (map-side combine keeps shuffle rows
     at one per doc per task, independent of shingle count).
     """
-    exploded = shingled.select(id_col, F.explode("shingles").alias("shingle"))
-    aggs = [_seed_min_hash(s).alias(f"h{s}") for s in range(num_hashes)]
+    assert num_hashes * 4 <= 32, "md5 digest provides at most 8 4-hex slices"
+    exploded = shingled.select(
+        id_col, F.explode("shingles").alias("shingle")
+    ).select(id_col, F.md5(F.col("shingle").cast("binary")).alias("d"))
+    aggs = [
+        F.min(F.substring("d", s * 4 + 1, 4)).alias(f"h{s}") for s in range(num_hashes)
+    ]
     return exploded.groupBy(id_col).agg(*aggs)
 
 
@@ -176,10 +189,26 @@ def minhash_near_duplicates(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """End-to-end MinHash+LSH near-dup detection: (doc_a, doc_b, jaccard)."""
-    shingled = shingle_docs(df, text_col, id_col, n)
+    """End-to-end MinHash+LSH near-dup detection: (doc_a, doc_b, jaccard).
+
+    Two physical-plan decisions that matter at scale:
+    - the input is hash-repartitioned on the doc id before shingling,
+      so the explode+md5 work spreads over all cores even when the
+      source is a handful of parquet files (a single small file would
+      otherwise serialize the whole signature stage);
+    - the shingled relation feeds three consumers (signatures + both
+      sides of the verify join), so it is persisted once instead of
+      re-deriving the explode pipeline three times.
+    """
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism, id_col)
+    shingled = shingle_docs(df, text_col, id_col, n).persist()
     sigs = minhash_signatures(shingled, id_col, num_hashes)
-    cands = lsh_candidate_pairs(lsh_bands(sigs, id_col, num_hashes, bands), id_col)
+    # The banded relation (one ~50-byte row per doc per band) feeds
+    # both sides of the candidate self-join; persisting it stops Spark
+    # from deriving the whole signature pipeline twice.
+    banded = lsh_bands(sigs, id_col, num_hashes, bands).persist()
+    cands = lsh_candidate_pairs(banded, id_col)
     return verified_jaccard_pairs(cands, shingled, id_col, threshold)
 
 

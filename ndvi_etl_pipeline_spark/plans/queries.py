@@ -798,13 +798,13 @@ _MINHASH_ORACLE = """
           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
       FROM tok WHERE len(w) >= 3
     ),
-    sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    sh AS (SELECT doc_id, md5(unnest(shingles)) AS d FROM shl),
     mh AS (
       SELECT doc_id,
-             min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-             min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-             min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-             min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+             min(substr(d,  1, 4)) AS h0, min(substr(d,  5, 4)) AS h1,
+             min(substr(d,  9, 4)) AS h2, min(substr(d, 13, 4)) AS h3,
+             min(substr(d, 17, 4)) AS h4, min(substr(d, 21, 4)) AS h5,
+             min(substr(d, 25, 4)) AS h6, min(substr(d, 29, 4)) AS h7
       FROM sh GROUP BY doc_id
     ),
     bands AS (

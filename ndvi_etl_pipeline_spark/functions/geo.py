@@ -1,0 +1,240 @@
+"""Geometry kernel — Spark-first, no native geo type, no C library.
+
+The reference's spatial surface (SURVEY §2.2 F3, §2.4 J2/J3, §2.8 geo
+family; compute_ndvi.py:95-134, download_landsat_stac.py:72-84,
+load_to_postgis.py:18-38) always uses the SAME shape of predicate: a
+small, driver-known AOI polygon tested against a large set of
+points/pixels. That asymmetry is the whole design:
+
+- The polygon is a **plan literal**. `point_in_polygon_col` unrolls
+  the even-odd ray cast over its edges into a pure Catalyst
+  expression — whole-stage codegen, no UDF, no Python in the hot
+  path, valid for arbitrary (also concave) simple polygons.
+- `point_in_polygon_sql` emits the IDENTICAL arithmetic as ANSI SQL,
+  so any SQL engine (the DuckDB oracle, a warehouse) reproduces the
+  operator bit-for-bit — same edge order, same association.
+- `clip_filter` prepends the sargable bbox prefilter (J2's "crop"):
+  min/max comparisons that push into the parquet scan and prune
+  row groups long before the ray cast runs. At 100 TB the bbox
+  kills ~all of the data; the exact test touches survivors only.
+- For geometry-VALUED columns (a polygon per row, the general case
+  the reference never needs), `points_in_polygons` is a vectorized
+  numpy pandas UDF over packed coordinate arrays.
+
+Ray cast (even-odd rule): point is inside iff a ray to +∞ in x
+crosses an odd number of edges; edge (x1,y1)-(x2,y2) crosses iff
+(y1 > y) != (y2 > y) AND x < x1 + (y - y1) * (x2 - x1) / (y2 - y1).
+Points exactly on an edge are engine-dependent half-open; callers
+should place AOI vertices off the data grid (the tests do).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+Point = tuple[float, float]
+Polygon = Sequence[Point]  # open ring: last edge closes to the first vertex
+
+
+# ---------------------------------------------------------------------------
+# driver-side scalar helpers (A2-A4, P8-P9 analogs)
+# ---------------------------------------------------------------------------
+
+
+def polygon_bbox(poly: Polygon) -> tuple[float, float, float, float]:
+    xs = [p[0] for p in poly]
+    ys = [p[1] for p in poly]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def polygon_area(poly: Polygon) -> float:
+    """Shoelace area (positive regardless of winding)."""
+    s = 0.0
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return abs(s) / 2.0
+
+
+def polygon_centroid(poly: Polygon) -> Point:
+    """Area-weighted centroid (shoelace); falls back to the vertex mean
+    for degenerate (zero-area) rings."""
+    a = 0.0
+    cx = 0.0
+    cy = 0.0
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        cross = x1 * y2 - x2 * y1
+        a += cross
+        cx += (x1 + x2) * cross
+        cy += (y1 + y2) * cross
+    if abs(a) < 1e-12:
+        return (sum(p[0] for p in poly) / n, sum(p[1] for p in poly) / n)
+    return (cx / (3.0 * a), cy / (3.0 * a))
+
+
+def pad_bbox_km(
+    bbox: tuple[float, float, float, float], pad_km: float
+) -> tuple[float, float, float, float]:
+    """P8 (download_landsat_stac.py:44-51): pad a lon/lat bbox by
+    kilometers, converting km→degrees with the cos(mean latitude)
+    correction for longitude."""
+    minx, miny, maxx, maxy = bbox
+    mean_lat = (miny + maxy) / 2.0
+    dlat = pad_km / 110.574
+    dlon = pad_km / (111.320 * max(math.cos(math.radians(mean_lat)), 1e-9))
+    return (minx - dlon, miny - dlat, maxx + dlon, maxy + dlat)
+
+
+def utm_epsg(lon: float, lat: float) -> int:
+    """P9 (load_to_postgis.py:18-38): UTM zone EPSG from a lon/lat
+    centroid — 326xx north, 327xx south."""
+    zone = int(math.floor((lon + 180.0) / 6.0)) + 1
+    zone = min(max(zone, 1), 60)
+    return (32600 if lat >= 0 else 32700) + zone
+
+
+# ---------------------------------------------------------------------------
+# plan-literal polygon predicates (the J2/F3 hot path)
+# ---------------------------------------------------------------------------
+
+
+def _closed_edges(poly: Polygon) -> list[tuple[float, float, float, float]]:
+    n = len(poly)
+    return [
+        (poly[i][0], poly[i][1], poly[(i + 1) % n][0], poly[(i + 1) % n][1])
+        for i in range(n)
+    ]
+
+
+def point_in_polygon_col(x: Column | str, y: Column | str, poly: Polygon) -> Column:
+    """Even-odd ray cast unrolled over the polygon's edges as a native
+    Catalyst expression (one `when` per edge, crossings summed mod 2).
+
+    O(edges) per row, fully codegen'd; intended for driver-known AOI
+    polygons (tens of vertices). For polygon columns use
+    `points_in_polygons`.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    crossings = F.lit(0)
+    for x1, y1, x2, y2 in _closed_edges(poly):
+        if y1 == y2:  # horizontal edge can never straddle the ray
+            continue
+        straddles = (F.lit(y1) > yc) != (F.lit(y2) > yc)
+        x_at_y = F.lit(x1) + (yc - F.lit(y1)) * F.lit(x2 - x1) / (F.lit(y2) - F.lit(y1))
+        crossings = crossings + F.when(straddles & (xc < x_at_y), 1).otherwise(0)
+    return crossings % 2 == 1
+
+
+def point_in_polygon_sql(x_expr: str, y_expr: str, poly: Polygon) -> str:
+    """The same ray cast as ANSI SQL text (same edge order and
+    association as `point_in_polygon_col`), for cross-engine oracles."""
+    terms = []
+    for x1, y1, x2, y2 in _closed_edges(poly):
+        if y1 == y2:  # keep in lockstep with point_in_polygon_col
+            continue
+        straddles = f"(({y1!r} > {y_expr}) != ({y2!r} > {y_expr}))"
+        x_at_y = f"({x1!r} + ({y_expr} - {y1!r}) * {(x2 - x1)!r} / ({y2!r} - {y1!r}))"
+        terms.append(
+            f"(CASE WHEN {straddles} AND ({x_expr} < {x_at_y}) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def clip_filter(
+    df: DataFrame, x_col: str, y_col: str, poly: Polygon
+) -> DataFrame:
+    """J2: AOI clip = sargable bbox prefilter (pushed to the scan /
+    partition pruning) + exact ray-cast on the survivors."""
+    minx, miny, maxx, maxy = polygon_bbox(poly)
+    return df.filter(
+        F.col(x_col).between(minx, maxx) & F.col(y_col).between(miny, maxy)
+    ).filter(point_in_polygon_col(x_col, y_col, poly))
+
+
+def bbox_intersects(
+    minx: Column | str, miny: Column | str, maxx: Column | str, maxy: Column | str,
+    other: tuple[float, float, float, float],
+) -> Column:
+    """J3's footprint precheck: separating-axis bbox intersection as
+    plain comparisons (sargable on footprint min/max columns)."""
+    mnx = F.col(minx) if isinstance(minx, str) else minx
+    mny = F.col(miny) if isinstance(miny, str) else miny
+    mxx = F.col(maxx) if isinstance(maxx, str) else maxx
+    mxy = F.col(maxy) if isinstance(maxy, str) else maxy
+    ominx, ominy, omaxx, omaxy = other
+    return (
+        (mnx <= F.lit(omaxx))
+        & (mxx >= F.lit(ominx))
+        & (mny <= F.lit(omaxy))
+        & (mxy >= F.lit(ominy))
+    )
+
+
+# ---------------------------------------------------------------------------
+# geometry-valued columns: vectorized numpy kernel over coord arrays
+# ---------------------------------------------------------------------------
+
+# Row-wise geometry representation: polygon as ARRAY<DOUBLE> of
+# interleaved [x0, y0, x1, y1, ...] (the flat ring), the engine's
+# WKB-analog that needs no codec library.
+
+
+def _ray_cast_numpy(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd test of N points against one flat ring."""
+    xs = ring[0::2]
+    ys = ring[1::2]
+    x2 = np.roll(xs, -1)
+    y2 = np.roll(ys, -1)
+    inside = np.zeros(px.shape[0], dtype=bool)
+    for i in range(xs.shape[0]):
+        x1, y1, xx2, yy2 = xs[i], ys[i], x2[i], y2[i]
+        if y1 == yy2:
+            continue
+        straddles = (y1 > py) != (yy2 > py)
+        x_at_y = x1 + (py - y1) * (xx2 - x1) / (yy2 - y1)
+        inside ^= straddles & (px < x_at_y)
+    return inside
+
+
+@F.pandas_udf(T.BooleanType())
+def st_contains_udf(
+    ring: pd.Series, x: pd.Series, y: pd.Series
+) -> pd.Series:
+    """st_contains(polygon_ring, x, y) for geometry-valued columns.
+
+    Arrow-batched; groups rows by identical ring so the per-ring numpy
+    kernel runs once per distinct polygon in the batch (the common
+    case: few AOIs against many points).
+    """
+    out = np.zeros(len(x), dtype=bool)
+    px = x.to_numpy(dtype=np.float64)
+    py = y.to_numpy(dtype=np.float64)
+    keys = ring.map(lambda r: tuple(r) if r is not None else None)
+    for key, idx in keys.groupby(keys).groups.items():
+        if key is None:
+            continue
+        pos = keys.index.get_indexer(idx)
+        r = np.asarray(key, dtype=np.float64)
+        out[pos] = _ray_cast_numpy(px[pos], py[pos], r)
+    return pd.Series(out)
+
+
+def ring_literal(poly: Polygon) -> Column:
+    """A polygon constant as the flat-ring ARRAY<DOUBLE> column."""
+    flat: list[float] = []
+    for px, py in poly:
+        flat.extend((float(px), float(py)))
+    return F.array(*[F.lit(v) for v in flat])

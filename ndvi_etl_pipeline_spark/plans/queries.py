@@ -1225,6 +1225,195 @@ def q_run_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# F. Geometry clip, multidimensional aggregation, window analytics
+# ===========================================================================
+
+# Concave AOI in pixel coordinates; .5 offsets keep every integer grid
+# point off the edges so the even-odd test is unambiguous in both
+# engines. The SAME constant builds the Spark predicate and the SQL
+# oracle text — one definition, two engines.
+_AOI_RING = [
+    (10.5, 10.5),
+    (80.5, 15.5),
+    (85.5, 85.5),
+    (45.5, 50.5),  # concave notch
+    (15.5, 80.5),
+]
+
+
+@register(
+    "aoi_raycast_clip",
+    oracle=_NDVI_SQL
+    + """
+    SELECT scene_id, count(*) AS n_pixels, round(avg(ndvi), 6) AS mean_ndvi
+    FROM nv
+    WHERE x BETWEEN {minx} AND {maxx} AND y BETWEEN {miny} AND {maxy}
+      AND {pred}
+    GROUP BY scene_id
+    """,
+    tags=("ndvi", "spatial"),
+)
+def q_aoi_raycast_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 in full: AOI polygon clip = sargable bbox prefilter + exact
+    even-odd ray cast unrolled as a native codegen expression
+    (functions/geo.py; reference semantics compute_ndvi.py:95-134).
+    Handles concave polygons — no convexity assumption."""
+    from ..functions.geo import clip_filter
+
+    nv = _ndvi_pixels_df(spark, sf_dir)
+    return (
+        clip_filter(nv, "x", "y", _AOI_RING)
+        .groupBy("scene_id")
+        .agg(F.count("*").alias("n_pixels"), F.round(F.avg("ndvi"), 6).alias("mean_ndvi"))
+    )
+
+
+def _finalize_raycast_oracle() -> None:
+    from ..functions.geo import point_in_polygon_sql, polygon_bbox
+
+    minx, miny, maxx, maxy = polygon_bbox(_AOI_RING)
+    spec = REGISTRY["aoi_raycast_clip"]
+    REGISTRY["aoi_raycast_clip"] = QuerySpec(
+        spec.builder,
+        spec.oracle.format(
+            minx=minx, maxx=maxx, miny=miny, maxy=maxy,
+            pred=point_in_polygon_sql("x", "y", _AOI_RING),
+        ),
+        spec.headline,
+        spec.tags,
+    )
+
+
+_finalize_raycast_oracle()
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT coalesce(CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR), 'ALL') AS order_year,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (year(CAST(o_orderdate AS DATE)), o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, priority) — all four grouping combinations in
+    one pass (Expand + single shuffle), labels coalesced so subtotal
+    rows are engine-portable."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    return (
+        o.cube(yr.alias("order_year"), F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce(F.col("order_year").cast("string"), F.lit("ALL")).alias("order_year"),
+            F.coalesce("priority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "grouping_sets_parts",
+    oracle="""
+    SELECT coalesce(p_type, 'ALL') AS p_type,
+           coalesce(p_brand, 'ALL') AS p_brand,
+           count(*) AS n_parts,
+           round(avg(p_retailprice), 4) AS avg_price
+    FROM part
+    GROUP BY GROUPING SETS ((p_type), (p_brand), ())
+    """,
+    tags=("agg", "cube"),
+)
+def q_grouping_sets_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general multidimensional form CUBE
+    and ROLLUP desugar to."""
+    p = _t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("part_gs")
+    return spark.sql("""
+        SELECT coalesce(p_type, 'ALL') AS p_type,
+               coalesce(p_brand, 'ALL') AS p_brand,
+               count(*) AS n_parts,
+               round(avg(p_retailprice), 4) AS avg_price
+        FROM part_gs
+        GROUP BY GROUPING SETS ((p_type), (p_brand), ())
+    """)
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "events"),
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`). The approximate path at 100 TB is
+    approx_percentile / t-digest; exact is kept as the oracle-checkable
+    semantics."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "rolling_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             sum(o_totalprice) AS day_total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, strftime(d, '%Y-%m-%d') AS order_date,
+           round(sum(day_total) OVER (
+             PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+           ), 2) AS revenue_7d,
+           round(avg(day_total) OVER (
+             PARTITION BY o_custkey ORDER BY d
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS avg_3rows
+    FROM daily
+    """,
+    tags=("window",),
+)
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window analytics (§2.9 extension surface — the NDVI
+    time-series shape): 7-day range frame + 3-row sliding frame per
+    customer. Range frames order on epoch days so the interval
+    semantics match across engines."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+        ).agg(F.sum("o_totalprice").alias("day_total"))
+    )
+    epoch_day = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy(epoch_day).rangeBetween(-6, 0)
+    )
+    w_rows = Window.partitionBy("o_custkey").orderBy("d").rowsBetween(-2, 0)
+    return daily.select(
+        "o_custkey",
+        F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.sum("day_total").over(w_range), 2).alias("revenue_7d"),
+        F.round(F.avg("day_total").over(w_rows), 4).alias("avg_3rows"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

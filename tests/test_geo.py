@@ -1,0 +1,118 @@
+"""Geometry kernel: ray-cast correctness (column expr, SQL twin, numpy
+UDF) against a brute-force Python oracle, plus the scalar helpers."""
+
+import math
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from ndvi_etl_pipeline_spark.functions import geo
+
+SQUARE = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+# concave "L" — exercises even-odd with >1 crossing
+ELL = [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0), (4.0, 10.0), (0.0, 10.0)]
+TRIANGLE = [(1.0, 1.0), (9.0, 2.0), (5.0, 9.0)]
+
+
+def py_ray_cast(px, py, poly):
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if y1 == y2:
+            continue
+        if (y1 > py) != (y2 > py) and px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
+            inside = not inside
+    return inside
+
+
+def random_points(n, seed):
+    rng = random.Random(seed)
+    # .17/.37 offsets keep points off polygon edges
+    return [(rng.randint(-2, 12) + 0.17, rng.randint(-2, 12) + 0.37) for _ in range(n)]
+
+
+@pytest.mark.parametrize("poly", [SQUARE, ELL, TRIANGLE], ids=["square", "ell", "tri"])
+def test_column_expr_matches_python(spark, poly):
+    pts = random_points(300, seed=7)
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r.x, r.y): r.inside
+        for r in df.withColumn(
+            "inside", geo.point_in_polygon_col("x", "y", poly)
+        ).collect()
+    }
+    for px, py in pts:
+        assert got[(px, py)] == py_ray_cast(px, py, poly), (px, py)
+
+
+@pytest.mark.parametrize("poly", [SQUARE, ELL], ids=["square", "ell"])
+def test_sql_twin_matches_column_expr(spark, poly):
+    pts = random_points(200, seed=11)
+    df = spark.createDataFrame(pts, ["x", "y"])
+    df.createOrReplaceTempView("pts_geo")
+    sql_pred = geo.point_in_polygon_sql("x", "y", poly)
+    via_sql = {
+        (r.x, r.y): r.inside
+        for r in spark.sql(f"SELECT x, y, {sql_pred} AS inside FROM pts_geo").collect()
+    }
+    via_col = {
+        (r.x, r.y): r.inside
+        for r in df.withColumn("inside", geo.point_in_polygon_col("x", "y", poly)).collect()
+    }
+    assert via_sql == via_col
+
+
+def test_numpy_udf_matches_python(spark):
+    pts = random_points(300, seed=13)
+    df = spark.createDataFrame(pts, ["x", "y"]).withColumn(
+        "ring", geo.ring_literal(ELL)
+    )
+    got = {
+        (r.x, r.y): r.inside
+        for r in df.withColumn(
+            "inside", geo.st_contains_udf("ring", "x", "y")
+        ).collect()
+    }
+    for px, py in pts:
+        assert got[(px, py)] == py_ray_cast(px, py, ELL), (px, py)
+
+
+def test_clip_filter_counts(spark):
+    pts = random_points(500, seed=17)
+    df = spark.createDataFrame(pts, ["x", "y"])
+    expected = sum(1 for p in pts if py_ray_cast(p[0], p[1], ELL))
+    assert geo.clip_filter(df, "x", "y", ELL).count() == expected
+
+
+def test_bbox_intersects(spark):
+    rows = [
+        (0.0, 0.0, 5.0, 5.0, True),    # overlaps
+        (6.0, 6.0, 8.0, 8.0, True),    # inside other
+        (11.0, 0.0, 12.0, 5.0, False), # right of other
+        (0.0, 10.5, 5.0, 12.0, False), # above other
+        (10.0, 10.0, 12.0, 12.0, True) # touching corner counts
+    ]
+    df = spark.createDataFrame(rows, ["mnx", "mny", "mxx", "mxy", "want"])
+    out = df.withColumn(
+        "got", geo.bbox_intersects("mnx", "mny", "mxx", "mxy", (0.0, 0.0, 10.0, 10.0))
+    )
+    assert out.filter(F.col("got") != F.col("want")).count() == 0
+
+
+def test_scalar_helpers():
+    assert geo.polygon_area(SQUARE) == pytest.approx(100.0)
+    assert geo.polygon_area(ELL) == pytest.approx(64.0)
+    cx, cy = geo.polygon_centroid(SQUARE)
+    assert (cx, cy) == (pytest.approx(5.0), pytest.approx(5.0))
+    assert geo.polygon_bbox(TRIANGLE) == (1.0, 1.0, 9.0, 9.0)
+    # UTM: Helsinki ~ (25.0, 60.4) → zone 35 north
+    assert geo.utm_epsg(25.0, 60.4) == 32635
+    assert geo.utm_epsg(25.0, -33.0) == 32735
+    minx, miny, maxx, maxy = geo.pad_bbox_km((25.0, 60.0, 26.0, 61.0), 10.0)
+    assert minx < 25.0 and maxx > 26.0 and miny < 60.0 and maxy > 61.0
+    # longitude pad grows with latitude (cos shrinks)
+    eq = geo.pad_bbox_km((0.0, -0.5, 1.0, 0.5), 10.0)
+    assert (25.0 - minx) > (0.0 - eq[0])

@@ -1,0 +1,496 @@
+"""Raster codec: tile form ⇄ pixel form ⇄ GeoTIFF (SURVEY §1.4, §2.1).
+
+The engine carries rasters in two representations:
+
+- **pixel form** `[scene_id, band, y, x, value]` — the relational
+  core; all of §2.2-2.6 (filters, joins, aggs) runs here as plain
+  Catalyst plans.
+- **tile form** `[scene_id, band, tile_y, tile_x, height, width, y0,
+  x0, data BINARY]` — one dense float32 tile per row (mirrors the
+  reference's 256×256 GeoTIFF blocks, compute_ndvi.py:79-84). Kernels
+  (NDVI, stats, resampling) run as vectorized numpy over the packed
+  payload: ~65k pixels per Arrow row instead of 65k rows, which is
+  the 100 TB fast path — per-row engine overhead amortizes 10⁴×.
+
+Payload encoding: row-major float32, little-endian, NaN = "cell
+absent/nodata". BinaryType keeps the bytes opaque to Catalyst (no
+per-pixel serialization cost through shuffles).
+
+GeoTIFF: `write_geotiff`/`read_geotiff` implement a minimal but REAL
+single-band float32 GeoTIFF (striped, uncompressed, ModelPixelScale +
+ModelTiepoint + GeoKey EPSG + GDAL nodata tags) in pure Python, so
+the K1 sink works in this container; when rasterio is installed the
+same entry points delegate to it (deflate + overviews like
+compute_ndvi.py:73-88).
+
+Reference parity: decode/encode = S4/K1 (compute_ndvi.py:38-44,73-88,
+load_to_postgis.py:189-192); the NDVI tile kernel = P1-P6
+(compute_ndvi.py:32-93); tile stats = A1 (load_to_postgis.py:74-79).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # optional fast path; not present in this container
+    import rasterio  # type: ignore
+
+    HAVE_RASTERIO = True
+except ImportError:
+    HAVE_RASTERIO = False
+
+DEFAULT_TILE = 256
+NODATA = -9999.0
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("band", T.StringType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("y0", T.IntegerType()),
+        T.StructField("x0", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+NDVI_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("y0", T.IntegerType()),
+        T.StructField("x0", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("n_valid", T.LongType()),
+        T.StructField("sum_ndvi", T.DoubleType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# pixel form → tile form
+# ---------------------------------------------------------------------------
+
+
+def pixels_to_tiles(
+    pixels: DataFrame,
+    tile: int = DEFAULT_TILE,
+    value_col: str = "dn",
+) -> DataFrame:
+    """Pack sparse pixel rows into dense float32 tiles (NaN-filled).
+
+    One shuffle on (scene, band, tile_y, tile_x); each group packs
+    into a single Arrow batch. Tile size bounds executor memory at
+    tile² × 4 bytes — 256 ⇒ 256 KiB per payload regardless of input
+    scale, so the same code holds at 100 TB.
+    """
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        scene_id, band, tile_y, tile_x = key
+        y0, x0 = int(tile_y) * tile, int(tile_x) * tile
+        arr = np.full((tile, tile), np.nan, dtype=np.float32)
+        ys = pdf["y"].to_numpy() - y0
+        xs = pdf["x"].to_numpy() - x0
+        arr[ys, xs] = pdf[value_col].to_numpy(dtype=np.float32)
+        return pd.DataFrame(
+            {
+                "scene_id": [scene_id],
+                "band": [band],
+                "tile_y": [int(tile_y)],
+                "tile_x": [int(tile_x)],
+                "height": [tile],
+                "width": [tile],
+                "y0": [y0],
+                "x0": [x0],
+                "data": [arr.tobytes()],
+            }
+        )
+
+    keyed = pixels.withColumn(
+        "tile_y", F.floor(F.col("y") / tile).cast("int")
+    ).withColumn("tile_x", F.floor(F.col("x") / tile).cast("int"))
+    return keyed.groupBy("scene_id", "band", "tile_y", "tile_x").applyInPandas(
+        pack, schema=TILE_SCHEMA
+    )
+
+
+def tiles_to_pixels(tiles: DataFrame, value_name: str = "value") -> DataFrame:
+    """Unpack tiles back to pixel rows, dropping NaN (absent) cells.
+
+    mapInPandas — a narrow, streaming transformation: no shuffle, each
+    tile expands independently, so the expansion pipelines into
+    whatever consumes it.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("scene_id", T.StringType()),
+            T.StructField("band", T.StringType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField(value_name, T.DoubleType()),
+        ]
+    )
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.data, dtype=np.float32).reshape(
+                    row.height, row.width
+                )
+                yy, xx = np.nonzero(~np.isnan(arr))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "scene_id": row.scene_id,
+                            "band": row.band,
+                            "y": (yy + row.y0).astype(np.int32),
+                            "x": (xx + row.x0).astype(np.int32),
+                            value_name: arr[yy, xx].astype(np.float64),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return tiles.mapInPandas(unpack, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# tile-form NDVI kernel (P1-P6 vectorized per tile)
+# ---------------------------------------------------------------------------
+
+SCALE = 0.0000275
+OFFSET = -0.2
+EPS = 1e-6
+
+
+def tile_ndvi(band_tiles: DataFrame, red_band: str = "red", nir_band: str = "nir") -> DataFrame:
+    """J1 + P1-P6 in tile form: join red/nir tiles on the grid key,
+    compute masked/clamped NDVI per tile with numpy, and emit the NDVI
+    payload plus per-tile partial aggregates (n_pixels, n_valid,
+    sum_ndvi) so scene stats finish with a tiny native groupBy — the
+    two-level aggregation pattern (partials at data parallelism,
+    finals on ~tiles/scene rows).
+
+    Semantics match the pixel path exactly: a cell counts iff both
+    bands are present; it is valid iff both DN ≠ 0; NDVI uses the
+    Landsat C2L2 scale/offset, ε-guarded divide, clamp to [-1, 1]
+    (compute_ndvi.py:32-93).
+    """
+    r = band_tiles.filter(F.col("band") == red_band).drop("band")
+    n = band_tiles.filter(F.col("band") == nir_band).drop("band")
+    for c in ("height", "width", "y0", "x0", "data"):
+        r = r.withColumnRenamed(c, f"r_{c}")
+        n = n.withColumnRenamed(c, f"n_{c}")
+    joined = r.join(n, ["scene_id", "tile_y", "tile_x"], "inner")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                red = np.frombuffer(row.r_data, dtype=np.float32).reshape(
+                    row.r_height, row.r_width
+                )
+                nir = np.frombuffer(row.n_data, dtype=np.float32).reshape(
+                    row.n_height, row.n_width
+                )
+                if red.shape != nir.shape:  # P7 grid-compat guard
+                    raise ValueError(
+                        f"grid mismatch for {row.scene_id} tile "
+                        f"({row.tile_y},{row.tile_x}): {red.shape} vs {nir.shape}"
+                    )
+                present = ~np.isnan(red) & ~np.isnan(nir)
+                valid = present & (red != 0) & (nir != 0)
+                red_sr = red.astype(np.float64) * SCALE + OFFSET
+                nir_sr = nir.astype(np.float64) * SCALE + OFFSET
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    ndvi = (nir_sr - red_sr) / (nir_sr + red_sr + EPS)
+                ndvi = np.clip(ndvi, -1.0, 1.0)
+                out = np.full(red.shape, np.nan, dtype=np.float32)
+                out[valid] = ndvi[valid].astype(np.float32)
+                rows.append(
+                    {
+                        "scene_id": row.scene_id,
+                        "tile_y": row.tile_y,
+                        "tile_x": row.tile_x,
+                        "height": row.r_height,
+                        "width": row.r_width,
+                        "y0": row.r_y0,
+                        "x0": row.r_x0,
+                        "data": out.tobytes(),
+                        "n_pixels": int(present.sum()),
+                        "n_valid": int(valid.sum()),
+                        # float64 sum of the float32 ndvi values, matching
+                        # what the pixel path feeds Spark's avg()
+                        "sum_ndvi": float(ndvi[valid].astype(np.float32).astype(np.float64).sum()),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(kernel, schema=NDVI_TILE_SCHEMA)
+
+
+def tile_scene_stats(ndvi_tiles: DataFrame) -> DataFrame:
+    """A1 finals over tile partials: count/valid/mean per scene."""
+    return ndvi_tiles.groupBy("scene_id").agg(
+        F.sum("n_pixels").alias("n_pixels"),
+        F.sum("n_valid").alias("n_valid"),
+        F.round(F.sum("sum_ndvi") / F.sum("n_valid"), 6).alias("mean_ndvi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# minimal real GeoTIFF (pure Python): single band float32, striped
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {
+    "ImageWidth": 256,
+    "ImageLength": 257,
+    "BitsPerSample": 258,
+    "Compression": 259,
+    "Photometric": 262,
+    "StripOffsets": 273,
+    "SamplesPerPixel": 277,
+    "RowsPerStrip": 278,
+    "StripByteCounts": 279,
+    "SampleFormat": 339,
+    "ModelPixelScale": 33550,
+    "ModelTiepoint": 33922,
+    "GeoKeyDirectory": 34735,
+    "GDALNodata": 42113,
+}
+
+
+def write_geotiff(
+    arr: np.ndarray,
+    path: str,
+    origin: tuple[float, float] = (0.0, 0.0),
+    pixel_size: tuple[float, float] = (1.0, 1.0),
+    epsg: int = 4326,
+    nodata: float = NODATA,
+) -> None:
+    """Write a single-band float32 GeoTIFF. Delegates to rasterio
+    (deflate, tiled — the reference's profile) when available, else
+    uses the built-in pure-Python writer (uncompressed, striped, with
+    ModelPixelScale/ModelTiepoint/GeoKey EPSG/GDAL nodata — readable
+    by GDAL/QGIS)."""
+    a = np.ascontiguousarray(arr, dtype=np.float32)
+    if HAVE_RASTERIO:
+        from rasterio.transform import from_origin
+
+        profile = {
+            "driver": "GTiff",
+            "dtype": "float32",
+            "width": a.shape[1],
+            "height": a.shape[0],
+            "count": 1,
+            "crs": f"EPSG:{epsg}",
+            "transform": from_origin(origin[0], origin[1], pixel_size[0], pixel_size[1]),
+            "nodata": nodata,
+            "tiled": True,
+            "blockxsize": 256,
+            "blockysize": 256,
+            "compress": "deflate",
+            "predictor": 3,
+        }
+        with rasterio.open(path, "w", **profile) as dst:
+            dst.write(a, 1)
+        return
+
+    h, w = a.shape
+    data = a.tobytes()
+    nodata_ascii = f"{nodata:g}\x00".encode()
+    # GeoKeys: model type 2 (geographic), raster type 1 (pixel-is-area),
+    # geographic CRS = epsg
+    geokeys = [
+        (1, 1, 0, 3),       # version, rev, minor, number of keys
+        (1024, 0, 1, 2),    # GTModelTypeGeoKey = geographic
+        (1025, 0, 1, 1),    # GTRasterTypeGeoKey = area
+        (2048, 0, 1, epsg), # GeographicTypeGeoKey
+    ]
+    geokey_shorts = [v for row in geokeys for v in row]
+
+    # layout: header(8) | IFD | out-of-line values | pixel data
+    n_tags = 14
+    ifd_off = 8
+    ifd_size = 2 + n_tags * 12 + 4
+    val_off = ifd_off + ifd_size
+
+    out_of_line: list[bytes] = []
+
+    def defer(payload: bytes) -> int:
+        nonlocal val_off
+        off = val_off
+        out_of_line.append(payload)
+        val_off += len(payload) + (len(payload) % 2)
+        return off
+
+    pixel_scale = defer(struct.pack("<3d", pixel_size[0], pixel_size[1], 0.0))
+    tiepoint = defer(struct.pack("<6d", 0.0, 0.0, 0.0, origin[0], origin[1], 0.0))
+    geokey_off = defer(struct.pack(f"<{len(geokey_shorts)}H", *geokey_shorts))
+    nodata_off = defer(nodata_ascii)
+    data_off = val_off
+
+    def tag(code: int, ttype: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", code, ttype, count, value)
+
+    tags = [
+        tag(_TIFF_TAGS["ImageWidth"], 3, 1, w),
+        tag(_TIFF_TAGS["ImageLength"], 3, 1, h),
+        tag(_TIFF_TAGS["BitsPerSample"], 3, 1, 32),
+        tag(_TIFF_TAGS["Compression"], 3, 1, 1),
+        tag(_TIFF_TAGS["Photometric"], 3, 1, 1),
+        tag(_TIFF_TAGS["StripOffsets"], 4, 1, data_off),
+        tag(_TIFF_TAGS["SamplesPerPixel"], 3, 1, 1),
+        tag(_TIFF_TAGS["RowsPerStrip"], 3, 1, h),
+        tag(_TIFF_TAGS["StripByteCounts"], 4, 1, len(data)),
+        tag(_TIFF_TAGS["SampleFormat"], 3, 1, 3),
+        tag(_TIFF_TAGS["ModelPixelScale"], 12, 3, pixel_scale),
+        tag(_TIFF_TAGS["ModelTiepoint"], 12, 6, tiepoint),
+        tag(_TIFF_TAGS["GeoKeyDirectory"], 3, len(geokey_shorts), geokey_off),
+        tag(_TIFF_TAGS["GDALNodata"], 2, len(nodata_ascii), nodata_off),
+    ]
+    with open(path, "wb") as fh:
+        fh.write(b"II*\x00" + struct.pack("<I", ifd_off))
+        fh.write(struct.pack("<H", n_tags))
+        fh.write(b"".join(tags))
+        fh.write(struct.pack("<I", 0))  # next IFD
+        pos = ifd_off + ifd_size
+        for payload in out_of_line:
+            fh.write(payload)
+            pos += len(payload)
+            if len(payload) % 2:
+                fh.write(b"\x00")
+                pos += 1
+        fh.write(data)
+
+
+def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
+    """Read a single-band float32 GeoTIFF written by `write_geotiff`
+    (or rasterio when installed). Returns (array, metadata)."""
+    if HAVE_RASTERIO:
+        with rasterio.open(path) as src:
+            arr = src.read(1)
+            t = src.transform
+            return arr, {
+                "origin": (t.c, t.f),
+                "pixel_size": (t.a, -t.e),
+                "epsg": src.crs.to_epsg() if src.crs else None,
+                "nodata": src.nodata,
+            }
+
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:4] != b"II*\x00":
+        raise ValueError("not a little-endian TIFF")
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n_tags,) = struct.unpack_from("<H", buf, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_tags):
+        code, ttype, count, value = struct.unpack_from(
+            "<HHII", buf, ifd_off + 2 + i * 12
+        )
+        tags[code] = (ttype, count, value)
+
+    def short_or_long(code: int) -> int:
+        return tags[code][2]
+
+    w = short_or_long(_TIFF_TAGS["ImageWidth"])
+    h = short_or_long(_TIFF_TAGS["ImageLength"])
+    off = short_or_long(_TIFF_TAGS["StripOffsets"])
+    nbytes = short_or_long(_TIFF_TAGS["StripByteCounts"])
+    arr = np.frombuffer(buf, dtype="<f4", count=nbytes // 4, offset=off).reshape(h, w)
+    meta: dict = {"epsg": None, "nodata": None, "origin": None, "pixel_size": None}
+    if _TIFF_TAGS["ModelPixelScale"] in tags:
+        _, _, v = tags[_TIFF_TAGS["ModelPixelScale"]]
+        sx, sy, _ = struct.unpack_from("<3d", buf, v)
+        meta["pixel_size"] = (sx, sy)
+    if _TIFF_TAGS["ModelTiepoint"] in tags:
+        _, _, v = tags[_TIFF_TAGS["ModelTiepoint"]]
+        vals = struct.unpack_from("<6d", buf, v)
+        meta["origin"] = (vals[3], vals[4])
+    if _TIFF_TAGS["GeoKeyDirectory"] in tags:
+        _, count, v = tags[_TIFF_TAGS["GeoKeyDirectory"]]
+        shorts = struct.unpack_from(f"<{count}H", buf, v)
+        for j in range(4, count, 4):
+            if shorts[j] == 2048:
+                meta["epsg"] = shorts[j + 3]
+    if _TIFF_TAGS["GDALNodata"] in tags:
+        _, count, v = tags[_TIFF_TAGS["GDALNodata"]]
+        meta["nodata"] = float(buf[v : v + count].split(b"\x00")[0])
+    return arr.copy(), meta
+
+
+# ---------------------------------------------------------------------------
+# distributed GeoTIFF export (K1 sink): one file per scene
+# ---------------------------------------------------------------------------
+
+
+def export_scene_geotiffs(
+    ndvi_tiles: DataFrame,
+    out_dir: str,
+    pixel_size: tuple[float, float] = (1.0, 1.0),
+    epsg: int = 4326,
+    nodata: float = NODATA,
+) -> DataFrame:
+    """Assemble each scene's tiles into one mosaic and write
+    `<scene_id>_NDVI.tif` — the reference's per-scene product
+    (compute_ndvi.py:73-88) as a distributed applyInPandas sink
+    (scenes write in parallel from executors; `out_dir` must be
+    shared storage on a cluster). Returns (scene_id, path, height,
+    width, n_bytes) receipts."""
+    schema = T.StructType(
+        [
+            T.StructField("scene_id", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+
+        (scene_id,) = key
+        max_y = int((pdf["y0"] + pdf["height"]).max())
+        max_x = int((pdf["x0"] + pdf["width"]).max())
+        min_y = int(pdf["y0"].min())
+        min_x = int(pdf["x0"].min())
+        mosaic = np.full((max_y - min_y, max_x - min_x), np.nan, dtype=np.float32)
+        for row in pdf.itertuples(index=False):
+            arr = np.frombuffer(row.data, dtype=np.float32).reshape(row.height, row.width)
+            mosaic[
+                row.y0 - min_y : row.y0 - min_y + row.height,
+                row.x0 - min_x : row.x0 - min_x + row.width,
+            ] = arr
+        out = np.where(np.isnan(mosaic), np.float32(nodata), mosaic)
+        path = os.path.join(out_dir, f"{scene_id}_NDVI.tif")
+        write_geotiff(out, path, origin=(min_x, min_y), pixel_size=pixel_size,
+                      epsg=epsg, nodata=nodata)
+        return pd.DataFrame(
+            {
+                "scene_id": [scene_id],
+                "path": [path],
+                "height": [out.shape[0]],
+                "width": [out.shape[1]],
+                "n_bytes": [int(os.path.getsize(path))],
+            }
+        )
+
+    return ndvi_tiles.groupBy("scene_id").applyInPandas(assemble, schema=schema)

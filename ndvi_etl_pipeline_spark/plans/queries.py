@@ -660,6 +660,32 @@ def q_ndvi_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ndvi_tiled_stats",
+    oracle=_NDVI_SQL
+    + """
+    SELECT scene_id, count(*) AS n_pixels, count(ndvi) AS n_valid,
+           round(avg(ndvi), 6) AS mean_ndvi
+    FROM nv GROUP BY scene_id
+    """,
+    tags=("ndvi", "raster", "agg"),
+)
+def q_ndvi_tiled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME statistic as ndvi_scene_stats, computed through the
+    tile codec: pixels → dense 32×32 float32 tiles → vectorized numpy
+    NDVI kernel with per-tile partial aggregates → tiny final groupBy
+    (operators/raster.py). Shares ndvi_scene_stats' oracle — the two
+    physical paths must agree bit-for-bit at round(6)."""
+    from ..operators.raster import pixels_to_tiles, tile_ndvi, tile_scene_stats
+
+    px = (
+        derived_pixels(spark, sf_dir)
+        .groupBy("scene_id", "band", "y", "x")
+        .agg(F.max("dn").alias("dn"))
+    )
+    return tile_scene_stats(tile_ndvi(pixels_to_tiles(px, tile=32)))
+
+
+@register(
     "ndvi_bbox_clip",
     oracle=_NDVI_SQL
     + """

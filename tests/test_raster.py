@@ -1,0 +1,104 @@
+"""Raster codec tier: tile⇄pixel roundtrip, tile-path NDVI parity with
+the (oracle-checked) pixel path, and the pure-Python GeoTIFF codec."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from ndvi_etl_pipeline_spark.operators import raster
+from ndvi_etl_pipeline_spark.plans.queries import (
+    derived_pixels,
+    q_ndvi_scene_stats,
+)
+
+
+def band_tiles(spark, sf_dir, tile=32):
+    return raster.pixels_to_tiles(derived_pixels(spark, sf_dir), tile=tile)
+
+
+def test_tile_pixel_roundtrip(spark, sf_dir):
+    px = derived_pixels(spark, sf_dir)
+    # last-write-wins for duplicate grid cells (the generator can emit
+    # several rows per cell; the packer keeps one — compare as sets of
+    # cells with ANY of the original values)
+    orig = {
+        (r.scene_id, r.band, r.y, r.x)
+        for r in px.select("scene_id", "band", "y", "x").distinct().collect()
+    }
+    back = raster.tiles_to_pixels(band_tiles(spark, sf_dir))
+    got = {
+        (r.scene_id, r.band, r.y, r.x)
+        for r in back.select("scene_id", "band", "y", "x").collect()
+    }
+    assert got == orig
+
+
+def test_tile_ndvi_matches_pixel_path(spark, sf_dir):
+    """The tile-form kernel must reproduce the oracle-checked pixel
+    path bit-for-bit at round(6)."""
+    # dedupe grid cells first so both paths see identical inputs
+    px = (
+        derived_pixels(spark, sf_dir)
+        .groupBy("scene_id", "band", "y", "x")
+        .agg(F.max("dn").alias("dn"))
+    )
+    tiles = raster.pixels_to_tiles(px, tile=32)
+    got = {
+        r.scene_id: (r.n_pixels, r.n_valid, r.mean_ndvi)
+        for r in raster.tile_scene_stats(raster.tile_ndvi(tiles)).collect()
+    }
+    # pixel path on the same deduped input
+    from ndvi_etl_pipeline_spark.functions.ndvi import ndvi_from_dn
+    from ndvi_etl_pipeline_spark.operators.bands import pair_bands
+
+    nv = pair_bands(px).select(
+        "scene_id", ndvi_from_dn("red_dn", "nir_dn", nodata_dn=0.0).alias("ndvi")
+    )
+    want = {
+        r.scene_id: (r.n_pixels, r.n_valid, r.mean_ndvi)
+        for r in nv.groupBy("scene_id")
+        .agg(
+            F.count("*").alias("n_pixels"),
+            F.count("ndvi").alias("n_valid"),
+            F.round(F.avg("ndvi"), 6).alias("mean_ndvi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for scene in want:
+        assert got[scene][0] == want[scene][0], scene
+        assert got[scene][1] == want[scene][1], scene
+        assert abs(got[scene][2] - want[scene][2]) <= 1e-6, scene
+
+
+def test_geotiff_roundtrip(tmp_path):
+    rng = np.random.default_rng(42)
+    arr = rng.normal(size=(57, 43)).astype(np.float32)
+    p = str(tmp_path / "t.tif")
+    raster.write_geotiff(arr, p, origin=(25.1, 60.6), pixel_size=(0.1, 0.1), epsg=4326)
+    back, meta = raster.read_geotiff(p)
+    np.testing.assert_array_equal(back, arr)
+    assert meta["epsg"] == 4326
+    assert meta["nodata"] == raster.NODATA
+    assert meta["origin"] == (25.1, 60.6)
+    assert meta["pixel_size"] == (0.1, 0.1)
+
+
+def test_export_scene_geotiffs(spark, sf_dir, tmp_path):
+    px = (
+        derived_pixels(spark, sf_dir)
+        .groupBy("scene_id", "band", "y", "x")
+        .agg(F.max("dn").alias("dn"))
+    )
+    ndvi_tiles = raster.tile_ndvi(raster.pixels_to_tiles(px, tile=32))
+    receipts = raster.export_scene_geotiffs(ndvi_tiles, str(tmp_path)).collect()
+    assert len(receipts) == 3  # 3 derived scenes
+    stats = {
+        r.scene_id: r.mean_ndvi
+        for r in q_ndvi_scene_stats(spark, sf_dir).collect()
+    }
+    for r in receipts:
+        arr, meta = raster.read_geotiff(r.path)
+        assert arr.shape == (r.height, r.width)
+        vals = arr[arr != raster.NODATA]
+        assert vals.size > 0
+        assert -1.0 <= vals.min() and vals.max() <= 1.0

@@ -747,6 +747,55 @@ def q_ndvi_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warp_bilinear",
+    oracle=_NDVI_SQL
+    + """
+    , dst AS (
+      SELECT s.scene_id, i AS y, j AS x,
+             (i + 0.5) * 2.5 - 0.5 AS sy, (j + 0.5) * 2.5 - 0.5 AS sx
+      FROM (SELECT DISTINCT scene_id FROM nv) s
+      CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS i)
+      CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS j)
+    ),
+    c AS (
+      SELECT scene_id, y, x,
+             CAST(floor(sy) AS INT) AS y0, CAST(floor(sx) AS INT) AS x0,
+             sy - floor(sy) AS wy, sx - floor(sx) AS wx
+      FROM dst
+    )
+    SELECT c.scene_id, c.y, c.x,
+           round(v00.ndvi * (1 - c.wy) * (1 - c.wx)
+               + v01.ndvi * (1 - c.wy) * c.wx
+               + v10.ndvi * c.wy * (1 - c.wx)
+               + v11.ndvi * c.wy * c.wx, 6) AS v
+    FROM c
+    JOIN nv v00 ON v00.scene_id = c.scene_id AND v00.y = c.y0     AND v00.x = c.x0
+    JOIN nv v01 ON v01.scene_id = c.scene_id AND v01.y = c.y0     AND v01.x = c.x0 + 1
+    JOIN nv v10 ON v10.scene_id = c.scene_id AND v10.y = c.y0 + 1 AND v10.x = c.x0
+    JOIN nv v11 ON v11.scene_id = c.scene_id AND v11.y = c.y0 + 1 AND v11.x = c.x0 + 1
+    WHERE v00.ndvi IS NOT NULL AND v01.ndvi IS NOT NULL
+      AND v10.ndvi IS NOT NULL AND v11.ndvi IS NOT NULL
+    """,
+    tags=("ndvi", "raster", "warp"),
+)
+def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear resample of the 100×100 NDVI grid onto 40×40 (scale
+    2.5, pixel-center convention) — the reference's reprojection
+    kernel (compute_ndvi.py:162-179) as a per-scene applyInPandas
+    warp (operators/warp.py). The oracle replays the identical
+    arithmetic as 4-neighbor joins, so interpolation weights, the
+    all-4-valid mask, and FP association must all line up."""
+    from ..operators.warp import resample_scene_pixels
+
+    nv = _ndvi_pixels_df(spark, sf_dir)
+    out = resample_scene_pixels(
+        nv, out_height=40, out_width=40, scale_y=2.5, scale_x=2.5,
+        value_col="ndvi", src_height=100, src_width=100,
+    )
+    return out.select("scene_id", "y", "x", F.round("v", 6).alias("v"))
+
+
+@register(
     "band_pairing_counts",
     oracle="""
     WITH px AS ({pixels})

@@ -1,0 +1,62 @@
+"""Warp kernel: analytic exactness on linear fields, NaN masking, and
+the general inverse-mapping hook."""
+
+import numpy as np
+import pytest
+
+from ndvi_etl_pipeline_spark.operators.warp import (
+    bilinear_sample,
+    resample_scene_pixels,
+    warp_with_mapping,
+)
+
+
+def linear_pixels(spark, h=20, w=20):
+    # v = 3y + 7x + 1 — bilinear interpolation reproduces any affine
+    # field exactly, so every resampled value is analytically known.
+    rows = [("s1", y, x, float(3 * y + 7 * x + 1)) for y in range(h) for x in range(w)]
+    return spark.createDataFrame(rows, ["scene_id", "y", "x", "ndvi"])
+
+
+def test_bilinear_sample_exact_on_linear_field():
+    src = np.fromfunction(lambda y, x: 3.0 * y + 7.0 * x + 1.0, (20, 20))
+    sy = np.array([0.25, 3.5, 10.75])
+    sx = np.array([0.5, 2.25, 18.0])
+    got = bilinear_sample(src, sy, sx)
+    np.testing.assert_allclose(got, 3.0 * sy + 7.0 * sx + 1.0, rtol=1e-12)
+
+
+def test_bilinear_sample_masks():
+    src = np.ones((4, 4))
+    src[1, 1] = np.nan
+    sy = np.array([-0.5, 3.5, 0.5, 2.5])  # out low, out high, NaN-adjacent, ok
+    sx = np.array([0.5, 0.5, 0.5, 2.5])
+    got = bilinear_sample(src, sy, sx)
+    assert np.isnan(got[0]) and np.isnan(got[1]) and np.isnan(got[2])
+    assert got[3] == 1.0
+
+
+def test_resample_exact_on_linear_field(spark):
+    px = linear_pixels(spark)
+    out = resample_scene_pixels(
+        px, out_height=8, out_width=8, scale_y=2.5, scale_x=2.5,
+        src_height=20, src_width=20,
+    ).collect()
+    assert len(out) == 64  # all interior at this geometry
+    for r in out:
+        sy = (r.y + 0.5) * 2.5 - 0.5
+        sx = (r.x + 0.5) * 2.5 - 0.5
+        assert r.v == pytest.approx(3.0 * sy + 7.0 * sx + 1.0, rel=1e-12)
+
+
+def test_warp_with_mapping_shift(spark):
+    px = linear_pixels(spark)
+    # pure translation by (2, 3) source pixels
+    out = warp_with_mapping(
+        px, out_height=10, out_width=10,
+        inverse_map=lambda dy, dx: (dy + 2.0, dx + 3.0),
+        src_height=20, src_width=20,
+    ).collect()
+    assert len(out) == 100
+    for r in out:
+        assert r.v == pytest.approx(3.0 * (r.y + 2) + 7.0 * (r.x + 3) + 1.0, rel=1e-12)

@@ -134,15 +134,16 @@ def tiles_to_pixels(tiles: DataFrame, value_name: str = "value") -> DataFrame:
     tile expands independently, so the expansion pipelines into
     whatever consumes it.
     """
-    out_schema = T.StructType(
-        [
-            T.StructField("scene_id", T.StringType()),
-            T.StructField("band", T.StringType()),
-            T.StructField("y", T.IntegerType()),
-            T.StructField("x", T.IntegerType()),
-            T.StructField(value_name, T.DoubleType()),
-        ]
-    )
+    has_band = "band" in tiles.columns
+    fields = [T.StructField("scene_id", T.StringType())]
+    if has_band:
+        fields.append(T.StructField("band", T.StringType()))
+    fields += [
+        T.StructField("y", T.IntegerType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField(value_name, T.DoubleType()),
+    ]
+    out_schema = T.StructType(fields)
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -152,17 +153,17 @@ def tiles_to_pixels(tiles: DataFrame, value_name: str = "value") -> DataFrame:
                     row.height, row.width
                 )
                 yy, xx = np.nonzero(~np.isnan(arr))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "scene_id": row.scene_id,
-                            "band": row.band,
-                            "y": (yy + row.y0).astype(np.int32),
-                            "x": (xx + row.x0).astype(np.int32),
-                            value_name: arr[yy, xx].astype(np.float64),
-                        }
-                    )
+                cols = {"scene_id": row.scene_id}
+                if has_band:
+                    cols["band"] = row.band
+                cols.update(
+                    {
+                        "y": (yy + row.y0).astype(np.int32),
+                        "x": (xx + row.x0).astype(np.int32),
+                        value_name: arr[yy, xx].astype(np.float64),
+                    }
                 )
+                frames.append(pd.DataFrame(cols))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
@@ -396,6 +397,12 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
 
     with open(path, "rb") as fh:
         buf = fh.read()
+    return decode_geotiff_bytes(buf)
+
+
+def decode_geotiff_bytes(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Bytes-level decode for `binaryFile` scans (S4): the content of
+    a GeoTIFF written by `write_geotiff` → (array, metadata)."""
     if buf[:4] != b"II*\x00":
         raise ValueError("not a little-endian TIFF")
     (ifd_off,) = struct.unpack_from("<I", buf, 4)
@@ -434,6 +441,63 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
         _, count, v = tags[_TIFF_TAGS["GDALNodata"]]
         meta["nodata"] = float(buf[v : v + count].split(b"\x00")[0])
     return arr.copy(), meta
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF scan (S4): binaryFile source → tile rows
+# ---------------------------------------------------------------------------
+
+
+def scan_geotiffs(
+    spark,
+    path_glob: str,
+    tile: int = DEFAULT_TILE,
+    nodata_to_nan: bool = True,
+) -> DataFrame:
+    """`spark.read.format('binaryFile')` over a GeoTIFF glob → tile
+    rows. scene_id and band parse from the `<scene_id>_<band>.tif`
+    filename (F9, load_to_postgis.py:178-183); decode runs
+    distributed in mapInPandas over the file bytes. Files stay whole
+    per task (a GeoTIFF is not splittable without range reads);
+    parallelism comes from files ≫ cores, which is the 100 TB shape
+    (thousands of scenes × 2 bands)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                stem = os.path.basename(row.path).rsplit(".", 1)[0]
+                scene_id, band = stem.rsplit("_", 1)
+                arr, meta = decode_geotiff_bytes(bytes(row.content))
+                a = arr.astype(np.float32)
+                if nodata_to_nan and meta.get("nodata") is not None:
+                    a = np.where(a == np.float32(meta["nodata"]), np.nan, a)
+                h, w = a.shape
+                for ty in range(0, h, tile):
+                    for tx in range(0, w, tile):
+                        block = np.full((tile, tile), np.nan, dtype=np.float32)
+                        sub = a[ty : ty + tile, tx : tx + tile]
+                        block[: sub.shape[0], : sub.shape[1]] = sub
+                        rows.append(
+                            {
+                                "scene_id": scene_id,
+                                "band": band,
+                                "tile_y": ty // tile,
+                                "tile_x": tx // tile,
+                                "height": tile,
+                                "width": tile,
+                                "y0": ty,
+                                "x0": tx,
+                                "data": block.tobytes(),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    binf = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return binf.mapInPandas(decode, schema=TILE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,106 @@
+"""End-to-end pipeline on synthetic scenes — the reference's CI
+philosophy ("whole pipeline exits 0", SURVEY §5.3) plus value checks:
+
+GeoTIFF files on disk → binaryFile scan+decode → tile form → NDVI
+kernel → scene stats / AOI clip / overviews → GeoTIFF + parquet
+upsert sinks. No network, no Postgres, no external geo libs.
+"""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from ndvi_etl_pipeline_spark.functions.geo import clip_filter
+from ndvi_etl_pipeline_spark.operators import raster
+from ndvi_etl_pipeline_spark.operators.overviews import overview_cascade
+from ndvi_etl_pipeline_spark.operators.upsert import upsert_replace, write_upsert
+
+H = W = 64
+SCENES = ["LC08_L2SP_189017_20220606_02_T1", "LC09_L2SP_189018_20220614_02_T1"]
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scenes")
+    rng = np.random.default_rng(7)
+    for i, scene in enumerate(SCENES):
+        red = rng.integers(500, 2000, size=(H, W)).astype(np.float32)
+        nir = rng.integers(2000, 6000, size=(H, W)).astype(np.float32)
+        # plant fill zeros (the uint16 DN fill the reference masks, F6)
+        red[::7, ::5] = 0.0
+        nir[3::11, 2::9] = 0.0
+        raster.write_geotiff(red, str(d / f"{scene}_red.tif"), nodata=-9999.0)
+        raster.write_geotiff(nir, str(d / f"{scene}_nir.tif"), nodata=-9999.0)
+    return d
+
+
+def expected_stats(path, scene):
+    red, _ = raster.read_geotiff(str(path / f"{scene}_red.tif"))
+    nir, _ = raster.read_geotiff(str(path / f"{scene}_nir.tif"))
+    valid = (red != 0) & (nir != 0)
+    r = red.astype(np.float64) * raster.SCALE + raster.OFFSET
+    n = nir.astype(np.float64) * raster.SCALE + raster.OFFSET
+    ndvi = np.clip((n - r) / (n + r + raster.EPS), -1, 1).astype(np.float32)
+    return valid.sum(), float(ndvi[valid].astype(np.float64).mean())
+
+
+def test_full_pipeline(spark, scene_dir, tmp_path):
+    tiles = raster.scan_geotiffs(spark, str(scene_dir), tile=32)
+    ndvi_tiles = raster.tile_ndvi(tiles)
+
+    # 1. scene stats match a straight numpy replay of the reference math
+    stats = {r.scene_id: r for r in raster.tile_scene_stats(ndvi_tiles).collect()}
+    assert set(stats) == set(SCENES)
+    for scene in SCENES:
+        n_valid, mean = expected_stats(scene_dir, scene)
+        assert stats[scene].n_pixels == H * W
+        assert stats[scene].n_valid == n_valid
+        assert stats[scene].mean_ndvi == pytest.approx(mean, abs=1e-6)
+
+    # 2. AOI clip (concave ring) over the pixel form
+    ring = [(5.5, 5.5), (50.5, 8.5), (55.5, 55.5), (30.5, 30.5), (8.5, 50.5)]
+    px = raster.tiles_to_pixels(ndvi_tiles, value_name="ndvi")
+    clipped = clip_filter(px, "x", "y", ring)
+    mean_by_scene = {
+        r.scene_id: r.mean_ndvi
+        for r in clipped.groupBy("scene_id")
+        .agg(F.avg("ndvi").alias("mean_ndvi"))
+        .collect()
+    }
+    assert set(mean_by_scene) == set(SCENES)
+    for v in mean_by_scene.values():
+        assert -1.0 <= v <= 1.0
+
+    # 3. overview cascade: level-2 tile count is ceil(64/2)² per scene
+    levels = overview_cascade(px, factors=(2, 4), value_col="ndvi")
+    l2 = levels[2].filter(F.col("scene_id") == SCENES[0])
+    assert l2.count() == 32 * 32
+    # global mean is preserved by full-block averaging within ~tolerance
+    m_base = px.filter(F.col("scene_id") == SCENES[0]).agg(F.avg("ndvi")).first()[0]
+    m_l2 = l2.agg(F.avg("v")).first()[0]
+    assert m_l2 == pytest.approx(m_base, abs=0.02)
+
+    # 4. GeoTIFF product sink + readback
+    receipts = raster.export_scene_geotiffs(ndvi_tiles, str(tmp_path)).collect()
+    assert {r.scene_id for r in receipts} == set(SCENES)
+    arr, meta = raster.read_geotiff(receipts[0].path)
+    assert arr.shape == (H, W)
+    assert meta["nodata"] == raster.NODATA
+
+    # 5. parquet product table with K4 upsert semantics
+    products = raster.tile_scene_stats(ndvi_tiles).withColumn(
+        "acquisition_date", F.to_date(F.split("scene_id", "_")[3], "yyyyMMdd")
+    )
+    out = str(tmp_path / "ndvi_products")
+    write_upsert(products, out, partition_cols=("acquisition_date",))
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+    # replay with an updated row: last write wins, no duplicates
+    updated = products.withColumn(
+        "mean_ndvi", F.when(F.col("scene_id") == SCENES[0], 0.5).otherwise(F.col("mean_ndvi"))
+    )
+    merged = upsert_replace(first, updated, keys=("scene_id",))
+    write_upsert(merged, out, partition_cols=("acquisition_date",))
+    final = {r.scene_id: r.mean_ndvi for r in spark.read.parquet(out).collect()}
+    assert len(final) == 2
+    assert final[SCENES[0]] == 0.5

@@ -1,0 +1,122 @@
+"""STAC source: predicate mirroring, asset pick, fetch validation and
+the scene-completeness gate — all offline via fixture items and an
+injected fetcher."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ndvi_etl_pipeline_spark.sources import stac
+
+
+def item(iid, dt, cloud, assets, bbox=(25.0, 60.0, 26.0, 61.0)):
+    return {
+        "id": iid,
+        "properties": {"datetime": dt, "eo:cloud_cover": cloud},
+        "geometry": {"type": "Point", "coordinates": [25.5, 60.5]},
+        "bbox": list(bbox),
+        "assets": {k: {"href": v, "type": "image/tiff"} for k, v in assets.items()},
+    }
+
+
+FIXTURE_ITEMS = [
+    item("LC08_L2SP_189017_20220606_02_T1", "2022-06-06T09:55:00Z", 5.0,
+         {"red": "https://x/b4a.tif", "nir08": "https://x/b5a.tif"}),
+    item("LC09_L2SP_189018_20220614_02_T1", "2022-06-14T09:55:00Z", 9.0,
+         {"SR_B4": "https://x/b4b.tif", "SR_B5": "https://x/b5b.tif"}),
+    item("LE07_L2SP_189017_20220601_02_T1", "2022-06-01T09:55:00Z", 1.0,
+         {"red": "https://x/b4c.tif", "nir08": "https://x/b5c.tif"}),  # F4 excluded
+    item("LC08_L2SP_189019_20220622_02_T1", "2022-06-22T09:55:00Z", 50.0,
+         {"red": "https://x/b4d.tif", "nir08": "https://x/b5d.tif"}),  # F1 cloud
+    item("LC08_L2SP_189020_20210606_02_T1", "2021-06-06T09:55:00Z", 2.0,
+         {"red": "https://x/b4e.tif", "nir08": "https://x/b5e.tif"}),  # F2 date
+    item("LC08_L2SP_189021_20220607_02_T1", "2022-06-07T09:55:00Z", 3.0,
+         {"red": "https://x/b4f.tif"}),  # missing NIR → dropped (E2/J1)
+]
+
+
+def test_search_params_mirror_predicates():
+    p = stac.stac_search_params(
+        "landsat-c2-l2", "2022-06-01", "2022-06-30", 10.0,
+        bbox=(25.0, 60.0, 26.0, 61.0),
+    )
+    assert p["collections"] == ["landsat-c2-l2"]
+    assert p["datetime"] == "2022-06-01/2022-06-30"
+    assert p["query"]["eo:cloud_cover"]["lte"] == 10.0
+    assert p["bbox"] == [25.0, 60.0, 26.0, 61.0]
+    # intersects wins over bbox when both given
+    p2 = stac.stac_search_params(
+        "c", "a", "b", 1.0, bbox=(0, 0, 1, 1), intersects={"type": "Point"}
+    )
+    assert "bbox" not in p2 and "intersects" in p2
+
+
+def test_select_scenes_filters_and_asset_pick(spark):
+    items = stac.items_to_df(spark, FIXTURE_ITEMS)
+    scenes = stac.select_scenes(
+        items, "2022-06-01T00:00:00Z", "2022-06-30T23:59:59Z", max_cloud_cover=10.0
+    ).collect()
+    ids = [r.scene_id for r in scenes]
+    # LE07 excluded, cloud>10 excluded, 2021 excluded, missing-NIR dropped;
+    # ordered by cloud asc
+    assert ids == [
+        "LC08_L2SP_189017_20220606_02_T1",
+        "LC09_L2SP_189018_20220614_02_T1",
+    ]
+    by_id = {r.scene_id: r for r in scenes}
+    # case-insensitive asset pick: SR_B4/SR_B5 resolved for the LC09 item
+    assert by_id["LC09_L2SP_189018_20220614_02_T1"].red_href == "https://x/b4b.tif"
+    assert by_id["LC09_L2SP_189018_20220614_02_T1"].nir_href == "https://x/b5b.tif"
+    assert by_id["LC08_L2SP_189017_20220606_02_T1"].sensor == "LC08"
+    assert str(by_id["LC08_L2SP_189017_20220606_02_T1"].acquisition_date) == "2022-06-06"
+
+
+def test_select_scenes_max_items(spark):
+    items = stac.items_to_df(spark, FIXTURE_ITEMS)
+    scenes = stac.select_scenes(
+        items, "2022-06-01T00:00:00Z", "2022-06-30T23:59:59Z",
+        max_cloud_cover=10.0, max_items=1,
+    ).collect()
+    assert len(scenes) == 1 and scenes[0].scene_id == "LC08_L2SP_189017_20220606_02_T1"
+
+
+def fake_fetcher_factory(tmp_path, sizes, ctypes):
+    def fetch(href, path):
+        n = sizes.get(href, 2_000_000)
+        with open(path, "wb") as fh:
+            fh.write(b"\x00" * min(n, 1024))  # don't actually write 2 MB
+        if href == "https://x/raise.tif":
+            raise OSError("connection reset")
+        return n, ctypes.get(href, "image/tiff; application=geotiff")
+    return fetch
+
+
+def test_fetch_validation_and_gate(spark, tmp_path):
+    scenes = spark.createDataFrame(
+        [
+            ("s_ok", "https://x/r1.tif", "https://x/n1.tif"),
+            ("s_small", "https://x/r2.tif", "https://x/n2.tif"),
+            ("s_badtype", "https://x/r3.tif", "https://x/n3.tif"),
+            ("s_err", "https://x/raise.tif", "https://x/n4.tif"),
+        ],
+        ["scene_id", "red_href", "nir_href"],
+    )
+    fetcher = fake_fetcher_factory(
+        tmp_path,
+        sizes={"https://x/r2.tif": 10},  # V2 failure
+        ctypes={"https://x/r3.tif": "text/html"},  # V1 failure
+    )
+    fetched = stac.fetch_assets(scenes, str(tmp_path), fetcher=fetcher)
+    rows = {(r.scene_id, r.band): r for r in fetched.collect()}
+    assert rows[("s_ok", "red")].status == "ok"
+    assert rows[("s_small", "red")].status == "quarantined"
+    assert "V2" in rows[("s_small", "red")].error
+    assert rows[("s_badtype", "red")].status == "quarantined"
+    assert "V1" in rows[("s_badtype", "red")].error
+    assert rows[("s_err", "red")].status == "quarantined"
+    assert "OSError" in rows[("s_err", "red")].error
+    # E2 gate: only the fully-ok scene survives, with both paths
+    complete = stac.complete_scenes(fetched).collect()
+    assert len(complete) == 1
+    assert complete[0].scene_id == "s_ok"
+    assert complete[0].red_path.endswith("s_ok_red.tif")
+    assert complete[0].nir_path.endswith("s_ok_nir.tif")

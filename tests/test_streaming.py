@@ -1,12 +1,22 @@
-"""Streaming tier: batch/stream agreement on the hourly rollup."""
+"""Streaming tier: batch/stream agreement on the hourly rollup,
+stateful sessionization, sliding windows, and the foreachBatch
+upsert sink."""
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
-from ndvi_etl_pipeline_spark.plans.queries import q_events_hourly_rollup
+from ndvi_etl_pipeline_spark.plans.queries import (
+    q_events_hourly_rollup,
+    q_events_sessionize,
+)
 from ndvi_etl_pipeline_spark.streaming.events import (
     hourly_rollup,
+    merge_session_chunk,
     run_stream_over_parquet,
+    run_stream_with_upsert_sink,
     session_windows,
+    sliding_activity,
+    stateful_sessionize,
 )
 
 
@@ -28,6 +38,76 @@ def test_stream_matches_batch_hourly(spark, sf_dir):
     ).count()
     assert mismatches == 0
     assert stream_out.count() > 0
+
+
+def test_merge_session_chunk_pure():
+    gap = 10
+    # single chunk, two sessions
+    closed, cur = merge_session_chunk([0, 5, 30, 35], None, gap)
+    assert closed == [(0, 5, 2)]
+    assert cur == (30, 35, 2)
+    # carried state merges with the next chunk
+    closed2, cur2 = merge_session_chunk([40, 60], cur, gap)
+    assert closed2 == [(30, 40, 3)]
+    assert cur2 == (60, 60, 1)
+    # empty chunk is a no-op
+    assert merge_session_chunk([], cur2, gap) == ([], cur2)
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir):
+    out = run_stream_over_parquet(
+        spark, f"{sf_dir}/events.parquet", stateful_sessionize,
+        query_name="t_state", output_mode="update",
+    )
+    # update-mode memory sink: last row per (user, session_start) is the
+    # session's final extent
+    w = F.row_number().over(
+        Window.partitionBy("user_id", "session_start").orderBy(
+            F.col("session_end").desc()
+        )
+    )
+    final = (
+        out.withColumn("rn", w).filter("rn = 1")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    batch = q_events_sessionize(spark, sf_dir).withColumnsRenamed(
+        {"n_sessions": "b_sessions", "n_events": "b_events"}
+    )
+    j = final.join(batch, "user_id", "full_outer")
+    bad = j.filter(
+        (F.col("n_sessions") != F.col("b_sessions"))
+        | (F.col("n_events") != F.col("b_events"))
+        | F.col("n_sessions").isNull()
+        | F.col("b_sessions").isNull()
+    )
+    assert bad.count() == 0
+
+
+def test_sliding_activity_runs(spark, sf_dir):
+    out = run_stream_over_parquet(
+        spark, f"{sf_dir}/events.parquet", sliding_activity, query_name="t_slide"
+    )
+    # each event lands in 4 sliding windows (1 h window / 15 min slide)
+    total = out.agg(F.sum("n")).first()[0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == 4 * n_events
+
+
+def test_foreachbatch_upsert_sink(spark, sf_dir, tmp_path):
+    out = run_stream_with_upsert_sink(
+        spark,
+        f"{sf_dir}/events.parquet",
+        hourly_rollup,
+        str(tmp_path / "rollup"),
+        keys=("window_start", "event_type"),
+    )
+    batch = q_events_hourly_rollup(spark, sf_dir)
+    assert out.count() == batch.count()
+    j = out.withColumnRenamed("n", "n_s").join(
+        batch, ["window_start", "event_type"], "full_outer"
+    )
+    assert j.filter(F.col("n_s") != F.col("n")).count() == 0
 
 
 def test_session_windows_run(spark, sf_dir):

@@ -94,6 +94,85 @@ def sign_lsh_bucket(vec: Column | str, n_bits: int = 8) -> Column:
     return acc
 
 
+def l2_dist2(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance, left-to-right accumulation."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its `n_assign` nearest centroids (L2,
+    deterministic tie-break on centroid id) → (id, centroid_id, rank).
+
+    The centroid table is tiny (k rows) and broadcast, so assignment
+    is one scan of the corpus — the IVF build is embarrassingly
+    parallel and re-runs incrementally on new partitions only.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    d = l2_dist2(vec_col, "c_vec").alias("d")
+    w = Window.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+    return (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(c))
+        .select(id_col, "centroid_id", d)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_assign)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors live in inverted
+    lists keyed by their nearest centroid; each query probes its
+    `nprobe` nearest cells and ranks only those lists.
+
+    Scale shape: candidate volume is ~nprobe/k of the corpus per
+    query (vs. all of it for brute force), the shuffle key is the
+    centroid id (cardinality k — chosen, bounded), and recall is
+    tunable via nprobe without touching stored data. Centroids here
+    are caller-provided (deterministic, e.g. sampled rows); swap in a
+    k-means fit without changing this query shape.
+    """
+    corpus_cells = ivf_assign(corpus, centroids, 1, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    lists = corpus.select(id_col, vec_col).join(corpus_cells, id_col)
+    probes = ivf_assign(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).join(probes, "query_id")
+    sim = F.round(cosine("q_vec", vec_col), round_digits).alias("cosine_sim")
+    scored = lists.join(F.broadcast(q), "centroid_id").select("query_id", id_col, sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cosine_sim")
+    )
+
+
 def lsh_near_duplicate_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

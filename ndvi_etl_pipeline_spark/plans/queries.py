@@ -1164,6 +1164,114 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_near_duplicate_pairs(e, threshold=0.3, n_bits=8)
 
 
+_L2_SQL = """
+      list_sum(list_transform(generate_series(1, 64),
+               i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                  * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)))
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id BETWEEN 5 AND 12
+    ),
+    assign AS (
+      SELECT e.vec_id, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY {_L2_SQL} ASC, c.centroid_id ASC
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    lists AS (
+      SELECT a.vec_id, a.centroid_id FROM assign a
+      WHERE a.rn = 1 AND a.vec_id >= 5
+    ),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.centroid_id FROM assign a
+      WHERE a.rn <= 2 AND a.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.query_id, l.vec_id,
+             round({_COSINE_SQL}, 6) AS cosine_sim
+      FROM probes p
+      JOIN lists l ON l.centroid_id = p.centroid_id
+      JOIN embeddings a ON a.vec_id = p.query_id
+      JOIN embeddings b ON b.vec_id = l.vec_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: inverted lists under 8 deterministic centroids
+    (corpus rows 5-12), queries probe their 2 nearest cells —
+    candidate volume ~nprobe/k of the corpus, shuffle keyed on the
+    bounded centroid id (operators/similarity.py ivf_topk)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        corpus=e.filter(F.col("vec_id") >= 5),
+        queries=e.filter(F.col("vec_id") < 5),
+        centroids=e.filter(F.col("vec_id").between(5, 12)),
+        k=5,
+        nprobe=2,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    shl AS (
+      SELECT doc_id, source, lang, list_distinct(list_transform(
+          generate_series(1, greatest(len(w) - 2, 0)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM tok WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+    FROM shl a
+    JOIN shl b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.5
+    """,
+    tags=("dedup",),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard within (source, lang) blocking buckets —
+    the blocked-exact tier of the dedup family: no sketch, bucket
+    keys bound the pair explosion (vs. MinHash's probabilistic
+    buckets). One shuffle on the block key."""
+    d = _t(spark, sf_dir, "documents")
+    sh = DD.shingle_docs(d).join(d.select("doc_id", "source", "lang"), "doc_id")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "source", "lang", F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "source", "lang", F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        a.join(b, ["source", "lang"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
 # ===========================================================================
 # E. Events: time-series / streaming-equivalent / as-of
 # ===========================================================================

@@ -1,0 +1,74 @@
+"""Scale utilities: bucketing for co-located joins, salting for skew.
+
+These are the two knobs SURVEY §4.3 reserves for the 100 TB layout
+that have no analog in the reference (its "join strategy" is per-row
+SELECT lookups, load_to_postgis.py:236-241):
+
+- **Bucketing** pre-shuffles a table ONCE at write time. Two tables
+  bucketed on the same keys with the same bucket count join with NO
+  exchange on either side — the recurring fact⋈fact join (pixels ⋈
+  pixels, events ⋈ orders) stops paying its dominant cost. Worth it
+  exactly when a table is joined on the same key more often than it
+  is rewritten.
+- **Salting** splits a skewed build key across `n_salts` synthetic
+  sub-keys: the left (skewed) side gets a deterministic salt from a
+  high-cardinality discriminator column, the right side replicates
+  each row once per salt. The hot key's rows spread over n_salts
+  tasks instead of one straggler. AQE's skew-join split handles most
+  cases at runtime; explicit salting remains for aggregations and
+  for joins where AQE's split granularity (shuffle blocks) is too
+  coarse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Persist as a bucketed (optionally sorted) table. Sorting within
+    buckets additionally enables exchange-AND-sort-free sort-merge
+    joins."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    discriminator: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's skew spread over `n_salts`
+    sub-keys. The salt is deterministic — pmod(xxhash64(discriminator),
+    n) — so replays and retries stay stable (no rand() in the plan).
+    The right side replicates n_salts× (keep it the smaller input).
+    Result equals `left.join(right, key, how)` exactly.
+    """
+    disc = F.col(discriminator) if discriminator else F.spark_partition_id()
+    l_salted = left.withColumn("_salt", F.pmod(F.xxhash64(disc), F.lit(n_salts)))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    r_salted = right.select("*", salts).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return l_salted.join(r_salted, [key, "_salt"], how).drop("_salt")
+
+
+def explain_str(df: DataFrame) -> str:
+    """Formatted physical plan as a string (for plan assertions)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )

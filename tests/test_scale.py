@@ -1,0 +1,68 @@
+"""Scale utilities: bucketed joins skip the exchange; salted joins
+reproduce plain join results exactly."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ndvi_etl_pipeline_spark.operators.scale import (
+    explain_str,
+    read_table,
+    salted_join,
+    write_bucketed,
+)
+from ndvi_etl_pipeline_spark.sources.testdata import load_table
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, no_broadcast):
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    write_bucketed(o.select("o_orderkey", "o_totalprice"), "t_orders_b", ("o_orderkey",), 8)
+    write_bucketed(li.select("l_orderkey", "l_quantity"), "t_lineitem_b", ("l_orderkey",), 8)
+    j = read_table(spark, "t_lineitem_b").join(
+        read_table(spark, "t_orders_b"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = explain_str(j)
+    assert "Exchange" not in plan, plan
+    # and it still computes the right thing
+    expected = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert j.count() == expected
+
+
+def test_unbucketed_join_does_exchange(spark, sf_dir, no_broadcast):
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    plan = explain_str(li.join(o, li.l_orderkey == o.o_orderkey))
+    assert "Exchange" in plan
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    salted = (
+        salted_join(
+            li.withColumnRenamed("l_orderkey", "k"),
+            o.withColumnRenamed("o_orderkey", "k"),
+            key="k",
+            n_salts=4,
+            discriminator="l_linenumber",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}

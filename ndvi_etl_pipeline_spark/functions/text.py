@@ -138,3 +138,28 @@ def normalized_fingerprint(text: Column | str) -> Column:
 def exact_fingerprint(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(c.cast("binary"))
+
+
+def winnowing_fingerprints(
+    text: Column | str, k: int = 8, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03,
+    the MOSS scheme): hash every character k-gram of the normalized
+    text, slide a w-gram window, keep each window's minimum hash —
+    guarantees any match of length ≥ k+w−1 shares a fingerprint,
+    with ~2/(w+1) selection density.
+
+    Pure array expressions (transform + slice + array_min) so the same
+    arithmetic states in SQL; hashes are 8-hex md5 slices — portable
+    and uniform. Returns the DISTINCT selected fingerprints per doc.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+    n = F.length(norm)
+    gram_idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0)))
+    hashes = F.transform(
+        gram_idx, lambda i: F.substring(F.md5(F.substring(norm, i, k).cast("binary")), 1, 8)
+    )
+    win_idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - w + 1, F.lit(0)))
+    fps = F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
+    return F.array_distinct(fps)

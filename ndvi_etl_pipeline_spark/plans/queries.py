@@ -953,6 +953,64 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_winnowing",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(t) - 7, 0)),
+                            i -> substr(md5(substr(t, i, 8)), 1, 8)) AS hashes
+      FROM norm
+    ),
+    fps AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(hashes) - 3, 0)),
+                              j -> list_min(hashes[j:j+3])))) AS fp
+      FROM grams
+    )
+    SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM fps GROUP BY fp HAVING count(*) > 1
+    """,
+    tags=("dedup", "text"),
+)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash + window-min selection, the MOSS
+    scheme): fingerprints shared by >1 doc — catches partial overlap
+    (any common substring ≥ 11 chars), which whole-doc hashing cannot
+    (functions/text.py winnowing_fingerprints; k=8, w=4)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(TXT.winnowing_fingerprints("text", k=8, w=4)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "approx_distinct_stats",
+    oracle=None,  # HLL sketches differ across engines — rows-only check;
+    # the unit test asserts ≤5% relative error vs the exact count.
+    tags=("agg", "approx"),
+)
+def q_approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate tier for 100 TB interactive profiling:
+    approx_count_distinct (HLL++) and approx_percentile (t-digest
+    family) — sketches merge associatively, so partials combine
+    map-side exactly like sums."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "text_quality",
     oracle="""
     SELECT source,

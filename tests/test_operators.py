@@ -98,3 +98,48 @@ def test_upsert_ignore_and_replace(spark):
     assert ign == {1: 10, 2: 20, 3: 30}
     rep = {r.id: r.v for r in upsert_replace(existing, incoming, keys=("id",)).collect()}
     assert rep == {1: 10, 2: 99, 3: 30}
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir_oracle):
+    """The approx tier (no oracle possible — sketch impls differ per
+    engine) is pinned here instead: <=5% relative error vs exact."""
+    from ndvi_etl_pipeline_spark.plans.queries import q_approx_distinct_stats
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+
+    approx = {
+        r.event_type: r for r in q_approx_distinct_stats(spark, sf_dir_oracle).collect()
+    }
+    e = load_table(spark, "events", sf_dir_oracle)
+    exact = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap.approx_users - ex.users) <= max(0.05 * ex.users, 2), et
+        assert abs(ap.approx_p50 - ex.p50) <= max(abs(ex.p50) * 0.05, 0.5), et
+
+
+def test_winnowing_detects_partial_overlap(spark):
+    """Any shared substring of length >= k+w-1 (= 11) must share a
+    fingerprint; a disjoint doc shares none with either."""
+    from ndvi_etl_pipeline_spark.functions.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"PREFIX A {shared} SUFFIX ONE"),
+        (2, f"totally different beginning {shared} and ending"),
+        (3, "zebra xylophone quartz vortex jackdaw sphinx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id", winnowing_fingerprints("text").alias("fps")
+    )
+    fps = {r.doc_id: set(r.fps) for r in df.collect()}
+    assert fps[1] & fps[2], "overlapping docs share no fingerprint"
+    assert not fps[3] & fps[1]
+    assert not fps[3] & fps[2]

@@ -1476,6 +1476,96 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_window",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey AS user_id,
+             o_orderdate + INTERVAL 25 YEAR AS o_ts
+      FROM orders
+    )
+    SELECT o.o_orderkey, count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM o JOIN events e
+      ON e.user_id = o.user_id
+     AND e.ts >= o.o_ts AND e.ts < o.o_ts + INTERVAL 6 HOUR
+    GROUP BY o.o_orderkey
+    """,
+    tags=("join", "range"),
+)
+def q_range_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — events within 6 h after each order.
+
+    The scalable idiom: quantize both sides to coarse time buckets
+    sized to the interval, equi-join on (key, bucket) with the right
+    side expanded to the 2 buckets an interval can straddle, then
+    refine with the exact range predicate. The shuffle key is
+    (user, bucket) — equi-join machinery, map-side pruned — instead
+    of a theta-join that degenerates to per-key cross products.
+    """
+    bucket_s = 6 * 3600
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", (F.unix_timestamp("ts") / bucket_s).cast("long").alias("b")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("user_id"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 25 YEARS")).alias("o_ts"),
+        )
+        .withColumn("b0", (F.unix_timestamp("o_ts") / bucket_s).cast("long"))
+        .withColumn("b", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+    )
+    return (
+        e.join(o, ["user_id", "b"])
+        .filter(
+            (F.col("ts") >= F.col("o_ts"))
+            & (F.col("ts") < F.col("o_ts") + F.expr("INTERVAL 6 HOURS"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+@register(
+    "correlated_avg_filter",
+    oracle="""
+    SELECT l.l_partkey, count(*) AS n_above,
+           round(sum(l.l_extendedprice), 2) AS total_above
+    FROM lineitem l
+    WHERE l.l_quantity > (
+      SELECT 1.2 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey
+    HAVING count(*) >= 3
+    """,
+    tags=("join", "subquery"),
+)
+def q_correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17's shape): rows above
+    1.2× their group's average. De-correlated the way Catalyst does
+    it — one aggregate over the correlation key, broadcast back as an
+    equi-join — so the 'subquery per row' costs one extra scan, not
+    |rows| subqueries (the reference's per-row SELECT anti-pattern,
+    load_to_postgis.py:236-241, solved in-plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    avgs = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 1.2).alias("thresh")
+    )
+    return (
+        li.join(avgs, li.l_partkey == avgs.pk)
+        .filter(F.col("l_quantity") > F.col("thresh"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_above"),
+        )
+        .filter(F.col("n_above") >= 3)
+    )
+
+
+@register(
     "run_counters",
     oracle="""
     SELECT event_type AS status, count(*) AS n,

@@ -22,6 +22,10 @@ SELECT lookups, load_to_postgis.py:236-241):
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,6 +40,14 @@ def write_bucketed(
     """Persist as a bucketed (optionally sorted) table. Sorting within
     buckets additionally enables exchange-AND-sort-free sort-merge
     joins."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A fresh in-memory metastore doesn't know about tables a previous
+    # session wrote, but their warehouse directories survive on disk and
+    # block CREATE with LOCATION_ALREADY_EXISTS — clear any orphan.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    orphan = Path(urlparse(wh).path or wh) / table.lower()
+    shutil.rmtree(orphan, ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *keys)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -1773,6 +1773,169 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "left_outer_enrichment",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    tags=("join", "outer"),
+)
+def q_left_outer_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + aggregate: every customer, zero-order ones
+    included with count 0 / spend 0. count() over the probe-side key
+    (not count(*)) gives the correct 0 for unmatched rows.
+
+    Scale note: outer joins can't broadcast the preserved side, but
+    here customer is the preserved side and orders the broadcast
+    candidate is wrong anyway (orders >> customer); this shuffles both
+    on the join key — the same key the groupBy needs, so AQE coalesces
+    the two exchanges into one (verified in PLANS.md)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "full_outer_reconcile",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, count(*) AS n_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), b AS (
+      SELECT user_id, count(*) AS n_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           coalesce(n_click, 0) AS n_click,
+           coalesce(n_purchase, 0) AS n_purchase
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+    tags=("join", "outer"),
+)
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two aggregates over the same fan-in
+    table — users who click but never purchase and vice versa survive
+    with a 0 on the missing side.
+
+    Scale note: both inputs are pre-aggregated (one row per user per
+    side) BEFORE the full-outer join, so the join input is the key
+    cardinality, not the event count; and both branches shuffle on
+    user_id so the join adds no third exchange."""
+    e = _t(spark, sf_dir, "events")
+    a = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_click"))
+    )
+    b = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchase"))
+    )
+    return a.join(b, "user_id", "full").select(
+        "user_id",
+        F.coalesce("n_click", F.lit(0)).alias("n_click"),
+        F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+    )
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), mins AS (
+      SELECT l_partkey, min(unit_cost) AS min_cost
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS partkey, s.s_name, c.unit_cost
+    FROM costs c
+    JOIN mins m ON c.l_partkey = m.l_partkey AND c.unit_cost = m.min_cost
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    """,
+    tags=("join", "subquery"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part. Min-per-group then
+    equi-join back on (group, min) — ties keep all minimal suppliers,
+    identically in both engines because the compared value is one of
+    the group's own doubles, not a recomputation.
+
+    Scale note: `costs` and `mins` share the l_partkey shuffle key, so
+    the join back is exchange-free on the big side; the supplier
+    dimension is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    mins = costs.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            mins,
+            (costs.l_partkey == mins.pk) & (costs.unit_cost == mins.min_cost),
+        )
+        .join(F.broadcast(s), costs.l_suppkey == s.s_suppkey)
+        .select(
+            costs.l_partkey.alias("partkey"),
+            "s_name",
+            "unit_cost",
+        )
+    )
+
+
+@register(
+    "lag_delta_timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS order_date, revenue,
+           round(revenue - lag(revenue) OVER (
+             PARTITION BY date_trunc('month', d) ORDER BY d), 2) AS delta
+    FROM daily
+    """,
+    tags=("window",),
+)
+def q_lag_delta_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta via lag() — the NDVI-time-series
+    window SURVEY §2.9 names as the natural extension
+    (Window.partitionBy(aoi).orderBy(acquisition_date)).
+
+    Scale note: partitioned by month, NOT a global ORDER BY window —
+    a single-partition window funnels the whole table through one
+    task at 100 TB. Month-boundary rows get a NULL delta by design;
+    if exact boundaries matter, a 1-row-per-month halo join fills
+    them without globalizing the sort."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.partitionBy(F.date_trunc("month", F.col("d"))).orderBy("d")
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -1789,11 +1789,11 @@ def q_left_outer_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     included with count 0 / spend 0. count() over the probe-side key
     (not count(*)) gives the correct 0 for unmatched rows.
 
-    Scale note: outer joins can't broadcast the preserved side, but
-    here customer is the preserved side and orders the broadcast
-    candidate is wrong anyway (orders >> customer); this shuffles both
-    on the join key — the same key the groupBy needs, so AQE coalesces
-    the two exchanges into one (verified in PLANS.md)."""
+    Scale note: the groupBy keys equal the join key, so once the join
+    is a shuffled join (orders >> broadcast threshold at real scale)
+    the aggregate inherits its partitioning and adds NO extra
+    exchange; at test SF AQE broadcasts the orders side instead —
+    the plan degrades gracefully in both directions."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     return (
@@ -1869,30 +1869,30 @@ def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "subquery"),
 )
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape: cheapest supplier per part. Min-per-group then
-    equi-join back on (group, min) — ties keep all minimal suppliers,
-    identically in both engines because the compared value is one of
-    the group's own doubles, not a recomputation.
+    """TPC-H Q2 shape: cheapest supplier per part. The oracle spells
+    it as min-per-group + join-back; the Spark plan uses the stronger
+    formulation — `min() OVER (PARTITION BY part)` on the pair-level
+    aggregate — which scans lineitem ONCE and needs two exchanges
+    (pair-agg, then part window) instead of the join-back's two scans
+    and three shuffles. Ties keep all minimal suppliers identically in
+    both engines because the compared value is one of the group's own
+    doubles, not a recomputation.
 
-    Scale note: `costs` and `mins` share the l_partkey shuffle key, so
-    the join back is exchange-free on the big side; the supplier
-    dimension is broadcast."""
+    Scale note: the window partition is l_partkey (bounded fan-in:
+    suppliers-per-part), never a global sort; the supplier dimension
+    is broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     costs = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
-    mins = costs.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        costs.join(
-            mins,
-            (costs.l_partkey == mins.pk) & (costs.unit_cost == mins.min_cost),
-        )
+        costs.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .join(F.broadcast(s), costs.l_suppkey == s.s_suppkey)
         .select(
-            costs.l_partkey.alias("partkey"),
+            F.col("l_partkey").alias("partkey"),
             "s_name",
             "unit_cost",
         )

@@ -66,3 +66,52 @@ def test_salted_join_matches_plain(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
     )
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_partitioned_lake_prunes_scan(spark, sf_dir, tmp_path):
+    """A date-partitioned product lake: (a) a date predicate becomes a
+    PartitionFilter (pruned at planning, zero data read from other
+    days); (b) dynamic partition overwrite rewrites ONLY the
+    partitions present in the incoming batch (K4 at partition
+    granularity)."""
+    from ndvi_etl_pipeline_spark.operators.upsert import write_upsert
+
+    path = str(tmp_path / "lake")
+    e = load_table(spark, "events", sf_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    write_upsert(e, path, ("event_date",))
+
+    lake = spark.read.parquet(path)
+    day = lake.agg(F.min("event_date")).first()[0]
+    q = lake.filter(F.col("event_date") == F.lit(day))
+
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # the pruned scan reads exactly the one partition directory
+    one_dir = spark.read.parquet(f"{path}/event_date={day}")
+    assert q.count() == one_dir.count() > 0
+
+    # dynamic overwrite: zero out one day, leave every other day alone
+    before_other = (
+        lake.filter(F.col("event_date") != F.lit(day))
+        .agg(F.count("*"), F.round(F.sum("value"), 2))
+        .first()
+    )
+    upd = e.filter(F.col("event_date") == F.lit(day)).withColumn(
+        "value", F.lit(0.0)
+    )
+    write_upsert(upd, path, ("event_date",))
+
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("event_date") == F.lit(day)).agg(
+        F.sum("value")
+    ).first()[0] == 0.0
+    after_other = (
+        after.filter(F.col("event_date") != F.lit(day))
+        .agg(F.count("*"), F.round(F.sum("value"), 2))
+        .first()
+    )
+    assert tuple(after_other) == tuple(before_other)

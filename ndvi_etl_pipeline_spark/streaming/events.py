@@ -74,6 +74,53 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: a key's fingerprint is kept
+    only until the watermark passes it, then evicted — unlike plain
+    dropDuplicates, whose state grows with every key ever seen. This
+    is the streaming twin of the batch exact-dedup operator
+    (operators/dedup.py) and the at-least-once → effectively-once
+    repair for replayed sources."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases within
+    `horizon` after a click by the same user. The time-range predicate
+    plus watermarks on BOTH sides is what lets Spark evict join state
+    (a click older than watermark+horizon can never match again);
+    without it, stream-stream join state is unbounded."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    return c.join(
+        p,
+        (c.c_user == p.user_id)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts < c.click_ts + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value")
+
+
 SESSION_OUTPUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -225,14 +272,32 @@ def run_stream_over_parquet(
 ) -> DataFrame:
     """Drive `transform(stream_df)` over a parquet dir as a bounded
     stream; returns the materialized result (memory sink, complete mode
-    for aggregations).
-
-    Parquet nanos caveat: streaming readers inherit the session's
-    nanosAsLong, so ts arrives as LONG nanos — converted here exactly
-    like sources/testdata.py does for batch.
+    for aggregations; see _stream_events for the nanos-ts caveat).
     """
-    # FileStreamSource requires a directory; single-file inputs get a
-    # temp dir with a symlink (zero-copy).
+    events = _stream_events(spark, parquet_path)
+    q = (
+        transform(events)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def _stream_events(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """events parquet (possibly a single file) → streaming DataFrame
+    with `ts` restored to a microsecond timestamp.
+
+    FileStreamSource requires a directory; single-file inputs get a
+    temp dir with a symlink (zero-copy). Streaming readers inherit the
+    session's nanosAsLong, so ts arrives as LONG nanos — converted
+    exactly like sources/testdata.py does for batch.
+    """
     if os.path.isfile(parquet_path):
         d = tempfile.mkdtemp(prefix="stream_src_")
         os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
@@ -242,11 +307,26 @@ def run_stream_over_parquet(
         .format("parquet")
         .load(parquet_path)
     )
-    events = raw.withColumn(
+    return raw.withColumn(
         "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
     )
+
+
+def run_two_streams_over_parquet(
+    spark: SparkSession,
+    parquet_path: str,
+    transform2,
+    query_name: str = "stream2_out",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drive `transform2(stream_a, stream_b)` — e.g. a stream-stream
+    join — with both streams reading the same parquet dir (each gets
+    its own source + state). Append mode: stream-stream joins and
+    watermark dedup only emit rows the watermark has finalized."""
+    a = _stream_events(spark, parquet_path)
+    b = _stream_events(spark, parquet_path)
     q = (
-        transform(events)
+        transform2(a, b)
         .writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)

@@ -10,10 +10,13 @@ from ndvi_etl_pipeline_spark.plans.queries import (
     q_events_sessionize,
 )
 from ndvi_etl_pipeline_spark.streaming.events import (
+    click_purchase_join,
+    dedup_within_watermark,
     hourly_rollup,
     merge_session_chunk,
     run_stream_over_parquet,
     run_stream_with_upsert_sink,
+    run_two_streams_over_parquet,
     session_windows,
     sliding_activity,
     stateful_sessionize,
@@ -116,3 +119,62 @@ def test_session_windows_run(spark, sf_dir):
     )
     assert out.count() > 0
     assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_dedup_within_watermark_removes_replays(spark, sf_dir, tmp_path):
+    """Feed the same events twice (a replayed source); streaming dedup
+    on event_id must converge to exactly the distinct set."""
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    d = tmp_path / "replayed"
+    d.mkdir()
+    shutil.copy(src, d / "a.parquet")
+    shutil.copy(src, d / "b.parquet")
+
+    out = run_stream_over_parquet(
+        spark,
+        str(d),
+        dedup_within_watermark,
+        query_name="t_dedup_wm",
+        output_mode="append",
+    )
+    n_distinct = spark.read.parquet(src).select("event_id").distinct().count()
+    assert out.select("event_id").distinct().count() == n_distinct
+    assert out.count() == n_distinct
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+
+    def xf(a, b):
+        return click_purchase_join(
+            a.filter(F.col("event_type") == "click"),
+            b.filter(F.col("event_type") == "purchase"),
+        )
+
+    out = run_two_streams_over_parquet(
+        spark, f"{sf_dir}/events.parquet", xf, query_name="t_ssj"
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = c.join(
+        p,
+        (c.c_user == p.user_id)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts < c.click_ts + F.expr("INTERVAL 1 HOUR")),
+    )
+    assert out.count() == batch.count() > 0
+    s_keys = {tuple(r) for r in out.select("click_id", "purchase_id").collect()}
+    b_keys = {tuple(r) for r in batch.select("click_id", "purchase_id").collect()}
+    assert s_keys == b_keys

@@ -79,6 +79,53 @@ def salted_join(
     return l_salted.join(r_salted, [key, "_salt"], how).drop("_salt")
 
 
+def morton_key(x, y, bits: int = 16):
+    """Z-order (Morton) curve key: interleaves the low `bits` bits of
+    two non-negative integer columns. Pure column expression (shift /
+    mask / or), fully codegen'd — no UDF.
+
+    Why: sorting a write by morton_key(x, y) clusters rows that are
+    near in BOTH dimensions into the same parquet row groups, so the
+    engine's min/max row-group statistics prune 2-D predicates
+    (a bbox filter over a pixel lake, SURVEY J2's sargable prefilter)
+    instead of only the leading sort column. This is the poor-man's
+    Z-ORDER BY of Delta/Iceberg, with identical semantics at write
+    time and zero table-format dependency.
+    """
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 16,
+    files: int = 8,
+) -> None:
+    """Write parquet clustered on the (x, y) Z-order curve:
+    range-partitioned by the morton key across `files` output files
+    (so whole FILES are skippable by footer stats, not just row
+    groups), sorted by the key within each."""
+    (
+        df.withColumn("_z", morton_key(x, y, bits))
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def explain_str(df: DataFrame) -> str:
     """Formatted physical plan as a string (for plan assertions)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]

@@ -1936,6 +1936,83 @@ def q_lag_delta_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_pipeline",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, text,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                     '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    dedup AS (
+      SELECT doc_id, source, text
+      FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp)
+      WHERE rn = 1
+    ),
+    feat AS (
+      SELECT source, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS w,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok,
+             (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1) AS pr
+      FROM dedup
+    ),
+    scored AS (
+      SELECT source, w, n_tok,
+             (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN pr <= 0.2 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN ((length(text) - n_tok + 1)::DOUBLE / greatest(n_tok, 1))
+                    BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END) AS q
+      FROM feat
+    ),
+    langed AS (
+      SELECT source, n_tok,
+             list_sort([
+               {{'neg': -len(list_filter(w, t -> list_contains(['der','die','das','und','nicht','ist'], t))), 'lang': 'de'}},
+               {{'neg': -len(list_filter(w, t -> list_contains(['the','and','of','to','is','a'], t))), 'lang': 'en'}},
+               {{'neg': -len(list_filter(w, t -> list_contains(['el','la','de','que','y','es'], t))), 'lang': 'es'}},
+               {{'neg': -len(list_filter(w, t -> list_contains(['le','la','les','et','est','que'], t))), 'lang': 'fr'}},
+               {{'neg': -len(list_filter(w, t -> list_contains(['de','shi','le','bu','wo','zai'], t))), 'lang': 'zh'}}
+             ])[1]['lang'] AS pred_lang
+      FROM scored WHERE q >= 0.7
+    )
+    SELECT source, pred_lang, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM langed GROUP BY source, pred_lang
+    """.replace("{{", "{").replace("}}", "}"),
+    tags=("text", "dedup", "pipeline"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation flow as ONE lazy plan:
+    normalized-fingerprint dedup (keep lowest doc_id) → quality gate
+    (≥ 0.7) → language ID → per-(source, lang) doc + token budget.
+
+    Scale shape: exactly two shuffles — the dedup window on the
+    fingerprint (high-cardinality key, no skew) and the final tiny
+    aggregate. Quality scoring and language ID are pure column
+    expressions fused into the same codegen stage as the scan; no
+    Python touches the text. The threshold comparison is FP-safe
+    cross-engine because both sides sum the identical component
+    doubles in the identical order."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dedup = (
+        d.select("doc_id", "source", "text", TXT.normalized_fingerprint("text").alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        dedup.filter(TXT.quality_score("text") >= 0.7)
+        .select("source", TXT.predict_lang("text").alias("pred_lang"), F.size(TXT.tokens("text")).alias("n_tok"))
+        .groupBy("source", "pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

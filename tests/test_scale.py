@@ -115,3 +115,59 @@ def test_partitioned_lake_prunes_scan(spark, sf_dir, tmp_path):
         .first()
     )
     assert tuple(after_other) == tuple(before_other)
+
+
+def test_morton_key_matches_reference(spark):
+    from ndvi_etl_pipeline_spark.operators.scale import morton_key
+
+    def py_morton(x, y, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((x >> i) & 1) << (2 * i)
+            k |= ((y >> i) & 1) << (2 * i + 1)
+        return k
+
+    df = (
+        spark.range(64)
+        .select(
+            (F.col("id") % 8).alias("x"),
+            (F.col("id") / 8).cast("long").alias("y"),
+        )
+        .withColumn("z", morton_key("x", "y"))
+    )
+    for r in df.collect():
+        assert r.z == py_morton(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    """Z-order clustering: every output file's footer stats must be
+    tight in BOTH x and y (→ 2-D predicate skipping), which a
+    row-major (x, y) sort cannot achieve for y."""
+    import pyarrow.parquet as pq
+
+    from ndvi_etl_pipeline_spark.operators.scale import write_zordered
+
+    n = 128  # n×n grid
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    path = str(tmp_path / "zorder")
+    write_zordered(grid, path, "x", "y", bits=8, files=16)
+
+    import glob
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        lo_x = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi_x = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        lo_y = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        hi_y = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        spans_x.append((hi_x - lo_x + 1) / n)
+        spans_y.append((hi_y - lo_y + 1) / n)
+    # each file covers a compact 2-D block: both dims well under the
+    # full range on average (a 1-D x-sort gives spans_y ≈ 1.0)
+    assert sum(spans_x) / len(spans_x) <= 0.5, spans_x
+    assert sum(spans_y) / len(spans_y) <= 0.5, spans_y
+    # and the data survives the round trip
+    assert spark.read.parquet(path).count() == n * n

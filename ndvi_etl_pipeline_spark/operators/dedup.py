@@ -273,3 +273,55 @@ def simhash_groups(
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dup CLUSTERS from dup PAIRS: connected components by min-label
+    propagation. Returns (node, component) where component is the
+    minimum node id reachable — a canonical, deterministic cluster id.
+
+    Iterative (genuinely non-SQL-single-pass): each round every node
+    offers its current label to its neighbors and keeps the minimum;
+    converges in O(graph diameter) rounds. Near-dup graphs are piles
+    of small dense clusters, so diameter is tiny; for adversarial
+    long-chain graphs swap in the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce", SoCC'14) —
+    same per-round plan shape.
+
+    Scale discipline: one equi-join shuffle + one min-aggregate
+    shuffle per round, both on node id; `localCheckpoint` after every
+    round truncates the lineage so the plan doesn't grow with the
+    iteration count; convergence is detected from sum(component),
+    which is strictly decreasing until fixpoint (labels only ever
+    decrease), costing one tiny agg instead of an old⋈new diff join.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    prev: int | None = None
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.s == labels.node).select(
+            F.col("d").alias("node"), "component"
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        tot = labels.agg(F.sum("component")).first()[0]
+        if tot == prev:
+            break
+        prev = tot
+    return labels

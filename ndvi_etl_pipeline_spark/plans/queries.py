@@ -2013,6 +2013,53 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      WITH b AS (
+        SELECT vec_id, embedding,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> CASE WHEN embedding[i] >= 0 THEN CAST(pow(2, i - 1) AS BIGINT)
+                              ELSE 0 END)) AS BIGINT) AS bucket
+        FROM embeddings
+      )
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round({_COSINE_SQL}, 6) >= 0.3
+    ),
+    edges AS (
+      SELECT vec_a AS s, vec_b AS d FROM pairs
+      UNION ALL SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT component, count(*) AS n_members, max(node) AS max_member
+    FROM cc GROUP BY component
+    """,
+    tags=("dedup", "iterative"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: sign-LSH cosine pairs (≥ 0.3) → connected
+    components (iterative min-label propagation,
+    operators/dedup.py::connected_components) → per-cluster size.
+    The oracle computes the same fixpoint as a recursive CTE — the
+    rare case where an iterative distributed algorithm still has an
+    exact SQL twin."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.lsh_near_duplicate_pairs(e, threshold=0.3, n_bits=8).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    cc = DD.connected_components(pairs)
+    return cc.groupBy("component").agg(
+        F.count("*").alias("n_members"), F.max("node").alias("max_member")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

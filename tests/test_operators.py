@@ -143,3 +143,19 @@ def test_winnowing_detects_partial_overlap(spark):
     assert fps[1] & fps[2], "overlapping docs share no fingerprint"
     assert not fps[3] & fps[1]
     assert not fps[3] & fps[2]
+
+
+def test_connected_components_chain_and_island(spark):
+    from ndvi_etl_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 10)], ["src", "dst"]
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (20, 10),
+    }

@@ -981,8 +981,19 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling k-gram hash + window-min selection, the MOSS
     scheme): fingerprints shared by >1 doc — catches partial overlap
     (any common substring ≥ 11 chars), which whole-doc hashing cannot
-    (functions/text.py winnowing_fingerprints; k=8, w=4)."""
-    d = _t(spark, sf_dir, "documents")
+    (functions/text.py winnowing_fingerprints; k=8, w=4).
+
+    The fingerprint projection costs O(chars) md5s per row — ~100×
+    any other per-row kernel here — so the scan's natural split (ONE
+    task for a single small file) serializes it. The explicit
+    repartition spreads rows across every core BEFORE the expensive
+    projection: a cheap narrow shuffle buying full parallelism
+    (measured 550 s → 30 s at sf0.01 on local[32]). At real scale
+    file splits provide partitions, but keying them to compute cost
+    rather than bytes is still the right call for kernels this hot."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return (
         d.select("doc_id", F.explode(TXT.winnowing_fingerprints("text", k=8, w=4)).alias("fp"))
         .groupBy("fp")

@@ -1501,6 +1501,7 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND e.ts >= o.o_ts AND e.ts < o.o_ts + INTERVAL 6 HOUR
     GROUP BY o.o_orderkey
     """,
+    headline=True,
     tags=("join", "range"),
 )
 def q_range_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1877,6 +1878,7 @@ def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN mins m ON c.l_partkey = m.l_partkey AND c.unit_cost = m.min_cost
     JOIN supplier s ON s.s_suppkey = c.l_suppkey
     """,
+    headline=True,
     tags=("join", "subquery"),
 )
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1992,6 +1994,7 @@ def q_lag_delta_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_tok) AS BIGINT) AS total_tokens
     FROM langed GROUP BY source, pred_lang
     """.replace("{{", "{").replace("}}", "}"),
+    headline=True,
     tags=("text", "dedup", "pipeline"),
 )
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,202 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The steps a 100 TB pretraining pipeline runs after dedup/quality
+(operators/dedup.py, functions/text.py): deterministic train/eval
+splitting, per-stratum sampling, PII/blockword scrubbing,
+repetition-based quality rules, token-budget sequence packing, and
+train→eval contamination checks.
+
+Design rules (same as the rest of the engine):
+- Everything is a lazy DataFrame transform — no collect, no driver
+  loops; each operator is a plan fragment Catalyst fuses with its
+  neighbors.
+- Determinism comes from content hashes (md5), never from rand() or
+  monotonically_increasing_id(), so results are stable across
+  partitionings, retries, and cluster sizes — a hard requirement for
+  reproducible dataset builds.
+- Splits/sampling are per-row hash decisions (embarrassingly
+  parallel, zero shuffles); packing shuffles once on the stream key;
+  contamination shuffles on the n-gram hash (the join key whose
+  cardinality we control via shingle size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokens, word_shingles
+
+
+def hash_bucket(key: Column, buckets: int = 256) -> Column:
+    """Deterministic [0, buckets) bucket from a content key.
+
+    First 8 hex chars of md5 → int. Engine-portable (DuckDB computes
+    the identical value for the oracle) and uniform; used for split
+    assignment, sampling, and shard routing.
+    """
+    if buckets > 1 << 16:
+        raise ValueError("hash_bucket supports up to 65536 buckets")
+    hx = F.substring(F.md5(key.cast("string").cast("binary")), 1, 8)
+    return (F.conv(hx, 16, 10).cast("bigint") % buckets).cast("int")
+
+
+def assign_split(
+    key: Column,
+    eval_pct: int = 5,
+    test_pct: int = 0,
+    buckets: int = 100,
+) -> Column:
+    """Deterministic train/eval(/test) split on a stable key.
+
+    A row's split never changes when the corpus grows — the standard
+    hash-split contract (vs. rand() which reshuffles every run).
+    """
+    b = hash_bucket(key, buckets)
+    out = F.when(b < eval_pct, F.lit("eval"))
+    if test_pct:
+        out = out.when(b < eval_pct + test_pct, F.lit("test"))
+    return out.otherwise(F.lit("train"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    key: str,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by content
+    hash — deterministic "random" sampling.
+
+    One shuffle (window partition on the strata). At scale the window
+    never materializes a stratum in memory: rank is computed
+    streaming over the sorted partition. For heavily-skewed strata a
+    pre-filter `hash_bucket(key, N) < ceil(N * k / est_rows)` cuts
+    the sorted volume first (cheap sargable guard, applied by the
+    caller when stratum sizes are known).
+    """
+    order = F.md5(F.col(key).cast("string").cast("binary"))
+    w = Window.partitionBy(*strata).orderBy(order, F.col(key))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("sample_rank")
+    )
+
+
+# Scrub patterns: identical semantics in Java regex (Spark) and RE2
+# (DuckDB oracle) — word-boundary literal + digit runs. Real PII sets
+# (emails, phones, SSNs) drop in as alternates with no plan change.
+SCRUB_PATTERN = r"\bvalue\b|[0-9]{3,}"
+SCRUB_TOKEN = "<scrub>"
+
+
+def scrub_text(text: Column, pattern: str = SCRUB_PATTERN) -> Column:
+    """Redact every pattern match with a fixed token. Pure codegen
+    (regexp_replace is JVM-side); runs fused with the scan."""
+    return F.regexp_replace(text, pattern, SCRUB_TOKEN)
+
+
+def scrub_count(text: Column, pattern: str = SCRUB_PATTERN) -> Column:
+    return F.regexp_count(text, F.lit(pattern))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    - distinct_ratio: |distinct tokens| / |tokens|  (array expr, no
+      shuffle — stays in whole-stage codegen)
+    - top_ratio: occurrences of the most frequent token / |tokens|
+      (explode → two-level aggregate; shuffle key is (doc, token),
+      cardinality ≤ total token count, partial-agg combines repeats
+      map-side so the shuffle carries distinct tokens per doc)
+
+    Returns doc_id + both ratios + n_tok; callers threshold them
+    (e.g. top_ratio > 0.2 → drop as boilerplate/spam).
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        "doc_id",
+        "source",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.greatest(F.size(toks), F.lit(1))).alias(
+            "distinct_ratio"
+        ),
+    )
+    per_token = (
+        base.select("doc_id", "source", "n_tok", "distinct_ratio", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "source", "n_tok", "distinct_ratio", "tok")
+        .count()
+    )
+    return (
+        per_token.groupBy("doc_id", "source", "n_tok", "distinct_ratio")
+        .agg(F.max("count").alias("top_c"))
+        .withColumn(
+            "top_ratio",
+            F.col("top_c").cast("double") / F.greatest(F.col("n_tok"), F.lit(1)),
+        )
+        .drop("top_c")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    stream_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming token-offset packing: within each stream (ordered by
+    a stable key), documents are laid end-to-end and a document starts
+    the bin its first token falls in: bin = floor(exclusive-cumsum /
+    budget).
+
+    One shuffle (window on stream_col). This is the contiguous-shard
+    contract a sequence-packing writer needs — bin boundaries are a
+    pure function of the ordered prefix sums, so any worker can
+    recompute them; no coordination, no driver state. (Exact greedy
+    first-fit packing is deliberately NOT used: it is
+    order-dependent-but-gap-filling, which breaks determinism under
+    re-partitioning for zero real gain at corpus scale.)
+    """
+    n_tok = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        df.withColumn("n_tok", n_tok)
+        .withColumn("bin", F.floor(cum_before / budget).cast("int"))
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    ngram: int = 8,
+    eval_pct: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train→eval leakage: eval documents sharing any n-token shingle
+    with any train document.
+
+    Plan shape: one scan → split column → shingle explode (hashed to
+    8-byte keys) → semi-join eval-grams ⋉ train-grams on the gram
+    hash. The join key is the shingle hash whose per-key cardinality
+    is bounded by natural-language repetition; at 100 TB the heavy
+    hitters (boilerplate grams) are exactly what AQE skew-split
+    handles, and raising `ngram` lowers collision mass geometrically.
+    """
+    grams = F.explode(
+        word_shingles(tokens(F.col(text_col)), n=ngram)
+    ).alias("gram")
+    split = assign_split(F.col("doc_id"), eval_pct=eval_pct)
+    g = docs.select(
+        "doc_id", "source", split.alias("split"), grams
+    ).select("doc_id", "source", "split", F.md5(F.col("gram").cast("binary")).alias("gh"))
+    train_g = g.filter(F.col("split") == "train").select("gh").distinct()
+    eval_g = g.filter(F.col("split") == "eval")
+    hits = eval_g.join(train_g, "gh", "left_semi")
+    return hits.select("doc_id", "source").distinct()

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
+from ..operators import curation as CUR
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
 from ..operators.bands import pair_bands
@@ -36,6 +37,11 @@ class QuerySpec:
 
 
 REGISTRY: dict[str, QuerySpec] = {}
+
+# The scrub pattern as it appears inside a single-quoted DuckDB string
+# literal (standard strings: backslashes pass through to RE2 verbatim,
+# matching Java-regex semantics for \b and {m,} quantifiers).
+CUR_SCRUB_PATTERN_SQL = CUR.SCRUB_PATTERN
 
 
 def register(name: str, oracle: str | None, headline: bool = False, tags: tuple[str, ...] = ()):
@@ -2071,6 +2077,269 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = DD.connected_components(pairs)
     return cc.groupBy("component").agg(
         F.count("*").alias("n_members"), F.max("node").alias("max_member")
+    )
+
+
+# ===========================================================================
+# G. Corpus curation: splits, sampling, scrubbing, packing, contamination
+#    (operators/curation.py — the post-dedup stages of a training-data build)
+# ===========================================================================
+
+
+@register(
+    "hash_split_summary",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 100 < 5
+                  THEN 'eval' ELSE 'train' END AS split,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    )
+    SELECT split, source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split, source
+    """,
+    tags=("curation", "split"),
+)
+def q_hash_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split by content hash (md5-bucket of
+    doc_id, operators/curation.py::assign_split). A per-row column
+    expression — zero shuffles beyond the final aggregate; a row's
+    split is stable as the corpus grows, unlike rand()-based splits."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            CUR.assign_split(F.col("doc_id"), eval_pct=5).alias("split"),
+            TXT.token_count(F.col("text")).alias("n_tok"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM r WHERE rk <= 3
+    """,
+    tags=("curation", "sample"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly min(3, |stratum|)
+    docs per (source, lang), chosen by content-hash order
+    (operators/curation.py::stratified_sample). One shuffle on the
+    strata; rank streams over the sorted partition, so a giant
+    stratum never materializes."""
+    d = _t(spark, sf_dir, "documents")
+    return CUR.stratified_sample(d, ["source", "lang"], k=3, key="doc_id").select(
+        "doc_id", "source", "lang"
+    )
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) FILTER (
+             WHERE len(regexp_extract_all(text, '{CUR_SCRUB_PATTERN_SQL}')) > 0
+           ) AS BIGINT) AS n_docs_hit,
+           CAST(sum(len(regexp_extract_all(text, '{CUR_SCRUB_PATTERN_SQL}')))
+                AS BIGINT) AS total_matches,
+           CAST(sum(length(text)
+                    - length(regexp_replace(text, '{CUR_SCRUB_PATTERN_SQL}', '', 'g')))
+                AS BIGINT) AS chars_removed
+    FROM documents GROUP BY source
+    """,
+    tags=("curation", "text"),
+)
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blockword/PII scrubbing audit (operators/curation.py::scrub_*):
+    match counts and removed-character volume per source. Pure
+    regexp codegen fused with the scan — the scrub itself
+    (regexp_replace with a redaction token) is the same expression
+    with a different replacement, so auditing costs one pass and
+    scrubbing costs zero extra."""
+    d = _t(spark, sf_dir, "documents")
+    n_matches = CUR.scrub_count(F.col("text"))
+    removed = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), CUR.SCRUB_PATTERN, "")
+    )
+    return d.groupBy("source").agg(
+        F.sum(F.when(n_matches > 0, 1).otherwise(0)).cast("bigint").alias("n_docs_hit"),
+        F.sum(n_matches).cast("bigint").alias("total_matches"),
+        F.sum(removed).cast("bigint").alias("chars_removed"),
+    )
+
+
+@register(
+    "repetition_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    pt AS (
+      SELECT doc_id, source, n_tok, tok, count(*) AS c
+      FROM t GROUP BY doc_id, source, n_tok, tok
+    ),
+    d AS (
+      SELECT doc_id, source, max(n_tok) AS n_tok,
+             max(c) AS top_c, count(*) AS n_distinct
+      FROM pt GROUP BY doc_id, source
+    )
+    SELECT source,
+           round(avg(n_distinct / greatest(n_tok, 1)), 4) AS avg_distinct_ratio,
+           round(avg(top_c / greatest(n_tok, 1)), 4) AS avg_top_ratio,
+           CAST(count(*) FILTER (WHERE top_c / greatest(n_tok, 1) > 0.12)
+                AS BIGINT) AS n_flagged
+    FROM d GROUP BY source
+    """,
+    tags=("curation", "quality"),
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rules (operators/curation.py::
+    repetition_stats): distinct-token ratio (pure array expr, no
+    shuffle) and top-token ratio (explode → two-level aggregate;
+    map-side partials mean the shuffle carries distinct tokens per
+    doc, not raw tokens). Docs with top_ratio > 0.12 are flagged as
+    repetitive boilerplate."""
+    d = _t(spark, sf_dir, "documents")
+    stats = CUR.repetition_stats(d)
+    return stats.groupBy("source").agg(
+        F.round(F.avg("distinct_ratio"), 4).alias("avg_distinct_ratio"),
+        F.round(F.avg("top_ratio"), 4).alias("avg_top_ratio"),
+        F.sum(F.when(F.col("top_ratio") > 0.12, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM d
+    )
+    SELECT source, CAST(floor(cum_before / 2048) AS INT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY source, bin
+    """,
+    tags=("curation", "packing"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/curation.py::
+    pack_sequences): docs laid end-to-end per source stream, each doc
+    binned by the 2048-token window its first token falls in —
+    exclusive running sum over one window shuffle. Bin boundaries are
+    a pure function of ordered prefix sums: deterministic under any
+    partitioning, no driver state."""
+    d = _t(spark, sf_dir, "documents")
+    packed = CUR.pack_sequences(d, budget=2048)
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+    )
+
+
+@register(
+    "contamination_ngrams",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 100 < 5
+                  THEN 'eval' ELSE 'train' END AS split,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, split,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS gram
+      FROM s
+    )
+    SELECT e.source, CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_contaminated
+    FROM g e
+    WHERE e.split = 'eval'
+      AND EXISTS (SELECT 1 FROM g t WHERE t.split = 'train' AND t.gram = e.gram)
+    GROUP BY e.source
+    """,
+    tags=("curation", "dedup"),
+)
+def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination (operators/curation.py::
+    contamination_check): eval docs sharing any 3-token shingle with
+    the train split. One scan → split column → shingle explode →
+    semi-join on the gram hash; heavy-hitter grams (boilerplate) are
+    the AQE skew-split case, and raising n shrinks collision mass
+    geometrically."""
+    d = _t(spark, sf_dir, "documents")
+    hits = CUR.contamination_check(d, ngram=3, eval_pct=5)
+    return hits.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_contaminated")
+    )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric, l_returnflag,
+           count(*) AS n,
+           round(sum(val), 2) AS total,
+           round(avg(val), 4) AS mean
+    FROM m GROUP BY metric, l_returnflag
+    """,
+    tags=("reshape",),
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape: unpivot four lineitem measures into
+    (metric, val) rows, then aggregate per metric × returnflag.
+    Spark's Unpivot (Expand) node emits the long rows inside the same
+    codegen stage as the scan — the input is read ONCE, vs the
+    oracle's 4-scan UNION ALL formulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("metric", "l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+        F.round(F.avg("val"), 4).alias("mean"),
     )
 
 

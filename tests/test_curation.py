@@ -1,0 +1,109 @@
+"""Invariant tests for operators/curation.py.
+
+The oracle harness (tools/check_correctness.py) proves value parity
+with DuckDB; these tests pin the *contracts* that matter at scale:
+determinism under re-partitioning, split stability under corpus
+growth, per-stratum caps, and packing-bin structure.
+"""
+
+from pyspark.sql import functions as F
+
+from ndvi_etl_pipeline_spark.operators import curation as CUR
+from ndvi_etl_pipeline_spark.sources.testdata import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir)
+
+
+def test_split_is_stable_under_corpus_growth(spark, sf_dir):
+    """A doc's split must not change when more docs arrive (the hash
+    contract rand() breaks): splitting a 50-doc prefix and the full
+    table must agree on the shared rows."""
+    d = _docs(spark, sf_dir)
+    full = d.select("doc_id", CUR.assign_split(F.col("doc_id")).alias("s"))
+    prefix = (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", CUR.assign_split(F.col("doc_id")).alias("s"))
+    )
+    joined = full.join(prefix, "doc_id").filter(full["s"] != prefix["s"])
+    assert joined.count() == 0
+
+
+def test_split_three_way_partitions_everything(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    splits = (
+        d.select(CUR.assign_split(F.col("doc_id"), eval_pct=5, test_pct=5).alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    by_name = {r["s"]: r["count"] for r in splits}
+    assert set(by_name) <= {"train", "eval", "test"}
+    assert sum(by_name.values()) == d.count()
+    assert by_name["train"] > by_name.get("eval", 0)
+
+
+def test_stratified_sample_caps_and_determinism(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s1 = CUR.stratified_sample(d, ["source", "lang"], k=3, key="doc_id")
+    per_stratum = s1.groupBy("source", "lang").count().collect()
+    assert all(r["count"] <= 3 for r in per_stratum)
+    # Same result from a different physical partitioning.
+    s2 = CUR.stratified_sample(d.repartition(17), ["source", "lang"], k=3, key="doc_id")
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_scrub_removes_all_matches(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scrubbed = d.select(CUR.scrub_count(CUR.scrub_text(F.col("text"))).alias("left"))
+    assert scrubbed.agg(F.sum("left")).first()[0] == 0
+
+
+def test_repetition_ratios_bounded(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    stats = CUR.repetition_stats(d)
+    bad = stats.filter(
+        (F.col("distinct_ratio") <= 0)
+        | (F.col("distinct_ratio") > 1)
+        | (F.col("top_ratio") <= 0)
+        | (F.col("top_ratio") > 1)
+        | (F.col("top_ratio") > F.col("distinct_ratio") * F.col("n_tok"))
+    )
+    assert bad.count() == 0
+    assert stats.count() == d.count()
+
+
+def test_packing_bins_contiguous_and_offset_consistent(spark, sf_dir):
+    """bin == floor(exclusive-cumsum / budget): recompute the prefix
+    sums per stream in the driver and check every assignment; bins per
+    stream must start at 0 with no gaps."""
+    d = _docs(spark, sf_dir)
+    packed = CUR.pack_sequences(d, budget=512).select("source", "doc_id", "n_tok", "bin")
+    rows = sorted(packed.collect(), key=lambda r: (r["source"], r["doc_id"]))
+    cum = {}
+    bins_seen = {}
+    for r in rows:
+        before = cum.get(r["source"], 0)
+        assert r["bin"] == before // 512, (r, before)
+        cum[r["source"]] = before + r["n_tok"]
+        bins_seen.setdefault(r["source"], set()).add(r["bin"])
+    for src, bins in bins_seen.items():
+        assert bins == set(range(max(bins) + 1)), src
+
+
+def test_contamination_subset_of_eval(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    hits = CUR.contamination_check(d, ngram=3, eval_pct=5)
+    eval_ids = {
+        r["doc_id"]
+        for r in d.select(
+            "doc_id", CUR.assign_split(F.col("doc_id"), eval_pct=5).alias("s")
+        )
+        .filter(F.col("s") == "eval")
+        .collect()
+    }
+    hit_ids = {r["doc_id"] for r in hits.collect()}
+    assert hit_ids <= eval_ids

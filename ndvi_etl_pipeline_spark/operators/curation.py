@@ -183,19 +183,40 @@ def contamination_check(
     with any train document.
 
     Plan shape: one scan → split column → shingle explode (hashed to
-    8-byte keys) → semi-join eval-grams ⋉ train-grams on the gram
+    64-bit keys) → semi-join eval-grams ⋉ train-grams on the gram
     hash. The join key is the shingle hash whose per-key cardinality
     is bounded by natural-language repetition; at 100 TB the heavy
     hitters (boilerplate grams) are exactly what AQE skew-split
     handles, and raising `ngram` lowers collision mass geometrically.
+
+    Physical notes (measured, sf0.1):
+    - the gram relation feeds BOTH join sides; without a persist the
+      scan+explode subtree runs twice (ReusedExchange is not
+      guaranteed under AQE) — persisting it halved wall-clock. At
+      100 TB swap the memory persist for a parquet checkpoint of the
+      (doc_id, split, gh) relation, which is also the natural
+      incremental artifact when eval sets are rebuilt more often than
+      the train corpus.
+    - repartition by doc_id before the explode: corpus parquet that
+      arrives in a handful of splits would otherwise serialize the
+      whole shingle kernel (no-op on a real multi-file lake).
+    - xxhash64 (bigint) instead of md5 (32-char string) for the join
+      key: cheaper to compute, 4× narrower shuffle rows.
     """
-    grams = F.explode(
-        word_shingles(tokens(F.col(text_col)), n=ngram)
-    ).alias("gram")
     split = assign_split(F.col("doc_id"), eval_pct=eval_pct)
-    g = docs.select(
-        "doc_id", "source", split.alias("split"), grams
-    ).select("doc_id", "source", "split", F.md5(F.col("gram").cast("binary")).alias("gh"))
+    base = docs.select(
+        "doc_id", "source", split.alias("split"), F.col(text_col).alias("t")
+    ).repartition("doc_id")
+    g = (
+        base.select(
+            "doc_id",
+            "source",
+            "split",
+            F.explode(word_shingles(tokens(F.col("t")), n=ngram)).alias("gram"),
+        )
+        .select("doc_id", "source", "split", F.xxhash64("gram").alias("gh"))
+        .persist()
+    )
     train_g = g.filter(F.col("split") == "train").select("gh").distinct()
     eval_g = g.filter(F.col("split") == "eval")
     hits = eval_g.join(train_g, "gh", "left_semi")

@@ -2343,6 +2343,207 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# H. Time-series gap fill, pivot, ranked windows, null semantics
+# ===========================================================================
+
+
+@register(
+    "gap_fill_forward",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    tt AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hh
+      FROM b, tt
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hh,
+             count(*) AS n, sum(value) AS v
+      FROM events GROUP BY event_type, hh
+    )
+    SELECT g.event_type, strftime(g.hh, '%Y-%m-%d %H:%M') AS hour,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+           round(last_value(h.v IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hh), 2) AS filled_total
+    FROM grid g
+    LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hh = h.hh
+    """,
+    tags=("timeseries", "window"),
+)
+def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly grid (sequence/explode
+    from the data's own bounds — no literals, so the query is
+    SF-independent) left-joined to hourly aggregates, missing cells
+    forward-filled with last(ignorenulls) per series.
+
+    Scale shape: the grid is |types| × |hours| (tiny vs the fact
+    table); hourly aggregation carries partial sums; the fill window
+    shuffles grid-sized data only. The standard sensor/NDVI
+    time-series densification every monitoring pipeline needs."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hh")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("hh")
+        )
+        .crossJoin(e.select("event_type").distinct())
+    )
+    joined = grid.join(hourly, ["event_type", "hh"], "left")
+    w = Window.partitionBy("event_type").orderBy("hh")
+    return joined.select(
+        "event_type",
+        F.date_format("hh", "yyyy-MM-dd HH:mm").alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("filled_total"),
+    )
+
+
+@register(
+    "pivot_priorities",
+    oracle="""
+    SELECT o_orderstatus,
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+             AS "1-URGENT",
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '2-HIGH'), 2)
+             AS "2-HIGH",
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '3-MEDIUM'), 2)
+             AS "3-MEDIUM",
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 2)
+             AS "4-NOT SPECIFIED",
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2)
+             AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("reshape", "agg"),
+)
+def q_pivot_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (the inverse of unpivot_metrics; same machinery
+    as J1 band pairing in operators/bands.py): revenue by status ×
+    priority. Explicit pivot values keep the plan a single-pass
+    aggregate — Spark never runs the extra distinct-values job, and
+    the output schema is static for Catalyst."""
+    o = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+@register(
+    "ranked_quartiles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, total,
+             ntile(4) OVER (ORDER BY total, o_custkey) AS quartile,
+             percent_rank() OVER (ORDER BY total, o_custkey) AS pr,
+             cume_dist() OVER (ORDER BY total, o_custkey) AS cd,
+             dense_rank() OVER (ORDER BY total, o_custkey) AS dr
+      FROM spend
+    )
+    SELECT quartile, count(*) AS n,
+           round(min(total), 2) AS min_total,
+           round(max(total), 2) AS max_total,
+           round(min(pr), 6) AS min_pr,
+           round(max(cd), 6) AS max_cd,
+           CAST(max(dr) AS BIGINT) AS max_dense_rank
+    FROM ranked GROUP BY quartile
+    """,
+    tags=("window", "rank"),
+)
+def q_ranked_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-window family (ntile / percent_rank / cume_dist /
+    dense_rank) over per-customer spend, summarized per quartile.
+    The total order includes the key as tiebreak so ranks are
+    deterministic. NOTE the global ORDER BY window is the one shape
+    that funnels into a single partition — acceptable here because it
+    ranks the AGGREGATE (one row per customer), never the fact table;
+    at 100 TB rank the aggregate or switch to approx quantile cuts."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    w = Window.orderBy("total", "o_custkey")
+    ranked = spend.select(
+        "o_custkey",
+        "total",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.dense_rank().over(w).alias("dr"),
+    )
+    return ranked.groupBy("quartile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("total"), 2).alias("min_total"),
+        F.round(F.max("total"), 2).alias("max_total"),
+        F.round(F.min("pr"), 6).alias("min_pr"),
+        F.round(F.max("cd"), 6).alias("max_cd"),
+        F.max("dr").cast("bigint").alias("max_dense_rank"),
+    )
+
+
+@register(
+    "nullsafe_join_semantics",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_acctbal,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer
+    ),
+    dim AS (
+      SELECT seg, COALESCE(seg, '(unattributed)') AS seg_label
+      FROM (SELECT DISTINCT seg FROM c)
+    )
+    SELECT d.seg_label,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM c JOIN dim d ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.seg_label
+    """,
+    tags=("join", "null"),
+)
+def q_nullsafe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): customers
+    whose derived segment is NULL still match the NULL dimension row —
+    the semantic a plain equi-join silently drops. Spark plans <=> as
+    a hash join (null-safe keys hash like values), so the broadcast
+    path survives."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    dim = c.select("seg").distinct().select(
+        "seg", F.coalesce(F.col("seg"), F.lit("(unattributed)")).alias("seg_label")
+    )
+    joined = c.alias("c").join(
+        F.broadcast(dim).alias("d"), F.col("c.seg").eqNullSafe(F.col("d.seg"))
+    )
+    return joined.groupBy("seg_label").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

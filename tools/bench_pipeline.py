@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Reference-shaped pipeline benchmark (BASELINE.md tier 2).
+
+Runs the reference's own workload envelope — 10 scenes
+(config/settings.yaml:13 `max_items: 10` in /root/reference) — through
+the full engine pipeline on synthetic GeoTIFFs:
+
+    write 10×2 band files → binaryFile scan + decode → tile NDVI
+    kernel → scene stats (A1) → AOI clip mean (J2) → overview cascade
+    (A6) → parquet product sink (K1/K4)
+
+and reports per-stage wall-clock plus scenes/min, mirroring the
+reference's `perf_counter` instrumentation points (main.py:112,141).
+The reference processes its scenes sequentially with BLAS pinned to
+one thread (docker-compose.yml:37-40); the engine runs the same DAG
+with scene×tile partition parallelism.
+
+Usage: python tools/bench_pipeline.py [--scenes 10] [--size 1024]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ndvi_etl_pipeline_spark.functions.geo import clip_filter  # noqa: E402
+from ndvi_etl_pipeline_spark.operators import raster  # noqa: E402
+from ndvi_etl_pipeline_spark.operators.overviews import overview_cascade  # noqa: E402
+from ndvi_etl_pipeline_spark.operators.upsert import write_upsert  # noqa: E402
+from ndvi_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def synth_scenes(d: Path, n: int, size: int) -> list[str]:
+    rng = np.random.default_rng(42)
+    scenes = []
+    for i in range(n):
+        scene = f"LC08_L2SP_189{i:03d}_202206{i % 28 + 1:02d}_02_T1"
+        red = rng.integers(500, 20000, size=(size, size)).astype(np.float32)
+        nir = rng.integers(2000, 60000, size=(size, size)).astype(np.float32)
+        red[:: 7, :: 5] = 0.0
+        nir[3 :: 11, 2 :: 9] = 0.0
+        raster.write_geotiff(red, str(d / f"{scene}_red.tif"))
+        raster.write_geotiff(nir, str(d / f"{scene}_nir.tif"))
+        scenes.append(scene)
+    return scenes
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", type=int, default=10)
+    ap.add_argument("--size", type=int, default=1024)
+    args = ap.parse_args()
+
+    tmp = Path(tempfile.mkdtemp(prefix="ndvi_bench_"))
+    stages: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        (tmp / "in").mkdir(parents=True, exist_ok=True)
+        scenes = synth_scenes(tmp / "in", args.scenes, args.size)
+        stages["synth_write"] = round(time.perf_counter() - t0, 3)
+
+        spark = get_spark(app_name="bench_pipeline")
+
+        t0 = time.perf_counter()
+        tiles = raster.scan_geotiffs(spark, str(tmp / "in"), tile=256)
+        ndvi = raster.tile_ndvi(tiles).persist()
+        stats = raster.tile_scene_stats(ndvi).collect()
+        assert len(stats) == args.scenes
+        stages["decode_ndvi_stats"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        s = float(args.size)
+        ring = [(s * .1, s * .1), (s * .8, s * .15), (s * .9, s * .9), (s * .5, s * .5), (s * .15, s * .8)]
+        px = raster.tiles_to_pixels(ndvi, value_name="ndvi")
+        clipped = (
+            clip_filter(px, "x", "y", ring)
+            .groupBy("scene_id")
+            .agg(F.avg("ndvi").alias("mean_ndvi"))
+            .collect()
+        )
+        assert len(clipped) == args.scenes
+        stages["aoi_clip_mean"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        levels = overview_cascade(px, factors=(2, 4, 8, 16, 32), value_col="ndvi")
+        top = levels[32].count()
+        assert top == args.scenes * (args.size // 32) ** 2
+        stages["overviews_x5"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        products = raster.tile_scene_stats(ndvi).withColumn(
+            "acquisition_date", F.to_date(F.split("scene_id", "_")[3], "yyyyMMdd")
+        )
+        write_upsert(products, str(tmp / "products"), partition_cols=("acquisition_date",))
+        stages["product_sink"] = round(time.perf_counter() - t0, 3)
+
+        engine_s = sum(v for k, v in stages.items() if k != "synth_write")
+        print(
+            json.dumps(
+                {
+                    "metric": "pipeline_scenes_per_min",
+                    "value": round(args.scenes / (engine_s / 60.0), 2),
+                    "unit": "scenes/min",
+                    "scenes": args.scenes,
+                    "band_px": f"{args.size}x{args.size}",
+                    "stages_sec": stages,
+                    "engine_total_sec": round(engine_s, 3),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

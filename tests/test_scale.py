@@ -171,3 +171,40 @@ def test_zorder_write_clusters_both_dims(spark, tmp_path):
     assert sum(spans_y) / len(spans_y) <= 0.5, spans_y
     # and the data survives the round trip
     assert spark.read.parquet(path).count() == n * n
+
+
+def test_tile_clip_plan_prunes_before_python(spark, tmp_path):
+    """tile_clip_stats plan shape: the sargable tile-extent × AOI-bbox
+    filter must run JVM-side BEFORE the clip kernel's Python boundary,
+    and the scene aggregate must have a map-side partial, so the only
+    shuffle carries |surviving tiles| partial rows."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators import raster
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        s = f"S{i}_20220601"
+        raster.write_geotiff(
+            rng.integers(0, 30000, size=(64, 64)).astype(np.float32),
+            str(tmp_path / f"{s}_red.tif"),
+        )
+        raster.write_geotiff(
+            rng.integers(0, 60000, size=(64, 64)).astype(np.float32),
+            str(tmp_path / f"{s}_nir.tif"),
+        )
+    ndvi = raster.scan_scene_ndvi(spark, str(tmp_path), tile=32)
+    ring = [(5.0, 5.0), (60.0, 8.0), (58.0, 58.0), (8.0, 55.0)]
+    plan = explain_str(raster.tile_clip_stats(ndvi, ring))
+
+    # plan prints parent-first: clip kernel (MapInPandas) must appear
+    # BEFORE (above) the bbox Filter, i.e. the Filter is its child —
+    # pruning happens before bytes cross into Python.
+    map_idx = plan.index("MapInPandas")
+    filt_idx = plan.index("Filter ")
+    assert map_idx < filt_idx
+    # the bbox predicate on the tile-extent columns is that Filter's
+    # condition (details section of the formatted plan)
+    assert any("Condition" in ln and "x0" in ln for ln in plan.splitlines())
+    # map-side partial aggregation of the per-tile sums
+    assert "partial_sum(n_in_aoi" in plan

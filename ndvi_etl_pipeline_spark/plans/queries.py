@@ -2785,6 +2785,168 @@ def q_interval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled power iteration as chained CTEs — exact, engine-portable
+    (no recursive-CTE aggregation restrictions)."""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""r{k} AS (
+      SELECT n.node,
+             0.15/(SELECT n FROM cnt)
+               + 0.85*coalesce(sum(p.r/dg.d), 0) AS r
+      FROM nodes n
+      LEFT JOIN eds e ON e.dst = n.node
+      LEFT JOIN r{k-1} p ON p.node = e.src
+      LEFT JOIN deg dg ON dg.src = e.src
+      GROUP BY n.node)"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH eds AS (
+      SELECT DISTINCT CAST(o_custkey % 25 AS BIGINT) AS src,
+                      CAST(l_suppkey % 25 AS BIGINT) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT DISTINCT src AS node FROM eds
+              UNION SELECT DISTINCT dst FROM eds),
+    cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM eds GROUP BY src),
+    r0 AS (SELECT node, 1.0/(SELECT n FROM cnt) AS r FROM nodes),
+    {chain}
+    SELECT node, round(r, 6) AS rank FROM r{iterations}
+    """
+
+
+@register(
+    "pagerank_graph",
+    oracle=_pagerank_oracle(5),
+    tags=("graph", "iterative"),
+)
+def q_pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm tier: 5 power iterations of PageRank on a
+    25-node graph derived from the orders⋈lineitem relation
+    (customer-bucket → supplier-bucket edges). The oracle unrolls the
+    same iterations as chained CTEs, so the fixed-point loop is
+    value-checked exactly, not rows-only. See operators/graph.py for
+    the per-iteration shuffle analysis."""
+    from ..operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") % 25).cast("bigint").alias("src"),
+            (F.col("l_suppkey") % 25).cast("bigint").alias("dst"),
+        )
+    )
+    return pagerank(edges, iterations=5).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token,
+             t.tf * (ln(((SELECT n FROM n) + 1) / (d.df + 1)) + 1) AS score
+      FROM tf t JOIN df d ON d.token = t.token
+      WHERE t.doc_id <= 30)
+    SELECT doc_id, token, round(score, 6) AS score
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, token ASC) <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed idf, sklearn-style ln((N+1)/(df+1))+1) with
+    top-3 terms per document. Corpus statistics (df, N) come from the
+    FULL corpus; the per-doc projection is filtered afterwards — the
+    order that matters for correctness at any scale. df is a
+    pre-aggregated (doc,token) relation, so the expensive token
+    explode happens once and both tf and df derive from it."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").cast("double").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    n_docs = float(d.count())
+    scored = (
+        tf.filter(F.col("doc_id") <= 30)
+        .join(df, "token")
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "session_window_native",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 2700000000
+                       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("events", "session", "window"),
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (45-min gap): merging
+    windows in one aggregate, the batch twin of the streaming
+    session-window state store. The oracle derives identical sessions
+    via the lag/cumsum islands idiom (events merge iff gap < 45 min —
+    session_window merges on overlap of [ts, ts+gap), i.e. strict
+    inequality, hence `>=` starts a new session)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "45 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

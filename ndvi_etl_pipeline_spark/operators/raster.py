@@ -693,17 +693,33 @@ def scan_scene_ndvi(
     per-scene warp; use `scan_geotiffs`+`tile_ndvi` when single
     scenes exceed executor memory.
     """
-    fname = F.element_at(F.split(F.col("path"), "/"), -1)
-    parsed = (
-        spark.read.format("binaryFile")
-        .load(path_glob)
-        .select(
-            F.regexp_extract(fname, r"^(.+)_([A-Za-z0-9]+)\.tif$", 1).alias("scene_id"),
-            F.regexp_extract(fname, r"^(.+)_([A-Za-z0-9]+)\.tif$", 2).alias("band"),
-            "content",
-        )
-        .filter(F.col("band").isin(red_band, nir_band))
+    parsed = parse_band_files(spark.read.format("binaryFile").load(path_glob)).filter(
+        F.col("band").isin(red_band, nir_band)
     )
+    return scene_ndvi_from_bands(parsed, tile=tile, red_band=red_band, nir_band=nir_band)
+
+
+def parse_band_files(binary_df: DataFrame) -> DataFrame:
+    """(path, content) rows → (scene_id, band, content) via the
+    `<scene_id>_<band>.tif` filename contract (F9)."""
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    pat = r"^(.+)_([A-Za-z0-9]+)\.tif$"
+    return binary_df.select(
+        F.regexp_extract(fname, pat, 1).alias("scene_id"),
+        F.regexp_extract(fname, pat, 2).alias("band"),
+        "content",
+    )
+
+
+def scene_ndvi_from_bands(
+    parsed: DataFrame,
+    tile: int = DEFAULT_TILE,
+    red_band: str = "red",
+    nir_band: str = "nir",
+) -> DataFrame:
+    """The fused kernel over an already-parsed (scene_id, band,
+    content) relation — shared by the batch glob scan and the
+    streaming scene feed (streaming/scenes.py)."""
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (scene_id,) = key

@@ -1,0 +1,140 @@
+"""Streaming scene feed: the reference's batch scene loop as a
+Structured Streaming file source (SURVEY §2.9, §3.1).
+
+The reference polls a catalog and processes whatever scenes exist
+(main.py:118-139). Here the same pipeline runs incrementally: a
+`binaryFile` file-source discovers newly-landed band files per
+micro-batch, and foreachBatch reconciles them into per-scene NDVI
+products. The subtle part is J1 band pairing ACROSS micro-batches: a
+scene's red band can land in batch k and its NIR in batch k+n. State
+is kept relationally, not in memory:
+
+- a **band ledger** (parquet, appended per batch): which band files
+  have arrived, by scene — tiny path-metadata rows, never pixel data;
+- the **products table**: scenes already processed.
+
+Each batch: complete scenes = ledger ⋈ both-bands; todo = complete
+anti-join processed (K3's idempotent upsert idiom, so replays and
+restarts are exactly-once at scene granularity); re-read exactly the
+todo scenes' files and run the fused kernel
+(raster.scene_ndvi_from_bands). Restart-safe: the file source's
+checkpoint replays un-committed batches, and the anti-join makes the
+reprocessing a no-op.
+
+At 100 TB the ledger/products stay metadata-sized (2 rows per scene);
+the heavy bytes flow once through the fused kernel exactly as in the
+batch path — streaming changes WHEN scenes process, not HOW.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import raster
+
+__all__ = ["stream_scene_stats"]
+
+BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:  # noqa: BLE001 — first batch: nothing written yet
+        return spark.createDataFrame([], schema)
+
+
+_LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("band", T.StringType()),
+        T.StructField("path", T.StringType()),
+    ]
+)
+
+_PRODUCT_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("n_valid", T.LongType()),
+        T.StructField("mean_ndvi", T.DoubleType()),
+    ]
+)
+
+
+def stream_scene_stats(
+    spark: SparkSession,
+    in_dir: str,
+    work_dir: str,
+    tile: int = raster.DEFAULT_TILE,
+    available_now: bool = True,
+):
+    """Run the incremental scene pipeline over `in_dir`.
+
+    Writes `<work_dir>/ledger` and `<work_dir>/products` (parquet) and
+    checkpoints at `<work_dir>/checkpoint`. With ``available_now`` the
+    query drains everything currently in the directory and stops —
+    call again after more files land to process just the delta (the
+    reference's re-run semantics, now incremental instead of
+    re-reading the world).
+    """
+    ledger_path = f"{work_dir}/ledger"
+    products_path = f"{work_dir}/products"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        fname = F.element_at(F.split(F.col("path"), "/"), -1)
+        pat = r"^(.+)_([A-Za-z0-9]+)\.tif$"
+        arrivals = batch_df.select(
+            F.regexp_extract(fname, pat, 1).alias("scene_id"),
+            F.regexp_extract(fname, pat, 2).alias("band"),
+            "path",
+        ).filter(F.col("band").isin("red", "nir"))
+        arrivals.write.mode("append").parquet(ledger_path)
+
+        ledger = _read_or_empty(s, ledger_path, _LEDGER_SCHEMA)
+        complete = (
+            ledger.groupBy("scene_id")
+            .agg(F.countDistinct("band").alias("nb"))
+            .filter(F.col("nb") >= 2)
+            .select("scene_id")
+        )
+        processed = _read_or_empty(s, products_path, _PRODUCT_SCHEMA).select("scene_id")
+        todo = complete.join(processed, "scene_id", "left_anti")
+        paths = [
+            r.path
+            for r in ledger.join(F.broadcast(todo), "scene_id").select("path").collect()
+        ]
+        if not paths:
+            return
+        parsed = raster.parse_band_files(
+            s.read.format("binaryFile").load(paths)
+        )
+        stats = raster.tile_scene_stats(
+            raster.scene_ndvi_from_bands(parsed, tile=tile)
+        )
+        stats.write.mode("append").parquet(products_path)
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.tif")
+        .load(in_dir)
+    )
+    writer = reader.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", f"{work_dir}/checkpoint"
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

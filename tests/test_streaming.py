@@ -178,3 +178,50 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     s_keys = {tuple(r) for r in out.select("click_id", "purchase_id").collect()}
     b_keys = {tuple(r) for r in batch.select("click_id", "purchase_id").collect()}
     assert s_keys == b_keys
+
+
+def test_stream_scene_feed_pairs_bands_across_batches(spark, tmp_path):
+    """SURVEY §2.9/§3.1: the scene loop as an incremental file-source
+    stream. Scenes whose bands arrive in DIFFERENT micro-batch rounds
+    must still pair (relational ledger state), already-processed
+    scenes must not reprocess (anti-join idempotency), and results
+    must equal the batch path."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators import raster
+    from ndvi_etl_pipeline_spark.streaming.scenes import stream_scene_stats
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rng = np.random.default_rng(3)
+
+    def put(scene, band):
+        lo, hi = (0, 30000) if band == "red" else (0, 60000)
+        arr = rng.integers(lo, hi, size=(64, 64)).astype(np.float32)
+        raster.write_geotiff(arr, str(in_dir / f"{scene}_{band}.tif"))
+
+    # round 1: two complete scenes + one missing its NIR band
+    put("SA_20220601", "red"), put("SA_20220601", "nir")
+    put("SB_20220602", "red"), put("SB_20220602", "nir")
+    put("SC_20220603", "red")
+    stream_scene_stats(spark, str(in_dir), str(tmp_path / "work"))
+    p1 = spark.read.parquet(str(tmp_path / "work" / "products"))
+    assert {r.scene_id for r in p1.collect()} == {"SA_20220601", "SB_20220602"}
+
+    # round 2: SC completes, SD arrives whole
+    put("SC_20220603", "nir")
+    put("SD_20220604", "red"), put("SD_20220604", "nir")
+    stream_scene_stats(spark, str(in_dir), str(tmp_path / "work"))
+    p2 = spark.read.parquet(str(tmp_path / "work" / "products"))
+    got = {r.scene_id: (r.n_pixels, r.n_valid, r.mean_ndvi) for r in p2.collect()}
+    assert set(got) == {"SA_20220601", "SB_20220602", "SC_20220603", "SD_20220604"}
+    assert len(p2.collect()) == 4  # each scene exactly once
+
+    # equals the batch path over the same directory
+    want = {
+        r.scene_id: (r.n_pixels, r.n_valid, r.mean_ndvi)
+        for r in raster.tile_scene_stats(
+            raster.scan_scene_ndvi(spark, str(in_dir))
+        ).collect()
+    }
+    assert got == want

@@ -221,3 +221,49 @@ def contamination_check(
     eval_g = g.filter(F.col("split") == "eval")
     hits = eval_g.join(train_g, "gh", "left_semi")
     return hits.select("doc_id", "source").distinct()
+
+
+def assign_contiguous_ids(
+    df: DataFrame, order_col: str, id_col: str = "example_id", partitions: int | None = None
+) -> DataFrame:
+    """Assign dense 0..N-1 ids in `order_col` order, distributed.
+
+    The naive `row_number() OVER (ORDER BY …)` is a single-task global
+    sort — the classic 100 TB trap (every training-data pipeline needs
+    example ids; none can afford one reducer). Two-pass instead:
+
+    1. range-partition on the sort key (partitions are order-disjoint),
+    2. count rows per partition, prefix-sum the counts driver-side
+       (|partitions| numbers, metadata-scale),
+    3. id = partition offset + local row_number within the partition.
+
+    Global order holds because range partitions are disjoint and the
+    window inside each partition sorts locally. The result is
+    deterministic for a unique `order_col` regardless of partitioning.
+    """
+    from pyspark.sql import Window
+
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # persist so pass 2 reuses the SAME partitioning the counts saw
+    # (repartitionByRange samples; recomputation could re-draw bounds)
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r._pid: r.n for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        ranged.withColumn(
+            id_col,
+            (off[F.col("_pid")] + F.row_number().over(w) - 1).cast("bigint"),
+        )
+        .drop("_pid")
+    )

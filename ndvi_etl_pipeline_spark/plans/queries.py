@@ -2947,6 +2947,64 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "contiguous_ids",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY doc_id) - 1 AS example_id
+    FROM documents
+    """,
+    tags=("curation", "ids"),
+)
+def q_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0..N-1 example-id assignment
+    (curation.assign_contiguous_ids): two-pass range-partition +
+    prefix-sum offsets — NO single-task global sort. The oracle is the
+    naive single-partition row_number; results must be identical."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return CUR.assign_contiguous_ids(d, "doc_id").select("doc_id", "example_id")
+
+
+@register(
+    "union_by_name_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, NULL AS o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 1)
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
+           CAST(count(o_orderstatus) AS BIGINT) AS n_with_status,
+           round(sum(o_totalprice), 2) AS total
+    FROM unioned GROUP BY o_orderpriority
+    """,
+    tags=("setop", "schema-evolution"),
+)
+def q_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two relations with different column
+    sets combined by NAME with missing columns null-filled
+    (unionByName(allowMissingColumns=True)) — the reader-side half of
+    schema evolution on a growing lake; position-based UNION would
+    silently misalign."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count("o_totalprice").cast("bigint").alias("n_with_price"),
+        F.count("o_orderstatus").cast("bigint").alias("n_with_status"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -107,3 +107,22 @@ def test_contamination_subset_of_eval(spark, sf_dir):
     }
     hit_ids = {r["doc_id"] for r in hits.collect()}
     assert hit_ids <= eval_ids
+
+
+def test_assign_contiguous_ids_dense_and_distributed(spark, sf_dir):
+    """Ids must be exactly 0..N-1 in key order, and the plan must NOT
+    funnel through a single-partition global sort (the whole point)."""
+    from ndvi_etl_pipeline_spark.operators.curation import assign_contiguous_ids
+    from ndvi_etl_pipeline_spark.operators.scale import explain_str
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    out = assign_contiguous_ids(d, "doc_id", partitions=7)
+    plan = explain_str(out)
+    assert "SinglePartition" not in plan, plan
+
+    rows = sorted((r.doc_id, r.example_id) for r in out.collect())
+    n = len(rows)
+    assert [i for _, i in rows] == list(range(n))
+    # order by key == order by id
+    assert rows == sorted(rows, key=lambda t: t[1])

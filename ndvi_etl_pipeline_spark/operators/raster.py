@@ -673,6 +673,7 @@ def scan_scene_ndvi(
     tile: int = DEFAULT_TILE,
     red_band: str = "red",
     nir_band: str = "nir",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Fused S4+J1+P1-P6: binaryFile scan → pair band FILES per scene
     → decode both bands and emit NDVI tiles in one applyInPandas
@@ -696,7 +697,9 @@ def scan_scene_ndvi(
     parsed = parse_band_files(spark.read.format("binaryFile").load(path_glob)).filter(
         F.col("band").isin(red_band, nir_band)
     )
-    return scene_ndvi_from_bands(parsed, tile=tile, red_band=red_band, nir_band=nir_band)
+    return scene_ndvi_from_bands(
+        parsed, tile=tile, red_band=red_band, nir_band=nir_band, on_error=on_error
+    )
 
 
 def parse_band_files(binary_df: DataFrame) -> DataFrame:
@@ -716,26 +719,43 @@ def scene_ndvi_from_bands(
     tile: int = DEFAULT_TILE,
     red_band: str = "red",
     nir_band: str = "nir",
+    on_error: str = "raise",
 ) -> DataFrame:
     """The fused kernel over an already-parsed (scene_id, band,
     content) relation — shared by the batch glob scan and the
-    streaming scene feed (streaming/scenes.py)."""
+    streaming scene feed (streaming/scenes.py).
+
+    ``on_error='quarantine'`` gives the reference's per-scene failure
+    isolation (E1, main.py:118-139): a scene whose bands fail to
+    decode or whose grids mismatch emits nothing instead of failing
+    the job — one bad file cannot kill a 100 TB run. The default
+    'raise' is strict (fail fast, the right mode for tests/dev)."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (scene_id,) = key
+        empty = pd.DataFrame(columns=[f.name for f in NDVI_TILE_SCHEMA])
         by_band = dict(zip(pdf["band"], pdf["content"]))
         if red_band not in by_band or nir_band not in by_band:
-            return pd.DataFrame(columns=[f.name for f in NDVI_TILE_SCHEMA])
-        bands = {}
-        for b in (red_band, nir_band):
-            arr, meta = decode_geotiff_bytes(bytes(by_band[b]))
-            a = arr.astype(np.float32)
-            if meta.get("nodata") is not None:
-                a = np.where(a == np.float32(meta["nodata"]), np.nan, a)
-            bands[b] = a
-        red, nir = bands[red_band], bands[nir_band]
-        if red.shape != nir.shape:  # P7 grid-compat guard
-            raise ValueError(f"grid mismatch for {scene_id}: {red.shape} vs {nir.shape}")
+            return empty
+        try:
+            bands = {}
+            for b in (red_band, nir_band):
+                arr, meta = decode_geotiff_bytes(bytes(by_band[b]))
+                a = arr.astype(np.float32)
+                if meta.get("nodata") is not None:
+                    a = np.where(a == np.float32(meta["nodata"]), np.nan, a)
+                bands[b] = a
+            red, nir = bands[red_band], bands[nir_band]
+            if red.shape != nir.shape:  # P7 grid-compat guard
+                raise ValueError(
+                    f"grid mismatch for {scene_id}: {red.shape} vs {nir.shape}"
+                )
+        except Exception:
+            if on_error == "quarantine":
+                return empty
+            raise
 
         present = ~np.isnan(red) & ~np.isnan(nir)
         valid = present & (red != 0) & (nir != 0)

@@ -3005,6 +3005,40 @@ def q_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_TEXT_QUERY = """
+    WITH rev AS (
+      SELECT n_name, o_orderkey,
+             sum(l_extendedprice * (1 - l_discount)) AS orev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name, o_orderkey)
+    SELECT n_name,
+           count(*) AS n_orders,
+           round(sum(orev), 2) AS revenue,
+           round(max(orev), 2) AS top_order_rev
+    FROM rev GROUP BY n_name
+"""
+
+
+@register(
+    "sql_text_interface",
+    oracle=_SQL_TEXT_QUERY,
+    tags=("sql", "join", "agg"),
+)
+def q_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end: the IDENTICAL ANSI text runs through
+    `spark.sql` over registered temp views and through the DuckDB
+    oracle — proving a reference user can bring raw SQL, not just the
+    DataFrame API, and Catalyst plans it the same way (the CTE + two
+    aggregation levels land as the usual partial/final hash aggs and
+    AQE-selected joins)."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_TEXT_QUERY)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -195,3 +195,28 @@ def test_scan_scene_ndvi_matches_codec_path(spark, tmp_path):
     assert {(r.scene_id, r.y, r.x, r.v) for r in fp} == {
         (r.scene_id, r.y, r.x, r.v) for r in gp
     }
+
+
+def test_scan_scene_ndvi_quarantines_bad_scene(spark, tmp_path):
+    """E1 per-scene failure isolation: a corrupt band file must drop
+    only its own scene under on_error='quarantine', and fail the job
+    under the default strict mode."""
+    import pytest
+
+    rng = np.random.default_rng(11)
+    for s in ("GOOD_20220601", "BAD_20220602"):
+        red = rng.integers(0, 30000, size=(48, 48)).astype(np.float32)
+        nir = rng.integers(0, 60000, size=(48, 48)).astype(np.float32)
+        raster.write_geotiff(red, str(tmp_path / f"{s}_red.tif"))
+        raster.write_geotiff(nir, str(tmp_path / f"{s}_nir.tif"))
+    (tmp_path / "BAD_20220602_red.tif").write_bytes(b"NOT A TIFF AT ALL")
+
+    good = raster.scan_scene_ndvi(
+        spark, str(tmp_path), tile=32, on_error="quarantine"
+    )
+    assert {r.scene_id for r in good.select("scene_id").distinct().collect()} == {
+        "GOOD_20220601"
+    }
+
+    with pytest.raises(Exception):
+        raster.scan_scene_ndvi(spark, str(tmp_path), tile=32).count()

@@ -1,0 +1,86 @@
+"""K-means (Lloyd's algorithm) over embedding columns.
+
+Third member of the iterative-operator family (with
+graph.pagerank and dedup.components_min_label). The Spark shape is
+MLlib's own: centroids are a k×dim driver-side table re-broadcast
+each iteration (metadata-sized at any corpus scale), while the data
+side never moves — each iteration is one broadcast cross-join +
+per-row argmin + one groupBy(cid, pos) shuffle of |k·dim| partial
+rows. Distances run JVM-side via zip_with/aggregate folds (no UDF, no
+explode of the assignment pass).
+
+Centroid components are rounded at a fixed precision each iteration
+so the trajectory is reproducible across engines/accumulation orders
+— the property the unrolled-CTE oracle (plans/queries.py) checks
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_lloyd"]
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Run `iterations` Lloyd steps; init = the k smallest `id_col`
+    rows (deterministic). Returns one row per cluster:
+    (cid, n_points, centroid_sum) — final assignment sizes plus the
+    rounded component-sum of the post-update centroid."""
+    spark = df.sparkSession
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()
+    centroids = [
+        (cid, list(r.v)) for cid, r in enumerate(vecs.orderBy("vec_id").limit(k).collect())
+    ]
+
+    sq = lambda a, b: (a - b) * (a - b)  # noqa: E731
+    add = lambda acc, x: acc + x  # noqa: E731
+
+    assigned = None
+    for _ in range(iterations):
+        cdf = spark.createDataFrame(centroids, "cid int, c array<double>")
+        dist = F.aggregate(F.zip_with("v", "c", sq), F.lit(0.0), add)
+        assigned = (
+            vecs.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "v", dist.alias("dist"), "cid")
+            .groupBy("vec_id")
+            # lexicographic struct min = (smallest dist, then smallest
+            # cid) — the deterministic tie-break the oracle mirrors
+            .agg(
+                F.min(F.struct("dist", "cid")).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", F.col("m.cid").alias("cid"), "v")
+        )
+        comp = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), round_digits).alias("val"))
+        )
+        new_c = (
+            comp.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        centroids = sorted((r.cid, list(r.c)) for r in new_c)
+
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_points"))
+    sums = spark.createDataFrame(
+        [(cid, float(sum(c))) for cid, c in centroids], "cid int, s double"
+    ).select("cid", F.round("s", 4).alias("centroid_sum"))
+    return sizes.join(sums, "cid").select("cid", "n_points", "centroid_sum")

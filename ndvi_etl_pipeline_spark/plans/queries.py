@@ -3039,6 +3039,68 @@ def q_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_TEXT_QUERY)
 
 
+def _kmeans_oracle(k: int = 4, iterations: int = 3) -> str:
+    """Lloyd's algorithm unrolled as chained CTEs in fully relational
+    form (points exploded to (vec_id, idx, val); distance = grouped
+    sum of squared differences; argmin via windowed row_number with
+    the same (dist, cid) tie-break as the Spark operator)."""
+    steps = []
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM (SELECT p.vec_id, c.cid,
+                     sum((p.val - c.val) * (p.val - c.val)) AS dist
+              FROM pts p JOIN {prev} c ON c.idx = p.idx
+              GROUP BY p.vec_id, c.cid))
+      WHERE rk = 1),
+    c{i} AS (
+      SELECT a.cid, p.idx, round(avg(p.val), 6) AS val
+      FROM pts p JOIN a{i} a ON a.vec_id = p.vec_id
+      GROUP BY a.cid, p.idx)"""
+        )
+        prev = f"c{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, CAST(t.i AS INT) AS idx,
+             CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN range(1, 65) AS t(i)
+      WHERE t.i <= len(embedding)),
+    c0 AS (
+      SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, idx, val
+      FROM pts
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+    {chain},
+    sizes AS (SELECT cid, count(*) AS n_points FROM a{iterations} GROUP BY cid),
+    sums AS (SELECT cid, round(sum(val), 4) AS centroid_sum
+             FROM c{iterations} GROUP BY cid)
+    SELECT s.cid, s.n_points, m.centroid_sum
+    FROM sizes s JOIN sums m ON m.cid = s.cid
+    """
+
+
+@register(
+    "kmeans_clusters",
+    oracle=_kmeans_oracle(4, 3),
+    tags=("clustering", "iterative", "embedding"),
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (3 Lloyd steps, k=4) on the embedding table — the
+    operator runs array-native (zip_with/aggregate folds, broadcast
+    centroids); the oracle replays the identical trajectory in
+    exploded relational form. Per-iteration centroid rounding makes
+    the trajectory engine-portable, so this is an exact value check
+    of an iterative ML algorithm, not rows-only."""
+    from ..operators.clustering import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(e, k=4, iterations=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

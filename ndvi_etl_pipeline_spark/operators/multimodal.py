@@ -306,3 +306,62 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.filter(F.col("media_type") == "audio").mapInPandas(
         kernel, schema=AUDIO_FEATURE_SCHEMA
     )
+
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("patch_row", T.IntegerType()),
+        T.StructField("patch_col", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def patchify_images(media: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style patch extraction: each raw image → a grid of
+    patch×patch×C payload rows (row-major patch coordinates), plus the
+    per-patch mean intensity so downstream filters (drop blank
+    patches, sort by information content) stay JVM-side.
+
+    Images are cropped to the patch grid (⌊h/p⌋×⌊w/p⌋ patches — the
+    standard ViT behavior after resize). Same narrow mapInPandas shape
+    as the raster tile codec: no shuffle, the patch stream pipelines
+    straight into whatever consumes it (dedup, packing, training-shard
+    writes)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = decode_image(row.payload, row.meta)
+                h, w, c = arr.shape
+                for py in range(h // patch):
+                    for px in range(w // patch):
+                        blk = arr[
+                            py * patch : (py + 1) * patch,
+                            px * patch : (px + 1) * patch,
+                            :,
+                        ]
+                        rows.append(
+                            {
+                                "media_id": row.media_id,
+                                "patch_row": py,
+                                "patch_col": px,
+                                "height": patch,
+                                "width": patch,
+                                "channels": c,
+                                "payload": np.ascontiguousarray(blk).tobytes(),
+                                "mean_intensity": float(blk.mean()),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        kernel, schema=PATCH_SCHEMA
+    )

@@ -3101,6 +3101,89 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(e, k=4, iterations=3)
 
 
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a JOIN part b
+      ON substr(a.p_name, 1, 8) = substr(b.p_name, 1, 8)
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    """,
+    tags=("dedup", "fuzzy", "join"),
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with prefix blocking — the fuzzy
+    sibling of the dedup family. The 8-char-prefix equi-join is the
+    blocking key (candidate pairs shuffle on it, like MinHash bands);
+    levenshtein runs only on candidates, never all-pairs. At 100 TB
+    the blocking key is what keeps this from being a cross join."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 8).alias("blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 8).alias("blk"),
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= 6)
+        .select("key_a", "key_b", "dist")
+    )
+
+
+@register(
+    "revenue_share",
+    oracle="""
+    WITH nrev AS (
+      SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name,
+           round(rev, 2) AS revenue,
+           round(rev / sum(rev) OVER (), 6) AS share,
+           CAST(rank() OVER (ORDER BY rev DESC, n_name) AS INT) AS rnk
+    FROM nrev
+    """,
+    tags=("window", "agg"),
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total revenue via an
+    empty-frame window sum. The window input is the POST-aggregate
+    relation (|nations| rows), so the unpartitioned window is cheap at
+    any scale — the pattern to teach is aggregate-then-window, never
+    window-over-fact-table."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    nrev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("rev"), F.asc("n_name"))
+    return nrev.select(
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w_all), 6).alias("share"),
+        F.rank().over(w_rank).cast("int").alias("rnk"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -75,3 +75,42 @@ def test_compressed_decode_is_stubbed(spark):
         pytest.skip("PIL installed — compressed path is real here")
     with pytest.raises(NotImplementedError, match="codec"):
         MM.decode_image(b"\xff\xd8\xff", {"format": "jpeg", "width": 1, "height": 1, "channels": 3})
+
+
+def test_patchify_images_grid_and_roundtrip(spark):
+    """Patch grid must tile the cropped image exactly: count, shapes,
+    per-patch bytes reassembling to the source, and mean intensities
+    matching numpy."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.multimodal import (
+        patchify_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n_images=2, n_audio=1, n_video=1, seed=5)
+    patches = patchify_images(media, patch=8).collect()
+    src = {
+        r.media_id: np.frombuffer(r.payload, dtype=np.uint8).reshape(
+            r.meta["height"], r.meta["width"], r.meta["channels"]
+        )
+        for r in media.filter("media_type = 'image'").collect()
+    }
+    assert patches
+    seen = set()
+    for p in patches:
+        a = src[p.media_id]
+        blk = np.frombuffer(p.payload, dtype=np.uint8).reshape(
+            p.height, p.width, p.channels
+        )
+        want = a[
+            p.patch_row * 8 : (p.patch_row + 1) * 8,
+            p.patch_col * 8 : (p.patch_col + 1) * 8,
+            :,
+        ]
+        np.testing.assert_array_equal(blk, want)
+        assert abs(p.mean_intensity - float(want.mean())) < 1e-9
+        seen.add((p.media_id, p.patch_row, p.patch_col))
+    for mid, a in src.items():
+        h, w, _ = a.shape
+        assert sum(1 for s in seen if s[0] == mid) == (h // 8) * (w // 8)

@@ -151,3 +151,150 @@ def warp_with_mapping(
         )
 
     return pixels.groupBy("scene_id").applyInPandas(warp, schema=PIXEL_OUT_SCHEMA)
+
+
+TILE_STRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("recv_ty", T.IntegerType()),
+        T.StructField("recv_tx", T.IntegerType()),
+        T.StructField("y0", T.IntegerType()),
+        T.StructField("x0", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def warp_bilinear_tiled(
+    tiles: DataFrame,
+    out_height: int,
+    out_width: int,
+    scale_y: float,
+    scale_x: float,
+) -> DataFrame:
+    """Halo-exchange tiled warp — the scale path for scenes too large
+    for the per-scene canvas (SURVEY §4.2 item 3's "only if needed"
+    variant, now implemented).
+
+    Instead of assembling one mosaic per scene, every source tile
+    exchanges edge STRIPS of width `halo` with its 8 neighbors (one
+    narrow emission pass + one shuffle keyed by receiving tile), each
+    receiver assembles a (P+2·halo)² padded canvas, and computes
+    exactly the destination tiles whose source footprint CENTER falls
+    in it. Shuffle volume is (1+2·halo/P)² × the tile bytes —
+    ~1.2× at P=256 — versus the per-scene path's requirement that a
+    whole scene fit one task's memory.
+
+    halo is derived from the scale: a destination tile's footprint
+    spans P·scale source pixels around its center, so
+    halo = ⌈P·max(scale)/2⌉ + 2; the method requires halo < P
+    (scale ≲ 2 — beyond that, chain two pyramid/warp steps, exactly
+    how GDAL chains overview levels for big decimations).
+
+    Identical sampling semantics to `resample_scene_pixels`
+    (pixel-center inverse map, all-4-neighbor validity): the equality
+    test in tests/test_warp.py checks bit-for-bit agreement.
+    """
+
+    def _tile_size(df: DataFrame) -> int:
+        r = df.select("height").first()
+        return int(r.height)
+
+    P = _tile_size(tiles)
+    halo = int(np.ceil(P * max(abs(scale_y), abs(scale_x)) / 2.0)) + 2
+    if halo >= P:
+        raise ValueError(
+            f"halo {halo} >= tile {P}: scale too large for 1-ring exchange; "
+            "chain an overview/pyramid step first"
+        )
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.data, dtype=np.float32).reshape(
+                    row.height, row.width
+                )
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        rty, rtx = row.tile_y + dy, row.tile_x + dx
+                        if rty < 0 or rtx < 0:
+                            continue
+                        # part of THIS tile inside receiver's padded extent
+                        if dy == 0:
+                            rs, re = 0, row.height
+                        elif dy == -1:  # receiver above: my first halo rows
+                            rs, re = 0, halo
+                        else:  # receiver below: my last halo rows
+                            rs, re = row.height - halo, row.height
+                        if dx == 0:
+                            cs, ce = 0, row.width
+                        elif dx == -1:
+                            cs, ce = 0, halo
+                        else:
+                            cs, ce = row.width - halo, row.width
+                        strip = np.ascontiguousarray(arr[rs:re, cs:ce])
+                        rows.append(
+                            {
+                                "scene_id": row.scene_id,
+                                "recv_ty": rty,
+                                "recv_tx": rtx,
+                                "y0": row.y0 + rs,
+                                "x0": row.x0 + cs,
+                                "height": strip.shape[0],
+                                "width": strip.shape[1],
+                                "data": strip.tobytes(),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    strips = tiles.mapInPandas(emit, schema=TILE_STRIP_SCHEMA)
+
+    n_dty = -(-out_height // P)
+    n_dtx = -(-out_width // P)
+
+    def assemble_and_warp(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        scene_id, rty, rtx = key
+        oy, ox = int(rty) * P - halo, int(rtx) * P - halo
+        canvas = np.full((P + 2 * halo, P + 2 * halo), np.nan, dtype=np.float64)
+        for row in pdf.itertuples(index=False):
+            a = np.frombuffer(row.data, dtype=np.float32).reshape(row.height, row.width)
+            canvas[row.y0 - oy : row.y0 - oy + row.height,
+                   row.x0 - ox : row.x0 - ox + row.width] = a
+
+        outs = []
+        # destination tiles whose footprint center maps into this tile
+        for dty in range(n_dty):
+            if int(((dty + 0.5) * P * scale_y) // P) != rty:
+                continue
+            for dtx in range(n_dtx):
+                if int(((dtx + 0.5) * P * scale_x) // P) != rtx:
+                    continue
+                dys = np.arange(dty * P, min((dty + 1) * P, out_height))
+                dxs = np.arange(dtx * P, min((dtx + 1) * P, out_width))
+                jj, ii = np.meshgrid(dxs, dys)
+                sy = (ii.ravel() + 0.5) * scale_y - 0.5 - oy
+                sx = (jj.ravel() + 0.5) * scale_x - 0.5 - ox
+                v = bilinear_sample(canvas, sy, sx)
+                keep = ~np.isnan(v)
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "scene_id": scene_id,
+                                "y": ii.ravel()[keep].astype(np.int32),
+                                "x": jj.ravel()[keep].astype(np.int32),
+                                "v": v[keep],
+                            }
+                        )
+                    )
+        if not outs:
+            return pd.DataFrame(columns=[f.name for f in PIXEL_OUT_SCHEMA])
+        return pd.concat(outs, ignore_index=True)
+
+    return strips.groupBy("scene_id", "recv_ty", "recv_tx").applyInPandas(
+        assemble_and_warp, schema=PIXEL_OUT_SCHEMA
+    )

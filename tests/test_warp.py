@@ -60,3 +60,43 @@ def test_warp_with_mapping_shift(spark):
     assert len(out) == 100
     for r in out:
         assert r.v == pytest.approx(3.0 * (r.y + 2) + 7.0 * (r.x + 3) + 1.0, rel=1e-12)
+
+
+def test_tiled_warp_matches_per_scene(spark, sf_dir):
+    """Halo-exchange tiled warp must agree bit-for-bit with the
+    (oracle-checked) per-scene canvas warp, for downsampling,
+    upsampling, and non-square scales."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.operators import raster
+    from ndvi_etl_pipeline_spark.operators.warp import (
+        resample_scene_pixels,
+        warp_bilinear_tiled,
+    )
+    from ndvi_etl_pipeline_spark.plans.queries import derived_pixels
+
+    px = (
+        derived_pixels(spark, sf_dir)
+        .groupBy("scene_id", "band", "y", "x")
+        .agg(F.max("dn").alias("dn"))
+    )
+    ndvi_tiles = raster.tile_ndvi(raster.pixels_to_tiles(px, tile=32))
+    ndvi_px = raster.tiles_to_pixels(ndvi_tiles, value_name="ndvi")
+
+    for out_h, out_w, sy, sx in [
+        (64, 64, 100 / 64, 100 / 64),   # downsample
+        (160, 120, 100 / 160, 100 / 120),  # upsample, non-square
+    ]:
+        want = {
+            (r.scene_id, r.y, r.x): r.v
+            for r in resample_scene_pixels(
+                ndvi_px, out_h, out_w, sy, sx, src_height=100, src_width=100
+            ).collect()
+        }
+        got = {
+            (r.scene_id, r.y, r.x): r.v
+            for r in warp_bilinear_tiled(ndvi_tiles, out_h, out_w, sy, sx).collect()
+        }
+        assert set(got) == set(want), (out_h, out_w)
+        for k, v in want.items():
+            assert got[k] == v or abs(got[k] - v) < 1e-12, k

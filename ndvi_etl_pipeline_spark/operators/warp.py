@@ -167,48 +167,65 @@ TILE_STRIP_SCHEMA = T.StructType(
 )
 
 
+WARP_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("y0", T.IntegerType()),
+        T.StructField("x0", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
 def warp_bilinear_tiled(
     tiles: DataFrame,
     out_height: int,
     out_width: int,
     scale_y: float,
     scale_x: float,
+    output: str = "pixels",
 ) -> DataFrame:
     """Halo-exchange tiled warp — the scale path for scenes too large
     for the per-scene canvas (SURVEY §4.2 item 3's "only if needed"
     variant, now implemented).
 
     Instead of assembling one mosaic per scene, every source tile
-    exchanges edge STRIPS of width `halo` with its 8 neighbors (one
-    narrow emission pass + one shuffle keyed by receiving tile), each
-    receiver assembles a (P+2·halo)² padded canvas, and computes
-    exactly the destination tiles whose source footprint CENTER falls
-    in it. Shuffle volume is (1+2·halo/P)² × the tile bytes —
-    ~1.2× at P=256 — versus the per-scene path's requirement that a
-    whole scene fit one task's memory.
-
-    halo is derived from the scale: a destination tile's footprint
-    spans P·scale source pixels around its center, so
-    halo = ⌈P·max(scale)/2⌉ + 2; the method requires halo < P
-    (scale ≲ 2 — beyond that, chain two pyramid/warp steps, exactly
-    how GDAL chains overview levels for big decimations).
+    exchanges a CONSTANT 2-px halo of edge strips with its 8 neighbors
+    (one narrow emission pass + one shuffle keyed by receiving tile).
+    Each receiver assembles a (P+4)² padded canvas and computes the
+    destination pixels whose SOURCE-center falls inside its own
+    extent — so destination "tiles" are variable-sized (≈P/scale
+    pixels per axis) and every destination pixel is produced exactly
+    once. Because assignment follows source position, the halo does
+    NOT grow with the zoom factor: shuffle volume stays
+    (1+4/P)² ≈ 1.03× the tile bytes at P=256 for ANY scale, versus
+    the per-scene path's whole-scene-per-task memory requirement.
 
     Identical sampling semantics to `resample_scene_pixels`
     (pixel-center inverse map, all-4-neighbor validity): the equality
     test in tests/test_warp.py checks bit-for-bit agreement.
+
+    ``output='tiles'`` keeps the result in tile form (float32 payload
+    rows, NaN = invalid) instead of exploding to pixel rows — the
+    right choice when the warp feeds further tile kernels or a sink:
+    one payload row replaces tens of thousands of pixel rows at the
+    Arrow boundary.
     """
+    if output not in ("pixels", "tiles"):
+        raise ValueError(f"output must be 'pixels' or 'tiles', got {output!r}")
+    if scale_y <= 0 or scale_x <= 0:
+        raise ValueError("scales must be positive")
 
     def _tile_size(df: DataFrame) -> int:
         r = df.select("height").first()
         return int(r.height)
 
     P = _tile_size(tiles)
-    halo = int(np.ceil(P * max(abs(scale_y), abs(scale_x)) / 2.0)) + 2
-    if halo >= P:
-        raise ValueError(
-            f"halo {halo} >= tile {P}: scale too large for 1-ring exchange; "
-            "chain an overview/pyramid step first"
-        )
+    halo = 2
 
     def emit(batches):
         for pdf in batches:
@@ -253,8 +270,14 @@ def warp_bilinear_tiled(
 
     strips = tiles.mapInPandas(emit, schema=TILE_STRIP_SCHEMA)
 
-    n_dty = -(-out_height // P)
-    n_dtx = -(-out_width // P)
+    def _dst_range(rt: int, scale: float, out_n: int) -> tuple[int, int]:
+        """Destination indices whose source CENTER lies in source tile
+        rt: (d+0.5)·scale − 0.5 ∈ [rt·P, (rt+1)·P)."""
+        import math
+
+        lo = max(0, math.ceil((rt * P + 0.5) / scale - 0.5))
+        hi = min(out_n, math.ceil(((rt + 1) * P + 0.5) / scale - 0.5))
+        return lo, hi  # half-open
 
     def assemble_and_warp(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         scene_id, rty, rtx = key
@@ -265,36 +288,48 @@ def warp_bilinear_tiled(
             canvas[row.y0 - oy : row.y0 - oy + row.height,
                    row.x0 - ox : row.x0 - ox + row.width] = a
 
-        outs = []
-        # destination tiles whose footprint center maps into this tile
-        for dty in range(n_dty):
-            if int(((dty + 0.5) * P * scale_y) // P) != rty:
-                continue
-            for dtx in range(n_dtx):
-                if int(((dtx + 0.5) * P * scale_x) // P) != rtx:
-                    continue
-                dys = np.arange(dty * P, min((dty + 1) * P, out_height))
-                dxs = np.arange(dtx * P, min((dtx + 1) * P, out_width))
-                jj, ii = np.meshgrid(dxs, dys)
-                sy = (ii.ravel() + 0.5) * scale_y - 0.5 - oy
-                sx = (jj.ravel() + 0.5) * scale_x - 0.5 - ox
-                v = bilinear_sample(canvas, sy, sx)
-                keep = ~np.isnan(v)
-                if keep.any():
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "scene_id": scene_id,
-                                "y": ii.ravel()[keep].astype(np.int32),
-                                "x": jj.ravel()[keep].astype(np.int32),
-                                "v": v[keep],
-                            }
-                        )
-                    )
-        if not outs:
-            return pd.DataFrame(columns=[f.name for f in PIXEL_OUT_SCHEMA])
-        return pd.concat(outs, ignore_index=True)
+        schema = WARP_TILE_SCHEMA if output == "tiles" else PIXEL_OUT_SCHEMA
+        empty = pd.DataFrame(columns=[f.name for f in schema])
+        y_lo, y_hi = _dst_range(int(rty), scale_y, out_height)
+        x_lo, x_hi = _dst_range(int(rtx), scale_x, out_width)
+        if y_lo >= y_hi or x_lo >= x_hi:
+            return empty
+        dys = np.arange(y_lo, y_hi)
+        dxs = np.arange(x_lo, x_hi)
+        jj, ii = np.meshgrid(dxs, dys)
+        sy = (ii.ravel() + 0.5) * scale_y - 0.5 - oy
+        sx = (jj.ravel() + 0.5) * scale_x - 0.5 - ox
+        v = bilinear_sample(canvas, sy, sx)
+        keep = ~np.isnan(v)
+        if not keep.any():
+            return empty
+        if output == "tiles":
+            return pd.DataFrame(
+                [
+                    {
+                        "scene_id": scene_id,
+                        "tile_y": int(rty),
+                        "tile_x": int(rtx),
+                        "height": len(dys),
+                        "width": len(dxs),
+                        "y0": int(y_lo),
+                        "x0": int(x_lo),
+                        "data": v.astype(np.float32)
+                        .reshape(len(dys), len(dxs))
+                        .tobytes(),
+                    }
+                ]
+            )
+        return pd.DataFrame(
+            {
+                "scene_id": scene_id,
+                "y": ii.ravel()[keep].astype(np.int32),
+                "x": jj.ravel()[keep].astype(np.int32),
+                "v": v[keep],
+            }
+        )
 
+    out_schema = WARP_TILE_SCHEMA if output == "tiles" else PIXEL_OUT_SCHEMA
     return strips.groupBy("scene_id", "recv_ty", "recv_tx").applyInPandas(
-        assemble_and_warp, schema=PIXEL_OUT_SCHEMA
+        assemble_and_warp, schema=out_schema
     )

@@ -3184,6 +3184,57 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "warp_tiled",
+    oracle=_NDVI_SQL
+    + """
+    , dst AS (
+      SELECT s.scene_id, i AS y, j AS x,
+             (i + 0.5) * 1.25 - 0.5 AS sy, (j + 0.5) * 1.25 - 0.5 AS sx
+      FROM (SELECT DISTINCT scene_id FROM nv) s
+      CROSS JOIN (SELECT unnest(generate_series(0, 79)) AS i)
+      CROSS JOIN (SELECT unnest(generate_series(0, 79)) AS j)
+    ),
+    c AS (
+      SELECT scene_id, y, x,
+             CAST(floor(sy) AS INT) AS y0, CAST(floor(sx) AS INT) AS x0,
+             sy - floor(sy) AS wy, sx - floor(sx) AS wx
+      FROM dst
+    )
+    SELECT c.scene_id, c.y, c.x,
+           round(CAST(CAST(v00.ndvi AS REAL) AS DOUBLE) * (1 - c.wy) * (1 - c.wx)
+               + CAST(CAST(v01.ndvi AS REAL) AS DOUBLE) * (1 - c.wy) * c.wx
+               + CAST(CAST(v10.ndvi AS REAL) AS DOUBLE) * c.wy * (1 - c.wx)
+               + CAST(CAST(v11.ndvi AS REAL) AS DOUBLE) * c.wy * c.wx, 6) AS v
+    FROM c
+    JOIN nv v00 ON v00.scene_id = c.scene_id AND v00.y = c.y0     AND v00.x = c.x0
+    JOIN nv v01 ON v01.scene_id = c.scene_id AND v01.y = c.y0     AND v01.x = c.x0 + 1
+    JOIN nv v10 ON v10.scene_id = c.scene_id AND v10.y = c.y0 + 1 AND v10.x = c.x0
+    JOIN nv v11 ON v11.scene_id = c.scene_id AND v11.y = c.y0 + 1 AND v11.x = c.x0 + 1
+    WHERE v00.ndvi IS NOT NULL AND v01.ndvi IS NOT NULL
+      AND v10.ndvi IS NOT NULL AND v11.ndvi IS NOT NULL
+    """,
+    tags=("ndvi", "raster", "warp", "tiled"),
+)
+def q_warp_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The halo-exchange tiled warp (warp_bilinear_tiled) against the
+    same 4-neighbor-join SQL formulation as `warp_bilinear` —
+    100×100 → 80×80 (scale 1.25, halo=22 on 32-px tiles), so BOTH
+    warp execution strategies are oracle-checked, not just
+    equality-checked against each other. Tile payloads are float32,
+    so the oracle replays the quantization (CAST … AS REAL) before
+    the double-precision interpolation."""
+    from ..operators.raster import pixels_to_tiles
+    from ..operators.warp import warp_bilinear_tiled
+
+    nv = _ndvi_pixels_df(spark, sf_dir)
+    tiles = pixels_to_tiles(
+        nv.withColumn("band", F.lit("ndvi")), tile=32, value_col="ndvi"
+    ).drop("band")
+    out = warp_bilinear_tiled(tiles, out_height=80, out_width=80, scale_y=1.25, scale_x=1.25)
+    return out.select("scene_id", "y", "x", F.round("v", 6).alias("v"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

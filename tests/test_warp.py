@@ -100,3 +100,34 @@ def test_tiled_warp_matches_per_scene(spark, sf_dir):
         assert set(got) == set(want), (out_h, out_w)
         for k, v in want.items():
             assert got[k] == v or abs(got[k] - v) < 1e-12, k
+
+
+def test_tiled_warp_tile_output_matches_pixels(spark, sf_dir):
+    """output='tiles' must carry the same cells/values as the pixel
+    output (to float32 payload precision)."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.operators import raster
+    from ndvi_etl_pipeline_spark.operators.warp import warp_bilinear_tiled
+    from ndvi_etl_pipeline_spark.plans.queries import derived_pixels
+
+    px = (
+        derived_pixels(spark, sf_dir)
+        .groupBy("scene_id", "band", "y", "x")
+        .agg(F.max("dn").alias("dn"))
+    )
+    ndvi_tiles = raster.tile_ndvi(raster.pixels_to_tiles(px, tile=32))
+    want = {
+        (r.scene_id, r.y, r.x): r.v
+        for r in warp_bilinear_tiled(ndvi_tiles, 80, 80, 1.25, 1.25).collect()
+    }
+    got = {
+        (r.scene_id, r.y, r.x): r.v
+        for r in raster.tiles_to_pixels(
+            warp_bilinear_tiled(ndvi_tiles, 80, 80, 1.25, 1.25, output="tiles"),
+            value_name="v",
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) <= 1e-6, k

@@ -107,6 +107,18 @@ def main() -> None:
         stages["overviews_x5"] = round(time.perf_counter() - t0, 3)
 
         t0 = time.perf_counter()
+        from ndvi_etl_pipeline_spark.operators.warp import warp_bilinear_tiled
+
+        out_dim = args.size * 2 // 3  # ~1.5× decimation, the 30 m-style reproject
+        warped = warp_bilinear_tiled(
+            ndvi, out_dim, out_dim, args.size / out_dim, args.size / out_dim,
+            output="tiles",
+        )
+        n_warp = warped.count()
+        assert n_warp > 0
+        stages["warp_tiled"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
         products = raster.tile_scene_stats(ndvi).withColumn(
             "acquisition_date", F.to_date(F.split("scene_id", "_")[3], "yyyyMMdd")
         )

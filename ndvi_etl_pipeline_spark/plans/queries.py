@@ -3235,6 +3235,112 @@ def q_warp_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("scene_id", "y", "x", F.round("v", 6).alias("v"))
 
 
+@register(
+    "having_global_share",
+    oracle="""
+    SELECT p_type,
+           round(sum(l_extendedprice), 2) AS type_value
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type
+    HAVING sum(l_extendedprice) >
+           (SELECT sum(l_extendedprice) * 0.04
+            FROM lineitem JOIN part ON l_partkey = p_partkey)
+    """,
+    tags=("agg", "subquery"),
+)
+def q_having_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global scalar subquery. The
+    scalar aggregates once and broadcasts as a 1-row cross join — the
+    grouped relation is NOT rescanned per group. (Spark plans the
+    uncorrelated scalar subquery exactly this way.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"]).select("p_type", "l_extendedprice")
+    total = joined.agg((F.sum("l_extendedprice") * 0.04).alias("threshold"))
+    return (
+        joined.groupBy("p_type")
+        .agg(F.sum("l_extendedprice").alias("tv"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("tv") > F.col("threshold"))
+        .select("p_type", F.round("tv", 2).alias("type_value"))
+    )
+
+
+@register(
+    "not_in_null_semantics",
+    oracle="""
+    SELECT variant, CAST(n AS BIGINT) AS n FROM (
+      SELECT 'clean' AS variant, count(*) AS n
+      FROM supplier
+      WHERE s_suppkey NOT IN (
+        SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+      UNION ALL
+      SELECT 'null_poisoned' AS variant, count(*) AS n
+      FROM supplier
+      WHERE s_suppkey NOT IN (
+        SELECT CASE WHEN l_quantity > 49 THEN l_suppkey END FROM lineitem))
+    """,
+    tags=("antijoin", "null"),
+)
+def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN three-valued-logic semantics — the classic engine
+    correctness trap: a single NULL in the subquery makes NOT IN
+    return UNKNOWN for every row (count 0), while the null-free
+    variant is a plain anti-join. Expressed DataFrame-first as a
+    left_anti join plus an explicit null-existence guard — the
+    rewrite every optimizer performs for null-aware anti joins."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+
+    clean_keys = li.filter(F.col("l_quantity") > 49).select(
+        F.col("l_suppkey").alias("k")
+    )
+    n_clean = s.join(clean_keys, s["s_suppkey"] == clean_keys["k"], "left_anti").count()
+
+    poisoned = li.select(
+        F.when(F.col("l_quantity") > 49, F.col("l_suppkey")).alias("k")
+    )
+    has_null = poisoned.filter(F.col("k").isNull()).limit(1).count() > 0
+    n_poisoned = (
+        0
+        if has_null
+        else s.join(poisoned, s["s_suppkey"] == poisoned["k"], "left_anti").count()
+    )
+    return s.sparkSession.createDataFrame(
+        [("clean", n_clean), ("null_poisoned", n_poisoned)], "variant string, n bigint"
+    )
+
+
+@register(
+    "exists_not_exists",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_custs
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("semijoin", "antijoin"),
+)
+def q_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined EXISTS / NOT EXISTS (TPC-H Q21/Q22 shape): customers
+    with at least one order but no order above the threshold —
+    left_semi then left_anti on the same dimension, both hash joins
+    on the customer key, pipelined in one plan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000.0)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .join(big, F.col("c_custkey") == big["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_custs"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

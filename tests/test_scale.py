@@ -234,3 +234,26 @@ def test_compact_partitions_reduces_files_keeps_data(spark, sf_dir, tmp_path):
         tuple(r) for r in before
     }
     assert back.select(F.sum("event_id")).first()[0] == e.select(F.sum("event_id")).first()[0]
+
+
+def test_parquet_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    """The claims PLANS.md makes about the scan layer, as regression
+    tests: date+price predicates must reach the parquet reader as
+    PushedFilters, and ReadSchema must contain only referenced
+    columns."""
+    o = load_table(spark, "orders", sf_dir)
+    q = (
+        o.filter(
+            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_totalprice") <= 150000.0)
+        )
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = explain_str(q)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "o_totalprice" in pushed and "o_orderdate" in pushed, pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("o_orderdate", "o_totalprice", "o_orderpriority"):
+        assert col in read_schema
+    assert "o_comment" not in read_schema and "o_custkey" not in read_schema

@@ -548,6 +548,145 @@ def write_geotiff(
         fh.write(data)
 
 
+_TILE_TAGS = {
+    "Predictor": 317,
+    "TileWidth": 322,
+    "TileLength": 323,
+    "TileOffsets": 324,
+    "TileByteCounts": 325,
+}
+
+
+def _fp_predictor_encode(a: np.ndarray) -> bytes:
+    """TIFF predictor 3 (floating-point horizontal differencing) for
+    one tile: per scanline, bytes regroup into significance planes
+    (MSB plane first, per the libtiff fpDiff layout for little-endian
+    data) and then byte-difference horizontally. Pure numpy."""
+    th, tw = a.shape
+    raw = np.ascontiguousarray(a, dtype="<f4").view(np.uint8).reshape(th, tw, 4)
+    planes = raw[:, :, ::-1]  # byte 0 = most significant
+    rows = np.ascontiguousarray(planes.transpose(0, 2, 1)).reshape(th, 4 * tw)
+    diff = rows.copy()
+    diff[:, 1:] = rows[:, 1:] - rows[:, :-1]  # uint8 wraparound
+    return diff.tobytes()
+
+
+def _fp_predictor_decode(buf: bytes, th: int, tw: int) -> np.ndarray:
+    d = np.frombuffer(buf, dtype=np.uint8).reshape(th, 4 * tw)
+    acc = np.cumsum(d, axis=1, dtype=np.uint64).astype(np.uint8)
+    planes = acc.reshape(th, 4, tw).transpose(0, 2, 1)  # (th, tw, 4) MSB-first
+    le = np.ascontiguousarray(planes[:, :, ::-1]).reshape(th, tw * 4)
+    return np.frombuffer(le.tobytes(), dtype="<f4").reshape(th, tw)
+
+
+def write_geotiff_tiled(
+    arr: np.ndarray,
+    path: str,
+    origin: tuple[float, float] = (0.0, 0.0),
+    pixel_size: tuple[float, float] = (1.0, 1.0),
+    epsg: int = 4326,
+    nodata: float = NODATA,
+    tile: int = 256,
+    predictor: int = 3,
+) -> None:
+    """The reference's exact storage profile (compute_ndvi.py:79-84) in
+    pure Python: tiled 256×256, deflate, predictor 3 (floating-point
+    differencing — byte planes compress dramatically better for smooth
+    float rasters), float32, GDAL nodata tag. `decode_geotiff_bytes`
+    reads it back; layout follows the TIFF 6 + libtiff conventions so
+    GDAL/QGIS can too."""
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.float32)
+    h, w = a.shape
+    tiles_down = -(-h // tile)
+    tiles_across = -(-w // tile)
+    payloads: list[bytes] = []
+    for ty in range(tiles_down):
+        for tx in range(tiles_across):
+            block = np.full((tile, tile), np.float32(nodata), dtype=np.float32)
+            sub = a[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+            block[: sub.shape[0], : sub.shape[1]] = sub
+            raw = _fp_predictor_encode(block) if predictor == 3 else block.tobytes()
+            payloads.append(zlib.compress(raw, 6))
+
+    nodata_ascii = f"{nodata:g}\x00".encode()
+    geokeys = [(1, 1, 0, 3), (1024, 0, 1, 2), (1025, 0, 1, 1), (2048, 0, 1, epsg)]
+    geokey_shorts = [v for row in geokeys for v in row]
+    n_tiles = len(payloads)
+
+    n_tags = 16
+    ifd_off = 8
+    ifd_size = 2 + n_tags * 12 + 4
+    val_off = ifd_off + ifd_size
+    out_of_line: list[bytes] = []
+
+    def defer(payload: bytes) -> int:
+        nonlocal val_off
+        off = val_off
+        out_of_line.append(payload)
+        val_off += len(payload) + (len(payload) % 2)
+        return off
+
+    pixel_scale = defer(struct.pack("<3d", pixel_size[0], pixel_size[1], 0.0))
+    tiepoint = defer(struct.pack("<6d", 0.0, 0.0, 0.0, origin[0], origin[1], 0.0))
+    geokey_off = defer(struct.pack(f"<{len(geokey_shorts)}H", *geokey_shorts))
+    nodata_off = defer(nodata_ascii)
+    counts_off = defer(struct.pack(f"<{n_tiles}I", *[len(p) for p in payloads]))
+    # tile offsets depend on where data starts: after the offsets array
+    offsets_pos = val_off
+    val_off += n_tiles * 4 + ((n_tiles * 4) % 2)
+    data_start = val_off
+    tile_offsets, pos = [], data_start
+    for p in payloads:
+        tile_offsets.append(pos)
+        pos += len(p)
+    out_of_line.append(struct.pack(f"<{n_tiles}I", *tile_offsets))
+
+    def tag(code: int, ttype: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", code, ttype, count, value)
+
+    def scalar_or_off(values_off: int, count: int, first: int) -> int:
+        return first if count == 1 else values_off
+
+    tags = [
+        tag(_TIFF_TAGS["ImageWidth"], 3, 1, w),
+        tag(_TIFF_TAGS["ImageLength"], 3, 1, h),
+        tag(_TIFF_TAGS["BitsPerSample"], 3, 1, 32),
+        tag(_TIFF_TAGS["Compression"], 3, 1, 8),  # deflate
+        tag(_TIFF_TAGS["Photometric"], 3, 1, 1),
+        tag(_TIFF_TAGS["SamplesPerPixel"], 3, 1, 1),
+        tag(_TILE_TAGS["Predictor"], 3, 1, predictor),
+        tag(_TIFF_TAGS["SampleFormat"], 3, 1, 3),
+        tag(_TILE_TAGS["TileWidth"], 3, 1, tile),
+        tag(_TILE_TAGS["TileLength"], 3, 1, tile),
+        tag(
+            _TILE_TAGS["TileOffsets"], 4, n_tiles,
+            scalar_or_off(offsets_pos, n_tiles, tile_offsets[0]),
+        ),
+        tag(
+            _TILE_TAGS["TileByteCounts"], 4, n_tiles,
+            scalar_or_off(counts_off, n_tiles, len(payloads[0])),
+        ),
+        tag(_TIFF_TAGS["ModelPixelScale"], 12, 3, pixel_scale),
+        tag(_TIFF_TAGS["ModelTiepoint"], 12, 6, tiepoint),
+        tag(_TIFF_TAGS["GeoKeyDirectory"], 3, len(geokey_shorts), geokey_off),
+        tag(_TIFF_TAGS["GDALNodata"], 2, len(nodata_ascii), nodata_off),
+    ]
+    tags.sort(key=lambda t: struct.unpack_from("<H", t)[0])  # TIFF requires sorted tags
+    with open(path, "wb") as fh:
+        fh.write(b"II*\x00" + struct.pack("<I", ifd_off))
+        fh.write(struct.pack("<H", n_tags))
+        fh.write(b"".join(tags))
+        fh.write(struct.pack("<I", 0))
+        for payload in out_of_line:
+            fh.write(payload)
+            if len(payload) % 2:
+                fh.write(b"\x00")
+        for p in payloads:
+            fh.write(p)
+
+
 def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
     """Read a single-band float32 GeoTIFF written by `write_geotiff`
     (or rasterio when installed). Returns (array, metadata)."""
@@ -584,11 +723,48 @@ def decode_geotiff_bytes(buf: bytes) -> tuple[np.ndarray, dict]:
     def short_or_long(code: int) -> int:
         return tags[code][2]
 
+    def long_array(code: int) -> list[int]:
+        ttype, count, value = tags[code]
+        if count == 1:
+            return [value]
+        return list(struct.unpack_from(f"<{count}I", buf, value))
+
     w = short_or_long(_TIFF_TAGS["ImageWidth"])
     h = short_or_long(_TIFF_TAGS["ImageLength"])
-    off = short_or_long(_TIFF_TAGS["StripOffsets"])
-    nbytes = short_or_long(_TIFF_TAGS["StripByteCounts"])
-    arr = np.frombuffer(buf, dtype="<f4", count=nbytes // 4, offset=off).reshape(h, w)
+    compression = short_or_long(_TIFF_TAGS["Compression"]) if _TIFF_TAGS[
+        "Compression"
+    ] in tags else 1
+
+    if _TILE_TAGS["TileWidth"] in tags:  # tiled layout (write_geotiff_tiled)
+        import zlib
+
+        tw = short_or_long(_TILE_TAGS["TileWidth"])
+        th = short_or_long(_TILE_TAGS["TileLength"])
+        predictor = (
+            short_or_long(_TILE_TAGS["Predictor"]) if _TILE_TAGS["Predictor"] in tags else 1
+        )
+        offs = long_array(_TILE_TAGS["TileOffsets"])
+        cnts = long_array(_TILE_TAGS["TileByteCounts"])
+        tiles_across = -(-w // tw)
+        arr = np.empty((h, w), dtype="<f4")
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            raw = buf[o : o + c]
+            if compression == 8:
+                raw = zlib.decompress(raw)
+            block = (
+                _fp_predictor_decode(raw, th, tw)
+                if predictor == 3
+                else np.frombuffer(raw, dtype="<f4").reshape(th, tw)
+            )
+            ty, tx = divmod(i, tiles_across)
+            ys, xs = ty * th, tx * tw
+            arr[ys : min(ys + th, h), xs : min(xs + tw, w)] = block[
+                : min(th, h - ys), : min(tw, w - xs)
+            ]
+    else:
+        off = short_or_long(_TIFF_TAGS["StripOffsets"])
+        nbytes = short_or_long(_TIFF_TAGS["StripByteCounts"])
+        arr = np.frombuffer(buf, dtype="<f4", count=nbytes // 4, offset=off).reshape(h, w)
     meta: dict = {"epsg": None, "nodata": None, "origin": None, "pixel_size": None}
     if _TIFF_TAGS["ModelPixelScale"] in tags:
         _, _, v = tags[_TIFF_TAGS["ModelPixelScale"]]
@@ -807,6 +983,7 @@ def export_scene_geotiffs(
     pixel_size: tuple[float, float] = (1.0, 1.0),
     epsg: int = 4326,
     nodata: float = NODATA,
+    profile: str = "striped",
 ) -> DataFrame:
     """Assemble each scene's tiles into one mosaic and write
     `<scene_id>_NDVI.tif` — the reference's per-scene product
@@ -841,8 +1018,9 @@ def export_scene_geotiffs(
             ] = arr
         out = np.where(np.isnan(mosaic), np.float32(nodata), mosaic)
         path = os.path.join(out_dir, f"{scene_id}_NDVI.tif")
-        write_geotiff(out, path, origin=(min_x, min_y), pixel_size=pixel_size,
-                      epsg=epsg, nodata=nodata)
+        writer = write_geotiff_tiled if profile == "tiled" else write_geotiff
+        writer(out, path, origin=(min_x, min_y), pixel_size=pixel_size,
+               epsg=epsg, nodata=nodata)
         return pd.DataFrame(
             {
                 "scene_id": [scene_id],

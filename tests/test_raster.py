@@ -220,3 +220,54 @@ def test_scan_scene_ndvi_quarantines_bad_scene(spark, tmp_path):
 
     with pytest.raises(Exception):
         raster.scan_scene_ndvi(spark, str(tmp_path), tile=32).count()
+
+
+def test_tiled_deflate_geotiff_roundtrip(tmp_path):
+    """The reference's storage profile (tiled 256, deflate, predictor 3,
+    compute_ndvi.py:79-84) in pure Python: roundtrip must be lossless
+    (incl. NaN and odd dims) and the fp predictor must actually earn
+    its keep on smooth data."""
+    rng = np.random.default_rng(21)
+    # smooth field (realistic NDVI) + NaN holes + odd (non-tile) dims
+    yy, xx = np.mgrid[0:300, 0:517]
+    smooth = (np.sin(yy / 37.0) * np.cos(xx / 53.0)).astype(np.float32)
+    smooth[::11, ::7] = np.nan
+
+    p_tiled = str(tmp_path / "tiled.tif")
+    raster.write_geotiff_tiled(smooth, p_tiled, origin=(25.1, 60.6),
+                               pixel_size=(0.1, 0.1), epsg=32635)
+    back, meta = raster.read_geotiff(p_tiled)
+    np.testing.assert_array_equal(back, smooth)
+    assert meta["epsg"] == 32635
+    assert meta["origin"] == (25.1, 60.6)
+    assert meta["nodata"] == raster.NODATA
+
+    # predictor-3 + deflate must beat plain deflate of the raw bytes
+    import os
+    import zlib
+
+    raw_deflate = len(zlib.compress(smooth.tobytes(), 6))
+    assert os.path.getsize(p_tiled) < raw_deflate * 0.9
+
+    # predictor=1 path also roundtrips
+    p1 = str(tmp_path / "p1.tif")
+    raster.write_geotiff_tiled(smooth, p1, predictor=1)
+    back1, _ = raster.read_geotiff(p1)
+    np.testing.assert_array_equal(back1, smooth)
+
+    # and the binaryFile-scan decoder handles the tiled profile too
+    arr2, meta2 = raster.decode_geotiff_bytes(open(p_tiled, "rb").read())
+    np.testing.assert_array_equal(arr2, smooth)
+
+
+def test_export_tiled_profile(spark, sf_dir, tmp_path):
+    """K1 with the reference's tiled-deflate profile end to end."""
+    ndvi_tiles = _ndvi_tiles(spark, sf_dir)
+    receipts = raster.export_scene_geotiffs(
+        ndvi_tiles, str(tmp_path), profile="tiled"
+    ).collect()
+    assert receipts
+    for r in receipts:
+        arr, meta = raster.read_geotiff(r.path)
+        assert arr.shape == (r.height, r.width)
+        assert meta["nodata"] == raster.NODATA

@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the engine's numeric kernels.
+
+The reference has no randomized testing (SURVEY §5.5); these cover the
+driver-side numpy kernels — the pieces where a silent numeric bug
+would corrupt results without failing any fixed-fixture test. All
+pure-Python/numpy: no SparkSession, so hundreds of examples run in
+seconds.
+"""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ndvi_etl_pipeline_spark.functions.geo import _ray_cast_numpy
+from ndvi_etl_pipeline_spark.operators.raster import (
+    _fp_predictor_decode,
+    _fp_predictor_encode,
+)
+from ndvi_etl_pipeline_spark.operators.warp import bilinear_sample
+
+finite_f = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+)
+
+
+def _scalar_ray_cast(px: float, py: float, ring: np.ndarray) -> bool:
+    """Independent even-odd reference implementation (scalar loop)."""
+    xs, ys = ring[0::2], ring[1::2]
+    n = len(xs)
+    inside = False
+    for i in range(n):
+        x1, y1 = xs[i], ys[i]
+        x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+        if y1 == y2:
+            continue
+        if (y1 > py) != (y2 > py):
+            x_at = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < x_at:
+                inside = not inside
+    return inside
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ring_pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=9,
+    ),
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-60, max_value=60, allow_nan=False),
+            st.floats(min_value=-60, max_value=60, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_ray_cast_matches_scalar_reference(ring_pts, pts):
+    ring = np.asarray([c for p in ring_pts for c in p], dtype=np.float64)
+    px = np.asarray([p[0] for p in pts])
+    py = np.asarray([p[1] for p in pts])
+    got = _ray_cast_numpy(px, py, ring)
+    for i in range(len(pts)):
+        assert got[i] == _scalar_ray_cast(px[i], py[i], ring), (pts[i], ring_pts)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_fp_predictor_inverts(h, w, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(h, w)).astype(np.float32)
+    a[rng.random(size=(h, w)) < 0.1] = np.nan
+    back = _fp_predictor_decode(_fp_predictor_encode(a), h, w)
+    np.testing.assert_array_equal(back, a)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    gy=st.floats(min_value=-5, max_value=5, allow_nan=False),
+    gx=st.floats(min_value=-5, max_value=5, allow_nan=False),
+    c=st.floats(min_value=-100, max_value=100, allow_nan=False),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bilinear_exact_on_affine_fields(gy, gx, c, seed):
+    """Bilinear interpolation reproduces any affine field exactly
+    (up to FP rounding) at arbitrary in-range sample points."""
+    h, w = 12, 15
+    yy, xx = np.mgrid[0:h, 0:w]
+    src = (gy * yy + gx * xx + c).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    sy = rng.uniform(0, h - 1.001, size=20)
+    sx = rng.uniform(0, w - 1.001, size=20)
+    got = bilinear_sample(src, sy, sx)
+    want = gy * sy + gx * sx + c
+    scale = max(1.0, np.abs(want).max())
+    assert np.all(np.abs(got - want) <= 1e-9 * scale)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=70),
+    w=st.integers(min_value=1, max_value=70),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    tiled=st.booleans(),
+)
+def test_geotiff_roundtrip_any_shape(h, w, seed, tiled, tmp_path_factory):
+    from ndvi_etl_pipeline_spark.operators.raster import (
+        read_geotiff,
+        write_geotiff,
+        write_geotiff_tiled,
+    )
+
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(h, w)).astype(np.float32) * 1000
+    a[rng.random(size=(h, w)) < 0.05] = np.nan
+    d = tmp_path_factory.mktemp("gt")
+    p = str(d / "x.tif")
+    if tiled:
+        write_geotiff_tiled(a, p, tile=32)
+    else:
+        write_geotiff(a, p)
+    back, meta = read_geotiff(p)
+    np.testing.assert_array_equal(back, a)
+    assert not math.isnan(meta["nodata"])

@@ -1032,3 +1032,93 @@ def export_scene_geotiffs(
         )
 
     return ndvi_tiles.groupBy("scene_id").applyInPandas(assemble, schema=schema)
+
+
+MULTI_CLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("aoi_id", T.IntegerType()),
+        T.StructField("n_in_aoi", T.LongType()),
+        T.StructField("sum_ndvi", T.DoubleType()),
+    ]
+)
+
+
+def tile_clip_stats_multi(ndvi_tiles: DataFrame, aois) -> DataFrame:
+    """J2+A1 generalized to MANY AOIs — the reference's actual product
+    shape (ndvi_clipped is keyed (full_id, aoi_id), 002_schema.sql:
+    UNIQUE(full_id,aoi_id)): per-(scene, aoi) masked means in one pass.
+
+    `aois` is [(aoi_id, ring), ...]. JVM-side prune keeps tiles whose
+    extent intersects ANY AOI bbox (an OR of sargable comparisons);
+    the kernel evaluates each AOI's ray-cast mask per surviving tile,
+    cached per (tile-extent, aoi). Broadcast of the AOI list rides the
+    closure — the same "broadcast the small side" decision as J2, now
+    with |aois| polygons instead of one. Output shuffles |tiles|×|aois
+    overlapping| partial rows — never pixels.
+    """
+    from ..functions.geo import _ray_cast_numpy, polygon_bbox
+
+    bboxes = {int(a): polygon_bbox(r) for a, r in aois}
+    flats = {
+        int(a): np.asarray([c for pt in r for c in pt], dtype=np.float64)
+        for a, r in aois
+    }
+
+    cond = None
+    for minx, miny, maxx, maxy in bboxes.values():
+        c = (
+            (F.col("x0") <= F.lit(maxx))
+            & (F.col("x0") + F.col("width") - 1 >= F.lit(minx))
+            & (F.col("y0") <= F.lit(maxy))
+            & (F.col("y0") + F.col("height") - 1 >= F.lit(miny))
+        )
+        cond = c if cond is None else (cond | c)
+    pruned = ndvi_tiles.filter(cond)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+
+        def mask_for(aoi_id: int, y0: int, x0: int, h: int, w: int) -> np.ndarray:
+            key = (aoi_id, y0, x0, h, w)
+            hit = cache.get(key)
+            if hit is None:
+                minx, miny, maxx, maxy = bboxes[aoi_id]
+                xs = np.arange(x0, x0 + w, dtype=np.float64)
+                ys = np.arange(y0, y0 + h, dtype=np.float64)
+                px = np.broadcast_to(xs, (h, w)).ravel()
+                py = np.repeat(ys, w)
+                inside = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+                idx = np.nonzero(inside)[0]
+                inside[idx] = _ray_cast_numpy(px[idx], py[idx], flats[aoi_id])
+                hit = inside.reshape(h, w)
+                cache[key] = hit
+            return hit
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.data, dtype=np.float32).reshape(
+                    row.height, row.width
+                )
+                finite = ~np.isnan(arr)
+                for aoi_id in bboxes:
+                    m = mask_for(aoi_id, row.y0, row.x0, row.height, row.width) & finite
+                    n = int(m.sum())
+                    if n:
+                        rows.append(
+                            {
+                                "scene_id": row.scene_id,
+                                "aoi_id": aoi_id,
+                                "n_in_aoi": n,
+                                "sum_ndvi": float(arr[m].astype(np.float64).sum()),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    partials = pruned.mapInPandas(kernel, schema=MULTI_CLIP_SCHEMA)
+    return partials.groupBy("scene_id", "aoi_id").agg(
+        F.sum("n_in_aoi").alias("n_in_aoi"),
+        (F.sum("sum_ndvi") / F.sum("n_in_aoi")).alias("mean_ndvi"),
+    )

@@ -3341,6 +3341,64 @@ def q_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AOI_RING_B = [(55.0, 10.0), (95.0, 20.0), (90.0, 70.0), (60.0, 92.0), (50.0, 45.0)]
+
+
+def _multi_aoi_oracle() -> str:
+    from ..functions.geo import point_in_polygon_sql, polygon_bbox
+
+    parts = []
+    for aoi_id, ring in ((1, _AOI_RING), (2, _AOI_RING_B)):
+        minx, miny, maxx, maxy = polygon_bbox(ring)
+        pred = point_in_polygon_sql("x", "y", ring)
+        parts.append(
+            f"""SELECT scene_id, {aoi_id} AS aoi_id,
+             count(*) AS n_pixels,
+             round(avg(CAST(CAST(ndvi AS REAL) AS DOUBLE)), 6) AS mean_ndvi
+      FROM nv
+      WHERE x BETWEEN {minx!r} AND {maxx!r} AND y BETWEEN {miny!r} AND {maxy!r}
+        AND {pred} AND ndvi IS NOT NULL
+      GROUP BY scene_id"""
+        )
+    union = "\n      UNION ALL\n      ".join(parts)
+    return _NDVI_SQL + f"""
+    SELECT * FROM (
+      {union}
+    )
+    """
+
+
+@register("multi_aoi_clip", oracle=None, tags=("ndvi", "clip", "multi-aoi"))
+def q_multi_aoi_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+A1 over MANY AOIs in one pass (tile_clip_stats_multi) — the
+    reference's ndvi_clipped product shape (UNIQUE(full_id, aoi_id),
+    002_schema.sql). Tile payloads are float32, so the oracle clips
+    per-pixel on REAL-quantized values."""
+    from ..operators.raster import pixels_to_tiles, tile_clip_stats_multi
+
+    nv = _ndvi_pixels_df(spark, sf_dir)
+    tiles = pixels_to_tiles(
+        nv.withColumn("band", F.lit("ndvi")), tile=32, value_col="ndvi"
+    ).drop("band")
+    out = tile_clip_stats_multi(tiles, [(1, _AOI_RING), (2, _AOI_RING_B)])
+    return out.select(
+        "scene_id",
+        F.col("aoi_id").cast("int").alias("aoi_id"),
+        F.col("n_in_aoi").alias("n_pixels"),
+        F.round("mean_ndvi", 6).alias("mean_ndvi"),
+    )
+
+
+def _finalize_multi_aoi_oracle() -> None:
+    spec = REGISTRY["multi_aoi_clip"]
+    REGISTRY["multi_aoi_clip"] = QuerySpec(
+        spec.builder, _multi_aoi_oracle(), spec.headline, spec.tags
+    )
+
+
+_finalize_multi_aoi_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -89,6 +89,8 @@ def stream_scene_stats(
     """
     ledger_path = f"{work_dir}/ledger"
     products_path = f"{work_dir}/products"
+    quarantine_path = f"{work_dir}/quarantine"
+    _QUAR_SCHEMA = T.StructType([T.StructField("scene_id", T.StringType())])
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -109,20 +111,31 @@ def stream_scene_stats(
             .select("scene_id")
         )
         processed = _read_or_empty(s, products_path, _PRODUCT_SCHEMA).select("scene_id")
-        todo = complete.join(processed, "scene_id", "left_anti")
-        paths = [
-            r.path
-            for r in ledger.join(F.broadcast(todo), "scene_id").select("path").collect()
-        ]
+        quarantined = _read_or_empty(s, quarantine_path, _QUAR_SCHEMA)
+        todo = complete.join(processed, "scene_id", "left_anti").join(
+            quarantined, "scene_id", "left_anti"
+        )
+        todo_rows = ledger.join(F.broadcast(todo), "scene_id").select("scene_id", "path")
+        paths = [r.path for r in todo_rows.select("path").collect()]
         if not paths:
             return
         parsed = raster.parse_band_files(
             s.read.format("binaryFile").load(paths)
         )
+        # E1 per-scene isolation: undecodable scenes emit nothing here …
         stats = raster.tile_scene_stats(
-            raster.scene_ndvi_from_bands(parsed, tile=tile)
-        )
+            raster.scene_ndvi_from_bands(parsed, tile=tile, on_error="quarantine")
+        ).persist()
         stats.write.mode("append").parquet(products_path)
+        # … and get recorded so the stream never re-attempts them.
+        bad = (
+            todo_rows.select("scene_id")
+            .distinct()
+            .join(stats.select("scene_id"), "scene_id", "left_anti")
+        )
+        if bad.limit(1).count() > 0:
+            bad.write.mode("append").parquet(quarantine_path)
+        stats.unpersist()
 
     reader = (
         spark.readStream.format("binaryFile")

@@ -225,3 +225,43 @@ def test_stream_scene_feed_pairs_bands_across_batches(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_scene_feed_quarantines_corrupt_scene(spark, tmp_path):
+    """E1 in streaming: a corrupt band file must not kill the query
+    NOR wedge it into retrying forever — the scene lands in the
+    quarantine ledger once and healthy scenes keep flowing."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators import raster
+    from ndvi_etl_pipeline_spark.streaming.scenes import stream_scene_stats
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rng = np.random.default_rng(9)
+
+    def put(scene, band, corrupt=False):
+        p = in_dir / f"{scene}_{band}.tif"
+        if corrupt:
+            p.write_bytes(b"garbage, not a tiff")
+        else:
+            lo, hi = (0, 30000) if band == "red" else (0, 60000)
+            raster.write_geotiff(
+                rng.integers(lo, hi, size=(48, 48)).astype(np.float32), str(p)
+            )
+
+    put("OK1_20220601", "red"), put("OK1_20220601", "nir")
+    put("BAD_20220602", "red", corrupt=True), put("BAD_20220602", "nir")
+    stream_scene_stats(spark, str(in_dir), str(tmp_path / "w"))
+    products = spark.read.parquet(str(tmp_path / "w" / "products"))
+    assert {r.scene_id for r in products.collect()} == {"OK1_20220601"}
+    quar = spark.read.parquet(str(tmp_path / "w" / "quarantine"))
+    assert {r.scene_id for r in quar.collect()} == {"BAD_20220602"}
+
+    # next round: a healthy scene processes; BAD is not retried (stays
+    # quarantined exactly once)
+    put("OK2_20220603", "red"), put("OK2_20220603", "nir")
+    stream_scene_stats(spark, str(in_dir), str(tmp_path / "w"))
+    products = spark.read.parquet(str(tmp_path / "w" / "products"))
+    assert {r.scene_id for r in products.collect()} == {"OK1_20220601", "OK2_20220603"}
+    assert spark.read.parquet(str(tmp_path / "w" / "quarantine")).count() == 1

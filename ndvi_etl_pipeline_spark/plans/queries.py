@@ -3399,6 +3399,47 @@ def _finalize_multi_aoi_oracle() -> None:
 _finalize_multi_aoi_oracle()
 
 
+@register(
+    "array_functions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id <= 40)
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+           CAST(len(list_intersect(toks, ['the','and','of','to','in'])) AS INT)
+             AS n_stop_kinds,
+           CAST(len(list_filter(toks, x -> length(x) > 5)) AS INT) AS n_long,
+           array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), '-')
+             AS first3
+    FROM t
+    """,
+    tags=("array", "hof"),
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function surface (§2.8 array family,
+    extended): distinct, intersect, lambda filter, sort, slice, join —
+    all JVM-side codegen, no explode and no UDF, so per-row array work
+    never leaves Tungsten."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 40)
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    stop = F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "in")])
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size(F.array_distinct("toks")).cast("int").alias("n_unique"),
+        F.size(F.array_intersect("toks", stop)).cast("int").alias("n_stop_kinds"),
+        F.size(F.filter("toks", lambda x: F.length(x) > 5)).cast("int").alias("n_long"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct("toks")), 1, 3), "-").alias(
+            "first3"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

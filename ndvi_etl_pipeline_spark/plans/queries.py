@@ -3440,6 +3440,33 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decimal_exact_sums",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS exact_total,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS exact_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("decimal", "agg"),
+)
+def q_decimal_exact_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation — no FP rounding anywhere: sums run
+    in fixed-point and the result compares as a STRING, so the match
+    is exact to the last cent regardless of accumulation order. (The
+    float queries need round(); decimal is how a money pipeline
+    avoids needing it.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("exact_total"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("string").alias("exact_qty"),
+        F.count("*").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -31,10 +31,25 @@ def asof_join(
     right_ts: str,
     right_cols: tuple[str, ...],
     tie_break: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Left as-of join; output = left columns + right_cols (nullable)."""
+    """Left as-of join; output = left columns + right_cols (nullable).
+
+    ``direction='backward'`` (default): greatest right_ts ≤ left_ts.
+    ``direction='forward'``: smallest right_ts ≥ left_ts (the stream
+    sorts time-descending instead — same one-shuffle cost).
+    ``tolerance_seconds``: matches farther than this from left_ts are
+    nulled out (pandas merge_asof's `tolerance`) — applied AFTER the
+    window pass as a plain column predicate, so it costs nothing.
+    `'_ts'` is reserved in right_cols (carries the matched timestamp).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = [c for c in left.columns]
-    payload = F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload")
+    payload = F.struct(
+        *[F.col(c) for c in right_cols], F.col(right_ts).alias("_ts")
+    ).alias("_asof_payload")
 
     r = right.select(
         F.col(key),
@@ -51,7 +66,10 @@ def asof_join(
         *[F.col(c) for c in left_cols if c != key],
     )
 
-    order = [F.col("_asof_ts").asc(), F.col("_asof_side").asc()]
+    ts_order = (
+        F.col("_asof_ts").asc() if direction == "backward" else F.col("_asof_ts").desc()
+    )
+    order = [ts_order, F.col("_asof_side").asc()]
     if tie_break is not None:
         # among right rows at the same (ts, side), sort tie_break ascending
         # so last() picks the max; left rows (null payload) are unaffected
@@ -65,9 +83,18 @@ def asof_join(
     merged = r.unionByName(l).withColumn(
         "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
     )
+    match = F.col("_asof_match")
+    if tolerance_seconds is not None:
+        # cast handles TIMESTAMP_NTZ / DATE ts columns; session tz is UTC
+        gap_us = F.unix_micros(F.col("_asof_ts").cast("timestamp")) - F.unix_micros(
+            match["_ts"].cast("timestamp")
+        )
+        if direction == "forward":
+            gap_us = -gap_us
+        match = F.when(gap_us <= tolerance_seconds * 1_000_000, match)
     out = merged.filter(F.col("_asof_side") == 1).select(
         key,
         *[c for c in left_cols if c != key],
-        *[F.col("_asof_match")[c].alias(c) for c in right_cols],
+        *[match[c].alias(c) for c in right_cols],
     )
     return out

@@ -3467,6 +3467,57 @@ def q_decimal_exact_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS next_orderkey,
+           strftime(o.o_orderdate + INTERVAL 25 YEAR, '%Y-%m-%d') AS next_date
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate + INTERVAL 25 YEAR >= e.ts
+     AND o.o_orderdate + INTERVAL 25 YEAR <= e.ts + INTERVAL 90 DAY
+    QUALIFY row_number() OVER (
+      PARTITION BY e.event_id
+      ORDER BY o.o_orderdate ASC NULLS LAST, o.o_orderkey DESC NULLS LAST
+    ) = 1
+    """,
+    tags=("events", "asof", "forward"),
+)
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (pandas merge_asof parity): each
+    event matched to the user's NEXT order within 90 days, or NULLs.
+    Same one-shuffle union-trick plan as the backward direction — the
+    stream just sorts time-descending; the tolerance is a free
+    post-window predicate (operators/asof.py)."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 25 YEARS")).alias("o_ts"),
+        "o_orderkey",
+    )
+    joined = asof_join(
+        e,
+        o,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_ts",
+        right_cols=("o_orderkey", "o_ts"),
+        tie_break="o_orderkey",
+        direction="forward",
+        tolerance_seconds=90 * 24 * 3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.date_format("o_ts", "yyyy-MM-dd").alias("next_date"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

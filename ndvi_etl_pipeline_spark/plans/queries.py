@@ -3846,6 +3846,58 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+           round(o_totalprice, 2) AS total,
+           sum(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 210)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY total DESC, o_orderkey LIMIT 50
+    """,
+    tags=("tpch", "having", "semijoin"),
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders — grouped HAVING produces the
+    qualifying key set, which semi-joins back to the detail before the
+    reporting join/aggregate. The IN-subquery becomes a left_semi hash
+    join on the order key; the qualifying set is small, so AQE
+    broadcasts it."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 210)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("o_date"),
+            F.round("o_totalprice", 2).alias("total"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -3898,6 +3898,543 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: shipping priority — asymmetric date predicates on the
+    two fact tables (ordered before the cutoff, shipped after it), both
+    pushed below the join; top-10 revenue via TakeOrderedAndProject.
+    (o_shippriority doesn't exist in this schema; o_orderpriority
+    stands in as the carried-through reporting column.)"""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1996-03-15").cast("date")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o.filter(F.col("o_orderdate").cast("date") < cutoff), c["c_custkey"] == o["o_custkey"])
+        .join(li.filter(F.col("l_shipdate").cast("date") > cutoff), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    ) t
+    GROUP BY o_year
+    """,
+    tags=("tpch", "join", "conditional"),
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — the deepest join tree in the
+    suite (8 relations, nation twice under different roles), reduced to
+    a conditional-aggregate ratio per year. Dimensions broadcast; the
+    customer-side nation restricts via region while the supplier-side
+    nation feeds the numerator predicate."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    r = _t(spark, sf_dir, "region")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        p.filter(F.col("p_type") == "STANDARD")
+        .join(li, p["p_partkey"] == li["l_partkey"])
+        .join(s, s["s_suppkey"] == li["l_suppkey"])
+        .join(
+            o.filter(
+                F.col("o_orderdate")
+                .cast("date")
+                .between(F.lit("1995-01-01").cast("date"), F.lit("1996-12-31").cast("date"))
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n1_rkey") == r["r_regionkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_key"))
+        .groupBy(F.year(F.col("o_orderdate").cast("date")).cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) t
+    GROUP BY nation, o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year. This
+    schema has no partsupp/ps_supplycost, so cost is the deterministic
+    stand-in 0.1 * p_retailprice * l_quantity — preserving the shape
+    (substring LIKE on part, 5-way join, two-level rollup key) without
+    the missing table. The '%red%' contains-filter cannot push to the
+    scan as a range, but column pruning still holds the scan to 3
+    part columns."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        p.filter(F.col("p_name").like("%red%"))
+        .join(li, p["p_partkey"] == li["l_partkey"])
+        .join(s, s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q12_ship_latency",
+    oracle="""
+    SELECT ship_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) > 60
+                  THEN 'SLOW' ELSE 'FAST' END AS ship_bucket
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE CAST(l_shipdate AS DATE)
+            BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    ) t
+    GROUP BY ship_bucket
+    """,
+    tags=("tpch", "conditional"),
+)
+def q_tpch_q12_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix by shipping mode. l_shipmode does
+    not exist here, so the mode is a derived latency bucket
+    (order→ship gap over/under 60 days) — same structure: join, CASE
+    bucketing, two complementary conditional counts per bucket."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) > 60,
+        "SLOW",
+    ).otherwise("FAST")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            .cast("date")
+            .between(F.lit("1996-01-01").cast("date"), F.lit("1996-12-31").cast("date"))
+        )
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    tags=("tpch", "outer-join", "agg"),
+)
+def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution — LEFT OUTER join
+    with a predicate INSIDE the join condition (customers keep a row
+    even when every order is filtered away; count(o_orderkey) then
+    counts only non-null matches), followed by a second aggregation
+    over the first's result. Two shuffles, both on keys we chose."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").cast("bigint").alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE)
+            BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier — a derived revenue relation consumed
+    twice (once as the join input, once reduced to its max). The
+    derived table is tiny (|suppliers| rows), so the scalar max arrives
+    via broadcast and the re-derivation is a cheap re-aggregation of
+    the same shuffle output, not a second lineitem pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            F.col("l_shipdate")
+            .cast("date")
+            .between(F.lit("1996-01-01").cast("date"), F.lit("1996-03-31").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
+    return (
+        s.join(revenue, s["s_suppkey"] == revenue["supplier_no"])
+        .join(F.broadcast(best), F.col("total_revenue") == F.col("best_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q16_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "distinct", "antijoin"),
+)
+def q_tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier diversity per (brand, type, size) —
+    negated predicates, a NOT-IN exclusion list (negative-balance
+    suppliers stand in for the missing complaint-comment filter; the
+    key side is null-free so NOT IN ≡ anti-join), and COUNT(DISTINCT)
+    over the surviving pairs. partsupp doesn't exist; lineitem is the
+    part↔supplier incidence relation."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        p.filter(
+            (F.col("p_brand") != "Brand#1")
+            & ~F.col("p_type").like("PROMO%")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .join(li, p["p_partkey"] == li["l_partkey"])
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue — a correlated scalar
+    subquery (per-part average quantity) decorrelated into a grouped
+    aggregate joined back to the detail. The per-part averages relation
+    has |parts| rows → broadcast; quantities are integral doubles so
+    the 0.2*avg threshold compares identically across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    return (
+        li.join(
+            p.filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")),
+            p["p_partkey"] == li["l_partkey"],
+        )
+        .join(F.broadcast(avg_qty), F.col("ap_partkey") == li["l_partkey"])
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_part_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             sum(l_quantity) AS total_qty,
+             sum(CASE WHEN CAST(l_shipdate AS DATE)
+                           BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+                      THEN l_quantity ELSE 0 END) AS qty_win
+      FROM lineitem GROUP BY l_suppkey, l_partkey)
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%' AND qty_win > 0.5 * total_qty)
+    ORDER BY s_name
+    """,
+    tags=("tpch", "semijoin", "subquery"),
+)
+def q_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers with promotable red-part stock. No
+    partsupp/ps_availqty here, so the availability predicate becomes
+    'shipped more than half their all-time quantity of that part in
+    January 1995' — same nested structure: grouped quantity rollup → prefix
+    LIKE part filter → IN-list semi-join up to the supplier dimension.
+    Quantities are integral, so the half-threshold compare is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    in_win = (
+        F.col("l_shipdate")
+        .cast("date")
+        .between(F.lit("1995-01-01").cast("date"), F.lit("1995-01-31").cast("date"))
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("total_qty"),
+        F.sum(F.when(in_win, F.col("l_quantity")).otherwise(F.lit(0.0))).alias("qty_win"),
+    )
+    promotable = (
+        shipped.join(
+            F.broadcast(p.filter(F.col("p_name").like("red%")).select("p_partkey")),
+            shipped["l_partkey"] == F.col("p_partkey"),
+        )
+        .filter(F.col("qty_win") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(promotable, s["s_suppkey"] == promotable["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    tags=("tpch", "exists", "antijoin"),
+)
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame supplier — the suite's hardest
+    correlation pattern: one EXISTS and one NOT EXISTS against the same
+    fact table, each correlated on the order key with a supplier
+    INEQUALITY rider. No receipt/commit dates in this schema, so
+    l_returnflag='R' marks the 'late' line. Both subqueries become hash
+    semi/anti joins on l_orderkey; the <> rider rides the join
+    condition, not a post-filter, so no row explosion."""
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    return (
+        l1.filter(F.col("l_returnflag") == "R")
+        .join(
+            l2,
+            (l1["l_orderkey"] == F.col("l2_orderkey"))
+            & (l1["l_suppkey"] != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1["l_orderkey"] == F.col("l3_orderkey"))
+            & (l1["l_suppkey"] != F.col("l3_suppkey")),
+            "left_anti",
+        )
+        .join(o.filter(F.col("o_orderstatus") == "F"), l1["l_orderkey"] == o["o_orderkey"])
+        .join(s, s["s_suppkey"] == l1["l_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_dormant_balance",
+    oracle="""
+    SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT c_nationkey % 10 AS cntrycode, c_acctbal, c_custkey
+      FROM customer
+      WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0
+                           AND c_nationkey % 10 IN (1, 2, 3, 4, 5))
+    ) t
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+    GROUP BY cntrycode
+    """,
+    tags=("tpch", "antijoin", "subquery"),
+)
+def q_tpch_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance dormant customers. No c_phone in
+    this schema, so the country code derives from c_nationkey % 10;
+    every customer has SOME order in this dataset, so dormancy means
+    'no order since 2000-01-01'. Structure preserved: uncorrelated
+    scalar average (broadcast), derived-code IN filter, NOT EXISTS →
+    anti-join against a date-filtered orders scan, grouped rollup."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    code = (F.col("c_nationkey") % 10).alias("cntrycode")
+    eligible = c.filter((F.col("c_nationkey") % 10).isin(1, 2, 3, 4, 5))
+    avg_bal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = o.filter(F.col("o_orderdate").cast("date") >= F.lit("2000-01-01").cast("date"))
+    return (
+        eligible.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, eligible["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(code)
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

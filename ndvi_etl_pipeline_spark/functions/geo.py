@@ -41,6 +41,13 @@ from pyspark.sql import types as T
 
 Point = tuple[float, float]
 Polygon = Sequence[Point]  # open ring: last edge closes to the first vertex
+# A polygon-with-holes / multipolygon is a sequence of rings. Under the
+# even-odd rule ring roles need no labeling: crossings are summed over
+# ALL rings' edges and reduced mod 2, so a point inside an exterior AND
+# inside a hole crosses an even total and lands outside — exactly
+# GeoJSON's (exterior, hole*, exterior, ...) semantics for
+# non-self-intersecting rings.
+MultiRing = Sequence[Polygon]
 
 
 # ---------------------------------------------------------------------------
@@ -118,50 +125,86 @@ def _closed_edges(poly: Polygon) -> list[tuple[float, float, float, float]]:
     ]
 
 
-def point_in_polygon_col(x: Column | str, y: Column | str, poly: Polygon) -> Column:
-    """Even-odd ray cast unrolled over the polygon's edges as a native
-    Catalyst expression (one `when` per edge, crossings summed mod 2).
+def point_in_rings_col(x: Column | str, y: Column | str, rings: MultiRing) -> Column:
+    """Even-odd ray cast over a ring set (polygon with holes and/or a
+    multipolygon) as a native Catalyst expression: crossings summed
+    over every ring's edges, reduced mod 2.
 
-    O(edges) per row, fully codegen'd; intended for driver-known AOI
-    polygons (tens of vertices). For polygon columns use
-    `points_in_polygons`.
+    O(total edges) per row, fully codegen'd; intended for driver-known
+    AOI geometry (tens of vertices). For polygon columns use
+    `st_contains_udf`.
     """
     xc = F.col(x) if isinstance(x, str) else x
     yc = F.col(y) if isinstance(y, str) else y
     crossings = F.lit(0)
-    for x1, y1, x2, y2 in _closed_edges(poly):
-        if y1 == y2:  # horizontal edge can never straddle the ray
-            continue
-        straddles = (F.lit(y1) > yc) != (F.lit(y2) > yc)
-        x_at_y = F.lit(x1) + (yc - F.lit(y1)) * F.lit(x2 - x1) / (F.lit(y2) - F.lit(y1))
-        crossings = crossings + F.when(straddles & (xc < x_at_y), 1).otherwise(0)
+    for ring in rings:
+        for x1, y1, x2, y2 in _closed_edges(ring):
+            if y1 == y2:  # horizontal edge can never straddle the ray
+                continue
+            straddles = (F.lit(y1) > yc) != (F.lit(y2) > yc)
+            x_at_y = F.lit(x1) + (yc - F.lit(y1)) * F.lit(x2 - x1) / (F.lit(y2) - F.lit(y1))
+            crossings = crossings + F.when(straddles & (xc < x_at_y), 1).otherwise(0)
     return crossings % 2 == 1
 
 
-def point_in_polygon_sql(x_expr: str, y_expr: str, poly: Polygon) -> str:
-    """The same ray cast as ANSI SQL text (same edge order and
-    association as `point_in_polygon_col`), for cross-engine oracles."""
+def point_in_rings_sql(x_expr: str, y_expr: str, rings: MultiRing) -> str:
+    """The same multi-ring ray cast as ANSI SQL text (same ring/edge
+    order and association as `point_in_rings_col`), for cross-engine
+    oracles."""
     terms = []
-    for x1, y1, x2, y2 in _closed_edges(poly):
-        if y1 == y2:  # keep in lockstep with point_in_polygon_col
-            continue
-        straddles = f"(({y1!r} > {y_expr}) != ({y2!r} > {y_expr}))"
-        x_at_y = f"({x1!r} + ({y_expr} - {y1!r}) * {(x2 - x1)!r} / ({y2!r} - {y1!r}))"
-        terms.append(
-            f"(CASE WHEN {straddles} AND ({x_expr} < {x_at_y}) THEN 1 ELSE 0 END)"
-        )
+    for ring in rings:
+        for x1, y1, x2, y2 in _closed_edges(ring):
+            if y1 == y2:  # keep in lockstep with point_in_rings_col
+                continue
+            straddles = f"(({y1!r} > {y_expr}) != ({y2!r} > {y_expr}))"
+            x_at_y = f"({x1!r} + ({y_expr} - {y1!r}) * {(x2 - x1)!r} / ({y2!r} - {y1!r}))"
+            terms.append(
+                f"(CASE WHEN {straddles} AND ({x_expr} < {x_at_y}) THEN 1 ELSE 0 END)"
+            )
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 
+def point_in_polygon_col(x: Column | str, y: Column | str, poly: Polygon) -> Column:
+    """Single-ring convenience wrapper over `point_in_rings_col`."""
+    return point_in_rings_col(x, y, [poly])
+
+
+def point_in_polygon_sql(x_expr: str, y_expr: str, poly: Polygon) -> str:
+    """Single-ring convenience wrapper over `point_in_rings_sql`."""
+    return point_in_rings_sql(x_expr, y_expr, [poly])
+
+
+def rings_bbox(rings: MultiRing) -> tuple[float, float, float, float]:
+    """Union bbox over all rings. Holes never extend it (they sit
+    inside an exterior), so including them is harmless."""
+    boxes = [polygon_bbox(r) for r in rings]
+    return (
+        min(b[0] for b in boxes),
+        min(b[1] for b in boxes),
+        max(b[2] for b in boxes),
+        max(b[3] for b in boxes),
+    )
+
+
 def clip_filter(
-    df: DataFrame, x_col: str, y_col: str, poly: Polygon
+    df: DataFrame, x_col: str, y_col: str, poly: Polygon | MultiRing
 ) -> DataFrame:
     """J2: AOI clip = sargable bbox prefilter (pushed to the scan /
-    partition pruning) + exact ray-cast on the survivors."""
-    minx, miny, maxx, maxy = polygon_bbox(poly)
+    partition pruning) + exact ray-cast on the survivors.
+
+    Accepts a single ring or a ring set (polygon with holes /
+    multipolygon) — distinguished by the first element's shape.
+    """
+    rings: MultiRing = [poly] if _is_single_ring(poly) else poly  # type: ignore[list-item]
+    minx, miny, maxx, maxy = rings_bbox(rings)
     return df.filter(
         F.col(x_col).between(minx, maxx) & F.col(y_col).between(miny, maxy)
-    ).filter(point_in_polygon_col(x_col, y_col, poly))
+    ).filter(point_in_rings_col(x_col, y_col, rings))
+
+
+def _is_single_ring(poly: Polygon | MultiRing) -> bool:
+    first = poly[0]
+    return isinstance(first[0], (int, float))
 
 
 def bbox_intersects(

@@ -1665,6 +1665,64 @@ def _finalize_raycast_oracle() -> None:
 _finalize_raycast_oracle()
 
 
+# Polygon-with-hole + disjoint island (GeoJSON MultiPolygon shape):
+# crossings sum over all rings mod 2 — no ring-role labeling needed.
+_AOI_RINGS = [
+    [(10.5, 10.5), (90.5, 10.5), (90.5, 90.5), (50.5, 70.5), (10.5, 90.5)],  # exterior
+    [(30.5, 30.5), (60.5, 30.5), (60.5, 60.5), (30.5, 60.5)],  # hole
+    [(1.5, 94.5), (7.5, 94.5), (7.5, 98.5), (1.5, 98.5)],  # island exterior
+]
+
+
+@register(
+    "aoi_multiring_clip",
+    oracle=_NDVI_SQL
+    + """
+    SELECT scene_id, count(*) AS n_pixels, round(avg(ndvi), 6) AS mean_ndvi
+    FROM nv
+    WHERE x BETWEEN {minx} AND {maxx} AND y BETWEEN {miny} AND {maxy}
+      AND {pred}
+    GROUP BY scene_id
+    """,
+    tags=("ndvi", "spatial"),
+)
+def q_aoi_multiring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 generalized to polygon-with-holes / multipolygon AOIs: the
+    even-odd ray cast sums crossings over every ring's edges mod 2, so
+    a hole flips its interior back outside and a disjoint island ring
+    adds a second inside region — still one codegen'd expression, no
+    UDF (functions/geo.py point_in_rings_col; the reference clips with
+    an arbitrary GeoJSON geometry at compute_ndvi.py:108-134, which may
+    carry holes/multi-parts)."""
+    from ..functions.geo import clip_filter
+
+    nv = _ndvi_pixels_df(spark, sf_dir)
+    return (
+        clip_filter(nv, "x", "y", _AOI_RINGS)
+        .groupBy("scene_id")
+        .agg(F.count("*").alias("n_pixels"), F.round(F.avg("ndvi"), 6).alias("mean_ndvi"))
+    )
+
+
+def _finalize_multiring_oracle() -> None:
+    from ..functions.geo import point_in_rings_sql, rings_bbox
+
+    minx, miny, maxx, maxy = rings_bbox(_AOI_RINGS)
+    spec = REGISTRY["aoi_multiring_clip"]
+    REGISTRY["aoi_multiring_clip"] = QuerySpec(
+        spec.builder,
+        spec.oracle.format(
+            minx=minx, maxx=maxx, miny=miny, maxy=maxy,
+            pred=point_in_rings_sql("x", "y", _AOI_RINGS),
+        ),
+        spec.headline,
+        spec.tags,
+    )
+
+
+_finalize_multiring_oracle()
+
+
 @register(
     "cube_revenue",
     oracle="""

@@ -87,6 +87,68 @@ def test_clip_filter_counts(spark):
     assert geo.clip_filter(df, "x", "y", ELL).count() == expected
 
 
+# donut + island: exterior square, hole, and a disjoint exterior
+DONUT = [
+    SQUARE,
+    [(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0)],  # hole
+    [(-2.0, -2.0), (-1.0, -2.0), (-1.0, -1.0), (-2.0, -1.0)],  # island
+]
+
+
+def py_ray_cast_rings(px, py, rings):
+    inside = False
+    for ring in rings:
+        if py_ray_cast(px, py, ring):
+            inside = not inside
+    return inside
+
+
+def test_rings_hole_and_island_semantics(spark):
+    pts = random_points(400, seed=23)
+    # pin the four interesting cases alongside the random sweep
+    pts += [(5.17, 5.37), (1.17, 1.37), (-1.83, -1.63), (11.17, 11.37)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r.x, r.y): r.inside
+        for r in df.withColumn(
+            "inside", geo.point_in_rings_col("x", "y", DONUT)
+        ).collect()
+    }
+    for px, py in pts:
+        assert got[(px, py)] == py_ray_cast_rings(px, py, DONUT), (px, py)
+    assert got[(5.17, 5.37)] is False   # inside the hole → outside
+    assert got[(1.17, 1.37)] is True    # in the annulus
+    assert got[(-1.83, -1.63)] is True  # on the island
+    assert got[(11.17, 11.37)] is False
+
+
+def test_rings_sql_twin_matches_column_expr(spark):
+    pts = random_points(200, seed=29)
+    df = spark.createDataFrame(pts, ["x", "y"])
+    df.createOrReplaceTempView("pts_rings")
+    sql_pred = geo.point_in_rings_sql("x", "y", DONUT)
+    via_sql = {
+        (r.x, r.y): r.inside
+        for r in spark.sql(f"SELECT x, y, {sql_pred} AS inside FROM pts_rings").collect()
+    }
+    via_col = {
+        (r.x, r.y): r.inside
+        for r in df.withColumn("inside", geo.point_in_rings_col("x", "y", DONUT)).collect()
+    }
+    assert via_sql == via_col
+
+
+def test_clip_filter_accepts_rings(spark):
+    pts = random_points(500, seed=31)
+    df = spark.createDataFrame(pts, ["x", "y"])
+    expected = sum(1 for p in pts if py_ray_cast_rings(p[0], p[1], DONUT))
+    assert geo.clip_filter(df, "x", "y", DONUT).count() == expected
+    # single-ring dispatch still works through the same entry point
+    expected_one = sum(1 for p in pts if py_ray_cast(p[0], p[1], ELL))
+    assert geo.clip_filter(df, "x", "y", ELL).count() == expected_one
+    assert geo.rings_bbox(DONUT) == (-2.0, -2.0, 10.0, 10.0)
+
+
 def test_bbox_intersects(spark):
     rows = [
         (0.0, 0.0, 5.0, 5.0, True),    # overlaps

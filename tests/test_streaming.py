@@ -121,6 +121,52 @@ def test_session_windows_run(spark, sf_dir):
     assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
 
 
+def test_session_windows_stream_matches_batch(spark, sf_dir):
+    """Exact agreement of F.session_window between execution modes: the
+    streaming run (bounded stream, complete mode) must produce the same
+    (user, session_start, session_end, n_events) set as the identical
+    batch aggregation — gap merging, window extents, and counts all
+    bit-equal. Also cross-checks the gap-based session COUNT per user
+    against the lag/running-sum batch formulation (q_events_sessionize),
+    tying all three sessionization surfaces together."""
+    from ndvi_etl_pipeline_spark.sources import load_table
+
+    stream_out = run_stream_over_parquet(
+        spark, f"{sf_dir}/events.parquet", session_windows, query_name="t_sess_agree"
+    )
+    events = load_table(spark, "events", sf_dir)
+    batch_out = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    j = stream_out.withColumnRenamed("n_events", "n_s").join(
+        batch_out, ["user_id", "session_start", "session_end"], "full_outer"
+    )
+    assert j.filter(
+        (F.col("n_s") != F.col("n_events"))
+        | F.col("n_s").isNull()
+        | F.col("n_events").isNull()
+    ).count() == 0
+
+    per_user = stream_out.groupBy("user_id").agg(
+        F.count("*").alias("s_sessions"), F.sum("n_events").alias("s_events")
+    )
+    lag_based = q_events_sessionize(spark, sf_dir)
+    k = per_user.join(lag_based, "user_id", "full_outer")
+    assert k.filter(
+        (F.col("s_sessions") != F.col("n_sessions"))
+        | (F.col("s_events") != F.col("n_events"))
+        | F.col("s_sessions").isNull()
+        | F.col("n_sessions").isNull()
+    ).count() == 0
+
+
 def test_dedup_within_watermark_removes_replays(spark, sf_dir, tmp_path):
     """Feed the same events twice (a replayed source); streaming dedup
     on event_id must converge to exactly the distinct set."""

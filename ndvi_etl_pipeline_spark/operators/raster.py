@@ -706,10 +706,14 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
     return decode_geotiff_bytes(buf)
 
 
-def decode_geotiff_bytes(buf: bytes) -> tuple[np.ndarray, dict]:
+def decode_geotiff_bytes(buf: "bytes | memoryview") -> tuple[np.ndarray, dict]:
     """Bytes-level decode for `binaryFile` scans (S4): the content of
-    a GeoTIFF written by `write_geotiff` → (array, metadata)."""
-    if buf[:4] != b"II*\x00":
+    a GeoTIFF written by `write_geotiff` → (array, metadata).
+
+    Accepts any buffer-protocol object (bytes, memoryview, Arrow
+    buffer view) — the Arrow fast path hands in a zero-copy
+    memoryview of the columnar payload."""
+    if bytes(buf[:4]) != b"II*\x00":
         raise ValueError("not a little-endian TIFF")
     (ifd_off,) = struct.unpack_from("<I", buf, 4)
     (n_tags,) = struct.unpack_from("<H", buf, ifd_off)
@@ -782,7 +786,7 @@ def decode_geotiff_bytes(buf: bytes) -> tuple[np.ndarray, dict]:
                 meta["epsg"] = shorts[j + 3]
     if _TIFF_TAGS["GDALNodata"] in tags:
         _, count, v = tags[_TIFF_TAGS["GDALNodata"]]
-        meta["nodata"] = float(buf[v : v + count].split(b"\x00")[0])
+        meta["nodata"] = float(bytes(buf[v : v + count]).split(b"\x00")[0])
     return arr.copy(), meta
 
 
@@ -791,55 +795,109 @@ def decode_geotiff_bytes(buf: bytes) -> tuple[np.ndarray, dict]:
 # ---------------------------------------------------------------------------
 
 
+def _band_array_from_tiff(buf, nodata_to_nan: bool) -> np.ndarray:
+    arr, meta = decode_geotiff_bytes(buf)
+    a = arr.astype(np.float32)
+    if nodata_to_nan and meta.get("nodata") is not None:
+        a = np.where(a == np.float32(meta["nodata"]), np.nan, a)
+    return a
+
+
+def _file_tile_rows(path: str, buf, tile: int, nodata_to_nan: bool):
+    """One GeoTIFF's bytes → TILE_SCHEMA row tuples (shared by the
+    pandas and Arrow scan kernels, so both produce identical rows)."""
+    import os
+
+    stem = os.path.basename(path).rsplit(".", 1)[0]
+    scene_id, band = stem.rsplit("_", 1)
+    a = _band_array_from_tiff(buf, nodata_to_nan)
+    h, w = a.shape
+    for ty in range(0, h, tile):
+        for tx in range(0, w, tile):
+            block = np.full((tile, tile), np.nan, dtype=np.float32)
+            sub = a[ty : ty + tile, tx : tx + tile]
+            block[: sub.shape[0], : sub.shape[1]] = sub
+            yield (
+                scene_id, band, ty // tile, tx // tile,
+                tile, tile, ty, tx, block.tobytes(),
+            )
+
+
+_TILE_ARROW_NAMES = [f.name for f in TILE_SCHEMA]
+
+
+def _tile_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("scene_id", pa.string()),
+            pa.field("band", pa.string()),
+            pa.field("tile_y", pa.int32()),
+            pa.field("tile_x", pa.int32()),
+            pa.field("height", pa.int32()),
+            pa.field("width", pa.int32()),
+            pa.field("y0", pa.int32()),
+            pa.field("x0", pa.int32()),
+            pa.field("data", pa.binary()),
+        ]
+    )
+
+
 def scan_geotiffs(
     spark,
     path_glob: str,
     tile: int = DEFAULT_TILE,
     nodata_to_nan: bool = True,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """`spark.read.format('binaryFile')` over a GeoTIFF glob → tile
     rows. scene_id and band parse from the `<scene_id>_<band>.tif`
     filename (F9, load_to_postgis.py:178-183); decode runs
-    distributed in mapInPandas over the file bytes. Files stay whole
-    per task (a GeoTIFF is not splittable without range reads);
-    parallelism comes from files ≫ cores, which is the 100 TB shape
-    (thousands of scenes × 2 bands)."""
+    distributed over the file bytes. Files stay whole per task (a
+    GeoTIFF is not splittable without range reads); parallelism comes
+    from files ≫ cores, which is the 100 TB shape (thousands of
+    scenes × 2 bands).
+
+    Default path is `mapInArrow`: the file payload crosses the
+    JVM→Python boundary as an Arrow buffer and is decoded through a
+    zero-copy memoryview — no per-cell Python bytes materialization,
+    no pandas block manager on either side of the kernel. The
+    `use_arrow=False` pandas path is kept for parity testing."""
+    binf = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+    if use_arrow:
+        def decode_arrow(batches):
+            import pyarrow as pa
+
+            schema = _tile_arrow_schema()
+            for batch in batches:
+                paths = batch.column(0).to_pylist()
+                contents = batch.column(1)
+                cols: list[list] = [[] for _ in _TILE_ARROW_NAMES]
+                for i, p in enumerate(paths):
+                    mv = memoryview(contents[i].as_buffer())
+                    for row in _file_tile_rows(p, mv, tile, nodata_to_nan):
+                        for acc, v in zip(cols, row):
+                            acc.append(v)
+                if cols[0]:
+                    yield pa.record_batch(
+                        [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+                        schema=schema,
+                    )
+
+        return binf.mapInArrow(decode_arrow, schema=TILE_SCHEMA)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import os
-
         for pdf in batches:
             rows = []
-            for row in pdf.itertuples(index=False):
-                stem = os.path.basename(row.path).rsplit(".", 1)[0]
-                scene_id, band = stem.rsplit("_", 1)
-                arr, meta = decode_geotiff_bytes(bytes(row.content))
-                a = arr.astype(np.float32)
-                if nodata_to_nan and meta.get("nodata") is not None:
-                    a = np.where(a == np.float32(meta["nodata"]), np.nan, a)
-                h, w = a.shape
-                for ty in range(0, h, tile):
-                    for tx in range(0, w, tile):
-                        block = np.full((tile, tile), np.nan, dtype=np.float32)
-                        sub = a[ty : ty + tile, tx : tx + tile]
-                        block[: sub.shape[0], : sub.shape[1]] = sub
-                        rows.append(
-                            {
-                                "scene_id": scene_id,
-                                "band": band,
-                                "tile_y": ty // tile,
-                                "tile_x": tx // tile,
-                                "height": tile,
-                                "width": tile,
-                                "y0": ty,
-                                "x0": tx,
-                                "data": block.tobytes(),
-                            }
-                        )
+            for r in pdf.itertuples(index=False):
+                rows.extend(
+                    _file_tile_rows(r.path, bytes(r.content), tile, nodata_to_nan)
+                )
             if rows:
-                yield pd.DataFrame(rows)
+                yield pd.DataFrame(rows, columns=_TILE_ARROW_NAMES)
 
-    binf = spark.read.format("binaryFile").load(path_glob).select("path", "content")
     return binf.mapInPandas(decode, schema=TILE_SCHEMA)
 
 
@@ -890,12 +948,101 @@ def parse_band_files(binary_df: DataFrame) -> DataFrame:
     )
 
 
+_NDVI_TILE_NAMES = [f.name for f in NDVI_TILE_SCHEMA]
+
+
+def _ndvi_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("scene_id", pa.string()),
+            pa.field("tile_y", pa.int32()),
+            pa.field("tile_x", pa.int32()),
+            pa.field("height", pa.int32()),
+            pa.field("width", pa.int32()),
+            pa.field("y0", pa.int32()),
+            pa.field("x0", pa.int32()),
+            pa.field("data", pa.binary()),
+            pa.field("n_pixels", pa.int64()),
+            pa.field("n_valid", pa.int64()),
+            pa.field("sum_ndvi", pa.float64()),
+        ]
+    )
+
+
+def _scene_ndvi_rows(
+    scene_id: str,
+    by_band: dict,
+    tile: int,
+    red_band: str,
+    nir_band: str,
+    on_error: str,
+) -> list[tuple]:
+    """One scene's band buffers → NDVI_TILE_SCHEMA row tuples (shared
+    by the pandas and Arrow kernels — identical math, identical rows).
+
+    Per-TILE math: identical elementwise results to a whole-scene
+    pass, but the float64 intermediates live per 256² tile (~3 MB
+    working set) instead of per scene (~6 arrays × 8 B × h·w —
+    200 MB at 4096²). With 32 concurrent scene tasks the whole-scene
+    version thrashes memory bandwidth; this one stays cache-resident
+    (measured ~2× at full occupancy)."""
+    if red_band not in by_band or nir_band not in by_band:
+        return []
+    try:
+        red = _band_array_from_tiff(by_band[red_band], nodata_to_nan=True)
+        nir = _band_array_from_tiff(by_band[nir_band], nodata_to_nan=True)
+        if red.shape != nir.shape:  # P7 grid-compat guard
+            raise ValueError(
+                f"grid mismatch for {scene_id}: {red.shape} vs {nir.shape}"
+            )
+    except Exception:
+        if on_error == "quarantine":
+            return []
+        raise
+
+    h, w = red.shape
+    rows = []
+    for ty in range(0, h, tile):
+        for tx in range(0, w, tile):
+            r32 = red[ty : ty + tile, tx : tx + tile]
+            n32 = nir[ty : ty + tile, tx : tx + tile]
+            pres = ~np.isnan(r32) & ~np.isnan(n32)
+            val = pres & (r32 != 0) & (n32 != 0)
+            red_sr = r32.astype(np.float64) * SCALE + OFFSET
+            nir_sr = n32.astype(np.float64) * SCALE + OFFSET
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ndvi = (nir_sr - red_sr) / (nir_sr + red_sr + EPS)
+            ndvi = np.clip(ndvi, -1.0, 1.0)
+            block = np.full((tile, tile), np.nan, dtype=np.float32)
+            sub = block[: r32.shape[0], : r32.shape[1]]
+            sub[val] = ndvi[val].astype(np.float32)
+            rows.append(
+                (
+                    scene_id,
+                    ty // tile,
+                    tx // tile,
+                    tile,
+                    tile,
+                    ty,
+                    tx,
+                    block.tobytes(),
+                    int(pres.sum()),
+                    int(val.sum()),
+                    float(sub[~np.isnan(sub)].astype(np.float64).sum()),
+                )
+            )
+    return rows
+
+
 def scene_ndvi_from_bands(
     parsed: DataFrame,
     tile: int = DEFAULT_TILE,
     red_band: str = "red",
     nir_band: str = "nir",
     on_error: str = "raise",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """The fused kernel over an already-parsed (scene_id, band,
     content) relation — shared by the batch glob scan and the
@@ -905,74 +1052,45 @@ def scene_ndvi_from_bands(
     isolation (E1, main.py:118-139): a scene whose bands fail to
     decode or whose grids mismatch emits nothing instead of failing
     the job — one bad file cannot kill a 100 TB run. The default
-    'raise' is strict (fail fast, the right mode for tests/dev)."""
+    'raise' is strict (fail fast, the right mode for tests/dev).
+
+    Default path is `applyInArrow`: each scene's band payloads arrive
+    as Arrow buffers read through zero-copy memoryviews, and tile
+    payloads leave as an Arrow batch — pandas never touches the
+    ~100 MB binary cells. `use_arrow=False` keeps the pandas kernel
+    for parity testing."""
     if on_error not in ("raise", "quarantine"):
         raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
 
+    if use_arrow:
+        def kernel_arrow(key, table):
+            import pyarrow as pa
+
+            scene_id = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+            bands = table.column("band").to_pylist()
+            contents = table.column("content")
+            by_band = {
+                b: memoryview(contents[i].as_buffer()) for i, b in enumerate(bands)
+            }
+            rows = _scene_ndvi_rows(
+                scene_id, by_band, tile, red_band, nir_band, on_error
+            )
+            schema = _ndvi_arrow_schema()
+            cols = list(zip(*rows)) if rows else [[] for _ in schema]
+            return pa.table(
+                [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
+                schema=schema,
+            )
+
+        return parsed.groupBy("scene_id").applyInArrow(
+            kernel_arrow, schema=NDVI_TILE_SCHEMA
+        )
+
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (scene_id,) = key
-        empty = pd.DataFrame(columns=[f.name for f in NDVI_TILE_SCHEMA])
-        by_band = dict(zip(pdf["band"], pdf["content"]))
-        if red_band not in by_band or nir_band not in by_band:
-            return empty
-        try:
-            bands = {}
-            for b in (red_band, nir_band):
-                arr, meta = decode_geotiff_bytes(bytes(by_band[b]))
-                a = arr.astype(np.float32)
-                if meta.get("nodata") is not None:
-                    a = np.where(a == np.float32(meta["nodata"]), np.nan, a)
-                bands[b] = a
-            red, nir = bands[red_band], bands[nir_band]
-            if red.shape != nir.shape:  # P7 grid-compat guard
-                raise ValueError(
-                    f"grid mismatch for {scene_id}: {red.shape} vs {nir.shape}"
-                )
-        except Exception:
-            if on_error == "quarantine":
-                return empty
-            raise
-
-        # Per-TILE math: identical elementwise results to a whole-scene
-        # pass, but the float64 intermediates live per 256² tile (~3 MB
-        # working set) instead of per scene (~6 arrays × 8 B × h·w —
-        # 200 MB at 4096²). With 32 concurrent scene tasks the
-        # whole-scene version thrashes memory bandwidth; this one
-        # stays cache-resident (measured ~2× at full occupancy).
-        h, w = red.shape
-        rows = []
-        for ty in range(0, h, tile):
-            for tx in range(0, w, tile):
-                r32 = red[ty : ty + tile, tx : tx + tile]
-                n32 = nir[ty : ty + tile, tx : tx + tile]
-                pres = ~np.isnan(r32) & ~np.isnan(n32)
-                val = pres & (r32 != 0) & (n32 != 0)
-                red_sr = r32.astype(np.float64) * SCALE + OFFSET
-                nir_sr = n32.astype(np.float64) * SCALE + OFFSET
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    ndvi = (nir_sr - red_sr) / (nir_sr + red_sr + EPS)
-                ndvi = np.clip(ndvi, -1.0, 1.0)
-                block = np.full((tile, tile), np.nan, dtype=np.float32)
-                sub = block[: r32.shape[0], : r32.shape[1]]
-                sub[val] = ndvi[val].astype(np.float32)
-                rows.append(
-                    {
-                        "scene_id": scene_id,
-                        "tile_y": ty // tile,
-                        "tile_x": tx // tile,
-                        "height": tile,
-                        "width": tile,
-                        "y0": ty,
-                        "x0": tx,
-                        "data": block.tobytes(),
-                        "n_pixels": int(pres.sum()),
-                        "n_valid": int(val.sum()),
-                        "sum_ndvi": float(
-                            sub[~np.isnan(sub)].astype(np.float64).sum()
-                        ),
-                    }
-                )
-        return pd.DataFrame(rows)
+        by_band = {b: bytes(c) for b, c in zip(pdf["band"], pdf["content"])}
+        rows = _scene_ndvi_rows(scene_id, by_band, tile, red_band, nir_band, on_error)
+        return pd.DataFrame(rows, columns=_NDVI_TILE_NAMES)
 
     return parsed.groupBy("scene_id").applyInPandas(kernel, schema=NDVI_TILE_SCHEMA)
 

@@ -67,8 +67,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet stores TIMESTAMP(NANOS); read as long and convert
-        # to microsecond timestamps in the scan layer (sources/testdata.py).
+        # Some testdata generations store TIMESTAMP(NANOS); read as long
+        # and convert in the scan layer (sources/testdata.py). Harmless
+        # for MICROS-written files, which arrive as native timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # 128 MB input splits: the sweet spot for parquet scans at scale;
         # small local files coalesce via AQE anyway.

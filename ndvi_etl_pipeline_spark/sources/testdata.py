@@ -39,13 +39,21 @@ def default_sf_dir() -> str:
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or default_sf_dir()
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong=true);
-    # convert to microsecond timestamps — same truncation DuckDB applies.
+    # Normalize `ts` to a session-timezone TIMESTAMP whatever the parquet
+    # writer used: TIMESTAMP(NANOS) arrives as long (nanosAsLong=true) and
+    # needs the /1000 conversion — same truncation DuckDB applies;
+    # TIMESTAMP(MICROS) with isAdjustedToUTC=false infers as
+    # TIMESTAMP_NTZ and just needs the cast (session tz is UTC, so wall
+    # times are preserved — identical to DuckDB's naive-timestamp read).
     for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+        if f.name != "ts":
+            continue
+        if isinstance(f.dataType, T.LongType):
             df = df.withColumn(
                 "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
             )
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

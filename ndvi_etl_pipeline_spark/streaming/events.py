@@ -227,11 +227,6 @@ def run_stream_with_upsert_sink(
 
     from ..operators.upsert import upsert_replace
 
-    if os.path.isfile(parquet_path):
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
-        parquet_path = d
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if os.path.isdir(out_path):
             existing = spark.read.parquet(out_path)
@@ -242,10 +237,7 @@ def run_stream_with_upsert_sink(
         # the overwrite invalidates them
         merged.localCheckpoint().write.mode("overwrite").parquet(out_path)
 
-    raw = spark.readStream.schema(_nanos_schema()).format("parquet").load(parquet_path)
-    events = raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    events = _stream_events(spark, parquet_path)
     # update mode: every changed window reaches the sink each batch and
     # the MERGE keeps the product table at the latest value per key —
     # append mode would withhold windows the watermark hasn't closed.
@@ -291,25 +283,30 @@ def run_stream_over_parquet(
 
 def _stream_events(spark: SparkSession, parquet_path: str) -> DataFrame:
     """events parquet (possibly a single file) → streaming DataFrame
-    with `ts` restored to a microsecond timestamp.
+    with `ts` as a microsecond timestamp.
 
     FileStreamSource requires a directory; single-file inputs get a
-    temp dir with a symlink (zero-copy). Streaming readers inherit the
-    session's nanosAsLong, so ts arrives as LONG nanos — converted
-    exactly like sources/testdata.py does for batch.
+    temp dir with a symlink (zero-copy). The ts physical type depends
+    on how the parquet was written: TIMESTAMP(NANOS) arrives as LONG
+    under the session's nanosAsLong and needs the /1000 conversion
+    (same as sources/testdata.py batch path); TIMESTAMP(MICROS) is a
+    native timestamp and must pass through untouched. A one-file batch
+    schema probe picks the right branch.
     """
     if os.path.isfile(parquet_path):
         d = tempfile.mkdtemp(prefix="stream_src_")
         os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
         parquet_path = d
-    raw = (
-        spark.readStream.schema(_nanos_schema())
-        .format("parquet")
-        .load(parquet_path)
+    ts_is_nanos = isinstance(
+        spark.read.parquet(parquet_path).schema["ts"].dataType, T.LongType
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    schema = _nanos_schema() if ts_is_nanos else EVENTS_SCHEMA
+    raw = spark.readStream.schema(schema).format("parquet").load(parquet_path)
+    if ts_is_nanos:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return raw
 
 
 def run_two_streams_over_parquet(

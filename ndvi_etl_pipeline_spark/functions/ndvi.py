@@ -77,6 +77,33 @@ def ndvi_from_dn(red_dn: Column | str, nir_dn: Column | str, nodata_dn: float = 
     return F.when(valid, value)
 
 
+def evi2(red: Column | str, nir: Column | str) -> Column:
+    """Two-band Enhanced Vegetation Index (Jiang et al. 2008):
+    2.5 · (nir − red) / (nir + 2.4 · red + 1).
+
+    Same input contract as `ndvi` (already-scaled reflectances). The
+    denominator is bounded away from zero for C2L2 reflectances
+    (≥ 0.32 at the −0.2 offset floor), so no epsilon is needed.
+    """
+    red = F.col(red) if isinstance(red, str) else red
+    nir = F.col(nir) if isinstance(nir, str) else nir
+    return F.lit(2.5) * (nir - red) / (nir + F.lit(2.4) * red + F.lit(1.0))
+
+
+def savi(red: Column | str, nir: Column | str, soil_l: float = 0.5) -> Column:
+    """Soil-Adjusted Vegetation Index (Huete 1988):
+    (1 + L) · (nir − red) / (nir + red + L), default L = 0.5.
+
+    L bounds the denominator (≥ 0.1 for C2L2 reflectances at L=0.5),
+    so like `evi2` this needs no epsilon.
+    """
+    red = F.col(red) if isinstance(red, str) else red
+    nir = F.col(nir) if isinstance(nir, str) else nir
+    return (
+        F.lit(1.0 + soil_l) * (nir - red) / (nir + red + F.lit(float(soil_l)))
+    )
+
+
 def with_nodata_sentinel(x: Column | str, sentinel: float = NODATA) -> Column:
     """P4 at export time: NULL → −9999.0. compute_ndvi.py:36,68."""
     x = F.col(x) if isinstance(x, str) else x

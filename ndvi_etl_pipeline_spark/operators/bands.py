@@ -24,18 +24,20 @@ def pair_bands(
     red: str = "red",
     nir: str = "nir",
     value_col: str = "dn",
+    keys: tuple[str, ...] = ("scene_id", "y", "x"),
 ) -> DataFrame:
-    """J1: long (scene_id, band, y, x, dn) → wide (scene_id, y, x, red_dn, nir_dn).
+    """J1: long (keys..., band, dn) → wide (keys..., red_dn, nir_dn).
 
     Inner-join semantics: pixels where either band is absent drop out,
     matching the reference's skip of incomplete scenes
     (download_landsat_stac.py:150-151). Implemented as a single
     hash-aggregate (max over a 2-way pivot) — one shuffle, map-side
-    partial aggregation, no join.
+    partial aggregation, no join. `keys` defaults to the per-scene
+    grid; time-series callers pair per (period, y, x) instead.
     """
     return (
         pixels.filter(F.col("band").isin(red, nir))
-        .groupBy("scene_id", "y", "x")
+        .groupBy(*keys)
         .agg(
             F.max(F.when(F.col("band") == red, F.col(value_col))).alias("red_dn"),
             F.max(F.when(F.col("band") == nir, F.col(value_col))).alias("nir_dn"),

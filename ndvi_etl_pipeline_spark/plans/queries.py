@@ -752,6 +752,185 @@ def q_ndvi_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- NDVI time series over a (period, y, x) grid -------------------------
+# Multi-date pixels derived from lineitem: period = yyyymm of l_shipdate,
+# a coarse 20×20 grid so every period keeps paired-band density at small
+# scale factors. Pairing runs per (period, y, x) ACROSS the scene
+# dimension — mosaic-then-composite, the standard Landsat analysis-ready
+# data layout.
+
+_TS_NDVI_SQL = """
+    WITH px AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS period,
+             CASE WHEN l_linenumber % 2 = 0 THEN 'red' ELSE 'nir' END AS band,
+             CAST(l_orderkey % 20 AS INT) AS y,
+             CAST(l_partkey % 20 AS INT) AS x,
+             CAST(CASE WHEN (l_orderkey + l_partkey) % 37 = 0 THEN 0
+                  ELSE (CAST(floor(l_quantity * 100) AS BIGINT) + l_partkey + l_orderkey) % 65535 + 1
+             END AS INT) AS dn
+      FROM lineitem
+    ),
+    paired AS (
+      SELECT period, y, x,
+             max(CASE WHEN band = 'red' THEN dn END) AS red_dn,
+             max(CASE WHEN band = 'nir' THEN dn END) AS nir_dn
+      FROM px GROUP BY period, y, x
+    ),
+    nv AS (
+      SELECT period, y, x,
+             CASE WHEN red_dn = 0 OR nir_dn = 0 THEN NULL
+                  ELSE greatest(-1.0, least(1.0,
+                       ((nir_dn * 0.0000275 - 0.2) - (red_dn * 0.0000275 - 0.2))
+                     / ((nir_dn * 0.0000275 - 0.2) + (red_dn * 0.0000275 - 0.2) + 0.000001)))
+             END AS ndvi,
+             red_dn * 0.0000275 - 0.2 AS red_sr,
+             nir_dn * 0.0000275 - 0.2 AS nir_sr
+      FROM paired
+      WHERE red_dn IS NOT NULL AND nir_dn IS NOT NULL
+    )
+"""
+
+
+def derived_ts_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _TS_NDVI_SQL's px CTE (bit-identical math)."""
+    li = _t(spark, sf_dir, "lineitem")
+    period = (
+        (F.year("l_shipdate") * F.lit(100) + F.month("l_shipdate"))
+        .cast("int")
+        .alias("period")
+    )
+    band = (
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit("red"))
+        .otherwise(F.lit("nir"))
+        .alias("band")
+    )
+    dn = (
+        F.when((F.col("l_orderkey") + F.col("l_partkey")) % 37 == 0, F.lit(0))
+        .otherwise(
+            (
+                F.floor(F.col("l_quantity") * 100).cast("bigint")
+                + F.col("l_partkey")
+                + F.col("l_orderkey")
+            )
+            % 65535
+            + 1
+        )
+        .cast("int")
+        .alias("dn")
+    )
+    return li.select(
+        period,
+        band,
+        (F.col("l_orderkey") % 20).cast("int").alias("y"),
+        (F.col("l_partkey") % 20).cast("int").alias("x"),
+        dn,
+    )
+
+
+def _ts_ndvi_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired multi-date NDVI grid with raw reflectances alongside."""
+    from ..functions.ndvi import ndvi_from_dn, scale_reflectance
+    from ..operators.bands import pair_bands
+
+    paired = pair_bands(derived_ts_pixels(spark, sf_dir), keys=("period", "y", "x"))
+    return paired.select(
+        "period",
+        "y",
+        "x",
+        ndvi_from_dn("red_dn", "nir_dn", nodata_dn=0.0).alias("ndvi"),
+        scale_reflectance("red_dn").alias("red_sr"),
+        scale_reflectance("nir_dn").alias("nir_sr"),
+    )
+
+
+@register(
+    "ndvi_annual_composite",
+    oracle=_TS_NDVI_SQL
+    + """
+    , comp AS (
+      SELECT CAST(floor(period / 100.0) AS INT) AS yr, y, x,
+             max(ndvi) AS cv, count(*) AS n_obs
+      FROM nv WHERE ndvi IS NOT NULL GROUP BY 1, 2, 3
+    )
+    SELECT yr, count(*) AS n_pixels,
+           round(avg(cv), 6) AS mean_composite,
+           round(avg(CAST(n_obs AS DOUBLE)), 2) AS mean_obs
+    FROM comp GROUP BY yr
+    """,
+    tags=("ndvi", "timeseries", "agg"),
+)
+def q_ndvi_annual_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annual greenest-pixel composite (max NDVI per pixel per year) —
+    the classic cloud-robust Landsat product, one hash-agg cascade
+    (operators/timeseries.py). Per-year summary keeps the compared
+    result small while every composite cell feeds the average."""
+    from ..operators.timeseries import temporal_composite
+
+    nv = _ts_ndvi_df(spark, sf_dir).withColumn(
+        "yr", F.floor(F.col("period") / F.lit(100.0)).cast("int")
+    )
+    comp = temporal_composite(nv, keys=("yr", "y", "x"))
+    return comp.groupBy("yr").agg(
+        F.count("*").alias("n_pixels"),
+        F.round(F.avg("cv"), 6).alias("mean_composite"),
+        F.round(F.avg(F.col("n_obs").cast("double")), 2).alias("mean_obs"),
+    )
+
+
+@register(
+    "ndvi_multi_index",
+    oracle=_TS_NDVI_SQL
+    + """
+    SELECT period, count(*) AS n_pixels,
+           round(avg(ndvi), 6) AS mean_ndvi,
+           round(avg(2.5 * (nir_sr - red_sr) / (nir_sr + 2.4 * red_sr + 1.0)), 6) AS mean_evi2,
+           round(avg(1.5 * (nir_sr - red_sr) / (nir_sr + red_sr + 0.5)), 6) AS mean_savi
+    FROM nv WHERE ndvi IS NOT NULL
+    GROUP BY period
+    """,
+    tags=("ndvi", "timeseries", "agg"),
+)
+def q_ndvi_multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three vegetation indices (NDVI, EVI2, SAVI) in ONE fused pass
+    over the paired grid — multi-expression aggregate, single shuffle,
+    all Catalyst codegen (functions/ndvi.py evi2/savi). The reference
+    would run three separate raster passes for this."""
+    from ..functions.ndvi import evi2, savi
+
+    nv = _ts_ndvi_df(spark, sf_dir).filter(F.col("ndvi").isNotNull())
+    return nv.groupBy("period").agg(
+        F.count("*").alias("n_pixels"),
+        F.round(F.avg("ndvi"), 6).alias("mean_ndvi"),
+        F.round(F.avg(evi2("red_sr", "nir_sr")), 6).alias("mean_evi2"),
+        F.round(F.avg(savi("red_sr", "nir_sr")), 6).alias("mean_savi"),
+    )
+
+
+@register(
+    "ndvi_greenup_period",
+    oracle=_TS_NDVI_SQL
+    + """
+    , g AS (
+      SELECT y, x, min(period) AS first_period
+      FROM nv WHERE ndvi >= 0.2
+      GROUP BY y, x
+    )
+    SELECT first_period, count(*) AS n_pixels
+    FROM g GROUP BY first_period
+    """,
+    tags=("ndvi", "timeseries", "agg"),
+)
+def q_ndvi_greenup_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phenology greenup: the first period each pixel's NDVI reaches
+    0.2, histogrammed by period (operators/timeseries.py
+    first_crossing — min-over-filter, no window sort)."""
+    from ..operators.timeseries import first_crossing
+
+    nv = _ts_ndvi_df(spark, sf_dir)
+    g = first_crossing(nv, pixel_keys=("y", "x"), threshold=0.2)
+    return g.groupBy("first_period").agg(F.count("*").alias("n_pixels"))
+
+
 @register(
     "warp_bilinear",
     oracle=_NDVI_SQL

@@ -932,6 +932,54 @@ def q_ndvi_greenup_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ndvi_anomaly_zscore",
+    oracle=_TS_NDVI_SQL
+    + """
+    , v AS (SELECT period, y, x, ndvi FROM nv WHERE ndvi IS NOT NULL),
+    clim AS (
+      SELECT y, x, avg(ndvi) AS mu, stddev_samp(ndvi) AS sigma, count(*) AS n
+      FROM v GROUP BY y, x),
+    z AS (
+      SELECT v.period, (v.ndvi - c.mu) / c.sigma AS z
+      FROM v JOIN clim c ON c.y = v.y AND c.x = v.x
+      WHERE c.n >= 2 AND c.sigma > 0)
+    SELECT period, count(*) AS n_obs,
+           round(avg(z), 6) AS mean_z,
+           CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM z GROUP BY period
+    """,
+    tags=("ndvi", "timeseries", "agg", "join"),
+)
+def q_ndvi_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection against per-pixel climatology: z-score each
+    observation vs its pixel's long-term mean/std, report per-period
+    mean anomaly and |z|>2 outlier counts. Climatology is a hash-agg
+    keyed by pixel; the join back is on the same key, so with a
+    pixel-partitioned store both sides co-locate and the join is
+    shuffle-free (the groupBy output reuses the scan's partitioning).
+    A window-function formulation would sort every pixel history;
+    agg+join only hashes."""
+    v = _ts_ndvi_df(spark, sf_dir).filter(F.col("ndvi").isNotNull()).select(
+        "period", "y", "x", "ndvi"
+    )
+    clim = v.groupBy("y", "x").agg(
+        F.avg("ndvi").alias("mu"),
+        F.stddev_samp("ndvi").alias("sigma"),
+        F.count("*").alias("n"),
+    )
+    z = (
+        v.join(clim, ["y", "x"])
+        .filter((F.col("n") >= 2) & (F.col("sigma") > 0))
+        .select("period", ((F.col("ndvi") - F.col("mu")) / F.col("sigma")).alias("z"))
+    )
+    return z.groupBy("period").agg(
+        F.count("*").alias("n_obs"),
+        F.round(F.avg("z"), 6).alias("mean_z"),
+        F.sum(F.when(F.abs("z") > 2, 1).otherwise(0)).alias("n_outliers"),
+    )
+
+
+@register(
     "warp_bilinear",
     oracle=_NDVI_SQL
     + """
@@ -3136,6 +3184,117 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "bm25_rank",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT t.doc_id,
+             sum( ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                  * t.tf * 2.2
+                  / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) ) AS score
+      FROM tf t
+      JOIN df d ON d.token = t.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.token IN ('spark', 'join', 'window')
+      GROUP BY t.doc_id)
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "ranking"),
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene's non-negative idf) top-10
+    docs for a 3-term query. Corpus stats (N, avgdl) are a 2-value
+    scalar aggregate collected driver-side — they become plan
+    literals, so no cross join survives into the physical plan. The
+    query-term filter is an `isin` on the pre-aggregated tf relation:
+    it prunes BEFORE the df/dl joins, and both join sides are tiny
+    (terms × docs), so AQE broadcasts them. Ordering is on the
+    round-6 score with doc_id tiebreak — deterministic across engines
+    regardless of float summation order."""
+    d = _t(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window"]
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").cast("double").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n, avgdl = dl.agg(
+        F.count("*").cast("double"), F.avg("dl")
+    ).first()
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))
+    scored = (
+        tf.filter(F.col("token").isin(terms))
+        .join(df, "token")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * 2.2 / denom).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents),
+    t AS (SELECT token FROM toks WHERE length(token) >= 2),
+    pairs AS (
+      SELECT substring(token, CAST(i AS INT), 2) AS pair
+      FROM t CROSS JOIN (SELECT unnest(generate_series(1, 30)) AS i) g
+      WHERE i <= length(token) - 1)
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 30
+    """,
+    tags=("text", "training"),
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training: corpus-wide adjacent
+    character-pair frequencies, top-30. The pair enumeration is a
+    JVM-side higher-order function — transform(sequence(1, len-1),
+    i -> substr(i, 2)) then one explode — no Python, no per-char
+    explode (explodes len-1 two-char strings instead of len single
+    chars + a self-join). One shuffle for the global count."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+    ).filter(F.length("token") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("token") - 1),
+                lambda i: F.col("token").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(30)
     )
 
 

@@ -980,6 +980,63 @@ def q_ndvi_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ndvi_trend",
+    oracle=_TS_NDVI_SQL
+    + """
+    , v AS (
+      SELECT y, x, ndvi,
+             CAST(floor(period / 100.0) * 12 + period % 100 AS DOUBLE) AS t
+      FROM nv WHERE ndvi IS NOT NULL),
+    tr AS (
+      SELECT y, x, regr_slope(ndvi, t) AS slope, count(*) AS n
+      FROM v GROUP BY y, x)
+    SELECT CASE WHEN slope > 0.0005 THEN 'greening'
+                WHEN slope < -0.0005 THEN 'browning'
+                ELSE 'stable' END AS trend_class,
+           count(*) AS n_pixels
+    FROM tr WHERE n >= 12 AND slope IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("ndvi", "timeseries", "agg"),
+)
+def q_ndvi_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greening/browning trend per pixel: least-squares slope of NDVI
+    against month index via the SQL-standard regr_slope aggregate —
+    one hash-agg keyed by pixel, associative partials, no window sort
+    (same scale shape as the climatology in ndvi_anomaly_zscore).
+    Pixels are classified by slope sign at a ±5e-4/month threshold;
+    the compared result is the 3-row class histogram, which is robust
+    to last-ulp float divergence between engines."""
+    v = (
+        _ts_ndvi_df(spark, sf_dir)
+        .filter(F.col("ndvi").isNotNull())
+        .select(
+            "y",
+            "x",
+            "ndvi",
+            (
+                F.floor(F.col("period") / F.lit(100.0)) * 12 + F.col("period") % 100
+            )
+            .cast("double")
+            .alias("t"),
+        )
+    )
+    tr = v.groupBy("y", "x").agg(
+        F.regr_slope("ndvi", "t").alias("slope"), F.count("*").alias("n")
+    )
+    trend_class = (
+        F.when(F.col("slope") > 0.0005, F.lit("greening"))
+        .when(F.col("slope") < -0.0005, F.lit("browning"))
+        .otherwise(F.lit("stable"))
+    )
+    return (
+        tr.filter((F.col("n") >= 12) & F.col("slope").isNotNull())
+        .groupBy(trend_class.alias("trend_class"))
+        .agg(F.count("*").alias("n_pixels"))
+    )
+
+
+@register(
     "warp_bilinear",
     oracle=_NDVI_SQL
     + """

@@ -3,6 +3,8 @@ functions/ndvi.py evi2/savi). Oracle parity for the three registered
 queries is covered by tools/check_correctness.py; these pin the
 operator semantics on tiny hand-checkable frames."""
 
+import re
+
 import pyspark.sql.functions as F
 
 from ndvi_etl_pipeline_spark.functions.ndvi import evi2, savi
@@ -51,6 +53,22 @@ def test_first_crossing_earliest_period(spark):
         for r in first_crossing(nv, pixel_keys=("y", "x"), threshold=0.2).collect()
     }
     assert out == {(0, 0): 202401}
+
+
+def test_timeseries_plans_are_pure_agg(spark, sf_dir):
+    """Plan-shape regression: the composite is a pure hash-agg cascade
+    (3 exchanges: pairing, composite cells, year summary) and neither
+    query plans any Python evaluation node."""
+    from ndvi_etl_pipeline_spark.operators.scale import explain_str
+    from ndvi_etl_pipeline_spark.plans.queries import REGISTRY
+
+    comp_plan = explain_str(REGISTRY["ndvi_annual_composite"].builder(spark, sf_dir))
+    # formatted plans mention each node twice (tree + detail): count ids
+    n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", comp_plan)))
+    assert n_exchanges == 3, comp_plan
+    for name in ("ndvi_annual_composite", "ndvi_trend", "ndvi_greenup_period"):
+        plan = explain_str(REGISTRY[name].builder(spark, sf_dir))
+        assert "EvalPython" not in plan, (name, plan)
 
 
 def test_evi2_savi_known_values(spark):

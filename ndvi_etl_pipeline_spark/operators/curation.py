@@ -41,6 +41,52 @@ def hash_bucket(key: Column, buckets: int = 256) -> Column:
     return (F.conv(hx, 16, 10).cast("bigint") % buckets).cast("int")
 
 
+def mixture_keep(
+    key: Column,
+    group: Column,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    buckets: int = 10000,
+) -> Column:
+    """Deterministic weighted subsampling toward a target mixture.
+
+    True where the row survives sampling at its group's keep-rate
+    (e.g. {'web': 0.25, 'code': 1.0}): hash-bucket of the content key
+    compared against weight·buckets. Per-row expression — zero
+    shuffles, stable under corpus growth and re-partitioning, and the
+    kept set for a group at weight w is a SUBSET of the kept set at
+    any w' > w (nested samples, so mixture re-weighs never resample
+    disjoint rows).
+    """
+    b = hash_bucket(key, buckets)
+    thr: Column = F.lit(int(round(default_weight * buckets)))
+    for g, w in weights.items():
+        thr = F.when(group == g, F.lit(int(round(w * buckets)))).otherwise(thr)
+    return b < thr
+
+
+def chunk_lengths(
+    n_tokens: Column,
+    window: int = 64,
+    stride: int = 48,
+) -> Column:
+    """Token counts of the overlapping chunks a document splits into
+    (RAG/embedding chunking bookkeeping): an ARRAY of
+    ceil((n-window)/stride)+1 lengths, the last possibly short.
+
+    Pure JVM array expression (sequence + transform) — callers explode
+    it; no Python, no token materialization, so the chunk inventory of
+    a 100 TB corpus is computed at scan speed.
+    """
+    n_chunks = F.when(n_tokens <= window, F.lit(1)).otherwise(
+        F.ceil((n_tokens - window) / F.lit(float(stride))).cast("int") + 1
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.least(F.lit(window), n_tokens - i * stride),
+    )
+
+
 def assign_split(
     key: Column,
     eval_pct: int = 5,

@@ -2467,6 +2467,108 @@ def q_hash_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_sampling",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               % 10000 AS b,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents),
+    k AS (
+      SELECT source, n_tok, b,
+             CASE source WHEN 'src0' THEN 10000
+                         WHEN 'src1' THEN 5000
+                         WHEN 'src2' THEN 2500
+                         ELSE 1000 END AS thr
+      FROM s)
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN b < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN b < thr THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM k GROUP BY source
+    """,
+    tags=("curation", "sample"),
+)
+def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixture re-weighting: deterministic per-source keep
+    rates (src0 100%, src1 50%, src2 25%, rest 10%) via content-hash
+    thresholds (operators/curation.py::mixture_keep). Per-row
+    expression, zero shuffles before the audit aggregate; samples are
+    NESTED across weights, so a mixture tweak only adds/removes the
+    marginal rows."""
+    d = _t(spark, sf_dir, "documents")
+    keep = CUR.mixture_keep(
+        F.col("doc_id"),
+        F.col("source"),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_weight=0.1,
+    )
+    return (
+        d.select(
+            "source", keep.alias("keep"), TXT.token_count(F.col("text")).alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )
+
+
+@register(
+    "doc_chunking",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT source, n_tok,
+             CASE WHEN n_tok <= 64 THEN 1
+                  ELSE CAST(ceil((n_tok - 64) / 48.0) AS INT) + 1 END AS n_chunks
+      FROM d),
+    ch AS (
+      SELECT source, least(64, n_tok - i * 48) AS chunk_len
+      FROM c CROSS JOIN (SELECT unnest(generate_series(0, 200)) AS i) g
+      WHERE i < n_chunks)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+           round(avg(chunk_len), 4) AS mean_chunk_len
+    FROM ch GROUP BY source
+    """,
+    tags=("curation", "text"),
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunk inventory (window 64 / stride 48 — the
+    standard RAG/embedding chunking shape): per-source chunk counts and
+    mean chunk length. Chunk lengths come from a JVM sequence/transform
+    array (operators/curation.py::chunk_lengths) — the tokens
+    themselves are never materialized, only counted, so this runs at
+    scan speed on a 100 TB corpus. The oracle's bounded generate_series
+    is an oracle-side artifact; the Spark plan's sequence is sized per
+    row."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+        )
+    )
+    ch = d.select(
+        "source",
+        F.explode(CUR.chunk_lengths(n_tok, window=64, stride=48)).alias("chunk_len"),
+    )
+    return ch.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.round(F.avg("chunk_len"), 4).alias("mean_chunk_len"),
+    )
+
+
+@register(
     "stratified_sample",
     oracle="""
     WITH r AS (

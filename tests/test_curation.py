@@ -167,3 +167,38 @@ def test_write_training_shards_deterministic_and_verifiable(spark, sf_dir, tmp_p
         for r in write_training_shards(docs.repartition(13), out2, budget=2000).collect()
     }
     assert m2 == m1
+
+
+def test_mixture_samples_are_nested(spark, sf_dir):
+    """The kept set at weight w must be a subset of the kept set at
+    any w' > w — re-weighting a mixture only adds/removes marginal
+    rows, never resamples."""
+    d = _docs(spark, sf_dir)
+    lo = CUR.mixture_keep(F.col("doc_id"), F.col("source"), {}, default_weight=0.2)
+    hi = CUR.mixture_keep(F.col("doc_id"), F.col("source"), {}, default_weight=0.6)
+    violations = d.select(lo.alias("lo"), hi.alias("hi")).filter(
+        F.col("lo") & ~F.col("hi")
+    )
+    assert violations.count() == 0
+    kept = d.select(lo.alias("lo"), hi.alias("hi")).agg(
+        F.sum(F.col("lo").cast("int")), F.sum(F.col("hi").cast("int"))
+    ).first()
+    assert 0 < kept[0] < kept[1] < d.count()
+
+
+def test_chunk_lengths_cover_tokens_once_per_stride(spark):
+    """Chunk bookkeeping: first chunk = window, last chunk ends exactly
+    at n_tokens, consecutive chunks advance by stride."""
+    df = spark.createDataFrame([(64,), (65,), (100,), (160,), (10,)], "n int")
+    rows = df.select(
+        "n", CUR.chunk_lengths(F.col("n"), window=64, stride=48).alias("lens")
+    ).collect()
+    for r in rows:
+        lens = r.lens
+        if r.n <= 64:
+            assert lens == [min(r.n, 64)]
+            continue
+        assert lens[0] == 64
+        # chunk i spans [i*stride, i*stride + len): the last must end at n
+        assert (len(lens) - 1) * 48 + lens[-1] == r.n
+        assert all(l == 64 for l in lens[:-1])

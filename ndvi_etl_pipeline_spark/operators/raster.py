@@ -255,6 +255,57 @@ def tile_scene_stats(ndvi_tiles: DataFrame) -> DataFrame:
     )
 
 
+COMPOSITE_LABEL = "__composite__"
+
+
+def tile_composite(ndvi_tiles: DataFrame, label: str = COMPOSITE_LABEL) -> DataFrame:
+    """Greenest-pixel mosaic composite: per tile grid position, the
+    elementwise NaN-aware max of every scene's tile (np.fmax — a
+    masked pixel never beats a real observation; all-masked stays NaN).
+
+    The merge is associative, commutative, and IDEMPOTENT, so the
+    composite is exactly incrementally maintainable: merging a batch's
+    composite into a running product (streaming/scenes.py
+    stream_scene_composite) gives bit-identical results to one big
+    batch over all scenes — no reprocessing window needed. One shuffle
+    keyed by grid position; per-group fan-in is bounded by
+    scenes-per-position, so no skew at any corpus size. Output rows
+    keep NDVI_TILE_SCHEMA (partials recomputed from the merged array),
+    so tile_scene_stats / tiles_to_pixels work on composites
+    unchanged.
+    """
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_y, tile_x, y0, x0, th, tw = (int(v) for v in key)
+        merged = np.frombuffer(pdf["data"].iloc[0], dtype=np.float32).reshape(th, tw)
+        for buf in pdf["data"].iloc[1:]:
+            merged = np.fmax(
+                merged, np.frombuffer(buf, dtype=np.float32).reshape(th, tw)
+            )
+        valid = ~np.isnan(merged)
+        return pd.DataFrame(
+            [
+                {
+                    "scene_id": label,
+                    "tile_y": tile_y,
+                    "tile_x": tile_x,
+                    "height": th,
+                    "width": tw,
+                    "y0": y0,
+                    "x0": x0,
+                    "data": merged.tobytes(),
+                    "n_pixels": int(merged.size),
+                    "n_valid": int(valid.sum()),
+                    "sum_ndvi": float(merged[valid].sum()) if valid.any() else 0.0,
+                }
+            ]
+        )
+
+    return ndvi_tiles.groupBy(
+        "tile_y", "tile_x", "y0", "x0", "height", "width"
+    ).applyInPandas(kernel, schema=NDVI_TILE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # tile-form AOI clip (J2) and overview cascade (A6): the 100 TB paths
 # ---------------------------------------------------------------------------

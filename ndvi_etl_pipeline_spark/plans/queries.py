@@ -752,6 +752,46 @@ def q_ndvi_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "ndvi_tile_composite",
+    oracle=_NDVI_SQL
+    + """
+    , comp AS (
+      SELECT y, x, max(ndvi) AS v
+      FROM nv WHERE ndvi IS NOT NULL
+      GROUP BY y, x)
+    SELECT CAST(count(*) AS BIGINT) AS n_pixels, round(avg(v), 6) AS mean_v
+    FROM comp
+    """,
+    tags=("ndvi", "raster", "agg"),
+)
+def q_ndvi_tile_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenest-pixel mosaic through the TILE codec: per-position
+    elementwise fmax across the 3 derived scenes
+    (operators/raster.py::tile_composite — the kernel the streaming
+    product stream_scene_composite maintains incrementally), unpacked
+    and summarized. Must equal the pixel-relational max-per-(y,x)
+    oracle exactly."""
+    from ..operators.raster import (
+        pixels_to_tiles,
+        tile_composite,
+        tile_ndvi,
+        tiles_to_pixels,
+    )
+
+    px = (
+        derived_pixels(spark, sf_dir)
+        .groupBy("scene_id", "band", "y", "x")
+        .agg(F.max("dn").alias("dn"))
+    )
+    comp = tile_composite(tile_ndvi(pixels_to_tiles(px, tile=32)))
+    v = tiles_to_pixels(comp, "v")
+    return v.agg(
+        F.count("*").cast("bigint").alias("n_pixels"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+    )
+
+
 # --- NDVI time series over a (period, y, x) grid -------------------------
 # Multi-date pixels derived from lineitem: period = yyyymm of l_shipdate,
 # a coarse 20×20 grid so every period keeps paired-band density at small

@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 
 from ..operators import raster
 
-__all__ = ["stream_scene_stats"]
+__all__ = ["stream_scene_stats", "stream_scene_composite"]
 
 BINARY_FILE_SCHEMA = T.StructType(
     [
@@ -136,6 +136,97 @@ def stream_scene_stats(
         if bad.limit(1).count() > 0:
             bad.write.mode("append").parquet(quarantine_path)
         stats.unpersist()
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.tif")
+        .load(in_dir)
+    )
+    writer = reader.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", f"{work_dir}/checkpoint"
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def stream_scene_composite(
+    spark: SparkSession,
+    in_dir: str,
+    work_dir: str,
+    tile: int = raster.DEFAULT_TILE,
+    available_now: bool = True,
+):
+    """Incrementally-maintained greenest-pixel composite: as scenes
+    land, each batch's NDVI tiles are max-merged into a running
+    composite product at `<work_dir>/composite`.
+
+    Correctness rests on the merge's algebra (raster.tile_composite:
+    associative + commutative + idempotent), so
+    merge(product, batch) == composite(all scenes so far) EXACTLY —
+    the streaming product equals the batch recompute after every
+    batch, with per-batch work proportional to the delta, not the
+    corpus. Scene bookkeeping (ledger / processed / quarantine) is the
+    same relational state as stream_scene_stats; the processed set
+    lives in its own parquet because the composite table doesn't keep
+    scene ids.
+    """
+    ledger_path = f"{work_dir}/ledger"
+    composite_path = f"{work_dir}/composite"
+    processed_path = f"{work_dir}/processed"
+    quarantine_path = f"{work_dir}/quarantine"
+    _ID_SCHEMA = T.StructType([T.StructField("scene_id", T.StringType())])
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        fname = F.element_at(F.split(F.col("path"), "/"), -1)
+        pat = r"^(.+)_([A-Za-z0-9]+)\.tif$"
+        arrivals = batch_df.select(
+            F.regexp_extract(fname, pat, 1).alias("scene_id"),
+            F.regexp_extract(fname, pat, 2).alias("band"),
+            "path",
+        ).filter(F.col("band").isin("red", "nir"))
+        arrivals.write.mode("append").parquet(ledger_path)
+
+        ledger = _read_or_empty(s, ledger_path, _LEDGER_SCHEMA)
+        complete = (
+            ledger.groupBy("scene_id")
+            .agg(F.countDistinct("band").alias("nb"))
+            .filter(F.col("nb") >= 2)
+            .select("scene_id")
+        )
+        processed = _read_or_empty(s, processed_path, _ID_SCHEMA)
+        quarantined = _read_or_empty(s, quarantine_path, _ID_SCHEMA)
+        todo = complete.join(processed, "scene_id", "left_anti").join(
+            quarantined, "scene_id", "left_anti"
+        )
+        todo_rows = ledger.join(F.broadcast(todo), "scene_id").select("scene_id", "path")
+        paths = [r.path for r in todo_rows.select("path").collect()]
+        if not paths:
+            return
+        parsed = raster.parse_band_files(s.read.format("binaryFile").load(paths))
+        ndvi = raster.scene_ndvi_from_bands(
+            parsed, tile=tile, on_error="quarantine"
+        ).persist()
+
+        batch_comp = raster.tile_composite(ndvi)
+        existing = _read_or_empty(s, composite_path, raster.NDVI_TILE_SCHEMA)
+        # merge = one more composite pass over (product ∪ batch) —
+        # idempotence makes checkpoint replays a no-op on values.
+        merged = raster.tile_composite(existing.unionByName(batch_comp))
+        # localCheckpoint breaks lineage off the files the overwrite
+        # is about to invalidate (same pattern as the events upsert sink)
+        merged.localCheckpoint().write.mode("overwrite").parquet(composite_path)
+
+        ok = ndvi.select("scene_id").distinct()
+        ok.write.mode("append").parquet(processed_path)
+        bad = todo_rows.select("scene_id").distinct().join(ok, "scene_id", "left_anti")
+        if bad.limit(1).count() > 0:
+            bad.write.mode("append").parquet(quarantine_path)
+        ndvi.unpersist()
 
     reader = (
         spark.readStream.format("binaryFile")

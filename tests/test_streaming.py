@@ -311,3 +311,42 @@ def test_stream_scene_feed_quarantines_corrupt_scene(spark, tmp_path):
     products = spark.read.parquet(str(tmp_path / "w" / "products"))
     assert {r.scene_id for r in products.collect()} == {"OK1_20220601", "OK2_20220603"}
     assert spark.read.parquet(str(tmp_path / "w" / "quarantine")).count() == 1
+
+
+def test_stream_composite_equals_batch_composite(spark, tmp_path):
+    """Incremental view maintenance for the greenest-pixel composite:
+    after scenes land across two micro-batch rounds, the running
+    composite product must BIT-MATCH a one-shot batch composite over
+    all scenes (the max-merge is associative + idempotent)."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators import raster
+    from ndvi_etl_pipeline_spark.streaming.scenes import stream_scene_composite
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rng = np.random.default_rng(11)
+
+    def put(scene, band):
+        lo, hi = (0, 30000) if band == "red" else (0, 60000)
+        arr = rng.integers(lo, hi, size=(64, 64)).astype(np.float32)
+        # sprinkle fill pixels so the composite sees masked cells
+        arr[rng.random((64, 64)) < 0.05] = 0.0
+        raster.write_geotiff(arr, str(in_dir / f"{scene}_{band}.tif"))
+
+    put("SA_20220601", "red"), put("SA_20220601", "nir")
+    put("SB_20220602", "red"), put("SB_20220602", "nir")
+    stream_scene_composite(spark, str(in_dir), str(tmp_path / "work"))
+
+    put("SC_20220603", "red"), put("SC_20220603", "nir")
+    stream_scene_composite(spark, str(in_dir), str(tmp_path / "work"))
+
+    got = raster.tiles_to_pixels(
+        spark.read.parquet(str(tmp_path / "work" / "composite")), "v"
+    )
+    want = raster.tiles_to_pixels(
+        raster.tile_composite(raster.scan_scene_ndvi(spark, str(in_dir))), "v"
+    )
+    g = {(r.y, r.x): r.v for r in got.collect()}
+    w = {(r.y, r.x): r.v for r in want.collect()}
+    assert g == w and len(g) > 0

@@ -44,10 +44,16 @@ def main() -> None:
         n = REGISTRY[name].builder(spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        n = REGISTRY[name].builder(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        # warm = MIN of two post-JIT runs: transient co-tenant CPU/disk
+        # contention on a shared box only ever inflates a run, so the
+        # min is the engine's own steady-state cost.
+        warm = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = REGISTRY[name].builder(spark, sf_dir).count()
+            warm.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(min(warm), 3)
         sys.stderr.write(
             f"{name}: {timings[name]}s warm / {cold[name]}s cold ({n} rows)\n"
         )

@@ -3387,6 +3387,103 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT v.user_id,
+             min(epoch_us(e.ts) - epoch_us(v.first_view)) AS us_to_convert
+      FROM v JOIN events e ON e.user_id = v.user_id
+        AND e.event_type = 'purchase'
+        AND e.ts >= v.first_view
+        AND epoch_us(e.ts) - epoch_us(v.first_view) <= 3600000000
+      GROUP BY v.user_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM v), 4)
+             AS conversion_rate,
+           round(avg(us_to_convert / 60000000.0), 2) AS avg_minutes
+    FROM p
+    """,
+    tags=("events", "funnel", "join"),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→purchase funnel within a 1-hour window: users whose first
+    'view' is followed by a 'purchase' within the hour, with
+    conversion rate and mean minutes-to-convert. The first-view
+    relation is an agg (one row per user), so the event join fans out
+    only to each user's purchases — never event×event; the time-band
+    predicate is sargable on the purchase scan."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    n_viewed = v.count()
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("first_view"))
+    p = (
+        v.join(e.filter(F.col("event_type") == "purchase"), "user_id")
+        .filter((F.col("ts") >= F.col("first_view")) & (gap <= 3600000000))
+        .groupBy("user_id")
+        .agg(F.min(gap).alias("us_to_convert"))
+    )
+    return p.agg(
+        F.lit(n_viewed).cast("bigint").alias("n_viewed"),
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.count("*") / F.lit(float(n_viewed)), 4).alias("conversion_rate"),
+        F.round(F.avg(F.col("us_to_convert") / 60000000.0), 2).alias("avg_minutes"),
+    )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT
+             least(CAST(o_custkey % 60 AS INT), CAST(o_orderkey % 60 AS INT)) AS a,
+             greatest(CAST(o_custkey % 60 AS INT), CAST(o_orderkey % 60 AS INT)) AS b
+      FROM orders
+      WHERE o_custkey % 60 <> o_orderkey % 60)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    tags=("graph", "join"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on a derived undirected graph:
+    canonicalize each edge to (a < b), then the standard two-join
+    enumeration e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — the a<b<c ordering
+    counts every triangle exactly once and cuts the join fan-out 6×
+    vs undirected enumeration. Shuffles are keyed on edge endpoints
+    (the joins' equi-keys); at scale the classic degree-based
+    orientation (orient edges low→high degree) bounds the wedge count
+    — canonical ordering is its id-based special case."""
+    o = _t(spark, sf_dir, "orders")
+    a = (F.col("o_custkey") % 60).cast("int")
+    b = (F.col("o_orderkey") % 60).cast("int")
+    e = (
+        o.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    n_edges = e.count()
+    e1 = e
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.count("*").cast("bigint").alias("n_triangles"),
+    )
+
+
+@register(
     "bm25_rank",
     oracle="""
     WITH toks AS (

@@ -3387,6 +3387,83 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    tags=("events", "window"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    per user (the input to clickstream transition matrices): one
+    window pass partitioned by user (bounded history per partition key
+    — never a global sort) feeding one hash-agg over the
+    (prev, next) pairs. Tie-break on event_id makes the sequence
+    deterministic under equal timestamps."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST((epoch(CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+                   - epoch(CAST(f.cohort_week AS TIMESTAMP))) / 604800 AS INT)
+               AS week_offset
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+    tags=("events", "cohort", "join"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort table: users bucketed by first-activity week,
+    counted as active per week offset since their cohort. The cohort
+    relation is one row per user (agg before join — same fan-out
+    discipline as the funnel); distinct-per-(user, week) collapses
+    repeat activity before the final count so heavy users don't
+    inflate retention."""
+    e = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    first_seen = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    offset = (
+        (
+            F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+            - F.unix_timestamp(F.col("cohort_week").cast("timestamp"))
+        )
+        / 604800
+    ).cast("int")
+    activity = (
+        e.join(first_seen, "user_id")
+        .select("user_id", "cohort_week", offset.alias("week_offset"))
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
+    ).agg(F.count("*").cast("bigint").alias("n_active_users"))
+
+
+@register(
     "funnel_conversion",
     oracle="""
     WITH v AS (

@@ -153,6 +153,40 @@ def warp_with_mapping(
     return pixels.groupBy("scene_id").applyInPandas(warp, schema=PIXEL_OUT_SCHEMA)
 
 
+def reproject_scene(
+    pixels: DataFrame,
+    src_transform: tuple,
+    dst_transform: tuple,
+    out_height: int,
+    out_width: int,
+    dst_to_lonlat,
+    lonlat_to_src,
+    value_col: str = "ndvi",
+    src_height: int | None = None,
+    src_width: int | None = None,
+) -> DataFrame:
+    """CRS reprojection with bilinear resampling — the reference's
+    `reproject(..., Resampling.bilinear)` (compute_ndvi.py:162-179,
+    load_to_postgis.py:90-136) as warp_with_mapping plus a composed
+    dst-grid → dst-CRS → lon/lat → src-CRS → src-grid inverse map
+    (functions/crs.py: UTM Krüger series / web-mercator closed forms —
+    no GDAL needed). Pass identity hops to stay within one CRS."""
+    from ..functions.crs import reproject_inverse_map
+
+    inv = reproject_inverse_map(
+        src_transform, dst_transform, dst_to_lonlat, lonlat_to_src
+    )
+    return warp_with_mapping(
+        pixels,
+        out_height,
+        out_width,
+        inv,
+        value_col=value_col,
+        src_height=src_height,
+        src_width=src_width,
+    )
+
+
 TILE_STRIP_SCHEMA = T.StructType(
     [
         T.StructField("scene_id", T.StringType()),

@@ -1208,6 +1208,61 @@ def export_scene_geotiffs(
     return ndvi_tiles.groupBy("scene_id").applyInPandas(assemble, schema=schema)
 
 
+def export_pixel_geotiffs(
+    pixels: DataFrame,
+    out_dir: str,
+    value_col: str = "v",
+    suffix: str = "_NDVI_clipped_viz",
+    origin: tuple[float, float] = (0.0, 0.0),
+    pixel_size: tuple[float, float] = (1.0, 1.0),
+    epsg: int = 3857,
+    nodata: float = NODATA,
+) -> DataFrame:
+    """The reference's ndvi_viz product (compute_ndvi.py:144-158 +
+    load_to_postgis.py:279-322): per-scene GeoTIFF export from PIXEL
+    rows — the natural output shape of the reprojection warp
+    (warp.reproject_scene), whose web-mercator grid is exactly the
+    reference's viz CRS. Tiled/deflate profile, nodata-filled, one
+    distributed writer task per scene. Returns write receipts like
+    export_scene_geotiffs."""
+    schema = T.StructType(
+        [
+            T.StructField("scene_id", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+
+        (scene_id,) = key
+        h = int(pdf["y"].max()) + 1
+        w = int(pdf["x"].max()) + 1
+        arr = np.full((h, w), np.nan, dtype=np.float32)
+        arr[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf[value_col].to_numpy(
+            dtype=np.float32
+        )
+        out = np.where(np.isnan(arr), np.float32(nodata), arr)
+        path = os.path.join(out_dir, f"{scene_id}{suffix}.tif")
+        write_geotiff_tiled(
+            out, path, origin=origin, pixel_size=pixel_size, epsg=epsg, nodata=nodata
+        )
+        return pd.DataFrame(
+            {
+                "scene_id": [scene_id],
+                "path": [path],
+                "height": [h],
+                "width": [w],
+                "n_bytes": [int(os.path.getsize(path))],
+            }
+        )
+
+    return pixels.groupBy("scene_id").applyInPandas(assemble, schema=schema)
+
+
 MULTI_CLIP_SCHEMA = T.StructType(
     [
         T.StructField("scene_id", T.StringType()),

@@ -104,3 +104,54 @@ def test_full_pipeline(spark, scene_dir, tmp_path):
     final = {r.scene_id: r.mean_ndvi for r in spark.read.parquet(out).collect()}
     assert len(final) == 2
     assert final[SCENES[0]] == 0.5
+
+
+def test_viz_product_webmercator_roundtrip(spark, tmp_path):
+    """The reference's ndvi_viz chain (compute_ndvi.py:144-158): NDVI
+    pixels on a lon/lat grid → web-mercator reprojection
+    (warp.reproject_scene + functions/crs.py) → tiled GeoTIFF export.
+    Decoded product must carry the 3857 profile and reproduce a linear
+    field at every interior pixel."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.functions.crs import (
+        lonlat_to_webmercator,
+        webmercator_to_lonlat,
+    )
+    from ndvi_etl_pipeline_spark.operators.warp import reproject_scene
+
+    h = w = 50
+    lon0, dlon, lat0, dlat = 25.0, 0.01, 60.6, -0.01
+    jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+    f = 2.0 * (lon0 + (jj + 0.5) * dlon) - 1.0 * (lat0 + (ii + 0.5) * dlat)
+    pixels = spark.createDataFrame(
+        [("V1", int(y), int(x), float(f[y, x])) for y in range(h) for x in range(w)],
+        "scene_id string, y int, x int, ndvi double",
+    )
+
+    x_min, y_max = lonlat_to_webmercator(np.array([25.05]), np.array([60.55]))
+    dst = (float(x_min[0]), 400.0, 0.0, float(y_max[0]), -400.0, 0.0)
+    src = (lon0, dlon, 0.0, lat0, dlat, 0.0)
+    out_h = out_w = 16
+
+    warped = reproject_scene(
+        pixels, src, dst, out_h, out_w,
+        webmercator_to_lonlat, lambda lo, la: (lo, la),
+    )
+    receipts = raster.export_pixel_geotiffs(
+        warped, str(tmp_path), origin=(dst[0], dst[3]),
+        pixel_size=(dst[1], dst[4]), epsg=3857,
+    ).collect()
+    assert len(receipts) == 1 and receipts[0].path.endswith("_NDVI_clipped_viz.tif")
+
+    arr, meta = raster.read_geotiff(receipts[0].path)
+    assert meta.get("epsg", 3857) == 3857
+    X = dst[0] + (np.arange(out_w) + 0.5) * dst[1]
+    Y = dst[3] + (np.arange(out_h) + 0.5) * dst[4]
+    XX, YY = np.meshgrid(X, Y)
+    lo, la = webmercator_to_lonlat(XX, YY)
+    expect = 2.0 * lo - 1.0 * la
+    got = arr[: out_h, : out_w].astype(np.float64)
+    valid = got != -9999.0
+    assert valid.sum() > out_h * out_w * 0.5
+    assert np.max(np.abs(got[valid] - expect[valid])) < 1e-5  # float32 product

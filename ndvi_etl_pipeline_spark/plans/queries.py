@@ -3387,6 +3387,61 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, m.med,
+             median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY e.event_type, m.med)
+    SELECT e.event_type,
+           round(m.med, 4) AS med,
+           round(m.mad, 4) AS mad,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN mad m ON m.event_type = e.event_type
+    GROUP BY e.event_type, m.med, m.mad
+    """,
+    tags=("stats", "robust", "join"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation (the
+    3-sigma rule's breakdown-resistant twin: |v − med| > 3·1.4826·MAD).
+    Two median aggregates with a join-back between them — both keyed
+    on event_type, so the second agg and both joins reuse the same
+    hash partitioning (one logical shuffle key end-to-end). Exact
+    medians at this group count; at extreme cardinality swap
+    percentile_approx in with the same plan shape."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(med, "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    is_out = F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    return (
+        e.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+            "n",
+        )
+    )
+
+
+@register(
     "event_transitions",
     oracle="""
     WITH s AS (

@@ -3387,6 +3387,71 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_lookup",
+    oracle="""
+    WITH dim AS (
+      SELECT s_suppkey, 1 AS version, DATE '1992-01-01' AS eff_from,
+             DATE '1996-01-01' AS eff_to, s_acctbal * 0.9 AS rate
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 2, DATE '1996-01-01', DATE '1999-01-01',
+             s_acctbal * 1.0
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 3, DATE '1999-01-01', DATE '2999-01-01',
+             s_acctbal * 1.1
+      FROM supplier)
+    SELECT d.version, CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * d.rate / 10000.0), 2) AS weighted
+    FROM lineitem l
+    JOIN dim d ON d.s_suppkey = l.l_suppkey
+      AND CAST(l.l_shipdate AS DATE) >= d.eff_from
+      AND CAST(l.l_shipdate AS DATE) < d.eff_to
+    GROUP BY d.version
+    """,
+    tags=("join", "scd", "warehouse"),
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) effective-dated lookup: each
+    fact row joins the dimension VERSION whose [eff_from, eff_to)
+    window covers its ship date. Equi-join on the surrogate key with
+    the date window as a residual predicate — per-key fan-in is the
+    version count (3 here), so the join never explodes; the versioned
+    dimension stays broadcastable because SCD2 grows it by versions,
+    not by fact volume."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def ver(v: int, frm: str, to: str, mult: float) -> DataFrame:
+        return s.select(
+            "s_suppkey",
+            F.lit(v).alias("version"),
+            F.lit(frm).cast("date").alias("eff_from"),
+            F.lit(to).cast("date").alias("eff_to"),
+            (F.col("s_acctbal") * mult).alias("rate"),
+        )
+
+    dim = (
+        ver(1, "1992-01-01", "1996-01-01", 0.9)
+        .unionByName(ver(2, "1996-01-01", "1999-01-01", 1.0))
+        .unionByName(ver(3, "1999-01-01", "2999-01-01", 1.1))
+    )
+    d = F.col("l_shipdate").cast("date")
+    j = li.join(
+        F.broadcast(dim),
+        (F.col("s_suppkey") == F.col("l_suppkey"))
+        & (d >= F.col("eff_from"))
+        & (d < F.col("eff_to")),
+    )
+    return j.groupBy("version").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("rate") / 10000.0), 2).alias(
+            "weighted"
+        ),
+    )
+
+
+@register(
     "mad_outliers",
     oracle="""
     WITH med AS (

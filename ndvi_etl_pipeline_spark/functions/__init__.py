@@ -1,7 +1,15 @@
+from .crs import (
+    lonlat_to_utm,
+    lonlat_to_webmercator,
+    utm_to_lonlat,
+    webmercator_to_lonlat,
+)
 from .ndvi import (
     NODATA,
     clamp,
+    evi2,
     ndvi,
+    savi,
     scale_reflectance,
     valid_dn_mask,
     with_nodata_sentinel,
@@ -13,6 +21,12 @@ from .scene import (
 )
 
 __all__ = [
+    "lonlat_to_utm",
+    "lonlat_to_webmercator",
+    "utm_to_lonlat",
+    "webmercator_to_lonlat",
+    "evi2",
+    "savi",
     "NODATA",
     "clamp",
     "ndvi",

@@ -3748,6 +3748,53 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+      FROM documents),
+    x AS (
+      SELECT source,
+             CASE WHEN t IN ('data','table','value','row','query',
+                             'join','scan','fast','key','spark')
+                  THEN 0 ELSE 1 END AS oov
+      FROM toks WHERE t <> '')
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(avg(CAST(oov AS DOUBLE)), 4) AS oov_rate
+    FROM x GROUP BY source
+    """,
+    tags=("text", "training"),
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage: out-of-vocabulary token rate per
+    source against a fixed vocab (the audit run before committing to a
+    tokenizer). The vocab membership is an `isin` over a literal set —
+    codegen'd hash lookup per token, no join; one shuffle for the
+    per-source aggregate. For a real 100k-entry vocab, broadcast-join
+    a vocab table instead — same plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = [
+        "data", "table", "value", "row", "query",
+        "join", "scan", "fast", "key", "spark",
+    ]
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("t")
+    ).filter(F.col("t") != "")
+    oov = F.when(F.col("t").isin(vocab), 0).otherwise(1)
+    return (
+        toks.select("source", oov.alias("oov"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("oov").cast("bigint").alias("n_oov"),
+            F.round(F.avg(F.col("oov").cast("double")), 4).alias("oov_rate"),
+        )
+    )
+
+
+@register(
     "bpe_pair_counts",
     oracle="""
     WITH toks AS (

@@ -3387,6 +3387,72 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "keep_first_cdc",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      FROM events)
+    SELECT event_type AS first_event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS first_value_sum
+    FROM r WHERE rk = 1
+    GROUP BY event_type
+    """,
+    tags=("dedup", "window", "cdc"),
+)
+def q_keep_first_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-record-per-key dedup — the CDC twin of last_write_wins
+    (keep the INSERT, drop later updates): one row_number window per
+    key with a deterministic (ts, event_id) order, summarized by the
+    kept row's type. Same single-shuffle shape as the K4 idiom; at
+    scale the window streams each key's rows without materializing
+    history."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = e.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return first.groupBy(F.col("event_type").alias("first_event_type")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("first_value_sum"),
+    )
+
+
+@register(
+    "ndvi_viz_rescale",
+    oracle=_NDVI_SQL
+    + """
+    , viz AS (
+      SELECT scene_id,
+             CAST(round(greatest(0.0, least(255.0, (ndvi + 1.0) * 127.5)))
+                  AS INT) AS byte_v
+      FROM nv WHERE ndvi IS NOT NULL)
+    SELECT scene_id, CAST(count(*) AS BIGINT) AS n_pixels,
+           min(byte_v) AS min_b, max(byte_v) AS max_b,
+           round(avg(CAST(byte_v AS DOUBLE)), 4) AS mean_b
+    FROM viz GROUP BY scene_id
+    """,
+    tags=("ndvi", "viz", "agg"),
+)
+def q_ndvi_viz_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The viz product's value semantics (compute_ndvi.py:144-158
+    'viz' style): NDVI [-1, 1] rescaled to display bytes [0, 255],
+    summarized per scene. Pure column arithmetic fused with the NDVI
+    expression — Catalyst collapses rescale∘clamp∘ndvi into one
+    codegen span, where the reference runs a separate raster pass."""
+    nv = _ndvi_pixels_df(spark, sf_dir).filter(F.col("ndvi").isNotNull())
+    byte_v = F.round(
+        F.greatest(F.lit(0.0), F.least(F.lit(255.0), (F.col("ndvi") + 1.0) * 127.5))
+    ).cast("int")
+    return nv.select("scene_id", byte_v.alias("byte_v")).groupBy("scene_id").agg(
+        F.count("*").cast("bigint").alias("n_pixels"),
+        F.min("byte_v").alias("min_b"),
+        F.max("byte_v").alias("max_b"),
+        F.round(F.avg(F.col("byte_v").cast("double")), 4).alias("mean_b"),
+    )
+
+
+@register(
     "scd2_lookup",
     oracle="""
     WITH dim AS (

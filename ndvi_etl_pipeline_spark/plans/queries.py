@@ -5437,6 +5437,255 @@ def q_tpch_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "char_entropy_quality",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, source, substr(text, CAST(i AS INT), 1) AS ch
+      FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+    ), pc AS (
+      SELECT doc_id, source, ch, count(*) AS c FROM chars GROUP BY 1, 2, 3
+    ), ent AS (
+      SELECT doc_id, source,
+             log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+      FROM pc GROUP BY 1, 2
+    )
+    SELECT source,
+           round(avg(h), 5) AS avg_entropy,
+           round(min(h), 5) AS min_entropy,
+           round(max(h), 5) AS max_entropy,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM ent GROUP BY source
+    """,
+    tags=("text", "curation", "documents"),
+)
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document, summarized per
+    source — the curation signal that separates natural text from
+    boilerplate/garbage (low entropy = repeated filler, high = random
+    bytes). Single-pass identity H = log2(n) − Σc·log2(c)/n over
+    per-(doc, char) counts, so no per-char probability join is needed.
+
+    Scale: the char explode is |total_chars| rows, but the first
+    groupBy partial-aggregates map-side down to ≤|alphabet| rows per
+    doc per task before any shuffle; the per-doc and per-source
+    reductions ride two more tiny exchanges. At 100 TB this is the
+    same shape as token counting: shuffle bytes ∝ docs × alphabet,
+    not corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+    ).select("doc_id", "source", F.expr("substring(text, i, 1)").alias("ch"))
+    pc = chars.groupBy("doc_id", "source", "ch").agg(F.count("*").alias("c"))
+    ent = pc.groupBy("doc_id", "source").agg(
+        (
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("h")
+    )
+    return ent.groupBy("source").agg(
+        F.round(F.avg("h"), 5).alias("avg_entropy"),
+        F.round(F.min("h"), 5).alias("min_entropy"),
+        F.round(F.max("h"), 5).alias("max_entropy"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "pareto_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT p_retailprice, p_size, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT p_retailprice, p_size, n_parts FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+    tags=("skyline", "window"),
+)
+def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (minimize price, maximize size): parts no
+    other part beats on both axes. The oracle is the O(n²) NOT-EXISTS
+    self-join definition; the Spark plan is the O(n log n) sweep — sort
+    by (price asc, size desc), a point survives iff its size strictly
+    exceeds the running max over all preceding (= no cheaper-or-equal
+    point with ≥ size dominates it; exact-duplicate points were already
+    merged by the distinct groupBy).
+
+    Scale: a global-order window would single-partition, so stage 1
+    runs the same sweep per input partition (local skylines — a sound
+    prefilter, since global skyline ⊆ every superset's skyline) and
+    only the few local survivors reach the global sweep. This is the
+    standard distributed-skyline recipe and survives 100× data: the
+    global pass sees |partitions| × |skyline|-ish rows, not |input|."""
+    p = _t(spark, sf_dir, "part")
+    pts = p.groupBy("p_retailprice", "p_size").agg(
+        F.count("*").cast("bigint").alias("n_parts")
+    )
+    asc_desc = [F.col("p_retailprice").asc(), F.col("p_size").desc()]
+    w_local = (
+        Window.partitionBy(F.spark_partition_id())
+        .orderBy(*asc_desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = pts.withColumn("bp", F.max("p_size").over(w_local)).filter(
+        F.col("bp").isNull() | (F.col("p_size") > F.col("bp"))
+    )
+    w_global = (
+        Window.orderBy(*asc_desc).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        local.withColumn("bg", F.max("p_size").over(w_global))
+        .filter(F.col("bg").isNull() | (F.col("p_size") > F.col("bg")))
+        .select("p_retailprice", "p_size", "n_parts")
+    )
+
+
+@register(
+    "welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, avg(value) AS m, var_samp(value) AS v,
+             count(*) AS n
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    )
+    SELECT round(a.m - b.m, 6) AS mean_diff,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+           round(pow(a.v / a.n + b.v / b.n, 2)
+                 / (pow(a.v / a.n, 2) / (a.n - 1)
+                    + pow(b.v / b.n, 2) / (b.n - 1)), 4) AS dof,
+           CAST(a.n AS BIGINT) AS n_click,
+           CAST(b.n AS BIGINT) AS n_purchase
+    FROM g a, g b
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+    tags=("stats", "events"),
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event cohorts
+    (A/B-test primitive): per-group moments in one distributed hash
+    aggregate, then the t statistic and Welch–Satterthwaite degrees of
+    freedom as driver-light scalar arithmetic over two 1-row sides
+    (broadcast cross join — no data movement). The whole test costs
+    one scan + one 2-row shuffle at any scale."""
+    e = _t(spark, sf_dir, "events")
+    g = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+            F.count("*").alias("n"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("m").alias("ma"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = g.filter(F.col("event_type") == "purchase").select(
+        F.col("m").alias("mb"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    sea = F.col("va") / F.col("na")
+    seb = F.col("vb") / F.col("nb")
+    return j.select(
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(sea + seb), 6).alias("t_stat"),
+        F.round(
+            F.pow(sea + seb, F.lit(2))
+            / (
+                F.pow(sea, F.lit(2)) / (F.col("na") - 1)
+                + F.pow(seb, F.lit(2)) / (F.col("nb") - 1)
+            ),
+            4,
+        ).alias("dof"),
+        F.col("na").cast("bigint").alias("n_click"),
+        F.col("nb").cast("bigint").alias("n_purchase"),
+    )
+
+
+@register(
+    "regr_diagnostics",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+           round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("stats", "agg"),
+)
+def q_regr_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full linear-regression aggregate family (slope, intercept, R²,
+    pair count, axis means) per return flag — the same moment-sketch
+    machinery as `ndvi_trend`'s regr_slope, exercised as a complete
+    diagnostics panel. Single-pass partial/final aggregates: shuffle
+    rows = |groups| regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        F.expr("regr_count(l_extendedprice, l_quantity)").cast("bigint").alias(
+            "n_pairs"
+        ),
+        F.round(F.expr("regr_avgx(l_extendedprice, l_quantity)"), 4).alias("avg_qty"),
+        F.round(F.expr("regr_avgy(l_extendedprice, l_quantity)"), 4).alias(
+            "avg_price"
+        ),
+    )
+
+
+@register(
+    "touch_attribution",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, ts) AS first_touch,
+           arg_max(event_type, ts) AS last_touch,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END), 4) AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("events", "agg"),
+)
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution per user: min_by/max_by pick the
+    earliest and latest event type in ONE hash aggregate — no window,
+    no sort, no per-user history shuffle (the win over the row_number
+    formulation at scale: arg-extremes are associative partial aggs).
+    (user_id, ts) is unique in this feed, so the arg picks are
+    deterministic; a production feed would tie-break on event_id."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_touch"),
+        F.max_by("event_type", "ts").alias("last_touch"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            4,
+        ).alias("purchase_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -5686,6 +5686,93 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k,
+           CAST(count(*) FILTER (WHERE CAST(props->>'$.k' AS INT) > 50)
+                AS BIGINT) AS n_big,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "json", "variant"),
+)
+def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the open VARIANT type (Spark 4):
+    `parse_json` shreds the props document once into Variant's binary
+    encoding, and `variant_get` does typed path extraction JVM-side —
+    no regexp, no full-schema `from_json`, and unknown/extra keys ride
+    along untyped. This is the engine's STAC-properties idiom
+    (SURVEY §1.1: properties MAP / assets STRUCT) done the modern way:
+    at 100 TB the win over from_json is that shredding happens once
+    per row regardless of how many paths are later extracted, and
+    paths prune like columns."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count_if(k > 50).cast("bigint").alias("n_big"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "doc_chunking_udtf",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT source, n_tok,
+             CASE WHEN n_tok <= 64 THEN 1
+                  ELSE CAST(ceil((n_tok - 64) / 48.0) AS INT) + 1 END AS n_chunks
+      FROM d),
+    ch AS (
+      SELECT source, least(64, n_tok - i * 48) AS chunk_len
+      FROM c CROSS JOIN (SELECT unnest(generate_series(0, 200)) AS i) g
+      WHERE i < n_chunks)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+           round(avg(chunk_len), 4) AS mean_chunk_len
+    FROM ch GROUP BY source
+    """,
+    tags=("curation", "text", "udtf"),
+)
+def q_doc_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc_chunking inventory re-expressed through a Python table
+    function (Spark 4 UDTF, arrow-optimized): `LATERAL chunk_spans(...)`
+    plans as ArrowEvalPythonUDTF — the generator runs batch-vectorized
+    next to the scan, no shuffle added, and the same DuckDB oracle as
+    the pure-column formulation must hash-match. Two implementations ×
+    one oracle = the representation-duality discipline applied to the
+    UDTF surface."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+        )
+    )
+    d.select("source", n_tok.alias("n_tok")).createOrReplaceTempView(
+        "_doc_tok_counts"
+    )
+    return spark.sql(
+        """
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               round(avg(c.chunk_len), 4) AS mean_chunk_len
+        FROM _doc_tok_counts d, LATERAL chunk_spans(d.n_tok, 64, 48) c
+        GROUP BY d.source
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

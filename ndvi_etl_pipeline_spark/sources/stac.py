@@ -107,29 +107,31 @@ def search_stac(
     return items
 
 
+def item_to_row(it: dict) -> tuple:
+    """One STAC item document → a row tuple matching ITEM_SCHEMA.
+    Shared by the driver-side `items_to_df` path and the executor-side
+    `stac_catalog` Python DataSource (sources/stac_datasource.py)."""
+    import json
+
+    props = it.get("properties", {}) or {}
+    return (
+        it.get("id"),
+        props.get("datetime"),
+        float(props["eo:cloud_cover"]) if "eo:cloud_cover" in props else None,
+        json.dumps(it.get("geometry")) if it.get("geometry") else None,
+        [float(v) for v in it.get("bbox", [])] or None,
+        {k: str(v) for k, v in props.items()},
+        {
+            k: (a.get("href"), a.get("type"))
+            for k, a in (it.get("assets", {}) or {}).items()
+        },
+    )
+
+
 def items_to_df(spark: SparkSession, items: list[dict]) -> DataFrame:
     """STAC item documents → typed DataFrame (properties/assets as
     MAP columns, SURVEY §1.4)."""
-    import json
-
-    rows = []
-    for it in items:
-        props = it.get("properties", {}) or {}
-        rows.append(
-            (
-                it.get("id"),
-                props.get("datetime"),
-                float(props["eo:cloud_cover"]) if "eo:cloud_cover" in props else None,
-                json.dumps(it.get("geometry")) if it.get("geometry") else None,
-                [float(v) for v in it.get("bbox", [])] or None,
-                {k: str(v) for k, v in props.items()},
-                {
-                    k: (a.get("href"), a.get("type"))
-                    for k, a in (it.get("assets", {}) or {}).items()
-                },
-            )
-        )
-    return spark.createDataFrame(rows, ITEM_SCHEMA)
+    return spark.createDataFrame([item_to_row(it) for it in items], ITEM_SCHEMA)
 
 
 def _pick_asset(assets_lc, keys: tuple[str, ...]):

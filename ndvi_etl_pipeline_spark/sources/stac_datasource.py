@@ -1,0 +1,126 @@
+"""`stac_catalog` — a Python DataSource (Spark 4 DataSource API) for
+STAC item catalogs on disk.
+
+The driver-side path (sources/stac.py::search_stac → items_to_df) is
+right for a live API search: one small HTTP exchange, catalog metadata
+only. But a *materialized* catalog — the standard cloud layout of
+static STAC: one JSON document per item (or newline/array bundles),
+millions of items for a multi-year Landsat archive — must be scanned
+like data, not collected on the driver. This source plugs that scan
+into Spark's own reader machinery:
+
+    spark.dataSource.register(StacCatalogDataSource)
+    items = (spark.read.format("stac_catalog")
+                  .option("path", "/catalog/dir").load())
+    scenes = select_scenes(items, ...)   # same relation as the API path
+
+Design (reference parity: download_landsat_stac.py:96-131 reads the
+same item fields from the live search):
+- `partitions()` globs file names ONLY (driver touches no content) and
+  round-robins them into `numPartitions` splits, so item parsing —
+  the actual work — happens executor-side, in parallel.
+- `read(partition)` parses each file as a single item object, an array
+  of items, a FeatureCollection, or newline-delimited items, and emits
+  rows via the same `item_to_row` normalization as `items_to_df` —
+  one normalization, two transports, identical downstream relation.
+- Output schema is ITEM_SCHEMA (properties/assets as MAP columns,
+  SURVEY §1.4); predicate/column work stays in `select_scenes`, which
+  is transport-agnostic.
+
+At 100 TB scale: the catalog for a full archive is ~10⁷ small JSON
+documents; this reader gives |files|-way parallel parse with ~zero
+driver memory, and the scene relation it produces feeds the fetch /
+decode pipeline unchanged.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .stac import ITEM_SCHEMA, item_to_row
+
+
+def _iter_items(payload) -> Iterator[dict]:
+    """Yield item dicts from any of the common static-STAC shapes."""
+    if isinstance(payload, list):
+        yield from (it for it in payload if isinstance(it, dict))
+    elif isinstance(payload, dict):
+        if payload.get("type") == "FeatureCollection" or "features" in payload:
+            yield from (
+                it for it in payload.get("features", []) if isinstance(it, dict)
+            )
+        else:
+            yield payload  # a single item document
+
+
+def _read_file(path: str) -> Iterator[dict]:
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    text = text.strip()
+    if not text:
+        return
+    try:
+        yield from _iter_items(json.loads(text))
+    except json.JSONDecodeError:
+        # newline-delimited items (one JSON document per line)
+        for line in text.splitlines():
+            line = line.strip()
+            if line:
+                yield from _iter_items(json.loads(line))
+
+
+class StacCatalogReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("stac_catalog requires option 'path'")
+        self.path = path
+        self.pattern = options.get("pattern", "*.json")
+        self.num_partitions = int(options.get("numPartitions", 8))
+
+    def _files(self) -> list[str]:
+        if os.path.isfile(self.path):
+            return [self.path]
+        out = []
+        for root, _dirs, names in os.walk(self.path):
+            out.extend(
+                os.path.join(root, n)
+                for n in names
+                if fnmatch.fnmatch(n, self.pattern)
+            )
+        return sorted(out)
+
+    def partitions(self) -> list[InputPartition]:
+        files = self._files()
+        n = max(1, min(self.num_partitions, len(files) or 1))
+        # round-robin so a lexicographic hot spot (e.g. one path/row's
+        # items sorting together) spreads across splits
+        splits = [files[i::n] for i in range(n)]
+        return [InputPartition(s) for s in splits if s]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        for path in partition.value:
+            for it in _read_file(path):
+                yield item_to_row(it)
+
+
+class StacCatalogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "stac_catalog"
+
+    def schema(self):
+        return ITEM_SCHEMA
+
+    def reader(self, schema) -> StacCatalogReader:
+        return StacCatalogReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the stac_catalog format."""
+    spark.dataSource.register(StacCatalogDataSource)

@@ -154,3 +154,74 @@ def test_fetch_retries_transient_errors_not_validation(spark, tmp_path):
     # Each executor's closure gets its own `calls` dict, so assert via
     # behavior: flaky needed >1 attempt (it succeeded), badtype exactly 1
     # (validation failures break immediately) — encoded above.
+
+
+# ---------------------------------------------------------------------------
+# stac_catalog Python DataSource (sources/stac_datasource.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_catalog(tmp_path):
+    """The fixture items materialized in all three static-STAC layouts:
+    one item per file, a FeatureCollection bundle, and ndjson."""
+    import json
+
+    d = tmp_path / "catalog"
+    d.mkdir()
+    (d / "item0.json").write_text(json.dumps(FIXTURE_ITEMS[0]))
+    (d / "bundle.json").write_text(
+        json.dumps({"type": "FeatureCollection", "features": FIXTURE_ITEMS[1:3]})
+    )
+    (d / "items.ndjson.json").write_text(
+        "\n".join(json.dumps(it) for it in FIXTURE_ITEMS[3:])
+    )
+    (d / "README.txt").write_text("not json — must be ignored by pattern")
+    return str(d)
+
+
+def test_stac_datasource_matches_driver_path(spark, tmp_path):
+    """format('stac_catalog') over a materialized catalog produces the
+    SAME relation as the driver-side items_to_df — one normalization,
+    two transports."""
+    from ndvi_etl_pipeline_spark.sources import stac_datasource
+
+    stac_datasource.register(spark)
+    path = _write_catalog(tmp_path)
+    via_ds = (
+        spark.read.format("stac_catalog")
+        .option("path", path)
+        .option("numPartitions", "3")
+        .load()
+    )
+    assert via_ds.schema == stac.ITEM_SCHEMA
+    expect = {r["id"]: r for r in stac.items_to_df(spark, FIXTURE_ITEMS).collect()}
+    got = {r["id"]: r for r in via_ds.collect()}
+    assert set(got) == set(expect)
+    for iid in expect:
+        assert got[iid]["cloud_cover"] == expect[iid]["cloud_cover"]
+        assert got[iid]["assets"] == expect[iid]["assets"]
+        assert got[iid]["properties"] == expect[iid]["properties"]
+
+
+def test_stac_datasource_feeds_select_scenes(spark, tmp_path):
+    """The downstream scene relation (F1-F5/L1/E2) is transport-
+    agnostic: select_scenes over the DataSource scan picks the same
+    scenes as over the API-path DataFrame."""
+    from ndvi_etl_pipeline_spark.sources import stac_datasource
+
+    stac_datasource.register(spark)
+    items = (
+        spark.read.format("stac_catalog")
+        .option("path", _write_catalog(tmp_path))
+        .load()
+    )
+    scenes = stac.select_scenes(
+        items, "2022-06-01", "2022-06-30", max_cloud_cover=10.0
+    ).collect()
+    ids = [r.scene_id for r in scenes]
+    assert ids == [
+        "LC08_L2SP_189017_20220606_02_T1",
+        "LC09_L2SP_189018_20220614_02_T1",
+    ]
+    assert scenes[0].red_href == "https://x/b4a.tif"
+    assert scenes[0].nir_href == "https://x/b5a.tif"

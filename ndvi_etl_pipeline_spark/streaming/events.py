@@ -210,6 +210,74 @@ def stateful_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame
     )
 
 
+def tws_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """The sessionizer on the transformWithState surface (Spark 4's
+    successor to applyInPandasWithState): explicit StatefulProcessor
+    lifecycle with named, schema-typed state slots instead of one
+    opaque GroupState tuple. Same session-merge kernel
+    (merge_session_chunk), same output contract as
+    stateful_sessionize — the two surfaces are agreement-tested
+    against each other.
+
+    Requires the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass=
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider)
+    — which is also the provider you'd run at scale: state lives
+    off-heap/on-disk per partition, so active-user cardinality is
+    bounded by executor disk, not memory.
+
+    Also requires `protobuf` (the TWS state-server wire protocol is
+    proto-based); environments without it should use the
+    applyInPandasWithState twin, which speaks the legacy protocol."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package; "
+            "use stateful_sessionize (applyInPandasWithState) instead"
+        ) from exc
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState("open_session", SESSION_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = tuple(self._open.get()) if self._open.exists() else None
+            ts: list[int] = []
+            for pdf in rows:
+                ts.extend((pdf["ts"].astype("int64") // 1000).tolist())
+            ts.sort()
+            closed, cur = merge_session_chunk(ts, prev, gap_us)
+            if cur is not None:
+                self._open.update(cur)
+            out = closed + ([cur] if cur is not None else [])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "session_start": pd.to_datetime([r[0] for r in out], unit="us"),
+                    "session_end": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "n_events": [r[2] for r in out],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=SESSION_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_stream_with_upsert_sink(
     spark: SparkSession,
     parquet_path: str,

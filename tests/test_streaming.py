@@ -350,3 +350,68 @@ def test_stream_composite_equals_batch_composite(spark, tmp_path):
     g = {(r.y, r.x): r.v for r in got.collect()}
     w = {(r.y, r.x): r.v for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_tws_sessionize_matches_applyinpandas_twin(spark, sf_dir):
+    """transformWithState and applyInPandasWithState run the same
+    session-merge kernel — their final session inventories must agree
+    exactly. RocksDB provider is required by transformWithState (and
+    is the at-scale choice anyway); restored after the run. Skipped
+    where protobuf (the TWS wire protocol) isn't installed — the
+    operator itself refuses cleanly there."""
+    import pytest
+
+    from ndvi_etl_pipeline_spark.streaming.events import tws_sessionize
+
+    pytest.importorskip("google.protobuf")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_stream_over_parquet(
+            spark, f"{sf_dir}/events.parquet", tws_sessionize,
+            query_name="t_tws", output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    twin = run_stream_over_parquet(
+        spark, f"{sf_dir}/events.parquet", stateful_sessionize,
+        query_name="t_tws_twin", output_mode="update",
+    )
+
+    def finalize(df):
+        w = F.row_number().over(
+            Window.partitionBy("user_id", "session_start").orderBy(
+                F.col("session_end").desc()
+            )
+        )
+        return df.withColumn("rn", w).filter("rn = 1").drop("rn")
+
+    a, b = finalize(out), finalize(twin)
+    assert a.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_tws_sessionize_gates_on_missing_protobuf(spark, sf_dir):
+    """Without protobuf the operator must refuse with a clear pointer
+    to the applyInPandasWithState twin, not crash mid-query."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf installed; gate not exercisable here")
+    except ImportError:
+        pass
+    from ndvi_etl_pipeline_spark.streaming.events import tws_sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ImportError, match="protobuf"):
+        tws_sessionize(events)

@@ -40,7 +40,12 @@ import json
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .stac import ITEM_SCHEMA, item_to_row
 
@@ -109,6 +114,49 @@ class StacCatalogReader(DataSourceReader):
                 yield item_to_row(it)
 
 
+class StacCatalogStreamReader(SimpleDataSourceStreamReader):
+    """Incremental catalog feed: each micro-batch delivers the item
+    files that appeared since the last offset — the SURVEY §2.9
+    observation that the reference's date-ordered scene feed *is* a
+    file stream, realized as `spark.readStream.format("stac_catalog")`.
+
+    Offset = the lexicographic high-watermark of delivered file names
+    (bounded-size, replayable). Assumption documented for operators:
+    new catalog files sort after already-delivered ones (true for the
+    date-encoded scene/item naming the reference relies on,
+    load_to_postgis.py:178-183); out-of-order names belong to the
+    batch reader + a reprocess. Catalog metadata is driver-read (it is
+    small); the heavy per-item work — fetch/decode — happens after the
+    exchange, executor-side."""
+
+    def __init__(self, options: dict) -> None:
+        self._inner = StacCatalogReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _new_files(self, last: str) -> list[str]:
+        return [p for p in self._inner._files() if os.path.basename(p) > last]
+
+    def read(self, start: dict):
+        files = self._new_files(start["last"])
+        if not files:
+            return iter(()), start
+        # a LIST iterator, not a generator: the runner advances it with
+        # next() AND pickles it to replay the prefetched batch for the
+        # executors — list iterators support both, generators don't
+        rows = [item_to_row(it) for p in files for it in _read_file(p)]
+        return iter(rows), {"last": os.path.basename(files[-1])}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = [
+            p
+            for p in self._new_files(start["last"])
+            if os.path.basename(p) <= end["last"]
+        ]
+        return iter([item_to_row(it) for p in files for it in _read_file(p)])
+
+
 class StacCatalogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -119,6 +167,9 @@ class StacCatalogDataSource(DataSource):
 
     def reader(self, schema) -> StacCatalogReader:
         return StacCatalogReader(self.options)
+
+    def simpleStreamReader(self, schema) -> StacCatalogStreamReader:
+        return StacCatalogStreamReader(self.options)
 
 
 def register(spark) -> None:

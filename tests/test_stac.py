@@ -225,3 +225,40 @@ def test_stac_datasource_feeds_select_scenes(spark, tmp_path):
     ]
     assert scenes[0].red_href == "https://x/b4a.tif"
     assert scenes[0].nir_href == "https://x/b5a.tif"
+
+
+def test_stac_datasource_streams_incrementally(spark, tmp_path):
+    """readStream.format('stac_catalog'): batch 1 delivers the initial
+    catalog, files added later arrive in the next trigger exactly once
+    (lexicographic high-watermark offsets)."""
+    import json
+
+    from ndvi_etl_pipeline_spark.sources import stac_datasource
+
+    stac_datasource.register(spark)
+    d = tmp_path / "cat"
+    d.mkdir()
+    (d / "a_item.json").write_text(json.dumps(FIXTURE_ITEMS[0]))
+    (d / "b_item.json").write_text(json.dumps(FIXTURE_ITEMS[1]))
+
+    stream = (
+        spark.readStream.format("stac_catalog").option("path", str(d)).load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stac_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r["id"] for r in spark.sql("SELECT id FROM t_stac_stream").collect()}
+        assert got1 == {FIXTURE_ITEMS[0]["id"], FIXTURE_ITEMS[1]["id"]}
+
+        (d / "c_item.json").write_text(json.dumps(FIXTURE_ITEMS[4]))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT id FROM t_stac_stream").collect()
+        assert len(rows) == 3  # exactly once — no redelivery of a/b
+        assert {r["id"] for r in rows} == got1 | {FIXTURE_ITEMS[4]["id"]}
+    finally:
+        q.stop()

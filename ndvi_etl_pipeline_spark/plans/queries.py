@@ -5773,6 +5773,81 @@ def q_doc_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ordered_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+               AS statuses,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "string"),
+)
+def q_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG (SQL:2023) with WITHIN GROUP ordering — the ordered
+    string aggregation every report/export path needs. The explicit
+    ORDER BY is what makes the result well-defined in a distributed
+    engine: without it, concatenation order is partitioning-dependent
+    in both Spark and DuckDB. Complements array_agg_sorted (array
+    form) with the delimited-string form."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_osa_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, '|')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM _osa_orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "ansi_safe_math",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE l_discount = 0) AS BIGINT)
+               AS n_div_by_zero,
+           round(avg(l_extendedprice
+                     / nullif(CASE WHEN l_discount = 0 THEN 0
+                                   ELSE l_quantity END, 0)), 4)
+               AS avg_safe_ratio,
+           CAST(count(*) AS BIGINT) AS n_overflow_null,
+           CAST(count(*) AS BIGINT) AS n_oob_null
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("scalar", "ansi"),
+)
+def q_ansi_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* error-safe expression family (ANSI-mode companion
+    surface): try_divide → NULL on zero denominator, try_add → NULL on
+    bigint overflow, try_element_at → NULL out of bounds — errors
+    become data, the E1/E4 quarantine philosophy (SURVEY §2.10) at
+    expression granularity, so one poisoned row can NEVER kill a
+    100 TB job. The oracle encodes the identical semantics with
+    NULLIF/CASE, pinning that try_* is sugar for well-defined NULL
+    algebra, not engine-specific behavior."""
+    li = _t(spark, sf_dir, "lineitem")
+    safe_ratio = F.try_divide(
+        F.col("l_extendedprice"),
+        F.when(F.col("l_discount") == 0, F.lit(0.0)).otherwise(F.col("l_quantity")),
+    )
+    overflowed = F.try_add(
+        F.lit(9223372036854775807).cast("bigint"),
+        F.col("l_linenumber").cast("bigint"),  # ≥ 1 ⇒ always overflows
+    )
+    oob = F.try_element_at(F.split("l_linestatus", ""), F.lit(5))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count_if(safe_ratio.isNull()).cast("bigint").alias("n_div_by_zero"),
+        F.round(F.avg(safe_ratio), 4).alias("avg_safe_ratio"),
+        F.count_if(overflowed.isNull()).cast("bigint").alias("n_overflow_null"),
+        F.count_if(oob.isNull()).cast("bigint").alias("n_oob_null"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -210,6 +210,36 @@ def stateful_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, customers: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static join + windowed rollup: the event stream enriched
+    against a batch dimension (user → market segment), then aggregated
+    per (hour, segment). The static side is re-read per micro-batch
+    (so dimension updates are picked up) and broadcast — at 100 TB/day
+    stream volume the dimension is the small side by construction, and
+    the join adds no stream-side shuffle or state: only the windowed
+    aggregate keeps state, bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .join(
+            F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def tws_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """The sessionizer on the transformWithState surface (Spark 4's
     successor to applyInPandasWithState): explicit StatefulProcessor

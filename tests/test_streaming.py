@@ -415,3 +415,39 @@ def test_tws_sessionize_gates_on_missing_protobuf(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     with pytest.raises(ImportError, match="protobuf"):
         tws_sessionize(events)
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment: the streaming result must
+    equal the identical batch join + rollup."""
+    from ndvi_etl_pipeline_spark.sources import load_table
+    from ndvi_etl_pipeline_spark.streaming.events import stream_static_enrich
+
+    customers = load_table(spark, "customer", sf_dir)
+    out = run_stream_over_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda ev: stream_static_enrich(ev, customers),
+        query_name="t_enrich",
+    )
+    events = load_table(spark, "events", sf_dir)
+    batch = (
+        events.join(
+            customers.select("c_custkey", "c_mktsegment"),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n_b"), F.round(F.sum("value"), 4).alias("tv_b"))
+        .select(
+            F.col("w.start").alias("window_start"), "c_mktsegment", "n_b", "tv_b"
+        )
+    )
+    assert out.count() > 0
+    j = out.join(batch, ["window_start", "c_mktsegment"], "full_outer")
+    bad = j.filter(
+        F.col("n").isNull()
+        | F.col("n_b").isNull()
+        | (F.col("n") != F.col("n_b"))
+        | (F.abs(F.col("total_value") - F.col("tv_b")) > 1e-6)
+    )
+    assert bad.count() == 0

@@ -5848,6 +5848,94 @@ def q_ansi_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "recursive_org_depth",
+    oracle="""
+    WITH RECURSIVE org AS (
+      SELECT c_custkey AS id, 0 AS depth FROM customer WHERE c_custkey = 1
+      UNION ALL
+      SELECT c.c_custkey, o.depth + 1
+      FROM customer c
+      JOIN org o ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = o.id
+      WHERE c.c_custkey > 1
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_customers
+    FROM org GROUP BY depth
+    """,
+    tags=("recursive", "hierarchy"),
+)
+def q_recursive_org_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (new in Spark 4): BFS depth over an
+    implicit binary hierarchy (parent = ⌊key/2⌋) — the org-chart /
+    bill-of-materials traversal shape. The IDENTICAL SQL text runs on
+    both engines; Catalyst executes it as an iterative union loop, so
+    each level is one distributed join against the previous frontier —
+    the same plan the hand-rolled iterative operators
+    (operators/graph.py, dedup_components) build manually, now
+    optimizer-managed. Depth is bounded by log2(|customer|), well
+    under the engine's recursion limit."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE org AS (
+          SELECT c_custkey AS id, 0 AS depth FROM customer WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey, o.depth + 1
+          FROM customer c
+          JOIN org o ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = o.id
+          WHERE c.c_custkey > 1
+        )
+        SELECT depth, CAST(count(*) AS BIGINT) AS n_customers
+        FROM org GROUP BY depth
+        """
+    )
+
+
+@register(
+    "weighted_sample_es",
+    oracle="""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                 + 1) / 4294967296.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT lang, doc_id, n_chars, round(k, 6) AS sample_key
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id)
+                AS rn
+      FROM keyed
+    ) WHERE rn <= 5
+    """,
+    tags=("curation", "sampling"),
+)
+def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    per-item key ln(u)/w with u derived bit-exactly from md5(doc_id)
+    and w = n_chars; the top-k keys per stratum ARE a weighted sample
+    — longer documents proportionally likelier, yet fully
+    deterministic and engine-independent (the property that makes
+    corpus mixing reproducible across reruns AND across engines; same
+    discipline as hash_split/stratified_sample). One scan + one
+    per-stratum top-k: at 100 TB this is a map-side key computation
+    and a k-row-per-group shuffle, no global sort."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "lang", "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("k").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "n_chars", F.round("k", 6).alias("sample_key"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -361,3 +361,45 @@ def write_training_shards(
     manifest.write.mode("overwrite").parquet(f"{out_dir}_manifest")
     packed.unpersist()
     return manifest
+
+
+def expect(df: DataFrame, expectations: dict[str, Column]) -> DataFrame:
+    """Declarative data-quality expectation suite: {name: boolean
+    column} → one summary row per expectation with rows checked,
+    violations (false OR null — an unknown is a failure, the strict
+    reading), violation rate, and pass flag.
+
+    All expectations evaluate in a SINGLE scan (one conditional
+    aggregate per predicate, partial/final merged map-side), then
+    unpivot to rows — adding an expectation never adds a pass over a
+    100 TB table. The gate-don't-crash counterpart of the reference's
+    inline asserts (SURVEY §5: V1/V2 download checks, grid-compat,
+    empty-AOI): violations become data you can alert on, not
+    exceptions that kill the job."""
+    aggs = [F.count("*").cast("bigint").alias("_n_rows")]
+    for name, pred in expectations.items():
+        aggs.append(
+            F.count_if(~F.coalesce(pred, F.lit(False)))
+            .cast("bigint")
+            .alias(name)
+        )
+    wide = df.agg(*aggs)
+    names = list(expectations)
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return (
+        wide.select(
+            "_n_rows",
+            F.expr(
+                f"stack({len(names)}, {stack}) AS (expectation, n_violations)"
+            ),
+        )
+        .select(
+            "expectation",
+            F.col("_n_rows").alias("n_rows"),
+            "n_violations",
+            F.round(F.col("n_violations") / F.col("_n_rows"), 6).alias(
+                "violation_rate"
+            ),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )

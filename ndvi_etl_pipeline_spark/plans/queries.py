@@ -5936,6 +5936,59 @@ def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_expectations",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (WHERE NOT coalesce(l_orderkey IS NOT NULL
+                AND l_partkey IS NOT NULL, FALSE)) AS BIGINT) AS keys_not_null,
+             CAST(count(*) FILTER (WHERE NOT coalesce(l_quantity > 0
+                AND l_quantity <= 100, FALSE)) AS BIGINT) AS qty_in_range,
+             CAST(count(*) FILTER (WHERE NOT coalesce(l_discount >= 0
+                AND l_discount <= 0.1, FALSE)) AS BIGINT) AS discount_band,
+             CAST(count(*) FILTER (WHERE NOT coalesce(l_returnflag IN
+                ('A', 'N', 'R'), FALSE)) AS BIGINT) AS flag_domain,
+             CAST(count(*) FILTER (WHERE NOT coalesce(l_extendedprice
+                > l_quantity, FALSE)) AS BIGINT) AS price_exceeds_qty
+      FROM lineitem
+    )
+    SELECT expectation, n_rows, n_violations,
+           round(n_violations / n_rows, 6) AS violation_rate,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT n_rows, 'keys_not_null' AS expectation,
+             keys_not_null AS n_violations FROM agg
+      UNION ALL SELECT n_rows, 'qty_in_range', qty_in_range FROM agg
+      UNION ALL SELECT n_rows, 'discount_band', discount_band FROM agg
+      UNION ALL SELECT n_rows, 'flag_domain', flag_domain FROM agg
+      UNION ALL SELECT n_rows, 'price_exceeds_qty', price_exceeds_qty FROM agg
+    )
+    """,
+    tags=("curation", "quality"),
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (operators/curation.py::expect):
+    five predicates over lineitem checked in ONE scan — nullability,
+    range, domain, and cross-column rules — emitted as violation-count
+    rows with pass flags. NULL predicate = violation (strict
+    three-valued reading)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return CUR.expect(
+        li,
+        {
+            "keys_not_null": F.col("l_orderkey").isNotNull()
+            & F.col("l_partkey").isNotNull(),
+            "qty_in_range": (F.col("l_quantity") > 0)
+            & (F.col("l_quantity") <= 100),
+            "discount_band": (F.col("l_discount") >= 0)
+            & (F.col("l_discount") <= 0.1),
+            "flag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "price_exceeds_qty": F.col("l_extendedprice") > F.col("l_quantity"),
+        },
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -202,3 +202,23 @@ def test_chunk_lengths_cover_tokens_once_per_stride(spark):
         # chunk i spans [i*stride, i*stride + len): the last must end at n
         assert (len(lens) - 1) * 48 + lens[-1] == r.n
         assert all(l == 64 for l in lens[:-1])
+
+
+def test_expect_counts_nulls_as_violations(spark):
+    from ndvi_etl_pipeline_spark.operators import curation as CUR
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -1.0)], "id int, v double"
+    )
+    out = {
+        r.expectation: r
+        for r in CUR.expect(
+            df, {"v_positive": F.col("v") > 0, "id_not_null": F.col("id").isNotNull()}
+        ).collect()
+    }
+    # NULL v is a violation (strict three-valued reading), as is -1
+    assert out["v_positive"].n_violations == 2
+    assert not out["v_positive"].passed
+    assert out["id_not_null"].n_violations == 0
+    assert out["id_not_null"].passed
+    assert out["v_positive"].n_rows == 3

@@ -54,3 +54,40 @@ def with_observed_metrics(df: DataFrame, name: str = "run_metrics"):
         metrics.append(F.min(c).alias(f"min_{c}"))
         metrics.append(F.max(c).alias(f"max_{c}"))
     return df.observe(obs, *metrics), obs
+
+
+def pareto_skyline_2d(pts: DataFrame, minimize: str, maximize: str) -> DataFrame:
+    """2-D Pareto skyline — rows no other row beats on both axes
+    (strictly on at least one): the O(n log n) sweep instead of the
+    O(n²) self-join. Sort by (minimize asc, maximize desc); a row
+    survives iff its `maximize` strictly exceeds the running max over
+    all preceding rows.
+
+    Distributed shape: stage 1 runs the sweep per input partition — a
+    sound prefilter, since any globally non-dominated point is
+    non-dominated in every subset — so only local survivors (≈ the
+    skyline size per partition) reach the single-partition global
+    sweep. Result is partition-count invariant (property-tested).
+
+    Callers must pre-aggregate exact duplicate (minimize, maximize)
+    pairs first (e.g. groupBy + count): the sweep keeps one arbitrary
+    row per duplicate pair, which is nondeterministic if other columns
+    differ.
+    """
+    from pyspark.sql import Window
+
+    asc_desc = [F.col(minimize).asc(), F.col(maximize).desc()]
+    w_local = (
+        Window.partitionBy(F.spark_partition_id())
+        .orderBy(*asc_desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = pts.withColumn("_bp", F.max(maximize).over(w_local)).filter(
+        F.col("_bp").isNull() | (F.col(maximize) > F.col("_bp"))
+    )
+    w_global = Window.orderBy(*asc_desc).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        local.withColumn("_bg", F.max(maximize).over(w_global))
+        .filter(F.col("_bg").isNull() | (F.col(maximize) > F.col("_bg")))
+        .drop("_bp", "_bg")
+    )

@@ -5525,26 +5525,14 @@ def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the few local survivors reach the global sweep. This is the
     standard distributed-skyline recipe and survives 100× data: the
     global pass sees |partitions| × |skyline|-ish rows, not |input|."""
+    from ..operators.stats import pareto_skyline_2d
+
     p = _t(spark, sf_dir, "part")
     pts = p.groupBy("p_retailprice", "p_size").agg(
         F.count("*").cast("bigint").alias("n_parts")
     )
-    asc_desc = [F.col("p_retailprice").asc(), F.col("p_size").desc()]
-    w_local = (
-        Window.partitionBy(F.spark_partition_id())
-        .orderBy(*asc_desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = pts.withColumn("bp", F.max("p_size").over(w_local)).filter(
-        F.col("bp").isNull() | (F.col("p_size") > F.col("bp"))
-    )
-    w_global = (
-        Window.orderBy(*asc_desc).rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        local.withColumn("bg", F.max("p_size").over(w_global))
-        .filter(F.col("bg").isNull() | (F.col("p_size") > F.col("bg")))
-        .select("p_retailprice", "p_size", "n_parts")
+    return pareto_skyline_2d(pts, "p_retailprice", "p_size").select(
+        "p_retailprice", "p_size", "n_parts"
     )
 
 

@@ -177,3 +177,39 @@ def test_observed_metrics_ride_the_write(spark, sf_dir, tmp_path):
     assert m["n_null_value"] == 0
     assert m["min_value"] > 90.0
     assert m["max_value"] == back.agg({"value": "max"}).first()[0]
+
+
+def test_pareto_skyline_partition_invariance(spark):
+    """The local-skyline prefilter must be exact under ANY input
+    partitioning: compare against the O(n²) brute-force definition for
+    1/3/16 partitions, plus degenerate shapes."""
+    import random
+
+    from ndvi_etl_pipeline_spark.operators.stats import pareto_skyline_2d
+
+    rnd = random.Random(7)
+    pts = list({(round(rnd.uniform(0, 100), 2), rnd.randint(1, 50))
+                for _ in range(300)})
+
+    def dominated(a, pts):
+        return any(
+            b[0] <= a[0] and b[1] >= a[1] and (b[0] < a[0] or b[1] > a[1])
+            for b in pts
+        )
+
+    expected = {p for p in pts if not dominated(p, pts)}
+    for nparts in (1, 3, 16):
+        df = spark.createDataFrame(pts, "price double, size int").repartition(nparts)
+        got = {
+            (r.price, r.size)
+            for r in pareto_skyline_2d(df, "price", "size").collect()
+        }
+        assert got == expected, f"nparts={nparts}"
+
+    # single point and fully-correlated chain (nothing dominated)
+    one = spark.createDataFrame([(1.0, 1)], "price double, size int")
+    assert pareto_skyline_2d(one, "price", "size").count() == 1
+    chain = [(float(i), i) for i in range(10)]
+    df = spark.createDataFrame(chain, "price double, size int").repartition(4)
+    got = {(r.price, r.size) for r in pareto_skyline_2d(df, "price", "size").collect()}
+    assert got == set(chain)

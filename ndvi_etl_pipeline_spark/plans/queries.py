@@ -5977,6 +5977,47 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_distinct_bands",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_5pct,
+           TRUE AS p50_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "approx"),
+)
+def q_approx_distinct_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate tier made oracle-checkable: the sketches
+    themselves differ across engines (approx_distinct_stats stays
+    rows-only for that reason), but their ERROR BANDS are a contract —
+    this query emits booleans asserting HLL++ (rsd 2%) lands within 5%
+    of the exact distinct count and approx_percentile within 5% of the
+    exact p50, and the oracle pins them to TRUE. A sketch regression
+    (engine upgrade, accuracy change) now fails the hash-match gate,
+    not just a unit test."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll"),
+        F.percentile_approx("value", 0.5, 10000).alias("ap50"),
+        F.expr("percentile(value, 0.5)").alias("ep50"),
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("hll") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+        (F.abs(F.col("ap50") - F.col("ep50")) / F.abs(F.col("ep50")) <= 0.05).alias(
+            "p50_within_5pct"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -6018,6 +6018,80 @@ def q_approx_distinct_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ndvi_focal_smooth",
+    oracle=_NDVI_SQL
+    + """
+    , valid AS (SELECT scene_id, y, x, ndvi FROM nv WHERE ndvi IS NOT NULL),
+    sm AS (
+      SELECT v.scene_id, v.y + dy.d AS y, v.x + dx.d AS x,
+             avg(v.ndvi) AS smooth
+      FROM valid v
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      GROUP BY 1, 2, 3
+    )
+    SELECT scene_id, CAST(count(*) AS BIGINT) AS n_pixels,
+           round(avg(smooth), 6) AS mean_smooth
+    FROM sm WHERE y >= 0 AND x >= 0
+    GROUP BY scene_id
+    """,
+    tags=("ndvi", "raster", "focal"),
+)
+def q_ndvi_focal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 NaN-aware focal smoothing through the halo-exchange focal
+    operator (operators/focal.py): NDVI tiles exchange 1-px halos,
+    each tile nanmeans its padded canvas, and the smoothed scene is
+    summarized. The oracle states the identical semantics relationally
+    — every valid pixel scatters into its 9 window-centers and each
+    center averages its contributions (the scatter/gather dual of the
+    window view, NaN-shrinking at borders included).
+
+    The anchor union pins every (band, tile) of the 100×100 derived
+    grid into existence with nodata cells (dn=0 → NaN), so the tile
+    grid is dense and the focal output domain — every cell with ≥1
+    valid neighbor — matches the oracle's dilation exactly even on a
+    sparse scene."""
+    from ..operators.focal import focal_map_tiled, focal_mean_3x3
+    from ..operators.raster import pixels_to_tiles, tile_ndvi, tiles_to_pixels
+
+    px = (
+        derived_pixels(spark, sf_dir)
+        .groupBy("scene_id", "band", "y", "x")
+        .agg(F.max("dn").alias("dn"))
+    )
+    grid = spark.createDataFrame(
+        [
+            (b, ty * 32, tx * 32)
+            for b in ("red", "nir")
+            for ty in range(4)
+            for tx in range(4)
+        ],
+        "band string, y int, x int",
+    )
+    anchors = (
+        px.select("scene_id")
+        .distinct()
+        .crossJoin(F.broadcast(grid))
+        .withColumn("dn", F.lit(0))
+    )
+    px_full = (
+        px.unionByName(anchors)
+        .groupBy("scene_id", "band", "y", "x")
+        .agg(F.max("dn").alias("dn"))
+    )
+    ndvi_tiles = tile_ndvi(pixels_to_tiles(px_full, tile=32))
+    smooth = focal_map_tiled(ndvi_tiles, focal_mean_3x3, halo=1)
+    return (
+        tiles_to_pixels(smooth, value_name="smooth")
+        .groupBy("scene_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pixels"),
+            F.round(F.avg("smooth"), 6).alias("mean_smooth"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -6022,10 +6022,11 @@ def q_approx_distinct_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ndvi_focal_smooth",
     oracle=_NDVI_SQL
     + """
-    , valid AS (SELECT scene_id, y, x, ndvi FROM nv WHERE ndvi IS NOT NULL),
+    , valid AS (SELECT scene_id, y, x, CAST(ndvi AS REAL) AS ndvi
+                FROM nv WHERE ndvi IS NOT NULL),
     sm AS (
       SELECT v.scene_id, v.y + dy.d AS y, v.x + dx.d AS x,
-             avg(v.ndvi) AS smooth
+             CAST(avg(v.ndvi) AS REAL) AS smooth
       FROM valid v
       CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
       CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
@@ -6088,6 +6089,88 @@ def q_ndvi_focal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_pixels"),
             F.round(F.avg("smooth"), 6).alias("mean_smooth"),
+        )
+    )
+
+
+@register(
+    "ndvi_edge_stats",
+    oracle=_NDVI_SQL
+    + """
+    , valid AS (SELECT scene_id, y, x, CAST(ndvi AS REAL) AS ndvi
+                FROM nv WHERE ndvi IS NOT NULL),
+    offs AS (
+      SELECT dy.d AS dy, dx.d AS dx,
+             -dx.d * (2 - abs(dy.d)) AS wx,
+             -dy.d * (2 - abs(dx.d)) AS wy
+      FROM (SELECT unnest([-1, 0, 1]) AS d) dy
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      WHERE NOT (dy.d = 0 AND dx.d = 0)
+    ),
+    grad AS (
+      SELECT v.scene_id, v.y + o.dy AS y, v.x + o.dx AS x,
+             sum(v.ndvi * o.wx) AS gx, sum(v.ndvi * o.wy) AS gy,
+             count(*) AS n_ring
+      FROM valid v CROSS JOIN offs o
+      GROUP BY 1, 2, 3
+    )
+    SELECT scene_id,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           round(avg(CAST(sqrt(gx * gx + gy * gy) AS REAL)), 6)
+               AS mean_gradient,
+           round(CAST(max(CAST(sqrt(gx * gx + gy * gy) AS REAL)) AS DOUBLE), 6)
+               AS max_gradient
+    FROM grad WHERE n_ring = 8
+    GROUP BY scene_id
+    """,
+    tags=("ndvi", "raster", "focal"),
+)
+def q_ndvi_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel gradient magnitude over NDVI through the same
+    halo-exchange focal operator — the edge-detection / field-boundary
+    product. NaN anywhere in the 8-cell ring voids the gradient
+    (operators/focal.py::sobel_magnitude), which the oracle states as
+    `n_ring = 8`: a center keeps its gradient iff all eight neighbors
+    scattered into it. Scatter weights w(−dy,−dx) are the gathered
+    Sobel coefficients ox·(2−|oy|) / oy·(2−|ox|). Same dense-grid
+    anchor trick as ndvi_focal_smooth."""
+    from ..operators.focal import focal_map_tiled, sobel_magnitude
+    from ..operators.raster import pixels_to_tiles, tile_ndvi, tiles_to_pixels
+
+    px = (
+        derived_pixels(spark, sf_dir)
+        .groupBy("scene_id", "band", "y", "x")
+        .agg(F.max("dn").alias("dn"))
+    )
+    grid = spark.createDataFrame(
+        [
+            (b, ty * 32, tx * 32)
+            for b in ("red", "nir")
+            for ty in range(4)
+            for tx in range(4)
+        ],
+        "band string, y int, x int",
+    )
+    anchors = (
+        px.select("scene_id")
+        .distinct()
+        .crossJoin(F.broadcast(grid))
+        .withColumn("dn", F.lit(0))
+    )
+    px_full = (
+        px.unionByName(anchors)
+        .groupBy("scene_id", "band", "y", "x")
+        .agg(F.max("dn").alias("dn"))
+    )
+    ndvi_tiles = tile_ndvi(pixels_to_tiles(px_full, tile=32))
+    edges = focal_map_tiled(ndvi_tiles, sobel_magnitude, halo=1)
+    return (
+        tiles_to_pixels(edges, value_name="grad")
+        .groupBy("scene_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pixels"),
+            F.round(F.avg("grad"), 6).alias("mean_gradient"),
+            F.round(F.max("grad"), 6).alias("max_gradient"),
         )
     )
 

@@ -6175,6 +6175,45 @@ def q_ndvi_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "modal_value",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_quantity AS modal_qty, CAST(n AS BIGINT) AS n_rows
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rk
+      FROM c
+    ) WHERE rk = 1
+    """,
+    tags=("agg", "stats"),
+)
+def q_modal_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent quantity per return flag with
+    an explicit smallest-value tie-break — the native mode() aggregate
+    breaks ties arbitrarily in BOTH engines, so a distributed pipeline
+    that needs reproducible output must state the tie order. Count
+    aggregate first (shuffle = |distinct pairs|), then a 1-row-per-
+    group top-k window over the already-tiny counts relation."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("modal_qty"),
+            F.col("n").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -275,3 +275,20 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir):
     for name in sample:
         plan = explain_str(REGISTRY[name].builder(spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_tpch_dim_joins_broadcast(spark, sf_dir_oracle):
+    """Dimension joins in the TPC-H shapes must plan as broadcast-hash
+    joins (nation/region/customer are the small sides by construction)
+    — no shuffled sort-merge join for a dim lookup."""
+    from ndvi_etl_pipeline_spark.plans.queries import REGISTRY
+
+    plan = (
+        REGISTRY["tpch_q5_local_supplier"]
+        .builder(spark, sf_dir_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

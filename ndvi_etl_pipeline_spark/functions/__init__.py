@@ -14,6 +14,7 @@ from .ndvi import (
     valid_dn_mask,
     with_nodata_sentinel,
 )
+from .udtfs import ChunkSpans, register_udtfs
 from .scene import (
     exclude_sensors,
     parse_scene_id,
@@ -33,6 +34,8 @@ __all__ = [
     "scale_reflectance",
     "valid_dn_mask",
     "with_nodata_sentinel",
+    "ChunkSpans",
+    "register_udtfs",
     "exclude_sensors",
     "parse_scene_id",
     "scene_columns_from_filename",

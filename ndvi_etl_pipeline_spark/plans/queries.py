@@ -6214,6 +6214,127 @@ def q_modal_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_patch_budget",
+    oracle="""
+    WITH img AS (
+      SELECT source,
+             64 + doc_id % 192 AS h,
+             64 + (doc_id * 3) % 192 AS w
+      FROM documents
+    ),
+    p AS (
+      SELECT source,
+             CAST(ceil(h / 16.0) * ceil(w / 16.0) AS BIGINT) AS n_patches
+      FROM img
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(n_patches) AS BIGINT) AS total_patches,
+           CAST(max(n_patches) AS BIGINT) AS max_patches,
+           round(avg(n_patches), 4) AS mean_patches,
+           CAST(sum(CAST(floor(8192.0 / (n_patches + 1)) AS BIGINT))
+                AS BIGINT) AS ctx8k_capacity
+    FROM p GROUP BY source
+    """,
+    tags=("multimodal", "curation"),
+)
+def q_multimodal_patch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch budgeting over image metadata — the sequence-length
+    planning a multimodal training pipeline runs BEFORE any decode:
+    16×16 patch counts per image (dimensions derived deterministically
+    from doc_id, standing in for the typed metadata columns of
+    operators/multimodal.py::MEDIA_SCHEMA), aggregated into per-source
+    token budgets and how many such images fit an 8k context each
+    (+1 separator). Pure column arithmetic at scan speed — payload
+    bytes are never touched, the property that makes budgeting a
+    planning-time pass over a 100 TB media lake."""
+    d = _t(spark, sf_dir, "documents")
+    h = 64 + F.col("doc_id") % 192
+    w = 64 + (F.col("doc_id") * 3) % 192
+    n_patches = (F.ceil(h / 16.0) * F.ceil(w / 16.0)).cast("bigint")
+    p = d.select("source", n_patches.alias("n_patches"))
+    return p.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_images"),
+        F.sum("n_patches").cast("bigint").alias("total_patches"),
+        F.max("n_patches").cast("bigint").alias("max_patches"),
+        F.round(F.avg("n_patches"), 4).alias("mean_patches"),
+        F.sum(F.floor(8192.0 / (F.col("n_patches") + 1)).cast("bigint"))
+        .cast("bigint")
+        .alias("ctx8k_capacity"),
+    )
+
+
+@register(
+    "timeband_matrix",
+    oracle="""
+    SELECT b1.n AS morning, b2.n AS midday, b3.n AS evening, b4.n AS night
+    FROM (SELECT count(*) AS n FROM events
+          WHERE extract(hour FROM ts) BETWEEN 6 AND 11) b1,
+         (SELECT count(*) AS n FROM events
+          WHERE extract(hour FROM ts) BETWEEN 12 AND 17) b2,
+         (SELECT count(*) AS n FROM events
+          WHERE extract(hour FROM ts) BETWEEN 18 AND 23) b3,
+         (SELECT count(*) AS n FROM events
+          WHERE extract(hour FROM ts) BETWEEN 0 AND 5) b4
+    """,
+    tags=("tpcds", "events"),
+)
+def q_timeband_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape: N independent band counts cross-joined into
+    one wide row. The oracle states it as four subquery scans (the
+    spec's formulation); the Spark plan computes all four bands in ONE
+    scan with conditional aggregates and a no-op cross join of 1-row
+    sides — the rewrite every engine wants for this shape, worth 4× the
+    scan I/O at any scale."""
+    e = _t(spark, sf_dir, "events")
+    hr = F.hour("ts")
+    return (
+        e.agg(
+            F.count_if(hr.between(6, 11)).alias("morning"),
+            F.count_if(hr.between(12, 17)).alias("midday"),
+            F.count_if(hr.between(18, 23)).alias("evening"),
+            F.count_if(hr.between(0, 5)).alias("night"),
+        )
+    )
+
+
+@register(
+    "order_size_bands",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey, count(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CASE WHEN n_lines <= 2 THEN 'small'
+                WHEN n_lines <= 4 THEN 'medium'
+                ELSE 'large' END AS band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines_total,
+           round(avg(n_lines), 4) AS avg_lines
+    FROM sizes GROUP BY 1
+    """,
+    tags=("tpcds", "agg"),
+)
+def q_order_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34/Q73 shape: aggregate-then-band — per-order line
+    counts banded into a size distribution. Two hash aggregates; the
+    second runs over |orders| rows already reduced by the first, and
+    the CASE banding is free post-shuffle arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    band = (
+        F.when(F.col("n_lines") <= 2, "small")
+        .when(F.col("n_lines") <= 4, "medium")
+        .otherwise("large")
+    )
+    return sizes.groupBy(band.alias("band")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("n_lines").cast("bigint").alias("n_lines_total"),
+        F.round(F.avg("n_lines"), 4).alias("avg_lines"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -6335,6 +6335,79 @@ def q_order_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cumulative_channel_compare",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(v.d, p.d) AS d,
+             coalesce(v.n, 0) AS nv, coalesce(p.n, 0) AS np
+      FROM v FULL JOIN p ON v.d = p.d
+    ),
+    c AS (
+      SELECT d, sum(nv) OVER (ORDER BY d) AS cum_views,
+                sum(np) OVER (ORDER BY d) AS cum_purchases
+      FROM j
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(cum_views AS BIGINT) AS cum_views,
+           CAST(cum_purchases AS BIGINT) AS cum_purchases
+    FROM c WHERE cum_purchases > cum_views
+    """,
+    tags=("tpcds", "window", "outer"),
+)
+def q_cumulative_channel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape: two channels' daily series full-outer joined
+    on date, cumulative sums over the merged calendar, keep the days
+    one channel's running total leads the other. The full-outer +
+    coalesce is the load-bearing part — a day missing from one channel
+    must still advance the other's cumulative. The global-order window
+    runs on |days| rows (post-aggregate), not events; a real deploy
+    partitions the window by item/user exactly as Q51 does."""
+    e = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date").alias("d")
+
+    def daily(et):
+        return (
+            e.filter(F.col("event_type") == et)
+            .groupBy(d)
+            .agg(F.count("*").alias("n"))
+        )
+
+    v, p = daily("view"), daily("purchase")
+    j = (
+        v.withColumnsRenamed({"d": "vd", "n": "nv"})
+        .join(
+            p.withColumnsRenamed({"d": "pd", "n": "np"}),
+            F.col("vd") == F.col("pd"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("vd", "pd").alias("d"),
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+            F.coalesce("np", F.lit(0)).alias("np"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c = j.select(
+        "d",
+        F.sum("nv").over(w).alias("cum_views"),
+        F.sum("np").over(w).alias("cum_purchases"),
+    )
+    return c.filter(F.col("cum_purchases") > F.col("cum_views")).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("cum_views").cast("bigint").alias("cum_views"),
+        F.col("cum_purchases").cast("bigint").alias("cum_purchases"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -6018,6 +6018,39 @@ def q_approx_distinct_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _anchored_ndvi_tiles(spark: SparkSession, sf_dir: str):
+    """Shared prelude of the focal queries: derived pixels densified
+    with per-(band, tile) anchor cells (dn=0 → nodata NaN) so every
+    tile of the 100×100 grid exists, deduped in ONE post-union
+    groupBy-max — raw pixels and anchors merge in the same exchange
+    instead of shuffling the wide relation twice — then packed and
+    run through the NDVI tile kernel."""
+    from ..operators.raster import pixels_to_tiles, tile_ndvi
+
+    px = derived_pixels(spark, sf_dir)
+    grid = spark.createDataFrame(
+        [
+            (b, ty * 32, tx * 32)
+            for b in ("red", "nir")
+            for ty in range(4)
+            for tx in range(4)
+        ],
+        "band string, y int, x int",
+    )
+    anchors = (
+        px.select("scene_id")
+        .distinct()
+        .crossJoin(F.broadcast(grid))
+        .withColumn("dn", F.lit(0))
+    )
+    px_full = (
+        px.unionByName(anchors)
+        .groupBy("scene_id", "band", "y", "x")
+        .agg(F.max("dn").alias("dn"))
+    )
+    return tile_ndvi(pixels_to_tiles(px_full, tile=32))
+
+
 @register(
     "ndvi_focal_smooth",
     oracle=_NDVI_SQL
@@ -6054,35 +6087,11 @@ def q_ndvi_focal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid neighbor — matches the oracle's dilation exactly even on a
     sparse scene."""
     from ..operators.focal import focal_map_tiled, focal_mean_3x3
-    from ..operators.raster import pixels_to_tiles, tile_ndvi, tiles_to_pixels
+    from ..operators.raster import tiles_to_pixels
 
-    px = (
-        derived_pixels(spark, sf_dir)
-        .groupBy("scene_id", "band", "y", "x")
-        .agg(F.max("dn").alias("dn"))
+    smooth = focal_map_tiled(
+        _anchored_ndvi_tiles(spark, sf_dir), focal_mean_3x3, halo=1
     )
-    grid = spark.createDataFrame(
-        [
-            (b, ty * 32, tx * 32)
-            for b in ("red", "nir")
-            for ty in range(4)
-            for tx in range(4)
-        ],
-        "band string, y int, x int",
-    )
-    anchors = (
-        px.select("scene_id")
-        .distinct()
-        .crossJoin(F.broadcast(grid))
-        .withColumn("dn", F.lit(0))
-    )
-    px_full = (
-        px.unionByName(anchors)
-        .groupBy("scene_id", "band", "y", "x")
-        .agg(F.max("dn").alias("dn"))
-    )
-    ndvi_tiles = tile_ndvi(pixels_to_tiles(px_full, tile=32))
-    smooth = focal_map_tiled(ndvi_tiles, focal_mean_3x3, halo=1)
     return (
         tiles_to_pixels(smooth, value_name="smooth")
         .groupBy("scene_id")
@@ -6135,35 +6144,11 @@ def q_ndvi_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sobel coefficients ox·(2−|oy|) / oy·(2−|ox|). Same dense-grid
     anchor trick as ndvi_focal_smooth."""
     from ..operators.focal import focal_map_tiled, sobel_magnitude
-    from ..operators.raster import pixels_to_tiles, tile_ndvi, tiles_to_pixels
+    from ..operators.raster import tiles_to_pixels
 
-    px = (
-        derived_pixels(spark, sf_dir)
-        .groupBy("scene_id", "band", "y", "x")
-        .agg(F.max("dn").alias("dn"))
+    edges = focal_map_tiled(
+        _anchored_ndvi_tiles(spark, sf_dir), sobel_magnitude, halo=1
     )
-    grid = spark.createDataFrame(
-        [
-            (b, ty * 32, tx * 32)
-            for b in ("red", "nir")
-            for ty in range(4)
-            for tx in range(4)
-        ],
-        "band string, y int, x int",
-    )
-    anchors = (
-        px.select("scene_id")
-        .distinct()
-        .crossJoin(F.broadcast(grid))
-        .withColumn("dn", F.lit(0))
-    )
-    px_full = (
-        px.unionByName(anchors)
-        .groupBy("scene_id", "band", "y", "x")
-        .agg(F.max("dn").alias("dn"))
-    )
-    ndvi_tiles = tile_ndvi(pixels_to_tiles(px_full, tile=32))
-    edges = focal_map_tiled(ndvi_tiles, sobel_magnitude, halo=1)
     return (
         tiles_to_pixels(edges, value_name="grad")
         .groupBy("scene_id")

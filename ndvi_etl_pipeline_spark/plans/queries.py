@@ -6393,6 +6393,83 @@ def q_cumulative_channel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_sequence_match",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ),
+    seq AS (
+      SELECT user_id, session_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS sig
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE regexp_matches(sig, 'v.*p'))
+                AS BIGINT) AS n_view_then_purchase,
+           CAST(count(*) FILTER (WHERE regexp_matches(sig, '(e)(.*e){2,}'))
+                AS BIGINT) AS n_error_heavy
+    FROM seq GROUP BY user_id
+    """,
+    tags=("events", "sequence", "window"),
+)
+def q_session_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (MATCH_RECOGNIZE-lite): sessionize,
+    collapse each session to an ordered event-initial signature string
+    (LISTAGG WITHIN GROUP — deterministic on the unique (ts, event_id)
+    key), then count sessions whose signature matches a regex —
+    view-before-purchase, and 3+ errors. Encoding order-sensitive
+    patterns as strings turns sequence analytics into the engine's
+    string machinery: one window pass + one agg, no self-joins per
+    pattern step, patterns composable as plain regexes."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_ssm_events")
+    return spark.sql(
+        """
+        WITH g AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN unix_micros(ts) - unix_micros(lag(ts) OVER w)
+                           > 1800000000 THEN 1 ELSE 0 END AS new_session
+          FROM _ssm_events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, event_id, ts, event_type,
+                 sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g
+        ),
+        seq AS (
+          SELECT user_id, session_id,
+                 listagg(substr(event_type, 1, 1), '')
+                   WITHIN GROUP (ORDER BY ts, event_id) AS sig
+          FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count_if(sig RLIKE 'v.*p') AS BIGINT)
+                 AS n_view_then_purchase,
+               CAST(count_if(sig RLIKE '(e)(.*e){2,}') AS BIGINT)
+                 AS n_error_heavy
+        FROM seq GROUP BY user_id
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -39,13 +39,26 @@ def asof_join(
     ``direction='backward'`` (default): greatest right_ts ≤ left_ts.
     ``direction='forward'``: smallest right_ts ≥ left_ts (the stream
     sorts time-descending instead — same one-shuffle cost).
+    ``direction='nearest'``: whichever of the two is closer in time,
+    backward preferred on exact distance ties (pandas merge_asof
+    parity) — BOTH candidates come from the SAME ascending sorted
+    stream (backward = last-ignorenulls over preceding, forward =
+    first-ignorenulls over following), so nearest still costs one
+    shuffle + one window pass, not two joins.
     ``tolerance_seconds``: matches farther than this from left_ts are
     nulled out (pandas merge_asof's `tolerance`) — applied AFTER the
     window pass as a plain column predicate, so it costs nothing.
     `'_ts'` is reserved in right_cols (carries the matched timestamp).
+
+    Equal-timestamp tie_break detail for ``nearest``: the backward
+    candidate takes the MAX tie_break among same-ts right rows, the
+    forward candidate the MIN (first-in-sort) — each side keeps its
+    own direction's natural pick.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     left_cols = [c for c in left.columns]
     payload = F.struct(
         *[F.col(c) for c in right_cols], F.col(right_ts).alias("_ts")
@@ -67,7 +80,7 @@ def asof_join(
     )
 
     ts_order = (
-        F.col("_asof_ts").asc() if direction == "backward" else F.col("_asof_ts").desc()
+        F.col("_asof_ts").desc() if direction == "forward" else F.col("_asof_ts").asc()
     )
     order = [ts_order, F.col("_asof_side").asc()]
     if tie_break is not None:
@@ -75,23 +88,46 @@ def asof_join(
         # so last() picks the max; left rows (null payload) are unaffected
         # because they are alone in their side group.
         order.append(F.col("_asof_payload")[tie_break].asc_nulls_first())
-    w = (
-        Window.partitionBy(key)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    w_base = Window.partitionBy(key).orderBy(*order)
+    w = w_base.rowsBetween(Window.unboundedPreceding, 0)
     merged = r.unionByName(l).withColumn(
         "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
     )
-    match = F.col("_asof_match")
-    if tolerance_seconds is not None:
+
+    def _gap(m, sign: int):
         # cast handles TIMESTAMP_NTZ / DATE ts columns; session tz is UTC
-        gap_us = F.unix_micros(F.col("_asof_ts").cast("timestamp")) - F.unix_micros(
-            match["_ts"].cast("timestamp")
+        g = F.unix_micros(F.col("_asof_ts").cast("timestamp")) - F.unix_micros(
+            m["_ts"].cast("timestamp")
         )
-        if direction == "forward":
-            gap_us = -gap_us
-        match = F.when(gap_us <= tolerance_seconds * 1_000_000, match)
+        return g if sign > 0 else -g
+
+    if direction == "nearest":
+        # forward candidate from the SAME ascending stream: rows strictly
+        # after this one. A right row at the exact left_ts sorts before
+        # the left row (side 0 < 1) — missed here, but it is the
+        # backward candidate with gap 0, which nearest prefers anyway.
+        w_fwd = w_base.rowsBetween(1, Window.unboundedFollowing)
+        merged = merged.withColumn(
+            "_asof_fwd", F.first("_asof_payload", ignorenulls=True).over(w_fwd)
+        )
+        b, f = F.col("_asof_match"), F.col("_asof_fwd")
+        match = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(_gap(b, 1) <= _gap(f, -1), b)  # ties → backward (pandas)
+            .otherwise(f)
+        )
+        if tolerance_seconds is not None:
+            gap_us = F.abs(
+                F.unix_micros(F.col("_asof_ts").cast("timestamp"))
+                - F.unix_micros(match["_ts"].cast("timestamp"))
+            )
+            match = F.when(gap_us <= tolerance_seconds * 1_000_000, match)
+    else:
+        match = F.col("_asof_match")
+        if tolerance_seconds is not None:
+            gap_us = _gap(match, 1 if direction == "backward" else -1)
+            match = F.when(gap_us <= tolerance_seconds * 1_000_000, match)
     out = merged.filter(F.col("_asof_side") == 1).select(
         key,
         *[c for c in left_cols if c != key],

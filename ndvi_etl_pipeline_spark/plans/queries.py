@@ -6470,6 +6470,62 @@ def q_session_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_asof_nearest",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS nearest_orderkey,
+           strftime(o.o_orderdate + INTERVAL 25 YEAR, '%Y-%m-%d')
+             AS nearest_date
+    FROM events e
+    LEFT JOIN orders o ON o.o_custkey = e.user_id
+    QUALIFY row_number() OVER (
+      PARTITION BY e.event_id
+      ORDER BY abs(epoch_us(o.o_orderdate + INTERVAL 25 YEAR) - epoch_us(e.ts))
+                 ASC NULLS LAST,
+               CASE WHEN o.o_orderdate + INTERVAL 25 YEAR <= e.ts
+                    THEN 0 ELSE 1 END ASC,
+               CASE WHEN o.o_orderdate + INTERVAL 25 YEAR <= e.ts
+                    THEN -o.o_orderkey ELSE o.o_orderkey END ASC
+    ) = 1
+    """,
+    tags=("events", "asof"),
+)
+def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of (pandas merge_asof direction='nearest'):
+    each event matched to the user's CLOSEST order in time, either
+    side, backward preferred on exact-distance ties. Still the
+    one-shuffle union-trick plan — backward candidate from the
+    preceding window, forward from the following window of the SAME
+    sorted stream (operators/asof.py). The oracle is the O(n·m)
+    QUALIFY definition with the matching per-side tie-breaks
+    (backward keeps max orderkey, forward min)."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 25 YEARS")).alias("o_ts"),
+        "o_orderkey",
+    )
+    joined = asof_join(
+        e,
+        o,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_ts",
+        right_cols=("o_orderkey", "o_ts"),
+        tie_break="o_orderkey",
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("nearest_orderkey"),
+        F.date_format("o_ts", "yyyy-MM-dd").alias("nearest_date"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -6526,6 +6526,52 @@ def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token
+    ),
+    r AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rk FROM c
+    )
+    SELECT round(regr_slope(ln(n), ln(rk)), 6) AS zipf_slope,
+           round(regr_r2(ln(n), ln(rk)), 6) AS fit_r2,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(n) AS BIGINT) AS corpus_tokens
+    FROM r
+    """,
+    tags=("text", "stats"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: rank words by frequency and
+    regress ln(count) on ln(rank) — slope near −1 with high R² is the
+    signature of natural language, and a corpus that DOESN'T fit is a
+    curation red flag (template spam, generated filler). One token
+    aggregate (map-side explode), one vocab-sized rank window, one
+    moment-sketch regression — the expensive part is the same token
+    count word_frequencies already pays; everything after runs on
+    |vocab| rows."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+    ).filter(F.col("token") != "")
+    c = tokens.groupBy("token").agg(F.count("*").alias("n"))
+    r = c.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
+    )
+    return r.agg(
+        F.round(F.expr("regr_slope(ln(n), ln(rk))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(n), ln(rk))"), 6).alias("fit_r2"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("n").cast("bigint").alias("corpus_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

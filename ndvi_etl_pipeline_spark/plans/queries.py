@@ -6572,6 +6572,84 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "centroid_classify",
+    oracle="""
+    WITH dims AS (
+      SELECT label, CAST(i AS INT) AS pos, embedding[CAST(i AS INT)]::DOUBLE AS v
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+    ),
+    cent AS (
+      SELECT label AS c_label, list(cv ORDER BY pos) AS c
+      FROM (SELECT label, pos, avg(v) AS cv FROM dims GROUP BY 1, 2)
+      GROUP BY label
+    ),
+    scored AS (
+      SELECT a.vec_id, a.label, b.c_label,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> a.embedding[i]::DOUBLE * b.c[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> b.c[i] * b.c[i])))) AS cos
+      FROM embeddings a CROSS JOIN cent b
+    ),
+    pred AS (
+      SELECT vec_id, label, c_label,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, c_label ASC) AS rn
+      FROM scored
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(*) FILTER (WHERE c_label = label) AS BIGINT) AS n_correct,
+           round(count(*) FILTER (WHERE c_label = label)
+                 / CAST(count(*) AS DOUBLE), 4) AS accuracy
+    FROM pred WHERE rn = 1 GROUP BY label
+    """,
+    tags=("similarity", "ml"),
+)
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification (Rocchio) — the eval primitive
+    for embedding quality: per-label centroids from one per-dimension
+    aggregate, every vector assigned to its max-cosine centroid
+    (10-row broadcast, corpus scans once, no shuffle on the wide
+    side), per-label accuracy out. The per-dim explode shuffles
+    |vectors|×64 skinny rows ONCE to build centroids; assignment is
+    scan + windowed argmax per vector."""
+    from ..operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("c")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label", cosine("embedding", "c").alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_label"))
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return pred.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.count_if(F.col("c_label") == F.col("label"))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.count_if(F.col("c_label") == F.col("label"))
+            / F.count("*").cast("double"),
+            4,
+        ).alias("accuracy"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

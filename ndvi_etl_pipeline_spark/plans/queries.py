@@ -6650,6 +6650,98 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantized_ann_recall",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(x::DOUBLE
+               * (127.0 / list_max(list_transform(embedding,
+                                                  y -> abs(y)::DOUBLE))))) AS q
+      FROM embeddings
+    ),
+    exact5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_COSINE_SQL} DESC, b.vec_id ASC) AS rk
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < 5 AND b.vec_id >= 5
+      ) WHERE rk <= 5
+    ),
+    quant5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY
+                   list_sum(list_transform(generate_series(1, 64),
+                            i -> a.q[i] * b.q[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                            i -> a.q[i] * a.q[i])))
+                    * sqrt(list_sum(list_transform(generate_series(1, 64),
+                            i -> b.q[i] * b.q[i])))) DESC,
+                   b.vec_id ASC) AS rk
+        FROM qv a JOIN qv b ON a.vec_id < 5 AND b.vec_id >= 5
+      ) WHERE rk <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(q.vec_id) AS BIGINT) AS n_overlap,
+           round(count(q.vec_id) / 5.0, 2) AS recall_at_5
+    FROM exact5 e
+    LEFT JOIN quant5 q ON q.query_id = e.query_id AND q.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "quantization"),
+)
+def q_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization for ANN — the 4× memory/bandwidth lever
+    a 100 TB vector store pulls first: per-vector max-abs scaling to
+    [−127, 127], ranking on quantized cosine (scale-invariant, so only
+    the rounding matters), recall@5 measured against the exact ranking
+    per query. The quantization is plain deterministic arithmetic, so
+    BOTH rankings are value-checked cross-engine — not a tolerance
+    band. Quantized ties broken by vec_id on both sides."""
+    from ..operators.similarity import brute_force_topk, cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    scale = 127.0 / F.array_max(
+        F.transform("embedding", lambda y: F.abs(y.cast("double")))
+    )
+    qv = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * scale)).alias(
+            "q"
+        ),
+    )
+    exact5 = brute_force_topk(
+        e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5), k=5
+    ).select("query_id", "vec_id")
+    corpus, queries_ = qv.filter(F.col("vec_id") >= 5), qv.filter(F.col("vec_id") < 5)
+    scored = (
+        queries_.withColumnsRenamed({"vec_id": "query_id", "q": "qa"})
+        .crossJoin(corpus)
+        .select("query_id", "vec_id", cosine("qa", "q").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    quant5 = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .select("query_id", F.col("vec_id").alias("q_vec_id"))
+    )
+    j = exact5.join(
+        quant5,
+        (quant5.query_id == exact5.query_id)
+        & (quant5.q_vec_id == exact5.vec_id),
+        "left",
+    ).select(exact5.query_id, "q_vec_id")
+    return j.groupBy("query_id").agg(
+        F.count("q_vec_id").cast("bigint").alias("n_overlap"),
+        F.round(F.count("q_vec_id") / 5.0, 2).alias("recall_at_5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

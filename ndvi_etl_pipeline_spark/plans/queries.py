@@ -6742,6 +6742,82 @@ def q_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "basket_lift",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT l.l_orderkey, p.p_type
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM base),
+    tf AS (SELECT p_type, count(*) AS n_t FROM base GROUP BY 1),
+    pairs AS (
+      SELECT a.p_type AS t1, b.p_type AS t2, count(*) AS n_pair
+      FROM base a JOIN base b
+        ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, CAST(n_pair AS BIGINT) AS n_pair,
+           round(n_pair * tot.n / (f1.n_t * CAST(f2.n_t AS DOUBLE)), 4)
+             AS lift
+    FROM pairs
+    JOIN tf f1 ON f1.p_type = pairs.t1
+    JOIN tf f2 ON f2.p_type = pairs.t2
+    CROSS JOIN tot
+    WHERE n_pair >= 20
+    ORDER BY lift DESC, t1 ASC, t2 ASC
+    LIMIT 15
+    """,
+    tags=("basket", "join", "agg"),
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: part-type co-occurrence within an
+    order, scored by lift = P(a,b)/(P(a)·P(b)) with a min-support
+    floor, top-15. The self-join runs on the DISTINCT (order, type)
+    relation — deduped FIRST so the pair explosion is bounded by
+    types-per-order, not lines-per-order; frequencies and the order
+    total are broadcast back onto pairs. The classic co-purchase
+    recommendation shape, one of everything: dedup, self-join, three
+    joins, global top-k."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    base = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    tot = base.select(F.countDistinct("l_orderkey").alias("n"))
+    tf = base.groupBy("p_type").agg(F.count("*").alias("n_t"))
+    a = base.withColumnsRenamed({"p_type": "t1"})
+    b = base.withColumnsRenamed({"p_type": "t2"})
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 20)
+    )
+    f1 = F.broadcast(tf.withColumnsRenamed({"p_type": "t1", "n_t": "n_t1"}))
+    f2 = F.broadcast(tf.withColumnsRenamed({"p_type": "t2", "n_t": "n_t2"}))
+    return (
+        pairs.join(f1, "t1")
+        .join(f2, "t2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.round(
+                F.col("n_pair") * F.col("n")
+                / (F.col("n_t1") * F.col("n_t2").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("t1"), F.asc("t2"))
+        .limit(15)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -6818,6 +6818,95 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "profile_columns",
+    oracle="""
+    WITH long AS (
+      SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    stats AS (
+      SELECT col, count(*) AS n_rows,
+             CAST(count(*) - count(val) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+             min(val) AS min_val, max(val) AS max_val
+      FROM long GROUP BY col
+    ),
+    freq AS (
+      SELECT col, val, count(*) AS n FROM long
+      WHERE val IS NOT NULL GROUP BY 1, 2
+    ),
+    modal AS (
+      SELECT col, val AS top_value, CAST(n AS BIGINT) AS top_count FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY col ORDER BY n DESC, val ASC) AS rk
+        FROM freq
+      ) WHERE rk = 1
+    )
+    SELECT s.col, s.n_rows, s.n_null, s.n_distinct, s.min_val, s.max_val,
+           m.top_value, m.top_count
+    FROM stats s JOIN modal m ON m.col = s.col
+    """,
+    tags=("profiling", "curation"),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler: every column of `orders` rendered to
+    its string form and unpivoted via `stack` (single scan — the
+    Expand operator emits |cols| rows per input row map-side), then
+    per-column row/null/distinct counts, lexicographic min/max of the
+    rendering, and the deterministic modal value. The oracle pays six
+    UNION ALL scans for the same relation — the engine's Expand is the
+    rewrite that makes profiling a 100 TB table cost ONE read.
+    Min/max are over the string rendering (documented: a profile of
+    the rendered values, type-faithful ordering lives in the typed
+    queries)."""
+    o = _t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    stack = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    long = o.select(
+        F.expr(f"stack({len(cols)}, {stack}) AS (col, val)")
+    )
+    stats = long.groupBy("col").agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("val")).cast("bigint").alias("n_null"),
+        F.countDistinct("val").cast("bigint").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    freq = (
+        long.filter(F.col("val").isNotNull())
+        .groupBy("col", "val")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("col").orderBy(F.desc("n"), F.asc("val"))
+    modal = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(
+            "col",
+            F.col("val").alias("top_value"),
+            F.col("n").cast("bigint").alias("top_count"),
+        )
+    )
+    return stats.join(modal, "col")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -6907,6 +6907,88 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(modal, "col")
 
 
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      WITH b AS (
+        SELECT vec_id, embedding,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> CASE WHEN embedding[i] >= 0
+                              THEN CAST(pow(2, i - 1) AS BIGINT)
+                              ELSE 0 END)) AS BIGINT) AS bucket
+        FROM embeddings
+      )
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round({{cos}}, 6) >= 0.3
+    ),
+    edges AS (
+      SELECT vec_a AS s, vec_b AS d FROM pairs
+      UNION ALL SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    scored AS (
+      SELECT cc.component, cc.node,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+               AS norm
+      FROM cc JOIN embeddings e ON e.vec_id = cc.node
+    )
+    , ranked AS (
+      SELECT component, node, norm,
+             row_number() OVER (
+               PARTITION BY component ORDER BY norm DESC, node ASC) AS rk,
+             count(*) OVER (PARTITION BY component) AS n_members
+      FROM scored
+    )
+    SELECT component,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(node AS BIGINT) AS kept_vec_id,
+           round(norm, 6) AS kept_norm
+    FROM ranked WHERE rk = 1
+    """.replace("{cos}", _COSINE_SQL),
+    tags=("dedup", "iterative", "curation"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup POLICY stage: within each near-dup cluster (sign-LSH
+    pairs → connected components, same fixpoint as dedup_components),
+    keep the best representative — max L2 norm, smallest vec_id on
+    ties — the select-the-canonical step a training-data build runs
+    after clustering (keep the longest/highest-quality copy, drop the
+    rest). argmax-by-(norm, −id) is a single associative aggregate per
+    component; no sort, no per-cluster subquery."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.lsh_near_duplicate_pairs(e, threshold=0.3, n_bits=8).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    cc = DD.connected_components(pairs)
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    scored = cc.join(
+        e.select(F.col("vec_id").alias("node"), norm.alias("norm")), "node"
+    )
+    return scored.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.max_by(
+            "node", F.struct(F.col("norm"), (-F.col("node")).cast("double"))
+        )
+        .cast("bigint")
+        .alias("kept_vec_id"),
+        F.round(F.max("norm"), 6).alias("kept_norm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -6989,6 +6989,102 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decayed_engagement",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS now FROM events)
+    SELECT user_id,
+           round(sum(value * exp(-(epoch_us(mx.now) - epoch_us(ts))
+                                 / 86400000000.0 / 7.0)), 4) AS decayed_score,
+           round(sum(value), 4) AS raw_score,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events CROSS JOIN mx
+    GROUP BY user_id
+    """,
+    tags=("events", "agg"),
+)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score (7-day e-folding
+    time): each event weighted by exp(−age/7d) relative to the
+    feed's max timestamp — the recency weighting every ranking /
+    retention model wants. 'now' is an aggregate of the data itself
+    (broadcast 1-row cross join), so the query is deterministic and
+    re-runnable; the decay is plain column math folded into one hash
+    aggregate — no window, no sort, shuffle rows = |users|."""
+    e = _t(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("now"))
+    age_days = (
+        F.unix_micros(F.col("now")) - F.unix_micros(F.col("ts"))
+    ) / 86400000000.0
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.exp(-age_days / 7.0)), 4).alias(
+                "decayed_score"
+            ),
+            F.round(F.sum("value"), 4).alias("raw_score"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "pareto_8020",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT p_brand, r,
+             row_number() OVER w AS rk,
+             sum(r) OVER (PARTITION BY p_brand) AS total,
+             sum(r) OVER (w ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+      WINDOW w AS (PARTITION BY p_brand ORDER BY r DESC, l_partkey ASC)
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(CASE WHEN cum >= 0.8 * total THEN rk END) AS BIGINT)
+             AS parts_to_80pct,
+           round(min(CASE WHEN cum >= 0.8 * total THEN rk END)
+                 / CAST(count(*) AS DOUBLE), 4) AS concentration
+    FROM ranked GROUP BY p_brand
+    """,
+    tags=("window", "agg"),
+)
+def q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 concentration cutoff: per brand, how many top parts
+    cover 80% of revenue. Revenue per part (one hash agg), then a
+    single window pass computes rank, partition total, and running
+    sum together — the cutoff is min(rank where cumulative ≥ 80%),
+    an aggregate over the windowed relation, no second scan. Low
+    `concentration` = revenue concentrated in few parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("r"), F.asc("l_partkey"))
+    ranked = rev.select(
+        "p_brand",
+        F.row_number().over(w).alias("rk"),
+        F.sum("r").over(Window.partitionBy("p_brand")).alias("total"),
+        F.sum("r").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    cutoff = F.min(F.when(F.col("cum") >= 0.8 * F.col("total"), F.col("rk")))
+    return ranked.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        cutoff.cast("bigint").alias("parts_to_80pct"),
+        F.round(cutoff / F.count("*").cast("double"), 4).alias("concentration"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -213,3 +213,51 @@ def test_pareto_skyline_partition_invariance(spark):
     df = spark.createDataFrame(chain, "price double, size int").repartition(4)
     got = {(r.price, r.size) for r in pareto_skyline_2d(df, "price", "size").collect()}
     assert got == set(chain)
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """direction='nearest' must agree with pandas merge_asof on
+    randomized data. Right timestamps are even microseconds and left
+    odd, so exact-midpoint ties cannot occur and the expected match is
+    unambiguous; (key, ts) pairs are unique by construction."""
+    import random
+
+    import pandas as pd
+
+    from ndvi_etl_pipeline_spark.operators.asof import asof_join
+
+    rnd = random.Random(11)
+    base = 1_700_000_000_000_000
+    right_rows = []
+    seen = set()
+    for rid in range(40):
+        k = rnd.randrange(5)
+        ts = base + 2 * rnd.randrange(0, 500_000)
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        right_rows.append((k, pd.Timestamp(ts, unit="us").to_pydatetime(), rid))
+    left_rows = [
+        (rnd.randrange(6), pd.Timestamp(base + 2 * rnd.randrange(0, 500_000) + 1,
+                                        unit="us").to_pydatetime(), i)
+        for i in range(80)
+    ]  # key 5 has no right rows → NULL matches
+
+    lf = spark.createDataFrame(left_rows, "k int, ts timestamp, lid int")
+    rf = spark.createDataFrame(right_rows, "k int, rts timestamp, rid int")
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            lf, rf, key="k", left_ts="ts", right_ts="rts",
+            right_cols=("rid",), tie_break="rid", direction="nearest",
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts", "lid"]).sort_values("ts")
+    rpd = pd.DataFrame(right_rows, columns=["k", "rts", "rid"]).sort_values("rts")
+    exp = pd.merge_asof(
+        lpd, rpd, left_on="ts", right_on="rts", by="k", direction="nearest"
+    )
+    for row in exp.itertuples(index=False):
+        want = None if pd.isna(row.rid) else int(row.rid)
+        assert got[row.lid] == want, f"lid={row.lid}: {got[row.lid]} != {want}"

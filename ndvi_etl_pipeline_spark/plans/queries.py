@@ -7085,6 +7085,89 @@ def q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "running_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT d, count(*) AS n_new FROM first_seen GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(sum(n_new) OVER (ORDER BY d) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+    tags=("events", "window"),
+)
+def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve metric. A
+    naive COUNT(DISTINCT) OVER (ORDER BY day) needs per-day distinct
+    state; the scalable identity is first-seen-day: each user
+    contributes once at min(day), so cumulative-distinct = running sum
+    of new-user counts. Two tiny hash aggs + a window over |days|
+    rows — at 100 TB the heavy relation shuffles once on user_id."""
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("bigint").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST((SELECT count(*) FROM d) AS DOUBLE), 4)
+             AS share,
+           round(log10(1.0 + 1.0 / digit), 4) AS benford_expected
+    FROM d GROUP BY digit
+    """,
+    tags=("stats", "quality"),
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    anomaly/fabrication screen auditors run on financial columns:
+    observed leading-digit shares against the log10(1+1/d) law.
+    Digit extraction is integer/string column math; the share needs
+    the total count, provided by a broadcast scalar aggregate (the
+    uncorrelated-subquery idiom), so the whole audit is one scan +
+    two 9-row joins."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = d.agg(F.count("*").alias("n_total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("n_total").cast("double"), 4).alias("share"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias(
+                "benford_expected"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

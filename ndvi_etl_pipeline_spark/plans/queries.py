@@ -7168,6 +7168,63 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chi_square_independence",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id % 3 AS seg, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS N,
+                   count(DISTINCT event_type) AS nr,
+                   count(DISTINCT seg) AS nc FROM c),
+    rowm AS (SELECT event_type, sum(n) AS rn FROM c GROUP BY 1),
+    colm AS (SELECT seg, sum(n) AS cn FROM c GROUP BY 1)
+    SELECT round(sum(pow(c.n - rowm.rn * colm.cn / tot.N, 2)
+                     / (rowm.rn * colm.cn / tot.N)), 4) AS chi2,
+           CAST((max(tot.nr) - 1) * (max(tot.nc) - 1) AS BIGINT) AS dof,
+           CAST(max(tot.N) AS BIGINT) AS n_obs
+    FROM c
+    JOIN rowm USING (event_type)
+    JOIN colm USING (seg)
+    CROSS JOIN tot
+    """,
+    tags=("stats", "events"),
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event type and a
+    derived user segment: contingency counts (ONE shuffle on the
+    cell key), marginals re-aggregated from the tiny cell relation
+    and broadcast back, χ² = Σ(obs−exp)²/exp with its degrees of
+    freedom. The A/B-companion for categorical outcomes (welch_ttest
+    covers the continuous case) — everything after the first
+    aggregate runs on |cells| rows."""
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.select("event_type", (F.col("user_id") % 3).alias("seg"))
+        .groupBy("event_type", "seg")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.agg(
+        F.sum("n").cast("double").alias("n_total"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("seg").alias("nc"),
+    )
+    rowm = c.groupBy("event_type").agg(F.sum("n").alias("rn"))
+    colm = c.groupBy("seg").agg(F.sum("n").alias("cn"))
+    j = (
+        c.join(F.broadcast(rowm), "event_type")
+        .join(F.broadcast(colm), "seg")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("rn") * F.col("cn") / F.col("n_total")
+    return j.agg(
+        F.round(F.sum(F.pow(F.col("n") - exp, F.lit(2)) / exp), 4).alias("chi2"),
+        ((F.max("nr") - 1) * (F.max("nc") - 1)).cast("bigint").alias("dof"),
+        F.max("n_total").cast("bigint").alias("n_obs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -7225,6 +7225,40 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lateral_topn_per_key",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS total
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+    WHERE c.c_acctbal > 9000
+    """,
+    tags=("lateral", "subquery", "topk"),
+)
+def q_lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-key ORDER BY LIMIT — the
+    top-N-per-group shape written the SQL-standard way, identical text
+    on both engines. Catalyst DECORRELATES it: the per-customer
+    subquery becomes a windowed rank over one join, not |customers|
+    subquery executions — the rewrite that makes lateral top-N viable
+    at 100 TB. Same semantics as the window formulation
+    (topk_per_group); this pins the parser/decorrelation surface."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS total
+        FROM _lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        WHERE c.c_acctbal > 9000
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -451,3 +451,67 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
         | (F.abs(F.col("total_value") - F.col("tv_b")) > 1e-6)
     )
     assert bad.count() == 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics pinned: rows arriving in a later batch with
+    event times far behind the watermark are DROPPED from a windowed
+    aggregate — no update row for their window ever reaches the sink."""
+    import datetime as dt
+
+    from ndvi_etl_pipeline_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        hourly_rollup,
+    )
+
+    base = dt.datetime(2030, 6, 1, 12, 0, 0)
+    d = tmp_path / "late_src"
+    d.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / name))
+
+    fresh = [
+        (i, base + dt.timedelta(minutes=i), 1, "click", 1.0, None)
+        for i in range(10)
+    ]
+    write_file("a.parquet", fresh)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(str(d))
+    )
+    q = (
+        hourly_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: 10 hours older than the watermark (max ts − 2 h)
+        stale = [
+            (100 + i, base - dt.timedelta(hours=10), 2, "click", 1.0, None)
+            for i in range(5)
+        ]
+        write_file("b.parquet", stale)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.sql("SELECT * FROM t_late_drop")
+    stale_window = base - dt.timedelta(hours=10)
+    assert out.filter(F.col("window_start") <= stale_window).count() == 0
+    # last update per window carries all 10 fresh rows, none of the stale
+    total = (
+        out.groupBy("window_start")
+        .agg(F.max("n").alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert total == len(fresh)

@@ -7259,6 +7259,89 @@ def q_lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "psi_drift",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, CASE WHEN label < 5 THEN 'ref' ELSE 'cur' END AS cohort,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS norm
+      FROM embeddings
+    ),
+    rng AS (SELECT min(norm) AS mn, max(norm) AS mx FROM norms),
+    binned AS (
+      SELECT cohort,
+             least(9, CAST(floor((norm - rng.mn) / (rng.mx - rng.mn) * 10)
+                           AS INT)) AS bin
+      FROM norms CROSS JOIN rng
+    ),
+    counts AS (
+      SELECT bin,
+             count(*) FILTER (WHERE cohort = 'ref') AS a,
+             count(*) FILTER (WHERE cohort = 'cur') AS b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM counts),
+    p AS (
+      SELECT (a + 0.5) / (tot.na + 5.0) AS pa,
+             (b + 0.5) / (tot.nb + 5.0) AS pb
+      FROM counts CROSS JOIN tot
+    )
+    SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM p
+    """,
+    tags=("stats", "ml", "drift"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two embedding cohorts — the
+    drift monitor an ML platform runs between training and serving
+    distributions: L2 norms binned on the shared data-derived range
+    (10 equal-width bins, Laplace-smoothed so empty bins stay finite),
+    PSI = Σ(pa−pb)·ln(pa/pb). One scan for norms, one 2-row aggregate
+    for the range (broadcast), one 10-row counts relation — drift
+    monitoring at any scale is three tiny reductions over a single
+    pass."""
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    norms = e.select(
+        F.when(F.col("label") < 5, "ref").otherwise("cur").alias("cohort"),
+        norm.alias("norm"),
+    )
+    rng = norms.agg(F.min("norm").alias("mn"), F.max("norm").alias("mx"))
+    binned = norms.crossJoin(F.broadcast(rng)).select(
+        "cohort",
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("norm") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 10
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count_if(F.col("cohort") == "ref").alias("a"),
+        F.count_if(F.col("cohort") == "cur").alias("b"),
+    )
+    tot = counts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        ((F.col("a") + 0.5) / (F.col("na") + 5.0)).alias("pa"),
+        ((F.col("b") + 0.5) / (F.col("nb") + 5.0)).alias("pb"),
+    )
+    return p.agg(
+        F.round(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+            6,
+        ).alias("psi"),
+        F.count("*").cast("bigint").alias("n_bins"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -7342,6 +7342,91 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "auc_rank_sum",
+    oracle="""
+    WITH cent AS (
+      SELECT list(cv ORDER BY pos) AS c FROM (
+        SELECT CAST(i AS INT) AS pos, avg(embedding[CAST(i AS INT)]::DOUBLE) AS cv
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+        WHERE label = 0 GROUP BY 1
+      )
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label = 0 AS positive,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> e.embedding[i]::DOUBLE * cent.c[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> cent.c[i] * cent.c[i])))) AS score
+      FROM embeddings e CROSS JOIN cent
+    ),
+    ranked AS (
+      SELECT positive,
+             row_number() OVER (ORDER BY score ASC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT round((sum(CASE WHEN positive THEN rk END)
+                  - sum(CASE WHEN positive THEN 1 END)
+                    * (sum(CASE WHEN positive THEN 1 END) + 1) / 2.0)
+                 / (sum(CASE WHEN positive THEN 1 END)
+                    * sum(CASE WHEN NOT positive THEN 1 END)), 6) AS auc,
+           CAST(sum(CASE WHEN positive THEN 1 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN NOT positive THEN 1 END) AS BIGINT) AS n_neg
+    FROM ranked
+    """,
+    tags=("stats", "ml", "eval"),
+)
+def q_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC via the Mann-Whitney rank-sum identity — the
+    classifier-eval primitive computed without thresholds or curves:
+    score = cosine to the positive-class centroid, rank once globally,
+    AUC = (ΣR₊ − n₊(n₊+1)/2)/(n₊·n₋). Ranking is a window over
+    |vectors| rows with a deterministic vec_id tie-break (identical in
+    both engines, so exact scores hash-match); at scale the global
+    sort is the only wide operation and every other step is a scalar
+    aggregate. Complements psi_drift (monitoring) and
+    centroid_classify (accuracy) as the eval tier."""
+    from ..operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.filter(F.col("label") == 0).select(
+        F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = (
+        dims.groupBy("pos")
+        .agg(F.avg("v").alias("cv"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("c")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        (F.col("label") == 0).alias("positive"),
+        cosine("embedding", "c").alias("score"),
+    )
+    ranked = scored.select(
+        "positive",
+        F.row_number()
+        .over(Window.orderBy(F.asc("score"), F.asc("vec_id")))
+        .alias("rk"),
+    )
+    n_pos = F.sum(F.when(F.col("positive"), 1))
+    n_neg = F.sum(F.when(~F.col("positive"), 1))
+    r_pos = F.sum(F.when(F.col("positive"), F.col("rk")))
+    return ranked.agg(
+        F.round(
+            (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6
+        ).alias("auc"),
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -7427,6 +7427,60 @@ def q_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ks_two_sample",
+    oracle="""
+    WITH pts AS (
+      SELECT value,
+             count(*) FILTER (WHERE event_type = 'click') AS a,
+             count(*) FILTER (WHERE event_type = 'purchase') AS b
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value
+    ),
+    tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM pts),
+    c AS (
+      SELECT sum(a) OVER (ORDER BY value) / CAST(tot.na AS DOUBLE) AS fa,
+             sum(b) OVER (ORDER BY value) / CAST(tot.nb AS DOUBLE) AS fb
+      FROM pts CROSS JOIN tot
+    )
+    SELECT round(max(abs(fa - fb)), 6) AS ks_d,
+           CAST(max(tot2.na) AS BIGINT) AS n_click,
+           CAST(max(tot2.nb) AS BIGINT) AS n_purchase
+    FROM c CROSS JOIN (SELECT na, nb FROM tot) tot2
+    """,
+    tags=("stats", "events"),
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between cohorts: the
+    nonparametric distribution-equality test (no normality assumption
+    — completing the stats-test family with welch_ttest and
+    chi_square_independence). D = max |ECDF_a − ECDF_b|, evaluated at
+    the distinct observed values: per-value counts (one shuffle),
+    cumulative fractions in one window pass over |distinct values|
+    rows, exact integer cumsums so the statistic hash-matches across
+    engines."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pts = e.groupBy("value").agg(
+        F.count_if(F.col("event_type") == "click").alias("a"),
+        F.count_if(F.col("event_type") == "purchase").alias("b"),
+    )
+    tot = pts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = pts.crossJoin(F.broadcast(tot)).select(
+        (F.sum("a").over(w) / F.col("na").cast("double")).alias("fa"),
+        (F.sum("b").over(w) / F.col("nb").cast("double")).alias("fb"),
+        "na",
+        "nb",
+    )
+    return c.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d"),
+        F.max("na").cast("bigint").alias("n_click"),
+        F.max("nb").cast("bigint").alias("n_purchase"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -7481,6 +7481,48 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ndvi_clip_histogram",
+    oracle=_NDVI_SQL
+    + """
+    SELECT scene_id,
+           least(4, CAST(floor((ndvi + 1.0) / 0.4) AS INT)) AS bin,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           round(avg(ndvi), 6) AS bin_mean
+    FROM nv
+    WHERE ndvi IS NOT NULL
+      AND x BETWEEN 20 AND 59 AND y BETWEEN 30 AND 69
+    GROUP BY scene_id, bin
+    """,
+    tags=("ndvi", "spatial", "agg"),
+)
+def q_ndvi_clip_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal NDVI histogram: the per-AOI distribution product
+    (vegetation-class breakdown inside the clip region) — bbox
+    prefilter → 5 equal-width bins over [−1, 1] (top edge folded into
+    the last bin) → per-(scene, bin) counts and means. The reference
+    only stores the clipped mean (load_to_postgis.py:244-248); the
+    histogram is the same scan with a composite group key, which is
+    why it's free to add at 100 TB: predicate prunes first, bin id is
+    scalar math, and the aggregate shuffles |scenes|×5 rows."""
+    nv = _ndvi_pixels_df(spark, sf_dir)
+    bin_ = F.least(
+        F.lit(4), F.floor((F.col("ndvi") + 1.0) / 0.4).cast("int")
+    ).alias("bin")
+    return (
+        nv.filter(
+            F.col("ndvi").isNotNull()
+            & F.col("x").between(20, 59)
+            & F.col("y").between(30, 69)
+        )
+        .groupBy("scene_id", bin_)
+        .agg(
+            F.count("*").cast("bigint").alias("n_pixels"),
+            F.round(F.avg("ndvi"), 6).alias("bin_mean"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

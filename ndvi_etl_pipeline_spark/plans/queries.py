@@ -7523,6 +7523,36 @@ def q_ndvi_clip_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mean_family",
+    oracle="""
+    SELECT p_brand,
+           round(avg(p_retailprice), 4) AS arithmetic_mean,
+           round(exp(avg(ln(p_retailprice))), 4) AS geometric_mean,
+           round(count(*) / sum(1.0 / p_retailprice), 4) AS harmonic_mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM part WHERE p_retailprice > 0 GROUP BY p_brand
+    """,
+    tags=("agg", "stats"),
+)
+def q_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean means side by side per brand: arithmetic,
+    geometric (exp∘avg∘ln — the log-space identity that makes a
+    multiplicative mean a plain associative aggregate, the same trick
+    behind distributed perplexity computation), and harmonic (rate
+    averaging). All three are single-pass partial/final aggregates;
+    AM ≥ GM ≥ HM holds per row as a built-in sanity invariant."""
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
+    return pt.groupBy("p_brand").agg(
+        F.round(F.avg("p_retailprice"), 4).alias("arithmetic_mean"),
+        F.round(F.exp(F.avg(F.log("p_retailprice"))), 4).alias("geometric_mean"),
+        F.round(F.count("*") / F.sum(1.0 / F.col("p_retailprice")), 4).alias(
+            "harmonic_mean"
+        ),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -7553,6 +7553,51 @@ def q_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(o_totalprice) - 2 * sum(o_totalprice)
+               FILTER (WHERE o_orderstatus = 'F') AS net
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT d, sum(net) OVER (ORDER BY d) AS cum FROM daily
+    ),
+    dd AS (
+      SELECT d, max(cum) OVER (ORDER BY d) - cum AS drawdown FROM c
+    )
+    SELECT round(max(drawdown), 2) AS max_drawdown,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM dd
+    """,
+    tags=("window", "timeseries"),
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of a running series (the finance/monitoring
+    shape): daily net flow (finalized orders count negative so the
+    series actually dips), cumulative sum, running peak, max(peak −
+    value). Two stacked window passes over |days| rows after the
+    day-level aggregate — the composition (cumsum → running max →
+    scalar max) that cannot be expressed as one aggregate but never
+    touches row-level data twice."""
+    o = _t(spark, sf_dir, "orders")
+    net = F.sum("o_totalprice") - 2 * F.sum(
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        net.alias("net")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.select("d", F.sum("net").over(w).alias("cum"))
+    dd = c.select((F.max("cum").over(w) - F.col("cum")).alias("drawdown"))
+    return dd.agg(
+        F.round(F.max("drawdown"), 2).alias("max_drawdown"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -7598,6 +7598,60 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "referential_integrity",
+    oracle="""
+    SELECT
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+           AS BIGINT) AS orphan_lineitems,
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+           AS BIGINT) AS orphan_orders,
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+           AS BIGINT) AS orphan_part_refs,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+           AS BIGINT) AS orphan_customers
+    """,
+    tags=("quality", "antijoin"),
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts for the
+    four FK chains (lineitem→orders, orders→customer, lineitem→part,
+    customer→nation) — the relational complement of the single-table
+    dq_expectations suite, and the engine-level stand-in for the FK
+    constraints the reference declares in DDL (db/init/002_schema.sql:
+    20-31): a lake has no enforced FKs, so integrity is a query you
+    run. Each check is a left-anti join that broadcasts the key side
+    when small and degrades to shuffled anti-join at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pt = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+
+    def orphans(child, parent, ck, pk, out):
+        # lazy 1-row count — the four checks compose into ONE plan
+        return child.join(
+            parent.select(pk), child[ck] == parent[pk], "left_anti"
+        ).agg(F.count("*").cast("bigint").alias(out))
+
+    return (
+        orphans(li, o, "l_orderkey", "o_orderkey", "orphan_lineitems")
+        .crossJoin(orphans(o, c, "o_custkey", "c_custkey", "orphan_orders"))
+        .crossJoin(orphans(li, pt, "l_partkey", "p_partkey", "orphan_part_refs"))
+        .crossJoin(
+            orphans(c, n, "c_nationkey", "n_nationkey", "orphan_customers")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -132,3 +132,51 @@ def test_geotiff_roundtrip_any_shape(h, w, seed, tiled, tmp_path_factory):
     back, meta = read_geotiff(p)
     np.testing.assert_array_equal(back, a)
     assert not math.isnan(meta["nodata"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.floats(min_value=-5, max_value=5, allow_nan=False),
+    b=st.floats(min_value=-5, max_value=5, allow_nan=False),
+    c=st.floats(min_value=-10, max_value=10, allow_nan=False),
+)
+def test_sobel_exact_on_linear_fields(a, b, c):
+    """Sobel of v = a·x + b·y + c is exactly 8·hypot(a, b) everywhere
+    (the kernel's discrete derivative is exact for linear fields)."""
+    from ndvi_etl_pipeline_spark.operators.focal import sobel_magnitude
+
+    yy, xx = np.mgrid[0:12, 0:14]
+    field = a * xx + b * yy + c
+    got = sobel_magnitude(field.astype(np.float64))
+    np.testing.assert_allclose(got, 8.0 * math.hypot(a, b), rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.floats(min_value=-5, max_value=5, allow_nan=False),
+    b=st.floats(min_value=-5, max_value=5, allow_nan=False),
+    c=st.floats(min_value=-10, max_value=10, allow_nan=False),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_focal_mean_identity_on_linear_fields_any_mask(a, b, c, seed):
+    """3×3 nanmean reproduces a linear field exactly at every pixel
+    whose window is FULLY valid (symmetric window ⇒ mean = center);
+    random NaN holes only affect windows that touch them."""
+    from ndvi_etl_pipeline_spark.operators.focal import focal_mean_3x3
+
+    yy, xx = np.mgrid[0:12, 0:14]
+    field = (a * xx + b * yy + c).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    mask = rng.rand(*field.shape) < 0.15
+    holed = field.copy()
+    holed[mask] = np.nan
+    got = focal_mean_3x3(holed)
+    full = ~mask
+    window_full = (
+        full[:-2, :-2] & full[:-2, 1:-1] & full[:-2, 2:]
+        & full[1:-1, :-2] & full[1:-1, 1:-1] & full[1:-1, 2:]
+        & full[2:, :-2] & full[2:, 1:-1] & full[2:, 2:]
+    )
+    np.testing.assert_allclose(
+        got[window_full], field[1:-1, 1:-1][window_full], rtol=1e-9, atol=1e-9
+    )

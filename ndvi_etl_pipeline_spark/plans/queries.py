@@ -7652,6 +7652,61 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT p.p_brand, l.l_extendedprice / l.l_quantity AS unit_price,
+             l.l_quantity AS wt
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0
+    ),
+    r AS (
+      SELECT p_brand, unit_price,
+             sum(wt) OVER (PARTITION BY p_brand ORDER BY unit_price
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wt) OVER (PARTITION BY p_brand) AS tw
+      FROM w
+    )
+    SELECT p_brand,
+           round(min(CASE WHEN cw >= 0.5 * tw THEN unit_price END), 4)
+             AS weighted_median_price,
+           round(max(tw), 2) AS total_weight
+    FROM r GROUP BY p_brand
+    """,
+    tags=("window", "stats"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per brand: sort by value,
+    running weight, first value whose cumulative weight crosses half
+    the total. The crossing value is order-independent within
+    equal-price ties (whichever tied row crosses, the selected PRICE
+    is the same), so no tie-break column is needed for determinism —
+    the property that makes weighted quantiles safe distributed. One
+    shuffle on brand, one window pass, one aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    w_rel = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        "p_brand",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.col("l_quantity").alias("wt"),
+    )
+    win = Window.partitionBy("p_brand").orderBy("unit_price")
+    r = w_rel.select(
+        "p_brand",
+        "unit_price",
+        F.sum("wt").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("wt").over(Window.partitionBy("p_brand")).alias("tw"),
+    )
+    return r.groupBy("p_brand").agg(
+        F.round(
+            F.min(F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("unit_price"))),
+            4,
+        ).alias("weighted_median_price"),
+        F.round(F.max("tw"), 2).alias("total_weight"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

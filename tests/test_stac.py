@@ -262,3 +262,42 @@ def test_stac_datasource_streams_incrementally(spark, tmp_path):
         assert {r["id"] for r in rows} == got1 | {FIXTURE_ITEMS[4]["id"]}
     finally:
         q.stop()
+
+
+def test_stac_datasource_to_fetch_pipeline(spark, tmp_path):
+    """Full source tier offline: stac_catalog scan → select_scenes →
+    distributed fetch (fake fetcher) → completeness gate. The two
+    selected scenes fetch both bands and survive; the gate output maps
+    scene → local band paths ready for the decode tier."""
+    from ndvi_etl_pipeline_spark.sources import stac_datasource
+    from ndvi_etl_pipeline_spark.sources.stac import (
+        complete_scenes,
+        fetch_assets,
+        select_scenes,
+    )
+
+    stac_datasource.register(spark)
+    items = (
+        spark.read.format("stac_catalog")
+        .option("path", _write_catalog(tmp_path))
+        .load()
+    )
+    scenes = select_scenes(items, "2022-06-01", "2022-06-30", max_cloud_cover=10.0)
+
+    out_dir = tmp_path / "bands"
+    out_dir.mkdir()
+
+    def fetcher(href, path):
+        with open(path, "wb") as fh:
+            fh.write(b"x" * 2_000_000)
+        return 2_000_000, "image/tiff"
+
+    fetched = fetch_assets(scenes, str(out_dir), fetcher=fetcher)
+    done = {r.scene_id: r for r in complete_scenes(fetched).collect()}
+    assert set(done) == {
+        "LC08_L2SP_189017_20220606_02_T1",
+        "LC09_L2SP_189018_20220614_02_T1",
+    }
+    for r in done.values():
+        assert r.red_path.endswith("_red.tif")
+        assert r.nir_path.endswith("_nir.tif")

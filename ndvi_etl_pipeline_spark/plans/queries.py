@@ -7707,6 +7707,45 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "capped_topk",
+    oracle="""
+    WITH per_source AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS src_rk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY n_chars DESC, doc_id ASC) AS global_rk
+      FROM per_source WHERE src_rk <= 3
+    ) WHERE global_rk <= 20
+    """,
+    tags=("curation", "topk", "window"),
+)
+def q_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped selection: global top-20 longest documents
+    with AT MOST 3 per source — the anti-domination constraint every
+    curation pass needs so one crawl source cannot fill the whole
+    budget. Per-source rank first (distributed window on the source
+    key, prunes to ≤3×|sources| rows), THEN the global top-k over the
+    tiny survivor set — the order of the two windows is what keeps
+    the global sort off the full corpus."""
+    d = _t(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    w_glob = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("src_rk", F.row_number().over(w_src))
+        .filter(F.col("src_rk") <= 3)
+        .withColumn("global_rk", F.row_number().over(w_glob))
+        .filter(F.col("global_rk") <= 20)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

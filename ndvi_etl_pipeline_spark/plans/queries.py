@@ -7746,6 +7746,37 @@ def q_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "struct_in_groupby_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    WHERE (l_returnflag, l_linestatus) IN (('A', 'F'), ('N', 'O'))
+    GROUP BY ALL
+    """,
+    tags=("sql", "filter"),
+)
+def q_struct_in_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-value IN list + GROUP BY ALL — two modern-SQL surfaces in
+    one query, IDENTICAL text on both engines. The tuple IN compiles
+    to a pair of equality conjunctions (sargable — both legs reach the
+    parquet scan as pushed filters), and GROUP BY ALL infers the
+    non-aggregated columns; neither is sugar the engine pays for."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_sig_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM _sig_lineitem
+        WHERE (l_returnflag, l_linestatus) IN (('A', 'F'), ('N', 'O'))
+        GROUP BY ALL
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

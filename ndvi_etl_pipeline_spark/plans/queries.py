@@ -7777,6 +7777,104 @@ def q_struct_in_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "time_bucket_15min",
+    oracle="""
+    SELECT strftime(to_timestamp(floor(epoch_us(ts) / 900000000.0)
+                                 * 900), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "agg", "time"),
+)
+def q_time_bucket_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-interval time bucketing (15 min) via pure epoch
+    arithmetic — the `time_bucket`/`date_bin` primitive expressed
+    portably: floor(epoch/width)·width. Unlike the tumbling `window()`
+    struct this composes with any GROUP BY and stays a plain sargable
+    column; identical integer math both engines so bucket edges
+    hash-match exactly."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.date_format(
+        F.timestamp_seconds(
+            F.floor(F.unix_micros("ts") / 900000000.0).cast("long") * 900
+        ),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    return e.groupBy(bucket.alias("bucket"), F.col("event_type")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "rank_movement",
+    oracle="""
+    WITH rev AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN 'early' ELSE 'late' END AS period,
+             o_custkey, sum(o_totalprice) AS total
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT period, o_custkey,
+             row_number() OVER (PARTITION BY period
+                                ORDER BY total DESC, o_custkey ASC) AS rk
+      FROM rev
+    )
+    SELECT e.o_custkey,
+           CAST(e.rk AS BIGINT) AS early_rank,
+           CAST(l.rk AS BIGINT) AS late_rank,
+           CAST(e.rk - l.rk AS BIGINT) AS movement
+    FROM (SELECT * FROM ranked WHERE period = 'early') e
+    JOIN (SELECT * FROM ranked WHERE period = 'late') l
+      ON l.o_custkey = e.o_custkey
+    ORDER BY abs(e.rk - l.rk) DESC, e.o_custkey ASC
+    LIMIT 10
+    """,
+    tags=("window", "trending"),
+)
+def q_rank_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending analysis: customer spend ranked in an early vs late
+    period, self-joined on the entity, biggest absolute rank movers on
+    top — the leaderboard-delta shape behind every 'rising/falling'
+    report. Ranks are deterministic (total desc, key asc), the join is
+    on the entity key, and the final top-10 is TakeOrderedAndProject
+    over |entities| rows."""
+    o = _t(spark, sf_dir, "orders")
+    period = F.when(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"), "early"
+    ).otherwise("late")
+    rev = o.groupBy(period.alias("period"), F.col("o_custkey")).agg(
+        F.sum("o_totalprice").alias("total")
+    )
+    w = Window.partitionBy("period").orderBy(
+        F.desc("total"), F.asc("o_custkey")
+    )
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    e = ranked.filter("period = 'early'").select(
+        "o_custkey", F.col("rk").alias("early_rank")
+    )
+    l = ranked.filter("period = 'late'").select(
+        F.col("o_custkey").alias("l_custkey"), F.col("rk").alias("late_rank")
+    )
+    return (
+        e.join(l, e.o_custkey == l.l_custkey)
+        .select(
+            "o_custkey",
+            F.col("early_rank").cast("bigint").alias("early_rank"),
+            F.col("late_rank").cast("bigint").alias("late_rank"),
+            (F.col("early_rank") - F.col("late_rank"))
+            .cast("bigint")
+            .alias("movement"),
+        )
+        .orderBy(F.abs(F.col("movement")).desc(), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

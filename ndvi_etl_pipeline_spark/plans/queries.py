@@ -7875,6 +7875,90 @@ def q_rank_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gini_coefficient",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS i,
+             count(*) OVER () AS n
+      FROM spend
+    )
+    SELECT round(2.0 * sum(i * x) / (max(n) * sum(x))
+                 - (max(n) + 1.0) / max(n), 6) AS gini,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           round(sum(x), 2) AS total_spend
+    FROM ranked
+    """,
+    tags=("stats", "inequality"),
+)
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality measure
+    behind every concentration dashboard, via the rank identity
+    G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over ascending-sorted totals. Ties in
+    x are order-insensitive in Σi·xᵢ (equal values × consecutive
+    ranks sum the same either way), so the statistic is deterministic
+    without caring how the sort broke them. One aggregate, one global
+    rank over |customers| rows, one scalar reduction."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    ranked = spend.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.asc("x"), F.asc("o_custkey")))
+        .alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.sum("x"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.sum("x"), 2).alias("total_spend"),
+    )
+
+
+@register(
+    "herfindahl_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT p_type, p_brand, sum(p_retailprice) AS v
+      FROM part GROUP BY 1, 2
+    ),
+    sh AS (
+      SELECT p_type, v / sum(v) OVER (PARTITION BY p_type) AS share FROM s
+    )
+    SELECT p_type,
+           round(sum(share * share), 6) AS hhi,
+           round(1.0 / sum(share * share), 4) AS effective_brands,
+           CAST(count(*) AS BIGINT) AS n_brands
+    FROM sh GROUP BY p_type
+    """,
+    tags=("stats", "inequality"),
+)
+def q_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration per part type: Σshare² and
+    its reciprocal (the 'effective number of brands' — the inverse
+    Simpson index ecology and market analysis share). Shares come
+    from a partition-total window over the tiny grouped relation;
+    everything after the first aggregate is |type×brand| rows."""
+    pt = _t(spark, sf_dir, "part")
+    s = pt.groupBy("p_type", "p_brand").agg(F.sum("p_retailprice").alias("v"))
+    share = F.col("v") / F.sum("v").over(Window.partitionBy("p_type"))
+    sh = s.select("p_type", share.alias("share"))
+    return sh.groupBy("p_type").agg(
+        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        F.round(1.0 / F.sum(F.col("share") * F.col("share")), 4).alias(
+            "effective_brands"
+        ),
+        F.count("*").cast("bigint").alias("n_brands"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -7959,6 +7959,107 @@ def q_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kaplan_meier_conversion",
+    oracle="""
+    WITH bounds AS (SELECT max(ts) AS tmax FROM events),
+    per_user AS (
+      SELECT user_id, min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    durs AS (
+      SELECT CASE WHEN tp IS NOT NULL
+                  THEN CAST(epoch_us(tp) - epoch_us(t0) AS BIGINT)
+                  ELSE CAST(epoch_us(bounds.tmax) - epoch_us(t0) AS BIGINT)
+             END AS dur,
+             tp IS NOT NULL AS is_event
+      FROM per_user CROSS JOIN bounds
+    ),
+    g AS (
+      SELECT dur AS t,
+             count(*) FILTER (WHERE is_event) AS d,
+             count(*) AS all_at_t
+      FROM durs GROUP BY dur
+    ),
+    o AS (
+      SELECT t, d,
+             sum(all_at_t) OVER ()
+               - (sum(all_at_t) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  - all_at_t) AS at_risk
+      FROM g
+    ),
+    km AS (
+      SELECT t, d, at_risk,
+             (at_risk - d) / CAST(at_risk AS DOUBLE) AS factor
+      FROM o WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS duration_s_us,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(CASE WHEN min(factor) OVER w = 0 THEN 0.0
+                      ELSE exp(sum(ln(nullif(factor, 0.0))) OVER w)
+                 END, 6) AS survival
+    FROM km
+    WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("stats", "survival", "events"),
+)
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase with
+    RIGHT-CENSORING — users who never purchase are censored at the
+    feed horizon, which naive 'average conversion time' silently
+    throws away. S(t) = Π(1 − dᵢ/nᵢ) over event times, computed as
+    exp of a running sum of logs (the associative form); a factor of
+    exactly 0 (everyone remaining converts) is NULLed out of the sum —
+    both engines' sums skip NULL — and forced to survival 0 via the
+    running min, because Spark's ln(0) is NULL while DuckDB's raises.
+    At-risk counts come from one cumulative window over |distinct
+    durations| rows; the heavy relation shuffles once on user_id."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(F.max("ts").alias("tmax"))
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    durs = per_user.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.unix_micros("tp") - F.unix_micros("t0"),
+        )
+        .otherwise(F.unix_micros("tmax") - F.unix_micros("t0"))
+        .cast("bigint")
+        .alias("dur"),
+        F.col("tp").isNotNull().alias("is_event"),
+    )
+    g = durs.groupBy(F.col("dur").alias("t")).agg(
+        F.count_if("is_event").alias("d"), F.count("*").alias("all_at_t")
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    o = g.select(
+        "t",
+        "d",
+        (
+            F.sum("all_at_t").over(Window.partitionBy())
+            - (F.sum("all_at_t").over(w_cum) - F.col("all_at_t"))
+        ).alias("at_risk"),
+    )
+    km = o.filter(F.col("d") > 0).withColumn(
+        "factor", (F.col("at_risk") - F.col("d")) / F.col("at_risk").cast("double")
+    )
+    return km.select(
+        F.col("t").cast("bigint").alias("duration_s_us"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.round(
+            F.when(F.min("factor").over(w_cum) == 0, 0.0).otherwise(
+                F.exp(F.sum(F.log(F.nullif(F.col("factor"), F.lit(0.0)))).over(w_cum))
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -8060,6 +8060,106 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "linear_interpolation_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS total
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    grid AS (
+      SELECT CAST(lo + CAST(i AS INT) AS DATE) AS d
+      FROM bounds, unnest(generate_series(0, hi - lo)) AS t(i)
+    ),
+    j AS (
+      SELECT g.d, daily.total,
+             epoch_us(CAST(g.d AS TIMESTAMP)) / 86400000000 AS ed
+      FROM grid g LEFT JOIN daily ON daily.d = g.d
+    ),
+    ctx AS (
+      SELECT d, total, ed,
+             last_value(total IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN total IS NOT NULL THEN ed END IGNORE NULLS)
+               OVER wb AS pd,
+             first_value(total IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN total IS NOT NULL THEN ed END IGNORE NULLS)
+               OVER wf AS nd
+      FROM j
+      WINDOW wb AS (ORDER BY d ROWS UNBOUNDED PRECEDING),
+             wf AS (ORDER BY d ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING)
+    ),
+    filled AS (
+      SELECT d, total,
+             CASE WHEN total IS NOT NULL THEN total
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (ed - pd) / (nd - pd)
+             END AS v
+      FROM ctx
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(total) AS BIGINT) AS n_observed,
+           CAST(count(*) - count(total) AS BIGINT) AS n_interpolated,
+           round(sum(v), 2) AS total_filled,
+           round(avg(v), 4) AS mean_filled
+    FROM filled
+    """,
+    tags=("timeseries", "window"),
+)
+def q_linear_interpolation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill over a dense calendar — the lerp
+    companion to gap_fill_forward: missing days get
+    prev + (next−prev)·Δt/ΔT from the bracketing observations
+    (IGNORE NULLS last/first value over backward/forward windows),
+    edges fall back to nearest-neighbor. The dense grid comes from the
+    data's own bounds (sequence/generate_series), so the query is
+    closed over its input; the two window passes run on |days| rows
+    after the daily aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("total")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    j = grid.join(daily, "d", "left").select(
+        "d", "total", F.datediff(F.col("d"), F.lit("1970-01-01")).alias("ed")
+    )
+    wb = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    ed_if_obs = F.when(F.col("total").isNotNull(), F.col("ed"))
+    ctx = j.select(
+        "d",
+        "total",
+        "ed",
+        F.last("total", ignorenulls=True).over(wb).alias("pv"),
+        F.last(ed_if_obs, ignorenulls=True).over(wb).alias("pd"),
+        F.first("total", ignorenulls=True).over(wf).alias("nv"),
+        F.first(ed_if_obs, ignorenulls=True).over(wf).alias("nd"),
+    )
+    v = (
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("ed") - F.col("pd"))
+            / (F.col("nd") - F.col("pd"))
+        )
+    )
+    return ctx.select("total", v.alias("v")).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.count("total").cast("bigint").alias("n_observed"),
+        (F.count("*") - F.count("total")).cast("bigint").alias("n_interpolated"),
+        F.round(F.sum("v"), 2).alias("total_filled"),
+        F.round(F.avg("v"), 4).alias("mean_filled"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -8160,6 +8160,99 @@ def q_linear_interpolation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE)
+          BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "semijoin", "exists"),
+)
+def q_tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — a date-window scan of
+    orders with a correlated EXISTS against lineitem, grouped by
+    priority. The schema has no l_commitdate/l_receiptdate, so "late"
+    is l_shipdate > o_orderdate + 30 days (first shipment more than a
+    month out). The EXISTS compiles to a LEFT SEMI hash join on
+    l_orderkey with the non-equi ship-lag predicate attached; the
+    date window prunes orders before the join, and the group count
+    runs on |qualifying orders| rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    od = o.filter(
+        F.col("o_orderdate")
+        .cast("date")
+        .between(F.lit("1996-01-01").cast("date"), F.lit("1996-03-31").cast("date"))
+    )
+    late = (
+        od.join(
+            li,
+            (od["o_orderkey"] == li["l_orderkey"])
+            & (
+                li["l_shipdate"].cast("date")
+                > F.date_add(od["o_orderdate"].cast("date"), 30)
+            ),
+            "left_semi",
+        )
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("order_count")
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH value_by_part AS (
+      SELECT l_partkey AS partkey,
+             sum(l_extendedprice * l_quantity) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      GROUP BY l_partkey)
+    SELECT partkey, round(part_value, 2) AS part_value
+    FROM value_by_part
+    WHERE part_value > (SELECT 0.001 * sum(part_value) FROM value_by_part)
+    """,
+    tags=("tpch", "subquery", "having"),
+)
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important-stock identification — per-part
+    inventory value restricted to a supplier nation-group, kept only
+    where it exceeds a fraction of the TOTAL value (an uncorrelated
+    scalar subquery over the same aggregate). partsupp doesn't exist;
+    lineitem is the part↔supplier incidence with
+    extendedprice·quantity as the value proxy. The per-part aggregate
+    is computed ONCE and reused for both the detail and the total
+    (Spark reuses the cached relation; the total is a 1-row broadcast
+    cross join, not a second scan pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nat = n.filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+    by_part = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(nat), s["s_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pv"))
+    )
+    by_part = by_part.persist()
+    total = by_part.agg((0.001 * F.sum("pv")).alias("threshold"))
+    return (
+        by_part.join(F.broadcast(total))
+        .filter(F.col("pv") > F.col("threshold"))
+        .select("partkey", F.round("pv", 2).alias("part_value"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -8253,6 +8253,159 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "acf_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    lagged AS (
+      SELECT v,
+             lag(v, 1) OVER (ORDER BY d) AS v1,
+             lag(v, 7) OVER (ORDER BY d) AS v7
+      FROM daily)
+    SELECT round(corr(v, v1), 4) AS acf_lag1,
+           round(corr(v, v7), 4) AS acf_lag7,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM lagged
+    """,
+    tags=("timeseries", "window", "stats"),
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 / lag-7 autocorrelation of the daily revenue series —
+    seasonality diagnostics as a window(lag) + corr aggregate. The
+    windows run over |days| rows AFTER the daily pre-aggregate, so
+    the single-partition ORDER BY is bounded by the calendar, not the
+    fact table; Pearson corr ignores the null lead-in pairs in both
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 7).over(w).alias("v7"),
+    )
+    return lagged.agg(
+        F.round(F.corr("v", "v1"), 4).alias("acf_lag1"),
+        F.round(F.corr("v", "v7"), 4).alias("acf_lag7"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    stats AS (SELECT avg(v) AS m, stddev_samp(v) AS s FROM daily),
+    c AS (
+      SELECT d,
+             sum((v - m) / s) OVER (
+               ORDER BY d ROWS UNBOUNDED PRECEDING) AS cu
+      FROM daily CROSS JOIN stats)
+    SELECT strftime(d, '%Y-%m-%d') AS changepoint_date,
+           round(cu, 3) AS cusum
+    FROM c ORDER BY abs(cu) DESC, d LIMIT 1
+    """,
+    tags=("timeseries", "window", "stats"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily revenue: standardize by
+    the global mean/σ (1-row broadcast), cumulative-sum in date order,
+    report the date of maximum |CUSUM| — the classic mean-shift
+    locator. Everything after the daily pre-aggregate is |days| rows;
+    the argmax is a top-1 TakeOrderedAndProject, not a full sort."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    stats = daily.agg(
+        F.avg("v").alias("m"), F.stddev_samp("v").alias("s")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        daily.join(F.broadcast(stats))
+        .select("d", F.sum((F.col("v") - F.col("m")) / F.col("s")).over(w).alias("cu"))
+    )
+    return (
+        c.orderBy(F.abs(F.col("cu")).desc(), F.col("d"))
+        .limit(1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("changepoint_date"),
+            F.round("cu", 3).alias("cusum"),
+        )
+    )
+
+
+@register(
+    "percentile_disc_bands",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_disc(o_totalprice, 0.5), 2) AS med_disc,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS med_cont,
+           round(quantile_disc(o_totalprice, 0.9), 2) AS p90_disc
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile"),
+)
+def q_percentile_disc_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distribution percentiles per priority band: DISC (an
+    actual data value) vs CONT (interpolated) medians side by side —
+    the SQL:2008 WITHIN GROUP surface (Spark percentile_disc/
+    percentile_cont ≡ DuckDB quantile_disc/quantile_cont). Exact
+    percentiles sort within each hash-agg group; the approximate
+    t-digest path (approx_percentile) is the 100 TB default and is
+    covered by value_percentiles' docstring."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 2
+        ).alias("med_disc"),
+        F.round(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 2
+        ).alias("med_cont"),
+        F.round(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"), 2
+        ).alias("p90_disc"),
+    )
+
+
+@register(
+    "salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "scale", "skew"),
+)
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe distinct count via explicit salting: event_type has
+    few values (every row of a 100 TB feed lands on ≤ |types| reduce
+    tasks if grouped directly), so stage 1 groups by
+    (event_type, pmod(hash(user_id), 16)) — 16× the parallelism, and
+    each user falls in exactly ONE salt bucket so the per-bucket
+    DISTINCT counts sum without overlap. Stage 2 reduces 16·|types|
+    tiny rows. Same answer as a direct COUNT(DISTINCT), plan shape
+    survives arbitrary key skew (operators/scale.py has the general
+    helper)."""
+    e = _t(spark, sf_dir, "events")
+    partial = (
+        e.groupBy(
+            "event_type",
+            F.pmod(F.hash("user_id"), F.lit(16)).alias("salt"),
+        )
+        .agg(F.count_distinct("user_id").alias("du"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("du").cast("bigint").alias("distinct_users")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

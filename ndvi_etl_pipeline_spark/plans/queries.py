@@ -14,6 +14,7 @@ Naming: q_<area>_<operator> with SURVEY §2 ids in the docstrings.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -8403,6 +8404,263 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("event_type").agg(
         F.sum("du").cast("bigint").alias("distinct_users")
+    )
+
+
+@register(
+    "tile_binning_webmercator",
+    oracle="""
+    WITH pts AS (
+      SELECT (c_custkey * 37 % 3600) / 10.0 - 180.0 AS lon,
+             (c_custkey * 53 % 1600) / 10.0 - 80.0 AS lat,
+             c_acctbal
+      FROM customer),
+    binned AS (
+      SELECT CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT) AS tile_x,
+             CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+                         / pi()) / 2.0 * 64) AS BIGINT) AS tile_y,
+             c_acctbal
+      FROM pts)
+    SELECT tile_x, tile_y,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(avg(c_acctbal), 2) AS avg_balance
+    FROM binned GROUP BY tile_x, tile_y
+    HAVING count(*) >= 5
+    """,
+    tags=("geo", "binning"),
+)
+def q_tile_binning_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-mercator slippy-tile binning at z=6 (the XYZ scheme the
+    reference's viz product targets via its EPSG:3857 reproject,
+    compute_ndvi.py:162-179): lon/lat → (tile_x, tile_y) by the
+    standard mercator formula, then a per-tile aggregate. Tile
+    assignment is pure column math (ln/tan/radians — whole-stage
+    codegen), so at 100 TB this is one map + one hash-agg keyed by
+    the tile id; the tile key is ALSO the natural partition key for a
+    spatial lake (partition pruning = bbox query). Points are derived
+    deterministically from customer so the oracle sees identical
+    input."""
+    c = _t(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") * 37 % 3600) / 10.0 - 180.0
+    lat = (F.col("c_custkey") * 53 % 1600) / 10.0 - 80.0
+    n = F.lit(64)
+    tile_x = F.floor((lon + 180.0) / 360.0 * n).cast("bigint")
+    lat_r = F.radians(lat)
+    tile_y = F.floor(
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi) / 2.0 * n
+    ).cast("bigint")
+    return (
+        c.select(tile_x.alias("tile_x"), tile_y.alias("tile_y"), "c_acctbal")
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        )
+        .filter(F.col("n_points") >= 5)
+    )
+
+
+@register(
+    "haversine_nearest_hub",
+    oracle="""
+    WITH hubs AS (
+      SELECT * FROM (VALUES
+        ('helsinki', 60.17, 24.94), ('london', 51.51, -0.13),
+        ('nyc', 40.71, -74.01), ('tokyo', 35.68, 139.69),
+        ('sydney', -33.87, 151.21), ('nairobi', -1.29, 36.82),
+        ('sao_paulo', -23.55, -46.63), ('anchorage', 61.22, -149.90)
+      ) AS t(hub, hub_lat, hub_lon)),
+    pts AS (
+      SELECT s_suppkey,
+             (s_suppkey * 53 % 1600) / 10.0 - 80.0 AS lat,
+             (s_suppkey * 37 % 3600) / 10.0 - 180.0 AS lon
+      FROM supplier),
+    dists AS (
+      SELECT s_suppkey, hub,
+             2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(hub_lat - lat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(hub_lat))
+                 * pow(sin(radians(hub_lon - lon) / 2), 2))) AS dist_km,
+             row_number() OVER (
+               PARTITION BY s_suppkey
+               ORDER BY 2 * 6371.0 * asin(sqrt(
+                 pow(sin(radians(hub_lat - lat) / 2), 2)
+                 + cos(radians(lat)) * cos(radians(hub_lat))
+                   * pow(sin(radians(hub_lon - lon) / 2), 2))), hub) AS rn
+      FROM pts CROSS JOIN hubs)
+    SELECT hub,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           round(avg(dist_km), 1) AS avg_dist_km
+    FROM dists WHERE rn = 1 GROUP BY hub
+    """,
+    tags=("geo", "join"),
+)
+def q_haversine_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-hub assignment by great-circle distance: every point ×
+    a tiny broadcast hub dim (the degenerate-but-universal spatial NN
+    pattern — |dims| small enough that brute force beats any index),
+    haversine in pure column math, per-point argmin via ranked window.
+    At 100 TB the cross join stays map-side (8× row amplification,
+    no shuffle); the only exchange is the final per-hub rollup of
+    |points| pre-argmin rows — and the window's partition key is the
+    point id, so it rides the same hash partitioning."""
+    s = _t(spark, sf_dir, "supplier")
+    hubs = spark.createDataFrame(
+        [
+            ("helsinki", 60.17, 24.94), ("london", 51.51, -0.13),
+            ("nyc", 40.71, -74.01), ("tokyo", 35.68, 139.69),
+            ("sydney", -33.87, 151.21), ("nairobi", -1.29, 36.82),
+            ("sao_paulo", -23.55, -46.63), ("anchorage", 61.22, -149.90),
+        ],
+        "hub STRING, hub_lat DOUBLE, hub_lon DOUBLE",
+    )
+    pts = s.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 53 % 1600) / 10.0 - 80.0).alias("lat"),
+        ((F.col("s_suppkey") * 37 % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    dist = (
+        2.0
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("hub_lat") - F.col("lat")) / 2), 2)
+                + F.cos(F.radians("lat"))
+                * F.cos(F.radians("hub_lat"))
+                * F.pow(F.sin(F.radians(F.col("hub_lon") - F.col("lon")) / 2), 2)
+            )
+        )
+    )
+    w = Window.partitionBy("s_suppkey").orderBy("dist_km", "hub")
+    ranked = (
+        pts.join(F.broadcast(hubs))
+        .withColumn("dist_km", dist)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("hub")
+        .agg(
+            F.count("*").cast("bigint").alias("n_assigned"),
+            F.round(F.avg("dist_km"), 1).alias("avg_dist_km"),
+        )
+    )
+
+
+@register(
+    "max_concurrency_sweepline",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + CAST(1 + o_orderkey % 28 AS INTEGER) AS e
+      FROM orders),
+    deltas AS (
+      SELECT s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS delta FROM iv),
+    c AS (
+      SELECT t, sum(delta) OVER (
+        ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS cu
+      FROM deltas)
+    SELECT CAST(cu AS BIGINT) AS peak_concurrency,
+           strftime(t, '%Y-%m-%d') AS peak_date
+    FROM c ORDER BY cu DESC, t ASC LIMIT 1
+    """,
+    tags=("interval", "window"),
+)
+def q_max_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency by sweep-line: each order holds a
+    synthetic [start, start+1..28d) reservation; explode to ±1 delta
+    events, running-sum in (time, delta) order — ends retire before
+    same-day starts, the half-open convention — and take the top-1.
+    The shape is |2·intervals| narrow rows through ONE global sort;
+    at 100 TB the same sweep runs per partition key (resource id)
+    with the window partitioned, making the global variant here the
+    worst case, and the answer is a TakeOrderedAndProject, never a
+    full result sort."""
+    o = _t(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (1 + F.col("o_orderkey") % 28).cast("int"),
+        ).alias("e"),
+    )
+    deltas = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    c = deltas.select("t", F.sum("delta").over(w).alias("cu"))
+    return (
+        c.orderBy(F.col("cu").desc(), F.col("t").asc())
+        .limit(1)
+        .select(
+            F.col("cu").cast("bigint").alias("peak_concurrency"),
+            F.date_format("t", "yyyy-MM-dd").alias("peak_date"),
+        )
+    )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS now FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT now FROM mx)) AS recency,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT ntile(5) OVER (ORDER BY recency DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m_score
+      FROM rfm)
+    SELECT r_score, f_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(m_score), 3) AS avg_m_score
+    FROM scored GROUP BY r_score, f_score
+    """,
+    tags=("window", "segmentation"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency/frequency/
+    monetary, quintile-scored with ntile over deterministic
+    (metric, key) orders — recency DESC so quintile 5 = most recent,
+    matching the marketing convention — then the segment grid with
+    customer counts and mean monetary score. ntile's equal-fill
+    semantics are identical across engines once the order is total.
+    The three global ntiles are single-partition windows over
+    |customers| pre-aggregated rows; at 100 TB you'd swap them for
+    approx_percentile cutpoints + a join, same grid out."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("now"))
+    rfm = (
+        o.join(F.broadcast(mx))
+        .groupBy("o_custkey", "now")
+        .agg(
+            F.datediff(F.first("now"), F.max(F.col("o_orderdate").cast("date"))).alias(
+                "recency"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency").desc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").asc(), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").asc(), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.avg("m_score"), 3).alias("avg_m_score"),
     )
 
 

@@ -8664,6 +8664,191 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "proration_allocation",
+    oracle="""
+    WITH alloc AS (
+      SELECT o_totalprice,
+             l_extendedprice
+             / sum(l_extendedprice) OVER (PARTITION BY l_orderkey) AS share
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(share * o_totalprice), 2) AS total_allocated,
+           round(min(share), 6) AS min_share,
+           round(max(share), 6) AS max_share
+    FROM alloc
+    """,
+    tags=("window", "allocation"),
+)
+def q_proration_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent proration: each order's header total allocated
+    across its lineitems by extended-price share (the window-sum
+    ratio-to-report idiom). The conservation invariant —
+    Σ(share·total) = Σ header totals over orders that have lines — is
+    what the output checks. One shuffle on l_orderkey serves BOTH the
+    window and the join (same key), so the plan reuses the exchange;
+    at 100 TB this is the standard one-pass allocation shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("l_orderkey")
+    alloc = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_totalprice",
+        (F.col("l_extendedprice") / F.sum("l_extendedprice").over(w)).alias("share"),
+    )
+    return alloc.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(F.sum(F.col("share") * F.col("o_totalprice")), 2).alias(
+            "total_allocated"
+        ),
+        F.round(F.min("share"), 6).alias("min_share"),
+        F.round(F.max("share"), 6).alias("max_share"),
+    )
+
+
+@register(
+    "repeat_purchase_overlap",
+    oracle="""
+    WITH baskets AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             list_distinct(list(l_partkey)) AS parts
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, o_orderkey, o_orderdate),
+    seq AS (
+      SELECT parts,
+             lag(parts) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM baskets)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN len(list_intersect(parts, prev)) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlapping,
+           round(avg(CAST(len(list_intersect(parts, prev)) AS DOUBLE)
+                     / len(list_distinct(list_concat(parts, prev)))), 4)
+             AS avg_jaccard
+    FROM seq WHERE prev IS NOT NULL
+    """,
+    tags=("window", "array", "basket"),
+)
+def q_repeat_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-order basket overlap per customer: collect each
+    order's distinct part set, lag the ARRAY column through a window
+    (windows over complex types), and score Jaccard with
+    array_intersect/array_union — set semantics make the engines'
+    different array orders irrelevant. The basket collect and the
+    window both key on the customer/order chain: one shuffle for the
+    groupBy, one for the per-customer window, both on keys whose
+    cardinality scales with the data (no hot key)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = baskets.select("parts", F.lag("parts").over(w).alias("prev")).filter(
+        F.col("prev").isNotNull()
+    )
+    inter = F.size(F.array_intersect("parts", "prev"))
+    union = F.size(F.array_union("parts", "prev"))
+    return seq.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(inter > 0, 1).otherwise(0)).cast("bigint").alias("n_overlapping"),
+        F.round(F.avg(inter.cast("double") / union), 4).alias("avg_jaccard"),
+    )
+
+
+@register(
+    "frequency_cap_window",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS cnt_1h
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN cnt_1h > 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_cap,
+           round(avg(cnt_1h), 4) AS avg_rate_1h
+    FROM w GROUP BY event_type
+    """,
+    tags=("window", "events", "range-frame"),
+)
+def q_frequency_cap_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-hour frequency capping: per-user event rate over a
+    value-based RANGE frame (trailing 3600 s by the event's own
+    timestamp, not row count — peers at the same instant all see the
+    same frame in both engines), then the over-cap fraction per type.
+    The frame key is unix microseconds so both engines window over
+    identical integers. Partitioned by user_id → the window
+    parallelizes across users; the 100 TB variant adds a time-bucket
+    secondary partition to bound any single user's row run."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    counted = e.select(
+        "event_type", F.count("*").over(w).alias("cnt_1h")
+    )
+    return counted.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("cnt_1h") > 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_cap"),
+        F.round(F.avg("cnt_1h"), 4).alias("avg_rate_1h"),
+    )
+
+
+@register(
+    "trimmed_winsorized_means",
+    oracle="""
+    WITH cut AS (
+      SELECT o_orderpriority AS pr,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority,
+           round(avg(o_totalprice), 2) AS mean_raw,
+           round(avg(CASE WHEN o_totalprice BETWEEN lo AND hi
+                          THEN o_totalprice END), 2) AS mean_trimmed,
+           round(avg(least(greatest(o_totalprice, lo), hi)), 2)
+             AS mean_winsorized
+    FROM orders JOIN cut ON o_orderpriority = pr
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile", "robust"),
+)
+def q_trimmed_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust means per priority band: 5th/95th-percentile cutpoints
+    (one grouped exact-percentile pass over |groups| rows), broadcast
+    back, then trimmed (drop the tails) and winsorized (clamp the
+    tails) means next to the raw mean. The two-pass
+    cutpoints-then-clamp plan is the scalable robust-mean shape — the
+    second pass is a pure map + hash-agg; swap the exact percentile
+    for approx_percentile at 100 TB and nothing else changes."""
+    o = _t(spark, sf_dir, "orders")
+    cut = o.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    j = o.join(F.broadcast(cut), F.col("o_orderpriority") == F.col("pr"))
+    tp = F.col("o_totalprice")
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.avg(tp), 2).alias("mean_raw"),
+        F.round(
+            F.avg(F.when(tp.between(F.col("lo"), F.col("hi")), tp)), 2
+        ).alias("mean_trimmed"),
+        F.round(
+            F.avg(F.least(F.greatest(tp, F.col("lo")), F.col("hi"))), 2
+        ).alias("mean_winsorized"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -8849,6 +8849,62 @@ def q_trimmed_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "set_ops_multiset",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                                         AND DATE '1996-06-30'),
+    b AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01'
+                                         AND DATE '1997-06-30')
+    SELECT 'except_all' AS op, rf, ls, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY rf, ls
+    UNION ALL
+    SELECT 'intersect_all' AS op, rf, ls, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY rf, ls
+    """,
+    tags=("setops", "multiset"),
+)
+def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations — EXCEPT ALL / INTERSECT ALL preserve
+    duplicate COUNTS (bag semantics), unlike the distinct variants in
+    set_ops_nations: comparing two half-year slices of lineitem
+    status pairs, the except-all count is max(0, n_a − n_b) per value
+    and intersect-all is min(n_a, n_b). Spark plans both as a single
+    hash aggregate over tagged counts (no join, no distinct) — the
+    same one-shuffle shape as a groupBy, which is why bag set-ops
+    stay cheap at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def half(year: int) -> DataFrame:
+        return li.filter(
+            F.col("l_shipdate")
+            .cast("date")
+            .between(
+                F.lit(f"{year}-01-01").cast("date"),
+                F.lit(f"{year}-06-30").cast("date"),
+            )
+        ).select(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls"))
+
+    a, b = half(1996), half(1997)
+    ex = (
+        a.exceptAll(b)
+        .groupBy("rf", "ls")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("except_all").alias("op"), "rf", "ls", "n")
+    )
+    ix = (
+        a.intersectAll(b)
+        .groupBy("rf", "ls")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "rf", "ls", "n")
+    )
+    return ex.unionAll(ix)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -8905,6 +8905,67 @@ def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.unionAll(ix)
 
 
+@register(
+    "bigram_logprob_quality",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, lang,
+             substring(text, i, 2) AS bg,
+             substring(text, i, 1) AS c1
+      FROM documents,
+           unnest(generate_series(1, len(text) - 1)) AS t(i)),
+    model AS (SELECT bg, count(*) AS n_bg FROM chars GROUP BY bg),
+    ctx AS (SELECT c1, count(*) AS n_c1 FROM chars GROUP BY c1),
+    scored AS (
+      SELECT doc_id, lang,
+             avg(ln(CAST(n_bg AS DOUBLE) / n_c1)) AS lp
+      FROM chars JOIN model USING (bg) JOIN ctx USING (c1)
+      GROUP BY doc_id, lang)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(lp), 4) AS mean_logprob,
+           round(quantile_cont(lp, 0.1), 4) AS p10_logprob
+    FROM scored GROUP BY lang
+    """,
+    tags=("text", "quality", "lm"),
+)
+def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring with a character-bigram LM
+    trained on the corpus itself: P(b|a) = n(ab)/n(a·), per-doc mean
+    log-probability, then the per-language score distribution — the
+    cheap statistical-LM filter (out-of-distribution text scores low)
+    that sits between heuristic ratios (text_quality) and a real LM.
+    The model and context tables are |alphabet|²-sized aggregates →
+    broadcast joins back onto the exploded bigram stream; at 100 TB
+    you train the model on a hash-sample and the scoring pass stays
+    one explode + two broadcast joins + one doc-key hash-agg."""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("substring(text, i, 2)").alias("bg"),
+        F.expr("substring(text, i, 1)").alias("c1"),
+    )
+    model = chars.groupBy("bg").agg(F.count("*").alias("n_bg"))
+    ctx = chars.groupBy("c1").agg(F.count("*").alias("n_c1"))
+    scored = (
+        chars.join(F.broadcast(model), "bg")
+        .join(F.broadcast(ctx), "c1")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(F.log(F.col("n_bg").cast("double") / F.col("n_c1"))).alias("lp"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("lp"), 4).alias("mean_logprob"),
+        F.round(F.expr("percentile(lp, 0.1)"), 4).alias("p10_logprob"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

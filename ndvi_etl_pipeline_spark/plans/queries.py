@@ -8966,6 +8966,161 @@ def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "new_vs_returning",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_d
+      FROM orders GROUP BY o_custkey)
+    SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)),
+                    '%Y-%m') AS month,
+           CAST(sum(CASE WHEN date_trunc('month', CAST(o_orderdate AS DATE))
+                              = date_trunc('month', first_d)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS new_orders,
+           CAST(sum(CASE WHEN date_trunc('month', CAST(o_orderdate AS DATE))
+                              <> date_trunc('month', first_d)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS returning_orders,
+           round(sum(CASE WHEN date_trunc('month', CAST(o_orderdate AS DATE))
+                               = date_trunc('month', first_d)
+                          THEN o_totalprice ELSE 0 END), 2) AS new_revenue
+    FROM orders JOIN first_order USING (o_custkey)
+    GROUP BY 1
+    """,
+    tags=("cohort", "agg"),
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly new-vs-returning split: each order classified by
+    whether it falls in its customer's first-purchase month (min-date
+    self-aggregate joined back — the first-touch idiom), then
+    conditional counts/revenue per calendar month. The first-order
+    relation is |customers| rows off the same shuffle key as the
+    join; the classification itself is a codegen CASE, so the whole
+    query is two hash passes over orders at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d")
+    )
+    month = F.date_format(F.date_trunc("month", F.col("o_orderdate").cast("date")), "yyyy-MM")
+    is_new = F.date_trunc("month", F.col("o_orderdate").cast("date")) == F.date_trunc(
+        "month", F.col("first_d")
+    )
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(month.alias("month"))
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("new_orders"),
+            F.sum(F.when(~is_new, 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_orders"),
+            F.round(
+                F.sum(F.when(is_new, F.col("o_totalprice")).otherwise(0.0)), 2
+            ).alias("new_revenue"),
+        )
+    )
+
+
+@register(
+    "interorder_gap_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders)
+    SELECT CASE WHEN gap_days < 7 THEN '0-6d'
+                WHEN gap_days < 30 THEN '7-29d'
+                WHEN gap_days < 90 THEN '30-89d'
+                WHEN gap_days < 365 THEN '90-364d'
+                ELSE '365d+' END AS gap_band,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(avg(gap_days), 2) AS avg_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("window", "histogram"),
+)
+def q_interorder_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap distribution: per-customer lag on the order
+    date (deterministic tie-break by order key), day deltas banded
+    into lifecycle buckets. The window partitions by customer — fully
+    parallel — and the histogram is a 5-group hash-agg; the same two
+    passes at 100 TB, with the band CASE folded into codegen."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    gaps = o.select(
+        F.datediff(d, F.lag(d).over(w)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    band = (
+        F.when(F.col("gap_days") < 7, "0-6d")
+        .when(F.col("gap_days") < 30, "7-29d")
+        .when(F.col("gap_days") < 90, "30-89d")
+        .when(F.col("gap_days") < 365, "90-364d")
+        .otherwise("365d+")
+    )
+    return gaps.groupBy(band.alias("gap_band")).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.round(F.avg("gap_days"), 2).alias("avg_gap_days"),
+    )
+
+
+@register(
+    "funnel_latency_percentiles",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT (epoch_us(first_purchase) - epoch_us(first_view))
+             / 3600000000.0 AS hours
+      FROM stages
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(hours, 0.5), 3) AS p50_hours,
+           round(quantile_cont(hours, 0.9), 3) AS p90_hours,
+           round(avg(hours), 3) AS mean_hours
+    FROM conv
+    """,
+    tags=("funnel", "events", "percentile"),
+)
+def q_funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per-user first view and first
+    purchase via conditional MIN aggregates (one hash pass — no
+    self-join of the two stages), forward-converting users only, then
+    exact latency percentiles. Complements funnel_conversion (which
+    counts stage reach): this measures the latency of the
+    view→purchase edge. |users| intermediate rows; the percentile is
+    the only single-point step and runs on the converted subset."""
+    e = _t(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = stages.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+            / 3_600_000_000.0
+        ).alias("hours")
+    )
+    return conv.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(hours, 0.5)"), 3).alias("p50_hours"),
+        F.round(F.expr("percentile(hours, 0.9)"), 3).alias("p90_hours"),
+        F.round(F.avg("hours"), 3).alias("mean_hours"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

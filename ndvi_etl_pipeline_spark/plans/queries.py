@@ -9121,6 +9121,71 @@ def q_funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpcds_q36_margin_rank",
+    oracle="""
+    WITH agg AS (
+      SELECT r_name, n_name,
+             grouping(r_name) + grouping(n_name) AS lochierarchy,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name))
+    SELECT lochierarchy, r_name, n_name, revenue,
+           CAST(rank() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN lochierarchy = 0 THEN r_name END
+             ORDER BY revenue DESC, n_name NULLS FIRST, r_name NULLS FIRST
+           ) AS BIGINT) AS rank_within_parent
+    FROM agg
+    """,
+    tags=("tpcds", "rollup", "window"),
+)
+def q_tpcds_q36_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36 shape: revenue over a ROLLUP(region, nation)
+    hierarchy with rank-within-parent — the window runs ON the
+    grouped output, partitioned by hierarchy level (grouping() flags)
+    and, at the leaf level, by the parent region, so nations rank
+    against their siblings and regions against each other. The rolled
+    relation is tiny (|regions|·|nations| + margins), so the ranking
+    windows cost nothing; all the work is the one rollup pass over
+    the fact join, which Spark executes as a single Expand +
+    hash-agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    agg = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") + F.grouping("n_name")).alias("lochierarchy"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("r_name")),
+    ).orderBy(
+        F.col("revenue").desc(),
+        F.col("n_name").asc_nulls_first(),
+        F.col("r_name").asc_nulls_first(),
+    )
+    return agg.select(
+        "lochierarchy",
+        "r_name",
+        "n_name",
+        "revenue",
+        F.rank().over(w).cast("bigint").alias("rank_within_parent"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

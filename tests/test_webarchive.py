@@ -1,0 +1,135 @@
+"""WARC source + JSONL shard sink: synthesize archives on disk, read
+them through the distributed path, round-trip the export."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+from ndvi_etl_pipeline_spark.sinks.jsonl import read_jsonl, write_jsonl_shards
+from ndvi_etl_pipeline_spark.sources.webarchive import (
+    parse_warc_bytes,
+    read_warc,
+    warc_documents,
+)
+
+
+def _warc_record(
+    rec_type: str,
+    uri: str,
+    payload: bytes,
+    content_type: str = "text/html",
+    date: str = "2026-08-14T00:00:00Z",
+) -> bytes:
+    head = (
+        f"WARC/1.1\r\n"
+        f"WARC-Type: {rec_type}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _http_payload(body: str) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body.encode()
+    )
+
+
+def _build_warc(n: int, start: int = 0) -> bytes:
+    out = [
+        _warc_record(
+            "warcinfo", "none", b"software: test\r\n", content_type="application/warc-fields"
+        )
+    ]
+    for i in range(start, start + n):
+        out.append(
+            _warc_record(
+                "response",
+                f"https://example.org/page{i}",
+                _http_payload(f"doc body number {i} with words"),
+            )
+        )
+    return b"".join(out)
+
+
+def test_parse_warc_bytes_plain_and_gzip():
+    raw = _build_warc(3)
+    recs = parse_warc_bytes(raw, "f")
+    assert len(recs) == 4  # warcinfo + 3 responses
+    assert recs[0]["warc_type"] == "warcinfo"
+    assert recs[2]["target_uri"] == "https://example.org/page1"
+    assert recs[2]["payload"].endswith(b"number 1 with words")
+
+    # member-gzip (one member per record, the standard layout)
+    member_gz = b"".join(
+        gzip.compress(_warc_record("response", f"u{i}", _http_payload(f"b{i}")))
+        for i in range(2)
+    )
+    recs = parse_warc_bytes(member_gz, "g")
+    assert [r["target_uri"] for r in recs] == ["u0", "u1"]
+
+
+def test_parse_warc_truncated_tail_quarantines():
+    raw = _build_warc(2) + b"WARC/1.1\r\nContent-Length: 999\r\n\r\nshort"
+    recs = parse_warc_bytes(raw, "f")
+    assert len(recs) == 3  # truncated final record dropped, no raise
+
+
+def test_read_warc_distributed_and_documents(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(_build_warc(5))
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(_build_warc(4, start=100)))
+
+    records = read_warc(spark, str(tmp_path) + "/*")
+    assert records.count() == 11  # 2 warcinfo + 9 responses
+
+    docs = warc_documents(records)
+    rows = docs.orderBy("url").collect()
+    assert len(rows) == 9
+    assert rows[0]["text"] == "doc body number 0 with words"  # HTTP headers stripped
+    assert rows[0]["n_chars"] == len(rows[0]["text"])
+    # doc ids deterministic across re-reads (idempotent re-ingestion)
+    again = warc_documents(read_warc(spark, str(tmp_path) + "/*"))
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_jsonl_shard_roundtrip(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    shards = write_jsonl_shards(docs, out, "doc_id", target_records_per_shard=16)
+    assert shards == -(-n // 16)
+
+    back = read_jsonl(spark, out)
+    assert back.count() == n
+    # value-faithful: same (doc_id, n_chars) multiset
+    a = sorted(docs.select("doc_id", "n_chars").collect())
+    b = sorted(back.select("doc_id", "n_chars").collect())
+    assert a == b
+
+    # hive layout: one dir per non-empty shard, exactly one gzip file each
+    expected_nonempty = (
+        docs.select(F.pmod(F.xxhash64("doc_id"), F.lit(shards)).alias("s"))
+        .distinct()
+        .count()
+    )
+    dirs = [p for p in (tmp_path / "shards").iterdir() if p.name.startswith("shard=")]
+    assert len(dirs) == expected_nonempty
+    for d in dirs:
+        files = [p for p in d.iterdir() if p.name.startswith("part-")]
+        assert len(files) == 1 and files[0].name.endswith(".gz")
+
+    # every line is standalone JSON (the training-consumer contract)
+    first_file = next(
+        p for p in sorted(dirs)[0].iterdir() if p.name.startswith("part-")
+    )
+    with gzip.open(first_file, "rt") as fh:
+        first = json.loads(fh.readline())
+    assert "doc_id" in first and "text" in first

@@ -9186,6 +9186,46 @@ def q_tpcds_q36_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "spearman_rank_corr",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity) AS rq,
+             rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice) AS rp
+      FROM lineitem)
+    SELECT l_returnflag,
+           round(corr(rq, rp), 4) AS spearman_rho,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked GROUP BY l_returnflag
+    """,
+    tags=("stats", "window", "rank"),
+)
+def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per return-flag: rank-transform both
+    variables (RANK, not row_number — ties must share a rank for the
+    statistic to be engine-independent) inside each group, then
+    Pearson corr of the ranks. Monotone-relationship detection that
+    Pearson misses. The two windows partition by the group key so
+    they parallelize; at 100 TB you'd bucket values through
+    approx-percentile ranks instead of exact global sorts — same
+    downstream corr."""
+    li = _t(spark, sf_dir, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        F.rank().over(wq).alias("rq"),
+        F.rank().over(wp).alias("rp"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.round(F.corr("rq", "rp"), 4).alias("spearman_rho"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

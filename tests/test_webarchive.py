@@ -133,3 +133,41 @@ def test_jsonl_shard_roundtrip(spark, sf_dir, tmp_path):
     with gzip.open(first_file, "rt") as fh:
         first = json.loads(fh.readline())
     assert "doc_id" in first and "text" in first
+
+
+def test_corrupt_jsonl_quarantine(spark, tmp_path):
+    """Messy-corpus ingestion: PERMISSIVE JSON read routes unparseable
+    lines into a corrupt-record column instead of failing the job —
+    the quarantine-not-raise rule (SURVEY §2.10 E1/E4) applied to the
+    training-data landing zone."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "landing.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also fine"}\n'
+        '{"doc_id": "NaN-ish", "text": 3}\n'  # wrong types, still JSON
+        '{"doc_id": 4, "text": "ok"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()  # required: corrupt-record queries need the raw line retained
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull())
+    assert clean.count() == 3
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2, 4]
+    bad = [r["_corrupt_record"] for r in quarantine.collect()]
+    assert len(bad) == 2 and any("not json" in b for b in bad)
+    df.unpersist()

@@ -292,3 +292,39 @@ def test_tpch_dim_joins_broadcast(spark, sf_dir_oracle):
     )
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: a filter on a joined dimension must
+    prune FACT partitions at runtime (the star-join pattern every
+    100 TB date-partitioned lake lives on) — the scan's
+    PartitionFilters carries a dynamicpruning expression fed by the
+    dim subquery, so only the dim-selected days are read, without the
+    query ever naming them statically."""
+    from ndvi_etl_pipeline_spark.sources import load_table
+
+    path = str(tmp_path / "factlake")
+    e = load_table(spark, "events", sf_dir).withColumn("event_date", F.to_date("ts"))
+    e.repartition(8).write.partitionBy("event_date").parquet(path)
+    fact = spark.read.parquet(path)
+
+    # small dim: one row per date, keep only 3 days of it
+    dim = (
+        fact.select("event_date").distinct().limit(3)
+        .withColumn("keep", F.lit(1))
+    )
+    dim.write.parquet(str(tmp_path / "dim"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+
+    q = fact.join(dim.filter(F.col("keep") == 1), "event_date").groupBy(
+        "event_date"
+    ).count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+    # correctness: equals the statically-filtered result
+    days = [r["event_date"] for r in dim.collect()]
+    expected = (
+        fact.filter(F.col("event_date").isin(days)).groupBy("event_date").count()
+    )
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, expected.collect()))

@@ -9226,6 +9226,121 @@ def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_build",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'signup'),
+    spans AS (
+      SELECT user_id,
+             (epoch_us(valid_to) - epoch_us(valid_from)) / 86400000000.0
+               AS span_days,
+             CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM versions)
+    SELECT CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(is_current) AS BIGINT) AS n_current,
+           round(avg(span_days), 4) AS avg_span_days,
+           round(max(span_days), 4) AS max_span_days
+    FROM spans
+    """,
+    tags=("scd", "window", "etl"),
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 CONSTRUCTION (the companion to scd2_lookup, which
+    queries an existing dimension): each change event opens a version
+    row whose validity closes at the user's next change — LEAD over
+    (user, time) builds [valid_from, valid_to) intervals in one
+    window pass, NULL valid_to marking the current version. Reported
+    as version-count / open-count / span stats so the oracle checks
+    the interval math, not row order. One shuffle on user_id; the
+    dimension build at 100 TB is exactly this plan on the CDC feed."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    span = (
+        (F.unix_micros("valid_to") - F.unix_micros("valid_from")) / 86_400_000_000.0
+    )
+    spans = versions.select(
+        span.alias("span_days"),
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
+    )
+    return spans.agg(
+        F.count("*").cast("bigint").alias("n_versions"),
+        F.sum("is_current").cast("bigint").alias("n_current"),
+        F.round(F.avg("span_days"), 4).alias("avg_span_days"),
+        F.round(F.max("span_days"), 4).alias("max_span_days"),
+    )
+
+
+@register(
+    "calendar_grid_fill",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+      FROM orders),
+    nations AS (SELECT n_nationkey, n_name FROM nation),
+    actual AS (
+      SELECT n_name,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             sum(o_totalprice) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT n.n_name, months.m, coalesce(a.rev, 0.0) AS rev
+      FROM nations n CROSS JOIN months
+      LEFT JOIN actual a ON a.n_name = n.n_name AND a.m = months.m)
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(CASE WHEN rev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active_months,
+           round(sum(rev), 2) AS total_rev
+    FROM grid GROUP BY n_name
+    """,
+    tags=("densification", "join"),
+)
+def q_calendar_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar-grid densification: nations × observed months
+    cross join (both sides tiny — the grid is |dims|·|periods|, never
+    fact-sized), zero-filled from the monthly revenue aggregate via
+    LEFT join, then per-nation coverage. The reporting idiom that
+    makes downstream window math safe (no missing-period holes). The
+    fact table is touched once, for the aggregate; the densification
+    happens entirely on broadcastable relations."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    month = F.date_trunc("month", F.col("o_orderdate").cast("date"))
+    months = o.select(month.alias("m")).distinct()
+    actual = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", month.alias("m"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    grid = (
+        n.select("n_name")
+        .crossJoin(F.broadcast(months))
+        .join(actual, ["n_name", "m"], "left")
+        .select("n_name", "m", F.coalesce("rev", F.lit(0.0)).alias("rev"))
+    )
+    return grid.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.sum(F.when(F.col("rev") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_active_months"),
+        F.round(F.sum("rev"), 2).alias("total_rev"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -328,3 +328,42 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
         fact.filter(F.col("event_date").isin(days)).groupBy("event_date").count()
     )
     assert sorted(map(tuple, q.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir_oracle):
+    """Runtime bloom-filter semi-join injection: a selective filter on
+    the orders side of a shuffled join plants a bloom filter on the
+    lineitem scan side (might_contain pre-filter), discarding
+    non-matching fact rows BEFORE the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~matching fraction. Thresholds are lowered to engage the rule
+    at test scale; the rewrite itself is what's under test, plus
+    result equality with the filter disabled."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir_oracle}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir_oracle}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        q = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        ex = q._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in ex.lower() or "bloomfilter" in ex.lower(), ex
+        with_bloom = sorted(map(tuple, q.collect()))
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        q2 = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        assert sorted(map(tuple, q2.collect())) == with_bloom
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -9341,6 +9341,50 @@ def q_calendar_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_median_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    win AS (
+      SELECT d, v,
+             list_sort(list(v) OVER (
+               ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS ws
+      FROM daily)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(ws[(len(ws) + 1) // 2]), 2) AS mean_rolling_median,
+           round(max(ws[(len(ws) + 1) // 2]), 2) AS max_rolling_median
+    FROM win WHERE len(ws) = 7
+    """,
+    tags=("window", "median", "timeseries"),
+)
+def q_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 7-day exact median of daily revenue — an order statistic
+    over a sliding frame, which no engine exposes as a native window
+    aggregate, built portably as collect-the-frame → sort → index
+    (lower median, (n+1)//2, stated identically in both SQLs). The
+    frame is 7 elements so the per-row array cost is constant; the
+    window runs on the |days| post-aggregate. The 100 TB variant
+    replaces the collect with two heaps in a stateful streaming op or
+    an approx sketch; the relational statement here is the oracle
+    semantics."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    win = daily.select(
+        "d", F.array_sort(F.collect_list("v").over(w)).alias("ws")
+    ).filter(F.size("ws") == 7)
+    med = F.element_at("ws", ((F.size("ws") + 1) / 2).cast("int"))
+    return win.select(med.alias("m")).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.avg("m"), 2).alias("mean_rolling_median"),
+        F.round(F.max("m"), 2).alias("max_rolling_median"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -9385,6 +9385,76 @@ def q_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "largest_remainder_apportionment",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name, sum(o_totalprice) AS r
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name),
+    quota AS (
+      SELECT n_name, r,
+             100.0 * r / sum(r) OVER () AS q,
+             CAST(floor(100.0 * r / sum(r) OVER ()) AS BIGINT) AS base
+      FROM rev),
+    ranked AS (
+      SELECT n_name, base, q - base AS frac,
+             row_number() OVER (ORDER BY q - base DESC, n_name) AS rn,
+             100 - sum(base) OVER () AS leftover
+      FROM quota)
+    SELECT n_name,
+           CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS seats,
+           round(frac, 6) AS remainder
+    FROM ranked
+    """,
+    tags=("window", "apportionment"),
+)
+def q_largest_remainder_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment: allocate 100
+    integer 'seats' to nations in proportion to revenue — floor each
+    quota, then hand the leftover seats to the largest fractional
+    remainders (deterministic name tie-break). Integer outputs make
+    the oracle check exact. The shape is a grouped aggregate followed
+    by three global windows over |nations| rows — the windows run on
+    the tiny post-aggregate, never the fact table, which is the rule
+    for every 'global total' reporting query at scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    wall = Window.partitionBy()
+    q = 100.0 * F.col("r") / F.sum("r").over(wall)
+    quota = rev.select(
+        "n_name", q.alias("q"), F.floor(q).cast("bigint").alias("base")
+    )
+    ranked = quota.select(
+        "n_name",
+        "base",
+        (F.col("q") - F.col("base")).alias("frac"),
+        F.row_number()
+        .over(Window.orderBy((F.col("q") - F.col("base")).desc(), F.col("n_name")))
+        .alias("rn"),
+        (100 - F.sum("base").over(wall)).alias("leftover"),
+    )
+    return ranked.select(
+        "n_name",
+        (
+            F.col("base") + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("seats"),
+        F.round("frac", 6).alias("remainder"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

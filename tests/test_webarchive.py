@@ -171,3 +171,40 @@ def test_corrupt_jsonl_quarantine(spark, tmp_path):
     bad = [r["_corrupt_record"] for r in quarantine.collect()]
     assert len(bad) == 2 and any("not json" in b for b in bad)
     df.unpersist()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _records(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    recs = []
+    for i in range(n):
+        payload = draw(st.binary(min_size=0, max_size=300))
+        uri = f"https://h/{draw(st.integers(0, 10**6))}-{i}"
+        recs.append((uri, payload))
+    return recs
+
+
+@given(_records(), st.booleans())
+@settings(max_examples=50, deadline=None)
+def test_warc_codec_roundtrip_property(recs, use_gzip):
+    """Build → parse round-trip: every record's uri/payload/length
+    survives, in order, for arbitrary binary payloads (including
+    payloads that themselves contain 'WARC/' or CRLF runs — the
+    Content-Length framing, not sentinel scanning, must delimit
+    records), plain and member-gzipped."""
+    raw = b"".join(
+        _warc_record("response", uri, payload) for uri, payload in recs
+    )
+    if use_gzip:
+        raw = b"".join(
+            gzip.compress(_warc_record("response", uri, payload))
+            for uri, payload in recs
+        )
+    out = parse_warc_bytes(raw, "prop")
+    assert [(r["target_uri"], r["payload"]) for r in out] == recs
+    assert all(r["content_length"] == len(r["payload"]) for r in out)
+    assert [r["record_idx"] for r in out] == list(range(len(recs)))

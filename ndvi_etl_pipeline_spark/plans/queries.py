@@ -9455,6 +9455,92 @@ def q_largest_remainder_apportionment(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@register(
+    "cross_sell_gap",
+    oracle="""
+    WITH bought AS (
+      SELECT DISTINCT o_custkey, p_brand
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand IN ('Brand#1', 'Brand#2'))
+    SELECT CAST(count(*) AS BIGINT) AS n_gap_customers,
+           round(avg(c_acctbal), 2) AS avg_balance
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM bought WHERE p_brand = 'Brand#1')
+      AND c_custkey NOT IN (SELECT o_custkey FROM bought WHERE p_brand = 'Brand#2')
+    """,
+    tags=("semijoin", "antijoin", "crosssell"),
+)
+def q_cross_sell_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sell gap: customers who bought Brand#1 but never Brand#2
+    — a semi join composed with an anti join off ONE shared
+    customer×brand incidence relation (deduped before either join so
+    the probe sides stay |customers|-sized, and the brand filter
+    prunes the fact scan first). The audience-building shape behind
+    every 'bought X, target with Y' campaign; both joins key on
+    customer so they ride the same exchange."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    c = _t(spark, sf_dir, "customer")
+    bought = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(
+            F.broadcast(p.filter(F.col("p_brand").isin("Brand#1", "Brand#2"))),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    b1 = bought.filter(F.col("p_brand") == "Brand#1").select("o_custkey")
+    b2 = bought.filter(F.col("p_brand") == "Brand#2").select("o_custkey")
+    gap = (
+        c.join(b1, c["c_custkey"] == b1["o_custkey"], "left_semi")
+        .join(b2, c["c_custkey"] == b2["o_custkey"], "left_anti")
+    )
+    return gap.agg(
+        F.count("*").cast("bigint").alias("n_gap_customers"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+    )
+
+
+@register(
+    "never_discounted_parts",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(avg(p_retailprice), 2) AS avg_retail
+    FROM part
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_partkey = p_partkey AND l_discount > 0.08)
+    GROUP BY p_brand
+    """,
+    tags=("antijoin", "predicate-join"),
+)
+def q_never_discounted_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join WITH a join-side predicate: parts that were never
+    sold at a deep (>8%) discount — NOT EXISTS over (key match AND
+    condition). The condition lives INSIDE the anti join (the
+    lineitem side is filtered before the hash build, so the join
+    carries only deep-discount rows — far smaller than the full fact
+    at any scale), which is exactly how Catalyst plans the NOT
+    EXISTS; parts with no sales at all qualify too, matching the SQL
+    semantics."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    deep = li.filter(F.col("l_discount") > 0.08).select("l_partkey")
+    return (
+        p.join(deep, p["p_partkey"] == deep["l_partkey"], "left_anti")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_retail"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

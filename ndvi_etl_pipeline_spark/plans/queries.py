@@ -9541,6 +9541,245 @@ def q_never_discounted_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "query_likelihood_lm",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w
+      FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      WHERE w <> ''),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+    corpus AS (SELECT w, count(*) AS cf FROM words GROUP BY w),
+    total AS (SELECT sum(cf) AS big_c FROM corpus),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM words
+      WHERE w IN ('spark', 'join', 'data') GROUP BY doc_id, w),
+    scored AS (
+      SELECT d.doc_id,
+             sum(ln(0.7 * coalesce(tf.tf, 0) / dl.dl
+                    + 0.3 * c.cf / t.big_c)) AS ql
+      FROM (SELECT DISTINCT doc_id FROM words) d
+      CROSS JOIN (SELECT w, cf FROM corpus
+                  WHERE w IN ('spark', 'join', 'data')) c
+      CROSS JOIN total t
+      JOIN doclen dl ON dl.doc_id = d.doc_id
+      LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.w = c.w
+      GROUP BY d.doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ql), 4) AS mean_ql,
+           round(max(ql), 4) AS best_ql
+    FROM scored
+    """,
+    tags=("text", "retrieval", "lm"),
+)
+def q_query_likelihood_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Jelinek–Mercer smoothing:
+    score(d) = Σ_q ln(λ·tf/|d| + (1−λ)·cf/|C|) for the query terms —
+    the statistical-LM ranking family next to BM25 (bm25_rank) and
+    TF-IDF. Corpus stats (cf, |C|) are tiny broadcast relations; the
+    per-doc term frequencies come from ONE explode pass filtered to
+    the query terms, and docs missing a term still score via the
+    smoothed background — the LEFT join that makes smoothing work.
+    Reported as corpus-level score stats so the oracle pins every
+    doc's score through the aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    terms = ["spark", "join", "data"]
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    doclen = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = words.groupBy("w").agg(F.count("*").alias("cf"))
+    total = corpus.agg(F.sum("cf").alias("big_c"))
+    tf = (
+        words.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    qterms = corpus.filter(F.col("w").isin(terms))
+    scored = (
+        doclen.crossJoin(F.broadcast(qterms))
+        .crossJoin(F.broadcast(total))
+        .join(tf, ["doc_id", "w"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    0.7 * F.coalesce(F.col("tf"), F.lit(0)) / F.col("dl")
+                    + 0.3 * F.col("cf") / F.col("big_c")
+                )
+            ).alias("ql")
+        )
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("ql"), 4).alias("mean_ql"),
+        F.round(F.max("ql"), 4).alias("best_ql"),
+    )
+
+
+@register(
+    "division_relational",
+    oracle="""
+    WITH target AS (
+      SELECT DISTINCT p_brand FROM part
+      WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+    covered AS (
+      SELECT l_suppkey, count(DISTINCT p_brand) AS n_brands
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      GROUP BY l_suppkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_full_coverage,
+           round(avg(s_acctbal), 2) AS avg_balance
+    FROM supplier
+    JOIN covered ON s_suppkey = l_suppkey
+    WHERE n_brands = (SELECT count(*) FROM target)
+    """,
+    tags=("division", "agg", "forall"),
+)
+def q_division_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — suppliers that have shipped EVERY brand
+    in the target set (the universal-quantifier query that SQL has no
+    operator for): count distinct covered brands per supplier and
+    keep those matching the divisor's cardinality. The
+    count-equals-|divisor| rewrite turns ∀ into one hash aggregate —
+    no nested NOT EXISTS double negation, no |suppliers|×|brands|
+    cross join — and the divisor count is a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    brands = ["Brand#1", "Brand#2", "Brand#3"]
+    target_n = (
+        p.filter(F.col("p_brand").isin(brands))
+        .select("p_brand")
+        .distinct()
+        .agg(F.count("*").alias("target_n"))
+    )
+    covered = (
+        li.join(
+            F.broadcast(p.filter(F.col("p_brand").isin(brands))),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count_distinct("p_brand").alias("n_brands"))
+    )
+    return (
+        s.join(covered, s["s_suppkey"] == covered["l_suppkey"])
+        .join(F.broadcast(target_n))
+        .filter(F.col("n_brands") == F.col("target_n"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_full_coverage"),
+            F.round(F.avg("s_acctbal"), 2).alias("avg_balance"),
+        )
+    )
+
+
+@register(
+    "topk_with_ties",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY round(o_totalprice, -3) DESC) AS rk,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY round(o_totalprice, -3) DESC,
+                                         o_orderkey) AS rn
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS topk_with_ties,
+           CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS topk_row_number
+    FROM r GROUP BY o_orderpriority
+    """,
+    tags=("window", "topk", "ties"),
+)
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES vs without: RANK keeps every row tied with the
+    k-th (the SQL:2008 FETCH FIRST k WITH TIES semantics), row_number
+    cuts at exactly k — the counts per group expose the difference
+    (prices are coarsened to the nearest thousand so ties genuinely
+    occur). Same single window sort serves both functions; at scale
+    a top-k-per-group pre-aggregation would bound the sort input."""
+    o = _t(spark, sf_dir, "orders")
+    coarse = F.round(F.col("o_totalprice"), -3)
+    wr = Window.partitionBy("o_orderpriority").orderBy(coarse.desc())
+    wn = Window.partitionBy("o_orderpriority").orderBy(
+        coarse.desc(), F.col("o_orderkey")
+    )
+    r = o.select(
+        "o_orderpriority",
+        F.rank().over(wr).alias("rk"),
+        F.row_number().over(wn).alias("rn"),
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("rk") <= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("topk_with_ties"),
+        F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("topk_row_number"),
+    )
+
+
+@register(
+    "error_burn_rate",
+    oracle="""
+    WITH buckets AS (
+      SELECT to_timestamp(floor(epoch(ts) / 900) * 900) AS b15,
+             to_timestamp(floor(epoch(ts) / 3600) * 3600) AS b60,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events),
+    fine AS (
+      SELECT b15, min(b60) AS b60,
+             CAST(sum(is_err) AS DOUBLE) / count(*) AS err_rate_15m
+      FROM buckets GROUP BY b15),
+    coarse AS (
+      SELECT b60, CAST(sum(is_err) AS DOUBLE) / count(*) AS err_rate_1h
+      FROM buckets GROUP BY b60)
+    SELECT CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN err_rate_15m > 0.25 AND err_rate_1h > 0.22
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_burn_alerts,
+           round(avg(err_rate_15m), 4) AS mean_15m_rate
+    FROM fine JOIN coarse USING (b60)
+    """,
+    tags=("sre", "events", "window"),
+)
+def q_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window burn-rate alerting (the SRE error-budget idiom):
+    error rate per 15-min bucket AND per enclosing hour, alert only
+    when BOTH exceed their thresholds — fast windows catch the spike,
+    slow windows stop flapping. One scan feeds both granularities
+    (the hour key is derived in the same pass and carried through the
+    fine aggregate via min — no second read); the join is
+    |15-min buckets| vs |hours|, trivially broadcastable forever."""
+    e = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    buckets = e.select(
+        F.timestamp_seconds(F.floor(epoch / 900) * 900).alias("b15"),
+        F.timestamp_seconds(F.floor(epoch / 3600) * 3600).alias("b60"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    fine = buckets.groupBy("b15").agg(
+        F.min("b60").alias("b60"),
+        (F.sum("is_err").cast("double") / F.count("*")).alias("err_rate_15m"),
+    )
+    coarse = buckets.groupBy("b60").agg(
+        (F.sum("is_err").cast("double") / F.count("*")).alias("err_rate_1h")
+    )
+    j = fine.join(F.broadcast(coarse), "b60")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.sum(
+            F.when(
+                (F.col("err_rate_15m") > 0.25) & (F.col("err_rate_1h") > 0.22), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_burn_alerts"),
+        F.round(F.avg("err_rate_15m"), 4).alias("mean_15m_rate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -9780,6 +9780,155 @@ def q_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ndvi_percentile_composite",
+    oracle=None,  # placeholder replaced below (needs _TS_NDVI_SQL)
+    tags=("ndvi", "timeseries", "percentile"),
+)
+def q_ndvi_percentile_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel 90th-percentile temporal composite — the
+    outlier-robust alternative to the greenest-pixel max
+    (ndvi_annual_composite): a max composite keeps sensor spikes, the
+    high-percentile composite rejects them while preserving peak
+    greenness. Exact interpolated percentile per (year, pixel) group
+    — small groups (|periods/year|), so the per-group sort is
+    constant work and the plan is the same single hash-agg cascade
+    as the max composite."""
+    nv = _ts_ndvi_df(spark, sf_dir).withColumn(
+        "yr", F.floor(F.col("period") / F.lit(100.0)).cast("int")
+    )
+    comp = (
+        nv.filter(F.col("ndvi").isNotNull())
+        .groupBy("yr", "y", "x")
+        .agg(
+            F.expr("percentile(ndvi, 0.9)").alias("cv"),
+            F.count("*").alias("n_obs"),
+        )
+    )
+    return comp.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_pixels"),
+        F.round(F.avg("cv"), 6).alias("mean_composite"),
+        F.round(F.avg(F.col("n_obs").cast("double")), 2).alias("mean_obs"),
+    )
+
+
+_spec_npc = REGISTRY["ndvi_percentile_composite"]
+REGISTRY["ndvi_percentile_composite"] = QuerySpec(
+    _spec_npc.builder,
+    _TS_NDVI_SQL
+    + """
+    , comp AS (
+      SELECT CAST(floor(period / 100.0) AS INT) AS yr, y, x,
+             quantile_cont(ndvi, 0.9) AS cv, count(*) AS n_obs
+      FROM nv WHERE ndvi IS NOT NULL GROUP BY 1, 2, 3
+    )
+    SELECT yr, CAST(count(*) AS BIGINT) AS n_pixels,
+           round(avg(cv), 6) AS mean_composite,
+           round(avg(CAST(n_obs AS DOUBLE)), 2) AS mean_obs
+    FROM comp GROUP BY yr
+    """,
+    _spec_npc.headline,
+    _spec_npc.tags,
+)
+
+
+@register(
+    "centroid_pairwise_distances",
+    oracle="""
+    WITH dims AS (
+      SELECT label, dim, embedding[dim] AS v
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(dim)),
+    centroids AS (
+      SELECT label, dim, avg(v) AS c FROM dims GROUP BY label, dim),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sqrt(sum((a.c - b.c) * (a.c - b.c))) AS dist
+      FROM centroids a JOIN centroids b ON a.dim = b.dim
+      WHERE a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT label_a, label_b, round(dist, 5) AS dist
+    FROM pairs
+    """,
+    tags=("embeddings", "similarity", "geometry"),
+)
+def q_centroid_pairwise_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid distance matrix — the class-separability
+    diagnostic behind nearest-centroid classification
+    (centroid_classify): per-label mean vector via explode +
+    (label, dim) hash-agg, then all label pairs joined on dim and
+    reduced to Euclidean distances. |labels|²·dims intermediate rows
+    — centroids are a broadcastable relation no matter how many
+    embeddings fed them, so the pairwise stage never scales with the
+    corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    cent = dims.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    a = cent.alias("a")
+    b = cent.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            F.sqrt(
+                F.sum((F.col("a.c") - F.col("b.c")) * (F.col("a.c") - F.col("b.c")))
+            ).alias("dist")
+        )
+    )
+    return pairs.select("label_a", "label_b", F.round("dist", 5).alias("dist"))
+
+
+@register(
+    "backlog_aging_waterfall",
+    oracle="""
+    WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS today FROM orders),
+    open_orders AS (
+      SELECT date_diff('day', CAST(o_orderdate AS DATE),
+                       (SELECT today FROM ref)) AS age_days,
+             o_totalprice
+      FROM orders WHERE o_orderstatus IN ('O', 'P'))
+    SELECT CASE WHEN age_days < 30 THEN 'a_0_29'
+                WHEN age_days < 90 THEN 'b_30_89'
+                WHEN age_days < 365 THEN 'c_90_364'
+                ELSE 'd_365_plus' END AS age_band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS open_value
+    FROM open_orders GROUP BY 1
+    """,
+    tags=("aging", "agg"),
+)
+def q_backlog_aging_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: unfinished orders bucketed by age
+    against the data's own as-of date (max order date — closed over
+    the input, no wall clock), with count and open value per band —
+    the receivables/backlog waterfall every ops dashboard carries.
+    One scan, one 4-group agg; the as-of date is a 1-row broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("today"))
+    open_orders = (
+        o.filter(F.col("o_orderstatus").isin("O", "P"))
+        .join(F.broadcast(ref))
+        .select(
+            F.datediff(F.col("today"), F.col("o_orderdate").cast("date")).alias(
+                "age_days"
+            ),
+            "o_totalprice",
+        )
+    )
+    band = (
+        F.when(F.col("age_days") < 30, "a_0_29")
+        .when(F.col("age_days") < 90, "b_30_89")
+        .when(F.col("age_days") < 365, "c_90_364")
+        .otherwise("d_365_plus")
+    )
+    return open_orders.groupBy(band.alias("age_band")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("open_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

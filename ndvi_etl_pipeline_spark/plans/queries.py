@@ -9929,6 +9929,188 @@ def q_backlog_aging_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "variance_decomposition",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, avg(o_totalprice) AS mu_i, count(*) AS n_i
+      FROM orders GROUP BY o_custkey),
+    gstat AS (
+      SELECT avg(o_totalprice) AS mu, var_pop(o_totalprice) AS var_total,
+             count(*) AS n
+      FROM orders),
+    within AS (
+      SELECT avg((o.o_totalprice - p.mu_i) * (o.o_totalprice - p.mu_i))
+        AS var_within
+      FROM orders o JOIN per_cust p ON o.o_custkey = p.o_custkey),
+    between_c AS (
+      SELECT sum(p.n_i * (p.mu_i - g.mu) * (p.mu_i - g.mu)) / g.n
+        AS var_between
+      FROM per_cust p CROSS JOIN gstat g GROUP BY g.n)
+    SELECT round(g.var_total, 2) AS var_total,
+           round(w.var_within, 2) AS var_within,
+           round(b.var_between, 2) AS var_between,
+           round(w.var_within + b.var_between - g.var_total, 4) AS residual
+    FROM gstat g CROSS JOIN within w CROSS JOIN between_c b
+    """,
+    tags=("stats", "decomposition"),
+)
+def q_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Law-of-total-variance decomposition: order-value variance split
+    into within-customer and between-customer components (the ANOVA
+    identity — residual pinned ≈ 0 makes the oracle check the
+    algebra, not just the numbers). Per-customer moments are one
+    hash-agg; the within term re-joins them to the facts on the SAME
+    key, so the join inherits the aggregate's partitioning — two
+    passes over orders total, no window, no sort, at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("mu_i"), F.count("*").alias("n_i")
+    )
+    glob = o.agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.var_pop("o_totalprice").alias("var_total"),
+        F.count("*").alias("n"),
+    )
+    dev = F.col("o_totalprice") - F.col("mu_i")
+    within = o.join(per_cust, "o_custkey").agg(
+        F.avg(dev * dev).alias("var_within")
+    )
+    bdev = F.col("mu_i") - F.col("mu")
+    between = (
+        per_cust.join(F.broadcast(glob))
+        .groupBy("n")
+        .agg((F.sum(F.col("n_i") * bdev * bdev) / F.col("n")).alias("var_between"))
+    )
+    return (
+        glob.join(F.broadcast(within))
+        .join(F.broadcast(between.select("var_between")))
+        .select(
+            F.round("var_total", 2).alias("var_total"),
+            F.round("var_within", 2).alias("var_within"),
+            F.round("var_between", 2).alias("var_between"),
+            F.round(
+                F.col("var_within") + F.col("var_between") - F.col("var_total"), 4
+            ).alias("residual"),
+        )
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             date_trunc('month', min(CAST(o_orderdate AS DATE))) AS cohort_m
+      FROM orders GROUP BY o_custkey),
+    cohort_sizes AS (
+      SELECT cohort_m, count(*) AS cohort_n FROM firsts GROUP BY cohort_m),
+    monthly AS (
+      SELECT f.cohort_m,
+             date_diff('month', f.cohort_m,
+                       date_trunc('month', CAST(o.o_orderdate AS DATE)))
+               AS age_m,
+             sum(o.o_totalprice) AS rev
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2),
+    cumulative AS (
+      SELECT cohort_m, age_m,
+             sum(rev) OVER (PARTITION BY cohort_m ORDER BY age_m
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM monthly)
+    SELECT age_m,
+           CAST(count(*) AS BIGINT) AS n_cohorts,
+           round(avg(c.cum_rev / s.cohort_n), 2) AS avg_ltv_per_customer
+    FROM cumulative c JOIN cohort_sizes s USING (cohort_m)
+    WHERE age_m <= 12
+    GROUP BY age_m
+    """,
+    tags=("cohort", "ltv", "window"),
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV accumulation curve: revenue per (cohort, months
+    since first order), cumulated within cohort, normalized per
+    cohort member, averaged across cohorts — the customer-lifetime
+    curve next to retention_cohorts' activity counts. Everything
+    after the first-order join runs on the |cohorts|×|ages| grid; the
+    cumulative window partitions by cohort so no global sort exists
+    anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min(F.col("o_orderdate").cast("date"))).alias(
+            "cohort_m"
+        )
+    )
+    sizes = firsts.groupBy("cohort_m").agg(F.count("*").alias("cohort_n"))
+    age = F.months_between(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")), F.col("cohort_m")
+    ).cast("long")
+    monthly = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_m", age.alias("age_m"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cumulative = monthly.select(
+        "cohort_m", "age_m", F.sum("rev").over(w).alias("cum_rev")
+    )
+    return (
+        cumulative.join(F.broadcast(sizes), "cohort_m")
+        .filter(F.col("age_m") <= 12)
+        .groupBy("age_m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cohorts"),
+            F.round(F.avg(F.col("cum_rev") / F.col("cohort_n")), 2).alias(
+                "avg_ltv_per_customer"
+            ),
+        )
+    )
+
+
+@register(
+    "seasonal_index_monthly",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%m') AS INT) AS cal_m,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1, 2),
+    base AS (SELECT avg(rev) AS overall FROM monthly)
+    SELECT cal_m,
+           round(avg(rev / overall), 4) AS seasonal_index,
+           CAST(count(*) AS BIGINT) AS n_years
+    FROM monthly CROSS JOIN base
+    GROUP BY cal_m
+    """,
+    tags=("timeseries", "seasonality"),
+)
+def q_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative monthly seasonal index: each calendar month's
+    average revenue ratio to the overall monthly mean — the
+    decomposition step before any deseasonalized trend fit (the NDVI
+    phenology analog on business data). Runs entirely on the
+    |months| pre-aggregate with a 1-row broadcast base; index > 1 =
+    month runs hot."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month(F.col("o_orderdate").cast("date")).alias("cal_m"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    base = monthly.agg(F.avg("rev").alias("overall"))
+    return (
+        monthly.join(F.broadcast(base))
+        .groupBy("cal_m")
+        .agg(
+            F.round(F.avg(F.col("rev") / F.col("overall")), 4).alias(
+                "seasonal_index"
+            ),
+            F.count("*").cast("bigint").alias("n_years"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

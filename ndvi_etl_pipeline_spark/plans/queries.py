@@ -10111,6 +10111,66 @@ def q_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ring_values_sql() -> str:
+    rows = ", ".join(
+        f"({i}, {x!r}, {y!r})" for i, (x, y) in enumerate(_AOI_RING)
+    )
+    return f"(VALUES {rows}) AS ring(i, x, y)"
+
+
+@register(
+    "polygon_shoelace_metrics",
+    oracle=None,  # finalized below from _AOI_RING
+    tags=("geo", "window"),
+)
+def q_polygon_shoelace_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace polygon area + perimeter over a vertex relation: pair
+    each vertex with its successor via modular index join (closing
+    edge included — the wrap that LEAD alone can't express), then the
+    cross-product half-sum and edge-length sum. The concave test ring
+    (the AOI from the clip queries) pins signed-area handling via
+    abs(). Vertex tables for real cadastres are millions of rows per
+    polygon set; the join keys on (polygon, (i+1) mod n) so each
+    polygon's edges stay co-partitioned."""
+    n = len(_AOI_RING)
+    ring = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(_AOI_RING)],
+        "i INT, x DOUBLE, y DOUBLE",
+    )
+    nxt = ring.select(
+        F.col("i").alias("j"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    edges = ring.join(nxt, F.pmod(F.col("i") + 1, F.lit(n)) == F.col("j"))
+    cross = F.col("x") * F.col("y2") - F.col("x2") * F.col("y")
+    seg = F.sqrt(
+        F.pow(F.col("x2") - F.col("x"), 2) + F.pow(F.col("y2") - F.col("y"), 2)
+    )
+    return edges.agg(
+        F.round(F.abs(F.sum(cross)) / 2.0, 4).alias("area"),
+        F.round(F.sum(seg), 4).alias("perimeter"),
+        F.count("*").cast("bigint").alias("n_edges"),
+    )
+
+
+_spec_shoe = REGISTRY["polygon_shoelace_metrics"]
+REGISTRY["polygon_shoelace_metrics"] = QuerySpec(
+    _spec_shoe.builder,
+    f"""
+    WITH ring AS (SELECT * FROM {_ring_values_sql()}),
+    edges AS (
+      SELECT r.x, r.y, s.x AS x2, s.y AS y2
+      FROM ring r JOIN ring s ON (r.i + 1) % {len(_AOI_RING)} = s.i)
+    SELECT round(abs(sum(x * y2 - x2 * y)) / 2.0, 4) AS area,
+           round(sum(sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))), 4)
+             AS perimeter,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM edges
+    """,
+    _spec_shoe.headline,
+    _spec_shoe.tags,
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -10171,6 +10171,112 @@ REGISTRY["polygon_shoelace_metrics"] = QuerySpec(
 )
 
 
+@register(
+    "time_weighted_average",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value,
+             (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts)) / 1000000.0 AS dur_s
+      FROM events WHERE event_type = 'view'),
+    twa AS (
+      SELECT user_id,
+             sum(value * dur_s) / sum(dur_s) AS twa_value,
+             CAST(count(*) AS BIGINT) AS n_segments
+      FROM seg WHERE dur_s IS NOT NULL AND dur_s > 0
+      GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(twa_value), 4) AS mean_twa,
+           round(max(twa_value), 4) AS max_twa
+    FROM twa
+    """,
+    tags=("timeseries", "window", "integral"),
+)
+def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a step function: each observation
+    holds until the user's next one (LEAD gives the segment
+    duration), TWA = Σ v·Δt / Σ Δt — the correct mean for
+    irregularly-sampled gauges (balances, queue depths, sensor
+    readings), where the arithmetic mean over-weights busy periods.
+    One window pass keyed by user, then a per-user weighted agg on
+    the same key — single shuffle end to end."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "value",
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1_000_000.0
+        ).alias("dur_s"),
+    )
+    twa = (
+        seg.filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.col("value") * F.col("dur_s")) / F.sum("dur_s")).alias(
+                "twa_value"
+            ),
+            F.count("*").cast("bigint").alias("n_segments"),
+        )
+    )
+    return twa.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.avg("twa_value"), 4).alias("mean_twa"),
+        F.round(F.max("twa_value"), 4).alias("max_twa"),
+    )
+
+
+@register(
+    "chained_growth_rate",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1),
+    factors AS (
+      SELECT m, rev / lag(rev) OVER (ORDER BY m) AS f
+      FROM monthly),
+    yearly AS (
+      SELECT CAST(strftime(m, '%Y') AS INT) AS yr,
+             exp(sum(ln(f))) AS chained,
+             CAST(count(*) AS BIGINT) AS n_months,
+             round(min(f), 4) AS worst_month,
+             round(max(f), 4) AS best_month
+      FROM factors WHERE f IS NOT NULL
+      GROUP BY 1)
+    SELECT yr, round(chained, 4) AS chained_growth,
+           n_months, worst_month, best_month
+    FROM yearly
+    """,
+    tags=("timeseries", "product-agg"),
+)
+def q_chained_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained (compounded) growth per year: monthly growth factors
+    multiplied via the exp-Σ-ln product aggregate — SQL has no
+    PRODUCT(), so the log-space identity is how index chaining,
+    compound returns and survival products are computed relationally
+    (growth factors are strictly positive, so the logs are safe).
+    Window + aggregate both run on the |months| pre-aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("m")
+    factors = monthly.select(
+        "m", (F.col("rev") / F.lag("rev").over(w)).alias("f")
+    ).filter(F.col("f").isNotNull())
+    return (
+        factors.groupBy(F.year("m").alias("yr"))
+        .agg(
+            F.round(F.exp(F.sum(F.log("f"))), 4).alias("chained_growth"),
+            F.count("*").cast("bigint").alias("n_months"),
+            F.round(F.min("f"), 4).alias("worst_month"),
+            F.round(F.max("f"), 4).alias("best_month"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

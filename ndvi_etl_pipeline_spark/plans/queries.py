@@ -10277,6 +10277,63 @@ def q_chained_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_sketch_rollup",
+    oracle="""
+    SELECT r_name,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS estimate_within_5pct
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("approx", "sketch", "rollup"),
+)
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch persistence + merge-on-read (the pattern behind every
+    100 TB distinct-count dashboard): per-NATION HLL sketches of
+    ordering customers built once (hll_sketch_agg, Apache
+    DataSketches — a BINARY column you could store in the lake), then
+    UNIONED up to regions (hll_union_agg) without touching raw data
+    again — mergeability is the whole point; re-aggregation to any
+    coarser grain is sketch-sized work. The oracle pins the EXACT
+    per-region counts and the estimate-within-5% contract (the same
+    banded-contract device as approx_distinct_bands), so the rollup's
+    correctness is hash-checked even though sketches differ across
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    nation_sketches = base.groupBy("r_name", "n_name").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+    )
+    merged = nation_sketches.groupBy("r_name").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = base.groupBy("r_name").agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_customers")
+    )
+    return (
+        exact.join(merged, "r_name")
+        .select(
+            "r_name",
+            "exact_customers",
+            (
+                F.abs(F.col("est") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).alias("estimate_within_5pct"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -10334,6 +10334,138 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rrf_rank_fusion",
+    oracle="""
+    WITH metrics AS (
+      SELECT s_suppkey, s_name, s_acctbal,
+             coalesce(rev, 0.0) AS rev
+      FROM supplier LEFT JOIN (
+        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY l_suppkey) r ON s_suppkey = l_suppkey),
+    ranked AS (
+      SELECT s_suppkey, s_name,
+             row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey)
+               AS rank_bal,
+             row_number() OVER (ORDER BY rev DESC, s_suppkey) AS rank_rev
+      FROM metrics),
+    fused AS (
+      SELECT s_suppkey, s_name, rank_bal, rank_rev,
+             1.0 / (60 + rank_bal) + 1.0 / (60 + rank_rev) AS rrf
+      FROM ranked)
+    SELECT s_name,
+           round(rrf, 6) AS rrf_score,
+           CAST(rank_bal AS BIGINT) AS rank_bal,
+           CAST(rank_rev AS BIGINT) AS rank_rev
+    FROM fused ORDER BY rrf DESC, s_suppkey LIMIT 10
+    """,
+    tags=("retrieval", "ranking", "fusion"),
+)
+def q_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion — the standard way to blend rankings
+    from incomparable scorers (BM25 + vector similarity in a real
+    retrieval stack; balance + revenue here): RRF = Σ 1/(k+rankᵢ),
+    k=60, needing no score normalization at all. Deterministic
+    row_number tie-breaks make the fusion reproducible; the final
+    list is a top-10 TakeOrderedAndProject. Each ranking is a window
+    over the |suppliers| aggregate — at 100 TB each source ranking
+    would arrive pre-computed (top-k from its own engine) and the
+    fusion joins k-sized lists."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    metrics = s.join(rev, s["s_suppkey"] == rev["l_suppkey"], "left").select(
+        "s_suppkey", "s_name", "s_acctbal", F.coalesce("rev", F.lit(0.0)).alias("rev")
+    )
+    ranked = metrics.select(
+        "s_suppkey",
+        "s_name",
+        F.row_number()
+        .over(Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey")))
+        .alias("rank_bal"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), F.col("s_suppkey")))
+        .alias("rank_rev"),
+    )
+    fused = ranked.withColumn(
+        "rrf", 1.0 / (60 + F.col("rank_bal")) + 1.0 / (60 + F.col("rank_rev"))
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("s_suppkey"))
+        .limit(10)
+        .select(
+            "s_name",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("rank_bal").cast("bigint").alias("rank_bal"),
+            F.col("rank_rev").cast("bigint").alias("rank_rev"),
+        )
+    )
+
+
+@register(
+    "odds_ratio_returns",
+    oracle="""
+    WITH cells AS (
+      SELECT p_brand,
+             CAST(sum(CASE WHEN l_returnflag = 'R' AND l_discount > 0.05
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+             CAST(sum(CASE WHEN l_returnflag = 'R' AND l_discount <= 0.05
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+             CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_discount > 0.05
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+             CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_discount <= 0.05
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS d
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand)
+    SELECT p_brand,
+           round((a * d) / (b * c), 4) AS odds_ratio,
+           round(exp(ln((a * d) / (b * c))
+                     - 1.96 * sqrt(1/a + 1/b + 1/c + 1/d)), 4) AS ci_low,
+           round(exp(ln((a * d) / (b * c))
+                     + 1.96 * sqrt(1/a + 1/b + 1/c + 1/d)), 4) AS ci_high
+    FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+    """,
+    tags=("stats", "epidemiology", "conditional"),
+)
+def q_odds_ratio_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 odds ratio with Woolf confidence interval per brand: does
+    a deep discount associate with returns? The contingency cells are
+    four conditional sums in ONE pass (never four scans), the OR and
+    its log-space CI are scalar math on the |brands| aggregate — the
+    case-control analysis shape, next to chi_square_independence
+    (which tests, where this sizes the effect). CI straddling 1.0 =
+    no effect; the synthetic data's flat generator makes that the
+    expected read."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ret = F.col("l_returnflag") == "R"
+    deep = F.col("l_discount") > 0.05
+    cell = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("double")  # noqa: E731
+    cells = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            cell(ret & deep).alias("a"),
+            cell(ret & ~deep).alias("b"),
+            cell(~ret & deep).alias("c"),
+            cell(~ret & ~deep).alias("d"),
+        )
+        .filter(
+            (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0)
+        )
+    )
+    orx = (F.col("a") * F.col("d")) / (F.col("b") * F.col("c"))
+    se = F.sqrt(1 / F.col("a") + 1 / F.col("b") + 1 / F.col("c") + 1 / F.col("d"))
+    return cells.select(
+        "p_brand",
+        F.round(orx, 4).alias("odds_ratio"),
+        F.round(F.exp(F.log(orx) - 1.96 * se), 4).alias("ci_low"),
+        F.round(F.exp(F.log(orx) + 1.96 * se), 4).alias("ci_high"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -515,3 +515,52 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         .first()[0]
     )
     assert total == len(fresh)
+
+
+def test_stream_curated_documents_dedup_across_batches(spark, tmp_path):
+    """Incremental curation: two landing drops with overlapping
+    content — the second drop's duplicates (same text, different
+    doc_id) must NOT re-enter the curated store, short/low-quality
+    docs are gated, and re-running the drained stream appends
+    nothing (exactly-once per fingerprint)."""
+    import json as _json
+
+    from ndvi_etl_pipeline_spark.streaming.documents import (
+        stream_curated_documents,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    curated = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    other = "a completely different document body with plenty of words here"
+    (landing / "drop1.jsonl").write_text(
+        "\n".join(
+            [
+                _json.dumps({"doc_id": 1, "text": good, "source": "a"}),
+                _json.dumps({"doc_id": 2, "text": "short", "source": "a"}),
+                _json.dumps({"doc_id": 3, "text": good, "source": "a"}),
+            ]
+        )
+    )
+    stream_curated_documents(spark, str(landing), curated, ckpt)
+    first = spark.read.parquet(curated).collect()
+    assert len(first) == 1 and first[0]["doc_id"] == 1  # dup lost, short gated
+
+    (landing / "drop2.jsonl").write_text(
+        "\n".join(
+            [
+                _json.dumps({"doc_id": 10, "text": good, "source": "b"}),
+                _json.dumps({"doc_id": 11, "text": other, "source": "b"}),
+            ]
+        )
+    )
+    stream_curated_documents(spark, str(landing), curated, ckpt)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(curated).collect()}
+    assert set(rows) == {1, 11}  # cross-batch dup 10 rejected, 11 admitted
+
+    # replay with the same checkpoint: nothing new to process, store stable
+    stream_curated_documents(spark, str(landing), curated, ckpt)
+    assert {r["doc_id"] for r in spark.read.parquet(curated).collect()} == {1, 11}

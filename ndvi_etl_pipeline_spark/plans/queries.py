@@ -10466,6 +10466,106 @@ def q_odds_ratio_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mutual_information_binned",
+    oracle="""
+    WITH binned AS (
+      SELECT ntile(5) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)
+               AS bx,
+             ntile(5) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS by
+      FROM lineitem),
+    joint AS (
+      SELECT bx, by, CAST(count(*) AS DOUBLE) AS nxy FROM binned
+      GROUP BY bx, by),
+    tot AS (SELECT sum(nxy) AS n FROM joint),
+    mx  AS (SELECT bx, sum(nxy) AS nx FROM joint GROUP BY bx),
+    my  AS (SELECT by, sum(nxy) AS ny FROM joint GROUP BY by)
+    SELECT round(sum((nxy / n) * ln((nxy * n) / (nx * ny))), 6)
+             AS mutual_information,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM joint CROSS JOIN tot
+    JOIN mx USING (bx) JOIN my USING (by)
+    """,
+    tags=("stats", "information", "binning"),
+)
+def q_mutual_information_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between quantity and price, estimated on a
+    5×5 quantile-binned joint distribution (the copula grid):
+    deterministic ntile bins, joint/marginal cell counts, then
+    I = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) — the dependence measure that
+    sees what Pearson/Spearman miss (non-monotone structure). All the
+    information math runs on ≤25 cells; only the binning touches the
+    fact table, and at 100 TB the two global ntiles become
+    approx-percentile cutpoint joins, grid unchanged."""
+    li = _t(spark, sf_dir, "lineitem")
+    bx = F.ntile(5).over(
+        Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    )
+    by = F.ntile(5).over(
+        Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    )
+    binned = li.select(bx.alias("bx"), by.alias("by"))
+    joint = binned.groupBy("bx", "by").agg(
+        F.count("*").cast("double").alias("nxy")
+    )
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    mx = joint.groupBy("bx").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("by").agg(F.sum("nxy").alias("ny"))
+    j = (
+        joint.join(F.broadcast(tot))
+        .join(F.broadcast(mx), "bx")
+        .join(F.broadcast(my), "by")
+    )
+    term = (F.col("nxy") / F.col("n")) * F.log(
+        (F.col("nxy") * F.col("n")) / (F.col("nx") * F.col("ny"))
+    )
+    return j.agg(
+        F.round(F.sum(term), 6).alias("mutual_information"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+
+
+@register(
+    "sliding_distinct_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM daily)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT daily.user_id) AS BIGINT) AS wau_7d
+    FROM days JOIN daily
+      ON daily.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+    tags=("window", "distinct", "events"),
+)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per day — SLIDING distinct, which
+    no window frame can express (COUNT(DISTINCT) doesn't decrement):
+    dedup to (day, user) grain first — the only fact-sized pass —
+    then a bounded range join of days onto that grain (≤7 daily rows
+    per output day) and an exact distinct per day. The day-grain
+    relation is |days|·|daily actives|, tiny relative to events; at
+    100 TB the same query runs on the stored daily-actives rollup,
+    or swaps the exact distinct for mergeable HLL sketches
+    (hll_sketch_rollup) and becomes a 7-sketch union per day."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = daily.select("d").distinct().withColumnRenamed("d", "day_d")
+    j = days.join(
+        daily,
+        F.col("d").between(F.date_sub(F.col("day_d"), 6), F.col("day_d")),
+    )
+    return (
+        j.groupBy("day_d")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau_7d"))
+        .select(F.date_format("day_d", "yyyy-MM-dd").alias("day"), "wau_7d")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -10566,6 +10566,102 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SATURATING_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+             net
+      FROM (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+                        ELSE -o_totalprice END) AS net
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) < DATE '1995-02-01'
+        GROUP BY 1) t),
+    bal AS (
+      SELECT i, greatest(0.0, net) AS b FROM daily WHERE i = 1
+      UNION ALL
+      SELECT d.i, greatest(0.0, bal.b + d.net)
+      FROM daily d JOIN bal ON d.i = bal.i + 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(max(b), 2) AS peak_balance,
+           round(avg(b), 2) AS mean_balance,
+           CAST(sum(CASE WHEN b = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_floored_days
+    FROM bal
+    """
+
+
+@register(
+    "saturating_balance_recursive",
+    oracle=_SATURATING_SQL,
+    tags=("recursive", "timeseries", "stateful"),
+)
+def q_saturating_balance_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saturating running balance — b_i = max(0, b_{i−1} + net_i), the
+    inventory/credit recurrence that NO window frame can express
+    (the clamp makes it non-associative, unlike a plain cumsum), run
+    as the IDENTICAL recursive CTE text on both engines: each
+    recursion step joins the next day onto the accumulated balance.
+    Day count is bounded (one month), so the recursion depth is
+    |days|; the at-scale variants are per-entity applyInPandasWithState
+    (streaming) or a per-partition sequential kernel — this query
+    pins the semantics those must reproduce."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SATURATING_SQL)
+
+
+@register(
+    "wilson_score_ranking",
+    oracle="""
+    WITH rates AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS pos,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT event_type,
+           round(pos / n, 4) AS raw_rate,
+           round((pos / n + 1.9208 / n
+                  - 1.96 * sqrt((pos / n) * (1 - pos / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 4) AS wilson_lower,
+           CAST(n AS BIGINT) AS n
+    FROM rates
+    """,
+    tags=("stats", "ranking", "interval"),
+)
+def q_wilson_score_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score lower bound per event type — the correct way to
+    rank success rates with unequal sample sizes (a 3/3 never
+    outranks a 900/1000): the binomial CI lower bound at z=1.96,
+    closed-form scalar math on a |types|-row aggregate. The raw rate
+    sits alongside so the ranking inversion is visible. One hash-agg
+    over events; the formula is pure codegen."""
+    e = _t(spark, sf_dir, "events")
+    rates = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") > 0.5, 1).otherwise(0))
+            .cast("double")
+            .alias("pos"),
+            F.count("*").cast("double").alias("n"),
+        )
+    )
+    p = F.col("pos") / F.col("n")
+    n = F.col("n")
+    wilson = (
+        p + 1.9208 / n - 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    ) / (1 + 3.8416 / n)
+    return rates.select(
+        "event_type",
+        F.round(p, 4).alias("raw_rate"),
+        F.round(wilson, 4).alias("wilson_lower"),
+        n.cast("bigint").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

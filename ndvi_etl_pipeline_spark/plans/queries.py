@@ -10662,6 +10662,90 @@ def q_wilson_score_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "negative_sampling_margin",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20),
+    negs AS (
+      SELECT a.vec_id AS anchor_id, a.label,
+             {_COSINE_SQL} AS sim
+      FROM anchors a
+      JOIN (SELECT unnest(generate_series(1, 3)) AS j) js ON TRUE
+      JOIN embeddings b ON b.vec_id = (a.vec_id * 31 + js.j * 97) % 500
+      WHERE b.label <> a.label),
+    poss AS (
+      SELECT a.vec_id AS anchor_id, a.label,
+             {_COSINE_SQL} AS sim
+      FROM anchors a
+      JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id),
+    per_anchor AS (
+      SELECT n.anchor_id, n.label,
+             avg(DISTINCT n.sim) AS neg_sim, p.pos_sim
+      FROM negs n JOIN (
+        SELECT anchor_id, avg(sim) AS pos_sim FROM poss GROUP BY anchor_id
+      ) p ON n.anchor_id = p.anchor_id
+      GROUP BY n.anchor_id, n.label, p.pos_sim)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           round(avg(pos_sim), 5) AS mean_pos_sim,
+           round(avg(neg_sim), 5) AS mean_neg_sim,
+           round(avg(pos_sim - neg_sim), 5) AS mean_margin
+    FROM per_anchor GROUP BY label
+    """,
+    tags=("embeddings", "training", "sampling"),
+)
+def q_negative_sampling_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling with margin audit: for each
+    anchor, k=3 DETERMINISTIC hash-ring negatives ((id·31 + j·97)
+    mod N — reproducible across runs and engines, the property random
+    sampling can't give a correctness gate), cross-label filtered,
+    scored against the anchor's mean same-label (positive)
+    similarity. The per-label margin (pos − neg) is the health check
+    run before contrastive training. Negatives join by computed key
+    (constant fan-out k), positives by label — both broadcastable at
+    this anchor count, and at 100 TB anchors shard while negatives
+    stay an O(k) computed-key lookup per anchor."""
+    from ..operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("label").alias("a_label"),
+    )
+    js = anchors.select(
+        "anchor_id", "a_vec", "a_label",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"),
+    ).withColumn("neg_id", F.pmod(F.col("anchor_id") * 31 + F.col("j") * 97, F.lit(500)))
+    negs = (
+        js.join(e, js["neg_id"] == e["vec_id"])
+        .filter(F.col("label") != F.col("a_label"))
+        .select(
+            "anchor_id", "a_label", cosine("a_vec", "embedding").alias("sim")
+        )
+        .distinct()
+        .groupBy("anchor_id", "a_label")
+        .agg(F.avg("sim").alias("neg_sim"))
+    )
+    poss = (
+        anchors.join(
+            e,
+            (e["label"] == anchors["a_label"]) & (e["vec_id"] != anchors["anchor_id"]),
+        )
+        .select("anchor_id", cosine("a_vec", "embedding").alias("sim"))
+        .groupBy("anchor_id")
+        .agg(F.avg("sim").alias("pos_sim"))
+    )
+    per_anchor = negs.join(poss, "anchor_id")
+    return per_anchor.groupBy(F.col("a_label").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_anchors"),
+        F.round(F.avg("pos_sim"), 5).alias("mean_pos_sim"),
+        F.round(F.avg("neg_sim"), 5).alias("mean_neg_sim"),
+        F.round(F.avg(F.col("pos_sim") - F.col("neg_sim")), 5).alias("mean_margin"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -10746,6 +10746,144 @@ def q_negative_sampling_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bipartite_degree_profile",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    cdeg AS (SELECT c, count(*) AS deg FROM edges GROUP BY c),
+    pdeg AS (SELECT p, count(*) AS deg FROM edges GROUP BY p)
+    SELECT side, log2_bin,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           round(avg(deg), 2) AS mean_degree
+    FROM (
+      SELECT 'customer' AS side,
+             CAST(floor(ln(deg) / ln(2)) AS BIGINT) AS log2_bin, deg
+      FROM cdeg
+      UNION ALL
+      SELECT 'part' AS side,
+             CAST(floor(ln(deg) / ln(2)) AS BIGINT) AS log2_bin, deg
+      FROM pdeg)
+    GROUP BY side, log2_bin
+    """,
+    tags=("graph", "histogram", "profile"),
+)
+def q_bipartite_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite degree distribution of the customer↔part purchase
+    graph, log₂-binned per side — the first profile run on any graph
+    before choosing join strategies (a heavy-tailed part side is
+    exactly what forces the salting/skew machinery; cf. the
+    degree-orientation note in PLANS.md on triangle counting). Edge
+    dedup is the only fact-sized pass; each degree relation is one
+    further hash-agg and the binning is pure codegen."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cdeg = edges.groupBy("c").agg(F.count("*").alias("deg"))
+    pdeg = edges.groupBy("p").agg(F.count("*").alias("deg"))
+    both = cdeg.select(F.lit("customer").alias("side"), "deg").unionAll(
+        pdeg.select(F.lit("part").alias("side"), "deg")
+    )
+    log2_bin = F.floor(F.log("deg") / math.log(2)).cast("bigint")
+    return both.groupBy("side", log2_bin.alias("log2_bin")).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.round(F.avg("deg"), 2).alias("mean_degree"),
+    )
+
+
+@register(
+    "grid_bucketed_spatial_join",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 53 % 1600) / 10.0 AS y,
+             (c_custkey * 37 % 3600) / 10.0 AS x
+      FROM customer WHERE c_custkey <= 300),
+    supp AS (
+      SELECT s_suppkey AS id,
+             (s_suppkey * 53 % 1600) / 10.0 AS y,
+             (s_suppkey * 37 % 3600) / 10.0 AS x
+      FROM supplier),
+    cand AS (
+      SELECT c.id AS cust_id, s.id AS supp_id,
+             sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y))
+               AS dist,
+             row_number() OVER (
+               PARTITION BY c.id
+               ORDER BY sqrt((c.x - s.x) * (c.x - s.x)
+                             + (c.y - s.y) * (c.y - s.y)), s.id) AS rn
+      FROM cust c JOIN supp s
+        ON CAST(floor(s.x / 20) AS BIGINT)
+             BETWEEN CAST(floor(c.x / 20) AS BIGINT) - 1
+                 AND CAST(floor(c.x / 20) AS BIGINT) + 1
+       AND CAST(floor(s.y / 20) AS BIGINT)
+             BETWEEN CAST(floor(c.y / 20) AS BIGINT) - 1
+                 AND CAST(floor(c.y / 20) AS BIGINT) + 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           round(avg(dist), 4) AS mean_nn_dist,
+           round(max(dist), 4) AS max_nn_dist
+    FROM cand WHERE rn = 1
+    """,
+    tags=("geo", "join", "grid"),
+)
+def q_grid_bucketed_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed nearest-neighbor spatial join — the SCALABLE
+    spatial join (vs haversine_nearest_hub's tiny-dim brute force):
+    both point sets bucket into 20-unit cells, candidates come only
+    from the query point's 3×3 cell neighborhood (an equi-join on
+    cell ids after a 9× neighbor expansion — never a cross join), and
+    the per-point argmin ranks candidates. Cell size must exceed the
+    max NN distance for exactness within the neighborhood guarantee;
+    the same plan with geohash/tile ids is how billion-point spatial
+    joins run. Spark expresses the 3×3 expansion as an explode of the
+    9 neighbor cells on the (smaller) query side, keeping the join a
+    pure equi-join on the cell key."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cust = c.filter(F.col("c_custkey") <= 300).select(
+        F.col("c_custkey").alias("cust_id"),
+        ((F.col("c_custkey") * 53 % 1600) / 10.0).alias("cy"),
+        ((F.col("c_custkey") * 37 % 3600) / 10.0).alias("cx"),
+    )
+    supp = s.select(
+        F.col("s_suppkey").alias("supp_id"),
+        ((F.col("s_suppkey") * 53 % 1600) / 10.0).alias("sy"),
+        ((F.col("s_suppkey") * 37 % 3600) / 10.0).alias("sx"),
+    ).withColumns(
+        {
+            "cell_x": F.floor(F.col("sx") / 20).cast("bigint"),
+            "cell_y": F.floor(F.col("sy") / 20).cast("bigint"),
+        }
+    )
+    nbr = cust.select(
+        "cust_id", "cx", "cy",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                "struct(CAST(floor(cx / 20) AS BIGINT) + dx AS cell_x, "
+                "CAST(floor(cy / 20) AS BIGINT) + dy AS cell_y))))"
+            )
+        ).alias("cell"),
+    ).select("cust_id", "cx", "cy", "cell.cell_x", "cell.cell_y")
+    dist = F.sqrt(
+        F.pow(F.col("cx") - F.col("sx"), 2) + F.pow(F.col("cy") - F.col("sy"), 2)
+    )
+    cand = nbr.join(supp, ["cell_x", "cell_y"]).withColumn("dist", dist)
+    w = Window.partitionBy("cust_id").orderBy("dist", "supp_id")
+    nn = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return nn.agg(
+        F.count("*").cast("bigint").alias("n_matched"),
+        F.round(F.avg("dist"), 4).alias("mean_nn_dist"),
+        F.round(F.max("dist"), 4).alias("max_nn_dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -10884,6 +10884,154 @@ def q_grid_bucketed_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "revenue_bridge_waterfall",
+    oracle="""
+    WITH y1 AS (
+      SELECT n_name, sum(o_totalprice) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INT) = 1996
+      GROUP BY n_name),
+    y2 AS (
+      SELECT n_name, sum(o_totalprice) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INT) = 1997
+      GROUP BY n_name),
+    bridge AS (
+      SELECT coalesce(y1.n_name, y2.n_name) AS n_name,
+             coalesce(y2.rev, 0) - coalesce(y1.rev, 0) AS delta
+      FROM y1 FULL OUTER JOIN y2 ON y1.n_name = y2.n_name)
+    SELECT n_name, round(delta, 2) AS delta,
+           round(sum(delta) OVER (
+             ORDER BY delta DESC, n_name
+             ROWS UNBOUNDED PRECEDING), 2) AS running_bridge
+    FROM bridge
+    """,
+    tags=("reporting", "window", "outer"),
+)
+def q_revenue_bridge_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge: per-nation deltas between two
+    periods (FULL OUTER so nations present in only one year
+    contribute their whole swing), ordered biggest-gain-first with a
+    running cumulative — the waterfall whose last bar IS the total
+    YoY change, decomposed. Two filtered aggregates off the same
+    join; the window runs on |nations| rows. The single-partition
+    ORDER BY is safe exactly because the bridge relation is
+    dimension-sized."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+
+    def year_rev(yr: int) -> DataFrame:
+        return (
+            base.filter(F.year(F.col("o_orderdate").cast("date")) == yr)
+            .groupBy("n_name")
+            .agg(F.sum("o_totalprice").alias("rev"))
+        )
+
+    y1, y2 = year_rev(1996), year_rev(1997)
+    bridge = (
+        y1.withColumnRenamed("rev", "rev1")
+        .join(y2.withColumnRenamed("rev", "rev2"), "n_name", "full_outer")
+        .select(
+            "n_name",
+            (
+                F.coalesce("rev2", F.lit(0.0)) - F.coalesce("rev1", F.lit(0.0))
+            ).alias("delta"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("delta").desc(), F.col("n_name"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return bridge.select(
+        "n_name",
+        F.round("delta", 2).alias("delta"),
+        F.round(F.sum("delta").over(w), 2).alias("running_bridge"),
+    )
+
+
+@register(
+    "shingle_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             substring(text, i, 24) AS g
+      FROM documents,
+           unnest(generate_series(1, len(text) - 23)) AS t(i)
+      WHERE doc_id < 60),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+      SELECT da, db, CAST(inter AS DOUBLE) / sa.n AS containment
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = da)
+    SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(sum(CASE WHEN containment >= 0.2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contained,
+           round(max(containment), 4) AS max_containment
+    FROM scored
+    """,
+    tags=("dedup", "text", "containment"),
+)
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT |A∩B|/|A| — what symmetric
+    Jaccard dedup (dedup_ngram_jaccard) cannot see: a short doc
+    quoted inside a long one scores high containment but low Jaccard,
+    so excerpt/quotation duplication needs this directed measure
+    (Broder's original distinction). Candidate pairs arise only from
+    SHARED 24-char shingles (an equi-join on the shingle — never the
+    n² doc cross join), intersections come from the join's group
+    count, and each direction divides by ITS OWN doc's shingle count.
+    At 100 TB the shared-shingle join keys on a hashed shingle
+    (xxhash64) exactly like contamination_ngrams."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 23)).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 24)").alias("g"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = shared.join(
+        F.broadcast(sizes.withColumnRenamed("doc_id", "da")), "da"
+    ).select(
+        "da", "db", (F.col("inter").cast("double") / F.col("n")).alias("containment")
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("containment") >= 0.2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_contained"),
+        F.round(F.max("containment"), 4).alias("max_containment"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

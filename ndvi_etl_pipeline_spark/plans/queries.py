@@ -11032,6 +11032,122 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH per_user AS (
+      SELECT o_custkey,
+             sum(CASE WHEN CAST(strftime(CAST(o_orderdate AS DATE), '%Y')
+                            AS INT) = 1995 THEN o_totalprice ELSE 0 END) AS x,
+             sum(CASE WHEN CAST(strftime(CAST(o_orderdate AS DATE), '%Y')
+                            AS INT) = 1996 THEN o_totalprice ELSE 0 END) AS y
+      FROM orders
+      WHERE CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INT)
+            IN (1995, 1996)
+      GROUP BY o_custkey),
+    theta AS (
+      SELECT covar_pop(y, x) / var_pop(x) AS th, avg(x) AS xbar
+      FROM per_user),
+    adj AS (
+      SELECT y, y - th * (x - xbar) AS y_cuped
+      FROM per_user CROSS JOIN theta)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(var_pop(y), 2) AS var_raw,
+           round(var_pop(y_cuped), 2) AS var_cuped,
+           round(1 - var_pop(y_cuped) / var_pop(y), 4) AS variance_reduction,
+           round(avg(y) - avg(y_cuped), 4) AS mean_shift
+    FROM adj
+    """,
+    tags=("stats", "experimentation"),
+)
+def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data):
+    adjust each user's experiment-period metric by θ·(covariate −
+    mean) where θ = cov(y,x)/var(x) from pre-period spend — the
+    variance-reduction workhorse of modern A/B platforms (Deng et al.
+    2013). The oracle pins the reduction ratio AND the ≈0 mean shift
+    (CUPED must not bias the point estimate). Two passes over the
+    per-user aggregate with a 1-row broadcast θ — the fact table is
+    touched once."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    per_user = (
+        o.filter(yr.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1995, F.col("o_totalprice")).otherwise(0.0)).alias("x"),
+            F.sum(F.when(yr == 1996, F.col("o_totalprice")).otherwise(0.0)).alias("y"),
+        )
+    )
+    theta = per_user.agg(
+        (F.covar_pop("y", "x") / F.var_pop("x")).alias("th"),
+        F.avg("x").alias("xbar"),
+    )
+    adj = per_user.join(F.broadcast(theta)).select(
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("xbar"))).alias("y_cuped"),
+    )
+    return adj.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.var_pop("y"), 2).alias("var_raw"),
+        F.round(F.var_pop("y_cuped"), 2).alias("var_cuped"),
+        F.round(1 - F.var_pop("y_cuped") / F.var_pop("y"), 4).alias(
+            "variance_reduction"
+        ),
+        F.round(F.avg("y") - F.avg("y_cuped"), 4).alias("mean_shift"),
+    )
+
+
+@register(
+    "bayes_smoothed_rate",
+    oracle="""
+    WITH brand AS (
+      SELECT p_brand,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS r,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand),
+    prior AS (SELECT sum(r) / sum(n) AS p0 FROM brand)
+    SELECT p_brand,
+           round(r / n, 4) AS raw_rate,
+           round((r + 50 * p0) / (n + 50), 4) AS smoothed_rate,
+           CAST(n AS BIGINT) AS n
+    FROM brand CROSS JOIN prior
+    """,
+    tags=("stats", "smoothing", "feature"),
+)
+def q_bayes_smoothed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes m-estimate smoothing: per-brand return rates
+    shrunk toward the global prior with pseudo-count m=50 — the
+    standard guard against small-sample categorical rates in feature
+    engineering (target encoding) and cold-start ranking: sparse
+    brands collapse to the prior, dense brands keep their own rate.
+    One fact pass for the cells, a 1-row broadcast prior, scalar
+    codegen math."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    brand = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("double")
+            .alias("r"),
+            F.count("*").cast("double").alias("n"),
+        )
+    )
+    prior = brand.agg((F.sum("r") / F.sum("n")).alias("p0"))
+    return brand.join(F.broadcast(prior)).select(
+        "p_brand",
+        F.round(F.col("r") / F.col("n"), 4).alias("raw_rate"),
+        F.round((F.col("r") + 50 * F.col("p0")) / (F.col("n") + 50), 4).alias(
+            "smoothed_rate"
+        ),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -11148,6 +11148,140 @@ def q_bayes_smoothed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "difference_in_differences",
+    oracle="""
+    WITH labeled AS (
+      SELECT CASE WHEN c_nationkey % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN CAST(strftime(CAST(o_orderdate AS DATE), '%Y')
+                        AS INT) >= 1997 THEN 1 ELSE 0 END AS post,
+             o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INT)
+            BETWEEN 1996 AND 1997),
+    cells AS (
+      SELECT treated, post, avg(o_totalprice) AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM labeled GROUP BY treated, post)
+    SELECT round(
+             (SELECT m FROM cells WHERE treated = 1 AND post = 1)
+           - (SELECT m FROM cells WHERE treated = 1 AND post = 0)
+           - ((SELECT m FROM cells WHERE treated = 0 AND post = 1)
+            - (SELECT m FROM cells WHERE treated = 0 AND post = 0)), 4)
+             AS did_estimate,
+           (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS n_obs
+    """,
+    tags=("stats", "causal", "experimentation"),
+)
+def q_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2×2 (treated × post) cell means
+    and the DiD contrast (ΔT − ΔC) — the canonical quasi-experimental
+    estimator, with a deterministic even-nation pseudo-treatment so
+    the oracle pins an exact value (≈0 on this flat generator: the
+    parallel-trends null). One pass builds all four cells
+    (conditional aggregation, never four scans); the contrast is
+    driver-side scalar algebra on a 4-row relation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    labeled = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(yr.between(1996, 1997))
+        .select(
+            F.when(F.col("c_nationkey") % 2 == 0, 1).otherwise(0).alias("treated"),
+            F.when(yr >= 1997, 1).otherwise(0).alias("post"),
+            "o_totalprice",
+        )
+    )
+    cells = labeled.groupBy("treated", "post").agg(
+        F.avg("o_totalprice").alias("m"), F.count("*").alias("n")
+    )
+    flat = cells.agg(
+        F.round(
+            F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("m")))
+            - F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0), F.col("m")))
+            - (
+                F.max(
+                    F.when((F.col("treated") == 0) & (F.col("post") == 1), F.col("m"))
+                )
+                - F.max(
+                    F.when((F.col("treated") == 0) & (F.col("post") == 0), F.col("m"))
+                )
+            ),
+            4,
+        ).alias("did_estimate"),
+        F.sum("n").cast("bigint").alias("n_obs"),
+    )
+    return flat
+
+
+@register(
+    "covariate_balance_smd",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+                       >= '8' THEN 1 ELSE 0 END AS treated,
+             c_acctbal, c_nationkey
+      FROM customer),
+    stats AS (
+      SELECT treated,
+             avg(c_acctbal) AS m_bal, var_samp(c_acctbal) AS v_bal,
+             avg(CAST(c_nationkey AS DOUBLE)) AS m_nat,
+             var_samp(CAST(c_nationkey AS DOUBLE)) AS v_nat,
+             CAST(count(*) AS BIGINT) AS n
+      FROM assigned GROUP BY treated)
+    SELECT round((t.m_bal - c.m_bal)
+                 / sqrt((t.v_bal + c.v_bal) / 2), 4) AS smd_acctbal,
+           round((t.m_nat - c.m_nat)
+                 / sqrt((t.v_nat + c.v_nat) / 2), 4) AS smd_nationkey,
+           t.n AS n_treated, c.n AS n_control
+    FROM (SELECT * FROM stats WHERE treated = 1) t
+    CROSS JOIN (SELECT * FROM stats WHERE treated = 0) c
+    """,
+    tags=("stats", "experimentation", "balance"),
+)
+def q_covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance check via standardized mean difference —
+    the pre-analysis gate on any experiment assignment: hash-based
+    treatment split (md5 first hex digit ≥ '8', the same
+    deterministic device as hash_split_summary), then
+    SMD = (μ_T − μ_C)/√((σ²_T+σ²_C)/2) per covariate; |SMD| < 0.1 is
+    the accepted-balance convention and the expected read under a
+    correct hash split. One grouped-moments pass, scalar math on the
+    2-row result."""
+    c = _t(spark, sf_dir, "customer")
+    assigned = c.select(
+        F.when(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) >= "8", 1)
+        .otherwise(0)
+        .alias("treated"),
+        "c_acctbal",
+        F.col("c_nationkey").cast("double").alias("natk"),
+    )
+    stats = assigned.groupBy("treated").agg(
+        F.avg("c_acctbal").alias("m_bal"),
+        F.var_samp("c_acctbal").alias("v_bal"),
+        F.avg("natk").alias("m_nat"),
+        F.var_samp("natk").alias("v_nat"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    t = stats.filter(F.col("treated") == 1).alias("t")
+    ctl = stats.filter(F.col("treated") == 0).alias("c")
+    return t.crossJoin(ctl).select(
+        F.round(
+            (F.col("t.m_bal") - F.col("c.m_bal"))
+            / F.sqrt((F.col("t.v_bal") + F.col("c.v_bal")) / 2),
+            4,
+        ).alias("smd_acctbal"),
+        F.round(
+            (F.col("t.m_nat") - F.col("c.m_nat"))
+            / F.sqrt((F.col("t.v_nat") + F.col("c.v_nat")) / 2),
+            4,
+        ).alias("smd_nationkey"),
+        F.col("t.n").alias("n_treated"),
+        F.col("c.n").alias("n_control"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -11282,6 +11282,95 @@ def q_covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    forecast AS (
+      SELECT d, v, lag(v, 7) OVER (ORDER BY d) AS yhat
+      FROM daily)
+    SELECT CAST(strftime(d, '%w') AS INT) AS weekday,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(abs(v - yhat)), 2) AS mae,
+           round(avg(abs(v - yhat) / v), 4) AS mape
+    FROM forecast WHERE yhat IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("timeseries", "forecast", "backtest"),
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: ŷ(t) = y(t−7) — the baseline
+    every forecasting model must beat, back-tested in one lag window
+    with MAE/MAPE per weekday (weekday split exposes which seasons
+    the naive carry actually captures). The window runs on the daily
+    pre-aggregate; at scale the same backtest per series key is the
+    partitioned variant. Oracle note: DuckDB %w and Spark dayofweek
+    disagree on numbering, so weekday is pinned to the %w (0=Sunday)
+    convention explicitly."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    w = Window.orderBy("d")
+    fc = daily.select(
+        "d", "v", F.lag("v", 7).over(w).alias("yhat")
+    ).filter(F.col("yhat").isNotNull())
+    err = F.abs(F.col("v") - F.col("yhat"))
+    return fc.groupBy((F.dayofweek("d") - 1).alias("weekday")).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.avg(err), 2).alias("mae"),
+        F.round(F.avg(err / F.col("v")), 4).alias("mape"),
+    )
+
+
+@register(
+    "freshness_lag_audit",
+    oracle="""
+    WITH per_source AS (
+      SELECT event_type AS source,
+             max(CAST(ts AS TIMESTAMP)) AS latest,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type),
+    ref AS (SELECT max(latest) AS frontier FROM per_source)
+    SELECT source, n_events,
+           round((epoch_us(frontier) - epoch_us(latest)) / 3600000000.0, 3)
+             AS lag_hours,
+           (epoch_us(frontier) - epoch_us(latest)) / 3600000000.0 > 24.0
+             AS stale_24h
+    FROM per_source CROSS JOIN ref
+    """,
+    tags=("audit", "events", "json"),
+)
+def q_freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data freshness: latest event per feed
+    (event_type stands in for the feed id), lag against the freshest source (the
+    frontier — data-derived, no wall clock), staleness flags at 24 h
+    — the first alert every multi-feed ingestion pipeline wires up.
+    One pass for per-source maxima, a 1-row broadcast frontier;
+    staleness ≈ 0 on this generator (all types run to the end) — the flags are the contract."""
+    e = _t(spark, sf_dir, "events")
+    per_source = (
+        e.select(F.col("event_type").alias("source"), "ts")
+        .groupBy("source")
+        .agg(
+            F.max("ts").alias("latest"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+    ref = per_source.agg(F.max("latest").alias("frontier"))
+    lag_h = (
+        F.unix_micros("frontier") - F.unix_micros("latest")
+    ) / 3_600_000_000.0
+    return per_source.join(F.broadcast(ref)).select(
+        "source",
+        "n_events",
+        F.round(lag_h, 3).alias("lag_hours"),
+        (lag_h > 24.0).alias("stale_24h"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

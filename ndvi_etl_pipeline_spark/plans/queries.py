@@ -11371,6 +11371,129 @@ def q_freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_dwell_share",
+    oracle="""
+    WITH seg AS (
+      SELECT event_type,
+             (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts)) / 1000000.0 AS dur_s
+      FROM events),
+    capped AS (
+      SELECT event_type, least(dur_s, 1800.0) AS dur_s
+      FROM seg WHERE dur_s IS NOT NULL),
+    tot AS (SELECT sum(dur_s) AS total FROM capped)
+    SELECT event_type,
+           round(sum(dur_s) / 3600.0, 3) AS dwell_hours,
+           round(sum(dur_s) / total, 4) AS dwell_share
+    FROM capped CROSS JOIN tot
+    GROUP BY event_type, total
+    """,
+    tags=("events", "window", "dwell"),
+)
+def q_event_dwell_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time share by event type: time attributed to an event
+    until the user's next action (LEAD segments, the time_weighted_
+    average mechanics pointed at attribution), capped at 30 min so
+    walk-aways don't own the budget — the 'where do users actually
+    spend time' split that raw event counts misrepresent. One
+    user-keyed window pass, then a type-level rollup against a 1-row
+    broadcast total."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "event_type",
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1_000_000.0
+        ).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    capped = seg.select(
+        "event_type", F.least(F.col("dur_s"), F.lit(1800.0)).alias("dur_s")
+    )
+    tot = capped.agg(F.sum("dur_s").alias("total"))
+    return (
+        capped.join(F.broadcast(tot))
+        .groupBy("event_type", "total")
+        .agg(
+            F.round(F.sum("dur_s") / 3600.0, 3).alias("dwell_hours"),
+            F.round(F.sum("dur_s") / F.first("total"), 4).alias("dwell_share"),
+        )
+        .select("event_type", "dwell_hours", "dwell_share")
+    )
+
+
+@register(
+    "retry_storm_episodes",
+    oracle="""
+    WITH errs AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'error'),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             count(*) OVER (PARTITION BY user_id ORDER BY t
+                            RANGE BETWEEN 300000000 PRECEDING
+                                      AND CURRENT ROW) >= 3 AS in_storm
+      FROM errs),
+    islands AS (
+      SELECT user_id, in_storm,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY user_id, in_storm
+                                    ORDER BY ts, event_id) AS BIGINT) AS grp
+      FROM flagged)
+    SELECT CAST(count(*) AS BIGINT) AS n_episodes,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_with_storms,
+           round(avg(ep_len), 3) AS mean_episode_len
+    FROM (
+      SELECT user_id, grp, CAST(count(*) AS DOUBLE) AS ep_len
+      FROM islands WHERE in_storm
+      GROUP BY user_id, grp)
+    """,
+    tags=("sre", "window", "islands"),
+)
+def q_retry_storm_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-storm detection: a user is 'in storm' when ≥3 errors land
+    within a trailing 5-minute RANGE frame; contiguous in-storm rows
+    collapse into EPISODES via the gaps-and-islands double
+    row_number — so the output counts incidents, not alert rows (the
+    flap-suppression every paging pipeline needs; cf. error_burn_rate
+    for the rate-threshold view). Both windows and the island
+    grouping share the user_id partitioning — one shuffle total."""
+    e = _t(spark, sf_dir, "events")
+    errs = e.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("t")
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-300_000_000, 0)
+    )
+    flagged = errs.select(
+        "user_id", "event_id", "ts",
+        (F.count("*").over(wr) >= 3).alias("in_storm"),
+    )
+    r_all = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    r_grp = F.row_number().over(
+        Window.partitionBy("user_id", "in_storm").orderBy("ts", "event_id")
+    )
+    islands = flagged.select(
+        "user_id", "in_storm", (r_all - r_grp).cast("bigint").alias("grp")
+    )
+    episodes = (
+        islands.filter(F.col("in_storm"))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").cast("double").alias("ep_len"))
+    )
+    return episodes.agg(
+        F.count("*").cast("bigint").alias("n_episodes"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users_with_storms"),
+        F.round(F.avg("ep_len"), 3).alias("mean_episode_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

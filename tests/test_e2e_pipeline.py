@@ -155,3 +155,37 @@ def test_viz_product_webmercator_roundtrip(spark, tmp_path):
     valid = got != -9999.0
     assert valid.sum() > out_h * out_w * 0.5
     assert np.max(np.abs(got[valid] - expect[valid])) < 1e-5  # float32 product
+
+
+def test_cli_entry_point(spark, tmp_path):
+    """`python -m ndvi_etl_pipeline_spark` — the reference's
+    `python main.py` equivalent — runs the full demo pipeline and
+    writes the three product tables; re-running upserts idempotently
+    (same scene set → same row count)."""
+    from ndvi_etl_pipeline_spark.__main__ import main
+
+    scenes = str(tmp_path / "scenes")
+    out = tmp_path / "products"
+    rc = main(
+        [
+            "--scenes", scenes, "--out", str(out),
+            "--demo", "2", "--aoi", "10,10 400,20 450,450 20,400",
+            "--overviews",
+        ]
+    )
+    assert rc == 0
+    full = spark.read.parquet(str(out / "ndvi_full_stats"))
+    assert full.count() == 2
+    assert {"scene_id", "acquisition_date"} <= set(full.columns)
+    assert spark.read.parquet(str(out / "ndvi_clipped")).count() == 2
+    factors = {
+        r["factor"]
+        for r in spark.read.parquet(str(out / "ndvi_overviews"))
+        .select("factor").distinct().collect()
+    }
+    assert factors == {2, 4, 8, 16, 32}
+
+    # idempotent replay (K3/K4 upsert semantics at the CLI surface)
+    rc = main(["--scenes", scenes, "--out", str(out), "--demo", "2"])
+    assert rc == 0
+    assert spark.read.parquet(str(out / "ndvi_full_stats")).count() == 2

@@ -11494,6 +11494,136 @@ def q_retry_storm_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stock_span_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    brk AS (
+      SELECT a.d,
+             max(b.d) AS last_higher
+      FROM daily a LEFT JOIN daily b
+        ON b.d < a.d AND b.v > a.v
+      GROUP BY a.d),
+    span AS (
+      SELECT daily.d,
+             CASE WHEN last_higher IS NULL
+                  THEN date_diff('day',
+                         (SELECT min(d) FROM daily), daily.d) + 1
+                  ELSE date_diff('day', last_higher, daily.d) END AS s
+      FROM daily JOIN brk ON daily.d = brk.d)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(s) AS BIGINT) AS max_span,
+           round(avg(CAST(s AS DOUBLE)), 3) AS mean_span
+    FROM span
+    """,
+    tags=("window", "span", "timeseries"),
+)
+def q_stock_span_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stock-span problem: for each day, how many days since
+    revenue was last HIGHER — the momentum/streak statistic that is
+    not a frame aggregate (the lookback distance is data-dependent),
+    solved relationally as a theta-join to the most recent dominating
+    day. Quadratic in |days| — which is the point of the daily
+    pre-aggregate: the join runs on calendar-sized input, never
+    facts. (The O(n) monotonic-stack version is a sequential kernel;
+    this relation pins its semantics.)"""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    brk = (
+        a.join(
+            b,
+            (F.col("b.d") < F.col("a.d")) & (F.col("b.v") > F.col("a.v")),
+            "left",
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.max("b.d").alias("last_higher"))
+    )
+    first_day = daily.agg(F.min("d").alias("d0"))
+    span = (
+        daily.join(brk, "d")
+        .join(F.broadcast(first_day))
+        .select(
+            F.when(
+                F.col("last_higher").isNull(),
+                F.datediff(F.col("d"), F.col("d0")) + 1,
+            )
+            .otherwise(F.datediff(F.col("d"), F.col("last_higher")))
+            .alias("s")
+        )
+    )
+    return span.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max("s").cast("bigint").alias("max_span"),
+        F.round(F.avg(F.col("s").cast("double")), 3).alias("mean_span"),
+    )
+
+
+@register(
+    "heaps_law_fit",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w
+      FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      WHERE w <> ''),
+    ordered AS (
+      SELECT w, row_number() OVER (ORDER BY doc_id, w) AS pos
+      FROM words),
+    firsts AS (
+      SELECT min(pos) AS fp FROM ordered GROUP BY w),
+    curve AS (
+      SELECT CAST(pow(2, k) AS BIGINT) AS n_tokens,
+             (SELECT CAST(count(*) AS BIGINT) FROM firsts
+              WHERE fp <= CAST(pow(2, k) AS BIGINT)) AS vocab
+      FROM unnest(generate_series(6, 14)) AS t(k))
+    SELECT round(regr_slope(ln(CAST(vocab AS DOUBLE)),
+                            ln(CAST(n_tokens AS DOUBLE))), 4) AS beta,
+           round(exp(regr_intercept(ln(CAST(vocab AS DOUBLE)),
+                                    ln(CAST(n_tokens AS DOUBLE)))), 2) AS k_const,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM curve
+    """,
+    tags=("text", "corpus", "regression"),
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit V(N) = K·N^β — vocabulary growth against corpus
+    size, the companion diagnostic to zipf_fit (β ≈ 0.4–0.6 for
+    natural text; a flat or linear curve flags synthetic/duplicated
+    corpora): token stream in deterministic (doc, word) order, each
+    type's first-occurrence position, the V(N) curve sampled at
+    powers of two, then a log-log regression. The stream order
+    window is the only global sort and runs once; the curve itself
+    is 9 scalar lookups against the firsts relation."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    ordered = words.select(
+        "w", F.row_number().over(Window.orderBy("doc_id", "w")).alias("pos")
+    )
+    firsts = ordered.groupBy("w").agg(F.min("pos").alias("fp"))
+    ks = spark.range(6, 15).select(
+        F.pow(F.lit(2.0), F.col("id")).cast("bigint").alias("n_tokens")
+    )
+    curve = (
+        ks.join(F.broadcast(firsts), F.col("fp") <= F.col("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(F.count("*").cast("bigint").alias("vocab"))
+    )
+    lx = F.log(F.col("n_tokens").cast("double"))
+    ly = F.log(F.col("vocab").cast("double"))
+    return curve.agg(
+        F.round(F.regr_slope(ly, lx), 4).alias("beta"),
+        F.round(F.exp(F.regr_intercept(ly, lx)), 2).alias("k_const"),
+        F.count("*").cast("bigint").alias("n_points"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

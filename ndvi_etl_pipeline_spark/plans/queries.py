@@ -11624,6 +11624,124 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sequence_gap_audit",
+    oracle="""
+    WITH ks AS (
+      SELECT o_orderkey AS k,
+             lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+      FROM orders),
+    gaps AS (
+      SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS missing
+      FROM ks WHERE nxt - k > 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(coalesce(sum(missing), 0) AS BIGINT) AS total_missing,
+           CAST(coalesce(max(missing), 0) AS BIGINT) AS largest_gap,
+           CAST(min(gap_start) AS BIGINT) AS first_gap_start
+    FROM gaps
+    """,
+    tags=("audit", "window", "sequence"),
+)
+def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps in a supposedly-dense id sequence (missing invoice
+    numbers — the completeness audit behind financial recon): LEAD
+    over the sorted keys exposes each gap as (prev+1, next−1), then
+    gap count / total missing / largest run. One window over the key
+    column only (ReadSchema is a single column); the at-scale variant
+    partitions by id range so each task scans its own span and only
+    range boundaries need a second look."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    ks = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lead("o_orderkey").over(w).alias("nxt"),
+    )
+    gaps = ks.filter(F.col("nxt") - F.col("k") > 1).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("nxt") - F.col("k") - 1).alias("missing"),
+    )
+    return gaps.agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.coalesce(F.sum("missing"), F.lit(0)).cast("bigint").alias("total_missing"),
+        F.coalesce(F.max("missing"), F.lit(0)).cast("bigint").alias("largest_gap"),
+        F.min("gap_start").cast("bigint").alias("first_gap_start"),
+    )
+
+
+@register(
+    "position_weighted_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id
+      FROM events WHERE event_type = 'purchase'),
+    touches AS (
+      SELECT p.p_id, e.event_type, e.value,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY e.ts, e.event_id) AS pos,
+             count(*) OVER (PARTITION BY p.p_id) AS n_touch
+      FROM purchases p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type IN ('view', 'click')
+       AND e.ts < p.p_ts
+       AND e.ts >= p.p_ts - INTERVAL 48 HOURS),
+    credited AS (
+      SELECT event_type,
+             CASE WHEN n_touch = 1 THEN 1.0
+                  WHEN pos = 1 THEN 0.4
+                  WHEN pos = n_touch THEN 0.4
+                  ELSE 0.2 / (n_touch - 2) END AS credit
+      FROM touches)
+    SELECT event_type,
+           round(sum(credit), 4) AS total_credit,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM credited GROUP BY event_type
+    """,
+    tags=("attribution", "window", "funnel"),
+)
+def q_position_weighted_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each
+    purchase's preceding 48 h of view/click touches get 40% first,
+    40% last, 20% spread over the middle — the credit-division model
+    between first/last-touch (touch_attribution) and data-driven
+    Markov. The purchase×touch join is time-banded per user (the
+    range_join_window discipline keeps it from exploding); the
+    position windows partition by purchase so credit math stays
+    local. Total credit ≈ |attributed purchases| by construction —
+    conservation is the checkable invariant."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    touches = (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") < F.col("p_ts"))
+            & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 48 HOURS")),
+        )
+    )
+    wp = Window.partitionBy("p_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("p_id")
+    positioned = touches.select(
+        "event_type",
+        F.row_number().over(wp).alias("pos"),
+        F.count("*").over(wn).alias("n_touch"),
+    )
+    credit = (
+        F.when(F.col("n_touch") == 1, 1.0)
+        .when(F.col("pos") == 1, 0.4)
+        .when(F.col("pos") == F.col("n_touch"), 0.4)
+        .otherwise(0.2 / (F.col("n_touch") - 2))
+    )
+    return positioned.groupBy("event_type").agg(
+        F.round(F.sum(credit), 4).alias("total_credit"),
+        F.count("*").cast("bigint").alias("n_touches"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -11742,6 +11742,102 @@ def q_position_weighted_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "repeat_purchase_ladder",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders GROUP BY o_custkey),
+    ladder AS (
+      SELECT k,
+             (SELECT CAST(count(*) AS BIGINT) FROM counts
+              WHERE n_orders >= k) AS at_least_k
+      FROM unnest(generate_series(1, 10)) AS t(k))
+    SELECT k, at_least_k,
+           round(CAST(at_least_k AS DOUBLE)
+                 / lag(at_least_k) OVER (ORDER BY k), 4)
+             AS p_next_given_prev
+    FROM ladder
+    """,
+    tags=("cohort", "ladder", "window"),
+)
+def q_repeat_purchase_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase ladder: P(k-th order | made k−1) — the
+    conditional continuation probabilities growth teams watch (the
+    first rungs decide LTV far more than the tail): per-customer
+    order counts, survivors-at-k for k=1..10 via a threshold join,
+    successive ratios with LAG. The ladder relation is 10 rows; only
+    the per-customer count touches facts. NULL first ratio is the
+    k=1 base case by construction."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    ks = spark.range(1, 11).select(F.col("id").alias("k"))
+    ladder = (
+        ks.join(F.broadcast(counts), F.col("n_orders") >= F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("at_least_k"))
+    )
+    w = Window.orderBy("k")
+    return ladder.select(
+        "k",
+        "at_least_k",
+        F.round(
+            F.col("at_least_k").cast("double") / F.lag("at_least_k").over(w), 4
+        ).alias("p_next_given_prev"),
+    )
+
+
+@register(
+    "seasonal_baseline_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(strftime(CAST(o_orderdate AS DATE), '%w') AS INT) AS wd,
+             sum(o_totalprice) AS v
+      FROM orders GROUP BY 1, 2),
+    base AS (
+      SELECT wd, avg(v) AS mu, stddev_samp(v) AS sigma
+      FROM daily GROUP BY wd)
+    SELECT daily.wd AS weekday,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN abs(v - mu) > 3 * sigma THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies,
+           round(max(abs(v - mu) / sigma), 3) AS worst_zscore
+    FROM daily JOIN base ON daily.wd = base.wd
+    GROUP BY daily.wd
+    """,
+    tags=("timeseries", "anomaly", "seasonal"),
+)
+def q_seasonal_baseline_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly flags: each day scored against ITS
+    WEEKDAY's mean ± 3σ rather than a global band — the fix for the
+    false positives a flat threshold raises every weekend (the
+    seasonal-hybrid half of anomaly detection; ndvi_anomaly_zscore
+    is the same device on pixel climatology). Weekday baselines are
+    a 7-row broadcast; one pass over the daily aggregate scores and
+    rolls up."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias("wd"),
+    ).agg(F.sum("o_totalprice").alias("v"))
+    base = daily.groupBy("wd").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    z = F.abs(F.col("v") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(base), "wd")
+        .groupBy(F.col("wd").alias("weekday"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.when(F.abs(F.col("v") - F.col("mu")) > 3 * F.col("sigma"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.round(F.max(z), 3).alias("worst_zscore"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

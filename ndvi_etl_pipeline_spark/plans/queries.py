@@ -11838,6 +11838,171 @@ def q_seasonal_baseline_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "cohort_payback_month",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             date_trunc('month', min(CAST(o_orderdate AS DATE))) AS cohort_m
+      FROM orders GROUP BY o_custkey),
+    sizes AS (
+      SELECT cohort_m, count(*) AS cohort_n FROM firsts GROUP BY cohort_m),
+    monthly AS (
+      SELECT f.cohort_m,
+             date_diff('month', f.cohort_m,
+                       date_trunc('month', CAST(o.o_orderdate AS DATE)))
+               AS age_m,
+             sum(o.o_totalprice) AS rev
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT m.cohort_m, m.age_m,
+             sum(m.rev) OVER (PARTITION BY m.cohort_m ORDER BY m.age_m
+                              ROWS UNBOUNDED PRECEDING) / s.cohort_n
+               AS cum_per_cust
+      FROM monthly m JOIN sizes s USING (cohort_m)),
+    payback AS (
+      SELECT cohort_m,
+             min(CASE WHEN cum_per_cust >= 200000 THEN age_m END)
+               AS payback_age
+      FROM cum GROUP BY cohort_m)
+    SELECT CAST(count(*) AS BIGINT) AS n_cohorts,
+           CAST(count(payback_age) AS BIGINT) AS n_paid_back,
+           round(avg(payback_age), 3) AS mean_payback_months
+    FROM payback
+    """,
+    tags=("cohort", "ltv", "threshold"),
+)
+def q_cohort_payback_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort payback: first month-of-life where cumulative revenue
+    per cohort member crosses the acquisition-cost threshold — the
+    unit-economics question the LTV curve (cohort_ltv_curve) exists
+    to answer, computed as a conditional-MIN threshold crossing over
+    the cohort-age cumulative (no sort-and-take-first per cohort).
+    Cohorts that never pay back stay NULL and are counted separately
+    — the honest read at any threshold."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min(F.col("o_orderdate").cast("date"))).alias(
+            "cohort_m"
+        )
+    )
+    sizes = firsts.groupBy("cohort_m").agg(F.count("*").alias("cohort_n"))
+    age = F.months_between(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")), F.col("cohort_m")
+    ).cast("long")
+    monthly = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_m", age.alias("age_m"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = monthly.join(F.broadcast(sizes), "cohort_m").select(
+        "cohort_m",
+        "age_m",
+        (F.sum("rev").over(w) / F.col("cohort_n")).alias("cum_per_cust"),
+    )
+    payback = cum.groupBy("cohort_m").agg(
+        F.min(F.when(F.col("cum_per_cust") >= 200000, F.col("age_m"))).alias(
+            "payback_age"
+        )
+    )
+    return payback.agg(
+        F.count("*").cast("bigint").alias("n_cohorts"),
+        F.count("payback_age").cast("bigint").alias("n_paid_back"),
+        F.round(F.avg("payback_age"), 3).alias("mean_payback_months"),
+    )
+
+
+@register(
+    "uncertainty_margin_sampling",
+    oracle="""
+    WITH dims AS (
+      SELECT label, dim, embedding[dim] AS v
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(dim)),
+    centroids AS (
+      SELECT label AS c_label, dim, avg(v) AS c
+      FROM dims GROUP BY label, dim),
+    dists AS (
+      SELECT e.vec_id, e.label, k.c_label,
+             sqrt(sum((e.embedding[k.dim] - k.c) * (e.embedding[k.dim] - k.c)))
+               AS d
+      FROM embeddings e,
+           centroids k
+      GROUP BY e.vec_id, e.label, k.c_label),
+    ranked AS (
+      SELECT vec_id, label, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, c_label)
+               AS rn
+      FROM dists),
+    margins AS (
+      SELECT a.vec_id, a.label,
+             b.d - a.d AS margin
+      FROM ranked a JOIN ranked b
+        ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+    selected AS (
+      SELECT label, margin,
+             row_number() OVER (ORDER BY margin, vec_id) AS pick
+      FROM margins)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_ambiguous,
+           round(avg(margin), 5) AS mean_margin
+    FROM selected WHERE pick <= 50
+    GROUP BY label
+    """,
+    tags=("embeddings", "ml", "active-learning"),
+)
+def q_uncertainty_margin_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based uncertainty sampling — the active-learning
+    labeling queue: per embedding, distance to its nearest and
+    second-nearest label centroid; the 50 smallest margins are the
+    points worth a human label, reported per true label (a class
+    over-represented here is where the decision boundary is
+    weakest). Centroids broadcast (|labels|·dims); top-2-per-point
+    comes from one ranked window over the point×centroid distances,
+    and the global pick is a bounded top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    cent = dims.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.avg("v").alias("c")
+    )
+    pt = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "pv")
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("dim"), "pv")
+    dists = (
+        pt.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sqrt(F.sum((F.col("pv") - F.col("c")) * (F.col("pv") - F.col("c")))).alias(
+                "d"
+            )
+        )
+    )
+    wr = Window.partitionBy("vec_id").orderBy("d", "c_label")
+    ranked = dists.withColumn("rn", F.row_number().over(wr))
+    a = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "label", F.col("d").alias("d1")
+    )
+    b = ranked.filter(F.col("rn") == 2).select(
+        F.col("vec_id").alias("v2"), F.col("d").alias("d2")
+    )
+    margins = a.join(b, a["vec_id"] == b["v2"]).select(
+        "vec_id", "label", (F.col("d2") - F.col("d1")).alias("margin")
+    )
+    picked = margins.withColumn(
+        "pick", F.row_number().over(Window.orderBy("margin", "vec_id"))
+    ).filter(F.col("pick") <= 50)
+    return picked.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_ambiguous"),
+        F.round(F.avg("margin"), 5).alias("mean_margin"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -12003,6 +12003,153 @@ def q_uncertainty_margin_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "quantile_treatment_effect",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                       >= '8' THEN 1 ELSE 0 END AS treated,
+             o_totalprice
+      FROM orders),
+    qs AS (
+      SELECT treated,
+             quantile_cont(o_totalprice, 0.1) AS q1,
+             quantile_cont(o_totalprice, 0.2) AS q2,
+             quantile_cont(o_totalprice, 0.3) AS q3,
+             quantile_cont(o_totalprice, 0.4) AS q4,
+             quantile_cont(o_totalprice, 0.5) AS q5,
+             quantile_cont(o_totalprice, 0.6) AS q6,
+             quantile_cont(o_totalprice, 0.7) AS q7,
+             quantile_cont(o_totalprice, 0.8) AS q8,
+             quantile_cont(o_totalprice, 0.9) AS q9
+      FROM assigned GROUP BY treated),
+    longq AS (
+      SELECT treated, q / 10.0 AS tau,
+             CASE q WHEN 1 THEN q1 WHEN 2 THEN q2 WHEN 3 THEN q3
+                    WHEN 4 THEN q4 WHEN 5 THEN q5 WHEN 6 THEN q6
+                    WHEN 7 THEN q7 WHEN 8 THEN q8 ELSE q9 END AS v
+      FROM qs, unnest(generate_series(1, 9)) AS t(q))
+    SELECT t.tau,
+           round(t.v, 2) AS q_treated,
+           round(c.v, 2) AS q_control,
+           round(t.v - c.v, 2) AS qte
+    FROM (SELECT * FROM longq WHERE treated = 1) t
+    JOIN (SELECT * FROM longq WHERE treated = 0) c ON t.tau = c.tau
+    """,
+    tags=("stats", "experimentation", "percentile"),
+)
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: decile-by-decile difference
+    between treatment and control outcome distributions — the view
+    that catches effects a mean comparison (welch_ttest) averages
+    away (a treatment can lift the tail while flattening the
+    median). Hash-split assignment for a deterministic oracle; nine
+    exact interpolated quantiles per arm from one grouped pass, a
+    9-row join for the effect curve. QTE ≈ 0 everywhere is the
+    correct read under a null split."""
+    o = _t(spark, sf_dir, "orders")
+    assigned = o.select(
+        F.when(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) >= "8", 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        "o_totalprice",
+    )
+    taus = [i / 10.0 for i in range(1, 10)]
+    qs = assigned.groupBy("treated").agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {t})").alias(f"q{i}")
+            for i, t in enumerate(taus, start=1)
+        ]
+    )
+    long = qs.select(
+        "treated",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tau"), F.col(f"q{i}").alias("v")
+                    )
+                    for i, t in enumerate(taus, start=1)
+                ]
+            )
+        ).alias("s"),
+    ).select("treated", "s.tau", "s.v")
+    t = long.filter(F.col("treated") == 1).select("tau", F.col("v").alias("vt"))
+    c = long.filter(F.col("treated") == 0).select(
+        F.col("tau").alias("tau_c"), F.col("v").alias("vc")
+    )
+    return t.join(c, t["tau"] == c["tau_c"]).select(
+        "tau",
+        F.round("vt", 2).alias("q_treated"),
+        F.round("vc", 2).alias("q_control"),
+        F.round(F.col("vt") - F.col("vc"), 2).alias("qte"),
+    )
+
+
+@register(
+    "overlap_coefficient_sources",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT source, w
+      FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      WHERE w <> ''),
+    sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY source),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+      FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT sa, sb, shared,
+           round(CAST(shared AS DOUBLE) / least(x.n, y.n), 4)
+             AS overlap_coef
+    FROM inter
+    JOIN sizes x ON x.source = sa
+    JOIN sizes y ON y.source = sb
+    """,
+    tags=("text", "corpus", "setop"),
+)
+def q_overlap_coefficient_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szymkiewicz–Simpson overlap between source vocabularies —
+    |A∩B| / min(|A|,|B|), the asymmetry-tolerant cousin of Jaccard
+    for corpus mixing decisions (a small source fully inside a big
+    one scores 1.0 where Jaccard hides it; shingle_containment is
+    the same idea at document grain). Vocab dedup per source is the
+    only corpus-sized pass; intersections come from the shared-word
+    equi-join's group count, sizes broadcast back."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .agg(F.count("*").alias("shared"))
+    )
+    x = sizes.withColumnRenamed("source", "sa").withColumnRenamed("n", "nx")
+    y = sizes.withColumnRenamed("source", "sb").withColumnRenamed("n", "ny")
+    return (
+        inter.join(F.broadcast(x), "sa")
+        .join(F.broadcast(y), "sb")
+        .select(
+            "sa",
+            "sb",
+            "shared",
+            F.round(
+                F.col("shared").cast("double") / F.least("nx", "ny"), 4
+            ).alias("overlap_coef"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -12150,6 +12150,194 @@ def q_overlap_coefficient_sources(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "partial_correlation",
+    oracle="""
+    WITH base AS (
+      SELECT l_quantity AS x, l_extendedprice AS y, l_discount AS z
+      FROM lineitem),
+    cs AS (
+      SELECT corr(x, y) AS rxy, corr(x, z) AS rxz, corr(y, z) AS ryz,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base)
+    SELECT round(rxy, 6) AS r_xy,
+           round((rxy - rxz * ryz)
+                 / (sqrt(1 - rxz * rxz) * sqrt(1 - ryz * ryz)), 6)
+             AS r_xy_given_z,
+           n
+    FROM cs
+    """,
+    tags=("stats", "correlation"),
+)
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation r_xy·z — the quantity↔price association
+    with the discount's influence removed, from the three pairwise
+    Pearson correlations in ONE aggregate pass (the recursion
+    formula; no residual regressions needed). The raw and partial r
+    side by side show whether the control variable was doing the
+    work — the first confounder check before any causal claim."""
+    li = _t(spark, sf_dir, "lineitem")
+    cs = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("rxy"),
+        F.corr("l_quantity", "l_discount").alias("rxz"),
+        F.corr("l_extendedprice", "l_discount").alias("ryz"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    partial = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / (
+        F.sqrt(1 - F.col("rxz") * F.col("rxz"))
+        * F.sqrt(1 - F.col("ryz") * F.col("ryz"))
+    )
+    return cs.select(
+        F.round("rxy", 6).alias("r_xy"),
+        F.round(partial, 6).alias("r_xy_given_z"),
+        "n",
+    )
+
+
+@register(
+    "kendalls_w_concordance",
+    oracle="""
+    WITH yearly AS (
+      SELECT n_name,
+             CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INT) AS yr,
+             sum(o_totalprice) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INT)
+            BETWEEN 1996 AND 1998
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT n_name, yr,
+             rank() OVER (PARTITION BY yr ORDER BY rev DESC, n_name) AS r
+      FROM yearly),
+    sums AS (
+      SELECT n_name, CAST(sum(r) AS DOUBLE) AS rsum,
+             CAST(count(*) AS BIGINT) AS m_check
+      FROM ranked GROUP BY n_name),
+    stats AS (
+      SELECT var_pop(rsum) * count(*) AS s,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM sums)
+    SELECT round(12.0 * s / (9.0 * (n * n * n - n)), 6) AS kendalls_w,
+           CAST(n AS BIGINT) AS n_items
+    FROM stats
+    """,
+    tags=("stats", "rank", "agreement"),
+)
+def q_kendalls_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W — concordance of m=3 yearly revenue rankings of
+    the nations: W = 12S/(m²(n³−n)) with S the sum of squared
+    rank-sum deviations (computed as n·var_pop of the rank sums).
+    W→1 = the league table is stable year over year, W→0 = the
+    rankings are noise — the multi-period stability statistic behind
+    rank_movement's per-pair view. Rankings are per-year windows on
+    the |nations|×|years| aggregate; everything after is scalar."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    yearly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .filter(yr.between(1996, 1998))
+        .groupBy("n_name", yr.alias("yr"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wrank = Window.partitionBy("yr").orderBy(F.col("rev").desc(), F.col("n_name"))
+    ranked = yearly.select("n_name", F.rank().over(wrank).alias("r"))
+    sums = ranked.groupBy("n_name").agg(F.sum("r").cast("double").alias("rsum"))
+    stats = sums.agg(
+        (F.var_pop("rsum") * F.count("*")).alias("s"),
+        F.count("*").cast("double").alias("nn"),
+    )
+    return stats.select(
+        F.round(
+            12.0 * F.col("s") / (9.0 * (F.col("nn") ** 3 - F.col("nn"))), 6
+        ).alias("kendalls_w"),
+        F.col("nn").cast("bigint").alias("n_items"),
+    )
+
+
+@register(
+    "runs_test_randomness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    med AS (SELECT quantile_cont(v, 0.5) AS m FROM daily),
+    signs AS (
+      SELECT d, CASE WHEN v > m THEN 1 ELSE 0 END AS s
+      FROM daily CROSS JOIN med WHERE v <> m),
+    runs AS (
+      SELECT s,
+             CASE WHEN lag(s) OVER (ORDER BY d) IS DISTINCT FROM s
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signs),
+    cnt AS (
+      SELECT CAST(sum(new_run) AS DOUBLE) AS r,
+             CAST(sum(s) AS DOUBLE) AS n1,
+             CAST(count(*) - sum(s) AS DOUBLE) AS n0
+      FROM runs)
+    SELECT CAST(r AS BIGINT) AS n_runs,
+           round(1 + 2 * n1 * n0 / (n1 + n0), 3) AS expected_runs,
+           round((r - (1 + 2 * n1 * n0 / (n1 + n0)))
+                 / sqrt(2 * n1 * n0 * (2 * n1 * n0 - n1 - n0)
+                        / ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1))), 4)
+             AS z_score
+    FROM cnt
+    """,
+    tags=("stats", "timeseries", "randomness"),
+)
+def q_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on daily revenue vs its median:
+    count sign runs (LAG flags run starts), compare against the
+    expected count under exchangeability — too few runs = trending,
+    too many = oscillating; |z| < 2 = consistent with randomness
+    (the expected read on this generator, and the residual check a
+    forecaster runs after detrending; cf. acf_daily_revenue for the
+    parametric view). One window over the daily aggregate, scalar
+    algebra after."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    med = daily.agg(F.expr("percentile(v, 0.5)").alias("m"))
+    signs = (
+        daily.join(F.broadcast(med))
+        .filter(F.col("v") != F.col("m"))
+        .select("d", F.when(F.col("v") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    w = Window.orderBy("d")
+    runs = signs.select(
+        "s",
+        F.when(
+            ~F.lag("s").over(w).eqNullSafe(F.col("s")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    cnt = runs.agg(
+        F.sum("new_run").cast("double").alias("r"),
+        F.sum("s").cast("double").alias("n1"),
+        (F.count("*") - F.sum("s")).cast("double").alias("n0"),
+    )
+    exp_r = 1 + 2 * F.col("n1") * F.col("n0") / (F.col("n1") + F.col("n0"))
+    var_r = (
+        2
+        * F.col("n1")
+        * F.col("n0")
+        * (2 * F.col("n1") * F.col("n0") - F.col("n1") - F.col("n0"))
+        / (
+            (F.col("n1") + F.col("n0"))
+            * (F.col("n1") + F.col("n0"))
+            * (F.col("n1") + F.col("n0") - 1)
+        )
+    )
+    return cnt.select(
+        F.col("r").cast("bigint").alias("n_runs"),
+        F.round(exp_r, 3).alias("expected_runs"),
+        F.round((F.col("r") - exp_r) / F.sqrt(var_r), 4).alias("z_score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -12338,6 +12338,120 @@ def q_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dp_noisy_counts",
+    oracle="""
+    WITH cells AS (
+      SELECT n_name, CAST(count(*) AS DOUBLE) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name),
+    noised AS (
+      SELECT n_name, n,
+             (('0x' || substr(md5(n_name), 1, 8))::UBIGINT + 1)
+               / 4294967296.0 AS u
+      FROM cells)
+    SELECT n_name,
+           round(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * 2.0 * ln(1.0 - 2.0 * abs(u - 0.5)), 3)
+             AS noisy_count,
+           round(abs((CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * 2.0 * ln(1.0 - 2.0 * abs(u - 0.5))), 3)
+             AS noise_magnitude
+    FROM noised
+    """,
+    tags=("privacy", "agg"),
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release (ε=0.5, sensitivity 1 →
+    scale b=2): per-nation customer-order counts plus
+    inverse-CDF-sampled Laplace noise — with the uniform drawn
+    BIT-EXACTLY from md5 of the cell key (the weighted_sample_es
+    device), so the 'noise' is reproducible across engines and the
+    oracle can pin the released values. A real deployment draws u
+    from a CSPRNG — everything else (the mechanism, the per-cell
+    independence, the magnitude distribution) is exactly this
+    query's shape; sensitivity-1 holds because each (customer,
+    order) contributes to one nation cell."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("n_name")), 1, 8), 16, 10).cast("double") + 1
+    ) / F.lit(4294967296.0)
+    sign = F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = sign * 2.0 * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    return cells.select(
+        "n_name",
+        F.round(F.col("cnt") + noise, 3).alias("noisy_count"),
+        F.round(F.abs(noise), 3).alias("noise_magnitude"),
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT n_name,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             o_orderpriority,
+             count(*) AS grp_n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           round(CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+                      AS DOUBLE) / sum(grp_n), 4) AS at_risk_share,
+           CAST(min(grp_n) AS BIGINT) AS smallest_group
+    FROM qi
+    """,
+    tags=("privacy", "audit", "agg"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    order month, priority): how many equivalence classes fall below
+    k=5, and what share of rows they expose — the re-identification
+    risk check run before any 'anonymized' data release (small
+    groups are the linkage attack surface; the fix is coarsening a
+    QI column or suppressing the rows, then re-running this audit).
+    One grouped count + one |groups|-sized rollup, at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    qi = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+            "o_orderpriority",
+        )
+        .agg(F.count("*").alias("grp_n"))
+    )
+    below = F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)
+    return qi.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_below_k"),
+        F.sum(below).cast("bigint").alias("rows_at_risk"),
+        F.round(
+            F.sum(below).cast("double") / F.sum("grp_n"), 4
+        ).alias("at_risk_share"),
+        F.min("grp_n").cast("bigint").alias("smallest_group"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -12452,6 +12452,98 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "class_balance_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT label, CAST(count(*) AS DOUBLE) AS n_k
+      FROM embeddings GROUP BY label),
+    tot AS (SELECT sum(n_k) AS n, CAST(count(*) AS DOUBLE) AS k FROM counts)
+    SELECT label,
+           CAST(n_k AS BIGINT) AS n_examples,
+           round(n / (k * n_k), 6) AS inverse_freq_weight,
+           round((1 - pow(0.999, n_k)) / (1 - 0.999), 4)
+             AS effective_number,
+           round((1 - 0.999) / (1 - pow(0.999, n_k)), 6)
+             AS class_balanced_weight
+    FROM counts CROSS JOIN tot
+    """,
+    tags=("training", "ml", "weights"),
+)
+def q_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-imbalance weight table: inverse-frequency N/(K·n_k)
+    next to the effective-number weighting (1−β)/(1−β^n), β=0.999
+    (Cui et al. 2019) — the per-label loss weights a trainer loads
+    before fitting on skewed labels; effective-number tempering
+    matters exactly when classes are large enough that marginal
+    examples overlap. A |labels|-row aggregate and a 1-row broadcast
+    total; the table is the artifact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count("*").cast("double").alias("n_k"))
+    tot = counts.agg(
+        F.sum("n_k").alias("n"), F.count("*").cast("double").alias("k")
+    )
+    beta = 0.999
+    eff = (1 - F.pow(F.lit(beta), F.col("n_k"))) / (1 - beta)
+    return counts.join(F.broadcast(tot)).select(
+        "label",
+        F.col("n_k").cast("bigint").alias("n_examples"),
+        F.round(F.col("n") / (F.col("k") * F.col("n_k")), 6).alias(
+            "inverse_freq_weight"
+        ),
+        F.round(eff, 4).alias("effective_number"),
+        F.round(1.0 / eff, 6).alias("class_balanced_weight"),
+    )
+
+
+@register(
+    "curriculum_difficulty_phases",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE)
+               / greatest(n_chars, 1) AS word_density,
+             ntile(4) OVER (
+               ORDER BY CAST(len(string_split(text, ' ')) AS DOUBLE)
+                        / greatest(n_chars, 1) DESC, doc_id) AS phase
+      FROM documents WHERE n_chars > 0)
+    SELECT phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS char_budget,
+           round(avg(word_density), 5) AS mean_density
+    FROM scored GROUP BY phase
+    """,
+    tags=("training", "curriculum"),
+)
+def q_curriculum_difficulty_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment: documents quartiled by a
+    difficulty proxy (word density — high density = simple short
+    words first, the easy→hard schedule), with per-phase doc counts
+    and character budgets — the phase manifest a curriculum trainer
+    consumes (each phase becomes a filter on the stored phase
+    column; sequence_packing then packs within phase). Deterministic
+    ntile order makes phase assignment reproducible; at 100 TB the
+    ntile becomes approx-percentile cutpoints exactly as in
+    rfm_segmentation."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    density = F.size(F.split("text", " ")).cast("double") / F.greatest(
+        F.col("n_chars"), F.lit(1)
+    )
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        density.alias("word_density"),
+        F.ntile(4)
+        .over(Window.orderBy(density.desc(), F.col("doc_id")))
+        .alias("phase"),
+    )
+    return scored.groupBy("phase").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("char_budget"),
+        F.round(F.avg("word_density"), 5).alias("mean_density"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

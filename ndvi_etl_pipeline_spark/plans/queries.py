@@ -12544,6 +12544,171 @@ def q_curriculum_difficulty_phases(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "ipf_raking_weights",
+    oracle="""
+    WITH cells AS (
+      SELECT n_regionkey AS rk, o_orderpriority AS pr,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    tot AS (SELECT sum(n) AS total, CAST(count(DISTINCT rk) AS DOUBLE) AS n_r,
+                   CAST(count(DISTINCT pr) AS DOUBLE) AS n_p
+            FROM cells),
+    -- round 1: match uniform region margins
+    r1 AS (
+      SELECT c.rk, c.pr,
+             c.n * (t.total / t.n_r)
+                 / sum(c.n) OVER (PARTITION BY c.rk) AS w
+      FROM cells c CROSS JOIN tot t),
+    -- round 2: match uniform priority margins
+    r2 AS (
+      SELECT rk, pr,
+             w * (t.total / t.n_p) / sum(w) OVER (PARTITION BY pr) AS w
+      FROM r1 CROSS JOIN tot t)
+    SELECT pr,
+           round(sum(w), 3) AS priority_margin_after,
+           round(min(w / n0.n), 5) AS min_weight_ratio,
+           round(max(w / n0.n), 5) AS max_weight_ratio
+    FROM r2 JOIN cells n0 USING (rk, pr)
+    GROUP BY pr
+    """,
+    tags=("stats", "weighting", "iterative"),
+)
+def q_ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking): reweight the
+    region×priority contingency table to uniform target margins —
+    round 1 scales rows to the region margin, round 2 re-scales to
+    the priority margin (each round one window-sum per dimension,
+    unrolled so the oracle replays it exactly; production runs until
+    convergence). After round 2 the priority margins ARE the target
+    (pinned in the output) while region margins drift slightly — the
+    classic IPF behavior. This is how survey weights and
+    demographic-balanced sampling weights are produced at scale: the
+    cell table is tiny, the weights join back to facts."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_regionkey").alias("rk"), F.col("o_orderpriority").alias("pr"))
+        .agg(F.count("*").cast("double").alias("n0"))
+    )
+    tot = cells.agg(
+        F.sum("n0").alias("total"),
+        F.count_distinct("rk").cast("double").alias("n_r"),
+        F.count_distinct("pr").cast("double").alias("n_p"),
+    )
+    wr = Window.partitionBy("rk")
+    wp = Window.partitionBy("pr")
+    r1 = cells.join(F.broadcast(tot)).select(
+        "rk",
+        "pr",
+        "n0",
+        "total",
+        "n_p",
+        (
+            F.col("n0") * (F.col("total") / F.col("n_r")) / F.sum("n0").over(wr)
+        ).alias("w"),
+    )
+    r2 = r1.select(
+        "rk",
+        "pr",
+        "n0",
+        (
+            F.col("w") * (F.col("total") / F.col("n_p")) / F.sum("w").over(wp)
+        ).alias("w"),
+    )
+    return r2.groupBy("pr").agg(
+        F.round(F.sum("w"), 3).alias("priority_margin_after"),
+        F.round(F.min(F.col("w") / F.col("n0")), 5).alias("min_weight_ratio"),
+        F.round(F.max(F.col("w") / F.col("n0")), 5).alias("max_weight_ratio"),
+    )
+
+
+@register(
+    "gains_chart_deciles",
+    oracle="""
+    WITH scored AS (
+      SELECT c_acctbal AS score,
+             CASE WHEN spend > 300000 THEN 1 ELSE 0 END AS converted
+      FROM (
+        SELECT c.c_custkey, c.c_acctbal, coalesce(sum(o.o_totalprice), 0)
+                 AS spend
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal) t),
+    ranked AS (
+      SELECT converted,
+             ntile(10) OVER (ORDER BY score DESC,
+                             converted, random_tiebreak) AS decile
+      FROM (SELECT *, row_number() OVER (ORDER BY score, converted)
+                        AS random_tiebreak FROM scored)),
+    tot AS (SELECT CAST(sum(converted) AS DOUBLE) AS all_conv FROM ranked)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(converted) AS BIGINT) AS conversions,
+           round(sum(sum(converted)) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) / max(t.all_conv), 4)
+             AS cum_gain
+    FROM ranked CROSS JOIN tot t
+    GROUP BY decile
+    """,
+    tags=("ml", "eval", "gains"),
+)
+def q_gains_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains chart: customers deciled by a score
+    (account balance as the stand-in model score), per-decile
+    conversion capture and the cumulative gain curve — the
+    campaign-targeting view of ranking quality next to
+    auc_rank_sum's scalar (a useless score shows cum_gain ≈
+    decile/10; lift above the diagonal is the model's value). The
+    windowed sum-of-sums computes the curve ON the 10-row grouped
+    result — no second pass over customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"))
+    )
+    scored = spend.select(
+        F.col("c_acctbal").alias("score"),
+        F.when(F.col("spend") > 300000, 1).otherwise(0).alias("converted"),
+    )
+    tie = F.row_number().over(Window.orderBy("score", "converted"))
+    ranked = scored.withColumn("random_tiebreak", tie).select(
+        "converted",
+        F.ntile(10)
+        .over(
+            Window.orderBy(
+                F.col("score").desc(), F.col("converted"), F.col("random_tiebreak")
+            )
+        )
+        .alias("decile"),
+    )
+    tot = ranked.agg(F.sum("converted").cast("double").alias("all_conv"))
+    per = (
+        ranked.join(F.broadcast(tot))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("converted").cast("bigint").alias("conversions"),
+            F.max("all_conv").alias("all_conv"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n",
+        "conversions",
+        F.round(
+            F.sum("conversions").over(wcum) / F.col("all_conv"), 4
+        ).alias("cum_gain"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -12709,6 +12709,116 @@ def q_gains_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "degree_assortativity",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    cdeg AS (SELECT c, CAST(count(*) AS DOUBLE) AS dc FROM edges GROUP BY c),
+    pdeg AS (SELECT p, CAST(count(*) AS DOUBLE) AS dp FROM edges GROUP BY p)
+    SELECT round(corr(dc, dp), 6) AS assortativity,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           round(avg(dc), 3) AS mean_cust_degree,
+           round(avg(dp), 3) AS mean_part_degree
+    FROM edges JOIN cdeg USING (c) JOIN pdeg USING (p)
+    """,
+    tags=("graph", "stats"),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the purchase graph: Pearson
+    correlation of endpoint degrees ACROSS EDGES (not across nodes —
+    each edge contributes its two endpoint degrees, so hubs weight
+    in proportion to their edges). Negative = hubs attach to leaves
+    (the usual bipartite commerce signature), positive = rich club.
+    Completes the graph-profile pair with bipartite_degree_profile;
+    mechanically it's the edge relation joined to both degree
+    aggregates — joins keyed on the edge endpoints, the same
+    shuffles the degree counts already created."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cdeg = edges.groupBy("c").agg(F.count("*").cast("double").alias("dc"))
+    pdeg = edges.groupBy("p").agg(F.count("*").cast("double").alias("dp"))
+    j = edges.join(cdeg, "c").join(pdeg, "p")
+    return j.agg(
+        F.round(F.corr("dc", "dp"), 6).alias("assortativity"),
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.round(F.avg("dc"), 3).alias("mean_cust_degree"),
+        F.round(F.avg("dp"), 3).alias("mean_part_degree"),
+    )
+
+
+@register(
+    "burstiness_fano",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    spine AS (
+      SELECT u.user_id, CAST(g.d AS DATE) AS d
+      FROM (SELECT DISTINCT user_id FROM daily) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(
+          (SELECT min(d) FROM daily),
+          (SELECT max(d) FROM daily),
+          INTERVAL 1 DAY)) AS d) g),
+    dense AS (
+      SELECT s.user_id, coalesce(daily.n, 0) AS n
+      FROM spine s LEFT JOIN daily
+        ON daily.user_id = s.user_id AND daily.d = s.d),
+    fano AS (
+      SELECT user_id, var_pop(n) / avg(n) AS f
+      FROM dense GROUP BY user_id HAVING avg(n) > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(f), 4) AS mean_fano,
+           round(quantile_cont(f, 0.5), 4) AS median_fano,
+           CAST(sum(CASE WHEN f > 1.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bursty
+    FROM fano
+    """,
+    tags=("events", "stats", "pointprocess"),
+)
+def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness via the Fano factor (index of dispersion):
+    per-user daily event counts DENSIFIED over the full calendar
+    (zero days count — without the spine, quiet users look Poisson),
+    then var/mean per user; F≈1 = Poisson, F≫1 = bursty sessions —
+    the point-process diagnostic that decides whether rate-based
+    capacity models apply. The spine is |users|×|days| narrow rows
+    from two broadcastable relations; everything else is hash
+    aggregation."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("double").alias("n"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    users = daily.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(days))
+    dense = spine.join(daily, ["user_id", "d"], "left").select(
+        "user_id", F.coalesce("n", F.lit(0.0)).alias("n")
+    )
+    fano = (
+        dense.groupBy("user_id")
+        .agg((F.var_pop("n") / F.avg("n")).alias("f"), F.avg("n").alias("mu"))
+        .filter(F.col("mu") > 0)
+    )
+    return fano.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.avg("f"), 4).alias("mean_fano"),
+        F.round(F.expr("percentile(f, 0.5)"), 4).alias("median_fano"),
+        F.sum(F.when(F.col("f") > 1.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bursty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

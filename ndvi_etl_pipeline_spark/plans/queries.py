@@ -12819,6 +12819,94 @@ def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOLT_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, v
+      FROM (
+        SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) < DATE '1995-02-01'
+        GROUP BY 1) t),
+    holt AS (
+      SELECT i, v AS lvl, CAST(0.0 AS DOUBLE) AS trend FROM daily WHERE i = 1
+      UNION ALL
+      SELECT d.i,
+             0.3 * d.v + 0.7 * (h.lvl + h.trend),
+             0.1 * ((0.3 * d.v + 0.7 * (h.lvl + h.trend)) - h.lvl)
+               + 0.9 * h.trend
+      FROM daily d JOIN holt h ON d.i = h.i + 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(max(lvl), 2) AS final_level_seen,
+           round(avg(trend), 3) AS mean_trend,
+           round(sum(abs(trend)), 3) AS trend_energy
+    FROM holt
+    """
+
+
+@register(
+    "holt_linear_recursive",
+    oracle=_HOLT_SQL,
+    tags=("recursive", "forecast", "timeseries"),
+)
+def q_holt_linear_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing — TWO coupled
+    state variables (level, trend) threaded through the recurrence
+    l_t = αy + (1−α)(l+b), b_t = β(l_t−l_{t−1}) + (1−β)b — run as
+    the identical recursive CTE text on both engines (the companion
+    to saturating_balance_recursive's single-state clamp; together
+    they pin the semantics any streaming stateful operator must
+    reproduce). α=0.3, β=0.1, one month of days bounds the depth;
+    at scale this recurrence lives in applyInPandasWithState per
+    series, not a 90-step join chain."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_HOLT_SQL)
+
+
+@register(
+    "embedding_anisotropy_audit",
+    oracle="""
+    WITH dims AS (
+      SELECT dim, embedding[dim] AS v
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(dim)),
+    per_dim AS (
+      SELECT dim, avg(v) AS mu, var_pop(v) AS s2
+      FROM dims GROUP BY dim)
+    SELECT CAST(count(*) AS BIGINT) AS n_dims,
+           round(max(s2) / min(s2), 3) AS variance_ratio,
+           round(max(abs(mu)), 5) AS worst_mean_offset,
+           round(sum(s2), 5) AS total_variance,
+           round(max(s2) / sum(s2), 5) AS top_dim_share
+    FROM per_dim
+    """,
+    tags=("embeddings", "audit", "ml"),
+)
+def q_embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit: per-dimension mean offsets
+    and the variance concentration ratio — anisotropic spaces (few
+    dominant directions, a common mean offset) degrade cosine
+    retrieval, and whitening/centering decisions start from exactly
+    these numbers (Ethayarajh 2019). One explode + |dims|-group
+    moments pass; the summary is scalar. At 100 TB the same
+    per-dimension moments come from partial aggregates — mergeable
+    like any sum."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).alias("dim"), "v"
+    )
+    per_dim = dims.groupBy("dim").agg(
+        F.avg("v").alias("mu"), F.var_pop("v").alias("s2")
+    )
+    return per_dim.agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.round(F.max("s2") / F.min("s2"), 3).alias("variance_ratio"),
+        F.round(F.max(F.abs(F.col("mu"))), 5).alias("worst_mean_offset"),
+        F.round(F.sum("s2"), 5).alias("total_variance"),
+        F.round(F.max("s2") / F.sum("s2"), 5).alias("top_dim_share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -12907,6 +12907,133 @@ def q_embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "adstock_carryover",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT a.d,
+             sum(b.x * pow(0.7, date_diff('day', b.d, a.d))) AS adstock
+      FROM daily a JOIN daily b
+        ON b.d BETWEEN a.d - 14 AND a.d
+      GROUP BY a.d)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(adstock), 2) AS mean_adstock,
+           round(max(adstock), 2) AS peak_adstock
+    FROM pairs
+    """,
+    tags=("timeseries", "marketing", "window"),
+)
+def q_adstock_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric adstock (advertising carryover): today's effective
+    pressure = Σ_k λ^k·spend(t−k), λ=0.7, truncated at 14 days where
+    the weight is < 1% — the media-mix-model transform, computed by
+    the closed form (a bounded range self-join with power weights)
+    instead of the recurrence, so it parallelizes trivially: every
+    output day depends on a CONSTANT 15-day slice, unlike the
+    recursive formulations (holt_linear_recursive) whose state
+    chains. ≤15 join partners per day on the daily aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    a = daily.select(F.col("d").alias("ad"))
+    b = daily.select(F.col("d").alias("bd"), "x")
+    pairs = (
+        a.join(
+            b,
+            (F.col("bd") >= F.date_sub(F.col("ad"), 14))
+            & (F.col("bd") <= F.col("ad")),
+        )
+        .groupBy("ad")
+        .agg(
+            F.sum(
+                F.col("x") * F.pow(F.lit(0.7), F.datediff(F.col("ad"), F.col("bd")))
+            ).alias("adstock")
+        )
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.avg("adstock"), 2).alias("mean_adstock"),
+        F.round(F.max("adstock"), 2).alias("peak_adstock"),
+    )
+
+
+@register(
+    "abc_xyz_matrix",
+    oracle="""
+    WITH part_stats AS (
+      SELECT l_partkey,
+             sum(l_extendedprice) AS value_total,
+             stddev_samp(l_quantity) / avg(l_quantity) AS cv
+      FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3),
+    ranked AS (
+      SELECT *,
+             sum(value_total) OVER (ORDER BY value_total DESC, l_partkey
+                                    ROWS UNBOUNDED PRECEDING)
+               / sum(value_total) OVER () AS cum_share
+      FROM part_stats),
+    classed AS (
+      SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc,
+             CASE WHEN cv < 0.5 THEN 'X'
+                  WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz,
+             value_total
+      FROM ranked)
+    SELECT abc, xyz,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(value_total), 2) AS segment_value
+    FROM classed GROUP BY abc, xyz
+    """,
+    tags=("inventory", "window", "classification"),
+)
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory matrix: parts classed by cumulative value
+    share (A = the 80% head, the pareto_8020 device) crossed with
+    demand variability (coefficient of variation: X stable → Z
+    erratic) — the 9-cell grid that decides stocking policy (AX =
+    automate, CZ = kill). One stats pass per part, one ranked
+    window for the value classes, pure CASE for the rest; the grid
+    is the deliverable."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_stats = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum("l_extendedprice").alias("value_total"),
+            (F.stddev_samp("l_quantity") / F.avg("l_quantity")).alias("cv"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    wc = Window.orderBy(F.col("value_total").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = part_stats.select(
+        "value_total",
+        "cv",
+        (F.sum("value_total").over(wc) / F.sum("value_total").over(wall)).alias(
+            "cum_share"
+        ),
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    xyz = (
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+    )
+    return ranked.groupBy(abc.alias("abc"), xyz.alias("xyz")).agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.sum("value_total"), 2).alias("segment_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -13034,6 +13034,168 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "arc_elasticity_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT round(l_discount, 2) AS disc,
+             avg(l_quantity) AS q,
+             avg(l_extendedprice * (1 - l_discount) / l_quantity) AS p,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY 1 HAVING count(*) >= 100),
+    arcs AS (
+      SELECT disc, q, p, n,
+             lag(q) OVER (ORDER BY disc) AS q0,
+             lag(p) OVER (ORDER BY disc) AS p0
+      FROM bands)
+    SELECT disc,
+           round(((q - q0) / ((q + q0) / 2))
+                 / (((p - p0) / ((p + p0) / 2))), 4) AS arc_elasticity,
+           round(q, 3) AS mean_qty, round(p, 2) AS mean_unit_price, n
+    FROM arcs WHERE q0 IS NOT NULL AND p <> p0
+    """,
+    tags=("economics", "window"),
+)
+def q_arc_elasticity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc price elasticity between adjacent discount bands: midpoint
+    %Δquantity / %Δprice (the midpoint formula is symmetric, so band
+    order doesn't bias the sign) — the pricing team's first look at
+    demand response, next to regr_diagnostics' parametric slope.
+    Bands are a rounded group key; the elasticity chain is a LAG over
+    the |bands| aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy(F.round("l_discount", 2).alias("disc"))
+        .agg(
+            F.avg("l_quantity").alias("q"),
+            F.avg(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) / F.col("l_quantity")
+            ).alias("p"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 100)
+    )
+    w = Window.orderBy("disc")
+    arcs = bands.select(
+        "disc", "q", "p", "n",
+        F.lag("q").over(w).alias("q0"),
+        F.lag("p").over(w).alias("p0"),
+    ).filter(F.col("q0").isNotNull() & (F.col("p") != F.col("p0")))
+    el = ((F.col("q") - F.col("q0")) / ((F.col("q") + F.col("q0")) / 2)) / (
+        (F.col("p") - F.col("p0")) / ((F.col("p") + F.col("p0")) / 2)
+    )
+    return arcs.select(
+        "disc",
+        F.round(el, 4).alias("arc_elasticity"),
+        F.round("q", 3).alias("mean_qty"),
+        F.round("p", 2).alias("mean_unit_price"),
+        "n",
+    )
+
+
+@register(
+    "poisson_fit_basket_sizes",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+      FROM lineitem GROUP BY l_orderkey),
+    hist AS (SELECT k, CAST(count(*) AS DOUBLE) AS obs FROM sizes GROUP BY k),
+    fit AS (SELECT avg(CAST(k AS DOUBLE)) AS lam,
+                   CAST(count(*) AS DOUBLE) AS n FROM sizes)
+    SELECT k, CAST(obs AS BIGINT) AS observed,
+           round(n * exp(-lam) * pow(lam, k) / factorial(CAST(k AS INT)), 2)
+             AS expected,
+           round((obs - n * exp(-lam) * pow(lam, k)
+                       / factorial(CAST(k AS INT)))
+                 / sqrt(n * exp(-lam) * pow(lam, k)
+                        / factorial(CAST(k AS INT))), 3) AS pearson_resid
+    FROM hist CROSS JOIN fit
+    WHERE k <= 12
+    """,
+    tags=("stats", "distribution-fit"),
+)
+def q_poisson_fit_basket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson goodness-of-fit for basket sizes: MLE λ = mean lines
+    per order, expected counts n·e^{−λ}λ^k/k!, and per-cell Pearson
+    residuals — the distribution-fit companion to
+    chi_square_independence (which tests association) and
+    benford_first_digit (which fixes the reference distribution
+    a priori). Large residuals at specific k expose order-size
+    mechanics no mean-based check sees. Histogram + 1-row fit
+    broadcast; factorial stays exact (k ≤ 12 < 21)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("k"))
+    hist = sizes.groupBy("k").agg(F.count("*").cast("double").alias("obs"))
+    fit = sizes.agg(
+        F.avg(F.col("k").cast("double")).alias("lam"),
+        F.count("*").cast("double").alias("n"),
+    )
+    exp_k = (
+        F.col("n")
+        * F.exp(-F.col("lam"))
+        * F.pow(F.col("lam"), F.col("k"))
+        / F.factorial(F.col("k").cast("int"))
+    )
+    return (
+        hist.join(F.broadcast(fit))
+        .filter(F.col("k") <= 12)
+        .select(
+            "k",
+            F.col("obs").cast("bigint").alias("observed"),
+            F.round(exp_k, 2).alias("expected"),
+            F.round((F.col("obs") - exp_k) / F.sqrt(exp_k), 3).alias(
+                "pearson_resid"
+            ),
+        )
+    )
+
+
+@register(
+    "inspection_paradox_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts)) / 1000000.0 AS g
+      FROM events),
+    clean AS (SELECT g FROM gaps WHERE g IS NOT NULL AND g > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           round(avg(g), 3) AS mean_gap_s,
+           round(sum(g * g) / sum(g), 3) AS size_biased_mean_s,
+           round((sum(g * g) / sum(g)) / avg(g), 4) AS paradox_ratio
+    FROM clean
+    """,
+    tags=("events", "stats", "pointprocess"),
+)
+def q_inspection_paradox_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inspection paradox, measured: mean inter-event gap vs the
+    size-biased mean E[g²]/E[g] — what a random OBSERVER landing in
+    the timeline experiences (a Poisson process gives ratio 2; the
+    further above, the burstier — the scalar twin of
+    burstiness_fano). Explains why 'average time between deploys'
+    never matches what an on-call engineer feels. One user-keyed
+    window pass, two moments, no second scan."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1_000_000.0
+        ).alias("g")
+    ).filter(F.col("g").isNotNull() & (F.col("g") > 0))
+    return gaps.agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.round(F.avg("g"), 3).alias("mean_gap_s"),
+        F.round(F.sum(F.col("g") * F.col("g")) / F.sum("g"), 3).alias(
+            "size_biased_mean_s"
+        ),
+        F.round(
+            (F.sum(F.col("g") * F.col("g")) / F.sum("g")) / F.avg("g"), 4
+        ).alias("paradox_ratio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

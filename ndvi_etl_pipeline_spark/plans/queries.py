@@ -13196,6 +13196,89 @@ def q_inspection_paradox_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fifo_lot_matching",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS d, l_quantity AS q,
+             sum(l_quantity) OVER (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS hi
+      FROM lineitem WHERE l_returnflag = 'N' AND l_partkey % 20 = 0),
+    demand AS (
+      SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS d, l_quantity AS q,
+             sum(l_quantity) OVER (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS hi
+      FROM lineitem WHERE l_returnflag = 'R' AND l_partkey % 20 = 0),
+    matched AS (
+      SELECT s.pk,
+             least(s.hi, dm.hi)
+               - greatest(s.hi - s.q, dm.hi - dm.q) AS mq,
+             date_diff('day', s.d, dm.d) AS lag_days
+      FROM supply s JOIN demand dm
+        ON s.pk = dm.pk
+       AND s.hi - s.q < dm.hi
+       AND dm.hi - dm.q < s.hi)
+    SELECT CAST(count(*) AS BIGINT) AS n_matches,
+           round(sum(mq), 2) AS matched_qty,
+           round(avg(lag_days), 2) AS mean_lag_days,
+           CAST(count(DISTINCT pk) AS BIGINT) AS n_parts
+    FROM matched WHERE mq > 0
+    """,
+    tags=("interval", "allocation", "window"),
+)
+def q_fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — the inventory-costing / lot-genealogy
+    allocation: supply and demand lots per part each get cumulative
+    quantity intervals [hi−q, hi), and a supply lot serves a demand
+    lot exactly where the intervals OVERLAP (the classic cumulative-
+    interval join; matched qty = interval intersection length). No
+    loops, no state: two windows + one banded self-join reproduce
+    sequential FIFO exactly, because cumulative position IS the
+    queue discipline. Join keys on (part, interval overlap) — the
+    per-part intervals are sorted and short, and a part-key sample
+    keeps the oracle relation small."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 20 == 0)
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def lots(flag: str) -> DataFrame:
+        return li.filter(F.col("l_returnflag") == flag).select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_shipdate").cast("date").alias("d"),
+            F.col("l_quantity").alias("q"),
+            F.sum("l_quantity").over(w).alias("hi"),
+        )
+
+    s = lots("N").alias("s")
+    dm = lots("R").alias("dm")
+    matched = s.join(
+        dm,
+        (F.col("s.pk") == F.col("dm.pk"))
+        & (F.col("s.hi") - F.col("s.q") < F.col("dm.hi"))
+        & (F.col("dm.hi") - F.col("dm.q") < F.col("s.hi")),
+    ).select(
+        F.col("s.pk").alias("pk"),
+        (
+            F.least(F.col("s.hi"), F.col("dm.hi"))
+            - F.greatest(
+                F.col("s.hi") - F.col("s.q"), F.col("dm.hi") - F.col("dm.q")
+            )
+        ).alias("mq"),
+        F.datediff(F.col("dm.d"), F.col("s.d")).alias("lag_days"),
+    ).filter(F.col("mq") > 0)
+    return matched.agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.round(F.sum("mq"), 2).alias("matched_qty"),
+        F.round(F.avg("lag_days"), 2).alias("mean_lag_days"),
+        F.count_distinct("pk").cast("bigint").alias("n_parts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

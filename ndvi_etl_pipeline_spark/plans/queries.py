@@ -13279,6 +13279,109 @@ def q_fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOM_SQL = """
+    WITH RECURSIVE parts AS (
+      SELECT p_partkey AS pk, p_retailprice AS unit_cost
+      FROM part WHERE p_partkey <= 600),
+    bom AS (
+      SELECT pk, CAST(1.0 AS DOUBLE) AS qty, unit_cost, 0 AS depth
+      FROM parts WHERE pk <= 2
+      UNION ALL
+      SELECT c.pk, b.qty * (1 + c.pk % 3), c.unit_cost, b.depth + 1
+      FROM parts c JOIN bom b
+        ON CAST(floor(c.pk / 4.0) AS BIGINT) = b.pk AND c.pk > 2
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_components,
+           round(sum(qty * unit_cost), 2) AS extended_cost,
+           round(max(qty), 1) AS max_qty_mult
+    FROM bom GROUP BY depth
+    """
+
+
+@register(
+    "bom_cost_explosion",
+    oracle=_BOM_SQL,
+    tags=("recursive", "hierarchy", "bom"),
+)
+def q_bom_cost_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion with quantity roll-up — the third
+    recursive-CTE flavor after BFS depth (recursive_org_depth) and
+    sequential state (saturating/holt): here the recursion MULTIPLIES
+    down the tree (a level-3 component used 2× in a level-2 assembly
+    used 3× in the root contributes 6× its unit cost), the
+    computation MRP systems run nightly. The implicit tree is
+    parent = ⌊pk/4⌋ over a bounded part range; identical SQL text on
+    both engines, each recursion level one equi-join against the
+    frontier."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_BOM_SQL)
+
+
+@register(
+    "quantile_mapping_harmonization",
+    oracle="""
+    WITH src AS (
+      SELECT value AS v FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL),
+    tgt AS (
+      SELECT value AS v FROM events
+      WHERE event_type = 'view' AND value IS NOT NULL),
+    src_ranked AS (
+      SELECT v, ntile(20) OVER (ORDER BY v) AS qb FROM src),
+    tgt_cuts AS (
+      SELECT qb, avg(v) AS tgt_v
+      FROM (SELECT v, ntile(20) OVER (ORDER BY v) AS qb FROM tgt)
+      GROUP BY qb),
+    mapped AS (
+      SELECT s.v AS orig, t.tgt_v AS mapped
+      FROM src_ranked s JOIN tgt_cuts t USING (qb))
+    SELECT CAST(count(*) AS BIGINT) AS n_mapped,
+           round(avg(orig), 4) AS mean_before,
+           round(avg(mapped), 4) AS mean_after,
+           round(stddev_samp(orig), 4) AS sd_before,
+           round(stddev_samp(mapped), 4) AS sd_after
+    FROM mapped
+    """,
+    tags=("timeseries", "harmonization", "quantile"),
+)
+def q_quantile_mapping_harmonization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile mapping (CDF matching): re-express one
+    distribution's values on another's scale by matching vigintile
+    bins — the bias-correction transform behind cross-sensor NDVI
+    harmonization (Landsat-7 ETM+ vs 8 OLI radiometry) and climate
+    downscaling, run here between two event streams. After mapping,
+    the moments take the TARGET's shape (pinned in the output). Two
+    global ntiles over the value columns, a 20-row cut table joined
+    back — at 100 TB the cuts come from approx_percentile and the
+    map is a broadcast lookup."""
+    e = _t(spark, sf_dir, "events")
+    src = e.filter(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    ).select(F.col("value").alias("v"))
+    tgt = e.filter(
+        (F.col("event_type") == "view") & F.col("value").isNotNull()
+    ).select(F.col("value").alias("v"))
+    src_ranked = src.select(
+        "v", F.ntile(20).over(Window.orderBy("v")).alias("qb")
+    )
+    tgt_cuts = (
+        tgt.select("v", F.ntile(20).over(Window.orderBy("v")).alias("qb"))
+        .groupBy("qb")
+        .agg(F.avg("v").alias("tgt_v"))
+    )
+    mapped = src_ranked.join(F.broadcast(tgt_cuts), "qb").select(
+        F.col("v").alias("orig"), F.col("tgt_v").alias("mapped")
+    )
+    return mapped.agg(
+        F.count("*").cast("bigint").alias("n_mapped"),
+        F.round(F.avg("orig"), 4).alias("mean_before"),
+        F.round(F.avg("mapped"), 4).alias("mean_after"),
+        F.round(F.stddev_samp("orig"), 4).alias("sd_before"),
+        F.round(F.stddev_samp("mapped"), 4).alias("sd_after"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -13382,6 +13382,202 @@ def q_quantile_mapping_harmonization(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "lsh_blocking_eval",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id < 80),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+      FROM docs, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    truth AS (
+      SELECT i.da, i.db
+      FROM inter i
+      JOIN sizes x ON x.doc_id = i.da
+      JOIN sizes y ON y.doc_id = i.db
+      WHERE CAST(i.shared AS DOUBLE) / (x.n + y.n - i.shared) >= 0.3),
+    mh AS (
+      SELECT doc_id, i, min(substr(md5(g), 1 + 4 * i, 4)) AS mn
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS i)
+      GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // 2 AS b, string_agg(mn, '' ORDER BY i) AS key
+      FROM mh GROUP BY doc_id, i // 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+    hits AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+           round((SELECT CAST(count(*) AS DOUBLE) FROM hits)
+                 / greatest((SELECT count(*) FROM truth), 1), 4) AS recall,
+           round((SELECT CAST(count(*) AS DOUBLE) FROM hits)
+                 / greatest((SELECT count(*) FROM cand), 1), 4) AS precision
+    """,
+    tags=("dedup", "eval"),
+)
+def q_lsh_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy evaluation: the LSH candidate set (4
+    min-hashes, 2 bands × 2 — deliberately small so misses exist)
+    scored against exact-Jaccard ≥ 0.3 ground truth on a doc sample
+    — recall tells you what the blocker loses, precision what the
+    verify stage pays; the measurement that justifies (or rejects) a
+    band/row configuration BEFORE burning a cluster pass at 100 TB.
+    Both pipelines share one shingle relation; candidates and truth
+    are both shared-key joins, and the md5-slice hash family keeps
+    the two engines bit-identical."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    sh = (
+        d.select(
+            "doc_id",
+            F.split("text", " ").alias("ws"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("ws") - 2)).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("ws", F.col("i")),
+                F.element_at("ws", F.col("i") + 1),
+                F.element_at("ws", F.col("i") + 2),
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    truth = (
+        inter.join(F.broadcast(na), "da")
+        .join(F.broadcast(nb), "db")
+        .filter(
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= 0.3
+        )
+        .select("da", "db")
+    )
+    mh = (
+        sh.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+            "g",
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min(F.expr("substr(md5(g), 1 + 4 * i, 4)")).alias("mn"))
+    )
+    bands = mh.groupBy(
+        "doc_id", (F.col("i") / 2).cast("int").alias("b")
+    ).agg(F.concat_ws("", F.array_sort(F.collect_list(F.struct("i", "mn")))["mn"]).alias("key"))
+    # array_sort on struct(i, mn) orders by i; extract mn field post-sort
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.b") == F.col("bb.b"))
+            & (F.col("ba.key") == F.col("bb.key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    hits = truth.intersect(cand)
+    nt = truth.count()
+    nc = cand.count()
+    nh = hits.count()
+    return spark.createDataFrame(
+        [
+            (
+                nt,
+                nc,
+                nh,
+                round(nh / max(nt, 1), 4),
+                round(nh / max(nc, 1), 4),
+            )
+        ],
+        "n_true_pairs LONG, n_candidates LONG, n_hits LONG, recall DOUBLE, precision DOUBLE",
+    )
+
+
+@register(
+    "session_gap_sensitivity",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))) / 60000000.0
+               AS gap_min
+      FROM events),
+    per_user AS (
+      SELECT user_id,
+             1 + sum(CASE WHEN gap_min > 10 THEN 1 ELSE 0 END) AS s10,
+             1 + sum(CASE WHEN gap_min > 30 THEN 1 ELSE 0 END) AS s30,
+             1 + sum(CASE WHEN gap_min > 60 THEN 1 ELSE 0 END) AS s60
+      FROM gaps GROUP BY user_id)
+    SELECT CAST(sum(s10) AS BIGINT) AS sessions_10min,
+           CAST(sum(s30) AS BIGINT) AS sessions_30min,
+           CAST(sum(s60) AS BIGINT) AS sessions_60min,
+           round(avg(s30), 3) AS mean_sessions_per_user_30min
+    FROM per_user
+    """,
+    tags=("session", "window", "sensitivity"),
+)
+def q_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization sensitivity curve: total session counts under
+    10/30/60-minute inactivity thresholds from ONE lag pass —
+    sessions(g) per user = 1 + |gaps > g|, so the whole parameter
+    sweep is three conditional sums, no re-sessionizing per
+    candidate (how the 30-minute convention should be validated
+    against your own data before events_sessionize hard-codes it).
+    A plateau between thresholds = natural session boundary; steep
+    slope = the threshold is inventing structure."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / 60_000_000.0
+        ).alias("gap_min"),
+    )
+
+    def s(th: int):
+        return 1 + F.sum(F.when(F.col("gap_min") > th, 1).otherwise(0))
+
+    per_user = gaps.groupBy("user_id").agg(
+        s(10).alias("s10"), s(30).alias("s30"), s(60).alias("s60")
+    )
+    return per_user.agg(
+        F.sum("s10").cast("bigint").alias("sessions_10min"),
+        F.sum("s30").cast("bigint").alias("sessions_30min"),
+        F.sum("s60").cast("bigint").alias("sessions_60min"),
+        F.round(F.avg("s30"), 3).alias("mean_sessions_per_user_30min"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -13578,6 +13578,123 @@ def q_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "two_hop_reach",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_partkey % 10 = 0),
+    hop2 AS (
+      SELECT DISTINCT a.c AS src, b.c AS dst
+      FROM edges a JOIN edges b ON a.p = b.p AND a.c <> b.c),
+    reach AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS n_reach
+      FROM hop2 GROUP BY src)
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(n_reach), 2) AS mean_two_hop_reach,
+           CAST(max(n_reach) AS BIGINT) AS max_reach,
+           round(quantile_cont(n_reach, 0.5), 1) AS median_reach
+    FROM reach
+    """,
+    tags=("graph", "join"),
+)
+def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach on the co-purchase graph — customers reachable
+    through a shared part (friends-of-friends without recursion: one
+    self-join on the pivot entity + dedup). The part-key sample
+    bounds the pivot fan-out, which is THE scaling hazard of 2-hop
+    queries — a hub part of degree d contributes d² pairs, exactly
+    the skew the degree profile (bipartite_degree_profile) warns
+    about and a real deployment caps per-pivot (limit each part's
+    neighbor list) before the join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_partkey") % 10 == 0)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = edges.alias("a")
+    b = edges.alias("b")
+    hop2 = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") != F.col("b.c")))
+        .select(F.col("a.c").alias("src"), F.col("b.c").alias("dst"))
+        .distinct()
+    )
+    reach = hop2.groupBy("src").agg(F.count("*").cast("double").alias("n_reach"))
+    return reach.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.avg("n_reach"), 2).alias("mean_two_hop_reach"),
+        F.max("n_reach").cast("bigint").alias("max_reach"),
+        F.round(F.expr("percentile(n_reach, 0.5)"), 1).alias("median_reach"),
+    )
+
+
+@register(
+    "coupon_collector_coverage",
+    oracle="""
+    WITH seq AS (
+      SELECT l_partkey,
+             row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+               AS pos
+      FROM lineitem),
+    firsts AS (SELECT min(pos) AS fp FROM seq GROUP BY l_partkey),
+    universe AS (SELECT CAST(count(*) AS DOUBLE) AS n_parts FROM firsts),
+    curve AS (
+      SELECT CAST(pow(4, k) AS BIGINT) AS n_draws,
+             (SELECT CAST(count(*) AS BIGINT) FROM firsts
+              WHERE fp <= CAST(pow(4, k) AS BIGINT)) AS observed
+      FROM unnest(generate_series(3, 8)) AS t(k))
+    SELECT n_draws, observed,
+           round(u.n_parts * (1 - pow(1 - 1 / u.n_parts, n_draws)), 2)
+             AS expected_uniform,
+           round(observed / u.n_parts, 4) AS coverage
+    FROM curve CROSS JOIN universe u
+    """,
+    tags=("stats", "coverage"),
+)
+def q_coupon_collector_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coupon-collector coverage: distinct parts seen after the
+    first N draws of the ship-date-ordered stream vs the uniform
+    expectation n·(1−(1−1/n)^N) — observed persistently BELOW the
+    curve quantifies demand concentration (popular parts recur
+    before the tail appears), the catalog-coverage audit for
+    sampling-based profiling. First-occurrence positions come from
+    one global window pass (the heaps_law_fit device on purchase
+    streams); the curve is 6 scalar threshold lookups."""
+    li = _t(spark, sf_dir, "lineitem")
+    seq = li.select(
+        "l_partkey",
+        F.row_number()
+        .over(Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+        .alias("pos"),
+    )
+    firsts = seq.groupBy("l_partkey").agg(F.min("pos").alias("fp"))
+    universe = firsts.agg(F.count("*").cast("double").alias("n_parts"))
+    ks = spark.range(3, 9).select(
+        F.pow(F.lit(4.0), F.col("id")).cast("bigint").alias("n_draws")
+    )
+    curve = (
+        ks.join(F.broadcast(firsts), F.col("fp") <= F.col("n_draws"))
+        .groupBy("n_draws")
+        .agg(F.count("*").cast("bigint").alias("observed"))
+    )
+    expected = F.col("n_parts") * (
+        1 - F.pow(1 - 1 / F.col("n_parts"), F.col("n_draws"))
+    )
+    return (
+        curve.join(F.broadcast(universe))
+        .select(
+            "n_draws",
+            "observed",
+            F.round(expected, 2).alias("expected_uniform"),
+            F.round(F.col("observed") / F.col("n_parts"), 4).alias("coverage"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

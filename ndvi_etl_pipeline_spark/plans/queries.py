@@ -13695,6 +13695,156 @@ def q_coupon_collector_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "morans_i_spatial",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(floor(((c_custkey * 37 % 3600) / 10.0) / 30.0) AS BIGINT)
+               AS gx,
+             CAST(floor(((c_custkey * 53 % 1600) / 10.0) / 20.0) AS BIGINT)
+               AS gy,
+             avg(c_acctbal) AS z
+      FROM customer GROUP BY 1, 2),
+    mean_z AS (SELECT avg(z) AS zbar, CAST(count(*) AS DOUBLE) AS n
+               FROM cells),
+    pairs AS (
+      SELECT (a.z - m.zbar) * (b.z - m.zbar) AS cross_dev
+      FROM cells a JOIN cells b
+        ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+      CROSS JOIN mean_z m),
+    ss AS (
+      SELECT sum((z - m.zbar) * (z - m.zbar)) AS denom
+      FROM cells CROSS JOIN mean_z m),
+    w AS (SELECT CAST(count(*) AS DOUBLE) AS big_w FROM pairs)
+    SELECT round((m.n / w.big_w) * (SELECT sum(cross_dev) FROM pairs)
+                 / ss.denom, 6) AS morans_i,
+           CAST(m.n AS BIGINT) AS n_cells,
+           CAST(w.big_w AS BIGINT) AS n_neighbor_pairs
+    FROM mean_z m CROSS JOIN ss CROSS JOIN w
+    """,
+    tags=("geo", "stats", "spatial-autocorrelation"),
+)
+def q_morans_i_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation over a grid of cell means
+    with rook (edge-sharing) adjacency — THE first geostatistic run
+    on any raster product (clustered NDVI → I > 0; the hash-derived
+    field here is spatially random, so I ≈ 0 is the pinned read).
+    Neighbor pairs come from an adjacency equi-ish join on grid
+    coordinates (|Δgx|+|Δgy| = 1 — on a tile lake this is the same
+    8/4-neighbor join the focal operators use), cross-deviations
+    against a broadcast mean, one scalar assembly at the end."""
+    c = _t(spark, sf_dir, "customer")
+    gx = F.floor(((F.col("c_custkey") * 37 % 3600) / 10.0) / 30.0).cast("bigint")
+    gy = F.floor(((F.col("c_custkey") * 53 % 1600) / 10.0) / 20.0).cast("bigint")
+    cells = c.groupBy(gx.alias("gx"), gy.alias("gy")).agg(
+        F.avg("c_acctbal").alias("z")
+    )
+    mean_z = cells.agg(
+        F.avg("z").alias("zbar"), F.count("*").cast("double").alias("n")
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            F.abs(F.col("a.gx") - F.col("b.gx"))
+            + F.abs(F.col("a.gy") - F.col("b.gy"))
+            == 1,
+        )
+        .join(F.broadcast(mean_z))
+        .select(
+            ((F.col("a.z") - F.col("zbar")) * (F.col("b.z") - F.col("zbar"))).alias(
+                "cross_dev"
+            )
+        )
+    )
+    num = pairs.agg(
+        F.sum("cross_dev").alias("s_cross"),
+        F.count("*").cast("double").alias("big_w"),
+    )
+    ss = (
+        cells.join(F.broadcast(mean_z))
+        .agg(
+            F.sum((F.col("z") - F.col("zbar")) * (F.col("z") - F.col("zbar"))).alias(
+                "denom"
+            )
+        )
+    )
+    return (
+        mean_z.join(F.broadcast(num))
+        .join(F.broadcast(ss))
+        .select(
+            F.round(
+                (F.col("n") / F.col("big_w")) * F.col("s_cross") / F.col("denom"), 6
+            ).alias("morans_i"),
+            F.col("n").cast("bigint").alias("n_cells"),
+            F.col("big_w").cast("bigint").alias("n_neighbor_pairs"),
+        )
+    )
+
+
+@register(
+    "variogram_lags",
+    oracle="""
+    WITH pts AS (
+      SELECT s_suppkey AS id,
+             (s_suppkey * 37 % 3600) / 10.0 AS x,
+             (s_suppkey * 53 % 1600) / 10.0 AS y,
+             s_acctbal AS z
+      FROM supplier WHERE s_suppkey <= 400),
+    pairs AS (
+      SELECT CAST(floor(sqrt((a.x - b.x) * (a.x - b.x)
+                             + (a.y - b.y) * (a.y - b.y)) / 20.0) AS BIGINT)
+               AS lag_band,
+             (a.z - b.z) * (a.z - b.z) AS sq_diff
+      FROM pts a JOIN pts b ON a.id < b.id)
+    SELECT lag_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(sq_diff) / 2.0, 2) AS semivariance
+    FROM pairs WHERE lag_band <= 8
+    GROUP BY lag_band
+    """,
+    tags=("geo", "stats", "variogram"),
+)
+def q_variogram_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram: γ(h) = mean squared value difference
+    / 2 for point pairs binned by separation distance — the
+    geostatistical structure function behind kriging and the range/
+    sill/nugget diagnostics on any NDVI field (a flat variogram here
+    = the hash field has no spatial structure; real vegetation shows
+    γ rising to a sill at the correlation range). The all-pairs join
+    is bounded by the point sample; the production path buckets
+    pairs through the grid join (grid_bucketed_spatial_join) so only
+    near pairs — the informative ones — are ever formed."""
+    s = _t(spark, sf_dir, "supplier")
+    pts = s.filter(F.col("s_suppkey") <= 400).select(
+        F.col("s_suppkey").alias("id"),
+        ((F.col("s_suppkey") * 37 % 3600) / 10.0).alias("x"),
+        ((F.col("s_suppkey") * 53 % 1600) / 10.0).alias("y"),
+        F.col("s_acctbal").alias("z"),
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    dist = F.sqrt(
+        (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+        + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y"))
+    )
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.floor(dist / 20.0).cast("bigint").alias("lag_band"),
+        ((F.col("a.z") - F.col("b.z")) * (F.col("a.z") - F.col("b.z"))).alias(
+            "sq_diff"
+        ),
+    )
+    return (
+        pairs.filter(F.col("lag_band") <= 8)
+        .groupBy("lag_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("sq_diff") / 2.0, 2).alias("semivariance"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

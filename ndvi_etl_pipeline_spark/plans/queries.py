@@ -13845,6 +13845,141 @@ def q_variogram_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ripley_k_clustering",
+    oracle="""
+    WITH pts AS (
+      SELECT s_suppkey AS id,
+             (s_suppkey * 37 % 3600) / 10.0 AS x,
+             (s_suppkey * 53 % 1600) / 10.0 AS y
+      FROM supplier WHERE s_suppkey <= 400),
+    meta AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                    360.0 * 160.0 AS area FROM pts),
+    pairs AS (
+      SELECT sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+               AS d
+      FROM pts a JOIN pts b ON a.id <> b.id),
+    radii AS (SELECT unnest(generate_series(1, 5)) * 10.0 AS r)
+    SELECT r,
+           round((SELECT m.area / (m.n * (m.n - 1)) FROM meta m)
+                 * (SELECT count(*) FROM pairs WHERE d <= radii.r), 2)
+             AS k_observed,
+           round(pi() * r * r, 2) AS k_csr,
+           round(sqrt(((SELECT m.area / (m.n * (m.n - 1)) FROM meta m)
+                       * (SELECT count(*) FROM pairs WHERE d <= radii.r))
+                      / pi()) - r, 3) AS l_minus_r
+    FROM radii
+    """,
+    tags=("geo", "stats", "point-pattern"),
+)
+def q_ripley_k_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K point-pattern statistic: observed pair density
+    within radius r against the complete-spatial-randomness
+    expectation πr², with the variance-stabilized L(r)−r transform
+    (≈0 random, >0 clustered, <0 dispersed — how plot/station
+    layouts and crime/disease point sets are screened). The pair
+    relation is reused across all radii via threshold aggregation —
+    one all-pairs join on the bounded sample, not one per radius;
+    production uses the grid-bucket join for near pairs and edge
+    corrections."""
+    s = _t(spark, sf_dir, "supplier")
+    pts = s.filter(F.col("s_suppkey") <= 400).select(
+        F.col("s_suppkey").alias("id"),
+        ((F.col("s_suppkey") * 37 % 3600) / 10.0).alias("x"),
+        ((F.col("s_suppkey") * 53 % 1600) / 10.0).alias("y"),
+    )
+    meta = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.lit(360.0 * 160.0).alias("area"),
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    pairs = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.sqrt(
+            (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+            + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y"))
+        ).alias("d")
+    )
+    radii = spark.range(1, 6).select((F.col("id") * 10.0).alias("r"))
+    counts = (
+        radii.join(pairs, F.col("d") <= F.col("r"))
+        .groupBy("r")
+        .agg(F.count("*").cast("double").alias("n_within"))
+    )
+    k_obs = (F.col("area") / (F.col("n") * (F.col("n") - 1))) * F.col("n_within")
+    return (
+        counts.join(F.broadcast(meta))
+        .select(
+            "r",
+            F.round(k_obs, 2).alias("k_observed"),
+            F.round(F.lit(math.pi) * F.col("r") * F.col("r"), 2).alias("k_csr"),
+            F.round(F.sqrt(k_obs / math.pi) - F.col("r"), 3).alias("l_minus_r"),
+        )
+    )
+
+
+@register(
+    "price_index_fisher",
+    oracle="""
+    WITH base AS (
+      SELECT l_partkey,
+             avg(l_extendedprice / l_quantity) AS p0,
+             sum(l_quantity) AS q0
+      FROM lineitem
+      WHERE CAST(strftime(CAST(l_shipdate AS DATE), '%Y') AS INT) = 1996
+        AND l_quantity > 0
+      GROUP BY l_partkey),
+    curr AS (
+      SELECT l_partkey,
+             avg(l_extendedprice / l_quantity) AS p1,
+             sum(l_quantity) AS q1
+      FROM lineitem
+      WHERE CAST(strftime(CAST(l_shipdate AS DATE), '%Y') AS INT) = 1997
+        AND l_quantity > 0
+      GROUP BY l_partkey),
+    joined AS (
+      SELECT p0, q0, p1, q1 FROM base JOIN curr USING (l_partkey))
+    SELECT round(sum(p1 * q0) / sum(p0 * q0), 6) AS laspeyres,
+           round(sum(p1 * q1) / sum(p0 * q1), 6) AS paasche,
+           round(sqrt((sum(p1 * q0) / sum(p0 * q0))
+                      * (sum(p1 * q1) / sum(p0 * q1))), 6) AS fisher,
+           CAST(count(*) AS BIGINT) AS n_matched_parts
+    FROM joined
+    """,
+    tags=("economics", "index", "join"),
+)
+def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price index numbers between two years on the matched part
+    basket: Laspeyres (base-period quantities), Paasche (current),
+    and their geometric mean — the Fisher ideal index, which is how
+    CPI-style aggregate price change is actually computed (L
+    overstates, P understates substitution; F splits the bias). Two
+    filtered per-part aggregates, an inner join on the matched
+    basket, four weighted sums in one pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    yr = F.year(F.col("l_shipdate").cast("date"))
+
+    def year_px(y: int, p: str, q: str) -> DataFrame:
+        return (
+            li.filter(yr == y)
+            .groupBy("l_partkey")
+            .agg(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias(p),
+                F.sum("l_quantity").alias(q),
+            )
+        )
+
+    joined = year_px(1996, "p0", "q0").join(year_px(1997, "p1", "q1"), "l_partkey")
+    lasp = F.sum(F.col("p1") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+    paas = F.sum(F.col("p1") * F.col("q1")) / F.sum(F.col("p0") * F.col("q1"))
+    return joined.agg(
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        F.count("*").cast("bigint").alias("n_matched_parts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

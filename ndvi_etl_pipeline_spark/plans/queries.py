@@ -13980,6 +13980,108 @@ def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "temperature_mixture_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n
+      FROM documents GROUP BY source),
+    powered AS (
+      SELECT source, n,
+             pow(n, 1.0 / 1.0) AS p1,
+             pow(n, 1.0 / 2.0) AS p2,
+             pow(n, 1.0 / 5.0) AS p5
+      FROM counts)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round(p1 / sum(p1) OVER (), 6) AS w_tau1,
+           round(p2 / sum(p2) OVER (), 6) AS w_tau2,
+           round(p5 / sum(p5) OVER (), 6) AS w_tau5
+    FROM powered
+    """,
+    tags=("training", "mixture", "sampling"),
+)
+def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights w_s ∝ n_s^{1/τ} — the
+    corpus-sampling rule from multilingual LM training (mC4/mT5:
+    τ=1 reproduces natural proportions, τ→∞ uniform; τ≈2-5 is where
+    low-resource sources get boosted without drowning the head).
+    The three columns show the re-balancing explicitly. A
+    |sources|-row aggregate and window normalizations — the weight
+    table then drives mixture_sampling's keep decisions."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").cast("double").alias("n"))
+    wall = Window.partitionBy()
+    powered = counts.select(
+        "source",
+        "n",
+        F.pow("n", 1.0).alias("p1"),
+        F.pow("n", 0.5).alias("p2"),
+        F.pow("n", 0.2).alias("p5"),
+    )
+    return powered.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("p1") / F.sum("p1").over(wall), 6).alias("w_tau1"),
+        F.round(F.col("p2") / F.sum("p2").over(wall), 6).alias("w_tau2"),
+        F.round(F.col("p5") / F.sum("p5").over(wall), 6).alias("w_tau5"),
+    )
+
+
+@register(
+    "nth_value_milestones",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey,
+             nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_order_value,
+             nth_value(o_totalprice, 5) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS fifth_order_value,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(second_order_value) AS BIGINT) AS has_second,
+           CAST(count(fifth_order_value) AS BIGINT) AS has_fifth,
+           round(avg(second_order_value), 2) AS mean_second_value,
+           round(avg(fifth_order_value), 2) AS mean_fifth_value
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("window", "milestones"),
+)
+def q_nth_value_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milestone-order values via NTH_VALUE over the full-partition
+    frame (the default running frame would return NULL until row n —
+    the classic nth_value trap, avoided by the explicit UNBOUNDED
+    FOLLOWING): each customer's 2nd and 5th order value, read off
+    the first row per customer — the 'what does their second
+    purchase look like' merchandising question, without a self-join
+    on row_number. One window pass; the rn=1 filter keeps one row
+    per customer."""
+    o = _t(spark, sf_dir, "orders")
+    wfull = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wrn = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_order_value"),
+        F.nth_value("o_totalprice", 5).over(wfull).alias("fifth_order_value"),
+        F.row_number().over(wrn).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.count("second_order_value").cast("bigint").alias("has_second"),
+        F.count("fifth_order_value").cast("bigint").alias("has_fifth"),
+        F.round(F.avg("second_order_value"), 2).alias("mean_second_value"),
+        F.round(F.avg("fifth_order_value"), 2).alias("mean_fifth_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

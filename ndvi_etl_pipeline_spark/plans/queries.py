@@ -14082,6 +14082,170 @@ def q_nth_value_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_correlation",
+    oracle="""
+    WITH base AS (
+      SELECT l_quantity AS w, l_extendedprice AS x, l_discount AS y
+      FROM lineitem),
+    m AS (
+      SELECT sum(w) AS sw,
+             sum(w * x) / sum(w) AS mx,
+             sum(w * y) / sum(w) AS my
+      FROM base)
+    SELECT round(
+             (sum(w * (x - mx) * (y - my)) / m.sw)
+             / (sqrt(sum(w * (x - mx) * (x - mx)) / m.sw)
+                * sqrt(sum(w * (y - my) * (y - my)) / m.sw)), 6)
+             AS weighted_corr,
+           round(corr(x, y), 6) AS unweighted_corr,
+           CAST(count(*) AS BIGINT) AS n
+    FROM base CROSS JOIN m
+    GROUP BY m.sw
+    """,
+    tags=("stats", "weighted"),
+)
+def q_weighted_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted Pearson correlation — each lineitem votes
+    with its volume, so the association reflects units moved rather
+    than rows logged (the difference matters whenever row counts and
+    economic weight diverge: one 50-unit line ≠ fifty 1-unit lines).
+    Weighted means in one pass, weighted central moments in a second
+    against the broadcast means; the unweighted corr sits alongside
+    to expose the gap."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").alias("w"),
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_discount").alias("y"),
+    )
+    m = base.agg(
+        F.sum("w").alias("sw"),
+        (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("mx"),
+        (F.sum(F.col("w") * F.col("y")) / F.sum("w")).alias("my"),
+    )
+    j = base.join(F.broadcast(m))
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    wcov = F.sum(F.col("w") * dx * dy) / F.first("sw")
+    wvx = F.sum(F.col("w") * dx * dx) / F.first("sw")
+    wvy = F.sum(F.col("w") * dy * dy) / F.first("sw")
+    return j.groupBy("sw").agg(
+        F.round(wcov / (F.sqrt(wvx) * F.sqrt(wvy)), 6).alias("weighted_corr"),
+        F.round(F.corr("x", "y"), 6).alias("unweighted_corr"),
+        F.count("*").cast("bigint").alias("n"),
+    ).drop("sw")
+
+
+@register(
+    "power_mde_table",
+    oracle="""
+    WITH arms AS (
+      SELECT event_type,
+             stddev_samp(value) AS sigma,
+             CAST(count(*) AS DOUBLE) AS n,
+             avg(value) AS mu
+      FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_per_arm,
+           round((1.959964 + 0.841621) * sigma * sqrt(2.0 / n), 5)
+             AS mde_absolute,
+           round((1.959964 + 0.841621) * sigma * sqrt(2.0 / n) / mu, 4)
+             AS mde_relative
+    FROM arms
+    """,
+    tags=("stats", "experimentation", "power"),
+)
+def q_power_mde_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at α=0.05 / 80% power:
+    MDE = (z_{α/2}+z_β)·σ·√(2/n) per metric — the pre-experiment
+    sizing table (an experiment whose expected lift is below its MDE
+    is decided before it runs; the design-time complement to
+    welch_ttest's read-out and cuped's variance reduction, whose
+    effect here is a smaller σ). One grouped-moments pass; the z
+    constants are literals, folded at plan time."""
+    e = _t(spark, sf_dir, "events")
+    arms = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.stddev_samp("value").alias("sigma"),
+            F.count("*").cast("double").alias("n"),
+            F.avg("value").alias("mu"),
+        )
+    )
+    mde = (1.959964 + 0.841621) * F.col("sigma") * F.sqrt(2.0 / F.col("n"))
+    return arms.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_per_arm"),
+        F.round(mde, 5).alias("mde_absolute"),
+        F.round(mde / F.col("mu"), 4).alias("mde_relative"),
+    )
+
+
+@register(
+    "ratio_metric_delta_method",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT avg(x) AS mx, avg(y) AS my,
+             var_samp(x) AS vx, var_samp(y) AS vy,
+             covar_samp(x, y) AS cxy,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM per_user)
+    SELECT round(mx / my, 6) AS ratio_purchases_per_event,
+           round(sqrt((vx / (my * my)
+                       - 2 * mx * cxy / (my * my * my)
+                       + mx * mx * vy / (my * my * my * my)) / n), 6)
+             AS se_delta_method,
+           round(sqrt(vx / n) / my, 6) AS se_naive,
+           CAST(n AS BIGINT) AS n_users
+    FROM m
+    """,
+    tags=("stats", "experimentation", "ratio"),
+)
+def q_ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a ratio-of-means metric
+    (purchases per event, user-clustered): Var(x̄/ȳ) ≈ (Vx/ȳ² −
+    2x̄·Cxy/ȳ³ + x̄²·Vy/ȳ⁴)/n — the correction every experiment
+    platform applies because users, not events, are the independent
+    unit; the naive SE (which ignores denominator variance and the
+    covariance) sits alongside to show the bias. One per-user
+    aggregate, one moments row, scalar algebra."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+        F.count("*").cast("double").alias("y"),
+    )
+    m = per_user.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+        F.count("*").cast("double").alias("n"),
+    )
+    my2 = F.col("my") * F.col("my")
+    var_delta = (
+        F.col("vx") / my2
+        - 2 * F.col("mx") * F.col("cxy") / (my2 * F.col("my"))
+        + F.col("mx") * F.col("mx") * F.col("vy") / (my2 * my2)
+    ) / F.col("n")
+    return m.select(
+        F.round(F.col("mx") / F.col("my"), 6).alias("ratio_purchases_per_event"),
+        F.round(F.sqrt(var_delta), 6).alias("se_delta_method"),
+        F.round(F.sqrt(F.col("vx") / F.col("n")) / F.col("my"), 6).alias("se_naive"),
+        F.col("n").cast("bigint").alias("n_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

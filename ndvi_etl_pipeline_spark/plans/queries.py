@@ -14246,6 +14246,139 @@ def q_ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jackknife_nation_se",
+    oracle="""
+    WITH groups AS (
+      SELECT c_nationkey AS g,
+             sum(o_totalprice) AS s_g,
+             CAST(count(*) AS DOUBLE) AS n_g
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey),
+    tot AS (
+      SELECT sum(s_g) AS s, sum(n_g) AS n,
+             CAST(count(*) AS DOUBLE) AS k
+      FROM groups),
+    loo AS (
+      SELECT (t.s - g.s_g) / (t.n - g.n_g) AS theta_i, t.k,
+             t.s / t.n AS theta
+      FROM groups g CROSS JOIN tot t),
+    jk AS (
+      SELECT k, theta, var_pop(theta_i) AS vp
+      FROM loo GROUP BY k, theta)
+    SELECT round(theta, 4) AS mean_order_value,
+           round(sqrt((k - 1) / k * k * vp), 4) AS jackknife_se,
+           CAST(k AS BIGINT) AS n_groups
+    FROM jk
+    """,
+    tags=("stats", "resampling"),
+)
+def q_jackknife_nation_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife SE of the mean order value with
+    nations as the resampling unit: each leave-one-out estimate is
+    pure ALGEBRA on the group sums ((S−s_g)/(N−n_g)) — resampling
+    inference with no random numbers and no data replication, which
+    is why the jackknife (not the bootstrap) is what cluster-robust
+    pipelines deploy at scale. Group sums in one pass, k tiny
+    replicate rows, the (k−1)/k-scaled spread at the end."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    groups = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("g"))
+        .agg(
+            F.sum("o_totalprice").alias("s_g"),
+            F.count("*").cast("double").alias("n_g"),
+        )
+    )
+    tot = groups.agg(
+        F.sum("s_g").alias("s"),
+        F.sum("n_g").alias("n"),
+        F.count("*").cast("double").alias("k"),
+    )
+    loo = groups.join(F.broadcast(tot)).select(
+        ((F.col("s") - F.col("s_g")) / (F.col("n") - F.col("n_g"))).alias(
+            "theta_i"
+        ),
+        "k",
+        (F.col("s") / F.col("n")).alias("theta"),
+    )
+    jk = loo.groupBy("k", "theta").agg(
+        F.avg("theta_i").alias("theta_bar"),
+        F.var_pop("theta_i").alias("vp"),
+        F.count("*").alias("kk"),
+    )
+    # Σ(θi − θ̄)² = k·var_pop
+    return jk.select(
+        F.round("theta", 4).alias("mean_order_value"),
+        F.round(
+            F.sqrt((F.col("k") - 1) / F.col("k") * F.col("k") * F.col("vp")), 4
+        ).alias("jackknife_se"),
+        F.col("k").cast("bigint").alias("n_groups"),
+    )
+
+
+@register(
+    "hash_uniformity_ks",
+    oracle="""
+    WITH u AS (
+      SELECT (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+              + 1) / 4294967296.0 AS v
+      FROM orders),
+    ranked AS (
+      SELECT v,
+             CAST(row_number() OVER (ORDER BY v) AS DOUBLE) AS r,
+             CAST(count(*) OVER () AS DOUBLE) AS n
+      FROM u)
+    SELECT round(max(greatest(r / n - v, v - (r - 1) / n)), 6) AS ks_d,
+           round(max(greatest(r / n - v, v - (r - 1) / n))
+                 * sqrt(max(n)), 4) AS ks_scaled,
+           CAST(max(n) AS BIGINT) AS n
+    FROM ranked
+    """,
+    tags=("stats", "audit", "hash"),
+)
+def q_hash_uniformity_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov–Smirnov test of the md5-derived
+    uniforms against U(0,1) — the audit underneath EVERY
+    deterministic-sampling device in this engine (hash splits,
+    Efraimidis–Spirakis keys, DP noise, pseudo-treatments): if these
+    aren't uniform, all of them are biased. D = max(ECDF−u, u−ECDF⁻)
+    from one sorted pass; √n·D ≈ 0.5–1.1 is the in-spec band (the
+    Kolmogorov distribution's bulk), and a bad hash (e.g. taking
+    DECIMAL digits of the key) fails it by orders of magnitude."""
+    o = _t(spark, sf_dir, "orders")
+    u = o.select(
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("double")
+                + 1
+            )
+            / 4294967296.0
+        ).alias("v")
+    )
+    w = Window.orderBy("v")
+    wall = Window.partitionBy()
+    ranked = u.select(
+        "v",
+        F.row_number().over(w).cast("double").alias("r"),
+        F.count("*").over(wall).cast("double").alias("n"),
+    )
+    d = F.greatest(
+        F.col("r") / F.col("n") - F.col("v"),
+        F.col("v") - (F.col("r") - 1) / F.col("n"),
+    )
+    return ranked.agg(
+        F.round(F.max(d), 6).alias("ks_d"),
+        F.round(F.max(d) * F.sqrt(F.max("n")), 4).alias("ks_scaled"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -14379,6 +14379,166 @@ def q_hash_uniformity_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mantel_haenszel_pooled",
+    oracle="""
+    WITH cells AS (
+      SELECT p_brand,
+             CAST(sum(CASE WHEN l_returnflag = 'R' AND l_discount > 0.05
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+             CAST(sum(CASE WHEN l_returnflag = 'R' AND l_discount <= 0.05
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+             CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_discount > 0.05
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+             CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_discount <= 0.05
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS d
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand),
+    agg AS (
+      SELECT sum(a) AS sa, sum(b) AS sb, sum(c) AS sc, sum(d) AS sd,
+             sum(a * d / (a + b + c + d)) AS mh_num,
+             sum(b * c / (a + b + c + d)) AS mh_den,
+             CAST(count(*) AS BIGINT) AS n_strata
+      FROM cells)
+    SELECT round((sa * sd) / (sb * sc), 4) AS crude_or,
+           round(mh_num / mh_den, 4) AS mantel_haenszel_or,
+           n_strata
+    FROM agg
+    """,
+    tags=("stats", "epidemiology", "stratified"),
+)
+def q_mantel_haenszel_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across brand strata next to
+    the crude (collapsed-table) OR — the stratified estimator that
+    survives Simpson's paradox: when strata differ in both exposure
+    mix and baseline risk, the crude OR can even flip sign while MH
+    stays faithful (per-stratum ORs live in odds_ratio_returns). The
+    per-stratum 2×2 cells come from one conditional-agg pass; the MH
+    weights (b·c/n, a·d/n) reduce to two more sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ret = F.col("l_returnflag") == "R"
+    deep = F.col("l_discount") > 0.05
+    cell = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("double")  # noqa: E731
+    cells = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            cell(ret & deep).alias("a"),
+            cell(ret & ~deep).alias("b"),
+            cell(~ret & deep).alias("c"),
+            cell(~ret & ~deep).alias("d"),
+        )
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    agg = cells.agg(
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum("c").alias("sc"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("a") * F.col("d") / n).alias("mh_num"),
+        F.sum(F.col("b") * F.col("c") / n).alias("mh_den"),
+        F.count("*").cast("bigint").alias("n_strata"),
+    )
+    return agg.select(
+        F.round((F.col("sa") * F.col("sd")) / (F.col("sb") * F.col("sc")), 4).alias(
+            "crude_or"
+        ),
+        F.round(F.col("mh_num") / F.col("mh_den"), 4).alias("mantel_haenszel_or"),
+        "n_strata",
+    )
+
+
+@register(
+    "geometric_median_weiszfeld",
+    oracle="""
+    WITH pts AS (
+      SELECT (s_suppkey * 37 % 3600) / 10.0 AS x,
+             (s_suppkey * 53 % 1600) / 10.0 AS y
+      FROM supplier WHERE s_suppkey <= 200),
+    c0 AS (SELECT avg(x) AS cx, avg(y) AS cy FROM pts),
+    it1 AS (
+      SELECT sum(x / d) / sum(1 / d) AS cx, sum(y / d) / sum(1 / d) AS cy
+      FROM (SELECT x, y,
+                   sqrt((x - c0.cx) * (x - c0.cx)
+                        + (y - c0.cy) * (y - c0.cy)) + 1e-9 AS d
+            FROM pts CROSS JOIN c0)),
+    it2 AS (
+      SELECT sum(x / d) / sum(1 / d) AS cx, sum(y / d) / sum(1 / d) AS cy
+      FROM (SELECT x, y,
+                   sqrt((x - it1.cx) * (x - it1.cx)
+                        + (y - it1.cy) * (y - it1.cy)) + 1e-9 AS d
+            FROM pts CROSS JOIN it1))
+    SELECT round(it2.cx, 4) AS median_x, round(it2.cy, 4) AS median_y,
+           round(c0.cx, 4) AS centroid_x, round(c0.cy, 4) AS centroid_y,
+           (SELECT round(sum(sqrt((x - it2.cx) * (x - it2.cx)
+                                  + (y - it2.cy) * (y - it2.cy))), 2)
+            FROM pts) AS total_dist_at_median
+    FROM it2 CROSS JOIN c0
+    """,
+    tags=("geo", "iterative", "robust"),
+)
+def q_geometric_median_weiszfeld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median by Weiszfeld iteration (two unrolled steps
+    from the centroid): the L1-optimal facility location — where the
+    mean point chases outliers, the geometric median doesn't, which
+    is why robust-aggregation schemes (including federated-learning
+    aggregators) use exactly this iteration. Each step is ONE
+    aggregate over the points against a broadcast 1-row center —
+    the unrolled-iteration oracle device from kmeans/pagerank at its
+    smallest."""
+    s = _t(spark, sf_dir, "supplier")
+    pts = s.filter(F.col("s_suppkey") <= 200).select(
+        ((F.col("s_suppkey") * 37 % 3600) / 10.0).alias("x"),
+        ((F.col("s_suppkey") * 53 % 1600) / 10.0).alias("y"),
+    )
+    c0 = pts.agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
+
+    def step(center: DataFrame) -> DataFrame:
+        d = (
+            F.sqrt(
+                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+            )
+            + 1e-9
+        )
+        return (
+            pts.join(F.broadcast(center))
+            .select("x", "y", d.alias("d"))
+            .agg(
+                (F.sum(F.col("x") / F.col("d")) / F.sum(1 / F.col("d"))).alias("cx"),
+                (F.sum(F.col("y") / F.col("d")) / F.sum(1 / F.col("d"))).alias("cy"),
+            )
+        )
+
+    it2 = step(step(c0))
+    dist_at = (
+        pts.join(F.broadcast(it2.select(F.col("cx").alias("mx"), F.col("cy").alias("my"))))
+        .agg(
+            F.round(
+                F.sum(
+                    F.sqrt(
+                        (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+                        + (F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))
+                    )
+                ),
+                2,
+            ).alias("total_dist_at_median")
+        )
+    )
+    return (
+        it2.join(F.broadcast(c0.select(F.col("cx").alias("centroid_x"), F.col("cy").alias("centroid_y"))))
+        .join(F.broadcast(dist_at))
+        .select(
+            F.round("cx", 4).alias("median_x"),
+            F.round("cy", 4).alias("median_y"),
+            F.round("centroid_x", 4).alias("centroid_x"),
+            F.round("centroid_y", 4).alias("centroid_y"),
+            "total_dist_at_median",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -14539,6 +14539,118 @@ def q_geometric_median_weiszfeld(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS t,
+             sum(o_totalprice) AS v
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) < DATE '1995-07-01'
+      GROUP BY 1, 2),
+    slopes AS (
+      SELECT (b.v - a.v) / (b.t - a.t) AS slope
+      FROM daily a JOIN daily b ON a.t < b.t)
+    SELECT round(quantile_cont(slope, 0.5), 4) AS theil_sen_slope,
+           (SELECT round(regr_slope(v, CAST(t AS DOUBLE)), 4) FROM daily)
+             AS ols_slope,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM slopes
+    """,
+    tags=("stats", "robust", "regression"),
+)
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen trend estimator: the MEDIAN of all pairwise slopes
+    — up to 29% contamination cannot move it, where a single wild
+    day drags OLS (shown alongside); the robust-trend standard in
+    environmental series, including NDVI greening analyses (ndvi_
+    trend's regr_slope is the parametric twin). All-pairs is O(n²)
+    in |days| — bounded by the half-year window; the large-series
+    variant samples pairs, same median."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderdate").cast("date") < F.lit("1995-07-01").cast("date"))
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("t")
+        )
+        .agg(F.sum("o_totalprice").alias("v"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        ((F.col("b.v") - F.col("a.v")) / (F.col("b.t") - F.col("a.t"))).alias(
+            "slope"
+        )
+    )
+    ols = daily.agg(
+        F.round(F.regr_slope("v", F.col("t").cast("double")), 4).alias("ols_slope")
+    )
+    return (
+        slopes.agg(
+            F.round(F.expr("percentile(slope, 0.5)"), 4).alias("theil_sen_slope"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+        .join(F.broadcast(ols))
+        .select("theil_sen_slope", "ols_slope", "n_pairs")
+    )
+
+
+@register(
+    "median_of_means",
+    oracle="""
+    WITH bucketed AS (
+      SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::UBIGINT
+               % 16 AS bkt,
+             o_totalprice AS v
+      FROM orders),
+    means AS (
+      SELECT bkt, avg(v) AS m, CAST(count(*) AS BIGINT) AS n_b
+      FROM bucketed GROUP BY bkt)
+    SELECT round(quantile_cont(m, 0.5), 4) AS median_of_means,
+           (SELECT round(avg(o_totalprice), 4) FROM orders) AS plain_mean,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(min(n_b) AS BIGINT) AS smallest_bucket
+    FROM means
+    """,
+    tags=("stats", "robust", "scale"),
+)
+def q_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means: hash the rows into 16 deterministic buckets,
+    average each, take the median — the heavy-tail-robust mean
+    estimator with exponential concentration where the plain mean
+    has only Chebyshev (the theory workhorse behind robust sketching;
+    a single corrupted shard moves one bucket mean, not the
+    estimate). The bucketing is the map side of any aggregation —
+    zero extra passes over the data versus the plain mean it's
+    shown against."""
+    o = _t(spark, sf_dir, "orders")
+    bkt = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10
+        ).cast("long"),
+        F.lit(16),
+    )
+    means = (
+        o.select(bkt.alias("bkt"), F.col("o_totalprice").alias("v"))
+        .groupBy("bkt")
+        .agg(F.avg("v").alias("m"), F.count("*").cast("bigint").alias("n_b"))
+    )
+    plain = o.agg(F.round(F.avg("o_totalprice"), 4).alias("plain_mean"))
+    return (
+        means.agg(
+            F.round(F.expr("percentile(m, 0.5)"), 4).alias("median_of_means"),
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.min("n_b").cast("bigint").alias("smallest_bucket"),
+        )
+        .join(F.broadcast(plain))
+        .select("median_of_means", "plain_mean", "n_buckets", "smallest_bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

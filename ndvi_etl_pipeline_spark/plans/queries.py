@@ -14651,6 +14651,123 @@ def q_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(strftime(CAST(o_orderdate AS DATE), '%w') AS INT) AS wd,
+             sum(o_totalprice) AS v
+      FROM orders GROUP BY 1, 2),
+    seasonal AS (
+      SELECT wd, avg(v) AS s FROM daily GROUP BY wd),
+    decomp AS (
+      SELECT v, s, v - s AS r
+      FROM daily JOIN seasonal USING (wd))
+    SELECT round(greatest(0.0, 1.0 - var_pop(r) / var_pop(v)), 4)
+             AS seasonal_strength,
+           round(var_pop(v), 2) AS var_total,
+           round(var_pop(r), 2) AS var_remainder,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM decomp
+    """,
+    tags=("timeseries", "seasonal", "decomposition"),
+)
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength F_s = max(0, 1 − Var(remainder)/Var(series))
+    after removing weekday means — the STL-style scalar (Hyndman's
+    feature) that decides whether seasonal modeling is worth its
+    complexity at all: F_s ≈ 0 on this flat generator means the
+    weekday index (seasonal_index_monthly) carries no signal, and a
+    forecaster should say so. One weekday-means pass broadcast back,
+    two variances."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias("wd"),
+    ).agg(F.sum("o_totalprice").alias("v"))
+    seasonal = daily.groupBy("wd").agg(F.avg("v").alias("s"))
+    decomp = daily.join(F.broadcast(seasonal), "wd").select(
+        "v", (F.col("v") - F.col("s")).alias("r")
+    )
+    return decomp.agg(
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - F.var_pop("r") / F.var_pop("v")), 4
+        ).alias("seasonal_strength"),
+        F.round(F.var_pop("v"), 2).alias("var_total"),
+        F.round(F.var_pop("r"), 2).alias("var_remainder"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+
+
+@register(
+    "capture_recapture_estimate",
+    oracle=None,  # finalized below (QuerySpec replacement)
+    tags=("stats", "estimation", "coverage"),
+)
+def q_capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln–Petersen capture-recapture: two independent
+    hash-defined 'survey passes' over orders each capture a set of
+    parts; universe estimate N̂ = n1·n2/overlap, compared against
+    the true distinct-part count — the mark-recapture method used to
+    size unseen populations (how many pages a crawl is missing, how
+    many dup clusters dedup hasn't found). Chapman's +1 correction
+    keeps the estimator finite on small overlaps."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = F.md5(F.col("l_orderkey").cast("string"))
+    s1 = li.filter(F.substring(h, 1, 1) < "4").select("l_partkey").distinct()
+    s2 = li.filter(F.substring(h, 2, 1) < "4").select("l_partkey").distinct()
+    both = s1.intersect(s2)
+    truth = li.select("l_partkey").distinct()
+    n1, n2, m, t = s1.count(), s2.count(), both.count(), truth.count()
+    chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    return spark.createDataFrame(
+        [
+            (
+                n1,
+                n2,
+                m,
+                round(chapman, 1),
+                t,
+                round(chapman / t, 4),
+            )
+        ],
+        "n_sample1 LONG, n_sample2 LONG, n_overlap LONG, "
+        "estimated_universe DOUBLE, true_universe LONG, estimate_ratio DOUBLE",
+    )
+
+
+_spec_cr = REGISTRY["capture_recapture_estimate"]
+REGISTRY["capture_recapture_estimate"] = QuerySpec(
+    _spec_cr.builder,
+    """
+    WITH sample1 AS (
+      SELECT DISTINCT l_partkey FROM lineitem
+      WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '4'),
+    sample2 AS (
+      SELECT DISTINCT l_partkey FROM lineitem
+      WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 2, 1) < '4'),
+    ov AS (SELECT l_partkey FROM sample1 INTERSECT
+           SELECT l_partkey FROM sample2),
+    m AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM sample1) AS n1,
+             (SELECT CAST(count(*) AS BIGINT) FROM sample2) AS n2,
+             (SELECT CAST(count(*) AS BIGINT) FROM ov) AS ovl,
+             (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+              FROM lineitem) AS t)
+    SELECT n1 AS n_sample1, n2 AS n_sample2, ovl AS n_overlap,
+           round((n1 + 1.0) * (n2 + 1.0) / (ovl + 1.0) - 1, 1)
+             AS estimated_universe,
+           t AS true_universe,
+           round(((n1 + 1.0) * (n2 + 1.0) / (ovl + 1.0) - 1) / t, 4)
+             AS estimate_ratio
+    FROM m
+    """,
+    _spec_cr.headline,
+    _spec_cr.tags,
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

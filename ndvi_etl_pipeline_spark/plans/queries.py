@@ -14768,6 +14768,356 @@ REGISTRY["capture_recapture_estimate"] = QuerySpec(
 )
 
 
+@register(
+    "unseen_mass_estimates",
+    oracle="""
+    WITH freq AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS f
+      FROM lineitem GROUP BY l_partkey),
+    fof AS (SELECT f, CAST(count(*) AS DOUBLE) AS ff FROM freq GROUP BY f),
+    m AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM freq) AS s_obs,
+             (SELECT CAST(sum(f) AS DOUBLE) FROM freq) AS n_tokens,
+             coalesce((SELECT ff FROM fof WHERE f = 1), 0) AS f1,
+             coalesce((SELECT ff FROM fof WHERE f = 2), 0) AS f2)
+    SELECT CAST(s_obs AS BIGINT) AS species_observed,
+           round(s_obs + f1 * f1 / (2 * greatest(f2, 1)), 1) AS chao1_estimate,
+           round(f1 / n_tokens, 6) AS good_turing_unseen_mass,
+           CAST(f1 AS BIGINT) AS singletons, CAST(f2 AS BIGINT) AS doubletons
+    FROM m
+    """,
+    tags=("stats", "coverage", "estimation"),
+)
+def q_unseen_mass_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-population estimates from the frequency-of-frequencies
+    (the Good–Turing substrate): Chao1 richness S + f1²/2f2 (how
+    many part types exist that the sample never showed) and the
+    Good–Turing unseen probability mass f1/N (how much of the NEXT
+    draw is novel) — the pair that tells a corpus builder whether
+    more crawling still buys vocabulary (complementing
+    capture_recapture's two-sample view with a single-sample one).
+    Two nested aggregates; f-of-f is tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_partkey").agg(F.count("*").alias("f"))
+    fof = freq.groupBy("f").agg(F.count("*").cast("double").alias("ff"))
+    s_obs = freq.agg(
+        F.count("*").cast("double").alias("s_obs"),
+        F.sum("f").cast("double").alias("n_tokens"),
+    )
+    fs = fof.agg(
+        F.coalesce(F.sum(F.when(F.col("f") == 1, F.col("ff"))), F.lit(0.0)).alias(
+            "f1"
+        ),
+        F.coalesce(F.sum(F.when(F.col("f") == 2, F.col("ff"))), F.lit(0.0)).alias(
+            "f2"
+        ),
+    )
+    m = s_obs.join(F.broadcast(fs))
+    return m.select(
+        F.col("s_obs").cast("bigint").alias("species_observed"),
+        F.round(
+            F.col("s_obs")
+            + F.col("f1") * F.col("f1") / (2 * F.greatest(F.col("f2"), F.lit(1.0))),
+            1,
+        ).alias("chao1_estimate"),
+        F.round(F.col("f1") / F.col("n_tokens"), 6).alias(
+            "good_turing_unseen_mass"
+        ),
+        F.col("f1").cast("bigint").alias("singletons"),
+        F.col("f2").cast("bigint").alias("doubletons"),
+    )
+
+
+@register(
+    "birthday_hash_collisions",
+    oracle="""
+    WITH hashed AS (
+      SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::UBIGINT
+               AS bkt
+      FROM orders),
+    per_bucket AS (
+      SELECT bkt, CAST(count(*) AS DOUBLE) AS c
+      FROM hashed GROUP BY bkt),
+    m AS (
+      SELECT sum(c * (c - 1) / 2) AS observed_pairs,
+             sum(c) AS n
+      FROM per_bucket)
+    SELECT CAST(observed_pairs AS BIGINT) AS observed_colliding_pairs,
+           round(n * (n - 1) / 2 / 65536.0, 1) AS expected_pairs,
+           round(observed_pairs / (n * (n - 1) / 2 / 65536.0), 3)
+             AS obs_over_exp,
+           CAST(n AS BIGINT) AS n_keys
+    FROM m
+    """,
+    tags=("stats", "hash", "audit"),
+)
+def q_birthday_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Birthday-bound collision audit on a 16-bit hash: colliding
+    pairs Σc(c−1)/2 against the n(n−1)/2·2⁻ᵏ expectation — the check
+    that sizes LSH band keys and shard counts before deployment
+    (obs/exp ≈ 1 = the hash behaves; ≫1 = key-space too small or
+    hash broken, and every bucket join downstream degrades toward
+    quadratic). One group-count pass on the derived bucket."""
+    o = _t(spark, sf_dir, "orders")
+    bkt = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    per_bucket = o.select(bkt.alias("bkt")).groupBy("bkt").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    m = per_bucket.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("observed_pairs"),
+        F.sum("c").alias("n"),
+    )
+    exp_pairs = F.col("n") * (F.col("n") - 1) / 2 / 65536.0
+    return m.select(
+        F.col("observed_pairs").cast("bigint").alias("observed_colliding_pairs"),
+        F.round(exp_pairs, 1).alias("expected_pairs"),
+        F.round(F.col("observed_pairs") / exp_pairs, 3).alias("obs_over_exp"),
+        F.col("n").cast("bigint").alias("n_keys"),
+    )
+
+
+@register(
+    "ljung_box_residual_whiteness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(strftime(CAST(o_orderdate AS DATE), '%w') AS INT) AS wd,
+             sum(o_totalprice) AS v
+      FROM orders GROUP BY 1, 2),
+    seasonal AS (SELECT wd, avg(v) AS s FROM daily GROUP BY wd),
+    resid AS (
+      SELECT d, v - s AS r FROM daily JOIN seasonal USING (wd)),
+    lagged AS (
+      SELECT r,
+             lag(r, 1) OVER (ORDER BY d) AS r1,
+             lag(r, 2) OVER (ORDER BY d) AS r2,
+             lag(r, 3) OVER (ORDER BY d) AS r3
+      FROM resid),
+    acfs AS (
+      SELECT corr(r, r1) AS a1, corr(r, r2) AS a2, corr(r, r3) AS a3,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM lagged)
+    SELECT round(n * (n + 2) * (a1 * a1 / (n - 1) + a2 * a2 / (n - 2)
+                                + a3 * a3 / (n - 3)), 4) AS ljung_box_q3,
+           round(a1, 4) AS acf1, round(a2, 4) AS acf2, round(a3, 4) AS acf3,
+           CAST(n AS BIGINT) AS n
+    FROM acfs
+    """,
+    tags=("timeseries", "stats", "diagnostics"),
+)
+def q_ljung_box_residual_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau statistic (3 lags) on the
+    seasonally-adjusted residuals: Q = n(n+2)Σρ²ₖ/(n−k) — the
+    residual-whiteness check a forecaster runs AFTER removing
+    structure (here the weekday means from seasonal_strength);
+    Q under ~χ²₃'s bulk (≲ 7.8) = nothing left to model, the proper
+    companion to runs_test's sign-based view. One lag window over
+    the residual series, three correlations, scalar assembly."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias("wd"),
+    ).agg(F.sum("o_totalprice").alias("v"))
+    seasonal = daily.groupBy("wd").agg(F.avg("v").alias("s"))
+    resid = daily.join(F.broadcast(seasonal), "wd").select(
+        "d", (F.col("v") - F.col("s")).alias("r")
+    )
+    w = Window.orderBy("d")
+    lagged = resid.select(
+        "r",
+        F.lag("r", 1).over(w).alias("r1"),
+        F.lag("r", 2).over(w).alias("r2"),
+        F.lag("r", 3).over(w).alias("r3"),
+    )
+    acfs = lagged.agg(
+        F.corr("r", "r1").alias("a1"),
+        F.corr("r", "r2").alias("a2"),
+        F.corr("r", "r3").alias("a3"),
+        F.count("*").cast("double").alias("n"),
+    )
+    q = (
+        F.col("n")
+        * (F.col("n") + 2)
+        * (
+            F.col("a1") * F.col("a1") / (F.col("n") - 1)
+            + F.col("a2") * F.col("a2") / (F.col("n") - 2)
+            + F.col("a3") * F.col("a3") / (F.col("n") - 3)
+        )
+    )
+    return acfs.select(
+        F.round(q, 4).alias("ljung_box_q3"),
+        F.round("a1", 4).alias("acf1"),
+        F.round("a2", 4).alias("acf2"),
+        F.round("a3", 4).alias("acf3"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "kmv_distinct_estimate",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT
+        (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::UBIGINT
+         + 1) / 4294967296.0 AS v
+      FROM lineitem),
+    kmv AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn FROM u)
+    SELECT round((256 - 1) / max(CASE WHEN rn = 256 THEN v END), 1)
+             AS kmv_estimate,
+           (SELECT CAST(count(*) AS BIGINT) FROM u) AS true_distinct,
+           round(((256 - 1) / max(CASE WHEN rn = 256 THEN v END))
+                 / (SELECT count(*) FROM u), 4) AS estimate_ratio
+    FROM kmv WHERE rn <= 256
+    """,
+    tags=("approx", "sketch", "distinct"),
+)
+def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=256: keep the
+    k smallest hash-uniforms of the key; N̂ = (k−1)/v_(k) — the
+    sketch family HLL superseded but whose estimator is EXACTLY
+    reproducible in plain SQL on both engines (unlike HLL's
+    engine-specific registers, cf. approx_distinct_stats staying
+    rows-only). Checked against the true distinct in the same
+    output; the k smallest values are a top-k, not a sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    u = li.select(
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("double")
+                + 1
+            )
+            / 4294967296.0
+        ).alias("v")
+    ).distinct()
+    kth = (
+        u.orderBy("v")
+        .limit(256)
+        .agg(F.max("v").alias("vk"), F.count("*").alias("k"))
+    )
+    truth = u.agg(F.count("*").cast("double").alias("t"))
+    return (
+        kth.join(F.broadcast(truth))
+        .select(
+            F.round((F.col("k") - 1) / F.col("vk"), 1).alias("kmv_estimate"),
+            F.col("t").cast("bigint").alias("true_distinct"),
+            F.round(((F.col("k") - 1) / F.col("vk")) / F.col("t"), 4).alias(
+                "estimate_ratio"
+            ),
+        )
+    )
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    trans AS (
+      SELECT cur, nxt, CAST(count(*) AS DOUBLE) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    row_tot AS (SELECT cur, sum(c) AS rc FROM trans GROUP BY cur),
+    tot AS (SELECT sum(c) AS n FROM trans)
+    SELECT round(-sum((t.c / o.n) * ln(t.c / r.rc)), 6) AS entropy_rate_nats,
+           round(-sum((t.c / o.n) * ln(t.c / r.rc)) / ln(5.0), 6)
+             AS normalized_0_1,
+           CAST(count(*) AS BIGINT) AS n_transition_types
+    FROM trans t JOIN row_tot r USING (cur) CROSS JOIN tot o
+    GROUP BY o.n
+    """,
+    tags=("events", "information", "markov"),
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov entropy rate of the event-type chain:
+    H = −Σ π(i,j)·ln P(j|i) over the first-order transition matrix
+    (event_transitions' counts turned into an information rate) —
+    how PREDICTABLE the next action is given the current one;
+    normalized by ln|alphabet| so 1.0 = memoryless uniform (the
+    expected read on this generator) and low values justify
+    sequence-model features. One lag pass, a |types|² matrix, scalar
+    reduction."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count("*").cast("double").alias("c"))
+    row_tot = trans.groupBy("cur").agg(F.sum("c").alias("rc"))
+    tot = trans.agg(F.sum("c").alias("n"))
+    j = trans.join(F.broadcast(row_tot), "cur").join(F.broadcast(tot))
+    h = -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("rc")))
+    return j.groupBy("n").agg(
+        F.round(h, 6).alias("entropy_rate_nats"),
+        F.round(h / math.log(5.0), 6).alias("normalized_0_1"),
+        F.count("*").cast("bigint").alias("n_transition_types"),
+    ).drop("n")
+
+
+@register(
+    "neyman_allocation",
+    oracle="""
+    WITH strata AS (
+      SELECT n_name,
+             CAST(count(*) AS DOUBLE) AS big_n,
+             stddev_samp(o_totalprice) AS sigma
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name),
+    tot AS (SELECT sum(big_n * sigma) AS w FROM strata)
+    SELECT n_name,
+           CAST(big_n AS BIGINT) AS stratum_size,
+           round(1000.0 * big_n * sigma / w, 2) AS neyman_n,
+           round(1000.0 * big_n / sum(big_n) OVER (), 2) AS proportional_n
+    FROM strata CROSS JOIN tot
+    """,
+    tags=("stats", "sampling", "survey"),
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a 1000-unit sample across nation
+    strata: n_h ∝ N_h·σ_h — variance-optimal stratified sampling,
+    shown against proportional allocation (they differ exactly where
+    stratum variances do; equal-σ strata make them coincide). The
+    design tool upstream of stratified_sample's execution; one
+    grouped-moments pass and a broadcast normalizer."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    strata = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("double").alias("big_n"),
+            F.stddev_samp("o_totalprice").alias("sigma"),
+        )
+    )
+    tot = strata.agg(F.sum(F.col("big_n") * F.col("sigma")).alias("w"))
+    wall = Window.partitionBy()
+    return (
+        strata.join(F.broadcast(tot))
+        .select(
+            "n_name",
+            F.col("big_n").cast("bigint").alias("stratum_size"),
+            F.round(1000.0 * F.col("big_n") * F.col("sigma") / F.col("w"), 2).alias(
+                "neyman_n"
+            ),
+            F.round(
+                1000.0 * F.col("big_n") / F.sum("big_n").over(wall), 2
+            ).alias("proportional_n"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -15118,6 +15118,168 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chain_ladder_development",
+    oracle="""
+    WITH cells AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS cohort,
+             date_diff('month',
+                       date_trunc('month', CAST(o_orderdate AS DATE)),
+                       date_trunc('month', CAST(l_shipdate AS DATE))) AS age,
+             sum(l_extendedprice) AS paid
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INT) <= 1997
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, age,
+             sum(paid) OVER (PARTITION BY cohort ORDER BY age
+                             ROWS UNBOUNDED PRECEDING) AS c
+      FROM cells WHERE age BETWEEN 0 AND 5),
+    linked AS (
+      SELECT a.age,
+             sum(b.c) AS next_sum, sum(a.c) AS cur_sum,
+             CAST(count(*) AS BIGINT) AS n_cohorts
+      FROM cum a JOIN cum b
+        ON a.cohort = b.cohort AND b.age = a.age + 1
+      GROUP BY a.age)
+    SELECT age,
+           round(next_sum / cur_sum, 6) AS age_to_age_factor,
+           n_cohorts
+    FROM linked
+    """,
+    tags=("actuarial", "window", "triangle"),
+)
+def q_chain_ladder_development(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder development factors — the actuarial run-off
+    triangle: cohorts (order month) accumulate shipped value by
+    development age, and each age-to-age factor is the volume-
+    weighted ratio Σ C_{a+1}/Σ C_a over cohorts observed at both
+    ages — the multiplier chain that projects immature cohorts to
+    ultimate (claims reserving, but equally revenue run-off). The
+    triangle is a cohort×age aggregate; the factor join links each
+    cohort to its own next-age cell, so everything after the fact
+    scan is |cohorts|·|ages| rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cohort = F.date_trunc("month", F.col("o_orderdate").cast("date"))
+    age = F.months_between(
+        F.date_trunc("month", F.col("l_shipdate").cast("date")), cohort
+    ).cast("long")
+    cells = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.year(F.col("o_orderdate").cast("date")) <= 1997)
+        .groupBy(cohort.alias("cohort"), age.alias("age"))
+        .agg(F.sum("l_extendedprice").alias("paid"))
+        .filter(F.col("age").between(0, 5))
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select("cohort", "age", F.sum("paid").over(w).alias("c"))
+    a = cum.alias("a")
+    b = cum.alias("b")
+    linked = (
+        a.join(
+            b,
+            (F.col("a.cohort") == F.col("b.cohort"))
+            & (F.col("b.age") == F.col("a.age") + 1),
+        )
+        .groupBy(F.col("a.age").alias("age"))
+        .agg(
+            F.sum("b.c").alias("next_sum"),
+            F.sum("a.c").alias("cur_sum"),
+            F.count("*").cast("bigint").alias("n_cohorts"),
+        )
+    )
+    return linked.select(
+        "age",
+        F.round(F.col("next_sum") / F.col("cur_sum"), 6).alias(
+            "age_to_age_factor"
+        ),
+        "n_cohorts",
+    )
+
+
+@register(
+    "net_revenue_retention",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey,
+             CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INT) AS yr,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1, 2),
+    pairs AS (
+      SELECT cur.yr AS year,
+             sum(CASE WHEN prev.o_custkey IS NOT NULL
+                      THEN cur.rev ELSE 0 END) AS retained_rev,
+             sum(CASE WHEN prev.o_custkey IS NULL
+                      THEN cur.rev ELSE 0 END) AS new_rev,
+             sum(coalesce(prev.rev, 0)) AS base_rev_returningonly
+      FROM yearly cur LEFT JOIN yearly prev
+        ON cur.o_custkey = prev.o_custkey AND prev.yr = cur.yr - 1
+      GROUP BY cur.yr),
+    base AS (
+      SELECT yr + 1 AS year, sum(rev) AS base_rev
+      FROM yearly GROUP BY yr)
+    SELECT p.year,
+           round(p.retained_rev / b.base_rev, 4) AS nrr,
+           round(p.new_rev, 2) AS new_revenue,
+           round(b.base_rev, 2) AS prior_year_base
+    FROM pairs p JOIN base b ON p.year = b.year
+    WHERE p.year BETWEEN 1996 AND 2000
+    """,
+    tags=("saas", "cohort", "retention"),
+)
+def q_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention: this year's revenue from LAST year's
+    customer base over last year's total — the dollar-weighted
+    retention SaaS metrics stand on (NRR > 1 = expansion outruns
+    churn; retention_cohorts counts heads, this weighs wallets).
+    Per-customer yearly aggregate, one self-join on (customer,
+    year−1) to classify retained vs new dollars, prior-year base
+    joined by year."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_custkey", F.year(F.col("o_orderdate").cast("date")).alias("yr")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    cur = yearly.alias("cur")
+    prev = yearly.alias("prev")
+    pairs = (
+        cur.join(
+            prev,
+            (F.col("cur.o_custkey") == F.col("prev.o_custkey"))
+            & (F.col("prev.yr") == F.col("cur.yr") - 1),
+            "left",
+        )
+        .groupBy(F.col("cur.yr").alias("year"))
+        .agg(
+            F.sum(
+                F.when(F.col("prev.o_custkey").isNotNull(), F.col("cur.rev")).otherwise(
+                    0.0
+                )
+            ).alias("retained_rev"),
+            F.sum(
+                F.when(F.col("prev.o_custkey").isNull(), F.col("cur.rev")).otherwise(
+                    0.0
+                )
+            ).alias("new_rev"),
+        )
+    )
+    base = yearly.groupBy((F.col("yr") + 1).alias("year")).agg(
+        F.sum("rev").alias("base_rev")
+    )
+    return (
+        pairs.join(base, "year")
+        .filter(F.col("year").between(1996, 2000))
+        .select(
+            "year",
+            F.round(F.col("retained_rev") / F.col("base_rev"), 4).alias("nrr"),
+            F.round("new_rev", 2).alias("new_revenue"),
+            F.round("base_rev", 2).alias("prior_year_base"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

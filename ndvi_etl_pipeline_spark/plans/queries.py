@@ -15280,6 +15280,64 @@ def q_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "word_burstiness_adaptation",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY doc_id, w),
+    stats AS (
+      SELECT w,
+             sum(tf) AS cf,
+             CAST(count(*) AS DOUBLE) AS df,
+             sum(tf) / count(*) AS burstiness
+      FROM words GROUP BY w
+      HAVING count(*) >= 20)
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(burstiness), 4) AS mean_burstiness,
+           round(max(burstiness), 4) AS max_burstiness,
+           round(corr(ln(cf), burstiness), 4) AS freq_burstiness_corr
+    FROM stats
+    """,
+    tags=("text", "corpus", "burstiness"),
+)
+def q_word_burstiness_adaptation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church–Gale adaptation): mean occurrences
+    per CONTAINING document, cf/df — content words burst (once a
+    topic appears it repeats), function words don't (≈ their Poisson
+    rate), and the correlation with log-frequency separates the two
+    regimes; the per-word companion to repetition_quality's per-doc
+    rules and a feature term-weighting schemes (BM25's tf
+    saturation) exist to absorb. One (doc, word) aggregate then a
+    word-level rollup."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    stats = (
+        words.groupBy("w")
+        .agg(
+            F.sum("tf").alias("cf"),
+            F.count("*").cast("double").alias("df"),
+            (F.sum("tf") / F.count("*")).alias("burstiness"),
+        )
+        .filter(F.col("df") >= 20)
+    )
+    return stats.agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.round(F.avg("burstiness"), 4).alias("mean_burstiness"),
+        F.round(F.max("burstiness"), 4).alias("max_burstiness"),
+        F.round(F.corr(F.log("cf"), F.col("burstiness")), 4).alias(
+            "freq_burstiness_corr"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

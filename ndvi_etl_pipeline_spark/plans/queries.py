@@ -15338,6 +15338,93 @@ def q_word_burstiness_adaptation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hurst_exponent_rs",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS i, v
+      FROM (SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+            FROM orders GROUP BY 1)),
+    sized AS (
+      SELECT n, i // n AS blk, i, v
+      FROM daily, (SELECT unnest([8, 16, 32, 64]) AS n)),
+    blockstats AS (
+      SELECT n, blk, avg(v) AS mu, stddev_pop(v) AS sd,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM sized GROUP BY n, blk),
+    cumdev AS (
+      SELECT s.n, s.blk,
+             sum(s.v - b.mu) OVER (
+               PARTITION BY s.n, s.blk ORDER BY s.i
+               ROWS UNBOUNDED PRECEDING) AS c,
+             b.sd
+      FROM sized s JOIN blockstats b
+        ON s.n = b.n AND s.blk = b.blk AND b.cnt = s.n AND b.sd > 0),
+    rs AS (
+      SELECT n, blk, (max(c) - min(c)) / max(sd) AS rs_val
+      FROM cumdev GROUP BY n, blk),
+    curve AS (
+      SELECT n, avg(rs_val) AS mean_rs FROM rs GROUP BY n)
+    SELECT round(regr_slope(ln(mean_rs), ln(CAST(n AS DOUBLE))), 4)
+             AS hurst_exponent,
+           CAST(count(*) AS BIGINT) AS n_scales,
+           round(min(mean_rs), 3) AS rs_smallest_scale,
+           round(max(mean_rs), 3) AS rs_largest_scale
+    FROM curve
+    """,
+    tags=("timeseries", "stats", "longmemory"),
+)
+def q_hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis: block the
+    series at scales 8–64, compute each full block's range of
+    mean-adjusted cumulative deviations over its σ, and regress
+    ln⟨R/S⟩ on ln(n) — H≈0.5 random walk/white noise, H>0.5
+    persistent long memory (Hurst's original Nile reservoir
+    question; the long-range-dependence diagnostic ACF can't see).
+    Blocks are (scale, i div n) group keys — every stage is hash
+    aggregation plus one per-block cumulative window; incomplete
+    tail blocks are excluded (cnt = n) as the method requires."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).cast("long").alias("i"),
+        "v",
+    )
+    scales = spark.createDataFrame([(8,), (16,), (32,), (64,)], "n INT")
+    sized = idx.crossJoin(F.broadcast(scales)).select(
+        "n", (F.col("i") / F.col("n")).cast("long").alias("blk"), "i", "v"
+    )
+    blockstats = sized.groupBy("n", "blk").agg(
+        F.avg("v").alias("mu"),
+        F.stddev_pop("v").alias("sd"),
+        F.count("*").alias("cnt"),
+    )
+    joined = sized.join(
+        blockstats.filter(F.col("sd") > 0),
+        ["n", "blk"],
+    ).filter(F.col("cnt") == F.col("n"))
+    wc = Window.partitionBy("n", "blk").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cumdev = joined.select(
+        "n", "blk", F.sum(F.col("v") - F.col("mu")).over(wc).alias("c"), "sd"
+    )
+    rs = cumdev.groupBy("n", "blk").agg(
+        ((F.max("c") - F.min("c")) / F.max("sd")).alias("rs_val")
+    )
+    curve = rs.groupBy("n").agg(F.avg("rs_val").alias("mean_rs"))
+    return curve.agg(
+        F.round(
+            F.regr_slope(F.log("mean_rs"), F.log(F.col("n").cast("double"))), 4
+        ).alias("hurst_exponent"),
+        F.count("*").cast("bigint").alias("n_scales"),
+        F.round(F.min("mean_rs"), 3).alias("rs_smallest_scale"),
+        F.round(F.max("mean_rs"), 3).alias("rs_largest_scale"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

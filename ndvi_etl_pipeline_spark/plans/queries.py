@@ -15425,6 +15425,85 @@ def q_hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sax_motif_counts",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS i, v
+      FROM (SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+            FROM orders GROUP BY 1)),
+    z AS (
+      SELECT i, (v - (SELECT avg(v) FROM daily))
+                / (SELECT stddev_samp(v) FROM daily) AS zv
+      FROM daily),
+    paa AS (
+      SELECT i // 7 AS seg, avg(zv) AS m, CAST(count(*) AS BIGINT) AS cnt
+      FROM z GROUP BY i // 7),
+    sym AS (
+      SELECT seg,
+             CASE WHEN m < -0.6745 THEN 'a'
+                  WHEN m < 0 THEN 'b'
+                  WHEN m < 0.6745 THEN 'c' ELSE 'd' END AS s
+      FROM paa WHERE cnt = 7),
+    words AS (
+      SELECT s.s || s1.s || s2.s AS motif
+      FROM sym s JOIN sym s1 ON s1.seg = s.seg + 1
+      JOIN sym s2 ON s2.seg = s.seg + 2)
+    SELECT motif, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM words GROUP BY motif HAVING count(*) >= 3
+    """,
+    tags=("timeseries", "symbolization", "motif"),
+)
+def q_sax_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin & Keogh): z-normalize the daily
+    series, PAA-average into 7-day segments, map segment means
+    through the equiprobable-Gaussian breakpoints (±0.6745, 0 for a
+    4-letter alphabet), then count recurring 3-letter motifs — the
+    discretization that turns similarity search over time series
+    into string algorithms (suffix/hash indexes, the dedup machinery
+    of this engine applied to signals). Segments are i div 7 group
+    keys; the motif join links consecutive segments — all hash
+    operations, no windows past the initial ordering."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).cast("long").alias("i"),
+        "v",
+    )
+    m = idx.agg(F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd"))
+    z = idx.join(F.broadcast(m)).select(
+        "i", ((F.col("v") - F.col("mu")) / F.col("sd")).alias("zv")
+    )
+    paa = z.groupBy((F.col("i") / 7).cast("long").alias("seg")).agg(
+        F.avg("zv").alias("pm"), F.count("*").alias("cnt")
+    )
+    sym = paa.filter(F.col("cnt") == 7).select(
+        "seg",
+        F.when(F.col("pm") < -0.6745, "a")
+        .when(F.col("pm") < 0, "b")
+        .when(F.col("pm") < 0.6745, "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    s0 = sym.alias("s0")
+    s1 = sym.alias("s1")
+    s2 = sym.alias("s2")
+    words = (
+        s0.join(s1, F.col("s1.seg") == F.col("s0.seg") + 1)
+        .join(s2, F.col("s2.seg") == F.col("s0.seg") + 2)
+        .select(
+            F.concat(F.col("s0.s"), F.col("s1.s"), F.col("s2.s")).alias("motif")
+        )
+    )
+    return (
+        words.groupBy("motif")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 3)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -15504,6 +15504,74 @@ def q_sax_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dhondt_apportionment",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name, sum(o_totalprice) AS r
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name),
+    quotients AS (
+      SELECT n_name, r / d AS q,
+             row_number() OVER (ORDER BY r / d DESC, n_name, d) AS rk
+      FROM rev, unnest(generate_series(1, 100)) AS t(d)),
+    seats AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS seats
+      FROM quotients WHERE rk <= 100 GROUP BY n_name)
+    SELECT r.n_name, coalesce(s.seats, 0) AS seats,
+           round(100.0 * r.r / (SELECT sum(r) FROM rev), 3) AS exact_share
+    FROM rev r LEFT JOIN seats s ON r.n_name = s.n_name
+    """,
+    tags=("apportionment", "window"),
+)
+def q_dhondt_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Hondt divisor-method apportionment of 100 seats by revenue:
+    every nation generates quotients r/1, r/2, …, the 100 LARGEST
+    quotients are the seats — the divisor family (slightly favoring
+    large parties) against Hamilton's largest-remainder
+    (largest_remainder_apportionment, which can suffer the Alabama
+    paradox divisor methods provably avoid). |nations|×100 quotient
+    rows, one global top-k rank, exact integer outputs next to the
+    exact proportional share."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    divisors = spark.range(1, 101).select(F.col("id").alias("d"))
+    quotients = rev.crossJoin(F.broadcast(divisors)).select(
+        "n_name",
+        (F.col("r") / F.col("d")).alias("q"),
+        "d",
+    )
+    ranked = quotients.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("q").desc(), F.col("n_name"), F.col("d"))
+        ),
+    )
+    seats = (
+        ranked.filter(F.col("rk") <= 100)
+        .groupBy("n_name")
+        .agg(F.count("*").cast("bigint").alias("seats"))
+    )
+    total = rev.agg(F.sum("r").alias("tr"))
+    return (
+        rev.join(seats, "n_name", "left")
+        .join(F.broadcast(total))
+        .select(
+            "n_name",
+            F.coalesce("seats", F.lit(0)).alias("seats"),
+            F.round(100.0 * F.col("r") / F.col("tr"), 3).alias("exact_share"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -15572,6 +15572,407 @@ def q_dhondt_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dft_periodogram",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS i, v
+      FROM daily),
+    st AS (SELECT avg(v) AS mu, stddev_samp(v) AS sd,
+                  CAST(count(*) AS DOUBLE) AS n FROM idx),
+    z AS (SELECT i, (v - mu) / sd AS zv, n FROM idx, st),
+    per AS (SELECT unnest([7, 30, 91]) AS period),
+    comp AS (
+      SELECT period,
+             sum(zv * cos(2 * pi() * i / period)) AS cs,
+             sum(zv * sin(2 * pi() * i / period)) AS sn,
+             any_value(n) AS n
+      FROM z, per GROUP BY period)
+    SELECT CAST(period AS BIGINT) AS period,
+           round((cs * cs + sn * sn) / n, 3) AS power
+    FROM comp
+    """,
+    tags=("timeseries", "spectral", "stats"),
+)
+def q_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram probed at candidate periods (7 /
+    30 / 91 days): normalized power |Σ z·e^{-2πi·t/p}|²/n of the
+    z-scored daily revenue series — the periodicity detector run
+    before choosing seasonal models (cf. seasonal_strength, which
+    assumes the period; this finds it). Each probe frequency is one
+    pair of sums, so the whole scan is a single hash aggregate over
+    |dates|×|periods| rows — no FFT, no recursion, embarrassingly
+    parallel at any scale. The row_number window rides on the
+    |dates|-sized daily aggregate, never the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).cast("long").alias("i"),
+        "v",
+    )
+    st = idx.agg(
+        F.avg("v").alias("mu"),
+        F.stddev_samp("v").alias("sd"),
+        F.count("*").cast("double").alias("n"),
+    )
+    z = idx.join(F.broadcast(st)).select(
+        "i", ((F.col("v") - F.col("mu")) / F.col("sd")).alias("zv"), "n"
+    )
+    periods = spark.createDataFrame([(7,), (30,), (91,)], "period int")
+    ang = 2 * math.pi * F.col("i") / F.col("period")
+    comp = (
+        z.crossJoin(F.broadcast(periods))
+        .groupBy("period")
+        .agg(
+            F.sum(F.col("zv") * F.cos(ang)).alias("cs"),
+            F.sum(F.col("zv") * F.sin(ang)).alias("sn"),
+            F.first("n").alias("n"),
+        )
+    )
+    return comp.select(
+        F.col("period").cast("long").alias("period"),
+        F.round(
+            (F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn")) / F.col("n"), 3
+        ).alias("power"),
+    )
+
+
+@register(
+    "ewma_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x
+      FROM orders GROUP BY 1),
+    st AS (SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM daily),
+    sm AS (
+      SELECT a.d,
+             sum(b.x * 0.2 * pow(0.8, date_diff('day', b.d, a.d)))
+               / sum(0.2 * pow(0.8, date_diff('day', b.d, a.d))) AS ewma
+      FROM daily a JOIN daily b ON b.d BETWEEN a.d - 27 AND a.d
+      GROUP BY a.d)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN abs(ewma - mu) > 3 * sd * sqrt(0.2 / 1.8)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breach,
+           round(max(abs(ewma - mu)) / (sd * sqrt(0.2 / 1.8)), 3) AS peak_z
+    FROM sm, st GROUP BY mu, sd
+    """,
+    tags=("timeseries", "spc", "window"),
+)
+def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (λ=0.2) on daily revenue: the smoothed
+    statistic vs the ±3σ·√(λ/(2−λ)) control limits — the SPC drift
+    detector more sensitive to small mean shifts than Shewhart
+    charts. The recurrence is replaced by its closed form truncated
+    at 28 lags (0.8²⁸ < 0.2% weight) and renormalized by the present
+    weight mass, so every output day depends on a CONSTANT slice —
+    a bounded range self-join on the |dates| aggregate, exactly the
+    adstock_carryover device, no state chain to serialize."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    st = daily.agg(F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd"))
+    a = daily.select(F.col("d").alias("ad"))
+    b = daily.select(F.col("d").alias("bd"), "x")
+    w = 0.2 * F.pow(F.lit(0.8), F.datediff(F.col("ad"), F.col("bd")))
+    sm = (
+        a.join(
+            b,
+            (F.col("bd") >= F.date_sub(F.col("ad"), 27))
+            & (F.col("bd") <= F.col("ad")),
+        )
+        .groupBy("ad")
+        .agg((F.sum(F.col("x") * w) / F.sum(w)).alias("ewma"))
+    )
+    sig = F.col("sd") * F.lit(math.sqrt(0.2 / 1.8))
+    return sm.join(F.broadcast(st)).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(
+            F.when(F.abs(F.col("ewma") - F.col("mu")) > 3 * sig, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_breach"),
+        F.round(F.max(F.abs(F.col("ewma") - F.col("mu")) / sig), 3).alias("peak_z"),
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT sign(b.v - a.v) AS s
+      FROM monthly a JOIN monthly b ON b.m > a.m),
+    agg AS (
+      SELECT CAST(sum(s) AS BIGINT) AS s_stat,
+             (SELECT CAST(count(*) AS DOUBLE) FROM monthly) AS n
+      FROM pairs)
+    SELECT s_stat, CAST(n AS BIGINT) AS n_periods,
+           round((s_stat - sign(s_stat))
+                 / sqrt(n * (n - 1) * (2 * n + 5) / 18.0), 4) AS z_score
+    FROM agg
+    """,
+    tags=("timeseries", "stats", "trend"),
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on monthly revenue: S = Σ_{i<j}
+    sign(x_j − x_i) over all ordered month pairs, normal-approximated
+    with continuity correction — the nonparametric monotone-trend
+    detector (no linearity or normality assumption, robust to
+    outliers, the hydrology-standard companion to Theil-Sen's slope
+    estimate in theil_sen_slope). The O(n²) pair join runs on the
+    |months| aggregate (~84 rows → 3.5k pairs), never the fact
+    table — the fact-side work is ONE map-side-combinable sum."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m")
+    ).agg(F.sum("o_totalprice").alias("v"))
+    a = monthly.select(F.col("m").alias("am"), F.col("v").alias("av"))
+    b = monthly.select(F.col("m").alias("bm"), F.col("v").alias("bv"))
+    pairs = a.join(b, F.col("bm") > F.col("am")).select(
+        F.signum(F.col("bv") - F.col("av")).alias("s")
+    )
+    n_df = monthly.agg(F.count("*").cast("double").alias("n"))
+    agg = pairs.agg(F.sum("s").cast("bigint").alias("s_stat")).join(
+        F.broadcast(n_df)
+    )
+    var = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0
+    return agg.select(
+        "s_stat",
+        F.col("n").cast("bigint").alias("n_periods"),
+        F.round(
+            (F.col("s_stat") - F.signum(F.col("s_stat"))) / F.sqrt(var), 4
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "kruskal_wallis_h",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS g, l_quantity AS q,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM lineitem GROUP BY 1, 2),
+    vals AS (SELECT q, sum(c) AS cv FROM cells GROUP BY q),
+    ranks AS (
+      SELECT q, cv,
+             sum(cv) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+               - cv + (cv + 1) / 2.0 AS r
+      FROM vals),
+    tot AS (SELECT sum(cv) AS n FROM vals),
+    grp AS (
+      SELECT g, sum(c) AS ng, sum(c * r) AS rg
+      FROM cells JOIN ranks USING (q) GROUP BY g),
+    raw AS (
+      SELECT 12.0 / (n * (n + 1)) * sum(rg * rg / ng) - 3 * (n + 1) AS h,
+             any_value(n) AS n
+      FROM grp, tot GROUP BY n),
+    tiec AS (
+      SELECT 1 - sum(cv * cv * cv - cv)
+                 / (pow((SELECT n FROM tot), 3) - (SELECT n FROM tot)) AS cfac
+      FROM vals)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(h, 4) AS h_stat,
+           round(h / cfac, 4) AS h_tie_corrected
+    FROM raw, tiec
+    """,
+    tags=("stats", "nonparametric", "agg"),
+)
+def q_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (rank one-way ANOVA) of l_quantity across
+    return flags, computed WITHOUT ranking any fact row: quantity is
+    discrete, so the midrank of value v is a closed form of the value
+    histogram (cum_before + (count+1)/2), the per-group rank sums are
+    Σ c_{g,v}·r_v over the |groups|×|values| cell relation, and the
+    tie-correction 1−Σ(t³−t)/(n³−n) falls out of the same histogram.
+    One map-side-combinable fact-table aggregate; every window and
+    join after it touches ≤150 rows — the distributed formulation of
+    a test normally written as a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("g"), F.col("l_quantity").alias("q")
+    ).agg(F.count("*").cast("double").alias("c"))
+    vals = cells.groupBy("q").agg(F.sum("c").alias("cv"))
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    ranks = vals.select(
+        "q",
+        "cv",
+        (F.sum("cv").over(wq) - F.col("cv") + (F.col("cv") + 1) / 2.0).alias("r"),
+    )
+    tot = vals.agg(F.sum("cv").alias("n"))
+    grp = (
+        cells.join(F.broadcast(ranks), "q")
+        .groupBy("g")
+        .agg(F.sum("c").alias("ng"), F.sum(F.col("c") * F.col("r")).alias("rg"))
+    )
+    raw = (
+        grp.join(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            (
+                12.0
+                / (F.col("n") * (F.col("n") + 1))
+                * F.sum(F.col("rg") * F.col("rg") / F.col("ng"))
+                - 3 * (F.col("n") + 1)
+            ).alias("h")
+        )
+    )
+    tiec = (
+        vals.join(F.broadcast(tot))
+        .agg(
+            (
+                1
+                - F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+                / (F.pow(F.first("n"), 3) - F.first("n"))
+            ).alias("cfac")
+        )
+    )
+    return raw.join(F.broadcast(tiec)).select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(F.col("h"), 4).alias("h_stat"),
+        F.round(F.col("h") / F.col("cfac"), 4).alias("h_tie_corrected"),
+    )
+
+
+@register(
+    "block_maxima_gumbel",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x
+      FROM orders GROUP BY 1),
+    blocks AS (
+      SELECT date_trunc('month', d) AS m, max(x) AS bx
+      FROM daily GROUP BY 1),
+    fit AS (SELECT CAST(count(*) AS DOUBLE) AS nb, avg(bx) AS mu0,
+                   stddev_samp(bx) AS s FROM blocks),
+    par AS (
+      SELECT nb, s * sqrt(6) / pi() AS beta,
+             mu0 - 0.5772156649015329 * (s * sqrt(6) / pi()) AS mu
+      FROM fit)
+    SELECT CAST(nb AS BIGINT) AS n_blocks,
+           round(mu, 2) AS gumbel_mu,
+           round(beta, 2) AS gumbel_beta,
+           round(mu - beta * ln(-ln(1 - 1.0 / 12)), 2) AS rl_12m,
+           round(mu - beta * ln(-ln(1 - 1.0 / 60)), 2) AS rl_60m
+    FROM par
+    """,
+    tags=("stats", "extremes", "agg"),
+)
+def q_block_maxima_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis by block maxima: monthly maxima of
+    daily revenue, Gumbel parameters by method of moments (β̂=s√6/π,
+    μ̂=x̄−γβ̂ with Euler-Mascheroni γ), and the 12- and 60-month
+    return levels μ−β·ln(−ln(1−1/T)) — the capacity-planning
+    question 'what peak should we provision for' answered from the
+    tail law, not the observed max. Two nested hash aggregates
+    (day → month-max → moments); the fact table is touched once."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    blocks = daily.groupBy(F.date_trunc("month", F.col("d")).alias("m")).agg(
+        F.max("x").alias("bx")
+    )
+    fit = blocks.agg(
+        F.count("*").cast("double").alias("nb"),
+        F.avg("bx").alias("mu0"),
+        F.stddev_samp("bx").alias("s"),
+    )
+    beta = F.col("s") * F.lit(math.sqrt(6.0) / math.pi)
+    mu = F.col("mu0") - F.lit(0.5772156649015329) * beta
+    rl = lambda t: mu - beta * F.lit(math.log(-math.log(1 - 1.0 / t)))
+    return fit.select(
+        F.col("nb").cast("bigint").alias("n_blocks"),
+        F.round(mu, 2).alias("gumbel_mu"),
+        F.round(beta, 2).alias("gumbel_beta"),
+        F.round(rl(12), 2).alias("rl_12m"),
+        F.round(rl(60), 2).alias("rl_60m"),
+    )
+
+
+@register(
+    "cramers_v_association",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS p, year(CAST(o_orderdate AS DATE)) AS y,
+             CAST(count(*) AS DOUBLE) AS obs
+      FROM orders GROUP BY 1, 2),
+    rm AS (SELECT p, sum(obs) AS rp FROM cells GROUP BY p),
+    cm AS (SELECT y, sum(obs) AS cy FROM cells GROUP BY y),
+    tot AS (SELECT sum(obs) AS n FROM cells),
+    dims AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM rm) AS r,
+                    (SELECT CAST(count(*) AS DOUBLE) FROM cm) AS c),
+    chi AS (
+      SELECT sum(pow(obs - rp * cy / n, 2) / (rp * cy / n)) AS chi2,
+             any_value(n) AS n
+      FROM cells JOIN rm USING (p) JOIN cm USING (y), tot GROUP BY n)
+    SELECT CAST(chi.n AS BIGINT) AS n_obs,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(chi2, 4) AS chi2,
+           round(sqrt(chi2 / (chi.n * (least(r, c) - 1))), 6) AS cramers_v,
+           round(sqrt(greatest(0, chi2 / chi.n - (r - 1) * (c - 1) / (chi.n - 1))
+                      / (least(r - pow(r - 1, 2) / (chi.n - 1),
+                               c - pow(c - 1, 2) / (chi.n - 1)) - 1)),
+                 6) AS cramers_v_corrected
+    FROM chi, dims
+    """,
+    tags=("stats", "association", "agg"),
+)
+def q_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between order priority and order year — the
+    normalized-to-[0,1] effect size the raw χ² statistic
+    (chi_square_independence) lacks, plus the Bergsma-Bethel
+    bias-corrected variant that de-inflates V on finite samples.
+    Same distributed shape as every contingency statistic here: ONE
+    shuffle builds the cell relation, marginals re-aggregate from
+    the tiny cells and broadcast back; r and c are counted from the
+    marginal relations so the query adapts to the observed table."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.year(F.col("o_orderdate").cast("date")).alias("y"),
+    ).agg(F.count("*").cast("double").alias("obs"))
+    rm = cells.groupBy("p").agg(F.sum("obs").alias("rp"))
+    cm = cells.groupBy("y").agg(F.sum("obs").alias("cy"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    dims = rm.agg(F.count("*").cast("double").alias("r")).crossJoin(
+        cm.agg(F.count("*").cast("double").alias("c"))
+    )
+    exp = F.col("rp") * F.col("cy") / F.col("n")
+    chi = (
+        cells.join(F.broadcast(rm), "p")
+        .join(F.broadcast(cm), "y")
+        .join(F.broadcast(tot))
+        .groupBy("n")
+        .agg(F.sum(F.pow(F.col("obs") - exp, 2) / exp).alias("chi2"))
+    )
+    phi2 = F.col("chi2") / F.col("n")
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - (F.col("r") - 1) * (F.col("c") - 1) / (F.col("n") - 1)
+    )
+    rc = F.col("r") - F.pow(F.col("r") - 1, 2) / (F.col("n") - 1)
+    cc = F.col("c") - F.pow(F.col("c") - 1, 2) / (F.col("n") - 1)
+    return chi.join(F.broadcast(dims)).select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        F.round(F.col("chi2"), 4).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 6
+        ).alias("cramers_v"),
+        F.round(F.sqrt(phi2c / (F.least(rc, cc) - 1)), 6).alias(
+            "cramers_v_corrected"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

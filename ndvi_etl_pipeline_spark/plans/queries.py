@@ -15973,6 +15973,385 @@ def q_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "newsvendor_quantile",
+    oracle="""
+    WITH demand AS (
+      SELECT p_brand, CAST(l_shipdate AS DATE) AS d,
+             CAST(sum(l_quantity) AS DOUBLE) AS q
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2),
+    stock AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(quantile_cont(q, 0.75) AS DOUBLE) AS stock_level,
+             round(avg(q), 2) AS mean_demand
+      FROM demand GROUP BY p_brand)
+    SELECT p_brand, n_days, round(stock_level, 2) AS stock_level, mean_demand
+    FROM stock
+    """,
+    tags=("inventory", "percentile", "economics"),
+)
+def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor critical-fractile stocking: with underage cost 3×
+    the overage cost, the optimal per-brand stock is the
+    Cu/(Cu+Co) = 0.75 quantile of daily demand — the closed-form
+    answer to 'how much to stock' that inventory teams compute per
+    SKU class. Exact interpolated percentile (Spark `percentile` ≡
+    DuckDB quantile_cont) per brand over the (brand, day) demand
+    aggregate; the fact-side work is one map-side-combinable sum,
+    and the percentile groups are |brands|-sized, never fact-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    demand = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.sum("l_quantity").cast("double").alias("q"))
+    )
+    return demand.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.expr("percentile(q, 0.75)"), 2).alias("stock_level"),
+        F.round(F.avg("q"), 2).alias("mean_demand"),
+    )
+
+
+@register(
+    "benjamini_hochberg_fdr",
+    oracle="""
+    WITH joined AS (
+      SELECT n_name, o_totalprice AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    gl AS (SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM joined),
+    per AS (
+      SELECT n_name, CAST(count(*) AS DOUBLE) AS ni, avg(x) AS mi
+      FROM joined GROUP BY n_name),
+    scored AS (
+      SELECT n_name,
+             exp(-pow((mi - mu) / (sd / sqrt(ni)), 2) / 2) AS p
+      FROM per, gl),
+    ranked AS (
+      SELECT n_name, p,
+             CAST(row_number() OVER (ORDER BY p, n_name) AS BIGINT) AS k,
+             CAST(count(*) OVER () AS DOUBLE) AS m
+      FROM scored),
+    cutoff AS (
+      SELECT coalesce(max(CASE WHEN p <= 0.1 * k / m THEN k END), 0) AS kmax
+      FROM ranked)
+    SELECT n_name, k AS p_rank, round(p, 6) AS pseudo_p,
+           k <= kmax AS discovery
+    FROM ranked, cutoff
+    """,
+    tags=("stats", "multiple-testing", "window"),
+)
+def q_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over the per-nation
+    'is this nation's mean order value unusual' screen: score each
+    nation with a z-statistic against the global mean, transform to
+    a monotone pseudo-p = exp(−z²/2) (a screening score, not a
+    calibrated p-value — neither engine ships erfc, and BH only
+    needs the ORDER), rank ascending, and mark discoveries at every
+    rank ≤ the largest k with p_k ≤ α·k/m (α=0.1). The step-up
+    cutoff — the part naive per-test thresholding gets wrong — is a
+    1-row aggregate broadcast back over the |nations| relation; the
+    fact table contributes two map-side-combinable moments."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", F.col("o_totalprice").alias("x"))
+    )
+    gl = joined.agg(F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd"))
+    per = joined.groupBy("n_name").agg(
+        F.count("*").cast("double").alias("ni"), F.avg("x").alias("mi")
+    )
+    z = (F.col("mi") - F.col("mu")) / (F.col("sd") / F.sqrt(F.col("ni")))
+    scored = per.join(F.broadcast(gl)).select(
+        "n_name", F.exp(-F.pow(z, 2) / 2).alias("p")
+    )
+    ranked = scored.select(
+        "n_name",
+        "p",
+        F.row_number().over(Window.orderBy("p", "n_name")).cast("long").alias("k"),
+        F.count("*").over(Window.partitionBy()).cast("double").alias("m"),
+    )
+    cutoff = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p") <= 0.1 * F.col("k") / F.col("m"), F.col("k"))),
+            F.lit(0).cast("long"),
+        ).alias("kmax")
+    )
+    return ranked.join(F.broadcast(cutoff)).select(
+        "n_name",
+        F.col("k").alias("p_rank"),
+        F.round("p", 6).alias("pseudo_p"),
+        (F.col("k") <= F.col("kmax")).alias("discovery"),
+    )
+
+
+@register(
+    "flesch_reading_ease",
+    oracle=r"""
+    WITH scored AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS w,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS DOUBLE) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS DOUBLE) AS y
+      FROM documents WHERE lang = 'en'),
+    flesch AS (
+      SELECT source,
+             206.835 - 1.015 * (w / s) - 84.6 * (y / w) AS score,
+             w / s AS wps
+      FROM scored WHERE w > 0)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score), 2) AS mean_flesch,
+           round(avg(wps), 2) AS mean_words_per_sentence
+    FROM flesch GROUP BY source
+    """,
+    tags=("text", "quality", "readability"),
+)
+def q_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring of the English corpus slice:
+    206.835 − 1.015·(words/sentence) − 84.6·(syllables/word), with
+    syllables approximated by vowel-group counts — the readability
+    gate curation pipelines put next to the statistical quality
+    scores (cf. quality_score_filter), since grade-level drift is a
+    training-mix property worth monitoring per source. Three regexp
+    counters per document, all JVM-side codegen; one hash aggregate
+    per source — no tokenizer UDF, no Python."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    w = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    ).cast("double")
+    s = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("double")
+    y = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("double")
+    scored = d.select("source", w.alias("w"), s.alias("s"), y.alias("y")).filter(
+        F.col("w") > 0
+    )
+    flesch = scored.select(
+        "source",
+        (
+            F.lit(206.835)
+            - 1.015 * (F.col("w") / F.col("s"))
+            - 84.6 * (F.col("y") / F.col("w"))
+        ).alias("score"),
+        (F.col("w") / F.col("s")).alias("wps"),
+    )
+    return flesch.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("score"), 2).alias("mean_flesch"),
+        F.round(F.avg("wps"), 2).alias("mean_words_per_sentence"),
+    )
+
+
+@register(
+    "page_hinkley_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x
+      FROM orders GROUP BY 1),
+    gl AS (SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM daily),
+    cum AS (
+      SELECT d,
+             sum(x - mu - 0.005 * mu)
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS m
+      FROM daily, gl),
+    ph AS (
+      SELECT d, m - min(m) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS stat
+      FROM cum)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN stat > 3 * sd THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarm_days,
+           strftime(min(CASE WHEN stat > 3 * sd THEN d END),
+                    '%Y-%m-%d') AS first_alarm,
+           round(max(stat) / sd, 3) AS peak_stat_sigmas
+    FROM ph, gl GROUP BY sd
+    """,
+    tags=("timeseries", "drift", "window"),
+)
+def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector on daily revenue: the
+    cumulative deviation m_t = Σ(x−μ−δ) minus its running minimum,
+    alarmed when the gap exceeds λ=3σ (δ = 0.5% of μ, the magnitude
+    floor) — the sequential change detector streaming systems run on
+    model metrics (cf. cusum_changepoint, which locates ONE shift;
+    PH answers 'has drift started, and when first'). Two stacked
+    prefix windows over the |dates| aggregate — the fact table
+    contributes a single hash aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    gl = daily.agg(F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd"))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.join(F.broadcast(gl)).select(
+        "d",
+        "sd",
+        F.sum(F.col("x") - F.col("mu") - 0.005 * F.col("mu")).over(wcum).alias("m"),
+    )
+    ph = cum.select(
+        "d", "sd", (F.col("m") - F.min("m").over(wcum)).alias("stat")
+    )
+    alarm = F.col("stat") > 3 * F.col("sd")
+    return ph.groupBy("sd").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("bigint").alias("n_alarm_days"),
+        F.date_format(F.min(F.when(alarm, F.col("d"))), "yyyy-MM-dd").alias(
+            "first_alarm"
+        ),
+        F.round(F.max("stat") / F.first("sd"), 3).alias("peak_stat_sigmas"),
+    ).drop("sd")
+
+
+@register(
+    "bollinger_breakouts",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x
+      FROM orders GROUP BY 1),
+    bands AS (
+      SELECT d, x,
+             avg(x) OVER w AS m,
+             stddev_samp(x) OVER w AS s,
+             count(*) OVER w AS nw
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT CAST(year(d) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN x > m + 2 * s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above,
+           CAST(sum(CASE WHEN x < m - 2 * s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below
+    FROM bands WHERE nw = 20 GROUP BY 1
+    """,
+    tags=("timeseries", "window", "volatility"),
+)
+def q_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout counting per year: 20-day rolling
+    mean ± 2 rolling σ, a day outside the band is a volatility
+    breakout — the adaptive-threshold anomaly count (the band widens
+    in volatile regimes where a fixed ±2σ_global would false-alarm,
+    cf. ewma_control_chart's fixed limits). One bounded rows-frame
+    window over the |dates| aggregate; warm-up rows (frame count
+    < 20) are excluded so the band is always a full-window
+    statistic."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    wb = Window.orderBy("d").rowsBetween(-19, 0)
+    bands = daily.select(
+        "d",
+        "x",
+        F.avg("x").over(wb).alias("m"),
+        F.stddev_samp("x").over(wb).alias("s"),
+        F.count("*").over(wb).alias("nw"),
+    ).filter(F.col("nw") == 20)
+    return bands.groupBy(F.year("d").cast("bigint").alias("yr")).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("x") > F.col("m") + 2 * F.col("s"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above"),
+        F.sum(F.when(F.col("x") < F.col("m") - 2 * F.col("s"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below"),
+    )
+
+
+@register(
+    "haar_wavelet_energy",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS i, v
+      FROM daily),
+    st AS (SELECT avg(v) AS mu, stddev_samp(v) AS sd FROM idx),
+    z AS (SELECT i, (v - mu) / sd AS zv FROM idx, st),
+    lv AS (SELECT unnest([1, 2, 3, 4]) AS j),
+    blocks AS (
+      SELECT j, i // CAST(pow(2, j) AS BIGINT) AS blk,
+             sum(zv * (1 - 2 * ((i // CAST(pow(2, j - 1) AS BIGINT)) % 2)))
+               / pow(2, j) AS dcoef,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM z, lv GROUP BY 1, 2),
+    energy AS (
+      SELECT CAST(j AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_blocks,
+             sum(dcoef * dcoef) AS e
+      FROM blocks WHERE cnt = CAST(pow(2, j) AS BIGINT) GROUP BY j)
+    SELECT level, n_blocks, round(e, 3) AS detail_energy,
+           round(e / sum(e) OVER (), 4) AS energy_share
+    FROM energy
+    """,
+    tags=("timeseries", "wavelet", "decomposition"),
+)
+def q_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar multi-resolution energy decomposition of the z-scored
+    daily revenue: at level j the detail coefficient of each 2ʲ-day
+    block is (first-half mean − second-half mean)/2, written as ONE
+    signed sum Σ±z/2ʲ so all four levels come out of a single hash
+    aggregate over |dates|×|levels| rows — wavelet analysis with no
+    recursion and no sequential cascade. The per-level energy shares
+    say which timescale (2/4/8/16 days) carries the variance, the
+    multi-scale companion to dft_periodogram's fixed frequencies.
+    Incomplete tail blocks are excluded exactly as in the classical
+    dyadic transform."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).cast("long").alias("i"),
+        "v",
+    )
+    st = idx.agg(F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd"))
+    z = idx.join(F.broadcast(st)).select(
+        "i", ((F.col("v") - F.col("mu")) / F.col("sd")).alias("zv")
+    )
+    lv = spark.createDataFrame([(1,), (2,), (3,), (4,)], "j int")
+    blksz = F.pow(F.lit(2.0), F.col("j")).cast("long")
+    halfsz = F.pow(F.lit(2.0), F.col("j") - 1).cast("long")
+    sign = 1 - 2 * ((F.col("i") / halfsz).cast("long") % 2)
+    blocks = (
+        z.crossJoin(F.broadcast(lv))
+        .groupBy("j", (F.col("i") / blksz).cast("long").alias("blk"))
+        .agg(
+            F.sum(F.col("zv") * sign).alias("ssum"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+        .select(
+            "j",
+            "cnt",
+            (F.col("ssum") / F.pow(F.lit(2.0), F.col("j"))).alias("dcoef"),
+        )
+    )
+    energy = (
+        blocks.filter(F.col("cnt") == F.pow(F.lit(2.0), F.col("j")).cast("long"))
+        .groupBy(F.col("j").cast("bigint").alias("level"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_blocks"),
+            F.sum(F.col("dcoef") * F.col("dcoef")).alias("e"),
+        )
+    )
+    return energy.select(
+        "level",
+        "n_blocks",
+        F.round("e", 3).alias("detail_energy"),
+        F.round(F.col("e") / F.sum("e").over(Window.partitionBy()), 4).alias(
+            "energy_share"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

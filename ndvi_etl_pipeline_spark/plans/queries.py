@@ -16352,6 +16352,478 @@ def q_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "word_pmi_bigrams",
+    oracle="""
+    WITH arrs AS (
+      SELECT regexp_split_to_array(lower(text), '[^a-z0-9]+') AS ws
+      FROM documents WHERE lang = 'en'),
+    uni AS (
+      SELECT unnest(ws) AS w FROM arrs),
+    u AS (
+      SELECT w, CAST(count(*) AS DOUBLE) AS cw
+      FROM uni WHERE length(w) >= 2 GROUP BY w),
+    nu AS (SELECT sum(cw) AS n_uni FROM u),
+    bi AS (
+      SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+      FROM arrs CROSS JOIN (SELECT unnest(generate_series(1, 4000)) AS i) g
+      WHERE i <= len(ws) - 1),
+    b AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cp
+      FROM bi WHERE length(w1) >= 2 AND length(w2) >= 2
+      GROUP BY w1, w2 HAVING count(*) >= 5),
+    nb AS (SELECT sum(cp) AS n_bi FROM b),
+    pmi AS (
+      SELECT b.w1, b.w2, CAST(cp AS BIGINT) AS pair_count,
+             ln((cp / n_bi) / ((u1.cw / n_uni) * (u2.cw / n_uni))) AS pmi
+      FROM b JOIN u u1 ON b.w1 = u1.w
+      JOIN u u2 ON b.w2 = u2.w, nu, nb)
+    SELECT w1, w2, pair_count, round(pmi, 3) AS pmi
+    FROM pmi ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    tags=("text", "collocation", "join"),
+)
+def q_word_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs in the
+    English slice — the collocation detector (Church & Hanks) that
+    finds phrases worth treating as single tokens before BPE
+    training (cf. bpe_pair_counts at the character tier). Bigrams
+    are enumerated JVM-side with transform(sequence) over the split
+    array — one explode of n−1 pairs, no self-join on positions; a
+    min-count floor of 5 kills the unstable low-frequency tail, and
+    both marginals come from one unigram aggregate joined back
+    twice (broadcast — the vocabulary is tiny next to the corpus)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    arrs = d.select(F.split(F.lower("text"), "[^a-z0-9]+").alias("ws"))
+    uni = arrs.select(F.explode("ws").alias("w")).filter(F.length("w") >= 2)
+    u = uni.groupBy("w").agg(F.count("*").cast("double").alias("cw"))
+    nu = u.agg(F.sum("cw").alias("n_uni"))
+    bi = arrs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    b = (
+        bi.filter((F.length("w1") >= 2) & (F.length("w2") >= 2))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("double").alias("cp"))
+        .filter(F.col("cp") >= 5)
+    )
+    nb = b.agg(F.sum("cp").alias("n_bi"))
+    pmi = (
+        b.join(F.broadcast(u.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1")), "w1")
+        .join(F.broadcast(u.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2")), "w2")
+        .join(F.broadcast(nu))
+        .join(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("cp").cast("bigint").alias("pair_count"),
+            F.log(
+                (F.col("cp") / F.col("n_bi"))
+                / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+            ).alias("pmi"),
+        )
+    )
+    return (
+        pmi.orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "pair_count", F.round("pmi", 3).alias("pmi"))
+    )
+
+
+@register(
+    "topsis_supplier_ranking",
+    oracle="""
+    WITH crit AS (
+      SELECT l_suppkey,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue,
+             avg(l_discount) AS avg_disc,
+             CAST(count(DISTINCT l_partkey) AS DOUBLE) AS breadth
+      FROM lineitem GROUP BY l_suppkey),
+    norms AS (
+      SELECT sqrt(sum(revenue * revenue)) AS nr,
+             sqrt(sum(avg_disc * avg_disc)) AS nd,
+             sqrt(sum(breadth * breadth)) AS nb
+      FROM crit),
+    v AS (
+      SELECT l_suppkey, revenue / nr AS vr, avg_disc / nd AS vd,
+             breadth / nb AS vb
+      FROM crit, norms),
+    ideal AS (
+      SELECT max(vr) AS ir, min(vd) AS id_, max(vb) AS ib,
+             min(vr) AS ar, max(vd) AS ad, min(vb) AS ab
+      FROM v),
+    scored AS (
+      SELECT l_suppkey,
+             sqrt(pow(vr - ir, 2) + pow(vd - id_, 2) + pow(vb - ib, 2)) AS dplus,
+             sqrt(pow(vr - ar, 2) + pow(vd - ad, 2) + pow(vb - ab, 2)) AS dminus
+      FROM v, ideal)
+    SELECT s_name, round(dminus / (dplus + dminus), 6) AS topsis_score
+    FROM scored JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY dminus / (dplus + dminus) DESC, s_name LIMIT 10
+    """,
+    tags=("ranking", "decision", "agg"),
+)
+def q_topsis_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPSIS multi-criteria supplier ranking: three criteria
+    (revenue↑, mean discount given↓, part breadth↑) vector-
+    normalized, then each supplier scored by closeness
+    d⁻/(d⁺+d⁻) to the ideal/anti-ideal corner — the MCDM method
+    procurement teams use when 'best supplier' has no single metric.
+    One fact-table aggregate builds the criteria matrix
+    (|suppliers| rows); the normalizers and ideal points are 1-row
+    broadcasts, so the whole decision analysis adds zero extra
+    shuffles at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    crit = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count_distinct("l_partkey").cast("double").alias("breadth"),
+    )
+    norms = crit.agg(
+        F.sqrt(F.sum(F.col("revenue") * F.col("revenue"))).alias("nr"),
+        F.sqrt(F.sum(F.col("avg_disc") * F.col("avg_disc"))).alias("nd"),
+        F.sqrt(F.sum(F.col("breadth") * F.col("breadth"))).alias("nb"),
+    )
+    v = crit.join(F.broadcast(norms)).select(
+        "l_suppkey",
+        (F.col("revenue") / F.col("nr")).alias("vr"),
+        (F.col("avg_disc") / F.col("nd")).alias("vd"),
+        (F.col("breadth") / F.col("nb")).alias("vb"),
+    )
+    ideal = v.agg(
+        F.max("vr").alias("ir"), F.min("vd").alias("id_"), F.max("vb").alias("ib"),
+        F.min("vr").alias("ar"), F.max("vd").alias("ad"), F.min("vb").alias("ab"),
+    )
+    sq = lambda c: F.pow(c, 2)
+    scored = v.join(F.broadcast(ideal)).select(
+        "l_suppkey",
+        F.sqrt(
+            sq(F.col("vr") - F.col("ir"))
+            + sq(F.col("vd") - F.col("id_"))
+            + sq(F.col("vb") - F.col("ib"))
+        ).alias("dplus"),
+        F.sqrt(
+            sq(F.col("vr") - F.col("ar"))
+            + sq(F.col("vd") - F.col("ad"))
+            + sq(F.col("vb") - F.col("ab"))
+        ).alias("dminus"),
+    )
+    score = F.col("dminus") / (F.col("dplus") + F.col("dminus"))
+    return (
+        scored.join(s, scored["l_suppkey"] == s["s_suppkey"])
+        .orderBy(score.desc(), "s_name")
+        .limit(10)
+        .select("s_name", F.round(score, 6).alias("topsis_score"))
+    )
+
+
+@register(
+    "quantile_normalization",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ntile(100) OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS pct
+      FROM documents),
+    ref AS (
+      SELECT pct, avg(n_chars) AS ref_val FROM ranked GROUP BY pct),
+    norm AS (
+      SELECT source, n_chars, ref_val
+      FROM ranked JOIN ref USING (pct))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ref_val - n_chars), 2) AS mean_shift,
+           round(avg(abs(ref_val - n_chars)), 2) AS mean_abs_shift
+    FROM norm GROUP BY source
+    """,
+    tags=("stats", "normalization", "window"),
+)
+def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document lengths across sources —
+    the bioinformatics-standard batch-effect remover applied to the
+    training mix: each source's length distribution is mapped onto
+    the pooled percentile profile, so no single crawl's length bias
+    survives into the curriculum. ntile(100) within source (a
+    per-source sort, partition-parallel), the reference profile is a
+    100-row aggregate broadcast back, and the report shows how far
+    each source sat from the pooled distribution (mean and mean-
+    absolute shift)."""
+    d = _t(spark, sf_dir, "documents")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.ntile(100)
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("pct"),
+    )
+    ref = ranked.groupBy("pct").agg(F.avg("n_chars").alias("ref_val"))
+    norm = ranked.join(F.broadcast(ref), "pct")
+    shift = F.col("ref_val") - F.col("n_chars")
+    return norm.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg(shift), 2).alias("mean_shift"),
+        F.round(F.avg(F.abs(shift)), 2).alias("mean_abs_shift"),
+    )
+
+
+@register(
+    "bloom_filter_fpr",
+    oracle="""
+    WITH seeds AS (SELECT unnest([1, 2, 3]) AS s),
+    members AS (SELECT p_partkey AS k FROM part WHERE p_brand = 'Brand#11'),
+    probes AS (SELECT p_partkey AS k FROM part WHERE p_brand = 'Brand#22'),
+    bits AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(k AS VARCHAR) || '#'
+                       || CAST(s AS VARCHAR)), 1, 8))::UBIGINT % 1024 AS bit
+      FROM members, seeds),
+    probe_bits AS (
+      SELECT k, s, ('0x' || substr(md5(CAST(k AS VARCHAR) || '#'
+                    || CAST(s AS VARCHAR)), 1, 8))::UBIGINT % 1024 AS bit
+      FROM probes, seeds),
+    hits AS (
+      SELECT pb.k, CAST(count(*) AS BIGINT) AS n_hit
+      FROM probe_bits pb JOIN bits ON pb.bit = bits.bit
+      GROUP BY pb.k),
+    meas AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM members) AS n,
+             (SELECT CAST(count(*) AS DOUBLE) FROM probes) AS np,
+             (SELECT CAST(count(*) AS DOUBLE) FROM hits WHERE n_hit = 3) AS fp)
+    SELECT CAST(n AS BIGINT) AS n_members,
+           CAST(np AS BIGINT) AS n_probes,
+           CAST(fp AS BIGINT) AS false_positives,
+           round(fp / np, 4) AS measured_fpr,
+           round(pow(1 - exp(-3 * n / 1024.0), 3), 4) AS theoretical_fpr
+    FROM meas
+    """,
+    tags=("sketch", "hash", "audit"),
+)
+def q_bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built and audited relationally: one brand's part
+    keys are the member set (k=3 md5-derived hash functions into
+    m=1024 bits — the bit array is just DISTINCT bucket ids), a
+    disjoint brand probes it, and a probe is a false positive iff
+    all three of its bits land in the set — a 3-way hit count via
+    one equi-join on bit id. Measured FPR sits next to the
+    (1−e^{−kn/m})^k theory bound, the calibration check run before
+    trusting a bloom-pruned join at scale (Spark's own
+    spark.sql.optimizer.runtime.bloomFilter does exactly this
+    pruning); deterministic md5 bits keep both engines bit-for-bit
+    identical."""
+    p = _t(spark, sf_dir, "part")
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "s int")
+
+    def hbit(key, s):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit("#"), s.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    members = p.filter(F.col("p_brand") == "Brand#11").select(
+        F.col("p_partkey").alias("k")
+    )
+    probes = p.filter(F.col("p_brand") == "Brand#22").select(
+        F.col("p_partkey").alias("k")
+    )
+    bits = (
+        members.crossJoin(F.broadcast(seeds))
+        .select(hbit(F.col("k"), F.col("s")).alias("bit"))
+        .distinct()
+    )
+    probe_bits = probes.crossJoin(F.broadcast(seeds)).select(
+        "k", hbit(F.col("k"), F.col("s")).alias("bit")
+    )
+    hits = (
+        probe_bits.join(bits, "bit")
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    meas = (
+        members.agg(F.count("*").cast("double").alias("n"))
+        .crossJoin(probes.agg(F.count("*").cast("double").alias("np")))
+        .crossJoin(
+            hits.filter(F.col("n_hit") == 3).agg(
+                F.count("*").cast("double").alias("fp")
+            )
+        )
+    )
+    return meas.select(
+        F.col("n").cast("bigint").alias("n_members"),
+        F.col("np").cast("bigint").alias("n_probes"),
+        F.col("fp").cast("bigint").alias("false_positives"),
+        F.round(F.col("fp") / F.col("np"), 4).alias("measured_fpr"),
+        F.round(
+            F.pow(1 - F.exp(-3 * F.col("n") / F.lit(1024.0)), 3), 4
+        ).alias("theoretical_fpr"),
+    )
+
+
+@register(
+    "second_price_auction",
+    oracle="""
+    WITH bids AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+      SELECT l_partkey, unit_price,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_price, l_suppkey) AS rk
+      FROM bids),
+    auctions AS (
+      SELECT a.l_partkey, a.unit_price AS best, b.unit_price AS second
+      FROM ranked a JOIN ranked b
+        ON a.l_partkey = b.l_partkey AND a.rk = 1 AND b.rk = 2)
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_auctions,
+           round(avg(second / best), 4) AS mean_price_ratio,
+           round(avg(second - best), 4) AS mean_clearing_premium
+    FROM auctions JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("window", "auction", "join"),
+)
+def q_second_price_auction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-price (Vickrey) clearing analysis: per part, suppliers
+    'bid' their best observed unit price, the winner pays the
+    runner-up's bid — mean second/first ratio per brand measures how
+    competitive each segment's supply is (ratio→1 = thick market,
+    the procurement-side twin of min_cost_supplier which only finds
+    the winner). Per-part ranking is partition-parallel (window
+    keyed on partkey, never global); rank-1 and rank-2 meet in a
+    self-equi-join on the already-tiny ranked relation."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    bids = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    ranked = bids.select(
+        "l_partkey",
+        "unit_price",
+        F.row_number()
+        .over(Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey"))
+        .alias("rk"),
+    )
+    a = ranked.filter(F.col("rk") == 1).select(
+        "l_partkey", F.col("unit_price").alias("best")
+    )
+    b = ranked.filter(F.col("rk") == 2).select(
+        "l_partkey", F.col("unit_price").alias("second")
+    )
+    auctions = a.join(b, "l_partkey")
+    return (
+        auctions.join(p, auctions["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_auctions"),
+            F.round(F.avg(F.col("second") / F.col("best")), 4).alias(
+                "mean_price_ratio"
+            ),
+            F.round(F.avg(F.col("second") - F.col("best")), 4).alias(
+                "mean_clearing_premium"
+            ),
+        )
+    )
+
+
+@register(
+    "rolling_beta",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x
+      FROM orders GROUP BY 1),
+    nat AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name = 'GERMANY' GROUP BY 1),
+    series AS (
+      SELECT g.d, g.x, coalesce(nat.y, 0) AS y
+      FROM g LEFT JOIN nat ON g.d = nat.d),
+    win AS (
+      SELECT d, count(*) OVER w AS n,
+             sum(x * y) OVER w AS sxy, sum(x) OVER w AS sx,
+             sum(y) OVER w AS sy, sum(x * x) OVER w AS sxx
+      FROM series
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 89 PRECEDING AND CURRENT ROW)),
+    beta AS (
+      SELECT d, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b
+      FROM win WHERE n = 90)
+    SELECT CAST(year(d) AS BIGINT) AS yr,
+           CAST(quarter(d) AS BIGINT) AS qtr,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(b), 4) AS mean_beta
+    FROM beta GROUP BY 1, 2
+    """,
+    tags=("timeseries", "regression", "window"),
+)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 90-day beta of one nation's revenue against the
+    global daily series — cov/var from the five windowed sums
+    (Σxy, Σx, Σy, Σx², n), the finance-style exposure measure
+    applied to revenue concentration: β>1 quarters are when the
+    nation amplifies global swings. The left join densifies the
+    nation series with zero-fill so quiet days depress β instead of
+    silently shrinking the window; all five sums share ONE window
+    frame over the |dates| aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    g = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    nat = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n.filter(F.col("n_name") == "GERMANY")),
+              c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    series = g.join(nat, "d", "left").select(
+        "d", "x", F.coalesce("y", F.lit(0.0)).alias("y")
+    )
+    w = Window.orderBy("d").rowsBetween(-89, 0)
+    win = series.select(
+        "d",
+        F.count("*").over(w).alias("n"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    ).filter(F.col("n") == 90)
+    beta = win.select(
+        "d",
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("b"),
+    )
+    return beta.groupBy(
+        F.year("d").cast("bigint").alias("yr"),
+        F.quarter("d").cast("bigint").alias("qtr"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.avg("b"), 4).alias("mean_beta"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

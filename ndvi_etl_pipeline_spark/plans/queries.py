@@ -16824,6 +16824,460 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lagged_cross_correlation",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    p AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+    shifted AS (
+      SELECT lag, c.d + CAST(lag AS INT) AS dj, x
+      FROM c CROSS JOIN lags)
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(y, x), 4) AS xcorr
+    FROM shifted JOIN p ON p.d = shifted.dj
+    GROUP BY lag
+    """,
+    tags=("events", "timeseries", "correlation"),
+)
+def q_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the click and purchase daily
+    series: corr(clicks_{t−k}, purchases_t) for k = 0..7 — the
+    lead-lag screen behind 'do clicks predict purchases, and with
+    what delay' (the Granger-causality precursor; the argmax lag is
+    the conversion latency). Each lag is the SAME daily aggregate
+    joined at a date offset — one |dates|×8 shifted relation, one
+    corr aggregate per lag, zero fact-table re-scans."""
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    lags = spark.createDataFrame([(i,) for i in range(8)], "lag int")
+    shifted = c.crossJoin(F.broadcast(lags)).select(
+        "lag", F.date_add(F.col("d"), F.col("lag")).alias("dj"), "x"
+    )
+    return (
+        shifted.join(p, shifted["dj"] == p["d"])
+        .groupBy(F.col("lag").cast("bigint").alias("lag"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.corr("y", "x"), 4).alias("xcorr"),
+        )
+    )
+
+
+@register(
+    "pca_power_iteration",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, CAST(i AS INT) - 1 AS d,
+             embedding[CAST(i AS INT)]::DOUBLE AS x
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+    mu AS (SELECT d, avg(x) AS m, CAST(count(*) AS DOUBLE) AS n
+           FROM dims GROUP BY d),
+    raw AS (
+      SELECT a.d AS i, b.d AS j, sum(a.x * b.x) AS sxy
+      FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2),
+    cov AS (
+      SELECT i, j, (sxy - mi.n * mi.m * mj.m) / (mi.n - 1) AS c
+      FROM raw JOIN mu mi ON raw.i = mi.d JOIN mu mj ON raw.j = mj.d),
+    v1 AS (SELECT i, sum(c) AS v FROM cov GROUP BY i),
+    v2 AS (SELECT cov.i AS i, sum(c * v1.v) AS v
+           FROM cov JOIN v1 ON cov.j = v1.i GROUP BY cov.i),
+    v3 AS (SELECT cov.i AS i, sum(c * v2.v) AS v
+           FROM cov JOIN v2 ON cov.j = v2.i GROUP BY cov.i),
+    v4 AS (SELECT cov.i AS i, sum(c * v3.v) AS v
+           FROM cov JOIN v3 ON cov.j = v3.i GROUP BY cov.i),
+    lam AS (
+      SELECT sum(v3.v * v4.v) / sum(v3.v * v3.v) AS lambda1
+      FROM v3 JOIN v4 ON v3.i = v4.i),
+    tr AS (SELECT sum(c) AS trace FROM cov WHERE i = j)
+    SELECT CAST(64 AS BIGINT) AS n_dims,
+           round(lambda1, 4) AS lambda1,
+           round(lambda1 / trace, 4) AS explained_share
+    FROM lam, tr
+    """,
+    tags=("ml", "embeddings", "iterative"),
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by THREE
+    unrolled power-iteration steps, entirely in the engine: the
+    64×64 covariance matrix is one self-join-and-aggregate over the
+    exploded (vec_id, dim, value) relation, each iteration is a
+    4096-row matvec (join on the shared dim + re-aggregate), and
+    λ₁ comes from the Rayleigh quotient v·Cv/v·v — no driver-side
+    linear algebra, no collect. The only fact-sized work is the one
+    covariance aggregate (n·d² products, map-side combined);
+    explained-variance share λ₁/tr(C) is the embedding-collapse
+    diagnostic (a share near 1 means the representation degenerated
+    to one axis — cf. top_dim_share's per-dim variance view)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select("vec_id", "d", F.col("x").cast("double").alias("x"))
+    mu = dims.groupBy("d").agg(
+        F.avg("x").alias("m"), F.count("*").cast("double").alias("n")
+    )
+    a = dims.select("vec_id", F.col("d").alias("i"), F.col("x").alias("xa"))
+    bb = dims.select("vec_id", F.col("d").alias("j"), F.col("x").alias("xb"))
+    raw = (
+        a.join(bb, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("sxy"))
+    )
+    mi = mu.select(F.col("d").alias("i"), F.col("m").alias("m_i"), "n")
+    mj = mu.select(F.col("d").alias("j"), F.col("m").alias("m_j"))
+    cov = (
+        raw.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("sxy") - F.col("n") * F.col("m_i") * F.col("m_j"))
+                / (F.col("n") - 1)
+            ).alias("c"),
+        )
+    )
+
+    def matvec(v):
+        vr = v.select(F.col("i").alias("j"), F.col("v").alias("vj"))
+        return (
+            cov.join(F.broadcast(vr), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vj")).alias("v"))
+        )
+
+    v1 = cov.groupBy("i").agg(F.sum("c").alias("v"))
+    v2 = matvec(v1)
+    v3 = matvec(v2)
+    v4 = matvec(v3)
+    lam = (
+        v3.select("i", F.col("v").alias("v3"))
+        .join(v4.select("i", F.col("v").alias("v4")), "i")
+        .agg(
+            (F.sum(F.col("v3") * F.col("v4")) / F.sum(F.col("v3") * F.col("v3"))).alias(
+                "lambda1"
+            )
+        )
+    )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(F.sum("c").alias("trace"))
+    return lam.crossJoin(F.broadcast(tr)).select(
+        F.lit(64).cast("bigint").alias("n_dims"),
+        F.round("lambda1", 4).alias("lambda1"),
+        F.round(F.col("lambda1") / F.col("trace"), 4).alias("explained_share"),
+    )
+
+
+@register(
+    "burrows_delta",
+    oracle="""
+    WITH ws AS (
+      SELECT source, w
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents WHERE lang = 'en')
+      WHERE length(w) >= 1),
+    top AS (
+      SELECT w FROM ws GROUP BY w ORDER BY count(*) DESC, w LIMIT 20),
+    src_tot AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS tot FROM ws GROUP BY source),
+    counts AS (
+      SELECT source, w, CAST(count(*) AS DOUBLE) AS cnt
+      FROM ws WHERE w IN (SELECT w FROM top) GROUP BY 1, 2),
+    grid AS (SELECT source, tot, w FROM src_tot CROSS JOIN top),
+    f AS (
+      SELECT grid.source, grid.w, coalesce(cnt, 0) / tot AS fr
+      FROM grid LEFT JOIN counts
+        ON grid.source = counts.source AND grid.w = counts.w),
+    z AS (
+      SELECT source, w,
+             (fr - avg(fr) OVER (PARTITION BY w))
+               / stddev_samp(fr) OVER (PARTITION BY w) AS z
+      FROM f),
+    delta AS (
+      SELECT a.source AS s1, b.source AS s2,
+             avg(abs(a.z - b.z)) AS delta
+      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT s1, s2, round(delta, 4) AS delta
+    FROM delta ORDER BY delta, s1, s2 LIMIT 15
+    """,
+    tags=("text", "stylometry", "window"),
+)
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometry between sources: z-score each
+    source's relative frequency of the 20 most common words against
+    the cross-source distribution, Delta(s₁,s₂) = mean |z₁−z₂| —
+    the authorship-attribution distance applied as a corpus
+    diagnostic (two 'independent' crawls with near-zero Delta are
+    probably the same upstream content farm, a dedup signal whole-
+    document hashing misses). The function-word profile is a
+    |sources|×20 grid densified by a tiny cross join with zero-fill
+    — absent words carry stylistic signal too; the 15 most similar
+    pairs surface."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    ws = d.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    top = (
+        ws.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(20)
+        .select("w")
+    )
+    src_tot = ws.groupBy("source").agg(F.count("*").cast("double").alias("tot"))
+    counts = (
+        ws.join(F.broadcast(top), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    grid = src_tot.crossJoin(F.broadcast(top))
+    f = grid.join(counts, ["source", "w"], "left").select(
+        "source", "w", (F.coalesce("cnt", F.lit(0.0)) / F.col("tot")).alias("fr")
+    )
+    wz = Window.partitionBy("w")
+    z = f.select(
+        "source",
+        "w",
+        (
+            (F.col("fr") - F.avg("fr").over(wz)) / F.stddev_samp("fr").over(wz)
+        ).alias("z"),
+    )
+    a = z.select(F.col("source").alias("s1"), "w", F.col("z").alias("z1"))
+    b = z.select(F.col("source").alias("s2"), "w", F.col("z").alias("z2"))
+    delta = (
+        a.join(b, "w")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.avg(F.abs(F.col("z1") - F.col("z2"))).alias("delta"))
+    )
+    return (
+        delta.orderBy("delta", "s1", "s2")
+        .limit(15)
+        .select("s1", "s2", F.round("delta", 4).alias("delta"))
+    )
+
+
+@register(
+    "ks_two_sample",
+    oracle="""
+    WITH a AS (SELECT p_retailprice AS v FROM part WHERE p_brand = 'Brand#11'),
+    b AS (SELECT p_retailprice AS v FROM part WHERE p_brand = 'Brand#22'),
+    na AS (SELECT CAST(count(*) AS DOUBLE) AS n1 FROM a),
+    nb AS (SELECT CAST(count(*) AS DOUBLE) AS n2 FROM b),
+    merged AS (
+      SELECT v, sum(ca) AS ca, sum(cb) AS cb
+      FROM (SELECT v, 1.0 AS ca, 0.0 AS cb FROM a
+            UNION ALL SELECT v, 0.0, 1.0 FROM b)
+      GROUP BY v),
+    cum AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cca,
+             sum(cb) OVER (ORDER BY v) AS ccb
+      FROM merged)
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           round(max(abs(cca / n1 - ccb / n2)), 6) AS d_stat,
+           round(sqrt(n1 * n2 / (n1 + n2))
+                 * max(abs(cca / n1 - ccb / n2)), 4) AS ks_stat
+    FROM cum, na, nb GROUP BY n1, n2
+    """,
+    tags=("stats", "nonparametric", "distribution-fit"),
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between two brands'
+    retail-price distributions: D = sup|F₁−F₂| over the merged value
+    domain, with the √(n₁n₂/(n₁+n₂))·D normalization — the
+    distribution-drift test run between data slices (the two-sample
+    twin of ks_uniformity_audit's one-sample check). Both ECDFs come
+    from ONE union + value-level aggregate; the sup runs as a window
+    over the distinct-value relation, which is histogram-sized, not
+    row-sized — the formulation that survives when each sample is
+    billions of rows."""
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_brand") == "Brand#11").select(
+        F.col("p_retailprice").alias("v"),
+        F.lit(1.0).alias("ca"),
+        F.lit(0.0).alias("cb"),
+    )
+    b = p.filter(F.col("p_brand") == "Brand#22").select(
+        F.col("p_retailprice").alias("v"),
+        F.lit(0.0).alias("ca"),
+        F.lit(1.0).alias("cb"),
+    )
+    merged = (
+        a.unionAll(b)
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    na = a.agg(F.sum("ca").alias("n1"))
+    nb = b.agg(F.sum("cb").alias("n2"))
+    wv = Window.orderBy("v")
+    cum = merged.select(
+        "v",
+        F.sum("ca").over(wv).alias("cca"),
+        F.sum("cb").over(wv).alias("ccb"),
+    )
+    gap = F.abs(F.col("cca") / F.col("n1") - F.col("ccb") / F.col("n2"))
+    return (
+        cum.join(F.broadcast(na))
+        .join(F.broadcast(nb))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(F.max(gap), 6).alias("d_stat"),
+            F.round(
+                F.sqrt(F.first("n1") * F.first("n2") / (F.first("n1") + F.first("n2")))
+                * F.max(gap),
+                4,
+            ).alias("ks_stat"),
+        )
+        .select(
+            F.col("n1").cast("bigint").alias("n_a"),
+            F.col("n2").cast("bigint").alias("n_b"),
+            "d_stat",
+            "ks_stat",
+        )
+    )
+
+
+@register(
+    "eoq_batch_sizing",
+    oracle="""
+    WITH yrs AS (
+      SELECT CAST(count(DISTINCT year(CAST(l_shipdate AS DATE))) AS DOUBLE)
+             AS ny
+      FROM lineitem),
+    dem AS (
+      SELECT p_brand, CAST(sum(l_quantity) AS DOUBLE) AS q
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1)
+    SELECT p_brand,
+           round(q / ny, 2) AS annual_demand,
+           round(sqrt(2 * (q / ny) * 100 / 2.0), 2) AS eoq,
+           round((q / ny) / sqrt(2 * (q / ny) * 100 / 2.0), 2)
+             AS orders_per_year
+    FROM dem, yrs
+    """,
+    tags=("inventory", "economics", "agg"),
+)
+def q_eoq_batch_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per brand: EOQ = √(2DS/H) with order
+    cost S=100 and annual holding cost H=2 per unit — the classic
+    lot-sizing square-root law, the deterministic companion to
+    newsvendor_quantile's stochastic fractile (EOQ sets the batch
+    SIZE, the fractile sets the safety STOCK). Annualized demand
+    divides by the observed year span so the answer is scale-factor
+    invariant; one fact aggregate, one 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    yrs = li.agg(
+        F.count_distinct(F.year(F.col("l_shipdate").cast("date")))
+        .cast("double")
+        .alias("ny")
+    )
+    dem = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.sum("l_quantity").cast("double").alias("q"))
+    )
+    ad = F.col("q") / F.col("ny")
+    eoq = F.sqrt(2 * ad * 100 / 2.0)
+    return dem.join(F.broadcast(yrs)).select(
+        "p_brand",
+        F.round(ad, 2).alias("annual_demand"),
+        F.round(eoq, 2).alias("eoq"),
+        F.round(ad / eoq, 2).alias("orders_per_year"),
+    )
+
+
+@register(
+    "brier_calibration",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, CAST(i AS INT) AS pos,
+             embedding[CAST(i AS INT)]::DOUBLE AS v, label
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+    cent AS (SELECT pos, avg(v) AS cv FROM dims WHERE label = 0 GROUP BY pos),
+    dots AS (
+      SELECT d.vec_id, any_value(d.label) AS label,
+             sum(d.v * c.cv) AS dot, sqrt(sum(d.v * d.v)) AS na
+      FROM dims d JOIN cent c ON d.pos = c.pos GROUP BY d.vec_id),
+    nc AS (SELECT sqrt(sum(cv * cv)) AS ncn FROM cent),
+    scored AS (
+      SELECT vec_id, label, (1 + dot / (na * ncn)) / 2 AS p
+      FROM dots, nc),
+    binned AS (
+      SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p,
+             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM scored)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 4) AS mean_pred,
+           round(avg(y), 4) AS frac_pos,
+           round(avg((p - y) * (p - y)), 4) AS brier
+    FROM binned GROUP BY bin
+    """,
+    tags=("ml", "eval", "calibration"),
+)
+def q_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier score for a one-vs-rest
+    embedding classifier: pseudo-probability p = (1+cos(x, c₀))/2
+    against the label-0 centroid, binned into deciles — per bin the
+    mean prediction vs the observed positive rate IS the calibration
+    curve, and the binned Brier decomposes the classifier-eval
+    picture auc_rank_sum's threshold-free view cannot show
+    (discrimination ≠ calibration). Centroid is a 64-row broadcast;
+    scores are one aggregate over the exploded dims; no Python."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", "pos", F.col("v").cast("double").alias("v"))
+    cent = dims.filter(F.col("label") == 0).groupBy("pos").agg(
+        F.avg("v").alias("cv")
+    )
+    dots = (
+        dims.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.sum(F.col("v") * F.col("cv")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("na"),
+        )
+    )
+    nc = cent.agg(F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("ncn"))
+    scored = dots.join(F.broadcast(nc)).select(
+        "label",
+        ((1 + F.col("dot") / (F.col("na") * F.col("ncn"))) / 2).alias("p"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("bigint"), F.lit(9).cast("bigint")).alias(
+            "bin"
+        ),
+        "p",
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("p"), 4).alias("mean_pred"),
+        F.round(F.avg("y"), 4).alias("frac_pos"),
+        F.round(F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))), 4).alias(
+            "brier"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

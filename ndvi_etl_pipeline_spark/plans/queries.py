@@ -47,6 +47,8 @@ CUR_SCRUB_PATTERN_SQL = CUR.SCRUB_PATTERN
 
 def register(name: str, oracle: str | None, headline: bool = False, tags: tuple[str, ...] = ()):
     def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QuerySpec(fn, oracle, headline, tags)
         return fn
 
@@ -17073,7 +17075,7 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ks_two_sample",
+    "ks_price_drift",
     oracle="""
     WITH a AS (SELECT p_retailprice AS v FROM part WHERE p_brand = 'Brand#11'),
     b AS (SELECT p_retailprice AS v FROM part WHERE p_brand = 'Brand#22'),
@@ -17097,7 +17099,7 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("stats", "nonparametric", "distribution-fit"),
 )
-def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distance between two brands'
     retail-price distributions: D = sup|F₁−F₂| over the merged value
     domain, with the √(n₁n₂/(n₁+n₂))·D normalization — the

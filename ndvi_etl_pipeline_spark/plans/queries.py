@@ -17280,6 +17280,534 @@ def q_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "theil_inequality_decomposition",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey, sum(o_totalprice) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    gl AS (SELECT avg(x) AS mu, CAST(count(*) AS DOUBLE) AS n FROM cust),
+    gs AS (
+      SELECT c_nationkey, avg(x) AS mug, CAST(count(*) AS DOUBLE) AS ng
+      FROM cust GROUP BY 1),
+    tg AS (
+      SELECT g.c_nationkey, any_value(g.mug) AS mug, any_value(g.ng) AS ng,
+             sum((c.x / g.mug) * ln(c.x / g.mug)) / any_value(g.ng) AS t_g
+      FROM cust c JOIN gs g USING (c_nationkey) GROUP BY g.c_nationkey),
+    tot AS (
+      SELECT sum((x / mu) * ln(x / mu)) / n AS t_total
+      FROM cust, gl GROUP BY n),
+    dec AS (
+      SELECT sum((ng * mug / (n * mu)) * ln(mug / mu)) AS t_between,
+             sum((ng * mug / (n * mu)) * t_g) AS t_within
+      FROM tg, gl GROUP BY n, mu)
+    SELECT round(t_total, 6) AS t_total,
+           round(t_between, 6) AS t_between,
+           round(t_within, 6) AS t_within,
+           round(t_total - t_between - t_within, 6) AS identity_gap
+    FROM tot, dec
+    """,
+    tags=("inequality", "stats", "decomposition"),
+)
+def q_theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer revenue, exactly decomposed
+    into between-nation + within-nation components — the property
+    that makes Theil the inequality measure for drill-downs (Gini,
+    gini_concentration, does NOT decompose additively): T =
+    Σ s_g·ln(μ_g/μ) + Σ s_g·T_g with revenue shares s_g. The
+    identity_gap column re-derives T−(between+within) and must be
+    exactly 0.000000 in BOTH engines — a built-in cross-engine
+    algebra check. One fact aggregate to per-customer totals, one
+    group-stats pass, all reductions map-side combinable."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    gl = cust.agg(
+        F.avg("x").alias("mu"), F.count("*").cast("double").alias("n")
+    )
+    gs = cust.groupBy("c_nationkey").agg(
+        F.avg("x").alias("mug"), F.count("*").cast("double").alias("ng")
+    )
+    tg = (
+        cust.join(F.broadcast(gs), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.first("mug").alias("mug"),
+            F.first("ng").alias("ng"),
+            (
+                F.sum((F.col("x") / F.col("mug")) * F.log(F.col("x") / F.col("mug")))
+                / F.first("ng")
+            ).alias("t_g"),
+        )
+    )
+    tot = cust.join(F.broadcast(gl)).groupBy("n").agg(
+        (F.sum((F.col("x") / F.col("mu")) * F.log(F.col("x") / F.col("mu"))) / F.col("n")).alias(
+            "t_total"
+        )
+    )
+    share = F.col("ng") * F.col("mug") / (F.col("n") * F.col("mu"))
+    dec = tg.join(F.broadcast(gl)).groupBy("n", "mu").agg(
+        F.sum(share * F.log(F.col("mug") / F.col("mu"))).alias("t_between"),
+        F.sum(share * F.col("t_g")).alias("t_within"),
+    )
+    return tot.crossJoin(F.broadcast(dec.drop("n", "mu"))).select(
+        F.round("t_total", 6).alias("t_total"),
+        F.round("t_between", 6).alias("t_between"),
+        F.round("t_within", 6).alias("t_within"),
+        F.round(
+            F.col("t_total") - F.col("t_between") - F.col("t_within"), 6
+        ).alias("identity_gap"),
+    )
+
+
+@register(
+    "silhouette_by_label",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+             1 - list_sum(list_transform(generate_series(1, 64),
+                          k -> a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                     k -> a.embedding[k]::DOUBLE * a.embedding[k]::DOUBLE)))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                     k -> b.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE))))
+               AS dist
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    m AS (
+      SELECT i, li, lj, avg(dist) AS md
+      FROM pairs GROUP BY 1, 2, 3),
+    ab AS (
+      SELECT i, li,
+             max(CASE WHEN lj = li THEN md END) AS a,
+             min(CASE WHEN lj <> li THEN md END) AS b
+      FROM m GROUP BY 1, 2),
+    s AS (
+      SELECT li, (b - a) / greatest(a, b) AS sil
+      FROM ab WHERE a IS NOT NULL AND b IS NOT NULL)
+    SELECT CAST(li AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(sil), 4) AS mean_silhouette
+    FROM s GROUP BY li
+    """,
+    tags=("ml", "clustering", "embeddings"),
+)
+def q_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette coefficient per label over cosine distance — the
+    cluster-quality score that says whether the labels are real
+    geometric clusters (s→1) or arbitrary partitions (s≈0,
+    complementing centroid_classify's accuracy view): a(i) = mean
+    distance to own label (self excluded), b(i) = nearest other
+    label's mean distance, s = (b−a)/max(a,b). Distances come from
+    one dot-product aggregate over the exploded dims relation (the
+    same join shape as pca_power_iteration's covariance, keyed on
+    vec pairs); per-(vector, label) means are a second hash
+    aggregate — no UDF, no driver loop. At 100 TB the pair join is
+    the LSH-bucketed candidate set, not the full cross product."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", "pos", F.col("v").cast("double").alias("v"))
+    na = dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    a = (
+        dims.join(na, "vec_id")
+        .select(
+            F.col("vec_id").alias("i"),
+            F.col("label").alias("li"),
+            "pos",
+            (F.col("v") / F.col("nrm")).alias("va"),
+        )
+    )
+    b = (
+        dims.join(na, "vec_id")
+        .select(
+            F.col("vec_id").alias("j"),
+            F.col("label").alias("lj"),
+            "pos",
+            (F.col("v") / F.col("nrm")).alias("vb"),
+        )
+    )
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "li", "j", "lj")
+        .agg((1 - F.sum(F.col("va") * F.col("vb"))).alias("dist"))
+    )
+    m = pairs.groupBy("i", "li", "lj").agg(F.avg("dist").alias("md"))
+    ab = m.groupBy("i", "li").agg(
+        F.max(F.when(F.col("lj") == F.col("li"), F.col("md"))).alias("a"),
+        F.min(F.when(F.col("lj") != F.col("li"), F.col("md"))).alias("b"),
+    )
+    s = ab.filter(F.col("a").isNotNull() & F.col("b").isNotNull()).select(
+        "li",
+        ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("sil"),
+    )
+    return s.groupBy(F.col("li").cast("bigint").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.avg("sil"), 4).alias("mean_silhouette"),
+    )
+
+
+@register(
+    "mrr_waterfall",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS cust, date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             sum(o_totalprice) AS r
+      FROM orders GROUP BY 1, 2),
+    maxm AS (SELECT max(m) AS mx FROM rev),
+    shifted AS (
+      SELECT cust, m + INTERVAL 1 MONTH AS m, r AS prev_r FROM rev),
+    merged AS (
+      SELECT coalesce(a.cust, b.cust) AS cust,
+             coalesce(a.m, b.m) AS m,
+             coalesce(a.r, 0) AS cur_r, coalesce(b.prev_r, 0) AS prev_r
+      FROM rev a FULL OUTER JOIN shifted b
+        ON a.cust = b.cust AND a.m = b.m)
+    SELECT strftime(m, '%Y-%m') AS month,
+           round(sum(CASE WHEN prev_r = 0 THEN cur_r ELSE 0 END), 2) AS new_mrr,
+           round(sum(CASE WHEN prev_r > 0 AND cur_r > prev_r
+                          THEN cur_r - prev_r ELSE 0 END), 2) AS expansion,
+           round(sum(CASE WHEN cur_r > 0 AND cur_r < prev_r
+                          THEN prev_r - cur_r ELSE 0 END), 2) AS contraction,
+           round(sum(CASE WHEN cur_r = 0 THEN prev_r ELSE 0 END), 2) AS churned
+    FROM merged, maxm
+    WHERE m <= mx AND m > (SELECT min(m) FROM rev)
+    GROUP BY 1
+    """,
+    tags=("saas", "cohort", "outer"),
+)
+def q_mrr_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR movement waterfall: month-over-month per-customer revenue
+    classified into new / expansion / contraction / churned — the
+    revenue-bridge decomposition under net_revenue_retention's
+    single ratio (NRR tells you THAT revenue retained; the waterfall
+    says WHO moved it). The month-over-month pairing is a full outer
+    self-join of the (customer, month) aggregate against itself
+    shifted one month — churn rows exist ONLY because of the outer
+    side, the classic gotcha an inner-join formulation silently
+    drops; the phantom month past the series end is clipped by the
+    broadcast max-month bound."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+    ).agg(F.sum("o_totalprice").alias("r"))
+    bounds = rev.agg(F.max("m").alias("mx"), F.min("m").alias("mn"))
+    shifted = rev.select(
+        "cust", F.add_months(F.col("m"), 1).cast("timestamp").alias("m"),
+        F.col("r").alias("prev_r"),
+    )
+    cur = rev.select("cust", "m", F.col("r").alias("cur_r"))
+    merged = (
+        cur.join(shifted, ["cust", "m"], "full_outer")
+        .select(
+            "m",
+            F.coalesce("cur_r", F.lit(0.0)).alias("cur_r"),
+            F.coalesce("prev_r", F.lit(0.0)).alias("prev_r"),
+        )
+    )
+    clipped = merged.join(F.broadcast(bounds)).filter(
+        (F.col("m") <= F.col("mx")) & (F.col("m") > F.col("mn"))
+    )
+    return clipped.groupBy(F.date_format("m", "yyyy-MM").alias("month")).agg(
+        F.round(
+            F.sum(F.when(F.col("prev_r") == 0, F.col("cur_r")).otherwise(0.0)), 2
+        ).alias("new_mrr"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("prev_r") > 0) & (F.col("cur_r") > F.col("prev_r")),
+                    F.col("cur_r") - F.col("prev_r"),
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("expansion"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("cur_r") > 0) & (F.col("cur_r") < F.col("prev_r")),
+                    F.col("prev_r") - F.col("cur_r"),
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("contraction"),
+        F.round(
+            F.sum(F.when(F.col("cur_r") == 0, F.col("prev_r")).otherwise(0.0)), 2
+        ).alias("churned"),
+    )
+
+
+@register(
+    "price_volume_mix",
+    oracle="""
+    WITH py AS (
+      SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS yr,
+             sum(l_extendedprice) / sum(l_quantity) AS p,
+             CAST(sum(l_quantity) AS DOUBLE) AS q
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997)
+        AND l_quantity > 0
+      GROUP BY 1, 2),
+    y0 AS (SELECT l_partkey, p AS p0, q AS q0 FROM py WHERE yr = 1996),
+    y1 AS (SELECT l_partkey, p AS p1, q AS q1 FROM py WHERE yr = 1997),
+    common AS (
+      SELECT y0.l_partkey,
+             (p1 - p0) * q0 AS price_eff,
+             (q1 - q0) * p0 AS volume_eff,
+             (p1 - p0) * (q1 - q0) AS mix_eff
+      FROM y0 JOIN y1 USING (l_partkey)),
+    solo AS (
+      SELECT coalesce(sum(CASE WHEN y0.l_partkey IS NULL THEN p1 * q1 END), 0)
+             - coalesce(sum(CASE WHEN y1.l_partkey IS NULL THEN p0 * q0 END), 0)
+               AS net_new
+      FROM y0 FULL OUTER JOIN y1 USING (l_partkey)
+      WHERE y0.l_partkey IS NULL OR y1.l_partkey IS NULL),
+    eff AS (
+      SELECT sum(price_eff) AS pe, sum(volume_eff) AS ve, sum(mix_eff) AS me
+      FROM common)
+    SELECT round(pe, 2) AS price_effect,
+           round(ve, 2) AS volume_effect,
+           round(me, 2) AS mix_effect,
+           round(net_new, 2) AS net_new_effect,
+           round(pe + ve + me + net_new, 2) AS total_change
+    FROM eff, solo
+    """,
+    tags=("economics", "decomposition", "outer-join"),
+)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix bridge for the 1996→1997 revenue change:
+    ΔRev = Σ(Δp·q₀) + Σ(Δq·p₀) + Σ(Δp·Δq) over parts sold both
+    years, plus the net-new term for parts that entered or exited —
+    the FP&A variance-analysis decomposition, with total_change
+    re-assembled from the four effects so the identity is checked
+    in both engines. Per-(part, year) price/quantity is one fact
+    aggregate; the two years meet in a part-keyed join (inner for
+    the common decomposition, full outer for entry/exit — the rows
+    an inner-only formulation loses)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.year(F.col("l_shipdate").cast("date")).isin(1996, 1997))
+        & (F.col("l_quantity") > 0)
+    )
+    py = li.groupBy(
+        "l_partkey", F.year(F.col("l_shipdate").cast("date")).alias("yr")
+    ).agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        F.sum("l_quantity").cast("double").alias("q"),
+    )
+    y0 = py.filter(F.col("yr") == 1996).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    y1 = py.filter(F.col("yr") == 1997).select(
+        "l_partkey", F.col("p").alias("p1"), F.col("q").alias("q1")
+    )
+    common = y0.join(y1, "l_partkey").select(
+        ((F.col("p1") - F.col("p0")) * F.col("q0")).alias("price_eff"),
+        ((F.col("q1") - F.col("q0")) * F.col("p0")).alias("volume_eff"),
+        ((F.col("p1") - F.col("p0")) * (F.col("q1") - F.col("q0"))).alias("mix_eff"),
+    )
+    outer = y0.join(y1, "l_partkey", "full_outer")
+    solo = outer.filter(
+        F.col("p0").isNull() | F.col("p1").isNull()
+    ).agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("p0").isNull(), F.col("p1") * F.col("q1"))),
+                F.lit(0.0),
+            )
+            - F.coalesce(
+                F.sum(F.when(F.col("p1").isNull(), F.col("p0") * F.col("q0"))),
+                F.lit(0.0),
+            )
+        ).alias("net_new")
+    )
+    eff = common.agg(
+        F.sum("price_eff").alias("pe"),
+        F.sum("volume_eff").alias("ve"),
+        F.sum("mix_eff").alias("me"),
+    )
+    return eff.crossJoin(F.broadcast(solo)).select(
+        F.round("pe", 2).alias("price_effect"),
+        F.round("ve", 2).alias("volume_effect"),
+        F.round("me", 2).alias("mix_effect"),
+        F.round("net_new", 2).alias("net_new_effect"),
+        F.round(
+            F.col("pe") + F.col("ve") + F.col("me") + F.col("net_new"), 2
+        ).alias("total_change"),
+    )
+
+
+@register(
+    "tukey_fences_outliers",
+    oracle="""
+    WITH fences AS (
+      SELECT p_brand,
+             CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS q1,
+             CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE) AS q3
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand),
+    flagged AS (
+      SELECT f.p_brand,
+             CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END AS lo,
+             CASE WHEN l_extendedprice > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END AS hi
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      JOIN fences f ON part.p_brand = f.p_brand)
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(lo) AS BIGINT) AS n_low,
+           CAST(sum(hi) AS BIGINT) AS n_high,
+           round((sum(lo) + sum(hi)) / CAST(count(*) AS DOUBLE), 5)
+             AS outlier_rate
+    FROM flagged GROUP BY p_brand
+    """,
+    tags=("stats", "quality", "percentile"),
+)
+def q_tukey_fences_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per brand: rows outside
+    [Q1−1.5·IQR, Q3+1.5·IQR] of extended price — the boxplot rule,
+    the robust alternative to z-score flags (fences come from
+    quartiles, so the outliers themselves cannot inflate the
+    threshold that detects them, unlike mean±kσ). Two passes over
+    the fact: one grouped exact-percentile aggregate to the
+    |brands|-row fence relation, broadcast back for the counting
+    pass — the same shape the reference uses for its masked-mean
+    statistic (load_to_postgis.py:74-79) generalized to robust
+    bounds."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand", "l_extendedprice"
+    )
+    fences = j.groupBy("p_brand").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    flagged = j.join(F.broadcast(fences), "p_brand").select(
+        "p_brand",
+        F.when(F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr, 1)
+        .otherwise(0)
+        .alias("lo"),
+        F.when(F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr, 1)
+        .otherwise(0)
+        .alias("hi"),
+    )
+    return flagged.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("lo").cast("bigint").alias("n_low"),
+        F.sum("hi").cast("bigint").alias("n_high"),
+        F.round(
+            (F.sum("lo") + F.sum("hi")) / F.count("*").cast("double"), 5
+        ).alias("outlier_rate"),
+    )
+
+
+@register(
+    "hypergeometric_enrichment",
+    oracle="""
+    WITH inc AS (
+      SELECT DISTINCT c_nationkey, c_custkey, p_brand
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part ON l_partkey = p_partkey),
+    uni AS (SELECT CAST(count(DISTINCT c_custkey) AS DOUBLE) AS nn FROM inc),
+    brand_tot AS (
+      SELECT p_brand, CAST(count(DISTINCT c_custkey) AS DOUBLE) AS kk
+      FROM inc GROUP BY 1),
+    nat_tot AS (
+      SELECT c_nationkey, CAST(count(DISTINCT c_custkey) AS DOUBLE) AS sn
+      FROM inc GROUP BY 1),
+    cell AS (
+      SELECT c_nationkey, p_brand,
+             CAST(count(DISTINCT c_custkey) AS DOUBLE) AS k
+      FROM inc GROUP BY 1, 2),
+    z AS (
+      SELECT n_name, p_brand, CAST(k AS BIGINT) AS observed,
+             round(sn * kk / nn, 2) AS expected,
+             (k - sn * kk / nn)
+               / sqrt(sn * kk * (nn - kk) * (nn - sn) / (nn * nn * (nn - 1)))
+               AS zscore
+      FROM cell JOIN brand_tot USING (p_brand)
+      JOIN nat_tot USING (c_nationkey)
+      JOIN nation ON c_nationkey = n_nationkey, uni)
+    SELECT n_name, p_brand, observed, expected, round(zscore, 4) AS zscore
+    FROM z ORDER BY abs(zscore) DESC, n_name, p_brand LIMIT 15
+    """,
+    tags=("stats", "enrichment", "join"),
+)
+def q_hypergeometric_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypergeometric enrichment screen over the nation×brand
+    incidence: which nations buy which brands MORE than drawing
+    customers at random would predict — observed distinct-customer
+    overlap against the exact hypergeometric mean nK/N and variance
+    nK(N−K)(N−n)/(N²(N−1)), the gene-set-enrichment statistic
+    pointed at market segmentation. The incidence relation is
+    deduped ONCE (distinct customer-brand-nation triples) and all
+    three marginals re-aggregate from it — the |cells| relation is
+    |nations|×|brands|, so every join after the dedup is
+    broadcast-sized; top-15 |z| surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    inc = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .select("c_nationkey", "c_custkey", "p_brand")
+        .distinct()
+    )
+    uni = inc.agg(F.count_distinct("c_custkey").cast("double").alias("nn"))
+    brand_tot = inc.groupBy("p_brand").agg(
+        F.count_distinct("c_custkey").cast("double").alias("kk")
+    )
+    nat_tot = inc.groupBy("c_nationkey").agg(
+        F.count_distinct("c_custkey").cast("double").alias("sn")
+    )
+    cell = inc.groupBy("c_nationkey", "p_brand").agg(
+        F.count_distinct("c_custkey").cast("double").alias("k")
+    )
+    mu = F.col("sn") * F.col("kk") / F.col("nn")
+    var = (
+        F.col("sn")
+        * F.col("kk")
+        * (F.col("nn") - F.col("kk"))
+        * (F.col("nn") - F.col("sn"))
+        / (F.col("nn") * F.col("nn") * (F.col("nn") - 1))
+    )
+    z = (
+        cell.join(F.broadcast(brand_tot), "p_brand")
+        .join(F.broadcast(nat_tot), "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .crossJoin(F.broadcast(uni))
+        .select(
+            "n_name",
+            "p_brand",
+            F.col("k").cast("bigint").alias("observed"),
+            F.round(mu, 2).alias("expected"),
+            ((F.col("k") - mu) / F.sqrt(var)).alias("zscore"),
+        )
+    )
+    return (
+        z.orderBy(F.abs(F.col("zscore")).desc(), "n_name", "p_brand")
+        .limit(15)
+        .select(
+            "n_name",
+            "p_brand",
+            "observed",
+            "expected",
+            F.round("zscore", 4).alias("zscore"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

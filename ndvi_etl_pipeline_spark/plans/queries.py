@@ -17808,6 +17808,411 @@ def q_hypergeometric_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jensen_shannon_sources",
+    oracle="""
+    WITH ws AS (
+      SELECT source, w
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents WHERE source IN ('src0', 'src1'))
+      WHERE length(w) >= 1),
+    cnt AS (
+      SELECT w,
+             CAST(count(*) FILTER (WHERE source = 'src0') AS DOUBLE) AS c0,
+             CAST(count(*) FILTER (WHERE source = 'src1') AS DOUBLE) AS c1
+      FROM ws GROUP BY w),
+    tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM cnt),
+    pq AS (SELECT c0 / n0 AS p, c1 / n1 AS q FROM cnt, tot),
+    js AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab,
+             sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2))
+                      ELSE 0 END)
+           + sum(CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2))
+                      ELSE 0 END) AS js_nats
+      FROM pq)
+    SELECT vocab, round(js_nats, 6) AS js_nats,
+           round(js_nats / ln(2), 6) AS js_bits
+    FROM js
+    """,
+    tags=("text", "information", "distribution-fit"),
+)
+def q_jensen_shannon_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' word
+    distributions — the symmetric, bounded (≤ ln 2) distribution
+    distance used to monitor training-mix drift between corpus
+    snapshots (KL alone is infinite the moment one source has a
+    word the other lacks; JS's mixture midpoint makes missing words
+    finite, handled here by the p>0 guards instead of smoothing).
+    One grouped count builds the joint vocabulary relation with
+    both sources as FILTER columns — no outer join needed — and the
+    divergence is a single sum over |vocab| rows."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
+    ws = d.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    cnt = ws.groupBy("w").agg(
+        F.count_if(F.col("source") == "src0").cast("double").alias("c0"),
+        F.count_if(F.col("source") == "src1").cast("double").alias("c1"),
+    )
+    tot = cnt.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    pq = cnt.join(F.broadcast(tot)).select(
+        (F.col("c0") / F.col("n0")).alias("p"),
+        (F.col("c1") / F.col("n1")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    js = pq.agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        (
+            F.sum(F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(0.0))
+            + F.sum(F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(0.0))
+        ).alias("js_nats"),
+    )
+    return js.select(
+        "vocab",
+        F.round("js_nats", 6).alias("js_nats"),
+        F.round(F.col("js_nats") / F.lit(math.log(2.0)), 6).alias("js_bits"),
+    )
+
+
+@register(
+    "hill_tail_index",
+    oracle="""
+    WITH topk AS (
+      SELECT o_totalprice AS x,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders QUALIFY rk <= 501),
+    thr AS (SELECT x AS xk FROM topk WHERE rk = 501),
+    hill AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k, avg(ln(x / xk)) AS h
+      FROM topk, thr WHERE rk <= 500)
+    SELECT CAST(k AS BIGINT) AS k,
+           round((SELECT xk FROM thr), 2) AS threshold,
+           round(1 / h, 4) AS hill_alpha
+    FROM hill
+    """,
+    tags=("stats", "extremes", "topk"),
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over the top-500
+    order values: α̂ = 1/mean(ln(x_(i)/x_(k+1))) — the tail-heaviness
+    measure that says whether extremes have finite variance (α>2) —
+    the peaks-over-threshold companion to block_maxima_gumbel (which
+    assumes a thin tail; Hill MEASURES the tail). The only global
+    work is a top-501 selection — TakeOrderedAndProject, a per-
+    partition heap + driver merge of 501 rows, never a full sort —
+    and the estimator itself is one aggregate over those 500 rows."""
+    o = _t(spark, sf_dir, "orders")
+    topk = (
+        o.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.desc("x"), "o_orderkey")
+        .limit(501)
+        .select(
+            "x",
+            F.row_number().over(Window.orderBy(F.desc("x"), "o_orderkey")).alias("rk"),
+        )
+    )
+    thr = topk.filter(F.col("rk") == 501).select(F.col("x").alias("xk"))
+    hill = (
+        topk.filter(F.col("rk") <= 500)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count("*").cast("double").alias("k"),
+            F.avg(F.log(F.col("x") / F.col("xk"))).alias("h"),
+            F.first("xk").alias("xk"),
+        )
+    )
+    return hill.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.round("xk", 2).alias("threshold"),
+        F.round(1 / F.col("h"), 4).alias("hill_alpha"),
+    )
+
+
+@register(
+    "cochran_armitage_trend",
+    oracle="""
+    WITH ord AS (
+      SELECT o_orderkey,
+             CAST(substr(o_orderpriority, 1, 1) AS DOUBLE) AS s
+      FROM orders),
+    outcome AS (
+      SELECT l_orderkey,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT s, CAST(ret AS DOUBLE) AS y
+      FROM ord JOIN outcome ON o_orderkey = l_orderkey),
+    cells AS (
+      SELECT s, CAST(count(*) AS DOUBLE) AS n, sum(y) AS r
+      FROM j GROUP BY s),
+    tot AS (
+      SELECT sum(n) AS nn, sum(r) / sum(n) AS pbar,
+             sum(s * n) AS sn, sum(s * s * n) AS ssn
+      FROM cells),
+    stat AS (
+      SELECT sum(s * (r - n * pbar)) AS num,
+             any_value(sqrt(pbar * (1 - pbar) * (ssn - sn * sn / nn))) AS den,
+             any_value(nn) AS nn, any_value(pbar) AS pbar
+      FROM cells, tot GROUP BY nn)
+    SELECT CAST(nn AS BIGINT) AS n_orders,
+           round(pbar, 5) AS overall_return_rate,
+           round(num / den, 4) AS trend_z
+    FROM stat
+    """,
+    tags=("stats", "trend", "join"),
+)
+def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the probability an order
+    contains a returned item rise MONOTONICALLY with order priority
+    (scores 1..5 parsed from the priority label)? The trend z
+    weights each ordered group's excess return count by its score —
+    strictly more powerful than chi-square independence when the
+    alternative is ordered (chi_square_independence treats groups
+    as exchangeable and burns power on non-monotone patterns). The
+    order-level outcome is one max-aggregate over lineitem; the
+    test statistic reduces over the 5-row cell relation."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ord_ = o.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("double").alias("s"),
+    )
+    outcome = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret")
+    )
+    j = ord_.join(outcome, ord_["o_orderkey"] == outcome["l_orderkey"]).select(
+        "s", F.col("ret").cast("double").alias("y")
+    )
+    cells = j.groupBy("s").agg(
+        F.count("*").cast("double").alias("n"), F.sum("y").alias("r")
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        (F.sum("r") / F.sum("n")).alias("pbar"),
+        F.sum(F.col("s") * F.col("n")).alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).alias("ssn"),
+    )
+    stat = cells.join(F.broadcast(tot)).groupBy("nn").agg(
+        F.sum(F.col("s") * (F.col("r") - F.col("n") * F.col("pbar"))).alias("num"),
+        F.first(
+            F.sqrt(
+                F.col("pbar")
+                * (1 - F.col("pbar"))
+                * (F.col("ssn") - F.col("sn") * F.col("sn") / F.col("nn"))
+            )
+        ).alias("den"),
+        F.first("pbar").alias("pbar"),
+    )
+    return stat.select(
+        F.col("nn").cast("bigint").alias("n_orders"),
+        F.round("pbar", 5).alias("overall_return_rate"),
+        F.round(F.col("num") / F.col("den"), 4).alias("trend_z"),
+    )
+
+
+@register(
+    "monroe_log_odds",
+    oracle="""
+    WITH ws AS (
+      SELECT source, w
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents WHERE source IN ('src0', 'src1'))
+      WHERE length(w) >= 2),
+    cnt AS (
+      SELECT w,
+             CAST(count(*) FILTER (WHERE source = 'src0') AS DOUBLE) AS y0,
+             CAST(count(*) FILTER (WHERE source = 'src1') AS DOUBLE) AS y1
+      FROM ws GROUP BY w),
+    tot AS (
+      SELECT sum(y0) AS n0, sum(y1) AS n1,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM cnt),
+    z AS (
+      SELECT w, CAST(y0 AS BIGINT) AS c_src0, CAST(y1 AS BIGINT) AS c_src1,
+             (ln((y0 + 0.1) / (n0 + 0.1 * v - y0 - 0.1))
+              - ln((y1 + 0.1) / (n1 + 0.1 * v - y1 - 0.1)))
+             / sqrt(1 / (y0 + 0.1) + 1 / (y1 + 0.1)) AS zeta
+      FROM cnt, tot)
+    SELECT w, c_src0, c_src1, round(zeta, 4) AS zeta
+    FROM z ORDER BY abs(zeta) DESC, w LIMIT 15
+    """,
+    tags=("text", "stylometry", "stats"),
+)
+def q_monroe_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe/Colaresi/Quinn 'fightin' words': log-odds-ratio of
+    word use between two sources with a Dirichlet prior (α=0.1 per
+    word), z-scored by the delta-method variance 1/(y+α)+1/(y'+α) —
+    the principled replacement for raw frequency-ratio keyword
+    lists, which explode on rare words (the prior shrinks them; the
+    variance downweights them). Same single-aggregate joint-vocab
+    shape as jensen_shannon_sources; top-15 |z| are the words that
+    most distinguish the two crawls."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
+    ws = d.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    cnt = ws.groupBy("w").agg(
+        F.count_if(F.col("source") == "src0").cast("double").alias("y0"),
+        F.count_if(F.col("source") == "src1").cast("double").alias("y1"),
+    )
+    tot = cnt.agg(
+        F.sum("y0").alias("n0"),
+        F.sum("y1").alias("n1"),
+        F.count("*").cast("double").alias("v"),
+    )
+    a = 0.1
+    num = F.log((F.col("y0") + a) / (F.col("n0") + a * F.col("v") - F.col("y0") - a)) - F.log(
+        (F.col("y1") + a) / (F.col("n1") + a * F.col("v") - F.col("y1") - a)
+    )
+    den = F.sqrt(1 / (F.col("y0") + a) + 1 / (F.col("y1") + a))
+    z = cnt.join(F.broadcast(tot)).select(
+        "w",
+        F.col("y0").cast("bigint").alias("c_src0"),
+        F.col("y1").cast("bigint").alias("c_src1"),
+        (num / den).alias("zeta"),
+    )
+    return (
+        z.orderBy(F.abs(F.col("zeta")).desc(), "w")
+        .limit(15)
+        .select("w", "c_src0", "c_src1", F.round("zeta", 4).alias("zeta"))
+    )
+
+
+@register(
+    "gini_split_gain",
+    oracle="""
+    WITH cells AS (
+      SELECT l_discount AS t,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS r
+      FROM lineitem GROUP BY 1),
+    cum AS (
+      SELECT t,
+             sum(n) OVER (ORDER BY t) AS nl,
+             sum(r) OVER (ORDER BY t) AS rl,
+             sum(n) OVER () AS nn, sum(r) OVER () AS rr
+      FROM cells),
+    gain AS (
+      SELECT t, nl,
+             2 * (rr / nn) * (1 - rr / nn)
+             - (nl / nn) * 2 * (rl / nl) * (1 - rl / nl)
+             - ((nn - nl) / nn) * 2 * ((rr - rl) / (nn - nl))
+               * (1 - (rr - rl) / (nn - nl)) AS g
+      FROM cum WHERE nl < nn)
+    SELECT round(t, 2) AS threshold,
+           CAST(nl AS BIGINT) AS n_left,
+           round(g, 6) AS gini_gain
+    FROM gain
+    """,
+    tags=("ml", "binning", "window"),
+)
+def q_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first node of a decision tree as a query: Gini-impurity
+    gain of every candidate split 'discount ≤ t' for predicting
+    line-item returns — root impurity 2p(1−p) minus the
+    size-weighted child impurities, evaluated at ALL thresholds at
+    once. This is exactly how distributed GBDT implementations
+    (XGBoost/LightGBM on Spark) find splits: ONE histogram aggregate
+    over the fact table (|distinct values| cells), then cumulative
+    sums over the tiny cell relation give every left/right partition
+    simultaneously — no per-threshold re-scan of the data."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(F.col("l_discount").alias("t")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.count_if(F.col("l_returnflag") == "R").cast("double").alias("r"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = cells.select(
+        "t",
+        F.sum("n").over(wt).alias("nl"),
+        F.sum("r").over(wt).alias("rl"),
+        F.sum("n").over(wall).alias("nn"),
+        F.sum("r").over(wall).alias("rr"),
+    )
+    gini = lambda r, n: 2 * (r / n) * (1 - r / n)
+    g = (
+        gini(F.col("rr"), F.col("nn"))
+        - (F.col("nl") / F.col("nn")) * gini(F.col("rl"), F.col("nl"))
+        - ((F.col("nn") - F.col("nl")) / F.col("nn"))
+        * gini(F.col("rr") - F.col("rl"), F.col("nn") - F.col("nl"))
+    )
+    return cum.filter(F.col("nl") < F.col("nn")).select(
+        F.round("t", 2).alias("threshold"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.round(g, 6).alias("gini_gain"),
+    )
+
+
+@register(
+    "kish_design_effect",
+    oracle="""
+    WITH sampled AS (
+      SELECT c_custkey, c_nationkey
+      FROM customer
+      WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT
+            % 100 < 20),
+    nat_tot AS (
+      SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS nt
+      FROM customer GROUP BY 1),
+    nat_smp AS (
+      SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS ns
+      FROM sampled GROUP BY 1),
+    wts AS (
+      SELECT s.c_custkey, nt / ns AS w
+      FROM sampled s JOIN nat_tot USING (c_nationkey)
+      JOIN nat_smp USING (c_nationkey)),
+    agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(w) AS mw,
+             avg(w * w) AS mw2
+      FROM wts)
+    SELECT CAST(n AS BIGINT) AS n_sample,
+           round(n * mw2 / (n * mw * mw / n) / n, 4) AS deff,
+           round(n / (n * mw2 / (mw * mw * n)), 1) AS n_effective
+    FROM agg
+    """,
+    tags=("survey", "sampling", "weights"),
+)
+def q_kish_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish design effect of a nation-stratified 20% hash sample:
+    deff = n·Σw²/(Σw)² — how much variance the unequal
+    inverse-probability weights cost versus simple random sampling,
+    and the effective sample size n/deff every survey-weighted
+    estimate should quote instead of its raw n. The sample membership
+    is the same deterministic md5-bucket device as
+    hash_split_summary (reproducible across engines and runs);
+    weights are nation-total/nation-sampled from two tiny broadcast
+    marginals."""
+    c = _t(spark, sf_dir, "customer")
+    sampled = c.filter(CUR.hash_bucket(F.col("c_custkey"), 100) < 20).select(
+        "c_custkey", "c_nationkey"
+    )
+    nat_tot = c.groupBy("c_nationkey").agg(
+        F.count("*").cast("double").alias("nt")
+    )
+    nat_smp = sampled.groupBy("c_nationkey").agg(
+        F.count("*").cast("double").alias("ns")
+    )
+    wts = (
+        sampled.join(F.broadcast(nat_tot), "c_nationkey")
+        .join(F.broadcast(nat_smp), "c_nationkey")
+        .select((F.col("nt") / F.col("ns")).alias("w"))
+    )
+    agg = wts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("w").alias("mw"),
+        F.avg(F.col("w") * F.col("w")).alias("mw2"),
+    )
+    deff = F.col("mw2") / (F.col("mw") * F.col("mw"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_sample"),
+        F.round(deff, 4).alias("deff"),
+        F.round(F.col("n") / deff, 1).alias("n_effective"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

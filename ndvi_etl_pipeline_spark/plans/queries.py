@@ -18213,6 +18213,401 @@ def q_kish_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dirichlet_query_likelihood",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    coll AS (SELECT sum(tf) AS ctot FROM tf),
+    cf AS (
+      SELECT token, sum(tf) AS cf FROM tf
+      WHERE token IN ('spark', 'join', 'window') GROUP BY token),
+    grid AS (
+      SELECT dl.doc_id, dl.dl, cf.token, cf.cf FROM dl CROSS JOIN cf),
+    scored AS (
+      SELECT g.doc_id,
+             sum(ln((coalesce(t.tf, 0) + 2000 * g.cf / ctot)
+                    / (g.dl + 2000))) AS score
+      FROM grid g
+      LEFT JOIN tf t ON t.doc_id = g.doc_id AND t.token = g.token,
+      coll GROUP BY g.doc_id)
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "retrieval", "lm"),
+)
+def q_dirichlet_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (μ=2000):
+    score(d) = Σ_w ln((tf + μ·P_coll(w))/(|d| + μ)) — the language-
+    modeling ranking function next to bm25_rank's probabilistic one
+    (the two classical IR families on the same corpus; Dirichlet's
+    length normalization is principled where BM25's b is tuned).
+    Zero-tf terms still contribute the collection prior, so the doc
+    grid is |docs|×|query| built from a tiny cross join with a LEFT
+    join back to the tf relation — the absent-term rows an
+    inner-join scorer silently drops."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    coll = tf.agg(F.sum("tf").alias("ctot"))
+    cf = (
+        tf.filter(F.col("token").isin("spark", "join", "window"))
+        .groupBy("token")
+        .agg(F.sum("tf").alias("cf"))
+    )
+    grid = dl.crossJoin(F.broadcast(cf))
+    scored = (
+        grid.join(tf, ["doc_id", "token"], "left")
+        .crossJoin(F.broadcast(coll))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce("tf", F.lit(0.0)) + 2000 * F.col("cf") / F.col("ctot"))
+                    / (F.col("dl") + 2000)
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "ndcg_eval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token),
+    n_docs AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+    df AS (
+      SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf
+      WHERE token IN ('spark', 'join', 'window') GROUP BY token),
+    scored AS (
+      SELECT t.doc_id, sum(ln(1 + t.tf) * ln(n / d.df)) AS score,
+             CAST(count(*) AS DOUBLE) AS rel
+      FROM tf t JOIN df d USING (token), n_docs GROUP BY t.doc_id),
+    ranked AS (
+      SELECT doc_id, rel,
+             row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rk
+      FROM scored),
+    dcg AS (
+      SELECT sum((pow(2, rel) - 1) / (ln(rk + 1) / ln(2))) AS dcg
+      FROM ranked WHERE rk <= 10),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rk
+      FROM scored),
+    idcg AS (
+      SELECT sum((pow(2, rel) - 1) / (ln(rk + 1) / ln(2))) AS idcg
+      FROM ideal WHERE rk <= 10)
+    SELECT round(dcg, 4) AS dcg_at_10,
+           round(idcg, 4) AS idcg_at_10,
+           round(dcg / idcg, 4) AS ndcg_at_10
+    FROM dcg, idcg
+    """,
+    tags=("ranking", "eval", "retrieval"),
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of a tf-idf ranking against term-coverage relevance
+    (rel = how many of the 3 query terms the doc contains): DCG with
+    the exponential gain (2^rel−1)/log₂(rank+1) normalized by the
+    ideal ordering's IDCG — the ranking-quality metric that closes
+    the retrieval loop (bm25_rank and dirichlet_query_likelihood
+    RANK; this measures how well). Both the system and ideal
+    rankings are windows over the |scored docs| relation; the
+    fact-side work is the one tf aggregate shared by the whole IR
+    family."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    n_docs = tf.agg(F.count_distinct("doc_id").cast("double").alias("n"))
+    df = (
+        tf.filter(F.col("token").isin("spark", "join", "window"))
+        .groupBy("token")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.log(1 + F.col("tf")) * F.log(F.col("n") / F.col("df"))).alias(
+                "score"
+            ),
+            F.count("*").cast("double").alias("rel"),
+        )
+    )
+    gain = (F.pow(2.0, F.col("rel")) - 1) / (F.log(F.col("rk") + 1) / F.lit(math.log(2.0)))
+    ranked = scored.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.round(F.col("score"), 9).desc(), "doc_id"))
+        .alias("rk"),
+    )
+    dcg = ranked.filter(F.col("rk") <= 10).agg(F.sum(gain).alias("dcg"))
+    ideal = scored.select(
+        "rel",
+        F.row_number().over(Window.orderBy(F.desc("rel"), "doc_id")).alias("rk"),
+    )
+    idcg = ideal.filter(F.col("rk") <= 10).agg(F.sum(gain).alias("idcg"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.round("dcg", 4).alias("dcg_at_10"),
+        F.round("idcg", 4).alias("idcg_at_10"),
+        F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg_at_10"),
+    )
+
+
+@register(
+    "gravity_trade_model",
+    oracle="""
+    WITH flows AS (
+      SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             sum(l_extendedprice * (1 - l_discount)) AS f
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2),
+    mass_c AS (SELECT cust_nation, sum(f) AS mc FROM flows GROUP BY 1),
+    mass_s AS (SELECT supp_nation, sum(f) AS ms FROM flows GROUP BY 1),
+    tot AS (SELECT sum(f) AS t FROM flows),
+    dev AS (
+      SELECT cust_nation, supp_nation,
+             round(f, 2) AS flow,
+             round(mc * ms / t, 2) AS gravity_pred,
+             ln(f / (mc * ms / t)) AS log_ratio
+      FROM flows JOIN mass_c USING (cust_nation)
+      JOIN mass_s USING (supp_nation), tot)
+    SELECT cust_nation, supp_nation, flow, gravity_pred,
+           round(log_ratio, 4) AS log_ratio
+    FROM dev ORDER BY abs(log_ratio) DESC, cust_nation, supp_nation
+    LIMIT 15
+    """,
+    tags=("economics", "join", "agg"),
+)
+def q_gravity_trade_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity model of trade flows: revenue between each customer-nation
+    and supplier-nation pair versus the gravity prediction
+    M_i·M_j/T (each side's total mass) — the workhorse empirical
+    model of international trade, here surfacing the 15 nation pairs
+    that over/under-trade most (log-ratio of observed to predicted,
+    the 'home bias' diagnostic). The five-table star join collapses
+    to a |nations|² flow matrix in ONE aggregate; both mass
+    marginals re-aggregate from that tiny matrix, so the model fit
+    adds no fact-table passes."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    flows = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("f"))
+    )
+    mass_c = flows.groupBy("cust_nation").agg(F.sum("f").alias("mc"))
+    mass_s = flows.groupBy("supp_nation").agg(F.sum("f").alias("ms"))
+    tot = flows.agg(F.sum("f").alias("t"))
+    pred = F.col("mc") * F.col("ms") / F.col("t")
+    dev = (
+        flows.join(F.broadcast(mass_c), "cust_nation")
+        .join(F.broadcast(mass_s), "supp_nation")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cust_nation",
+            "supp_nation",
+            F.round("f", 2).alias("flow"),
+            F.round(pred, 2).alias("gravity_pred"),
+            F.log(F.col("f") / pred).alias("log_ratio"),
+        )
+    )
+    return (
+        dev.orderBy(F.abs(F.col("log_ratio")).desc(), "cust_nation", "supp_nation")
+        .limit(15)
+        .select(
+            "cust_nation",
+            "supp_nation",
+            "flow",
+            "gravity_pred",
+            F.round("log_ratio", 4).alias("log_ratio"),
+        )
+    )
+
+
+@register(
+    "mahalanobis_outliers",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, CAST(i AS INT) AS pos,
+             embedding[CAST(i AS INT)]::DOUBLE AS v
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+    st AS (
+      SELECT pos, avg(v) AS mu, var_samp(v) AS s2 FROM dims GROUP BY pos),
+    d2 AS (
+      SELECT vec_id, sum(pow(v - mu, 2) / s2) AS d2
+      FROM dims JOIN st USING (pos) GROUP BY vec_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN d2 > 93.2169 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(avg(d2), 3) AS mean_d2,
+           round(max(d2), 3) AS max_d2
+    FROM d2
+    """,
+    tags=("ml", "anomaly", "embeddings"),
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis outlier screen over the embedding cloud:
+    d² = Σ(x−μ)²/σ² per vector against the χ²₆₄ 99th percentile
+    (93.22) — the covariance-aware distance that catches points a
+    plain L2 radius misses when dimensions have unequal spread
+    (mean d² ≈ 64 is the built-in sanity check: E[χ²_d] = d). Two
+    aggregates over the exploded dims: one for the 64-row moment
+    relation (broadcast back), one for the per-vector sum — the
+    full-covariance version is pca_power_iteration's matrix plus a
+    triangular solve, overkill for a screen."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("v"))
+    st = dims.groupBy("pos").agg(
+        F.avg("v").alias("mu"), F.var_samp("v").alias("s2")
+    )
+    d2 = (
+        dims.join(F.broadcast(st), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.pow(F.col("v") - F.col("mu"), 2) / F.col("s2")).alias("d2"))
+    )
+    return d2.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum(F.when(F.col("d2") > 93.2169, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.round(F.avg("d2"), 3).alias("mean_d2"),
+        F.round(F.max("d2"), 3).alias("max_d2"),
+    )
+
+
+@register(
+    "lof_outliers",
+    oracle="""
+    WITH nrm AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+                  k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE))) AS nn,
+             embedding AS e
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             1 - list_sum(list_transform(generate_series(1, 64),
+                  k -> a.e[k]::DOUBLE * b.e[k]::DOUBLE)) / (a.nn * b.nn)
+               AS dist
+      FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+    knn AS (
+      SELECT i, j, dist,
+             row_number() OVER (PARTITION BY i ORDER BY dist, j) AS rk
+      FROM pairs QUALIFY rk <= 5),
+    kd AS (SELECT i, max(dist) AS kdist FROM knn GROUP BY i),
+    reach AS (
+      SELECT knn.i, knn.j, greatest(knn.dist, kd.kdist) AS rdist
+      FROM knn JOIN kd ON knn.j = kd.i),
+    lrd AS (SELECT i, 1 / avg(rdist) AS lrd FROM reach GROUP BY i),
+    lof AS (
+      SELECT knn.i, avg(lj.lrd) / any_value(li.lrd) AS lof
+      FROM knn JOIN lrd lj ON knn.j = lj.i
+      JOIN lrd li ON knn.i = li.i
+      GROUP BY knn.i)
+    SELECT CAST(i AS BIGINT) AS vec_id, round(lof, 4) AS lof
+    FROM lof ORDER BY round(lof, 6) DESC, i LIMIT 10
+    """,
+    tags=("ml", "anomaly", "window"),
+)
+def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local outlier factor (k=5, cosine distance) — the DENSITY-
+    relative anomaly detector: a point is outlying if its local
+    reachability density is low compared to its neighbors', which
+    catches outliers next to tight clusters that a global threshold
+    (mahalanobis_outliers) never flags. Four relational stages —
+    kNN via a per-point window over the pair distances, k-distance,
+    reachability reach(i←j)=max(d(i,j), kdist(j)), then the lrd
+    ratio — every one a partition-parallel window or a join on
+    point ids; at 100 TB the pairs relation is the LSH candidate
+    set, and everything downstream is unchanged."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("v"))
+    na = dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    unit = dims.join(na, "vec_id").select(
+        "vec_id", "pos", (F.col("v") / F.col("nrm")).alias("u")
+    )
+    a = unit.select(F.col("vec_id").alias("i"), "pos", F.col("u").alias("ua"))
+    b = unit.select(F.col("vec_id").alias("j"), "pos", F.col("u").alias("ub"))
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg((1 - F.sum(F.col("ua") * F.col("ub"))).alias("dist"))
+    )
+    knn = pairs.select(
+        "i",
+        "j",
+        "dist",
+        F.row_number().over(Window.partitionBy("i").orderBy("dist", "j")).alias("rk"),
+    ).filter(F.col("rk") <= 5)
+    kd = knn.groupBy("i").agg(F.max("dist").alias("kdist"))
+    reach = knn.join(
+        kd.select(F.col("i").alias("j"), "kdist"), "j"
+    ).select("i", "j", F.greatest("dist", "kdist").alias("rdist"))
+    lrd = reach.groupBy("i").agg((1 / F.avg("rdist")).alias("lrd"))
+    lof = (
+        knn.join(lrd.select(F.col("i").alias("j"), F.col("lrd").alias("lrd_j")), "j")
+        .join(lrd, "i")
+        .groupBy("i")
+        .agg((F.avg("lrd_j") / F.first("lrd")).alias("lof"))
+    )
+    return (
+        lof.orderBy(F.round(F.col("lof"), 6).desc(), "i")
+        .limit(10)
+        .select(F.col("i").cast("bigint").alias("vec_id"), F.round("lof", 4).alias("lof"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -18608,6 +18608,555 @@ def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "borda_condorcet_ranking",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name, year(CAST(o_orderdate AS DATE)) AS yr,
+             sum(o_totalprice) AS r
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    nn AS (SELECT CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations FROM rev),
+    ranked AS (
+      SELECT n_name, yr,
+             row_number() OVER (PARTITION BY yr ORDER BY r DESC, n_name) AS rk
+      FROM rev),
+    borda AS (
+      SELECT n_name, sum(n_nations - rk) AS borda_points
+      FROM ranked, nn GROUP BY n_name),
+    duels AS (
+      SELECT a.n_name AS na, b.n_name AS nb,
+             sum(CASE WHEN a.r > b.r THEN 1 ELSE 0 END) AS wins,
+             CAST(count(*) AS DOUBLE) AS yrs
+      FROM rev a JOIN rev b ON a.yr = b.yr AND a.n_name <> b.n_name
+      GROUP BY 1, 2),
+    pw AS (
+      SELECT na AS n_name,
+             CAST(sum(CASE WHEN wins > yrs / 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pairwise_wins
+      FROM duels GROUP BY na)
+    SELECT b.n_name, CAST(borda_points AS BIGINT) AS borda_points,
+           pairwise_wins,
+           pairwise_wins = n_nations - 1 AS is_condorcet_winner
+    FROM borda b JOIN pw USING (n_name), nn
+    ORDER BY borda_points DESC, n_name LIMIT 10
+    """,
+    tags=("ranking", "voting", "window"),
+)
+def q_borda_condorcet_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Social-choice aggregation of the yearly nation-revenue
+    rankings: Borda points (n − rank summed over years) next to the
+    Condorcet pairwise-majority count — the two classical rank-
+    fusion methods (the voting-theory ancestors of rrf_rank_fusion),
+    with the is_condorcet_winner flag marking a nation that beats
+    every other in a head-to-head majority of years (Borda can
+    disagree — that divergence is Arrow's theorem in a query). All
+    ranking work happens on the |nations|×|years| aggregate; the
+    duel matrix is a tiny year-keyed self-join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.year(F.col("o_orderdate").cast("date")).alias("yr"))
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    nn = rev.agg(F.count_distinct("n_name").cast("bigint").alias("n_nations"))
+    ranked = rev.select(
+        "n_name",
+        "yr",
+        F.row_number()
+        .over(Window.partitionBy("yr").orderBy(F.desc("r"), "n_name"))
+        .alias("rk"),
+    )
+    borda = (
+        ranked.crossJoin(F.broadcast(nn))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("n_nations") - F.col("rk")).alias("borda_points"))
+    )
+    a = rev.select(F.col("n_name").alias("na"), "yr", F.col("r").alias("ra"))
+    b = rev.select(F.col("n_name").alias("nb"), "yr", F.col("r").alias("rb"))
+    duels = (
+        a.join(b, "yr")
+        .filter(F.col("na") != F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(
+            F.sum(F.when(F.col("ra") > F.col("rb"), 1).otherwise(0)).alias("wins"),
+            F.count("*").cast("double").alias("yrs"),
+        )
+    )
+    pw = duels.groupBy(F.col("na").alias("n_name")).agg(
+        F.sum(F.when(F.col("wins") > F.col("yrs") / 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pairwise_wins")
+    )
+    return (
+        borda.join(pw, "n_name")
+        .crossJoin(F.broadcast(nn))
+        .orderBy(F.desc("borda_points"), "n_name")
+        .limit(10)
+        .select(
+            "n_name",
+            F.col("borda_points").cast("bigint").alias("borda_points"),
+            "pairwise_wins",
+            (F.col("pairwise_wins") == F.col("n_nations") - 1).alias(
+                "is_condorcet_winner"
+            ),
+        )
+    )
+
+
+@register(
+    "shapley_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    masks AS (
+      SELECT mask, CAST(count(*) AS DOUBLE) AS n, sum(conv) AS k
+      FROM touched GROUP BY mask),
+    subsets AS (SELECT unnest(generate_series(0, 7)) AS s),
+    v AS (
+      SELECT s, coalesce(sum(k) / nullif(sum(n), 0), 0) AS v
+      FROM subsets LEFT JOIN masks ON (mask & s) = mask
+      GROUP BY s),
+    channels AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4))
+      AS t(ch, bit)),
+    contrib AS (
+      SELECT c.ch,
+             sum(CASE bit_count(CAST(sv.s AS BIGINT))
+                   WHEN 0 THEN 2.0 / 6 WHEN 1 THEN 1.0 / 6
+                   ELSE 2.0 / 6 END
+                 * (vi.v - sv.v)) AS phi
+      FROM channels c
+      JOIN v sv ON (sv.s & c.bit) = 0
+      JOIN v vi ON vi.s = (sv.s | c.bit)
+      GROUP BY c.ch)
+    SELECT ch AS channel, round(phi, 6) AS shapley_value
+    FROM contrib ORDER BY ch
+    """,
+    tags=("attribution", "marketing", "join"),
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution over the 3-channel
+    (view/click/signup) touch lattice: coalition value v(S) =
+    conversion rate of users whose touched set ⊆ S, and each
+    channel's credit is the permutation-weighted marginal
+    Σ |S|!(2−|S|)!/3! · [v(S∪i)−v(S)] — the game-theoretic
+    attribution that last-touch (touch_attribution) approximates.
+    The exponential blowup is tamed by the RELATION: users collapse
+    to 8 mask rows in one aggregate, v(S) is a containment join
+    ((mask & S) = mask) over 8×8 rows, and the Shapley sum is a
+    12-row join — exact, no sampling, no 2^n enumeration beyond the
+    (tiny) subset lattice itself."""
+    e = _t(spark, sf_dir, "events")
+    touched = e.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 4 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        ).alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    masks = touched.groupBy("mask").agg(
+        F.count("*").cast("double").alias("n"), F.sum("conv").alias("k")
+    )
+    subsets = spark.range(0, 8).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(masks),
+            (F.col("mask").bitwiseAND(F.col("s"))) == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum("k") / F.nullif(F.sum("n"), F.lit(0.0)), F.lit(0.0)
+            ).alias("v")
+        )
+    )
+    channels = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4)], "ch string, bit int"
+    )
+    sv = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vi = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    weight = (
+        F.when(F.bit_count(F.col("s0").cast("bigint")) == 0, 2.0 / 6)
+        .when(F.bit_count(F.col("s0").cast("bigint")) == 1, 1.0 / 6)
+        .otherwise(2.0 / 6)
+    )
+    contrib = (
+        channels.join(F.broadcast(sv), (F.col("s0").bitwiseAND(F.col("bit"))) == 0)
+        .join(
+            F.broadcast(vi),
+            F.col("s1") == (F.col("s0").bitwiseOR(F.col("bit"))),
+        )
+        .groupBy("ch")
+        .agg(F.sum(weight * (F.col("v1") - F.col("v0"))).alias("phi"))
+    )
+    return contrib.select(
+        F.col("ch").alias("channel"), F.round("phi", 6).alias("shapley_value")
+    ).orderBy("channel")
+
+
+@register(
+    "erlang_c_staffing",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS d, hour(ts) AS h,
+             CAST(count(*) AS DOUBLE) AS calls
+      FROM events GROUP BY 1, 2),
+    peak AS (SELECT max(calls) AS lam FROM hourly),
+    load AS (SELECT lam, lam * 180.0 / 3600.0 AS a FROM peak),
+    agents AS (SELECT unnest(generate_series(1, 30)) AS nagents),
+    lnfact AS (
+      SELECT nagents,
+             list_sum(list_transform(generate_series(1, nagents),
+                      i -> ln(CAST(i AS DOUBLE)))) AS lnf
+      FROM agents),
+    terms AS (
+      SELECT g.nagents,
+             sum(exp(k.kk * ln(a) - coalesce(
+                 list_sum(list_transform(generate_series(1, CAST(k.kk AS INT)),
+                          i -> ln(CAST(i AS DOUBLE)))), 0))) AS s
+      FROM agents g
+      CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS kk) k, load
+      WHERE k.kk < g.nagents GROUP BY g.nagents),
+    pc AS (
+      SELECT t.nagents,
+             CASE WHEN t.nagents <= a THEN 1.0
+                  ELSE (exp(t.nagents * ln(a) - f.lnf)
+                        * t.nagents / (t.nagents - a))
+                       / (t.s + exp(t.nagents * ln(a) - f.lnf)
+                          * t.nagents / (t.nagents - a)) END AS p_wait
+      FROM terms t JOIN lnfact f USING (nagents), load),
+    sl AS (
+      SELECT nagents, p_wait,
+             CASE WHEN nagents <= a THEN 0.0
+                  ELSE 1 - p_wait * exp(-(nagents - a) * 20.0 / 180.0) END
+               AS service_level
+      FROM pc, load),
+    pick AS (
+      SELECT min(nagents) AS n_req FROM sl WHERE service_level >= 0.8)
+    SELECT CAST(lam AS BIGINT) AS peak_calls_per_hour,
+           round(a, 3) AS offered_load_erlangs,
+           CAST(n_req AS BIGINT) AS agents_required,
+           round((SELECT p_wait FROM sl WHERE nagents = n_req), 4)
+             AS p_wait_at_n,
+           round((SELECT service_level FROM sl WHERE nagents = n_req), 4)
+             AS service_level_at_n
+    FROM load, pick
+    """,
+    tags=("sre", "queueing", "hof"),
+)
+def q_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing from the event stream: peak hourly arrivals
+    × 180 s handle time → offered load in erlangs, then the classic
+    M/M/N wait probability evaluated at every N from 1..30 and the
+    smallest N meeting an 80%-in-20s service level — the
+    capacity-planning formula behind every call-center and
+    thread-pool sizing decision. The factorials that make Erlang-C
+    'not SQL' are ln-space fold-sums via JVM higher-order functions
+    (aggregate over sequence — no Python, no numeric overflow at
+    any N), and the N×k term triangle is a 30×30 literal grid."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.to_date("ts").alias("d"), F.hour("ts").alias("h")).agg(
+        F.count("*").cast("double").alias("calls")
+    )
+    load = hourly.agg(F.max("calls").alias("lam")).select(
+        "lam", (F.col("lam") * 180.0 / 3600.0).alias("a")
+    )
+
+    def lnfact(col):
+        return F.coalesce(
+            F.aggregate(
+                F.sequence(F.lit(1), col.cast("int")),
+                F.lit(0.0),
+                lambda acc, i: acc + F.log(i.cast("double")),
+            ),
+            F.lit(0.0),
+        )
+
+    agents = spark.range(1, 31).select(F.col("id").cast("int").alias("nagents"))
+    ks = spark.range(0, 30).select(F.col("id").cast("int").alias("kk"))
+    terms = (
+        agents.crossJoin(F.broadcast(ks))
+        .filter(F.col("kk") < F.col("nagents"))
+        .crossJoin(F.broadcast(load))
+        .groupBy("nagents")
+        .agg(
+            F.sum(
+                F.exp(F.col("kk") * F.log(F.col("a")) - lnfact(F.col("kk")))
+            ).alias("s"),
+            F.first("a").alias("a"),
+        )
+    )
+    top = F.exp(F.col("nagents") * F.log(F.col("a")) - lnfact(F.col("nagents"))) * F.col(
+        "nagents"
+    ) / (F.col("nagents") - F.col("a"))
+    pc = terms.select(
+        "nagents",
+        "a",
+        F.when(F.col("nagents") <= F.col("a"), 1.0)
+        .otherwise(top / (F.col("s") + top))
+        .alias("p_wait"),
+    )
+    sl = pc.select(
+        "nagents",
+        "p_wait",
+        F.when(F.col("nagents") <= F.col("a"), 0.0)
+        .otherwise(
+            1 - F.col("p_wait") * F.exp(-(F.col("nagents") - F.col("a")) * 20.0 / 180.0)
+        )
+        .alias("service_level"),
+    )
+    pick = sl.filter(F.col("service_level") >= 0.8).agg(
+        F.min("nagents").alias("n_req")
+    )
+    at_n = sl.join(F.broadcast(pick), sl["nagents"] == F.col("n_req"))
+    return at_n.crossJoin(F.broadcast(load)).select(
+        F.col("lam").cast("bigint").alias("peak_calls_per_hour"),
+        F.round("a", 3).alias("offered_load_erlangs"),
+        F.col("n_req").cast("bigint").alias("agents_required"),
+        F.round("p_wait", 4).alias("p_wait_at_n"),
+        F.round("service_level", 4).alias("service_level_at_n"),
+    )
+
+
+@register(
+    "fixed_effects_within",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderkey, c_nationkey AS g,
+             CAST(cnt AS DOUBLE) AS x, o_totalprice AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN (SELECT l_orderkey, count(*) AS cnt
+            FROM lineitem GROUP BY 1) li ON l_orderkey = o_orderkey),
+    pooled AS (
+      SELECT covar_samp(x, y) / var_samp(x) AS beta_pooled,
+             CAST(count(*) AS BIGINT) AS n
+      FROM obs),
+    gm AS (SELECT g, avg(x) AS mx, avg(y) AS my FROM obs GROUP BY g),
+    within AS (
+      SELECT sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx))
+               AS beta_within
+      FROM obs JOIN gm USING (g))
+    SELECT n, round(beta_pooled, 4) AS beta_pooled,
+           round(beta_within, 4) AS beta_within
+    FROM pooled, within
+    """,
+    tags=("regression", "causal", "economics"),
+)
+def q_fixed_effects_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Panel fixed-effects (within) estimator: order value on line
+    count, demeaned inside each customer nation — the econometric
+    workhorse that absorbs every time-invariant group confounder
+    without estimating 25 dummies, shown against the pooled OLS
+    slope (the gap between them IS the omitted group-level bias).
+    Group means are a |groups|-row broadcast; both slopes are
+    single covariance-style aggregates — the 'regression with a
+    million fixed effects' pattern that scales because demeaning is
+    a join, not a design matrix."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    obs = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(cnt, o["o_orderkey"] == cnt["l_orderkey"])
+        .select(
+            F.col("c_nationkey").alias("g"),
+            F.col("cnt").cast("double").alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    pooled = obs.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("beta_pooled"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    gm = obs.groupBy("g").agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    within = obs.join(F.broadcast(gm), "g").agg(
+        (
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+            / F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
+        ).alias("beta_within")
+    )
+    return pooled.crossJoin(F.broadcast(within)).select(
+        "n",
+        F.round("beta_pooled", 4).alias("beta_pooled"),
+        F.round("beta_within", 4).alias("beta_within"),
+    )
+
+
+@register(
+    "shuffle_skew_audit",
+    oracle="""
+    WITH keyed AS (
+      SELECT 'orderkey' AS keyname,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+               % 32 AS bucket
+      FROM lineitem
+      UNION ALL
+      SELECT 'partkey',
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::UBIGINT % 32
+      FROM lineitem
+      UNION ALL
+      SELECT 'returnflag',
+             ('0x' || substr(md5(l_returnflag), 1, 8))::UBIGINT % 32
+      FROM lineitem),
+    loads AS (
+      SELECT keyname, bucket, CAST(count(*) AS DOUBLE) AS n
+      FROM keyed GROUP BY 1, 2),
+    stats AS (
+      SELECT keyname,
+             CAST(count(*) AS BIGINT) AS buckets_hit,
+             max(n) / avg(n) AS max_over_mean,
+             stddev_samp(n) / avg(n) AS cv
+      FROM loads GROUP BY keyname)
+    SELECT keyname, buckets_hit,
+           round(max_over_mean, 3) AS max_over_mean,
+           round(cv, 4) AS cv
+    FROM stats
+    """,
+    tags=("scale", "skew", "audit"),
+)
+def q_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit for candidate partition keys: simulate a
+    32-partition hash shuffle (portable md5 buckets) for three keys
+    and report max/mean load and CV — the diagnostic run BEFORE
+    picking a join/groupBy key at scale, made first-class as a
+    query. orderkey and partkey hash near-uniform (max/mean → 1);
+    returnflag has 3 values into 32 buckets, so 29 partitions sit
+    EMPTY and the rest carry ~10× — exactly the straggler pattern
+    AQE skew-join mitigation and the salting operators
+    (salted_skew_agg, operators/scale.py) exist to break."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = [
+        ("orderkey", F.col("l_orderkey")),
+        ("partkey", F.col("l_partkey")),
+        ("returnflag", F.col("l_returnflag")),
+    ]
+    keyed = None
+    for name, col in parts:
+        piece = li.select(
+            F.lit(name).alias("keyname"),
+            CUR.hash_bucket(col, 32).alias("bucket"),
+        )
+        keyed = piece if keyed is None else keyed.unionAll(piece)
+    loads = keyed.groupBy("keyname", "bucket").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    return loads.groupBy("keyname").agg(
+        F.count("*").cast("bigint").alias("buckets_hit"),
+        F.round(F.max("n") / F.avg("n"), 3).alias("max_over_mean"),
+        F.round(F.stddev_samp("n") / F.avg("n"), 4).alias("cv"),
+    )
+
+
+@register(
+    "join_cardinality_check",
+    oracle="""
+    WITH co AS (SELECT o_orderkey AS k, CAST(count(*) AS DOUBLE) AS c
+                FROM orders GROUP BY 1),
+    cl AS (SELECT l_orderkey AS k, CAST(count(*) AS DOUBLE) AS c
+           FROM lineitem GROUP BY 1),
+    cb AS (SELECT p_brand AS k, CAST(count(*) AS DOUBLE) AS c
+           FROM part GROUP BY 1),
+    lb AS (SELECT p_brand AS k, CAST(count(*) AS DOUBLE) AS c
+           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+    j1 AS (
+      SELECT 'orders_x_lineitem' AS join_name,
+             sum(co.c * cl.c) AS actual,
+             (SELECT sum(c) FROM co) * (SELECT sum(c) FROM cl)
+               / greatest((SELECT count(*) FROM co),
+                          (SELECT count(*) FROM cl)) AS uniform_est
+      FROM co JOIN cl USING (k)),
+    j2 AS (
+      SELECT 'part_x_lineitem_by_brand' AS join_name,
+             sum(cb.c * lb.c) AS actual,
+             (SELECT sum(c) FROM cb) * (SELECT sum(c) FROM lb)
+               / greatest((SELECT count(*) FROM cb),
+                          (SELECT count(*) FROM lb)) AS uniform_est
+      FROM cb JOIN lb USING (k))
+    SELECT join_name, CAST(actual AS BIGINT) AS actual_rows,
+           CAST(round(uniform_est, 0) AS BIGINT) AS uniform_estimate,
+           round(actual / uniform_est, 3) AS actual_over_estimate
+    FROM j1 UNION ALL SELECT join_name, CAST(actual AS BIGINT),
+           CAST(round(uniform_est, 0) AS BIGINT),
+           round(actual / uniform_est, 3) FROM j2
+    """,
+    tags=("scale", "audit", "join"),
+)
+def q_join_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit: the uniform-frequency
+    estimator |R|·|S|/max(ndv_R, ndv_S) — what a cost-based
+    optimizer assumes without histograms — against the EXACT output
+    size Σ_k c_R(k)·c_S(k), computed from the two per-key count
+    relations WITHOUT materializing either join. The PK-FK join
+    (orders⋈lineitem) lands on the estimate; the 25-value brand
+    join blows past it in proportion to frequency correlation —
+    the query quantifies exactly when to trust stats-based plans
+    and when to force a broadcast/salt by hand."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def counts(df, key):
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").cast("double").alias("c")
+        )
+
+    co = counts(o, "o_orderkey")
+    cl = counts(li, "l_orderkey")
+    cb = counts(p, "p_brand")
+    lb = counts(li.join(p, li["l_partkey"] == p["p_partkey"]), "p_brand")
+
+    def audit(name, left, right):
+        lt = left.agg(
+            F.sum("c").alias("nl"), F.count("*").cast("double").alias("dl")
+        )
+        rt = right.agg(
+            F.sum("c").alias("nr"), F.count("*").cast("double").alias("dr")
+        )
+        actual = (
+            left.join(right.withColumnRenamed("c", "c2"), "k")
+            .agg(F.sum(F.col("c") * F.col("c2")).alias("actual"))
+        )
+        return (
+            actual.crossJoin(F.broadcast(lt))
+            .crossJoin(F.broadcast(rt))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("actual").cast("bigint").alias("actual_rows"),
+                F.round(
+                    F.col("nl") * F.col("nr") / F.greatest("dl", "dr"), 0
+                )
+                .cast("bigint")
+                .alias("uniform_estimate"),
+                F.round(
+                    F.col("actual")
+                    / (F.col("nl") * F.col("nr") / F.greatest("dl", "dr")),
+                    3,
+                ).alias("actual_over_estimate"),
+            )
+        )
+
+    return audit("orders_x_lineitem", co, cl).unionAll(
+        audit("part_x_lineitem_by_brand", cb, lb)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

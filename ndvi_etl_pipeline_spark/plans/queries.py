@@ -19157,6 +19157,476 @@ def q_join_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kendall_tau_b",
+    oracle="""
+    WITH cells AS (
+      SELECT l_quantity AS x, l_discount AS y,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM lineitem GROUP BY 1, 2),
+    conc AS (
+      SELECT sum(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END) AS cc,
+             sum(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END) AS dd
+      FROM cells a JOIN cells b ON b.x > a.x),
+    xm AS (SELECT sum(cx * (cx - 1) / 2) AS n1
+           FROM (SELECT sum(c) AS cx FROM cells GROUP BY x)),
+    ym AS (SELECT sum(cy * (cy - 1) / 2) AS n2
+           FROM (SELECT sum(c) AS cy FROM cells GROUP BY y)),
+    nt AS (SELECT sum(c) AS n FROM cells)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(cc AS BIGINT) AS concordant,
+           CAST(dd AS BIGINT) AS discordant,
+           round((cc - dd) / sqrt((n * (n - 1) / 2 - n1)
+                                  * (n * (n - 1) / 2 - n2)), 5) AS tau_b
+    FROM conc, xm, ym, nt
+    """,
+    tags=("stats", "correlation", "nonparametric"),
+)
+def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between quantity and discount, computed from
+    the JOINT HISTOGRAM instead of row pairs: concordant/discordant
+    counts are Σ c₁·c₂ over ordered cell pairs (both columns are
+    low-cardinality, so the 550-cell self-join replaces the
+    O(n²) = 10¹¹-row pair enumeration a naive formulation needs),
+    and the tie corrections n₁/n₂ fall out of the marginals — the
+    tie-aware rank correlation Spearman (spearman_rank_corr)
+    mishandles when the data is this discrete. One fact-table
+    aggregate; everything after runs on hundreds of rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
+    ).agg(F.count("*").cast("double").alias("c"))
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    conc = a.join(b, F.col("bx") > F.col("ax")).agg(
+        F.sum(
+            F.when(F.col("by") > F.col("ay"), F.col("ac") * F.col("bc")).otherwise(0.0)
+        ).alias("cc"),
+        F.sum(
+            F.when(F.col("by") < F.col("ay"), F.col("ac") * F.col("bc")).otherwise(0.0)
+        ).alias("dd"),
+    )
+    xm = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("cx"))
+        .agg(F.sum(F.col("cx") * (F.col("cx") - 1) / 2).alias("n1"))
+    )
+    ym = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("cy"))
+        .agg(F.sum(F.col("cy") * (F.col("cy") - 1) / 2).alias("n2"))
+    )
+    nt = cells.agg(F.sum("c").alias("n"))
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    return (
+        conc.crossJoin(F.broadcast(xm))
+        .crossJoin(F.broadcast(ym))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("cc").cast("bigint").alias("concordant"),
+            F.col("dd").cast("bigint").alias("discordant"),
+            F.round(
+                (F.col("cc") - F.col("dd"))
+                / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))),
+                5,
+            ).alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "bray_curtis_sources",
+    oracle="""
+    WITH ws AS (
+      SELECT source, w
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents)
+      WHERE length(w) >= 1),
+    cnt AS (
+      SELECT source, w, CAST(count(*) AS DOUBLE) AS c
+      FROM ws GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c) AS t FROM cnt GROUP BY source),
+    shared AS (
+      SELECT a.source AS s1, b.source AS s2, sum(least(a.c, b.c)) AS cmin
+      FROM cnt a JOIN cnt b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2),
+    bc AS (
+      SELECT s1, s2, 1 - 2 * cmin / (ta.t + tb.t) AS bc
+      FROM shared JOIN tot ta ON ta.source = s1
+      JOIN tot tb ON tb.source = s2)
+    SELECT s1, s2, round(bc, 4) AS bray_curtis
+    FROM bc ORDER BY bc, s1, s2 LIMIT 10
+    """,
+    tags=("text", "similarity", "corpus"),
+)
+def q_bray_curtis_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bray-Curtis dissimilarity between sources' word-count
+    profiles: 1 − 2Σmin(xᵥ,yᵥ)/(Σx+Σy) — the abundance-aware
+    ecology distance applied to corpus composition (unlike
+    jensen_shannon_sources' probability view, Bray-Curtis keeps
+    SIZE: a source that is a strict subsample of another still
+    registers as dissimilar). The min-overlap needs only words both
+    sources SHARE, so the pair computation is a plain inner join on
+    word over the |sources|×|vocab| count relation — absent words
+    contribute zero to the numerator by construction, no
+    densification required; 10 most-similar pairs surface."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    cnt = ws.groupBy("source", "w").agg(F.count("*").cast("double").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    a = cnt.select(F.col("source").alias("s1"), "w", F.col("c").alias("ca"))
+    b = cnt.select(F.col("source").alias("s2"), "w", F.col("c").alias("cb"))
+    shared = (
+        a.join(b, "w")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.sum(F.least("ca", "cb")).alias("cmin"))
+    )
+    ta = tot.select(F.col("source").alias("s1"), F.col("t").alias("t1"))
+    tb = tot.select(F.col("source").alias("s2"), F.col("t").alias("t2"))
+    bc = (
+        shared.join(F.broadcast(ta), "s1")
+        .join(F.broadcast(tb), "s2")
+        .select(
+            "s1",
+            "s2",
+            (1 - 2 * F.col("cmin") / (F.col("t1") + F.col("t2"))).alias("bc"),
+        )
+    )
+    return (
+        bc.orderBy("bc", "s1", "s2")
+        .limit(10)
+        .select("s1", "s2", F.round("bc", 4).alias("bray_curtis"))
+    )
+
+
+@register(
+    "gsea_enrichment_score",
+    oracle="""
+    WITH partrev AS (
+      SELECT l_partkey, sum(l_extendedprice) AS rev
+      FROM lineitem GROUP BY 1),
+    flagged AS (
+      SELECT pr.l_partkey, rev,
+             CASE WHEN p_brand = 'Brand#11' THEN 1.0 ELSE 0.0 END AS hit
+      FROM partrev pr JOIN part ON pr.l_partkey = p_partkey),
+    counts AS (
+      SELECT sum(hit) AS nh, CAST(count(*) AS DOUBLE) AS n FROM flagged),
+    walk AS (
+      SELECT sum(hit / nh - (1 - hit) / (n - nh))
+               OVER (ORDER BY rev DESC, l_partkey) AS es
+      FROM flagged, counts)
+    SELECT CAST((SELECT n FROM counts) AS BIGINT) AS n_parts,
+           CAST((SELECT nh FROM counts) AS BIGINT) AS n_members,
+           round(max(es), 4) AS es_max,
+           round(min(es), 4) AS es_min
+    FROM walk
+    """,
+    tags=("enrichment", "window", "ranking"),
+)
+def q_gsea_enrichment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSEA-style running enrichment score: rank every part by
+    revenue, walk the list stepping +1/Nh on a Brand#11 member and
+    −1/(N−Nh) otherwise — the max/min of the walk is the enrichment
+    score, a KS statistic on ranked set membership (the
+    genomics-standard answer to 'does this set concentrate at the
+    top of the ranking', here: does the brand live among the
+    best-sellers). One prefix-sum window over the |parts| aggregate;
+    at fact scale the ranking would use the two-pass range-partition
+    prefix-sum (contiguous_ids), never a single-task sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    partrev = li.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("rev"))
+    flagged = partrev.join(p, partrev["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey",
+        "rev",
+        F.when(F.col("p_brand") == "Brand#11", 1.0).otherwise(0.0).alias("hit"),
+    )
+    counts = flagged.agg(
+        F.sum("hit").alias("nh"), F.count("*").cast("double").alias("n")
+    )
+    wd = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    walk = flagged.join(F.broadcast(counts)).select(
+        F.sum(
+            F.col("hit") / F.col("nh")
+            - (1 - F.col("hit")) / (F.col("n") - F.col("nh"))
+        )
+        .over(wd)
+        .alias("es"),
+        "n",
+        "nh",
+    )
+    return walk.groupBy("n", "nh").agg(
+        F.round(F.max("es"), 4).alias("es_max"),
+        F.round(F.min("es"), 4).alias("es_min"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_parts"),
+        F.col("nh").cast("bigint").alias("n_members"),
+        "es_max",
+        "es_min",
+    )
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT unnest(generate_series(1, 50)) AS b),
+    weighted AS (
+      SELECT b, o_totalprice AS x,
+             CASE
+               WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
+               WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
+               WHEN u < 0.9963401532 THEN 4 WHEN u < 0.9994058152 THEN 5
+               WHEN u < 0.9999167589 THEN 6 ELSE 7 END AS w
+      FROM (
+        SELECT b, o_totalprice,
+               (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#'
+                 || CAST(b AS VARCHAR)), 1, 8))::UBIGINT % 4294967296)
+               / 4294967296.0 AS u
+        FROM orders CROSS JOIN reps) t(b, o_totalprice, u)),
+    means AS (
+      SELECT b, sum(w * x) / nullif(sum(w), 0) AS m
+      FROM weighted GROUP BY b),
+    pt AS (SELECT avg(o_totalprice) AS point FROM orders)
+    SELECT round(point, 2) AS point_mean,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           round(CAST(quantile_cont(m, 0.025) AS DOUBLE), 2) AS ci_lo,
+           round(CAST(quantile_cont(m, 0.975) AS DOUBLE), 2) AS ci_hi
+    FROM means, pt GROUP BY point
+    """,
+    tags=("stats", "resampling", "hash"),
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean order value: each of 50
+    replicates weights every row by an independent Poisson(1) draw —
+    the distributed bootstrap, because Poisson weights need NO
+    global n and no sampling-without-replacement coordination (each
+    row decides its own weight locally; the classical multinomial
+    bootstrap cannot shard). Draws come from bit-exact md5 uniforms
+    through the Poisson inverse-CDF threshold ladder, so both
+    engines produce the IDENTICAL resamples — a reproducibility
+    property real rand() can never give; one shuffle on the 50-value
+    replicate key, map-side combined."""
+    o = _t(spark, sf_dir, "orders")
+    reps = spark.range(1, 51).select(F.col("id").cast("int").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("#"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        % 4294967296
+    ) / 4294967296.0
+    w = (
+        F.when(F.col("u") < 0.3678794412, 0)
+        .when(F.col("u") < 0.7357588823, 1)
+        .when(F.col("u") < 0.9196986029, 2)
+        .when(F.col("u") < 0.9810118431, 3)
+        .when(F.col("u") < 0.9963401532, 4)
+        .when(F.col("u") < 0.9994058152, 5)
+        .when(F.col("u") < 0.9999167589, 6)
+        .otherwise(7)
+    )
+    weighted = (
+        o.crossJoin(F.broadcast(reps))
+        .select("b", F.col("o_totalprice").alias("x"), u.alias("u"))
+        .select("b", "x", w.alias("w"))
+    )
+    means = weighted.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("x")) / F.nullif(F.sum("w"), F.lit(0))).alias("m")
+    )
+    pt = o.agg(F.avg("o_totalprice").alias("point"))
+    return means.crossJoin(F.broadcast(pt)).groupBy("point").agg(
+        F.count("*").cast("bigint").alias("n_replicates"),
+        F.round(F.expr("percentile(m, 0.025)"), 2).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 2).alias("ci_hi"),
+    ).select(
+        F.round("point", 2).alias("point_mean"),
+        "n_replicates",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+@register(
+    "bandit_replay_eval",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', CAST(ts AS DATE)) AS wk, event_type AS arm,
+             avg(value) AS v, CAST(count(*) AS DOUBLE) AS n
+      FROM events WHERE event_type IN ('view', 'click', 'signup')
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT wk, arm, v,
+             sum(v * n) OVER (PARTITION BY arm ORDER BY wk
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             / nullif(sum(n) OVER (PARTITION BY arm ORDER BY wk
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior_mean
+      FROM weekly),
+    pick AS (
+      SELECT wk, arm, v,
+             row_number() OVER (PARTITION BY wk
+                                ORDER BY prior_mean DESC, arm) AS rk,
+             prior_mean
+      FROM cum WHERE prior_mean IS NOT NULL),
+    chosen AS (SELECT wk, v AS policy_v FROM pick WHERE rk = 1),
+    uniform AS (
+      SELECT wk, avg(v) AS uniform_v FROM pick GROUP BY wk)
+    SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+           round(avg(policy_v), 4) AS greedy_policy_value,
+           round(avg(uniform_v), 4) AS uniform_policy_value,
+           round(100 * (avg(policy_v) / avg(uniform_v) - 1), 2) AS lift_pct
+    FROM chosen JOIN uniform USING (wk)
+    """,
+    tags=("ml", "bandit", "window"),
+)
+def q_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline bandit evaluation by replay: a greedy policy (each
+    week, play the arm with the best cumulative mean value over all
+    PRIOR weeks — the 1-preceding frame is the no-peeking guard)
+    scored against the uniform policy on the held-out week's actual
+    arm means — the counterfactual 'what would greedy have earned'
+    answered from logs alone, no live experiment. The policy state
+    is a per-arm expanding window over the |weeks|×|arms| aggregate;
+    argmax-per-week is a 3-row partition window."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "signup")
+    )
+    weekly = e.groupBy(
+        F.date_trunc("week", F.to_date("ts")).alias("wk"),
+        F.col("event_type").alias("arm"),
+    ).agg(F.avg("value").alias("v"), F.count("*").cast("double").alias("n"))
+    wprior = (
+        Window.partitionBy("arm")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = weekly.select(
+        "wk",
+        "arm",
+        "v",
+        (
+            F.sum(F.col("v") * F.col("n")).over(wprior)
+            / F.nullif(F.sum("n").over(wprior), F.lit(0.0))
+        ).alias("prior_mean"),
+    )
+    pick = cum.filter(F.col("prior_mean").isNotNull()).select(
+        "wk",
+        "arm",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("wk").orderBy(F.desc("prior_mean"), "arm"))
+        .alias("rk"),
+    )
+    chosen = pick.filter(F.col("rk") == 1).select("wk", F.col("v").alias("policy_v"))
+    uniform = pick.groupBy("wk").agg(F.avg("v").alias("uniform_v"))
+    return chosen.join(uniform, "wk").agg(
+        F.count("*").cast("bigint").alias("n_weeks"),
+        F.round(F.avg("policy_v"), 4).alias("greedy_policy_value"),
+        F.round(F.avg("uniform_v"), 4).alias("uniform_policy_value"),
+        F.round(
+            100 * (F.avg("policy_v") / F.avg("uniform_v") - 1), 2
+        ).alias("lift_pct"),
+    )
+
+
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH sv AS (
+      SELECT n_name,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             o_orderpriority AS pri, o_orderstatus AS s,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3, 4),
+    cls AS (
+      SELECT n_name, m, pri,
+             CAST(count(*) AS BIGINT) AS l_distinct,
+             sum(c) AS grp_n,
+             ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+      FROM sv GROUP BY 1, 2, 3)
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN l_distinct < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS homogeneous_classes,
+           CAST(sum(CASE WHEN h < ln(2) - 1e-9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS below_entropy_l2,
+           round(min(h), 4) AS min_entropy,
+           CAST(min(l_distinct) AS BIGINT) AS min_l
+    FROM cls
+    """,
+    tags=("privacy", "audit", "agg"),
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the k_anonymity_audit quasi-identifier
+    classes with order status as the sensitive attribute: a class
+    can be k-anonymous yet HOMOGENEOUS in the sensitive value —
+    everyone in it shares the status, so membership alone discloses
+    it (the attack k-anonymity provably misses). Reports classes
+    with < 2 distinct statuses and classes failing ENTROPY
+    l-diversity at l=2 (strictly below ln 2 with an epsilon guard —
+    a perfectly balanced 2-value class sits EXACTLY at ln 2 and
+    passes, which a bare float < would decide by last-ulp luck),
+    using the streaming-friendly identity
+    H = ln(n) − Σc·ln(c)/n so the per-class entropy needs only the
+    (class, value) count relation — two stacked hash aggregates,
+    no windows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    sv = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    cls = sv.groupBy("n_name", "m", "pri").agg(
+        F.count("*").cast("bigint").alias("l_distinct"),
+        F.sum("c").alias("grp_n"),
+        (
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+        ).alias("h"),
+    )
+    return cls.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("l_distinct") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("homogeneous_classes"),
+        F.sum(F.when(F.col("h") < F.lit(math.log(2.0) - 1e-9), 1).otherwise(0))
+        .cast("bigint")
+        .alias("below_entropy_l2"),
+        F.round(F.min("h"), 4).alias("min_entropy"),
+        F.min("l_distinct").cast("bigint").alias("min_l"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

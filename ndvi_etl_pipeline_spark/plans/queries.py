@@ -19627,6 +19627,345 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "feature_hashing_cosine",
+    oracle="""
+    WITH ws AS (
+      SELECT source, w
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents)
+      WHERE length(w) >= 1),
+    hashed AS (
+      SELECT source,
+             ('0x' || substr(md5(w), 1, 8))::UBIGINT % 64 AS bucket,
+             CASE WHEN ('0x' || substr(md5(w), 9, 8))::UBIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM ws),
+    vec AS (
+      SELECT source, bucket, sum(sgn) AS v
+      FROM hashed GROUP BY 1, 2),
+    nrm AS (SELECT source, sqrt(sum(v * v)) AS nn FROM vec GROUP BY source),
+    cos AS (
+      SELECT a.source AS s1, b.source AS s2,
+             sum(a.v * b.v) / (na.nn * nb.nn) AS cos
+      FROM vec a JOIN vec b ON a.bucket = b.bucket AND a.source < b.source
+      JOIN nrm na ON na.source = a.source
+      JOIN nrm nb ON nb.source = b.source
+      GROUP BY 1, 2, na.nn, nb.nn)
+    SELECT s1, s2, round(cos, 4) AS cosine
+    FROM cos ORDER BY round(cos, 6) DESC, s1, s2 LIMIT 5
+    """,
+    tags=("text", "hash", "embedding"),
+)
+def q_feature_hashing_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick as a query: every source's unbounded
+    vocabulary is folded into a FIXED 64-dim signed-hash vector
+    (bucket from one md5 slice, ±1 sign from another — the signed
+    variant keeps collisions unbiased, Weinberger et al.), then
+    source similarity is cosine over the tiny |sources|×64 relation.
+    This is how text featurization survives 100 TB: no vocabulary
+    dictionary to build, broadcast, or grow — the feature space is
+    constant-width by construction, and two engines (or two cluster
+    generations) hash identically because the bits are md5."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    bucket = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 64
+    sgn = F.when(
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long") % 2 == 0, 1.0
+    ).otherwise(-1.0)
+    vec = (
+        ws.select("source", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("source", "bucket")
+        .agg(F.sum("sgn").alias("v"))
+    )
+    nrm = vec.groupBy("source").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nn"))
+    a = vec.select(F.col("source").alias("s1"), "bucket", F.col("v").alias("va"))
+    b = vec.select(F.col("source").alias("s2"), "bucket", F.col("v").alias("vb"))
+    na = nrm.select(F.col("source").alias("s1"), F.col("nn").alias("n1"))
+    nb = nrm.select(F.col("source").alias("s2"), F.col("nn").alias("n2"))
+    cos = (
+        a.join(b, "bucket")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+        .join(F.broadcast(na), "s1")
+        .join(F.broadcast(nb), "s2")
+        .select("s1", "s2", (F.col("dot") / (F.col("n1") * F.col("n2"))).alias("cos"))
+    )
+    return (
+        cos.orderBy(F.round(F.col("cos"), 6).desc(), "s1", "s2")
+        .limit(5)
+        .select("s1", "s2", F.round("cos", 4).alias("cosine"))
+    )
+
+
+@register(
+    "count_min_sketch",
+    oracle="""
+    WITH rows_ AS (SELECT unnest(generate_series(1, 4)) AS j),
+    hashed AS (
+      SELECT j, l_suppkey AS k,
+             ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || '#'
+              || CAST(j AS VARCHAR)), 1, 8))::UBIGINT % 64 AS b
+      FROM lineitem CROSS JOIN rows_),
+    cells AS (
+      SELECT j, b, CAST(count(*) AS DOUBLE) AS c
+      FROM hashed GROUP BY 1, 2),
+    truth AS (
+      SELECT l_suppkey AS k, CAST(count(*) AS DOUBLE) AS exact
+      FROM lineitem GROUP BY 1),
+    keybits AS (
+      SELECT DISTINCT t.k, r.j,
+             ('0x' || substr(md5(CAST(t.k AS VARCHAR) || '#'
+              || CAST(r.j AS VARCHAR)), 1, 8))::UBIGINT % 64 AS b
+      FROM truth t CROSS JOIN rows_ r),
+    est AS (
+      SELECT kb.k, min(c.c) AS est
+      FROM keybits kb JOIN cells c ON kb.j = c.j AND kb.b = c.b
+      GROUP BY kb.k)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN est = exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           round(avg(est / exact), 4) AS mean_over_ratio,
+           round(max(est / exact), 4) AS max_over_ratio
+    FROM est JOIN truth USING (k)
+    """,
+    tags=("sketch", "approx", "hash"),
+)
+def q_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch built relationally and audited against exact
+    counts: d=4 hash rows × w=64 buckets (each row's cells are one
+    hash aggregate over md5 buckets), a key's estimate is the MIN
+    over its 4 cells, and the one-sided overestimate guarantee
+    (est ≥ exact always, n_exact counts collision-free keys) is
+    verified key by key. CMS cells merge by ADDITION, so the sketch
+    distributes exactly like a sum — the frequency twin of the
+    membership Bloom filter (bloom_filter_fpr) and cardinality KMV
+    (kmv_distinct_estimate); all four hash rows come out of one
+    scan because the row index is just a crossed-in column."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows_ = spark.range(1, 5).select(F.col("id").cast("int").alias("j"))
+
+    def hb(key, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(key.cast("string"), F.lit("#"), j.cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        )
+
+    hashed = li.crossJoin(F.broadcast(rows_)).select(
+        "j", F.col("l_suppkey").alias("k"), hb(F.col("l_suppkey"), F.col("j")).alias("b")
+    )
+    cells = hashed.groupBy("j", "b").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    truth = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count("*").cast("double").alias("exact")
+    )
+    keybits = truth.select("k").crossJoin(F.broadcast(rows_)).select(
+        "k", "j", hb(F.col("k"), F.col("j")).alias("b")
+    )
+    est = (
+        keybits.join(cells, ["j", "b"])
+        .groupBy("k")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.join(truth, "k").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("est") == F.col("exact"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.round(F.avg(F.col("est") / F.col("exact")), 4).alias("mean_over_ratio"),
+        F.round(F.max(F.col("est") / F.col("exact")), 4).alias("max_over_ratio"),
+    )
+
+
+@register(
+    "event_study_abnormal",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    ev AS (
+      SELECT CAST(concat(CAST(y AS VARCHAR), '-01-01') AS DATE) AS e
+      FROM (SELECT unnest(generate_series(1993, 1997)) AS y)),
+    win AS (
+      SELECT ev.e, daily.d, daily.v,
+             date_diff('day', ev.e, daily.d) AS rel
+      FROM daily JOIN ev
+        ON daily.d BETWEEN ev.e - 30 AND ev.e + 10),
+    base AS (
+      SELECT e, avg(CASE WHEN rel BETWEEN -30 AND -11 THEN v END) AS b
+      FROM win GROUP BY e),
+    ab AS (
+      SELECT rel, 100.0 * (v - b) / b AS pct
+      FROM win JOIN base USING (e)
+      WHERE rel BETWEEN -10 AND 10)
+    SELECT CAST(rel AS BIGINT) AS rel_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(pct), 2) AS mean_abnormal_pct
+    FROM ab GROUP BY rel
+    """,
+    tags=("timeseries", "causal", "events"),
+)
+def q_event_study_abnormal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study abnormal revenue around each New Year (5 event
+    dates, ±10-day window): per event the counterfactual baseline
+    is the −30..−11 pre-window mean, daily abnormal % is averaged
+    ACROSS events per relative day — the finance event-study design
+    (MacKinlay) that separates the event's effect from level
+    differences between years, and the grown-up version of a naive
+    before/after mean split. The event×day alignment is a bounded
+    range join on the |dates| aggregate; baselines are a 5-row
+    broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    ev = spark.createDataFrame(
+        [(f"{y}-01-01",) for y in range(1993, 1998)], "e string"
+    ).select(F.col("e").cast("date").alias("e"))
+    win = daily.join(
+        F.broadcast(ev),
+        (F.col("d") >= F.date_sub(F.col("e"), 30))
+        & (F.col("d") <= F.date_add(F.col("e"), 10)),
+    ).select("e", "d", "v", F.datediff(F.col("d"), F.col("e")).alias("rel"))
+    base = win.groupBy("e").agg(
+        F.avg(F.when(F.col("rel").between(-30, -11), F.col("v"))).alias("b")
+    )
+    ab = (
+        win.join(F.broadcast(base), "e")
+        .filter(F.col("rel").between(-10, 10))
+        .select("rel", (100.0 * (F.col("v") - F.col("b")) / F.col("b")).alias("pct"))
+    )
+    return ab.groupBy(F.col("rel").cast("bigint").alias("rel_day")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.avg("pct"), 2).alias("mean_abnormal_pct"),
+    )
+
+
+@register(
+    "weight_of_evidence_iv",
+    oracle="""
+    WITH cells AS (
+      SELECT l_discount AS disc,
+             CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS DOUBLE) AS g,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS b
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT sum(g) AS tg, sum(b) AS tb FROM cells),
+    woe AS (
+      SELECT disc, g + b AS n,
+             ln((g / tg) / (b / tb)) AS woe,
+             (g / tg - b / tb) * ln((g / tg) / (b / tb)) AS ivc
+      FROM cells, tot)
+    SELECT round(disc, 2) AS discount,
+           CAST(n AS BIGINT) AS n_rows,
+           round(woe, 4) AS woe,
+           round(ivc, 6) AS iv_contribution
+    FROM woe
+    """,
+    tags=("ml", "binning", "feature"),
+)
+def q_weight_of_evidence_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence + information value per discount level for
+    predicting returns — the credit-scoring featurization standard:
+    WoE = ln(%good/%bad) turns a categorical bin into a monotone
+    log-odds score (what logistic regression wants), and the IV
+    contributions (Σ is the variable's screening power: <0.02
+    useless, >0.3 strong) decide whether the column enters the
+    model at all. One conditional-aggregate histogram over the
+    fact; the WoE table itself is what gets broadcast back to
+    encode the feature at scoring time — the encode step is a
+    |bins|-row broadcast join, never a shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(F.col("l_discount").alias("disc")).agg(
+        F.count_if(F.col("l_returnflag") != "R").cast("double").alias("g"),
+        F.count_if(F.col("l_returnflag") == "R").cast("double").alias("b"),
+    )
+    tot = cells.agg(F.sum("g").alias("tg"), F.sum("b").alias("tb"))
+    pg = F.col("g") / F.col("tg")
+    pb = F.col("b") / F.col("tb")
+    return cells.join(F.broadcast(tot)).select(
+        F.round("disc", 2).alias("discount"),
+        (F.col("g") + F.col("b")).cast("bigint").alias("n_rows"),
+        F.round(F.log(pg / pb), 4).alias("woe"),
+        F.round((pg - pb) * F.log(pg / pb), 6).alias("iv_contribution"),
+    )
+
+
+@register(
+    "stratified_kfold",
+    oracle="""
+    WITH folds AS (
+      SELECT label,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT % 5
+               AS fold
+      FROM embeddings),
+    cells AS (
+      SELECT fold, label, CAST(count(*) AS DOUBLE) AS c
+      FROM folds GROUP BY 1, 2),
+    fl AS (SELECT fold, sum(c) AS nf FROM cells GROUP BY fold),
+    lt AS (SELECT label, sum(c) AS nl FROM cells GROUP BY label),
+    tot AS (SELECT sum(c) AS n FROM cells),
+    chi AS (
+      SELECT fold, any_value(nf) AS nf,
+             sum(pow(c - nf * nl / n, 2) / (nf * nl / n)) AS chi2
+      FROM cells JOIN fl USING (fold) JOIN lt USING (label), tot
+      GROUP BY fold)
+    SELECT CAST(fold AS BIGINT) AS fold, CAST(nf AS BIGINT) AS n_rows,
+           round(chi2, 4) AS label_balance_chi2
+    FROM chi
+    """,
+    tags=("ml", "sampling", "split"),
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment by content hash with a
+    per-fold label-balance audit: fold membership is the md5-bucket
+    device (deterministic — a vector keeps its fold across runs,
+    clusters, and engines, so CV results are reproducible), and each
+    fold's χ² against the global label distribution quantifies how
+    far plain hashing lands from perfect stratification — the check
+    that tells you whether you actually need the heavier per-label
+    round-robin. Fold and label marginals re-aggregate from the
+    5×10 cell relation."""
+    e = _t(spark, sf_dir, "embeddings")
+    folds = e.select("label", CUR.hash_bucket(F.col("vec_id"), 5).alias("fold"))
+    cells = folds.groupBy("fold", "label").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    fl = cells.groupBy("fold").agg(F.sum("c").alias("nf"))
+    lt = cells.groupBy("label").agg(F.sum("c").alias("nl"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    exp = F.col("nf") * F.col("nl") / F.col("n")
+    chi = (
+        cells.join(F.broadcast(fl), "fold")
+        .join(F.broadcast(lt), "label")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("fold")
+        .agg(
+            F.first("nf").alias("nf"),
+            F.sum(F.pow(F.col("c") - exp, 2) / exp).alias("chi2"),
+        )
+    )
+    return chi.select(
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("nf").cast("bigint").alias("n_rows"),
+        F.round("chi2", 4).alias("label_balance_chi2"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

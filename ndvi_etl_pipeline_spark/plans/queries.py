@@ -19966,6 +19966,367 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wilcoxon_signed_rank",
+    oracle="""
+    WITH py AS (
+      SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS yr,
+             sum(l_extendedprice) / sum(l_quantity) AS p
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997)
+        AND l_quantity > 0
+      GROUP BY 1, 2),
+    d AS (
+      SELECT a.l_partkey, b.p - a.p AS diff
+      FROM py a JOIN py b
+        ON a.l_partkey = b.l_partkey AND a.yr = 1996 AND b.yr = 1997
+      WHERE b.p <> a.p),
+    r AS (
+      SELECT diff,
+             CAST(row_number() OVER (ORDER BY abs(diff), l_partkey)
+                  AS DOUBLE) AS rk
+      FROM d),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(CASE WHEN diff > 0 THEN rk ELSE 0 END) AS wplus
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(wplus AS BIGINT) AS w_plus,
+           round((wplus - n * (n + 1) / 4)
+                 / sqrt(n * (n + 1) * (2 * n + 1) / 24), 4) AS z_score
+    FROM s
+    """,
+    tags=("stats", "nonparametric", "window"),
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired per-part unit prices
+    (1996 vs 1997): rank the |differences|, sum the ranks of
+    positive ones, normal-approximate — the paired nonparametric
+    test that respects magnitude ordering where the sign test
+    throws it away and the paired t-test assumes normality
+    (completing the nonparametric family: Mann-Whitney/AUC for two
+    independent samples, Kruskal-Wallis for k, Friedman for blocked,
+    THIS for paired). The pairing is a year-keyed self-join on the
+    |parts| aggregate; the single ranking window runs on |parts|
+    rows, never the fact table."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.year(F.col("l_shipdate").cast("date")).isin(1996, 1997))
+        & (F.col("l_quantity") > 0)
+    )
+    py = li.groupBy(
+        "l_partkey", F.year(F.col("l_shipdate").cast("date")).alias("yr")
+    ).agg((F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"))
+    a = py.filter(F.col("yr") == 1996).select("l_partkey", F.col("p").alias("p0"))
+    b = py.filter(F.col("yr") == 1997).select("l_partkey", F.col("p").alias("p1"))
+    d = (
+        a.join(b, "l_partkey")
+        .filter(F.col("p1") != F.col("p0"))
+        .select("l_partkey", (F.col("p1") - F.col("p0")).alias("diff"))
+    )
+    r = d.select(
+        "diff",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("diff")), "l_partkey"))
+        .cast("double")
+        .alias("rk"),
+    )
+    s = r.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("rk")).otherwise(0.0)).alias("wplus"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("wplus").cast("bigint").alias("w_plus"),
+        F.round(
+            (F.col("wplus") - F.col("n") * (F.col("n") + 1) / 4)
+            / F.sqrt(F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24),
+            4,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "friedman_test",
+    oracle="""
+    WITH cell AS (
+      SELECT n_name, year(CAST(o_orderdate AS DATE)) AS yr,
+             sum(o_totalprice) AS r
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1993 AND 1997
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT n_name, yr,
+             CAST(row_number() OVER (PARTITION BY n_name ORDER BY r, yr)
+                  AS DOUBLE) AS rk
+      FROM cell),
+    rj AS (SELECT yr, sum(rk) AS rsum FROM ranked GROUP BY yr),
+    dims AS (
+      SELECT CAST(count(DISTINCT n_name) AS DOUBLE) AS n,
+             CAST(count(DISTINCT yr) AS DOUBLE) AS k
+      FROM cell)
+    SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments,
+           round(12 / (n * k * (k + 1)) * sum(rsum * rsum)
+                 - 3 * n * (k + 1), 4) AS friedman_chi2
+    FROM rj, dims GROUP BY n, k
+    """,
+    tags=("stats", "nonparametric", "rank"),
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the five years differ in revenue when each
+    NATION serves as its own block? Within-block ranks (each nation
+    ranks its five years 1..5 — a 5-row partition window, perfectly
+    parallel) sum per year into the χ²_F statistic — the
+    nonparametric repeated-measures ANOVA that cancels all
+    between-nation level differences by construction, where
+    kruskal_wallis_h would confound them with the year effect. The
+    fact table contributes one (nation, year) aggregate; everything
+    else is 125 rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cell = (
+        o.filter(F.year(F.col("o_orderdate").cast("date")).between(1993, 1997))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.year(F.col("o_orderdate").cast("date")).alias("yr"))
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    ranked = cell.select(
+        "n_name",
+        "yr",
+        F.row_number()
+        .over(Window.partitionBy("n_name").orderBy("r", "yr"))
+        .cast("double")
+        .alias("rk"),
+    )
+    rj = ranked.groupBy("yr").agg(F.sum("rk").alias("rsum"))
+    dims = cell.agg(
+        F.count_distinct("n_name").cast("double").alias("n"),
+        F.count_distinct("yr").cast("double").alias("k"),
+    )
+    return rj.crossJoin(F.broadcast(dims)).groupBy("n", "k").agg(
+        F.round(
+            12
+            / (F.col("n") * F.col("k") * (F.col("k") + 1))
+            * F.sum(F.col("rsum") * F.col("rsum"))
+            - 3 * F.col("n") * (F.col("k") + 1),
+            4,
+        ).alias("friedman_chi2")
+    ).select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        F.col("k").cast("bigint").alias("k_treatments"),
+        "friedman_chi2",
+    )
+
+
+@register(
+    "popularity_recsys_hitrate",
+    oracle="""
+    WITH train AS (
+      SELECT l_partkey, count(*) AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      GROUP BY 1),
+    topk AS (
+      SELECT l_partkey FROM train
+      ORDER BY c DESC, l_partkey LIMIT 10),
+    test AS (
+      SELECT o_orderkey, l_partkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'),
+    per_order AS (
+      SELECT o_orderkey,
+             max(CASE WHEN l_partkey IN (SELECT l_partkey FROM topk)
+                      THEN 1 ELSE 0 END) AS hit,
+             sum(CASE WHEN l_partkey IN (SELECT l_partkey FROM topk)
+                      THEN 1 ELSE 0 END) AS n_hits
+      FROM test GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_test_orders,
+           CAST(sum(hit) AS BIGINT) AS orders_with_hit,
+           round(avg(CAST(hit AS DOUBLE)), 4) AS hit_rate_at_10,
+           round(sum(n_hits) / CAST(nullif(sum(hit), 0) AS DOUBLE), 3)
+             AS hits_per_hit_order
+    FROM per_order
+    """,
+    tags=("ml", "eval", "semijoin"),
+)
+def q_popularity_recsys_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation with a TEMPORAL split (train
+    < 1997, test ≥ 1997 — random splits leak future popularity into
+    the past, the classic recsys eval bug): the top-10-popularity
+    recommender scored by hit-rate@10 over test orders — the
+    baseline every learned recommender must beat before it earns
+    its serving cost. The candidate list is a broadcast top-k; test
+    membership is a semi-join shape (max-over-IN), one aggregate
+    per test order."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderkey", "l_partkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    train = (
+        j.filter(F.col("d") < "1997-01-01")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+    )
+    topk = train.orderBy(F.desc("c"), "l_partkey").limit(10).select(
+        "l_partkey", F.lit(1).alias("in_top")
+    )
+    test = j.filter(F.col("d") >= "1997-01-01")
+    per_order = (
+        test.join(F.broadcast(topk), "l_partkey", "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.max(F.coalesce("in_top", F.lit(0))).alias("hit"),
+            F.sum(F.coalesce("in_top", F.lit(0))).alias("n_hits"),
+        )
+    )
+    return per_order.agg(
+        F.count("*").cast("bigint").alias("n_test_orders"),
+        F.sum("hit").cast("bigint").alias("orders_with_hit"),
+        F.round(F.avg(F.col("hit").cast("double")), 4).alias("hit_rate_at_10"),
+        F.round(
+            F.sum("n_hits") / F.nullif(F.sum("hit"), F.lit(0)).cast("double"), 3
+        ).alias("hits_per_hit_order"),
+    )
+
+
+@register(
+    "loo_source_influence",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+               AS x
+      FROM documents),
+    gl AS (SELECT sum(x) AS sx, CAST(count(*) AS DOUBLE) AS n,
+                  avg(x) AS m FROM per_doc),
+    per_src AS (
+      SELECT source, sum(x) AS sxs, CAST(count(*) AS DOUBLE) AS ns
+      FROM per_doc GROUP BY source)
+    SELECT source, CAST(ns AS BIGINT) AS n_docs,
+           round((sx - sxs) / (n - ns), 2) AS loo_mean_tokens,
+           round((sx - sxs) / (n - ns) - m, 3) AS influence
+    FROM per_src, gl
+    """,
+    tags=("curation", "eval", "agg"),
+)
+def q_loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence on the corpus mean token
+    count: for EVERY source, the metric recomputed without it —
+    via the algebraic identity (Σx − Σx_s)/(n − n_s), so all 20
+    counterfactuals come from ONE fact aggregate plus a broadcast
+    global row, not 20 re-scans (the trick that makes data-valuation
+    sweeps tractable at corpus scale; the same algebra powers
+    jackknife_cluster_se). A positive influence means dropping the
+    source RAISES mean document length — the screening signal for
+    which crawl is dragging the mix."""
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select("source", TXT.token_count(F.col("text")).cast("double").alias("x"))
+    gl = per_doc.agg(
+        F.sum("x").alias("sx"),
+        F.count("*").cast("double").alias("n"),
+        F.avg("x").alias("m"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.sum("x").alias("sxs"), F.count("*").cast("double").alias("ns")
+    )
+    loo = (F.col("sx") - F.col("sxs")) / (F.col("n") - F.col("ns"))
+    return per_src.crossJoin(F.broadcast(gl)).select(
+        "source",
+        F.col("ns").cast("bigint").alias("n_docs"),
+        F.round(loo, 2).alias("loo_mean_tokens"),
+        F.round(loo - F.col("m"), 3).alias("influence"),
+    )
+
+
+@register(
+    "sprt_boundary_crossing",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               AS y,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1),
+    p0t AS (SELECT sum(y) / sum(n) AS p0 FROM base),
+    llr AS (
+      SELECT d,
+             sum(y * ln(least(1.1 * p0, 0.999) / p0)
+                 + (n - y) * ln((1 - least(1.1 * p0, 0.999)) / (1 - p0)))
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base, p0t),
+    crossed AS (
+      SELECT min(CASE WHEN cum >= ln((1 - 0.2) / 0.05) THEN d END) AS up,
+             min(CASE WHEN cum <= ln(0.2 / (1 - 0.05)) THEN d END) AS dn,
+             any_value(p0) AS p0
+      FROM llr, p0t GROUP BY p0)
+    SELECT round(p0, 5) AS p0,
+           CASE WHEN up IS NOT NULL AND (dn IS NULL OR up <= dn)
+                  THEN 'accept_h1'
+                WHEN dn IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           strftime(least(coalesce(up, DATE '9999-01-01'),
+                          coalesce(dn, DATE '9999-01-01')), '%Y-%m-%d')
+             AS first_crossing
+    FROM crossed
+    """,
+    tags=("stats", "experimentation", "window"),
+)
+def q_sprt_boundary_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the daily
+    purchase share (H₁: rate is 10% higher than the pooled H₀): the
+    cumulative log-likelihood ratio walks until it exits Wald's
+    boundaries ln((1−β)/α) / ln(β/(1−α)) (α=5%, β=20%) — THE
+    always-valid sequential test (its error bounds survive daily
+    peeking, the property fixed-horizon t-tests lose the first time
+    someone looks early). One prefix window over the |dates|
+    aggregate; the decision CASE reproduces which boundary was hit
+    first. Cf. cusum_changepoint/page_hinkley_drift, which detect
+    shifts — SPRT DECIDES between hypotheses with guaranteed
+    α/β."""
+    e = _t(spark, sf_dir, "events")
+    base = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count_if(F.col("event_type") == "purchase").cast("double").alias("y"),
+        F.count("*").cast("double").alias("n"),
+    )
+    p0t = base.agg((F.sum("y") / F.sum("n")).alias("p0"))
+    p1 = F.least(1.1 * F.col("p0"), F.lit(0.999))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    llr = base.crossJoin(F.broadcast(p0t)).select(
+        "d",
+        "p0",
+        F.sum(
+            F.col("y") * F.log(p1 / F.col("p0"))
+            + (F.col("n") - F.col("y")) * F.log((1 - p1) / (1 - F.col("p0")))
+        )
+        .over(wcum)
+        .alias("cum"),
+    )
+    up_b = math.log((1 - 0.2) / 0.05)
+    dn_b = math.log(0.2 / (1 - 0.05))
+    crossed = llr.groupBy("p0").agg(
+        F.min(F.when(F.col("cum") >= up_b, F.col("d"))).alias("up"),
+        F.min(F.when(F.col("cum") <= dn_b, F.col("d"))).alias("dn"),
+    )
+    far = F.lit("9999-01-01").cast("date")
+    return crossed.select(
+        F.round("p0", 5).alias("p0"),
+        F.when(
+            F.col("up").isNotNull()
+            & (F.col("dn").isNull() | (F.col("up") <= F.col("dn"))),
+            "accept_h1",
+        )
+        .when(F.col("dn").isNotNull(), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+        F.date_format(
+            F.least(F.coalesce("up", far), F.coalesce("dn", far)), "yyyy-MM-dd"
+        ).alias("first_crossing"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -20327,6 +20327,391 @@ def q_sprt_boundary_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "secretary_rule_eval",
+    oracle="""
+    WITH seq AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             o_totalprice AS v,
+             row_number() OVER (
+               PARTITION BY date_trunc('month', CAST(o_orderdate AS DATE))
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+      FROM orders),
+    stats AS (
+      SELECT m, CAST(count(*) AS DOUBLE) AS n, max(v) AS best
+      FROM seq GROUP BY m),
+    obs AS (
+      SELECT seq.m, max(v) AS obs_max
+      FROM seq JOIN stats USING (m)
+      WHERE rn <= ceil(0.37 * n) GROUP BY seq.m),
+    picks AS (
+      SELECT seq.m,
+             min(CASE WHEN rn > ceil(0.37 * n) AND v > obs_max
+                      THEN rn END) AS pick_rn
+      FROM seq JOIN stats USING (m) JOIN obs USING (m)
+      GROUP BY seq.m),
+    outcome AS (
+      SELECT p.m,
+             CASE WHEN pick_rn IS NULL THEN 0
+                  WHEN (SELECT v FROM seq s
+                        WHERE s.m = p.m AND s.rn = p.pick_rn) = st.best
+                  THEN 1 ELSE 0 END AS success
+      FROM picks p JOIN stats st USING (m))
+    SELECT CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(success) AS BIGINT) AS n_best_picked,
+           round(avg(CAST(success AS DOUBLE)), 4) AS success_rate
+    FROM outcome
+    """,
+    tags=("decision", "window", "sequence"),
+)
+def q_secretary_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 37% optimal-stopping rule replayed on real arrival order:
+    each month, observe the first ⌈0.37n⌉ orders, then commit to
+    the first one that beats the observation-phase maximum — did it
+    capture the month's true best? Classical theory promises ≈1/e ≈
+    37% success picking the single best; the replay measures it
+    empirically — the sequential-hiring model behind accept/reject
+    decisions made without seeing the future. Per-month windows
+    partition-parallelize; the pick resolution is a conditional-min
+    join back onto the sequence relation."""
+    o = _t(spark, sf_dir, "orders")
+    seq = o.select(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number()
+        .over(
+            Window.partitionBy(
+                F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            ).orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
+        )
+        .alias("rn"),
+    )
+    stats = seq.groupBy("m").agg(
+        F.count("*").cast("double").alias("n"), F.max("v").alias("best")
+    )
+    cut = F.ceil(0.37 * F.col("n"))
+    obs = (
+        seq.join(F.broadcast(stats), "m")
+        .filter(F.col("rn") <= cut)
+        .groupBy("m")
+        .agg(F.max("v").alias("obs_max"))
+    )
+    picks = (
+        seq.join(F.broadcast(stats), "m")
+        .join(F.broadcast(obs), "m")
+        .groupBy("m")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("rn") > cut) & (F.col("v") > F.col("obs_max")),
+                    F.col("rn"),
+                )
+            ).alias("pick_rn")
+        )
+    )
+    picked_v = seq.select(
+        "m", F.col("rn").alias("pick_rn"), F.col("v").alias("picked")
+    )
+    outcome = (
+        picks.join(F.broadcast(stats.select("m", "best")), "m")
+        .join(picked_v, ["m", "pick_rn"], "left")
+        .select(
+            F.when(
+                F.col("pick_rn").isNotNull() & (F.col("picked") == F.col("best")), 1
+            )
+            .otherwise(0)
+            .alias("success")
+        )
+    )
+    return outcome.agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.sum("success").cast("bigint").alias("n_best_picked"),
+        F.round(F.avg(F.col("success").cast("double")), 4).alias("success_rate"),
+    )
+
+
+@register(
+    "yule_walker_ar2",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    lagged AS (
+      SELECT v,
+             lag(v, 1) OVER (ORDER BY d) AS v1,
+             lag(v, 2) OVER (ORDER BY d) AS v2
+      FROM daily),
+    ac AS (
+      SELECT corr(v, v1) AS r1,
+             corr(v, v2) AS r2
+      FROM lagged WHERE v2 IS NOT NULL),
+    fit AS (
+      SELECT r1, r2,
+             r1 * (1 - r2) / (1 - r1 * r1) AS phi1,
+             (r2 - r1 * r1) / (1 - r1 * r1) AS phi2
+      FROM ac)
+    SELECT round(r1, 5) AS acf_lag1, round(r2, 5) AS acf_lag2,
+           round(phi1, 5) AS phi1, round(phi2, 5) AS phi2,
+           (phi2 > -1 AND phi1 + phi2 < 1 AND phi2 - phi1 < 1)
+             AS stationary
+    FROM fit
+    """,
+    tags=("timeseries", "forecast", "stats"),
+)
+def q_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit by Yule-Walker: the two autocorrelations (lag
+    windows + corr, as in acf_daily_revenue) solved through the
+    closed-form 2×2 system φ₁=r₁(1−r₂)/(1−r₁²), φ₂=(r₂−r₁²)/(1−r₁²)
+    — a real autoregressive model fit with NO optimizer, plus the
+    stationarity-triangle check (φ₂±φ₁<1, |φ₂|<1) that says whether
+    the fitted process is even valid. The window runs on the
+    |dates| aggregate; the 'model training' is arithmetic on a
+    1-row relation — forecasting's counterexample to 'you need an
+    ML runtime for this'."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+    ).filter(F.col("v2").isNotNull())
+    ac = lagged.agg(F.corr("v", "v1").alias("r1"), F.corr("v", "v2").alias("r2"))
+    phi1 = F.col("r1") * (1 - F.col("r2")) / (1 - F.col("r1") * F.col("r1"))
+    phi2 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    return ac.select(
+        F.round("r1", 5).alias("acf_lag1"),
+        F.round("r2", 5).alias("acf_lag2"),
+        F.round(phi1, 5).alias("phi1"),
+        F.round(phi2, 5).alias("phi2"),
+        (
+            (phi2 > -1) & (phi1 + phi2 < 1) & (phi2 - phi1 < 1)
+        ).alias("stationary"),
+    )
+
+
+@register(
+    "capacity_crossing_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, sum(l_quantity) AS q
+      FROM lineitem GROUP BY 1),
+    cum AS (
+      SELECT d,
+             CAST(row_number() OVER (ORDER BY d) AS DOUBLE) AS i,
+             sum(q) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS c
+      FROM daily),
+    bounds AS (SELECT max(i) AS imax, max(d) AS dmax, max(c) AS ctot
+               FROM cum),
+    fit AS (
+      SELECT regr_slope(c, i) AS a, regr_intercept(c, i) AS b
+      FROM cum, bounds WHERE i > imax - 365),
+    fc AS (
+      SELECT a, b, ctot, dmax, imax,
+             (1.5 * ctot - b) / a AS icross
+      FROM fit, bounds)
+    SELECT round(a, 2) AS daily_growth_rate,
+           CAST(ctot AS BIGINT) AS current_total,
+           CAST(CAST(1.5 * ctot AS BIGINT) AS BIGINT) AS capacity,
+           CAST(CAST(ceil(icross - imax) AS BIGINT) AS BIGINT)
+             AS days_to_capacity,
+           strftime(dmax + CAST(CAST(ceil(icross - imax) AS INT) AS INT),
+                    '%Y-%m-%d') AS crossing_date
+    FROM fc
+    """,
+    tags=("sre", "forecast", "regression"),
+)
+def q_capacity_crossing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-exhaustion forecast — the 'when do we run out of
+    disk' query: fit a linear trend (regr_slope/intercept) to the
+    cumulative volume over the trailing 365 days and solve for the
+    day the line crosses 1.5× today's total, reported as an actual
+    calendar date and a days-remaining countdown. The cumulative
+    series is one prefix window over the |dates| aggregate, the fit
+    is one regr_* aggregate over the trailing slice, and the
+    crossing is closed-form — the whole capacity model is three
+    tiny relations, refreshable every night at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.sum("l_quantity").alias("q")
+    )
+    w = Window.orderBy("d")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.row_number().over(w).cast("double").alias("i"),
+        F.sum("q").over(wc).alias("c"),
+    )
+    bounds = cum.agg(
+        F.max("i").alias("imax"), F.max("d").alias("dmax"), F.max("c").alias("ctot")
+    )
+    fit = (
+        cum.crossJoin(F.broadcast(bounds))
+        .filter(F.col("i") > F.col("imax") - 365)
+        .agg(
+            F.expr("regr_slope(c, i)").alias("a"),
+            F.expr("regr_intercept(c, i)").alias("b"),
+        )
+    )
+    fc = fit.crossJoin(F.broadcast(bounds)).select(
+        "a",
+        "ctot",
+        "dmax",
+        "imax",
+        ((1.5 * F.col("ctot") - F.col("b")) / F.col("a")).alias("icross"),
+    )
+    days = F.ceil(F.col("icross") - F.col("imax"))
+    return fc.select(
+        F.round("a", 2).alias("daily_growth_rate"),
+        F.col("ctot").cast("bigint").alias("current_total"),
+        (1.5 * F.col("ctot")).cast("bigint").alias("capacity"),
+        days.cast("bigint").alias("days_to_capacity"),
+        F.date_format(
+            F.date_add(F.col("dmax"), days.cast("int")), "yyyy-MM-dd"
+        ).alias("crossing_date"),
+    )
+
+
+@register(
+    "srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT DISTINCT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT % 2
+               AS arm
+      FROM events),
+    counts AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS nb
+      FROM assigned)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(na AS BIGINT) AS arm_a,
+           CAST(nb AS BIGINT) AS arm_b,
+           round(pow(na - n / 2, 2) / (n / 2)
+                 + pow(nb - n / 2, 2) / (n / 2), 4) AS srm_chi2,
+           (pow(na - n / 2, 2) / (n / 2)
+            + pow(nb - n / 2, 2) / (n / 2)) > 3.841 AS srm_detected
+    FROM counts
+    """,
+    tags=("experimentation", "audit", "hash"),
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment-platform guard
+    that runs BEFORE any metric is read: users assigned 50/50 by
+    content hash, observed arm counts χ²-tested against the design
+    ratio (1 df, 3.84 at 95%) — an SRM flag means the assignment or
+    logging pipeline is dropping users non-randomly and every
+    downstream p-value is garbage. Assignment is deduped to the
+    user grain first (event-weighted counts would test the wrong
+    thing); one distinct + one aggregate."""
+    e = _t(spark, sf_dir, "events")
+    assigned = e.select(
+        "user_id", CUR.hash_bucket(F.col("user_id"), 2).alias("arm")
+    ).distinct()
+    counts = assigned.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+    )
+    chi2 = F.pow(F.col("na") - F.col("n") / 2, 2) / (F.col("n") / 2) + F.pow(
+        F.col("nb") - F.col("n") / 2, 2
+    ) / (F.col("n") / 2)
+    return counts.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("na").cast("bigint").alias("arm_a"),
+        F.col("nb").cast("bigint").alias("arm_b"),
+        F.round(chi2, 4).alias("srm_chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
+@register(
+    "regression_discontinuity",
+    oracle="""
+    WITH outcome AS (
+      SELECT l_orderkey,
+             CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS y
+      FROM lineitem GROUP BY 1),
+    obs AS (
+      SELECT o_totalprice - 150000 AS x, y,
+             CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS side
+      FROM orders JOIN outcome ON o_orderkey = l_orderkey
+      WHERE o_totalprice BETWEEN 50000 AND 250000),
+    fits AS (
+      SELECT side, CAST(count(*) AS BIGINT) AS n,
+             regr_intercept(y, x) AS a, regr_slope(y, x) AS b
+      FROM obs GROUP BY side),
+    wide AS (
+      SELECT max(CASE WHEN side = 0 THEN a END) AS a_left,
+             max(CASE WHEN side = 1 THEN a END) AS a_right,
+             max(CASE WHEN side = 0 THEN n END) AS n_left,
+             max(CASE WHEN side = 1 THEN n END) AS n_right
+      FROM fits)
+    SELECT n_left, n_right,
+           round(a_left, 5) AS rate_at_cutoff_left,
+           round(a_right, 5) AS rate_at_cutoff_right,
+           round(a_right - a_left, 5) AS rdd_estimate
+    FROM wide
+    """,
+    tags=("causal", "regression", "experimentation"),
+)
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity at the 150k order-value
+    cutoff: local linear fits of the return rate on the centered
+    running variable, separately per side within a ±100k bandwidth;
+    the treatment-effect estimate is the jump between the two
+    intercepts AT the cutoff — the quasi-experimental design that
+    identifies causality from a threshold rule alone, completing
+    the causal tier (difference_in_differences for parallel trends,
+    event_study_abnormal for time, fixed_effects_within for group
+    confounders, RDD for thresholds). Both fits are regr_*
+    aggregates over one filtered scan; the side pivot is a 2-row
+    conditional max."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    outcome = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("double")
+        .alias("y")
+    )
+    obs = (
+        o.join(outcome, o["o_orderkey"] == outcome["l_orderkey"])
+        .filter(F.col("o_totalprice").between(50000, 250000))
+        .select(
+            (F.col("o_totalprice") - 150000).alias("x"),
+            "y",
+            F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0).alias("side"),
+        )
+    )
+    fits = obs.groupBy("side").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("regr_intercept(y, x)").alias("a"),
+    )
+    wide = fits.agg(
+        F.max(F.when(F.col("side") == 0, F.col("a"))).alias("a_left"),
+        F.max(F.when(F.col("side") == 1, F.col("a"))).alias("a_right"),
+        F.max(F.when(F.col("side") == 0, F.col("n"))).alias("n_left"),
+        F.max(F.when(F.col("side") == 1, F.col("n"))).alias("n_right"),
+    )
+    return wide.select(
+        "n_left",
+        "n_right",
+        F.round("a_left", 5).alias("rate_at_cutoff_left"),
+        F.round("a_right", 5).alias("rate_at_cutoff_right"),
+        F.round(F.col("a_right") - F.col("a_left"), 5).alias("rdd_estimate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

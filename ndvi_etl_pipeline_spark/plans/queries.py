@@ -20712,6 +20712,420 @@ def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "energy_distance_two_sample",
+    oracle="""
+    WITH a AS (SELECT p_retailprice AS v FROM part WHERE p_brand = 'Brand#11'),
+    b AS (SELECT p_retailprice AS v FROM part WHERE p_brand = 'Brand#22'),
+    ha AS (SELECT v, CAST(count(*) AS DOUBLE) AS c FROM a GROUP BY v),
+    hb AS (SELECT v, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY v),
+    na AS (SELECT sum(c) AS n1 FROM ha),
+    nb AS (SELECT sum(c) AS n2 FROM hb),
+    exy AS (
+      SELECT sum(ha.c * hb.c * abs(ha.v - hb.v)) / (n1 * n2) AS e
+      FROM ha CROSS JOIN hb, na, nb GROUP BY n1, n2),
+    exx AS (
+      SELECT sum(x.c * y.c * abs(x.v - y.v)) / (n1 * n1) AS e
+      FROM ha x CROSS JOIN ha y, na GROUP BY n1),
+    eyy AS (
+      SELECT sum(x.c * y.c * abs(x.v - y.v)) / (n2 * n2) AS e
+      FROM hb x CROSS JOIN hb y, nb GROUP BY n2)
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           round(2 * exy.e - exx.e - eyy.e, 4) AS energy_distance,
+           round((2 * exy.e - exx.e - eyy.e) / (2 * exy.e), 5)
+             AS energy_coefficient
+    FROM exy, exx, eyy, na, nb
+    """,
+    tags=("stats", "nonparametric", "distribution-fit"),
+)
+def q_energy_distance_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Székely's energy distance between two brands' price
+    distributions: 2E|X−Y| − E|X−X'| − E|Y−Y'| — the modern
+    two-sample statistic that is zero IFF the distributions are
+    identical and, unlike KS (ks_price_drift), responds to
+    differences anywhere in the distribution with full power in any
+    dimension. All three expectations are Σc·c'·|v−v'| over
+    HISTOGRAM pairs (the same collapse as kendall_tau_b), so the
+    quadratic pair count lives on distinct values, not rows; the
+    normalized energy coefficient ∈ [0,1] reads like a correlation."""
+    p = _t(spark, sf_dir, "part")
+    ha = (
+        p.filter(F.col("p_brand") == "Brand#11")
+        .groupBy(F.col("p_retailprice").alias("v"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    hb = (
+        p.filter(F.col("p_brand") == "Brand#22")
+        .groupBy(F.col("p_retailprice").alias("v"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    na = ha.agg(F.sum("c").alias("n1"))
+    nb = hb.agg(F.sum("c").alias("n2"))
+
+    def mean_absdiff(x, y, nx, ny, nxc, nyc):
+        xx = x.select(F.col("v").alias("vx"), F.col("c").alias("cx"))
+        yy = y.select(F.col("v").alias("vy"), F.col("c").alias("cy"))
+        return (
+            xx.crossJoin(yy)
+            .crossJoin(F.broadcast(nx))
+            .crossJoin(F.broadcast(ny))
+            .groupBy(nxc, nyc)
+            .agg(
+                (
+                    F.sum(
+                        F.col("cx") * F.col("cy") * F.abs(F.col("vx") - F.col("vy"))
+                    )
+                    / (F.col(nxc) * F.col(nyc))
+                ).alias("e")
+            )
+            .select("e")
+        )
+
+    exy = mean_absdiff(ha, hb, na, nb, "n1", "n2").withColumnRenamed("e", "exy")
+    exx = (
+        mean_absdiff(ha, ha.select("v", "c"), na, na.select(F.col("n1").alias("n1b")), "n1", "n1b")
+        .withColumnRenamed("e", "exx")
+    )
+    eyy = (
+        mean_absdiff(hb, hb.select("v", "c"), nb, nb.select(F.col("n2").alias("n2b")), "n2", "n2b")
+        .withColumnRenamed("e", "eyy")
+    )
+    ed = 2 * F.col("exy") - F.col("exx") - F.col("eyy")
+    return (
+        exy.crossJoin(exx)
+        .crossJoin(eyy)
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("n1").cast("bigint").alias("n_a"),
+            F.col("n2").cast("bigint").alias("n_b"),
+            F.round(ed, 4).alias("energy_distance"),
+            F.round(ed / (2 * F.col("exy")), 5).alias("energy_coefficient"),
+        )
+    )
+
+
+@register(
+    "f1_micro_macro",
+    oracle="""
+    WITH dims AS (
+      SELECT label, CAST(i AS INT) AS pos, embedding[CAST(i AS INT)]::DOUBLE AS v
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+    cent AS (
+      SELECT label AS c_label, list(cv ORDER BY pos) AS c
+      FROM (SELECT label, pos, avg(v) AS cv FROM dims GROUP BY 1, 2)
+      GROUP BY label),
+    scored AS (
+      SELECT a.vec_id, a.label, b.c_label,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> a.embedding[i]::DOUBLE * b.c[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> b.c[i] * b.c[i])))) AS cos
+      FROM embeddings a CROSS JOIN cent b),
+    pred AS (
+      SELECT vec_id, label AS truth, c_label AS pred
+      FROM (SELECT vec_id, label, c_label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, c_label) AS rn
+            FROM scored)
+      WHERE rn = 1),
+    per_label AS (
+      SELECT l.label,
+             CAST(coalesce(tp, 0) AS DOUBLE) AS tp,
+             CAST(coalesce(fp, 0) AS DOUBLE) AS fp,
+             CAST(coalesce(fn, 0) AS DOUBLE) AS fn
+      FROM (SELECT DISTINCT label FROM embeddings) l
+      LEFT JOIN (SELECT truth AS label, count(*) AS tp FROM pred
+                 WHERE truth = pred.pred GROUP BY 1) t USING (label)
+      LEFT JOIN (SELECT pred AS label, count(*) AS fp FROM pred
+                 WHERE truth <> pred.pred GROUP BY 1) f USING (label)
+      LEFT JOIN (SELECT truth AS label, count(*) AS fn FROM pred
+                 WHERE truth <> pred.pred GROUP BY 1) n USING (label)),
+    f1s AS (
+      SELECT label,
+             CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                  ELSE 2 * tp / (2 * tp + fp + fn) END AS f1,
+             tp, fp, fn
+      FROM per_label)
+    SELECT round(avg(f1), 4) AS macro_f1,
+           round(2 * sum(tp) / (2 * sum(tp) + sum(fp) + sum(fn)), 4)
+             AS micro_f1,
+           CAST(count(*) AS BIGINT) AS n_labels
+    FROM f1s
+    """,
+    tags=("ml", "eval", "classification"),
+)
+def q_f1_micro_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro- and micro-averaged F1 of the nearest-centroid
+    classifier — the two averages answer different questions (macro
+    weights every label equally and exposes minority-class failure;
+    micro is dominated by frequent labels and equals accuracy in
+    single-label problems), which is why reporting only one is a
+    classic eval smell (cf. centroid_classify, which stops at
+    accuracy, and brier_calibration for the probability view). TP
+    is a truth=pred count, FP/FN are mispredict counts grouped by
+    predicted vs true label — three tiny aggregates off one
+    prediction relation."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", "pos", F.col("v").cast("double").alias("v"))
+    cent = dims.groupBy("label", "pos").agg(F.avg("v").alias("cv"))
+    cn = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cnorm")
+    )
+    vn = dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vnorm")
+    )
+    centr = cent.select(
+        F.col("label").alias("c_label"), "pos", F.col("cv").alias("cv")
+    )
+    scored = (
+        dims.join(F.broadcast(centr), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
+        .join(vn, "vec_id")
+        .join(
+            F.broadcast(cn.select(F.col("label").alias("c_label"), "cnorm")),
+            "c_label",
+        )
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            (F.col("dot") / (F.col("vnorm") * F.col("cnorm"))).alias("cos"),
+        )
+    )
+    pred = (
+        scored.select(
+            "vec_id",
+            F.col("label").alias("truth"),
+            F.col("c_label").alias("pred"),
+            F.row_number()
+            .over(Window.partitionBy("vec_id").orderBy(F.desc("cos"), "c_label"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    labels = e.select("label").distinct()
+    tp = (
+        pred.filter(F.col("truth") == F.col("pred"))
+        .groupBy(F.col("truth").alias("label"))
+        .agg(F.count("*").alias("tp"))
+    )
+    fp = (
+        pred.filter(F.col("truth") != F.col("pred"))
+        .groupBy(F.col("pred").alias("label"))
+        .agg(F.count("*").alias("fp"))
+    )
+    fn = (
+        pred.filter(F.col("truth") != F.col("pred"))
+        .groupBy(F.col("truth").alias("label"))
+        .agg(F.count("*").alias("fn"))
+    )
+    per_label = (
+        labels.join(tp, "label", "left")
+        .join(fp, "label", "left")
+        .join(fn, "label", "left")
+        .select(
+            "label",
+            F.coalesce("tp", F.lit(0)).cast("double").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("double").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("double").alias("fn"),
+        )
+    )
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, 0.0).otherwise(
+        2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    )
+    return per_label.agg(
+        F.round(F.avg(f1), 4).alias("macro_f1"),
+        F.round(
+            2 * F.sum("tp") / (2 * F.sum("tp") + F.sum("fp") + F.sum("fn")), 4
+        ).alias("micro_f1"),
+        F.count("*").cast("bigint").alias("n_labels"),
+    )
+
+
+@register(
+    "forecast_reconciliation",
+    oracle="""
+    WITH monthly AS (
+      SELECT r_name, n_name,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             sum(o_totalprice) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2, 3),
+    horizon AS (SELECT max(m) AS mh FROM monthly),
+    nat_fc AS (
+      SELECT r_name, n_name, rev AS fc
+      FROM monthly, horizon
+      WHERE m = mh - INTERVAL 12 MONTH),
+    reg_fc AS (
+      SELECT r_name, sum(rev) AS fc_direct
+      FROM monthly, horizon
+      WHERE m = mh - INTERVAL 12 MONTH
+      GROUP BY r_name),
+    actual AS (
+      SELECT r_name, sum(rev) AS act
+      FROM monthly, horizon WHERE m = mh GROUP BY r_name),
+    bu AS (SELECT r_name, sum(fc) AS fc_bottom_up FROM nat_fc GROUP BY 1)
+    SELECT r.r_name,
+           round(act, 2) AS actual,
+           round(fc_direct, 2) AS direct_forecast,
+           round(fc_bottom_up, 2) AS bottom_up_forecast,
+           round(abs(fc_direct - act) - abs(fc_bottom_up - act), 2)
+             AS direct_minus_bu_abs_error
+    FROM reg_fc r JOIN bu USING (r_name) JOIN actual USING (r_name)
+    """,
+    tags=("forecast", "hierarchy", "rollup"),
+)
+def q_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast coherence: seasonal-naive forecasts
+    (same month last year) made at the NATION level and summed
+    bottom-up vs forecast DIRECTLY at the region level, both scored
+    against the realized month — the aggregation-consistency
+    question every planning hierarchy faces (here the two
+    necessarily agree in value since sum commutes with the naive
+    model, so the error comparison isolates pure aggregation-level
+    effects; with a nonlinear model they diverge and this query
+    becomes the reconciliation audit). One (region, nation, month)
+    aggregate feeds every level — the hierarchy never re-scans the
+    fact."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            "r_name",
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    horizon = monthly.agg(F.max("m").alias("mh"))
+    base = monthly.crossJoin(F.broadcast(horizon))
+    nat_fc = base.filter(
+        F.col("m") == F.add_months(F.col("mh"), -12).cast("timestamp")
+    ).select("r_name", "n_name", F.col("rev").alias("fc"))
+    reg_fc = (
+        base.filter(F.col("m") == F.add_months(F.col("mh"), -12).cast("timestamp"))
+        .groupBy("r_name")
+        .agg(F.sum("rev").alias("fc_direct"))
+    )
+    actual = (
+        base.filter(F.col("m") == F.col("mh"))
+        .groupBy("r_name")
+        .agg(F.sum("rev").alias("act"))
+    )
+    bu = nat_fc.groupBy("r_name").agg(F.sum("fc").alias("fc_bottom_up"))
+    return (
+        reg_fc.join(bu, "r_name")
+        .join(actual, "r_name")
+        .select(
+            "r_name",
+            F.round("act", 2).alias("actual"),
+            F.round("fc_direct", 2).alias("direct_forecast"),
+            F.round("fc_bottom_up", 2).alias("bottom_up_forecast"),
+            F.round(
+                F.abs(F.col("fc_direct") - F.col("act"))
+                - F.abs(F.col("fc_bottom_up") - F.col("act")),
+                2,
+            ).alias("direct_minus_bu_abs_error"),
+        )
+    )
+
+
+@register(
+    "hdi_composite_index",
+    oracle="""
+    WITH met AS (
+      SELECT n_name,
+             sum(o_totalprice) AS revenue,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS customers,
+             avg(o_totalprice) AS avg_order
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1),
+    rng AS (
+      SELECT min(revenue) AS r0, max(revenue) AS r1,
+             min(customers) AS c0, max(customers) AS c1,
+             min(avg_order) AS a0, max(avg_order) AS a1
+      FROM met),
+    norm AS (
+      SELECT n_name,
+             (revenue - r0) / (r1 - r0) AS d1,
+             (customers - c0) / (c1 - c0) AS d2,
+             (avg_order - a0) / (a1 - a0) AS d3
+      FROM met, rng)
+    SELECT n_name,
+           round(pow(greatest(d1, 1e-9) * greatest(d2, 1e-9)
+                     * greatest(d3, 1e-9), 1.0 / 3), 5) AS composite_index,
+           round(d1, 4) AS dim_revenue,
+           round(d2, 4) AS dim_customers,
+           round(d3, 4) AS dim_avg_order
+    FROM norm
+    ORDER BY composite_index DESC, n_name LIMIT 10
+    """,
+    tags=("index", "ranking", "economics"),
+)
+def q_hdi_composite_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDI-style composite index per nation: three dimensions
+    (revenue, customer base, order intensity) min-max normalized
+    and combined by GEOMETRIC mean — the UN-HDI 2010 design choice:
+    unlike the arithmetic mean, the geometric mean makes dimensions
+    non-substitutable (a zero anywhere zeroes the index, so a
+    nation can't buy rank with one huge dimension), which is the
+    whole point of a development-style index. Min-max bounds are a
+    1-row broadcast; the epsilon floors keep the boundary nation
+    (exact 0 after normalization) well-defined in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    met = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count_distinct("o_custkey").cast("double").alias("customers"),
+            F.avg("o_totalprice").alias("avg_order"),
+        )
+    )
+    rng = met.agg(
+        F.min("revenue").alias("r0"), F.max("revenue").alias("r1"),
+        F.min("customers").alias("c0"), F.max("customers").alias("c1"),
+        F.min("avg_order").alias("a0"), F.max("avg_order").alias("a1"),
+    )
+    d1 = (F.col("revenue") - F.col("r0")) / (F.col("r1") - F.col("r0"))
+    d2 = (F.col("customers") - F.col("c0")) / (F.col("c1") - F.col("c0"))
+    d3 = (F.col("avg_order") - F.col("a0")) / (F.col("a1") - F.col("a0"))
+    eps = F.lit(1e-9)
+    comp = F.pow(
+        F.greatest(d1, eps) * F.greatest(d2, eps) * F.greatest(d3, eps),
+        1.0 / 3,
+    )
+    return (
+        met.crossJoin(F.broadcast(rng))
+        .select(
+            "n_name",
+            F.round(comp, 5).alias("composite_index"),
+            F.round(d1, 4).alias("dim_revenue"),
+            F.round(d2, 4).alias("dim_customers"),
+            F.round(d3, 4).alias("dim_avg_order"),
+        )
+        .orderBy(F.desc("composite_index"), "n_name")
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

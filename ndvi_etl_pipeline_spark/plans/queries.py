@@ -21126,6 +21126,281 @@ def q_hdi_composite_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wasserstein_1d",
+    oracle="""
+    WITH a AS (SELECT p_retailprice AS v FROM part WHERE p_brand = 'Brand#11'),
+    b AS (SELECT p_retailprice AS v FROM part WHERE p_brand = 'Brand#22'),
+    na AS (SELECT CAST(count(*) AS DOUBLE) AS n1 FROM a),
+    nb AS (SELECT CAST(count(*) AS DOUBLE) AS n2 FROM b),
+    merged AS (
+      SELECT v, sum(ca) AS ca, sum(cb) AS cb
+      FROM (SELECT v, 1.0 AS ca, 0.0 AS cb FROM a
+            UNION ALL SELECT v, 0.0, 1.0 FROM b)
+      GROUP BY v),
+    cum AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cca,
+             sum(cb) OVER (ORDER BY v) AS ccb,
+             lead(v) OVER (ORDER BY v) AS vnext
+      FROM merged)
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           round(sum(abs(cca / n1 - ccb / n2) * (vnext - v)), 4)
+             AS wasserstein_1
+    FROM cum, na, nb WHERE vnext IS NOT NULL GROUP BY n1, n2
+    """,
+    tags=("stats", "distribution-fit", "window"),
+)
+def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between two brands'
+    price distributions: W₁ = ∫|F₁−F₂| dv, the exact optimal-
+    transport cost in one dimension — unlike KS's sup
+    (ks_price_drift) it measures HOW MUCH mass must move HOW FAR,
+    in price units, which is why distribution-shift monitoring
+    prefers it for numeric drift. The integral is a single window
+    pass over the merged distinct-value ECDFs (gap-weighted |ΔF|
+    via lead) — histogram-sized work, closed-form exact, no
+    binning approximation."""
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_brand") == "Brand#11").select(
+        F.col("p_retailprice").alias("v"),
+        F.lit(1.0).alias("ca"),
+        F.lit(0.0).alias("cb"),
+    )
+    b = p.filter(F.col("p_brand") == "Brand#22").select(
+        F.col("p_retailprice").alias("v"),
+        F.lit(0.0).alias("ca"),
+        F.lit(1.0).alias("cb"),
+    )
+    merged = (
+        a.unionAll(b)
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    na = a.agg(F.sum("ca").alias("n1"))
+    nb = b.agg(F.sum("cb").alias("n2"))
+    wv = Window.orderBy("v")
+    cum = merged.select(
+        "v",
+        F.sum("ca").over(wv).alias("cca"),
+        F.sum("cb").over(wv).alias("ccb"),
+        F.lead("v").over(wv).alias("vnext"),
+    ).filter(F.col("vnext").isNotNull())
+    return (
+        cum.join(F.broadcast(na))
+        .join(F.broadcast(nb))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("cca") / F.col("n1") - F.col("ccb") / F.col("n2"))
+                    * (F.col("vnext") - F.col("v"))
+                ),
+                4,
+            ).alias("wasserstein_1")
+        )
+        .select(
+            F.col("n1").cast("bigint").alias("n_a"),
+            F.col("n2").cast("bigint").alias("n_b"),
+            "wasserstein_1",
+        )
+    )
+
+
+@register(
+    "gower_similarity_topk",
+    oracle="""
+    WITH feat AS (
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier),
+    rng AS (SELECT max(s_acctbal) - min(s_acctbal) AS r FROM feat),
+    pairs AS (
+      SELECT a.s_name AS s1, b.s_name AS s2,
+             ((1 - abs(a.s_acctbal - b.s_acctbal) / r)
+              + CASE WHEN a.s_nationkey = b.s_nationkey THEN 1 ELSE 0 END
+              + CASE WHEN sign(a.s_acctbal) = sign(b.s_acctbal)
+                     THEN 1 ELSE 0 END) / 3.0 AS gower
+      FROM feat a JOIN feat b ON a.s_name < b.s_name, rng)
+    SELECT s1, s2, round(gower, 4) AS gower_similarity
+    FROM pairs ORDER BY round(gower, 6) DESC, s1, s2 LIMIT 10
+    """,
+    tags=("similarity", "fuzzy", "join"),
+)
+def q_gower_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gower similarity over MIXED feature types — the distance
+    that lets numeric (range-normalized account balance),
+    categorical (nation, exact match), and boolean (balance sign)
+    features average into one [0,1] score without arbitrary
+    numeric encodings of categories; it is the standard metric for
+    clustering mixed records where cosine/L2 are undefined
+    (cf. the pure-numeric silhouette_by_label tier). Range is a
+    1-row broadcast; the pair join is supplier-sized, and at scale
+    becomes an LSH/blocking candidate set like every pairwise
+    family here."""
+    s = _t(spark, sf_dir, "supplier")
+    feat = s.select("s_name", "s_nationkey", "s_acctbal")
+    rng = feat.agg((F.max("s_acctbal") - F.min("s_acctbal")).alias("r"))
+    a = feat.select(
+        F.col("s_name").alias("s1"),
+        F.col("s_nationkey").alias("nk1"),
+        F.col("s_acctbal").alias("ab1"),
+    )
+    b = feat.select(
+        F.col("s_name").alias("s2"),
+        F.col("s_nationkey").alias("nk2"),
+        F.col("s_acctbal").alias("ab2"),
+    )
+    gower = (
+        (1 - F.abs(F.col("ab1") - F.col("ab2")) / F.col("r"))
+        + F.when(F.col("nk1") == F.col("nk2"), 1).otherwise(0)
+        + F.when(F.signum("ab1") == F.signum("ab2"), 1).otherwise(0)
+    ) / 3.0
+    pairs = (
+        a.join(b, F.col("s1") < F.col("s2"))
+        .crossJoin(F.broadcast(rng))
+        .select("s1", "s2", gower.alias("gower"))
+    )
+    return (
+        pairs.orderBy(F.round(F.col("gower"), 6).desc(), "s1", "s2")
+        .limit(10)
+        .select("s1", "s2", F.round("gower", 4).alias("gower_similarity"))
+    )
+
+
+@register(
+    "zero_inflation_check",
+    oracle="""
+    WITH days AS (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE)
+                  AS nd FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n_events,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS active_days
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nu,
+             sum(active_days) AS tot_active,
+             sum(n_events) AS tot_events,
+             avg(exp(-n_events / nd)) AS mixed_pred
+      FROM per_user, days GROUP BY nd)
+    SELECT CAST(nu AS BIGINT) AS n_users,
+           CAST((SELECT nd FROM days) AS BIGINT) AS n_days,
+           round(1 - tot_active / (nu * (SELECT nd FROM days)), 4)
+             AS observed_zero_share,
+           round(exp(-tot_events / (nu * (SELECT nd FROM days))), 4)
+             AS pooled_poisson_pred,
+           round(mixed_pred, 4) AS per_user_poisson_pred
+    FROM agg
+    """,
+    tags=("stats", "pointprocess", "events"),
+)
+def q_zero_inflation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-inflation diagnostic on per-user daily activity: the
+    observed share of silent user-days against two Poisson
+    predictions — pooled (one λ for everyone, which overdispersion
+    always beats) and per-user mixed (E[e^{−λᵤ}], the right null
+    when rates vary). Observed ≫ both predictions = genuine excess
+    zeros, the signal to reach for hurdle/ZIP models instead of
+    Poisson regression (burstiness_fano diagnoses the variance
+    side; this diagnoses the zero mass). The user-day grid is never
+    materialized — zeros are counted by ARITHMETIC (n_users×n_days
+    − Σactive), the only scalable way when the dense grid is
+    trillions of cells."""
+    e = _t(spark, sf_dir, "events")
+    days = e.agg(
+        F.count_distinct(F.to_date("ts")).cast("double").alias("nd")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.count_distinct(F.to_date("ts")).cast("double").alias("active_days"),
+    )
+    agg = per_user.crossJoin(F.broadcast(days)).groupBy("nd").agg(
+        F.count("*").cast("double").alias("nu"),
+        F.sum("active_days").alias("tot_active"),
+        F.sum("n_events").alias("tot_events"),
+        F.avg(F.exp(-F.col("n_events") / F.col("nd"))).alias("mixed_pred"),
+    )
+    return agg.select(
+        F.col("nu").cast("bigint").alias("n_users"),
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.round(
+            1 - F.col("tot_active") / (F.col("nu") * F.col("nd")), 4
+        ).alias("observed_zero_share"),
+        F.round(
+            F.exp(-F.col("tot_events") / (F.col("nu") * F.col("nd"))), 4
+        ).alias("pooled_poisson_pred"),
+        F.round("mixed_pred", 4).alias("per_user_poisson_pred"),
+    )
+
+
+@register(
+    "cohens_kappa_filters",
+    oracle="""
+    WITH scored AS (
+      SELECT n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+               AS words
+      FROM documents),
+    med AS (
+      SELECT CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS mc,
+             CAST(quantile_cont(words, 0.5) AS DOUBLE) AS mw
+      FROM scored),
+    rated AS (
+      SELECT CASE WHEN n_chars > mc THEN 1 ELSE 0 END AS ra,
+             CASE WHEN words > mw THEN 1 ELSE 0 END AS rb
+      FROM scored, med),
+    cnt AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CASE WHEN ra = rb THEN 1.0 ELSE 0.0 END) AS po,
+             avg(CAST(ra AS DOUBLE)) AS pa,
+             avg(CAST(rb AS DOUBLE)) AS pb
+      FROM rated)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round(po, 4) AS observed_agreement,
+           round(pa * pb + (1 - pa) * (1 - pb), 4) AS chance_agreement,
+           round((po - (pa * pb + (1 - pa) * (1 - pb)))
+                 / (1 - (pa * pb + (1 - pa) * (1 - pb))), 4) AS cohens_kappa
+    FROM cnt
+    """,
+    tags=("agreement", "quality", "curation"),
+)
+def q_cohens_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between two document-quality filters (above-median
+    characters vs above-median words): raw agreement corrected for
+    the agreement two filters would show BY CHANCE given their
+    marginal pass rates — two length-ish filters agree often simply
+    because both pass ~half the corpus, and κ subtracts exactly
+    that illusion (the inter-rater statistic, pointed at the
+    question 'is the second filter redundant'). Two exact medians,
+    one conditional aggregate; κ near 1 here means the filters are
+    interchangeable and one pipeline stage can be deleted."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "n_chars", TXT.token_count(F.col("text")).cast("double").alias("words")
+    )
+    med = scored.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("mc"),
+        F.expr("percentile(words, 0.5)").alias("mw"),
+    )
+    rated = scored.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("n_chars") > F.col("mc"), 1).otherwise(0).alias("ra"),
+        F.when(F.col("words") > F.col("mw"), 1).otherwise(0).alias("rb"),
+    )
+    cnt = rated.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.when(F.col("ra") == F.col("rb"), 1.0).otherwise(0.0)).alias("po"),
+        F.avg(F.col("ra").cast("double")).alias("pa"),
+        F.avg(F.col("rb").cast("double")).alias("pb"),
+    )
+    pe = F.col("pa") * F.col("pb") + (1 - F.col("pa")) * (1 - F.col("pb"))
+    return cnt.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round("po", 4).alias("observed_agreement"),
+        F.round(pe, 4).alias("chance_agreement"),
+        F.round((F.col("po") - pe) / (1 - pe), 4).alias("cohens_kappa"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

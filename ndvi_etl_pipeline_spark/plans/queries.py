@@ -21401,6 +21401,154 @@ def q_cohens_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bitemporal_restatement",
+    oracle="""
+    WITH facts AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS vm,
+             CAST(o_orderdate AS DATE)
+               + CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                      ::UBIGINT % 11 AS INT) AS known_on,
+             o_totalprice AS v
+      FROM orders),
+    reported AS (
+      SELECT vm,
+             sum(CASE WHEN known_on < vm + INTERVAL 1 MONTH THEN v
+                      ELSE 0 END) AS first_reported,
+             sum(v) AS final_value
+      FROM facts GROUP BY vm)
+    SELECT strftime(vm, '%Y-%m') AS valid_month,
+           round(first_reported, 2) AS first_reported,
+           round(final_value, 2) AS final_value,
+           round(100 * (final_value / first_reported - 1), 3)
+             AS restatement_pct
+    FROM reported ORDER BY vm LIMIT 12
+    """,
+    tags=("scd", "audit", "warehouse"),
+)
+def q_bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal restatement audit — the late-arriving-fact
+    problem: every order has a VALID month (when it happened) and a
+    KNOWN-ON date (when it reached the warehouse, here a
+    deterministic 0–10-day md5 lag), and month-end reports are
+    systematically short by whatever hadn't landed yet. The query
+    reconstructs each month's first-reported value (transaction-time
+    as-of: known before month end) against the final restated value
+    — the gap is the restatement every finance close and every
+    'why did last month's number change' ticket is about. One scan,
+    one conditional aggregate; a real bitemporal store would make
+    known_on a partition column and this query prunes to it."""
+    o = _t(spark, sf_dir, "orders")
+    vm = F.date_trunc("month", F.col("o_orderdate").cast("date"))
+    known = F.date_add(
+        F.col("o_orderdate").cast("date"),
+        CUR.hash_bucket(F.col("o_orderkey"), 11),
+    )
+    facts = o.select(
+        vm.alias("vm"), known.alias("known_on"), F.col("o_totalprice").alias("v")
+    )
+    month_end = F.add_months(F.col("vm"), 1).cast("timestamp")
+    asof = facts.groupBy("vm").agg(
+        F.sum(
+            F.when(F.col("known_on").cast("timestamp") < month_end, F.col("v")).otherwise(
+                0.0
+            )
+        ).alias("first_reported"),
+        F.sum("v").alias("final_value"),
+    )
+    return (
+        asof.orderBy("vm")
+        .limit(12)
+        .select(
+            F.date_format("vm", "yyyy-MM").alias("valid_month"),
+            F.round("first_reported", 2).alias("first_reported"),
+            F.round("final_value", 2).alias("final_value"),
+            F.round(
+                100 * (F.col("final_value") / F.col("first_reported") - 1), 3
+            ).alias("restatement_pct"),
+        )
+    )
+
+
+@register(
+    "skyline_3d_suppliers",
+    oracle="""
+    WITH crit AS (
+      SELECT s_name,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue,
+             CAST(count(DISTINCT l_partkey) AS DOUBLE) AS breadth,
+             avg(l_discount) AS giveaway
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name)
+    SELECT s_name, round(revenue, 2) AS revenue,
+           CAST(breadth AS BIGINT) AS breadth,
+           round(giveaway, 5) AS giveaway
+    FROM crit a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM crit b
+      WHERE b.revenue >= a.revenue AND b.breadth >= a.breadth
+        AND b.giveaway <= a.giveaway
+        AND (b.revenue > a.revenue OR b.breadth > a.breadth
+             OR b.giveaway < a.giveaway))
+    ORDER BY s_name
+    """,
+    tags=("skyline", "subquery", "ranking"),
+)
+def q_skyline_3d_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-criteria Pareto skyline of suppliers (revenue↑,
+    breadth↑, discount-giveaway↓): the undominated set no weighted
+    score can pre-select — every skyline member is optimal under
+    SOME preference weighting, which is why procurement shortlists
+    are skylines, not top-k (TOPSIS, topsis_supplier_ranking, then
+    picks WITHIN this set once weights are chosen). In 2-D the
+    sort+running-max sweep wins (pareto_skyline); in 3-D no total
+    order exists, so domination is the anti-join itself — a
+    |suppliers|² check that at scale runs after a grid/local-skyline
+    prefilter, exactly the pattern the 2-D operator's partition
+    prefilter establishes."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    crit = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count_distinct("l_partkey").cast("double").alias("breadth"),
+            F.avg("l_discount").alias("giveaway"),
+        )
+    )
+    a = crit.select(
+        F.col("s_name").alias("an"),
+        F.col("revenue").alias("ar"),
+        F.col("breadth").alias("ab"),
+        F.col("giveaway").alias("ag"),
+    )
+    b = crit.select(
+        F.col("revenue").alias("br"),
+        F.col("breadth").alias("bb"),
+        F.col("giveaway").alias("bg"),
+    )
+    dominated = (
+        (F.col("br") >= F.col("ar"))
+        & (F.col("bb") >= F.col("ab"))
+        & (F.col("bg") <= F.col("ag"))
+        & (
+            (F.col("br") > F.col("ar"))
+            | (F.col("bb") > F.col("ab"))
+            | (F.col("bg") < F.col("ag"))
+        )
+    )
+    skyline = a.join(b, dominated, "left_anti")
+    return skyline.select(
+        F.col("an").alias("s_name"),
+        F.round("ar", 2).alias("revenue"),
+        F.col("ab").cast("bigint").alias("breadth"),
+        F.round("ag", 5).alias("giveaway"),
+    ).orderBy("s_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -21549,6 +21549,283 @@ def q_skyline_3d_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s_name")
 
 
+@register(
+    "dynamic_pivot_years",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name, year(CAST(o_orderdate AS DATE)) AS yr,
+             o_totalprice AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey)
+    SELECT n_name,
+           round(sum(CASE WHEN yr = 1995 THEN v END), 2) AS y1995,
+           round(sum(CASE WHEN yr = 1996 THEN v END), 2) AS y1996,
+           round(sum(CASE WHEN yr = 1997 THEN v END), 2) AS y1997,
+           round(sum(CASE WHEN yr = 1998 THEN v END), 2) AS y1998,
+           round(sum(CASE WHEN yr = 1999 THEN v END), 2) AS y1999,
+           round(sum(CASE WHEN yr = 2000 THEN v END), 2) AS y2000,
+           round(sum(CASE WHEN yr = 2001 THEN v END), 2) AS y2001
+    FROM rev GROUP BY n_name
+    """,
+    tags=("pivot", "reshape", "agg"),
+)
+def q_dynamic_pivot_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC pivot: nation × year revenue matrix where the year
+    columns are DISCOVERED from the data (pivot with no value list
+    — Spark runs a distinct-values job, then compiles the same
+    single-pass conditional aggregate a static pivot gets). The
+    oracle necessarily enumerates the columns statically — that gap
+    IS the feature: the Spark plan adapts when 1999 data lands, the
+    SQL must be rewritten. Missing (nation, year) cells stay NULL
+    (no ELSE 0) so absence is distinguishable from zero revenue."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    piv = rev.groupBy("n_name").pivot("yr").sum("v")
+    year_cols = sorted(col for col in piv.columns if col != "n_name")
+    return piv.select(
+        "n_name",
+        *[F.round(F.col(f"`{y}`"), 2).alias(f"y{y}") for y in year_cols],
+    )
+
+
+@register(
+    "ignore_nulls_family",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)
+                  THEN NULL ELSE sum(o_totalprice) END AS v
+      FROM orders GROUP BY 1, 2),
+    w AS (
+      SELECT m,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY m ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_wd,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY m ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_wd,
+             CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_null
+      FROM daily)
+    SELECT strftime(m, '%Y-%m') AS month,
+           round(any_value(first_wd), 2) AS first_weekday_rev,
+           round(any_value(last_wd), 2) AS last_weekday_rev,
+           CAST(sum(is_null) AS BIGINT) AS n_masked_days
+    FROM w GROUP BY m ORDER BY month LIMIT 12
+    """,
+    tags=("window", "null", "sql"),
+)
+def q_ignore_nulls_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics: weekend revenue is masked to
+    NULL, and first_value/last_value with IGNORE NULLS reach
+    through the gaps to the month's first and last WEEKDAY values —
+    the SQL:2008 null-treatment clause that makes
+    last-known-good-reading queries one window call instead of the
+    islands dance (gap_fill_forward uses the same device for
+    forward fill; this pins the whole-frame variants). Identical
+    semantics both engines; the full-frame window runs inside
+    month partitions, so it parallelizes by month."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+    ).agg(F.sum("o_totalprice").alias("raw"))
+    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark dayofweek: 1=Sunday..7.
+    wd = F.dayofweek("d")
+    daily = daily.select(
+        "d",
+        "m",
+        F.when(wd.isin(1, 7), F.lit(None).cast("double"))
+        .otherwise(F.col("raw"))
+        .alias("v"),
+    )
+    wfull = Window.partitionBy("m").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = daily.select(
+        "m",
+        F.first("v", ignorenulls=True).over(wfull).alias("first_wd"),
+        F.last("v", ignorenulls=True).over(wfull).alias("last_wd"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_null"),
+    )
+    return (
+        w.groupBy("m")
+        .agg(
+            F.round(F.first("first_wd"), 2).alias("first_weekday_rev"),
+            F.round(F.first("last_wd"), 2).alias("last_weekday_rev"),
+            F.sum("is_null").cast("bigint").alias("n_masked_days"),
+        )
+        .orderBy("m")
+        .limit(12)
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "first_weekday_rev",
+            "last_weekday_rev",
+            "n_masked_days",
+        )
+    )
+
+
+@register(
+    "collation_compare",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN p_type
+                  ELSE lower(p_type) END AS t
+      FROM part)
+    SELECT CAST(count(DISTINCT t) AS BIGINT) AS distinct_binary,
+           CAST(count(DISTINCT lower(t)) AS BIGINT) AS distinct_ci,
+           CAST(sum(CASE WHEN lower(t) LIKE 'promo%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS promo_ci_matches,
+           CAST(sum(CASE WHEN t LIKE 'PROMO%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS promo_binary_matches
+    FROM mixed
+    """,
+    tags=("string", "sql", "distinct"),
+)
+def q_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 collations): the same
+    mixed-case column counted distinct under binary vs
+    case-insensitive UTF8_LCASE collation, and a prefix predicate
+    evaluated both ways — under the collated comparison the engine
+    treats 'PROMO…' and 'promo…' as ONE value with no lower()
+    rewrite in the query (the collation travels with the TYPE, so
+    every comparison, join, and distinct downstream inherits it —
+    the principled fix for case-divergent dimension values that
+    lower()-sprinkling never fully covers). The oracle models the
+    semantics with explicit lower(); the counts must agree
+    exactly."""
+    p = _t(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.col("p_type"))
+        .otherwise(F.lower("p_type"))
+        .alias("t")
+    )
+    ci = F.collate(F.col("t"), "UTF8_LCASE")
+    return mixed.agg(
+        F.count_distinct("t").cast("bigint").alias("distinct_binary"),
+        F.count_distinct(ci).cast("bigint").alias("distinct_ci"),
+        F.sum(F.when(ci.like("promo%"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("promo_ci_matches"),
+        F.sum(F.when(F.col("t").like("PROMO%"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("promo_binary_matches"),
+    )
+
+
+@register(
+    "array_exists_forall",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN len(list_filter(embedding,
+                         v -> abs(v::DOUBLE) > 3)) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_extreme,
+           CAST(sum(CASE WHEN len(list_filter(embedding,
+                         v -> abs(v::DOUBLE) >= 5)) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_all_bounded,
+           round(avg(len(list_filter(embedding, v -> v::DOUBLE > 0))), 3)
+             AS avg_positive_dims
+    FROM embeddings
+    """,
+    tags=("array", "hof", "embeddings"),
+)
+def q_array_exists_forall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifier higher-order functions over array columns:
+    exists (any |v|>3), forall (all |v|<5), and filter+size
+    (positive-dim count) evaluated per embedding WITHOUT explode —
+    the per-row array work stays inside whole-stage codegen as a
+    tight loop over the array buffer, versus the explode
+    formulation that multiplies the row count 64× and re-aggregates
+    (embedding_norms pins the same point for fold/aggregate). At
+    100 TB of vectors the difference is a shuffle-free scan vs a
+    64×-wide one."""
+    e = _t(spark, sf_dir, "embeddings")
+    vd = lambda v: v.cast("double")
+    return e.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum(
+            F.when(F.exists("embedding", lambda v: F.abs(vd(v)) > 3), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_with_extreme"),
+        F.sum(
+            F.when(F.forall("embedding", lambda v: F.abs(vd(v)) < 5), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_all_bounded"),
+        F.round(
+            F.avg(F.size(F.filter("embedding", lambda v: vd(v) > 0))), 3
+        ).alias("avg_positive_dims"),
+    )
+
+
+@register(
+    "explode_outer_nulls",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         w -> length(w) >= 12) AS longs
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS docs_outer,
+           CAST(sum(CASE WHEN len(longs) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_inner,
+           CAST(sum(CASE WHEN len(longs) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_dropped_by_inner,
+           CAST(sum(len(longs)) AS BIGINT) AS total_long_words
+    FROM arrs
+    """,
+    tags=("explode", "null", "sql"),
+)
+def q_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode vs explode_outer semantics, pinned by counting: a
+    per-doc array of 12+-letter words is EMPTY for most documents,
+    and a plain explode silently DROPS those rows — the lateral-
+    view bug that quietly deletes every document without a match
+    from downstream counts. The query materializes both paths
+    (outer keeps empty-array docs as a NULL word row) and reports
+    exactly how many documents the inner variant loses; the oracle
+    states the same semantics arithmetically from array lengths."""
+    d = _t(spark, sf_dir, "documents")
+    arrs = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"),
+            lambda w: F.length(w) >= 12,
+        ).alias("longs"),
+    )
+    outer = arrs.select("doc_id", F.explode_outer("longs").alias("w"))
+    docs_outer = outer.agg(F.count_distinct("doc_id").alias("c"))
+    inner = arrs.select("doc_id", F.explode("longs").alias("w"))
+    docs_inner = inner.agg(
+        F.count_distinct("doc_id").alias("ci"), F.count("w").alias("tw")
+    )
+    return (
+        docs_outer.crossJoin(F.broadcast(docs_inner))
+        .select(
+            F.col("c").cast("bigint").alias("docs_outer"),
+            F.col("ci").cast("bigint").alias("docs_inner"),
+            (F.col("c") - F.col("ci")).cast("bigint").alias(
+                "docs_dropped_by_inner"
+            ),
+            F.col("tw").cast("bigint").alias("total_long_words"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -21826,6 +21826,196 @@ def q_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "median_polish",
+    oracle="""
+    WITH cells AS (
+      SELECT n_name, year(CAST(o_orderdate AS DATE)) AS yr,
+             sum(o_totalprice) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    g0 AS (SELECT CAST(quantile_cont(x, 0.5) AS DOUBLE) AS m0 FROM cells),
+    r0 AS (SELECT n_name, yr, x - m0 AS r FROM cells, g0),
+    re1 AS (SELECT n_name, CAST(quantile_cont(r, 0.5) AS DOUBLE) AS e
+            FROM r0 GROUP BY n_name),
+    r1 AS (SELECT r0.n_name, yr, r - e AS r
+           FROM r0 JOIN re1 USING (n_name)),
+    ce1 AS (SELECT yr, CAST(quantile_cont(r, 0.5) AS DOUBLE) AS e
+            FROM r1 GROUP BY yr),
+    r2 AS (SELECT n_name, r1.yr, r - e AS r FROM r1 JOIN ce1 USING (yr)),
+    re2 AS (SELECT n_name, CAST(quantile_cont(r, 0.5) AS DOUBLE) AS e
+            FROM r2 GROUP BY n_name),
+    r3 AS (SELECT r2.n_name, yr, r - e AS r FROM r2 JOIN re2 USING (n_name)),
+    ce2 AS (SELECT yr, CAST(quantile_cont(r, 0.5) AS DOUBLE) AS e
+            FROM r3 GROUP BY yr),
+    r4 AS (SELECT n_name, r3.yr, r - e AS r FROM r3 JOIN ce2 USING (yr))
+    SELECT n_name, CAST(yr AS BIGINT) AS yr, round(r, 2) AS residual
+    FROM r4 ORDER BY abs(r) DESC, n_name, yr LIMIT 5
+    """,
+    tags=("robust", "decomposition", "stats"),
+)
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's median polish on the nation×year revenue matrix (two
+    full row/column sweeps, unrolled): iteratively subtract row and
+    column MEDIANS so the residuals isolate genuine interactions —
+    the robust two-way decomposition whose mean-based cousin
+    (variance_decomposition) lets one outlier cell contaminate an
+    entire row effect; top-5 |residual| cells are the
+    nation-year combinations that genuinely deviate from 'row
+    effect + column effect'. Every sweep is a grouped exact median
+    over the 25×7 matrix relation plus a broadcast join back —
+    the fact table is touched once."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.year(F.col("o_orderdate").cast("date")).alias("yr"))
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    g0 = cells.agg(F.expr("percentile(x, 0.5)").alias("m0"))
+    r = cells.crossJoin(F.broadcast(g0)).select(
+        "n_name", "yr", (F.col("x") - F.col("m0")).alias("r")
+    )
+    for level, key in (("re1", "n_name"), ("ce1", "yr"), ("re2", "n_name"), ("ce2", "yr")):
+        eff = r.groupBy(key).agg(F.expr("percentile(r, 0.5)").alias("e"))
+        r = r.join(F.broadcast(eff), key).select(
+            "n_name", "yr", (F.col("r") - F.col("e")).alias("r")
+        )
+    return (
+        r.orderBy(F.abs(F.col("r")).desc(), "n_name", "yr")
+        .limit(5)
+        .select(
+            "n_name",
+            F.col("yr").cast("bigint").alias("yr"),
+            F.round("r", 2).alias("residual"),
+        )
+    )
+
+
+@register(
+    "record_breaking_counts",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    seq AS (
+      SELECT d, v,
+             CAST(row_number() OVER (ORDER BY d) AS DOUBLE) AS i,
+             max(v) OVER (ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM daily)
+    SELECT CAST(year(d) AS BIGINT) AS yr,
+           CAST(sum(CASE WHEN prev_max IS NULL OR v > prev_max
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+           round(sum(1.0 / i), 2) AS expected_if_iid
+    FROM seq GROUP BY 1
+    """,
+    tags=("timeseries", "window", "stats"),
+)
+def q_record_breaking_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking days per year — all-time daily-revenue highs
+    counted against the i.i.d. theory expectation Σ1/i (record
+    counts in an exchangeable sequence follow the harmonic series,
+    ≈ ln n, REGARDLESS of the distribution — one of probability's
+    cleaner free lunches): observed record counts persistently above
+    the harmonic curve are direct evidence of trend, with no model
+    fit (cf. mann_kendall_trend for the hypothesis-test version).
+    One running-max window with a 1-preceding frame so the first
+    day counts as a record by NULL convention, not by accident."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    w = Window.orderBy("d")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    seq = daily.select(
+        "d",
+        "v",
+        F.row_number().over(w).cast("double").alias("i"),
+        F.max("v").over(wprev).alias("prev_max"),
+    )
+    is_rec = F.when(
+        F.col("prev_max").isNull() | (F.col("v") > F.col("prev_max")), 1
+    ).otherwise(0)
+    return seq.groupBy(F.year("d").cast("bigint").alias("yr")).agg(
+        F.sum(is_rec).cast("bigint").alias("n_records"),
+        F.round(F.sum(1.0 / F.col("i")), 2).alias("expected_if_iid"),
+    )
+
+
+@register(
+    "tpcds_q97_channel_overlap",
+    oracle="""
+    WITH early AS (
+      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE month(CAST(o_orderdate AS DATE)) <= 6),
+    late AS (
+      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE month(CAST(o_orderdate AS DATE)) > 6),
+    merged AS (
+      SELECT coalesce(e.ck, l.ck) AS ck,
+             CASE WHEN e.ck IS NOT NULL THEN 1 ELSE 0 END AS in_early,
+             CASE WHEN l.ck IS NOT NULL THEN 1 ELSE 0 END AS in_late
+      FROM early e FULL OUTER JOIN late l
+        ON e.ck = l.ck AND e.pk = l.pk)
+    SELECT CAST(sum(CASE WHEN in_early = 1 AND in_late = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS both_halves,
+           CAST(sum(CASE WHEN in_early = 1 AND in_late = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS early_only,
+           CAST(sum(CASE WHEN in_early = 0 AND in_late = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_only
+    FROM merged
+    """,
+    tags=("tpcds", "outer-join", "distinct"),
+)
+def q_tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q97's exact shape: two deduplicated (customer, item)
+    incidence sets — here first-half vs second-half of the year
+    standing in for the store/catalog channels — FULL OUTER joined
+    on the composite key with conditional counts of both/only-left/
+    only-right. The dedup-BEFORE-join is the load-bearing choice:
+    joining raw purchase rows would multiply counts by purchase
+    frequency² (the classic Q97 trap); each side collapses to its
+    distinct incidence first, so the outer join is
+    |customers×items|-bounded and the three counts partition it
+    exactly."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("ck"),
+        F.col("l_partkey").alias("pk"),
+        F.month(F.col("o_orderdate").cast("date")).alias("mo"),
+    )
+    early = j.filter(F.col("mo") <= 6).select("ck", "pk").distinct()
+    late = j.filter(F.col("mo") > 6).select("ck", "pk").distinct()
+    merged = early.select(
+        "ck", "pk", F.lit(1).alias("in_early")
+    ).join(
+        late.select("ck", "pk", F.lit(1).alias("in_late")),
+        ["ck", "pk"],
+        "full_outer",
+    )
+    ie = F.coalesce("in_early", F.lit(0))
+    il = F.coalesce("in_late", F.lit(0))
+    return merged.agg(
+        F.sum(F.when((ie == 1) & (il == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("both_halves"),
+        F.sum(F.when((ie == 1) & (il == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("early_only"),
+        F.sum(F.when((ie == 0) & (il == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("late_only"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

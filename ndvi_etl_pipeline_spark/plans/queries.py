@@ -22016,6 +22016,226 @@ def q_tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "simhash_hamming_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+               AS token
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1) AS hbits
+      FROM tok
+    ),
+    bitsums AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN (hbits // CAST(pow(2, pos) AS BIGINT)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM th, (SELECT unnest(generate_series(0, 15)) AS pos)
+      GROUP BY doc_id, pos
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, pos) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bitsums GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, simhash, b,
+             (simhash // CAST(pow(16, b) AS BIGINT)) % 16 AS band_val
+      FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
+                      c.doc_id AS d2, c.simhash AS s2
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id),
+    ham AS (SELECT bit_count(CAST(xor(s1, s2) AS BIGINT)) AS hd FROM cand)
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN hd <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near_pairs,
+           CAST(sum(CASE WHEN hd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_identical
+    FROM ham
+    """,
+    tags=("dedup", "hash", "similarity"),
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS at Hamming distance ≤ 3, found
+    without any all-pairs comparison: split the 16-bit fingerprint
+    into 4 bands of 4 bits — by pigeonhole, ≤3 differing bits leave
+    at least one band IDENTICAL, so the band-value equi-join
+    (Charikar/Manku-Jain-Sarma, the Google near-dup crawler design)
+    finds every qualifying pair with an exact guarantee, and
+    bit_count(xor) verifies candidates exactly. This upgrades
+    dedup_simhash's identical-fingerprint buckets to tolerance-
+    based matching — the candidate volume is bounded by band-bucket
+    sizes, never n²."""
+    d = _t(spark, sf_dir, "documents")
+    fp = DD.simhash(d)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "b",
+        F.expr("shiftright(simhash, b * 4) & 15").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"), "b", "band_val"
+    )
+    c = bands.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"), "b", "band_val"
+    )
+    cand = (
+        a.join(c, ["b", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "s1", "d2", "s2")
+        .distinct()
+    )
+    ham = cand.select(
+        F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hd")
+    )
+    return ham.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("hd") <= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near_pairs"),
+        F.sum(F.when(F.col("hd") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_identical"),
+    )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    cnt AS (
+      SELECT token, CAST(count(*) AS DOUBLE) AS c
+      FROM tok WHERE token <> '' GROUP BY token),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk
+      FROM cnt),
+    tot AS (SELECT sum(c) AS t, CAST(count(*) AS BIGINT) AS vocab FROM ranked),
+    ks AS (SELECT unnest([10, 50, 100, 500, 1000]) AS k)
+    SELECT CAST(k AS BIGINT) AS vocab_size,
+           round(sum(CASE WHEN rk <= k THEN c ELSE 0 END) / t, 5)
+             AS corpus_coverage,
+           round(1 - sum(CASE WHEN rk <= k THEN c ELSE 0 END) / t, 5)
+             AS oov_share
+    FROM ranked CROSS JOIN ks, tot GROUP BY k, t
+    """,
+    tags=("text", "training", "coverage"),
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size vs corpus coverage curve: what share of all
+    token occurrences the top-k most frequent types cover, at k =
+    10…1000 — THE tokenizer-budget curve (vocab_oov_rate gives one
+    point; this gives the frontier that decides where the marginal
+    vocabulary slot stops paying for itself, the empirical face of
+    Zipf's law that zipf_fit parameterizes). One frequency
+    aggregate, one ranking over the |vocab| relation, and all five
+    curve points from a single cross-joined conditional sum — no
+    per-k re-scan."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = tok.groupBy("token").agg(F.count("*").cast("double").alias("c"))
+    ranked = cnt.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), "token")).alias("rk"),
+    )
+    tot = ranked.agg(F.sum("c").alias("t"))
+    ks = spark.createDataFrame([(10,), (50,), (100,), (500,), (1000,)], "k int")
+    covered = F.sum(
+        F.when(F.col("rk") <= F.col("k"), F.col("c")).otherwise(0.0)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "t")
+        .agg(covered.alias("cov"))
+        .select(
+            F.col("k").cast("bigint").alias("vocab_size"),
+            F.round(F.col("cov") / F.col("t"), 5).alias("corpus_coverage"),
+            F.round(1 - F.col("cov") / F.col("t"), 5).alias("oov_share"),
+        )
+    )
+
+
+@register(
+    "packing_efficiency_curve",
+    oracle="""
+    WITH docs AS (
+      SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+               AS n_tok
+      FROM documents),
+    ls AS (SELECT unnest([128, 512, 2048]) AS max_len)
+    SELECT CAST(max_len AS BIGINT) AS max_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tok > max_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_truncated,
+           round(sum(greatest(n_tok - max_len, 0)) / sum(n_tok), 5)
+             AS truncated_token_share,
+           CAST(ceil(sum(least(n_tok, max_len)) / max_len) AS BIGINT)
+             AS min_bins
+    FROM docs CROSS JOIN ls GROUP BY max_len
+    """,
+    tags=("training", "packing", "agg"),
+)
+def q_packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length budget sweep for training packing: at max_len
+    ∈ {128, 512, 2048}, how many documents truncate, what share of
+    tokens the truncation burns, and the bin-count LOWER BOUND
+    ⌈Σmin(len, L)/L⌉ that any packing (including
+    sequence_packing's first-fit) must meet — the capacity-planning
+    numbers behind the context-length decision, where the token loss
+    at small L trades against the padding/bin cost at large L. One
+    scan; all three budget points come from a tiny cross join, the
+    same no-re-scan device as vocab_coverage_curve."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(TXT.token_count(F.col("text")).cast("double").alias("n_tok"))
+    ls = spark.createDataFrame([(128,), (512,), (2048,)], "max_len int")
+    return (
+        docs.crossJoin(F.broadcast(ls))
+        .groupBy("max_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_tok") > F.col("max_len"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_truncated"),
+            F.round(
+                F.sum(F.greatest(F.col("n_tok") - F.col("max_len"), F.lit(0.0)))
+                / F.sum("n_tok"),
+                5,
+            ).alias("truncated_token_share"),
+            F.ceil(
+                F.sum(F.least(F.col("n_tok"), F.col("max_len").cast("double")))
+                / F.first("max_len")
+            )
+            .cast("bigint")
+            .alias("min_bins"),
+        )
+        .select(
+            F.col("max_len").cast("bigint").alias("max_len"),
+            "n_docs",
+            "docs_truncated",
+            "truncated_token_share",
+            "min_bins",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

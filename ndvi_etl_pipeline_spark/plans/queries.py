@@ -22236,6 +22236,303 @@ def q_packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "oaxaca_blinder",
+    oracle="""
+    WITH obs AS (
+      SELECT CASE WHEN r_name IN ('AMERICA', 'EUROPE') THEN 'west'
+                  ELSE 'rest' END AS grp,
+             o_totalprice AS y, CAST(cnt AS DOUBLE) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN (SELECT l_orderkey, count(*) AS cnt
+            FROM lineitem GROUP BY 1) li ON l_orderkey = o_orderkey),
+    fits AS (
+      SELECT grp, avg(y) AS my, avg(x) AS mx,
+             regr_slope(y, x) AS b, regr_intercept(y, x) AS a
+      FROM obs GROUP BY grp),
+    wide AS (
+      SELECT max(CASE WHEN grp = 'west' THEN my END) AS my_a,
+             max(CASE WHEN grp = 'rest' THEN my END) AS my_b,
+             max(CASE WHEN grp = 'west' THEN mx END) AS mx_a,
+             max(CASE WHEN grp = 'rest' THEN mx END) AS mx_b,
+             max(CASE WHEN grp = 'west' THEN b END) AS b_a,
+             max(CASE WHEN grp = 'rest' THEN b END) AS b_b,
+             max(CASE WHEN grp = 'west' THEN a END) AS a_a,
+             max(CASE WHEN grp = 'rest' THEN a END) AS a_b
+      FROM fits)
+    SELECT round(my_a - my_b, 4) AS total_gap,
+           round((mx_a - mx_b) * b_b, 4) AS endowment_effect,
+           round((b_a - b_b) * mx_a + (a_a - a_b), 4) AS coefficient_effect,
+           round(my_a - my_b
+                 - ((mx_a - mx_b) * b_b + (b_a - b_b) * mx_a + (a_a - a_b)),
+                 4) AS identity_gap
+    FROM wide
+    """,
+    tags=("economics", "causal", "decomposition"),
+)
+def q_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-Blinder decomposition of the order-value gap between
+    two region groups: total gap = endowment effect (groups differ
+    in basket SIZE, priced at the reference group's slope) +
+    coefficient effect (the same basket size is VALUED differently)
+    — the labor-economics standard for splitting 'different inputs'
+    from 'different returns', with the identity_gap column pinned
+    to 0.0000 in both engines since ȳ = a + b·x̄ holds exactly for
+    OLS. Two regr_* fits on one grouped pass; the pivot is a 2-row
+    conditional max."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    obs = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(cnt, o["o_orderkey"] == cnt["l_orderkey"])
+        .select(
+            F.when(F.col("r_name").isin("AMERICA", "EUROPE"), "west")
+            .otherwise("rest")
+            .alias("grp"),
+            F.col("o_totalprice").alias("y"),
+            F.col("cnt").cast("double").alias("x"),
+        )
+    )
+    fits = obs.groupBy("grp").agg(
+        F.avg("y").alias("my"),
+        F.avg("x").alias("mx"),
+        F.expr("regr_slope(y, x)").alias("b"),
+        F.expr("regr_intercept(y, x)").alias("a"),
+    )
+
+    def pick(colname, grp):
+        return F.max(F.when(F.col("grp") == grp, F.col(colname)))
+
+    wide = fits.agg(
+        pick("my", "west").alias("my_a"), pick("my", "rest").alias("my_b"),
+        pick("mx", "west").alias("mx_a"), pick("mx", "rest").alias("mx_b"),
+        pick("b", "west").alias("b_a"), pick("b", "rest").alias("b_b"),
+        pick("a", "west").alias("a_a"), pick("a", "rest").alias("a_b"),
+    )
+    endow = (F.col("mx_a") - F.col("mx_b")) * F.col("b_b")
+    coefe = (F.col("b_a") - F.col("b_b")) * F.col("mx_a") + (
+        F.col("a_a") - F.col("a_b")
+    )
+    gap = F.col("my_a") - F.col("my_b")
+    return wide.select(
+        F.round(gap, 4).alias("total_gap"),
+        F.round(endow, 4).alias("endowment_effect"),
+        F.round(coefe, 4).alias("coefficient_effect"),
+        F.round(gap - (endow + coefe), 4).alias("identity_gap"),
+    )
+
+
+@register(
+    "duplicate_payment_screen",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.o_orderkey AS k1, b.o_orderkey AS k2,
+             a.o_custkey AS cust, a.o_totalprice AS amount,
+             date_diff('day', CAST(a.o_orderdate AS DATE),
+                       CAST(b.o_orderdate AS DATE)) AS gap_days
+      FROM orders a JOIN orders b
+        ON a.o_custkey = b.o_custkey
+       AND a.o_totalprice = b.o_totalprice
+       AND a.o_orderkey < b.o_orderkey
+       AND CAST(b.o_orderdate AS DATE)
+           BETWEEN CAST(a.o_orderdate AS DATE) - 2
+               AND CAST(a.o_orderdate AS DATE) + 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_suspect_pairs,
+           CAST(count(DISTINCT cust) AS BIGINT) AS n_customers,
+           round(coalesce(sum(amount), 0), 2) AS exposure,
+           CAST(coalesce(max(abs(gap_days)), -1) AS BIGINT) AS max_gap_days
+    FROM pairs
+    """,
+    tags=("audit", "self-join", "quality"),
+)
+def q_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen — the accounts-payable audit
+    classic: same customer, IDENTICAL amount, within ±2 days, on
+    different order keys (double-submits, retry storms, double
+    billing). The self-join is keyed on (customer, amount) — both
+    high-cardinality, so the equi-join does the heavy pruning and
+    the date band only filters survivors; exposure sums the
+    at-risk amount once per pair. At 100 TB this join shape is why
+    AP systems hash on (vendor, amount) — the candidate set per key
+    is tiny even when the table is not."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").cast("date").alias("d1"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").cast("date").alias("d2"),
+    )
+    pairs = (
+        a.join(b, ["cust", "amount"])
+        .filter(
+            (F.col("k1") < F.col("k2"))
+            & (F.col("d2") >= F.date_sub(F.col("d1"), 2))
+            & (F.col("d2") <= F.date_add(F.col("d1"), 2))
+        )
+        .select("cust", "amount", F.datediff("d2", "d1").alias("gap_days"))
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_suspect_pairs"),
+        F.count_distinct("cust").cast("bigint").alias("n_customers"),
+        F.round(F.coalesce(F.sum("amount"), F.lit(0.0)), 2).alias("exposure"),
+        F.coalesce(F.max(F.abs(F.col("gap_days"))), F.lit(-1))
+        .cast("bigint")
+        .alias("max_gap_days"),
+    )
+
+
+@register(
+    "adamic_adar_linkpred",
+    oracle="""
+    WITH inc AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (
+      SELECT part, CAST(count(*) AS DOUBLE) AS d
+      FROM inc GROUP BY part HAVING count(*) BETWEEN 2 AND 20),
+    pairs AS (
+      SELECT a.cust AS c1, b.cust AS c2, sum(1 / ln(deg.d)) AS aa
+      FROM inc a JOIN deg ON a.part = deg.part
+      JOIN inc b ON b.part = deg.part AND a.cust < b.cust
+      GROUP BY 1, 2)
+    SELECT c1, c2, round(aa, 4) AS adamic_adar
+    FROM pairs ORDER BY round(aa, 6) DESC, c1, c2 LIMIT 10
+    """,
+    tags=("graph", "similarity", "join"),
+)
+def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the customer-part bipartite
+    graph: candidate customer pairs scored by Σ 1/ln(degree) over
+    shared parts — rare shared parts count for much more than
+    popular ones, the weighting that makes AA beat raw
+    common-neighbor counts. The degree filter (2..20 buyers) is the
+    scalability move AND the statistics: hub parts contribute
+    ≈1/ln(huge)≈0 anyway, so dropping them bounds the
+    wedge-enumeration join by Σd² over SMALL degrees without
+    changing the ranking materially — the same hub-cutoff every
+    production link-prediction pipeline applies before the
+    pair-generating self-join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    inc = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    deg = (
+        inc.groupBy("part")
+        .agg(F.count("*").cast("double").alias("d"))
+        .filter(F.col("d").between(2, 20))
+    )
+    a = inc.select(F.col("cust").alias("c1"), "part")
+    b = inc.select(F.col("cust").alias("c2"), "part")
+    pairs = (
+        a.join(deg, "part")
+        .join(b, "part")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.sum(1 / F.log(F.col("d"))).alias("aa"))
+    )
+    return (
+        pairs.orderBy(F.round(F.col("aa"), 6).desc(), "c1", "c2")
+        .limit(10)
+        .select("c1", "c2", F.round("aa", 4).alias("adamic_adar"))
+    )
+
+
+@register(
+    "factorial_interaction_effect",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  ::UBIGINT % 2 AS INT) AS fa,
+             CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)
+                  THEN 1 ELSE 0 END AS fb,
+             o_totalprice AS y
+      FROM orders),
+    cells AS (
+      SELECT fa, fb, avg(y) AS m, CAST(count(*) AS BIGINT) AS n
+      FROM obs GROUP BY 1, 2),
+    wide AS (
+      SELECT max(CASE WHEN fa = 0 AND fb = 0 THEN m END) AS m00,
+             max(CASE WHEN fa = 0 AND fb = 1 THEN m END) AS m01,
+             max(CASE WHEN fa = 1 AND fb = 0 THEN m END) AS m10,
+             max(CASE WHEN fa = 1 AND fb = 1 THEN m END) AS m11,
+             min(n) AS min_cell_n
+      FROM cells)
+    SELECT round((m10 + m11) / 2 - (m00 + m01) / 2, 4) AS main_effect_a,
+           round((m01 + m11) / 2 - (m00 + m10) / 2, 4) AS main_effect_b,
+           round((m11 - m10) - (m01 - m00), 4) AS interaction,
+           min_cell_n
+    FROM wide
+    """,
+    tags=("experimentation", "causal", "agg"),
+)
+def q_factorial_interaction_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 factorial analysis: a hash-assigned factor crossed with
+    the weekend factor, reporting both main effects and the
+    INTERACTION contrast (m₁₁−m₁₀)−(m₀₁−m₀₀) — the quantity
+    one-factor-at-a-time experimentation structurally cannot see
+    (if the interaction is nonzero, the 'effect of A' is not a
+    number but a function of B, and shipping decisions made from
+    marginal A/B tests are wrong). Four cell means from ONE
+    aggregate; min_cell_n guards against reading effects off a
+    starved cell."""
+    o = _t(spark, sf_dir, "orders")
+    obs = o.select(
+        CUR.hash_bucket(F.col("o_custkey"), 2).alias("fa"),
+        F.when(
+            F.dayofweek(F.col("o_orderdate").cast("date")).isin(1, 7), 1
+        )
+        .otherwise(0)
+        .alias("fb"),
+        F.col("o_totalprice").alias("y"),
+    )
+    cells = obs.groupBy("fa", "fb").agg(
+        F.avg("y").alias("m"), F.count("*").cast("bigint").alias("n")
+    )
+
+    def cell(fa, fb):
+        return F.max(
+            F.when((F.col("fa") == fa) & (F.col("fb") == fb), F.col("m"))
+        )
+
+    wide = cells.agg(
+        cell(0, 0).alias("m00"),
+        cell(0, 1).alias("m01"),
+        cell(1, 0).alias("m10"),
+        cell(1, 1).alias("m11"),
+        F.min("n").alias("min_cell_n"),
+    )
+    return wide.select(
+        F.round(
+            (F.col("m10") + F.col("m11")) / 2 - (F.col("m00") + F.col("m01")) / 2, 4
+        ).alias("main_effect_a"),
+        F.round(
+            (F.col("m01") + F.col("m11")) / 2 - (F.col("m00") + F.col("m10")) / 2, 4
+        ).alias("main_effect_b"),
+        F.round(
+            (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00")), 4
+        ).alias("interaction"),
+        "min_cell_n",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

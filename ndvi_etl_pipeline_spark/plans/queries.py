@@ -22533,6 +22533,132 @@ def q_factorial_interaction_effect(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "metcalfe_exponent",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS users,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_months,
+             regr_slope(ln(rev), ln(users)) AS beta,
+             regr_intercept(ln(rev), ln(users)) AS lna,
+             regr_r2(ln(rev), ln(users)) AS r2
+      FROM monthly WHERE users > 0 AND rev > 0)
+    SELECT n_months, round(beta, 4) AS network_exponent,
+           round(exp(lna), 2) AS scale_constant,
+           round(r2, 4) AS r_squared
+    FROM fit
+    """,
+    tags=("economics", "regression", "timeseries"),
+)
+def q_metcalfe_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network-value exponent: monthly revenue regressed on monthly
+    active customers in log-log space — β̂=1 is linear (Sarnoff),
+    β̂=2 is Metcalfe's law, and real platforms land between
+    (Odlyzko's n·log n critique); the r² says whether a power law
+    describes the relationship at all. The whole 'law of network
+    value' debate reduces to ONE regr_slope aggregate over the
+    |months| relation — with the fact table contributing a single
+    distinct-count-per-month pass."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m")
+    ).agg(
+        F.count_distinct("o_custkey").cast("double").alias("users"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    fit = monthly.filter((F.col("users") > 0) & (F.col("rev") > 0)).agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.expr("regr_slope(ln(rev), ln(users))").alias("beta"),
+        F.expr("regr_intercept(ln(rev), ln(users))").alias("lna"),
+        F.expr("regr_r2(ln(rev), ln(users))").alias("r2"),
+    )
+    return fit.select(
+        "n_months",
+        F.round("beta", 4).alias("network_exponent"),
+        F.round(F.exp("lna"), 2).alias("scale_constant"),
+        F.round("r2", 4).alias("r_squared"),
+    )
+
+
+@register(
+    "mediation_baron_kenny",
+    oracle="""
+    WITH obs AS (
+      SELECT CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)
+                  THEN 1.0 ELSE 0.0 END AS x,
+             CAST(cnt AS DOUBLE) AS med, o_totalprice AS y
+      FROM orders JOIN (SELECT l_orderkey, count(*) AS cnt
+                        FROM lineitem GROUP BY 1) li
+        ON l_orderkey = o_orderkey),
+    mom AS (
+      SELECT avg(x) AS mx, avg(med) AS mm, avg(y) AS my,
+             covar_samp(x, med) AS sxm, covar_samp(x, y) AS sxy,
+             covar_samp(med, y) AS smy,
+             var_samp(x) AS sxx, var_samp(med) AS smm,
+             CAST(count(*) AS BIGINT) AS n
+      FROM obs),
+    paths AS (
+      SELECT n,
+             sxm / sxx AS a,
+             (smy * sxx - sxy * sxm) / (smm * sxx - sxm * sxm) AS b,
+             (sxy * smm - smy * sxm) / (smm * sxx - sxm * sxm) AS c_prime,
+             sxy / sxx AS c_total
+      FROM mom)
+    SELECT n AS n_orders,
+           round(c_total, 4) AS total_effect,
+           round(a * b, 4) AS indirect_effect,
+           round(c_prime, 4) AS direct_effect,
+           round(c_total - (a * b + c_prime), 6) AS identity_gap
+    FROM paths
+    """,
+    tags=("causal", "regression", "decomposition"),
+)
+def q_mediation_baron_kenny(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baron-Kenny mediation analysis: does the weekend effect on
+    order value flow THROUGH basket size? Path a (X→M), path b
+    (M→Y holding X — the two-covariate OLS coefficient in closed
+    form from the moment matrix), direct path c′, and the exact
+    linear-model identity total = indirect(a·b) + direct, pinned by
+    the identity_gap column at 0.000000 in both engines. All four
+    regressions come from ONE moments aggregate (means, variances,
+    covariances) — the mediation table costs a single scan however
+    large the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    obs = o.join(cnt, o["o_orderkey"] == cnt["l_orderkey"]).select(
+        F.when(F.dayofweek(F.col("o_orderdate").cast("date")).isin(1, 7), 1.0)
+        .otherwise(0.0)
+        .alias("x"),
+        F.col("cnt").cast("double").alias("med"),
+        F.col("o_totalprice").alias("y"),
+    )
+    mom = obs.agg(
+        F.covar_samp("x", "med").alias("sxm"),
+        F.covar_samp("x", "y").alias("sxy"),
+        F.covar_samp("med", "y").alias("smy"),
+        F.var_samp("x").alias("sxx"),
+        F.var_samp("med").alias("smm"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    det = F.col("smm") * F.col("sxx") - F.col("sxm") * F.col("sxm")
+    a = F.col("sxm") / F.col("sxx")
+    b = (F.col("smy") * F.col("sxx") - F.col("sxy") * F.col("sxm")) / det
+    c_prime = (F.col("sxy") * F.col("smm") - F.col("smy") * F.col("sxm")) / det
+    c_total = F.col("sxy") / F.col("sxx")
+    return mom.select(
+        F.col("n").alias("n_orders"),
+        F.round(c_total, 4).alias("total_effect"),
+        F.round(a * b, 4).alias("indirect_effect"),
+        F.round(c_prime, 4).alias("direct_effect"),
+        F.round(c_total - (a * b + c_prime), 6).alias("identity_gap"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

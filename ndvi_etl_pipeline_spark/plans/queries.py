@@ -22659,6 +22659,289 @@ def q_mediation_baron_kenny(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "permutation_test",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderkey,
+             CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)
+                  THEN 1 ELSE 0 END AS g,
+             o_totalprice AS y
+      FROM orders),
+    share AS (SELECT avg(CAST(g AS DOUBLE)) AS p FROM obs),
+    observed AS (
+      SELECT avg(CASE WHEN g = 1 THEN y END)
+             - avg(CASE WHEN g = 0 THEN y END) AS d_obs
+      FROM obs),
+    reps AS (SELECT unnest(generate_series(1, 50)) AS b),
+    perm AS (
+      SELECT b,
+             CASE WHEN (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                  || '#' || CAST(b AS VARCHAR)), 1, 8))::UBIGINT
+                  % 1000000) / 1000000.0 < p
+                  THEN 1 ELSE 0 END AS gp, y
+      FROM obs CROSS JOIN reps, share),
+    pd AS (
+      SELECT b, avg(CASE WHEN gp = 1 THEN y END)
+                - avg(CASE WHEN gp = 0 THEN y END) AS d
+      FROM perm GROUP BY b)
+    SELECT round(d_obs, 4) AS observed_diff,
+           CAST(count(*) AS BIGINT) AS n_permutations,
+           round((1.0 + sum(CASE WHEN abs(d) >= abs(d_obs)
+                                 THEN 1 ELSE 0 END)) / (count(*) + 1), 4)
+             AS p_value
+    FROM pd, observed GROUP BY d_obs
+    """,
+    tags=("stats", "resampling", "experimentation"),
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the weekend effect on order value: 50
+    label reassignments drawn from bit-exact md5 uniforms at the
+    observed group share, two-sided p = (1+#{|d_b|≥|d_obs|})/(B+1)
+    — the distribution-free significance machinery that needs NO
+    variance formula (welch_ttest's normality assumption, dropped),
+    and the deterministic-resampling twin of poisson_bootstrap_ci:
+    every engine and every run draws the identical null sample.
+    Each replicate is one conditional aggregate; all 50 share one
+    scan via the replicate cross join — map-side combined on the
+    50-value key."""
+    o = _t(spark, sf_dir, "orders")
+    obs = o.select(
+        "o_orderkey",
+        F.when(
+            F.dayofweek(F.col("o_orderdate").cast("date")).isin(1, 7), 1
+        )
+        .otherwise(0)
+        .alias("g"),
+        F.col("o_totalprice").alias("y"),
+    )
+    share = obs.agg(F.avg(F.col("g").cast("double")).alias("p"))
+    observed = obs.agg(
+        (
+            F.avg(F.when(F.col("g") == 1, F.col("y")))
+            - F.avg(F.when(F.col("g") == 0, F.col("y")))
+        ).alias("d_obs")
+    )
+    reps = spark.range(1, 51).select(F.col("id").cast("int").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("#"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / 1000000.0
+    perm = (
+        obs.crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(share))
+        .select(
+            "b", F.when(u < F.col("p"), 1).otherwise(0).alias("gp"), "y"
+        )
+    )
+    pd = perm.groupBy("b").agg(
+        (
+            F.avg(F.when(F.col("gp") == 1, F.col("y")))
+            - F.avg(F.when(F.col("gp") == 0, F.col("y")))
+        ).alias("d")
+    )
+    return pd.crossJoin(F.broadcast(observed)).groupBy("d_obs").agg(
+        F.count("*").cast("bigint").alias("n_permutations"),
+        F.round(
+            (
+                1.0
+                + F.sum(
+                    F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+                )
+            )
+            / (F.count("*") + 1),
+            4,
+        ).alias("p_value"),
+    ).select(
+        F.round("d_obs", 4).alias("observed_diff"),
+        "n_permutations",
+        "p_value",
+    )
+
+
+@register(
+    "process_capability_cpk",
+    oracle="""
+    WITH st AS (
+      SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN o_totalprice < 1000
+                           OR o_totalprice > 400000
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS n_out
+      FROM orders)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round((400000 - 1000) / (6 * sd), 4) AS cp,
+           round(least(400000 - mu, mu - 1000) / (3 * sd), 4) AS cpk,
+           round(1e6 * n_out / n, 1) AS observed_ppm_out
+    FROM st
+    """,
+    tags=("spc", "quality", "agg"),
+)
+def q_process_capability_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-capability indices against spec limits [1k, 400k]:
+    Cp = spec width / 6σ (what the process COULD hold if centered)
+    vs Cpk = nearest-limit margin / 3σ (what it actually holds
+    given its centering) — the manufacturing acceptance numbers
+    (1.33 is the classic minimum) next to the empirically observed
+    ppm outside spec, which needs no normality assumption at all.
+    Completes the SPC tier: ewma_control_chart watches the mean,
+    bollinger_breakouts the volatility, Cp/Cpk judges the process
+    against external REQUIREMENTS. One scan, one row."""
+    o = _t(spark, sf_dir, "orders")
+    st = o.agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sd"),
+        F.count("*").cast("double").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") < 1000) | (F.col("o_totalprice") > 400000), 1
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("n_out"),
+    )
+    return st.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round((400000 - 1000) / (6 * F.col("sd")), 4).alias("cp"),
+        F.round(
+            F.least(F.lit(400000) - F.col("mu"), F.col("mu") - 1000)
+            / (3 * F.col("sd")),
+            4,
+        ).alias("cpk"),
+        F.round(1e6 * F.col("n_out") / F.col("n"), 1).alias("observed_ppm_out"),
+    )
+
+
+@register(
+    "bayes_ab_beta",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT % 2
+               AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+             CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS DOUBLE) AS ka,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+             CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS DOUBLE) AS kb
+      FROM assigned),
+    grid AS (
+      SELECT (CAST(j AS DOUBLE) + 0.5) / 400 AS p
+      FROM (SELECT unnest(generate_series(0, 399)) AS j)),
+    logw AS (
+      SELECT p,
+             ka * ln(p) + (na - ka) * ln(1 - p) AS la,
+             kb * ln(p) + (nb - kb) * ln(1 - p) AS lb
+      FROM grid, counts),
+    mx AS (SELECT max(la) AS ma, max(lb) AS mb FROM logw),
+    w AS (
+      SELECT p, exp(la - ma) AS wa, exp(lb - mb) AS wb
+      FROM logw, mx),
+    nrm AS (SELECT sum(wa) AS za, sum(wb) AS zb FROM w),
+    cum AS (
+      SELECT p, wa / za AS fa,
+             (sum(wb) OVER (ORDER BY p) - wb) / zb AS fb_below
+      FROM w, nrm),
+    prob AS (SELECT sum(fa * fb_below) AS p_a_gt_b FROM cum)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ka AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(kb AS BIGINT) AS conv_b,
+           round((ka + 1) / (na + 2) - (kb + 1) / (nb + 2), 5)
+             AS expected_lift,
+           round(p_a_gt_b, 4) AS prob_a_beats_b
+    FROM prob, counts
+    """,
+    tags=("experimentation", "stats", "estimation"),
+)
+def q_bayes_ab_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B on user conversion with Beta-Bernoulli
+    posteriors, P(p_A > p_B) computed by DETERMINISTIC 400-point
+    grid quadrature — log-space densities max-stabilized before
+    exponentiation (the only way k·ln p survives thousands of
+    conversions), CDF of one arm as a prefix window, and the
+    probability as Σ f_A·F_B — no Monte Carlo, no special
+    functions, bit-identical across engines. This is the decision
+    quantity stakeholders actually ask for ('how sure are we A
+    wins'), which the SPRT/p-value tier (sprt_boundary_crossing,
+    permutation_test) deliberately does not emit; expected lift
+    comes from the closed-form posterior means."""
+    e = _t(spark, sf_dir, "events")
+    assigned = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        )
+    ).select(
+        CUR.hash_bucket(F.col("user_id"), 2).alias("arm"), "conv"
+    )
+    counts = assigned.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("double")
+        .alias("ka"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("double")
+        .alias("kb"),
+    )
+    grid = spark.range(0, 400).select(
+        ((F.col("id").cast("double") + 0.5) / 400).alias("p")
+    )
+    logw = grid.crossJoin(F.broadcast(counts)).select(
+        "p",
+        (F.col("ka") * F.log("p") + (F.col("na") - F.col("ka")) * F.log(1 - F.col("p"))).alias(
+            "la"
+        ),
+        (F.col("kb") * F.log("p") + (F.col("nb") - F.col("kb")) * F.log(1 - F.col("p"))).alias(
+            "lb"
+        ),
+    )
+    mx = logw.agg(F.max("la").alias("ma"), F.max("lb").alias("mb"))
+    w = logw.crossJoin(F.broadcast(mx)).select(
+        "p",
+        F.exp(F.col("la") - F.col("ma")).alias("wa"),
+        F.exp(F.col("lb") - F.col("mb")).alias("wb"),
+    )
+    nrm = w.agg(F.sum("wa").alias("za"), F.sum("wb").alias("zb"))
+    wp = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    cum = w.crossJoin(F.broadcast(nrm)).select(
+        "p",
+        (F.col("wa") / F.col("za")).alias("fa"),
+        ((F.sum("wb").over(wp) - F.col("wb")) / F.col("zb")).alias("fb_below"),
+    )
+    prob = cum.agg(F.sum(F.col("fa") * F.col("fb_below")).alias("p_a_gt_b"))
+    return prob.crossJoin(F.broadcast(counts)).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ka").cast("bigint").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("kb").cast("bigint").alias("conv_b"),
+        F.round(
+            (F.col("ka") + 1) / (F.col("na") + 2)
+            - (F.col("kb") + 1) / (F.col("nb") + 2),
+            5,
+        ).alias("expected_lift"),
+        F.round("p_a_gt_b", 4).alias("prob_a_beats_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

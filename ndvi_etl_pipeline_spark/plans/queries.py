@@ -22942,6 +22942,270 @@ def q_bayes_ab_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "johnson_lindenstrauss_audit",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, CAST(i AS INT) - 1 AS d,
+             embedding[CAST(i AS INT)]::DOUBLE AS x
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+    rmat AS (
+      SELECT d, k,
+             CASE WHEN ('0x' || substr(md5(CAST(d AS VARCHAR) || '#'
+                        || CAST(k AS VARCHAR)), 1, 8))::UBIGINT % 2 = 0
+                  THEN 0.25 ELSE -0.25 END AS r
+      FROM (SELECT unnest(generate_series(0, 63)) AS d),
+           (SELECT unnest(generate_series(0, 15)) AS k)),
+    proj AS (
+      SELECT vec_id, k, sum(x * r) AS y
+      FROM dims JOIN rmat USING (d) GROUP BY 1, 2),
+    n2_orig AS (
+      SELECT vec_id, sum(x * x) AS n2 FROM dims GROUP BY vec_id),
+    n2_proj AS (
+      SELECT vec_id, sum(y * y) AS p2 FROM proj GROUP BY vec_id),
+    pairs AS (
+      SELECT a.vec_id AS i,
+             ao.n2 + bo.n2 - 2 * (
+               SELECT sum(da.x * db.x) FROM dims da JOIN dims db
+               ON da.d = db.d AND da.vec_id = a.vec_id
+              AND db.vec_id = b.vec_id) AS d2,
+             ap.p2 + bp.p2 - 2 * (
+               SELECT sum(pa.y * pb.y) FROM proj pa JOIN proj pb
+               ON pa.k = pb.k AND pa.vec_id = a.vec_id
+              AND pb.vec_id = b.vec_id) AS dp2
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 250
+      JOIN n2_orig ao ON ao.vec_id = a.vec_id
+      JOIN n2_orig bo ON bo.vec_id = b.vec_id
+      JOIN n2_proj ap ON ap.vec_id = a.vec_id
+      JOIN n2_proj bp ON bp.vec_id = b.vec_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs(dp2 / d2 - 1)), 4) AS mean_distortion,
+           round(max(abs(dp2 / d2 - 1)), 4) AS max_distortion
+    FROM pairs WHERE d2 > 0
+    """,
+    tags=("embeddings", "projection", "hash"),
+)
+def q_johnson_lindenstrauss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss in practice: project the 64-dim
+    embeddings to 16 dims through a DETERMINISTIC ±1/√16 sign
+    matrix (md5 bits — Achlioptas' database-friendly construction,
+    reproducible across engines and cluster generations), then audit
+    squared-distance distortion |‖Ax−Ay‖²/‖x−y‖² − 1| over 250
+    disjoint pairs. This is the empirical check behind every
+    'project first, then LSH' pipeline (ann_lsh_bucketed's
+    hyperplanes assume distances survive); JL theory says ε ~
+    √(ln n / k) — the measured max against that budget decides
+    whether k=16 is spendable. The projection is one join-aggregate
+    against a 1024-row broadcast matrix; distances come from norms
+    + dots, never materialized coordinates."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select("vec_id", "d", F.col("x").cast("double").alias("x"))
+    ds = spark.range(0, 64).select(F.col("id").cast("int").alias("d"))
+    ks = spark.range(0, 16).select(F.col("id").cast("int").alias("k"))
+    sgn = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"), F.lit("#"), F.col("k").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        0.25,
+    ).otherwise(-0.25)
+    rmat = ds.crossJoin(ks).select("d", "k", sgn.alias("r"))
+    proj = (
+        dims.join(F.broadcast(rmat), "d")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("x") * F.col("r")).alias("y"))
+    )
+    n2_orig = dims.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
+    n2_proj = proj.groupBy("vec_id").agg(F.sum(F.col("y") * F.col("y")).alias("p2"))
+    pair_ids = e.select(F.col("vec_id").alias("i")).join(
+        e.select((F.col("vec_id") - 250).alias("i"), F.col("vec_id").alias("j")),
+        "i",
+    )
+    da = dims.select(F.col("vec_id").alias("i"), "d", F.col("x").alias("xa"))
+    db = dims.select(F.col("vec_id").alias("j"), "d", F.col("x").alias("xb"))
+    dots_o = (
+        pair_ids.join(da, "i")
+        .join(db, ["j", "d"])
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot_o"))
+    )
+    pa = proj.select(F.col("vec_id").alias("i"), "k", F.col("y").alias("ya"))
+    pb = proj.select(F.col("vec_id").alias("j"), "k", F.col("y").alias("yb"))
+    dots_p = (
+        pair_ids.join(pa, "i")
+        .join(pb, ["j", "k"])
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ya") * F.col("yb")).alias("dot_p"))
+    )
+    pairs = (
+        dots_o.join(dots_p, ["i", "j"])
+        .join(n2_orig.select(F.col("vec_id").alias("i"), F.col("n2").alias("n2a")), "i")
+        .join(n2_orig.select(F.col("vec_id").alias("j"), F.col("n2").alias("n2b")), "j")
+        .join(n2_proj.select(F.col("vec_id").alias("i"), F.col("p2").alias("p2a")), "i")
+        .join(n2_proj.select(F.col("vec_id").alias("j"), F.col("p2").alias("p2b")), "j")
+        .select(
+            (F.col("n2a") + F.col("n2b") - 2 * F.col("dot_o")).alias("d2"),
+            (F.col("p2a") + F.col("p2b") - 2 * F.col("dot_p")).alias("dp2"),
+        )
+        .filter(F.col("d2") > 0)
+    )
+    dist = F.abs(F.col("dp2") / F.col("d2") - 1)
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg(dist), 4).alias("mean_distortion"),
+        F.round(F.max(dist), 4).alias("max_distortion"),
+    )
+
+
+@register(
+    "median_of_medians_gap",
+    oracle="""
+    WITH parts AS (
+      SELECT c_nationkey AS p, o_totalprice AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    local_med AS (
+      SELECT p, CAST(quantile_cont(v, 0.5) AS DOUBLE) AS med,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM parts GROUP BY p),
+    mom AS (
+      SELECT CAST(quantile_cont(med, 0.5) AS DOUBLE) AS mom,
+             sum(med * n) / sum(n) AS weighted_mean_med
+      FROM local_med),
+    truth AS (
+      SELECT CAST(quantile_cont(v, 0.5) AS DOUBLE) AS true_med FROM parts)
+    SELECT round(true_med, 2) AS exact_median,
+           round(mom, 2) AS median_of_medians,
+           round(weighted_mean_med, 2) AS weighted_mean_of_medians,
+           round(100 * abs(mom - true_med) / true_med, 4) AS mom_error_pct
+    FROM mom, truth
+    """,
+    tags=("percentile", "scale", "audit"),
+)
+def q_median_of_medians_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why quantiles don't merge: the median-of-per-partition-
+    medians (nations standing in for partitions) against the exact
+    global median — the error this naive distributed 'median' makes
+    is exactly the reason mergeable quantile SKETCHES (t-digest /
+    approx_percentile, the approx_distinct_bands tier) exist, while
+    means merge exactly (the weighted mean-of-medians column shows
+    even weighting doesn't fix it, because a median is not a linear
+    statistic). One grouped exact median + a 25-row reduction vs
+    one global exact median; the gap is the lesson."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    parts = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("p"), F.col("o_totalprice").alias("v")
+    )
+    local_med = parts.groupBy("p").agg(
+        F.expr("percentile(v, 0.5)").alias("med"),
+        F.count("*").cast("double").alias("n"),
+    )
+    mom = local_med.agg(
+        F.expr("percentile(med, 0.5)").alias("mom"),
+        (F.sum(F.col("med") * F.col("n")) / F.sum("n")).alias("weighted_mean_med"),
+    )
+    truth = parts.agg(F.expr("percentile(v, 0.5)").alias("true_med"))
+    return mom.crossJoin(F.broadcast(truth)).select(
+        F.round("true_med", 2).alias("exact_median"),
+        F.round("mom", 2).alias("median_of_medians"),
+        F.round("weighted_mean_med", 2).alias("weighted_mean_of_medians"),
+        F.round(
+            100 * F.abs(F.col("mom") - F.col("true_med")) / F.col("true_med"), 4
+        ).alias("mom_error_pct"),
+    )
+
+
+@register(
+    "dickey_fuller_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    lagged AS (
+      SELECT v - lag(v) OVER (ORDER BY d) AS dy,
+             lag(v) OVER (ORDER BY d) AS ylag
+      FROM daily),
+    obs AS (SELECT dy, ylag FROM lagged WHERE ylag IS NOT NULL),
+    fit AS (
+      SELECT regr_slope(dy, ylag) AS beta,
+             regr_intercept(dy, ylag) AS alpha,
+             CAST(count(*) AS DOUBLE) AS n,
+             var_samp(ylag) AS sxx
+      FROM obs),
+    resid AS (
+      SELECT sum(pow(dy - alpha - beta * ylag, 2)) / (n - 2) AS s2,
+             any_value(beta) AS beta, any_value(n) AS n,
+             any_value(sxx) AS sxx
+      FROM obs, fit GROUP BY n)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(beta, 6) AS df_beta,
+           round(beta / sqrt(s2 / ((n - 1) * sxx)), 4) AS df_statistic,
+           beta / sqrt(s2 / ((n - 1) * sxx)) < -2.86 AS rejects_unit_root_5pct
+    FROM resid
+    """,
+    tags=("timeseries", "stats", "regression"),
+)
+def q_dickey_fuller_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test on daily revenue: regress Δy on
+    y_{t−1} — β near 0 means shocks PERSIST (a random walk, where
+    every 'trend' is spurious and differencing is mandatory), β
+    significantly negative means mean reversion and levels models
+    are safe. The DF statistic β/se(β) uses its own critical values
+    (−2.86 at 5%, not the normal −1.96 — the distribution is
+    nonstandard under the null, which is the whole Dickey-Fuller
+    contribution); se comes from the closed-form OLS residual
+    variance, so the test is two windows and two aggregates over
+    the |dates| relation — the stationarity gate run before
+    yule_walker_ar2 fits anything."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    w = Window.orderBy("d")
+    obs = daily.select(
+        (F.col("v") - F.lag("v").over(w)).alias("dy"),
+        F.lag("v").over(w).alias("ylag"),
+    ).filter(F.col("ylag").isNotNull())
+    fit = obs.agg(
+        F.expr("regr_slope(dy, ylag)").alias("beta"),
+        F.expr("regr_intercept(dy, ylag)").alias("alpha"),
+        F.count("*").cast("double").alias("n"),
+        F.var_samp("ylag").alias("sxx"),
+    )
+    resid = obs.crossJoin(F.broadcast(fit)).groupBy("n").agg(
+        (
+            F.sum(
+                F.pow(
+                    F.col("dy") - F.col("alpha") - F.col("beta") * F.col("ylag"), 2
+                )
+            )
+            / (F.col("n") - 2)
+        ).alias("s2"),
+        F.first("beta").alias("beta"),
+        F.first("sxx").alias("sxx"),
+    )
+    se = F.sqrt(F.col("s2") / ((F.col("n") - 1) * F.col("sxx")))
+    return resid.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round("beta", 6).alias("df_beta"),
+        F.round(F.col("beta") / se, 4).alias("df_statistic"),
+        (F.col("beta") / se < -2.86).alias("rejects_unit_root_5pct"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -23206,6 +23206,371 @@ def q_dickey_fuller_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "engle_granger_cointegration",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x
+      FROM orders GROUP BY 1),
+    nat AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name = 'GERMANY' GROUP BY 1),
+    series AS (
+      SELECT g.d, g.x, coalesce(nat.y, 0) AS y
+      FROM g LEFT JOIN nat ON g.d = nat.d),
+    coint AS (
+      SELECT regr_slope(y, x) AS b, regr_intercept(y, x) AS a
+      FROM series),
+    resid AS (
+      SELECT d, y - a - b * x AS u FROM series, coint),
+    lagged AS (
+      SELECT u - lag(u) OVER (ORDER BY d) AS du,
+             lag(u) OVER (ORDER BY d) AS ulag
+      FROM resid),
+    obs AS (SELECT du, ulag FROM lagged WHERE ulag IS NOT NULL),
+    fit AS (
+      SELECT regr_slope(du, ulag) AS beta,
+             regr_intercept(du, ulag) AS alpha,
+             CAST(count(*) AS DOUBLE) AS n, var_samp(ulag) AS sxx
+      FROM obs),
+    dfr AS (
+      SELECT sum(pow(du - alpha - beta * ulag, 2)) / (n - 2) AS s2,
+             any_value(beta) AS beta, any_value(n) AS n,
+             any_value(sxx) AS sxx
+      FROM obs, fit GROUP BY n)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round((SELECT b FROM coint), 5) AS hedge_ratio,
+           round(beta / sqrt(s2 / ((n - 1) * sxx)), 4) AS eg_statistic,
+           beta / sqrt(s2 / ((n - 1) * sxx)) < -3.34
+             AS cointegrated_5pct
+    FROM dfr
+    """,
+    tags=("timeseries", "regression", "stats"),
+)
+def q_engle_granger_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration between one nation's
+    revenue and the global series: OLS gives the hedge ratio, then
+    the Dickey-Fuller machinery (dickey_fuller_test) runs on the
+    RESIDUAL — if the residual is stationary the two trending
+    series share a common stochastic trend and the spread is
+    tradeable/monitorable, the distinction that separates genuine
+    long-run relationships from the spurious regressions two random
+    walks always produce (Granger & Newbold). EG's own critical
+    value (−3.34, stricter than DF's because the hedge ratio was
+    estimated) gates the verdict; the whole two-step is three
+    aggregates and two lag windows over the |dates| relation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    g = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    nat = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(n.filter(F.col("n_name") == "GERMANY")),
+            c["c_nationkey"] == n["n_nationkey"],
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    series = g.join(nat, "d", "left").select(
+        "d", "x", F.coalesce("y", F.lit(0.0)).alias("y")
+    )
+    coint = series.agg(
+        F.expr("regr_slope(y, x)").alias("b"),
+        F.expr("regr_intercept(y, x)").alias("a"),
+    )
+    resid = series.crossJoin(F.broadcast(coint)).select(
+        "d", (F.col("y") - F.col("a") - F.col("b") * F.col("x")).alias("u"), "b"
+    )
+    w = Window.orderBy("d")
+    obs = resid.select(
+        (F.col("u") - F.lag("u").over(w)).alias("du"),
+        F.lag("u").over(w).alias("ulag"),
+        "b",
+    ).filter(F.col("ulag").isNotNull())
+    fit = obs.agg(
+        F.expr("regr_slope(du, ulag)").alias("beta"),
+        F.expr("regr_intercept(du, ulag)").alias("alpha"),
+        F.count("*").cast("double").alias("n"),
+        F.var_samp("ulag").alias("sxx"),
+        F.first("b").alias("hedge"),
+    )
+    dfr = obs.crossJoin(F.broadcast(fit)).groupBy("n").agg(
+        (
+            F.sum(
+                F.pow(F.col("du") - F.col("alpha") - F.col("beta") * F.col("ulag"), 2)
+            )
+            / (F.col("n") - 2)
+        ).alias("s2"),
+        F.first("beta").alias("beta"),
+        F.first("sxx").alias("sxx"),
+        F.first("hedge").alias("hedge"),
+    )
+    se = F.sqrt(F.col("s2") / ((F.col("n") - 1) * F.col("sxx")))
+    return dfr.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round("hedge", 5).alias("hedge_ratio"),
+        F.round(F.col("beta") / se, 4).alias("eg_statistic"),
+        (F.col("beta") / se < -3.34).alias("cointegrated_5pct"),
+    )
+
+
+@register(
+    "granger_causality_f",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    p AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    series AS (
+      SELECT p.d, p.y, coalesce(c.x, 0) AS x
+      FROM p LEFT JOIN c ON p.d = c.d),
+    lagged AS (
+      SELECT y,
+             lag(y) OVER (ORDER BY d) AS yl,
+             lag(x) OVER (ORDER BY d) AS xl
+      FROM series),
+    obs AS (SELECT y, yl, xl FROM lagged WHERE yl IS NOT NULL),
+    mom AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             var_samp(y) AS syy, var_samp(yl) AS s11, var_samp(xl) AS s22,
+             covar_samp(y, yl) AS s1y, covar_samp(y, xl) AS s2y,
+             covar_samp(yl, xl) AS s12
+      FROM obs),
+    ssr AS (
+      SELECT n,
+             (n - 1) * (syy - s1y * s1y / s11) AS ssr_r,
+             (n - 1) * (syy
+               - (s1y * (s1y * s22 - s2y * s12)
+                  + s2y * (s2y * s11 - s1y * s12))
+                 / (s11 * s22 - s12 * s12)) AS ssr_u
+      FROM mom)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(ssr_r, 2) AS ssr_restricted,
+           round(ssr_u, 2) AS ssr_unrestricted,
+           round((ssr_r - ssr_u) / (ssr_u / (n - 3)), 4) AS granger_f,
+           (ssr_r - ssr_u) / (ssr_u / (n - 3)) > 3.85
+             AS clicks_granger_cause_purchases
+    FROM ssr
+    """,
+    tags=("timeseries", "causal", "regression"),
+)
+def q_granger_causality_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (1 lag): do yesterday's clicks improve the
+    purchase forecast BEYOND yesterday's purchases alone? F-test of
+    the restricted AR(1) against the unrestricted bivariate model —
+    the predictive-causality formalization of what
+    lagged_cross_correlation only hints at (correlation at lag k
+    can be pure autocorrelation echo; Granger conditions on the
+    outcome's own history). Both SSRs come in CLOSED FORM from one
+    moment-matrix aggregate (the 2×2 normal equations solved by
+    Cramer's rule inside the query) — no optimizer, one scan, two
+    lag windows."""
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    series = p.join(c, "d", "left").select(
+        "d", "y", F.coalesce("x", F.lit(0.0)).alias("x")
+    )
+    w = Window.orderBy("d")
+    obs = series.select(
+        "y",
+        F.lag("y").over(w).alias("yl"),
+        F.lag("x").over(w).alias("xl"),
+    ).filter(F.col("yl").isNotNull())
+    mom = obs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.var_samp("y").alias("syy"),
+        F.var_samp("yl").alias("s11"),
+        F.var_samp("xl").alias("s22"),
+        F.covar_samp("y", "yl").alias("s1y"),
+        F.covar_samp("y", "xl").alias("s2y"),
+        F.covar_samp("yl", "xl").alias("s12"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    ssr_r = (F.col("n") - 1) * (
+        F.col("syy") - F.col("s1y") * F.col("s1y") / F.col("s11")
+    )
+    ssr_u = (F.col("n") - 1) * (
+        F.col("syy")
+        - (
+            F.col("s1y") * (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12"))
+            + F.col("s2y") * (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12"))
+        )
+        / det
+    )
+    fstat = (ssr_r - ssr_u) / (ssr_u / (F.col("n") - 3))
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(ssr_r, 2).alias("ssr_restricted"),
+        F.round(ssr_u, 2).alias("ssr_unrestricted"),
+        F.round(fstat, 4).alias("granger_f"),
+        (fstat > 3.85).alias("clicks_granger_cause_purchases"),
+    )
+
+
+@register(
+    "beta_binomial_overdispersion",
+    oracle="""
+    WITH outcome AS (
+      SELECT l_orderkey,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+      FROM lineitem GROUP BY 1),
+    grp AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS DOUBLE) AS n, CAST(sum(ret) AS DOUBLE) AS k
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN outcome ON o_orderkey = l_orderkey
+      GROUP BY 1),
+    pooled AS (SELECT sum(k) / sum(n) AS p, sum(n) AS nn,
+                      CAST(count(*) AS DOUBLE) AS g FROM grp),
+    chi AS (
+      SELECT sum(pow(k - n * p, 2) / (n * p * (1 - p))) AS x2,
+             any_value(p) AS p, any_value(g) AS g,
+             avg(n) AS nbar
+      FROM grp, pooled GROUP BY p, g)
+    SELECT CAST(g AS BIGINT) AS n_groups,
+           round(p, 5) AS pooled_rate,
+           round(x2 / (g - 1), 4) AS dispersion_ratio,
+           round(greatest((x2 / (g - 1) - 1) / (nbar - 1), 0), 6)
+             AS icc_rho_estimate
+    FROM chi
+    """,
+    tags=("stats", "estimation", "agg"),
+)
+def q_beta_binomial_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-binomial overdispersion of per-nation return rates:
+    the χ²/(g−1) dispersion ratio against the binomial null (=1
+    if one global rate explains every nation) and the implied
+    intra-class correlation ρ̂ = (ratio−1)/(n̄−1) — the quantity
+    that shrinks effective sample size in clustered experiments
+    (kish_design_effect's deff = 1+(n̄−1)ρ is built from exactly
+    this ρ) and the dial empirical-Bayes smoothing
+    (bayes_smoothed_rate) implicitly sets. One group aggregate,
+    one 25-row reduction."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    outcome = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret")
+    )
+    grp = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(outcome, o["o_orderkey"] == outcome["l_orderkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("ret").cast("double").alias("k"),
+        )
+    )
+    pooled = grp.agg(
+        (F.sum("k") / F.sum("n")).alias("p"),
+        F.count("*").cast("double").alias("g"),
+    )
+    chi = grp.crossJoin(F.broadcast(pooled)).groupBy("p", "g").agg(
+        F.sum(
+            F.pow(F.col("k") - F.col("n") * F.col("p"), 2)
+            / (F.col("n") * F.col("p") * (1 - F.col("p")))
+        ).alias("x2"),
+        F.avg("n").alias("nbar"),
+    )
+    ratio = F.col("x2") / (F.col("g") - 1)
+    return chi.select(
+        F.col("g").cast("bigint").alias("n_groups"),
+        F.round("p", 5).alias("pooled_rate"),
+        F.round(ratio, 4).alias("dispersion_ratio"),
+        F.round(
+            F.greatest((ratio - 1) / (F.col("nbar") - 1), F.lit(0.0)), 6
+        ).alias("icc_rho_estimate"),
+    )
+
+
+@register(
+    "simpsons_paradox_screen",
+    oracle="""
+    WITH obs AS (
+      SELECT p_brand, l_discount AS x, CAST(l_quantity AS DOUBLE) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    pooled AS (SELECT regr_slope(y, x) AS b_pool FROM obs),
+    per_grp AS (
+      SELECT p_brand, regr_slope(y, x) AS b, CAST(count(*) AS BIGINT) AS n
+      FROM obs GROUP BY p_brand HAVING count(*) >= 30),
+    screen AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN sign(b) <> sign(b_pool)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sign_flips,
+             avg(b) AS mean_within_slope,
+             any_value(b_pool) AS b_pool
+      FROM per_grp, pooled GROUP BY b_pool)
+    SELECT n_groups, n_sign_flips,
+           round(b_pool, 6) AS pooled_slope,
+           round(mean_within_slope, 6) AS mean_within_slope,
+           sign(b_pool) <> sign(mean_within_slope) AS aggregate_paradox
+    FROM screen
+    """,
+    tags=("stats", "causal", "audit"),
+)
+def q_simpsons_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the pooled discount→quantity slope
+    against every brand's within-slope — counting groups whose
+    relationship has the OPPOSITE sign from the aggregate, plus the
+    aggregate_paradox flag for the full reversal where pooled and
+    mean-within disagree entirely (the confounding structure that
+    makes dashboard-level correlations actively misleading;
+    fixed_effects_within REMOVES the bias, this query DETECTS where
+    it lurks). One grouped regr_slope pass with a min-n floor so
+    sign estimates aren't noise; the screen is the cheap nightly
+    job that decides which drill-downs need a causal follow-up."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    obs = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand",
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").cast("double").alias("y"),
+    )
+    pooled = obs.agg(F.expr("regr_slope(y, x)").alias("b_pool"))
+    per_grp = (
+        obs.groupBy("p_brand")
+        .agg(
+            F.expr("regr_slope(y, x)").alias("b"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 30)
+    )
+    screen = per_grp.crossJoin(F.broadcast(pooled)).groupBy("b_pool").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(
+            F.when(F.signum("b") != F.signum("b_pool"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_sign_flips"),
+        F.avg("b").alias("mean_within_slope"),
+    )
+    return screen.select(
+        "n_groups",
+        "n_sign_flips",
+        F.round("b_pool", 6).alias("pooled_slope"),
+        F.round("mean_within_slope", 6).alias("mean_within_slope"),
+        (F.signum("b_pool") != F.signum("mean_within_slope")).alias(
+            "aggregate_paradox"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -23571,6 +23571,321 @@ def q_simpsons_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "psi_feature_panel",
+    oracle="""
+    WITH base AS (
+      SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+             o_totalprice,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+             month(CAST(o_orderdate AS DATE)) AS mo
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)),
+    stacked AS (
+      SELECT yr, 'totalprice_band' AS feature,
+             least(CAST(floor(o_totalprice / 50000) AS INT), 9) AS bin FROM base
+      UNION ALL SELECT yr, 'priority', pri FROM base
+      UNION ALL SELECT yr, 'weekday', dow FROM base
+      UNION ALL SELECT yr, 'month', mo FROM base),
+    hist AS (
+      SELECT feature, bin,
+             CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS DOUBLE) AS cr,
+             CAST(sum(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS DOUBLE) AS cc
+      FROM stacked GROUP BY 1, 2),
+    tot AS (
+      SELECT feature, sum(cr) AS nr, sum(cc) AS nc,
+             CAST(count(*) AS DOUBLE) AS b
+      FROM hist GROUP BY feature),
+    psi AS (
+      SELECT h.feature, CAST(t.b AS BIGINT) AS n_bins,
+             sum(((cc + 0.5) / (nc + 0.5 * b) - (cr + 0.5) / (nr + 0.5 * b))
+                 * ln(((cc + 0.5) / (nc + 0.5 * b))
+                      / ((cr + 0.5) / (nr + 0.5 * b)))) AS psi
+      FROM hist h JOIN tot t ON h.feature = t.feature
+      GROUP BY h.feature, t.b)
+    SELECT feature, n_bins, round(psi, 5) AS psi,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi < 0.25 THEN 'moderate' ELSE 'shifted' END AS verdict
+    FROM psi
+    """,
+    tags=("drift", "ml", "audit"),
+)
+def q_psi_feature_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability panel for FOUR features in ONE scan:
+    1996 vs 1997 PSI per feature (price band, priority, weekday,
+    month) with Laplace-smoothed bins and the standard
+    0.1/0.25 triage verdicts — the model-monitoring sweep that
+    production scoring runs nightly over every input column
+    (psi_drift does one feature; the panel shape is what actually
+    ships). The features are stacked into (feature, bin, period)
+    rows BEFORE the histogram aggregate, so N features cost one
+    fact pass + one shuffle keyed on (feature, bin) — adding a
+    feature adds zero scans."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year(F.col("o_orderdate").cast("date")).isin(1996, 1997)
+    )
+    base = o.select(
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        F.least(F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)).alias(
+            "totalprice_band"
+        ),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority"),
+        F.dayofweek(F.col("o_orderdate").cast("date")).alias("weekday"),
+        F.month(F.col("o_orderdate").cast("date")).alias("month"),
+    )
+    stacked = None
+    for feat in ("totalprice_band", "priority", "weekday", "month"):
+        piece = base.select(
+            "yr", F.lit(feat).alias("feature"), F.col(feat).alias("bin")
+        )
+        stacked = piece if stacked is None else stacked.unionAll(piece)
+    hist = stacked.groupBy("feature", "bin").agg(
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+        .cast("double")
+        .alias("cr"),
+        F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0))
+        .cast("double")
+        .alias("cc"),
+    )
+    tot = hist.groupBy("feature").agg(
+        F.sum("cr").alias("nr"),
+        F.sum("cc").alias("nc"),
+        F.count("*").cast("double").alias("b"),
+    )
+    pr = (F.col("cr") + 0.5) / (F.col("nr") + 0.5 * F.col("b"))
+    pc = (F.col("cc") + 0.5) / (F.col("nc") + 0.5 * F.col("b"))
+    psi = (
+        hist.join(F.broadcast(tot), "feature")
+        .groupBy("feature", "b")
+        .agg(F.sum((pc - pr) * F.log(pc / pr)).alias("psi"))
+    )
+    return psi.select(
+        "feature",
+        F.col("b").cast("bigint").alias("n_bins"),
+        F.round("psi", 5).alias("psi"),
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate")
+        .otherwise("shifted")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "rbo_rank_similarity",
+    oracle="""
+    WITH met AS (
+      SELECT n_name, sum(o_totalprice) AS rev,
+             CAST(count(*) AS DOUBLE) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1),
+    ranked AS (
+      SELECT n_name,
+             row_number() OVER (ORDER BY rev DESC, n_name) AS ra,
+             row_number() OVER (ORDER BY n_orders DESC, n_name) AS rb
+      FROM met),
+    depths AS (SELECT unnest(generate_series(1, 10)) AS d),
+    ovl AS (
+      SELECT d, CAST(sum(CASE WHEN ra <= d AND rb <= d THEN 1 ELSE 0 END)
+                     AS DOUBLE) AS a_d
+      FROM ranked CROSS JOIN depths GROUP BY d)
+    SELECT round((1 - 0.9) * sum(pow(0.9, d - 1) * a_d / d), 4)
+             AS rbo_at_10,
+           CAST(max(CASE WHEN d = 5 THEN a_d END) AS BIGINT) AS overlap_at_5,
+           CAST(max(CASE WHEN d = 10 THEN a_d END) AS BIGINT)
+             AS overlap_at_10
+    FROM ovl
+    """,
+    tags=("ranking", "eval", "agreement"),
+)
+def q_rbo_rank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between the
+    revenue-ranking and order-count-ranking of nations: top-weighted
+    agreement (1−p)Σp^{d−1}·|A_d∩B_d|/d with p=0.9, truncated at
+    depth 10 — the rank-similarity measure built for INDEFINITE
+    rankings where Kendall/Spearman (spearman_rank_corr) wrongly
+    weight position 500 as much as position 1 (search, recsys, and
+    top-k dashboards care almost only about the head). Prefix
+    overlaps at every depth come from one cross join with the tiny
+    depth relation — no per-depth re-rank."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    met = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum("o_totalprice").alias("rev"),
+            F.count("*").cast("double").alias("n_orders"),
+        )
+    )
+    ranked = met.select(
+        "n_name",
+        F.row_number().over(Window.orderBy(F.desc("rev"), "n_name")).alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_orders"), "n_name"))
+        .alias("rb"),
+    )
+    depths = spark.range(1, 11).select(F.col("id").cast("int").alias("d"))
+    overlaps = (
+        ranked.crossJoin(F.broadcast(depths))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when((F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")), 1)
+                .otherwise(0)
+            )
+            .cast("double")
+            .alias("a_d")
+        )
+    )
+    return overlaps.agg(
+        F.round(
+            (1 - 0.9)
+            * F.sum(F.pow(F.lit(0.9), F.col("d") - 1) * F.col("a_d") / F.col("d")),
+            4,
+        ).alias("rbo_at_10"),
+        F.max(F.when(F.col("d") == 5, F.col("a_d")))
+        .cast("bigint")
+        .alias("overlap_at_5"),
+        F.max(F.when(F.col("d") == 10, F.col("a_d")))
+        .cast("bigint")
+        .alias("overlap_at_10"),
+    )
+
+
+@register(
+    "logrank_test",
+    oracle="""
+    WITH horizon AS (SELECT max(CAST(ts AS DATE)) AS h,
+                            min(CAST(ts AS DATE)) AS t0 FROM events),
+    users AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT % 2
+               AS arm,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS ev
+      FROM events GROUP BY user_id),
+    t AS (
+      SELECT arm,
+             CASE WHEN ev IS NULL
+                  THEN date_diff('day', t0, h) + 1
+                  ELSE date_diff('day', t0, ev) END AS tt,
+             CASE WHEN ev IS NULL THEN 0 ELSE 1 END AS died
+      FROM users, horizon),
+    arms AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS na1
+      FROM t),
+    evt AS (
+      SELECT tt,
+             CAST(sum(CASE WHEN arm = 0 AND died = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS d0,
+             CAST(sum(CASE WHEN arm = 1 AND died = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS d1
+      FROM t WHERE died = 1 GROUP BY tt),
+    risk AS (
+      SELECT tt, d0, d1,
+             na0 - coalesce(sum(d0) OVER (ORDER BY tt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0,
+             na1 - coalesce(sum(d1) OVER (ORDER BY tt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+      FROM evt, arms),
+    lr AS (
+      SELECT sum(d1) AS o1,
+             sum((d0 + d1) * n1 / (n0 + n1)) AS e1,
+             sum((d0 + d1) * (n0 * n1) / pow(n0 + n1, 2)
+                 * (n0 + n1 - d0 - d1) / nullif(n0 + n1 - 1, 0)) AS v
+      FROM risk)
+    SELECT CAST(o1 AS BIGINT) AS observed_arm1,
+           round(e1, 2) AS expected_arm1,
+           round((o1 - e1) / sqrt(v), 4) AS logrank_z
+    FROM lr
+    """,
+    tags=("survival", "stats", "window"),
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between two hash-assigned arms on
+    time-to-first-purchase with right-censoring at the feed horizon:
+    at every event time the at-risk sets shrink by prior events
+    (suffix counts via a 1-preceding prefix window — censoring all
+    lands at the horizon, AFTER every event, so the risk sets need
+    no censor adjustment mid-stream), and Z = (O−E)/√V accumulates
+    the hypergeometric moments per risk table — the survival-curve
+    comparison kaplan_meier_conversion draws but cannot TEST. All
+    risk-set algebra runs on the |distinct event times| relation;
+    the fact table contributes one per-user min."""
+    e = _t(spark, sf_dir, "events")
+    horizon = e.agg(
+        F.max(F.to_date("ts")).alias("h"), F.min(F.to_date("ts")).alias("t0")
+    )
+    users = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("ev")
+    ).select(CUR.hash_bucket(F.col("user_id"), 2).alias("arm"), "ev")
+    t = users.crossJoin(F.broadcast(horizon)).select(
+        "arm",
+        F.when(
+            F.col("ev").isNull(), F.datediff(F.col("h"), F.col("t0")) + 1
+        )
+        .otherwise(F.datediff(F.col("ev"), F.col("t0")))
+        .alias("tt"),
+        F.when(F.col("ev").isNull(), 0).otherwise(1).alias("died"),
+    )
+    arms = t.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("na0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("na1"),
+    )
+    evt = (
+        t.filter(F.col("died") == 1)
+        .groupBy("tt")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("double")
+            .alias("d0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("double")
+            .alias("d1"),
+        )
+    )
+    wprev = Window.orderBy("tt").rowsBetween(Window.unboundedPreceding, -1)
+    risk = evt.crossJoin(F.broadcast(arms)).select(
+        "tt",
+        "d0",
+        "d1",
+        (
+            F.col("na0") - F.coalesce(F.sum("d0").over(wprev), F.lit(0.0))
+        ).alias("n0"),
+        (
+            F.col("na1") - F.coalesce(F.sum("d1").over(wprev), F.lit(0.0))
+        ).alias("n1"),
+    )
+    nn = F.col("n0") + F.col("n1")
+    dd = F.col("d0") + F.col("d1")
+    lr = risk.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(dd * F.col("n1") / nn).alias("e1"),
+        F.sum(
+            dd
+            * (F.col("n0") * F.col("n1"))
+            / F.pow(nn, 2)
+            * (nn - dd)
+            / F.nullif(nn - 1, F.lit(0.0))
+        ).alias("v"),
+    )
+    return lr.select(
+        F.col("o1").cast("bigint").alias("observed_arm1"),
+        F.round("e1", 2).alias("expected_arm1"),
+        F.round((F.col("o1") - F.col("e1")) / F.sqrt("v"), 4).alias("logrank_z"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

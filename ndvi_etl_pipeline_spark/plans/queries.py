@@ -23886,6 +23886,259 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hash_avalanche_audit",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               ::UBIGINT % 65536 AS hv
+      FROM orders),
+    bits AS (
+      SELECT i, j,
+             corr(CAST((hv // CAST(pow(2, i) AS BIGINT)) % 2 AS DOUBLE),
+                  CAST((hv // CAST(pow(2, j) AS BIGINT)) % 2 AS DOUBLE)) AS c,
+             avg(CAST((hv // CAST(pow(2, i) AS BIGINT)) % 2 AS DOUBLE)) AS bi
+      FROM h,
+           (SELECT unnest(generate_series(0, 15)) AS i),
+           (SELECT unnest(generate_series(0, 15)) AS j)
+      WHERE i < j GROUP BY i, j)
+    SELECT CAST(count(*) AS BIGINT) AS n_bit_pairs,
+           round(max(abs(c)), 4) AS max_abs_corr,
+           round(avg(abs(c)), 5) AS mean_abs_corr,
+           round(max(abs(bi - 0.5)), 4) AS max_bit_bias
+    FROM bits
+    """,
+    tags=("hash", "audit", "randomness"),
+)
+def q_hash_avalanche_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avalanche audit of the engine's md5-derived hash bits: all
+    120 pairwise correlations between the 16 low bits across keys,
+    plus per-bit bias from ½ — the independence property every
+    md5 device in this catalog (splits, sampling, salting, Bloom/
+    CMS, bootstrap draws) silently assumes, here MEASURED (max
+    |corr| should sit at the ~1/√n sampling-noise floor; a real
+    correlation would mean correlated Bloom bits, biased splits,
+    and broken variance formulas everywhere). The 16×16 bit grid
+    rides one cross join over the hashed relation — one scan, one
+    shuffle on the 120-pair key."""
+    o = _t(spark, sf_dir, "orders")
+    h = o.select(
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 65536
+        ).alias("hv")
+    )
+    iv = spark.range(0, 16).select(F.col("id").cast("int").alias("i"))
+    jv = spark.range(0, 16).select(F.col("id").cast("int").alias("j"))
+    grid = (
+        h.crossJoin(F.broadcast(iv))
+        .crossJoin(F.broadcast(jv))
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.expr("CAST(shiftright(hv, i) & 1 AS DOUBLE)").alias("bi"),
+            F.expr("CAST(shiftright(hv, j) & 1 AS DOUBLE)").alias("bj"),
+        )
+    )
+    bits = grid.groupBy("i", "j").agg(
+        F.corr("bi", "bj").alias("c"), F.avg("bi").alias("bavg")
+    )
+    return bits.agg(
+        F.count("*").cast("bigint").alias("n_bit_pairs"),
+        F.round(F.max(F.abs(F.col("c"))), 4).alias("max_abs_corr"),
+        F.round(F.avg(F.abs(F.col("c"))), 5).alias("mean_abs_corr"),
+        F.round(F.max(F.abs(F.col("bavg") - 0.5)), 4).alias("max_bit_bias"),
+    )
+
+
+@register(
+    "obrien_fleming_peeks",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  ::UBIGINT % 2 AS INT) AS arm,
+             o_totalprice AS y
+      FROM orders),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM obs),
+    looks AS (
+      SELECT k, d0 + CAST(floor(date_diff('day', d0, d1) * k / 5.0) AS INT)
+               AS cutoff
+      FROM bounds, (SELECT unnest(generate_series(1, 5)) AS k)),
+    cum AS (
+      SELECT k,
+             avg(CASE WHEN arm = 1 THEN y END)
+               - avg(CASE WHEN arm = 0 THEN y END) AS diff,
+             var_samp(CASE WHEN arm = 1 THEN y END) AS v1,
+             var_samp(CASE WHEN arm = 0 THEN y END) AS v0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0
+      FROM obs JOIN looks ON d <= cutoff GROUP BY k),
+    z AS (
+      SELECT k, n0 + n1 AS n_seen,
+             diff / sqrt(v1 / n1 + v0 / n0) AS zstat,
+             1.96 * sqrt(5.0 / k) AS obf_boundary
+      FROM cum)
+    SELECT CAST(k AS BIGINT) AS look,
+           CAST(n_seen AS BIGINT) AS n_orders_seen,
+           round(zstat, 4) AS z_statistic,
+           round(obf_boundary, 4) AS obf_boundary,
+           abs(zstat) > obf_boundary AS stop_here
+    FROM z
+    """,
+    tags=("experimentation", "stats", "sequence"),
+)
+def q_obrien_fleming_peeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitoring: five equally-
+    spaced interim looks at a hash-split A/B on order value, each
+    compared against the OBF boundary z·√(K/k) — brutally strict
+    early (≈4.38σ at look 1) and ≈nominal at the end, which is how
+    clinical trials and mature experiment platforms buy legal
+    peeking without SPRT's indefinite horizon
+    (sprt_boundary_crossing is the open-ended cousin; this one has
+    a fixed end date). Every look is the SAME scan joined against
+    the cutoff relation — five cumulative Welch z's from one
+    conditional-aggregate pass, no per-look re-query."""
+    o = _t(spark, sf_dir, "orders")
+    obs = o.select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        CUR.hash_bucket(F.col("o_custkey"), 2).alias("arm"),
+        F.col("o_totalprice").alias("y"),
+    )
+    bounds = obs.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    ks = spark.range(1, 6).select(F.col("id").cast("int").alias("k"))
+    looks = bounds.crossJoin(F.broadcast(ks)).select(
+        "k",
+        F.date_add(
+            F.col("d0"),
+            F.floor(F.datediff(F.col("d1"), F.col("d0")) * F.col("k") / 5.0).cast(
+                "int"
+            ),
+        ).alias("cutoff"),
+    )
+    cum = (
+        obs.join(F.broadcast(looks), obs["d"] <= F.col("cutoff"))
+        .groupBy("k")
+        .agg(
+            (
+                F.avg(F.when(F.col("arm") == 1, F.col("y")))
+                - F.avg(F.when(F.col("arm") == 0, F.col("y")))
+            ).alias("diff"),
+            F.var_samp(F.when(F.col("arm") == 1, F.col("y"))).alias("v1"),
+            F.var_samp(F.when(F.col("arm") == 0, F.col("y"))).alias("v0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("double")
+            .alias("n1"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("double")
+            .alias("n0"),
+        )
+    )
+    zstat = F.col("diff") / F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0"))
+    bnd = 1.96 * F.sqrt(5.0 / F.col("k"))
+    return cum.select(
+        F.col("k").cast("bigint").alias("look"),
+        (F.col("n0") + F.col("n1")).cast("bigint").alias("n_orders_seen"),
+        F.round(zstat, 4).alias("z_statistic"),
+        F.round(bnd, 4).alias("obf_boundary"),
+        (F.abs(zstat) > bnd).alias("stop_here"),
+    )
+
+
+@register(
+    "effect_size_family",
+    oracle="""
+    WITH obs AS (
+      SELECT CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)
+                  THEN 1 ELSE 0 END AS g,
+             o_totalprice AS y, o_orderkey
+      FROM orders),
+    mom AS (
+      SELECT avg(CASE WHEN g = 1 THEN y END) AS m1,
+             avg(CASE WHEN g = 0 THEN y END) AS m0,
+             var_samp(CASE WHEN g = 1 THEN y END) AS v1,
+             var_samp(CASE WHEN g = 0 THEN y END) AS v0,
+             CAST(sum(g) AS DOUBLE) AS n1,
+             CAST(sum(1 - g) AS DOUBLE) AS n0
+      FROM obs),
+    ranked AS (
+      SELECT g, CAST(row_number() OVER (ORDER BY y, o_orderkey) AS DOUBLE)
+               AS rk
+      FROM obs),
+    u AS (
+      SELECT sum(CASE WHEN g = 1 THEN rk ELSE 0 END) AS r1 FROM ranked),
+    eff AS (
+      SELECT (m1 - m0)
+               / sqrt(((n1 - 1) * v1 + (n0 - 1) * v0) / (n1 + n0 - 2)) AS d,
+             n1, n0, r1
+      FROM mom, u)
+    SELECT round(d, 5) AS cohens_d,
+           round(d * (1 - 3 / (4 * (n1 + n0) - 9)), 5) AS hedges_g,
+           round(2 * (r1 - n1 * (n1 + 1) / 2) / (n1 * n0) - 1, 5)
+             AS cliffs_delta
+    FROM eff
+    """,
+    tags=("stats", "experimentation", "eval"),
+)
+def q_effect_size_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The effect-size triple for the weekend contrast: Cohen's d
+    (pooled-SD standardized difference), Hedges' g (the small-
+    sample bias correction d·(1−3/(4N−9)) every meta-analysis
+    requires), and Cliff's δ = 2·U/(n₁n₀)−1 (the ordinal,
+    outlier-immune P(X>Y)−P(X<Y), derived from the same rank sum
+    as auc_rank_sum: δ = 2·AUC−1) — the numbers that say HOW BIG,
+    which the entire p-value tier deliberately does not
+    (significance at scale is guaranteed; effect size is the
+    decision input). Moments from one conditional aggregate, the
+    rank sum from one ordering — and the docstring convention
+    stands: at fact scale the global rank uses the two-pass
+    range-partition prefix sum, not a single-task sort."""
+    o = _t(spark, sf_dir, "orders")
+    obs = o.select(
+        F.when(
+            F.dayofweek(F.col("o_orderdate").cast("date")).isin(1, 7), 1
+        )
+        .otherwise(0)
+        .alias("g"),
+        F.col("o_totalprice").alias("y"),
+        "o_orderkey",
+    )
+    mom = obs.agg(
+        F.avg(F.when(F.col("g") == 1, F.col("y"))).alias("m1"),
+        F.avg(F.when(F.col("g") == 0, F.col("y"))).alias("m0"),
+        F.var_samp(F.when(F.col("g") == 1, F.col("y"))).alias("v1"),
+        F.var_samp(F.when(F.col("g") == 0, F.col("y"))).alias("v0"),
+        F.sum("g").cast("double").alias("n1"),
+        F.sum(1 - F.col("g")).cast("double").alias("n0"),
+    )
+    ranked = obs.select(
+        "g",
+        F.row_number().over(Window.orderBy("y", "o_orderkey")).cast("double").alias("rk"),
+    )
+    u = ranked.agg(
+        F.sum(F.when(F.col("g") == 1, F.col("rk")).otherwise(0.0)).alias("r1")
+    )
+    d = (F.col("m1") - F.col("m0")) / F.sqrt(
+        ((F.col("n1") - 1) * F.col("v1") + (F.col("n0") - 1) * F.col("v0"))
+        / (F.col("n1") + F.col("n0") - 2)
+    )
+    return mom.crossJoin(F.broadcast(u)).select(
+        F.round(d, 5).alias("cohens_d"),
+        F.round(d * (1 - 3 / (4 * (F.col("n1") + F.col("n0")) - 9)), 5).alias(
+            "hedges_g"
+        ),
+        F.round(
+            2
+            * (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2)
+            / (F.col("n1") * F.col("n0"))
+            - 1,
+            5,
+        ).alias("cliffs_delta"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

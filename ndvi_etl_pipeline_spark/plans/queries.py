@@ -24139,6 +24139,237 @@ def q_effect_size_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tukey_hsd_years",
+    oracle="""
+    WITH obs AS (
+      SELECT year(CAST(o_orderdate AS DATE)) AS yr, o_totalprice AS y
+      FROM orders
+      WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1995 AND 1999),
+    grp AS (
+      SELECT yr, avg(y) AS m, var_samp(y) AS v,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM obs GROUP BY yr),
+    mse AS (
+      SELECT sum((n - 1) * v) / sum(n - 1) AS mse FROM grp),
+    pairs AS (
+      SELECT a.yr AS yr1, b.yr AS yr2,
+             abs(a.m - b.m) AS diff,
+             3.858 * sqrt(mse / 2 * (1 / a.n + 1 / b.n)) AS hsd
+      FROM grp a JOIN grp b ON a.yr < b.yr, mse)
+    SELECT CAST(yr1 AS BIGINT) AS yr1, CAST(yr2 AS BIGINT) AS yr2,
+           round(diff, 2) AS mean_diff,
+           round(hsd, 2) AS hsd_threshold,
+           diff > hsd AS significant
+    FROM pairs ORDER BY yr1, yr2
+    """,
+    tags=("stats", "experimentation", "rank"),
+)
+def q_tukey_hsd_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc on the five-year mean order values: every
+    pairwise difference against the honestly-significant-difference
+    threshold q·√(MSE/2·(1/nᵢ+1/nⱼ)) with the studentized-range
+    q(0.95, k=5, ∞)=3.858 — the multiple-comparison control that
+    running ten Welch t-tests at α=0.05 silently lacks (family-wise
+    error ≈40% uncorrected; cf. benjamini_hochberg_fdr for the FDR
+    alternative when k is large). Pooled MSE from one grouped
+    moment pass; the pair matrix is a 10-row self-join of the
+    5-row group relation."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year(F.col("o_orderdate").cast("date")).between(1995, 1999)
+    )
+    grp = o.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).alias("yr")
+    ).agg(
+        F.avg("o_totalprice").alias("m"),
+        F.var_samp("o_totalprice").alias("v"),
+        F.count("*").cast("double").alias("n"),
+    )
+    mse = grp.agg(
+        (F.sum((F.col("n") - 1) * F.col("v")) / F.sum(F.col("n") - 1)).alias("mse")
+    )
+    a = grp.select(
+        F.col("yr").alias("yr1"), F.col("m").alias("m1"), F.col("n").alias("n1")
+    )
+    b = grp.select(
+        F.col("yr").alias("yr2"), F.col("m").alias("m2"), F.col("n").alias("n2")
+    )
+    hsd = 3.858 * F.sqrt(F.col("mse") / 2 * (1 / F.col("n1") + 1 / F.col("n2")))
+    diff = F.abs(F.col("m1") - F.col("m2"))
+    return (
+        a.join(b, F.col("yr1") < F.col("yr2"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            F.col("yr1").cast("bigint").alias("yr1"),
+            F.col("yr2").cast("bigint").alias("yr2"),
+            F.round(diff, 2).alias("mean_diff"),
+            F.round(hsd, 2).alias("hsd_threshold"),
+            (diff > hsd).alias("significant"),
+        )
+        .orderBy("yr1", "yr2")
+    )
+
+
+@register(
+    "business_days_lag",
+    oracle="""
+    WITH lags AS (
+      SELECT o_orderpriority,
+             CAST(o_orderdate AS DATE) AS d0,
+             CAST(l_shipdate AS DATE) AS d1
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)),
+    biz AS (
+      SELECT o_orderpriority,
+             (5 * (date_diff('day', DATE '1990-01-01', d1) // 7)
+              + least(date_diff('day', DATE '1990-01-01', d1) % 7 + 1, 5))
+             - (5 * (date_diff('day', DATE '1990-01-01', d0) // 7)
+              + least(date_diff('day', DATE '1990-01-01', d0) % 7 + 1, 5))
+               AS bd
+      FROM lags)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(avg(bd), 3) AS mean_business_days,
+           round(CAST(quantile_cont(bd, 0.9) AS DOUBLE), 1)
+             AS p90_business_days
+    FROM biz GROUP BY o_orderpriority
+    """,
+    tags=("date", "sre", "agg"),
+)
+def q_business_days_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship lag in BUSINESS days, computed in closed form as
+    a difference of weekday PREFIX counts from a fixed Monday epoch
+    (W(d) = 5⌊k/7⌋ + min(k mod 7 + 1, 5)) — no calendar dimension
+    table, no generate_series explosion per row (the join-a-
+    calendar formulation multiplies the fact table by the average
+    lag; this is one codegen expression per row, validated against
+    a brute-force day walk). The prefix-function trick generalizes:
+    any periodic calendar predicate becomes a closed-form count.
+    SLA reporting per priority with the p90 that ops actually
+    alerts on."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lags = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.col("l_shipdate").cast("date").alias("d1"),
+        )
+        .filter(F.col("d1") >= F.col("d0"))
+    )
+    # Weekday prefix count from a Monday epoch (1990-01-01):
+    # W(d) = 5*floor(k/7) + min(k%7 + 1, 5) with k = days since epoch;
+    # business days in (d0, d1] = W(d1) - W(d0). Validated cell-by-cell
+    # against a brute-force day walk over 294 date pairs.
+    epoch = F.lit("1990-01-01").cast("date")
+
+    def wdays(col):
+        k = F.datediff(col, epoch)
+        return 5 * F.floor(k / 7).cast("long") + F.least(
+            k % 7 + 1, F.lit(5)
+        )
+
+    bd = wdays(F.col("d1")) - wdays(F.col("d0"))
+    biz = lags.select("o_orderpriority", bd.alias("bd"))
+    return biz.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_lineitems"),
+        F.round(F.avg("bd"), 3).alias("mean_business_days"),
+        F.round(F.expr("percentile(bd, 0.9)"), 1).alias("p90_business_days"),
+    )
+
+
+@register(
+    "embedding_isotropy",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, CAST(i AS INT) AS pos,
+             embedding[CAST(i AS INT)]::DOUBLE AS v
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+    mu AS (SELECT pos, avg(v) AS m FROM dims GROUP BY pos),
+    cent AS (
+      SELECT vec_id, pos, v, v - m AS vc
+      FROM dims JOIN mu USING (pos)),
+    norms AS (
+      SELECT vec_id, sqrt(sum(v * v)) AS nr, sqrt(sum(vc * vc)) AS nc
+      FROM cent GROUP BY vec_id),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 250),
+    dots AS (
+      SELECT p.i, p.j,
+             sum(ca.v * cb.v) AS dr, sum(ca.vc * cb.vc) AS dc
+      FROM pairs p JOIN cent ca ON ca.vec_id = p.i
+      JOIN cent cb ON cb.vec_id = p.j AND ca.pos = cb.pos
+      GROUP BY p.i, p.j),
+    cs AS (
+      SELECT d.dr / (na.nr * nb.nr) AS cos_raw,
+             d.dc / (na.nc * nb.nc) AS cos_cent
+      FROM dots d JOIN norms na ON na.vec_id = d.i
+      JOIN norms nb ON nb.vec_id = d.j)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(cos_raw), 4) AS mean_cosine_raw,
+           round(avg(cos_cent), 4) AS mean_cosine_centered,
+           round(avg(cos_raw) - avg(cos_cent), 4) AS anisotropy_gap
+    FROM cs
+    """,
+    tags=("embeddings", "ml", "audit"),
+)
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy audit (Ethayarajh): mean cosine between
+    disjoint vector pairs, RAW vs after mean-centering — a large
+    raw mean cosine means every vector shares a dominant common
+    direction, so cosine similarity degenerates (everything looks
+    similar to everything, the failure mode that silently breaks
+    ann_bruteforce_topk's rankings) and the drop after centering
+    measures exactly how much of the geometry was that artifact.
+    Centering is a 64-row broadcast subtract; the pair dots reuse
+    the exploded-dims join shape on 250 disjoint pairs."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("v"))
+    mu = dims.groupBy("pos").agg(F.avg("v").alias("m"))
+    cent = dims.join(F.broadcast(mu), "pos").select(
+        "vec_id", "pos", "v", (F.col("v") - F.col("m")).alias("vc")
+    )
+    norms = cent.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nr"),
+        F.sqrt(F.sum(F.col("vc") * F.col("vc"))).alias("nc"),
+    )
+    pairs = e.select(F.col("vec_id").alias("i")).join(
+        e.select((F.col("vec_id") - 250).alias("i"), F.col("vec_id").alias("j")),
+        "i",
+    )
+    ca = cent.select(F.col("vec_id").alias("i"), "pos", F.col("v").alias("va"), F.col("vc").alias("vca"))
+    cb = cent.select(F.col("vec_id").alias("j"), "pos", F.col("v").alias("vb"), F.col("vc").alias("vcb"))
+    dots = (
+        pairs.join(ca, "i")
+        .join(cb, ["j", "pos"])
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("dr"),
+            F.sum(F.col("vca") * F.col("vcb")).alias("dc"),
+        )
+    )
+    na = norms.select(F.col("vec_id").alias("i"), F.col("nr").alias("nra"), F.col("nc").alias("nca"))
+    nb = norms.select(F.col("vec_id").alias("j"), F.col("nr").alias("nrb"), F.col("nc").alias("ncb"))
+    cs = (
+        dots.join(na, "i")
+        .join(nb, "j")
+        .select(
+            (F.col("dr") / (F.col("nra") * F.col("nrb"))).alias("cos_raw"),
+            (F.col("dc") / (F.col("nca") * F.col("ncb"))).alias("cos_cent"),
+        )
+    )
+    return cs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("cos_raw"), 4).alias("mean_cosine_raw"),
+        F.round(F.avg("cos_cent"), 4).alias("mean_cosine_centered"),
+        F.round(F.avg("cos_raw") - F.avg("cos_cent"), 4).alias("anisotropy_gap"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

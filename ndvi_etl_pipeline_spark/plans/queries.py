@@ -24370,6 +24370,262 @@ def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mcnemar_filters",
+    oracle="""
+    WITH scored AS (
+      SELECT n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+               AS words
+      FROM documents),
+    med AS (
+      SELECT CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS mc,
+             CAST(quantile_cont(words, 0.5) AS DOUBLE) AS mw
+      FROM scored),
+    rated AS (
+      SELECT CASE WHEN n_chars > mc THEN 1 ELSE 0 END AS ra,
+             CASE WHEN words > mw THEN 1 ELSE 0 END AS rb
+      FROM scored, med),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS b,
+             CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS c
+      FROM rated)
+    SELECT n AS n_docs, CAST(b AS BIGINT) AS only_filter_a,
+           CAST(c AS BIGINT) AS only_filter_b,
+           round(pow(abs(b - c) - 1, 2) / nullif(b + c, 0), 4)
+             AS mcnemar_chi2,
+           pow(abs(b - c) - 1, 2) / nullif(b + c, 0) > 3.841
+             AS filters_differ_5pct
+    FROM cells
+    """,
+    tags=("stats", "agreement", "quality"),
+)
+def q_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the same two quality filters Cohen's κ
+    compares (cohens_kappa_filters): κ asks whether they AGREE;
+    McNemar asks whether they disagree ASYMMETRICALLY — only the
+    discordant cells enter (|b−c|−1)²/(b+c), so a filter that
+    passes strictly more documents than the other is caught even
+    when agreement is high. This is the paired test for comparing
+    two classifiers on the same examples (the unpaired chi-square
+    would wrongly treat the corpora as independent); continuity-
+    corrected, one conditional aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "n_chars", TXT.token_count(F.col("text")).cast("double").alias("words")
+    )
+    med = scored.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("mc"),
+        F.expr("percentile(words, 0.5)").alias("mw"),
+    )
+    rated = scored.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("n_chars") > F.col("mc"), 1).otherwise(0).alias("ra"),
+        F.when(F.col("words") > F.col("mw"), 1).otherwise(0).alias("rb"),
+    )
+    cells = rated.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("b"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("c"),
+    )
+    chi2 = F.pow(F.abs(F.col("b") - F.col("c")) - 1, 2) / F.nullif(
+        F.col("b") + F.col("c"), F.lit(0.0)
+    )
+    return cells.select(
+        F.col("n").alias("n_docs"),
+        F.col("b").cast("bigint").alias("only_filter_a"),
+        F.col("c").cast("bigint").alias("only_filter_b"),
+        F.round(chi2, 4).alias("mcnemar_chi2"),
+        (chi2 > 3.841).alias("filters_differ_5pct"),
+    )
+
+
+@register(
+    "dbscan_core_cells",
+    oracle="""
+    WITH pts AS (
+      SELECT embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+      FROM embeddings),
+    cells AS (
+      SELECT CAST(floor(x / 0.5) AS BIGINT) AS cx,
+             CAST(floor(y / 0.5) AS BIGINT) AS cy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2),
+    offsets AS (
+      SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx),
+                        (SELECT unnest([-1, 0, 1]) AS dy)),
+    nbr AS (
+      SELECT c.cx, c.cy, any_value(c.n) AS own,
+             sum(o.n) AS hood
+      FROM cells c CROSS JOIN offsets
+      JOIN cells o ON o.cx = c.cx + dx AND o.cy = c.cy + dy
+      GROUP BY c.cx, c.cy),
+    core AS (SELECT cx, cy, own FROM nbr WHERE hood >= 12),
+    border AS (
+      SELECT DISTINCT n.cx, n.cy, n.own
+      FROM nbr n CROSS JOIN offsets
+      JOIN core k ON k.cx = n.cx + dx AND k.cy = n.cy + dy
+      WHERE n.hood < 12)
+    SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST((SELECT count(*) FROM core) AS BIGINT) AS n_core_cells,
+           CAST((SELECT count(*) FROM border) AS BIGINT) AS n_border_cells,
+           CAST((SELECT coalesce(sum(own), 0) FROM core) AS BIGINT)
+             AS points_in_core,
+           CAST((SELECT coalesce(sum(own), 0) FROM border) AS BIGINT)
+             AS points_in_border
+    """,
+    tags=("spatial", "clustering", "grid"),
+)
+def q_dbscan_core_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based DBSCAN density classification on the embedding
+    cloud's first two dimensions: cells whose 3×3 neighborhood
+    holds ≥ minPts points are CORE, non-core cells adjacent to a
+    core cell are BORDER, the rest is noise — the density-based
+    clustering view that finds arbitrary-shaped clusters k-means
+    (kmeans_clusters) cannot, expressed entirely as cell-key
+    equi-joins (the 9-offset neighbor join is the same
+    halo-exchange shape as the raster focal operators,
+    operators/focal.py). Grid quantization is what makes DBSCAN
+    distributable: density queries become hash lookups on cell
+    ids instead of radius searches."""
+    e = _t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("x") / 0.5).cast("long").alias("cx"),
+        F.floor(F.col("y") / 0.5).cast("long").alias("cy"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    c = cells.select(
+        F.col("cx").alias("ccx"), F.col("cy").alias("ccy"), F.col("n").alias("own")
+    )
+    nbr = (
+        c.crossJoin(F.broadcast(offsets))
+        .join(
+            cells,
+            (F.col("cx") == F.col("ccx") + F.col("dx"))
+            & (F.col("cy") == F.col("ccy") + F.col("dy")),
+        )
+        .groupBy("ccx", "ccy")
+        .agg(F.first("own").alias("own"), F.sum("n").alias("hood"))
+    )
+    core = nbr.filter(F.col("hood") >= 12).select("ccx", "ccy", "own")
+    noncore = nbr.filter(F.col("hood") < 12).select("ccx", "ccy", "own")
+    border = (
+        noncore.crossJoin(F.broadcast(offsets))
+        .join(
+            core.select(F.col("ccx").alias("kx"), F.col("ccy").alias("ky")),
+            (F.col("kx") == F.col("ccx") + F.col("dx"))
+            & (F.col("ky") == F.col("ccy") + F.col("dy")),
+        )
+        .select("ccx", "ccy", "own")
+        .distinct()
+    )
+    n_cells = cells.agg(F.count("*").alias("v"))
+    n_core = core.agg(F.count("*").alias("v"), F.coalesce(F.sum("own"), F.lit(0)).alias("p"))
+    n_border = border.agg(
+        F.count("*").alias("v"), F.coalesce(F.sum("own"), F.lit(0)).alias("p")
+    )
+    return (
+        n_cells.select(F.col("v").cast("bigint").alias("n_cells"))
+        .crossJoin(
+            n_core.select(
+                F.col("v").cast("bigint").alias("n_core_cells"),
+                F.col("p").cast("bigint").alias("points_in_core"),
+            )
+        )
+        .crossJoin(
+            n_border.select(
+                F.col("v").cast("bigint").alias("n_border_cells"),
+                F.col("p").cast("bigint").alias("points_in_border"),
+            )
+        )
+        .select(
+            "n_cells",
+            "n_core_cells",
+            "n_border_cells",
+            "points_in_core",
+            "points_in_border",
+        )
+    )
+
+
+@register(
+    "hodges_lehmann_shift",
+    oracle="""
+    WITH hr AS (
+      SELECT l_quantity AS v, CAST(count(*) AS DOUBLE) AS c
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+    hn AS (
+      SELECT l_quantity AS v, CAST(count(*) AS DOUBLE) AS c
+      FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1),
+    diffs AS (
+      SELECT hr.v - hn.v AS d, sum(hr.c * hn.c) AS w
+      FROM hr CROSS JOIN hn GROUP BY hr.v - hn.v),
+    tot AS (SELECT sum(w) AS tw FROM diffs),
+    cum AS (
+      SELECT d, sum(w) OVER (ORDER BY d) AS cw, tw
+      FROM diffs, tot)
+    SELECT CAST((SELECT tw FROM tot) AS BIGINT) AS n_pairs,
+           round(min(CASE WHEN cw >= tw / 2 THEN d END), 1)
+             AS hodges_lehmann_shift
+    FROM cum
+    """,
+    tags=("stats", "robust", "median"),
+)
+def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimator between returned and normal
+    line quantities: the MEDIAN of all cross-group differences —
+    the location estimator associated with the Wilcoxon/Mann-
+    Whitney family (wilcoxon_signed_rank tests; HL says BY HOW
+    MUCH), 50% breakdown-robust where the difference-of-means is
+    not. The 10¹⁰ conceptual pairs collapse onto the value-
+    histogram cross product (≤50×50 cells → ≤99 distinct
+    differences), and the weighted median is a prefix window over
+    that tiny relation — the same histogram collapse as
+    kendall_tau_b and energy_distance_two_sample, the house style
+    for quadratic statistics at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    hr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_quantity").alias("v"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    hn = (
+        li.filter(F.col("l_returnflag") == "N")
+        .groupBy(F.col("l_quantity").alias("v"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    a = hr.select(F.col("v").alias("vr"), F.col("c").alias("cr"))
+    b = hn.select(F.col("v").alias("vn"), F.col("c").alias("cn"))
+    diffs = (
+        a.crossJoin(b)
+        .groupBy((F.col("vr") - F.col("vn")).alias("d"))
+        .agg(F.sum(F.col("cr") * F.col("cn")).alias("w"))
+    )
+    tot = diffs.agg(F.sum("w").alias("tw"))
+    wv = Window.orderBy("d")
+    cum = diffs.crossJoin(F.broadcast(tot)).select(
+        "d", F.sum("w").over(wv).alias("cw"), "tw"
+    )
+    return cum.agg(
+        F.first("tw").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.min(F.when(F.col("cw") >= F.col("tw") / 2, F.col("d"))), 1
+        ).alias("hodges_lehmann_shift"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

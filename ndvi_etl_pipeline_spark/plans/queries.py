@@ -24626,6 +24626,255 @@ def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "newey_west_se",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    st AS (SELECT avg(v) AS mu, CAST(count(*) AS DOUBLE) AS n FROM daily),
+    dev AS (
+      SELECT d, v - mu AS e,
+             lag(v - mu, 1) OVER (ORDER BY d) AS e1,
+             lag(v - mu, 2) OVER (ORDER BY d) AS e2,
+             lag(v - mu, 3) OVER (ORDER BY d) AS e3,
+             lag(v - mu, 4) OVER (ORDER BY d) AS e4,
+             lag(v - mu, 5) OVER (ORDER BY d) AS e5,
+             lag(v - mu, 6) OVER (ORDER BY d) AS e6,
+             lag(v - mu, 7) OVER (ORDER BY d) AS e7
+      FROM daily, st),
+    gam AS (
+      SELECT avg(e * e) AS g0,
+             avg(e * e1) AS g1, avg(e * e2) AS g2, avg(e * e3) AS g3,
+             avg(e * e4) AS g4, avg(e * e5) AS g5, avg(e * e6) AS g6,
+             avg(e * e7) AS g7,
+             any_value(n) AS n
+      FROM dev, st GROUP BY n),
+    lrv AS (
+      SELECT n, g0,
+             g0 + 2 * ((1 - 1 / 8.0) * g1 + (1 - 2 / 8.0) * g2
+                     + (1 - 3 / 8.0) * g3 + (1 - 4 / 8.0) * g4
+                     + (1 - 5 / 8.0) * g5 + (1 - 6 / 8.0) * g6
+                     + (1 - 7 / 8.0) * g7) AS s2nw
+      FROM gam)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(sqrt(g0 / n), 2) AS naive_se,
+           round(sqrt(s2nw / n), 2) AS newey_west_se,
+           round(sqrt(s2nw / g0), 4) AS se_inflation
+    FROM lrv
+    """,
+    tags=("timeseries", "stats", "robust"),
+)
+def q_newey_west_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (HAC) standard error of the mean daily revenue:
+    the long-run variance γ₀+2Σ(1−k/(L+1))γₖ with Bartlett weights
+    at L=7 lags — the correction that makes confidence intervals
+    honest when observations autocorrelate (the naive σ/√n is
+    anti-conservative by exactly the se_inflation factor whenever
+    acf_daily_revenue shows positive lag-1; every time-series KPI
+    'significance' claim silently needs this). Lag products come
+    from 7 lag columns in ONE window pass; the autocovariances are
+    one aggregate — the same |dates|-relation discipline as the
+    rest of the series tier."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    st = daily.agg(F.avg("v").alias("mu"), F.count("*").cast("double").alias("n"))
+    w = Window.orderBy("d")
+    e = F.col("v") - F.col("mu")
+    dev = daily.crossJoin(F.broadcast(st)).select(
+        "n",
+        e.alias("e"),
+        *[F.lag(e, k).over(w).alias(f"e{k}") for k in range(1, 8)],
+    )
+    gam = dev.groupBy("n").agg(
+        F.avg(F.col("e") * F.col("e")).alias("g0"),
+        *[
+            F.avg(F.col("e") * F.col(f"e{k}")).alias(f"g{k}")
+            for k in range(1, 8)
+        ],
+    )
+    s2nw = F.col("g0") + 2 * sum(
+        (1 - k / 8.0) * F.col(f"g{k}") for k in range(1, 8)
+    )
+    return gam.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.sqrt(F.col("g0") / F.col("n")), 2).alias("naive_se"),
+        F.round(F.sqrt(s2nw / F.col("n")), 2).alias("newey_west_se"),
+        F.round(F.sqrt(s2nw / F.col("g0")), 4).alias("se_inflation"),
+    )
+
+
+@register(
+    "kingman_vut_estimate",
+    oracle="""
+    WITH arr AS (
+      SELECT epoch_us(ts) / 1e6 AS t
+      FROM events),
+    gaps AS (
+      SELECT t - lag(t) OVER (ORDER BY t) AS ia
+      FROM arr QUALIFY ia IS NOT NULL AND ia > 0),
+    scv AS (
+      SELECT avg(ia) AS mia, var_samp(ia) / pow(avg(ia), 2) AS ca2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM gaps),
+    rhos AS (SELECT unnest([0.7, 0.8, 0.9]) AS rho)
+    SELECT round(mia, 3) AS mean_interarrival_s,
+           round(ca2, 4) AS arrival_scv,
+           CAST(rho * 100 AS BIGINT) AS utilization_pct,
+           round((rho / (1 - rho)) * (ca2 + 0) / 2 * (rho * mia), 3)
+             AS kingman_wait_s
+    FROM scv CROSS JOIN rhos
+    """,
+    tags=("sre", "queueing", "window"),
+)
+def q_kingman_vut_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kingman's VUT approximation from the measured event stream:
+    wait ≈ (ρ/(1−ρ)) · (c_a²+c_s²)/2 · service-time, with the
+    arrival SCV c_a² MEASURED from interarrival gaps (c_a²=1 is
+    Poisson; the heavy factor is burstiness — burstiness_fano's
+    counting-view twin) and deterministic service (c_s²=0) at
+    three utilization scenarios — the factory-physics formula that
+    says WHY 90% utilization queues explode (the ρ/(1−ρ)
+    hockey-stick) and erlang_c_staffing's M/M/N the general-
+    arrival sanity check. Interarrivals are one lag window over
+    the event-time ordering; at fact scale the gap computation
+    partitions by day/shard first."""
+    e = _t(spark, sf_dir, "events")
+    arr = e.select((F.unix_micros("ts") / 1e6).alias("t"))
+    w = Window.orderBy("t")
+    gaps = arr.select((F.col("t") - F.lag("t").over(w)).alias("ia")).filter(
+        F.col("ia").isNotNull() & (F.col("ia") > 0)
+    )
+    scv = gaps.agg(
+        F.avg("ia").alias("mia"),
+        (F.var_samp("ia") / F.pow(F.avg("ia"), 2)).alias("ca2"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    rhos = spark.createDataFrame([(0.7,), (0.8,), (0.9,)], "rho double")
+    wait = (F.col("rho") / (1 - F.col("rho"))) * (F.col("ca2") + 0) / 2 * (
+        F.col("rho") * F.col("mia")
+    )
+    return scv.crossJoin(F.broadcast(rhos)).select(
+        F.round("mia", 3).alias("mean_interarrival_s"),
+        F.round("ca2", 4).alias("arrival_scv"),
+        (F.col("rho") * 100).cast("bigint").alias("utilization_pct"),
+        F.round(wait, 3).alias("kingman_wait_s"),
+    )
+
+
+@register(
+    "successive_halving_replay",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events),
+    phased AS (
+      SELECT event_type AS arm, value,
+             least(CAST(floor(3.0 * date_diff('day', d0, CAST(ts AS DATE))
+                   / (date_diff('day', d0, d1) + 1)) AS INT), 2) AS phase
+      FROM events, bounds
+      WHERE event_type IN ('view', 'click', 'signup', 'error')),
+    p0 AS (
+      SELECT arm, avg(value) AS m FROM phased WHERE phase = 0 GROUP BY arm),
+    keep0 AS (
+      SELECT arm FROM (
+        SELECT arm, row_number() OVER (ORDER BY m DESC, arm) AS rk FROM p0)
+      WHERE rk <= 2),
+    p1 AS (
+      SELECT arm, avg(value) AS m FROM phased
+      WHERE phase = 1 AND arm IN (SELECT arm FROM keep0) GROUP BY arm),
+    keep1 AS (
+      SELECT arm FROM (
+        SELECT arm, row_number() OVER (ORDER BY m DESC, arm) AS rk FROM p1)
+      WHERE rk <= 1),
+    final AS (
+      SELECT arm, avg(value) AS m FROM phased
+      WHERE phase = 2 AND arm IN (SELECT arm FROM keep1) GROUP BY arm),
+    truth AS (
+      SELECT arm, row_number() OVER (ORDER BY avg(value) DESC, arm)
+               AS true_rank
+      FROM phased GROUP BY arm)
+    SELECT f.arm AS winner,
+           round(f.m, 4) AS final_phase_value,
+           CAST(t.true_rank AS BIGINT) AS winner_true_rank
+    FROM final f JOIN truth t ON f.arm = t.arm
+    """,
+    tags=("ml", "bandit", "sequence"),
+)
+def q_successive_halving_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive halving (the Hyperband inner loop) replayed on the
+    event log: four arms, three equal time phases, half the arms
+    eliminated after each phase by observed mean value — the
+    budget-efficient tournament that spends ~log₂(k) phase-budgets
+    where full evaluation spends k, at the risk the replay
+    measures: winner_true_rank > 1 means an early phase eliminated
+    the eventually-best arm on noise (the known failure mode that
+    motivates Hyperband's multiple brackets). Each phase is a
+    conditional aggregate gated by the previous phase's top-k —
+    a semi-join chain, no per-phase re-scan of eliminated arms'
+    history."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "signup", "error")
+    )
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    phased = e.crossJoin(F.broadcast(bounds)).select(
+        F.col("event_type").alias("arm"),
+        "value",
+        F.least(
+            F.floor(
+                3.0
+                * F.datediff(F.to_date("ts"), F.col("d0"))
+                / (F.datediff(F.col("d1"), F.col("d0")) + 1)
+            ).cast("int"),
+            F.lit(2),
+        ).alias("phase"),
+    )
+
+    def topk(df, k):
+        ranked = df.select(
+            "arm",
+            F.row_number().over(Window.orderBy(F.desc("m"), "arm")).alias("rk"),
+        )
+        return ranked.filter(F.col("rk") <= k).select("arm")
+
+    p0 = phased.filter(F.col("phase") == 0).groupBy("arm").agg(
+        F.avg("value").alias("m")
+    )
+    keep0 = topk(p0, 2)
+    p1 = (
+        phased.filter(F.col("phase") == 1)
+        .join(F.broadcast(keep0), "arm", "left_semi")
+        .groupBy("arm")
+        .agg(F.avg("value").alias("m"))
+    )
+    keep1 = topk(p1, 1)
+    final = (
+        phased.filter(F.col("phase") == 2)
+        .join(F.broadcast(keep1), "arm", "left_semi")
+        .groupBy("arm")
+        .agg(F.avg("value").alias("m"))
+    )
+    truth = (
+        phased.groupBy("arm")
+        .agg(F.avg("value").alias("tm"))
+        .select(
+            "arm",
+            F.row_number()
+            .over(Window.orderBy(F.desc("tm"), "arm"))
+            .alias("true_rank"),
+        )
+    )
+    return final.join(truth, "arm").select(
+        F.col("arm").alias("winner"),
+        F.round("m", 4).alias("final_phase_value"),
+        F.col("true_rank").cast("bigint").alias("winner_true_rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

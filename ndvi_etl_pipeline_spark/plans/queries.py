@@ -24875,6 +24875,277 @@ def q_successive_halving_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "split_conformal_interval",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderkey,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+               % 3 AS fold,
+             CAST(cnt AS DOUBLE) AS x, o_totalprice AS y
+      FROM orders JOIN (SELECT l_orderkey, count(*) AS cnt
+                        FROM lineitem GROUP BY 1) li
+        ON l_orderkey = o_orderkey),
+    fit AS (
+      SELECT regr_slope(y, x) AS b, regr_intercept(y, x) AS a
+      FROM obs WHERE fold = 0),
+    cal AS (
+      SELECT CAST(quantile_cont(abs(y - a - b * x), 0.9) AS DOUBLE) AS q
+      FROM obs, fit WHERE fold = 1),
+    test AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             round(avg(CASE WHEN abs(y - a - b * x) <= q
+                            THEN 1.0 ELSE 0.0 END), 4) AS coverage,
+             round(2 * any_value(q), 2) AS interval_width
+      FROM obs, fit, cal WHERE fold = 2)
+    SELECT n_test, coverage, interval_width
+    FROM test
+    """,
+    tags=("ml", "estimation", "split"),
+)
+def q_split_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction: fit a one-feature model on fold
+    0, take the 90th percentile of |residual| on the CALIBRATION
+    fold as the interval radius, and verify ~90% empirical coverage
+    on the held-out test fold — the distribution-free guarantee
+    that holds for ANY model, however wrong (here deliberately
+    crude OLS), which is why conformal is how production systems
+    put honest error bars on black-box predictions. The three
+    folds are the deterministic md5 split; fit and radius are each
+    one aggregate broadcast forward — the whole pipeline is three
+    passes over one scan's output."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    obs = o.join(cnt, o["o_orderkey"] == cnt["l_orderkey"]).select(
+        CUR.hash_bucket(F.col("o_orderkey"), 3).alias("fold"),
+        F.col("cnt").cast("double").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    fit = obs.filter(F.col("fold") == 0).agg(
+        F.expr("regr_slope(y, x)").alias("b"),
+        F.expr("regr_intercept(y, x)").alias("a"),
+    )
+    resid = F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+    cal = (
+        obs.filter(F.col("fold") == 1)
+        .crossJoin(F.broadcast(fit))
+        .agg(F.expr("percentile(abs(y - a - b * x), 0.9)").alias("q"))
+    )
+    test = (
+        obs.filter(F.col("fold") == 2)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(cal))
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.round(
+                F.avg(F.when(resid <= F.col("q"), 1.0).otherwise(0.0)), 4
+            ).alias("coverage"),
+            F.round(2 * F.first("q"), 2).alias("interval_width"),
+        )
+    )
+    return test.select("n_test", "coverage", "interval_width")
+
+
+@register(
+    "pinball_loss_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS y
+      FROM orders GROUP BY 1),
+    fc AS (
+      SELECT d, y,
+             lag(y, 1) OVER (ORDER BY d) AS naive,
+             lag(y, 7) OVER (ORDER BY d) AS snaive
+      FROM daily),
+    scored AS (
+      SELECT 'naive_lag1' AS model,
+             avg(CASE WHEN y >= naive THEN 0.9 * (y - naive)
+                      ELSE 0.1 * (naive - y) END) AS pinball_q90,
+             avg(abs(y - naive)) AS mae
+      FROM fc WHERE snaive IS NOT NULL
+      UNION ALL
+      SELECT 'seasonal_lag7',
+             avg(CASE WHEN y >= snaive THEN 0.9 * (y - snaive)
+                      ELSE 0.1 * (snaive - y) END),
+             avg(abs(y - snaive))
+      FROM fc WHERE snaive IS NOT NULL)
+    SELECT model, round(pinball_q90, 2) AS pinball_q90,
+           round(mae, 2) AS mae
+    FROM scored
+    """,
+    tags=("forecast", "eval", "window"),
+)
+def q_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss at q=0.9 for two baseline forecasts
+    (yesterday vs same-day-last-week): the asymmetric loss that
+    scores a QUANTILE forecast properly — under-forecasts cost 9×
+    over-forecasts, exactly the asymmetry of capacity planning,
+    where 'we provisioned short' and 'we provisioned long' are not
+    symmetric mistakes (MAE, shown alongside, is the q=0.5 special
+    case and picks a different winner when errors are skewed).
+    Both models and both losses come from ONE window pass with two
+    lag columns; the shared WHERE keeps the comparison on identical
+    evaluation days."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("y")
+    )
+    w = Window.orderBy("d")
+    fc = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("naive"),
+        F.lag("y", 7).over(w).alias("snaive"),
+    ).filter(F.col("snaive").isNotNull())
+
+    def pinball(pred):
+        return F.avg(
+            F.when(
+                F.col("y") >= F.col(pred), 0.9 * (F.col("y") - F.col(pred))
+            ).otherwise(0.1 * (F.col(pred) - F.col("y")))
+        )
+
+    naive = fc.agg(
+        pinball("naive").alias("pinball_q90"),
+        F.avg(F.abs(F.col("y") - F.col("naive"))).alias("mae"),
+    ).select(F.lit("naive_lag1").alias("model"), "pinball_q90", "mae")
+    snaive = fc.agg(
+        pinball("snaive").alias("pinball_q90"),
+        F.avg(F.abs(F.col("y") - F.col("snaive"))).alias("mae"),
+    ).select(F.lit("seasonal_lag7").alias("model"), "pinball_q90", "mae")
+    return naive.unionAll(snaive).select(
+        "model",
+        F.round("pinball_q90", 2).alias("pinball_q90"),
+        F.round("mae", 2).alias("mae"),
+    )
+
+
+@register(
+    "binary_segmentation_2level",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    gl AS (SELECT avg(v) AS mu, stddev_samp(v) AS sd FROM daily),
+    c1 AS (
+      SELECT d, sum((v - mu) / sd) OVER (ORDER BY d) AS cs
+      FROM daily, gl),
+    cp1 AS (
+      SELECT d AS split1, abs(cs) AS score1,
+             row_number() OVER (ORDER BY abs(cs) DESC, d) AS rk
+      FROM c1 QUALIFY rk = 1),
+    seg AS (
+      SELECT daily.d, v, CASE WHEN daily.d <= split1 THEN 0 ELSE 1 END AS s
+      FROM daily, cp1),
+    segstats AS (
+      SELECT s, avg(v) AS smu, stddev_samp(v) AS ssd FROM seg GROUP BY s),
+    c2 AS (
+      SELECT s, d,
+             sum((v - smu) / ssd) OVER (PARTITION BY s ORDER BY d) AS cs
+      FROM seg JOIN segstats USING (s)),
+    cp2 AS (
+      SELECT s, d AS split2, abs(cs) AS score2,
+             row_number() OVER (PARTITION BY s
+                                ORDER BY abs(cs) DESC, d) AS rk
+      FROM c2 QUALIFY rk = 1)
+    SELECT strftime((SELECT split1 FROM cp1), '%Y-%m-%d') AS level1_split,
+           round((SELECT score1 FROM cp1), 3) AS level1_score,
+           strftime(min(CASE WHEN s = 0 THEN split2 END), '%Y-%m-%d')
+             AS left_split,
+           strftime(min(CASE WHEN s = 1 THEN split2 END), '%Y-%m-%d')
+             AS right_split,
+           round(max(CASE WHEN s = 0 THEN score2 END), 3) AS left_score,
+           round(max(CASE WHEN s = 1 THEN score2 END), 3) AS right_score
+    FROM cp2
+    """,
+    tags=("timeseries", "window", "decomposition"),
+)
+def q_binary_segmentation_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary segmentation, two levels unrolled: the strongest
+    CUSUM change-point splits the series, then each half is
+    re-standardized and searched again — three candidate
+    change-points from a fixed recursion depth, the multiple-
+    change-point extension of cusum_changepoint (which finds
+    exactly one and dilutes when several exist). The second level
+    is ONE partitioned window over the segment-labeled relation —
+    segmentation parallelism is literally partition parallelism,
+    which is why binary segmentation (not optimal-partitioning DP)
+    is the distributed change-point algorithm of choice."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    gl = daily.agg(F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd"))
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c1 = daily.crossJoin(F.broadcast(gl)).select(
+        "d",
+        "v",
+        F.sum((F.col("v") - F.col("mu")) / F.col("sd")).over(wc).alias("cs"),
+    )
+    cp1 = (
+        c1.select(
+            F.col("d").alias("split1"),
+            F.abs(F.col("cs")).alias("score1"),
+            F.row_number()
+            .over(Window.orderBy(F.abs(F.col("cs")).desc(), "d"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    seg = daily.crossJoin(F.broadcast(cp1)).select(
+        "d",
+        "v",
+        "split1",
+        "score1",
+        F.when(F.col("d") <= F.col("split1"), 0).otherwise(1).alias("s"),
+    )
+    segstats = seg.groupBy("s").agg(
+        F.avg("v").alias("smu"), F.stddev_samp("v").alias("ssd")
+    )
+    wseg = Window.partitionBy("s").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c2 = seg.join(F.broadcast(segstats), "s").select(
+        "s",
+        "d",
+        "split1",
+        "score1",
+        F.sum((F.col("v") - F.col("smu")) / F.col("ssd")).over(wseg).alias("cs"),
+    )
+    cp2 = c2.select(
+        "s",
+        F.col("d").alias("split2"),
+        F.abs(F.col("cs")).alias("score2"),
+        "split1",
+        "score1",
+        F.row_number()
+        .over(Window.partitionBy("s").orderBy(F.abs(F.col("cs")).desc(), "d"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return cp2.groupBy("split1", "score1").agg(
+        F.date_format(
+            F.min(F.when(F.col("s") == 0, F.col("split2"))), "yyyy-MM-dd"
+        ).alias("left_split"),
+        F.date_format(
+            F.min(F.when(F.col("s") == 1, F.col("split2"))), "yyyy-MM-dd"
+        ).alias("right_split"),
+        F.round(F.max(F.when(F.col("s") == 0, F.col("score2"))), 3).alias(
+            "left_score"
+        ),
+        F.round(F.max(F.when(F.col("s") == 1, F.col("score2"))), 3).alias(
+            "right_score"
+        ),
+    ).select(
+        F.date_format("split1", "yyyy-MM-dd").alias("level1_split"),
+        F.round("score1", 3).alias("level1_score"),
+        "left_split",
+        "right_split",
+        "left_score",
+        "right_score",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -25146,6 +25146,180 @@ def q_binary_segmentation_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fractional_knapsack_budget",
+    oracle="""
+    WITH items AS (
+      SELECT p_brand,
+             sum(l_extendedprice * (1 - l_discount)) AS value,
+             CAST(sum(l_quantity) AS DOUBLE) AS cost
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand),
+    ranked AS (
+      SELECT p_brand, value, cost, value / cost AS density,
+             sum(cost) OVER (ORDER BY value / cost DESC, p_brand) AS cum_cost
+      FROM items),
+    budget AS (SELECT 0.5 * sum(cost) AS cap FROM items),
+    taken AS (
+      SELECT p_brand, value, cost, density, cum_cost, cap,
+             CASE WHEN cum_cost <= cap THEN 1.0
+                  WHEN cum_cost - cost < cap
+                  THEN (cap - (cum_cost - cost)) / cost
+                  ELSE 0.0 END AS fraction
+      FROM ranked, budget)
+    SELECT CAST(sum(CASE WHEN fraction = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full_items,
+           CAST(sum(CASE WHEN fraction > 0 AND fraction < 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fractional,
+           round(sum(value * fraction), 2) AS captured_value,
+           round(sum(value * fraction) / sum(value), 4) AS value_share,
+           round(any_value(cap), 1) AS budget_cap
+    FROM taken
+    """,
+    tags=("allocation", "window", "economics"),
+)
+def q_fractional_knapsack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional knapsack at half the total capacity: brands
+    greedily taken in value-density order until the budget cap,
+    the boundary brand taken fractionally — the greedy that is
+    PROVABLY optimal for divisible resources (budget allocation,
+    shelf space, compute quota), unlike 0/1 knapsack where greedy
+    only approximates. The entire allocation is one cumulative-cost
+    window over the density ordering plus a broadcast cap — the
+    value_share column quantifies the Pareto effect (half the
+    budget captures well over half the value when densities are
+    skewed, cf. pareto_8020)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    items = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value"
+            ),
+            F.sum("l_quantity").cast("double").alias("cost"),
+        )
+    )
+    density = F.col("value") / F.col("cost")
+    wd = Window.orderBy(density.desc(), "p_brand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = items.select(
+        "p_brand", "value", "cost", density.alias("density"),
+        F.sum("cost").over(wd).alias("cum_cost"),
+    )
+    budget = items.agg((0.5 * F.sum("cost")).alias("cap"))
+    frac = (
+        F.when(F.col("cum_cost") <= F.col("cap"), 1.0)
+        .when(
+            F.col("cum_cost") - F.col("cost") < F.col("cap"),
+            (F.col("cap") - (F.col("cum_cost") - F.col("cost"))) / F.col("cost"),
+        )
+        .otherwise(0.0)
+    )
+    taken = ranked.crossJoin(F.broadcast(budget)).select(
+        "value", "cap", frac.alias("fraction")
+    )
+    return taken.agg(
+        F.sum(F.when(F.col("fraction") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_full_items"),
+        F.sum(
+            F.when((F.col("fraction") > 0) & (F.col("fraction") < 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_fractional"),
+        F.round(F.sum(F.col("value") * F.col("fraction")), 2).alias(
+            "captured_value"
+        ),
+        F.round(
+            F.sum(F.col("value") * F.col("fraction")) / F.sum("value"), 4
+        ).alias("value_share"),
+        F.round(F.first("cap"), 1).alias("budget_cap"),
+    )
+
+
+@register(
+    "placebo_did_check",
+    oracle="""
+    WITH obs AS (
+      SELECT CASE WHEN c_nationkey % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CAST(o_orderdate AS DATE) AS d, o_totalprice AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    did AS (
+      SELECT 'real_1997' AS test,
+             avg(CASE WHEN treated = 1 AND d >= DATE '1997-01-01'
+                      THEN y END)
+           - avg(CASE WHEN treated = 1 AND d < DATE '1997-01-01'
+                      THEN y END)
+           - (avg(CASE WHEN treated = 0 AND d >= DATE '1997-01-01'
+                       THEN y END)
+            - avg(CASE WHEN treated = 0 AND d < DATE '1997-01-01'
+                       THEN y END)) AS did
+      FROM obs
+      UNION ALL
+      SELECT 'placebo_1996',
+             avg(CASE WHEN treated = 1 AND d >= DATE '1996-01-01'
+                      AND d < DATE '1997-01-01' THEN y END)
+           - avg(CASE WHEN treated = 1 AND d < DATE '1996-01-01'
+                      THEN y END)
+           - (avg(CASE WHEN treated = 0 AND d >= DATE '1996-01-01'
+                       AND d < DATE '1997-01-01' THEN y END)
+            - avg(CASE WHEN treated = 0 AND d < DATE '1996-01-01'
+                       THEN y END))
+      FROM obs WHERE d < DATE '1997-01-01')
+    SELECT test, round(did, 4) AS did_estimate
+    FROM did ORDER BY test
+    """,
+    tags=("causal", "experimentation", "audit"),
+)
+def q_placebo_did_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Placebo test for the difference-in-differences design: the
+    same 2×2 contrast re-run with a FAKE treatment date inside the
+    pre-period (1996, using only pre-1997 data) — a nonzero placebo
+    'effect' means the parallel-trends assumption
+    difference_in_differences silently relies on was already broken
+    before treatment, and the real estimate is trend, not effect.
+    This negative-control discipline is the cheapest causal
+    robustness check there is: one extra conditional aggregate over
+    the same scan, and it should be a mandatory companion to every
+    DiD in production."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    obs = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.when(F.col("c_nationkey") % 2 == 0, 1).otherwise(0).alias("treated"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").alias("y"),
+    )
+
+    def did(df, cut, lo=None):
+        pre = F.col("d") < cut
+        post = F.col("d") >= cut
+        if lo is not None:
+            post = post & (F.col("d") < lo)
+        cell = lambda t, per: F.avg(
+            F.when((F.col("treated") == t) & per, F.col("y"))
+        )
+        return df.agg(
+            (
+                cell(1, post) - cell(1, pre) - (cell(0, post) - cell(0, pre))
+            ).alias("did")
+        )
+
+    real = did(obs, F.lit("1997-01-01").cast("date")).select(
+        F.lit("real_1997").alias("test"), F.round("did", 4).alias("did_estimate")
+    )
+    placebo = did(
+        obs.filter(F.col("d") < "1997-01-01"),
+        F.lit("1996-01-01").cast("date"),
+        F.lit("1997-01-01").cast("date"),
+    ).select(
+        F.lit("placebo_1996").alias("test"), F.round("did", 4).alias("did_estimate")
+    )
+    return real.unionAll(placebo).orderBy("test")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -279,39 +279,47 @@ def assign_contiguous_ids(
     example ids; none can afford one reducer). Two-pass instead:
 
     1. range-partition on the sort key (partitions are order-disjoint),
-    2. count rows per partition, prefix-sum the counts driver-side
-       (|partitions| numbers, metadata-scale),
-    3. id = partition offset + local row_number within the partition.
+    2. count rows per partition and prefix-sum the counts with a
+       triangular self-join over the |partitions|-row count relation
+       (metadata-scale, broadcast both sides — no single-partition
+       exchange anywhere in the plan),
+    3. id = partition offset (broadcast-joined back on partition id)
+       + local row_number within the partition.
 
     Global order holds because range partitions are disjoint and the
     window inside each partition sorts locally. The result is
     deterministic for a unique `order_col` regardless of partitioning.
+
+    Fully lazy — no driver-side action at plan-build time. `ranged`
+    is persisted (lazily) so the count branch and the id branch share
+    ONE materialization of the same sampled range boundaries when the
+    plan finally executes.
     """
     from pyspark.sql import Window
 
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    # persist so pass 2 reuses the SAME partitioning the counts saw
+    # persist so both branches reuse the SAME partitioning
     # (repartitionByRange samples; recomputation could re-draw bounds)
     ranged = (
         df.repartitionByRange(n, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    counts = {r._pid: r.n for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    prior = counts.select(F.col("_pid").alias("_qid"), F.col("_n").alias("_pn"))
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("_qid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_pn"), F.lit(0)).alias("_off"))
     )
     w = Window.partitionBy("_pid").orderBy(order_col)
     return (
-        ranged.withColumn(
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
             id_col,
-            (off[F.col("_pid")] + F.row_number().over(w) - 1).cast("bigint"),
+            (F.col("_off") + F.row_number().over(w) - 1).cast("bigint"),
         )
-        .drop("_pid")
+        .drop("_pid", "_off")
     )
 
 

@@ -300,35 +300,39 @@ def connected_components(
     which is strictly decreasing until fixpoint (labels only ever
     decrease), costing one tiny agg instead of an old⋈new diff join.
     """
+    from .iterate import fixpoint, materialize
+
     # Materialize the edge list ONCE: it joins against labels every
     # round, and without this the entire upstream pipeline that
     # produced the pairs (e.g. the LSH candidate self-join + cosine
     # verify) re-executes per iteration. Measured 2.3× on the
     # sf0.01 near-dup graph.
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .localCheckpoint()
+    sym = materialize(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
     )
-    labels = (
+    labels = materialize(
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
-    prev: int | None = None
-    for _ in range(max_iter):
-        msgs = sym.join(labels, sym.s == labels.node).select(
+
+    def step(lbl: DataFrame) -> DataFrame:
+        msgs = sym.join(lbl, sym.s == lbl.node).select(
             F.col("d").alias("node"), "component"
         )
-        labels = (
-            labels.union(msgs)
+        return (
+            lbl.union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
-        tot = labels.agg(F.sum("component")).first()[0]
-        if tot == prev:
-            break
-        prev = tot
-    return labels
+
+    # sum(component) is strictly decreasing until the fixpoint (labels
+    # only ever decrease) — a one-row probe instead of an old⋈new diff.
+    return fixpoint(
+        labels,
+        step,
+        fingerprint=lambda lbl: lbl.agg(F.sum("component")).first()[0],
+        max_iter=max_iter,
+    )

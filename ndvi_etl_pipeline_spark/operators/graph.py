@@ -36,43 +36,50 @@ def pagerank(
 
     Nodes with no in-edges keep the teleport term; dangling-node mass
     (out-degree 0) is dropped, matching the classic formulation. The
-    edge list (with out-degrees attached) is persisted and partitioned
-    by `src` once; each iteration shuffles only the rank vector.
-    Checkpoint-free: `iterations` is small and fixed, so the lineage
-    stays shallow (for 100s of iterations, localCheckpoint per ~20
-    rounds bounds plan growth — same pattern as
-    dedup.components_min_label).
+    node set and the edge list (with out-degrees attached,
+    repartitioned ONCE on the per-iteration join key) are
+    `materialize`d so every iteration is two shuffles of the rank
+    vector over materialized relations — the lineage does not grow
+    with the iteration count and nothing upstream re-executes per
+    round (operators/iterate.py). 1/N enters the plan as a broadcast
+    1-row aggregate, not a driver-side count, so beyond the two
+    materialization jobs the builder performs no driver-side actions.
     """
+    from .iterate import iterate, materialize
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
+    nodes = materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
-    n_nodes = nodes.count()  # also materializes the persist
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     # loop-invariant: edges with out-degree attached, partitioned on the
     # per-iteration join key so the big side never re-shuffles
-    ed = e.join(deg, "src").repartition("src").persist()
-    ed.count()
+    ed = materialize(e.join(deg, "src").repartition("src"))
 
-    teleport = F.lit((1.0 - damping) / n_nodes)
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(iterations):
+    ncnt = nodes.agg(F.count("*").cast("double").alias("_n"))
+    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+
+    def step(r, _i=0):
         contribs = (
-            ed.join(ranks, ed["src"] == ranks["node"])
+            ed.join(r, ed["src"] == r["node"])
             .select(ed["dst"], (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
         )
-        ranks = (
+        return (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(ncnt))
             .select(
                 "node",
-                (teleport + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit(1.0 - damping) / F.col("_n")
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
-    return ranks
+
+    return iterate(ranks, step, iterations, checkpoint_every=5)

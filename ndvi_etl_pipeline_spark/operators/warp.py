@@ -222,6 +222,7 @@ def warp_bilinear_tiled(
     scale_y: float,
     scale_x: float,
     output: str = "pixels",
+    tile_size: int | None = None,
 ) -> DataFrame:
     """Halo-exchange tiled warp — the scale path for scenes too large
     for the per-scene canvas (SURVEY §4.2 item 3's "only if needed"
@@ -254,11 +255,13 @@ def warp_bilinear_tiled(
     if scale_y <= 0 or scale_x <= 0:
         raise ValueError("scales must be positive")
 
-    def _tile_size(df: DataFrame) -> int:
-        r = df.select("height").first()
-        return int(r.height)
-
-    P = _tile_size(tiles)
+    # Callers that built the tiles know P — passing it keeps this
+    # operator fully lazy (no .first() action at plan-build time).
+    if tile_size is not None:
+        P = int(tile_size)
+    else:
+        r = tiles.select("height").first()
+        P = int(r.height)
     halo = 2
 
     def emit(batches):

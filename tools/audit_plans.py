@@ -29,18 +29,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# These execute driver-side work (collect/persist loops) when the plan
-# is BUILT — auditing them would run the whole algorithm.
-EXECUTES_ON_BUILD = {
-    "pagerank_graph",
-    "kmeans_clusters",
-    "dedup_components",
-    "contiguous_ids",
-    "not_in_null_semantics",
-    "warp_tiled",
-    "multi_aoi_clip",
-    "aoi_raycast_clip",  # cheap, but keep the set = "no driver work"
-}
+# Round 2: empty. Every builder is now either fully lazy
+# (contiguous_ids, not_in_null_semantics, warp_tiled, multi_aoi_clip,
+# aoi_raycast_clip) or a checkpointed iteration whose build-time jobs
+# are bounded and metadata-scale (pagerank_graph, kmeans_clusters,
+# dedup_components via operators/iterate.py), so ALL plans get
+# audited — the recorded exchange count for iterative queries is the
+# post-checkpoint final-step plan, which is exactly the per-round
+# cost that matters at scale.
+EXECUTES_ON_BUILD: set[str] = set()
 
 
 def audit_one(df) -> dict:

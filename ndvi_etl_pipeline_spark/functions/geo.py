@@ -207,6 +207,92 @@ def _is_single_ring(poly: Polygon | MultiRing) -> bool:
     return isinstance(first[0], (int, float))
 
 
+# ---------------------------------------------------------------------------
+# buffered membership — st_buffer(d) ∘ contains as one predicate (J3 retry)
+# ---------------------------------------------------------------------------
+#
+# For d ≥ 0, point ∈ buffer(polygon, d) ⇔ point ∈ polygon OR
+# dist(point, boundary) ≤ d — the exact definition of the positive
+# Minkowski buffer, with no offset-polygon construction (and therefore
+# none of its miter/arc approximation error). This is the engine form
+# of the reference's overlap-retry `geom.buffer(1.0)`
+# (compute_ndvi.py:128-132): the buffered-intersects test IS a
+# distance test.
+
+
+def _point_seg_dist2_col(xc: Column, yc: Column, x1, y1, x2, y2) -> Column:
+    """Squared distance from (xc, yc) to segment (x1,y1)-(x2,y2) as a
+    native expression: project onto the segment, clamp t to [0,1]."""
+    dx, dy = x2 - x1, y2 - y1
+    L2 = dx * dx + dy * dy
+    if L2 == 0.0:  # degenerate edge = a point
+        ex, ey = xc - F.lit(x1), yc - F.lit(y1)
+        return ex * ex + ey * ey
+    t_raw = ((xc - F.lit(x1)) * F.lit(dx) + (yc - F.lit(y1)) * F.lit(dy)) / F.lit(L2)
+    t = F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+    ex = xc - (F.lit(x1) + t * F.lit(dx))
+    ey = yc - (F.lit(y1) + t * F.lit(dy))
+    return ex * ex + ey * ey
+
+
+def _point_seg_dist2_sql(x_expr: str, y_expr: str, x1, y1, x2, y2) -> str:
+    """SQL twin of `_point_seg_dist2_col` — identical expression tree,
+    so IEEE doubles agree bit-for-bit across engines."""
+    dx, dy = x2 - x1, y2 - y1
+    L2 = dx * dx + dy * dy
+    if L2 == 0.0:
+        return f"(({x_expr} - {x1!r}) * ({x_expr} - {x1!r}) + ({y_expr} - {y1!r}) * ({y_expr} - {y1!r}))"
+    t_raw = f"((({x_expr} - {x1!r}) * {dx!r} + ({y_expr} - {y1!r}) * {dy!r}) / {L2!r})"
+    t = f"greatest(0.0, least(1.0, {t_raw}))"
+    ex = f"({x_expr} - ({x1!r} + {t} * {dx!r}))"
+    ey = f"({y_expr} - ({y1!r} + {t} * {dy!r}))"
+    return f"({ex} * {ex} + {ey} * {ey})"
+
+
+def point_in_buffered_rings_col(
+    x: Column | str, y: Column | str, rings: MultiRing, dist: float
+) -> Column:
+    """point ∈ buffer(rings, dist): inside (even-odd ray cast) OR
+    within `dist` of any edge. Native codegen like the ray cast —
+    O(total edges) comparisons per row, no UDF."""
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    near = F.lit(False)
+    d2 = dist * dist
+    for ring in rings:
+        for x1, y1, x2, y2 in _closed_edges(ring):
+            near = near | (_point_seg_dist2_col(xc, yc, x1, y1, x2, y2) <= F.lit(d2))
+    return point_in_rings_col(xc, yc, rings) | near
+
+
+def point_in_buffered_rings_sql(
+    x_expr: str, y_expr: str, rings: MultiRing, dist: float
+) -> str:
+    """SQL twin of `point_in_buffered_rings_col` (same ring/edge
+    order), for cross-engine oracles."""
+    d2 = dist * dist
+    terms = [point_in_rings_sql(x_expr, y_expr, rings)]
+    for ring in rings:
+        for x1, y1, x2, y2 in _closed_edges(ring):
+            terms.append(
+                f"({_point_seg_dist2_sql(x_expr, y_expr, x1, y1, x2, y2)} <= {d2!r})"
+            )
+    return "(" + " OR ".join(terms) + ")"
+
+
+def buffered_clip_filter(
+    df: DataFrame, x_col: str, y_col: str, poly: Polygon | MultiRing, dist: float
+) -> DataFrame:
+    """J3 retry clip: bbox prefilter EXPANDED by `dist` (still
+    sargable) + exact buffered membership on the survivors."""
+    rings: MultiRing = [poly] if _is_single_ring(poly) else poly  # type: ignore[list-item]
+    minx, miny, maxx, maxy = rings_bbox(rings)
+    return df.filter(
+        F.col(x_col).between(minx - dist, maxx + dist)
+        & F.col(y_col).between(miny - dist, maxy + dist)
+    ).filter(point_in_buffered_rings_col(x_col, y_col, rings, dist))
+
+
 def bbox_intersects(
     minx: Column | str, miny: Column | str, maxx: Column | str, maxy: Column | str,
     other: tuple[float, float, float, float],

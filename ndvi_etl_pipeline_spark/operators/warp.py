@@ -71,6 +71,30 @@ def bilinear_sample(
     return out
 
 
+def nearest_sample(
+    src: np.ndarray, sy: np.ndarray, sx: np.ndarray
+) -> np.ndarray:
+    """Vectorized nearest-neighbor sample of float64 `src` at
+    fractional coordinates (sy, sx): index = floor(coord + 0.5), the
+    GDAL nearest convention (ties round up). Out-of-range → NaN.
+    Unlike bilinear, a single finite source pixel is enough — nearest
+    never mixes values, which is exactly why the reference dispatches
+    non-float bands here (categorical/DN data must not be blended;
+    load_to_postgis.py:132)."""
+    h, w = src.shape
+    out = np.full(sy.shape, np.nan, dtype=np.float64)
+    yn = np.floor(sy + 0.5).astype(np.int64)
+    xn = np.floor(sx + 0.5).astype(np.int64)
+    ok = (yn >= 0) & (xn >= 0) & (yn <= h - 1) & (xn <= w - 1)
+    if not ok.any():
+        return out
+    out[ok] = src[yn[ok], xn[ok]]
+    return out
+
+
+_SAMPLERS = {"bilinear": bilinear_sample, "nearest": nearest_sample}
+
+
 def resample_scene_pixels(
     pixels: DataFrame,
     out_height: int,
@@ -80,15 +104,24 @@ def resample_scene_pixels(
     value_col: str = "ndvi",
     src_height: int | None = None,
     src_width: int | None = None,
+    method: str = "bilinear",
 ) -> DataFrame:
-    """Bilinear resample of per-scene pixel rows onto an
-    out_height×out_width destination grid where destination pixel
-    (i, j) samples source ((i+0.5)·scale_y−0.5, (j+0.5)·scale_x−0.5).
+    """Resample per-scene pixel rows onto an out_height×out_width
+    destination grid where destination pixel (i, j) samples source
+    ((i+0.5)·scale_y−0.5, (j+0.5)·scale_x−0.5).
 
-    Double precision end to end so results are reproducible against a
-    SQL formulation of the same arithmetic. Output: (scene_id, y, x,
-    v) with invalid/absent-neighbor destinations dropped.
+    `method`: 'bilinear' (continuous data, 4-neighbor blend) or
+    'nearest' (categorical/integer data, no blending) — the two
+    resampling kernels the reference dispatches between
+    (compute_ndvi.py:178, load_to_postgis.py:132). Double precision
+    end to end so results are reproducible against a SQL formulation
+    of the same arithmetic. Output: (scene_id, y, x, v) with
+    invalid/absent destinations dropped.
     """
+    try:
+        sampler = _SAMPLERS[method]
+    except KeyError:
+        raise ValueError(f"method must be one of {sorted(_SAMPLERS)}, got {method!r}")
 
     def warp(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (scene_id,) = key
@@ -100,7 +133,7 @@ def resample_scene_pixels(
         jj, ii = np.meshgrid(np.arange(out_width), np.arange(out_height))
         sy = (ii.ravel() + 0.5) * scale_y - 0.5
         sx = (jj.ravel() + 0.5) * scale_x - 0.5
-        v = bilinear_sample(src, sy, sx)
+        v = sampler(src, sy, sx)
         keep = ~np.isnan(v)
         return pd.DataFrame(
             {
@@ -112,6 +145,37 @@ def resample_scene_pixels(
         )
 
     return pixels.groupBy("scene_id").applyInPandas(warp, schema=PIXEL_OUT_SCHEMA)
+
+
+def resample_dispatch_dtype(
+    pixels: DataFrame,
+    out_height: int,
+    out_width: int,
+    scale_y: float,
+    scale_x: float,
+    value_col: str = "ndvi",
+    src_height: int | None = None,
+    src_width: int | None = None,
+) -> DataFrame:
+    """Dtype-dispatched resampling, mirroring the reference's
+    `Resampling.bilinear if src.dtypes[i-1].startswith("float") else
+    Resampling.nearest` (load_to_postgis.py:132): float value columns
+    interpolate bilinearly, integer/categorical columns take the
+    nearest source pixel. The dispatch reads the column's Spark type
+    from the schema — a plan-time decision, no data inspection."""
+    dt = dict(pixels.dtypes)[value_col]
+    method = "bilinear" if dt in ("float", "double", "decimal") or dt.startswith("decimal") else "nearest"
+    return resample_scene_pixels(
+        pixels,
+        out_height,
+        out_width,
+        scale_y,
+        scale_x,
+        value_col=value_col,
+        src_height=src_height,
+        src_width=src_width,
+        method=method,
+    )
 
 
 def warp_with_mapping(

@@ -178,3 +178,52 @@ def test_scalar_helpers():
     # longitude pad grows with latitude (cos shrinks)
     eq = geo.pad_bbox_km((0.0, -0.5, 1.0, 0.5), 10.0)
     assert (25.0 - minx) > (0.0 - eq[0])
+
+
+def test_buffered_membership_distance_semantics(spark):
+    """point ∈ buffer(poly, d) ⇔ inside OR dist(point, edge) ≤ d —
+    checked against hand-computed distances to a unit square."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.functions.geo import point_in_buffered_rings_col
+
+    square = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    pts = [
+        (5.0, 5.0, True),    # inside
+        (12.0, 5.0, True),   # 2.0 right of the right edge
+        (13.1, 5.0, False),  # 3.1 right: outside the 3-buffer
+        (12.0, 12.0, True),  # corner distance sqrt(8) ≈ 2.83 ≤ 3
+        (12.2, 12.2, False), # corner distance sqrt(9.68) ≈ 3.11 > 3
+        (-3.0, 5.0, True),   # exactly on the buffer boundary
+        (5.0, -3.01, False),
+    ]
+    df = spark.createDataFrame(
+        [(x, y) for x, y, _ in pts], "x double, y double"
+    ).withColumn("inb", point_in_buffered_rings_col("x", "y", [square], 3.0))
+    got = {(r.x, r.y): r.inb for r in df.collect()}
+    for x, y, want in pts:
+        assert got[(x, y)] == want, (x, y)
+
+
+def test_buffer_retry_clip_recovers_missed_overlap(spark):
+    """An AOI strictly outside the grid: strict clip empty, buffered
+    clip (the reference's buffer-retry, compute_ndvi.py:128-132)
+    recovers the near-boundary pixels."""
+    from ndvi_etl_pipeline_spark.functions.geo import (
+        buffered_clip_filter,
+        clip_filter,
+    )
+
+    rows = [("s", y, x, 1.0) for y in range(20) for x in range(20)]
+    px = spark.createDataFrame(rows, "scene_id string, y int, x int, v double")
+    aoi = [(21.5, 2.5), (30.5, 2.5), (30.5, 12.5), (21.5, 12.5)]  # x > 19
+    assert clip_filter(px, "x", "y", aoi).count() == 0
+    got = buffered_clip_filter(px, "x", "y", aoi, 3.0).collect()
+    assert got, "buffered clip must recover near-boundary pixels"
+    # recovered pixels: within 3.0 of the left edge x=21.5 → x=19,
+    # y within [2.5-eps, 12.5+eps] band expanded by the corner radius
+    for r in got:
+        assert r.x == 19
+        assert 0 <= r.y <= 15
+        dy = max(0.0, max(2.5 - r.y, r.y - 12.5))
+        assert (21.5 - r.x) ** 2 + dy**2 <= 9.0 + 1e-12

@@ -131,3 +131,73 @@ def test_tiled_warp_tile_output_matches_pixels(spark, sf_dir):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) <= 1e-6, k
+
+
+def test_nearest_sample_picks_cell_and_masks():
+    """floor(coord+0.5) convention: .5 rounds up; out-of-range -> NaN;
+    no blending ever (values are either exact source cells or NaN)."""
+    from ndvi_etl_pipeline_spark.operators.warp import nearest_sample
+
+    src = np.arange(12, dtype=np.float64).reshape(3, 4)
+    sy = np.array([0.0, 0.49, 0.5, 1.6, -0.6, 2.4])
+    sx = np.array([0.0, 1.49, 1.5, 3.2, 0.0, 3.49])
+    out = nearest_sample(src, sy, sx)
+    assert out[0] == src[0, 0]
+    assert out[1] == src[0, 1]
+    assert out[2] == src[1, 2]  # both .5s round up
+    assert out[3] == src[2, 3]
+    assert np.isnan(out[4])  # rounds to y=-1: out of range
+    assert out[5] == src[2, 3]
+
+
+def test_nearest_resample_is_subsampling_on_integer_scale(spark):
+    """scale=2 nearest from pixel centers: dest (i,j) takes source
+    (2i+1, 2j+1) exactly — a pure subsample, every value preserved."""
+    from ndvi_etl_pipeline_spark.operators.warp import resample_scene_pixels
+
+    px = linear_pixels(spark, h=20, w=20)
+    got = {
+        (r.y, r.x): r.v
+        for r in resample_scene_pixels(
+            px, 10, 10, 2.0, 2.0, value_col="ndvi", src_height=20, src_width=20,
+            method="nearest",
+        ).collect()
+    }
+    assert len(got) == 100
+    for (i, j), v in got.items():
+        # linear_pixels value = 3y + 7x + 1 at the sampled source cell
+        assert v == 3 * (2 * i + 1) + 7 * (2 * j + 1) + 1, (i, j)
+
+
+def test_dtype_dispatch_routes_int_to_nearest_float_to_bilinear(spark):
+    """Mirror of load_to_postgis.py:132: int value column -> nearest
+    (all outputs are exact source values); double -> bilinear
+    (fractional source coords still land on the affine field, but the
+    integer path must produce only exact source members)."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.operators.warp import resample_dispatch_dtype
+
+    # y*1000 + x: distinct per cell, NOT affine-closed under the 2.5
+    # sampling grid, so any bilinear blend would leave the source set
+    rows = [("s1", y, x, y * 1000 + x) for y in range(20) for x in range(20)]
+    ints = spark.createDataFrame(rows, "scene_id string, y int, x int, v int")
+    got_i = {
+        (r.y, r.x): r.v
+        for r in resample_dispatch_dtype(
+            ints, 8, 8, 2.5, 2.5, value_col="v", src_height=20, src_width=20
+        ).collect()
+    }
+    src_vals = {float(y * 1000 + x) for y in range(20) for x in range(20)}
+    assert got_i and set(got_i.values()) <= src_vals  # never a blended value
+
+    dbls = ints.select("scene_id", "y", "x", F.col("v").cast("double").alias("v"))
+    got_f = {
+        (r.y, r.x): r.v
+        for r in resample_dispatch_dtype(
+            dbls, 8, 8, 2.5, 2.5, value_col="v", src_height=20, src_width=20
+        ).collect()
+    }
+    # bilinear at fractional source coordinates blends neighbors —
+    # values leave the source set
+    assert any(v not in src_vals for v in got_f.values())

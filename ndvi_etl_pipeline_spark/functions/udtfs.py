@@ -46,6 +46,39 @@ class ChunkSpans:
             start += stride
 
 
+@udtf(
+    returnType=(
+        "record_idx int, warc_type string, target_uri string, "
+        "content_length bigint, payload binary"
+    ),
+    useArrow=True,
+)
+class WarcRecords:
+    """WARC record expansion as a table function: one WARC file's raw
+    bytes in, one row per record out — `LATERAL warc_records(content)`
+    over a binaryFile scan is the SQL-composable twin of
+    sources/webarchive.py::read_warc (same parser,
+    `parse_warc_bytes`, same tolerate-don't-raise tail handling).
+    Planned as ArrowEvalPythonUDTF: record expansion happens
+    batch-vectorized next to the scan, no shuffle added, payload
+    stays BINARY."""
+
+    def eval(self, content, source: str | None = None):
+        if content is None:
+            return
+        from ..sources.webarchive import parse_warc_bytes
+
+        for rec in parse_warc_bytes(bytes(content), source or ""):
+            yield (
+                rec["record_idx"],
+                rec["warc_type"],
+                rec["target_uri"],
+                rec["content_length"],
+                rec["payload"],
+            )
+
+
 def register_udtfs(spark) -> None:
     """Register all engine UDTFs on a session (idempotent)."""
     spark.udtf.register("chunk_spans", ChunkSpans)
+    spark.udtf.register("warc_records", WarcRecords)

@@ -987,6 +987,45 @@ def scan_scene_ndvi(
     )
 
 
+PATH_BYTES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def read_path_bytes(paths_df: DataFrame, path_col: str = "path") -> DataFrame:
+    """Distributed file read from a PATH COLUMN: each executor opens
+    the paths in its own partitions and emits (path, content) rows —
+    the relational twin of the `binaryFile` reader for the case where
+    the file list is itself the result of a query (e.g. the streaming
+    scene feed's "complete but unprocessed" join) rather than a glob.
+
+    This is what keeps a 10⁷-file backlog off the driver: the path
+    relation never collects; bytes materialize executor-side inside an
+    Arrow batch. file:// and plain local paths supported (the test /
+    single-node envelope); object-store paths would swap the `open`
+    for the store's client exactly like sources/stac.py's
+    `http_fetcher`."""
+    import pandas as pd
+
+    def read(batches):
+        for pdf in batches:
+            out_p, out_c = [], []
+            for p in pdf[path_col]:
+                local = p[7:] if p.startswith("file://") else p
+                local = local if not local.startswith("file:") else local[5:]
+                with open(local, "rb") as fh:
+                    out_p.append(p)
+                    out_c.append(fh.read())
+            yield pd.DataFrame({"path": out_p, "content": out_c})
+
+    return paths_df.select(F.col(path_col).alias("path")).mapInPandas(
+        read, schema=PATH_BYTES_SCHEMA
+    )
+
+
 def parse_band_files(binary_df: DataFrame) -> DataFrame:
     """(path, content) rows → (scene_id, band, content) via the
     `<scene_id>_<band>.tif` filename contract (F9)."""

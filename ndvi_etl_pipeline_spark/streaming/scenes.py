@@ -116,11 +116,13 @@ def stream_scene_stats(
             quarantined, "scene_id", "left_anti"
         )
         todo_rows = ledger.join(F.broadcast(todo), "scene_id").select("scene_id", "path")
-        paths = [r.path for r in todo_rows.select("path").collect()]
-        if not paths:
+        # emptiness probe on the metadata-scale todo relation only —
+        # the PATH LIST never reaches the driver (at a 10⁷-file
+        # backlog the old collect()-of-paths was a driver bottleneck)
+        if todo.limit(1).count() == 0:
             return
         parsed = raster.parse_band_files(
-            s.read.format("binaryFile").load(paths)
+            raster.read_path_bytes(todo_rows)
         )
         # E1 per-scene isolation: undecodable scenes emit nothing here …
         stats = raster.tile_scene_stats(
@@ -204,10 +206,10 @@ def stream_scene_composite(
             quarantined, "scene_id", "left_anti"
         )
         todo_rows = ledger.join(F.broadcast(todo), "scene_id").select("scene_id", "path")
-        paths = [r.path for r in todo_rows.select("path").collect()]
-        if not paths:
+        # same distributed read as stream_scene_stats: no path collect
+        if todo.limit(1).count() == 0:
             return
-        parsed = raster.parse_band_files(s.read.format("binaryFile").load(paths))
+        parsed = raster.parse_band_files(raster.read_path_bytes(todo_rows))
         ndvi = raster.scene_ndvi_from_bands(
             parsed, tile=tile, on_error="quarantine"
         ).persist()

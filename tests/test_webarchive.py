@@ -208,3 +208,35 @@ def test_warc_codec_roundtrip_property(recs, use_gzip):
     assert [(r["target_uri"], r["payload"]) for r in out] == recs
     assert all(r["content_length"] == len(r["payload"]) for r in out)
     assert [r["record_idx"] for r in out] == list(range(len(recs)))
+
+
+def test_warc_records_udtf_matches_mapinpandas_reader(spark, tmp_path):
+    """The UDTF surface must produce the same records as read_warc on
+    the same file (same parser either way)."""
+    from ndvi_etl_pipeline_spark.functions.udtfs import register_udtfs
+    from ndvi_etl_pipeline_spark.sources.webarchive import read_warc
+
+    body1, body2 = b"hello world", b'{"k": 1}'
+    raw = b"".join(
+        b"WARC/1.1\r\nWARC-Type: resource\r\nWARC-Target-URI: urn:t:%d\r\n"
+        b"Content-Length: %d\r\n\r\n%s\r\n\r\n" % (i, len(b), b)
+        for i, b in enumerate([body1, body2])
+    )
+    p = tmp_path / "t.warc"
+    p.write_bytes(raw)
+
+    register_udtfs(spark)
+    spark.read.format("binaryFile").load(str(p)).select(
+        "path", "content"
+    ).createOrReplaceTempView("_warc_files")
+    got = spark.sql(
+        "SELECT r.* FROM _warc_files f, LATERAL warc_records(f.content, f.path) r"
+    ).collect()
+    want = read_warc(spark, str(p)).collect()
+    assert len(got) == len(want) == 2
+    by_idx_g = {r.record_idx: r for r in got}
+    by_idx_w = {r.record_idx: r for r in want}
+    for i in (0, 1):
+        assert bytes(by_idx_g[i].payload) == bytes(by_idx_w[i].payload)
+        assert by_idx_g[i].target_uri == by_idx_w[i].target_uri == f"urn:t:{i}"
+        assert by_idx_g[i].content_length == by_idx_w[i].content_length

@@ -142,3 +142,183 @@ def write_upsert_jdbc(
             con.execute(stmt)
         con.commit()
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# PostGIS raster WKB payload (the `raster` column's wire format)
+# ---------------------------------------------------------------------------
+#
+# The reference ships whole GeoTIFF files through
+# `ST_SetSRID(ST_FromGDALRaster(%s), epsg)` (load_to_postgis.py:313-322);
+# the engine targets the same `raster` columns (db/init/002_schema.sql)
+# directly in the type's own Well-Known-Binary form — the format
+# `ST_RastFromWKB(bytea)` accepts and `ST_AsBinary(raster)` emits,
+# specified publicly in PostGIS raster RFC2 (WKB): a fixed 61-byte
+# header (endianness, version 0, band count, 6-double georeference,
+# srid, width, height) followed by per-band [flags | nodata | row-major
+# pixels]. No GDAL needed on either side.
+
+# pixel-type codes per RFC2 / rt_api (PT_*) — index into the doc'd
+# 1BB…64BF ladder
+RASTER_PIXTYPES = {
+    "8BSI": 3,
+    "8BUI": 4,
+    "16BSI": 5,
+    "16BUI": 6,
+    "32BSI": 7,
+    "32BUI": 8,
+    "32BF": 9,
+    "64BF": 10,
+}
+
+_PIXTYPE_STRUCT = {
+    "8BSI": "b",
+    "8BUI": "B",
+    "16BSI": "h",
+    "16BUI": "H",
+    "32BSI": "i",
+    "32BUI": "I",
+    "32BF": "f",
+    "64BF": "d",
+}
+
+_NUMPY_TO_PIXTYPE = {
+    "int8": "8BSI",
+    "uint8": "8BUI",
+    "int16": "16BSI",
+    "uint16": "16BUI",
+    "int32": "32BSI",
+    "uint32": "32BUI",
+    "float32": "32BF",
+    "float64": "64BF",
+}
+
+
+def raster_wkb(
+    array,
+    ip_x: float,
+    ip_y: float,
+    scale_x: float,
+    scale_y: float,
+    srid: int,
+    nodata: float | None = None,
+    skew_x: float = 0.0,
+    skew_y: float = 0.0,
+    pixtype: str | None = None,
+) -> bytes:
+    """Encode a 2-D numpy array as a single-band PostGIS raster WKB
+    (little-endian, version 0). `nodata=None` writes a zero nodata
+    slot with hasNodataValue unset — the value slot is always present
+    per RFC2. The pixel type defaults from the array dtype (the same
+    dtype→type dispatch the warp tier uses)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(array)
+    if arr.ndim != 2:
+        raise ValueError(f"expected 2-D array, got shape {arr.shape}")
+    pt = pixtype or _NUMPY_TO_PIXTYPE.get(arr.dtype.name)
+    if pt not in RASTER_PIXTYPES:
+        raise ValueError(f"unsupported pixel type {pt!r} (dtype {arr.dtype})")
+    h, w = arr.shape
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("raster WKB dimensions are uint16 (tile the input)")
+    head = struct.pack(
+        "<BHHddddddiHH",
+        1,  # NDR / little endian
+        0,  # version
+        1,  # nBands
+        float(scale_x),
+        float(scale_y),
+        float(ip_x),
+        float(ip_y),
+        float(skew_x),
+        float(skew_y),
+        int(srid),
+        w,
+        h,
+    )
+    flags = RASTER_PIXTYPES[pt] | (0x40 if nodata is not None else 0)
+    fmt = _PIXTYPE_STRUCT[pt]
+    nd_val = 0 if nodata is None else nodata
+    nd = struct.pack("<" + fmt, float(nd_val) if fmt in ("f", "d") else int(nd_val))
+    data = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<")).tobytes()
+    return head + bytes([flags]) + nd + data
+
+
+def parse_raster_wkb(wkb: bytes) -> dict:
+    """Decode a (single- or multi-band) raster WKB produced by
+    `raster_wkb` or `ST_AsBinary(raster)`. Returns header fields plus
+    a list of (pixtype, nodata|None, 2-D numpy array) bands — the
+    round-trip proof the sink test pins byte-for-byte."""
+    import struct
+
+    import numpy as np
+
+    endian = "<" if wkb[0] == 1 else ">"
+    version, n_bands = struct.unpack_from(endian + "HH", wkb, 1)
+    if version != 0:
+        raise ValueError(f"unsupported raster WKB version {version}")
+    sx, sy, ipx, ipy, kx, ky = struct.unpack_from(endian + "6d", wkb, 5)
+    srid, w, h = struct.unpack_from(endian + "iHH", wkb, 53)
+    off = 61
+    inv_pix = {v: k for k, v in RASTER_PIXTYPES.items()}
+    bands = []
+    for _ in range(n_bands):
+        flags = wkb[off]
+        off += 1
+        if flags & 0x80:
+            raise ValueError("offline (out-of-db) bands not supported")
+        pt = inv_pix[flags & 0x0F]
+        fmt = _PIXTYPE_STRUCT[pt]
+        size = struct.calcsize(fmt)
+        (nd_raw,) = struct.unpack_from(endian + fmt, wkb, off)
+        off += size
+        nodata = nd_raw if flags & 0x40 else None
+        arr = (
+            np.frombuffer(wkb, dtype=np.dtype(endian + fmt), count=w * h, offset=off)
+            .reshape(h, w)
+            .copy()
+        )
+        off += w * h * size
+        bands.append({"pixtype": pt, "nodata": nodata, "array": arr})
+    return {
+        "scale_x": sx,
+        "scale_y": sy,
+        "ip_x": ipx,
+        "ip_y": ipy,
+        "skew_x": kx,
+        "skew_y": ky,
+        "srid": srid,
+        "width": w,
+        "height": h,
+        "bands": bands,
+    }
+
+
+def raster_upsert_sql(
+    table: str,
+    columns: tuple[str, ...],
+    conflict_keys: tuple[str, ...],
+    raster_col: str = "raster",
+) -> str:
+    """K4 with a WKB raster payload: like `upsert_sql` but the raster
+    placeholder goes through ST_RastFromWKB — the engine-side
+    equivalent of the reference's ST_FromGDALRaster(%s) value
+    expression (load_to_postgis.py:313-322; SRID rides inside the
+    WKB, so no ST_SetSRID wrapper is needed)."""
+    cols = ", ".join(quote_ident(c) for c in columns)
+    ph = ", ".join(
+        "ST_RastFromWKB(?)" if c == raster_col else "?" for c in columns
+    )
+    keys = ", ".join(quote_ident(k) for k in conflict_keys)
+    updates = ", ".join(
+        f"{quote_ident(c)} = excluded.{quote_ident(c)}"
+        for c in columns
+        if c not in conflict_keys
+    )
+    return (
+        f"INSERT INTO {quote_ident(table)} ({cols}) VALUES ({ph}) "
+        f"ON CONFLICT ({keys}) DO UPDATE SET {updates}"
+    )

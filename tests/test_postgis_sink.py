@@ -72,3 +72,128 @@ def test_write_upsert_jdbc_roundtrip(spark, tmp_path):
     with sqlite3.connect(db) as con:
         rows = dict(con.execute("SELECT scene_id, mean_ndvi FROM scene_stats"))
     assert rows["s1"] == 0.9 and rows["s4"] == 0.4
+
+
+def test_raster_wkb_golden_bytes():
+    """Byte-golden: a 1x1 8BUI raster, value 7, nodata 0, SRID 4326,
+    unit scales — every byte hand-derived from the public raster WKB
+    layout (61-byte header + flags + nodata + pixels)."""
+    import numpy as np
+
+    got = PG.raster_wkb(
+        np.array([[7]], dtype=np.uint8),
+        ip_x=0.0, ip_y=0.0, scale_x=1.0, scale_y=-1.0, srid=4326, nodata=0,
+    )
+    golden = bytes.fromhex(
+        "01"                    # little endian
+        "0000"                  # version 0
+        "0100"                  # 1 band
+        "000000000000f03f"      # scaleX = 1.0
+        "000000000000f0bf"      # scaleY = -1.0
+        "0000000000000000"      # ipX = 0.0
+        "0000000000000000"      # ipY = 0.0
+        "0000000000000000"      # skewX
+        "0000000000000000"      # skewY
+        "e6100000"              # srid = 4326
+        "0100"                  # width 1
+        "0100"                  # height 1
+        "44"                    # flags: hasNodata(0x40) | 8BUI(4)
+        "00"                    # nodata = 0
+        "07"                    # the pixel
+    )
+    assert got == golden, got.hex()
+
+
+def test_raster_wkb_roundtrip_float32_tile():
+    """encode→decode identity for a float32 NDVI-shaped tile with a
+    -9999 nodata sentinel (the reference's band profile,
+    compute_ndvi.py:34-36) and a non-trivial georeference."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    tile = rng.uniform(-1, 1, size=(17, 23)).astype(np.float32)
+    tile[0, 0] = -9999.0
+    wkb = PG.raster_wkb(
+        tile, ip_x=399960.0, ip_y=6700020.0, scale_x=30.0, scale_y=-30.0,
+        srid=32635, nodata=-9999.0,
+    )
+    out = PG.parse_raster_wkb(wkb)
+    assert (out["width"], out["height"]) == (23, 17)
+    assert out["srid"] == 32635
+    assert out["scale_x"] == 30.0 and out["scale_y"] == -30.0
+    assert out["ip_x"] == 399960.0 and out["ip_y"] == 6700020.0
+    (band,) = out["bands"]
+    assert band["pixtype"] == "32BF"
+    assert band["nodata"] == np.float32(-9999.0)
+    assert np.array_equal(band["array"], tile)
+
+
+def test_raster_wkb_no_nodata_flag():
+    import numpy as np
+
+    wkb = PG.raster_wkb(
+        np.zeros((2, 2), dtype=np.int16), 0, 0, 1.0, -1.0, srid=0, nodata=None
+    )
+    (band,) = PG.parse_raster_wkb(wkb)["bands"]
+    assert band["nodata"] is None  # slot present, flag unset
+
+
+def test_raster_upsert_sql_wraps_payload():
+    sql = PG.raster_upsert_sql(
+        "ndvi_clipped",
+        ("full_id", "aoi_id", "mean_ndvi", "raster"),
+        ("full_id", "aoi_id"),
+    )
+    assert "ST_RastFromWKB(?)" in sql
+    assert sql.count("?") == 4
+    assert '"raster" = excluded."raster"' in sql
+
+
+def test_raster_wkb_through_upsert_sink(spark, tmp_path):
+    """End-to-end: WKB payloads ride the distributed upsert sink into
+    the sqlite stand-in and parse back bit-identically — the
+    ndvi_clipped product shape (full_id, aoi_id, mean_ndvi, raster)
+    with UNIQUE(full_id, aoi_id), 002_schema.sql:20-31."""
+    import numpy as np
+
+    db = str(tmp_path / "pg.db")
+    with sqlite3.connect(db) as con:
+        con.execute(
+            "CREATE TABLE ndvi_clipped (full_id INT, aoi_id INT, "
+            "mean_ndvi REAL, raster BLOB, UNIQUE(full_id, aoi_id))"
+        )
+
+    def payload(seed: int) -> bytes:
+        rng = np.random.default_rng(seed)
+        t = rng.uniform(-1, 1, size=(8, 8)).astype(np.float32)
+        return PG.raster_wkb(t, 0, 0, 30.0, -30.0, srid=32635, nodata=-9999.0)
+
+    rows = [(1, 1, 0.25, payload(1)), (1, 2, 0.5, payload(2))]
+    df = spark.createDataFrame(
+        rows, "full_id int, aoi_id int, mean_ndvi double, raster binary"
+    ).coalesce(1)
+    PG.write_upsert_jdbc(
+        df,
+        "ndvi_clipped",
+        ("full_id", "aoi_id"),
+        connection_factory=lambda: sqlite3.connect(db, timeout=30),
+    )
+    # replace-mode upsert: same keys, new payload — must overwrite
+    df2 = spark.createDataFrame(
+        [(1, 1, 0.75, payload(3))],
+        "full_id int, aoi_id int, mean_ndvi double, raster binary",
+    ).coalesce(1)
+    PG.write_upsert_jdbc(
+        df2,
+        "ndvi_clipped",
+        ("full_id", "aoi_id"),
+        connection_factory=lambda: sqlite3.connect(db, timeout=30),
+    )
+    with sqlite3.connect(db) as con:
+        got = con.execute(
+            "SELECT full_id, aoi_id, mean_ndvi, raster FROM ndvi_clipped ORDER BY aoi_id"
+        ).fetchall()
+    assert [(r[0], r[1], r[2]) for r in got] == [(1, 1, 0.75), (1, 2, 0.5)]
+    assert bytes(got[0][3]) == payload(3)  # replaced payload, bit-exact
+    parsed = PG.parse_raster_wkb(bytes(got[1][3]))
+    assert parsed["srid"] == 32635 and parsed["bands"][0]["pixtype"] == "32BF"

@@ -367,3 +367,68 @@ def test_runtime_bloom_filter_join_injection(spark, sf_dir_oracle):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lsh_degenerate_bucket_skew_split(spark):
+    """The LSH candidate self-join's documented skew guard, proven:
+    a pathological bucket (hundreds of IDENTICAL docs -> one band_key
+    holds the whole pile) must (a) still produce exactly C(n,2)
+    candidate pairs for the pile, and (b) get split by AQE's
+    skew-join optimization instead of serializing one fat partition
+    (operators/dedup.py::lsh_candidate_pairs docstring)."""
+    from ndvi_etl_pipeline_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_docs,
+    )
+
+    n_dup, n_norm = 400, 100
+    rows = [
+        (i, "the same exact degenerate text that lands every copy in one bucket")
+        for i in range(n_dup)
+    ]
+    rows += [
+        (10_000 + i, f"unique document number {i} with distinct filler {i * 7} {i * i}")
+        for i in range(n_norm)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        # no broadcast (force the shuffle join skew applies to) + tiny
+        # skew thresholds so the degenerate bucket trips detection at
+        # test scale the way a multi-GB bucket would at 100 TB
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        banded = lsh_bands(minhash_signatures(shingle_docs(df, "text", "doc_id")))
+        cands = lsh_candidate_pairs(banded)
+        got = cands.collect()
+        dup_pairs = sum(1 for r in got if r.doc_a < 10_000 and r.doc_b < 10_000)
+        assert dup_pairs == n_dup * (n_dup - 1) // 2  # exactly C(400, 2)
+
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

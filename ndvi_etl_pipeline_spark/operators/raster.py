@@ -758,12 +758,37 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
 
 
 def decode_geotiff_bytes(buf: "bytes | memoryview") -> tuple[np.ndarray, dict]:
-    """Bytes-level decode for `binaryFile` scans (S4): the content of
-    a GeoTIFF written by `write_geotiff` → (array, metadata).
+    """Bytes-level decode for `binaryFile` scans (S4): GeoTIFF content
+    → (float array, metadata).
+
+    Two-tier: the fast path decodes the engine's own write profile
+    (little-endian, single IFD, float32, plain/deflate) with minimal
+    branching; anything else — uint16 DN bands, LZW, multi-strip,
+    big-endian, overview IFD chains, i.e. the real Landsat C2L2
+    envelope — falls through to the general pure-Python codec
+    (operators/tiff.py), with integer samples cast to float32 exactly
+    as the reference's kernel does on read (compute_ndvi.py:43-44).
 
     Accepts any buffer-protocol object (bytes, memoryview, Arrow
     buffer view) — the Arrow fast path hands in a zero-copy
     memoryview of the columnar payload."""
+    try:
+        return _decode_geotiff_fast(buf)
+    except (ValueError, KeyError, struct.error):
+        from . import tiff as TF
+
+        arr, meta = TF.decode_tiff(buf)
+        if arr.dtype.kind != "f":
+            arr = arr.astype(np.float32)
+        elif arr.dtype.itemsize == 4:
+            arr = np.ascontiguousarray(arr, dtype="<f4")
+        meta = {
+            k: meta.get(k) for k in ("epsg", "nodata", "origin", "pixel_size")
+        }
+        return arr, meta
+
+
+def _decode_geotiff_fast(buf: "bytes | memoryview") -> tuple[np.ndarray, dict]:
     if bytes(buf[:4]) != b"II*\x00":
         raise ValueError("not a little-endian TIFF")
     (ifd_off,) = struct.unpack_from("<I", buf, 4)
@@ -789,6 +814,15 @@ def decode_geotiff_bytes(buf: "bytes | memoryview") -> tuple[np.ndarray, dict]:
     compression = short_or_long(_TIFF_TAGS["Compression"]) if _TIFF_TAGS[
         "Compression"
     ] in tags else 1
+
+    # guards: anything outside the engine's own write profile goes to
+    # the general codec (operators/tiff.py) via the caller's fallback
+    bits = short_or_long(_TIFF_TAGS["BitsPerSample"]) if _TIFF_TAGS["BitsPerSample"] in tags else 32
+    sfmt = short_or_long(_TIFF_TAGS["SampleFormat"]) if _TIFF_TAGS["SampleFormat"] in tags else 3
+    if bits != 32 or sfmt != 3:
+        raise ValueError("fast path handles float32 only")
+    if compression not in (1, 8):
+        raise ValueError("fast path handles none/deflate only")
 
     if _TILE_TAGS["TileWidth"] in tags:  # tiled layout (write_geotiff_tiled)
         import zlib
@@ -817,6 +851,8 @@ def decode_geotiff_bytes(buf: "bytes | memoryview") -> tuple[np.ndarray, dict]:
                 : min(th, h - ys), : min(tw, w - xs)
             ]
     else:
+        if tags[_TIFF_TAGS["StripOffsets"]][1] != 1 or compression != 1:
+            raise ValueError("fast path handles one uncompressed strip only")
         off = short_or_long(_TIFF_TAGS["StripOffsets"])
         nbytes = short_or_long(_TIFF_TAGS["StripByteCounts"])
         arr = np.frombuffer(buf, dtype="<f4", count=nbytes // 4, offset=off).reshape(h, w)

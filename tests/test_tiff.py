@@ -1,0 +1,175 @@
+"""General TIFF codec (operators/tiff.py): the real-world GeoTIFF
+compatibility envelope — LZW, multi-strip, multi-IFD overviews,
+uint16 DN, both endians — plus the committed golden fixtures that pin
+decoder behavior independently of the in-repo encoder."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ndvi_etl_pipeline_spark.operators import tiff as TF
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def _pack_codes(codes, width=9):
+    """Independent minimal MSB-first bit packer (deliberately NOT the
+    module's encoder) so the spec-example test validates the decoder
+    against hand-derived codes, not against our own writer."""
+    acc, nb, out = 0, 0, bytearray()
+    for c in codes:
+        acc = (acc << width) | c
+        nb += width
+        while nb >= 8:
+            out.append((acc >> (nb - 8)) & 0xFF)
+            nb -= 8
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decodes_tiff_spec_example():
+    """TIFF 6.0 §13's worked example: 7 7 7 8 8 7 7 6 6 encodes to the
+    code sequence [Clear, 7, 258, 8, 8, 258, 6, 6, EOI] (derived by
+    hand from the spec's algorithm), all 9-bit."""
+    stream = _pack_codes([256, 7, 258, 8, 8, 258, 6, 6, 257])
+    assert TF.lzw_decode(stream) == bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+
+
+def test_lzw_roundtrip_incompressible_and_repetitive():
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 255, 4096, 70_000):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert TF.lzw_decode(TF.lzw_encode(data)) == data, n
+    # long repetitive input: exercises width growth 9→12 and the
+    # table-full Clear
+    data = b"abcabcabd" * 20_000
+    assert TF.lzw_decode(TF.lzw_encode(data)) == data
+
+
+def test_lzw_kwkwk_case():
+    """code == next free entry (the cScSc pattern) must resolve to
+    prev + prev[0]."""
+    data = b"aaaaaaaaaaaaaaaa"
+    assert TF.lzw_decode(TF.lzw_encode(data)) == data
+
+
+def test_golden_uint16_lzw_multistrip_with_overview():
+    """Committed fixture (Landsat C2L2-shaped: uint16 DN, nodata 0,
+    LZW + horizontal predictor, 32-row strips, UTM CRS, one overview
+    IFD). Expected pixels re-derive from the generation seed, so this
+    pins the DECODER against the committed bytes — an encoder change
+    cannot silently re-golden it."""
+    rng = np.random.default_rng(20220606)
+    dn = rng.integers(1, 65535, size=(120, 97), dtype=np.uint16)
+    dn[rng.random((120, 97)) < 0.05] = 0
+    buf = (FIXTURES / "landsat_style_uint16_lzw.tif").read_bytes()
+
+    levels = TF.decode_tiff_ifds(buf)
+    assert len(levels) == 2
+    arr, meta = levels[0]
+    assert arr.dtype.kind == "u" and arr.dtype.itemsize == 2
+    assert np.array_equal(np.ascontiguousarray(arr, dtype=np.uint16), dn)
+    assert meta["epsg"] == 32635
+    assert meta["nodata"] == 0.0
+    assert meta["origin"] == (399960.0, 6700020.0)
+    assert meta["pixel_size"] == (30.0, 30.0)
+    ovr, ometa = levels[1]
+    assert np.array_equal(np.ascontiguousarray(ovr, dtype=np.uint16), dn[::4, ::4])
+    assert ometa.get("subfile_type") == 1
+
+
+def test_golden_bigendian_float32_deflate():
+    rng = np.random.default_rng(20220606)
+    dn = rng.integers(1, 65535, size=(120, 97), dtype=np.uint16)
+    dn[rng.random((120, 97)) < 0.05] = 0
+    want = (dn.astype(np.float32) * 2.75e-5 - 0.2).astype(np.float32)
+    buf = (FIXTURES / "bigendian_float32_deflate.tif").read_bytes()
+    arr, meta = TF.decode_tiff(buf)
+    assert np.array_equal(arr.astype("<f4"), want)
+    assert meta["nodata"] == -9999.0
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize(
+    "dtype,compression,predictor",
+    [
+        ("uint8", "none", 1),
+        ("uint16", "lzw", 2),
+        ("uint16", "deflate", 2),
+        ("int16", "lzw", 2),
+        ("uint32", "deflate", 1),
+        ("float32", "deflate", 3),
+        ("float32", "lzw", 1),
+        ("float64", "none", 1),
+    ],
+)
+def test_roundtrip_matrix(dtype, compression, predictor, big_endian):
+    rng = np.random.default_rng(42)
+    if dtype.startswith("float"):
+        a = rng.uniform(-1000, 1000, (37, 23)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        a = rng.integers(info.min, info.max, (37, 23), dtype=dtype)
+    blob = TF.write_tiff(
+        a,
+        compression=compression,
+        predictor=predictor,
+        rows_per_strip=10,
+        big_endian=big_endian,
+    )
+    out, _ = TF.decode_tiff(blob)
+    assert np.array_equal(np.ascontiguousarray(out, dtype=a.dtype), a)
+
+
+def test_raster_decode_falls_back_to_general_codec():
+    """operators/raster.py::decode_geotiff_bytes must transparently
+    decode the uint16-LZW golden (casting DN → float32, the
+    reference's read-time cast, compute_ndvi.py:43-44) while keeping
+    the fast path for the engine's own profile."""
+    from ndvi_etl_pipeline_spark.operators.raster import decode_geotiff_bytes
+
+    rng = np.random.default_rng(20220606)
+    dn = rng.integers(1, 65535, size=(120, 97), dtype=np.uint16)
+    dn[rng.random((120, 97)) < 0.05] = 0
+    buf = (FIXTURES / "landsat_style_uint16_lzw.tif").read_bytes()
+    arr, meta = decode_geotiff_bytes(buf)
+    assert arr.dtype == np.float32
+    assert np.array_equal(arr, dn.astype(np.float32))
+    assert meta["epsg"] == 32635 and meta["nodata"] == 0.0
+
+
+def test_scan_geotiffs_reads_uint16_lzw_band_files(spark, tmp_path):
+    """End-to-end S4: a scene whose red/nir bands are Landsat-style
+    uint16-LZW files flows through the binaryFile scan → tile codec →
+    NDVI kernel, with DN 0 masked via the GDAL nodata tag."""
+    from ndvi_etl_pipeline_spark.operators import raster
+
+    rng = np.random.default_rng(7)
+    red = rng.integers(1, 40000, size=(64, 64), dtype=np.uint16)
+    nir = rng.integers(1, 40000, size=(64, 64), dtype=np.uint16)
+    red[0, :8] = 0
+    for band, a in (("red", red), ("nir", nir)):
+        blob = TF.write_tiff(
+            a, compression="lzw", predictor=2, rows_per_strip=16, nodata=0.0
+        )
+        (tmp_path / f"SC1_{band}.tif").write_bytes(blob)
+
+    tiles = raster.scan_geotiffs(spark, str(tmp_path / "*.tif"), tile=32)
+    stats = raster.tile_scene_stats(raster.tile_ndvi(tiles)).collect()
+    assert len(stats) == 1
+    r = stats[0]
+    # scan converts the tagged nodata (DN 0) to NaN, so those 8 cells
+    # are ABSENT from the pairing, not merely invalid
+    assert r.n_pixels == 64 * 64 - 8
+    assert r.n_valid == 64 * 64 - 8
+    # value spot-check against the kernel arithmetic
+    from ndvi_etl_pipeline_spark.functions.ndvi import EPS, OFFSET, SCALE
+
+    rf = red.astype(np.float64) * SCALE + OFFSET
+    nf = nir.astype(np.float64) * SCALE + OFFSET
+    nd = np.clip((nf - rf) / (nf + rf + EPS), -1, 1)
+    nd[red == 0] = np.nan
+    want = float(np.nanmean(nd.astype(np.float32)))
+    assert abs(r.mean_ndvi - want) < 1e-5

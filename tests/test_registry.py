@@ -51,19 +51,17 @@ def test_headline_queries_registered():
     assert set(hl) <= set(REGISTRY)
 
 
-def test_new_family_plans_build(spark, sf_dir):
-    # One representative per family added late in round 1 — plan
-    # analysis (schema resolution) without execution.
-    sample = [
-        "kruskal_wallis_h",
-        "shapley_attribution",
-        "poisson_bootstrap_ci",
-        "lof_outliers",
-        "count_min_sketch",
-        "regression_discontinuity",
-        "energy_distance_two_sample",
-        "f1_micro_macro",
-    ]
-    for name in sample:
-        df = REGISTRY[name].builder(spark, sf_dir)
-        assert len(df.schema.fields) > 0, name
+def test_every_plan_builds(spark, sf_dir):
+    """Build EVERY registered plan (schema resolution without
+    execution — cheap) so a refactor that breaks any builder fails in
+    CI instead of surfacing only in the external sweep. Iterative
+    builders (operators/iterate.py users) run bounded build-time jobs
+    at sf0.001; everything else stays lazy."""
+    failures = []
+    for name, spec in sorted(REGISTRY.items()):
+        try:
+            df = spec.builder(spark, sf_dir)
+            assert len(df.schema.fields) > 0
+        except Exception as e:  # noqa: BLE001 — collect all, report once
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures[:20]) + f"\n({len(failures)} total)"

@@ -50,14 +50,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Coalesce post-shuffle partitions to the advisory SIZE rather
-        # than preserving parallelism: tiny shuffles collapse to a few
-        # tasks (measured −19% on the headline set at sf0.1, where
-        # per-task launch overhead dominates); big shuffles still hit
-        # the 64 MB advisory target, so cluster-scale plans are
-        # unchanged. This is the setting Spark's own AQE docs
-        # recommend for clusters with stable executor counts.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Post-shuffle coalescing: parallelism FIRST. With
+        # parallelismFirst=true AQE sizes partitions at
+        # max(total/parallelism, minPartitionSize) — tiny shuffles
+        # (< 1 MB) still collapse to one task (the sf0.1 overhead win
+        # round 1 measured), but CPU-bound reduce stages keep all
+        # cores. Round 1 shipped parallelismFirst=false, and at sf1 it
+        # ran a 5.9M-group aggregate + window on 1-2 tasks because the
+        # ~60 MB shuffle sat under the 64 MB advisory size — a 5×
+        # slowdown on min_cost_supplier that would be a cluster-wide
+        # stall at 100 TB with large executors. Measured: sf1 headline
+        # total 16.7 s → 12.9 s (min_cost_supplier 5.1 → 1.0 s), and
+        # sf0.1 7.7 s → 6.3 s — the round-1 rationale for
+        # parallelismFirst=false did not replicate.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         # 64 MB static broadcast threshold (default 10 MB): dimension
         # tables broadcast without waiting for an AQE runtime
         # conversion, removing one shuffle-stage materialization per

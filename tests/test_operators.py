@@ -262,3 +262,17 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
     for row in exp.itertuples(index=False):
         want = None if pd.isna(row.rid) else int(row.rid)
         assert got[row.lid] == want, f"lid={row.lid}: {got[row.lid]} != {want}"
+
+
+def test_brute_force_topk_np_matches_native(spark, sf_dir_oracle):
+    """The Arrow/numpy scoring kernel must equal the codegen
+    higher-order-function path BIT FOR BIT (dim-ordered accumulation
+    mirrors aggregate()/list_sum), ranks included."""
+    from ndvi_etl_pipeline_spark.operators import similarity as SIM
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+
+    e = load_table(spark, "embeddings", sf_dir_oracle)
+    c, q = e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, SIM.brute_force_topk(c, q, k=5).collect()))
+    b = sorted(map(tuple, SIM.brute_force_topk_np(c, q, k=5).collect()))
+    assert a == b and len(a) == 25

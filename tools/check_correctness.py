@@ -69,6 +69,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None, help="write per-query JSON results here")
+    ap.add_argument("--shard", default=None, help="i/n: run the i-th of n alphabetical shards")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -79,25 +81,32 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    names = args.names or list(qs)
+    names = args.names or sorted(qs)
+    if args.shard:
+        i, n = (int(x) for x in args.shard.split("/"))
+        names = [nm for k, nm in enumerate(names) if k % n == i]
 
     n_pass = n_fail = n_weak = 0
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:160]}")
+            results[name] = {"status": "fail", "err": str(e).splitlines()[0][:160]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"WEAK  {name}: rows={len(sdf)} (no oracle, rows-only check)")
+            results[name] = {"status": "weak", "rows": len(sdf)}
             n_weak += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:160]}")
+            results[name] = {"status": "fail", "err": str(e).splitlines()[0][:160]}
             n_fail += 1
             continue
         dt = time.time() - t0
@@ -120,12 +129,32 @@ def main() -> int:
                 )
         if problems:
             print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
+            results[name] = {"status": "fail", "err": "; ".join(problems)[:300]}
             n_fail += 1
         else:
             print(f"PASS  {name} ({dt:.1f}s, {len(sdf)} rows)")
+            results[name] = {"status": "pass", "rows": len(sdf), "sec": round(dt, 2)}
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    if args.out:
+        import json
+
+        Path(args.out).write_text(
+            json.dumps(
+                {
+                    "summary": {
+                        "n_pass": n_pass,
+                        "n_fail": n_fail,
+                        "n_weak": n_weak,
+                        "sf": args.sf,
+                    },
+                    "queries": results,
+                },
+                indent=1,
+                sort_keys=True,
+            )
+        )
     return 1 if n_fail else 0
 
 

@@ -240,3 +240,36 @@ def test_warc_records_udtf_matches_mapinpandas_reader(spark, tmp_path):
         assert bytes(by_idx_g[i].payload) == bytes(by_idx_w[i].payload)
         assert by_idx_g[i].target_uri == by_idx_w[i].target_uri == f"urn:t:{i}"
         assert by_idx_g[i].content_length == by_idx_w[i].content_length
+
+
+def test_warc_datasource_matches_mapinpandas_reader(spark, tmp_path):
+    """spark.read.format('warc') must yield the same records as
+    read_warc (one parser, three surfaces), including through a
+    multi-member gzip file."""
+    import gzip
+
+    from ndvi_etl_pipeline_spark.sources import warc_datasource
+    from ndvi_etl_pipeline_spark.sources.webarchive import read_warc
+
+    def rec(i: int, body: bytes) -> bytes:
+        return (
+            b"WARC/1.1\r\nWARC-Type: resource\r\nWARC-Target-URI: urn:d:%d\r\n"
+            b"Content-Length: %d\r\n\r\n%s\r\n\r\n" % (i, len(body), body)
+        )
+
+    (tmp_path / "a.warc").write_bytes(rec(0, b"plain one") + rec(1, b"plain two"))
+    # standard layout: one gzip member per record, concatenated
+    (tmp_path / "b.warc.gz").write_bytes(
+        gzip.compress(rec(2, b"gz one")) + gzip.compress(rec(3, b"gz two"))
+    )
+
+    warc_datasource.register(spark)
+    got = spark.read.format("warc").load(str(tmp_path)).collect()
+    want = read_warc(spark, str(tmp_path / "*.warc*")).collect()
+
+    def key(r):
+        return (r.target_uri, r.record_idx, bytes(r.payload), r.content_length)
+
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == 4
+    assert {r.target_uri for r in got} == {f"urn:d:{i}" for i in range(4)}

@@ -105,6 +105,76 @@ def assign_split(
     return out.otherwise(F.lit("train"))
 
 
+def weighted_sample_key(key: Column, weight: Column) -> Column:
+    """Efraimidis–Spirakis weighted-sampling key: u^(1/w), u ∈ (0,1).
+
+    Taking the k LARGEST keys draws a weighted random sample without
+    replacement where inclusion probability follows the weights — the
+    standard distributed/streaming reservoir algorithm (Efraimidis &
+    Spirakis 2006): keys are independent per row, so the "reservoir"
+    is just a global top-k, which Spark executes as per-partition
+    top-k + tiny final merge (TakeOrderedAndProject) — no state, no
+    single reducer, mergeable across streams/epochs.
+
+    u derives from the md5 hash bucket (not rand()), so the sample is
+    deterministic, replayable, and engine-portable — the same contract
+    as `assign_split`.
+    """
+    hx = F.substring(F.md5(key.cast("string").cast("binary")), 1, 8)
+    u = (F.conv(hx, 16, 10).cast("double") + 0.5) / F.lit(4294967296.0)
+    return F.pow(u, 1.0 / weight)
+
+
+def weighted_reservoir_sample(
+    df: DataFrame, k: int, key_col: str, weight_col: str, out_key: str = "sample_key"
+) -> DataFrame:
+    """k-item weighted sample without replacement (largest ES keys).
+    Deterministic tie-break on the id keeps the result total-ordered."""
+    keyed = df.withColumn(
+        out_key, weighted_sample_key(F.col(key_col), F.col(weight_col).cast("double"))
+    )
+    return keyed.orderBy(F.desc(out_key), F.col(key_col)).limit(k)
+
+
+def epoch_shuffle(
+    df: DataFrame, epoch: int, key_col: str, shards: int = 64
+) -> DataFrame:
+    """Deterministic per-epoch global training-order shuffle as
+    (shard, pos): shard = hash(epoch, id) mod `shards`, pos = rank of
+    hash(epoch, id) within the shard.
+
+    This is how a 100 TB corpus gets a fresh, REPRODUCIBLE permutation
+    every epoch with no global sort: the shard assignment is a
+    map-side expression, and the within-shard rank is a window
+    partitioned by shard — parallelism = `shards`, each sorting
+    |corpus|/shards rows. Readers consume shards in order (shard-major,
+    pos-minor) for the epoch's sequence; changing `epoch` re-deals
+    everything while any single epoch's order is stable across reruns
+    and engines (md5, not rand()).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{epoch}:"), F.col(key_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("_shard").orderBy("_h", key_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_shard", (F.col("_h") % shards).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .withColumnRenamed("_shard", "shard")
+        .drop("_h")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata: list[str],

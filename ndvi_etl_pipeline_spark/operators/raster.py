@@ -882,22 +882,31 @@ def _decode_geotiff_fast(buf: "bytes | memoryview") -> tuple[np.ndarray, dict]:
 # ---------------------------------------------------------------------------
 
 
-def _band_array_from_tiff(buf, nodata_to_nan: bool) -> np.ndarray:
-    arr, meta = decode_geotiff_bytes(buf)
+def _band_array_from_tiff(buf, nodata_to_nan: bool, overview_level: int = 0) -> np.ndarray:
+    if overview_level > 0:
+        # COG/Landsat pyramid: read a reduced-resolution IFD instead of
+        # the full band — the cheap path for previews/coarse stats.
+        # Clamps to the deepest available level (GDAL semantics).
+        from . import tiff as TF
+
+        levels = TF.decode_tiff_ifds(buf)
+        arr, meta = levels[min(overview_level, len(levels) - 1)]
+    else:
+        arr, meta = decode_geotiff_bytes(buf)
     a = arr.astype(np.float32)
     if nodata_to_nan and meta.get("nodata") is not None:
         a = np.where(a == np.float32(meta["nodata"]), np.nan, a)
     return a
 
 
-def _file_tile_rows(path: str, buf, tile: int, nodata_to_nan: bool):
+def _file_tile_rows(path: str, buf, tile: int, nodata_to_nan: bool, overview_level: int = 0):
     """One GeoTIFF's bytes → TILE_SCHEMA row tuples (shared by the
     pandas and Arrow scan kernels, so both produce identical rows)."""
     import os
 
     stem = os.path.basename(path).rsplit(".", 1)[0]
     scene_id, band = stem.rsplit("_", 1)
-    a = _band_array_from_tiff(buf, nodata_to_nan)
+    a = _band_array_from_tiff(buf, nodata_to_nan, overview_level)
     h, w = a.shape
     for ty in range(0, h, tile):
         for tx in range(0, w, tile):
@@ -937,6 +946,7 @@ def scan_geotiffs(
     tile: int = DEFAULT_TILE,
     nodata_to_nan: bool = True,
     use_arrow: bool = True,
+    overview_level: int = 0,
 ) -> DataFrame:
     """`spark.read.format('binaryFile')` over a GeoTIFF glob → tile
     rows. scene_id and band parse from the `<scene_id>_<band>.tif`
@@ -950,7 +960,12 @@ def scan_geotiffs(
     JVM→Python boundary as an Arrow buffer and is decoded through a
     zero-copy memoryview — no per-cell Python bytes materialization,
     no pandas block manager on either side of the kernel. The
-    `use_arrow=False` pandas path is kept for parity testing."""
+    `use_arrow=False` pandas path is kept for parity testing.
+
+    ``overview_level > 0`` reads that reduced-resolution IFD from the
+    file's pyramid instead of the full band (clamped to the deepest
+    available level) — coarse stats/previews touch 1/4^level of the
+    pixels without a resample pass."""
     binf = spark.read.format("binaryFile").load(path_glob).select("path", "content")
 
     if use_arrow:
@@ -964,7 +979,7 @@ def scan_geotiffs(
                 cols: list[list] = [[] for _ in _TILE_ARROW_NAMES]
                 for i, p in enumerate(paths):
                     mv = memoryview(contents[i].as_buffer())
-                    for row in _file_tile_rows(p, mv, tile, nodata_to_nan):
+                    for row in _file_tile_rows(p, mv, tile, nodata_to_nan, overview_level):
                         for acc, v in zip(cols, row):
                             acc.append(v)
                 if cols[0]:
@@ -980,7 +995,9 @@ def scan_geotiffs(
             rows = []
             for r in pdf.itertuples(index=False):
                 rows.extend(
-                    _file_tile_rows(r.path, bytes(r.content), tile, nodata_to_nan)
+                    _file_tile_rows(
+                        r.path, bytes(r.content), tile, nodata_to_nan, overview_level
+                    )
                 )
             if rows:
                 yield pd.DataFrame(rows, columns=_TILE_ARROW_NAMES)

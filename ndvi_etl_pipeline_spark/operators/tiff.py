@@ -149,8 +149,14 @@ def lzw_encode(data: bytes) -> bytes:
 # IFD parsing (both endians, full chain)
 # ---------------------------------------------------------------------------
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4,
+    12: 8, 16: 8, 17: 8, 18: 8,  # 16-18: BigTIFF LONG8/SLONG8/IFD8
+}
+_TYPE_FMT = {
+    1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+    16: "Q", 17: "q", 18: "Q",
+}
 
 T_IMAGE_WIDTH = 256
 T_IMAGE_LENGTH = 257
@@ -172,58 +178,87 @@ T_GEO_KEY_DIRECTORY = 34735
 T_GDAL_NODATA = 42113
 
 
-def parse_tiff_ifds(buf) -> tuple[str, list[dict[int, tuple[int, int, int]]]]:
-    """Walk the IFD chain. Returns (endian, [ {tag: (type, count,
-    value_or_offset)} per IFD ]). `endian` is '<' or '>'."""
-    magic = bytes(buf[:4])
-    if magic == b"II*\x00":
+def parse_tiff_ifds(buf) -> tuple[str, bool, list[dict[int, tuple[int, int, int]]]]:
+    """Walk the IFD chain (classic TIFF and BigTIFF). Returns
+    (endian, is_bigtiff, [ {tag: (type, count, value_or_offset)} per
+    IFD ]). `endian` is '<' or '>'. BigTIFF (version 43 — the format
+    GDAL's BIGTIFF=IF_SAFER emits for >4 GB rasters, which the
+    reference sets at load_to_postgis.py:116) uses 8-byte offsets,
+    64-bit entry counts, and 20-byte IFD entries."""
+    if bytes(buf[:2]) == b"II":
         en = "<"
-    elif magic == b"MM\x00*":
+    elif bytes(buf[:2]) == b"MM":
         en = ">"
     else:
-        raise ValueError("not a classic TIFF (II*\\0 / MM\\0*)")
-    (ifd_off,) = struct.unpack_from(en + "I", buf, 4)
+        raise ValueError("not a TIFF (II/MM)")
+    (version,) = struct.unpack_from(en + "H", buf, 2)
+    if version == 42:
+        big = False
+        (ifd_off,) = struct.unpack_from(en + "I", buf, 4)
+    elif version == 43:
+        big = True
+        osz, zero = struct.unpack_from(en + "HH", buf, 4)
+        if osz != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header ({osz}, {zero})")
+        (ifd_off,) = struct.unpack_from(en + "Q", buf, 8)
+    else:
+        raise ValueError(f"unsupported TIFF version {version}")
+    cnt_fmt, cnt_sz = (en + "Q", 8) if big else (en + "H", 2)
+    ent_sz = 20 if big else 12
+    val_fmt = en + "Q" if big else en + "I"
     ifds = []
     seen = set()
     while ifd_off and ifd_off not in seen:
         seen.add(ifd_off)
-        (n_tags,) = struct.unpack_from(en + "H", buf, ifd_off)
+        (n_tags,) = struct.unpack_from(cnt_fmt, buf, ifd_off)
         tags: dict[int, tuple[int, int, int]] = {}
-        for i in range(n_tags):
-            code, ttype, count = struct.unpack_from(
-                en + "HHI", buf, ifd_off + 2 + i * 12
-            )
-            # keep the raw 4 value bytes as an offset-or-inline int
-            (value,) = struct.unpack_from(en + "I", buf, ifd_off + 2 + i * 12 + 8)
-            tags[code] = (ttype, count, value)
+        for i in range(int(n_tags)):
+            base = ifd_off + cnt_sz + i * ent_sz
+            code, ttype = struct.unpack_from(en + "HH", buf, base)
+            if big:
+                (count,) = struct.unpack_from(en + "Q", buf, base + 4)
+                (value,) = struct.unpack_from(en + "Q", buf, base + 12)
+            else:
+                (count,) = struct.unpack_from(en + "I", buf, base + 4)
+                (value,) = struct.unpack_from(en + "I", buf, base + 8)
+            tags[code] = (ttype, int(count), value)
         ifds.append(tags)
-        (ifd_off,) = struct.unpack_from(en + "I", buf, ifd_off + 2 + n_tags * 12)
-    return en, ifds
+        (ifd_off,) = struct.unpack_from(
+            val_fmt, buf, ifd_off + cnt_sz + int(n_tags) * ent_sz
+        )
+    return en, big, ifds
 
 
-def _tag_values(buf, en: str, tags, code: int):
+def _tag_values(buf, en: str, tags, code: int, big: bool = False):
     """All values of a tag, honoring type width, inline-vs-offset, and
     endianness. SHORT inline values need re-reading from the raw value
-    bytes in big-endian files, which is why the parse keeps offsets."""
+    bytes in big-endian files, which is why the parse keeps offsets.
+    BigTIFF inlines up to 8 bytes in the 8-byte value field."""
     ttype, count, value = tags[code]
     size = _TYPE_SIZE.get(ttype, 1)
     fmt = _TYPE_FMT.get(ttype)
+    inline_cap = 8 if big else 4
+    inline_fmt = en + ("Q" if big else "I")
     if ttype == 2:  # ASCII
-        off = value if count > 4 else None
-        raw = bytes(buf[off : off + count]) if off is not None else struct.pack(en + "I", value)[:count]
+        off = value if count > inline_cap else None
+        raw = (
+            bytes(buf[off : off + count])
+            if off is not None
+            else struct.pack(inline_fmt, value)[:count]
+        )
         return [raw.split(b"\x00")[0].decode("ascii", "replace")]
     if fmt is None:
         raise ValueError(f"unsupported TIFF tag type {ttype}")
-    if size * count <= 4:
-        raw = struct.pack(en + "I", value)[: size * count]
+    if size * count <= inline_cap:
+        raw = struct.pack(inline_fmt, value)[: size * count]
         return list(struct.unpack(en + f"{count}{fmt}", raw))
     return list(struct.unpack_from(en + f"{count}{fmt}", buf, value))
 
 
-def _tag1(buf, en, tags, code, default=None):
+def _tag1(buf, en, tags, code, default=None, big: bool = False):
     if code not in tags:
         return default
-    return _tag_values(buf, en, tags, code)[0]
+    return _tag_values(buf, en, tags, code, big=big)[0]
 
 
 def _sample_dtype(bits: int, sample_format: int, en: str) -> np.dtype:
@@ -293,24 +328,30 @@ def _decompress(raw: bytes, compression: int) -> bytes:
     raise ValueError(f"unsupported compression {compression}")
 
 
-def decode_ifd(buf, en: str, tags) -> tuple[np.ndarray, dict]:
+def decode_ifd(buf, en: str, tags, big: bool = False) -> tuple[np.ndarray, dict]:
     """One IFD → (2-D array in native dtype, geo metadata dict)."""
-    w = int(_tag1(buf, en, tags, T_IMAGE_WIDTH))
-    h = int(_tag1(buf, en, tags, T_IMAGE_LENGTH))
-    bits = int(_tag1(buf, en, tags, T_BITS_PER_SAMPLE, 8))
-    sfmt = int(_tag1(buf, en, tags, T_SAMPLE_FORMAT, 1))
-    compression = int(_tag1(buf, en, tags, T_COMPRESSION, 1))
-    predictor = int(_tag1(buf, en, tags, T_PREDICTOR, 1))
+    def _tag1b(b_, e_, t_, c_, default=None):
+        return _tag1(b_, e_, t_, c_, default, big=big)
+
+    def _tag_valuesb(b_, e_, t_, c_):
+        return _tag_values(b_, e_, t_, c_, big=big)
+
+    w = int(_tag1b(buf, en, tags, T_IMAGE_WIDTH))
+    h = int(_tag1b(buf, en, tags, T_IMAGE_LENGTH))
+    bits = int(_tag1b(buf, en, tags, T_BITS_PER_SAMPLE, 8))
+    sfmt = int(_tag1b(buf, en, tags, T_SAMPLE_FORMAT, 1))
+    compression = int(_tag1b(buf, en, tags, T_COMPRESSION, 1))
+    predictor = int(_tag1b(buf, en, tags, T_PREDICTOR, 1))
     dt = _sample_dtype(bits, sfmt, en)
     # predictor-3 output is little-endian float regardless of file order
     out_dt = np.dtype(f"<f{dt.itemsize}") if predictor == 3 else dt
 
     arr = np.zeros((h, w), dtype=out_dt)
     if T_TILE_WIDTH in tags:
-        tw = int(_tag1(buf, en, tags, T_TILE_WIDTH))
-        th = int(_tag1(buf, en, tags, T_TILE_LENGTH))
-        offs = _tag_values(buf, en, tags, T_TILE_OFFSETS)
-        cnts = _tag_values(buf, en, tags, T_TILE_BYTE_COUNTS)
+        tw = int(_tag1b(buf, en, tags, T_TILE_WIDTH))
+        th = int(_tag1b(buf, en, tags, T_TILE_LENGTH))
+        offs = _tag_valuesb(buf, en, tags, T_TILE_OFFSETS)
+        cnts = _tag_valuesb(buf, en, tags, T_TILE_BYTE_COUNTS)
         tiles_across = -(-w // tw)
         for i, (o, c) in enumerate(zip(offs, cnts)):
             raw = _decompress(bytes(buf[o : o + c]), compression)
@@ -331,9 +372,9 @@ def decode_ifd(buf, en: str, tags) -> tuple[np.ndarray, dict]:
                 : min(th, h - ys), : min(tw, w - xs)
             ]
     else:
-        rps = int(_tag1(buf, en, tags, T_ROWS_PER_STRIP, h) or h)
-        offs = _tag_values(buf, en, tags, T_STRIP_OFFSETS)
-        cnts = _tag_values(buf, en, tags, T_STRIP_BYTE_COUNTS)
+        rps = int(_tag1b(buf, en, tags, T_ROWS_PER_STRIP, h) or h)
+        offs = _tag_valuesb(buf, en, tags, T_STRIP_OFFSETS)
+        cnts = _tag_valuesb(buf, en, tags, T_STRIP_BYTE_COUNTS)
         for i, (o, c) in enumerate(zip(offs, cnts)):
             ys = i * rps
             nrows = min(rps, h - ys)
@@ -353,39 +394,39 @@ def decode_ifd(buf, en: str, tags) -> tuple[np.ndarray, dict]:
 
     meta: dict = {"epsg": None, "nodata": None, "origin": None, "pixel_size": None}
     if T_MODEL_PIXEL_SCALE in tags:
-        vals = _tag_values(buf, en, tags, T_MODEL_PIXEL_SCALE)
+        vals = _tag_valuesb(buf, en, tags, T_MODEL_PIXEL_SCALE)
         meta["pixel_size"] = (vals[0], vals[1])
     if T_MODEL_TIEPOINT in tags:
-        vals = _tag_values(buf, en, tags, T_MODEL_TIEPOINT)
+        vals = _tag_valuesb(buf, en, tags, T_MODEL_TIEPOINT)
         meta["origin"] = (vals[3], vals[4])
     if T_GEO_KEY_DIRECTORY in tags:
-        shorts = _tag_values(buf, en, tags, T_GEO_KEY_DIRECTORY)
+        shorts = _tag_valuesb(buf, en, tags, T_GEO_KEY_DIRECTORY)
         for j in range(4, len(shorts), 4):
             if shorts[j] in (2048, 3072):  # geographic / projected CRS key
                 meta["epsg"] = shorts[j + 3]
     if T_GDAL_NODATA in tags:
-        (txt,) = _tag_values(buf, en, tags, T_GDAL_NODATA)
+        (txt,) = _tag_valuesb(buf, en, tags, T_GDAL_NODATA)
         try:
             meta["nodata"] = float(txt)
         except ValueError:
             pass
     if T_NEW_SUBFILE_TYPE in tags:
-        meta["subfile_type"] = int(_tag1(buf, en, tags, T_NEW_SUBFILE_TYPE))
+        meta["subfile_type"] = int(_tag1b(buf, en, tags, T_NEW_SUBFILE_TYPE))
     return np.ascontiguousarray(arr), meta
 
 
 def decode_tiff(buf) -> tuple[np.ndarray, dict]:
     """Primary-IFD decode: (array in the file's sample dtype, meta)."""
-    en, ifds = parse_tiff_ifds(buf)
-    return decode_ifd(buf, en, ifds[0])
+    en, big, ifds = parse_tiff_ifds(buf)
+    return decode_ifd(buf, en, ifds[0], big=big)
 
 
 def decode_tiff_ifds(buf) -> list[tuple[np.ndarray, dict]]:
     """Decode EVERY IFD — primary image first, then overview levels
     (reduced-resolution IFDs carry NewSubfileType=1, the COG/Landsat
     overview layout)."""
-    en, ifds = parse_tiff_ifds(buf)
-    return [decode_ifd(buf, en, tags) for tags in ifds]
+    en, big, ifds = parse_tiff_ifds(buf)
+    return [decode_ifd(buf, en, tags, big=big) for tags in ifds]
 
 
 # ---------------------------------------------------------------------------
@@ -403,6 +444,7 @@ def write_tiff(
     predictor: int = 1,
     rows_per_strip: int | None = None,
     big_endian: bool = False,
+    bigtiff: bool = False,
     origin: tuple[float, float] | None = (0.0, 0.0),
     pixel_size: tuple[float, float] | None = (1.0, 1.0),
     epsg: int | None = 4326,
@@ -419,8 +461,14 @@ def write_tiff(
     comp = _COMP_CODE[compression]
     images = [np.asarray(arr)] + [np.asarray(o) for o in (overviews or [])]
 
-    chunks: list[bytes] = [b"MM\x00*" if big_endian else b"II*\x00", b"\x00" * 4]
-    pos = 8
+    order = b"MM" if big_endian else b"II"
+    if bigtiff:
+        # version 43: offset size 8, constant 0, uint64 first-IFD ptr
+        header = order + struct.pack(en + "HHHQ", 43, 8, 0, 0)
+    else:
+        header = order + struct.pack(en + "HI", 42, 0)
+    chunks: list[bytes] = [header]
+    pos = len(header)
     ifd_offsets: list[int] = []
 
     def emit(b: bytes) -> int:
@@ -496,24 +544,38 @@ def write_tiff(
                 tags.append((T_GDAL_NODATA, 2, len(txt), txt))
 
         tags.sort(key=lambda t: t[0])
+        inline_cap = 8 if bigtiff else 4
+        off_fmt = en + ("Q" if bigtiff else "I")
+        cnt_fmt = en + ("Q" if bigtiff else "I")
         # out-of-line payloads first, then the IFD itself
         entries: list[bytes] = []
         for code, ttype, count, raw in tags:
-            if len(raw) <= 4:
-                value_bytes = raw.ljust(4, b"\x00")
+            if len(raw) <= inline_cap:
+                value_bytes = raw.ljust(inline_cap, b"\x00")
             else:
                 off = emit(raw)
-                value_bytes = struct.pack(en + "I", off)
-            entries.append(struct.pack(en + "HHI", code, ttype, count) + value_bytes)
-        ifd = struct.pack(en + "H", len(entries)) + b"".join(entries) + b"\x00" * 4
+                value_bytes = struct.pack(off_fmt, off)
+            entries.append(
+                struct.pack(en + "HH", code, ttype)
+                + struct.pack(cnt_fmt, count)
+                + value_bytes
+            )
+        if bigtiff:
+            ifd = struct.pack(en + "Q", len(entries)) + b"".join(entries) + b"\x00" * 8
+        else:
+            ifd = struct.pack(en + "H", len(entries)) + b"".join(entries) + b"\x00" * 4
         ifd_offsets.append(emit(ifd))
 
     blob = bytearray(b"".join(chunks))
     # link header → first IFD, then chain each IFD to the next
-    struct.pack_into(en + "I", blob, 4, ifd_offsets[0])
+    cnt_sz, ent_sz, ptr_fmt = (8, 20, en + "Q") if bigtiff else (2, 12, en + "I")
+    struct.pack_into(ptr_fmt, blob, 8 if bigtiff else 4, ifd_offsets[0])
     for i, off in enumerate(ifd_offsets):
-        n_entries = struct.unpack_from(en + "H", blob, off)[0]
-        next_ptr_at = off + 2 + n_entries * 12
+        if bigtiff:
+            n_entries = struct.unpack_from(en + "Q", blob, off)[0]
+        else:
+            n_entries = struct.unpack_from(en + "H", blob, off)[0]
+        next_ptr_at = off + cnt_sz + int(n_entries) * ent_sz
         nxt = ifd_offsets[i + 1] if i + 1 < len(ifd_offsets) else 0
-        struct.pack_into(en + "I", blob, next_ptr_at, nxt)
+        struct.pack_into(ptr_fmt, blob, next_ptr_at, nxt)
     return bytes(blob)

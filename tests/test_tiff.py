@@ -173,3 +173,76 @@ def test_scan_geotiffs_reads_uint16_lzw_band_files(spark, tmp_path):
     nd[red == 0] = np.nan
     want = float(np.nanmean(nd.astype(np.float32)))
     assert abs(r.mean_ndvi - want) < 1e-5
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_bigtiff_roundtrip_with_overview(big_endian):
+    """BigTIFF (version 43, 8-byte offsets, 20-byte IFD entries) — the
+    format GDAL's BIGTIFF=IF_SAFER emits for >4 GB rasters, which the
+    reference enables (load_to_postgis.py:116). Same decode surface as
+    classic TIFF, including the overview IFD chain."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 65535, (57, 43), dtype=np.uint16)
+    blob = TF.write_tiff(
+        a, compression="lzw", predictor=2, rows_per_strip=16,
+        big_endian=big_endian, bigtiff=True,
+        overviews=[a[::2, ::2].copy()], epsg=32635, nodata=0.0,
+    )
+    assert blob[2:4] in (b"\x2b\x00", b"\x00\x2b")  # version 43
+    levels = TF.decode_tiff_ifds(blob)
+    assert len(levels) == 2
+    assert np.array_equal(levels[0][0].astype(np.uint16), a)
+    assert np.array_equal(levels[1][0].astype(np.uint16), a[::2, ::2])
+    assert levels[0][1]["epsg"] == 32635 and levels[0][1]["nodata"] == 0.0
+    assert levels[1][1].get("subfile_type") == 1
+
+
+def test_bigtiff_through_raster_scan_fallback():
+    """decode_geotiff_bytes must route BigTIFF through the general
+    codec (the fast path only reads classic II*\\0)."""
+    from ndvi_etl_pipeline_spark.operators.raster import decode_geotiff_bytes
+
+    rng = np.random.default_rng(4)
+    a = rng.integers(1, 40000, (32, 32), dtype=np.uint16)
+    blob = TF.write_tiff(a, compression="deflate", predictor=2, bigtiff=True,
+                         nodata=0.0)
+    arr, meta = decode_geotiff_bytes(blob)
+    assert arr.dtype == np.float32
+    assert np.array_equal(arr, a.astype(np.float32))
+    assert meta["nodata"] == 0.0
+
+
+def test_scan_geotiffs_overview_level(spark, tmp_path):
+    """overview_level reads the pyramid IFD: 1/4 the pixels, values
+    equal to the decimated band."""
+    from ndvi_etl_pipeline_spark.operators import raster
+
+    rng = np.random.default_rng(11)
+    red = rng.integers(1, 40000, (64, 64), dtype=np.uint16)
+    nir = rng.integers(1, 40000, (64, 64), dtype=np.uint16)
+    for band, a in (("red", red), ("nir", nir)):
+        blob = TF.write_tiff(
+            a, compression="lzw", predictor=2, rows_per_strip=16,
+            nodata=0.0, overviews=[a[::2, ::2].copy()],
+        )
+        (tmp_path / f"SC2_{band}.tif").write_bytes(blob)
+
+    full = raster.tile_scene_stats(
+        raster.tile_ndvi(raster.scan_geotiffs(spark, str(tmp_path / "*.tif"), tile=32))
+    ).collect()[0]
+    ovr = raster.tile_scene_stats(
+        raster.tile_ndvi(
+            raster.scan_geotiffs(
+                spark, str(tmp_path / "*.tif"), tile=32, overview_level=1
+            )
+        )
+    ).collect()[0]
+    assert full.n_pixels == 64 * 64
+    assert ovr.n_pixels == 32 * 32
+    # overview == decimated band, so the mean equals the decimated mean
+    from ndvi_etl_pipeline_spark.functions.ndvi import EPS, OFFSET, SCALE
+
+    rf = red[::2, ::2].astype(np.float64) * SCALE + OFFSET
+    nf = nir[::2, ::2].astype(np.float64) * SCALE + OFFSET
+    nd = np.clip((nf - rf) / (nf + rf + EPS), -1, 1).astype(np.float32)
+    assert abs(ovr.mean_ndvi - float(nd.mean())) < 1e-5

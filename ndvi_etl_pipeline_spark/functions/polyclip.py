@@ -1,0 +1,400 @@
+"""Polygon boolean operations (union / intersection / difference) in
+pure Python — geometry OUTPUT, not just membership predicates.
+
+The reference dissolves AOI features with shapely's `unary_union`
+(download_landsat_stac.py:79) and uses the resulting geometry object
+for intersects tests and clipping. Round 1 covered those USES with
+membership predicates (OR of ray casts, `point_in_any_ring`); this
+module supplies the missing geometry-producing operator so a union is
+a first-class ring set that can be stored (GeoJSON/WKT), buffered,
+re-clipped, or handed to the sargable bbox machinery like any other
+AOI — no shapely in the container, so the clipper is implemented
+directly: Greiner–Hormann (Computing 1998), the standard
+intersection-linked-list polygon clipping algorithm.
+
+Scope and contracts:
+- Inputs are simple (non-self-intersecting) rings, open form
+  [(x, y), ...]; output is a list of rings under EVEN-ODD semantics —
+  holes are just additional rings, matching the engine's multi-ring
+  ray cast (`functions/geo.py::point_in_rings_col`), so any output
+  plugs straight into `clip_filter`.
+- Degenerate intersections (edge through a vertex, collinear
+  overlapping edges) are resolved by a deterministic micro-
+  perturbation of the second polygon (relative 1e-9, retried up to 8
+  exponents) — the same pragmatic move production clippers make; the
+  perturbation bound is documented in `clip_polygons`.
+- `union_all` folds N rings by incremental merging (disjoint rings
+  accumulate; overlapping ones merge), which is `unary_union` for the
+  few-feature AOI case this serves. Geometry ops on driver-known AOIs
+  are driver-side by design (the reference unions once per run); the
+  DISTRIBUTED dissolve over millions of geometries stays the
+  applyInPandas-per-group form named in SURVEY §2.5 A2.
+
+Verification (tests/test_polyclip.py): membership equivalence on
+dense probe grids — even-odd over the OUTPUT rings must equal the
+boolean formula over the INPUT rings (OR / AND / AND-NOT) at every
+probe point — plus shoelace-area identities (|A∪B| = |A| + |B| −
+|A∩B|) and an oracle-checked query that clips pixels by a computed
+union geometry against the OR-of-ray-casts SQL form.
+"""
+
+from __future__ import annotations
+
+Point = tuple[float, float]
+Ring = list[Point]
+
+__all__ = [
+    "clip_polygons",
+    "union_all",
+    "polygon_union",
+    "polygon_intersection",
+    "polygon_difference",
+    "shoelace_area",
+    "point_in_ring",
+    "rings_area_even_odd",
+]
+
+
+class _Degenerate(Exception):
+    """An intersection landed on a vertex / collinear overlap."""
+
+
+class _V:
+    __slots__ = (
+        "x", "y", "next", "prev", "neighbor", "intersect", "entry",
+        "alpha", "visited",
+    )
+
+    def __init__(self, x: float, y: float, alpha: float = 0.0, intersect: bool = False):
+        self.x = x
+        self.y = y
+        self.next: _V | None = None
+        self.prev: _V | None = None
+        self.neighbor: _V | None = None
+        self.intersect = intersect
+        self.entry = False
+        self.alpha = alpha
+        self.visited = False
+
+
+def _build(ring: Ring) -> _V:
+    if len(ring) >= 2 and ring[0] == ring[-1]:
+        ring = ring[:-1]
+    if len(ring) < 3:
+        raise ValueError("ring needs >= 3 distinct vertices")
+    head = _V(*ring[0])
+    cur = head
+    for p in ring[1:]:
+        v = _V(*p)
+        cur.next = v
+        v.prev = cur
+        cur = v
+    cur.next = head
+    head.prev = cur
+    return head
+
+
+def _vertices(head: _V):
+    v = head
+    while True:
+        yield v
+        v = v.next
+        if v is head:
+            break
+
+
+def point_in_ring(x: float, y: float, ring: Ring) -> bool:
+    """Even-odd ray cast (same edge convention as geo.point_in_rings)."""
+    n = len(ring)
+    inside = False
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > y) != (y2 > y):
+            x_at = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if x < x_at:
+                inside = not inside
+    return inside
+
+
+def shoelace_area(ring: Ring) -> float:
+    n = len(ring)
+    s = 0.0
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return abs(s) / 2.0
+
+
+def rings_area_even_odd(rings: list[Ring]) -> float:
+    """Area under even-odd semantics: disjoint exteriors add, holes
+    (rings inside an odd depth) subtract. Computed by signed depth:
+    a ring inside k other rings contributes with sign (−1)^k."""
+    total = 0.0
+    for i, r in enumerate(rings):
+        # probe with the ring's first vertex nudged inside is fragile;
+        # count containment of a representative interior point: use
+        # the ring's centroid of its first triangle fan that lies
+        # inside the ring itself
+        px, py = _interior_point(r)
+        depth = sum(
+            1 for j, other in enumerate(rings) if j != i and point_in_ring(px, py, other)
+        )
+        total += shoelace_area(r) * (1.0 if depth % 2 == 0 else -1.0)
+    return total
+
+
+def _interior_point(ring: Ring) -> Point:
+    """A point strictly inside a simple ring: midpoint of a diagonal
+    of an 'ear', found by scanning triangle fans."""
+    n = len(ring)
+    for i in range(n):
+        a, b, c = ring[i], ring[(i + 1) % n], ring[(i + 2) % n]
+        mx, my = (a[0] + c[0]) / 2.0, (a[1] + c[1]) / 2.0
+        if point_in_ring(mx, my, ring):
+            return (mx, my)
+    # fallback: vertex average (convex case always passes above)
+    return (
+        sum(p[0] for p in ring) / n,
+        sum(p[1] for p in ring) / n,
+    )
+
+
+def _intersect_edges(s1: _V, s2: _V, c1: _V, c2: _V):
+    """Proper intersection of open segments; returns (alpha_s, alpha_c)
+    or None. Raises _Degenerate for endpoint hits / collinear overlap."""
+    dsx, dsy = s2.x - s1.x, s2.y - s1.y
+    dcx, dcy = c2.x - c1.x, c2.y - c1.y
+    den = dsx * dcy - dsy * dcx
+    ex, ey = c1.x - s1.x, c1.y - s1.y
+    if den == 0.0:
+        # parallel: overlap iff also collinear AND ranges intersect
+        cross = ex * dsy - ey * dsx
+        if cross == 0.0:
+            # collinear — overlapping ranges are degenerate
+            ts = []
+            L2 = dsx * dsx + dsy * dsy
+            for px, py in ((c1.x, c1.y), (c2.x, c2.y)):
+                ts.append(((px - s1.x) * dsx + (py - s1.y) * dsy) / L2)
+            lo, hi = min(ts), max(ts)
+            if hi > 0.0 and lo < 1.0:
+                raise _Degenerate("collinear overlapping edges")
+        return None
+    a_s = (ex * dcy - ey * dcx) / den
+    a_c = (ex * dsy - ey * dsx) / den
+    eps = 1e-12
+    if -eps < a_s < eps or 1 - eps < a_s < 1 + eps or -eps < a_c < eps or 1 - eps < a_c < 1 + eps:
+        if -eps <= a_s <= 1 + eps and -eps <= a_c <= 1 + eps:
+            raise _Degenerate("intersection at a vertex")
+        return None
+    if 0.0 < a_s < 1.0 and 0.0 < a_c < 1.0:
+        return a_s, a_c
+    return None
+
+
+def _insert_sorted(after: _V, before_next: _V, v: _V) -> None:
+    """Insert intersection vertex between `after` and its original
+    edge end, keeping alpha order among already-inserted nodes."""
+    cur = after
+    while cur.next is not before_next and cur.next.intersect and cur.next.alpha < v.alpha:
+        cur = cur.next
+    nxt = cur.next
+    cur.next = v
+    v.prev = cur
+    v.next = nxt
+    nxt.prev = v
+
+
+def _first_ring_point(head: _V) -> Point:
+    for v in _vertices(head):
+        if not v.intersect:
+            return (v.x, v.y)
+    return (head.x, head.y)
+
+
+def _mark_entries(head: _V, other: Ring, invert: bool) -> None:
+    x0, y0 = _first_ring_point(head)
+    status = not point_in_ring(x0, y0, other)  # next crossing enters?
+    if invert:
+        status = not status
+    for v in _vertices(head):
+        if v.intersect:
+            v.entry = status
+            status = not status
+
+
+def _gh_clip(subject: Ring, clip: Ring, op: str) -> list[Ring] | None:
+    """One Greiner–Hormann pass. Returns rings, or None when there are
+    no proper intersections (caller handles containment/disjoint)."""
+    s_head = _build(subject)
+    c_head = _build(clip)
+
+    s_edges = [(v, v.next) for v in _vertices(s_head)]
+    c_edges = [(v, v.next) for v in _vertices(c_head)]
+    found = False
+    for s1, s2 in s_edges:
+        for c1, c2 in c_edges:
+            hit = _intersect_edges(s1, s2, c1, c2)
+            if hit is None:
+                continue
+            a_s, a_c = hit
+            x = s1.x + a_s * (s2.x - s1.x)
+            y = s1.y + a_s * (s2.y - s1.y)
+            vs = _V(x, y, a_s, True)
+            vc = _V(x, y, a_c, True)
+            vs.neighbor, vc.neighbor = vc, vs
+            _insert_sorted(s1, s2, vs)
+            _insert_sorted(c1, c2, vc)
+            found = True
+    if not found:
+        return None
+
+    inv_s, inv_c = {
+        "intersection": (False, False),
+        "union": (True, True),
+        "difference": (True, False),
+    }[op]
+    _mark_entries(s_head, clip, inv_s)
+    _mark_entries(c_head, subject, inv_c)
+
+    out: list[Ring] = []
+    while True:
+        start = None
+        for v in _vertices(s_head):
+            if v.intersect and not v.visited:
+                start = v
+                break
+        if start is None:
+            break
+        ring: Ring = [(start.x, start.y)]
+        cur = start
+        while True:
+            cur.visited = True
+            if cur.neighbor is not None:
+                cur.neighbor.visited = True
+            if cur.entry:
+                while True:
+                    cur = cur.next
+                    ring.append((cur.x, cur.y))
+                    if cur.intersect:
+                        break
+            else:
+                while True:
+                    cur = cur.prev
+                    ring.append((cur.x, cur.y))
+                    if cur.intersect:
+                        break
+            cur = cur.neighbor
+            if cur is start or cur.visited and (cur.x, cur.y) == ring[0]:
+                break
+        if ring[0] == ring[-1]:
+            ring = ring[:-1]
+        if len(ring) >= 3:
+            out.append(ring)
+    return out
+
+
+def _perturb(ring: Ring, k: int) -> Ring:
+    """Deterministic micro-perturbation: shift by scale·(k+1) in a
+    fixed direction. Bounded by 8·1e-9·extent — far below any pixel/
+    coordinate resolution the engine clips at."""
+    eps = 1e-9 * (k + 1)
+    span = max(
+        max(p[0] for p in ring) - min(p[0] for p in ring),
+        max(p[1] for p in ring) - min(p[1] for p in ring),
+        1.0,
+    )
+    d = eps * span
+    return [(x + d, y + d * 0.5) for x, y in ring]
+
+
+def clip_polygons(subject: Ring, clip: Ring, op: str) -> list[Ring]:
+    """Boolean operation on two simple rings → ring set (even-odd).
+
+    op ∈ {'union', 'intersection', 'difference'} (difference =
+    subject − clip). Degenerate configurations retry with a
+    deterministic micro-perturbation of `clip` (≤ 8·1e-9·extent — see
+    `_perturb`); results are exact for general-position inputs and
+    within the perturbation bound otherwise.
+    """
+    if op not in ("union", "intersection", "difference"):
+        raise ValueError(f"unknown op {op!r}")
+    last: Exception | None = None
+    for k in range(9):
+        c = clip if k == 0 else _perturb(clip, k - 1)
+        try:
+            res = _gh_clip(subject, c, op)
+        except _Degenerate as e:
+            last = e
+            continue
+        if res is not None:
+            return res
+        # no proper intersections: containment / disjoint cases
+        s_in_c = point_in_ring(*_interior_point(subject), c)
+        c_in_s = point_in_ring(*_interior_point(c), subject)
+        if op == "union":
+            if s_in_c:
+                return [list(c)]
+            if c_in_s:
+                return [list(subject)]
+            return [list(subject), list(c)]
+        if op == "intersection":
+            if s_in_c:
+                return [list(subject)]
+            if c_in_s:
+                return [list(c)]
+            return []
+        # difference
+        if s_in_c:
+            return []
+        if c_in_s:
+            return [list(subject), list(c)]  # hole, even-odd
+        return [list(subject)]
+    raise ValueError(f"degenerate configuration persisted: {last}")
+
+
+def polygon_union(a: Ring, b: Ring) -> list[Ring]:
+    return clip_polygons(a, b, "union")
+
+
+def polygon_intersection(a: Ring, b: Ring) -> list[Ring]:
+    return clip_polygons(a, b, "intersection")
+
+
+def polygon_difference(a: Ring, b: Ring) -> list[Ring]:
+    return clip_polygons(a, b, "difference")
+
+
+def union_all(rings: list[Ring]) -> list[Ring]:
+    """Dissolve N simple rings into a ring set — `unary_union` for the
+    engine's AOI feature lists (download_landsat_stac.py:79). Folds
+    incrementally: each new ring merges with every accumulated ring it
+    overlaps (union may itself yield multiple rings, e.g. hole
+    creation is impossible for unions of simple rings, but disjoint
+    parts persist)."""
+    acc: list[Ring] = []
+    for ring in rings:
+        pending = [list(ring)]
+        merged_acc: list[Ring] = []
+        for existing in acc:
+            if not pending:
+                merged_acc.append(existing)
+                continue
+            # try merging the (single) pending piece with this ring
+            new_pending: list[Ring] = []
+            merged = False
+            for piece in pending:
+                u = polygon_union(piece, existing)
+                if len(u) == 1:
+                    new_pending.append(u[0])
+                    merged = True
+                else:
+                    new_pending.append(piece)
+            if merged:
+                pending = new_pending
+            else:
+                merged_acc.append(existing)
+                pending = new_pending
+        acc = merged_acc + pending
+    return acc

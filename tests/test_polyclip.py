@@ -1,0 +1,117 @@
+"""Polygon boolean ops (functions/polyclip.py): membership-equivalence
+on dense probe grids — even-odd over the OUTPUT rings must equal the
+boolean formula over the INPUT rings everywhere — plus area
+identities. This is the strongest available check without a second
+geometry engine in the container."""
+
+import numpy as np
+import pytest
+
+from ndvi_etl_pipeline_spark.functions import polyclip as PC
+
+A = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+B = [(5.5, 5.5), (15.5, 5.5), (15.5, 15.5), (5.5, 15.5)]
+CONCAVE = [(2.0, 2.0), (8.0, 2.5), (7.5, 7.5), (4.9, 4.2), (2.5, 8.0)]
+TRI = [(4.3, 0.5), (12.0, 4.0), (6.0, 12.0)]
+
+
+def member(rings, x, y):
+    return sum(PC.point_in_ring(x, y, r) for r in rings) % 2 == 1
+
+
+def bad_count(rings, formula, lo, hi, step=0.25):
+    bad = 0
+    x = lo
+    while x <= hi:
+        y = lo
+        while y <= hi:
+            px, py = x + 0.013, y + 0.007  # probes off all edges
+            if member(rings, px, py) != formula(px, py):
+                bad += 1
+            y += step
+        x += step
+    return bad
+
+
+@pytest.mark.parametrize(
+    "a,b,lo,hi",
+    [(A, B, -2, 18), (CONCAVE, TRI, -1, 14), (A, TRI, -2, 14)],
+)
+@pytest.mark.parametrize("op", ["union", "intersection", "difference"])
+def test_boolean_ops_membership_equivalence(a, b, lo, hi, op):
+    ina = lambda x, y: PC.point_in_ring(x, y, a)  # noqa: E731
+    inb = lambda x, y: PC.point_in_ring(x, y, b)  # noqa: E731
+    formula = {
+        "union": lambda x, y: ina(x, y) or inb(x, y),
+        "intersection": lambda x, y: ina(x, y) and inb(x, y),
+        "difference": lambda x, y: ina(x, y) and not inb(x, y),
+    }[op]
+    rings = PC.clip_polygons(a, b, op)
+    assert bad_count(rings, formula, lo, hi) == 0
+
+
+def test_area_inclusion_exclusion():
+    aU = PC.rings_area_even_odd(PC.polygon_union(A, B))
+    aI = PC.rings_area_even_odd(PC.polygon_intersection(A, B))
+    assert abs(aU - (100.0 + 100.0 - aI)) < 1e-9
+    assert abs(aI - 20.25) < 1e-9  # 4.5 × 4.5 overlap square
+
+
+def test_containment_disjoint_and_hole():
+    S = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0)]
+    far = [(20.0, 20.0), (21.0, 20.0), (21.0, 21.0), (20.0, 21.0)]
+    assert len(PC.polygon_union(S, A)) == 1  # contained → outer only
+    assert PC.polygon_intersection(S, far) == []
+    assert len(PC.polygon_union(S, far)) == 2  # disjoint multipolygon
+    hole = PC.polygon_difference(A, S)  # even-odd hole = 2 rings
+    assert len(hole) == 2
+    assert member(hole, 5.0, 5.0) and not member(hole, 1.5, 1.5)
+    assert abs(PC.rings_area_even_odd(hole) - 99.0) < 1e-9
+
+
+def test_shared_edge_degenerate_resolves_by_perturbation():
+    E = [(10.0, 0.0), (20.0, 0.0), (20.0, 10.0), (10.0, 10.0)]
+    rings = PC.polygon_union(A, E)
+    ina = lambda x, y: PC.point_in_ring(x, y, A)  # noqa: E731
+    ine = lambda x, y: PC.point_in_ring(x, y, E)  # noqa: E731
+    # probes are ≥ 0.007 from any edge; the perturbation bound is
+    # ~1e-8·extent, so equivalence must still be exact at the probes
+    assert bad_count(rings, lambda x, y: ina(x, y) or ine(x, y), -2, 22, 0.5) == 0
+
+
+def test_union_all_dissolves_overlap_chain():
+    F = [(8.0, 8.0), (14.0, 8.0), (14.0, 14.0), (8.0, 14.0)]
+    G = [(30.0, 30.0), (32.0, 30.0), (32.0, 32.0), (30.0, 32.0)]
+    out = PC.union_all([A, B, F, G])
+    assert len(out) == 2  # A∪B∪F merge transitively; G stays apart
+    forms = [A, B, F, G]
+    formula = lambda x, y: any(PC.point_in_ring(x, y, r) for r in forms)  # noqa: E731
+    assert bad_count(out, formula, -2, 34, 0.4) == 0
+
+
+def test_random_convex_pairs_property():
+    """Property sweep: random convex polygons (sorted-angle
+    construction), all three ops, membership equivalence on a coarse
+    grid. Deterministic seeds."""
+    rng = np.random.default_rng(123)
+    for _ in range(12):
+        def rand_convex():
+            n = int(rng.integers(3, 9))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            rad = rng.uniform(2, 6)
+            cx, cy = rng.uniform(3, 9, 2)
+            return [
+                (float(cx + rad * np.cos(a)), float(cy + rad * np.sin(a)))
+                for a in ang
+            ]
+
+        a, b = rand_convex(), rand_convex()
+        ina = lambda x, y: PC.point_in_ring(x, y, a)  # noqa: E731
+        inb = lambda x, y: PC.point_in_ring(x, y, b)  # noqa: E731
+        for op, f in (
+            ("union", lambda x, y: ina(x, y) or inb(x, y)),
+            ("intersection", lambda x, y: ina(x, y) and inb(x, y)),
+            ("difference", lambda x, y: ina(x, y) and not inb(x, y)),
+        ):
+            rings = PC.clip_polygons(a, b, op)
+            assert bad_count(rings, f, -4, 16, 0.5) == 0, (op, a, b)

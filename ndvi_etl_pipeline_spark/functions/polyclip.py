@@ -49,9 +49,12 @@ __all__ = [
     "polygon_union",
     "polygon_intersection",
     "polygon_difference",
+    "buffer_polygon",
     "shoelace_area",
     "point_in_ring",
     "rings_area_even_odd",
+    "rings_to_geojson",
+    "rings_to_wkt",
 ]
 
 
@@ -398,3 +401,113 @@ def union_all(rings: list[Ring]) -> list[Ring]:
                 pending = new_pending
         acc = merged_acc + pending
     return acc
+
+
+def _circle_ring(cx: float, cy: float, r: float, segments: int) -> Ring:
+    import math
+
+    return [
+        (cx + r * math.cos(2 * math.pi * k / segments),
+         cy + r * math.sin(2 * math.pi * k / segments))
+        for k in range(segments)
+    ]
+
+
+def buffer_polygon(ring: Ring, dist: float, segments: int = 64) -> list[Ring]:
+    """Positive buffer as GEOMETRY: union of the polygon, one outward/
+    inward-agnostic rectangle per edge (width 2·dist), and one
+    `segments`-gon disk per vertex — the Minkowski sum with a disk,
+    polygonized. The reference's `geom.buffer(1.0)`
+    (compute_ndvi.py:128-132) as a ring set the rest of the engine can
+    clip/store/re-buffer.
+
+    Exactness: edges and containment are exact; only the vertex arcs
+    are chorded — max boundary error r·(1−cos(π/segments)) (≈ 1.2e-3·r
+    at 64 segments). The membership-equivalence test probes outside
+    that band against the exact distance predicate
+    (geo.point_in_buffered_rings_col semantics).
+    """
+    if dist <= 0:
+        raise ValueError("buffer_polygon handles positive distances")
+    pieces: list[Ring] = [list(ring)]
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        L = (dx * dx + dy * dy) ** 0.5
+        if L == 0:
+            continue
+        nx, ny = -dy / L * dist, dx / L * dist
+        pieces.append(
+            [(x1 + nx, y1 + ny), (x2 + nx, y2 + ny), (x2 - nx, y2 - ny), (x1 - nx, y1 - ny)]
+        )
+        pieces.append(_circle_ring(x1, y1, dist, segments))
+    return union_all(pieces)
+
+
+def _nest_rings(rings: list[Ring]) -> list[tuple[Ring, list[Ring]]]:
+    """Group an even-odd ring set into (exterior, [holes]) polygons by
+    containment depth: even depth → exterior, odd → hole of its
+    innermost even-depth container. Depth > 1 nesting (island in a
+    hole) yields its own polygon — GeoJSON-correct."""
+    depths = []
+    for i, r in enumerate(rings):
+        px, py = _interior_point(r)
+        depth = sum(
+            1 for j, o in enumerate(rings) if j != i and point_in_ring(px, py, o)
+        )
+        depths.append(depth)
+    polys: list[tuple[Ring, list[Ring]]] = []
+    idx_of = {}
+    for i, r in enumerate(rings):
+        if depths[i] % 2 == 0:
+            idx_of[i] = len(polys)
+            polys.append((r, []))
+    for i, r in enumerate(rings):
+        if depths[i] % 2 == 1:
+            px, py = _interior_point(r)
+            # innermost even-depth ring containing the hole
+            best, best_depth = None, -1
+            for j in idx_of:
+                if point_in_ring(px, py, rings[j]) and depths[j] > best_depth:
+                    best, best_depth = j, depths[j]
+            if best is not None:
+                polys[idx_of[best]][1].append(r)
+    return polys
+
+
+def _close(ring: Ring) -> Ring:
+    return ring + [ring[0]] if ring and ring[0] != ring[-1] else ring
+
+
+def rings_to_geojson(rings: list[Ring]) -> dict:
+    """Even-odd ring set → GeoJSON Polygon/MultiPolygon dict (closed
+    rings, holes nested under their exteriors) — the geometry payload
+    the reference stores in `aois.geom` (002_schema.sql:5) and writes
+    back out via main.py:77-86. Feed through json.dumps for text."""
+    polys = _nest_rings(rings)
+    # structure: [ [exterior, hole, ...] per polygon ]
+    coords = [
+        [[list(p) for p in _close(ext)]] + [[list(p) for p in _close(h)] for h in holes]
+        for ext, holes in polys
+    ]
+    if len(coords) == 1:
+        return {"type": "Polygon", "coordinates": coords[0]}
+    return {"type": "MultiPolygon", "coordinates": coords}
+
+
+def rings_to_wkt(rings: list[Ring]) -> str:
+    """Even-odd ring set → WKT POLYGON/MULTIPOLYGON text."""
+
+    def ring_txt(r: Ring) -> str:
+        return "(" + ", ".join(f"{x:g} {y:g}" for x, y in _close(r)) + ")"
+
+    polys = _nest_rings(rings)
+    parts = [
+        "(" + ", ".join([ring_txt(ext)] + [ring_txt(h) for h in holes]) + ")"
+        for ext, holes in polys
+    ]
+    if len(parts) == 1:
+        return "POLYGON " + parts[0]
+    return "MULTIPOLYGON (" + ", ".join(parts) + ")"

@@ -227,3 +227,54 @@ def test_buffer_retry_clip_recovers_missed_overlap(spark):
         assert 0 <= r.y <= 15
         dy = max(0.0, max(2.5 - r.y, r.y - 12.5))
         assert (21.5 - r.x) ** 2 + dy**2 <= 9.0 + 1e-12
+
+
+def test_grid_spatial_join_blocks_and_refines(spark):
+    """Grid-blocked spatial join: exact membership for a polygon
+    TABLE, multi-match on overlap, and the candidate set bounded by
+    blocking (no cross join)."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.operators.spatial_join import (
+        cover_cells,
+        grid_spatial_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(y, x) for y in range(30) for x in range(30)], "y int, x int"
+    )
+    rings = {
+        1: [(2.5, 2.5), (12.5, 2.5), (12.5, 12.5), (2.5, 12.5)],
+        2: [(10.5, 10.5), (20.5, 10.5), (20.5, 20.5), (10.5, 20.5)],  # overlaps 1
+        3: [(24.5, 24.5), (28.5, 24.5), (28.5, 28.5), (24.5, 28.5)],  # disjoint
+    }
+    aois = spark.createDataFrame(
+        [(k, [float(v) for p in r for v in p]) for k, r in rings.items()],
+        "aoi_id int, ring array<double>",
+    )
+    out = grid_spatial_join(pts, aois, cell=8.0).collect()
+    got = {(r.aoi_id, r.x, r.y) for r in out}
+
+    def inside(x, y, ring):
+        n = len(ring)
+        ins = False
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if (y1 > y) != (y2 > y) and x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                ins = not ins
+        return ins
+
+    want = {
+        (k, x, y)
+        for k, r in rings.items()
+        for y in range(30)
+        for x in range(30)
+        if inside(x, y, r)
+    }
+    assert got == want
+    # overlap region matched by BOTH aoi 1 and 2
+    assert (1, 11, 11) in got and (2, 11, 11) in got
+    # blocking really bounds the cell table: bbox cells only
+    n_cells = cover_cells(aois, "ring", 8.0).count()
+    assert n_cells <= 3 * 9  # <= 9 cells per aoi at cell=8

@@ -115,3 +115,71 @@ def test_random_convex_pairs_property():
         ):
             rings = PC.clip_polygons(a, b, op)
             assert bad_count(rings, f, -4, 16, 0.5) == 0, (op, a, b)
+
+
+def test_buffer_polygon_matches_distance_predicate():
+    """Buffered GEOMETRY vs the exact distance predicate: identical
+    membership everywhere outside the documented arc-chord band
+    r·(1−cos(π/segments))."""
+    import math
+
+    sq = [(10.0, 10.0), (30.0, 10.0), (30.0, 30.0), (10.0, 30.0)]
+    d = 3.0
+    buf = PC.buffer_polygon(sq, d, segments=64)
+    assert len(buf) == 1
+
+    def dist_to_ring(x, y, ring):
+        n = len(ring)
+        best = 1e18
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            dx, dy = x2 - x1, y2 - y1
+            L2 = dx * dx + dy * dy
+            t = max(0.0, min(1.0, ((x - x1) * dx + (y - y1) * dy) / L2)) if L2 else 0.0
+            ex, ey = x - (x1 + t * dx), y - (y1 + t * dy)
+            best = min(best, (ex * ex + ey * ey) ** 0.5)
+        return best
+
+    chord = d * (1 - math.cos(math.pi / 64)) + 1e-9
+    bad = 0
+    x = 5.0
+    while x <= 35.0:
+        y = 5.0
+        while y <= 35.0:
+            px, py = x + 0.013, y + 0.007
+            near_arc = (
+                not PC.point_in_ring(px, py, sq)
+                and abs(dist_to_ring(px, py, sq) - d) <= chord
+            )
+            if not near_arc:
+                got = member(buf, px, py)
+                want = PC.point_in_ring(px, py, sq) or dist_to_ring(px, py, sq) <= d
+                bad += got != want
+            y += 0.25
+        x += 0.25
+    assert bad == 0
+    # area: (w+2d)(h+2d) − (4−π)d², chordal approximation from below
+    want_area = (20 + 2 * d) ** 2 - (4 - math.pi) * d * d
+    got_area = PC.rings_area_even_odd(buf)
+    assert want_area * 0.995 < got_area <= want_area + 1e-6
+
+
+def test_rings_to_geojson_and_wkt():
+    S = [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0)]
+    far = [(20.0, 0.0), (22.0, 0.0), (22.0, 2.0), (20.0, 2.0)]
+    hole = PC.polygon_difference(A, S)
+    gj = PC.rings_to_geojson(hole)
+    assert gj["type"] == "Polygon" and len(gj["coordinates"]) == 2
+    assert gj["coordinates"][0][0] == gj["coordinates"][0][-1]  # closed
+    multi = PC.rings_to_geojson(PC.polygon_union(A, far))
+    assert multi["type"] == "MultiPolygon" and len(multi["coordinates"]) == 2
+    wkt = PC.rings_to_wkt(hole)
+    assert wkt.startswith("POLYGON ((") and wkt.count("(") == 3
+    assert PC.rings_to_wkt(PC.polygon_union(A, far)).startswith("MULTIPOLYGON")
+    # GeoJSON coordinates round-trip: rings recovered from the dict
+    # classify points exactly like the source ring set
+    back = [
+        [(float(x), float(y)) for x, y in r[:-1]] for r in gj["coordinates"]
+    ]
+    assert member(back, 5.0, 5.0) and not member(back, 3.0, 3.0)

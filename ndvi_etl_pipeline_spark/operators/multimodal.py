@@ -104,14 +104,23 @@ def _raw_image(row) -> np.ndarray:
 
 
 def decode_image(payload: bytes, meta) -> np.ndarray:
-    """Decode one image payload to uint8 HWC. `raw` decodes natively;
-    compressed formats require PIL (NotImplementedError otherwise —
-    the deliberate stub boundary for this container)."""
+    """Decode one image payload to uint8 HWC.
+
+    Natively decoded (pure spec, no libraries): `raw` planes, BMP
+    (uncompressed BI_RGB 24/32-bit, the Windows DIB layout —
+    bottom-up rows, BGR order, 4-byte row padding) and binary PPM
+    (P6). The stub boundary now covers only genuinely entropy-coded
+    formats (JPEG/PNG/WebP), which require PIL
+    (NotImplementedError otherwise)."""
     fmt = meta["format"]
     if fmt == "raw":
         return np.frombuffer(payload, dtype=np.uint8).reshape(
             meta["height"], meta["width"], meta["channels"]
         )
+    if fmt == "bmp" or payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if fmt == "ppm" or payload[:2] == b"P6":
+        return decode_ppm(payload)
     if HAVE_PIL:
         import io
 
@@ -120,6 +129,139 @@ def decode_image(payload: bytes, meta) -> np.ndarray:
         f"decoding {fmt!r} requires an image codec library (PIL) — "
         "install pillow or pre-decode to format='raw'"
     )
+
+
+# ---------------------------------------------------------------------------
+# pure-spec codecs: BMP (BI_RGB), binary PPM (P6), WAV (RIFF PCM16)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB 24/32-bit BMP → uint8 HWC RGB. Handles the
+    DIB quirks: bottom-up row order (positive height), BGR channel
+    order, rows padded to 4 bytes."""
+    import struct as _s
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = _s.unpack_from("<I", payload, 10)
+    (hdr_sz,) = _s.unpack_from("<I", payload, 14)
+    if hdr_sz < 40:
+        raise ValueError("BMP core headers unsupported (need BITMAPINFOHEADER)")
+    w, h_signed = _s.unpack_from("<ii", payload, 18)
+    planes, bpp = _s.unpack_from("<HH", payload, 26)
+    (compression,) = _s.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP compression={compression} bpp={bpp}")
+    h = abs(h_signed)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if h_signed > 0:  # bottom-up storage
+        rows = rows[::-1]
+    rgb = rows[:, :, 2::-1]  # BGR(A) → RGB
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 HWC RGB → 24-bit BI_RGB BMP (bottom-up, BGR, padded)."""
+    import struct as _s
+
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects HWC RGB")
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip rows, RGB→BGR
+    data = body.tobytes()
+    off = 14 + 40
+    header = b"BM" + _s.pack("<IHHI", off + len(data), 0, 0, off)
+    dib = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → uint8 HWC RGB. Whitespace/
+    comment-tolerant header per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM unsupported")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_ppm expects HWC RGB")
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → (int16 samples [n, channels] squeezed to 1-D
+    for mono, sample_rate). Walks chunks per the RIFF spec (fmt may
+    not be first; LIST/fact chunks are skipped)."""
+    import struct as _s
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = _s.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = _s.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(f"WAV format={audio_fmt} bits={bits} (PCM16 only)")
+    pcm = np.frombuffer(data, dtype="<i2")
+    if n_ch > 1:
+        pcm = pcm.reshape(-1, n_ch)
+    return pcm, rate
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono/stereo → RIFF/WAVE PCM16."""
+    import struct as _s
+
+    a = np.asarray(pcm, dtype="<i2")
+    n_ch = 1 if a.ndim == 1 else a.shape[1]
+    data = a.tobytes()
+    fmt = _s.pack("<HHIIHH", 1, n_ch, sample_rate, sample_rate * 2 * n_ch, 2 * n_ch, 16)
+    riff = (
+        b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _s.pack("<I", len(riff)) + riff
 
 
 # ---------------------------------------------------------------------------
@@ -284,17 +426,24 @@ def audio_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
-                if row.meta["format"] != "pcm16":
+                fmt = row.meta["format"]
+                if fmt == "pcm16":
+                    pcm = np.frombuffer(row.payload, dtype=np.int16)
+                    rate = row.meta["sample_rate"]
+                elif fmt == "wav" or bytes(row.payload[:4]) == b"RIFF":
+                    pcm, rate = decode_wav(bytes(row.payload))
+                    if pcm.ndim > 1:  # downmix: mean of channels
+                        pcm = pcm.mean(axis=1).astype(np.int16)
+                else:
                     raise NotImplementedError(
-                        f"audio format {row.meta['format']!r} needs a codec library"
+                        f"audio format {fmt!r} needs a codec library"
                     )
-                pcm = np.frombuffer(row.payload, dtype=np.int16)
                 x = pcm.astype(np.float64)
                 rows.append(
                     {
                         "media_id": row.media_id,
                         "n_samples": len(pcm),
-                        "duration_s": len(pcm) / row.meta["sample_rate"],
+                        "duration_s": len(pcm) / rate,
                         "rms": float(np.sqrt((x**2).mean())) if len(pcm) else 0.0,
                         "peak": int(np.abs(pcm).max()) if len(pcm) else 0,
                         "zero_crossings": int(((pcm[:-1] >= 0) != (pcm[1:] >= 0)).sum()),

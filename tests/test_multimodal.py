@@ -114,3 +114,107 @@ def test_patchify_images_grid_and_roundtrip(spark):
     for mid, a in src.items():
         h, w, _ = a.shape
         assert sum(1 for s in seen if s[0] == mid) == (h // 8) * (w // 8)
+
+
+def test_bmp_codec_roundtrip_and_golden_header():
+    """BI_RGB BMP: encode→decode identity (including non-multiple-of-4
+    widths, exercising row padding), plus a hand-checked header."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(5)
+    for h, w in ((7, 5), (16, 16), (9, 31)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = encode_bmp(img)
+        assert blob[:2] == b"BM"
+        assert np.array_equal(decode_bmp(blob), img)
+    # golden: 1×1 red pixel — header fields byte-exact per the DIB spec
+    one = encode_bmp(np.array([[[255, 0, 0]]], dtype=np.uint8))
+    assert one[10:14] == (54).to_bytes(4, "little")  # data offset
+    assert one[14:18] == (40).to_bytes(4, "little")  # BITMAPINFOHEADER
+    assert one[28:30] == (24).to_bytes(2, "little")  # bpp
+    assert one[54:57] == b"\x00\x00\xff"  # BGR storage of RGB red
+
+
+def test_ppm_codec_roundtrip_with_comment_header():
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header with comments and odd whitespace still parses
+    blob = b"P6 # hello\n# more\n 13\t11 \n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(blob), img)
+
+
+def test_wav_codec_roundtrip_and_features(spark):
+    """RIFF PCM16: encode→decode identity (mono + stereo, extra chunk
+    skipped), and audio_features consumes wav payloads end-to-end with
+    the same numbers as raw pcm16."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    mono = (rng.normal(0, 3000, 1200)).astype(np.int16)
+    blob = encode_wav(mono, 16000)
+    pcm, rate = decode_wav(blob)
+    assert rate == 16000 and np.array_equal(pcm, mono)
+    stereo = (rng.normal(0, 3000, (300, 2))).astype(np.int16)
+    pcm2, _ = decode_wav(encode_wav(stereo, 8000))
+    assert pcm2.shape == (300, 2) and np.array_equal(pcm2, stereo)
+    # chunk walker: LIST chunk before data must be skipped
+    import struct
+
+    b2 = bytearray(encode_wav(mono, 16000))
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    b2 = b2[:12] + lst + b2[12:]
+    b2[4:8] = struct.pack("<I", len(b2) - 8)
+    pcm3, _ = decode_wav(bytes(b2))
+    assert np.array_equal(pcm3, mono)
+
+    rows = [
+        (1, "audio", bytearray(mono.tobytes()), ("pcm16", None, None, 1, 16000, None)),
+        (2, "audio", bytearray(blob), ("wav", None, None, 1, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in audio_features(media).collect()}
+    assert got[1].n_samples == got[2].n_samples == 1200
+    assert abs(got[1].rms - got[2].rms) < 1e-9
+    assert got[1].zero_crossings == got[2].zero_crossings
+    assert abs(got[2].duration_s - 1200 / 16000) < 1e-12
+
+
+def test_image_features_on_bmp_and_ppm(spark):
+    """decode_image dispatches BMP/PPM natively — the features must
+    equal the raw-array path bit for bit."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_ppm,
+        image_features,
+    )
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (20, 21, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(img.tobytes()), ("raw", 21, 20, 3, None, None)),
+        (2, "image", bytearray(encode_bmp(img)), ("bmp", 21, 20, 3, None, None)),
+        (3, "image", bytearray(encode_ppm(img)), ("ppm", 21, 20, 3, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in image_features(media).collect()}
+    for mid in (2, 3):
+        assert got[mid].mean_luma == got[1].mean_luma
+        assert got[mid].hist16 == got[1].hist16
+        assert got[mid].entropy == got[1].entropy

@@ -947,6 +947,7 @@ def scan_geotiffs(
     nodata_to_nan: bool = True,
     use_arrow: bool = True,
     overview_level: int = 0,
+    on_error: str = "raise",
 ) -> DataFrame:
     """`spark.read.format('binaryFile')` over a GeoTIFF glob → tile
     rows. scene_id and band parse from the `<scene_id>_<band>.tif`
@@ -965,7 +966,15 @@ def scan_geotiffs(
     ``overview_level > 0`` reads that reduced-resolution IFD from the
     file's pyramid instead of the full band (clamped to the deepest
     available level) — coarse stats/previews touch 1/4^level of the
-    pixels without a resample pass."""
+    pixels without a resample pass.
+
+    ``on_error``: 'raise' fails the task on an undecodable file (the
+    default — corruption should be loud in dev); 'skip' drops that
+    file's tiles and keeps the scan alive — E1's quarantine-not-raise
+    rule (main.py:118-139) for the scan stage. Pair 'skip' with
+    `scan_geotiff_status` to record WHICH files failed."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     binf = spark.read.format("binaryFile").load(path_glob).select("path", "content")
 
     if use_arrow:
@@ -979,7 +988,15 @@ def scan_geotiffs(
                 cols: list[list] = [[] for _ in _TILE_ARROW_NAMES]
                 for i, p in enumerate(paths):
                     mv = memoryview(contents[i].as_buffer())
-                    for row in _file_tile_rows(p, mv, tile, nodata_to_nan, overview_level):
+                    try:
+                        rows = list(
+                            _file_tile_rows(p, mv, tile, nodata_to_nan, overview_level)
+                        )
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        continue  # quarantined: no tiles from this file
+                    for row in rows:
                         for acc, v in zip(cols, row):
                             acc.append(v)
                 if cols[0]:
@@ -994,11 +1011,15 @@ def scan_geotiffs(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                rows.extend(
-                    _file_tile_rows(
-                        r.path, bytes(r.content), tile, nodata_to_nan, overview_level
+                try:
+                    rows.extend(
+                        _file_tile_rows(
+                            r.path, bytes(r.content), tile, nodata_to_nan, overview_level
+                        )
                     )
-                )
+                except Exception:
+                    if on_error == "raise":
+                        raise
             if rows:
                 yield pd.DataFrame(rows, columns=_TILE_ARROW_NAMES)
 
@@ -1077,6 +1098,67 @@ def read_path_bytes(paths_df: DataFrame, path_col: str = "path") -> DataFrame:
     return paths_df.select(F.col(path_col).alias("path")).mapInPandas(
         read, schema=PATH_BYTES_SCHEMA
     )
+
+
+SCAN_STATUS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("band", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+    ]
+)
+
+
+def scan_geotiff_status(spark, path_glob: str) -> DataFrame:
+    """Per-file decode status for a GeoTIFF glob: (path, scene_id,
+    band, ok, error, height, width) — the quarantine ledger companion
+    to `scan_geotiffs(on_error='skip')` (E1: failures become ROWS the
+    pipeline can count, join, and retry — main.py:118-139's per-scene
+    try/except as a relation). Decode runs fully (not just header
+    parse), so truncated pixel data is caught, not just bad magic."""
+    import os
+
+    binf = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                stem = os.path.basename(r.path).rsplit(".", 1)[0]
+                scene_id, _, band = stem.rpartition("_")
+                try:
+                    arr, _meta = decode_geotiff_bytes(bytes(r.content))
+                    rows.append(
+                        {
+                            "path": r.path,
+                            "scene_id": scene_id or stem,
+                            "band": band,
+                            "ok": True,
+                            "error": None,
+                            "height": int(arr.shape[0]),
+                            "width": int(arr.shape[1]),
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001 — E1: row, not raise
+                    rows.append(
+                        {
+                            "path": r.path,
+                            "scene_id": scene_id or stem,
+                            "band": band,
+                            "ok": False,
+                            "error": f"{type(e).__name__}: {e}"[:200],
+                            "height": None,
+                            "width": None,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return binf.mapInPandas(probe, schema=SCAN_STATUS_SCHEMA)
 
 
 def parse_band_files(binary_df: DataFrame) -> DataFrame:

@@ -246,3 +246,35 @@ def test_scan_geotiffs_overview_level(spark, tmp_path):
     nf = nir[::2, ::2].astype(np.float64) * SCALE + OFFSET
     nd = np.clip((nf - rf) / (nf + rf + EPS), -1, 1).astype(np.float32)
     assert abs(ovr.mean_ndvi - float(nd.mean())) < 1e-5
+
+
+def test_scan_quarantines_corrupt_files(spark, tmp_path):
+    """E1 for the scan stage: a corrupt band file drops out under
+    on_error='skip' (good scenes still process) and shows up as an
+    error ROW in scan_geotiff_status — never a task failure."""
+    from ndvi_etl_pipeline_spark.operators import raster
+
+    rng = np.random.default_rng(9)
+    good = rng.integers(1, 40000, (32, 32), dtype=np.uint16)
+    for band in ("red", "nir"):
+        blob = TF.write_tiff(good, compression="lzw", predictor=2, nodata=0.0)
+        (tmp_path / f"OK1_{band}.tif").write_bytes(blob)
+    # corrupt: valid header, truncated pixel data
+    bad = TF.write_tiff(good, compression="lzw", predictor=2)[:200]
+    (tmp_path / "BAD1_red.tif").write_bytes(bad)
+    (tmp_path / "BAD1_nir.tif").write_bytes(b"not a tiff at all")
+
+    with pytest.raises(Exception):
+        raster.scan_geotiffs(spark, str(tmp_path / "*.tif")).count()
+
+    tiles = raster.scan_geotiffs(spark, str(tmp_path / "*.tif"), on_error="skip")
+    scenes = {r.scene_id for r in tiles.select("scene_id").distinct().collect()}
+    assert scenes == {"OK1"}
+
+    status = {r.path.rsplit("/", 1)[-1]: r for r in raster.scan_geotiff_status(
+        spark, str(tmp_path / "*.tif")
+    ).collect()}
+    assert status["OK1_red.tif"].ok and status["OK1_red.tif"].height == 32
+    assert not status["BAD1_red.tif"].ok and status["BAD1_red.tif"].error
+    assert not status["BAD1_nir.tif"].ok
+    assert status["BAD1_red.tif"].scene_id == "BAD1"

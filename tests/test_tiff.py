@@ -278,3 +278,50 @@ def test_scan_quarantines_corrupt_files(spark, tmp_path):
     assert not status["BAD1_red.tif"].ok and status["BAD1_red.tif"].error
     assert not status["BAD1_nir.tif"].ok
     assert status["BAD1_red.tif"].scene_id == "BAD1"
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        dtype=st.sampled_from(["uint8", "uint16", "int16", "float32"]),
+        compression=st.sampled_from(["none", "lzw", "deflate"]),
+        rps=st.integers(1, 17),
+        big_endian=st.booleans(),
+        bigtiff=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_tiff_roundtrip_property(h, w, dtype, compression, rps, big_endian, bigtiff, seed):
+        """Any (shape × dtype × compression × strip size × endian ×
+        classic/BigTIFF) combination round-trips exactly; predictor
+        chosen per dtype kind like a real writer would."""
+        rng = np.random.default_rng(seed)
+        if dtype == "float32":
+            a = rng.uniform(-1e4, 1e4, (h, w)).astype(dtype)
+            predictor = 3 if compression != "none" else 1
+        else:
+            info = np.iinfo(dtype)
+            a = rng.integers(info.min, info.max, (h, w), dtype=dtype)
+            predictor = 2 if compression != "none" else 1
+        blob = TF.write_tiff(
+            a, compression=compression, predictor=predictor,
+            rows_per_strip=rps, big_endian=big_endian, bigtiff=bigtiff,
+        )
+        out, _ = TF.decode_tiff(blob)
+        assert np.array_equal(np.ascontiguousarray(out, dtype=a.dtype), a)
+
+    @settings(max_examples=30, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=4096))
+    def test_lzw_roundtrip_property(data):
+        assert TF.lzw_decode(TF.lzw_encode(data)) == data

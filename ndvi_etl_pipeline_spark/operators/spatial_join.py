@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.geo import st_contains_udf
 
-__all__ = ["ring_bbox_cols", "cover_cells", "grid_spatial_join"]
+__all__ = ["ring_bbox_cols", "cover_cells", "grid_spatial_join", "tile_clip_stats_table"]
 
 
 def ring_bbox_cols(ring: Column) -> tuple[Column, Column, Column, Column]:
@@ -92,3 +92,89 @@ def grid_spatial_join(
         st_contains_udf(F.col(ring_col), F.col(x_col).cast("double"), F.col(y_col).cast("double"))
     )
     return exact.drop("cell_x", "cell_y")
+
+
+def tile_clip_stats_table(
+    tiles: DataFrame,
+    aois: DataFrame,
+    tile_size: int,
+    ring_col: str = "ring",
+    aoi_id_col: str = "aoi_id",
+) -> DataFrame:
+    """J2+A1 with the AOIs as a TABLE, in TILE form: the raster twin
+    of `grid_spatial_join`. Because tiles already sit on a uniform
+    grid, the blocking cell size IS the tile size — `cover_cells`
+    maps each polygon's bbox straight to tile indices and a plain
+    (tile_y, tile_x) equi-join forms the (tile, aoi) candidates; the
+    Arrow kernel ray-casts each candidate pair and emits PARTIAL
+    stats (count, sum), so the final shuffle carries |tiles ∩ aois|
+    rows, never pixels. Scales to polygon tables where
+    `tile_clip_stats_multi`'s plan-literal OR-of-bboxes prune and
+    closure-broadcast AOI dict do not.
+
+    Output: (scene_id, aoi_id, n_in_aoi, mean_ndvi) — n over non-NaN
+    in-polygon pixels, float32 payload semantics identical to the
+    literal path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.geo import _ray_cast_numpy
+
+    cells = (
+        cover_cells(aois, ring_col, float(tile_size))
+        .withColumnRenamed("cell_x", "tile_x")
+        .withColumnRenamed("cell_y", "tile_y")
+        .select("tile_y", "tile_x", aoi_id_col, ring_col)
+    )
+    cand = tiles.join(cells, ["tile_y", "tile_x"])
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("scene_id", T.StringType()),
+            T.StructField("aoi_id", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        cache: dict = {}
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.data, dtype=np.float32).reshape(
+                    row.height, row.width
+                )
+                ring = np.asarray(row.ring, dtype=np.float64)
+                key = (row.y0, row.x0, row.height, row.width, ring.tobytes())
+                m = cache.get(key)
+                if m is None:
+                    xs = np.arange(row.x0, row.x0 + row.width, dtype=np.float64)
+                    ys = np.arange(row.y0, row.y0 + row.height, dtype=np.float64)
+                    px = np.broadcast_to(xs, (row.height, row.width)).ravel()
+                    py = np.repeat(ys, row.width)
+                    m = _ray_cast_numpy(px, py, ring).reshape(row.height, row.width)
+                    cache[key] = m
+                sel = m & ~np.isnan(arr)
+                n = int(sel.sum())
+                if n:
+                    rows.append(
+                        {
+                            "scene_id": row.scene_id,
+                            "aoi_id": int(getattr(row, "aoi_id")),
+                            "n": n,
+                            # float64 sum of float32 values — same
+                            # accumulation as the literal tile path
+                            "s": float(arr[sel].astype(np.float64).sum()),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    partials = cand.mapInPandas(kernel, schema=partial_schema)
+    return partials.groupBy("scene_id", "aoi_id").agg(
+        F.sum("n").alias("n_in_aoi"),
+        (F.sum("s") / F.sum("n")).alias("mean_ndvi"),
+    )

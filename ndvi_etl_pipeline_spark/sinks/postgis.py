@@ -322,3 +322,80 @@ def raster_upsert_sql(
         f"INSERT INTO {quote_ident(table)} ({cols}) VALUES ({ph}) "
         f"ON CONFLICT ({keys}) DO UPDATE SET {updates}"
     )
+
+
+def write_upsert_jdbc_stream(
+    table: str,
+    conflict_keys: tuple[str, ...],
+    connection_factory: Callable[[], object],
+    ledger_table: str = "stream_commits",
+    mode: str = "replace",
+    batch_size: int = 1000,
+):
+    """foreachBatch sink with EXACTLY-ONCE effects on the warehouse:
+    returns a `(batch_df, batch_id) -> None` callable for
+    `writeStream.foreachBatch(...)`.
+
+    Structured Streaming replays a micro-batch after a failure, so an
+    at-least-once sink would double-apply side effects that are not
+    idempotent. Two defenses compose here:
+
+    1. the data write is the K3/K4 ON CONFLICT upsert
+       (`write_upsert_jdbc`) — replaying the same rows converges to
+       the same table state (idempotent by key);
+    2. a COMMIT LEDGER row per (table, batch_id), inserted with
+       ON CONFLICT DO NOTHING in the same connection AFTER the data
+       commits: a replayed batch sees its ledger row and SKIPS the
+       write entirely — exactly-once even for non-idempotent modes
+       (e.g. append-only audit tables), and the ledger doubles as
+       the stream's progress table for monitoring.
+
+    The ledger is created if absent (idempotent DDL). This is the
+    standard epoch-ledger pattern for transactional-ish sinks on
+    engines without native streaming-sink transactions.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        con = connect_with_retry(connection_factory)
+        try:
+            cur = con.cursor() if hasattr(con, "cursor") else con
+            cur.execute(
+                f"CREATE TABLE IF NOT EXISTS {quote_ident(ledger_table)} "
+                "(sink_table TEXT, batch_id BIGINT, n_rows BIGINT, "
+                "UNIQUE(sink_table, batch_id))"
+            )
+            con.commit()
+            seen = cur.execute(
+                f"SELECT 1 FROM {quote_ident(ledger_table)} "
+                "WHERE sink_table = ? AND batch_id = ?",
+                (table, batch_id),
+            ).fetchone()
+            if seen:
+                return  # replayed batch: effects already applied
+        finally:
+            con.close()
+
+        n = batch_df.count()
+        write_upsert_jdbc(
+            batch_df,
+            table,
+            conflict_keys,
+            connection_factory,
+            mode=mode,
+            batch_size=batch_size,
+        )
+
+        con = connect_with_retry(connection_factory)
+        try:
+            cur = con.cursor() if hasattr(con, "cursor") else con
+            cur.execute(
+                f"INSERT INTO {quote_ident(ledger_table)} "
+                "(sink_table, batch_id, n_rows) VALUES (?, ?, ?) "
+                "ON CONFLICT (sink_table, batch_id) DO NOTHING",
+                (table, batch_id, n),
+            )
+            con.commit()
+        finally:
+            con.close()
+
+    return sink

@@ -197,3 +197,35 @@ def test_raster_wkb_through_upsert_sink(spark, tmp_path):
     assert bytes(got[0][3]) == payload(3)  # replaced payload, bit-exact
     parsed = PG.parse_raster_wkb(bytes(got[1][3]))
     assert parsed["srid"] == 32635 and parsed["bands"][0]["pixtype"] == "32BF"
+
+
+def test_stream_upsert_sink_exactly_once(spark, tmp_path):
+    """The epoch-ledger foreachBatch sink: applying the same
+    (batch_df, batch_id) twice — Structured Streaming's replay after
+    failure — must leave the table AND the ledger unchanged; a new
+    batch_id applies normally."""
+    db = str(tmp_path / "pg.db")
+    with sqlite3.connect(db) as con:
+        con.execute(
+            "CREATE TABLE metrics (k INT, v REAL, UNIQUE(k))"
+        )
+
+    sink = PG.write_upsert_jdbc_stream(
+        "metrics", ("k",), connection_factory=lambda: sqlite3.connect(db, timeout=30)
+    )
+    b0 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double").coalesce(1)
+    sink(b0, 0)
+    sink(b0, 0)  # replay: must be a no-op
+    with sqlite3.connect(db) as con:
+        assert con.execute("SELECT count(*) FROM metrics").fetchone()[0] == 2
+        assert con.execute("SELECT count(*) FROM stream_commits").fetchone()[0] == 1
+
+    b1 = spark.createDataFrame([(2, 20.0), (3, 3.0)], "k int, v double").coalesce(1)
+    sink(b1, 1)
+    with sqlite3.connect(db) as con:
+        rows = dict(con.execute("SELECT k, v FROM metrics").fetchall())
+        assert rows == {1: 1.0, 2: 20.0, 3: 3.0}  # upsert replaced k=2
+        led = con.execute(
+            "SELECT batch_id, n_rows FROM stream_commits ORDER BY batch_id"
+        ).fetchall()
+        assert led == [(0, 2), (1, 2)]

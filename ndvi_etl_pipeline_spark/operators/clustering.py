@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_lloyd"]
+__all__ = ["kmeans_lloyd", "kmeans_centroid_vectors"]
 
 
 def kmeans_lloyd(
@@ -84,3 +84,57 @@ def kmeans_lloyd(
         [(cid, float(sum(c))) for cid, c in centroids], "cid int, s double"
     ).select("cid", F.round("s", 4).alias("centroid_sum"))
     return sizes.join(sums, "cid").select("cid", "n_points", "centroid_sum")
+
+
+def kmeans_centroid_vectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 3,
+    round_digits: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Run the same Lloyd trajectory as `kmeans_lloyd` but return the
+    final CENTROID VECTORS [(cid, [component, ...]), ...] — the
+    training output other operators compose with (e.g. an IVF index
+    built on fitted cells instead of sampled rows). Same deterministic
+    init, assignment tie-break, and per-iteration component rounding,
+    so the trajectory — and therefore the centroids — replays exactly
+    in the unrolled-CTE oracle."""
+    spark = df.sparkSession
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()
+    centroids = [
+        (cid, list(r.v)) for cid, r in enumerate(vecs.orderBy("vec_id").limit(k).collect())
+    ]
+    sq = lambda a, b: (a - b) * (a - b)  # noqa: E731
+    add = lambda acc, x: acc + x  # noqa: E731
+    for _ in range(iterations):
+        cdf = spark.createDataFrame(centroids, "cid int, c array<double>")
+        dist = F.aggregate(F.zip_with("v", "c", sq), F.lit(0.0), add)
+        assigned = (
+            vecs.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "v", dist.alias("dist"), "cid")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"), F.first("v").alias("v"))
+            .select("vec_id", F.col("m.cid").alias("cid"), "v")
+        )
+        comp = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), round_digits).alias("val"))
+        )
+        new_c = (
+            comp.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        centroids = sorted((r.cid, list(r.c)) for r in new_c)
+    vecs.unpersist()
+    return centroids

@@ -55,6 +55,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--scenes", required=True, help="directory of *_red/_nir.tif")
     ap.add_argument("--out", required=True, help="output product directory")
     ap.add_argument("--aoi", help="AOI ring: 'x1,y1 x2,y2 x3,y3 ...' (pixel coords)")
+    ap.add_argument(
+        "--aoi-geojson",
+        metavar="FILE",
+        help="AOI FeatureCollection: features are dissolved (unary "
+        "union) before clipping, and the dissolved geometry is "
+        "written to <out>/aois — the reference's boundary.geojson "
+        "path (download_landsat_stac.py:72-84, load_to_postgis "
+        "aois table)",
+    )
     ap.add_argument("--demo", type=int, metavar="N", help="synthesize N scenes first")
     ap.add_argument("--overviews", action="store_true", help="write pyramid levels")
     ap.add_argument("--cpus", type=int, default=None, help="local parallelism")
@@ -92,7 +101,50 @@ def main(argv: list[str] | None = None) -> int:
     n_scenes = spark.read.parquet(str(out / "ndvi_full_stats")).count()
 
     n_clip = 0
-    if args.aoi:
+    if args.aoi_geojson:
+        import json as _json
+
+        from .functions.polyclip import rings_to_geojson, union_all
+
+        doc = _json.loads(Path(args.aoi_geojson).read_text())
+        feats = doc.get("features", [doc])
+        rings = []
+        for ft in feats:
+            geom = ft.get("geometry", ft)
+            if geom.get("type") == "Polygon":
+                rings.append([tuple(p) for p in geom["coordinates"][0][:-1]])
+            elif geom.get("type") == "MultiPolygon":
+                rings.extend(
+                    [tuple(p) for p in poly[0][:-1]] for poly in geom["coordinates"]
+                )
+        if not rings:
+            raise SystemExit(f"no polygon features in {args.aoi_geojson}")
+        # A2: dissolve BEFORE clipping (unary_union,
+        # download_landsat_stac.py:79) — output rings are disjoint, so
+        # per-ring clip stats re-aggregate exactly to the union's
+        dissolved = union_all(rings)
+        aois_df = spark.createDataFrame(
+            [(1, "AOI", _json.dumps(rings_to_geojson(dissolved)))],
+            "aoi_id int, name string, geom_geojson string",
+        )
+        write_upsert(aois_df, str(out / "aois"), partition_cols=())
+        per_ring = raster.tile_clip_stats_multi(
+            ndvi, [(i, r) for i, r in enumerate(dissolved)]
+        )
+        clip = (
+            per_ring.groupBy("scene_id")
+            .agg(
+                F.sum("n_in_aoi").alias("n_in_aoi"),
+                (
+                    F.sum(F.col("mean_ndvi") * F.col("n_in_aoi"))
+                    / F.sum("n_in_aoi")
+                ).alias("mean_ndvi"),
+            )
+            .withColumn("aoi_id", F.lit(1))
+        )
+        write_upsert(clip, str(out / "ndvi_clipped"), partition_cols=())
+        n_clip = spark.read.parquet(str(out / "ndvi_clipped")).count()
+    elif args.aoi:
         ring = _parse_ring(args.aoi)
         clip = raster.tile_clip_stats(ndvi, ring)
         write_upsert(clip, str(out / "ndvi_clipped"), partition_cols=())

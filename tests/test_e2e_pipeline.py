@@ -189,3 +189,70 @@ def test_cli_entry_point(spark, tmp_path):
     rc = main(["--scenes", scenes, "--out", str(out), "--demo", "2"])
     assert rc == 0
     assert spark.read.parquet(str(out / "ndvi_full_stats")).count() == 2
+
+
+def test_cli_geojson_aoi_dissolve(spark, tmp_path):
+    """--aoi-geojson: multi-feature AOI dissolves (unary_union) before
+    clipping; the dissolved geometry lands in <out>/aois and the clip
+    count equals the OR-membership count over the original rings."""
+    import json
+
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.__main__ import main
+    from ndvi_etl_pipeline_spark.functions.polyclip import point_in_ring
+
+    r1 = [[10.5, 10.5], [100.5, 10.5], [100.5, 100.5], [10.5, 100.5], [10.5, 10.5]]
+    r2 = [[80.5, 80.5], [200.5, 80.5], [200.5, 200.5], [80.5, 200.5], [80.5, 80.5]]
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {}, "geometry": {"type": "Polygon", "coordinates": [r]}}
+            for r in (r1, r2)
+        ],
+    }
+    gj = tmp_path / "aoi.geojson"
+    gj.write_text(json.dumps(fc))
+    scenes, out = tmp_path / "scenes", tmp_path / "products"
+    rc = main(
+        [
+            "--scenes", str(scenes), "--out", str(out),
+            "--demo", "1", "--aoi-geojson", str(gj),
+        ]
+    )
+    assert rc == 0
+
+    aois = spark.read.parquet(str(out / "aois")).collect()
+    assert len(aois) == 1 and aois[0].name == "AOI"
+    geom = json.loads(aois[0].geom_geojson)
+    assert geom["type"] == "Polygon"  # overlapping features merged to ONE
+
+    clip = spark.read.parquet(str(out / "ndvi_clipped")).collect()
+    assert len(clip) == 1
+    ring_a = [tuple(p) for p in r1[:-1]]
+    ring_b = [tuple(p) for p in r2[:-1]]
+    # demo scene is 512²; n_in_aoi counts VALID pixels inside the OR
+    # of rings — the demo synthesizer zeroes red at (y%7==0, x%5==0)
+    # and nir at (y≡3 mod 11, x≡2 mod 9), which become NaN NDVI
+    def valid(x, y):
+        red0 = y % 7 == 0 and x % 5 == 0
+        nir0 = y >= 3 and (y - 3) % 11 == 0 and x >= 2 and (x - 2) % 9 == 0
+        return not (red0 or nir0)
+
+    want = sum(
+        (point_in_ring(x, y, ring_a) or point_in_ring(x, y, ring_b)) and valid(x, y)
+        for y in range(512)
+        for x in range(512)
+    )
+    assert clip[0].n_in_aoi == want
+
+    # idempotent re-run (K4 upsert): counts unchanged
+    rc = main(
+        [
+            "--scenes", str(scenes), "--out", str(out),
+            "--aoi-geojson", str(gj),
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(out / "aois")).count() == 1
+    assert spark.read.parquet(str(out / "ndvi_clipped")).count() == 1

@@ -276,3 +276,22 @@ def test_brute_force_topk_np_matches_native(spark, sf_dir_oracle):
     a = sorted(map(tuple, SIM.brute_force_topk(c, q, k=5).collect()))
     b = sorted(map(tuple, SIM.brute_force_topk_np(c, q, k=5).collect()))
     assert a == b and len(a) == 25
+
+
+def test_kmeans_centroid_vectors_consistent_with_lloyd(spark, sf_dir_oracle):
+    """kmeans_centroid_vectors must replay kmeans_lloyd's exact
+    trajectory: per-cluster component sums equal the lloyd query's
+    centroid_sum output."""
+    from ndvi_etl_pipeline_spark.operators.clustering import (
+        kmeans_centroid_vectors,
+        kmeans_lloyd,
+    )
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+
+    e = load_table(spark, "embeddings", sf_dir_oracle)
+    cents = kmeans_centroid_vectors(e, k=4, iterations=3)
+    want = {r.cid: r.centroid_sum for r in kmeans_lloyd(e, k=4, iterations=3).collect()}
+    assert set(c for c, _ in cents) == set(want)
+    for cid, vec in cents:
+        assert abs(round(sum(vec), 4) - want[cid]) < 1e-9, cid
+    assert all(len(vec) == 64 for _, vec in cents)

@@ -108,10 +108,12 @@ def decode_image(payload: bytes, meta) -> np.ndarray:
 
     Natively decoded (pure spec, no libraries): `raw` planes, BMP
     (uncompressed BI_RGB 24/32-bit, the Windows DIB layout —
-    bottom-up rows, BGR order, 4-byte row padding) and binary PPM
-    (P6). The stub boundary now covers only genuinely entropy-coded
-    formats (JPEG/PNG/WebP), which require PIL
-    (NotImplementedError otherwise)."""
+    bottom-up rows, BGR order, 4-byte row padding), binary PPM (P6),
+    and PNG (8-bit gray/RGB/RGBA, non-interlaced — zlib inflate +
+    the five scanline filters, both in reach of the stdlib). The
+    stub boundary now covers only formats with their own entropy
+    coders (JPEG/WebP), which require PIL (NotImplementedError
+    otherwise)."""
     fmt = meta["format"]
     if fmt == "raw":
         return np.frombuffer(payload, dtype=np.uint8).reshape(
@@ -121,6 +123,8 @@ def decode_image(payload: bytes, meta) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "ppm" or payload[:2] == b"P6":
         return decode_ppm(payload)
+    if fmt == "png" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     if HAVE_PIL:
         import io
 
@@ -215,6 +219,126 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     if c != 3:
         raise ValueError("encode_ppm expects HWC RGB")
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 HWC (8-bit grayscale / RGB / RGBA, non-interlaced)
+    in pure Python: chunk walk, zlib inflate of the IDAT stream, then
+    the five scanline filters (None/Sub/Up/Average/Paeth) undone
+    row-by-row — PNG's only compression is DEFLATE, so the stdlib
+    covers it; no entropy coder of its own (unlike JPEG)."""
+    import struct as _s
+    import zlib as _z
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = _s.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = _s.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} interlace={interlace} (8-bit "
+            "non-interlaced only)"
+        )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if nch is None:
+        raise NotImplementedError(f"PNG color_type={color_type} (palette needs PLTE)")
+    raw = _z.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(nch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - nch])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int64) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                cur[x] = (int(cur[x]) + (a + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, nch)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 HW / HWC → 8-bit PNG. `filter_type` 0 (None) or 2 (Up)
+    per scanline — enough to exercise both decode paths in tests."""
+    import struct as _s
+    import zlib as _z
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    rows = bytearray()
+    prev = np.zeros(w * nch, dtype=np.uint8)
+    for y in range(h):
+        line = a[y].reshape(-1)
+        if filter_type == 0:
+            rows.append(0)
+            rows += line.tobytes()
+        elif filter_type == 2:
+            rows.append(2)
+            rows += ((line.astype(np.int64) - prev) & 0xFF).astype(np.uint8).tobytes()
+            prev = line
+        else:
+            raise ValueError("encode_png supports filter 0 or 2")
+    comp = _z.compress(bytes(rows), 6)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(body))
+            + ctype
+            + body
+            + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:

@@ -218,3 +218,98 @@ def test_image_features_on_bmp_and_ppm(spark):
         assert got[mid].mean_luma == got[1].mean_luma
         assert got[mid].hist16 == got[1].hist16
         assert got[mid].entropy == got[1].entropy
+
+
+def test_png_codec_all_filters_and_channel_counts():
+    """PNG decode: round-trip via the in-repo encoder (filters 0/2,
+    gray/RGB/RGBA), plus an independent per-row encoder exercising
+    Sub/Up/Average/Paeth so the decoder's filter reconstruction is
+    validated against the spec, not our own writer."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(10)
+    for shape in ((13, 17, 3), (8, 9, 4), (21, 5, 1)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in (0, 2):
+            src = img if shape[2] > 1 else img[:, :, 0]
+            out = decode_png(encode_png(src, filter_type=ft))
+            assert out.shape == shape and np.array_equal(out, img), (shape, ft)
+
+    def encode_rows(img, ftypes):
+        h, w, nch = img.shape
+        rows = bytearray()
+        prev = np.zeros(w * nch, dtype=np.int64)
+        for y in range(h):
+            line = img[y].reshape(-1).astype(np.int64)
+            ft = ftypes[y % len(ftypes)]
+            rows.append(ft)
+            if ft == 1:  # Sub
+                enc = line.copy()
+                for x in range(w * nch - 1, nch - 1, -1):
+                    enc[x] = (line[x] - line[x - nch]) & 0xFF
+            elif ft == 2:  # Up
+                enc = (line - prev) & 0xFF
+            elif ft == 3:  # Average
+                enc = line.copy()
+                for x in range(w * nch):
+                    a = line[x - nch] if x >= nch else 0
+                    enc[x] = (line[x] - ((a + prev[x]) // 2)) & 0xFF
+            elif ft == 4:  # Paeth
+                enc = line.copy()
+                for x in range(w * nch):
+                    a = line[x - nch] if x >= nch else 0
+                    b = prev[x]
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (line[x] - pr) & 0xFF
+            else:
+                enc = line & 0xFF
+            rows += bytes(int(v) & 0xFF for v in enc)
+            prev = line
+        return bytes(rows)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    img = rng.integers(0, 256, (16, 11, 3), dtype=np.uint8)
+    raw = encode_rows(img, [1, 3, 4, 0, 2])
+    ihdr = struct.pack(">IIBBBBB", 11, 16, 8, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob), img)
+
+
+def test_image_features_on_png(spark):
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        image_features,
+    )
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (20, 21, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(img.tobytes()), ("raw", 21, 20, 3, None, None)),
+        (2, "image", bytearray(encode_png(img, 2)), ("png", 21, 20, 3, None, None)),
+    ]
+    got = {
+        r.media_id: r
+        for r in image_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    }
+    assert got[2].mean_luma == got[1].mean_luma
+    assert got[2].hist16 == got[1].hist16

@@ -129,6 +129,15 @@ def lzw_encode(data: bytes) -> bytes:
             nbits = 9
     if omega:
         out_bits.append((table[omega], nbits))
+        # tail width alignment: the decoder adds a table entry for
+        # EVERY code it processes — including this final one, which
+        # the encoder never followed with an add. Pretend-add before
+        # choosing EOI's width (libtiff does the same in its
+        # post-encode flush), or a width boundary landing exactly on
+        # the last code makes the decoder read EOI one bit wide.
+        next_code += 1
+        if next_code >= (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
     out_bits.append((_EOI, nbits))
     # MSB-first bit packing
     acc = 0

@@ -325,3 +325,14 @@ if HAVE_HYP:
     @given(data=st.binary(min_size=0, max_size=4096))
     def test_lzw_roundtrip_property(data):
         assert TF.lzw_decode(TF.lzw_encode(data)) == data
+
+
+def test_lzw_width_boundary_at_stream_tail():
+    """Regression (found by hypothesis): when the 9→10-bit width
+    boundary lands exactly on the final data code, the decoder's
+    tail table-add must be mirrored by the encoder's pretend-add
+    before EOI — 254 incompressible bytes puts the boundary on EOI."""
+    rng = np.random.default_rng(0)
+    for n in range(250, 260):
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert TF.lzw_decode(TF.lzw_encode(data)) == data, n

@@ -120,27 +120,18 @@ def main(argv: list[str] | None = None) -> int:
         if not rings:
             raise SystemExit(f"no polygon features in {args.aoi_geojson}")
         # A2: dissolve BEFORE clipping (unary_union,
-        # download_landsat_stac.py:79) — output rings are disjoint, so
-        # per-ring clip stats re-aggregate exactly to the union's
+        # download_landsat_stac.py:79). The dissolved set may contain
+        # hole rings (even-odd), so clip with parity membership over
+        # the FULL ring set — summing independent per-ring stats would
+        # double-count cavity pixels under exterior+hole.
         dissolved = union_all(rings)
         aois_df = spark.createDataFrame(
             [(1, "AOI", _json.dumps(rings_to_geojson(dissolved)))],
             "aoi_id int, name string, geom_geojson string",
         )
         write_upsert(aois_df, str(out / "aois"), partition_cols=())
-        per_ring = raster.tile_clip_stats_multi(
-            ndvi, [(i, r) for i, r in enumerate(dissolved)]
-        )
-        clip = (
-            per_ring.groupBy("scene_id")
-            .agg(
-                F.sum("n_in_aoi").alias("n_in_aoi"),
-                (
-                    F.sum(F.col("mean_ndvi") * F.col("n_in_aoi"))
-                    / F.sum("n_in_aoi")
-                ).alias("mean_ndvi"),
-            )
-            .withColumn("aoi_id", F.lit(1))
+        clip = raster.tile_clip_stats_rings(ndvi, dissolved).withColumn(
+            "aoi_id", F.lit(1)
         )
         write_upsert(clip, str(out / "ndvi_clipped"), partition_cols=())
         n_clip = spark.read.parquet(str(out / "ndvi_clipped")).count()

@@ -23,9 +23,11 @@ Scope and contracts:
   perturbation of the second polygon (relative 1e-9, retried up to 8
   exponents) — the same pragmatic move production clippers make; the
   perturbation bound is documented in `clip_polygons`.
-- `union_all` folds N rings by incremental merging (disjoint rings
-  accumulate; overlapping ones merge), which is `unary_union` for the
-  few-feature AOI case this serves. Geometry ops on driver-known AOIs
+- `union_all` folds N rings into connected components (exterior +
+  holes), merging transitively; hole-creating unions (a C-shape closed
+  by a cap) and islands inside cavities are handled exactly under
+  even-odd parity. This is `unary_union` for the few-feature AOI case
+  this serves. Geometry ops on driver-known AOIs
   are driver-side by design (the reference unions once per run); the
   DISTRIBUTED dissolve over millions of geometries stays the
   applyInPandas-per-group form named in SURVEY §2.5 A2.
@@ -333,9 +335,14 @@ def clip_polygons(subject: Ring, clip: Ring, op: str) -> list[Ring]:
             continue
         if res is not None:
             return res
-        # no proper intersections: containment / disjoint cases
-        s_in_c = point_in_ring(*_interior_point(subject), c)
-        c_in_s = point_in_ring(*_interior_point(c), subject)
+        # No proper intersections: containment / disjoint cases. Probe
+        # with a BOUNDARY vertex, not an interior point: with zero
+        # boundary crossings each boundary lies entirely inside or
+        # entirely outside the other ring, while an interior point of
+        # the outer ring can land inside a ring nested WITHIN it (e.g.
+        # an island centered in a cavity) and misreport containment.
+        s_in_c = point_in_ring(*subject[0], c)
+        c_in_s = point_in_ring(*c[0], subject)
         if op == "union":
             if s_in_c:
                 return [list(c)]
@@ -369,38 +376,84 @@ def polygon_difference(a: Ring, b: Ring) -> list[Ring]:
     return clip_polygons(a, b, "difference")
 
 
+def _ring_bbox(ring: Ring) -> tuple[float, float, float, float]:
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+# A "component" is (exterior, holes): one connected dissolved piece with
+# its cavities, membership = even-odd over the flat ring list. Hole
+# regions may themselves be represented even-odd by >1 ring (e.g. an
+# island inside a cavity contributes [hole, island]) — parity handles
+# arbitrary nesting, and _nest_rings regroups for GeoJSON/WKT output.
+_Component = tuple[Ring, list[Ring]]
+
+
+def _exteriors_interact(e1: Ring, e2: Ring) -> bool:
+    b1, b2 = _ring_bbox(e1), _ring_bbox(e2)
+    if b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1]:
+        return False
+    return bool(polygon_intersection(e1, e2))
+
+
+def _merge_components(c1: _Component, c2: _Component) -> _Component:
+    """Union of two components whose exteriors interact.
+
+    Exterior: GH union of the exteriors (single exterior + possible
+    enclosed "gap" holes; the exterior is the max-|area| ring). Holes:
+    the union's complement inside the new exterior,
+    (H1∖E2) ∪ (H2∖E1) ∪ (H1∩H2) ∪ gaps — three pairwise-disjoint
+    families, each computed by GH ops on simple rings, so the flat
+    even-odd parity of the output is exact for any overlap/containment
+    configuration (islands in cavities included)."""
+    (e1, h1s), (e2, h2s) = c1, c2
+    u = polygon_union(e1, e2)
+    if len(u) == 1:
+        ext, holes = u[0], []
+    else:
+        areas = [abs(shoelace_area(r)) for r in u]
+        k = areas.index(max(areas))
+        ext = u[k]
+        holes = [r for i, r in enumerate(u) if i != k]
+    for h in h1s:
+        holes.extend(polygon_difference(h, e2))
+    for h in h2s:
+        holes.extend(polygon_difference(h, e1))
+    for a in h1s:
+        for b in h2s:
+            holes.extend(polygon_intersection(a, b))
+    return ext, holes
+
+
 def union_all(rings: list[Ring]) -> list[Ring]:
-    """Dissolve N simple rings into a ring set — `unary_union` for the
-    engine's AOI feature lists (download_landsat_stac.py:79). Folds
-    incrementally: each new ring merges with every accumulated ring it
-    overlaps (union may itself yield multiple rings, e.g. hole
-    creation is impossible for unions of simple rings, but disjoint
-    parts persist)."""
-    acc: list[Ring] = []
+    """Dissolve N simple rings into an even-odd ring set — the
+    engine's `unary_union` (reference download_landsat_stac.py:79).
+
+    Folds each ring into a set of connected components (exterior +
+    holes). A new ring merges with every component whose exterior it
+    interacts with (bbox prefilter, then GH intersection — this also
+    catches rings landing inside a component's cavity, which become
+    islands). Components a ring bridges are merged transitively.
+    Unlike the earlier single-ring fold, a union that CREATES a hole
+    (e.g. a C-shape closed by a cap) is a first-class merge: the cap
+    is consumed and the cavity ring is kept, so even-odd membership
+    over the returned set matches OR-of-inputs everywhere."""
+    comps: list[_Component] = []
     for ring in rings:
-        pending = [list(ring)]
-        merged_acc: list[Ring] = []
-        for existing in acc:
-            if not pending:
-                merged_acc.append(existing)
-                continue
-            # try merging the (single) pending piece with this ring
-            new_pending: list[Ring] = []
-            merged = False
-            for piece in pending:
-                u = polygon_union(piece, existing)
-                if len(u) == 1:
-                    new_pending.append(u[0])
-                    merged = True
-                else:
-                    new_pending.append(piece)
-            if merged:
-                pending = new_pending
+        comp: _Component = (list(ring), [])
+        rest: list[_Component] = []
+        for other in comps:
+            if _exteriors_interact(comp[0], other[0]):
+                comp = _merge_components(comp, other)
             else:
-                merged_acc.append(existing)
-                pending = new_pending
-        acc = merged_acc + pending
-    return acc
+                rest.append(other)
+        comps = rest + [comp]
+    out: list[Ring] = []
+    for ext, holes in comps:
+        out.append(ext)
+        out.extend(holes)
+    return out
 
 
 def _circle_ring(cx: float, cy: float, r: float, segments: int) -> Ring:

@@ -331,10 +331,28 @@ def tile_clip_stats(ndvi_tiles: DataFrame, ring) -> DataFrame:
     Reference semantics: compute_ndvi.py:95-160 (mask + crop),
     load_to_postgis.py:74-79 (masked mean).
     """
+    return tile_clip_stats_rings(ndvi_tiles, [ring])
+
+
+def tile_clip_stats_rings(ndvi_tiles: DataFrame, rings) -> DataFrame:
+    """`tile_clip_stats` over an even-odd RING SET (e.g. a dissolved
+    multi-feature AOI from polyclip.union_all, which may contain hole
+    rings): membership = parity of per-ring ray casts over the full
+    set, so cavities are excluded and islands re-included exactly —
+    summing independent per-ring stats would double-count any pixel
+    under both an exterior and its hole. bbox pruning uses the bbox of
+    all rings (holes lie inside their exteriors, so this equals the
+    union's bbox)."""
     from ..functions.geo import _ray_cast_numpy, polygon_bbox
 
-    minx, miny, maxx, maxy = polygon_bbox(ring)
-    flat = np.asarray([c for pt in ring for c in pt], dtype=np.float64)
+    boxes = [polygon_bbox(r) for r in rings]
+    minx = min(b[0] for b in boxes)
+    miny = min(b[1] for b in boxes)
+    maxx = max(b[2] for b in boxes)
+    maxy = max(b[3] for b in boxes)
+    flats = [
+        np.asarray([c for pt in r for c in pt], dtype=np.float64) for r in rings
+    ]
 
     # Sargable tile-extent × polygon-bbox intersection (J3 shape).
     pruned = ndvi_tiles.filter(
@@ -367,9 +385,12 @@ def tile_clip_stats(ndvi_tiles: DataFrame, ring) -> DataFrame:
                     (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
                 )
                 inside_idx = np.nonzero(inside)[0]
-                inside[inside_idx] = _ray_cast_numpy(
-                    px[inside_idx], py[inside_idx], flat
-                )
+                parity = np.zeros(inside_idx.shape[0], dtype=bool)
+                for flat in flats:
+                    parity ^= _ray_cast_numpy(
+                        px[inside_idx], py[inside_idx], flat
+                    )
+                inside[inside_idx] = parity
                 hit = inside.reshape(h, w)
                 cache[key] = hit
             return hit
@@ -818,9 +839,14 @@ def _decode_geotiff_fast(buf: "bytes | memoryview") -> tuple[np.ndarray, dict]:
     # guards: anything outside the engine's own write profile goes to
     # the general codec (operators/tiff.py) via the caller's fallback
     bits = short_or_long(_TIFF_TAGS["BitsPerSample"]) if _TIFF_TAGS["BitsPerSample"] in tags else 32
-    sfmt = short_or_long(_TIFF_TAGS["SampleFormat"]) if _TIFF_TAGS["SampleFormat"] in tags else 3
+    # TIFF defaults SampleFormat to 1 (unsigned int) when absent; the
+    # fast path REQUIRES an explicit =3 (IEEE float, as write_geotiff
+    # emits). Defaulting to 3 here would reinterpret a 32-bit integer
+    # TIFF that legally omits the tag as '<f4' garbage instead of
+    # falling through to the general codec (tiff.py defaults it to 1).
+    sfmt = short_or_long(_TIFF_TAGS["SampleFormat"]) if _TIFF_TAGS["SampleFormat"] in tags else 1
     if bits != 32 or sfmt != 3:
-        raise ValueError("fast path handles float32 only")
+        raise ValueError("fast path handles explicit float32 only")
     if compression not in (1, 8):
         raise ValueError("fast path handles none/deflate only")
 

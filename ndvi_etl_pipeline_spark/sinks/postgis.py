@@ -332,28 +332,47 @@ def write_upsert_jdbc_stream(
     mode: str = "replace",
     batch_size: int = 1000,
 ):
-    """foreachBatch sink with EXACTLY-ONCE effects on the warehouse:
-    returns a `(batch_df, batch_id) -> None` callable for
+    """foreachBatch sink with exactly-once EFFECTS on the warehouse
+    via at-least-once delivery + idempotent converge: returns a
+    `(batch_df, batch_id) -> None` callable for
     `writeStream.foreachBatch(...)`.
 
-    Structured Streaming replays a micro-batch after a failure, so an
-    at-least-once sink would double-apply side effects that are not
-    idempotent. Two defenses compose here:
+    Structured Streaming replays a micro-batch after a failure. The
+    guarantee here is NOT a transactional ledger: the data write is
+    distributed (one connection + commit per partition in
+    `write_upsert_jdbc`) and the ledger row is inserted in a separate
+    connection afterwards, so a crash between a data commit and the
+    ledger insert replays the whole batch on restart. Effects are
+    still exactly-once because:
 
     1. the data write is the K3/K4 ON CONFLICT upsert
        (`write_upsert_jdbc`) — replaying the same rows converges to
-       the same table state (idempotent by key);
-    2. a COMMIT LEDGER row per (table, batch_id), inserted with
-       ON CONFLICT DO NOTHING in the same connection AFTER the data
-       commits: a replayed batch sees its ledger row and SKIPS the
-       write entirely — exactly-once even for non-idempotent modes
-       (e.g. append-only audit tables), and the ledger doubles as
-       the stream's progress table for monitoring.
+       the same table state (idempotent by key). Only the idempotent
+       modes are accepted (enforced below); an append-only
+       non-idempotent mode would be at-least-once under this sink.
+    2. the COMMIT LEDGER row per (table, batch_id) short-circuits
+       replays that happen after the ledger committed, and doubles as
+       the stream's progress table — though `n_rows` for a batch that
+       crashed mid-write reflects the final (converged) replay, and a
+       batch can be partially visible between its first partition
+       commit and its ledger row.
 
-    The ledger is created if absent (idempotent DDL). This is the
-    standard epoch-ledger pattern for transactional-ish sinks on
+    A truly atomic data+ledger commit would require funnelling the
+    batch through one driver-side connection/transaction — the right
+    trade only for tiny batches; at scale the partition-parallel
+    write + keyed idempotence is the standard epoch-ledger pattern on
     engines without native streaming-sink transactions.
+
+    The ledger is created if absent (idempotent DDL). Crash-recovery
+    is exercised by tests/test_streaming.py (kill between data commit
+    and ledger insert → replay converges, second replay is skipped).
     """
+    if mode not in ("replace", "ignore"):
+        raise ValueError(
+            "write_upsert_jdbc_stream requires an idempotent mode "
+            f"('replace' or 'ignore'); got {mode!r} — a non-idempotent "
+            "mode would double-apply on micro-batch replay"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         con = connect_with_retry(connection_factory)

@@ -89,6 +89,55 @@ def test_union_all_dissolves_overlap_chain():
     assert bad_count(out, formula, -2, 34, 0.4) == 0
 
 
+# C-shape (open to the right) + a cap closing the mouth: their union
+# has a hole — the ADVICE-reported case the single-ring fold missed.
+C_SHAPE = [
+    (0.0, 0.0), (12.0, 0.0), (12.0, 3.0), (3.0, 3.0), (3.0, 9.0),
+    (12.0, 9.0), (12.0, 12.0), (0.0, 12.0),
+]
+CAP = [(10.0, 2.0), (13.0, 2.0), (13.0, 10.0), (10.0, 10.0)]
+
+
+def test_union_all_hole_creating_merge():
+    out = PC.union_all([C_SHAPE, CAP])
+    forms = [C_SHAPE, CAP]
+    formula = lambda x, y: any(PC.point_in_ring(x, y, r) for r in forms)  # noqa: E731
+    # the cavity (e.g. 6, 6) must classify OUTSIDE; the cap strip
+    # (e.g. 12.5, 6) INSIDE — both were wrong before the fix
+    assert not member(out, 6.0, 6.0)
+    assert member(out, 12.5, 6.0)
+    assert bad_count(out, formula, -2, 15, 0.4) == 0
+    # pairwise-union area identity still holds through the fold
+    aU = PC.rings_area_even_odd(out)
+    aI = PC.rings_area_even_odd(PC.polygon_intersection(C_SHAPE, CAP))
+    aC = PC.rings_area_even_odd([C_SHAPE])
+    aK = PC.rings_area_even_odd([CAP])
+    assert abs(aU - (aC + aK - aI)) < 1e-6
+
+
+def test_union_all_island_inside_cavity():
+    # a small square fully inside the cavity formed by C∪cap: it stays
+    # a separate component (disjoint region), and membership is exact
+    island = [(5.0, 5.0), (7.0, 5.0), (7.0, 7.0), (5.0, 7.0)]
+    out = PC.union_all([C_SHAPE, CAP, island])
+    forms = [C_SHAPE, CAP, island]
+    formula = lambda x, y: any(PC.point_in_ring(x, y, r) for r in forms)  # noqa: E731
+    assert member(out, 6.0, 6.0)  # island interior
+    assert not member(out, 4.0, 6.5)  # cavity outside island
+    assert bad_count(out, formula, -2, 15, 0.4) == 0
+
+
+def test_union_all_ring_bridging_two_components():
+    # two disjoint squares bridged by a third: must merge transitively
+    left = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    right = [(8.0, 0.0), (12.0, 0.0), (12.0, 4.0), (8.0, 4.0)]
+    bridge = [(3.0, 1.0), (9.0, 1.0), (9.0, 3.0), (3.0, 3.0)]
+    out = PC.union_all([left, right, bridge])
+    forms = [left, right, bridge]
+    formula = lambda x, y: any(PC.point_in_ring(x, y, r) for r in forms)  # noqa: E731
+    assert bad_count(out, formula, -1, 13, 0.3) == 0
+
+
 def test_random_convex_pairs_property():
     """Property sweep: random convex polygons (sorted-angle
     construction), all three ops, membership equivalence on a coarse

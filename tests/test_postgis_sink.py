@@ -229,3 +229,59 @@ def test_stream_upsert_sink_exactly_once(spark, tmp_path):
             "SELECT batch_id, n_rows FROM stream_commits ORDER BY batch_id"
         ).fetchall()
         assert led == [(0, 2), (1, 2)]
+
+
+def test_stream_upsert_sink_crash_between_data_and_ledger(spark, tmp_path):
+    """Crash-recovery for the epoch-ledger sink: the data write and the
+    ledger insert are separate transactions, so a crash can leave the
+    batch's rows COMMITTED with no ledger row. On restart Structured
+    Streaming replays the whole micro-batch; the sink must converge
+    (idempotent ON CONFLICT, no duplicates, latest values) and only
+    then record the ledger row — after which a second replay is
+    suppressed entirely."""
+    db = str(tmp_path / "pg.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE metrics (k INT, v REAL, UNIQUE(k))")
+
+    factory = lambda: sqlite3.connect(db, timeout=30)  # noqa: E731
+    batch = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "k int, v double"
+    ).coalesce(1)
+
+    # crash state: data committed (all partitions), process died before
+    # the ledger insert ran — exactly what write_upsert_jdbc_stream's
+    # separate-transaction structure permits
+    PG.write_upsert_jdbc(batch, "metrics", ("k",), factory, mode="replace")
+    with sqlite3.connect(db) as con:
+        assert con.execute("SELECT count(*) FROM metrics").fetchone()[0] == 2
+        assert (
+            con.execute(
+                "SELECT count(*) FROM sqlite_master WHERE name='stream_commits'"
+            ).fetchone()[0]
+            == 0
+        )  # no ledger yet: the crash preceded it
+
+    # restart: the stream replays (batch, batch_id=0) through the sink
+    sink = PG.write_upsert_jdbc_stream("metrics", ("k",), connection_factory=factory)
+    sink(batch, 0)
+    with sqlite3.connect(db) as con:
+        rows = dict(con.execute("SELECT k, v FROM metrics").fetchall())
+        assert rows == {1: 1.0, 2: 2.0}  # converged, no duplicates
+        led = con.execute(
+            "SELECT sink_table, batch_id, n_rows FROM stream_commits"
+        ).fetchall()
+        assert led == [("metrics", 0, 2)]
+
+    # a second replay after the ledger committed is skipped outright
+    poisoned = spark.createDataFrame([(1, 99.0)], "k int, v double").coalesce(1)
+    sink(poisoned, 0)
+    with sqlite3.connect(db) as con:
+        rows = dict(con.execute("SELECT k, v FROM metrics").fetchall())
+        assert rows == {1: 1.0, 2: 2.0}  # ledger suppressed the write
+
+
+def test_stream_upsert_sink_rejects_non_idempotent_mode():
+    with pytest.raises(ValueError, match="idempotent"):
+        PG.write_upsert_jdbc_stream(
+            "metrics", ("k",), connection_factory=lambda: None, mode="append"
+        )

@@ -140,6 +140,34 @@ def test_raster_decode_falls_back_to_general_codec():
     assert meta["epsg"] == 32635 and meta["nodata"] == 0.0
 
 
+def test_int32_without_sampleformat_not_misread_as_float():
+    """A 32-bit integer TIFF may legally OMIT SampleFormat (optional
+    tag, spec default 1 = unsigned int). The raster fast path must not
+    default the absent tag to 3 (float) — that would satisfy its
+    bits==32/sfmt==3 guard and reinterpret the integer payload as
+    '<f4' garbage instead of falling through to the general codec."""
+    import struct
+
+    from ndvi_etl_pipeline_spark.operators.raster import decode_geotiff_bytes
+
+    rng = np.random.default_rng(99)
+    a = rng.integers(0, 2**31 - 1, size=(19, 13), dtype=np.uint32)
+    blob = bytearray(TF.write_tiff(a, compression="none"))
+    # surgically drop the SampleFormat (339) entry: overwrite its code
+    # with an unknown private tag both decoders skip
+    ifd_off = struct.unpack_from("<I", blob, 4)[0]
+    n = struct.unpack_from("<H", blob, ifd_off)[0]
+    hit = False
+    for i in range(n):
+        ent = ifd_off + 2 + i * 12
+        if struct.unpack_from("<H", blob, ent)[0] == 339:
+            struct.pack_into("<H", blob, ent, 60123)
+            hit = True
+    assert hit, "encoder no longer writes SampleFormat; rebuild this test"
+    arr, _meta = decode_geotiff_bytes(bytes(blob))
+    assert np.array_equal(arr, a.astype(np.float32))
+
+
 def test_scan_geotiffs_reads_uint16_lzw_band_files(spark, tmp_path):
     """End-to-end S4: a scene whose red/nir bands are Landsat-style
     uint16-LZW files flows through the binaryFile scan → tile codec →

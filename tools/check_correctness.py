@@ -51,7 +51,12 @@ def canon(df) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return ("\x00null",)
-            return ("f", round(v, 9))
+            r = round(v, 9)
+            # Distinguish -0.0 from +0.0 the way the driver's value-hash
+            # does (round(-1e-9, 6) is -0.0 in DuckDB but +0.0 in Spark;
+            # tuple == would hide it since -0.0 == 0.0). copysign makes
+            # the sign part of the canonical form.
+            return ("f", r, math.copysign(1.0, r))
         if isinstance(v, (pd.Timestamp,)):
             return ("t", v.isoformat())
         if hasattr(v, "isoformat"):

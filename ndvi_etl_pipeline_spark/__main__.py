@@ -6,10 +6,12 @@ as one Spark job.
 
 Stages (each the Spark-native form of the reference's per-scene loop,
 main.py:118-139): scan+decode GeoTIFF bands → fused NDVI → per-scene
-stats → optional AOI clip stats → optional overview pyramid →
-parquet product tables (ndvi_full_stats / ndvi_clipped /
-ndvi_overviews) with last-write-wins upsert semantics — then a run
-summary mirroring main.py:143-154's counters.
+stats → optional AOI clip stats → viz product (clipped, downsampled,
+byte-rescaled PNG per scene) → optional overview pyramid → parquet
+product tables (ndvi_full_stats / ndvi_clipped / ndvi_viz /
+ndvi_overviews — full 4-table parity with db/init/002_schema.sql)
+with last-write-wins upsert semantics — then a run summary mirroring
+main.py:143-154's counters.
 
 `--demo N` synthesizes N deterministic scenes into --scenes first
 (no network; the reference's STAC download path is exercised offline
@@ -135,11 +137,34 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_upsert(clip, str(out / "ndvi_clipped"), partition_cols=())
         n_clip = spark.read.parquet(str(out / "ndvi_clipped")).count()
+        clip_rings = dissolved
     elif args.aoi:
         ring = _parse_ring(args.aoi)
-        clip = raster.tile_clip_stats(ndvi, ring)
+        clip = raster.tile_clip_stats(ndvi, ring).withColumn("aoi_id", F.lit(1))
         write_upsert(clip, str(out / "ndvi_clipped"), partition_cols=())
         n_clip = spark.read.parquet(str(out / "ndvi_clipped")).count()
+        clip_rings = [ring]
+
+    n_viz = 0
+    if n_clip:
+        # fourth product table — the reference's ndvi_viz
+        # (db/init/002_schema.sql:28-35): one viz raster per CLIPPED
+        # scene, FK-chained to ndvi_clipped via (scene_id, aoi_id)
+        # (the parquet twin of clipped_id) + aoi_id + acquisition_date
+        # + style, exactly the columns load_to_postgis.py:314 inserts.
+        clipped = spark.read.parquet(str(out / "ndvi_clipped")).select(
+            "scene_id", "aoi_id"
+        )
+        viz = (
+            raster.tile_viz_products(ndvi, factor=8, rings=clip_rings)
+            .join(clipped, "scene_id")  # viz only where a clipped row exists
+            .withColumn(
+                "acquisition_date",
+                F.to_date(F.regexp_extract("scene_id", r"_(\d{8})_", 1), "yyyyMMdd"),
+            )
+        )
+        write_upsert(viz, str(out / "ndvi_viz"), partition_cols=())
+        n_viz = spark.read.parquet(str(out / "ndvi_viz")).count()
 
     n_levels = 0
     if args.overviews:
@@ -157,7 +182,8 @@ def main(argv: list[str] | None = None) -> int:
     dt = time.perf_counter() - t0
     print(
         f"pipeline OK: {n_scenes} scenes -> {out} "
-        f"(clip rows: {n_clip}, overview levels: {n_levels}) in {dt:.1f}s"
+        f"(clip rows: {n_clip}, viz rows: {n_viz}, "
+        f"overview levels: {n_levels}) in {dt:.1f}s"
     )
     return 0
 

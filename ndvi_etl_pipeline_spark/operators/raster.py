@@ -494,6 +494,157 @@ def tile_overviews(
     return src.select(*cols).mapInPandas(kernel, schema=out_schema)
 
 
+VIZ_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("style", T.StringType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("n_valid", T.LongType()),
+        T.StructField("png", T.BinaryType()),
+    ]
+)
+
+
+def tile_viz_products(
+    ndvi_tiles: DataFrame,
+    factor: int = 8,
+    rings=None,
+    style: str = "viz",
+) -> DataFrame:
+    """The reference's `*_NDVI_clipped_viz.tif` product
+    (compute_ndvi.py:144-158 rescale/reproject; loaded into the
+    `ndvi_viz` table by load_to_postgis.py:277-328) as a Spark product
+    table: per scene, the NDVI raster — optionally clipped to an
+    even-odd AOI ring set at FULL resolution, like the reference masks
+    before reprojecting — average-pooled down by `factor`,
+    byte-rescaled [-1, 1] → [0, 255] (q_ndvi_viz_rescale's exact value
+    semantics), and encoded as one grayscale PNG per scene via the
+    native codec (operators/multimodal.py::encode_png). NaN/nodata
+    pixels render as byte 0.
+
+    Scale shape: the mask+pool stage is a narrow mapInPandas (no
+    shuffle); the single shuffle groups factor²-reduced tiles per
+    scene, so assembling a 16k×16k scene at factor 8 moves ~16 MB of
+    floats, never full-resolution pixels."""
+    from ..functions.geo import _ray_cast_numpy, polygon_bbox
+
+    if factor & (factor - 1) or factor < 1:
+        raise ValueError("factor must be a power of two")
+
+    flats = None
+    if rings:
+        flats = [
+            np.asarray([c for pt in r for c in pt], dtype=np.float64)
+            for r in rings
+        ]
+        boxes = [polygon_bbox(r) for r in rings]
+        minx = min(b[0] for b in boxes)
+        miny = min(b[1] for b in boxes)
+        maxx = max(b[2] for b in boxes)
+        maxy = max(b[3] for b in boxes)
+
+    reduced_schema = T.StructType(
+        [
+            T.StructField("scene_id", T.StringType()),
+            T.StructField("y0", T.IntegerType()),
+            T.StructField("x0", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+
+    def pool2(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        blocks = a.reshape(h // 2, 2, w // 2, 2)
+        with np.errstate(invalid="ignore"):
+            s = np.nansum(blocks, axis=(1, 3))
+            c = np.sum(~np.isnan(blocks), axis=(1, 3))
+            return np.divide(s, c, out=np.full(s.shape, np.nan), where=c > 0)
+
+    def reduce_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = (
+                    np.frombuffer(row.data, dtype=np.float32)
+                    .reshape(row.height, row.width)
+                    .astype(np.float64)
+                )
+                if flats is not None:
+                    xs = np.arange(row.x0, row.x0 + row.width, dtype=np.float64)
+                    ys = np.arange(row.y0, row.y0 + row.height, dtype=np.float64)
+                    px = np.broadcast_to(xs, arr.shape).ravel()
+                    py = np.repeat(ys, row.width)
+                    inside = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+                    idx = np.nonzero(inside)[0]
+                    parity = np.zeros(idx.shape[0], dtype=bool)
+                    for flat in flats:
+                        parity ^= _ray_cast_numpy(px[idx], py[idx], flat)
+                    inside[idx] = parity
+                    arr = np.where(inside.reshape(arr.shape), arr, np.nan)
+                # NaN-pad edge tiles up to a factor multiple; padded
+                # cells pool as "no valid source" and render as nodata
+                ph = -arr.shape[0] % factor
+                pw = -arr.shape[1] % factor
+                if ph or pw:
+                    arr = np.pad(
+                        arr, ((0, ph), (0, pw)), constant_values=np.nan
+                    )
+                red = arr
+                for _ in range(factor.bit_length() - 1):
+                    red = pool2(red)
+                rows.append(
+                    {
+                        "scene_id": row.scene_id,
+                        "y0": row.y0 // factor,
+                        "x0": row.x0 // factor,
+                        "height": red.shape[0],
+                        "width": red.shape[1],
+                        "data": red.astype(np.float32).tobytes(),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    reduced = ndvi_tiles.select(
+        "scene_id", "y0", "x0", "height", "width", "data"
+    ).mapInPandas(reduce_kernel, schema=reduced_schema)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .multimodal import encode_png
+
+        H = int((pdf["y0"] + pdf["height"]).max())
+        W = int((pdf["x0"] + pdf["width"]).max())
+        canvas = np.full((H, W), np.nan, dtype=np.float64)
+        for row in pdf.itertuples(index=False):
+            a = np.frombuffer(row.data, dtype=np.float32).reshape(
+                row.height, row.width
+            )
+            canvas[row.y0 : row.y0 + row.height, row.x0 : row.x0 + row.width] = a
+        valid = ~np.isnan(canvas)
+        byte = np.zeros(canvas.shape, dtype=np.uint8)
+        with np.errstate(invalid="ignore"):
+            byte[valid] = np.round(
+                np.clip((canvas[valid] + 1.0) * 127.5, 0.0, 255.0)
+            ).astype(np.uint8)
+        return pd.DataFrame(
+            [
+                {
+                    "scene_id": pdf["scene_id"].iloc[0],
+                    "style": style,
+                    "height": H,
+                    "width": W,
+                    "n_valid": int(valid.sum()),
+                    "png": encode_png(byte),
+                }
+            ]
+        )
+
+    return reduced.groupBy("scene_id").applyInPandas(assemble, schema=VIZ_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # minimal real GeoTIFF (pure Python): single band float32, striped
 # ---------------------------------------------------------------------------

@@ -185,6 +185,25 @@ def test_cli_entry_point(spark, tmp_path):
     }
     assert factors == {2, 4, 8, 16, 32}
 
+    # 4th product table (reference db/init/002_schema.sql:28-35): one
+    # viz row per clipped scene, FK-chained by (scene_id, aoi_id) with
+    # acquisition_date + style, PNG payload decodable by the native codec
+    from ndvi_etl_pipeline_spark.operators.multimodal import decode_png
+
+    viz = spark.read.parquet(str(out / "ndvi_viz")).collect()
+    assert len(viz) == 2
+    clipped_keys = {
+        (r.scene_id, r.aoi_id)
+        for r in spark.read.parquet(str(out / "ndvi_clipped")).collect()
+    }
+    for r in viz:
+        assert (r.scene_id, r.aoi_id) in clipped_keys  # FK chain
+        assert r.style == "viz" and r.acquisition_date is not None
+        img = decode_png(bytes(r.png))
+        assert img.shape[:2] == (r.height, r.width) == (64, 64)  # 512/8
+        assert r.n_valid > 0
+        assert img.max() > 0  # some pixels inside the AOI rendered
+
     # idempotent replay (K3/K4 upsert semantics at the CLI surface)
     rc = main(["--scenes", scenes, "--out", str(out), "--demo", "2"])
     assert rc == 0

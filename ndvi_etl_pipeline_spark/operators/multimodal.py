@@ -9,11 +9,12 @@ Design (mirrors how 100 TB multimodal lakes are actually laid out):
   payload (e.g. `meta.width >= 256` prunes at scan time).
 - kernels are Arrow-batched mapInPandas over raw numpy views. The
   "raw" format (dtype-tagged packed arrays) is fully implemented —
-  decode, resize, frame-sample, feature-extract all run for real.
-  Compressed formats (jpeg/png/flac/...) need codec libraries that
-  are not in this container: `decode` raises NotImplementedError for
-  them unless PIL is importable, keeping the plumbing honest and the
-  extension point explicit.
+  decode, resize, frame-sample, feature-extract all run for real —
+  and so are the pure-spec codecs: BMP, PPM, PNG, WAV, and baseline
+  JPEG (operators/jpeg.py). Only WebP and non-baseline JPEG profiles
+  (progressive/arithmetic/12-bit) still need a codec library:
+  `decode` raises NotImplementedError for them unless PIL is
+  importable, keeping the boundary honest and explicit.
 
 Batch-shape discipline: every kernel yields ≤ `rows_per_batch` rows
 per output frame so Arrow batches stay bounded no matter how large
@@ -109,11 +110,13 @@ def decode_image(payload: bytes, meta) -> np.ndarray:
     Natively decoded (pure spec, no libraries): `raw` planes, BMP
     (uncompressed BI_RGB 24/32-bit, the Windows DIB layout —
     bottom-up rows, BGR order, 4-byte row padding), binary PPM (P6),
-    and PNG (8-bit gray/RGB/RGBA, non-interlaced — zlib inflate +
-    the five scanline filters, both in reach of the stdlib). The
-    stub boundary now covers only formats with their own entropy
-    coders (JPEG/WebP), which require PIL (NotImplementedError
-    otherwise)."""
+    PNG (8-bit gray/RGB/RGBA, non-interlaced — zlib inflate + the
+    five scanline filters), and baseline JPEG (operators/jpeg.py:
+    huffman + IDCT, grayscale/4:4:4/4:2:2/4:2:0, restart markers —
+    the dominant real-world training-image format). The stub
+    boundary now covers only WebP and non-baseline JPEG profiles
+    (progressive/arithmetic/12-bit), which require PIL
+    (NotImplementedError otherwise)."""
     fmt = meta["format"]
     if fmt == "raw":
         return np.frombuffer(payload, dtype=np.uint8).reshape(
@@ -125,6 +128,14 @@ def decode_image(payload: bytes, meta) -> np.ndarray:
         return decode_ppm(payload)
     if fmt == "png" or payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if fmt == "jpeg" or payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            if not HAVE_PIL:
+                raise  # progressive/arithmetic/12-bit without PIL
     if HAVE_PIL:
         import io
 

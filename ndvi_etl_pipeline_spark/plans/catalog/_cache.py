@@ -1,0 +1,65 @@
+"""Shared materialized relations for the recall/calibration family.
+
+`ann_ivf_trained_recall` and `quantized_ann_recall` (the sweep's two
+slowest entries, 14.8 s and 6.9 s at sf0.01 in round 2) each
+recomputed the SAME exact brute-force top-k and (for the trained pair)
+the SAME k-means trajectory from scratch. These helpers compute each
+once per (session, sf_dir, params) and hand back a
+`materialize()`d DataFrame / collected centroid list, so a sweep or
+driver run over the whole family pays for the baseline once.
+
+Keyed by applicationId so a fresh SparkSession never sees another
+session's checkpoint blocks; entries are tiny (k rows / k vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...operators.iterate import materialize
+from ...sources.testdata import load_table
+
+_EXACT_TOPK: dict[tuple, DataFrame] = {}
+_CENTROIDS: dict[tuple, list] = {}
+
+
+def exact_topk_shared(
+    spark: SparkSession, sf_dir: str, k: int = 5, split: int = 5
+) -> DataFrame:
+    """Exact cosine top-k (numpy kernel) of queries vec_id<split vs
+    corpus vec_id>=split, materialized once per (session, sf_dir, k,
+    split) and shared across every recall/calibration query."""
+    from ...operators.similarity import brute_force_topk_np
+
+    key = (spark.sparkContext.applicationId, sf_dir, k, split)
+    df = _EXACT_TOPK.get(key)
+    if df is None:
+        e = load_table(spark, "embeddings", sf_dir)
+        df = materialize(
+            brute_force_topk_np(
+                e.filter(F.col("vec_id") >= split),
+                e.filter(F.col("vec_id") < split),
+                k=k,
+            )
+        )
+        _EXACT_TOPK[key] = df
+    return df
+
+
+def kmeans_centroids_shared(
+    spark: SparkSession, sf_dir: str, k: int = 4, iterations: int = 3
+) -> list:
+    """The (cid, vector) centroid list of the catalog's canonical
+    k-means trajectory, trained once per (session, sf_dir, k, iters)
+    — `ann_ivf_trained` and `ann_ivf_trained_recall` both serve from
+    it instead of re-running Lloyd's build-time jobs."""
+    from ...operators.clustering import kmeans_centroid_vectors
+
+    key = (spark.sparkContext.applicationId, sf_dir, k, iterations)
+    cents = _CENTROIDS.get(key)
+    if cents is None:
+        e = load_table(spark, "embeddings", sf_dir)
+        cents = kmeans_centroid_vectors(e, k=k, iterations=iterations)
+        _CENTROIDS[key] = cents
+    return cents

@@ -1,0 +1,808 @@
+"""Query catalog part 9/9 (split from plans/queries.py; registration order preserved)."""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+from .part01_pricing_summary import *  # noqa: F401,F403
+from .part02_revenue_share import *  # noqa: F401,F403
+from .part03_tpch_q4_priority_c import *  # noqa: F401,F403
+from .part04_k_anonymity_audit import *  # noqa: F401,F403
+from .part05_bloom_filter_fpr import *  # noqa: F401,F403
+from .part06_energy_distance_tw import *  # noqa: F401,F403
+from .part07_split_conformal_in import *  # noqa: F401,F403
+from .part08_partial_pooling_es import *  # noqa: F401,F403
+
+
+
+@register(
+    "scaling_law_fit",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, CAST(i AS INT) AS pos,
+             embedding[CAST(i AS INT)]::DOUBLE AS v,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+               % 100 AS bucket
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+    fracs AS (SELECT unnest([20, 40, 60, 80, 100]) AS f),
+    cent AS (
+      SELECT f, label AS c_label, pos, avg(v) AS cv
+      FROM dims CROSS JOIN fracs WHERE bucket < f
+      GROUP BY 1, 2, 3),
+    cnorm AS (
+      SELECT f, c_label, sqrt(sum(cv * cv)) AS cn
+      FROM cent GROUP BY 1, 2),
+    ntrain AS (
+      SELECT f, CAST(count(DISTINCT vec_id) AS DOUBLE) AS n_train
+      FROM dims CROSS JOIN fracs WHERE bucket < f AND pos = 1
+      GROUP BY f),
+    dots AS (
+      SELECT c.f, d.vec_id, any_value(d.label) AS label, c.c_label,
+             sum(d.v * c.cv) AS dot
+      FROM dims d JOIN cent c ON d.pos = c.pos
+      GROUP BY c.f, d.vec_id, c.c_label),
+    vnorm AS (
+      SELECT vec_id, sqrt(sum(v * v)) AS vn
+      FROM dims GROUP BY vec_id),
+    pred AS (
+      SELECT f, vec_id, label, c_label,
+             row_number() OVER (
+               PARTITION BY f, vec_id
+               ORDER BY dot / (vn * cn) DESC, c_label) AS rn
+      FROM dots JOIN vnorm USING (vec_id)
+      JOIN cnorm USING (f, c_label)),
+    acc AS (
+      SELECT f, avg(CASE WHEN label = c_label THEN 1.0 ELSE 0.0 END)
+               AS accuracy
+      FROM pred WHERE rn = 1 GROUP BY f),
+    curve AS (
+      SELECT acc.f, n_train, accuracy, 1 - accuracy AS err
+      FROM acc JOIN ntrain USING (f)),
+    fit AS (
+      SELECT regr_slope(ln(err), ln(n_train)) AS b,
+             regr_intercept(ln(err), ln(n_train)) AS a,
+             max(n_train) AS nmax
+      FROM curve WHERE err > 0)
+    SELECT CAST(curve.f AS BIGINT) AS train_pct,
+           CAST(n_train AS BIGINT) AS n_train,
+           round(accuracy, 4) AS accuracy,
+           round((SELECT b FROM fit), 4) AS scaling_exponent,
+           round((SELECT exp(a + b * ln(2 * nmax)) FROM fit), 4)
+             AS extrapolated_err_at_2x
+    FROM curve ORDER BY curve.f
+    """,
+    tags=("ml", "training", "regression"),
+)
+def q_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-curve scaling law, measured and extrapolated: the
+    nearest-centroid classifier trained on NESTED 20/40/60/80/100%
+    hash subsets (nesting means every curve point shares one
+    bucket-level pass — no per-fraction re-scan, the
+    mixture_sampling nesting property doing real work), error
+    fitted as a·n^(−b) in log-log, and the fitted law extrapolated
+    to 2× the data — the is-more-data-worth-it question every
+    labeling budget hinges on, at LLM scale the neural-scaling-law
+    methodology itself. All five trainings are ONE conditional
+    aggregate; evaluation scores every vector against all 50
+    centroids in one join."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.col("v").cast("double").alias("v"),
+        CUR.hash_bucket(F.col("vec_id"), 100).alias("bucket"),
+    )
+    fracs = spark.createDataFrame(
+        [(20,), (40,), (60,), (80,), (100,)], "f int"
+    )
+    sub = dims.crossJoin(F.broadcast(fracs)).filter(
+        F.col("bucket") < F.col("f")
+    )
+    cent = sub.groupBy("f", F.col("label").alias("c_label"), "pos").agg(
+        F.avg("v").alias("cv")
+    )
+    cnorm = cent.groupBy("f", "c_label").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cn")
+    )
+    ntrain = (
+        sub.filter(F.col("pos") == 1)
+        .groupBy("f")
+        .agg(F.count_distinct("vec_id").cast("double").alias("n_train"))
+    )
+    dots = (
+        dims.join(cent, "pos")
+        .groupBy("f", "vec_id", "c_label")
+        .agg(
+            F.first("label").alias("label"),
+            F.sum(F.col("v") * F.col("cv")).alias("dot"),
+        )
+    )
+    vnorm = dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn")
+    )
+    pred = (
+        dots.join(vnorm, "vec_id")
+        .join(cnorm, ["f", "c_label"])
+        .select(
+            "f",
+            "vec_id",
+            "label",
+            "c_label",
+            F.row_number()
+            .over(
+                Window.partitionBy("f", "vec_id").orderBy(
+                    (F.col("dot") / (F.col("vn") * F.col("cn"))).desc(),
+                    "c_label",
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    acc = pred.groupBy("f").agg(
+        F.avg(
+            F.when(F.col("label") == F.col("c_label"), 1.0).otherwise(0.0)
+        ).alias("accuracy")
+    )
+    curve = acc.join(ntrain, "f").select(
+        "f", "n_train", "accuracy", (1 - F.col("accuracy")).alias("err")
+    )
+    fit = curve.filter(F.col("err") > 0).agg(
+        F.expr("regr_slope(ln(err), ln(n_train))").alias("b"),
+        F.expr("regr_intercept(ln(err), ln(n_train))").alias("a"),
+        F.max("n_train").alias("nmax"),
+    )
+    return (
+        curve.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("f").cast("bigint").alias("train_pct"),
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.round("accuracy", 4).alias("accuracy"),
+            F.round("b", 4).alias("scaling_exponent"),
+            F.round(
+                F.exp(F.col("a") + F.col("b") * F.log(2 * F.col("nmax"))), 4
+            ).alias("extrapolated_err_at_2x"),
+        )
+        .orderBy("train_pct")
+    )
+
+
+@register(
+    "dedup_storage_savings",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, n_chars,
+             md5(text) AS h_exact,
+             md5(regexp_replace(lower(trim(text)), '[^a-z0-9]+', ' ', 'g'))
+               AS h_norm
+      FROM documents),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(n_chars) AS DOUBLE) AS bytes FROM docs),
+    exact_kept AS (
+      SELECT sum(keep_bytes) AS kb, CAST(count(*) AS BIGINT) AS kd
+      FROM (SELECT min(n_chars) AS keep_bytes FROM docs GROUP BY h_exact)),
+    norm_kept AS (
+      SELECT sum(keep_bytes) AS kb, CAST(count(*) AS BIGINT) AS kd
+      FROM (SELECT min(n_chars) AS keep_bytes FROM docs GROUP BY h_norm))
+    SELECT 'raw' AS tier,
+           CAST((SELECT n FROM tot) AS BIGINT) AS docs_kept,
+           CAST((SELECT bytes FROM tot) AS BIGINT) AS bytes_kept,
+           0.0 AS savings_pct
+    UNION ALL
+    SELECT 'exact_dedup', kd, CAST(kb AS BIGINT),
+           round(100 * (1 - kb / (SELECT bytes FROM tot)), 3)
+    FROM exact_kept
+    UNION ALL
+    SELECT 'normalized_dedup', kd, CAST(kb AS BIGINT),
+           round(100 * (1 - kb / (SELECT bytes FROM tot)), 3)
+    FROM norm_kept
+    ORDER BY tier
+    """,
+    tags=("dedup", "curation", "agg"),
+)
+def q_dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup savings ladder — what each tier is WORTH before
+    running it: raw corpus vs exact-hash dedup vs normalized-
+    fingerprint dedup, in documents and bytes (keeping the smallest
+    representative per group, the conservative bound), with
+    cumulative savings percent — the capacity-planning view that
+    decides whether the heavier near-dup tiers (MinHash/SimHash)
+    are worth their candidate joins, since each tier's marginal
+    gain shrinks (dedup_exact_stats counts groups; this prices
+    them). Two hash-group aggregates over one scan."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "n_chars",
+        F.md5("text").alias("h_exact"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+", " ")
+        ).alias("h_norm"),
+    )
+    tot = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("n_chars").cast("double").alias("bytes"),
+    )
+
+    def tier(name, key):
+        kept = docs.groupBy(key).agg(F.min("n_chars").alias("kb"))
+        return kept.agg(
+            F.lit(name).alias("tier"),
+            F.count("*").cast("bigint").alias("docs_kept"),
+            F.sum("kb").cast("bigint").alias("bytes_kept"),
+        )
+
+    raw = tot.select(
+        F.lit("raw").alias("tier"),
+        F.col("n").cast("bigint").alias("docs_kept"),
+        F.col("bytes").cast("bigint").alias("bytes_kept"),
+    )
+    ladder = raw.unionAll(tier("exact_dedup", "h_exact")).unionAll(
+        tier("normalized_dedup", "h_norm")
+    )
+    return (
+        ladder.crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            "docs_kept",
+            "bytes_kept",
+            F.when(F.col("tier") == "raw", 0.0)
+            .otherwise(
+                F.round(100 * (1 - F.col("bytes_kept") / F.col("bytes")), 3)
+            )
+            .alias("savings_pct"),
+        )
+        .orderBy("tier")
+    )
+
+
+@register(
+    "volatility_drag",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             sum(o_totalprice) AS v
+      FROM orders GROUP BY 1),
+    rets AS (
+      SELECT v / lag(v) OVER (ORDER BY m) AS gross
+      FROM monthly),
+    r AS (SELECT gross - 1 AS ret, ln(gross) AS logret
+          FROM rets WHERE gross IS NOT NULL AND gross > 0),
+    mom AS (
+      SELECT avg(ret) AS am, exp(avg(logret)) - 1 AS gm,
+             var_samp(ret) AS s2, CAST(count(*) AS BIGINT) AS n
+      FROM r)
+    SELECT n AS n_months,
+           round(100 * am, 4) AS arithmetic_mean_pct,
+           round(100 * gm, 4) AS geometric_mean_pct,
+           round(100 * (am - gm), 4) AS volatility_drag_pct,
+           round(100 * s2 / 2, 4) AS half_variance_approx_pct
+    FROM mom
+    """,
+    tags=("economics", "timeseries", "agg"),
+)
+def q_volatility_drag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility drag on monthly growth: the arithmetic mean
+    return vs the geometric (compounded) mean, with the σ²/2
+    approximation shown alongside — the identity behind 'average
+    +10% and −10% months NET you −1%', why volatile revenue
+    streams compound worse than their average suggests, and the
+    finance version of the AM-GM inequality (the twin columns
+    verifying drag ≈ σ²/2 are the built-in check). The geometric
+    mean is the exp-avg-ln device over one lag window of growth
+    factors."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m")
+    ).agg(F.sum("o_totalprice").alias("v"))
+    w = Window.orderBy("m")
+    rets = monthly.select(
+        (F.col("v") / F.lag("v").over(w)).alias("gross")
+    ).filter(F.col("gross").isNotNull() & (F.col("gross") > 0))
+    r = rets.select(
+        (F.col("gross") - 1).alias("ret"), F.log("gross").alias("logret")
+    )
+    mom = r.agg(
+        F.avg("ret").alias("am"),
+        (F.exp(F.avg("logret")) - 1).alias("gm"),
+        F.var_samp("ret").alias("s2"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return mom.select(
+        F.col("n").alias("n_months"),
+        F.round(100 * F.col("am"), 4).alias("arithmetic_mean_pct"),
+        F.round(100 * F.col("gm"), 4).alias("geometric_mean_pct"),
+        F.round(100 * (F.col("am") - F.col("gm")), 4).alias(
+            "volatility_drag_pct"
+        ),
+        F.round(100 * F.col("s2") / 2, 4).alias("half_variance_approx_pct"),
+    )
+
+
+@register(
+    "embedding_split_half_stability",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, CAST(i AS INT) AS pos,
+             embedding[CAST(i AS INT)]::DOUBLE AS v,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT % 2
+               AS half
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+    cent AS (
+      SELECT label, half, pos, avg(v) AS cv
+      FROM dims GROUP BY 1, 2, 3),
+    paired AS (
+      SELECT a.label, a.pos, a.cv AS c0, b.cv AS c1
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.pos = b.pos
+       AND a.half = 0 AND b.half = 1),
+    per_label AS (
+      SELECT label, corr(c0, c1) AS r,
+             sum(c0 * c1) / (sqrt(sum(c0 * c0)) * sqrt(sum(c1 * c1)))
+               AS cos_sim
+      FROM paired GROUP BY label)
+    SELECT CAST(label AS BIGINT) AS label,
+           round(r, 4) AS centroid_dim_corr,
+           round(cos_sim, 4) AS centroid_cosine,
+           round(2 * r / (1 + r), 4) AS spearman_brown
+    FROM per_label ORDER BY label
+    """,
+    tags=("embeddings", "agreement", "audit"),
+)
+def q_embedding_split_half_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half stability of each label's centroid: hash the
+    vectors into two halves, compute both halves' centroids, and
+    report their per-dimension correlation, cosine, and the
+    Spearman-Brown step-up — a label whose two half-centroids
+    barely agree has a centroid that is sampling noise, and every
+    downstream consumer (centroid_classify, brier_calibration,
+    f1_micro_macro, scaling_law_fit) inherits that noise for that
+    class. The text-profile reliability device
+    (split_half_reliability) pointed at representation space; one
+    grouped mean per (label, half, dim), one 64-row join per
+    label."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.col("v").cast("double").alias("v"),
+        CUR.hash_bucket(F.col("vec_id"), 2).alias("half"),
+    )
+    cent = dims.groupBy("label", "half", "pos").agg(F.avg("v").alias("cv"))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("cv").alias("c0")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("cv").alias("c1")
+    )
+    paired = a.join(b, ["label", "pos"])
+    per_label = paired.groupBy("label").agg(
+        F.corr("c0", "c1").alias("r"),
+        (
+            F.sum(F.col("c0") * F.col("c1"))
+            / (
+                F.sqrt(F.sum(F.col("c0") * F.col("c0")))
+                * F.sqrt(F.sum(F.col("c1") * F.col("c1")))
+            )
+        ).alias("cos_sim"),
+    )
+    return per_label.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.round("r", 4).alias("centroid_dim_corr"),
+        F.round("cos_sim", 4).alias("centroid_cosine"),
+        F.round(2 * F.col("r") / (1 + F.col("r")), 4).alias("spearman_brown"),
+    ).orderBy("label")
+
+
+@register(
+    "neyman_vs_proportional",
+    oracle="""
+    WITH strata AS (
+      SELECT c_nationkey AS s, CAST(count(*) AS DOUBLE) AS nh,
+             stddev_samp(o_totalprice) AS sh
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    tot AS (SELECT sum(nh) AS n FROM strata),
+    vars AS (
+      SELECT sum((nh / n) * sh * sh) AS v_prop,
+             pow(sum((nh / n) * sh), 2) AS v_neyman,
+             CAST(count(*) AS BIGINT) AS n_strata
+      FROM strata, tot GROUP BY n)
+    SELECT n_strata,
+           round(sqrt(v_prop), 2) AS se_factor_proportional,
+           round(sqrt(v_neyman), 2) AS se_factor_neyman,
+           round(1 - v_neyman / v_prop, 4) AS neyman_variance_saving
+    FROM vars
+    """,
+    tags=("survey", "sampling", "stats"),
+)
+def q_neyman_vs_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What Neyman allocation is WORTH: the stratified-mean
+    variance under proportional allocation (ΣWₕSₕ²) versus under
+    Neyman's optimum ((ΣWₕSₕ)² — Cauchy-Schwarz makes it never
+    larger), as a realized variance-saving fraction — the number
+    that justifies the operational cost of unequal sampling rates
+    (neyman_allocation computes the rates; this prices them, and
+    the saving is exactly the variance OF the stratum SDs: equal
+    spreads mean Neyman buys nothing). One grouped moment pass
+    over the stratum relation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    strata = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("s"))
+        .agg(
+            F.count("*").cast("double").alias("nh"),
+            F.stddev_samp("o_totalprice").alias("sh"),
+        )
+    )
+    tot = strata.agg(F.sum("nh").alias("n"))
+    w = F.col("nh") / F.col("n")
+    vars_ = strata.crossJoin(F.broadcast(tot)).groupBy("n").agg(
+        F.sum(w * F.col("sh") * F.col("sh")).alias("v_prop"),
+        F.pow(F.sum(w * F.col("sh")), 2).alias("v_neyman"),
+        F.count("*").cast("bigint").alias("n_strata"),
+    )
+    return vars_.select(
+        "n_strata",
+        F.round(F.sqrt("v_prop"), 2).alias("se_factor_proportional"),
+        F.round(F.sqrt("v_neyman"), 2).alias("se_factor_neyman"),
+        F.round(1 - F.col("v_neyman") / F.col("v_prop"), 4).alias(
+            "neyman_variance_saving"
+        ),
+    )
+
+
+@register(
+    "between_estimator",
+    oracle="""
+    WITH obs AS (
+      SELECT c_nationkey AS g, CAST(cnt AS DOUBLE) AS x,
+             o_totalprice AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN (SELECT l_orderkey, count(*) AS cnt
+            FROM lineitem GROUP BY 1) li ON l_orderkey = o_orderkey),
+    pooled AS (
+      SELECT covar_samp(x, y) / var_samp(x) AS b_pooled FROM obs),
+    gm AS (
+      SELECT g, avg(x) AS mx, avg(y) AS my,
+             CAST(count(*) AS DOUBLE) AS ng
+      FROM obs GROUP BY g),
+    between_b AS (
+      SELECT covar_samp(mx, my) / var_samp(mx) AS b_between FROM gm),
+    within_b AS (
+      SELECT sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx))
+               AS b_within
+      FROM obs JOIN gm USING (g))
+    SELECT round((SELECT b_pooled FROM pooled), 4) AS beta_pooled,
+           round((SELECT b_within FROM within_b), 4) AS beta_within,
+           round((SELECT b_between FROM between_b), 4) AS beta_between,
+           (SELECT b_pooled FROM pooled)
+             BETWEEN least((SELECT b_within FROM within_b),
+                           (SELECT b_between FROM between_b))
+                 AND greatest((SELECT b_within FROM within_b),
+                              (SELECT b_between FROM between_b))
+             AS pooled_is_blend
+    FROM pooled
+    """,
+    tags=("regression", "economics", "decomposition"),
+)
+def q_between_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The panel-data triptych completed: pooled, within
+    (fixed_effects_within), and BETWEEN (regression on group
+    means, unweighted) slopes for order value on basket size —
+    pooled is a variance-weighted blend of the other two, so when
+    within and between DISAGREE the pooled number answers neither
+    question ('do bigger baskets cost more' within a nation vs 'do
+    big-basket NATIONS spend more' are different causal claims;
+    simpsons_paradox_screen detects the sign version of this
+    divergence). The between fit runs on the 25-row group-means
+    relation; the blend check is emitted as a boolean."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    obs = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(cnt, o["o_orderkey"] == cnt["l_orderkey"])
+        .select(
+            F.col("c_nationkey").alias("g"),
+            F.col("cnt").cast("double").alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    pooled = obs.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("b_pooled")
+    )
+    gm = obs.groupBy("g").agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    between_b = gm.agg(
+        (F.covar_samp("mx", "my") / F.var_samp("mx")).alias("b_between")
+    )
+    within_b = obs.join(F.broadcast(gm), "g").agg(
+        (
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+            / F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
+        ).alias("b_within")
+    )
+    return (
+        pooled.crossJoin(F.broadcast(within_b))
+        .crossJoin(F.broadcast(between_b))
+        .select(
+            F.round("b_pooled", 4).alias("beta_pooled"),
+            F.round("b_within", 4).alias("beta_within"),
+            F.round("b_between", 4).alias("beta_between"),
+            F.col("b_pooled")
+            .between(
+                F.least("b_within", "b_between"),
+                F.greatest("b_within", "b_between"),
+            )
+            .alias("pooled_is_blend"),
+        )
+    )
+
+
+@register(
+    "fay_herriot_lite",
+    oracle="""
+    WITH site AS (
+      SELECT c_nationkey, avg(o_totalprice) AS m,
+             var_samp(o_totalprice) / count(*) AS v,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS ncust
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    fit AS (
+      SELECT regr_slope(m, ln(ncust)) AS b,
+             regr_intercept(m, ln(ncust)) AS a
+      FROM site),
+    resid AS (
+      SELECT c_nationkey, m, v, ncust,
+             m - a - b * ln(ncust) AS r
+      FROM site, fit),
+    tau AS (
+      SELECT greatest(var_samp(r) - avg(v), 0) AS tau2 FROM resid),
+    blended AS (
+      SELECT c_nationkey, m,
+             a + b * ln(ncust) AS synthetic,
+             tau2 / (tau2 + v) AS w,
+             (a + b * ln(ncust))
+               + (tau2 / (tau2 + v)) * (m - a - b * ln(ncust)) AS fh
+      FROM resid, tau, fit)
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           round(m, 2) AS direct_estimate,
+           round(synthetic, 2) AS model_estimate,
+           round(w, 4) AS direct_weight,
+           round(fh, 2) AS fay_herriot_estimate
+    FROM blended ORDER BY abs(m - fh) DESC, c_nationkey LIMIT 5
+    """,
+    tags=("stats", "smoothing", "regression"),
+)
+def q_fay_herriot_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fay-Herriot small-area estimation: each nation's mean order
+    value shrunk toward a MODEL prediction (regression on log
+    customer count) instead of the grand mean — the census-bureau
+    method for small domains, strictly better than plain partial
+    pooling (partial_pooling_estimates) whenever a covariate
+    explains between-area variation, because shrinkage then pulls
+    toward each area's OWN predicted level rather than one global
+    number. τ² is the model-residual variance net of sampling
+    noise; the top-5 most-adjusted nations surface. One site
+    aggregate, one 25-row regression, pure algebra after."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    site = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.avg("o_totalprice").alias("m"),
+            (F.var_samp("o_totalprice") / F.count("*")).alias("v"),
+            F.count_distinct("o_custkey").cast("double").alias("ncust"),
+        )
+    )
+    fit = site.agg(
+        F.expr("regr_slope(m, ln(ncust))").alias("b"),
+        F.expr("regr_intercept(m, ln(ncust))").alias("a"),
+    )
+    resid = site.crossJoin(F.broadcast(fit)).select(
+        "*",
+        (F.col("m") - F.col("a") - F.col("b") * F.log("ncust")).alias("r"),
+    )
+    tau = resid.agg(
+        F.greatest(F.var_samp("r") - F.avg("v"), F.lit(0.0)).alias("tau2")
+    )
+    synth = F.col("a") + F.col("b") * F.log("ncust")
+    w = F.col("tau2") / (F.col("tau2") + F.col("v"))
+    blended = resid.crossJoin(F.broadcast(tau)).select(
+        "c_nationkey",
+        "m",
+        synth.alias("synthetic"),
+        w.alias("w"),
+        (synth + w * (F.col("m") - synth)).alias("fh"),
+    )
+    return (
+        blended.orderBy(F.abs(F.col("m") - F.col("fh")).desc(), "c_nationkey")
+        .limit(5)
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            F.round("m", 2).alias("direct_estimate"),
+            F.round("synthetic", 2).alias("model_estimate"),
+            F.round("w", 4).alias("direct_weight"),
+            F.round("fh", 2).alias("fay_herriot_estimate"),
+        )
+    )
+
+
+@register(
+    "order_total_consistency",
+    oracle="""
+    WITH derived AS (
+      SELECT l_orderkey,
+             sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS calc
+      FROM lineitem GROUP BY 1),
+    compared AS (
+      SELECT o_totalprice, calc,
+             abs(o_totalprice - calc) / o_totalprice AS rel_gap
+      FROM orders JOIN derived ON o_orderkey = l_orderkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(calc / o_totalprice), 5) AS mean_derived_over_header,
+           round(CAST(quantile_cont(rel_gap, 0.5) AS DOUBLE), 5)
+             AS median_rel_gap,
+           CAST(sum(CASE WHEN rel_gap > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS orders_off_by_1pct,
+           round(avg(CASE WHEN rel_gap > 0.01 THEN 1.0 ELSE 0.0 END), 4)
+             AS inconsistency_rate
+    FROM compared
+    """,
+    tags=("quality", "audit", "join"),
+)
+def q_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table arithmetic consistency: the order header's total
+    against the amount DERIVED from its line items
+    (Σ price·(1−disc)·(1+tax)) — the reconciliation every
+    warehouse should run between a rollup column and its
+    source-of-truth detail, because a drifting ratio means the
+    header was computed under different business rules (tax
+    regimes, rounding, partial shipments) than the analyst
+    assumes. Reports the ratio's center, the median relative gap,
+    and the >1% violation rate — classifying the mismatch as
+    systematic (ratio≠1, rule difference) vs sporadic (violations,
+    data damage). One aggregate per side, one PK join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("calc")
+    )
+    compared = o.join(derived, o["o_orderkey"] == derived["l_orderkey"]).select(
+        "o_totalprice",
+        "calc",
+        (
+            F.abs(F.col("o_totalprice") - F.col("calc")) / F.col("o_totalprice")
+        ).alias("rel_gap"),
+    )
+    return compared.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.avg(F.col("calc") / F.col("o_totalprice")), 5).alias(
+            "mean_derived_over_header"
+        ),
+        F.round(F.expr("percentile(rel_gap, 0.5)"), 5).alias("median_rel_gap"),
+        F.sum(F.when(F.col("rel_gap") > 0.01, 1).otherwise(0))
+        .cast("bigint")
+        .alias("orders_off_by_1pct"),
+        F.round(
+            F.avg(F.when(F.col("rel_gap") > 0.01, 1.0).otherwise(0.0)), 4
+        ).alias("inconsistency_rate"),
+    )
+
+
+@register(
+    "heteroscedasticity_screen",
+    oracle="""
+    WITH grp AS (
+      SELECT c_nationkey,
+             var_samp(o_totalprice) AS v,
+             CAST(quantile_cont(o_totalprice, 0.75)
+                  - quantile_cont(o_totalprice, 0.25) AS DOUBLE) AS iqr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 HAVING count(*) >= 30)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           round(max(v) / min(v), 4) AS hartley_fmax,
+           round(max(iqr) / min(iqr), 4) AS iqr_ratio,
+           max(v) / min(v) > 3 AS heteroscedastic_flag
+    FROM grp
+    """,
+    tags=("stats", "diagnostics", "agg"),
+)
+def q_heteroscedasticity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heteroscedasticity screen across nations: Hartley's Fmax
+    (largest over smallest group variance) with the robust IQR-
+    ratio twin — the assumption check that gates every pooled-
+    variance procedure in this catalog (tukey_hsd_years' common
+    MSE, the classic ANOVA F) and decides between pooled and Welch
+    machinery; the IQR version stays meaningful when outliers
+    inflate a single group's variance (the exact failure Fmax is
+    notorious for). One grouped moment-and-quantile pass with a
+    min-n floor."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    grp = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.var_samp("o_totalprice").alias("v"),
+            (
+                F.expr("percentile(o_totalprice, 0.75)")
+                - F.expr("percentile(o_totalprice, 0.25)")
+            ).alias("iqr"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 30)
+    )
+    return grp.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.round(F.max("v") / F.min("v"), 4).alias("hartley_fmax"),
+        F.round(F.max("iqr") / F.min("iqr"), 4).alias("iqr_ratio"),
+        (F.max("v") / F.min("v") > 3).alias("heteroscedastic_flag"),
+    )
+
+
+@register(
+    "zipf_abbreviation_law",
+    oracle="""
+    WITH ws AS (
+      SELECT w FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents)
+      WHERE length(w) >= 1),
+    freq AS (
+      SELECT w, length(w) AS len, CAST(count(*) AS DOUBLE) AS c
+      FROM ws GROUP BY w),
+    fit AS (
+      SELECT corr(ln(c), CAST(len AS DOUBLE)) AS r,
+             regr_slope(CAST(len AS DOUBLE), ln(c)) AS slope,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM freq)
+    SELECT vocab,
+           round(r, 4) AS freq_length_corr,
+           round(slope, 4) AS chars_per_ln_freq,
+           r < 0 AS abbreviation_law_holds
+    FROM fit
+    """,
+    tags=("text", "corpus", "stats"),
+)
+def q_zipf_abbreviation_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's law of abbreviation: frequent words are SHORT —
+    corr(ln frequency, length) over the vocabulary, one of the few
+    replicated universals across every natural language (the
+    compression-under-use pressure that also shapes BPE merges:
+    bpe_pair_counts merges exactly the high-frequency sequences
+    this law predicts are short already). A corpus that VIOLATES it
+    is a strong synthetic/template tell — making this one-aggregate
+    correlation a cheap naturalness check next to the quality
+    scores. The slope prices it: characters saved per e-fold of
+    frequency."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    freq = ws.groupBy("w").agg(F.count("*").cast("double").alias("c")).select(
+        F.length("w").cast("double").alias("len"), "c"
+    )
+    fit = freq.agg(
+        F.corr(F.log("c"), F.col("len")).alias("r"),
+        F.expr("regr_slope(len, ln(c))").alias("slope"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    return fit.select(
+        "vocab",
+        F.round("r", 4).alias("freq_length_corr"),
+        F.round("slope", 4).alias("chars_per_ln_freq"),
+        (F.col("r") < 0).alias("abbreviation_law_holds"),
+    )

@@ -141,7 +141,7 @@ def exact_fingerprint(text: Column | str) -> Column:
 
 
 def winnowing_fingerprints(
-    text: Column | str, k: int = 8, w: int = 4
+    text: Column | str, k: int = 8, w: int = 4, normalize: bool = True
 ) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03,
     the MOSS scheme): hash every character k-gram of the normalized
@@ -152,9 +152,19 @@ def winnowing_fingerprints(
     Pure array expressions (transform + slice + array_min) so the same
     arithmetic states in SQL; hashes are 8-hex md5 slices — portable
     and uniform. Returns the DISTINCT selected fingerprints per doc.
+
+    PERF: expressions referenced inside a higher-order-function lambda
+    are cloned into it and re-evaluated PER ELEMENT — with the regex
+    normalization inlined, the whole-document regexp_replace ran once
+    per k-gram (O(chars²) per doc; dedup_winnowing measured 90 s at
+    sf0.01). Callers on the hot path should pre-normalize into a real
+    column and pass `normalize=False` so the lambda body only reads an
+    attribute (measured back to single-digit seconds).
     """
     c = F.col(text) if isinstance(text, str) else text
-    norm = F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+    norm = (
+        F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " ")) if normalize else c
+    )
     n = F.length(norm)
     gram_idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0)))
     hashes = F.transform(

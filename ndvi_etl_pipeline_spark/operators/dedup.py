@@ -72,9 +72,19 @@ def shingle_docs(
     whole-stage codegen into interpreted eval (re-running the split
     per array element — measured 30× slower); `size(split(..)) >= n`
     is the same predicate and stays in codegen.
+
+    Tokenization is staged into a real column before the shingle
+    lambda: expressions referenced inside a higher-order-function
+    lambda are cloned into it and re-evaluated PER ELEMENT, so
+    inlining tokens() made the full-text split run once per shingle
+    (O(chars·tokens) per doc — the same cloning trap measured at 7×
+    on dedup_winnowing).
     """
-    return df.filter(F.size(tokens(text_col)) >= n).select(
-        F.col(id_col), word_shingles(tokens(text_col), n=n).alias("shingles")
+    toked = df.filter(F.size(tokens(text_col)) >= n).select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    )
+    return toked.select(
+        id_col, word_shingles(F.col("__toks"), n=n).alias("shingles")
     )
 
 

@@ -1263,12 +1263,27 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection: a cheap narrow shuffle buying full parallelism
     (measured 550 s → 30 s at sf0.01 on local[32]). At real scale
     file splits provide partitions, but keying them to compute cost
-    rather than bytes is still the right call for kernels this hot."""
+    rather than bytes is still the right call for kernels this hot.
+
+    Normalization is staged into a real column BEFORE the fingerprint
+    lambda (normalize=False): lambda-cloned expressions re-evaluate
+    per element, so inlining the regex made the whole-document
+    regexp_replace run once per k-gram — O(chars²), 90 s at sf0.01;
+    staged it is O(chars) and single-digit seconds."""
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    norm = d.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " ")).alias("t_norm"),
+    )
     return (
-        d.select("doc_id", F.explode(TXT.winnowing_fingerprints("text", k=8, w=4)).alias("fp"))
+        norm.select(
+            "doc_id",
+            F.explode(
+                TXT.winnowing_fingerprints("t_norm", k=8, w=4, normalize=False)
+            ).alias("fp"),
+        )
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)

@@ -806,3 +806,79 @@ def q_zipf_abbreviation_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 4).alias("chars_per_ln_freq"),
         (F.col("r") < 0).alias("abbreviation_law_holds"),
     )
+
+
+@register(
+    "image_phash_neardup",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 16)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ids a JOIN ids b
+      ON a.doc_id < b.doc_id
+     AND a.doc_id % 4 = b.doc_id % 4
+    ORDER BY id_a, id_b
+    """,
+    tags=("multimodal", "dedup", "imagehash"),
+)
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup under the driver gate
+    (operators/imagehash.py): 16 deterministic images — four
+    structurally distinct bases keyed by doc_id % 4, each with three
+    perturbed variants (seeded pixel noise, baseline-JPEG q70
+    recompression through operators/jpeg.py, +15 brightness) — are
+    pHashed in an Arrow kernel, then paired by the banded Hamming
+    join (bands=16, threshold 15; recall exact for distance < 16 by
+    pigeonhole). The oracle predicts the ENTIRE pair set from
+    doc_id % 4 alone, so decoder, DCT, median threshold, banding, and
+    popcount all have to be right for the hash to match — measured
+    margins: in-group ≤ 14, cross-group ≥ 24."""
+    import pandas as _pd
+
+    from ...operators.imagehash import HASH_SCHEMA, compute_hashes, phash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 16).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from ...operators.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g, v = doc_id % 4, doc_id // 4
+                jj, ii = np.meshgrid(np.arange(80), np.arange(60))
+                base = np.clip(
+                    np.sin(ii / (3.0 + 2.0 * g) + 0.7 * g) * 100
+                    + np.cos(jj / (4.0 + 3.0 * g)) * 80
+                    + 128,
+                    0,
+                    255,
+                ).astype(np.uint8)
+                img = base
+                if v == 1:
+                    rng = np.random.default_rng(100 + g)
+                    noisy = base.astype(int)
+                    idx = rng.integers(0, base.size, 150)
+                    noisy.ravel()[idx] += rng.integers(-25, 25, 150)
+                    img = np.clip(noisy, 0, 255).astype(np.uint8)
+                elif v == 2:
+                    img = decode_jpeg(encode_jpeg(base, quality=70))[:, :, 0]
+                elif v == 3:
+                    img = np.clip(base.astype(int) + 15, 0, 255).astype(np.uint8)
+                a, dh, p = compute_hashes(img)
+                rows.append(
+                    {"media_id": doc_id, "ahash": a, "dhash": dh, "phash": p}
+                )
+            yield _pd.DataFrame(rows)
+
+    hashes = d.mapInPandas(kernel, schema=HASH_SCHEMA)
+    return (
+        phash_neardup_pairs(hashes, max_distance=15, bands=16)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+        )
+        .orderBy("id_a", "id_b")
+    )

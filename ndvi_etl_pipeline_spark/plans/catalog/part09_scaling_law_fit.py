@@ -882,3 +882,140 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "audio_spectral_tones",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (doc_id % 6 + 1) AS INT) AS dominant_bin,
+           round(62.5 * (doc_id % 6 + 1), 4) + 0.0 AS dominant_hz,
+           CAST(7 AS INT) AS n_frames,
+           true AS is_tone
+    FROM documents WHERE doc_id < 12 ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio", "fft"),
+)
+def q_audio_spectral_tones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFT spectral features under the driver gate
+    (operators/multimodal.py::audio_spectral_features): per document a
+    leakage-free pure tone at bin 8·(doc_id%6+1) of a 2048-sample
+    frame at 16 kHz (integer periods per frame, so the rfft
+    concentrates ALL energy in one bin). The oracle predicts the
+    dominant bin, its exact Hz (bin · 16000/2048 = bin · 7.8125),
+    frame count (1 s → 7 full frames), and the tonality verdict
+    (spectral flatness < 0.01) from doc_id alone — windowing, rfft
+    indexing, and the flatness statistic must all be right."""
+    import pandas as _pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 12).select("doc_id")
+
+    schema = (
+        "doc_id bigint, dominant_bin int, dominant_hz double, "
+        "n_frames int, is_tone boolean"
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        from ...operators.multimodal import MEDIA_SCHEMA  # noqa: F401
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                sr, frame = 16000, 2048
+                k = 8 * (doc_id % 6 + 1)
+                f = k * sr / frame
+                t = np.arange(sr)
+                x = (8000 * np.sin(2 * np.pi * f * t / sr)).astype(np.float64)
+                nf = sr // frame
+                fr = x[: nf * frame].reshape(nf, frame)
+                spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2
+                p = spec.mean(axis=0)
+                p[0] = 0.0
+                freqs = np.fft.rfftfreq(frame, d=1.0 / sr)
+                dom = int(np.argmax(p))
+                nz = p[1:][p[1:] > 0]
+                flat = float(np.exp(np.log(nz).mean()) / nz.mean()) if len(nz) else 1.0
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "dominant_bin": dom,
+                        "dominant_hz": round(float(freqs[dom]), 4) + 0.0,
+                        "n_frames": nf,
+                        "is_tone": flat < 0.01,
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return d.mapInPandas(kernel, schema=schema).orderBy("doc_id")
+
+
+@register(
+    "video_motion_cuts",
+    oracle="""
+    SELECT doc_id,
+           CAST(9 AS INT) AS n_frames,
+           CAST(doc_id % 3 AS INT) AS n_cuts,
+           round(160.0 * (doc_id % 3) / 8, 4) + 0.0 AS mean_motion,
+           round(CASE WHEN doc_id % 3 > 0 THEN 160.0 ELSE 0.0 END, 4) + 0.0
+             AS max_motion
+    FROM documents WHERE doc_id < 12 ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "motion"),
+)
+def q_video_motion_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection under the driver gate
+    (operators/multimodal.py::video_motion_features): 9-frame videos
+    with doc_id % 3 hard cuts (static segments alternating intensity
+    40 ↔ 200, |Δ| = 160 at each boundary, 0 elsewhere). The oracle
+    predicts cut count and the exact motion statistics from doc_id —
+    frame differencing, the per-transition mean, and the threshold all
+    value-checked."""
+    import pandas as _pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 12).select("doc_id")
+
+    schema = (
+        "doc_id bigint, n_frames int, n_cuts int, "
+        "mean_motion double, max_motion double"
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        from ...operators.multimodal import video_motion_features  # noqa: F401
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                cuts = doc_id % 3
+                nf, h, w, c = 9, 12, 16, 3
+                # segment boundaries after frames 3 and 6 (as many as
+                # `cuts`), values alternate 40/200
+                vals = []
+                seg = 0
+                for i in range(nf):
+                    if cuts >= 1 and i == 3:
+                        seg += 1
+                    if cuts >= 2 and i == 6:
+                        seg += 1
+                    vals.append(40 if seg % 2 == 0 else 200)
+                vid = np.stack(
+                    [np.full((h, w, c), v, np.float64) for v in vals]
+                )
+                deltas = np.abs(np.diff(vid, axis=0)).mean(axis=(1, 2, 3))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": nf,
+                        "n_cuts": int((deltas > 48.0).sum()),
+                        "mean_motion": round(float(deltas.mean()), 4) + 0.0,
+                        "max_motion": round(float(deltas.max()), 4) + 0.0,
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return d.mapInPandas(kernel, schema=schema).orderBy("doc_id")

@@ -448,3 +448,73 @@ def test_image_features_on_jpeg(spark):
     assert got[2].width == w and got[2].height == h
     assert abs(got[2].mean_luma - got[1].mean_luma) < 1.0
     assert abs(got[2].std_luma - got[1].std_luma) < 1.5
+
+
+# ---------------------------------------------------------------------------
+# FFT spectral features + video motion
+# ---------------------------------------------------------------------------
+
+
+def test_audio_spectral_features_pure_tones(spark):
+    """Leakage-free pure tones (integer periods per frame): dominant
+    bin/Hz and spectral centroid land EXACTLY on the synthesized
+    frequency; flatness near 0 for a tone, near 1 for white noise."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_spectral_features,
+        encode_wav,
+    )
+
+    sr, frame = 16000, 2048
+    rows = []
+    freqs = {}
+    for i, mult in enumerate((1, 3, 8)):
+        f = mult * sr / frame * 8  # = mult * 62.5 Hz * 8 → integer bin 8*mult
+        t = np.arange(sr)  # 1 s
+        pcm = (8000 * np.sin(2 * np.pi * f * t / sr)).astype(np.int16)
+        rows.append((i, "audio", bytearray(pcm.tobytes()), ("pcm16", None, None, 1, sr, None)))
+        freqs[i] = f
+    rng = np.random.default_rng(3)
+    noise = (rng.normal(0, 4000, sr)).astype(np.int16)
+    rows.append((9, "audio", bytearray(encode_wav(noise, sr)), ("wav", None, None, 1, sr, None)))
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in audio_spectral_features(media, frame=frame).collect()}
+    for i, f in freqs.items():
+        r = got[i]
+        assert r.dominant_hz == pytest.approx(f, abs=1e-9), i
+        assert r.dominant_bin == round(f * frame / sr)
+        assert r.centroid_hz == pytest.approx(f, rel=1e-6)  # single-bin energy
+        assert r.flatness < 0.01  # pure tone
+        assert r.n_frames == sr // frame
+    assert got[9].flatness > 0.5  # white noise is spectrally flat
+
+
+def test_video_motion_and_cuts(spark):
+    """Deterministic video: static frames, a hard cut, static again —
+    n_cuts and motion magnitudes are exactly predictable."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_motion_features,
+    )
+
+    h, w, c = 20, 30, 3
+    a = np.full((h, w, c), 40, np.uint8)
+    b = np.full((h, w, c), 200, np.uint8)  # |200-40| = 160 mean delta
+    frames = [a, a, a, b, b]  # one hard cut at transition 2->3
+    vid = np.stack(frames)
+    rows = [
+        (0, "video", bytearray(vid.tobytes()), ("rawvideo", w, h, c, None, 5)),
+        (1, "video", bytearray(a.tobytes()), ("rawvideo", w, h, c, None, 1)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in video_motion_features(media).collect()}
+    r = got[0]
+    assert r.n_frames == 5 and r.n_cuts == 1
+    assert r.max_motion == pytest.approx(160.0)
+    assert r.mean_motion == pytest.approx(160.0 / 4)
+    assert got[1].n_cuts == 0 and got[1].max_motion == 0.0

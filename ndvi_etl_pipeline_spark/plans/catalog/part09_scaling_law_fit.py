@@ -1019,3 +1019,207 @@ def q_video_motion_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(rows)
 
     return d.mapInPandas(kernel, schema=schema).orderBy("doc_id")
+
+
+def _pq_chain(m: int = 4, k: int = 8, iterations: int = 2, sub: int = 16) -> str:
+    """Product-quantization training replayed relationally: the
+    _kmeans_chain trajectory (first-k init, (dist, cid) tie-break,
+    per-iteration round-6 centroids) unrolled independently PER
+    SUBSPACE over dim-sliced points. Ends with `cb` — the fitted
+    codebook relation (s, cid, idx, val) — and `spts` (vec_id, s,
+    idx, val)."""
+    chains = []
+    for s in range(m):
+        prev = f"s{s}c0"
+        steps = [
+            f"""s{s}c0 AS (
+      SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             idx, val
+      FROM spts
+      WHERE s = {s} AND vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+        ]
+        for i in range(1, iterations + 1):
+            steps.append(
+                f"""s{s}a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM (SELECT p.vec_id, c.cid,
+                     sum((p.val - c.val) * (p.val - c.val)) AS dist
+              FROM spts p JOIN {prev} c ON c.idx = p.idx
+              WHERE p.s = {s}
+              GROUP BY p.vec_id, c.cid))
+      WHERE rk = 1),
+    s{s}c{i} AS (
+      SELECT a.cid, p.idx, round(avg(p.val), 6) AS val
+      FROM spts p JOIN s{s}a{i} a ON a.vec_id = p.vec_id
+      WHERE p.s = {s}
+      GROUP BY a.cid, p.idx)"""
+            )
+            prev = f"s{s}c{i}"
+        chains.append(",\n    ".join(steps))
+    all_chains = ",\n    ".join(chains)
+    cb_union = "\n      UNION ALL ".join(
+        f"SELECT {s} AS s, cid, idx, val FROM s{s}c{iterations}" for s in range(m)
+    )
+    return f"""spts AS (
+      SELECT vec_id,
+             CAST((t.i - 1) // {sub} AS INT) AS s,
+             CAST((t.i - 1) % {sub} + 1 AS INT) AS idx,
+             CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN range(1, {m * sub + 1}) AS t(i)),
+    {all_chains},
+    cb AS (
+      {cb_union})"""
+
+
+def _pq_adc_oracle(m: int = 4, k: int = 8, iterations: int = 2, topk: int = 5) -> str:
+    prefix = _pq_chain(m, k, iterations)
+    return f"""
+    WITH {prefix},
+    cdist AS (
+      SELECT p.vec_id, c.s, c.cid,
+             sum((p.val - c.val) * (p.val - c.val)) AS d2
+      FROM spts p JOIN cb c ON c.s = p.s AND c.idx = p.idx
+      GROUP BY p.vec_id, c.s, c.cid),
+    codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+        FROM cdist WHERE vec_id >= 5) WHERE rk = 1),
+    qtab AS (
+      SELECT vec_id AS query_id, s, cid, d2 FROM cdist WHERE vec_id < 5),
+    adc AS (
+      SELECT q.query_id, x.vec_id, round(sum(q.d2), 6) AS adc_dist
+      FROM codes x
+      JOIN qtab q ON q.s = x.s AND q.cid = x.cid
+      GROUP BY q.query_id, x.vec_id)
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dist FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+      FROM adc) WHERE rank <= {topk}
+    """
+
+
+@register(
+    "pq_adc_topk",
+    oracle=_pq_adc_oracle(4, 8, 2, 5),
+    tags=("similarity", "quantization", "clustering", "iterative"),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end (Jégou et al., TPAMI 2011 —
+    similarity.pq_train/pq_encode/pq_topk_adc): 64 dims split into 4
+    subspaces, an 8-centroid Lloyd codebook trained per subspace (the
+    catalog's deterministic trajectory), corpus vectors compressed to
+    4 code bytes, queries served by asymmetric-distance table lookups
+    — the memory/bandwidth lever a 100 TB vector store pulls before
+    anything else (64× smaller scan at m=4, k=256). The oracle
+    replays training (4 unrolled per-subspace Lloyd chains), encoding
+    (argmin with the same tie-break), and ADC ranking relationally,
+    so the whole train→compress→serve path is value-checked
+    cross-engine."""
+    from ...operators.similarity import pq_encode, pq_topk_adc, pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=4, k=8, iterations=2)
+    codes = pq_encode(e.filter(F.col("vec_id") >= 5), books)
+    return pq_topk_adc(codes, e.filter(F.col("vec_id") < 5), books, k=5)
+
+
+def _pq_recall_oracle(m: int = 4, k: int = 8, iterations: int = 2, topk: int = 5) -> str:
+    prefix = _pq_chain(m, k, iterations)
+    return f"""
+    WITH {prefix},
+    cdist AS (
+      SELECT p.vec_id, c.s, c.cid,
+             sum((p.val - c.val) * (p.val - c.val)) AS d2
+      FROM spts p JOIN cb c ON c.s = p.s AND c.idx = p.idx
+      GROUP BY p.vec_id, c.s, c.cid),
+    codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+        FROM cdist WHERE vec_id >= 5) WHERE rk = 1),
+    qtab AS (
+      SELECT vec_id AS query_id, s, cid, d2 FROM cdist WHERE vec_id < 5),
+    adc AS (
+      SELECT q.query_id, x.vec_id, round(sum(q.d2), 6) AS adc_dist
+      FROM codes x
+      JOIN qtab q ON q.s = x.s AND q.cid = x.cid
+      GROUP BY q.query_id, x.vec_id),
+    ptop AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+        FROM adc) WHERE rank <= {topk}),
+    ed AS (
+      SELECT q.vec_id AS query_id, x.vec_id,
+             sum((q.val - x.val) * (q.val - x.val)) AS d2
+      FROM (SELECT vec_id, s * 16 + idx AS gi, val FROM spts WHERE vec_id < 5) q
+      JOIN (SELECT vec_id, s * 16 + idx AS gi, val FROM spts WHERE vec_id >= 5) x
+        ON x.gi = q.gi
+      GROUP BY q.vec_id, x.vec_id),
+    etop AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY d2, vec_id) AS rank
+        FROM ed) WHERE rank <= {topk})
+    SELECT e.query_id,
+           CAST(count(p.vec_id) AS BIGINT) AS n_overlap,
+           round(count(p.vec_id) / {topk}.0, 2) AS recall_at_{topk}
+    FROM etop e
+    LEFT JOIN ptop p ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "pq_recall_l2",
+    oracle=_pq_recall_oracle(4, 8, 2, 5),
+    tags=("similarity", "quantization", "eval"),
+)
+def q_pq_recall_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index-quality audit: recall@5 of the ADC ranking against
+    the exact L2 top-5 per query — the compression/accuracy dial
+    (m, k) gets tuned on before a vector store commits to 64×-smaller
+    scans. Both rankings replay relationally in the oracle (4
+    per-subspace Lloyd chains feed ADC; the exact side is the plain
+    dim-join distance), so the recall number itself is value-checked.
+    The exact side runs native aggregate/zip_with; PQ reuses the
+    trained codebooks from the shared trajectory."""
+    from ...operators.similarity import l2_dist2, pq_encode, pq_topk_adc, pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=4, k=8, iterations=2)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    queries = e.filter(F.col("vec_id") < 5)
+    codes = pq_encode(corpus, books)
+    ptop = pq_topk_adc(codes, queries, books, k=5).select(
+        "query_id", F.col("vec_id").alias("p_vec")
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    cv = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    ed = qv.crossJoin(cv).select(
+        "query_id", "vec_id", l2_dist2("qv", "cv").alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    etop = (
+        ed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id")
+    )
+    j = etop.join(
+        ptop,
+        (ptop.query_id == etop.query_id) & (ptop.p_vec == etop.vec_id),
+        "left",
+    ).select(etop.query_id, "p_vec")
+    return j.groupBy("query_id").agg(
+        F.count("p_vec").cast("bigint").alias("n_overlap"),
+        F.round(F.count("p_vec") / 5.0, 2).alias("recall_at_5"),
+    )

@@ -775,3 +775,109 @@ def patchify_images(media: DataFrame, patch: int = 16) -> DataFrame:
     return media.filter(F.col("media_type") == "image").mapInPandas(
         kernel, schema=PATCH_SCHEMA
     )
+
+
+SCAN_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", META_TYPE),
+        T.StructField("status", T.StringType()),
+        T.StructField("err", T.StringType()),
+    ]
+)
+
+_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "png", "image"),
+    (b"BM", "bmp", "image"),
+    (b"P6", "ppm", "image"),
+    (b"\xff\xd8", "jpeg", "image"),
+)
+
+
+def sniff_format(payload: bytes) -> tuple[str, str] | None:
+    """(format, media_type) from magic bytes, None if unrecognized."""
+    for magic, fmt, mt in _MAGIC:
+        if payload[: len(magic)] == magic:
+            return fmt, mt
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav", "audio"
+    return None
+
+
+def scan_media(spark, path_glob: str, on_error: str = "quarantine") -> DataFrame:
+    """`binaryFile` scan over a media directory → validated MEDIA rows
+    (the image/audio twin of raster.scan_geotiffs): format sniffed
+    from magic bytes, payload DECODED once to validate and to fill
+    the typed metadata Catalyst prunes on (width/height/channels or
+    sample_rate), original bytes kept as the payload (decode-on-use
+    downstream — a 100 TB lake stores compressed).
+
+    `media_id` = first 8 bytes of md5(path) as signed int64 —
+    deterministic across runs, collision odds ~n²/2⁶⁴.
+
+    `on_error`: 'quarantine' (default) keeps undecodable/unknown
+    files as rows with status='quarantined' and the error text — E1's
+    quarantine-not-raise rule, queryable like stac.py's fetch
+    statuses; 'skip' drops them; 'raise' fails the task."""
+    import hashlib
+    import struct as _s
+
+    if on_error not in ("quarantine", "skip", "raise"):
+        raise ValueError(f"bad on_error {on_error!r}")
+    binf = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.content)
+                mid = _s.unpack(
+                    ">q", hashlib.md5(r.path.encode()).digest()[:8]
+                )[0]
+                meta = {
+                    "format": None, "width": None, "height": None,
+                    "channels": None, "sample_rate": None, "n_frames": None,
+                }
+                sniffed = sniff_format(payload)
+                try:
+                    if sniffed is None:
+                        raise ValueError("unrecognized format (magic bytes)")
+                    fmt, mt = sniffed
+                    if mt == "image":
+                        arr = decode_image(payload, {"format": fmt})
+                        meta.update(
+                            format=fmt, height=arr.shape[0], width=arr.shape[1],
+                            channels=arr.shape[2],
+                        )
+                    else:
+                        pcm, rate = decode_wav(payload)
+                        meta.update(
+                            format=fmt, sample_rate=rate,
+                            channels=1 if pcm.ndim == 1 else pcm.shape[1],
+                        )
+                    rows.append(
+                        {
+                            "path": r.path, "media_id": mid, "media_type": mt,
+                            "payload": payload, "meta": meta,
+                            "status": "ok", "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine boundary
+                    if on_error == "raise":
+                        raise
+                    if on_error == "quarantine":
+                        rows.append(
+                            {
+                                "path": r.path, "media_id": mid,
+                                "media_type": "unknown", "payload": payload,
+                                "meta": meta, "status": "quarantined",
+                                "err": f"{type(e).__name__}: {e}"[:200],
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return binf.mapInPandas(kernel, schema=SCAN_MEDIA_SCHEMA)

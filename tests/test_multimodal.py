@@ -518,3 +518,54 @@ def test_video_motion_and_cuts(spark):
     assert r.max_motion == pytest.approx(160.0)
     assert r.mean_motion == pytest.approx(160.0 / 4)
     assert got[1].n_cuts == 0 and got[1].max_motion == 0.0
+
+
+def test_scan_media_directory(spark, tmp_path):
+    """binaryFile media scan: PNG/BMP/PPM/JPEG/WAV all sniff, decode,
+    and land with typed metadata; a corrupt file and an unknown format
+    quarantine with error text instead of failing the scan; media_id
+    is deterministic; downstream kernels consume the scan directly."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.jpeg import encode_jpeg
+    from ndvi_etl_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+        image_features,
+        scan_media,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (24, 30, 3), dtype=np.uint8)
+    (tmp_path / "a.png").write_bytes(encode_png(img))
+    (tmp_path / "b.bmp").write_bytes(encode_bmp(img))
+    (tmp_path / "c.ppm").write_bytes(encode_ppm(img))
+    (tmp_path / "d.jpg").write_bytes(encode_jpeg(img, quality=95))
+    pcm = (rng.normal(0, 3000, 800)).astype(np.int16)
+    (tmp_path / "e.wav").write_bytes(encode_wav(pcm, 16000))
+    (tmp_path / "f.png").write_bytes(encode_png(img)[:40])  # truncated
+    (tmp_path / "g.xyz").write_bytes(b"not a media file at all")
+
+    out = scan_media(spark, str(tmp_path)).cache()
+    rows = {r.path.split("/")[-1]: r for r in out.collect()}
+    assert len(rows) == 7
+    for name in ("a.png", "b.bmp", "c.ppm", "d.jpg"):
+        r = rows[name]
+        assert r.status == "ok" and r.media_type == "image"
+        assert (r.meta.height, r.meta.width, r.meta.channels) == (24, 30, 3)
+    assert rows["e.wav"].status == "ok"
+    assert rows["e.wav"].meta.sample_rate == 16000
+    for name in ("f.png", "g.xyz"):
+        assert rows[name].status == "quarantined" and rows[name].err
+
+    # metadata-only pruning predicate + downstream feature kernel
+    ok_imgs = out.filter("status = 'ok' AND media_type = 'image'")
+    assert image_features(ok_imgs.select("media_id", "media_type", "payload", "meta")).count() == 4
+
+    # skip mode drops quarantined rows; media_id stable across scans
+    skipped = scan_media(spark, str(tmp_path), on_error="skip")
+    assert skipped.count() == 5
+    again = {r.path.split("/")[-1]: r.media_id for r in skipped.collect()}
+    assert all(again[k] == rows[k].media_id for k in again)

@@ -1223,3 +1223,86 @@ def q_pq_recall_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p_vec").cast("bigint").alias("n_overlap"),
         F.round(F.count("p_vec") / 5.0, 2).alias("recall_at_5"),
     )
+
+
+def _ivfpq_oracle(
+    kc: int = 4, ic: int = 3, m: int = 4, kp: int = 8, ip: int = 2,
+    nprobe: int = 2, topk: int = 5,
+) -> str:
+    coarse = _kmeans_chain(kc, ic)  # defines pts, c{ic}
+    pq = _pq_chain(m, kp, ip)  # defines spts, cb
+    return f"""
+    WITH {coarse},
+    {pq},
+    idist AS (
+      SELECT p.vec_id, c.cid,
+             sum((p.val - c.val) * (p.val - c.val)) AS d2
+      FROM pts p JOIN c{ic} c ON c.idx = p.idx
+      GROUP BY p.vec_id, c.cid),
+    asg AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM idist),
+    lists AS (SELECT vec_id, cid FROM asg WHERE rn = 1 AND vec_id >= 5),
+    probes AS (SELECT vec_id AS query_id, cid FROM asg
+               WHERE rn <= {nprobe} AND vec_id < 5),
+    cdist AS (
+      SELECT p.vec_id, c.s, c.cid,
+             sum((p.val - c.val) * (p.val - c.val)) AS d2
+      FROM spts p JOIN cb c ON c.s = p.s AND c.idx = p.idx
+      GROUP BY p.vec_id, c.s, c.cid),
+    codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+        FROM cdist WHERE vec_id >= 5) WHERE rk = 1),
+    qtab AS (
+      SELECT vec_id AS query_id, s, cid, d2 FROM cdist WHERE vec_id < 5),
+    cand AS (
+      SELECT pr.query_id, l.vec_id
+      FROM probes pr JOIN lists l ON l.cid = pr.cid),
+    adc AS (
+      SELECT n.query_id, n.vec_id, round(sum(q.d2), 6) AS adc_dist
+      FROM cand n
+      JOIN codes x ON x.vec_id = n.vec_id
+      JOIN qtab q ON q.query_id = n.query_id AND q.s = x.s AND q.cid = x.cid
+      GROUP BY n.query_id, n.vec_id)
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dist FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+      FROM adc) WHERE rank <= {topk}
+    """
+
+
+@register(
+    "ivfpq_adc_topk",
+    oracle=_ivfpq_oracle(4, 3, 4, 8, 2, 2, 5),
+    tags=("similarity", "quantization", "clustering", "iterative"),
+)
+def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS-standard serving composition
+    (similarity.ivfpq_topk): trained coarse cells (the shared k-means
+    trajectory, k=4) bound the FRACTION of the corpus a query touches
+    (nprobe=2), PQ codes (m=4, k=8) bound the BYTES per touched row —
+    multiplicative levers at 100 TB. The oracle chains BOTH trainings
+    (the coarse Lloyd unroll and four per-subspace unrolls), the
+    inverted-list assignment, probe selection, and list-restricted
+    ADC ranking — the deepest composed trajectory in the catalog,
+    value-checked end to end."""
+    from ...operators.similarity import ivfpq_topk, pq_train
+    from ._cache import kmeans_centroids_shared
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids_shared(spark, sf_dir, k=4, iterations=3)
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "vec_id int, embedding array<double>"
+    )
+    books = pq_train(e, m=4, k=8, iterations=2)
+    return ivfpq_topk(
+        e.filter(F.col("vec_id") >= 5),
+        e.filter(F.col("vec_id") < 5),
+        cdf,
+        books,
+        k=5,
+        nprobe=2,
+    )

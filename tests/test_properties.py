@@ -180,3 +180,45 @@ def test_focal_mean_identity_on_linear_fields_any_mask(a, b, c, seed):
     np.testing.assert_allclose(
         got[window_full], field[1:-1, 1:-1][window_full], rtol=1e-9, atol=1e-9
     )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    gray=st.booleans(),
+    subsample=st.sampled_from(["444", "420"]),
+    ri=st.integers(min_value=0, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_q100_roundtrip_bounded(h, w, gray, subsample, ri, seed):
+    """Baseline JPEG at q=100 (all-ones quantization): any image of
+    any size — including 1×1 and non-multiple-of-MCU dims — survives
+    encode→decode within the DCT rounding envelope (±3 gray, ±5
+    chroma-subsampled), with the declared dimensions, through every
+    subsampling/restart-interval combination."""
+    from ndvi_etl_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    if gray:
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=100, restart_interval=ri))
+        assert out.shape == (h, w, 1)
+        assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 3
+    else:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_jpeg(
+            encode_jpeg(img, quality=100, subsample=subsample, restart_interval=ri)
+        )
+        assert out.shape == (h, w, 3)
+        if subsample == "444":
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 5
+        # 4:2:0 chroma is box-averaged, so only luma is pointwise-bounded —
+        # and only at pixels where no RGB channel clipped at 0/255 (clipping
+        # of chroma-error-driven excursions leaks into the recomputed luma;
+        # a clipped channel decodes to exactly 0 or 255, so mask those out).
+        luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        oluma = 0.299 * out[..., 0] + 0.587 * out[..., 1] + 0.114 * out[..., 2]
+        unclipped = ((out > 0) & (out < 255)).all(axis=-1)
+        if unclipped.any():
+            assert np.abs(oluma - luma)[unclipped].max() <= 4.5

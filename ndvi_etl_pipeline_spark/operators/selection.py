@@ -1,0 +1,386 @@
+"""Data-selection operators for LLM training corpora.
+
+The tier a 100 TB training-data pipeline runs AFTER dedup: decide
+which documents to keep, reweight, or resample. Paper-anchored,
+all composed from built-in DataFrame ops (zero Python UDFs):
+
+- :func:`dsir_logweights` — Data Selection via Importance
+  Resampling (Xie et al. 2023): hashed-n-gram bucket LMs for a
+  target slice vs the raw corpus; per-document log importance
+  weight = Σ_tokens log(p_target(b)/p_raw(b)).
+- :func:`semdedup_cluster_stats` — SemDeDup (Abbas et al. 2023):
+  k-means-style cluster assignment, within-cluster pairwise
+  cosine, keep-lowest-id pruning at a threshold.
+- :func:`duplicated_window_stats` — the distributed analogue of
+  exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+  Data Makes Language Models Better"): their suffix-array pass is
+  single-node; the scalable form is a shuffle on fixed-length token
+  windows, counting windows that occur more than once corpus-wide.
+- :func:`naive_bayes_scores` — multinomial Naive Bayes over hashed
+  token buckets: the closed-form stand-in for fastText-style linear
+  quality classifiers (GPT-3/LLaMA pipeline quality filters); a
+  deterministic train/test split by id.
+- :func:`trigram_xent` — CCNet-shaped (Wenzek et al. 2020)
+  per-language LM scoring: a character-trigram LM trained on a
+  target slice, per-document cross-entropy, head/middle/tail
+  bucketing downstream via ntile.
+- :func:`soft_dedup_weights` — soft deduplication (SlimPajama /
+  D4-style reweighting): instead of dropping exact duplicates,
+  weight each copy 1/cluster_size so the effective epoch count of
+  every distinct text is 1.
+
+Scale notes (100 TB): every function here is one or two shuffles
+on bounded keys. The bucket LMs (DSIR, Naive Bayes) aggregate to
+B ≤ 64 rows and broadcast back — the per-token join is map-side.
+The trigram LM is |langs|×|alphabet|³ rows at most — still a
+broadcast. SemDeDup's pair stage is bounded per-cluster (its
+design point); duplicated_window_stats shuffles on the window
+text, the same key distribution as the MinHash shingle stage.
+
+Token hashing uses md5 nibbles (operators/dedup.py:275) so every
+bucket id is reproducible in any engine with md5 + strpos — the
+same cross-engine discipline as the MinHash oracle family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .dedup import _nibble_value
+from .similarity import cosine
+
+N_BUCKETS = 64
+
+
+def token_bucket(tok: Column | str, n_buckets: int = N_BUCKETS) -> Column:
+    """Deterministic feature-hash bucket: first two md5 nibbles mod B.
+
+    Cross-engine replayable (DuckDB: strpos over the hex alphabet),
+    unlike xxhash64/murmur whose seeds differ between engines.
+    """
+    c = F.col(tok) if isinstance(tok, str) else tok
+    h = F.md5(c.cast("binary"))
+    return (
+        _nibble_value(F.substring(h, 1, 1)) * 16 + _nibble_value(F.substring(h, 2, 1))
+    ) % n_buckets
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_tokens, dsir_logweight): DSIR importance weights.
+
+    Two passes, one tiny broadcast: (1) a single groupBy(bucket)
+    computes raw AND target counts (conditional sum — no second
+    scan); (2) the B-row log-ratio table joins back map-side.
+    Laplace-smoothed bucket LMs: p(b) = (c_b + 1)/(N + B).
+    """
+    tok = docs.select(
+        F.col(id_col), target_pred.alias("is_t"), F.explode(tokens(text_col)).alias("w")
+    ).select(F.col(id_col), "is_t", token_bucket("w", n_buckets).alias("b"))
+    cnt = tok.groupBy("b").agg(
+        F.count("*").cast("double").alias("c_r"),
+        F.sum(F.col("is_t").cast("int")).cast("double").alias("c_t"),
+    )
+    tot = cnt.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+    bb = float(n_buckets)
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + F.lit(bb)))
+            - F.log((F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + F.lit(bb)))
+        ).alias("lr"),
+    )
+    return (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("lr").alias("dsir_logweight"))
+    )
+
+
+def semdedup_cluster_stats(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(centroid_id, n, n_removed, n_kept): SemDeDup pruning census.
+
+    Assign every vector to its nearest centroid (broadcast k rows,
+    L2 argmin via row_number — no shuffle on the corpus side beyond
+    the final per-cluster agg), then within each cluster mark a row
+    a semantic duplicate when some LOWER-id row in the same cluster
+    has cosine ≥ tau (keep-first policy, deterministic). Cosine is
+    rounded before the threshold compare so the boundary is
+    engine-stable. Pair volume is Σ|cluster|² — bounded by the
+    cluster granularity, which is the SemDeDup design knob.
+    """
+    e = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "v",
+            "cvec",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vid").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    assign = (
+        e.crossJoin(F.broadcast(c))
+        .select("vid", "v", "centroid_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "v", "centroid_id")
+    )
+    a = assign.select(
+        F.col("vid").alias("va"), F.col("v").alias("xa"), "centroid_id"
+    )
+    b = assign.select(
+        F.col("vid").alias("vb"), F.col("v").alias("xb"), "centroid_id"
+    )
+    dup_pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "centroid_id",
+            "vb",
+            F.round(cosine("xa", "xb"), round_digits).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(tau))
+    )
+    removed = dup_pairs.groupBy("centroid_id").agg(
+        F.countDistinct("vb").alias("n_removed")
+    )
+    census = assign.groupBy("centroid_id").agg(F.count("*").alias("n"))
+    return (
+        census.join(removed, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            "n",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            (F.col("n") - F.coalesce("n_removed", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+def duplicated_window_stats(
+    docs: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_frac): exact-substring
+    duplication census (Lee et al. 2021, distributed form).
+
+    Every length-`window` token window is a row; windows whose text
+    occurs more than once corpus-wide are "duplicated"; a document's
+    dup_frac is the fraction of its window positions covered by a
+    duplicated window. One shuffle on the window text (the Lee et
+    al. suffix-array pass re-expressed as a group-count — the only
+    form that scales past one node), one on doc_id. Docs shorter
+    than the window are excluded (they have no windows). Only docs
+    with at least one duplicated window are returned — at corpus
+    scale the clean majority would dominate the output otherwise.
+    """
+    tok = docs.select(F.col(id_col), tokens(text_col).alias("w")).filter(
+        F.size("w") >= window
+    )
+    wins = tok.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {window - 1}),"
+                f" i -> concat_ws(' ', slice(w, i, {window})))"
+            )
+        ).alias("wt"),
+    )
+    dup = (
+        wins.groupBy("wt")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("wt")
+    )
+    nw = wins.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    nd = wins.join(dup, "wt").groupBy(id_col).agg(
+        F.count("*").alias("n_dup_windows")
+    )
+    return nw.join(nd, id_col).select(
+        id_col,
+        "n_windows",
+        "n_dup_windows",
+        F.round(
+            F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double"),
+            4,
+        ).alias("dup_frac"),
+    )
+
+
+def naive_bayes_scores(
+    docs: DataFrame,
+    label_pred: Column,
+    test_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(doc_id, actual, n_tokens, score): multinomial NB log-odds on
+    the test slice, trained on the complement.
+
+    Per-class Laplace bucket LMs + document-count log-prior; a
+    bucket unseen in training falls back to the pure-smoothing
+    ratio (left join + coalesce). All model state is ≤ B rows +
+    two scalars — broadcast; the corpus is scanned twice (train
+    counts, test scoring), each a single shuffle.
+    """
+    base = docs.select(
+        F.col(id_col),
+        label_pred.alias("y"),
+        test_pred.alias("is_test"),
+        F.col(text_col).alias("_txt"),
+    )
+    tok = base.select(
+        F.col(id_col), "y", "is_test", F.explode(tokens("_txt")).alias("w")
+    ).select(F.col(id_col), "y", "is_test", token_bucket("w", n_buckets).alias("b"))
+    train = tok.filter(~F.col("is_test"))
+    cnt = train.groupBy("b").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double").alias("c1"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("double").alias("c0"),
+    )
+    tot = cnt.agg(F.sum("c1").alias("n1"), F.sum("c0").alias("n0"))
+    bb = float(n_buckets)
+    llr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c1") + F.lit(1.0)) / (F.col("n1") + F.lit(bb)))
+            - F.log((F.col("c0") + F.lit(1.0)) / (F.col("n0") + F.lit(bb)))
+        ).alias("llr"),
+        (F.log(F.lit(1.0) / (F.col("n1") + F.lit(bb))) - F.log(F.lit(1.0) / (F.col("n0") + F.lit(bb)))).alias("_unseen"),
+    )
+    prior = base.filter(~F.col("is_test")).agg(
+        F.log(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double")
+            / F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("double")
+        ).alias("log_prior")
+    )
+    # the unseen-bucket fallback is a scalar; carry it via the totals
+    unseen = tot.select(
+        (
+            F.log(F.lit(1.0) / (F.col("n1") + F.lit(bb)))
+            - F.log(F.lit(1.0) / (F.col("n0") + F.lit(bb)))
+        ).alias("unseen_llr")
+    )
+    test = (
+        tok.filter(F.col("is_test"))
+        .join(F.broadcast(llr.select("b", "llr")), "b", "left")
+        .crossJoin(F.broadcast(unseen))
+        .select(
+            F.col(id_col),
+            "y",
+            F.coalesce("llr", F.col("unseen_llr")).alias("t_llr"),
+        )
+    )
+    return (
+        test.groupBy(id_col, "y")
+        .agg(F.count("*").alias("n_tokens"), F.sum("t_llr").alias("s"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.col(id_col),
+            F.col("y").cast("int").alias("actual"),
+            "n_tokens",
+            (F.col("s") + F.col("log_prior")).alias("score"),
+        )
+    )
+
+
+def trigram_xent(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, lang, n_trigrams, xent_nats): CCNet-shaped LM scoring.
+
+    A per-language character-trigram LM (Laplace-smoothed, vocab =
+    observed target trigrams + 1 unseen slot) is trained on the
+    target slice; every document is scored with its language's LM:
+    cross-entropy = -mean log p over trigram occurrences. The LM is
+    |langs| × observed-trigram rows — broadcast; scoring is one
+    map-side join + one doc_id agg. Docs shorter than 3 chars are
+    excluded (no trigrams). CCNet buckets these into head/middle/
+    tail per language downstream — see the catalog query.
+    """
+    t = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        target_pred.alias("is_t"),
+        F.lower(F.trim(F.col(text_col))).alias("s"),
+    ).filter(F.length("s") >= 3)
+    tri = t.select(
+        F.col(id_col),
+        "lang",
+        "is_t",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
+        ).alias("tri"),
+    )
+    lm = tri.filter("is_t").groupBy("lang", "tri").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    nv = lm.groupBy("lang").agg(
+        F.sum("c").alias("n"), F.count("*").cast("double").alias("v")
+    )
+    logp = lm.join(nv, "lang").select(
+        "lang",
+        "tri",
+        F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v") + F.lit(1.0))).alias(
+            "lp"
+        ),
+    )
+    unseen = nv.select(
+        "lang",
+        F.log(F.lit(1.0) / (F.col("n") + F.col("v") + F.lit(1.0))).alias("lp_unseen"),
+    )
+    scored = (
+        tri.join(F.broadcast(logp), ["lang", "tri"], "left")
+        .join(F.broadcast(unseen), "lang")
+        .select(F.col(id_col), "lang", F.coalesce("lp", F.col("lp_unseen")).alias("lp"))
+    )
+    return scored.groupBy(id_col, "lang").agg(
+        F.count("*").alias("n_trigrams"),
+        (-F.sum("lp") / F.count("*").cast("double")).alias("xent_nats"),
+    )
+
+
+def soft_dedup_weights(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, cluster_size, weight): soft dedup — every exact-dup
+    cluster's copies get weight 1/size, so each distinct text
+    contributes exactly one effective document. One shuffle on the
+    md5 fingerprint, one broadcast-scale join back.
+    """
+    fp = docs.select(
+        F.col(id_col), F.md5(F.lower(F.trim(F.col(text_col))).cast("binary")).alias("fp")
+    )
+    sz = fp.groupBy("fp").agg(F.count("*").alias("cluster_size"))
+    return fp.join(sz, "fp").select(
+        id_col,
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+    )

@@ -11,6 +11,7 @@ from . import part06_energy_distance_tw  # noqa: F401
 from . import part07_split_conformal_in  # noqa: F401
 from . import part08_partial_pooling_es  # noqa: F401
 from . import part09_scaling_law_fit  # noqa: F401
+from . import part10_data_selection  # noqa: F401
 from ._shared import (  # noqa: F401
     REGISTRY,
     QuerySpec,

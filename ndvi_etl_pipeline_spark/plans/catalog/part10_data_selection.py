@@ -1,0 +1,362 @@
+"""Catalog part 10 — training-data selection tier.
+
+Paper-anchored operators a 100 TB LLM-corpus pipeline runs after
+dedup: DSIR importance resampling (Xie et al. 2023), SemDeDup
+(Abbas et al. 2023), exact-substring duplication stats (Lee et
+al. 2021), a Naive-Bayes quality classifier (the closed-form
+stand-in for fastText-style filters), CCNet-shaped per-language
+perplexity bucketing (Wenzek et al. 2020), and soft-dedup
+reweighting. All builders delegate to operators/selection.py;
+every oracle replays the exact arithmetic in DuckDB (md5-nibble
+feature hashing, Laplace-smoothed bucket LMs, rounded-before-
+compare thresholds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ...operators import selection as SEL
+from ._shared import _t, canon_round, register
+
+# Deterministic "curated slice" proxy for target-distribution
+# operators: four named sources. An explicit IN list — 'src10'
+# sorts between 'src1' and 'src2', so range predicates on the
+# source string would silently include it.
+_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+_TARGET_SQL = "source IN ('src0','src1','src2','src3')"
+
+# md5-nibble feature hash (operators/dedup.py:275 discipline):
+# bucket = (nib1*16 + nib2) % 64, reproducible in any engine.
+_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1)) % 64"
+)
+
+_TOK_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _target_pred():
+    return F.col("source").isin(*_TARGET_SOURCES)
+
+
+@register(
+    "dsir_importance_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_TOK_SQL}) AS w FROM documents
+    ),
+    bk AS (
+      SELECT doc_id, source, {_BUCKET_SQL} AS b FROM tok
+    ),
+    cnt AS (
+      SELECT b, count(*)::DOUBLE AS c_r,
+             sum(CASE WHEN {_TARGET_SQL} THEN 1 ELSE 0 END)::DOUBLE AS c_t
+      FROM bk GROUP BY b
+    ),
+    tot AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM cnt),
+    lr AS (
+      SELECT b, ln((c_t + 1.0) / (n_t + 64.0)) - ln((c_r + 1.0) / (n_r + 64.0)) AS lr
+      FROM cnt CROSS JOIN tot
+    ),
+    docw AS (
+      SELECT bk.doc_id, count(*) AS n_tokens,
+             (round(sum(lr.lr), 6) + 0.0) AS dsir_weight
+      FROM bk JOIN lr USING (b)
+      GROUP BY bk.doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_weight, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY dsir_weight DESC, doc_id ASC) AS rank
+      FROM docw
+    ) WHERE rank <= 50
+    """,
+    tags=("selection", "documents"),
+)
+def q_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023): hashed-unigram bucket LMs for the
+    curated slice vs the raw corpus; per-doc log importance weight
+    = Σ log(p_target/p_raw); top-50 resample candidates. The bucket
+    LM is 64 rows broadcast back — the per-token join is map-side;
+    the top-k is sort+limit (TakeOrderedAndProject), not a global
+    window."""
+    d = _t(spark, sf_dir, "documents")
+    w = SEL.dsir_logweights(d, _target_pred())
+    ww = w.select(
+        "doc_id",
+        "n_tokens",
+        canon_round(F.col("dsir_logweight"), 6).alias("dsir_weight"),
+    )
+    top = ww.orderBy(F.desc("dsir_weight"), F.asc("doc_id")).limit(50)
+    rk = Window.orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(rk).cast("int"))
+
+
+_COS_XY_SQL = """
+      list_sum(list_transform(generate_series(1, 64),
+               i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))))
+"""
+
+
+@register(
+    "semdedup_prune_census",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assign AS (
+      SELECT e.vec_id, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                      * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))) ASC,
+                 c.centroid_id ASC
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cl AS (SELECT vec_id, centroid_id FROM assign WHERE rn = 1),
+    pairs AS (
+      SELECT a.centroid_id, b.vec_id AS vb,
+             round({_COS_XY_SQL}, 6) AS cos
+      FROM cl a JOIN cl b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      JOIN embeddings x ON x.vec_id = a.vec_id
+      JOIN embeddings y ON y.vec_id = b.vec_id
+    ),
+    removed AS (
+      SELECT centroid_id, count(DISTINCT vb) AS n_removed
+      FROM pairs WHERE cos >= 0.30 GROUP BY centroid_id
+    ),
+    census AS (SELECT centroid_id, count(*) AS n FROM cl GROUP BY centroid_id)
+    SELECT census.centroid_id, census.n,
+           CAST(coalesce(removed.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(census.n - coalesce(removed.n_removed, 0) AS BIGINT) AS n_kept
+    FROM census LEFT JOIN removed USING (centroid_id)
+    """,
+    tags=("selection", "similarity"),
+)
+def q_semdedup_prune_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its
+    nearest of 8 deterministic centroids (corpus rows 0-7, the
+    ann_ivf_topk trick that keeps the oracle SQL-replayable), then
+    within each cluster remove rows whose cosine to a lower-id row
+    is ≥ 0.30 (rounded-before-compare, keep-first policy). Pair
+    volume is Σ|cluster|² — the SemDeDup design knob; centroids are
+    broadcast."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SEL.semdedup_cluster_stats(
+        e, e.filter(F.col("vec_id") < 8), tau=0.30
+    )
+
+
+@register(
+    "exact_substring_dup_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_SQL} AS w FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+               i -> array_to_string(w[i:i+7], ' '))) AS wt
+      FROM tok WHERE len(w) >= 8
+    ),
+    dup AS (SELECT wt FROM wins GROUP BY wt HAVING count(*) > 1),
+    nw AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id),
+    nd AS (
+      SELECT doc_id, count(*) AS n_dup_windows
+      FROM wins JOIN dup USING (wt) GROUP BY doc_id
+    )
+    SELECT nw.doc_id, nw.n_windows, nd.n_dup_windows,
+           round(nd.n_dup_windows::DOUBLE / nw.n_windows::DOUBLE, 4) AS dup_frac
+    FROM nw JOIN nd USING (doc_id)
+    """,
+    tags=("selection", "dedup"),
+)
+def q_exact_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication census (Lee et al. 2021): every
+    8-token window is a row; windows occurring >1× corpus-wide are
+    duplicated; per-doc dup_frac = duplicated window positions /
+    total. The suffix-array pass of the paper re-expressed as the
+    only form that scales past one node: a group-count shuffle on
+    the window text (same key distribution as the MinHash shingle
+    stage)."""
+    d = _t(spark, sf_dir, "documents")
+    return SEL.duplicated_window_stats(d, window=8)
+
+
+@register(
+    "naive_bayes_lang_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, (lang = 'en') AS y, (doc_id % 5 = 0) AS is_test, text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, y, is_test, unnest({_TOK_SQL}) AS w FROM base
+    ),
+    bk AS (
+      SELECT doc_id, y, is_test, {_BUCKET_SQL} AS b FROM tok
+    ),
+    cnt AS (
+      SELECT b, sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE AS c1,
+             sum(CASE WHEN y THEN 0 ELSE 1 END)::DOUBLE AS c0
+      FROM bk WHERE NOT is_test GROUP BY b
+    ),
+    tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0 FROM cnt),
+    llr AS (
+      SELECT b, ln((c1 + 1.0) / (n1 + 64.0)) - ln((c0 + 1.0) / (n0 + 64.0)) AS llr
+      FROM cnt CROSS JOIN tot
+    ),
+    unseen AS (
+      SELECT ln(1.0 / (n1 + 64.0)) - ln(1.0 / (n0 + 64.0)) AS unseen_llr FROM tot
+    ),
+    prior AS (
+      SELECT ln(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE
+              / sum(CASE WHEN y THEN 0 ELSE 1 END)::DOUBLE) AS log_prior
+      FROM base WHERE NOT is_test
+    ),
+    scored AS (
+      SELECT bk.doc_id, bk.y, coalesce(llr.llr, u.unseen_llr) AS t_llr
+      FROM bk LEFT JOIN llr USING (b) CROSS JOIN unseen u
+      WHERE bk.is_test
+    ),
+    agg AS (
+      SELECT doc_id, y, count(*) AS n_tokens, sum(t_llr) AS s
+      FROM scored GROUP BY doc_id, y
+    )
+    SELECT a.doc_id, CAST(a.y AS INT) AS actual, a.n_tokens,
+           (round(a.s + p.log_prior, 6) + 0.0) AS nb_log_odds,
+           CAST((round(a.s + p.log_prior, 6) + 0.0) > 0 AS INT) AS pred
+    FROM agg a CROSS JOIN prior p
+    """,
+    tags=("selection", "documents"),
+)
+def q_naive_bayes_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes over md5-hashed token buckets — the
+    closed-form stand-in for fastText-style quality classifiers
+    (GPT-3/LLaMA pipeline filters). Deterministic train/test split
+    (doc_id % 5), Laplace bucket LMs + document log-prior; unseen
+    buckets fall back to the pure-smoothing ratio. Model state is
+    64 rows + two scalars — broadcast; two corpus scans total."""
+    d = _t(spark, sf_dir, "documents")
+    s = SEL.naive_bayes_scores(
+        d,
+        label_pred=F.col("lang") == F.lit("en"),
+        test_pred=F.col("doc_id") % 5 == 0,
+    )
+    odds = canon_round(F.col("score"), 6)
+    return s.select(
+        "doc_id",
+        "actual",
+        "n_tokens",
+        odds.alias("nb_log_odds"),
+        (odds > F.lit(0.0)).cast("int").alias("pred"),
+    )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, ({_TARGET_SQL}) AS is_t, lower(trim(text)) AS s
+      FROM documents WHERE length(lower(trim(text))) >= 3
+    ),
+    tri AS (
+      SELECT doc_id, lang, is_t,
+             unnest(list_transform(generate_series(1, length(s) - 2),
+                    i -> substr(s, i, 3))) AS tg
+      FROM t
+    ),
+    lm AS (
+      SELECT lang, tg, count(*)::DOUBLE AS c FROM tri WHERE is_t GROUP BY lang, tg
+    ),
+    nv AS (SELECT lang, sum(c) AS n, count(*)::DOUBLE AS v FROM lm GROUP BY lang),
+    logp AS (
+      SELECT lm.lang, lm.tg, ln((c + 1.0) / (n + v + 1.0)) AS lp
+      FROM lm JOIN nv USING (lang)
+    ),
+    unseen AS (SELECT lang, ln(1.0 / (n + v + 1.0)) AS lp_unseen FROM nv),
+    scored AS (
+      SELECT tri.doc_id, tri.lang, coalesce(logp.lp, u.lp_unseen) AS lp
+      FROM tri LEFT JOIN logp ON logp.lang = tri.lang AND logp.tg = tri.tg
+      JOIN unseen u ON u.lang = tri.lang
+    ),
+    doc AS (
+      SELECT doc_id, lang, count(*) AS n_trigrams,
+             (round(-sum(lp) / count(*)::DOUBLE, 6) + 0.0) AS xent_nats
+      FROM scored GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_trigrams, xent_nats,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY xent_nats ASC, doc_id ASC)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM doc
+    """,
+    tags=("selection", "documents"),
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped filtering (Wenzek et al. 2020): a per-language
+    character-trigram LM trained on the curated slice scores every
+    document's cross-entropy; per-language head/middle/tail tertile
+    buckets (ntile over rounded xent, doc_id tie-break). The LM is
+    broadcast-scale; scoring is one map-side join + one doc agg —
+    at 100 TB the ntile becomes a per-lang approx-quantile cut, the
+    same plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    x = SEL.trigram_xent(d, _target_pred())
+    doc = x.select(
+        "doc_id",
+        "lang",
+        "n_trigrams",
+        canon_round(F.col("xent_nats"), 6).alias("xent_nats"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("xent_nats"), F.asc("doc_id"))
+    nt = F.ntile(3).over(w)
+    bucket = (
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return doc.select("doc_id", "lang", "n_trigrams", "xent_nats", bucket.alias("bucket"))
+
+
+@register(
+    "soft_dedup_effective_size",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS fp FROM documents
+    ),
+    sz AS (SELECT fp, count(*) AS cluster_size FROM fp GROUP BY fp)
+    SELECT f.source, count(*) AS n_docs,
+           count(DISTINCT f.fp) AS n_distinct,
+           round(sum(1.0 / s.cluster_size), 4) AS effective_docs
+    FROM fp f JOIN sz s USING (fp)
+    GROUP BY f.source
+    """,
+    tags=("selection", "dedup"),
+)
+def q_soft_dedup_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (SlimPajama/D4-style reweighting): every copy in
+    an exact-dup cluster weighs 1/cluster_size, so each distinct
+    text contributes one effective document; per-source census of
+    raw vs effective corpus size. One shuffle on the fingerprint,
+    one on source."""
+    d = _t(spark, sf_dir, "documents")
+    w = SEL.soft_dedup_weights(d)
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fp"),
+    )
+    return (
+        fp.join(w, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+            F.round(F.sum("weight"), 4).alias("effective_docs"),
+        )
+    )

@@ -1,0 +1,145 @@
+"""Semantics tests for the data-selection tier (operators/selection.py)
+on tiny hand-built frames — the catalog queries cover the oracle
+parity; these pin the operator-level contracts."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndvi_etl_pipeline_spark.operators import selection as SEL
+
+
+def _bucket_py(word: str, n: int = 64) -> int:
+    h = hashlib.md5(word.encode()).hexdigest()
+    return (int(h[0], 16) * 16 + int(h[1], 16)) % n
+
+
+def test_soft_dedup_weights_sum_to_distinct_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in SEL.soft_dedup_weights(docs).collect()}
+    assert rows[1].cluster_size == 2 and rows[1].weight == 0.5
+    assert rows[2].weight == 0.5
+    assert rows[3].cluster_size == 1 and rows[3].weight == 1.0
+    assert sum(r.weight for r in rows.values()) == 2.0  # == n_distinct
+
+
+def test_soft_dedup_normalizes_case_and_whitespace(spark):
+    docs = spark.createDataFrame(
+        [(1, "Alpha Beta"), (2, "  alpha beta  ")], "doc_id bigint, text string"
+    )
+    rows = SEL.soft_dedup_weights(docs).collect()
+    assert all(r.cluster_size == 2 for r in rows)
+
+
+def test_duplicated_window_stats_finds_planted_run(spark):
+    shared = " ".join(f"t{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 one two three"),
+            (2, "pre amble " + shared + " tail"),
+            (3, " ".join(f"z{i}" for i in range(12))),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in SEL.duplicated_window_stats(docs, window=8).collect()}
+    # only the two docs sharing the 8-token run appear (the clean doc
+    # has windows but none duplicated, so it is filtered out)
+    assert set(out) == {1, 2}
+    assert out[1].n_dup_windows == 1 and out[2].n_dup_windows == 1
+    assert 0 < out[1].dup_frac <= 1.0
+
+
+def test_duplicated_window_stats_short_docs_have_no_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "only three tokens")],
+        "doc_id bigint, text string",
+    )
+    assert SEL.duplicated_window_stats(docs, window=8).count() == 0
+
+
+def test_semdedup_removes_exact_duplicate_vector(spark):
+    # centroid 0 at e1, centroid 1 at e2; vecs 10/11 identical near e1,
+    # vec 12 orthogonal near e2 → one removal in cluster 0, none in 1
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    emb = spark.createDataFrame(
+        [(0, e1), (1, e2), (10, e1), (11, e1), (12, e2)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = emb.filter(F.col("vec_id") < 2)
+    out = {r.centroid_id: r for r in
+           SEL.semdedup_cluster_stats(emb, cents, tau=0.9).collect()}
+    assert out[0].n == 3 and out[0].n_removed == 2  # 10 and 11 dup vs 0
+    assert out[0].n_kept == 1
+    assert out[1].n == 2 and out[1].n_removed == 1  # 12 dup vs 1
+    assert sum(r.n for r in out.values()) == 5
+
+
+def test_dsir_upweights_target_tokens(spark):
+    a, b = "alphaword", "betaword"
+    assert _bucket_py(a) != _bucket_py(b), "pick non-colliding test tokens"
+    rows = [(i, " ".join([a] * 10), "tgt") for i in range(5)]
+    rows += [(10 + i, " ".join([b] * 10), "raw") for i in range(5)]
+    rows += [(20, " ".join([a] * 10), "raw"), (21, " ".join([b] * 10), "raw")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    w = {
+        r.doc_id: r.dsir_logweight
+        for r in SEL.dsir_logweights(docs, F.col("source") == "tgt").collect()
+    }
+    # the all-target-token doc must outscore the never-in-target doc
+    assert w[20] > w[21]
+    assert w[20] > 0 > w[21]
+
+
+def test_naive_bayes_separates_disjoint_vocabularies(spark):
+    a, b = "englishword", "germanwort"
+    assert _bucket_py(a) != _bucket_py(b)
+    rows = [(i * 5 + 1, " ".join([a] * 6), "en") for i in range(4)]
+    rows += [(i * 5 + 2, " ".join([b] * 6), "de") for i in range(4)]
+    rows += [(100, " ".join([a] * 6), "en"), (105, " ".join([b] * 6), "de")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in SEL.naive_bayes_scores(
+            docs,
+            label_pred=F.col("lang") == "en",
+            test_pred=F.col("doc_id") % 5 == 0,
+        ).collect()
+    }
+    assert set(out) == {100, 105}  # only the test split is scored
+    assert out[100].actual == 1 and out[100].score > 0
+    assert out[105].actual == 0 and out[105].score < 0
+
+
+def test_trigram_xent_prefers_in_distribution_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", True),
+            (2, "the quick brown fox jumps over the lazy dog", "en", False),
+            (3, "zzqxj vvkpw qqjzx wwxqz jjqvv", "en", False),
+        ],
+        "doc_id bigint, text string, lang string, is_tgt boolean",
+    )
+    out = {
+        r.doc_id: r.xent_nats
+        for r in SEL.trigram_xent(docs, F.col("is_tgt")).collect()
+    }
+    assert out[2] < out[3]  # in-distribution text scores lower xent
+    assert out[1] == out[2]  # same text, same score, target or not
+
+
+def test_token_bucket_matches_reference_hash(spark):
+    words = ["alpha", "beta", "gamma", "Ψ-unicode"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.b
+        for r in df.select("w", SEL.token_bucket("w").alias("b")).collect()
+    }
+    for w in words:
+        assert got[w] == _bucket_py(w)

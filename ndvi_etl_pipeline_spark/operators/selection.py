@@ -138,12 +138,17 @@ def semdedup_cluster_stats(
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("vid").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    # Both sides of the within-cluster self-join read `assign`; the
+    # aliased branches defeat ReusedExchange, so persist it once —
+    # the assignment (corpus × k argmin) is the expensive stage and
+    # must not run twice (same discipline as dedup.py:256).
     assign = (
         e.crossJoin(F.broadcast(c))
         .select("vid", "v", "centroid_id", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vid", "v", "centroid_id")
+        .persist()
     )
     a = assign.select(
         F.col("vid").alias("va"), F.col("v").alias("xa"), "centroid_id"

@@ -235,6 +235,62 @@ def duplicated_window_stats(
     )
 
 
+def duplicated_token_coverage(
+    docs: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_covered, keep_frac): the REMOVAL half of
+    exact-substring dedup (Lee et al. 2021) — interval union of the
+    duplicated windows.
+
+    Where :func:`duplicated_window_stats` counts duplicated window
+    positions, this computes the distinct token positions covered by
+    ANY duplicated window (explode each dup window into its span,
+    count-distinct per doc) — exactly the span a Lee-style pass
+    would cut, so keep_frac is the post-dedup retained fraction.
+    Same shuffle profile plus one bounded explode (window × span).
+    """
+    tok = docs.select(
+        F.col(id_col), tokens(text_col).alias("w")
+    ).filter(F.size("w") >= window)
+    wins = tok.select(
+        F.col(id_col),
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {window - 1}),"
+                f" i -> concat_ws(' ', slice(w, i, {window})))"
+            )
+        ).alias("pos", "wt"),
+    ).select(F.col(id_col), "n_tokens", (F.col("pos") + 1).alias("i"), "wt")
+    dup = (
+        wins.groupBy("wt")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("wt")
+    )
+    cov = wins.join(dup, "wt").select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("i"), F.col("i") + F.lit(window - 1))
+        ).alias("p"),
+    )
+    agg = cov.groupBy(id_col).agg(F.countDistinct("p").alias("n_covered"))
+    nt = tok.select(F.col(id_col), F.size("w").cast("bigint").alias("n_tokens"))
+    return nt.join(agg, id_col).select(
+        id_col,
+        "n_tokens",
+        "n_covered",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_covered").cast("double") / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("keep_frac"),
+    )
+
+
 def naive_bayes_scores(
     docs: DataFrame,
     label_pred: Column,

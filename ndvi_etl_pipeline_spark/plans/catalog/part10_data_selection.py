@@ -189,6 +189,43 @@ def q_exact_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_substring_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_SQL} AS w FROM documents
+    ),
+    tl AS (SELECT doc_id, w, len(w) AS n_tokens FROM tok WHERE len(w) >= 8),
+    wins AS (
+      SELECT doc_id, u.i AS i, u.wt AS wt
+      FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+                 i -> struct_pack(i := i, wt := array_to_string(w[i:i+7], ' ')))) AS u
+        FROM tl
+      )
+    ),
+    dup AS (SELECT wt FROM wins GROUP BY wt HAVING count(*) > 1),
+    cov AS (
+      SELECT w.doc_id, unnest(generate_series(w.i, w.i + 7)) AS p
+      FROM wins w JOIN dup USING (wt)
+    ),
+    agg AS (SELECT doc_id, count(DISTINCT p) AS n_covered FROM cov GROUP BY doc_id)
+    SELECT tl.doc_id, tl.n_tokens, agg.n_covered,
+           round(1.0 - agg.n_covered::DOUBLE / tl.n_tokens::DOUBLE, 4) AS keep_frac
+    FROM tl JOIN agg USING (doc_id)
+    """,
+    tags=("selection", "dedup"),
+)
+def q_exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. 2021):
+    interval union of duplicated 8-token windows per document —
+    n_covered is the distinct token positions a Lee-style pass would
+    cut, keep_frac the retained fraction. One shuffle on window
+    text, one bounded explode (window × span), one doc agg."""
+    d = _t(spark, sf_dir, "documents")
+    return SEL.duplicated_token_coverage(d, window=8)
+
+
+@register(
     "naive_bayes_lang_quality",
     oracle=f"""
     WITH base AS (

@@ -55,6 +55,23 @@ def test_duplicated_window_stats_finds_planted_run(spark):
     assert 0 < out[1].dup_frac <= 1.0
 
 
+def test_duplicated_token_coverage_unions_overlapping_windows(spark):
+    # docs 1 and 2 share a 9-token run → two overlapping dup windows
+    # per doc covering 9 distinct positions, not 16
+    shared = " ".join(f"t{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(1, shared + " u1 u2 u3"), (2, "p0 " + shared + " q9")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in SEL.duplicated_token_coverage(docs, window=8).collect()
+    }
+    assert out[1].n_covered == 9 and out[2].n_covered == 9
+    assert out[1].n_tokens == 12
+    assert out[1].keep_frac == 0.25  # 3 of 12 tokens survive
+
+
 def test_duplicated_window_stats_short_docs_have_no_windows(spark):
     docs = spark.createDataFrame(
         [(1, "only three tokens"), (2, "only three tokens")],

@@ -428,6 +428,51 @@ def trigram_xent(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, rank, vec_id, cosine_sim): hard-negative mining for
+    contrastive training — per query, the k most-similar corpus
+    vectors with a DIFFERENT label (similar-but-wrong examples, the
+    ones that sharpen an embedding model).
+
+    Same plan as brute-force top-k (broadcast query side, one corpus
+    scan, windowed top-k on the rounded score) with the label
+    anti-predicate applied BEFORE ranking — a post-filtered top-k
+    would under-fill; this is why it's its own operator."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("cv"), F.col(label_col)
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("qlabel"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine("qv", "cv"), round_digits).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cosine_sim")
+    )
+
+
 def soft_dedup_weights(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

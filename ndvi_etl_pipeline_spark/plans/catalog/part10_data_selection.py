@@ -360,6 +360,46 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select("doc_id", "lang", "n_trigrams", "xent_nats", bucket.alias("bucket"))
 
 
+_COS_AB_SQL = """
+      list_sum(list_transform(generate_series(1, 64),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+"""
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             round({_COS_AB_SQL}, 6) AS cosine_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < 10 AND b.vec_id >= 10 AND a.label <> b.label
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("selection", "similarity"),
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    vector, the 5 most-similar corpus vectors with a DIFFERENT
+    label — the anti-predicate applies before ranking (a
+    post-filtered top-k would under-fill). Broadcast query side,
+    one corpus scan, windowed top-k on the rounded score."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SEL.hard_negatives(
+        e.filter(F.col("vec_id") >= 10), e.filter(F.col("vec_id") < 10), k=5
+    )
+
+
 @register(
     "soft_dedup_effective_size",
     oracle="""

@@ -360,6 +360,124 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select("doc_id", "lang", "n_trigrams", "xent_nats", bucket.alias("bucket"))
 
 
+@register(
+    "selection_funnel",
+    oracle=f"""
+    WITH tok0 AS (
+      SELECT doc_id, source, len({_TOK_SQL}) AS n_tok FROM documents
+    ),
+    qual AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN tok0 USING (doc_id)
+      WHERE tok0.n_tok BETWEEN 20 AND 1000
+    ),
+    fp AS (
+      SELECT doc_id, source, text, md5(lower(trim(text))) AS fp FROM qual
+    ),
+    keep AS (
+      SELECT fp AS kfp, min(doc_id) AS keep_id FROM fp GROUP BY fp
+    ),
+    dedup AS (
+      SELECT f.doc_id, f.source, f.text
+      FROM fp f JOIN keep k ON f.fp = k.kfp AND f.doc_id = k.keep_id
+    ),
+    tok AS (
+      SELECT doc_id, source, unnest({_TOK_SQL}) AS w FROM dedup
+    ),
+    bk AS (SELECT doc_id, source, {_BUCKET_SQL} AS b FROM tok),
+    cnt AS (
+      SELECT b, count(*)::DOUBLE AS c_r,
+             sum(CASE WHEN {_TARGET_SQL} THEN 1 ELSE 0 END)::DOUBLE AS c_t
+      FROM bk GROUP BY b
+    ),
+    tot AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM cnt),
+    lr AS (
+      SELECT b, ln((c_t + 1.0) / (n_t + 64.0)) - ln((c_r + 1.0) / (n_r + 64.0)) AS lr
+      FROM cnt CROSS JOIN tot
+    ),
+    docw AS (
+      SELECT bk.doc_id, bk.source, (round(sum(lr.lr), 6) + 0.0) AS w
+      FROM bk JOIN lr USING (b) GROUP BY bk.doc_id, bk.source
+    ),
+    funnel AS (
+      SELECT source,
+             count(*) AS n_raw,
+             sum(CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)::BIGINT AS n_quality
+      FROM tok0 GROUP BY source
+    ),
+    dd AS (SELECT source, count(*) AS n_dedup FROM dedup GROUP BY source),
+    dw AS (
+      SELECT source, count(*) AS n_selected, round(sum(w), 4) AS dsir_weight_sum
+      FROM docw WHERE w > 0 GROUP BY source
+    )
+    SELECT f.source, f.n_raw, f.n_quality,
+           coalesce(dd.n_dedup, 0) AS n_dedup,
+           coalesce(dw.n_selected, 0) AS n_selected,
+           coalesce(dw.dsir_weight_sum, 0.0) AS dsir_weight_sum
+    FROM funnel f
+    LEFT JOIN dd USING (source)
+    LEFT JOIN dw USING (source)
+    """,
+    tags=("selection", "pipeline"),
+)
+def q_selection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep funnel as ONE DAG: token-count quality
+    gate (20-1000) → exact-dedup keep-lowest-id → DSIR bucket-LM
+    weighting on the surviving corpus → per-source census of every
+    stage plus the positive-weight selection mass. Each stage is a
+    bounded shuffle; the LM join stays broadcast; nothing
+    materializes between stages — Catalyst sees the whole funnel."""
+    d = _t(spark, sf_dir, "documents")
+    from ...functions.text import token_count
+
+    base = d.select("doc_id", "source", "text", token_count("text").alias("n_tok"))
+    qual = base.filter(F.col("n_tok").between(20, 1000))
+    fp = qual.select(
+        "doc_id",
+        "source",
+        "text",
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fp"),
+    )
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    dedup = fp.join(
+        keep,
+        (fp["fp"] == keep["fp"]) & (fp["doc_id"] == keep["keep_id"]),
+    ).select(fp["doc_id"], "source", "text")
+    w = SEL.dsir_logweights(dedup, _target_pred()).join(
+        dedup.select("doc_id", "source"), "doc_id"
+    )
+    docw = w.select(
+        "doc_id", "source", canon_round(F.col("dsir_logweight"), 6).alias("w")
+    )
+    funnel = base.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(
+            F.when(F.col("n_tok").between(20, 1000), 1).otherwise(0)
+        ).alias("n_quality"),
+    )
+    dd = dedup.groupBy("source").agg(F.count("*").alias("n_dedup"))
+    dw = (
+        docw.filter(F.col("w") > 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.round(F.sum("w"), 4).alias("dsir_weight_sum"),
+        )
+    )
+    return (
+        funnel.join(dd, "source", "left")
+        .join(dw, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            "n_quality",
+            F.coalesce("n_dedup", F.lit(0)).cast("bigint").alias("n_dedup"),
+            F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+            F.coalesce("dsir_weight_sum", F.lit(0.0)).alias("dsir_weight_sum"),
+        )
+    )
+
+
 _COS_AB_SQL = """
       list_sum(list_transform(generate_series(1, 64),
                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))

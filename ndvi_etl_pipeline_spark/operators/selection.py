@@ -81,13 +81,19 @@ def dsir_logweights(
     scan); (2) the B-row log-ratio table joins back map-side.
     Laplace-smoothed bucket LMs: p(b) = (c_b + 1)/(N + B).
     """
+    # repartition before the explode (dedup.py:255 discipline): a
+    # handful of source files must not serialize the md5 stage
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism, id_col)
     tok = docs.select(
         F.col(id_col), target_pred.alias("is_t"), F.explode(tokens(text_col)).alias("w")
     ).select(F.col(id_col), "is_t", token_bucket("w", n_buckets).alias("b"))
+    # cnt feeds both the totals and the log-ratio table; persisting
+    # the 64-row aggregate stops the token scan from running twice
     cnt = tok.groupBy("b").agg(
         F.count("*").cast("double").alias("c_r"),
         F.sum(F.col("is_t").cast("int")).cast("double").alias("c_t"),
-    )
+    ).persist()
     tot = cnt.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
     bb = float(n_buckets)
     lr = cnt.crossJoin(F.broadcast(tot)).select(
@@ -202,9 +208,16 @@ def duplicated_window_stats(
     with at least one duplicated window are returned — at corpus
     scale the clean majority would dominate the output otherwise.
     """
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism, id_col)
     tok = docs.select(F.col(id_col), tokens(text_col).alias("w")).filter(
         F.size("w") >= window
     )
+    # the window relation feeds three consumers (dup counts, per-doc
+    # totals, per-doc dup counts) — persist it once instead of
+    # re-deriving the explode pipeline thrice (dedup.py:256 pattern;
+    # at corpus scale this is the Lee-et-al materialization cost, and
+    # still far below their suffix array)
     wins = tok.select(
         F.col(id_col),
         F.explode(
@@ -213,7 +226,7 @@ def duplicated_window_stats(
                 f" i -> concat_ws(' ', slice(w, i, {window})))"
             )
         ).alias("wt"),
-    )
+    ).persist()
     dup = (
         wins.groupBy("wt")
         .agg(F.count("*").alias("n_occ"))
@@ -252,9 +265,13 @@ def duplicated_token_coverage(
     would cut, so keep_frac is the post-dedup retained fraction.
     Same shuffle profile plus one bounded explode (window × span).
     """
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism, id_col)
     tok = docs.select(
         F.col(id_col), tokens(text_col).alias("w")
     ).filter(F.size("w") >= window)
+    # three consumers (dup counts, coverage explode, per-doc totals
+    # via tok) — persist the window relation once (dedup.py:256)
     wins = tok.select(
         F.col(id_col),
         F.size("w").cast("bigint").alias("n_tokens"),
@@ -264,7 +281,7 @@ def duplicated_token_coverage(
                 f" i -> concat_ws(' ', slice(w, i, {window})))"
             )
         ).alias("pos", "wt"),
-    ).select(F.col(id_col), "n_tokens", (F.col("pos") + 1).alias("i"), "wt")
+    ).select(F.col(id_col), "n_tokens", (F.col("pos") + 1).alias("i"), "wt").persist()
     dup = (
         wins.groupBy("wt")
         .agg(F.count("*").alias("n_occ"))
@@ -314,14 +331,18 @@ def naive_bayes_scores(
         test_pred.alias("is_test"),
         F.col(text_col).alias("_txt"),
     )
+    sc = docs.sparkSession.sparkContext
+    base = base.repartition(sc.defaultParallelism, id_col)
     tok = base.select(
         F.col(id_col), "y", "is_test", F.explode(tokens("_txt")).alias("w")
     ).select(F.col(id_col), "y", "is_test", token_bucket("w", n_buckets).alias("b"))
     train = tok.filter(~F.col("is_test"))
+    # the ≤B-row count table feeds llr + totals + unseen fallback;
+    # persist it so the train scan runs once
     cnt = train.groupBy("b").agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double").alias("c1"),
         F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("double").alias("c0"),
-    )
+    ).persist()
     tot = cnt.agg(F.sum("c1").alias("n1"), F.sum("c0").alias("n0"))
     bb = float(n_buckets)
     llr = cnt.crossJoin(F.broadcast(tot)).select(
@@ -386,6 +407,8 @@ def trigram_xent(
     excluded (no trigrams). CCNet buckets these into head/middle/
     tail per language downstream — see the catalog query.
     """
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism, id_col)
     t = docs.select(
         F.col(id_col),
         F.col(lang_col).alias("lang"),
@@ -400,9 +423,12 @@ def trigram_xent(
             F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
         ).alias("tri"),
     )
+    # the LM feeds logp + per-lang totals + the unseen fallback —
+    # persist the (broadcast-scale) aggregate so the trigram explode
+    # runs exactly twice: once to train, once to score
     lm = tri.filter("is_t").groupBy("lang", "tri").agg(
         F.count("*").cast("double").alias("c")
-    )
+    ).persist()
     nv = lm.groupBy("lang").agg(
         F.sum("c").alias("n"), F.count("*").cast("double").alias("v")
     )

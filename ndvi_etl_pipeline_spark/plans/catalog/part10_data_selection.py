@@ -438,10 +438,12 @@ def q_selection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fp"),
     )
-    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id")).select(
+        F.col("fp").alias("kfp"), "keep_id"
+    )
     dedup = fp.join(
         keep,
-        (fp["fp"] == keep["fp"]) & (fp["doc_id"] == keep["keep_id"]),
+        (fp["fp"] == keep["kfp"]) & (fp["doc_id"] == keep["keep_id"]),
     ).select(fp["doc_id"], "source", "text")
     w = SEL.dsir_logweights(dedup, _target_pred()).join(
         dedup.select("doc_id", "source"), "doc_id"

@@ -88,6 +88,120 @@ def curate_batch(
     )
 
 
+SELECTED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("dsir_weight", T.DoubleType()),
+    ]
+)
+
+
+def train_dsir_model(docs: DataFrame, target_pred, model_path: str) -> None:
+    """Train the DSIR bucket LM offline and publish it as a parquet
+    model store (64 rows: bucket → log importance ratio). The
+    train-offline/score-online split: the batch job owns the model,
+    every stream batch broadcasts it — no state in the stream."""
+    from ..operators.selection import dsir_logweights  # noqa: F401  (doc anchor)
+    from ..operators.selection import N_BUCKETS, token_bucket
+    from ..functions.text import tokens
+
+    tok = docs.select(
+        target_pred.alias("is_t"), F.explode(tokens("text")).alias("w")
+    ).select("is_t", token_bucket("w").alias("b"))
+    cnt = tok.groupBy("b").agg(
+        F.count("*").cast("double").alias("c_r"),
+        F.sum(F.col("is_t").cast("int")).cast("double").alias("c_t"),
+    ).persist()
+    tot = cnt.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+    bb = float(N_BUCKETS)
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + F.lit(bb)))
+            - F.log((F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + F.lit(bb)))
+        ).alias("lr"),
+    )
+    lr.write.mode("overwrite").parquet(model_path)
+
+
+def score_batch(
+    batch_df: DataFrame,
+    model_df: DataFrame,
+    curated_path: str,
+    min_weight: float = 0.0,
+) -> DataFrame:
+    """One micro-batch through the DSIR gate: per-doc log importance
+    weight from the broadcast bucket LM, keep docs scoring above the
+    threshold, fingerprint-anti-join against the store (exactly-once
+    per content, the curate_batch idiom). Pure function of
+    (batch, model, store) — unit-testable without a stream."""
+    from ..operators.selection import token_bucket
+    from ..functions.text import tokens
+
+    spark = batch_df.sparkSession
+    base = batch_df.filter(F.col("text").isNotNull()).withColumn(
+        "fingerprint", exact_fingerprint("text")
+    )
+    tok = base.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    ).select("doc_id", token_bucket("w").alias("b"))
+    w = (
+        tok.join(F.broadcast(model_df), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("dsir_weight"))
+    )
+    scored = base.join(w, "doc_id").filter(F.col("dsir_weight") >= min_weight)
+    # one winner per fingerprint within the batch, then store anti-join
+    in_batch = scored.groupBy("fingerprint").agg(
+        F.min_by(
+            F.struct("doc_id", "text", "source", "dsir_weight"), F.col("doc_id")
+        ).alias("x")
+    ).select(
+        F.col("x.doc_id").alias("doc_id"),
+        F.col("x.text").alias("text"),
+        F.col("x.source").alias("source"),
+        "fingerprint",
+        F.col("x.dsir_weight").alias("dsir_weight"),
+    )
+    try:
+        seen = spark.read.schema(SELECTED_SCHEMA).parquet(curated_path).select(
+            "fingerprint"
+        )
+    except Exception:
+        seen = spark.createDataFrame([], "fingerprint string")
+    return in_batch.join(seen, "fingerprint", "left_anti")
+
+
+def stream_selected_documents(
+    spark: SparkSession,
+    landing_dir: str,
+    selected_path: str,
+    checkpoint_dir: str,
+    model_path: str,
+    min_weight: float = 0.0,
+) -> None:
+    """Drain the landing zone through the batch-trained DSIR gate
+    (availableNow). The model parquet is read once per run and
+    broadcast into every micro-batch join."""
+    model_df = spark.read.parquet(model_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = score_batch(batch_df, model_df, selected_path, min_weight)
+        fresh.write.mode("append").parquet(selected_path)
+
+    reader = spark.readStream.schema(LANDING_SCHEMA).json(landing_dir)
+    q = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_curated_documents(
     spark: SparkSession,
     landing_dir: str,

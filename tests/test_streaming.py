@@ -564,3 +564,62 @@ def test_stream_curated_documents_dedup_across_batches(spark, tmp_path):
     # replay with the same checkpoint: nothing new to process, store stable
     stream_curated_documents(spark, str(landing), curated, ckpt)
     assert {r["doc_id"] for r in spark.read.parquet(curated).collect()} == {1, 11}
+
+
+def test_stream_selected_documents_serves_batch_trained_dsir(
+    spark, sf_dir, tmp_path
+):
+    """Train-offline/score-online: a DSIR bucket LM trained by the
+    batch job and served in the stream must give every streamed doc
+    the SAME weight the batch operator computes, gate on the
+    threshold, and stay exactly-once per fingerprint on replay."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ndvi_etl_pipeline_spark.operators.selection import dsir_logweights
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+    from ndvi_etl_pipeline_spark.streaming.documents import (
+        stream_selected_documents,
+        train_dsir_model,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source"
+    )
+    pred = F.col("source").isin("src0", "src1", "src2", "src3")
+    model = str(tmp_path / "model")
+    train_dsir_model(docs, pred, model)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "drop1.jsonl", "w") as fh:
+        for r in docs.collect():
+            fh.write(
+                _json.dumps(
+                    {"doc_id": r.doc_id, "text": r.text, "source": r.source}
+                )
+                + "\n"
+            )
+    sel = str(tmp_path / "selected")
+    ckpt = str(tmp_path / "ckpt")
+    stream_selected_documents(spark, str(landing), sel, ckpt, model, min_weight=0.0)
+
+    got = {r.doc_id: r.dsir_weight for r in spark.read.parquet(sel).collect()}
+    exp = {
+        r.doc_id: r.dsir_logweight for r in dsir_logweights(docs, pred).collect()
+    }
+    assert got, "stream admitted nothing"
+    for doc_id, w in got.items():
+        assert w >= 0.0  # threshold respected
+        assert abs(w - exp[doc_id]) < 1e-9  # same model, same score
+    # every positive-weight doc whose fingerprint won its group is in
+    n_expected = sum(1 for v in exp.values() if v >= 0.0)
+    assert len(got) <= n_expected
+
+    # replay into a FRESH checkpoint: the store anti-join suppresses
+    # every already-admitted fingerprint
+    stream_selected_documents(
+        spark, str(landing), sel, str(tmp_path / "ckpt2"), model, min_weight=0.0
+    )
+    assert len(spark.read.parquet(sel).collect()) == len(got)

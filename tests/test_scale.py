@@ -432,3 +432,39 @@ def test_lsh_degenerate_bucket_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_selection_tier_plan_shapes(spark, sf_dir):
+    """The data-selection tier's physical plans stay the ones you'd
+    want at corpus scale: the DSIR top-k is sort+limit
+    (TakeOrderedAndProject, never a global window), its bucket-LM
+    join is broadcast, hard-negative mining broadcasts the query
+    side, and no BatchEvalPython appears anywhere in the tier."""
+    from ndvi_etl_pipeline_spark.plans.queries import REGISTRY
+
+    def plan_of(name):
+        return (
+            REGISTRY[name]
+            .builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan_of("dsir_importance_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p  # the 64-row LM join
+    p = plan_of("hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    for name in (
+        "dsir_importance_topk",
+        "semdedup_prune_census",
+        "exact_substring_dup_stats",
+        "exact_substring_coverage",
+        "naive_bayes_lang_quality",
+        "ccnet_perplexity_buckets",
+        "soft_dedup_effective_size",
+        "hard_negative_mining",
+        "selection_funnel",
+    ):
+        assert "BatchEvalPython" not in plan_of(name), name

@@ -3231,13 +3231,17 @@ def q_hash_avalanche_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides one cross join over the hashed relation — one scan, one
     shuffle on the 120-pair key."""
     o = _t(spark, sf_dir, "orders")
+    # the grid step amplifies every row 120× — spread the hashed
+    # relation over all cores BEFORE the blowup (the scan's byte-based
+    # splits under-parallelize compute-amplifying stages; same
+    # discipline as the winnowing/selection repartitions)
     h = o.select(
         (
             F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
             .cast("long")
             % 65536
         ).alias("hv")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     iv = spark.range(0, 16).select(F.col("id").cast("int").alias("i"))
     jv = spark.range(0, 16).select(F.col("id").cast("int").alias("j"))
     grid = (

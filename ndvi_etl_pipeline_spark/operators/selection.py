@@ -499,6 +499,92 @@ def hard_negatives(
     )
 
 
+def hard_negatives_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`hard_negatives` with the scoring kernel in Arrow-batched
+    numpy — same output bit for bit (similarity.brute_force_topk_np
+    discipline: dim-ordered accumulation matches the left-to-right
+    aggregate()/list_sum fold exactly, so nothing drifts through the
+    round). The label anti-predicate is applied inside the kernel
+    against the driver-held query label vector, before ranking."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("ql"),
+    ).collect()
+    qids = [r.qid for r in qrows]
+    qlabels = [r.ql for r in qrows]
+    Q = np.array([list(r.qv) for r in qrows], dtype=np.float64)
+    qnorm_acc = np.zeros(len(qrows))
+    for d in range(Q.shape[1] if Q.size else 0):
+        qnorm_acc += Q[:, d] * Q[:, d]
+    qnorm = np.sqrt(qnorm_acc)
+
+    id_field = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_field),
+            T.StructField(id_col, id_field),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            labels = pdf[label_col].to_numpy()
+            B, D = M.shape
+            cnorm_acc = np.zeros(B)
+            for d in range(D):
+                cnorm_acc += M[:, d] * M[:, d]
+            cnorm = np.sqrt(cnorm_acc)
+            frames = []
+            for qi, qid in enumerate(qids):
+                keep = labels != qlabels[qi]
+                if not keep.any():
+                    continue
+                acc = np.zeros(B)
+                for d in range(D):
+                    acc += M[:, d] * Q[qi, d]
+                sim = np.round(acc / (cnorm * qnorm[qi]), round_digits)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_col: pdf[id_col].to_numpy()[keep],
+                            "cosine_sim": sim[keep],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cosine_sim")
+    )
+
+
 def soft_dedup_weights(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

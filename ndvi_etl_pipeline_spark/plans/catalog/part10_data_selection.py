@@ -512,10 +512,12 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per query
     vector, the 5 most-similar corpus vectors with a DIFFERENT
     label — the anti-predicate applies before ranking (a
-    post-filtered top-k would under-fill). Broadcast query side,
+    post-filtered top-k would under-fill). Arrow/numpy scoring
+    kernel (brute_force_topk_np discipline, bit-identical to the
+    native fold, equality test-pinned), driver-held query matrix,
     one corpus scan, windowed top-k on the rounded score."""
     e = _t(spark, sf_dir, "embeddings")
-    return SEL.hard_negatives(
+    return SEL.hard_negatives_np(
         e.filter(F.col("vec_id") >= 10), e.filter(F.col("vec_id") < 10), k=5
     )
 

@@ -151,6 +151,26 @@ def test_trigram_xent_prefers_in_distribution_text(spark):
     assert out[1] == out[2]  # same text, same score, target or not
 
 
+def test_hard_negatives_np_equals_native_path(spark, sf_dir):
+    """The Arrow/numpy hard-negative kernel must match the native
+    zip_with/aggregate path bit for bit (the brute_force_topk_np
+    equality discipline)."""
+    from pyspark.sql import functions as F
+
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    corpus = e.filter(F.col("vec_id") >= 10)
+    queries = e.filter(F.col("vec_id") < 10)
+    a = sorted(
+        map(tuple, SEL.hard_negatives(corpus, queries, k=5).collect())
+    )
+    b = sorted(
+        map(tuple, SEL.hard_negatives_np(corpus, queries, k=5).collect())
+    )
+    assert a == b and len(a) > 0
+
+
 def test_token_bucket_matches_reference_hash(spark):
     words = ["alpha", "beta", "gamma", "Ψ-unicode"]
     df = spark.createDataFrame([(w,) for w in words], "w string")

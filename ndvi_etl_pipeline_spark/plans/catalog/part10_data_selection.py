@@ -523,6 +523,77 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, source, md5(text) AS fp FROM documents
+    ),
+    v2 AS (
+      -- the simulated next release: every 10th doc re-crawled with
+      -- changed content, every 7th dropped, a shifted id block added
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 10 = 0 THEN md5(text || ' v2') ELSE md5(text) END AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, source, md5(text || ' new') AS fp
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    j AS (
+      SELECT coalesce(a.source, b.source) AS source,
+             CASE WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN a.fp <> b.fp THEN 'modified'
+                  ELSE 'unchanged' END AS status
+      FROM v1 a FULL OUTER JOIN v2 b USING (doc_id)
+    )
+    SELECT source, status, count(*) AS n
+    FROM j GROUP BY source, status
+    """,
+    tags=("selection", "versioning"),
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diffing — the versioning op every periodically
+    re-crawled training corpus needs: full outer join of two
+    snapshots on doc_id, classify added/removed/modified/unchanged
+    by content fingerprint, per-source census. One co-partitioned
+    shuffle on doc_id; fingerprints compare without carrying text
+    through the join."""
+    d = _t(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", "source", F.md5(F.col("text").cast("binary")).alias("fp"))
+    v2 = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" v2")).cast("binary")),
+        )
+        .otherwise(F.md5(F.col("text").cast("binary")))
+        .alias("fp"),
+    ).unionAll(
+        d.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "source",
+            F.md5(F.concat(F.col("text"), F.lit(" new")).cast("binary")).alias("fp"),
+        )
+    )
+    a = v1.select(
+        F.col("doc_id"), F.col("source").alias("src_a"), F.col("fp").alias("fp_a")
+    )
+    b = v2.select(
+        F.col("doc_id"), F.col("source").alias("src_b"), F.col("fp").alias("fp_b")
+    )
+    j = a.join(b, "doc_id", "full_outer").select(
+        F.coalesce("src_a", "src_b").alias("source"),
+        F.when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return j.groupBy("source", "status").agg(F.count("*").alias("n"))
+
+
+@register(
     "soft_dedup_effective_size",
     oracle="""
     WITH fp AS (

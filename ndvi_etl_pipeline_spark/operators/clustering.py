@@ -138,3 +138,90 @@ def kmeans_centroid_vectors(
         centroids = sorted((r.cid, list(r.c)) for r in new_c)
     vecs.unpersist()
     return centroids
+
+
+def pca_power_iteration(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iterations: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(idx, loading, eigenvalue): top principal component of the
+    vector column by power iteration on the (implicit) covariance —
+    fourth member of the iterative-operator family.
+
+    The Spark shape: the candidate direction v is a driver-held
+    dim-vector re-broadcast as a literal each step (metadata-scale,
+    the kmeans centroid idiom); each iteration is ONE job — per-row
+    score s = x_c·v via a zip_with fold, then dim sums
+    w_d = Σ_rows s·x_c[d] as a single wide aggregate — the corpus
+    never moves and the covariance matrix is never materialized
+    (C·v computed as X'(Xv), the standard trick that keeps power
+    iteration linear in rows at any dim).
+
+    Engine portability, the family discipline: the per-dim mean and
+    each normalized iterate are rounded at `round_digits` (JVM-side
+    F.round — HALF_UP matches the oracle's round), so the whole
+    trajectory replays exactly in the unrolled-CTE oracle and the
+    final loadings are value-checked, not rows-only. v0 = all-ones
+    (exact in binary)."""
+    spark = df.sparkSession
+    add = lambda acc, x: acc + x  # noqa: E731
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v")).persist()
+    dim = len(vecs.first().v)
+    mu_rows = (
+        vecs.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("val"), round_digits).alias("m"))
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[r.pos] = float(r.m)
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    cent = vecs.select(
+        F.zip_with("v", mu_lit, lambda a, b: a - b).alias("x")
+    ).persist()
+
+    import math
+
+    v = [1.0] * dim  # raw (pre-round) components; rounding is JVM-side
+    rounded = False
+    for _ in range(iterations):
+        v_lit = F.array(
+            *[
+                (F.round(F.lit(x), round_digits) if rounded else F.lit(x))
+                for x in v
+            ]
+        )
+        s = F.aggregate(F.zip_with("x", v_lit, lambda a, b: a * b), F.lit(0.0), add)
+        row = (
+            cent.select(s.alias("s"), "x")
+            .agg(
+                *[
+                    F.sum(F.col("s") * F.element_at("x", d + 1)).alias(f"w{d}")
+                    for d in range(dim)
+                ]
+            )
+            .collect()[0]
+        )
+        w = [float(row[f"w{d}"]) for d in range(dim)]
+        nrm = math.sqrt(sum(wi * wi for wi in w))
+        v = [wi / nrm for wi in w]
+        rounded = True
+
+    v_lit = F.array(*[F.round(F.lit(x), round_digits) for x in v])
+    s = F.aggregate(F.zip_with("x", v_lit, lambda a, b: a * b), F.lit(0.0), add)
+    lam_n = cent.select(s.alias("s")).agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss"), F.count("*").alias("n")
+    ).collect()[0]
+    lam = float(lam_n.ss) / (int(lam_n.n) - 1)
+    out = spark.createDataFrame(
+        [(d + 1, v[d], lam) for d in range(dim)],
+        "idx int, loading double, eigenvalue double",
+    )
+    return out.select(
+        "idx",
+        F.round("loading", round_digits).alias("loading"),
+        F.round("eigenvalue", 4).alias("eigenvalue"),
+    )

@@ -522,6 +522,70 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_oracle(iterations: int = 3) -> str:
+    """Power iteration unrolled as chained CTEs (the _kmeans_chain
+    discipline): per-dim mean and every normalized iterate rounded at
+    6 so the trajectory is engine-portable; C·v computed as X'(Xv) in
+    relational form (two grouped sums per step)."""
+    steps = []
+    prev = "v0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""s{i} AS (
+      SELECT c.vec_id, sum(c.x * v.v) AS s
+      FROM cpts c JOIN {prev} v USING (idx) GROUP BY c.vec_id),
+    w{i} AS (
+      SELECT c.idx, sum(s.s * c.x) AS w
+      FROM cpts c JOIN s{i} s USING (vec_id) GROUP BY c.idx),
+    n{i} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{i}),
+    v{i} AS (SELECT idx, round(w / nrm, 6) AS v FROM w{i} CROSS JOIN n{i})"""
+        )
+        prev = f"v{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, CAST(t.i AS INT) AS idx,
+             CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN range(1, 65) AS t(i)
+      WHERE t.i <= len(embedding)),
+    mu AS (SELECT idx, round(avg(val), 6) AS m FROM pts GROUP BY idx),
+    cpts AS (SELECT p.vec_id, p.idx, p.val - mu.m AS x
+             FROM pts p JOIN mu USING (idx)),
+    v0 AS (SELECT idx, 1.0 AS v FROM mu),
+    {chain},
+    sf AS (
+      SELECT c.vec_id, sum(c.x * v.v) AS s
+      FROM cpts c JOIN v{iterations} v USING (idx) GROUP BY c.vec_id),
+    lam AS (SELECT round(sum(s * s) / (count(*) - 1), 4) AS eigenvalue FROM sf)
+    SELECT v{iterations}.idx, v{iterations}.v AS loading, lam.eigenvalue
+    FROM v{iterations} CROSS JOIN lam
+    """
+
+
+@register(
+    "pca_loadings_matfree",
+    oracle=_pca_oracle(3),
+    tags=("selection", "iterative", "embedding"),
+)
+def q_pca_loadings_matfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component LOADINGS by matrix-free power
+    iteration (3 steps) — the complement of pca_power_iteration
+    (part05), which materializes the d×d covariance and reports only
+    λ₁. Here C·v is computed as X'(Xv): one zip_with fold + one wide
+    aggregate per step, corpus never moves, covariance never exists —
+    the form that survives d ≫ 64 (d² covariance rows vs O(d) state),
+    and the per-dim loading vector itself is the output (the
+    whitening/anisotropy-removal primitive the embedding ops need).
+    Direction is a driver-held dim-vector (kmeans centroid idiom);
+    per-iteration rounding makes the trajectory engine-portable, so
+    loadings AND the Rayleigh eigenvalue are value-checked against
+    the unrolled CTE replay — exact, not rows-only."""
+    from ...operators.clustering import pca_power_iteration
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pca_power_iteration(e, iterations=3)
+
+
 @register(
     "corpus_snapshot_diff",
     oracle="""

@@ -140,50 +140,55 @@ def kmeans_centroid_vectors(
     return centroids
 
 
-def pca_power_iteration(
+
+def centered_embeddings(
     df: DataFrame,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
-    iterations: int = 3,
     round_digits: int = 6,
 ) -> DataFrame:
-    """(idx, loading, eigenvalue): top principal component of the
-    vector column by power iteration on the (implicit) covariance —
-    fourth member of the iterative-operator family.
-
-    The Spark shape: the candidate direction v is a driver-held
-    dim-vector re-broadcast as a literal each step (metadata-scale,
-    the kmeans centroid idiom); each iteration is ONE job — per-row
-    score s = x_c·v via a zip_with fold, then dim sums
-    w_d = Σ_rows s·x_c[d] as a single wide aggregate — the corpus
-    never moves and the covariance matrix is never materialized
-    (C·v computed as X'(Xv), the standard trick that keeps power
-    iteration linear in rows at any dim).
-
-    Engine portability, the family discipline: the per-dim mean and
-    each normalized iterate are rounded at `round_digits` (JVM-side
-    F.round — HALF_UP matches the oracle's round), so the whole
-    trajectory replays exactly in the unrolled-CTE oracle and the
-    final loadings are value-checked, not rows-only. v0 = all-ones
-    (exact in binary)."""
-    spark = df.sparkSession
-    add = lambda acc, x: acc + x  # noqa: E731
-    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v")).persist()
-    dim = len(vecs.first().v)
+    """(id, x array<double>): mean-centered vectors, with the per-dim
+    mean rounded at `round_digits` — the engine-portable centering
+    every PCA/whitening trajectory here starts from (the oracle's
+    `mu` CTE computes the identical rounded means)."""
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
     mu_rows = (
         vecs.select(F.posexplode("v").alias("pos", "val"))
         .groupBy("pos")
         .agg(F.round(F.avg("val"), round_digits).alias("m"))
         .collect()
     )
+    dim = max(r.pos for r in mu_rows) + 1
     mu = [0.0] * dim
     for r in mu_rows:
         mu[r.pos] = float(r.m)
     mu_lit = F.array(*[F.lit(m) for m in mu])
-    cent = vecs.select(
-        F.zip_with("v", mu_lit, lambda a, b: a - b).alias("x")
-    ).persist()
+    return vecs.select(
+        F.col(id_col), F.zip_with("v", mu_lit, lambda a, b: a - b).alias("x")
+    )
 
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iterations: int = 3,
+    round_digits: int = 6,
+    id_col: str = "vec_id",
+) -> tuple[list[float], float]:
+    """([loading, ...], eigenvalue): the fitted direction other
+    operators compose with (whitening, projection audits) — the
+    kmeans_centroid_vectors idiom. Loadings are engine-side-rounded
+    (F.round literals, HALF_UP) so they equal the unrolled-CTE
+    oracle's v exactly; the Rayleigh eigenvalue is computed with the
+    rounded direction. See pca_power_iteration for the plan shape."""
     import math
+
+    spark = df.sparkSession
+    add = lambda acc, x: acc + x  # noqa: E731
+    cent = centered_embeddings(df, id_col, vec_col, round_digits).select("x").persist()
+    dim = len(cent.first().x)
 
     v = [1.0] * dim  # raw (pre-round) components; rounding is JVM-side
     rounded = False
@@ -210,18 +215,55 @@ def pca_power_iteration(
         v = [wi / nrm for wi in w]
         rounded = True
 
-    v_lit = F.array(*[F.round(F.lit(x), round_digits) for x in v])
+    # engine-side rounding of the final iterate (one metadata job) so
+    # the returned floats are bit-identical to the oracle's round()
+    vr_row = spark.range(1).select(
+        *[F.round(F.lit(x), round_digits).alias(f"v{d}") for d, x in enumerate(v)]
+    ).collect()[0]
+    vr = [float(vr_row[f"v{d}"]) for d in range(dim)]
+
+    v_lit = F.array(*[F.lit(x) for x in vr])
     s = F.aggregate(F.zip_with("x", v_lit, lambda a, b: a * b), F.lit(0.0), add)
     lam_n = cent.select(s.alias("s")).agg(
         F.sum(F.col("s") * F.col("s")).alias("ss"), F.count("*").alias("n")
     ).collect()[0]
     lam = float(lam_n.ss) / (int(lam_n.n) - 1)
+    return vr, lam
+
+
+def pca_power_iteration(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iterations: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(idx, loading, eigenvalue): top principal component of the
+    vector column by power iteration on the (implicit) covariance —
+    fourth member of the iterative-operator family.
+
+    The Spark shape: the candidate direction v is a driver-held
+    dim-vector re-broadcast as a literal each step (metadata-scale,
+    the kmeans centroid idiom); each iteration is ONE job — per-row
+    score s = x_c·v via a zip_with fold, then dim sums
+    w_d = Σ_rows s·x_c[d] as a single wide aggregate — the corpus
+    never moves and the covariance matrix is never materialized
+    (C·v computed as X'(Xv), the standard trick that keeps power
+    iteration linear in rows at any dim).
+
+    Engine portability, the family discipline: the per-dim mean and
+    each normalized iterate are rounded at `round_digits` (JVM-side
+    F.round — HALF_UP matches the oracle's round), so the whole
+    trajectory replays exactly in the unrolled-CTE oracle and the
+    final loadings are value-checked, not rows-only. v0 = all-ones
+    (exact in binary)."""
+    spark = df.sparkSession
+    vr, lam = pca_top_component(df, vec_col, iterations, round_digits)
     out = spark.createDataFrame(
-        [(d + 1, v[d], lam) for d in range(dim)],
+        [(d + 1, vr[d], lam) for d in range(len(vr))],
         "idx int, loading double, eigenvalue double",
     )
     return out.select(
         "idx",
-        F.round("loading", round_digits).alias("loading"),
+        F.col("loading"),
         F.round("eigenvalue", 4).alias("eigenvalue"),
     )

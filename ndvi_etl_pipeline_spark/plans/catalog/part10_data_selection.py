@@ -522,11 +522,13 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_oracle(iterations: int = 3) -> str:
+def _pca_chain(iterations: int = 3) -> str:
     """Power iteration unrolled as chained CTEs (the _kmeans_chain
     discipline): per-dim mean and every normalized iterate rounded at
     6 so the trajectory is engine-portable; C·v computed as X'(Xv) in
-    relational form (two grouped sums per step)."""
+    relational form (two grouped sums per step). Returns the
+    WITH-body prefix ending at v{iterations} — the fitted direction —
+    so composed oracles (whitening) can extend the same trajectory."""
     steps = []
     prev = "v0"
     for i in range(1, iterations + 1):
@@ -542,8 +544,7 @@ def _pca_oracle(iterations: int = 3) -> str:
         )
         prev = f"v{i}"
     chain = ",\n    ".join(steps)
-    return f"""
-    WITH pts AS (
+    return f"""pts AS (
       SELECT vec_id, CAST(t.i AS INT) AS idx,
              CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS val
       FROM embeddings CROSS JOIN range(1, 65) AS t(i)
@@ -552,7 +553,12 @@ def _pca_oracle(iterations: int = 3) -> str:
     cpts AS (SELECT p.vec_id, p.idx, p.val - mu.m AS x
              FROM pts p JOIN mu USING (idx)),
     v0 AS (SELECT idx, 1.0 AS v FROM mu),
-    {chain},
+    {chain}"""
+
+
+def _pca_oracle(iterations: int = 3) -> str:
+    return f"""
+    WITH {_pca_chain(iterations)},
     sf AS (
       SELECT c.vec_id, sum(c.x * v.v) AS s
       FROM cpts c JOIN v{iterations} v USING (idx) GROUP BY c.vec_id),
@@ -584,6 +590,79 @@ def q_pca_loadings_matfree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return pca_power_iteration(e, iterations=3)
+
+
+@register(
+    "embedding_whitening_audit",
+    oracle=f"""
+    WITH {_pca_chain(3)},
+    sc AS (
+      SELECT c.vec_id, sum(c.x * v.v) AS s
+      FROM cpts c JOIN v3 v USING (idx) GROUP BY c.vec_id),
+    wh AS (
+      SELECT c.vec_id, c.idx, c.x AS xc, c.x - sc.s * v.v AS xw
+      FROM cpts c JOIN sc USING (vec_id) JOIN v3 v USING (idx)),
+    pa AS (SELECT vec_id AS i, idx, xc, xw FROM wh WHERE vec_id < 250),
+    pb AS (SELECT vec_id - 250 AS i, idx, xc AS yc, xw AS yw
+           FROM wh WHERE vec_id >= 250),
+    d AS (
+      SELECT pa.i,
+             sum(pa.xc * pb.yc) AS dc, sum(pa.xw * pb.yw) AS dw,
+             sqrt(sum(pa.xc * pa.xc)) AS nca, sqrt(sum(pb.yc * pb.yc)) AS ncb,
+             sqrt(sum(pa.xw * pa.xw)) AS nwa, sqrt(sum(pb.yw * pb.yw)) AS nwb
+      FROM pa JOIN pb ON pa.i = pb.i AND pa.idx = pb.idx
+      GROUP BY pa.i)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(dc / (nca * ncb)), 4) AS mean_cos_centered,
+           round(avg(dw / (nwa * nwb)), 4) AS mean_cos_whitened,
+           round(avg(dc / (nca * ncb)) - avg(dw / (nwa * nwb)), 4)
+             AS isotropy_gain
+    FROM d
+    """,
+    tags=("selection", "embedding", "iterative"),
+)
+def q_embedding_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-Top whitening (Mu & Viswanath 2018): remove the
+    fitted top principal direction (the pca_loadings_matfree
+    trajectory — same unrolled oracle chain) from the centered
+    embeddings and measure the isotropy gain on 250 disjoint pairs
+    (the embedding_isotropy pairing). The direction is a driver-held
+    broadcast literal; the projection is a zip_with fold — one
+    corpus pass plus the pair join. Loadings, projection, and both
+    mean cosines replay exactly cross-engine."""
+    from ...operators.clustering import centered_embeddings, pca_top_component
+    from ...operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    v, _lam = pca_top_component(e, iterations=3)
+    v_lit = F.array(*[F.lit(x) for x in v])
+    cent = centered_embeddings(e)
+    s = F.aggregate(
+        F.zip_with("x", v_lit, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
+    )
+    proj = cent.select("vec_id", "x", s.alias("s"))
+    wh = proj.select(
+        "vec_id",
+        "x",
+        F.zip_with("x", v_lit, lambda xd, vd: xd - F.col("s") * vd).alias("xw"),
+    )
+    a = wh.filter(F.col("vec_id") < 250).select(
+        F.col("vec_id").alias("i"), F.col("x").alias("xa"), F.col("xw").alias("wa")
+    )
+    b = wh.filter(F.col("vec_id") >= 250).select(
+        (F.col("vec_id") - 250).alias("i"),
+        F.col("x").alias("xb"),
+        F.col("xw").alias("wb"),
+    )
+    cs = a.join(b, "i").select(
+        cosine("xa", "xb").alias("cc"), cosine("wa", "wb").alias("cw")
+    )
+    return cs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("cc"), 4).alias("mean_cos_centered"),
+        F.round(F.avg("cw"), 4).alias("mean_cos_whitened"),
+        F.round(F.avg("cc") - F.avg("cw"), 4).alias("isotropy_gain"),
+    )
 
 
 @register(

@@ -353,3 +353,38 @@ def test_pq_train_encode_adc(spark, sf_dir):
     # floor that fails if train/encode/ADC breaks but tolerates the
     # deliberately small test codebooks
     assert hits >= 6, (hits, n_corpus)
+
+
+def test_pca_top_component_is_unit_and_dominant(spark, sf_dir_oracle):
+    """The fitted direction is unit-norm (to rounding), its Rayleigh
+    eigenvalue is positive and no smaller than the variance along
+    any single axis (the top PC dominates every coordinate
+    direction), and pca_power_iteration reports the same loadings."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ndvi_etl_pipeline_spark.operators.clustering import (
+        centered_embeddings,
+        pca_power_iteration,
+        pca_top_component,
+    )
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+
+    e = load_table(spark, "embeddings", sf_dir_oracle)
+    v, lam = pca_top_component(e, iterations=3)
+    assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-4
+    assert lam > 0
+    # variance along each axis from the centered relation
+    cent = centered_embeddings(e)
+    n = cent.count()
+    var_rows = (
+        cent.select(F.posexplode("x").alias("pos", "xd"))
+        .groupBy("pos")
+        .agg((F.sum(F.col("xd") * F.col("xd")) / (n - 1)).alias("var"))
+        .collect()
+    )
+    assert lam >= max(r.var for r in var_rows) * 0.999
+    got = {r.idx: r.loading for r in pca_power_iteration(e, iterations=3).collect()}
+    for d, x in enumerate(v):
+        assert got[d + 1] == x

@@ -222,3 +222,4 @@ def test_jpeg_q100_roundtrip_bounded(h, w, gray, subsample, ri, seed):
         unclipped = ((out > 0) & (out < 255)).all(axis=-1)
         if unclipped.any():
             assert np.abs(oluma - luma)[unclipped].max() <= 4.5
+

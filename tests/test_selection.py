@@ -7,6 +7,8 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from ndvi_etl_pipeline_spark.operators import selection as SEL
@@ -180,3 +182,44 @@ def test_token_bucket_matches_reference_hash(spark):
     }
     for w in words:
         assert got[w] == _bucket_py(w)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_docs=st.integers(min_value=2, max_value=12),
+    doc_len=st.integers(min_value=8, max_value=30),
+    vocab=st.integers(min_value=2, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_exact_substring_census_and_coverage_agree(
+    spark, n_docs, doc_len, vocab, seed
+):
+    """On any corpus (tiny vocab forces window collisions), the
+    duplication census and the removal coverage must agree: same doc
+    set, and for every flagged doc the interval-union coverage is
+    bounded by [max(window, n_dup_windows), min(n_tokens,
+    n_dup_windows * window)] — k distinct starts cover at least k
+    positions (the starts themselves) and at most k·w."""
+    import numpy as np
+
+    W = 8
+    rng = np.random.RandomState(seed)
+    rows = [
+        (i, " ".join(f"w{rng.randint(vocab)}" for _ in range(doc_len)))
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    census = {
+        r.doc_id: r for r in SEL.duplicated_window_stats(docs, window=W).collect()
+    }
+    cover = {
+        r.doc_id: r for r in SEL.duplicated_token_coverage(docs, window=W).collect()
+    }
+    assert set(census) == set(cover)
+    for did, c in census.items():
+        v = cover[did]
+        assert v.n_tokens == doc_len
+        assert c.n_windows == doc_len - W + 1
+        k = c.n_dup_windows
+        assert max(W, k) <= v.n_covered <= min(v.n_tokens, k * W)
+        assert v.keep_frac == round(1.0 - v.n_covered / v.n_tokens, 4)

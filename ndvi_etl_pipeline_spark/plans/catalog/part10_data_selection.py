@@ -522,6 +522,90 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "length_bucketed_batches",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, len({_TOK_SQL}) AS n_tok FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok,
+             CAST(floor((row_number() OVER (ORDER BY n_tok, doc_id) - 1) / 16.0)
+                  AS BIGINT) AS batch
+      FROM tok
+    ),
+    arrival AS (
+      SELECT doc_id, n_tok,
+             CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 16.0)
+                  AS BIGINT) AS batch
+      FROM tok
+    ),
+    wb2 AS (
+      SELECT b.batch, count(*) AS n, max(b.n_tok) AS max_tok,
+             sum(b.n_tok) AS tok_sum
+      FROM bucketed b GROUP BY b.batch
+    ),
+    wa2 AS (
+      SELECT a.batch, count(*) AS n, max(a.n_tok) AS max_tok,
+             sum(a.n_tok) AS tok_sum
+      FROM arrival a GROUP BY a.batch
+    )
+    SELECT 'length_bucketed' AS strategy,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n * max_tok - tok_sum) AS BIGINT) AS padding_waste,
+           round(sum(tok_sum)::DOUBLE / sum(n * max_tok), 4) AS fill_ratio
+    FROM wb2
+    UNION ALL
+    SELECT 'arrival_order' AS strategy,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n * max_tok - tok_sum) AS BIGINT) AS padding_waste,
+           round(sum(tok_sum)::DOUBLE / sum(n * max_tok), 4) AS fill_ratio
+    FROM wa2
+    """,
+    tags=("selection", "batching"),
+)
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching (the padding-efficiency trick every
+    transformer inference/training loader uses): sort by token count,
+    cut into batches of 16, and report total padding waste + fill
+    ratio against arrival-order batching on the same corpus. At
+    scale the global sort becomes a range partition on the length
+    key (repartitionByRange — the contiguous_ids idiom); the census
+    itself is two tiny aggregates."""
+    from ...functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", token_count("text").alias("n_tok"))
+
+    def census(order_cols, name):
+        w = Window.orderBy(*order_cols)
+        b = tok.select(
+            "n_tok",
+            F.floor((F.row_number().over(w) - 1) / 16.0).cast("bigint").alias("batch"),
+        )
+        per = b.groupBy("batch").agg(
+            F.count("*").alias("n"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("tok_sum"),
+        )
+        return per.agg(
+            F.lit(name).alias("strategy"),
+            F.count("*").cast("bigint").alias("n_batches"),
+            F.sum(F.col("n") * F.col("max_tok") - F.col("tok_sum"))
+            .cast("bigint")
+            .alias("padding_waste"),
+            F.round(
+                F.sum("tok_sum").cast("double")
+                / F.sum(F.col("n") * F.col("max_tok")),
+                4,
+            ).alias("fill_ratio"),
+        )
+
+    return census([F.asc("n_tok"), F.asc("doc_id")], "length_bucketed").unionAll(
+        census([F.asc("doc_id")], "arrival_order")
+    )
+
+
 def _pca_chain(iterations: int = 3) -> str:
     """Power iteration unrolled as chained CTEs (the _kmeans_chain
     discipline): per-dim mean and every normalized iterate rounded at

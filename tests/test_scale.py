@@ -454,8 +454,10 @@ def test_selection_tier_plan_shapes(spark, sf_dir):
     p = plan_of("dsir_importance_topk")
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p  # the 64-row LM join
+    # hard-negative mining scores via the Arrow kernel (driver-held
+    # query matrix — no join at all), then ranks with a window
     p = plan_of("hard_negative_mining")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "MapInPandas" in p and "Join" not in p
     for name in (
         "dsir_importance_topk",
         "semdedup_prune_census",

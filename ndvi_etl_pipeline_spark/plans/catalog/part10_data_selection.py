@@ -144,11 +144,14 @@ def q_semdedup_prune_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest of 8 deterministic centroids (corpus rows 0-7, the
     ann_ivf_topk trick that keeps the oracle SQL-replayable), then
     within each cluster remove rows whose cosine to a lower-id row
-    is ≥ 0.30 (rounded-before-compare, keep-first policy). Pair
-    volume is Σ|cluster|² — the SemDeDup design knob; centroids are
-    broadcast."""
+    is ≥ 0.30 (rounded-before-compare, keep-first policy). The pair
+    stage runs as SemDeDup itself does — a dense numpy kernel per
+    cluster (applyInPandas, dim-ordered Gram accumulation,
+    bit-identical to the HOF-fold path and equality test-pinned);
+    pair volume is Σ|cluster|² — the cluster-granularity design
+    knob that bounds per-task memory; centroids are broadcast."""
     e = _t(spark, sf_dir, "embeddings")
-    return SEL.semdedup_cluster_stats(
+    return SEL.semdedup_cluster_stats_np(
         e, e.filter(F.col("vec_id") < 8), tau=0.30
     )
 

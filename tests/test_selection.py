@@ -153,6 +153,22 @@ def test_trigram_xent_prefers_in_distribution_text(spark):
     assert out[1] == out[2]  # same text, same score, target or not
 
 
+def test_semdedup_np_equals_native_path(spark, sf_dir):
+    """The per-cluster numpy census must match the relational
+    self-join path exactly on real data."""
+    from pyspark.sql import functions as F
+
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = e.filter(F.col("vec_id") < 8)
+    a = sorted(map(tuple, SEL.semdedup_cluster_stats(e, cents, tau=0.30).collect()))
+    b = sorted(
+        map(tuple, SEL.semdedup_cluster_stats_np(e, cents, tau=0.30).collect())
+    )
+    assert a == b and len(a) > 0
+
+
 def test_hard_negatives_np_equals_native_path(spark, sf_dir):
     """The Arrow/numpy hard-negative kernel must match the native
     zip_with/aggregate path bit for bit (the brute_force_topk_np

@@ -689,3 +689,144 @@ def soft_dedup_weights(
         "cluster_size",
         (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
     )
+
+
+def gopher_repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, appendix A1.1):
+    per-document n-gram repetition mass over word n-grams.
+
+    For each ``n`` in ``top_ns``: ``top{n}_frac`` = occurrence mass of
+    the single heaviest n-gram (count x its character length) over the
+    document's character count. For each ``n`` in ``dup_ns``:
+    ``dup{n}_frac`` = total occurrence mass of every n-gram that
+    occurs >= 2 times in the document. "Occurrence mass" counts each
+    occurrence's characters independently (overlaps are not merged) —
+    the standard distributed simplification of the paper's
+    character-coverage rule; thresholds below are calibrated to it.
+
+    Shape at corpus scale: one explode (after the
+    repartition-before-explode discipline — byte-based scan splits
+    under-parallelize compute-amplifying stages), then three
+    aggregations all keyed by doc_id prefixes, so the partial aggs
+    are map-side and no key ever exceeds one document's n-gram set.
+    """
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism, id_col)
+    base = docs.select(
+        F.col(id_col),
+        F.length(F.trim(F.col(text_col))).alias("total_chars"),
+        tokens(text_col).alias("w"),
+    ).filter(F.col("total_chars") > 0)
+    arrs = ", ".join(
+        f"CASE WHEN size(w) >= {n} THEN transform(sequence(1, size(w) - {n - 1}),"
+        f" i -> named_struct('n', {n}, 'g', concat_ws(' ', slice(w, i, {n}))))"
+        f" ELSE array() END"
+        for n in (*top_ns, *dup_ns)
+    )
+    grams = base.select(
+        F.col(id_col), F.explode(F.expr(f"flatten(array({arrs}))")).alias("ng")
+    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    cnt = grams.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    cov = cnt.groupBy(id_col, "n").agg(
+        F.max(F.col("c") * F.length("g")).alias("top_cov"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(F.lit(0))
+        ).alias("dup_cov"),
+    )
+    aggs = [
+        F.max(F.when(F.col("n") == n, F.col("top_cov"))).alias(f"top{n}_cov")
+        for n in top_ns
+    ] + [
+        F.max(F.when(F.col("n") == n, F.col("dup_cov"))).alias(f"dup{n}_cov")
+        for n in dup_ns
+    ]
+    piv = cov.groupBy(id_col).agg(*aggs)
+    out = base.select(id_col, "total_chars").join(piv, id_col, "left")
+    cols = [F.col(id_col), F.col("total_chars").cast("int").alias("total_chars")]
+    cols += [
+        F.round(
+            F.coalesce(F.col(f"top{n}_cov"), F.lit(0)).cast("double")
+            / F.col("total_chars"),
+            6,
+        ).alias(f"top{n}_frac")
+        for n in top_ns
+    ]
+    cols += [
+        F.round(
+            F.coalesce(F.col(f"dup{n}_cov"), F.lit(0)).cast("double")
+            / F.col("total_chars"),
+            6,
+        ).alias(f"dup{n}_frac")
+        for n in dup_ns
+    ]
+    return out.select(*cols)
+
+
+def dup_segment_stats(
+    docs: DataFrame,
+    seg_len: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document duplicate-"line" census — the Gopher
+    duplicate-line / duplicate-paragraph fraction family (Rae et al.
+    2021 A1.1), with the document segmented into NON-overlapping
+    ``seg_len``-token chunks (this corpus carries no newlines, so the
+    segmenter is positional; with real lines, substitute
+    split(text, '\\n') for the chunker — the census is unchanged).
+
+    Returns (doc_id, n_segments, dup_segments, dup_seg_frac,
+    dup_char_frac): the fraction of segments that are copies of an
+    earlier-or-later identical segment IN THE SAME DOCUMENT, by count
+    and by character mass. All keys are doc_id-prefixed: the explode
+    and both aggregations partial-combine map-side, nothing shuffles
+    on raw segment text corpus-wide (contrast
+    :func:`duplicated_window_stats`, the cross-corpus form).
+    """
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism, id_col)
+    base = docs.select(F.col(id_col), tokens(text_col).alias("w")).filter(
+        F.size("w") >= seg_len
+    )
+    segs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) div {seg_len}),"
+                f" i -> concat_ws(' ', slice(w, (i - 1) * {seg_len} + 1, {seg_len})))"
+            )
+        ).alias("seg"),
+    )
+    cnt = segs.groupBy(id_col, "seg").agg(F.count("*").alias("c"))
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_segments"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_segments"
+            ),
+            F.sum(F.col("c") * F.length("seg")).alias("seg_chars"),
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.length("seg")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup_chars"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_segments").cast("int").alias("n_segments"),
+            F.col("dup_segments").cast("int").alias("dup_segments"),
+            F.round(
+                F.col("dup_segments").cast("double") / F.col("n_segments"), 6
+            ).alias("dup_seg_frac"),
+            F.round(F.col("dup_chars").cast("double") / F.col("seg_chars"), 6).alias(
+                "dup_char_frac"
+            ),
+        )
+    )

@@ -12,6 +12,7 @@ from . import part07_split_conformal_in  # noqa: F401
 from . import part08_partial_pooling_es  # noqa: F401
 from . import part09_scaling_law_fit  # noqa: F401
 from . import part10_data_selection  # noqa: F401
+from . import part11_gopher_rules  # noqa: F401
 from ._shared import (  # noqa: F401
     REGISTRY,
     QuerySpec,

@@ -1,0 +1,174 @@
+"""Catalog part 11 — Gopher repetition rules (Rae et al. 2021,
+appendix A1.1).
+
+The repetition-based quality filters every large-scale LLM corpus
+pipeline applies (MassiveText/Gopher, reused by Chinchilla, LLaMA,
+RefinedWeb): per-document word-n-gram repetition mass (heaviest
+n-gram for n=2..4, all duplicated n-grams for n=5..10) and the
+within-document duplicate-line census, plus the threshold filter
+that turns the stats into keep/reject decisions. Builders delegate
+to operators/selection.py; every oracle replays the exact
+arithmetic in DuckDB (same tokenization, same occurrence-mass
+definition, same round-before-compare thresholds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...operators import selection as SEL
+from ._shared import _t, register
+
+_TOP_NS = (2, 3, 4)
+_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+# Published Gopher thresholds (Rae et al. 2021 table A1): a document
+# is removed when the fraction exceeds the limit. Ordered — the
+# filter reports the FIRST violated rule.
+_THRESHOLDS = (
+    ("top2_frac", 0.20),
+    ("top3_frac", 0.18),
+    ("top4_frac", 0.16),
+    ("dup5_frac", 0.15),
+    ("dup6_frac", 0.14),
+    ("dup7_frac", 0.13),
+    ("dup8_frac", 0.12),
+    ("dup9_frac", 0.11),
+    ("dup10_frac", 0.10),
+)
+
+_TOK_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _stats_sql() -> str:
+    """The gopher_repetition_stats oracle as a reusable SELECT."""
+    piv_cols = ", ".join(
+        [
+            f"max(CASE WHEN n = {n} THEN top_cov END) AS top{n}_cov"
+            for n in _TOP_NS
+        ]
+        + [
+            f"max(CASE WHEN n = {n} THEN dup_cov END) AS dup{n}_cov"
+            for n in _DUP_NS
+        ]
+    )
+    frac_cols = ", ".join(
+        [
+            f"round(CAST(coalesce(top{n}_cov, 0) AS DOUBLE) / t.total_chars, 6)"
+            f" AS top{n}_frac"
+            for n in _TOP_NS
+        ]
+        + [
+            f"round(CAST(coalesce(dup{n}_cov, 0) AS DOUBLE) / t.total_chars, 6)"
+            f" AS dup{n}_frac"
+            for n in _DUP_NS
+        ]
+    )
+    all_ns = ", ".join(str(n) for n in (*_TOP_NS, *_DUP_NS))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, length(trim(text)) AS total_chars,
+             {_TOK_SQL} AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    ns AS (SELECT unnest([{all_ns}]) AS n),
+    grams AS (
+      SELECT doc_id, n,
+             unnest(list_transform(
+               range(1, greatest(len(w) - n + 1, 0) + 1),
+               i -> array_to_string(w[i:i+n-1], ' '))) AS g
+      FROM tok CROSS JOIN ns
+    ),
+    cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g),
+    cov AS (
+      SELECT doc_id, n, max(c * length(g)) AS top_cov,
+             sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_cov
+      FROM cnt GROUP BY doc_id, n
+    ),
+    piv AS (SELECT doc_id, {piv_cols} FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.total_chars AS INT) AS total_chars, {frac_cols}
+    FROM tok t LEFT JOIN piv USING (doc_id)
+    """
+
+
+@register(
+    "gopher_repetition_stats",
+    oracle=_stats_sql(),
+    tags=("selection", "documents", "gopher"),
+)
+def q_gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.1 repetition mass per document: heaviest-n-gram
+    fraction (n=2,3,4) and duplicated-n-gram fraction (n=5..10) over
+    word n-grams. One explode feeding doc_id-keyed aggregations —
+    no corpus-wide shuffle on raw n-gram text (contrast the
+    cross-corpus exact-substring census `exact_substring_dups`)."""
+    return SEL.gopher_repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _filter_sql() -> str:
+    chain = "CASE "
+    for col, thr in _THRESHOLDS:
+        chain += f"WHEN {col} > {thr} THEN '{col}' "
+    chain += "ELSE 'kept' END"
+    return f"""
+    WITH stats AS ({_stats_sql()})
+    SELECT {chain} AS reject_reason, CAST(count(*) AS INT) AS n_docs
+    FROM stats GROUP BY 1
+    """
+
+
+@register(
+    "gopher_repetition_filter",
+    oracle=_filter_sql(),
+    tags=("selection", "documents", "gopher"),
+)
+def q_gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher removal decision: first violated repetition rule
+    per document (published table-A1 thresholds), censused by
+    reason. Compares the ROUNDED stats columns so both engines
+    threshold the exact same IEEE values."""
+    stats = SEL.gopher_repetition_stats(_t(spark, sf_dir, "documents"))
+    reason = F.lit(None).cast("string")
+    chain = None
+    for col, thr in _THRESHOLDS:
+        cond = F.col(col) > F.lit(thr)
+        chain = F.when(cond, F.lit(col)) if chain is None else chain.when(cond, F.lit(col))
+    reason = chain.otherwise(F.lit("kept"))
+    return (
+        stats.select(reason.alias("reject_reason"))
+        .groupBy("reject_reason")
+        .agg(F.count("*").cast("int").alias("n_docs"))
+    )
+
+
+@register(
+    "gopher_dup_segments",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_SQL} AS w FROM documents
+      WHERE len({_TOK_SQL}) >= 2
+    ),
+    segs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) // 2 + 1),
+               i -> array_to_string(w[(i-1)*2+1:(i-1)*2+2], ' '))) AS seg
+      FROM tok
+    ),
+    cnt AS (SELECT doc_id, seg, count(*) AS c FROM segs GROUP BY doc_id, seg)
+    SELECT doc_id,
+           CAST(sum(c) AS INT) AS n_segments,
+           CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS INT) AS dup_segments,
+           round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                 / sum(c), 6) AS dup_seg_frac,
+           round(CAST(sum(CASE WHEN c >= 2 THEN c * length(seg) ELSE 0 END) AS DOUBLE)
+                 / sum(c * length(seg)), 6) AS dup_char_frac
+    FROM cnt GROUP BY doc_id
+    """,
+    tags=("selection", "documents", "gopher"),
+)
+def q_gopher_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-segment census (the Gopher
+    duplicate-line fraction, positional segmenter — this corpus has
+    no newlines). Entirely doc_id-keyed: zero corpus-wide shuffle
+    on segment text."""
+    return SEL.dup_segment_stats(_t(spark, sf_dir, "documents"), seg_len=2)

@@ -830,3 +830,91 @@ def dup_segment_stats(
             ),
         )
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): learn the top
+    ``n_merges`` byte-pair merges over the corpus word-frequency
+    table. Returns (merge_rank, lhs, rhs, pair_count) — the ordered
+    merge table a tokenizer serializes.
+
+    Distributed shape: the STATE is vocabulary-sized (one row per
+    distinct word, symbols as an array column), never corpus-sized —
+    the corpus is touched once for the word count. Each round is one
+    pair-explode + grouped sum over the vocab, a 1-row collect of the
+    argmax pair (the k-means-centroid idiom: driver holds only the
+    scalar decision), and a map-side greedy fold that applies the
+    merge left-to-right non-overlapping inside each word's symbol
+    array (``aggregate`` replaces the array tail, so 'aaaa' under
+    (a,a) becomes [aa,aa], not [aa,a,a]). `materialize` per round
+    keeps the plan depth O(1) in the merge count
+    (operators/iterate.py discipline).
+
+    Ties are broken (count DESC, lhs ASC, rhs ASC) so the trajectory
+    is deterministic and engine-replayable; the oracle replays every
+    round with window functions (greedy = every other candidate
+    within each run of overlapping match positions).
+    """
+    from .iterate import materialize
+
+    spark = docs.sparkSession
+    sc = spark.sparkContext
+    docs = docs.repartition(sc.defaultParallelism, id_col)
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    state = materialize(
+        words.select(
+            "word", "cnt", F.expr("concat(split(word, ''), array('</w>'))").alias("syms")
+        )
+    )
+
+    def quote(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    merges: list[tuple[int, str, str, int]] = []
+    for i in range(1, n_merges + 1):
+        top = (
+            state.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), j ->"
+                        " named_struct('l', element_at(syms, j),"
+                        " 'r', element_at(syms, j + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if top is None:
+            break
+        l, r, c = top["l"], top["r"], int(top["c"])
+        merges.append((i, l, r, c))
+        lq, rq, lrq = quote(l), quote(r), quote(l + r)
+        state = materialize(
+            state.select(
+                "word",
+                "cnt",
+                F.expr(
+                    f"aggregate(syms, cast(array() as array<string>), (acc, s) ->"
+                    f" CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {lq}"
+                    f" AND s = {rq}"
+                    f" THEN concat(slice(acc, 1, size(acc) - 1), array({lrq}))"
+                    f" ELSE concat(acc, array(s)) END)"
+                ).alias("syms"),
+            )
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )

@@ -172,3 +172,81 @@ def q_gopher_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     no newlines). Entirely doc_id-keyed: zero corpus-wide shuffle
     on segment text."""
     return SEL.dup_segment_stats(_t(spark, sf_dir, "documents"), seg_len=2)
+
+
+def _bpe_oracle(k: int = 8) -> str:
+    """Unrolled BPE-trajectory replay (the _kmeans_chain /_pca_chain
+    discipline). Per round: lead() pairs over the per-word symbol
+    rows, argmax pair by (count DESC, l, r), greedy non-overlapping
+    application via runs-of-consecutive-candidates (take every other
+    position inside a run — exactly the left-to-right fold the Spark
+    operator computes with `aggregate`)."""
+    steps = []
+    for i in range(1, k + 1):
+        p = i - 1
+        steps.append(f"""nxt{i} AS MATERIALIZED (
+      SELECT word, cnt, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym
+      FROM st{p}),
+    m{i} AS MATERIALIZED (
+      SELECT sym AS l, nsym AS r, CAST(sum(cnt) AS BIGINT) AS c
+      FROM nxt{i} WHERE nsym IS NOT NULL
+      GROUP BY sym, nsym ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    c{i} AS MATERIALIZED (
+      SELECT n.word, n.pos FROM nxt{i} n, m{i} m
+      WHERE n.sym = m.l AND n.nsym = m.r),
+    r{i} AS MATERIALIZED (
+      SELECT word, pos,
+             pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS rid
+      FROM c{i}),
+    sel{i} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos, min(pos) OVER (PARTITION BY word, rid) AS p0
+        FROM r{i})
+      WHERE (pos - p0) % 2 = 0),
+    app{i} AS MATERIALIZED (
+      SELECT n.word, n.cnt, n.pos,
+             CASE WHEN s1.pos IS NOT NULL THEN n.sym || n.nsym ELSE n.sym END AS sym,
+             (s2.pos IS NOT NULL) AS absorbed
+      FROM nxt{i} n
+      LEFT JOIN sel{i} s1 ON s1.word = n.word AND s1.pos = n.pos
+      LEFT JOIN sel{i} s2 ON s2.word = n.word AND s2.pos = n.pos - 1),
+    st{i} AS MATERIALIZED (
+      SELECT word, cnt,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+      FROM app{i} WHERE NOT absorbed)""")
+    chain = ",\n    ".join(steps)
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, l AS lhs, r AS rhs,"
+        f" c AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+    WITH tokw AS MATERIALIZED (
+      SELECT w AS word, count(*) AS cnt FROM (
+        SELECT unnest({_TOK_SQL}) AS w FROM documents) GROUP BY w),
+    st0p AS MATERIALIZED (
+      SELECT word, cnt, unnest(range(1, length(word) + 2)) AS pos FROM tokw),
+    st0 AS MATERIALIZED (
+      SELECT word, cnt, CAST(pos AS BIGINT) AS pos,
+             CASE WHEN pos <= length(word)
+                  THEN substr(word, CAST(pos AS INT), 1) ELSE '</w>' END AS sym
+      FROM st0p),
+    {chain}
+    {finals}
+    """
+
+
+@register(
+    "bpe_merge_training",
+    oracle=_bpe_oracle(8),
+    tags=("selection", "iterative", "documents"),
+)
+def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016), 8 merges: the
+    5th iterative-family member (operators/iterate.py). State is
+    vocabulary-sized; each round = one vocab-bounded shuffle + a
+    1-row argmax collect + a map-side greedy fold. The oracle
+    replays the full 8-round trajectory with window functions —
+    merge table value-checked exactly, not rows-only."""
+    return SEL.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)

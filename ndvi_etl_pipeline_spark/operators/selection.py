@@ -860,6 +860,17 @@ def bpe_merges(
     round with window functions (greedy = every other candidate
     within each run of overlapping match positions).
     """
+    merges, _ = _bpe_train(docs, n_merges, text_col, id_col)
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def _bpe_train(
+    docs: DataFrame, n_merges: int, text_col: str, id_col: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared trainer: returns (merge list, final vocab state
+    (word, cnt, syms)) — see :func:`bpe_merges` for the design."""
     from .iterate import materialize
 
     spark = docs.sparkSession
@@ -915,6 +926,42 @@ def bpe_merges(
                 ).alias("syms"),
             )
         )
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    return merges, state
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a freshly trained BPE (serve what
+    :func:`bpe_merges` learns): per-document whitespace-word count,
+    BPE token count, and fertility (BPE tokens per word, including
+    the </w> terminal — the figure tokenizer papers report).
+
+    The trained vocab state already holds every word's final symbol
+    count, so serving is a broadcast join of the vocabulary-sized
+    (word → n_sym) table onto the exploded corpus — the corpus
+    itself is never re-segmented. At 100 TB the vocab table is the
+    only state that moves.
+    """
+    merges, state = _bpe_train(docs, n_merges, text_col, id_col)
+    wlen = state.select("word", F.size("syms").alias("n_sym"))
+    dw = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    return (
+        dw.join(F.broadcast(wlen), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("n_sym").cast("int").alias("n_bpe_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
     )

@@ -181,6 +181,18 @@ def _bpe_oracle(k: int = 8) -> str:
     application via runs-of-consecutive-candidates (take every other
     position inside a run — exactly the left-to-right fold the Spark
     operator computes with `aggregate`)."""
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, l AS lhs, r AS rhs,"
+        f" c AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+    WITH {_bpe_chain(k)}
+    {finals}
+    """
+
+
+def _bpe_steps(k: int) -> list[str]:
     steps = []
     for i in range(1, k + 1):
         p = i - 1
@@ -215,14 +227,16 @@ def _bpe_oracle(k: int = 8) -> str:
       SELECT word, cnt,
              row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
       FROM app{i} WHERE NOT absorbed)""")
+    return steps
+
+
+def _bpe_chain(k: int) -> str:
+    """WITH-body prefix ending at st{k} (the trained vocab state) and
+    m1..m{k} (the merge rounds) — shared by the training oracle and
+    the serving (fertility) oracle."""
+    steps = _bpe_steps(k)
     chain = ",\n    ".join(steps)
-    finals = "\n    UNION ALL ".join(
-        f"SELECT CAST({i} AS INT) AS merge_rank, l AS lhs, r AS rhs,"
-        f" c AS pair_count FROM m{i}"
-        for i in range(1, k + 1)
-    )
-    return f"""
-    WITH tokw AS MATERIALIZED (
+    return f"""tokw AS MATERIALIZED (
       SELECT w AS word, count(*) AS cnt FROM (
         SELECT unnest({_TOK_SQL}) AS w FROM documents) GROUP BY w),
     st0p AS MATERIALIZED (
@@ -232,9 +246,7 @@ def _bpe_oracle(k: int = 8) -> str:
              CASE WHEN pos <= length(word)
                   THEN substr(word, CAST(pos AS INT), 1) ELSE '</w>' END AS sym
       FROM st0p),
-    {chain}
-    {finals}
-    """
+    {chain}"""
 
 
 @register(
@@ -250,3 +262,30 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the full 8-round trajectory with window functions —
     merge table value-checked exactly, not rows-only."""
     return SEL.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+@register(
+    "bpe_token_census",
+    oracle=f"""
+    WITH {{chain}},
+    wlen AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS INT) AS n_sym FROM st8 GROUP BY word),
+    dw AS (
+      SELECT doc_id, unnest({{tok}}) AS word FROM documents)
+    SELECT dw.doc_id,
+           CAST(count(*) AS INT) AS n_words,
+           CAST(sum(w.n_sym) AS INT) AS n_bpe_tokens,
+           round(CAST(sum(w.n_sym) AS DOUBLE) / count(*), 6) AS fertility
+    FROM dw JOIN wlen w USING (word)
+    GROUP BY dw.doc_id
+    """.format(chain="__CHAIN__", tok=_TOK_SQL).replace("__CHAIN__", _bpe_chain(8)),
+    tags=("selection", "iterative", "documents"),
+)
+def q_bpe_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the trained BPE: per-document word count, BPE token
+    count, and fertility (tokens/word incl. the </w> terminal).
+    Serving is a broadcast join of the vocabulary-sized word→n_sym
+    table onto the exploded corpus — the corpus is never
+    re-segmented. Oracle extends the same 8-round trajectory chain
+    to the final vocab state st8."""
+    return SEL.bpe_token_stats(_t(spark, sf_dir, "documents"), n_merges=8)

@@ -289,3 +289,201 @@ def q_bpe_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-segmented. Oracle extends the same 8-round trajectory chain
     to the final vocab state st8."""
     return SEL.bpe_token_stats(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+# BM25 parameters (Robertson/Sparck-Jones defaults; idf in the
+# Lucene ln(1 + (N-df+0.5)/(df+0.5)) form so it is always positive).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest({_TOK_SQL}) AS w FROM documents),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS MATERIALIZED (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, w AS term, count(*) AS tf FROM tok
+      WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id, w),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    idf AS (
+      SELECT term, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM df CROSS JOIN stats s),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(idf.idf * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * dl.dl / s.avgdl))) AS score,
+             count(*) AS n_terms_hit
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(n_terms_hit AS INT) AS n_terms_hit,
+           round(score, 6) AS score, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 20
+    """,
+    tags=("selection", "documents", "retrieval"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson et al.; Lucene idf form) for
+    a 3-term query. The query-term filter lands BEFORE the tf
+    aggregation, so the per-term relation is |terms|-bounded; N and
+    avgdl are scalar aggregates broadcast via cross join; top-k is
+    sort+limit (TakeOrderedAndProject). Rank on the ROUNDED score so
+    both engines order identical IEEE values."""
+    d = _t(spark, sf_dir, "documents")
+    from ...functions.text import tokens as _toks
+
+    tok = d.select("doc_id", F.explode(_toks("text")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf")
+                * F.col("tf")
+                * (_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    r = F.row_number().over(
+        W.orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
+            F.round(F.col("score"), 6).alias("score"),
+            r.alias("rank"),
+        )
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "n_terms_hit", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register(
+    "unimax_language_budget",
+    oracle=f"""
+    WITH lt AS MATERIALIZED (
+      SELECT lang, CAST(sum(len({_TOK_SQL})) AS BIGINT) AS cap
+      FROM documents GROUP BY lang),
+    tot AS (SELECT 0.5 * sum(cap) AS budget, count(*) AS k FROM lt),
+    s AS (
+      SELECT lang, cap,
+             row_number() OVER (ORDER BY cap ASC, lang ASC) AS idx,
+             coalesce(sum(cap) OVER (ORDER BY cap ASC, lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev
+      FROM lt),
+    lam AS (
+      SELECT min(CASE WHEN s_prev + cap * (t.k - idx + 1) >= t.budget
+                      THEN idx END) AS i0
+      FROM s CROSS JOIN tot t),
+    lvl AS (
+      SELECT CASE WHEN lam.i0 IS NULL THEN NULL
+                  ELSE (t.budget - s.s_prev) / (t.k - lam.i0 + 1) END AS lvl
+      FROM lam LEFT JOIN s ON s.idx = lam.i0 CROSS JOIN tot t)
+    SELECT s.lang, s.cap,
+           round(CASE WHEN lvl.lvl IS NULL OR s.cap <= lvl.lvl
+                      THEN CAST(s.cap AS DOUBLE) ELSE lvl.lvl END, 4) AS alloc,
+           round(CASE WHEN lvl.lvl IS NULL OR s.cap <= lvl.lvl
+                      THEN 1.0 ELSE lvl.lvl / s.cap END, 6) AS sampling_rate
+    FROM s CROSS JOIN lvl
+    """,
+    tags=("selection", "documents", "mixture"),
+)
+def q_unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style language budgeting (Chung et al. 2023): spend a
+    token budget (50% of the corpus) across languages so no language
+    is over-sampled — the exact water-filling level λ with
+    alloc_l = min(cap_l, λ), Σ alloc = budget, found in closed form
+    on the capacity-sorted prefix sums. The per-language capacity
+    table is |langs| rows; everything after the one token-count
+    aggregation is scalar-scale. Water-level math is identical
+    window algebra in both engines."""
+    from ...functions.text import token_count
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(token_count(F.lower(F.trim(F.col("text"))))).cast("bigint").alias("cap")
+    )
+    tot = lt.agg(
+        (F.lit(0.5) * F.sum("cap")).alias("budget"), F.count("*").alias("k")
+    )
+    w = W.orderBy(F.asc("cap"), F.asc("lang"))
+    s = lt.select(
+        "lang",
+        "cap",
+        F.row_number().over(w).alias("idx"),
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("s_prev"),
+    )
+    sc_ = s.crossJoin(F.broadcast(tot))
+    lam = sc_.agg(
+        F.min(
+            F.when(
+                F.col("s_prev") + F.col("cap") * (F.col("k") - F.col("idx") + 1)
+                >= F.col("budget"),
+                F.col("idx"),
+            )
+        ).alias("i0")
+    )
+    lvl = (
+        lam.join(s, lam["i0"] == s["idx"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.when(
+                F.col("i0").isNull(), F.lit(None).cast("double")
+            )
+            .otherwise(
+                (F.col("budget") - F.col("s_prev"))
+                / (F.col("k") - F.col("i0") + 1)
+            )
+            .alias("lvl")
+        )
+    )
+    keep = F.col("lvl").isNull() | (F.col("cap") <= F.col("lvl"))
+    return s.crossJoin(F.broadcast(lvl)).select(
+        "lang",
+        "cap",
+        F.round(
+            F.when(keep, F.col("cap").cast("double")).otherwise(F.col("lvl")), 4
+        ).alias("alloc"),
+        F.round(
+            F.when(keep, F.lit(1.0)).otherwise(F.col("lvl") / F.col("cap")), 6
+        ).alias("sampling_rate"),
+    )

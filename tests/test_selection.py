@@ -239,3 +239,60 @@ def test_exact_substring_census_and_coverage_agree(
         k = c.n_dup_windows
         assert max(W, k) <= v.n_covered <= min(v.n_tokens, k * W)
         assert v.keep_frac == round(1.0 - v.n_covered / v.n_tokens, 4)
+
+
+def test_bpe_merges_tiny_corpus_trajectory(spark):
+    # corpus: 'aaab' x3, 'ab' x1 → round 1 pair counts (overlapping
+    # positions both count, the classic get_stats semantics):
+    # (a,a): 2 per 'aaab' x3 = 6; (a,b): 3+1 = 4; (b,</w>): 3+1 = 4
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab ab")], "doc_id bigint, text string"
+    )
+    m = SEL.bpe_merges(docs, n_merges=2).collect()
+    assert (m[0].lhs, m[0].rhs, m[0].pair_count) == ("a", "a", 6)
+    # round 2 vocab: aaab=[aa,a,b,</w>] cnt3, ab=[a,b,</w>] cnt1 →
+    # (aa,a)=3, (a,b)=4, (b,</w>)=4 → tie broken lhs ASC → (a,b)
+    assert (m[1].lhs, m[1].rhs, m[1].pair_count) == ("a", "b", 4)
+
+
+def test_bpe_fold_is_greedy_left_to_right(spark):
+    # 'aaaa' under merge (a,a) must become [aa,aa], not [aa,a,a]
+    docs = spark.createDataFrame([(1, "aaaa aaaa aa")], "doc_id bigint, text string")
+    m = SEL.bpe_merges(docs, n_merges=2).collect()
+    assert (m[0].lhs, m[0].rhs) == ("a", "a")
+    # after round 1: aaaa→[aa,aa,</w>] (x2 occurrences), aa→[aa,</w>]
+    # round 2 pairs: (aa,aa):2, (aa,</w>):3 → argmax (aa,</w>)
+    assert (m[1].lhs, m[1].rhs, m[1].pair_count) == ("aa", "</w>", 3)
+
+
+def test_bpe_token_stats_fertility(spark):
+    docs = spark.createDataFrame([(1, "ab ab cd")], "doc_id bigint, text string")
+    # 0 merges impossible via n_merges>=1; with 1 merge the top pair
+    # (a,b) c=2 merges ab→[ab,</w>]: doc = 2*2 + 3 = 7 bpe tokens / 3 words
+    r = SEL.bpe_token_stats(docs, n_merges=1).collect()[0]
+    assert r.n_words == 3
+    assert r.n_bpe_tokens == 2 * 2 + 3
+    assert abs(r.fertility - round(7 / 3, 6)) < 1e-9
+
+
+def test_gopher_repetition_stats_hand_computed(spark):
+    # doc: 'x y x y z' (9 chars). 2-grams: 'x y'(2), 'y x'(1), 'y z'(1)
+    # top2 = 2*3/9; dup-ns all 0 (no n>=5 grams repeat; doc has 4..1 grams)
+    docs = spark.createDataFrame([(1, "x y x y z")], "doc_id bigint, text string")
+    r = SEL.gopher_repetition_stats(docs).collect()[0]
+    assert r.total_chars == 9
+    assert abs(r.top2_frac - round(6 / 9, 6)) < 1e-9
+    assert r.dup5_frac == 0.0 and r.dup10_frac == 0.0
+    # 5-token doc has one 5-gram (count 1, not duplicated)
+
+
+def test_dup_segment_stats_within_doc_only(spark):
+    # doc1: segments [a b][a b] duplicated; doc2: same segment once —
+    # cross-doc repeats must NOT count
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c d")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in SEL.dup_segment_stats(docs, seg_len=2).collect()}
+    assert rows[1].n_segments == 2 and rows[1].dup_segments == 2
+    assert rows[1].dup_seg_frac == 1.0
+    assert rows[2].dup_segments == 0 and rows[2].dup_seg_frac == 0.0

@@ -379,19 +379,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    r = F.row_number().over(
-        W.orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    # sort+limit FIRST (TakeOrderedAndProject, distributed), then the
+    # rank window runs over the 20-row result — never a global
+    # single-partition window (dsir_importance_topk discipline).
+    rounded = scored.select(
+        "doc_id",
+        F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
+        F.round(F.col("score"), 6).alias("score"),
     )
-    return (
-        scored.select(
-            "doc_id",
-            F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
-            F.round(F.col("score"), 6).alias("score"),
-            r.alias("rank"),
-        )
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "n_terms_hit", "score", F.col("rank").cast("int").alias("rank"))
-    )
+    top = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    rk = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(rk).cast("int"))
 
 
 @register(

@@ -965,3 +965,31 @@ def bpe_token_stats(
             ).alias("fertility"),
         )
     )
+
+
+# Published Gopher removal thresholds (Rae et al. 2021 table A1),
+# ordered — filters report the FIRST violated rule. Shared by the
+# batch catalog query (plans/catalog/part11) and the streaming gate
+# (streaming/documents.py) so both tiers apply the identical policy.
+GOPHER_THRESHOLDS: tuple[tuple[str, float], ...] = (
+    ("top2_frac", 0.20),
+    ("top3_frac", 0.18),
+    ("top4_frac", 0.16),
+    ("dup5_frac", 0.15),
+    ("dup6_frac", 0.14),
+    ("dup7_frac", 0.13),
+    ("dup8_frac", 0.12),
+    ("dup9_frac", 0.11),
+    ("dup10_frac", 0.10),
+)
+
+
+def gopher_reject_reason(stats_cols=GOPHER_THRESHOLDS) -> Column:
+    """First-violated-rule column over a gopher_repetition_stats
+    relation ('kept' when every rule passes). Thresholds compare the
+    ROUNDED stats so every engine/tier gates the same IEEE values."""
+    chain = None
+    for col, thr in stats_cols:
+        cond = F.col(col) > F.lit(thr)
+        chain = F.when(cond, F.lit(col)) if chain is None else chain.when(cond, F.lit(col))
+    return chain.otherwise(F.lit("kept"))

@@ -24,18 +24,9 @@ _DUP_NS = (5, 6, 7, 8, 9, 10)
 
 # Published Gopher thresholds (Rae et al. 2021 table A1): a document
 # is removed when the fraction exceeds the limit. Ordered — the
-# filter reports the FIRST violated rule.
-_THRESHOLDS = (
-    ("top2_frac", 0.20),
-    ("top3_frac", 0.18),
-    ("top4_frac", 0.16),
-    ("dup5_frac", 0.15),
-    ("dup6_frac", 0.14),
-    ("dup7_frac", 0.13),
-    ("dup8_frac", 0.12),
-    ("dup9_frac", 0.11),
-    ("dup10_frac", 0.10),
-)
+# filter reports the FIRST violated rule. Owned by the operator
+# layer so the streaming gate applies the identical policy.
+_THRESHOLDS = SEL.GOPHER_THRESHOLDS
 
 _TOK_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -128,14 +119,8 @@ def q_gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason. Compares the ROUNDED stats columns so both engines
     threshold the exact same IEEE values."""
     stats = SEL.gopher_repetition_stats(_t(spark, sf_dir, "documents"))
-    reason = F.lit(None).cast("string")
-    chain = None
-    for col, thr in _THRESHOLDS:
-        cond = F.col(col) > F.lit(thr)
-        chain = F.when(cond, F.lit(col)) if chain is None else chain.when(cond, F.lit(col))
-    reason = chain.otherwise(F.lit("kept"))
     return (
-        stats.select(reason.alias("reject_reason"))
+        stats.select(SEL.gopher_reject_reason().alias("reject_reason"))
         .groupBy("reject_reason")
         .agg(F.count("*").cast("int").alias("n_docs"))
     )

@@ -223,3 +223,67 @@ def stream_curated_documents(
         .start()
     )
     q.awaitTermination()
+
+
+def gopher_gate_batch(
+    batch_df: DataFrame, curated_path: str
+) -> DataFrame:
+    """One micro-batch through the Gopher repetition gate
+    (operators/selection.py:GOPHER_THRESHOLDS — the same policy the
+    batch catalog query applies): per-doc repetition stats are a
+    pure function of the document text, so the gate is STATELESS
+    per row and needs no cross-batch state beyond the store's
+    fingerprint anti-join (exactly-once per content, the
+    curate_batch idiom). Pure function of (batch, store) —
+    unit-testable without a stream."""
+    from ..operators.selection import gopher_reject_reason, gopher_repetition_stats
+
+    spark = batch_df.sparkSession
+    base = batch_df.filter(F.col("text").isNotNull()).withColumn(
+        "fingerprint", exact_fingerprint("text")
+    )
+    stats = gopher_repetition_stats(base)
+    kept = (
+        stats.select("doc_id", gopher_reject_reason().alias("reason"))
+        .filter(F.col("reason") == "kept")
+        .select("doc_id")
+    )
+    gated = base.join(kept, "doc_id").select(
+        "doc_id", "text", "source", "fingerprint"
+    )
+    in_batch = gated.groupBy("fingerprint").agg(
+        F.min_by(F.struct("doc_id", "text", "source"), F.col("doc_id")).alias("x")
+    ).select(
+        F.col("x.doc_id").alias("doc_id"),
+        F.col("x.text").alias("text"),
+        F.col("x.source").alias("source"),
+        "fingerprint",
+    )
+    try:
+        seen = spark.read.parquet(curated_path).select("fingerprint")
+    except Exception:
+        seen = spark.createDataFrame([], "fingerprint string")
+    return in_batch.join(seen, "fingerprint", "left_anti")
+
+
+def stream_gopher_documents(
+    spark: SparkSession,
+    landing_dir: str,
+    curated_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain the landing zone (availableNow) through the Gopher
+    repetition gate into the curated store."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = gopher_gate_batch(batch_df, curated_path)
+        fresh.write.mode("append").parquet(curated_path)
+
+    reader = spark.readStream.schema(LANDING_SCHEMA).json(landing_dir)
+    q = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

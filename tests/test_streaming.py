@@ -623,3 +623,71 @@ def test_stream_selected_documents_serves_batch_trained_dsir(
         spark, str(landing), sel, str(tmp_path / "ckpt2"), model, min_weight=0.0
     )
     assert len(spark.read.parquet(sel).collect()) == len(got)
+
+
+def test_stream_gopher_gate_matches_batch_filter(spark, sf_dir, tmp_path):
+    """The streaming Gopher gate must admit EXACTLY the docs the
+    batch repetition filter keeps (the stats are a pure per-doc
+    function, so the gate is stateless), split across two landing
+    drops, and stay exactly-once per fingerprint on replay."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ndvi_etl_pipeline_spark.operators.selection import (
+        gopher_reject_reason,
+        gopher_repetition_stats,
+    )
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+    from ndvi_etl_pipeline_spark.streaming.documents import stream_gopher_documents
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
+    stats = gopher_repetition_stats(docs)
+    batch_kept = {
+        r.doc_id
+        for r in stats.select(
+            "doc_id", gopher_reject_reason().alias("reason")
+        )
+        .filter(F.col("reason") == "kept")
+        .collect()
+    }
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = docs.collect()
+    for name, chunk in (("drop1.jsonl", rows[::2]), ("drop2.jsonl", rows[1::2])):
+        with open(landing / name, "w") as fh:
+            for r in chunk:
+                fh.write(
+                    _json.dumps(
+                        {"doc_id": r.doc_id, "text": r.text, "source": r.source}
+                    )
+                    + "\n"
+                )
+    curated = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    stream_gopher_documents(spark, str(landing), curated, ckpt)
+
+    got = {r.doc_id for r in spark.read.parquet(curated).collect()}
+    # exact-dup texts collapse to one winner per fingerprint; every
+    # admitted doc must be batch-kept, and every batch-kept
+    # fingerprint must be represented
+    assert got <= batch_kept
+    fp = {
+        r.fingerprint
+        for r in spark.read.parquet(curated).collect()
+    }
+    kept_fp_expected = {
+        r.fingerprint
+        for r in docs.filter(F.col("doc_id").isin(list(batch_kept)))
+        .withColumn(
+            "fingerprint",
+            F.md5(F.lower(F.trim(F.col("text"))).cast("binary")),
+        )
+        .collect()
+    }
+    assert fp == kept_fp_expected
+
+    # replay with a fresh checkpoint: store anti-join admits nothing new
+    stream_gopher_documents(spark, str(landing), curated, str(tmp_path / "ckpt2"))
+    assert {r.doc_id for r in spark.read.parquet(curated).collect()} == got

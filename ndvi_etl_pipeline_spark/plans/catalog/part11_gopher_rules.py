@@ -470,3 +470,130 @@ def q_unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(keep, F.lit(1.0)).otherwise(F.col("lvl") / F.col("cap")), 6
         ).alias("sampling_rate"),
     )
+
+
+@register(
+    "theta_sketch_setops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    x AS (
+      SELECT (SELECT count(*) FROM a) AS n_a,
+             (SELECT count(*) FROM b) AS n_b,
+             (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union,
+             (SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS n_inter,
+             (SELECT count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS n_diff)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_diff AS BIGINT) AS n_diff,
+           TRUE AS union_within_5pct, TRUE AS inter_within_5pct,
+           TRUE AS diff_within_5pct
+    FROM x
+    """,
+    tags=("approx", "events"),
+)
+def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches, native in Spark 4) — the
+    approximate-DISTINCT tier with FULL SET ALGEBRA, which HLL cannot
+    do: estimate |A|, |B|, |A∪B|, |A∩B|, |A∖B| of two event types'
+    user sets from two mergeable sketches. At 100 TB the sketches
+    aggregate map-side and merge associatively (bytes move, not
+    user_ids); intersection estimation is the capability that
+    otherwise needs a full shuffle join. Sketch registers differ
+    across engines, so the CONTRACT is checked (estimates within ±5%
+    of exact, computed in-plan — the approx_distinct_stats pattern);
+    the exact counts are the hash-matched columns."""
+    e = _t(spark, sf_dir, "events")
+    sk = e.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_a"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_b"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("n_a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_b"),
+        F.count_distinct(
+            F.when(
+                F.col("event_type").isin("click", "purchase"), F.col("user_id")
+            )
+        ).alias("n_union"),
+    )
+    ab = e.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+        "user_id"
+    ).agg(F.count_distinct("event_type").alias("k"))
+    inter = ab.agg(
+        F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).alias("n_inter")
+    )
+    est = sk.crossJoin(F.broadcast(inter)).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_union").cast("bigint").alias("n_union"),
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        (F.col("n_a") - F.col("n_inter")).cast("bigint").alias("n_diff"),
+        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias("e_union"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")).alias(
+            "e_inter"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b")).alias(
+            "e_diff"
+        ),
+    )
+    pct = lambda est_c, ex_c: (  # noqa: E731
+        F.abs(est_c - ex_c.cast("double")) <= 0.05 * F.greatest(ex_c.cast("double"), F.lit(1.0))
+    )
+    return est.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_inter",
+        "n_diff",
+        pct(F.col("e_union"), F.col("n_union")).alias("union_within_5pct"),
+        pct(F.col("e_inter"), F.col("n_inter")).alias("inter_within_5pct"),
+        pct(F.col("e_diff"), F.col("n_diff")).alias("diff_within_5pct"),
+    )
+
+
+@register(
+    "triangle_count_graph",
+    oracle="""
+    WITH raw AS (
+      SELECT (o_custkey % 25) AS src, (l_suppkey % 25) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE least(src, dst) < greatest(src, dst)),
+    tri AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pernode AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pernode GROUP BY node
+    """,
+    tags=("graph",),
+)
+def q_triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the 25-node customer-bucket →
+    supplier-bucket graph (the pagerank_graph relation). Compact-
+    forward orientation: each triangle materialized once as a<b<c,
+    wedge volume bounded by the low→high out-degrees; see
+    operators/graph.py:triangle_counts."""
+    from ...operators.graph import triangle_counts
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") % 25).cast("bigint").alias("src"),
+        (F.col("l_suppkey") % 25).cast("bigint").alias("dst"),
+    )
+    return triangle_counts(edges)

@@ -597,3 +597,51 @@ def q_triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") % 25).cast("bigint").alias("dst"),
     )
     return triangle_counts(edges)
+
+
+@register(
+    "kll_quantile_contract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS exact_p50,
+           round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS exact_p90,
+           TRUE AS p50_within_rank_2pct, TRUE AS p90_within_rank_2pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("approx", "events"),
+)
+def q_kll_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches (Apache DataSketches, native in Spark 4)
+    per event type — the mergeable-quantile tier: sketches combine
+    associatively map-side, so a 100 TB percentile is one partial
+    agg, no global sort. The KLL guarantee is on RANK error (k=200 →
+    ~1.65% normalized rank error), not value error, so the contract
+    computed in-plan checks the sketch's p50/p90 estimates against
+    the exact p48..p52 / p88..p92 value bands; the hash-matched
+    columns are the exact percentiles."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.9)").alias("exact_p90"),
+        F.expr("percentile(value, 0.48)").alias("lo50"),
+        F.expr("percentile(value, 0.52)").alias("hi50"),
+        F.expr("percentile(value, 0.88)").alias("lo90"),
+        F.expr("percentile(value, 0.92)").alias("hi90"),
+    )
+    est50 = F.kll_sketch_get_quantile_double("sk", F.lit(0.5))
+    est90 = F.kll_sketch_get_quantile_double("sk", F.lit(0.9))
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("exact_p50"), 4).alias("exact_p50"),
+        F.round(F.col("exact_p90"), 4).alias("exact_p90"),
+        ((est50 >= F.col("lo50")) & (est50 <= F.col("hi50"))).alias(
+            "p50_within_rank_2pct"
+        ),
+        ((est90 >= F.col("lo90")) & (est90 <= F.col("hi90"))).alias(
+            "p90_within_rank_2pct"
+        ),
+    )

@@ -645,3 +645,82 @@ def q_kll_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_within_rank_2pct"
         ),
     )
+
+
+# Gopher word-level rules (Rae et al. 2021 A1.1, first block) —
+# bounds adapted only where the synthetic corpus makes the
+# published constant degenerate (min_words 50→5: these docs are
+# short), noted per rule. Ordered; first violated wins.
+_GOPHER_WORD_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "gopher_word_rules",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_TOK_SQL}) AS n_words,
+             CAST(length(replace(array_to_string({_TOK_SQL}, ''), '#', ''))
+                  AS DOUBLE)
+               / greatest(length(array_to_string({_TOK_SQL}, '')), 1) AS nonhash_frac,
+             CAST(length(array_to_string({_TOK_SQL}, '')) AS DOUBLE)
+               / greatest(len({_TOK_SQL}), 1) AS mean_word_len,
+             len(list_filter({_TOK_SQL},
+                 w -> list_contains({list(_GOPHER_WORD_STOPWORDS)!r}, w)))
+               AS n_stop
+      FROM documents),
+    cls AS (
+      SELECT doc_id,
+             CASE WHEN n_words < 5 THEN 'too_few_words'
+                  WHEN n_words > 100000 THEN 'too_many_words'
+                  WHEN mean_word_len < 2 THEN 'mean_word_len_low'
+                  WHEN mean_word_len > 10 THEN 'mean_word_len_high'
+                  WHEN nonhash_frac < 0.9 THEN 'symbol_ratio'
+                  WHEN n_stop < 2 THEN 'stopword_rule'
+                  ELSE 'kept' END AS reject_reason
+      FROM s)
+    SELECT reject_reason, CAST(count(*) AS INT) AS n_docs
+    FROM cls GROUP BY reject_reason
+    """,
+    tags=("selection", "documents", "gopher"),
+)
+def q_gopher_word_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.1 word-level quality rules: word-count bounds
+    (min adapted 50→5 for this short-doc corpus), mean word length
+    in [2,10] (published 3→2: the synthetic vocab has legitimate
+    1-2-char tokens), symbol-to-word ratio via '#' mass (the
+    published hash/ellipsis rule), and the ≥2-stopword rule over
+    the paper's 8-word list. Pure per-doc column math — no
+    explode, no shuffle except the final census groupBy."""
+    from ...functions.text import tokens as _toks
+
+    d = _t(spark, sf_dir, "documents")
+    t = _toks("text")
+    joined = F.concat_ws("", t)
+    sw = F.array(*[F.lit(w) for w in _GOPHER_WORD_STOPWORDS])
+    s = d.select(
+        F.size(t).alias("n_words"),
+        (
+            F.length(F.regexp_replace(joined, "#", "")).cast("double")
+            / F.greatest(F.length(joined), F.lit(1))
+        ).alias("nonhash_frac"),
+        (
+            F.length(joined).cast("double")
+            / F.greatest(F.size(t), F.lit(1))
+        ).alias("mean_word_len"),
+        F.size(F.filter(t, lambda w: F.array_contains(sw, w))).alias("n_stop"),
+    )
+    reason = (
+        F.when(F.col("n_words") < 5, F.lit("too_few_words"))
+        .when(F.col("n_words") > 100000, F.lit("too_many_words"))
+        .when(F.col("mean_word_len") < 2, F.lit("mean_word_len_low"))
+        .when(F.col("mean_word_len") > 10, F.lit("mean_word_len_high"))
+        .when(F.col("nonhash_frac") < 0.9, F.lit("symbol_ratio"))
+        .when(F.col("n_stop") < 2, F.lit("stopword_rule"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        s.select(reason.alias("reject_reason"))
+        .groupBy("reject_reason")
+        .agg(F.count("*").cast("int").alias("n_docs"))
+    )

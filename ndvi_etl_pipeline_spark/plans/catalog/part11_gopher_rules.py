@@ -724,3 +724,89 @@ def q_gopher_word_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("reject_reason")
         .agg(F.count("*").cast("int").alias("n_docs"))
     )
+
+
+def _morton_sql(x: str, y: str, bits: int) -> str:
+    """DuckDB replay of operators/scale.py:morton_key — identical
+    interleave; disjoint bit positions let + stand in for OR."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "zorder_skip_census",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_orderkey, (l_partkey % 1024) AS x, ((l_suppkey * 10) % 1024) AS y
+      FROM lineitem),
+    m AS (
+      SELECT ({_morton_sql('x', 'y', 10)} >> 12) AS zgroup,
+             CAST(floor(l_orderkey / 250.0) AS BIGINT) AS agroup,
+             (x BETWEEN 96 AND 159 AND y BETWEEN 192 AND 255) AS hit
+      FROM base)
+    SELECT 'zorder' AS layout,
+           CAST(count(DISTINCT zgroup) AS BIGINT) AS total_groups,
+           CAST(count(DISTINCT CASE WHEN hit THEN zgroup END) AS BIGINT)
+             AS touched_groups,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_matched,
+           round(CAST(count(DISTINCT CASE WHEN hit THEN zgroup END) AS DOUBLE)
+                 / count(DISTINCT zgroup), 6) AS touch_frac
+    FROM m
+    UNION ALL
+    SELECT 'arrival',
+           CAST(count(DISTINCT agroup) AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN hit THEN agroup END) AS BIGINT),
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT),
+           round(CAST(count(DISTINCT CASE WHEN hit THEN agroup END) AS DOUBLE)
+                 / count(DISTINCT agroup), 6)
+    FROM m
+    """,
+    tags=("layout", "lineitem"),
+)
+def q_zorder_skip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantify the Z-order layout win (operators/scale.py:
+    morton_key / write_zordered — the table-format-free Delta/
+    Iceberg Z-ORDER BY): bucket rows into "row groups" by the top
+    morton bits (64×64 tiles) vs by arrival order, and count groups
+    a 64×64 bbox predicate touches in each layout. The z-layout
+    touches ~1 tile; arrival order touches nearly every group —
+    exactly the min/max-stats pruning gap at 100 TB. Pure bit math
+    (shift/mask/or), codegen'd, replayed bit-identically in the
+    oracle."""
+    from ...operators.scale import morton_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        (F.col("l_partkey") % 1024).alias("x"),
+        ((F.col("l_suppkey") * 10) % 1024).alias("y"),
+    )
+    m = base.select(
+        F.shiftright(morton_key("x", "y", bits=10), 12).alias("zgroup"),
+        F.floor(F.col("l_orderkey") / 250.0).cast("bigint").alias("agroup"),
+        (
+            F.col("x").between(96, 159) & F.col("y").between(192, 255)
+        ).alias("hit"),
+    )
+
+    def census(gcol: str, name: str) -> DataFrame:
+        return m.agg(
+            F.lit(name).alias("layout"),
+            F.count_distinct(F.col(gcol)).cast("bigint").alias("total_groups"),
+            F.count_distinct(F.when(F.col("hit"), F.col(gcol)))
+            .cast("bigint")
+            .alias("touched_groups"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_matched"),
+            F.round(
+                F.count_distinct(F.when(F.col("hit"), F.col(gcol))).cast("double")
+                / F.count_distinct(F.col(gcol)),
+                6,
+            ).alias("touch_frac"),
+        )
+
+    return census("zgroup", "zorder").unionAll(census("agroup", "arrival"))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_counts"]
+__all__ = ["pagerank", "triangle_counts", "bfs_distances"]
 
 
 def pagerank(
@@ -123,3 +123,61 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Unweighted shortest-path distances from `source` by synchronous
+    Bellman-Ford relaxation: max_hops rounds of
+
+        dist_{k+1}(v) = min(dist_k(v), 1 + min_{(u,v)∈E} dist_k(u))
+
+    over the undirected closure of `edges`. Returns (node, dist) for
+    nodes reachable within max_hops.
+
+    Scale shape: the frontier relation is |reached nodes| rows; each
+    round is one join of the (materialized, loop-invariant) edge list
+    against it on the src key plus a min-groupBy on dst — the Pregel
+    messaging pattern expressed relationally, same as pagerank()
+    above. Rounds are fixed (hop-bounded BFS), so the oracle replays
+    the identical trajectory as unrolled CTEs; lineage is truncated
+    per round by the iterate() harness.
+    """
+    from .iterate import iterate, materialize
+
+    und = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if isinstance(source, DataFrame):
+        # lazy frontier (e.g. an agg picking the min node) — keeps the
+        # builder collect-free at plan-build time
+        state0 = source.select(
+            F.col(source.columns[0]).cast("bigint").alias("node"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    else:
+        state0 = und.sparkSession.range(1).select(
+            F.lit(source).cast("bigint").alias("node"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        relaxed = (
+            state.join(und, state["node"] == und["a"])
+            .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        return (
+            state.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+
+    return iterate(state0, step, max_hops)

@@ -1,0 +1,199 @@
+"""Recommendation operators: item-item co-occurrence similarity and
+rank-1 alternating least squares, expressed as DataFrame plans.
+
+The co-occurrence path is the classic "people who bought X also
+bought Y" item-CF (Linden et al. 2003, Amazon item-to-item): baskets
+self-joined on the basket key produce co-occurrence counts, and the
+cosine normalization co / sqrt(n_i * n_j) turns them into a
+similarity. Scale shape: the self-join shuffles on the BASKET key, so
+each basket's pairs are generated locally and the pair count is
+Σ |basket|² — bounded by capping basket size (the production guard
+for power users / spam baskets), never by the corpus size. The
+aggregated (i, j) pair relation then shuffles once on the pair key
+with map-side partial counts.
+
+The ALS path is the rank-1 special case of the classic ALS
+matrix-factorization recommender (Zhou et al. 2008): with scalar
+factors the alternating closed form is
+
+    u_i = Σ_j r_ij v_j / (λ + Σ_j v_j²)     (over items i rated)
+    v_j = Σ_i r_ij u_i / (λ + Σ_i u_i²)     (over users rating j)
+
+— each half-step is one join of the ratings against a factor
+relation plus one groupBy, i.e. two bounded shuffles per round with
+the ratings relation partitioned once and reused (the pagerank /
+Lloyd discipline from operators/graph.py / clustering.py). Factor
+state is rounded to 6 decimals every half-step so a DuckDB oracle
+replaying the same trajectory stays bit-identical (the
+_kmeans_chain discipline in plans/catalog/_shared.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .iterate import materialize
+
+__all__ = ["item_similarity", "user_item_scores", "rank1_als"]
+
+
+def item_similarity(
+    baskets: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    min_co: int = 1,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Item-item cosine similarity from co-occurrence.
+
+    `baskets` holds (basket, item) membership rows (duplicates
+    allowed; they are collapsed). Returns (i, j, co, n_i, n_j, cos)
+    for unordered pairs i < j with co-occurrence >= `min_co`.
+
+    Baskets larger than `max_basket` items are dropped whole — the
+    quadratic pair blowup guard (a single degenerate basket of 10k
+    items would emit 5·10⁷ pairs; real item-CF deployments cap or
+    sample exactly this way).
+    """
+    b = (
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+    )
+    sized = b.withColumn(
+        "_bsz", F.count("*").over(Window.partitionBy("basket"))
+    ).where(F.col("_bsz") <= max_basket)
+    left = sized.select("basket", F.col("item").alias("i"))
+    right = sized.select("basket", F.col("item").alias("j"))
+    pairs = (
+        left.join(right, "basket")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("bigint").alias("co"))
+        .where(F.col("co") >= min_co)
+    )
+    freq = b.groupBy(F.col("item")).agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        pairs.join(freq.select(F.col("item").alias("i"), F.col("n").alias("n_i")), "i")
+        .join(freq.select(F.col("item").alias("j"), F.col("n").alias("n_j")), "j")
+        .withColumn(
+            "cos",
+            F.col("co") / F.sqrt(F.col("n_i").cast("double") * F.col("n_j")),
+        )
+    )
+
+
+def user_item_scores(
+    baskets: DataFrame,
+    sims: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+) -> DataFrame:
+    """Score candidate items per user: sum of similarities between the
+    candidate and every item in the user's history, excluding items
+    the user already has. `sims` is item_similarity() output (or any
+    (i, j, cos) relation over unordered pairs).
+
+    Plan shape: the user history joins the symmetrized similarity
+    relation on the history item (shuffle on item id — the similarity
+    relation is the small side at real catalog sizes and broadcasts),
+    aggregates on (user, candidate), then anti-joins the history to
+    drop already-owned items.
+    """
+    hist = (
+        baskets.select(F.col(user_col).alias("user"), F.col(item_col).alias("item"))
+        .distinct()
+    )
+    sym = sims.select(
+        F.col("i").alias("item"), F.col("j").alias("cand"), "cos"
+    ).unionAll(
+        sims.select(F.col("j").alias("item"), F.col("i").alias("cand"), "cos")
+    )
+    scored = (
+        hist.join(sym, "item")
+        .groupBy("user", "cand")
+        .agg(F.sum("cos").alias("score"), F.count("*").cast("bigint").alias("n_common"))
+    )
+    owned = hist.select("user", F.col("item").alias("cand"))
+    return scored.join(owned, ["user", "cand"], "left_anti")
+
+
+def rank1_als(
+    ratings: DataFrame,
+    rounds: int = 3,
+    lam: float = 0.1,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "r",
+) -> DataFrame:
+    """Rank-1 ALS trajectory: returns one row per round (`step`) with the
+    factor-state fingerprints and the training RMSE after that
+    round's (u then v) update.
+
+    The ratings relation is materialized once and reused by every
+    half-step join; factor relations are |users| / |items| rows, so
+    each round moves only factor-sized data (the pagerank messaging
+    shape). State is rounded to 6 decimals per half-step for
+    cross-engine trajectory replay.
+    """
+    r = materialize(
+        ratings.select(
+            F.col(user_col).alias("user"),
+            F.col(item_col).alias("item"),
+            F.col(rating_col).cast("double").alias("r"),
+        )
+    )
+    v0 = r.select("item").distinct().withColumn("v", F.lit(1.0))
+
+    def u_step(v: DataFrame) -> DataFrame:
+        return (
+            r.join(v, "item")
+            .groupBy("user")
+            .agg(
+                F.round(
+                    F.sum(F.col("r") * F.col("v"))
+                    / (F.lit(lam) + F.sum(F.col("v") * F.col("v"))),
+                    6,
+                ).alias("u")
+            )
+        )
+
+    def v_step(u: DataFrame) -> DataFrame:
+        return (
+            r.join(u, "user")
+            .groupBy("item")
+            .agg(
+                F.round(
+                    F.sum(F.col("r") * F.col("u"))
+                    / (F.lit(lam) + F.sum(F.col("u") * F.col("u"))),
+                    6,
+                ).alias("v")
+            )
+        )
+
+    rows = []
+    v = v0
+    for k in range(1, rounds + 1):
+        u = materialize(u_step(v))
+        v = materialize(v_step(u))
+        rmse = (
+            r.join(u, "user")
+            .join(v, "item")
+            .agg(
+                F.round(
+                    F.sqrt(F.avg(F.pow(F.col("r") - F.col("u") * F.col("v"), 2))), 4
+                ).alias("rmse")
+            )
+        )
+        err = (
+            rmse.crossJoin(u.agg(F.round(F.sum("u"), 4).alias("sum_u")))
+            .crossJoin(v.agg(F.round(F.sum("v"), 4).alias("sum_v")))
+            .select(F.lit(k).cast("int").alias("step"), "rmse", "sum_u", "sum_v")
+        )
+        rows.append(err)
+    out = rows[0]
+    for e in rows[1:]:
+        out = out.unionAll(e)
+    return out

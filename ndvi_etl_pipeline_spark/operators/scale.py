@@ -104,6 +104,57 @@ def morton_key(x, y, bits: int = 16):
     return key
 
 
+def with_hilbert_key(
+    df: "DataFrame",
+    x: str,
+    y: str,
+    out: str = "hilbert",
+    bits: int = 8,
+) -> "DataFrame":
+    """Add the Hilbert-curve index of (x, y) (order-`bits` curve,
+    coordinates in [0, 2^bits)) as column `out`.
+
+    Same layout-clustering role as morton_key() above, with strictly
+    better locality: the Hilbert curve has no Z-order "seams" (every
+    consecutive pair of curve positions is 4-adjacent in the grid),
+    so range predicates touch fewer distinct key ranges — the
+    hilbert_layout_census catalog query quantifies the difference on
+    the same query box as the Z-order census.
+
+    The xy→d walk (Hamilton's standard per-bit rotation recurrence)
+    is SEQUENTIAL in the bit index, so it is emitted as one
+    projection per bit over named state columns rather than a single
+    column expression: the rotation uses each state column several
+    times per step, and inlining the recurrence would grow the
+    expression tree ~4^bits. Catalyst keeps the chain as stacked
+    projections (CollapseProject declines to duplicate non-cheap
+    multiply-referenced aliases), all inside one WholeStageCodegen —
+    integer shift/mask/xor only, no UDF.
+    """
+    sx, sy, sd = f"_h_{out}_x", f"_h_{out}_y", f"_h_{out}_d"
+    cur = df.withColumns(
+        {
+            sx: F.col(x).cast("long"),
+            sy: F.col(y).cast("long"),
+            sd: F.lit(0).cast("long"),
+        }
+    )
+    for i in range(bits - 1, -1, -1):
+        s_val = 1 << i
+        rx = F.shiftright(F.col(sx), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col(sy), i).bitwiseAND(F.lit(1))
+        d_new = F.col(sd) + F.lit(s_val) * F.lit(s_val) * (
+            (F.lit(3) * rx).bitwiseXOR(ry)
+        ).cast("long")
+        flip = (ry == 0) & (rx == 1)
+        x_f = F.when(flip, F.lit(s_val - 1) - F.col(sx)).otherwise(F.col(sx))
+        y_f = F.when(flip, F.lit(s_val - 1) - F.col(sy)).otherwise(F.col(sy))
+        x_new = F.when(ry == 0, y_f).otherwise(x_f)
+        y_new = F.when(ry == 0, x_f).otherwise(y_f)
+        cur = cur.withColumns({sx: x_new, sy: y_new, sd: d_new})
+    return cur.withColumn(out, F.col(sd)).drop(sx, sy, sd)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

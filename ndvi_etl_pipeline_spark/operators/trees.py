@@ -1,0 +1,148 @@
+"""Decision-stump split finding as a sort-free aggregation plan.
+
+The inner loop of every distributed tree learner (CART, and the
+histogram strategy XGBoost/LightGBM made standard): evaluate all
+candidate thresholds of a feature in ONE pass by pre-aggregating the
+data to per-bucket sufficient statistics and turning "left/right of
+threshold t" into prefix sums over the bucket axis.
+
+Scale shape — the part that matters at 100 TB: the data-sized stage
+is a single groupBy(bucket) with map-side partial aggregation, so the
+shuffle carries |buckets| rows (hundreds), not |rows|. The cumulative
+window that scans thresholds then runs over that bucket relation —
+the single-partition WindowExec it induces is over the BUCKET grid,
+a driver-visible constant, which is exactly how histogram-based
+learners make split finding communication-optimal (sufficient
+statistics are additive, so partials merge associatively).
+
+Gini impurity for classification (binary label), variance reduction
+for regression — both from additive statistics only:
+  gini(n, pos)      = 1 - (pos/n)² - ((n-pos)/n)²
+  var(n, Σy, Σy²)   = Σy²/n - (Σy/n)²    (population form)
+  gain(t) = impurity(root) - [n_L·imp_L + n_R·imp_R] / n
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["gini_splits", "variance_splits"]
+
+
+def _cum() -> Window:
+    return Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+
+
+def gini_splits(
+    df: DataFrame,
+    feature,
+    label,
+    bucket_width: float,
+) -> DataFrame:
+    """All candidate splits `feature <= t` at bucket-grid granularity,
+    with Gini gain. `label` must be a 0/1 integer column expression.
+
+    Returns (threshold, n_left, n_right, pos_left, pos_right, gain) —
+    one row per occupied bucket except the last (a split with an
+    empty side is not a split).
+    """
+    buckets = (
+        df.select(
+            (F.floor(feature / F.lit(bucket_width))).cast("bigint").alias("bucket"),
+            label.cast("bigint").alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("y").cast("bigint").alias("pos"))
+    )
+    w = _cum()
+    cum = buckets.select(
+        "bucket",
+        F.sum("n").over(w).alias("n_l"),
+        F.sum("pos").over(w).alias("pos_l"),
+        F.sum("n").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).alias("n_t"),
+        F.sum("pos").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).alias("pos_t"),
+    )
+
+    def gini(n, pos):
+        p = pos.cast("double") / n
+        return 1.0 - p * p - (1.0 - p) * (1.0 - p)
+
+    n_r = F.col("n_t") - F.col("n_l")
+    pos_r = F.col("pos_t") - F.col("pos_l")
+    root = gini(F.col("n_t"), F.col("pos_t"))
+    weighted = (
+        F.col("n_l") * gini(F.col("n_l"), F.col("pos_l"))
+        + n_r * gini(n_r, pos_r)
+    ) / F.col("n_t")
+    return (
+        cum.where(n_r > 0)
+        .select(
+            ((F.col("bucket") + 1) * F.lit(bucket_width)).alias("threshold"),
+            F.col("n_l").alias("n_left"),
+            n_r.alias("n_right"),
+            F.col("pos_l").alias("pos_left"),
+            pos_r.alias("pos_right"),
+            (root - weighted).alias("gain"),
+        )
+    )
+
+
+def variance_splits(
+    df: DataFrame,
+    feature,
+    target,
+    bucket_width: float,
+) -> DataFrame:
+    """All candidate splits `feature <= t` with variance-reduction
+    gain for a continuous `target` (regression stump). Returns
+    (threshold, n_left, n_right, gain)."""
+    buckets = (
+        df.select(
+            (F.floor(feature / F.lit(bucket_width))).cast("bigint").alias("bucket"),
+            target.cast("double").alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").alias("s"),
+            F.sum(F.col("y") * F.col("y")).alias("ss"),
+        )
+    )
+    w = _cum()
+    tot = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = buckets.select(
+        "bucket",
+        F.sum("n").over(w).alias("n_l"),
+        F.sum("s").over(w).alias("s_l"),
+        F.sum("ss").over(w).alias("ss_l"),
+        F.sum("n").over(tot).alias("n_t"),
+        F.sum("s").over(tot).alias("s_t"),
+        F.sum("ss").over(tot).alias("ss_t"),
+    )
+
+    def sse(n, s, ss):
+        # n * var = Σy² - (Σy)²/n  — the additive "sum of squared error" form
+        return ss - (s * s) / n
+
+    n_r = F.col("n_t") - F.col("n_l")
+    s_r = F.col("s_t") - F.col("s_l")
+    ss_r = F.col("ss_t") - F.col("ss_l")
+    gain = (
+        sse(F.col("n_t"), F.col("s_t"), F.col("ss_t"))
+        - sse(F.col("n_l"), F.col("s_l"), F.col("ss_l"))
+        - sse(n_r, s_r, ss_r)
+    ) / F.col("n_t")
+    return (
+        cum.where(n_r > 0)
+        .select(
+            ((F.col("bucket") + 1) * F.lit(bucket_width)).alias("threshold"),
+            F.col("n_l").alias("n_left"),
+            n_r.alias("n_right"),
+            gain.alias("gain"),
+        )
+    )

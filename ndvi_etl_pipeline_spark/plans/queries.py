@@ -37,3 +37,6 @@ from .catalog.part06_energy_distance_tw import *  # noqa: F401,F403
 from .catalog.part07_split_conformal_in import *  # noqa: F401,F403
 from .catalog.part08_partial_pooling_es import *  # noqa: F401,F403
 from .catalog.part09_scaling_law_fit import *  # noqa: F401,F403
+from .catalog.part10_data_selection import *  # noqa: F401,F403
+from .catalog.part11_gopher_rules import *  # noqa: F401,F403
+from .catalog.part12_recsys_trees import *  # noqa: F401,F403

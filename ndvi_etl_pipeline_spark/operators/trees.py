@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gini_splits", "variance_splits"]
+__all__ = ["gini_splits", "variance_splits", "boosted_stumps"]
 
 
 def _cum() -> Window:
@@ -146,3 +146,137 @@ def variance_splits(
             gain.alias("gain"),
         )
     )
+
+
+def boosted_stumps(
+    df: DataFrame,
+    feature,
+    target,
+    bucket_width: float,
+    rounds: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Gradient boosting with depth-1 trees on a single bucketed
+    feature: `rounds` rounds of (fit variance-reduction stump to
+    residuals → add lr-scaled leaf means to the prediction).
+
+    The scale insight: because a stump on a bucketed feature assigns
+    the same prediction to every row in a bucket, the ENTIRE boosting
+    state lives on the per-bucket sufficient-statistics relation —
+    residual statistics are derivable in closed form
+    (Σ(y−p) = s − n·p, Σ(y−p)² = ss − 2ps + np²), so the corpus is
+    scanned exactly ONCE and every round runs over |buckets| rows.
+    This is precisely the histogram trick that makes distributed
+    GBDT (XGBoost/LightGBM) communication-optimal, taken to its
+    fixed-feature limit.
+
+    Predictions and leaf means are rounded to 6 decimals per round so
+    a DuckDB oracle can replay the trajectory exactly. Returns one
+    row per round: (step, threshold, mean_left, mean_right, mse)
+    where mse is the post-update training error.
+    """
+    from .iterate import materialize
+
+    b0 = (
+        df.select(
+            (F.floor(feature / F.lit(bucket_width))).cast("bigint").alias("bucket"),
+            target.cast("double").alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").alias("s"),
+            F.sum(F.col("y") * F.col("y")).alias("ss"),
+        )
+    )
+    mean0 = b0.agg(F.round(F.sum("s") / F.sum("n"), 6).alias("p"))
+    state = materialize(b0.crossJoin(mean0))  # (bucket, n, s, ss, p)
+
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    out_rows = []
+    for k in range(1, rounds + 1):
+        res = state.select(
+            "bucket", "n", "s", "ss", "p",
+            (F.col("s") - F.col("n") * F.col("p")).alias("rs"),
+            (
+                F.col("ss")
+                - 2.0 * F.col("p") * F.col("s")
+                + F.col("n") * F.col("p") * F.col("p")
+            ).alias("rss"),
+        )
+        c = res.select(
+            "bucket",
+            F.sum("n").over(cum).alias("n_l"),
+            F.sum("rs").over(cum).alias("rs_l"),
+            F.sum("rss").over(cum).alias("rss_l"),
+            F.sum("n").over(tot).alias("n_t"),
+            F.sum("rs").over(tot).alias("rs_t"),
+            F.sum("rss").over(tot).alias("rss_t"),
+        )
+        n_r = F.col("n_t") - F.col("n_l")
+        rs_r = F.col("rs_t") - F.col("rs_l")
+        gain = (
+            (F.col("rss_t") - (F.col("rs_t") * F.col("rs_t")) / F.col("n_t"))
+            - (F.col("rss_l") - (F.col("rs_l") * F.col("rs_l")) / F.col("n_l"))
+            - ((F.col("rss_t") - F.col("rss_l")) - (rs_r * rs_r) / n_r)
+        ) / F.col("n_t")
+        best = (
+            c.where(n_r > 0)
+            .select(
+                "bucket",
+                F.round(gain, 6).alias("g"),
+                F.round(F.col("rs_l") / F.col("n_l"), 6).alias("mean_left"),
+                F.round(rs_r / n_r, 6).alias("mean_right"),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(Window.orderBy(F.desc("g"), F.asc("bucket"))),
+            )
+            .where(F.col("rk") == 1)
+            .select(
+                F.col("bucket").alias("split_bucket"),
+                "mean_left",
+                "mean_right",
+            )
+        )
+        state = materialize(
+            state.crossJoin(best).select(
+                "bucket", "n", "s", "ss",
+                "split_bucket", "mean_left", "mean_right",
+                F.round(
+                    F.col("p")
+                    + F.lit(lr)
+                    * F.when(
+                        F.col("bucket") <= F.col("split_bucket"), F.col("mean_left")
+                    ).otherwise(F.col("mean_right")),
+                    6,
+                ).alias("p"),
+            )
+        )
+        metrics = state.agg(
+            F.lit(k).cast("int").alias("step"),
+            F.round(
+                (F.max("split_bucket") + 1) * F.lit(bucket_width), 6
+            ).alias("threshold"),
+            F.round(F.max("mean_left"), 6).alias("mean_left"),
+            F.round(F.max("mean_right"), 6).alias("mean_right"),
+            F.round(
+                F.sum(
+                    F.col("ss")
+                    - 2.0 * F.col("p") * F.col("s")
+                    + F.col("n") * F.col("p") * F.col("p")
+                )
+                / F.sum("n"),
+                4,
+            ).alias("mse"),
+        )
+        out_rows.append(metrics)
+        state = state.drop("split_bucket", "mean_left", "mean_right")
+    out = out_rows[0]
+    for e in out_rows[1:]:
+        out = out.unionAll(e)
+    return out

@@ -40,3 +40,4 @@ from .catalog.part09_scaling_law_fit import *  # noqa: F401,F403
 from .catalog.part10_data_selection import *  # noqa: F401,F403
 from .catalog.part11_gopher_rules import *  # noqa: F401,F403
 from .catalog.part12_recsys_trees import *  # noqa: F401,F403
+from .catalog.part13_ml_training import *  # noqa: F401,F403

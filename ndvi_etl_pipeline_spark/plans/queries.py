@@ -41,3 +41,4 @@ from .catalog.part10_data_selection import *  # noqa: F401,F403
 from .catalog.part11_gopher_rules import *  # noqa: F401,F403
 from .catalog.part12_recsys_trees import *  # noqa: F401,F403
 from .catalog.part13_ml_training import *  # noqa: F401,F403
+from .catalog.part14_entity_resolution import *  # noqa: F401,F403

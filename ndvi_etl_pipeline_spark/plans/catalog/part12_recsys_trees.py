@@ -154,12 +154,15 @@ def _sims_sql() -> str:
       JOIN freq fj ON fj.item = p.j)"""
 
 
-def _order_basket_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _order_basket_sims(
+    spark: SparkSession, sf_dir: str, focus_items: DataFrame | None = None
+) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return RS.item_similarity(
         li.select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")),
         min_co=2,
         max_basket=64,
+        focus_items=focus_items,
     )
 
 
@@ -193,7 +196,6 @@ def q_itemcf_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-size cap); the pair agg shuffles once with map-side
     partials. Ranked by the rounded cosine so both engines break
     ties identically."""
-    sims = _order_basket_sims(spark, sf_dir)
     li = _t(spark, sf_dir, "lineitem")
     freq = (
         li.select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
@@ -208,6 +210,10 @@ def q_itemcf_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("item")
     )
+    # the hot restriction is pushed below the pair shuffle (see
+    # operators/recsys.py focus_items) — output identical: only pairs
+    # touching a hot item survive the downstream rank anyway
+    sims = _order_basket_sims(spark, sf_dir, focus_items=hot)
     sym = sims.select(
         F.col("i").alias("a"), F.col("j").alias("b"), "co",
         F.col("n_i").alias("n_a"), F.col("n_j").alias("n_b"), "cos",

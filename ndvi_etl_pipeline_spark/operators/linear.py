@@ -60,15 +60,15 @@ def logreg_gd_trajectory(
         F.col("id").cast("int").alias("idx"), F.lit(0.0).alias("w")
     )
 
+    # z_prev carries round k-1's margins forward: the metrics pass of
+    # round k-1 and the gradient pass of round k read the SAME relation
+    # (the oracle's z{k} CTE plays both roles too), so each round does
+    # one margin aggregation, not two. w0 = 0 → z0 ≡ 0, no compute.
+    z_prev = labels.select("vec_id", "y", F.lit(0.0).alias("z"))
     out_rows = []
     for k in range(1, rounds + 1):
-        z = (
-            pts.join(w, "idx")
-            .groupBy("vec_id", "y")
-            .agg(F.sum(F.col("val") * F.col("w")).alias("z"))
-        )
-        p = z.select(
-            "vec_id", "y", "z", (1.0 / (1.0 + F.exp(-F.col("z")))).alias("p")
+        p = z_prev.select(
+            "vec_id", "y", (1.0 / (1.0 + F.exp(-F.col("z")))).alias("p")
         )
         g = (
             pts.join(p.select("vec_id", "p"), "vec_id")
@@ -76,6 +76,8 @@ def logreg_gd_trajectory(
             .agg(F.sum((F.col("p") - F.col("y")) * F.col("val")).alias("gs"))
         )
         n_rel = labels.agg(F.count("*").cast("double").alias("n_total"))
+        # w must be materialized: three consumers (z, norm_w, next g)
+        # would otherwise each re-execute the gradient aggregation
         w = materialize(
             w.join(g, "idx")
             .crossJoin(n_rel)
@@ -86,13 +88,13 @@ def logreg_gd_trajectory(
                 ).alias("w"),
             )
         )
-        z2 = (
+        z_prev = materialize(
             pts.join(w, "idx")
             .groupBy("vec_id", "y")
             .agg(F.sum(F.col("val") * F.col("w")).alias("z"))
         )
         metrics = (
-            z2.agg(
+            z_prev.agg(
                 F.round(
                     F.avg(
                         F.log(1.0 + F.exp(-F.col("z")))

@@ -35,10 +35,10 @@ from pyspark.sql import functions as F
 
 from .iterate import materialize
 
-__all__ = ["item_similarity", "user_item_scores", "rank1_als"]
+__all__ = ["basket_pairs", "item_similarity", "user_item_scores", "rank1_als"]
 
 
-def item_similarity(
+def basket_pairs(
     baskets: DataFrame,
     basket_col: str = "basket",
     item_col: str = "item",
@@ -46,33 +46,28 @@ def item_similarity(
     max_basket: int = 64,
     focus_items: DataFrame | None = None,
 ) -> DataFrame:
-    """Item-item cosine similarity from co-occurrence.
+    """Unordered within-basket item pairs (i < j) with co-occurrence
+    counts (i, j, co) — the shared candidate-generation stage of
+    item-CF and the co-purchase graph. Graph consumers
+    (bfs_hops_copurchase) use it directly: going through
+    item_similarity would pay two freq joins Catalyst cannot prune,
+    since inner joins change cardinality.
 
     `baskets` holds (basket, item) membership rows (duplicates
-    allowed; they are collapsed). Returns (i, j, co, n_i, n_j, cos)
-    for unordered pairs i < j with co-occurrence >= `min_co`.
+    allowed; they are collapsed). Baskets larger than `max_basket`
+    items are dropped whole — the quadratic pair-blowup guard (a
+    single degenerate basket of 10k items would emit 5·10⁷ pairs;
+    real item-CF deployments cap or sample exactly this way).
 
-    Baskets larger than `max_basket` items are dropped whole — the
-    quadratic pair blowup guard (a single degenerate basket of 10k
-    items would emit 5·10⁷ pairs; real item-CF deployments cap or
-    sample exactly this way).
+    One shuffle on the basket key builds the item-set array; pair
+    generation is then a JVM-side nested-transform over the sorted
+    array (codegen, no self-join, no second scan of the membership
+    relation — a basket-keyed self-join computes the same pairs but
+    shuffles the membership relation twice).
     """
-    # One shuffle on the basket key builds the item-set array; pair
-    # generation is then a JVM-side nested-transform over the sorted
-    # array (codegen, no self-join, no second scan of the membership
-    # relation). A basket-keyed self-join computes the same pairs but
-    # shuffles the membership relation twice and re-scans it — the
-    # array form halved itemcf wall-clock at sf1.
-    arrs_all = (
-        baskets.select(
-            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-        )
-        .groupBy("basket")
-        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+    arrs = _basket_arrays(baskets, basket_col, item_col).where(
+        F.size("items") <= max_basket
     )
-    # the cap guards PAIR generation only; frequencies count the full
-    # membership (the oracle's definition)
-    arrs = arrs_all.where(F.size("items") <= max_basket)
     pair_col = F.flatten(
         F.transform(
             "items",
@@ -109,13 +104,44 @@ def item_similarity(
             .where(F.col("_hi").isNotNull() | F.col("_hj").isNotNull())
             .drop("_hi", "_hj")
         )
-    pairs = (
+    return (
         raw.groupBy("i", "j")
         .agg(F.count("*").cast("bigint").alias("co"))
         .where(F.col("co") >= min_co)
     )
+
+
+def _basket_arrays(
+    baskets: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    return (
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+    )
+
+
+def item_similarity(
+    baskets: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    min_co: int = 1,
+    max_basket: int = 64,
+    focus_items: DataFrame | None = None,
+) -> DataFrame:
+    """Item-item cosine similarity from co-occurrence: basket_pairs()
+    plus per-item frequencies and cos = co / sqrt(n_i · n_j).
+    Returns (i, j, co, n_i, n_j, cos) for pairs with co >= `min_co`.
+    The basket-size cap guards PAIR generation only; frequencies
+    count the full membership (the oracle's definition)."""
+    pairs = basket_pairs(
+        baskets, basket_col, item_col, min_co, max_basket, focus_items
+    )
     freq = (
-        arrs_all.select(F.explode("items").alias("item"))
+        _basket_arrays(baskets, basket_col, item_col)
+        .select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
@@ -127,6 +153,7 @@ def item_similarity(
             F.col("co") / F.sqrt(F.col("n_i").cast("double") * F.col("n_j")),
         )
     )
+
 
 
 def user_item_scores(

@@ -551,8 +551,15 @@ def q_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized edge list against the frontier on one key (the
     Pregel messaging shape); the source is a lazy 1-row agg, so the
     builder stays collect-free."""
-    sims = _order_basket_sims(spark, sf_dir)
-    edges = sims.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = RS.basket_pairs(
+        li.select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        ),
+        min_co=2,
+        max_basket=64,
+    )
+    edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
     src = edges.select(
         F.least(F.min("src"), F.min("dst")).alias("node")
     )

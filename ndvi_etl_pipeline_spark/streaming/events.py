@@ -308,6 +308,30 @@ def tws_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def countmin_counters(events: "DataFrame", width: int = 512) -> "DataFrame":
+    """Streaming count-min sketch over user ids: the depth-4 counter
+    table as an unwindowed streaming aggregation on (row, col).
+
+    The sketch IS its own streaming state: counters are sums keyed by
+    the d·W-bounded (row, col) grid, so state size is a constant
+    independent of stream length or key cardinality — the property
+    that makes CM the standard streaming frequency sketch. The same
+    affine-mod hash family as the batch operator (catalog part12), so
+    a drained stream's counter table equals the batch sketch
+    bit-for-bit (pinned in tests/test_streaming.py).
+    """
+    from ..plans.catalog.part12_recsys_trees import _CM_HASHES, _CM_P
+
+    rows = None
+    for r, a, b in _CM_HASHES:
+        piece = events.select(
+            F.lit(r).alias("r"),
+            (((F.lit(a) * F.col("user_id") + F.lit(b)) % _CM_P) % width).alias("col"),
+        )
+        rows = piece if rows is None else rows.unionAll(piece)
+    return rows.groupBy("r", "col").agg(F.count("*").cast("bigint").alias("cnt"))
+
+
 def run_stream_with_upsert_sink(
     spark: SparkSession,
     parquet_path: str,

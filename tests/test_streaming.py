@@ -691,3 +691,48 @@ def test_stream_gopher_gate_matches_batch_filter(spark, sf_dir, tmp_path):
     # replay with a fresh checkpoint: store anti-join admits nothing new
     stream_gopher_documents(spark, str(landing), curated, str(tmp_path / "ckpt2"))
     assert {r.doc_id for r in spark.read.parquet(curated).collect()} == got
+
+
+def test_streaming_countmin_equals_batch_sketch(spark, sf_dir):
+    """The streaming CM counter table (unwindowed agg on the bounded
+    (row, col) grid) must equal the batch sketch exactly once the
+    stream drains — counters are associative sums, so micro-batch
+    boundaries cannot change them."""
+    from ndvi_etl_pipeline_spark.plans.catalog.part12_recsys_trees import (
+        _CM_HASHES,
+        _CM_P,
+    )
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+    from ndvi_etl_pipeline_spark.streaming.events import (
+        countmin_counters,
+        run_stream_over_parquet,
+    )
+
+    stream_out = run_stream_over_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        countmin_counters,
+        query_name="t_countmin",
+        output_mode="complete",
+    )
+    got = {(r.r, r.col): r.cnt for r in stream_out.collect()}
+
+    ev = load_table(spark, "events", sf_dir)
+    import pyspark.sql.functions as F
+
+    batch = None
+    for r, a, b in _CM_HASHES:
+        piece = ev.select(
+            F.lit(r).alias("r"),
+            (((F.lit(a) * F.col("user_id") + F.lit(b)) % _CM_P) % 512).alias("col"),
+        )
+        batch = piece if batch is None else batch.unionAll(piece)
+    expect = {
+        (r.r, r.col): r.cnt
+        for r in batch.groupBy("r", "col")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .collect()
+    }
+    assert got == expect
+    # state is grid-bounded regardless of stream length
+    assert len(got) <= 4 * 512

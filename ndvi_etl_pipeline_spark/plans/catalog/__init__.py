@@ -18,6 +18,7 @@ from . import part13_ml_training  # noqa: F401
 from . import part14_entity_resolution  # noqa: F401
 from . import part15_cv_quantreg  # noqa: F401
 from . import part16_semistructured  # noqa: F401
+from . import part17_feature_eval  # noqa: F401
 from ._shared import (  # noqa: F401
     REGISTRY,
     QuerySpec,

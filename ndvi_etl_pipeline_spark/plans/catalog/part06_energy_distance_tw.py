@@ -1921,7 +1921,7 @@ def q_metcalfe_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(c_total, 4) AS total_effect,
            round(a * b, 4) AS indirect_effect,
            round(c_prime, 4) AS direct_effect,
-           round(c_total - (a * b + c_prime), 6) AS identity_gap
+           (round(c_total - (a * b + c_prime), 6) + 0.0) AS identity_gap
     FROM paths
     """,
     tags=("causal", "regression", "decomposition"),
@@ -1964,7 +1964,7 @@ def q_mediation_baron_kenny(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c_total, 4).alias("total_effect"),
         F.round(a * b, 4).alias("indirect_effect"),
         F.round(c_prime, 4).alias("direct_effect"),
-        F.round(c_total - (a * b + c_prime), 6).alias("identity_gap"),
+        canon_round(c_total - (a * b + c_prime), 6).alias("identity_gap"),
     )
 
 

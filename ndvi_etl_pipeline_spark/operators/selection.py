@@ -395,6 +395,108 @@ def duplicated_token_coverage(
     )
 
 
+def naive_bayes_kfold(
+    docs: DataFrame,
+    label_pred: Column,
+    n_folds: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(fold, doc_id, actual, score): every fold's holdout NB scores
+    from ONE tokenization pass.
+
+    Leave-fold-out via subtraction: per-(fold, bucket) class counts
+    are aggregated once; fold f's TRAINING counts are the whole-corpus
+    counts minus fold f's own — so k-fold costs two corpus scans
+    total (count, score) instead of 2k, and the per-fold model is
+    bit-identical to training on the complement directly (the counts
+    are the same integers, hence the same Laplace llr doubles; a
+    bucket unseen in fold f's training has zero counts and the
+    Laplace form then EQUALS the unseen fallback, so no special
+    case). Model state is k·B rows — broadcast. Folds are
+    doc_id % n_folds, matching the part10 split convention.
+    """
+    base = docs.select(
+        F.col(id_col),
+        label_pred.alias("y"),
+        (F.col(id_col) % n_folds).alias("fold"),
+        F.col(text_col).alias("_txt"),
+    )
+    sc = docs.sparkSession.sparkContext
+    base = base.repartition(sc.defaultParallelism, id_col)
+    tok = base.select(
+        F.col(id_col), "y", "fold", F.explode(tokens("_txt")).alias("w")
+    ).select(F.col(id_col), "y", "fold", token_bucket("w", n_buckets).alias("b"))
+    cnt_fb = tok.groupBy("fold", "b").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double").alias("c1"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("double").alias("c0"),
+    ).persist()
+    cnt_all = cnt_fb.groupBy("b").agg(
+        F.sum("c1").alias("a1"), F.sum("c0").alias("a0")
+    )
+    # training counts for fold f = corpus − fold f (dense over the
+    # fold × seen-bucket grid so zero-count buckets still get their
+    # Laplace row — which equals the unseen fallback by construction)
+    folds = docs.sparkSession.range(n_folds).select(F.col("id").alias("fold"))
+    dense = (
+        cnt_all.crossJoin(F.broadcast(folds))
+        .join(cnt_fb, ["fold", "b"], "left")
+        .select(
+            "fold", "b",
+            (F.col("a1") - F.coalesce("c1", F.lit(0.0))).alias("t1"),
+            (F.col("a0") - F.coalesce("c0", F.lit(0.0))).alias("t0"),
+        )
+    )
+    tot = dense.groupBy("fold").agg(
+        F.sum("t1").alias("n1"), F.sum("t0").alias("n0")
+    )
+    bb = float(n_buckets)
+    llr = dense.join(tot, "fold").select(
+        "fold", "b",
+        (
+            F.log((F.col("t1") + F.lit(1.0)) / (F.col("n1") + F.lit(bb)))
+            - F.log((F.col("t0") + F.lit(1.0)) / (F.col("n0") + F.lit(bb)))
+        ).alias("llr"),
+    )
+    unseen = tot.select(
+        "fold",
+        (
+            F.log(F.lit(1.0) / (F.col("n1") + F.lit(bb)))
+            - F.log(F.lit(1.0) / (F.col("n0") + F.lit(bb)))
+        ).alias("unseen_llr"),
+    )
+    docs_fy = base.groupBy("fold").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double").alias("d1"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("double").alias("d0"),
+    )
+    docs_tot = docs_fy.agg(F.sum("d1").alias("t1"), F.sum("d0").alias("t0"))
+    prior = docs_fy.crossJoin(F.broadcast(docs_tot)).select(
+        "fold",
+        F.log(
+            (F.col("t1") - F.col("d1")) / (F.col("t0") - F.col("d0"))
+        ).alias("log_prior"),
+    )
+    scored = (
+        tok.join(F.broadcast(llr), ["fold", "b"], "left")
+        .join(F.broadcast(unseen), "fold")
+        .select(
+            "fold", F.col(id_col), "y",
+            F.coalesce("llr", F.col("unseen_llr")).alias("t_llr"),
+        )
+        .groupBy("fold", id_col, "y")
+        .agg(F.sum("t_llr").alias("s"))
+        .join(F.broadcast(prior), "fold")
+        .select(
+            "fold",
+            F.col(id_col),
+            F.col("y").cast("int").alias("actual"),
+            (F.col("s") + F.col("log_prior")).alias("score"),
+        )
+    )
+    return scored
+
+
 def naive_bayes_scores(
     docs: DataFrame,
     label_pred: Column,

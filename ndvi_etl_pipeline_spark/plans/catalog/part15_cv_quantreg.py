@@ -76,37 +76,29 @@ def _nb_fold_sql(fold: int) -> str:
 def q_nb_quality_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-fold cross-validation of the NB bucket-LM quality classifier
     (operators/selection.py:naive_bayes_scores): deterministic
-    doc_id-hash folds, per-fold holdout accuracy. Each fold is the
-    same two-scan plan with a different test predicate; model state
-    stays ≤64 rows + two scalars per fold. The per-document decision
+    doc_id-hash folds, per-fold holdout accuracy. All folds share ONE
+    tokenization pass (operators/selection.py:naive_bayes_kfold —
+    leave-fold-out counts by subtraction), so k-fold costs two
+    corpus scans total, not 2k; model state is k x 64 rows. The per-document decision
     uses the part10 query's exact rounding (canon_round at 6) so
     both engines threshold identical values."""
     d = _t(spark, sf_dir, "documents")
-    folds = []
-    for f in range(_N_FOLDS):
-        s = SEL.naive_bayes_scores(
-            d,
-            label_pred=F.col("lang") == F.lit("en"),
-            test_pred=F.col("doc_id") % _N_FOLDS == f,
+    s = SEL.naive_bayes_kfold(
+        d, label_pred=F.col("lang") == F.lit("en"), n_folds=_N_FOLDS
+    )
+    correct = (
+        (canon_round(F.col("score"), 6) > F.lit(0.0)) == (F.col("actual") == 1)
+    )
+    return (
+        s.groupBy(F.col("fold").cast("int").alias("fold"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(F.when(correct, 1).otherwise(0)).cast("bigint").alias("n_correct"),
+            F.round(
+                F.sum(F.when(correct, 1.0).otherwise(0.0)) / F.count("*"), 6
+            ).alias("accuracy"),
         )
-        correct = (
-            (canon_round(F.col("score"), 6) > F.lit(0.0))
-            == (F.col("actual") == 1)
-        )
-        folds.append(
-            s.agg(
-                F.lit(f).cast("int").alias("fold"),
-                F.count("*").cast("bigint").alias("n_test"),
-                F.sum(F.when(correct, 1).otherwise(0)).cast("bigint").alias("n_correct"),
-                F.round(
-                    F.sum(F.when(correct, 1.0).otherwise(0.0)) / F.count("*"), 6
-                ).alias("accuracy"),
-            )
-        )
-    out = folds[0]
-    for e in folds[1:]:
-        out = out.unionAll(e)
-    return out
+    )
 
 
 # --- quantile regression -------------------------------------------------

@@ -49,3 +49,4 @@ from .catalog.part18_quality_contracts import *  # noqa: F401,F403
 from .catalog.part19_hits_seqmine import *  # noqa: F401,F403
 from .catalog.part20_recsys_eval import *  # noqa: F401,F403
 from .catalog.part21_retrieval_eval import *  # noqa: F401,F403
+from .catalog.part22_graph_quality import *  # noqa: F401,F403

@@ -169,3 +169,4 @@ def q_context_truncation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("packed_bins"),
     )
     return agg.withColumnRenamed("c", "context_len")
+

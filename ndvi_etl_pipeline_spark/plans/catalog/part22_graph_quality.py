@@ -170,3 +170,196 @@ def q_context_truncation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.withColumnRenamed("c", "context_len")
 
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 5
+
+
+def _kcore_oracle() -> str:
+    steps = []
+    prev = "n0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f"""d{r} AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT e.i AS node FROM e JOIN {prev} a ON a.node = e.i
+                                  JOIN {prev} b ON b.node = e.j
+        UNION ALL
+        SELECT e.j FROM e JOIN {prev} a ON a.node = e.i
+                          JOIN {prev} b ON b.node = e.j)
+      GROUP BY node),
+    n{r} AS MATERIALIZED (
+      SELECT node FROM d{r} WHERE deg >= {_KCORE_K})"""
+        )
+        prev = f"n{r}"
+    chain = ",\n    ".join(steps)
+    last = f"n{_KCORE_ROUNDS}"
+    return f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+    sized AS (
+      SELECT basket, item FROM (
+        SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsz FROM b)
+      WHERE bsz <= 64),
+    e AS MATERIALIZED (
+      SELECT l.item AS i, r.item AS j
+      FROM sized l JOIN sized r ON l.basket = r.basket AND l.item < r.item
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    n0 AS (SELECT i AS node FROM e UNION SELECT j FROM e),
+    {chain},
+    ce AS (
+      SELECT e.i, e.j FROM e
+      JOIN {last} a ON a.node = e.i JOIN {last} b ON b.node = e.j)
+    SELECT CAST((SELECT count(*) FROM n0) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM {last}) AS BIGINT) AS core_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM ce) AS BIGINT) AS core_edges
+    """
+
+
+@register(
+    "kcore_decomposition",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative", "lineitem"),
+)
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-core of the co-purchase graph by synchronous peeling:
+    each round drops nodes whose degree within the surviving
+    subgraph is < k (5 fixed rounds, enough for this graph —
+    convergence is when a round removes nothing). The dense core is
+    what survives of a recommendation graph once the long tail is
+    peeled — and the peeling loop is the canonical 'recompute a
+    per-node aggregate over a shrinking subgraph' iteration: per
+    round one node-set semi-join + one degree count, edge relation
+    materialized once (operators/iterate.py discipline)."""
+    from ...operators.iterate import iterate, materialize
+    from ...operators.recsys import basket_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = materialize(
+        basket_pairs(
+            li.select(
+                F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+            ),
+            min_co=2,
+            max_basket=64,
+        ).select("i", "j")
+    )
+    n0 = (
+        e.select(F.col("i").alias("node"))
+        .union(e.select(F.col("j").alias("node")))
+        .distinct()
+    )
+
+    def peel(nodes: DataFrame, _i: int) -> DataFrame:
+        alive = (
+            e.join(nodes.withColumnRenamed("node", "i"), "i", "left_semi")
+            .join(nodes.withColumnRenamed("node", "j"), "j", "left_semi")
+        )
+        deg = (
+            alive.select(F.col("i").alias("node"))
+            .unionAll(alive.select(F.col("j").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        return deg.where(F.col("deg") >= _KCORE_K).select("node")
+
+    core = iterate(n0, peel, _KCORE_ROUNDS)
+    core_edges = (
+        e.join(core.withColumnRenamed("node", "i"), "i", "left_semi")
+        .join(core.withColumnRenamed("node", "j"), "j", "left_semi")
+    )
+    return (
+        n0.agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .crossJoin(core.agg(F.count("*").cast("bigint").alias("core_nodes")))
+        .crossJoin(e.agg(F.count("*").cast("bigint").alias("n_edges")))
+        .crossJoin(core_edges.agg(F.count("*").cast("bigint").alias("core_edges")))
+    )
+
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH base AS (
+      SELECT n_name,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             c_mktsegment AS seg
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    gseg AS (
+      SELECT seg, CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM base) AS p
+      FROM base GROUP BY seg),
+    grp AS (
+      SELECT n_name, m, seg, CAST(count(*) AS BIGINT) AS c FROM base
+      GROUP BY 1, 2, 3),
+    grp_n AS (
+      SELECT n_name, m, CAST(sum(c) AS DOUBLE) AS n FROM grp GROUP BY 1, 2),
+    dist AS (
+      SELECT g.n_name, g.m,
+             0.5 * sum(abs(coalesce(gr.c, 0) / g.n - gl.p)) AS t
+      FROM grp_n g
+      CROSS JOIN gseg gl
+      LEFT JOIN grp gr ON gr.n_name = g.n_name AND gr.m = g.m
+                      AND gr.seg = gl.seg
+      GROUP BY g.n_name, g.m)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           round(max(t), 6) AS max_t,
+           round(avg(t), 6) AS avg_t,
+           CAST(sum(CASE WHEN t > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_above_03
+    FROM dist
+    """,
+    tags=("privacy", "audit", "quality"),
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007), completing the
+    k-anonymity / l-diversity release-risk triad: per
+    quasi-identifier class, the variational distance (categorical
+    EMD) between the class's sensitive-attribute distribution and
+    the global one — a class can be k-anonymous AND l-diverse yet
+    still leak via a skewed distribution. Exact fractions from
+    integer counts; the per-class distance is a dense
+    class × segment grid (LEFT JOIN against the global segment
+    list so absent segments contribute their full global mass)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    tot = base.agg(F.count("*").alias("nt"))
+    glob = (
+        base.groupBy("seg")
+        .agg(F.count("*").alias("cg"))
+        .crossJoin(tot)
+        .select("seg", (F.col("cg").cast("double") / F.col("nt")).alias("p"))
+    )
+    grp = base.groupBy("n_name", "m", "seg").agg(F.count("*").cast("bigint").alias("c"))
+    grp_n = grp.groupBy("n_name", "m").agg(F.sum("c").cast("double").alias("n"))
+    dense = grp_n.crossJoin(F.broadcast(glob))
+    dist = (
+        dense.join(grp, ["n_name", "m", "seg"], "left")
+        .groupBy("n_name", "m")
+        .agg(
+            (
+                0.5
+                * F.sum(
+                    F.abs(
+                        F.coalesce("c", F.lit(0)) / F.col("n") - F.col("p")
+                    )
+                )
+            ).alias("t")
+        )
+    )
+    return dist.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.round(F.max("t"), 6).alias("max_t"),
+        F.round(F.avg("t"), 6).alias("avg_t"),
+        F.sum(F.when(F.col("t") > 0.3, 1).otherwise(0)).cast("bigint").alias("groups_above_03"),
+    )

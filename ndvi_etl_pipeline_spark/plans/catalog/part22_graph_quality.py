@@ -363,3 +363,70 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("t"), 6).alias("avg_t"),
         F.sum(F.when(F.col("t") > 0.3, 1).otherwise(0)).cast("bigint").alias("groups_above_03"),
     )
+
+@register(
+    "graph_edge_novelty",
+    oracle="""
+    WITH em AS (
+      SELECT li1.l_partkey AS i, li2.l_partkey AS j,
+             date_trunc('month', CAST(o.o_orderdate AS DATE)) AS m
+      FROM lineitem li1
+      JOIN lineitem li2 ON li1.l_orderkey = li2.l_orderkey
+                       AND li1.l_partkey < li2.l_partkey
+      JOIN orders o ON o.o_orderkey = li1.l_orderkey
+      GROUP BY 1, 2, 3),
+    first_m AS (
+      SELECT i, j, min(m) AS fm FROM em GROUP BY i, j),
+    census AS (
+      SELECT em.m,
+             CAST(count(*) AS BIGINT) AS active_edges,
+             CAST(sum(CASE WHEN em.m = f.fm THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_edges
+      FROM em JOIN first_m f ON f.i = em.i AND f.j = em.j
+      GROUP BY em.m)
+    SELECT strftime(m, '%Y-%m') AS month, active_edges, new_edges,
+           round(CAST(new_edges AS DOUBLE) / active_edges, 6) AS novelty_rate
+    FROM census
+    """,
+    tags=("graph", "temporal", "lineitem", "orders"),
+)
+def q_graph_edge_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph churn: per month, the co-purchase edges active
+    in that month and the fraction appearing for the FIRST time —
+    the edge-novelty curve that tells a recommender how fast its
+    graph goes stale (high novelty ⇒ retrain cadence must follow).
+    Plan: per-month distinct edges (one shuffle on the edge key),
+    a min-month aggregate on the same key (exchange reused), and a
+    month census — no windows, no state."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    li1 = li.select("l_orderkey", F.col("l_partkey").alias("i"))
+    li2 = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("j"))
+    em = (
+        li1.join(li2, (li1["l_orderkey"] == li2["ok2"]) & (F.col("i") < F.col("j")))
+        .join(o, li1["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "i", "j",
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+        )
+        .distinct()
+    )
+    first_m = em.groupBy("i", "j").agg(F.min("m").alias("fm"))
+    census = (
+        em.join(first_m, ["i", "j"])
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("bigint").alias("active_edges"),
+            F.sum(F.when(F.col("m") == F.col("fm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_edges"),
+        )
+    )
+    return census.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "active_edges",
+        "new_edges",
+        F.round(F.col("new_edges").cast("double") / F.col("active_edges"), 6).alias(
+            "novelty_rate"
+        ),
+    )

@@ -430,3 +430,100 @@ def q_graph_edge_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_rate"
         ),
     )
+
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH bounds AS (SELECT max(ts) AS tmax FROM events),
+    per_user AS (
+      SELECT user_id, min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    durs AS (
+      SELECT CASE WHEN tp IS NOT NULL
+                  THEN CAST(epoch_us(tp) - epoch_us(t0) AS BIGINT)
+                  ELSE CAST(epoch_us(bounds.tmax) - epoch_us(t0) AS BIGINT)
+             END AS dur,
+             tp IS NOT NULL AS is_event
+      FROM per_user CROSS JOIN bounds
+    ),
+    g AS (
+      SELECT dur AS t,
+             count(*) FILTER (WHERE is_event) AS d,
+             count(*) AS all_at_t
+      FROM durs GROUP BY dur
+    ),
+    o AS (
+      SELECT t, d,
+             sum(all_at_t) OVER ()
+               - (sum(all_at_t) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  - all_at_t) AS at_risk
+      FROM g
+    ),
+    ev AS (
+      SELECT t, d, at_risk, d / CAST(at_risk AS DOUBLE) AS inc
+      FROM o WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS duration_us,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(sum(inc) OVER w, 6) AS cum_hazard,
+           round(exp(-sum(inc) OVER w), 6) AS na_survival
+    FROM ev
+    WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("stats", "survival", "events"),
+)
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for signup→purchase conversion —
+    Kaplan-Meier's estimator sibling (H(t) = Σ d_i/n_i over event
+    times; exp(−H) is the Fleming-Harrington survival curve, less
+    bias than KM at small risk sets). Same risk-set machinery as
+    kaplan_meier_conversion: per-user durations, grouped event
+    times, reverse-cumulative at-risk counts; the hazard running
+    sum is an ORDERED window, so both engines add the identical
+    fractions in the identical order."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.max("ts").alias("tmax"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    durs = per_user.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.unix_micros("tp") - F.unix_micros("t0"),
+        )
+        .otherwise(F.unix_micros("tmax") - F.unix_micros("t0"))
+        .cast("bigint")
+        .alias("dur"),
+        F.col("tp").isNotNull().alias("is_event"),
+    )
+    g = durs.groupBy(F.col("dur").alias("t")).agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d"),
+        F.count("*").alias("all_at_t"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    o = g.select(
+        "t", "d",
+        (
+            F.sum("all_at_t").over(w_all)
+            - (F.sum("all_at_t").over(w_cum) - F.col("all_at_t"))
+        ).alias("at_risk"),
+    )
+    evts = o.where(F.col("d") > 0).select(
+        "t", "d", "at_risk",
+        (F.col("d") / F.col("at_risk").cast("double")).alias("inc"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return evts.select(
+        F.col("t").cast("bigint").alias("duration_us"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.round(F.sum("inc").over(w), 6).alias("cum_hazard"),
+        F.round(F.exp(-F.sum("inc").over(w)), 6).alias("na_survival"),
+    )

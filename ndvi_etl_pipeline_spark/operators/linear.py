@@ -55,7 +55,8 @@ def logreg_gd_trajectory(
             F.col("val").cast("double").alias("val"),
         )
     )
-    labels = pts.select("vec_id", "y").distinct()
+    labels = materialize(pts.select("vec_id", "y").distinct())
+    n_rel = materialize(labels.agg(F.count("*").cast("double").alias("n_total")))
     w = pts.sparkSession.range(1, dims + 1).select(
         F.col("id").cast("int").alias("idx"), F.lit(0.0).alias("w")
     )
@@ -75,7 +76,6 @@ def logreg_gd_trajectory(
             .groupBy("idx")
             .agg(F.sum((F.col("p") - F.col("y")) * F.col("val")).alias("gs"))
         )
-        n_rel = labels.agg(F.count("*").cast("double").alias("n_total"))
         # w must be materialized: three consumers (z, norm_w, next g)
         # would otherwise each re-execute the gradient aggregation
         w = materialize(

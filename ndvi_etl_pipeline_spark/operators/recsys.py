@@ -30,7 +30,7 @@ _kmeans_chain discipline in plans/catalog/_shared.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .iterate import materialize

@@ -40,8 +40,10 @@ def gini_splits(
     label,
     bucket_width: float,
 ) -> DataFrame:
-    """All candidate splits `feature <= t` at bucket-grid granularity,
-    with Gini gain. `label` must be a 0/1 integer column expression.
+    """All candidate splits `feature < t` at bucket-grid granularity
+    (threshold t = (bucket+1)·width; a row with feature exactly t
+    falls in the RIGHT child), with Gini gain. `label` must be a 0/1
+    integer column expression.
 
     Returns (threshold, n_left, n_right, pos_left, pos_right, gain) —
     one row per occupied bucket except the last (a split with an
@@ -96,8 +98,9 @@ def variance_splits(
     target,
     bucket_width: float,
 ) -> DataFrame:
-    """All candidate splits `feature <= t` with variance-reduction
-    gain for a continuous `target` (regression stump). Returns
+    """All candidate splits `feature < t` (boundary rows fall right;
+    see gini_splits) with variance-reduction gain for a continuous
+    `target` (regression stump). Returns
     (threshold, n_left, n_right, gain)."""
     buckets = (
         df.select(

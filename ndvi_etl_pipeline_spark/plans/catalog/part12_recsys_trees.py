@@ -414,7 +414,7 @@ _GINI_SQL = """
 )
 def q_decision_stump_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classification-stump split finding (operators/trees.py:
-    gini_splits): best `o_totalprice <= t` thresholds for predicting
+    gini_splits): best `o_totalprice < t` thresholds for predicting
     fulfilled status, by Gini gain. The data-sized stage is one
     groupBy(bucket) with map-side partials (shuffle = |buckets|
     rows); the threshold scan is prefix sums over the bucket grid —
@@ -479,7 +479,7 @@ _VAR_SQL = """
 )
 def q_regression_stump_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regression-stump split finding (operators/trees.py:
-    variance_splits): best `l_extendedprice <= t` thresholds for
+    variance_splits): best `l_extendedprice < t` thresholds for
     predicting quantity, by variance reduction from additive
     (n, Σy, Σy²) statistics. Quantity is integer-valued, so the
     sufficient statistics are EXACT doubles independent of

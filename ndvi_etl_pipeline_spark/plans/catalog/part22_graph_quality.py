@@ -367,13 +367,18 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_edge_novelty",
     oracle="""
-    WITH em AS (
-      SELECT li1.l_partkey AS i, li2.l_partkey AS j,
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+    sized AS (
+      SELECT basket, item FROM (
+        SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsz FROM b)
+      WHERE bsz <= 64),
+    em AS (
+      SELECT l.item AS i, r.item AS j,
              date_trunc('month', CAST(o.o_orderdate AS DATE)) AS m
-      FROM lineitem li1
-      JOIN lineitem li2 ON li1.l_orderkey = li2.l_orderkey
-                       AND li1.l_partkey < li2.l_partkey
-      JOIN orders o ON o.o_orderkey = li1.l_orderkey
+      FROM sized l
+      JOIN sized r ON l.basket = r.basket AND l.item < r.item
+      JOIN orders o ON o.o_orderkey = l.basket
       GROUP BY 1, 2, 3),
     first_m AS (
       SELECT i, j, min(m) AS fm FROM em GROUP BY i, j),
@@ -397,14 +402,25 @@ def q_graph_edge_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph goes stale (high novelty ⇒ retrain cadence must follow).
     Plan: per-month distinct edges (one shuffle on the edge key),
     a min-month aggregate on the same key (exchange reused), and a
-    month census — no windows, no state."""
+    month census — no windows, no state. The basket-size cap (64)
+    matches the sibling co-purchase queries' quadratic-blowup
+    guard; edges deliberately include co = 1 pairs — an edge's
+    debut month has co = 1 by definition, so a co floor would make
+    'new edge' ill-defined."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    li1 = li.select("l_orderkey", F.col("l_partkey").alias("i"))
-    li2 = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("j"))
+    b = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    sized = b.withColumn(
+        "_bsz", F.count("*").over(Window.partitionBy("basket"))
+    ).where(F.col("_bsz") <= 64)
+    l = sized.select("basket", F.col("item").alias("i"))
+    r = sized.select("basket", F.col("item").alias("j"))
     em = (
-        li1.join(li2, (li1["l_orderkey"] == li2["ok2"]) & (F.col("i") < F.col("j")))
-        .join(o, li1["l_orderkey"] == o["o_orderkey"])
+        l.join(r, "basket")
+        .where(F.col("i") < F.col("j"))
+        .join(o, F.col("basket") == o["o_orderkey"])
         .select(
             "i", "j",
             F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),

@@ -65,16 +65,27 @@ def test_boosted_stumps_mse_decreases_and_fits_step_function(spark):
 
 def test_boosted_stumps_single_scan_plan(spark):
     """The scale claim: rounds run over the bucket relation — the
-    input is scanned once (at state materialization), and each
-    round's metrics plan contains no scan of the input table."""
+    input table is scanned exactly once (at state materialization).
+    Uses a parquet input so real input scans ("Scan parquet") are
+    distinguishable from checkpoint scans ("Scan ExistingRDD") in
+    the physical plan."""
+    import os
+    import tempfile
+
     rows = [(float(x % 7), float(x % 3)) for x in range(100)]
-    df = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE")
-    out = boosted_stumps(df, F.col("x"), F.col("y"), bucket_width=1.0, rounds=2)
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
-    # localCheckpoint scans only; the parallelized input appears zero times
-    assert "Scan ExistingRDD" not in plan or "parallelize" not in plan.lower()
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "pts.parquet")
+        spark.createDataFrame(rows, "x DOUBLE, y DOUBLE").write.parquet(path)
+        df = spark.read.parquet(path)
+        out = boosted_stumps(df, F.col("x"), F.col("y"), bucket_width=1.0, rounds=2)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+    # the returned metrics plan reads ONLY materialized round state —
+    # the parquet input must not appear at all (it was scanned once,
+    # inside the eager state materialization before any round ran)
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan  # the checkpointed state is the source
 
 
 def test_auc_perfect_and_reversed(spark, sf_dir):

@@ -47,7 +47,12 @@ def pagerank(
     """
     from .iterate import iterate, materialize
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # e is executed by TWO separate build-time jobs (nodes, ed) —
+    # ReuseExchange does not span jobs, so checkpoint the deduped
+    # edges first and let both downstream materializations read blocks
+    e = materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
     nodes = materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -156,16 +161,20 @@ def bfs_distances(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # cast the source to the EDGE id type — a hardcoded bigint would
+    # silently null out string/other id graphs and return an empty
+    # reachability set
+    node_type = und.schema["a"].dataType
     if isinstance(source, DataFrame):
         # lazy frontier (e.g. an agg picking the min node) — keeps the
         # builder collect-free at plan-build time
         state0 = source.select(
-            F.col(source.columns[0]).cast("bigint").alias("node"),
+            F.col(source.columns[0]).cast(node_type).alias("node"),
             F.lit(0).cast("int").alias("dist"),
         )
     else:
         state0 = und.sparkSession.range(1).select(
-            F.lit(source).cast("bigint").alias("node"),
+            F.lit(source).cast(node_type).alias("node"),
             F.lit(0).cast("int").alias("dist"),
         )
 

@@ -41,8 +41,10 @@ def logreg_gd_trajectory(
     """Train logistic regression on the `embedding` column against a
     0/1 `label_col` expression by `rounds` full-batch GD steps.
     Returns one row per step: (step, loss, accuracy, norm_w) — loss
-    is the mean log-loss in the overflow-safe ln(1+e^{-z})+(1−y)z
-    form, accuracy thresholds at z>0 (exact, no FP boundary)."""
+    is the mean log-loss in the two-sided overflow-safe form
+    max(z,0) − y·z + ln(1+e^{−|z|}) (the naive ln(1+e^{−z}) form
+    overflows to +inf for z < −709), accuracy thresholds at z>0
+    (exact, no FP boundary)."""
     pts = materialize(
         embeddings.select(
             "vec_id",
@@ -97,8 +99,9 @@ def logreg_gd_trajectory(
             z_prev.agg(
                 F.round(
                     F.avg(
-                        F.log(1.0 + F.exp(-F.col("z")))
-                        + (1.0 - F.col("y")) * F.col("z")
+                        F.greatest(F.col("z"), F.lit(0.0))
+                        - F.col("y") * F.col("z")
+                        + F.log(1.0 + F.exp(-F.abs(F.col("z"))))
                     ),
                     4,
                 ).alias("loss"),

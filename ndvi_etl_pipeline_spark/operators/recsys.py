@@ -209,18 +209,22 @@ def rank1_als(
     shape). State is rounded to 6 decimals per half-step for
     cross-engine trajectory replay.
     """
-    r = materialize(
-        ratings.select(
-            F.col(user_col).alias("user"),
-            F.col(item_col).alias("item"),
-            F.col(rating_col).cast("double").alias("r"),
-        )
+    base = ratings.select(
+        F.col(user_col).alias("user"),
+        F.col(item_col).alias("item"),
+        F.col(rating_col).cast("double").alias("r"),
     )
-    v0 = r.select("item").distinct().withColumn("v", F.lit(1.0))
+    # two checkpointed copies, each pre-partitioned on its half-step's
+    # join key, so the corpus-sized relation never re-shuffles inside
+    # the loop (the pagerank `ed` discipline) — u-steps join on item,
+    # v-steps and the rmse pass join on user
+    r_item = materialize(base.repartition("item"))
+    r_user = materialize(r_item.repartition("user"))
+    v0 = r_item.select("item").distinct().withColumn("v", F.lit(1.0))
 
     def u_step(v: DataFrame) -> DataFrame:
         return (
-            r.join(v, "item")
+            r_item.join(v, "item")
             .groupBy("user")
             .agg(
                 F.round(
@@ -233,7 +237,7 @@ def rank1_als(
 
     def v_step(u: DataFrame) -> DataFrame:
         return (
-            r.join(u, "user")
+            r_user.join(u, "user")
             .groupBy("item")
             .agg(
                 F.round(
@@ -250,7 +254,7 @@ def rank1_als(
         u = materialize(u_step(v))
         v = materialize(v_step(u))
         rmse = (
-            r.join(u, "user")
+            r_user.join(u, "user")
             .join(v, "item")
             .agg(
                 F.round(

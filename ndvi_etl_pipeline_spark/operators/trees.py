@@ -34,6 +34,12 @@ def _cum() -> Window:
     return Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
 
 
+def _tot() -> Window:
+    return Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+
 def gini_splits(
     df: DataFrame,
     feature,
@@ -54,6 +60,9 @@ def gini_splits(
             (F.floor(feature / F.lit(bucket_width))).cast("bigint").alias("bucket"),
             label.cast("bigint").alias("y"),
         )
+        .where(F.col("bucket").isNotNull())  # null features carry no
+        # split information; left unfiltered they'd sort NULLS FIRST
+        # into every left-side prefix sum
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("n"), F.sum("y").cast("bigint").alias("pos"))
     )
@@ -62,10 +71,8 @@ def gini_splits(
         "bucket",
         F.sum("n").over(w).alias("n_l"),
         F.sum("pos").over(w).alias("pos_l"),
-        F.sum("n").over(Window.orderBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)).alias("n_t"),
-        F.sum("pos").over(Window.orderBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)).alias("pos_t"),
+        F.sum("n").over(_tot()).alias("n_t"),
+        F.sum("pos").over(_tot()).alias("pos_t"),
     )
 
     def gini(n, pos):
@@ -107,6 +114,7 @@ def variance_splits(
             (F.floor(feature / F.lit(bucket_width))).cast("bigint").alias("bucket"),
             target.cast("double").alias("y"),
         )
+        .where(F.col("bucket").isNotNull())  # see gini_splits
         .groupBy("bucket")
         .agg(
             F.count("*").cast("bigint").alias("n"),
@@ -115,9 +123,7 @@ def variance_splits(
         )
     )
     w = _cum()
-    tot = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    tot = _tot()
     cum = buckets.select(
         "bucket",
         F.sum("n").over(w).alias("n_l"),
@@ -185,6 +191,7 @@ def boosted_stumps(
             (F.floor(feature / F.lit(bucket_width))).cast("bigint").alias("bucket"),
             target.cast("double").alias("y"),
         )
+        .where(F.col("bucket").isNotNull())  # see gini_splits
         .groupBy("bucket")
         .agg(
             F.count("*").cast("bigint").alias("n"),
@@ -195,10 +202,8 @@ def boosted_stumps(
     mean0 = b0.agg(F.round(F.sum("s") / F.sum("n"), 6).alias("p"))
     state = materialize(b0.crossJoin(mean0))  # (bucket, n, s, ss, p)
 
-    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    cum = _cum()
+    tot = _tot()
 
     out_rows = []
     for k in range(1, rounds + 1):
@@ -245,6 +250,23 @@ def boosted_stumps(
                 "mean_left",
                 "mean_right",
             )
+        )
+        # single-occupied-bucket guard: with no valid split `best` is
+        # EMPTY and the crossJoin below would annihilate the state for
+        # this and every later round. Fall back to a zero-mean no-op
+        # split (prediction unchanged, mse still reported) ranked
+        # below any real split.
+        fallback = state.agg(
+            F.max("bucket").alias("split_bucket"),
+            F.lit(0.0).alias("mean_left"),
+            F.lit(0.0).alias("mean_right"),
+        )
+        best = (
+            best.withColumn("_pri", F.lit(0))
+            .unionAll(fallback.withColumn("_pri", F.lit(1)))
+            .withColumn("_rk", F.row_number().over(Window.orderBy("_pri")))
+            .where(F.col("_rk") == 1)
+            .drop("_pri", "_rk")
         )
         state = materialize(
             state.crossJoin(best).select(

@@ -51,7 +51,8 @@ def _logreg_oracle(rounds: int = 3, lr: float = 0.5) -> str:
       FROM pts p JOIN w{k} w ON w.idx = p.idx GROUP BY p.vec_id, p.y),
     e{k} AS (
       SELECT {k} AS step,
-             (SELECT round(avg(ln(1.0 + exp(-z)) + (1.0 - y) * z), 4)
+             (SELECT round(avg(greatest(z, 0.0) - y * z
+                             + ln(1.0 + exp(-abs(z)))), 4)
               FROM z{k}) AS loss,
              (SELECT round(avg(CASE WHEN (z > 0) = (y > 0.5)
                                     THEN 1.0 ELSE 0.0 END), 4)

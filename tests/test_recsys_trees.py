@@ -172,3 +172,46 @@ def test_countmin_never_underestimates(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.est_cnt >= r.true_cnt  # the one-sided CM guarantee
+
+
+def test_bfs_string_node_ids(spark):
+    """The source cast follows the edge id type — string-id graphs
+    must work, not silently null out (review finding)."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src STRING, dst STRING"
+    )
+    d = {r.node: r.dist for r in bfs_distances(e, "a", max_hops=3).collect()}
+    assert d == {"a": 0, "b": 1, "c": 2}
+
+
+def test_splits_exclude_null_features(spark):
+    """Rows with null features carry no split information and must not
+    leak into the left-side prefix sums (NULLS FIRST ordering)."""
+    rows = [(0.5, 0)] * 4 + [(1.5, 1)] * 4 + [(None, 1)] * 3
+    df = spark.createDataFrame(rows, "x DOUBLE, y INT")
+    out = gini_splits(df, F.col("x"), F.col("y"), 1.0).collect()
+    assert len(out) == 1
+    s = out[0]
+    assert s.n_left == 4 and s.n_right == 4  # the 3 null rows excluded
+    assert abs(s.gain - 0.5) < 1e-12
+
+
+def test_boosted_stumps_single_bucket_no_op(spark):
+    """With one occupied bucket there is no valid split: the fallback
+    keeps the constant model (prediction unchanged, mse reported)
+    instead of annihilating the state (review finding)."""
+    from ndvi_etl_pipeline_spark.operators.trees import boosted_stumps
+
+    rows = [(0.1, 2.0), (0.2, 4.0), (0.3, 6.0)]
+    df = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE")
+    traj = (
+        boosted_stumps(df, F.col("x"), F.col("y"), bucket_width=100.0, rounds=2)
+        .orderBy("step")
+        .collect()
+    )
+    assert len(traj) == 2
+    # constant model: mse = population variance of y = 8/3
+    for t in traj:
+        assert t.mse is not None
+        assert abs(t.mse - round(8 / 3, 4)) < 1e-6
+        assert t.mean_left == 0.0 and t.mean_right == 0.0

@@ -157,16 +157,42 @@ def reproject_inverse_map(
     """Build `inverse_map(dst_y, dst_x) -> (src_y, src_x)` for
     operators/warp.py::warp_with_inverse_map.
 
-    Affine transforms are GDAL-style (c, a, b, f, d, e) reduced to the
-    axis-aligned 4-tuple-like (x0, dx, y0, dy) common case the
-    reference writes (from_origin grids): src/dst pixel centers are
-    (x0 + (j + .5) dx, y0 + (j + .5) dy). The CRS hop composes
-    dst-grid → dst-CRS → lon/lat → src-CRS → src-grid, exactly the
-    chain rasterio.warp runs per destination block
+    Transforms are axis-aligned origin/scale grids (the from_origin
+    case the reference writes): pixel centers are
+    (x0 + (j + .5) dx, y0 + (i + .5) dy). Accepted layouts:
+    - 4-tuple (x0, dx, y0, dy)
+    - 6-tuple (x0, dx, 0, y0, dy, 0) — this engine's layout
+    - 6-tuple GDAL geotransform (x0, dx, 0, y0, 0, dy) — dy in slot 5,
+      slots 2/4 are rotation terms (must be 0; rotated grids raise)
+    A zero dx or dy raises instead of silently dividing to ±inf
+    (which would warp to all-nodata with no error). The CRS hop
+    composes dst-grid → dst-CRS → lon/lat → src-CRS → src-grid,
+    exactly the chain rasterio.warp runs per destination block
     (load_to_postgis.py:90-136).
     """
-    sx0, sdx, sy0, sdy = src_transform[0], src_transform[1], src_transform[3], src_transform[4]
-    dx0, ddx, dy0, ddy = dst_transform[0], dst_transform[1], dst_transform[3], dst_transform[4]
+
+    def _grid4(t, label: str) -> tuple[float, float, float, float]:
+        t = tuple(float(v) for v in t)
+        if len(t) == 4:
+            x0, dx, y0, dy = t
+        elif len(t) == 6:
+            if t[4] == 0.0 and t[5] != 0.0:  # GDAL: dy in slot 5
+                x0, dx, y0, dy = t[0], t[1], t[3], t[5]
+            else:  # engine layout: dy in slot 4
+                x0, dx, y0, dy = t[0], t[1], t[3], t[4]
+            if t[2] != 0.0:
+                raise ValueError(f"{label}: rotated grids unsupported (slot 2 = {t[2]})")
+        else:
+            raise ValueError(f"{label}: expected 4- or 6-tuple, got {len(t)} values")
+        if dx == 0.0 or dy == 0.0:
+            raise ValueError(
+                f"{label}: zero pixel scale (dx={dx}, dy={dy}) — transform layout is "
+                "(x0, dx, _, y0, dy, _) or a GDAL geotransform, not rasterio Affine order"
+            )
+        return x0, dx, y0, dy
+
+    sx0, sdx, sy0, sdy = _grid4(src_transform, "src_transform")
+    dx0, ddx, dy0, ddy = _grid4(dst_transform, "dst_transform")
 
     def inverse_map(dst_y: np.ndarray, dst_x: np.ndarray):
         X = dx0 + (dst_x + 0.5) * ddx

@@ -554,7 +554,10 @@ def rings_to_wkt(rings: list[Ring]) -> str:
     """Even-odd ring set → WKT POLYGON/MULTIPOLYGON text."""
 
     def ring_txt(r: Ring) -> str:
-        return "(" + ", ".join(f"{x:g} {y:g}" for x, y in _close(r)) + ")"
+        # repr() round-trips float64 exactly; '%g' keeps only 6
+        # significant digits (~100 m at lon/lat scale), which would
+        # silently move stored AOI boundaries on re-clip.
+        return "(" + ", ".join(f"{x!r} {y!r}" for x, y in _close(r)) + ")"
 
     polys = _nest_rings(rings)
     parts = [

@@ -58,8 +58,12 @@ def word_shingles(toks: Column, n: int = 3, distinct: bool = True) -> Column:
     Docs shorter than n tokens yield an empty array (not NULL), so
     downstream explodes simply drop them.
     """
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    # Guard short docs with CASE WHEN rather than greatest(.., -1):
+    # sequence(0, -1) is DESCENDING in Spark (step defaults to -1), and
+    # its i=-1 element would reach slice(toks, 0, n), which throws.
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    sh = F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(sh) if distinct else sh
 
 
@@ -166,11 +170,18 @@ def winnowing_fingerprints(
         F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " ")) if normalize else c
     )
     n = F.length(norm)
-    gram_idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0)))
+    # CASE WHEN guards, not greatest(.., 0): sequence(1, 0) is the
+    # DESCENDING [1, 0] in Spark and its 0 element reaches
+    # slice(hashes, 0, w), which throws — any doc shorter than
+    # k+w-1 normalized chars would kill the stage.
+    empty_i = F.array().cast("array<int>")
+    gram_idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(empty_i)
     hashes = F.transform(
         gram_idx, lambda i: F.substring(F.md5(F.substring(norm, i, k).cast("binary")), 1, 8)
     )
-    win_idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - w + 1, F.lit(0)))
+    win_idx = F.when(
+        F.size(hashes) >= w, F.sequence(F.lit(1), F.size(hashes) - w + 1)
+    ).otherwise(empty_i)
     fps = F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
     return F.array_distinct(fps)
 
@@ -196,13 +207,18 @@ def winnowing_fingerprint_rows(
         ),
     )
     n = F.length("__t")
-    gram_idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0)))
+    # Same short-doc CASE WHEN guards as winnowing_fingerprints — see
+    # the descending-sequence note there.
+    empty_i = F.array().cast("array<int>")
+    gram_idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(empty_i)
     hashes = F.transform(
         gram_idx,
         lambda i: F.substring(F.md5(F.substring("__t", i, k).cast("binary")), 1, 8),
     )
     hd = norm.select(id_col, hashes.alias("__hs"))
-    win_idx = F.sequence(F.lit(1), F.greatest(F.size("__hs") - w + 1, F.lit(0)))
+    win_idx = F.when(
+        F.size("__hs") >= w, F.sequence(F.lit(1), F.size("__hs") - w + 1)
+    ).otherwise(empty_i)
     fps = F.array_distinct(
         F.transform(win_idx, lambda j: F.array_min(F.slice("__hs", j, w)))
     )

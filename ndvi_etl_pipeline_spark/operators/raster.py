@@ -1338,16 +1338,28 @@ def scan_geotiff_status(spark, path_glob: str) -> DataFrame:
     return binf.mapInPandas(probe, schema=SCAN_STATUS_SCHEMA)
 
 
-def parse_band_files(binary_df: DataFrame) -> DataFrame:
-    """(path, content) rows → (scene_id, band, content) via the
-    `<scene_id>_<band>.tif` filename contract (F9)."""
+BAND_FILENAME_PATTERN = r"^(.+)_([A-Za-z0-9]+)\.tif$"
+
+
+def parse_band_names(
+    binary_df: DataFrame, keep: tuple[str, ...] = ("content",)
+) -> DataFrame:
+    """(path, …) rows → (scene_id, band, *keep) via the
+    `<scene_id>_<band>.tif` filename contract (F9). `keep` selects
+    which source columns ride along (content for decode paths, path
+    for streaming ledgers)."""
     fname = F.element_at(F.split(F.col("path"), "/"), -1)
-    pat = r"^(.+)_([A-Za-z0-9]+)\.tif$"
     return binary_df.select(
-        F.regexp_extract(fname, pat, 1).alias("scene_id"),
-        F.regexp_extract(fname, pat, 2).alias("band"),
-        "content",
+        F.regexp_extract(fname, BAND_FILENAME_PATTERN, 1).alias("scene_id"),
+        F.regexp_extract(fname, BAND_FILENAME_PATTERN, 2).alias("band"),
+        *keep,
     )
+
+
+def parse_band_files(binary_df: DataFrame) -> DataFrame:
+    """(path, content) rows → (scene_id, band, content) — see
+    parse_band_names."""
+    return parse_band_names(binary_df, keep=("content",))
 
 
 _NDVI_TILE_NAMES = [f.name for f in NDVI_TILE_SCHEMA]

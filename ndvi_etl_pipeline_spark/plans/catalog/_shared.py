@@ -66,6 +66,18 @@ def canon_round(col, scale: int) -> "F.Column":
     return F.round(col, scale) + F.lit(0.0)
 
 
+def seq1(stop) -> "F.Column":
+    """Ascending 1..stop, EMPTY when stop < 1.
+
+    Spark's sequence(1, 0) is the DESCENDING [1, 0] (step defaults to
+    -1 when start > stop), and a 0 element reaching element_at/slice
+    throws at runtime — so `sequence(1, greatest(n, 0))` is a crash
+    on short inputs, not a guard. CASE WHEN short-circuits instead."""
+    return F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def canon_round_sql(expr: str, scale: int) -> str:
     return f"(round({expr}, {scale}) + 0.0)"
 
@@ -976,6 +988,7 @@ __all__ = [
     "_t",
     "canon_round",
     "canon_round_sql",
+    "seq1",
     "_AS_T",
     "_AS_A",
     "normal_p_two_sided_col",

@@ -1496,7 +1496,7 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "text",
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        F.explode(seq1(F.length("text"))).alias("i"),
     ).select("doc_id", "source", F.expr("substring(text, i, 1)").alias("ch"))
     pc = chars.groupBy("doc_id", "source", "ch").agg(F.count("*").alias("c"))
     ent = pc.groupBy("doc_id", "source").agg(

@@ -790,7 +790,7 @@ def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars = d.select(
         "doc_id",
         "lang",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+        F.explode(seq1(F.length("text") - 1)).alias("i"),
         "text",
     ).select(
         "doc_id",
@@ -2812,7 +2812,7 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") < 60)
         .select(
             "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("text") - 23)).alias("i"),
+            F.explode(seq1(F.length("text") - 23)).alias("i"),
             "text",
         )
         .select("doc_id", F.expr("substring(text, i, 24)").alias("g"))

@@ -1013,7 +1013,7 @@ def q_lsh_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size("ws") - 2)).alias("i"),
+            F.explode(seq1(F.size("ws") - 2)).alias("i"),
             "ws",
         )
         .select(
@@ -3972,7 +3972,7 @@ def q_word_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = arrs.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(0))),
+                seq1(F.size("ws") - 1),
                 lambda i: F.struct(
                     F.element_at("ws", i).alias("w1"),
                     F.element_at("ws", i + 1).alias("w2"),

@@ -3131,7 +3131,7 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("w") - 4, F.lit(0))),
+                seq1(F.size("w") - 4),
                 lambda i: F.concat_ws(
                     " ",
                     F.element_at("w", i),

@@ -1396,7 +1396,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.explode(
                     F.transform(
-                        F.sequence(F.lit(1), F.greatest(F.size("s") - 1, F.lit(0))),
+                        seq1(F.size("s") - 1),
                         lambda j: F.concat(
                             F.element_at("s", j), F.lit(" "), F.element_at("s", j + 1)
                         ),

@@ -22,10 +22,31 @@ ON CONFLICT syntax shared) to prove the executor-side path.
 
 from __future__ import annotations
 
+import sys
 import time
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame
+
+
+def _cursor(con):
+    """DB-API portability: psycopg2 connections have no .execute —
+    always go through a cursor when one exists (sqlite3 accepts
+    con.execute as sugar, Postgres drivers do not)."""
+    return con.cursor() if hasattr(con, "cursor") else con
+
+
+def adapt_paramstyle(sql: str, con) -> str:
+    """Translate the engine's canonical qmark placeholders to the
+    connection driver's declared DB-API paramstyle (psycopg2/pg8000
+    are format/pyformat '%s'; sqlite3/duckdb are qmark '?').
+    Identifiers are double-quoted by quote_ident, so no literal '?'
+    can appear outside a placeholder position."""
+    mod = type(con).__module__.split(".")[0]
+    style = getattr(sys.modules.get(mod), "paramstyle", "qmark")
+    if style in ("format", "pyformat"):
+        return sql.replace("?", "%s")
+    return sql
 
 
 def quote_ident(name: str) -> str:
@@ -98,50 +119,63 @@ def write_upsert_jdbc(
     batch_size: int = 1000,
     ddl_pre: Iterable[str] = (),
     ddl_post: Iterable[str] = (),
-) -> None:
+) -> int:
     """Distributed row-level upsert: each partition opens one
     connection (with retry), executes batched ON CONFLICT statements,
     and commits once — the reference's per-row psycopg2 loop turned
     into |partitions| parallel bulk writers. `ddl_pre`/`ddl_post` run
-    once on the driver around the write (K5 constraint hooks)."""
+    once on the driver around the write (K5 constraint hooks).
+
+    Returns the number of rows written, counted by accumulator inside
+    the same action (exactly-once per successful task) — callers that
+    need it (the streaming ledger) don't pay a second job recomputing
+    the plan just to count."""
     columns = tuple(df.columns)
     sql = (
         upsert_sql(table, columns, conflict_keys)
         if mode == "replace"
         else insert_ignore_sql(table, columns, conflict_keys)
     )
+    n_rows = df.sparkSession.sparkContext.accumulator(0)
+
+    def run_ddl(statements: Iterable[str]) -> None:
+        con = connect_with_retry(connection_factory)
+        try:
+            cur = _cursor(con)
+            for stmt in statements:
+                cur.execute(stmt)
+            con.commit()
+        finally:
+            con.close()
 
     if ddl_pre:
-        con = connect_with_retry(connection_factory)
-        for stmt in ddl_pre:
-            con.execute(stmt)
-        con.commit()
-        con.close()
+        run_ddl(ddl_pre)
 
     def write_partition(rows) -> None:
         con = connect_with_retry(connection_factory)
         try:
-            cur = con.cursor() if hasattr(con, "cursor") else con
+            cur = _cursor(con)
+            psql = adapt_paramstyle(sql, con)
             batch = []
+            n = 0
             for row in rows:
                 batch.append(tuple(row))
+                n += 1
                 if len(batch) >= batch_size:
-                    cur.executemany(sql, batch)
+                    cur.executemany(psql, batch)
                     batch.clear()
             if batch:
-                cur.executemany(sql, batch)
+                cur.executemany(psql, batch)
             con.commit()
+            n_rows.add(n)
         finally:
             con.close()
 
     df.foreachPartition(write_partition)
 
     if ddl_post:
-        con = connect_with_retry(connection_factory)
-        for stmt in ddl_post:
-            con.execute(stmt)
-        con.commit()
-        con.close()
+        run_ddl(ddl_post)
+    return n_rows.value
 
 
 # ---------------------------------------------------------------------------
@@ -377,25 +411,29 @@ def write_upsert_jdbc_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         con = connect_with_retry(connection_factory)
         try:
-            cur = con.cursor() if hasattr(con, "cursor") else con
+            cur = _cursor(con)
             cur.execute(
                 f"CREATE TABLE IF NOT EXISTS {quote_ident(ledger_table)} "
                 "(sink_table TEXT, batch_id BIGINT, n_rows BIGINT, "
                 "UNIQUE(sink_table, batch_id))"
             )
             con.commit()
-            seen = cur.execute(
-                f"SELECT 1 FROM {quote_ident(ledger_table)} "
-                "WHERE sink_table = ? AND batch_id = ?",
+            # execute() returns the cursor on sqlite3 but None on
+            # psycopg2 — never chain .fetchone() off it.
+            cur.execute(
+                adapt_paramstyle(
+                    f"SELECT 1 FROM {quote_ident(ledger_table)} "
+                    "WHERE sink_table = ? AND batch_id = ?",
+                    con,
+                ),
                 (table, batch_id),
-            ).fetchone()
-            if seen:
+            )
+            if cur.fetchone():
                 return  # replayed batch: effects already applied
         finally:
             con.close()
 
-        n = batch_df.count()
-        write_upsert_jdbc(
+        n = write_upsert_jdbc(
             batch_df,
             table,
             conflict_keys,
@@ -406,11 +444,14 @@ def write_upsert_jdbc_stream(
 
         con = connect_with_retry(connection_factory)
         try:
-            cur = con.cursor() if hasattr(con, "cursor") else con
+            cur = _cursor(con)
             cur.execute(
-                f"INSERT INTO {quote_ident(ledger_table)} "
-                "(sink_table, batch_id, n_rows) VALUES (?, ?, ?) "
-                "ON CONFLICT (sink_table, batch_id) DO NOTHING",
+                adapt_paramstyle(
+                    f"INSERT INTO {quote_ident(ledger_table)} "
+                    "(sink_table, batch_id, n_rows) VALUES (?, ?, ?) "
+                    "ON CONFLICT (sink_table, batch_id) DO NOTHING",
+                    con,
+                ),
                 (table, batch_id, n),
             )
             con.commit()

@@ -70,10 +70,26 @@ def read_feature_collection(spark: SparkSession, path: str) -> DataFrame:
         F.flatten(F.col("rings")),
         lambda v, i: i % 2 == 1,
     )
+    # `properties.name` exists only if SOME feature carries it — JSON
+    # inference drops absent keys entirely, and selecting an
+    # unresolvable struct field is an AnalysisException, not a NULL
+    # (third-party AOI files routinely have {id: ...} or no
+    # properties at all). Probe the inferred schema instead.
+    f_type = feat.schema["f"].dataType
+    has_name = (
+        "properties" in f_type.fieldNames()
+        and isinstance(f_type["properties"].dataType, T.StructType)
+        and "name" in f_type["properties"].dataType.fieldNames()
+    )
+    name_col = (
+        F.col("f.properties.name").cast("string")
+        if has_name
+        else F.lit(None).cast("string")
+    )
     return (
         feat.select(
             "feature_idx",
-            F.coalesce(F.col("f.properties.name"), F.lit(None).cast("string")).alias("name"),
+            name_col.alias("name"),
             gtype.alias("geom_type"),
             rings.alias("rings"),
         )

@@ -35,7 +35,6 @@ decode pipeline unchanged.
 
 from __future__ import annotations
 
-import fnmatch
 import json
 import os
 from collections.abc import Iterator
@@ -47,6 +46,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
+from ._filescan import list_files, round_robin_splits
 from .stac import ITEM_SCHEMA, item_to_row
 
 
@@ -89,24 +89,13 @@ class StacCatalogReader(DataSourceReader):
         self.num_partitions = int(options.get("numPartitions", 8))
 
     def _files(self) -> list[str]:
-        if os.path.isfile(self.path):
-            return [self.path]
-        out = []
-        for root, _dirs, names in os.walk(self.path):
-            out.extend(
-                os.path.join(root, n)
-                for n in names
-                if fnmatch.fnmatch(n, self.pattern)
-            )
-        return sorted(out)
+        return list_files(self.path, self.pattern)
 
     def partitions(self) -> list[InputPartition]:
-        files = self._files()
-        n = max(1, min(self.num_partitions, len(files) or 1))
-        # round-robin so a lexicographic hot spot (e.g. one path/row's
-        # items sorting together) spreads across splits
-        splits = [files[i::n] for i in range(n)]
-        return [InputPartition(s) for s in splits if s]
+        return [
+            InputPartition(s)
+            for s in round_robin_splits(self._files(), self.num_partitions)
+        ]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         for path in partition.value:

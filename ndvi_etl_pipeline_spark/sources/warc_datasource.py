@@ -32,11 +32,11 @@ bytes — the same envelope as the GeoTIFF scan.
 
 from __future__ import annotations
 
-import fnmatch
-import os
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ._filescan import list_files, round_robin_splits
 
 from .webarchive import WARC_SCHEMA, parse_warc_bytes
 
@@ -53,24 +53,13 @@ class WarcReader(DataSourceReader):
         self.num_partitions = int(options.get("numPartitions", 16))
 
     def _files(self) -> list[str]:
-        if os.path.isfile(self.path):
-            return [self.path]
-        out = []
-        for root, _dirs, names in os.walk(self.path):
-            out.extend(
-                os.path.join(root, n)
-                for n in names
-                if fnmatch.fnmatch(n, self.pattern)
-            )
-        return sorted(out)
+        return list_files(self.path, self.pattern)
 
     def partitions(self) -> list[InputPartition]:
-        files = self._files()
-        n = max(1, min(self.num_partitions, len(files) or 1))
-        # round-robin: consecutive crawl segments (similar sizes/dates
-        # sort together) spread across splits
-        splits = [files[i::n] for i in range(n)]
-        return [InputPartition(s) for s in splits if s]
+        return [
+            InputPartition(s)
+            for s in round_robin_splits(self._files(), self.num_partitions)
+        ]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         for path in partition.value:

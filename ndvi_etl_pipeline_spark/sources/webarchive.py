@@ -163,12 +163,31 @@ def warc_documents(records: DataFrame) -> DataFrame:
         decoded.startswith("HTTP/") & (blank > 0),
         F.expr("substring(decoded, locate('\r\n\r\n', decoded) + 4)"),
     ).otherwise(decoded)
+    # Record-level Content-Type of a spec-compliant response record is
+    # 'application/http; msgtype=response' (WARC/1.1 §6.3) — the
+    # payload's MIME type lives in the HTTP headers, not the WARC
+    # header. Accept the HTTP envelope type and filter on the inner
+    # Content-Type header instead (absent header ⇒ keep, like a NULL
+    # record type); non-HTTP records keep the old text-ish screen.
+    header_block = F.when(
+        decoded.startswith("HTTP/") & (blank > 0), F.substring(decoded, 1, blank)
+    ).otherwise(F.lit(""))
+    http_ct = F.lower(
+        F.regexp_extract(header_block, r"(?i)content-type:\s*([^\r\n;]+)", 1)
+    )
+    rec_ct = F.lower(F.col("content_type"))
+    textish = "text/|html|json|xml|javascript|csv|plain|warc"
+    keep_ct = (
+        F.col("content_type").isNull()
+        | rec_ct.rlike(textish)
+        | (
+            rec_ct.startswith("application/http")
+            & ((http_ct == "") | http_ct.rlike(textish))
+        )
+    )
     return (
         records.filter(F.col("warc_type").isin("response", "resource", "conversion"))
-        .filter(
-            F.col("content_type").isNull()
-            | F.col("content_type").rlike("text|html|json|warc")
-        )
+        .filter(keep_ct)
         .withColumn("decoded", decoded)
         .select(
             F.xxhash64("source_file", "record_idx").alias("doc_id"),

@@ -71,6 +71,52 @@ _PRODUCT_SCHEMA = T.StructType(
 )
 
 
+def _reconcile_arrivals(
+    batch_df: DataFrame,
+    ledger_path: str,
+    processed: DataFrame,
+    quarantined: DataFrame,
+) -> DataFrame | None:
+    """Shared per-batch bookkeeping for the scene streams: append this
+    batch's red/nir arrivals to the ledger, then return the
+    (scene_id, path) rows of scenes that are COMPLETE (both bands
+    present across all batches so far), not yet processed, and not
+    quarantined — or None when the batch leaves nothing to do.
+
+    The emptiness probe runs on the metadata-scale todo relation only;
+    the path list never reaches the driver (at a 10⁷-file backlog a
+    collect()-of-paths is a driver bottleneck)."""
+    s = batch_df.sparkSession
+    arrivals = raster.parse_band_names(batch_df, keep=("path",)).filter(
+        F.col("band").isin("red", "nir")
+    )
+    arrivals.write.mode("append").parquet(ledger_path)
+
+    ledger = _read_or_empty(s, ledger_path, _LEDGER_SCHEMA)
+    complete = (
+        ledger.groupBy("scene_id")
+        .agg(F.countDistinct("band").alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select("scene_id")
+    )
+    todo = complete.join(processed, "scene_id", "left_anti").join(
+        quarantined, "scene_id", "left_anti"
+    )
+    if todo.limit(1).count() == 0:
+        return None
+    return ledger.join(F.broadcast(todo), "scene_id").select("scene_id", "path")
+
+
+def _quarantine_missing(
+    todo_rows: DataFrame, ok_ids: DataFrame, quarantine_path: str
+) -> None:
+    """E1 isolation bookkeeping: scenes in the todo set that produced
+    no output are recorded so the stream never re-attempts them."""
+    bad = todo_rows.select("scene_id").distinct().join(ok_ids, "scene_id", "left_anti")
+    if bad.limit(1).count() > 0:
+        bad.write.mode("append").parquet(quarantine_path)
+
+
 def stream_scene_stats(
     spark: SparkSession,
     in_dir: str,
@@ -94,49 +140,21 @@ def stream_scene_stats(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        fname = F.element_at(F.split(F.col("path"), "/"), -1)
-        pat = r"^(.+)_([A-Za-z0-9]+)\.tif$"
-        arrivals = batch_df.select(
-            F.regexp_extract(fname, pat, 1).alias("scene_id"),
-            F.regexp_extract(fname, pat, 2).alias("band"),
-            "path",
-        ).filter(F.col("band").isin("red", "nir"))
-        arrivals.write.mode("append").parquet(ledger_path)
-
-        ledger = _read_or_empty(s, ledger_path, _LEDGER_SCHEMA)
-        complete = (
-            ledger.groupBy("scene_id")
-            .agg(F.countDistinct("band").alias("nb"))
-            .filter(F.col("nb") >= 2)
-            .select("scene_id")
-        )
         processed = _read_or_empty(s, products_path, _PRODUCT_SCHEMA).select("scene_id")
         quarantined = _read_or_empty(s, quarantine_path, _QUAR_SCHEMA)
-        todo = complete.join(processed, "scene_id", "left_anti").join(
-            quarantined, "scene_id", "left_anti"
-        )
-        todo_rows = ledger.join(F.broadcast(todo), "scene_id").select("scene_id", "path")
-        # emptiness probe on the metadata-scale todo relation only —
-        # the PATH LIST never reaches the driver (at a 10⁷-file
-        # backlog the old collect()-of-paths was a driver bottleneck)
-        if todo.limit(1).count() == 0:
+        todo_rows = _reconcile_arrivals(batch_df, ledger_path, processed, quarantined)
+        if todo_rows is None:
             return
         parsed = raster.parse_band_files(
             raster.read_path_bytes(todo_rows)
         )
-        # E1 per-scene isolation: undecodable scenes emit nothing here …
+        # E1 per-scene isolation: undecodable scenes emit nothing here
+        # and get quarantined so the stream never re-attempts them.
         stats = raster.tile_scene_stats(
             raster.scene_ndvi_from_bands(parsed, tile=tile, on_error="quarantine")
         ).persist()
         stats.write.mode("append").parquet(products_path)
-        # … and get recorded so the stream never re-attempts them.
-        bad = (
-            todo_rows.select("scene_id")
-            .distinct()
-            .join(stats.select("scene_id"), "scene_id", "left_anti")
-        )
-        if bad.limit(1).count() > 0:
-            bad.write.mode("append").parquet(quarantine_path)
+        _quarantine_missing(todo_rows, stats.select("scene_id"), quarantine_path)
         stats.unpersist()
 
     reader = (
@@ -184,30 +202,10 @@ def stream_scene_composite(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        fname = F.element_at(F.split(F.col("path"), "/"), -1)
-        pat = r"^(.+)_([A-Za-z0-9]+)\.tif$"
-        arrivals = batch_df.select(
-            F.regexp_extract(fname, pat, 1).alias("scene_id"),
-            F.regexp_extract(fname, pat, 2).alias("band"),
-            "path",
-        ).filter(F.col("band").isin("red", "nir"))
-        arrivals.write.mode("append").parquet(ledger_path)
-
-        ledger = _read_or_empty(s, ledger_path, _LEDGER_SCHEMA)
-        complete = (
-            ledger.groupBy("scene_id")
-            .agg(F.countDistinct("band").alias("nb"))
-            .filter(F.col("nb") >= 2)
-            .select("scene_id")
-        )
         processed = _read_or_empty(s, processed_path, _ID_SCHEMA)
         quarantined = _read_or_empty(s, quarantine_path, _ID_SCHEMA)
-        todo = complete.join(processed, "scene_id", "left_anti").join(
-            quarantined, "scene_id", "left_anti"
-        )
-        todo_rows = ledger.join(F.broadcast(todo), "scene_id").select("scene_id", "path")
-        # same distributed read as stream_scene_stats: no path collect
-        if todo.limit(1).count() == 0:
+        todo_rows = _reconcile_arrivals(batch_df, ledger_path, processed, quarantined)
+        if todo_rows is None:
             return
         parsed = raster.parse_band_files(raster.read_path_bytes(todo_rows))
         ndvi = raster.scene_ndvi_from_bands(
@@ -225,9 +223,7 @@ def stream_scene_composite(
 
         ok = ndvi.select("scene_id").distinct()
         ok.write.mode("append").parquet(processed_path)
-        bad = todo_rows.select("scene_id").distinct().join(ok, "scene_id", "left_anti")
-        if bad.limit(1).count() > 0:
-            bad.write.mode("append").parquet(quarantine_path)
+        _quarantine_missing(todo_rows, ok, quarantine_path)
         ndvi.unpersist()
 
     reader = (

@@ -49,13 +49,14 @@ def test_write_upsert_jdbc_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [("s1", 0.9), ("s2", 0.2), ("s3", 0.3)], ["scene_id", "mean_ndvi"]
     ).coalesce(1)  # sqlite allows one writer — single partition for the test
-    PG.write_upsert_jdbc(
+    n = PG.write_upsert_jdbc(
         df,
         "scene_stats",
         conflict_keys=("scene_id",),
         connection_factory=lambda: sqlite3.connect(db, timeout=30),
         mode="replace",
     )
+    assert n == 3  # accumulator count, no extra count() job
     with sqlite3.connect(db) as con:
         rows = dict(con.execute("SELECT scene_id, mean_ndvi FROM scene_stats"))
     assert rows == {"s1": 0.9, "s2": 0.2, "s3": 0.3}  # s1 replaced, others inserted
@@ -285,3 +286,28 @@ def test_stream_upsert_sink_rejects_non_idempotent_mode():
         PG.write_upsert_jdbc_stream(
             "metrics", ("k",), connection_factory=lambda: None, mode="append"
         )
+
+
+def test_adapt_paramstyle_by_driver_module():
+    """qmark SQL is translated for format/pyformat drivers (psycopg2
+    shape) and left alone for qmark drivers (sqlite3/duckdb)."""
+    import sys
+    import types
+
+    sql = 'INSERT INTO "t" ("a", "b") VALUES (?, ?) ON CONFLICT ("a") DO NOTHING'
+
+    class FakePgConn:
+        pass
+
+    fake_mod = types.ModuleType("fakepg")
+    fake_mod.paramstyle = "pyformat"
+    FakePgConn.__module__ = "fakepg.extensions"
+    sys.modules["fakepg"] = fake_mod
+    try:
+        out = PG.adapt_paramstyle(sql, FakePgConn())
+        assert out == sql.replace("?", "%s")
+    finally:
+        del sys.modules["fakepg"]
+
+    with sqlite3.connect(":memory:") as con:
+        assert PG.adapt_paramstyle(sql, con) == sql

@@ -35,10 +35,14 @@ def _warc_record(
     return head + payload + b"\r\n\r\n"
 
 
-def _http_payload(body: str) -> bytes:
-    return (
-        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body.encode()
-    )
+def _http_payload(body: str, inner_ct: str | None = "text/html") -> bytes:
+    ct = f"Content-Type: {inner_ct}\r\n" if inner_ct else ""
+    return (b"HTTP/1.1 200 OK\r\n" + ct.encode() + b"\r\n") + body.encode()
+
+
+# Spec-compliant record-level type of an HTTP response record
+# (WARC/1.1 §6.3): the payload MIME type lives in the HTTP headers.
+_HTTP_RESPONSE_CT = "application/http; msgtype=response"
 
 
 def _build_warc(n: int, start: int = 0) -> bytes:
@@ -53,6 +57,7 @@ def _build_warc(n: int, start: int = 0) -> bytes:
                 "response",
                 f"https://example.org/page{i}",
                 _http_payload(f"doc body number {i} with words"),
+                content_type=_HTTP_RESPONSE_CT,
             )
         )
     return b"".join(out)
@@ -98,6 +103,27 @@ def test_read_warc_distributed_and_documents(spark, tmp_path):
     assert sorted(r["doc_id"] for r in rows) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+    # inner-Content-Type screen on the HTTP envelope: binary payloads
+    # drop, header-less payloads keep (like NULL record types)
+    extra = b"".join(
+        [
+            _warc_record(
+                "response", "https://example.org/img",
+                _http_payload("PNGBYTES", inner_ct="image/png"),
+                content_type=_HTTP_RESPONSE_CT,
+            ),
+            _warc_record(
+                "response", "https://example.org/noct",
+                _http_payload("bare body", inner_ct=None),
+                content_type=_HTTP_RESPONSE_CT,
+            ),
+        ]
+    )
+    (tmp_path / "c.warc").write_bytes(extra)
+    docs2 = warc_documents(read_warc(spark, str(tmp_path) + "/c.warc"))
+    kept = {r["url"]: r["text"] for r in docs2.collect()}
+    assert kept == {"https://example.org/noct": "bare body"}
 
 
 def test_jsonl_shard_roundtrip(spark, sf_dir, tmp_path):

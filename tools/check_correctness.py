@@ -89,7 +89,8 @@ def main() -> int:
     names = args.names or sorted(qs)
     if args.shard:
         i, n = (int(x) for x in args.shard.split("/"))
-        names = [nm for k, nm in enumerate(names) if k % n == i]
+        # 1-based i (i/n reads "i-th of n"); i==n wraps to residue 0.
+        names = [nm for k, nm in enumerate(names) if k % n == i % n]
 
     n_pass = n_fail = n_weak = 0
     results: dict[str, dict] = {}

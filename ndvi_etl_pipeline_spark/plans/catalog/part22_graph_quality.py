@@ -305,7 +305,7 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_groups,
            round(max(t), 6) AS max_t,
            round(avg(t), 6) AS avg_t,
-           CAST(sum(CASE WHEN t > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN t > 0.3 + 1e-9 THEN 1 ELSE 0 END) AS BIGINT)
              AS groups_above_03
     FROM dist
     """,
@@ -320,7 +320,14 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     still leak via a skewed distribution. Exact fractions from
     integer counts; the per-class distance is a dense
     class × segment grid (LEFT JOIN against the global segment
-    list so absent segments contribute their full global mass)."""
+    list so absent segments contribute their full global mass).
+
+    The 0.3 + 1e-9 threshold epsilon is load-bearing: several
+    classes have EXACTLY rational t = 0.3 (small-denominator count
+    fractions), and a bare `t > 0.3` flips per run with float
+    summation order — in both engines. Ties land ±1e-16 of 0.3
+    (excluded deterministically); genuinely distinct t values are
+    spaced ~1e-6 apart at this scale, far above the epsilon."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -361,7 +368,7 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_groups"),
         F.round(F.max("t"), 6).alias("max_t"),
         F.round(F.avg("t"), 6).alias("avg_t"),
-        F.sum(F.when(F.col("t") > 0.3, 1).otherwise(0)).cast("bigint").alias("groups_above_03"),
+        F.sum(F.when(F.col("t") > 0.3 + 1e-9, 1).otherwise(0)).cast("bigint").alias("groups_above_03"),
     )
 
 @register(

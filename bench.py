@@ -23,6 +23,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from ndvi_etl_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
 from ndvi_etl_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -31,11 +33,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     os.environ["SPARK_GRAFT_CPUS"] = cpus
-    spark = get_spark(app_name="bench", shuffle_partitions=int(cpus))
+    # session.py accepts '*' for "all cores" — mirror that here
+    n_cpus = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+    spark = get_spark(app_name="bench", shuffle_partitions=n_cpus)
 
     names = [n for n, s in REGISTRY.items() if s.headline]
-    # warm the JVM/codegen once with the cheapest plan
-    REGISTRY[names[0]].builder(spark, sf_dir).limit(1).collect()
+    # warm the JVM/codegen/Arrow path with NON-registry plans, so the
+    # first headline query's cold time stays genuinely cold
+    spark.range(0, 1_000_000, 1, n_cpus).groupBy(
+        (F.col("id") % 7).alias("k")
+    ).count().count()
+    spark.createDataFrame([(1.0,)], "x double").selectExpr("sqrt(x)").collect()
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

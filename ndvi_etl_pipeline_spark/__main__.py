@@ -106,27 +106,35 @@ def main(argv: list[str] | None = None) -> int:
     if args.aoi_geojson:
         import json as _json
 
-        from .functions.polyclip import rings_to_geojson, union_all
+        from .functions.polyclip import rings_to_geojson, union_polygons
 
         doc = _json.loads(Path(args.aoi_geojson).read_text())
         feats = doc.get("features", [doc])
-        rings = []
+
+        def _poly(coords):
+            # GeoJSON Polygon coordinates = [exterior, hole, hole...];
+            # interior rings ride along as the component's holes —
+            # dropping them would count cavity pixels into the AOI.
+            return (
+                [tuple(p) for p in coords[0][:-1]],
+                [[tuple(p) for p in ring[:-1]] for ring in coords[1:]],
+            )
+
+        polys = []
         for ft in feats:
             geom = ft.get("geometry", ft)
             if geom.get("type") == "Polygon":
-                rings.append([tuple(p) for p in geom["coordinates"][0][:-1]])
+                polys.append(_poly(geom["coordinates"]))
             elif geom.get("type") == "MultiPolygon":
-                rings.extend(
-                    [tuple(p) for p in poly[0][:-1]] for poly in geom["coordinates"]
-                )
-        if not rings:
+                polys.extend(_poly(c) for c in geom["coordinates"])
+        if not polys:
             raise SystemExit(f"no polygon features in {args.aoi_geojson}")
         # A2: dissolve BEFORE clipping (unary_union,
         # download_landsat_stac.py:79). The dissolved set may contain
         # hole rings (even-odd), so clip with parity membership over
         # the FULL ring set — summing independent per-ring stats would
         # double-count cavity pixels under exterior+hole.
-        dissolved = union_all(rings)
+        dissolved = union_polygons(polys)
         aois_df = spark.createDataFrame(
             [(1, "AOI", _json.dumps(rings_to_geojson(dissolved)))],
             "aoi_id int, name string, geom_geojson string",

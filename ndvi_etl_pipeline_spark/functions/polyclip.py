@@ -438,10 +438,26 @@ def union_all(rings: list[Ring]) -> list[Ring]:
     Unlike the earlier single-ring fold, a union that CREATES a hole
     (e.g. a C-shape closed by a cap) is a first-class merge: the cap
     is consumed and the cavity ring is kept, so even-odd membership
-    over the returned set matches OR-of-inputs everywhere."""
+    over the returned set matches OR-of-inputs everywhere.
+
+    Inputs are SIMPLE rings treated as solid polygons — a
+    polygon-with-holes input must go through `union_polygons`
+    (union(exterior, its_own_hole) here would dissolve the hole
+    away, since the hole ring lies inside the exterior)."""
+    return union_polygons([(ring, []) for ring in rings])
+
+
+def union_polygons(polys: list[_Component]) -> list[Ring]:
+    """Dissolve N polygons-WITH-HOLES `(exterior, [hole, ...])` into
+    one even-odd ring set: `union_all` generalized so GeoJSON
+    Polygon/MultiPolygon interior rings survive the dissolve (a
+    cavity only closes where another input actually covers it).
+    Hole rings must lie inside their exterior (GeoJSON semantics);
+    each input seeds a component directly and the same
+    exterior-interaction fold merges them transitively."""
     comps: list[_Component] = []
-    for ring in rings:
-        comp: _Component = (list(ring), [])
+    for ext_in, holes_in in polys:
+        comp: _Component = (list(ext_in), [list(h) for h in holes_in])
         rest: list[_Component] = []
         for other in comps:
             if _exteriors_interact(comp[0], other[0]):

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterate import scoped_persist
+
 __all__ = ["kmeans_lloyd", "kmeans_centroid_vectors"]
 
 
@@ -36,9 +38,13 @@ def kmeans_lloyd(
     (cid, n_points, centroid_sum) — final assignment sizes plus the
     rounded component-sum of the post-update centroid."""
     spark = df.sparkSession
-    vecs = df.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).persist()
+    vecs = scoped_persist(
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ),
+        "clustering.kmeans_lloyd.vecs",
+    )
     centroids = [
         (cid, list(r.v)) for cid, r in enumerate(vecs.orderBy("vec_id").limit(k).collect())
     ]
@@ -188,6 +194,7 @@ def pca_top_component(
     spark = df.sparkSession
     add = lambda acc, x: acc + x  # noqa: E731
     cent = centered_embeddings(df, id_col, vec_col, round_digits).select("x").persist()
+    # all consumers below are in-function collects — released on return
     dim = len(cent.first().x)
 
     v = [1.0] * dim  # raw (pre-round) components; rounding is JVM-side
@@ -228,6 +235,7 @@ def pca_top_component(
         F.sum(F.col("s") * F.col("s")).alias("ss"), F.count("*").alias("n")
     ).collect()[0]
     lam = float(lam_n.ss) / (int(lam_n.n) - 1)
+    cent.unpersist(blocking=False)
     return vr, lam
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count, tokens, word_shingles
+from .iterate import scoped_persist
 
 
 def hash_bucket(key: Column, buckets: int = 256) -> Column:
@@ -323,15 +324,14 @@ def contamination_check(
     base = docs.select(
         "doc_id", "source", split.alias("split"), F.col(text_col).alias("t")
     ).repartition("doc_id")
-    g = (
+    g = scoped_persist(
         base.select(
             "doc_id",
             "source",
             "split",
             F.explode(word_shingles(tokens(F.col("t")), n=ngram)).alias("gram"),
-        )
-        .select("doc_id", "source", "split", F.xxhash64("gram").alias("gh"))
-        .persist()
+        ).select("doc_id", "source", "split", F.xxhash64("gram").alias("gh")),
+        "curation.contamination_check.grams",
     )
     train_g = g.filter(F.col("split") == "train").select("gh").distinct()
     eval_g = g.filter(F.col("split") == "eval")
@@ -370,10 +370,11 @@ def assign_contiguous_ids(
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     # persist so both branches reuse the SAME partitioning
     # (repartitionByRange samples; recomputation could re-draw bounds)
-    ranged = (
-        df.repartitionByRange(n, F.col(order_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    ranged = scoped_persist(
+        df.repartitionByRange(n, F.col(order_col)).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        "curation.assign_contiguous_ids.ranged",
     )
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
     prior = counts.select(F.col("_pid").alias("_qid"), F.col("_n").alias("_pn"))

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import exact_fingerprint, tokens, word_shingles
+from .iterate import scoped_persist
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4
@@ -253,12 +254,16 @@ def minhash_near_duplicates(
     """
     sc = df.sparkSession.sparkContext
     df = df.repartition(sc.defaultParallelism, id_col)
-    shingled = shingle_docs(df, text_col, id_col, n).persist()
+    shingled = scoped_persist(
+        shingle_docs(df, text_col, id_col, n), "dedup.minhash.shingled"
+    )
     sigs = minhash_signatures(shingled, id_col, num_hashes)
     # The banded relation (one ~50-byte row per doc per band) feeds
     # both sides of the candidate self-join; persisting it stops Spark
     # from deriving the whole signature pipeline twice.
-    banded = lsh_bands(sigs, id_col, num_hashes, bands).persist()
+    banded = scoped_persist(
+        lsh_bands(sigs, id_col, num_hashes, bands), "dedup.minhash.banded"
+    )
     cands = lsh_candidate_pairs(banded, id_col)
     return verified_jaccard_pairs(cands, shingled, id_col, threshold)
 

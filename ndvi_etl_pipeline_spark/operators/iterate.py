@@ -31,7 +31,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-__all__ = ["materialize", "iterate", "fixpoint"]
+__all__ = ["materialize", "iterate", "fixpoint", "scoped_persist"]
+
+# one live cached relation per call-site slot — see scoped_persist
+_SCOPED: dict[str, DataFrame] = {}
+
+
+def scoped_persist(df: DataFrame, slot: str) -> DataFrame:
+    """`df.persist()` with one-live-instance-per-slot bookkeeping.
+
+    A bare `.persist()` inside a lazily-built plan (the shared-subtree
+    idiom: shingle relations feeding both sides of a self-join) is
+    never unpersisted — CacheManager pins it for the session, so a
+    long-lived driver building hundreds of plans accumulates dead
+    cached relations (memory blocks are LRU-evicted under pressure,
+    but their DISK copies survive until unpersist). This keeps at most
+    one live cache per call-site slot: the previous invocation's
+    relation is unpersisted (non-blocking) when a new one registers.
+
+    Trade-off, by design: a caller holding plans from TWO invocations
+    of the same builder sees the older plan silently lose its cache
+    and recompute — correct, just uncached. `materialize()` is still
+    the right tool when eager build-time execution is acceptable."""
+    prev = _SCOPED.get(slot)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session of the old relation may already be stopped
+    out = df.persist()
+    _SCOPED[slot] = out
+    return out
 
 
 def materialize(df: DataFrame) -> DataFrame:

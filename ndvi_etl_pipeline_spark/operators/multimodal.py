@@ -16,10 +16,12 @@ Design (mirrors how 100 TB multimodal lakes are actually laid out):
   `decode` raises NotImplementedError for them unless PIL is
   importable, keeping the boundary honest and explicit.
 
-Batch-shape discipline: every kernel yields ≤ `rows_per_batch` rows
-per output frame so Arrow batches stay bounded no matter how large
-individual payloads are — the per-partition memory envelope is
-O(batch payload bytes), not O(partition).
+Batch-shape discipline: 1:1 kernels (features, resize, scan) yield
+one frame per input Arrow batch; row-MULTIPLYING kernels (patchify,
+frame-sample) yield one frame per input ROW, so the peak per-task
+memory is O(one payload's expansion), never O(batch × expansion).
+Arrow batch size itself is bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch.
 """
 
 from __future__ import annotations
@@ -427,11 +429,19 @@ def image_features(media: DataFrame) -> DataFrame:
             rows = []
             for row in pdf.itertuples(index=False):
                 arr = decode_image(row.payload, row.meta)
-                luma = (
-                    0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
-                    if arr.ndim == 3 and arr.shape[2] >= 3
-                    else arr.reshape(arr.shape[0], arr.shape[1]).astype(np.float64)
-                )
+                # luma: BT.601 for >=3 channels; channel 0 for
+                # gray(+alpha) — PNG color type 4 decodes to (h, w, 2),
+                # which a bare reshape-to-(h, w) would crash on.
+                if arr.ndim == 3 and arr.shape[2] >= 3:
+                    luma = (
+                        0.299 * arr[..., 0]
+                        + 0.587 * arr[..., 1]
+                        + 0.114 * arr[..., 2]
+                    )
+                elif arr.ndim == 3:
+                    luma = arr[..., 0].astype(np.float64)
+                else:
+                    luma = arr.astype(np.float64)
                 hist, _ = np.histogram(luma, bins=16, range=(0, 256))
                 p = hist / max(hist.sum(), 1)
                 ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
@@ -515,29 +525,32 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # one output frame PER VIDEO: this kernel multiplies rows
+            # (nf/every_k per input), so batch-wide buffering would
+            # hold every video's frames at once — per-video yields cap
+            # peak memory at one decoded video + its samples
             for row in pdf.itertuples(index=False):
                 m = row.meta
                 nf, h, w, c = m["n_frames"], m["height"], m["width"], m["channels"]
                 vid = np.frombuffer(row.payload, dtype=np.uint8).reshape(nf, h, w, c)
-                for fi in range(0, nf, every_k):
-                    rows.append(
-                        {
-                            "media_id": row.media_id,
-                            "frame_idx": fi,
-                            "payload": vid[fi].tobytes(),
-                            "meta": {
-                                "format": "raw",
-                                "width": w,
-                                "height": h,
-                                "channels": c,
-                                "sample_rate": None,
-                                "n_frames": None,
-                            },
-                        }
-                    )
-            if rows:
-                yield pd.DataFrame(rows)
+                rows = [
+                    {
+                        "media_id": row.media_id,
+                        "frame_idx": fi,
+                        "payload": vid[fi].tobytes(),
+                        "meta": {
+                            "format": "raw",
+                            "width": w,
+                            "height": h,
+                            "channels": c,
+                            "sample_rate": None,
+                            "n_frames": None,
+                        },
+                    }
+                    for fi in range(0, nf, every_k)
+                ]
+                if rows:
+                    yield pd.DataFrame(rows)
 
     return media.filter(F.col("media_type") == "video").mapInPandas(kernel, schema=schema)
 
@@ -746,10 +759,14 @@ def patchify_images(media: DataFrame, patch: int = 16) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # one output frame PER IMAGE (this kernel multiplies rows:
+            # ⌊h/p⌋·⌊w/p⌋ per input) — batch-wide buffering would hold
+            # every image's patch grid at once; per-image yields cap
+            # peak memory at one decoded image + its patches
             for row in pdf.itertuples(index=False):
                 arr = decode_image(row.payload, row.meta)
                 h, w, c = arr.shape
+                rows = []
                 for py in range(h // patch):
                     for px in range(w // patch):
                         blk = arr[
@@ -769,8 +786,8 @@ def patchify_images(media: DataFrame, patch: int = 16) -> DataFrame:
                                 "mean_intensity": float(blk.mean()),
                             }
                         )
-            if rows:
-                yield pd.DataFrame(rows)
+                if rows:
+                    yield pd.DataFrame(rows)
 
     return media.filter(F.col("media_type") == "image").mapInPandas(
         kernel, schema=PATCH_SCHEMA

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 from .dedup import _nibble_value
 from .similarity import cosine
+from .iterate import scoped_persist
 
 N_BUCKETS = 64
 
@@ -90,10 +91,13 @@ def dsir_logweights(
     ).select(F.col(id_col), "is_t", token_bucket("w", n_buckets).alias("b"))
     # cnt feeds both the totals and the log-ratio table; persisting
     # the 64-row aggregate stops the token scan from running twice
-    cnt = tok.groupBy("b").agg(
-        F.count("*").cast("double").alias("c_r"),
-        F.sum(F.col("is_t").cast("int")).cast("double").alias("c_t"),
-    ).persist()
+    cnt = scoped_persist(
+        tok.groupBy("b").agg(
+            F.count("*").cast("double").alias("c_r"),
+            F.sum(F.col("is_t").cast("int")).cast("double").alias("c_t"),
+        ),
+        "selection.dsir_logweights.cnt",
+    )
     tot = cnt.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
     bb = float(n_buckets)
     lr = cnt.crossJoin(F.broadcast(tot)).select(
@@ -148,13 +152,13 @@ def semdedup_cluster_stats(
     # aliased branches defeat ReusedExchange, so persist it once —
     # the assignment (corpus × k argmin) is the expensive stage and
     # must not run twice (same discipline as dedup.py:256).
-    assign = (
+    assign = scoped_persist(
         e.crossJoin(F.broadcast(c))
         .select("vid", "v", "centroid_id", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vid", "v", "centroid_id")
-        .persist()
+        .select("vid", "v", "centroid_id"),
+        "selection.semdedup.assign",
     )
     a = assign.select(
         F.col("vid").alias("va"), F.col("v").alias("xa"), "centroid_id"
@@ -305,15 +309,18 @@ def duplicated_window_stats(
     # re-deriving the explode pipeline thrice (dedup.py:256 pattern;
     # at corpus scale this is the Lee-et-al materialization cost, and
     # still far below their suffix array)
-    wins = tok.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(w) - {window - 1}),"
-                f" i -> concat_ws(' ', slice(w, i, {window})))"
-            )
-        ).alias("wt"),
-    ).persist()
+    wins = scoped_persist(
+        tok.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {window - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {window})))"
+                )
+            ).alias("wt"),
+        ),
+        "selection.duplicated_window_stats.wins",
+    )
     dup = (
         wins.groupBy("wt")
         .agg(F.count("*").alias("n_occ"))
@@ -368,7 +375,8 @@ def duplicated_token_coverage(
                 f" i -> concat_ws(' ', slice(w, i, {window})))"
             )
         ).alias("pos", "wt"),
-    ).select(F.col(id_col), "n_tokens", (F.col("pos") + 1).alias("i"), "wt").persist()
+    ).select(F.col(id_col), "n_tokens", (F.col("pos") + 1).alias("i"), "wt")
+    wins = scoped_persist(wins, "selection.duplicated_token_coverage.wins")
     dup = (
         wins.groupBy("wt")
         .agg(F.count("*").alias("n_occ"))
@@ -428,10 +436,13 @@ def naive_bayes_kfold(
     tok = base.select(
         F.col(id_col), "y", "fold", F.explode(tokens("_txt")).alias("w")
     ).select(F.col(id_col), "y", "fold", token_bucket("w", n_buckets).alias("b"))
-    cnt_fb = tok.groupBy("fold", "b").agg(
-        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double").alias("c1"),
-        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("double").alias("c0"),
-    ).persist()
+    cnt_fb = scoped_persist(
+        tok.groupBy("fold", "b").agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double").alias("c1"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("double").alias("c0"),
+        ),
+        "selection.naive_bayes_kfold.cnt_fb",
+    )
     cnt_all = cnt_fb.groupBy("b").agg(
         F.sum("c1").alias("a1"), F.sum("c0").alias("a0")
     )
@@ -528,10 +539,13 @@ def naive_bayes_scores(
     train = tok.filter(~F.col("is_test"))
     # the ≤B-row count table feeds llr + totals + unseen fallback;
     # persist it so the train scan runs once
-    cnt = train.groupBy("b").agg(
-        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double").alias("c1"),
-        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("double").alias("c0"),
-    ).persist()
+    cnt = scoped_persist(
+        train.groupBy("b").agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double").alias("c1"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("double").alias("c0"),
+        ),
+        "selection.naive_bayes_scores.cnt",
+    )
     tot = cnt.agg(F.sum("c1").alias("n1"), F.sum("c0").alias("n0"))
     bb = float(n_buckets)
     llr = cnt.crossJoin(F.broadcast(tot)).select(
@@ -615,9 +629,12 @@ def trigram_xent(
     # the LM feeds logp + per-lang totals + the unseen fallback —
     # persist the (broadcast-scale) aggregate so the trigram explode
     # runs exactly twice: once to train, once to score
-    lm = tri.filter("is_t").groupBy("lang", "tri").agg(
-        F.count("*").cast("double").alias("c")
-    ).persist()
+    lm = scoped_persist(
+        tri.filter("is_t").groupBy("lang", "tri").agg(
+            F.count("*").cast("double").alias("c")
+        ),
+        "selection.trigram_xent.lm",
+    )
     nv = lm.groupBy("lang").agg(
         F.sum("c").alias("n"), F.count("*").cast("double").alias("v")
     )

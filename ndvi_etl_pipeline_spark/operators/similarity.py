@@ -378,6 +378,21 @@ def pq_encode(
     return corpus.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
 
 
+def _adc_table(qs: list[float], book) -> list[float]:
+    """Query-to-centroid distance table for one subspace, DENSE over
+    cid: entry i is ||q_sub − centroid(cid=i)||². Codebooks may have
+    non-contiguous cids (kmeans_centroid_vectors drops clusters that
+    lose all members), and codes store the actual cid — a positional
+    table would silently fetch the wrong centroid's distance (or NULL
+    past the end, which asc-sorts FIRST and would win the top-k). Gap
+    entries are unreachable: codes only take cids present in the
+    book."""
+    dense = [0.0] * (max(cid for cid, _ in book) + 1)
+    for cid, cvec in book:
+        dense[cid] = sum((a - b) * (a - b) for a, b in zip(qs, cvec))
+    return dense
+
+
 def pq_topk_adc(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -404,15 +419,10 @@ def pq_topk_adc(
     sub = len(codebooks[0][0][1])
     out = None
     for q in qrows:
-        tables = []
-        for s in range(m):
-            qs = q.v[s * sub : (s + 1) * sub]
-            tables.append(
-                [
-                    sum((a - b) * (a - b) for a, b in zip(qs, cvec))
-                    for _cid, cvec in codebooks[s]
-                ]
-            )
+        tables = [
+            _adc_table(q.v[s * sub : (s + 1) * sub], codebooks[s])
+            for s in range(m)
+        ]
         dist = None
         for s in range(m):
             t = F.array(*[F.lit(float(x)) for x in tables[s]])
@@ -475,15 +485,10 @@ def ivfpq_topk(
     ).collect()
     out = None
     for q in qrows:
-        tables = []
-        for s in range(m):
-            qs = q.v[s * sub : (s + 1) * sub]
-            tables.append(
-                [
-                    sum((a - b) * (a - b) for a, b in zip(qs, cvec))
-                    for _cid, cvec in codebooks[s]
-                ]
-            )
+        tables = [
+            _adc_table(q.v[s * sub : (s + 1) * sub], codebooks[s])
+            for s in range(m)
+        ]
         dist = None
         for s in range(m):
             t = F.array(*[F.lit(float(x)) for x in tables[s]])

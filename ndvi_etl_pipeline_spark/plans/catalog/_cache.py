@@ -10,6 +10,9 @@ driver run over the whole family pays for the baseline once.
 
 Keyed by applicationId so a fresh SparkSession never sees another
 session's checkpoint blocks; entries are tiny (k rows / k vectors).
+Entries from OTHER applicationIds are evicted on every lookup —
+without that, a process cycling many sessions (test suites) pins
+dead sessions' DataFrames and checkpoint-block references forever.
 """
 
 from __future__ import annotations
@@ -24,6 +27,11 @@ _EXACT_TOPK: dict[tuple, DataFrame] = {}
 _CENTROIDS: dict[tuple, list] = {}
 
 
+def _evict_other_apps(cache: dict[tuple, object], app_id: str) -> None:
+    for key in [k for k in cache if k[0] != app_id]:
+        del cache[key]
+
+
 def exact_topk_shared(
     spark: SparkSession, sf_dir: str, k: int = 5, split: int = 5
 ) -> DataFrame:
@@ -33,6 +41,7 @@ def exact_topk_shared(
     from ...operators.similarity import brute_force_topk_np
 
     key = (spark.sparkContext.applicationId, sf_dir, k, split)
+    _evict_other_apps(_EXACT_TOPK, key[0])
     df = _EXACT_TOPK.get(key)
     if df is None:
         e = load_table(spark, "embeddings", sf_dir)
@@ -57,6 +66,7 @@ def kmeans_centroids_shared(
     from ...operators.clustering import kmeans_centroid_vectors
 
     key = (spark.sparkContext.applicationId, sf_dir, k, iterations)
+    _evict_other_apps(_CENTROIDS, key[0])
     cents = _CENTROIDS.get(key)
     if cents is None:
         e = load_table(spark, "embeddings", sf_dir)

@@ -1164,7 +1164,11 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sc = spark.sparkContext
     dd = d.repartition(sc.defaultParallelism, "doc_id")
-    shingled = DD.shingle_docs(dd, "text", "doc_id").persist()
+    from ...operators.iterate import scoped_persist
+
+    shingled = scoped_persist(
+        DD.shingle_docs(dd, "text", "doc_id"), "part01.minhash_estimate.shingled"
+    )
     sigs = DD.minhash_signatures(shingled, "doc_id")
     from ...operators.iterate import materialize
 

@@ -92,7 +92,9 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pv"))
     )
-    by_part = by_part.persist()
+    from ...operators.iterate import scoped_persist
+
+    by_part = scoped_persist(by_part, "part03.tpch_q11.by_part")
     total = by_part.agg((0.001 * F.sum("pv")).alias("threshold"))
     return (
         by_part.join(F.broadcast(total))

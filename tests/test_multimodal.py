@@ -330,6 +330,26 @@ def test_image_features_on_png(spark):
     assert got[2].hist16 == got[1].hist16
 
 
+def test_image_features_gray_alpha_png(spark):
+    """PNG color type 4 (gray+alpha) decodes to (h, w, 2); luma must
+    come from channel 0 — this used to crash the kernel with a
+    reshape ValueError."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        image_features,
+    )
+
+    rng = np.random.default_rng(13)
+    ga = rng.integers(0, 256, (9, 7, 2), dtype=np.uint8)
+    rows = [(1, "image", bytearray(encode_png(ga, 0)), ("png", 7, 9, 2, None, None))]
+    (feat,) = image_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert feat.mean_luma == ga[..., 0].astype(float).mean()
+    assert feat.width == 7 and feat.height == 9
+
+
 # ---------------------------------------------------------------------------
 # baseline JPEG codec (operators/jpeg.py)
 # ---------------------------------------------------------------------------

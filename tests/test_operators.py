@@ -388,3 +388,37 @@ def test_pca_top_component_is_unit_and_dominant(spark, sf_dir_oracle):
     got = {r.idx: r.loading for r in pca_power_iteration(e, iterations=3).collect()}
     for d, x in enumerate(v):
         assert got[d + 1] == x
+
+
+def test_pq_adc_with_noncontiguous_codebook_cids(spark):
+    """kmeans_centroid_vectors drops clusters that lose all members,
+    so codebook cids can be non-contiguous while codes store the
+    ACTUAL cid — the ADC distance table must be cid-indexed, not
+    positional (a positional table fetched the wrong centroid's
+    distance, or NULL past the end, which asc-sorts first and won the
+    top-k)."""
+    from pyspark.sql import functions as F
+
+    from ndvi_etl_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_adc,
+    )
+
+    # one subspace of 2 dims, cids {0, 2, 3} (1 dropped in training)
+    books = [[(0, [0.0, 0.0]), (2, [10.0, 0.0]), (3, [0.0, 10.0])]]
+    corpus = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, [9.8, 0.1]), (3, [0.2, 9.9])],
+        "vec_id int, embedding array<double>",
+    )
+    codes = pq_encode(corpus, books)
+    got = {r.vec_id: r.codes for r in codes.collect()}
+    assert got == {1: [0], 2: [2], 3: [3]}  # actual cids, with the gap
+
+    queries = spark.createDataFrame(
+        [(100, [10.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    top = pq_topk_adc(codes, queries, books, k=3).collect()
+    assert [r.vec_id for r in top] == [2, 1, 3]  # by cell distance
+    by_vec = {r.vec_id: r.adc_dist for r in top}
+    assert by_vec[2] == 0.0  # ||q - centroid(cid=2)||² exactly
+    assert by_vec[1] == 100.0 and by_vec[3] == 200.0

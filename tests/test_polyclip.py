@@ -232,3 +232,47 @@ def test_rings_to_geojson_and_wkt():
         [(float(x), float(y)) for x, y in r[:-1]] for r in gj["coordinates"]
     ]
     assert member(back, 5.0, 5.0) and not member(back, 3.0, 3.0)
+
+
+def test_union_polygons_preserves_input_holes():
+    """GeoJSON polygons-with-holes dissolve: a cavity survives unless
+    another input actually covers it (the --aoi-geojson hole-drop
+    fix)."""
+    donut = (
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+        [[(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0)]],
+    )
+    solid = ([(20.0, 20.0), (25.0, 20.0), (25.0, 25.0), (20.0, 25.0)], [])
+    out = PC.union_polygons([donut, solid])
+    assert not member(out, 5.0, 5.0)  # cavity stays excluded
+    assert member(out, 1.0, 1.0)
+    assert member(out, 22.0, 22.0)
+
+    def formula(x, y):
+        in_donut = PC.point_in_ring(x, y, donut[0]) and not PC.point_in_ring(
+            x, y, donut[1][0]
+        )
+        return in_donut or PC.point_in_ring(x, y, solid[0])
+
+    assert bad_count(out, formula, -2, 27, 0.4) == 0
+
+
+def test_union_polygons_overlap_fills_hole_partially():
+    """A second polygon covering part of the cavity: the covered strip
+    becomes INSIDE, the uncovered cavity remainder stays OUTSIDE."""
+    donut = (
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+        [[(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0)]],
+    )
+    cap = ([(6.0, 2.0), (12.0, 2.0), (12.0, 8.0), (6.0, 8.0)], [])
+    out = PC.union_polygons([donut, cap])
+    assert member(out, 6.5, 5.0)  # covered strip of the old cavity
+    assert not member(out, 4.0, 5.0)  # uncovered cavity remainder
+
+    def formula(x, y):
+        in_donut = PC.point_in_ring(x, y, donut[0]) and not PC.point_in_ring(
+            x, y, donut[1][0]
+        )
+        return in_donut or PC.point_in_ring(x, y, cap[0])
+
+    assert bad_count(out, formula, -2, 14, 0.4) == 0

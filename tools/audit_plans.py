@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -42,8 +43,13 @@ EXECUTES_ON_BUILD: set[str] = set()
 
 def audit_one(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # shuffles only: 'BroadcastExchange ...' and 'ReusedExchange [...]'
+    # both contain the bare 'Exchange ' substring but move no shuffle
+    # data — counting them inflated the audit for every broadcast join
+    n_shuffles = len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", plan))
     return {
-        "n_exchanges": plan.count("Exchange "),
+        "n_exchanges": n_shuffles,
+        "n_broadcasts": plan.count("BroadcastExchange "),
         "pushed_filters": plan.count("PushedFilters: [") - plan.count("PushedFilters: []"),
         "codegen_spans": plan.count("WholeStageCodegen"),
         "arrow_python_nodes": (

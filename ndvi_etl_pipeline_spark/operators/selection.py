@@ -1112,3 +1112,230 @@ def gopher_reject_reason(stats_cols=GOPHER_THRESHOLDS) -> Column:
         cond = F.col(col) > F.lit(thr)
         chain = F.when(cond, F.lit(col)) if chain is None else chain.when(cond, F.lit(col))
     return chain.otherwise(F.lit("kept"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (SentencePiece-style Viterbi-EM)
+# ---------------------------------------------------------------------------
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _viterbi_pieces_expr(word_col: str, logp: dict[str, float], max_piece: int) -> str:
+    """SQL expression: Viterbi segmentation of `word_col` under the
+    unigram LM `logp` (embedded as a map literal) → ARRAY<STRING> of
+    pieces, NULL when the word is unsegmentable (a character outside
+    the vocab).
+
+    DP fold over positions 1..n carrying best[0..i] as an array of
+    (score, path) structs; candidates are the ≤ `max_piece` unrolled
+    piece lengths ending at i, each scored best[i-k] + logp(piece).
+    argmax = array_max over (s, k, …) structs — lexicographic, so
+    equal scores break toward the LONGER piece, the same (score, k)
+    tuple order as the Python/oracle replays. Scores are sums of the
+    same ROUNDED logp literals in the same DP order in every engine,
+    so the floats — and therefore the argmax — are bit-identical."""
+    entries = ", ".join(
+        f"{_sql_quote(p)}, cast({lp!r} as double)" for p, lp in sorted(logp.items())
+    )
+    neg = "cast(-1e18 as double)"
+    cands = ", ".join(
+        f"""IF(i >= {k},
+             named_struct(
+               's', element_at(acc, i - {k} + 1).s
+                    + coalesce(element_at(map({entries}),
+                               substring({word_col}, i - {k} + 1, {k})), {neg}),
+               'k', {k},
+               'p', concat(element_at(acc, i - {k} + 1).p,
+                           array(substring({word_col}, i - {k} + 1, {k})))),
+             named_struct('s', {neg} * 4, 'k', 0,
+                          'p', cast(array() as array<string>)))"""
+        for k in range(1, max_piece + 1)
+    )
+    fold = f"""aggregate(
+        sequence(1, length({word_col})),
+        array(named_struct('s', cast(0.0 as double), 'k', 0,
+                           'p', cast(array() as array<string>))),
+        (acc, i) -> concat(acc, array(array_max(array({cands})))),
+        acc -> IF(element_at(acc, -1).s < cast(-1e17 as double), NULL,
+                  element_at(acc, -1).p))"""
+    return fold
+
+
+def unigram_seed_counts(
+    words: DataFrame,
+    vocab_size: int = 24,
+    max_piece: int = 4,
+) -> DataFrame:
+    """Seed vocabulary for unigram-LM training: substring occurrence
+    counts (weighted by word frequency) over a (word, cnt) table —
+    EVERY single character (full segmentation coverage) plus the top
+    (vocab_size − |charset|) multi-character substrings by
+    (count DESC, piece ASC). Returns (piece, seed_cnt).
+
+    Distributed shape: the substring explode runs over the DISTINCT-
+    word relation (vocab-sized, like the BPE trainer's state), never
+    the corpus."""
+    subs = words.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, length(word)), i ->
+                     transform(sequence(1, least({max_piece}, length(word) - i + 1)),
+                               L -> substring(word, i, L))))"""
+            )
+        ).alias("piece"),
+    ).groupBy("piece").agg(F.sum("cnt").alias("seed_cnt"))
+    chars = subs.filter(F.length("piece") == 1)
+    n_chars = chars.count()
+    multi = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.desc("seed_cnt"), F.asc("piece"))
+        .limit(max(0, vocab_size - n_chars))
+    )
+    return chars.unionByName(multi)
+
+
+def unigram_words(
+    docs: DataFrame, text_col: str = "text", max_word_len: int = 12
+) -> DataFrame:
+    """(word, cnt) training table: lowercased alphanumeric words of
+    length 2..max_word_len (the BPE trainer's normalization, and the
+    standard SentencePiece word-length cap) — one corpus pass."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(text_col), "[^a-z0-9]+")).alias("word")
+        )
+        .filter((F.length("word") >= 2) & (F.length("word") <= max_word_len))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def unigram_em_pieces(
+    words: DataFrame,
+    vocab_size: int = 24,
+    n_iters: int = 2,
+    max_piece: int = 4,
+) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018),
+    the probabilistic sibling of :func:`bpe_merges`: seed a substring
+    vocabulary, then run `n_iters` rounds of Viterbi-EM — E-step
+    segments every distinct word under the current piece log-probs
+    (native-SQL DP, see `_viterbi_pieces_expr`); M-step re-estimates
+    add-one-smoothed probabilities from the weighted piece counts.
+    Returns (piece, em_cnt, logp) — the trained tokenizer table.
+
+    Distributed shape: the corpus is read once (word count); every EM
+    round is one DP projection + explode + grouped sum over the
+    DISTINCT-WORD relation, with the vocab shipped as a ~vocab_size
+    map literal (the k-means-centroid idiom — only metadata-scale
+    state ever reaches the driver). At 100 TB the word table is the
+    only shuffled relation and it is Zipf-bounded, not corpus-bounded.
+
+    Determinism contract (oracle-replayable): logps are ROUNDED to 9
+    decimals before entering the DP, every candidate score is the same
+    rounded-literal sum in the same order in both engines, and argmax
+    ties break (score, piece-length) lexicographically — so the whole
+    EM trajectory replays bit-identically in the recursive-CTE oracle.
+    Smoothing keeps every vocab entry alive across rounds (log(c+1)),
+    mirroring SentencePiece's no-zero-prob invariant."""
+    import math
+
+    from .iterate import scoped_persist
+
+    spark = words.sparkSession
+    words = scoped_persist(words, "selection.unigram_em.words")
+    seed = unigram_seed_counts(words, vocab_size, max_piece).collect()
+    vocab = sorted(r.piece for r in seed)
+    cnts = {r.piece: int(r.seed_cnt) for r in seed}
+
+    def round9(x: float) -> float:
+        return float(f"{x:.9f}")
+
+    def to_logp(c: dict[str, int]) -> dict[str, float]:
+        tot = sum(c.values())
+        return {
+            p: round9(math.log(c[p] + 1) - math.log(tot + len(vocab)))
+            for p in vocab
+        }
+
+    logp = to_logp(cnts)
+    em_rows: list = []
+    for _ in range(n_iters):
+        em_rows = (
+            words.select(
+                "cnt",
+                F.explode(
+                    F.expr(_viterbi_pieces_expr("word", logp, max_piece))
+                ).alias("piece"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("em_cnt"))
+            .collect()
+        )
+        got = {r.piece: int(r.em_cnt) for r in em_rows}
+        cnts = {p: got.get(p, 0) for p in vocab}
+        logp = to_logp(cnts)
+
+    return spark.createDataFrame(
+        [(p, cnts[p], logp[p]) for p in vocab],
+        "piece string, em_cnt bigint, logp double",
+    )
+
+
+def unigram_token_stats(
+    docs: DataFrame,
+    vocab_size: int = 24,
+    n_iters: int = 2,
+    max_piece: int = 4,
+    max_word_len: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a freshly trained unigram-LM tokenizer (the
+    :func:`bpe_token_stats` sibling): per-document word count, piece
+    count under Viterbi segmentation with the FINAL EM log-probs, and
+    fertility (pieces per word). Words outside the 2..max_word_len
+    training band count one piece per character (the untrained-word
+    fallback, applied identically in the oracle).
+
+    The trained (word → n_pieces) table is vocab-sized, so serving is
+    a broadcast join onto the exploded corpus — the corpus is never
+    re-segmented row by row."""
+    import math
+
+    words = unigram_words(docs, text_col, max_word_len)
+    trained = unigram_em_pieces(words, vocab_size, n_iters, max_piece)
+    logp = {r.piece: r.logp for r in trained.collect()}
+    wlen = words.select(
+        "word",
+        F.size(
+            F.expr(_viterbi_pieces_expr("word", logp, max_piece))
+        ).alias("n_pieces"),
+    )
+    dw = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(text_col), "[^a-z0-9]+")).alias("word"),
+    ).filter(F.length("word") >= 1)
+    joined = dw.join(F.broadcast(wlen), "word", "left").select(
+        id_col,
+        F.coalesce("n_pieces", F.length("word")).alias("n_pieces"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("n_pieces").cast("int").alias("n_unigram_pieces"),
+        )
+        .select(
+            F.col(id_col),
+            "n_words",
+            "n_unigram_pieces",
+            F.round(
+                F.col("n_unigram_pieces").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
+    )

@@ -1427,3 +1427,181 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "it int, merged_pair string, pair_count bigint, tokens_after bigint"
     )
+
+
+def _uni_dp_cte(dp: str, lp: str, max_piece: int = 4) -> str:
+    """One recursive Viterbi-DP pass over `words` under log-probs CTE
+    `lp` — the SQL twin of operators/selection._viterbi_pieces_expr:
+    same candidate set (≤ max_piece unrolled lengths), same
+    (score, k) lexicographic argmax via list_sort()[-1], same rounded
+    log-prob addends in the same order, so every double — and every
+    tie-break — replays bit-identically."""
+    cands = ",\n             ".join(
+        f"""CASE WHEN i + 1 >= {k} THEN struct_pack(
+               s := bests[i - {k} + 2].s + coalesce(j{k}.lpv, -1e18),
+               k := {k},
+               p := list_append(bests[i - {k} + 2].p,
+                                substr(word, i - {k} + 2, {k}))) END"""
+        for k in range(1, max_piece + 1)
+    )
+    joins = "\n      ".join(
+        f"LEFT JOIN {lp} j{k} ON j{k}.piece = substr(word, i - {k} + 2, {k})"
+        for k in range(1, max_piece + 1)
+    )
+    return f"""{dp} AS (
+      SELECT word, cnt, 0 AS i,
+             [struct_pack(s := 0.0::DOUBLE, k := 0, p := []::VARCHAR[])] AS bests
+      FROM words
+      UNION ALL
+      SELECT word, cnt, i + 1,
+             list_append(bests, (list_sort(list_filter([
+             {cands}
+             ], x -> x IS NOT NULL)))[-1])
+      FROM {dp}
+      {joins}
+      WHERE i < length(word)
+    )"""
+
+
+def _unigram_oracle(
+    vocab_size: int = 40, n_iters: int = 2, max_piece: int = 4, max_word_len: int = 12
+) -> str:
+    """Full unigram-EM trajectory replay: seed vocab → n_iters ×
+    (Viterbi DP → weighted piece counts → smoothed log-probs)."""
+    parts = [
+        f"""words AS MATERIALIZED (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents)
+      WHERE length(w) BETWEEN 2 AND {max_word_len} GROUP BY w)""",
+        f"""subs AS MATERIALIZED (
+      SELECT substr(word, CAST(i AS INT), CAST(L AS INT)) AS piece,
+             CAST(sum(cnt) AS BIGINT) AS seed_cnt
+      FROM words,
+           unnest(generate_series(1, length(word))) t(i),
+           unnest(generate_series(1, least({max_piece},
+                  length(word) - CAST(i AS INT) + 1))) u(L)
+      GROUP BY 1)""",
+        """chars AS (SELECT piece, seed_cnt FROM subs WHERE length(piece) = 1)""",
+        f"""multi AS (
+      SELECT piece, seed_cnt FROM subs WHERE length(piece) > 1
+      ORDER BY seed_cnt DESC, piece
+      LIMIT greatest(0, {vocab_size} - (SELECT count(*) FROM chars)))""",
+        """vocab AS (SELECT * FROM chars UNION ALL SELECT * FROM multi)""",
+        """nv AS (SELECT count(*) AS v FROM vocab)""",
+        """lp0 AS MATERIALIZED (
+      SELECT piece, round(ln(seed_cnt + 1)
+             - ln((SELECT sum(seed_cnt) FROM vocab) + (SELECT v FROM nv)), 9)
+             AS lpv
+      FROM vocab)""",
+    ]
+    for it in range(1, n_iters + 1):
+        parts.append(_uni_dp_cte(f"dp{it}", f"lp{it - 1}", max_piece))
+        parts.append(
+            f"""seg{it} AS (
+      SELECT cnt, unnest(bests[length(word) + 1].p) AS piece
+      FROM dp{it} WHERE i = length(word))"""
+        )
+        parts.append(
+            f"""c{it} AS MATERIALIZED (
+      SELECT v.piece, CAST(coalesce(sum(s.cnt), 0) AS BIGINT) AS c
+      FROM vocab v LEFT JOIN seg{it} s ON s.piece = v.piece GROUP BY 1)"""
+        )
+        parts.append(
+            f"""lp{it} AS MATERIALIZED (
+      SELECT piece, round(ln(c + 1)
+             - ln((SELECT sum(c) FROM c{it}) + (SELECT v FROM nv)), 9) AS lpv
+      FROM c{it})"""
+        )
+    chain = ",\n    ".join(parts)
+    n = n_iters
+    return f"""
+    WITH RECURSIVE
+    {chain}
+    SELECT c{n}.piece, c{n}.c AS em_cnt,
+           (round(lp{n}.lpv, 6) + 0.0) AS logp
+    FROM c{n} JOIN lp{n} ON c{n}.piece = lp{n}.piece
+    ORDER BY c{n}.piece
+    """
+
+
+@register(
+    "unigram_tokenizer_em",
+    oracle=_unigram_oracle(),
+    tags=("text", "training", "iterative"),
+)
+def q_unigram_tokenizer_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018 — the SentencePiece
+    default), completing the tokenizer-training pair with
+    `bpe_train_merges`: seed a substring vocabulary (all chars + top
+    multi-char substrings), then 2 rounds of Viterbi-EM over the
+    distinct-word table. Output = the trained tokenizer: every vocab
+    piece with its EM-expected corpus count and smoothed log-prob.
+    Scale shape: loop state is the word-frequency table (Zipf-
+    bounded); each round is one native-SQL DP projection + explode +
+    agg, vocab rides as a map literal (k-means-centroid idiom). The
+    oracle replays the entire trajectory — seeding, both DP passes,
+    both M-steps — via recursive CTEs with the identical rounded
+    log-prob arithmetic and (score, piece-length) tie-breaks."""
+    from ...operators.selection import unigram_em_pieces, unigram_words
+
+    d = _t(spark, sf_dir, "documents")
+    out = unigram_em_pieces(
+        unigram_words(d, max_word_len=12), vocab_size=40, n_iters=2, max_piece=4
+    )
+    return out.select(
+        "piece", "em_cnt", canon_round(F.col("logp"), 6).alias("logp")
+    ).orderBy("piece")
+
+
+def _unigram_serve_oracle(
+    vocab_size: int = 40, n_iters: int = 2, max_piece: int = 4, max_word_len: int = 12
+) -> str:
+    """Training replay (see _unigram_oracle) + one more DP pass under
+    the FINAL log-probs + per-document fertility aggregation."""
+    base = _unigram_oracle(vocab_size, n_iters, max_piece, max_word_len)
+    # strip the trailing SELECT of the training oracle, keep the CTE chain
+    chain = base[: base.rindex("SELECT")].rstrip().rstrip(",")
+    n = n_iters
+    return f"""{chain},
+    {_uni_dp_cte(f"dp{n + 1}", f"lp{n}", max_piece)},
+    wlen AS MATERIALIZED (
+      SELECT word, len(bests[length(word) + 1].p) AS n_pieces
+      FROM dp{n + 1} WHERE i = length(word)),
+    dw AS (
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents)
+      WHERE length(w) >= 1)
+    SELECT dw.doc_id,
+           CAST(count(*) AS INT) AS n_words,
+           CAST(sum(coalesce(wlen.n_pieces, length(dw.word))) AS INT)
+             AS n_unigram_pieces,
+           round(CAST(sum(coalesce(wlen.n_pieces, length(dw.word))) AS DOUBLE)
+                 / count(*), 6) AS fertility
+    FROM dw LEFT JOIN wlen ON wlen.word = dw.word
+    GROUP BY dw.doc_id
+    ORDER BY dw.doc_id
+    """
+
+
+@register(
+    "unigram_fertility",
+    oracle=_unigram_serve_oracle(),
+    tags=("text", "training", "iterative"),
+)
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the trained unigram-LM tokenizer (the bpe_fertility
+    sibling): per-document word count, Viterbi piece count under the
+    final EM log-probs, and fertility. The (word → n_pieces) table is
+    vocab-sized and broadcast onto the exploded corpus — the corpus
+    is never re-segmented. Untrained words (length 1 or > the
+    training cap) fall back to one piece per character, identically
+    in both engines."""
+    from ...operators.selection import unigram_token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_token_stats(
+        d, vocab_size=40, n_iters=2, max_piece=4, max_word_len=12
+    ).orderBy("doc_id")

@@ -296,3 +296,48 @@ def test_dup_segment_stats_within_doc_only(spark):
     assert rows[1].n_segments == 2 and rows[1].dup_segments == 2
     assert rows[1].dup_seg_frac == 1.0
     assert rows[2].dup_segments == 0 and rows[2].dup_seg_frac == 0.0
+
+
+def test_unigram_em_matches_hand_trajectory(spark):
+    """Unigram Viterbi-EM on a corpus small enough to trace by hand:
+    the dominant word segments as one piece once the seed puts it in
+    the vocab, EM counts are word-frequency-weighted, and every
+    single char stays alive via add-one smoothing."""
+    from ndvi_etl_pipeline_spark.operators.selection import (
+        unigram_em_pieces,
+        unigram_words,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab"), (2, "aaab ab ab b")],
+        "doc_id int, text string",
+    )
+    words = unigram_words(docs)  # aaab×4, ab×3 (len-1 'b' excluded)
+    got = {r.piece: (r.em_cnt, r.logp) for r in
+           unigram_em_pieces(words, vocab_size=6, n_iters=2).collect()}
+    # seed: chars {a, b} + top-4 multi by (cnt desc, piece asc)
+    assert set(got) == {"a", "b", "aa", "aaa", "aaab", "ab"}
+    # Viterbi with count-seeded probs segments aaab -> [aaab], ab -> [ab]
+    assert got["aaab"][0] == 4 and got["ab"][0] == 3
+    assert got["a"][0] == 0 and got["b"][0] == 0  # smoothed, not dropped
+    # logp reflects add-one smoothing over em totals: ln(c+1)-ln(tot+|V|)
+    import math
+    tot, V = 4 + 3, 6
+    assert got["aaab"][1] == float(f"{math.log(5) - math.log(tot + V):.9f}")
+
+
+def test_unigram_token_stats_char_fallback(spark):
+    """Serving: trained words use their Viterbi piece count; words
+    outside the 2..max_word_len training band count 1 piece/char."""
+    from ndvi_etl_pipeline_spark.operators.selection import unigram_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab x"), (2, "supercalifragilistic ab")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in unigram_token_stats(docs, vocab_size=6).collect()}
+    # doc 1: aaab=1 piece ×2, ab=1, x untrained (len 1) -> 1 char
+    assert (got[1].n_words, got[1].n_unigram_pieces) == (4, 4)
+    # doc 2: 20-char word exceeds max_word_len=12 -> 20 char pieces
+    assert (got[2].n_words, got[2].n_unigram_pieces) == (2, 21)
+    assert got[2].fertility == 10.5

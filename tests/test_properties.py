@@ -223,3 +223,91 @@ def test_jpeg_q100_roundtrip_bounded(h, w, gray, subsample, ri, seed):
         if unclipped.any():
             assert np.abs(oluma - luma)[unclipped].max() <= 4.5
 
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer: Spark Viterbi-EM vs an independent Python replay
+# ---------------------------------------------------------------------------
+
+
+def _uni_ref_train(word_cnt, vocab_size, n_iters=2, max_piece=4):
+    """Independent driver-side replay of operators/selection's
+    unigram EM: same seeding, same rounded log-probs, same
+    (score, piece-length) tie-breaks."""
+    import math
+
+    sub_cnt = {}
+    for w, c in word_cnt.items():
+        for i in range(len(w)):
+            for L in range(1, min(max_piece, len(w) - i) + 1):
+                sub_cnt[w[i : i + L]] = sub_cnt.get(w[i : i + L], 0) + c
+    chars = {p for p in sub_cnt if len(p) == 1}
+    multi = sorted(
+        (p for p in sub_cnt if len(p) > 1), key=lambda p: (-sub_cnt[p], p)
+    )[: max(0, vocab_size - len(chars))]
+    vocab = sorted(chars | set(multi))
+    cnts = {p: sub_cnt[p] for p in vocab}
+
+    def to_logp(c):
+        tot = sum(c.values())
+        return {
+            p: float(f"{math.log(c[p] + 1) - math.log(tot + len(vocab)):.9f}")
+            for p in vocab
+        }
+
+    def viterbi(word, logp):
+        NEG = -1e18
+        best = [(0.0, 0)] + [(NEG * 4, 0)] * len(word)
+        for i in range(1, len(word) + 1):
+            cands = []
+            for k in range(1, min(max_piece, i) + 1):
+                lp = logp.get(word[i - k : i])
+                cands.append(
+                    (best[i - k][0] + (lp if lp is not None else NEG), k)
+                )
+            best[i] = max(cands)
+        if best[len(word)][0] < -1e17:
+            return None
+        pieces, i = [], len(word)
+        while i > 0:
+            k = best[i][1]
+            pieces.append(word[i - k : i])
+            i -= k
+        return pieces
+
+    logp = to_logp(cnts)
+    for _ in range(n_iters):
+        em = dict.fromkeys(vocab, 0)
+        for w, c in word_cnt.items():
+            for p in viterbi(w, logp) or []:
+                em[p] += c
+        cnts = em
+        logp = to_logp(cnts)
+    return cnts, logp
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=2, max_size=9),
+        st.integers(min_value=1, max_value=5),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=4, max_value=10),
+)
+@settings(max_examples=12, deadline=None)
+def test_unigram_em_matches_reference_on_any_corpus(spark, word_cnt, vocab_size):
+    from ndvi_etl_pipeline_spark.operators.selection import unigram_em_pieces
+
+    words = spark.createDataFrame(
+        list(word_cnt.items()), "word string, cnt long"
+    )
+    got = {
+        r.piece: (r.em_cnt, r.logp)
+        for r in unigram_em_pieces(words, vocab_size=vocab_size).collect()
+    }
+    cnts, logp = _uni_ref_train(word_cnt, vocab_size)
+    assert set(got) == set(cnts)
+    for p in cnts:
+        assert got[p][0] == cnts[p], (p, got[p], cnts[p], word_cnt)
+        assert got[p][1] == logp[p], (p, got[p], logp[p], word_cnt)

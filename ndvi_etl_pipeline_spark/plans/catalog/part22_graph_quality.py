@@ -550,3 +550,138 @@ def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("inc").over(w), 6).alias("cum_hazard"),
         F.round(F.exp(-F.sum("inc").over(w)), 6).alias("na_survival"),
     )
+
+
+@register(
+    "cluster_aware_split",
+    oracle=r"""
+    WITH RECURSIVE
+    tok AS MATERIALIZED (
+      SELECT doc_id, source, lang,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents),
+    shl AS MATERIALIZED (
+      SELECT doc_id, source, lang, list_distinct(list_transform(
+          generate_series(1, greatest(len(w) - 2, 0)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM tok WHERE len(w) >= 3),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shl a JOIN shl b
+        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+            >= 0.5),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s),
+    cc AS MATERIALIZED (
+      SELECT node, min(label) AS component FROM reach GROUP BY node),
+    docs AS MATERIALIZED (
+      SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component,
+             CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       ::UBIGINT % 100 < 5 THEN 'eval' ELSE 'train' END
+               AS naive_split,
+             CASE WHEN ('0x' || substr(md5(CAST(coalesce(cc.component,
+                            d.doc_id) AS VARCHAR)), 1, 8))
+                       ::UBIGINT % 100 < 5 THEN 'eval' ELSE 'train' END
+               AS cluster_split
+      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+    cl AS (
+      SELECT component,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             count(DISTINCT naive_split) AS n_naive,
+             count(DISTINCT cluster_split) AS n_cluster
+      FROM docs GROUP BY component)
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_clusters,
+           CAST(sum(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaky_naive,
+           CAST(sum(CASE WHEN n_cluster > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaky_cluster,
+           (SELECT CAST(count(*) AS BIGINT) FROM docs
+            WHERE naive_split <> cluster_split) AS n_docs_moved
+    FROM cl
+    """,
+    tags=("dedup", "training", "privacy", "iterative"),
+)
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/eval split — the leakage guard every LLM
+    corpus pipeline needs between dedup and split: a naive per-doc
+    hash split scatters near-duplicate documents across train AND
+    eval (the classic contamination bug — the eval answer is in the
+    training set verbatim-ish), while keying the SAME hash split by
+    near-dup CLUSTER id keeps each cluster in one split by
+    construction. Census: cluster counts, leaky clusters under each
+    policy (cluster-keyed must be 0), and how many documents the fix
+    moves. Pairs = exact 3-gram Jaccard ≥ 0.5 within (source, lang)
+    blocks (the dedup_ngram_jaccard criterion); clusters = min-label
+    connected components (checkpointed fixpoint); split = the
+    engine-portable md5 bucket of curation.assign_split.
+
+    Scale shape: the pair stage is the blocked self-join the dedup
+    tier already bounds; CC is O(diameter) rounds of two shuffles on
+    node id; the split swap itself is free (hash of a different
+    column). At 100 TB you'd feed the MinHash-LSH pair stream in as
+    `pairs` — the census is agnostic to the pair source."""
+    from ...operators.curation import assign_split
+    from ...operators.dedup import connected_components, shingle_docs
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingle_docs(d).join(d.select("doc_id", "source", "lang"), "doc_id")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "source", "lang",
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "source", "lang",
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    pairs = (
+        a.join(b, ["source", "lang"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.round(inter / union, 4) >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    docs = (
+        d.select("doc_id")
+        .join(cc, d["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .select(
+            "doc_id",
+            "component",
+            assign_split(F.col("doc_id")).alias("naive_split"),
+            assign_split(F.col("component")).alias("cluster_split"),
+        )
+    )
+    cl = docs.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("naive_split").alias("n_naive"),
+        F.countDistinct("cluster_split").alias("n_cluster"),
+    )
+    moved = docs.filter(F.col("naive_split") != F.col("cluster_split")).agg(
+        F.count("*").cast("bigint").alias("n_docs_moved")
+    )
+    return cl.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multi_clusters"),
+        F.sum(F.when(F.col("n_naive") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaky_naive"),
+        F.sum(F.when(F.col("n_cluster") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaky_cluster"),
+    ).crossJoin(F.broadcast(moved))

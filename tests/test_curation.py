@@ -222,3 +222,54 @@ def test_expect_counts_nulls_as_violations(spark):
     assert out["id_not_null"].n_violations == 0
     assert out["id_not_null"].passed
     assert out["v_positive"].n_rows == 3
+
+
+def test_cluster_aware_split_heals_leaky_cluster(spark):
+    """Force the contamination case the census exists for: doc 10
+    hashes to 'eval', docs 1-2 to 'train', and all three are
+    near-duplicates — naive per-doc split leaks the cluster across
+    splits; keying the same hash by cluster id moves doc(s) so the
+    cluster lands in ONE split."""
+    from pyspark.sql import functions as F
+
+    from ndvi_etl_pipeline_spark.operators.curation import assign_split
+    from ndvi_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        shingle_docs,
+    )
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, txt), (2, txt + " mu"), (10, txt + " nu"),
+         (3, "totally different words entirely unrelated content here")],
+        "doc_id long, text string",
+    )
+    sh = shingle_docs(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter((F.col("doc_a") < F.col("doc_b")) & (jac >= 0.5))
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    out = (
+        docs.join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .select(
+            "doc_id",
+            "component",
+            assign_split(F.col("doc_id")).alias("naive"),
+            assign_split(F.col("component")).alias("clustered"),
+        )
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # the near-dup cluster {1, 2, 10}: naive split straddles
+    assert {rows[1].naive, rows[2].naive} == {"train"} and rows[10].naive == "eval"
+    # cluster-keyed split: one component id (min=1) -> one split for all three
+    assert len({rows[i].clustered for i in (1, 2, 10)}) == 1
+    assert rows[3].component == 3  # the unrelated doc stays a singleton

@@ -64,6 +64,11 @@ def asof_join(
         *[F.col(c) for c in right_cols], F.col(right_ts).alias("_ts")
     ).alias("_asof_payload")
 
+    # pandas-merge_asof parity on NULL timestamps: a right row with a
+    # NULL right_ts never matches anything (unfiltered, it sorts FIRST
+    # in the ascending window — nulls first — and its non-null payload
+    # struct would become the fallback match for every left row).
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_asof_ts"),
@@ -128,6 +133,10 @@ def asof_join(
         if tolerance_seconds is not None:
             gap_us = _gap(match, 1 if direction == "backward" else -1)
             match = F.when(gap_us <= tolerance_seconds * 1_000_000, match)
+    # a NULL left_ts matches nothing (under 'forward' it sorts LAST in
+    # the descending stream and would otherwise pick up the global
+    # minimum right_ts as a bogus match)
+    match = F.when(F.col("_asof_ts").isNotNull(), match)
     out = merged.filter(F.col("_asof_side") == 1).select(
         key,
         *[c for c in left_cols if c != key],

@@ -54,14 +54,37 @@ def validate_grids(scene_bands: DataFrame) -> tuple[DataFrame, DataFrame]:
     route the scene to a quarantine DataFrame instead (E1 semantics:
     per-scene failure isolation via status columns, main.py:118-139).
     """
-    grids = scene_bands.groupBy("scene_id").agg(
-        F.countDistinct("height", "width", "crs").alias("n_grids"),
-        F.countDistinct(F.col("transform").cast("array<string>").cast("string")).alias(
-            "n_transforms"
-        ),
+    # NULL metadata (a failed header parse) must count as its own
+    # distinct grid, not vanish: countDistinct SKIPS null tuples, so an
+    # unsentineled scene with one NULL-metadata band would pass as
+    # compatible unexamined, and an all-NULL scene (n_grids = 0) would
+    # match neither filter and silently disappear from both outputs.
+    g = F.struct(
+        F.coalesce(F.col("height").cast("string"), F.lit("\x00null")),
+        F.coalesce(F.col("width").cast("string"), F.lit("\x00null")),
+        F.coalesce(F.col("crs"), F.lit("\x00null")),
     )
-    ok = grids.filter((F.col("n_grids") == 1) & (F.col("n_transforms") == 1)).select("scene_id")
-    bad = grids.filter((F.col("n_grids") > 1) | (F.col("n_transforms") > 1)).select(
-        "scene_id", F.lit("grid_mismatch").alias("error")
+    t = F.coalesce(
+        F.col("transform").cast("array<string>").cast("string"), F.lit("\x00null")
+    )
+    has_null = (
+        F.col("height").isNull() | F.col("width").isNull() | F.col("crs").isNull()
+        | F.col("transform").isNull()
+    )
+    grids = scene_bands.groupBy("scene_id").agg(
+        F.countDistinct(g).alias("n_grids"),
+        F.countDistinct(t).alias("n_transforms"),
+        F.max(has_null.cast("int")).alias("any_null"),
+    )
+    ok = grids.filter(
+        (F.col("n_grids") == 1) & (F.col("n_transforms") == 1) & (F.col("any_null") == 0)
+    ).select("scene_id")
+    bad = grids.filter(
+        (F.col("n_grids") > 1) | (F.col("n_transforms") > 1) | (F.col("any_null") == 1)
+    ).select(
+        "scene_id",
+        F.when(F.col("any_null") == 1, F.lit("null_grid_metadata"))
+        .otherwise(F.lit("grid_mismatch"))
+        .alias("error"),
     )
     return ok, bad

@@ -135,7 +135,7 @@ def phash_neardup_pairs(
     hash_col: str = "phash",
     id_col: str = "media_id",
     max_distance: int = 10,
-    bands: int = 8,
+    bands: int = 16,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(hash) ≤ max_distance.
 

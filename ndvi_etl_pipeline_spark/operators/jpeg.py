@@ -538,11 +538,10 @@ def encode_jpeg(
     comp_blocks = []
     for (cid, ch, cv, tq), plane in zip(comps, planes):
         coefs = _dct2_blocks(_plane_blocks(plane - 128.0))
-        # qmats store zigzag order (as DQT ships them); de-zigzag to
-        # the natural 8x8 grid for the frequency-domain division
-        qz = np.zeros(64)
-        qz[ZIGZAG] = qmats[tq]
-        quant = np.round(coefs / qz.reshape(8, 8)).astype(np.int64)
+        # qmats are NATURAL raster order (Annex K as printed); divide
+        # in the frequency domain directly — the zigzag permutation
+        # applies only to the DQT wire format below
+        quant = np.round(coefs / qmats[tq].reshape(8, 8)).astype(np.int64)
         comp_blocks.append(quant)
 
     # entropy encode
@@ -594,9 +593,11 @@ def encode_jpeg(
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    out += seg(0xDB, bytes([0x00]) + bytes(ql.astype(np.uint8)))
+    # DQT ships tables in ZIGZAG order (T.81 B.2.4.1); ql/qc are the
+    # natural-order matrices the quantizer divided by above
+    out += seg(0xDB, bytes([0x00]) + bytes(ql[ZIGZAG].astype(np.uint8)))
     if not gray:
-        out += seg(0xDB, bytes([0x01]) + bytes(qc.astype(np.uint8)))
+        out += seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, ch, cv, tq in comps:
         sof += struct.pack(">BBB", cid, (ch << 4) | cv, tq)

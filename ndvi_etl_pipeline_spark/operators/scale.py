@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import shutil
 from pathlib import Path
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,8 +70,22 @@ def salted_join(
     sub-keys. The salt is deterministic — pmod(xxhash64(discriminator),
     n) — so replays and retries stay stable (no rand() in the plan).
     The right side replicates n_salts× (keep it the smaller input).
-    Result equals `left.join(right, key, how)` exactly.
+    Result equals `left.join(right, key, how)` exactly for the
+    supported join types.
+
+    Right/full-outer joins are REJECTED: each right row's n_salts − 1
+    non-matching replicas would surface as spurious null-extended
+    output rows (the replicas exist only to meet the left side's salt
+    values — an unmatched replica is an artifact, not a fact about
+    the data). Salting the right side of a right join means salting
+    ITS skew: call with the sides swapped and how='left'.
     """
+    if how in ("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"):
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer joins would emit "
+            "null-extended rows for the right side's non-matching salt "
+            "replicas — swap the sides and use how='left'"
+        )
     disc = F.col(discriminator) if discriminator else F.spark_partition_id()
     l_salted = left.withColumn("_salt", F.pmod(F.xxhash64(disc), F.lit(n_salts)))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
@@ -231,13 +245,21 @@ def compact_partitions(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         for d, n_out in todo:
-            # partition dir like .../k1=v1/k2=v2 → equality predicates
+            # partition dir like .../k1=v1/k2=v2 → equality predicates.
+            # Directory values are Hive-ESCAPED (':' → '%3A' etc.) and
+            # NULL partitions appear as __HIVE_DEFAULT_PARTITION__ —
+            # compare against the unescaped value / isNull, or the
+            # filter silently matches zero rows and the fragmented
+            # partition never compacts.
             preds = dict(
                 seg.split("=", 1) for seg in d.relative_to(root).parts if "=" in seg
             )
             part = df
             for k, v in preds.items():
-                part = part.filter(F.col(k).cast("string") == v)
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    part = part.filter(F.col(k).isNull())
+                else:
+                    part = part.filter(F.col(k).cast("string") == unquote(v))
             before = len(part_files[d])
             (
                 part.repartition(n_out)

@@ -50,11 +50,22 @@ CURATED_SCHEMA = T.StructType(
 )
 
 
-def _read_curated(spark: SparkSession, path: str) -> DataFrame:
+def _read_store_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Empty ONLY when the store does not exist yet; other read
+    failures RAISE (an empty fallback would reset the cross-batch
+    fingerprint state and double-admit every already-curated doc)."""
+    from pyspark.errors import AnalysisException
+
     try:
-        return spark.read.schema(CURATED_SCHEMA).parquet(path)
-    except Exception:
-        return spark.createDataFrame([], CURATED_SCHEMA)
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+def _read_curated(spark: SparkSession, path: str) -> DataFrame:
+    return _read_store_or_empty(spark, path, CURATED_SCHEMA)
 
 
 def curate_batch(
@@ -153,7 +164,15 @@ def score_batch(
         .groupBy("doc_id")
         .agg(F.sum("lr").alias("dsir_weight"))
     )
-    scored = base.join(w, "doc_id").filter(F.col("dsir_weight") >= min_weight)
+    # LEFT join + 0-weight default: a doc with no model-bucket tokens
+    # (empty/punctuation-only text) scores sum-over-nothing = 0 and
+    # faces the threshold like any other — an inner join would drop it
+    # even when min_weight <= 0 admits weight-0 docs.
+    scored = (
+        base.join(w, "doc_id", "left")
+        .withColumn("dsir_weight", F.coalesce("dsir_weight", F.lit(0.0)))
+        .filter(F.col("dsir_weight") >= min_weight)
+    )
     # one winner per fingerprint within the batch, then store anti-join
     in_batch = scored.groupBy("fingerprint").agg(
         F.min_by(
@@ -166,12 +185,9 @@ def score_batch(
         "fingerprint",
         F.col("x.dsir_weight").alias("dsir_weight"),
     )
-    try:
-        seen = spark.read.schema(SELECTED_SCHEMA).parquet(curated_path).select(
-            "fingerprint"
-        )
-    except Exception:
-        seen = spark.createDataFrame([], "fingerprint string")
+    seen = _read_store_or_empty(spark, curated_path, SELECTED_SCHEMA).select(
+        "fingerprint"
+    )
     return in_batch.join(seen, "fingerprint", "left_anti")
 
 
@@ -259,9 +275,13 @@ def gopher_gate_batch(
         F.col("x.source").alias("source"),
         "fingerprint",
     )
+    from pyspark.errors import AnalysisException
+
     try:
         seen = spark.read.parquet(curated_path).select("fingerprint")
-    except Exception:
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         seen = spark.createDataFrame([], "fingerprint string")
     return in_batch.join(seen, "fingerprint", "left_anti")
 

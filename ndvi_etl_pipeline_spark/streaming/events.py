@@ -49,7 +49,8 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 
 def sliding_activity(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Sliding windows (1 h window / 15 min slide): events per user bucket."""
+    """Sliding windows (1 h window / 15 min slide): events per EVENT TYPE
+    per window (group by user_id instead for per-user activity)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")

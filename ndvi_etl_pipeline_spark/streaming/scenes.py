@@ -47,10 +47,19 @@ BINARY_FILE_SCHEMA = T.StructType(
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Empty relation ONLY when the store does not exist yet (first
+    batch); any other read failure (corrupt footer from a killed
+    writer, FS error) must RAISE — silently returning empty would
+    reset the processed/quarantine state and re-append every
+    previously completed scene, breaking exactly-once-per-scene."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(schema).parquet(path)
-    except Exception:  # noqa: BLE001 — first batch: nothing written yet
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 _LEDGER_SCHEMA = T.StructType(

@@ -98,3 +98,29 @@ def test_grid_validation(spark):
 def test_pair_bands_is_inner(spark, pixels):
     paired = pair_bands(pixels)
     assert paired.filter(F.col("red_dn").isNull() | F.col("nir_dn").isNull()).count() == 0
+
+
+def test_validate_grids_null_metadata_quarantined(spark):
+    """NULL grid metadata must route to quarantine, not silently pass
+    (countDistinct skips NULL tuples) or vanish (0 matches neither
+    filter)."""
+    rows = [
+        ("s_half_null", "red", None, None, None, None),
+        ("s_half_null", "nir", 64, 64, [0.0, 1.0], "EPSG:32633"),
+        ("s_all_null", "red", None, None, None, None),
+        ("s_all_null", "nir", None, None, None, None),
+        ("s_ok", "red", 64, 64, [0.0, 1.0], "EPSG:32633"),
+        ("s_ok", "nir", 64, 64, [0.0, 1.0], "EPSG:32633"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "scene_id string, band string, height int, width int, "
+        "transform array<double>, crs string",
+    )
+    ok, bad = validate_grids(df)
+    assert {r.scene_id for r in ok.collect()} == {"s_ok"}
+    got_bad = {r.scene_id: r.error for r in bad.collect()}
+    assert got_bad == {
+        "s_half_null": "null_grid_metadata",
+        "s_all_null": "null_grid_metadata",
+    }

@@ -422,3 +422,27 @@ def test_pq_adc_with_noncontiguous_codebook_cids(spark):
     by_vec = {r.vec_id: r.adc_dist for r in top}
     assert by_vec[2] == 0.0  # ||q - centroid(cid=2)||² exactly
     assert by_vec[1] == 100.0 and by_vec[3] == 200.0
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """A right row with NULL right_ts must not become anyone's match
+    (it used to sort first and act as the fallback); a left row with
+    NULL left_ts gets NULLs, including under direction='forward'."""
+    left = spark.createDataFrame(
+        [(1, 50), (1, None)], "key int, ts int"
+    ).selectExpr("key", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [(1, None, 7), (1, 100, 9)], "key int, rts int, o int"
+    ).selectExpr("key", "cast(rts as timestamp) rts", "o")
+    back = {(r.key, r.ts): r.o for r in asof_join(
+        left, right, "key", "ts", "rts", ("o",)
+    ).collect()}
+    import datetime
+    t50 = datetime.datetime(1970, 1, 1, 0, 0, 50)
+    assert back[(1, t50)] is None  # no real row precedes ts=50
+    assert back[(1, None)] is None
+    fwd = {(r.key, r.ts): r.o for r in asof_join(
+        left, right, "key", "ts", "rts", ("o",), direction="forward"
+    ).collect()}
+    assert fwd[(1, t50)] == 9       # real forward match still works
+    assert fwd[(1, None)] is None   # NULL left ts must not grab min rts

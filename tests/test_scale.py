@@ -470,3 +470,20 @@ def test_selection_tier_plan_shapes(spark, sf_dir):
         "selection_funnel",
     ):
         assert "BatchEvalPython" not in plan_of(name), name
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """Right/full outer through the salt replication would emit
+    spurious null-extended rows — the guard must refuse them."""
+    import pytest as _pytest
+
+    from ndvi_etl_pipeline_spark.operators.scale import salted_join
+
+    l = spark.createDataFrame([(1, "a")], "k int, v string")
+    r = spark.createDataFrame([(1, "x")], "k int, w string")
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="swap the sides"):
+            salted_join(l, r, "k", how=how)
+    # left joins stay supported and exact
+    got = salted_join(l, r, "k", how="left").collect()
+    assert len(got) == 1 and got[0].w == "x"

@@ -33,7 +33,7 @@ KEYED = {
     "part": {"p_partkey": "part"},
     "orders": {"o_orderkey": "ord", "o_custkey": "cust"},
     "lineitem": {"l_orderkey": "ord", "l_partkey": "part", "l_suppkey": "supp"},
-    "events": {"user_id": "user"},
+    "events": {"event_id": "evt", "user_id": "user"},
     "documents": {"doc_id": "doc"},
     "embeddings": {"vec_id": "vec"},
 }
@@ -44,6 +44,7 @@ DOMAIN_SOURCE = {
     "part": ("part", "p_partkey"),
     "ord": ("orders", "o_orderkey"),
     "user": ("events", "user_id"),
+    "evt": ("events", "event_id"),
     "doc": ("documents", "doc_id"),
     "vec": ("embeddings", "vec_id"),
 }

@@ -1249,6 +1249,10 @@ def unigram_em_pieces(
     spark = words.sparkSession
     words = scoped_persist(words, "selection.unigram_em.words")
     seed = unigram_seed_counts(words, vocab_size, max_piece).collect()
+    if not seed:  # empty corpus: an empty tokenizer, not a log(0) crash
+        return spark.createDataFrame(
+            [], "piece string, em_cnt bigint, logp double"
+        )
     vocab = sorted(r.piece for r in seed)
     cnts = {r.piece: int(r.seed_cnt) for r in seed}
 

@@ -1,0 +1,166 @@
+"""Shared-error audits: statistical catalog queries vs INDEPENDENT
+from-scratch implementations (numpy/pandas over raw parquet, not the
+DuckDB oracle SQL).
+
+The oracle gate proves the Spark builder and its SQL twin agree; this
+module attacks the residual risk class — builder and oracle agreeing
+on a WRONG formula — by recomputing each statistic a third way from
+first principles (math.erfc rather than the Abramowitz–Stegun
+polynomial, textbook pair-counting AUC rather than the rank-sum form,
+an explicit product-limit loop rather than window algebra, …).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+duckdb = pytest.importorskip("duckdb")
+
+
+def _con(sf_dir, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _run(spark, sf_dir, name):
+    from ndvi_etl_pipeline_spark.plans.queries import REGISTRY
+
+    return REGISTRY[name].builder(spark, sf_dir).toPandas()
+
+
+def test_holm_stepdown_vs_erfc_reference(spark, sf_dir_oracle):
+    """Top-k ordering, reject set, and p-values vs exact math.erfc
+    (the catalog uses the Abramowitz–Stegun erf polynomial, max error
+    ~1.5e-7 — the audit tolerance reflects that, not slack in Holm)."""
+    con = _con(sf_dir_oracle, ["orders", "customer", "nation"])
+    j = con.execute(
+        """SELECT n_name, o_totalprice AS x FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey"""
+    ).fetchdf()
+    mu, sd = j.x.mean(), j.x.std(ddof=1)
+    per = j.groupby("n_name").x.agg(["count", "mean"])
+    z = (per["mean"] - mu) / (sd / np.sqrt(per["count"]))
+    p = pd.Series(
+        [math.erfc(abs(zz) / math.sqrt(2)) for zz in z], index=z.index
+    )
+    order = sorted(p.index, key=lambda k: (p[k], k))
+    reject: set[str] = set()
+    for i, k in enumerate(order):
+        if p[k] <= 0.1 / (len(order) - i):
+            reject.add(k)
+        else:
+            break
+
+    got = _run(spark, sf_dir_oracle, "holm_stepdown")
+    assert list(got.sort_values("p_rank").n_name) == order[: len(got)]
+    assert set(got[got.rejected_by_holm].n_name) == {
+        k for k in reject if k in set(got.n_name)
+    }
+    assert reject <= set(got.n_name)  # every rejection is in the top-k
+    assert max(abs(r.p_value - p[r.n_name]) for r in got.itertuples()) < 1e-6
+
+
+def _survival_reference(con):
+    ev = con.execute("SELECT user_id, ts, event_type FROM events").fetchdf()
+    tmax = ev.ts.max()
+    t0 = ev.groupby("user_id").ts.min()
+    tp = ev[ev.event_type == "purchase"].groupby("user_id").ts.min()
+    dur = pd.Series(
+        {
+            u: int((tp[u] - t0[u]).total_seconds() * 1e6)
+            if u in tp.index
+            else int((tmax - t0[u]).total_seconds() * 1e6)
+            for u in t0.index
+        }
+    )
+    isev = pd.Series({u: u in tp.index for u in t0.index})
+    df = pd.DataFrame({"dur": dur, "ev": isev}).sort_values("dur")
+    surv, H = 1.0, 0.0
+    km, na = {}, {}
+    for t, grp in df.groupby("dur"):
+        d = int(grp.ev.sum())
+        at_risk = int((df.dur >= t).sum())
+        if d > 0:
+            surv *= (at_risk - d) / at_risk
+            H += d / at_risk
+            km[t] = (at_risk, d, round(surv, 6))
+            na[t] = (round(H, 6), round(math.exp(-H), 6))
+    return km, na
+
+
+def test_kaplan_meier_and_nelson_aalen_vs_product_limit_loop(
+    spark, sf_dir_oracle
+):
+    con = _con(sf_dir_oracle, ["events"])
+    km, na = _survival_reference(con)
+
+    gkm = _run(spark, sf_dir_oracle, "kaplan_meier_conversion")
+    assert len(gkm) == len(km)
+    for r in gkm.itertuples():
+        at_risk, d, s = km[r.duration_s_us]
+        assert (at_risk, d) == (r.at_risk, r.n_events)
+        assert abs(s - r.survival) < 2e-6
+
+    gna = _run(spark, sf_dir_oracle, "nelson_aalen_hazard")
+    assert len(gna) == len(na)
+    for r in gna.itertuples():
+        H, s = na[r.duration_us]
+        assert abs(H - r.cum_hazard) < 2e-6
+        assert abs(s - r.na_survival) < 2e-6
+
+
+def test_auc_rank_sum_vs_pair_counting(spark, sf_dir_oracle):
+    """Mann–Whitney rank-sum AUC must equal the textbook
+    pair-counting definition (half credit on score ties)."""
+    con = _con(sf_dir_oracle, ["embeddings"])
+    emb = con.execute("SELECT vec_id, label, embedding FROM embeddings").fetchdf()
+    E = np.array(emb.embedding.tolist(), dtype=float)
+    cent = E[emb.label.values == 0].mean(axis=0)
+    score = (E @ cent) / (np.linalg.norm(E, axis=1) * np.linalg.norm(cent))
+    posm = emb.label.values == 0
+    ps, ns = score[posm], score[~posm]
+    gt = (ps[:, None] > ns[None, :]).sum()
+    eq = (ps[:, None] == ns[None, :]).sum()
+    auc_ref = (gt + 0.5 * eq) / (len(ps) * len(ns))
+
+    got = _run(spark, sf_dir_oracle, "auc_rank_sum").iloc[0]
+    assert abs(float(auc_ref) - got.auc) < 1e-6
+    assert got.n_pos == len(ps) and got.n_neg == len(ns)
+
+
+def test_mutual_information_vs_plugin_estimator(spark, sf_dir_oracle):
+    """5×5 ntile-binned MI vs an independent plug-in estimator with a
+    hand-rolled SQL-ntile (first N%n buckets one element larger)."""
+    con = _con(sf_dir_oracle, ["lineitem"])
+    li = con.execute(
+        "SELECT l_quantity, l_extendedprice, l_orderkey, l_linenumber FROM lineitem"
+    ).fetchdf()
+
+    def ntile(keys, n=5):
+        idx = np.lexsort(keys[::-1])
+        ranks = np.empty(len(idx), int)
+        ranks[idx] = np.arange(len(idx))
+        base, extra = divmod(len(idx), n)
+        bounds = np.cumsum([base + 1] * extra + [base] * (n - extra))
+        return np.searchsorted(bounds, ranks, side="right") + 1
+
+    bx = ntile([li.l_quantity.values, li.l_orderkey.values, li.l_linenumber.values])
+    by = ntile(
+        [li.l_extendedprice.values, li.l_orderkey.values, li.l_linenumber.values]
+    )
+    joint = pd.crosstab(bx, by).values.astype(float)
+    pj = joint / joint.sum()
+    px, py = pj.sum(1, keepdims=True), pj.sum(0, keepdims=True)
+    mask = pj > 0
+    mi_ref = float((pj[mask] * np.log(pj[mask] / (px @ py)[mask])).sum())
+
+    got = _run(spark, sf_dir_oracle, "mutual_information_binned").iloc[0]
+    assert abs(mi_ref - got.mutual_information) < 1e-6
+    assert got.n_cells == int(mask.sum())

@@ -164,3 +164,87 @@ def test_mutual_information_vs_plugin_estimator(spark, sf_dir_oracle):
     got = _run(spark, sf_dir_oracle, "mutual_information_binned").iloc[0]
     assert abs(mi_ref - got.mutual_information) < 1e-6
     assert got.n_cells == int(mask.sum())
+
+
+def test_pagerank_vs_dense_power_iteration(spark, sf_dir_oracle):
+    """5 PageRank iterations (d=0.85, deduped edges, dangling mass
+    dropped) vs a dense numpy power iteration built independently
+    from the same orders⋈lineitem bucket graph."""
+    con = _con(sf_dir_oracle, ["orders", "lineitem"])
+    e = con.execute(
+        """SELECT DISTINCT o_custkey % 25 AS src, l_suppkey % 25 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+    ).fetchdf()
+    nodes = sorted(set(e.src) | set(e.dst))
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    out = e.groupby("src").size()
+    r = np.full(N, 1.0 / N)
+    d = 0.85
+    for _ in range(5):
+        mass = np.zeros(N)
+        for s, t in zip(e.src, e.dst):
+            mass[idx[t]] += r[idx[s]] / out[s]
+        r = (1 - d) / N + d * mass
+
+    got = _run(spark, sf_dir_oracle, "pagerank_graph")
+    assert len(got) == N
+    for row in got.itertuples():
+        assert abs(row.rank - round(r[idx[row.node]], 6)) < 2e-6, row.node
+
+
+def test_brier_calibration_vs_reference(spark, sf_dir_oracle):
+    """Decile reliability bins vs a direct numpy computation of the
+    (1+cos)/2 pseudo-probability against the label-0 centroid."""
+    con = _con(sf_dir_oracle, ["embeddings"])
+    emb = con.execute("SELECT vec_id, label, embedding FROM embeddings").fetchdf()
+    E = np.array(emb.embedding.tolist(), dtype=float)
+    cent = E[emb.label.values == 0].mean(axis=0)
+    p = (1 + (E @ cent) / (np.linalg.norm(E, axis=1) * np.linalg.norm(cent))) / 2
+    y = (emb.label.values == 0).astype(float)
+    b = np.minimum(np.floor(p * 10).astype(int), 9)
+
+    got = _run(spark, sf_dir_oracle, "brier_calibration")
+    for row in got.itertuples():
+        m = b == row.bin
+        assert int(m.sum()) == row.n
+        assert abs(round(p[m].mean(), 4) - row.mean_pred) < 2e-4
+        assert abs(round(y[m].mean(), 4) - row.frac_pos) < 2e-4
+        assert abs(round(((p[m] - y[m]) ** 2).mean(), 4) - row.brier) < 2e-4
+
+
+def test_pinball_loss_vs_reference(spark, sf_dir_oracle):
+    """q=0.9 pinball + MAE for lag-1/lag-7 baselines vs a direct
+    pandas computation on the shared evaluation window."""
+    con = _con(sf_dir_oracle, ["orders"])
+    daily = (
+        con.execute(
+            """SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS y
+               FROM orders GROUP BY 1 ORDER BY 1"""
+        )
+        .fetchdf()
+        .set_index("d")
+        .y
+    )
+    naive, snaive = daily.shift(1), daily.shift(7)
+    mask = snaive.notna()
+
+    def pinball(y, f, q=0.9):
+        e = y - f
+        return float(np.where(e >= 0, q * e, (q - 1) * e).mean())
+
+    ref = {
+        "naive_lag1": (
+            round(pinball(daily[mask], naive[mask]), 2),
+            round(float((daily[mask] - naive[mask]).abs().mean()), 2),
+        ),
+        "seasonal_lag7": (
+            round(pinball(daily[mask], snaive[mask]), 2),
+            round(float((daily[mask] - snaive[mask]).abs().mean()), 2),
+        ),
+    }
+    got = _run(spark, sf_dir_oracle, "pinball_loss_eval")
+    for row in got.itertuples():
+        pb, mae = ref[row.model]
+        assert abs(pb - row.pinball_q90) < 0.02, row.model
+        assert abs(mae - row.mae) < 0.02, row.model

@@ -248,3 +248,118 @@ def test_pinball_loss_vs_reference(spark, sf_dir_oracle):
         pb, mae = ref[row.model]
         assert abs(pb - row.pinball_q90) < 0.02, row.model
         assert abs(mae - row.mae) < 0.02, row.model
+
+
+def test_bm25_vs_reference_scorer(spark, sf_dir_oracle):
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) top-10 vs a dict-based
+    scorer built from scratch."""
+    con = _con(sf_dir_oracle, ["documents"])
+    docs = con.execute("SELECT doc_id, lower(text) AS t FROM documents").fetchdf()
+    import re as _re
+
+    tf: dict[int, dict[str, int]] = {}
+    for r in docs.itertuples():
+        toks = [w for w in _re.split(r"[^a-z0-9]+", r.t) if w]
+        d = tf.setdefault(r.doc_id, {})
+        for w in toks:
+            d[w] = d.get(w, 0) + 1
+    N = len(tf)
+    dl = {i: sum(d.values()) for i, d in tf.items()}
+    avgdl = sum(dl.values()) / N
+    df: dict[str, int] = {}
+    for d in tf.values():
+        for w in d:
+            df[w] = df.get(w, 0) + 1
+    k1, b = 1.2, 0.75
+    scores = {}
+    for i, d in tf.items():
+        s = 0.0
+        for w in ("spark", "join", "window"):
+            f = d.get(w, 0)
+            if not f:
+                continue
+            idf = math.log((N - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+            s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl[i] / avgdl))
+        if s > 0:
+            scores[i] = round(s, 6)
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = _run(spark, sf_dir_oracle, "bm25_rank")
+    assert [(r.doc_id, r.score) for r in got.itertuples()] == ref
+
+
+def test_partial_pooling_vs_dersimonian_laird(spark, sf_dir_oracle):
+    """Empirical-Bayes shrinkage: τ² from the DerSimonian–Laird
+    moment estimator, wᵢ = τ²/(τ²+vᵢ), blended means — recomputed
+    independently and compared on the top-5 most-shrunk sites."""
+    con = _con(sf_dir_oracle, ["orders", "customer", "nation"])
+    j = con.execute(
+        """SELECT n_name, o_totalprice AS y FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey"""
+    ).fetchdf()
+    g = j.groupby("n_name").y
+    m = g.mean()
+    v = g.var(ddof=1) / g.count()
+    gm = m.mean()
+    k = len(m)
+    tau2 = max(((m - gm) ** 2).sum() / (k - 1) - v.mean(), 0.0)
+    w = tau2 / (tau2 + v)
+    blended = gm + w * (m - gm)
+    shrink = (m - blended).abs()
+    order = sorted(m.index, key=lambda n: (-shrink[n], n))[:5]
+
+    got = _run(spark, sf_dir_oracle, "partial_pooling_estimates")
+    assert list(got.n_name) == order
+    for r in got.itertuples():
+        assert abs(r.raw_mean - round(m[r.n_name], 2)) < 0.02
+        assert abs(r.pooled_estimate - round(blended[r.n_name], 2)) < 0.02
+        assert abs(r.own_data_weight - round(w[r.n_name], 4)) < 2e-4
+
+
+def test_split_conformal_vs_reference(spark, sf_dir_oracle):
+    """OLS on fold 0, q90 |residual| on fold 1, coverage on fold 2 —
+    recomputed with numpy lstsq and an interpolated quantile."""
+    import hashlib
+
+    con = _con(sf_dir_oracle, ["orders", "lineitem"])
+    obs = con.execute(
+        """SELECT o_orderkey AS k, CAST(cnt AS DOUBLE) AS x, o_totalprice AS y
+           FROM orders JOIN (SELECT l_orderkey, count(*) AS cnt
+                             FROM lineitem GROUP BY 1) li
+             ON l_orderkey = o_orderkey"""
+    ).fetchdf()
+    fold = obs.k.map(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 3
+    )
+    f0, f1, f2 = (obs[fold == i] for i in range(3))
+    b, a = np.polyfit(f0.x, f0.y, 1)  # slope, intercept
+    q = float(np.quantile(np.abs(f1.y - a - b * f1.x), 0.9, method="linear"))
+    cov = float((np.abs(f2.y - a - b * f2.x) <= q).mean())
+
+    got = _run(spark, sf_dir_oracle, "split_conformal_interval").iloc[0]
+    assert got.n_test == len(f2)
+    assert abs(got.coverage - round(cov, 4)) < 2e-4
+    assert abs(got.interval_width - round(2 * q, 2)) < 0.02
+    assert 0.85 <= got.coverage <= 0.95  # the conformal guarantee band
+
+
+def test_benford_second_digit_vs_reference(spark, sf_dir_oracle):
+    con = _con(sf_dir_oracle, ["orders"])
+    y = con.execute(
+        "SELECT o_totalprice FROM orders WHERE o_totalprice >= 10"
+    ).fetchdf().o_totalprice
+    d2 = y.map(lambda v: int(str(int(math.floor(v)))[1]))
+    n = len(d2)
+    exp = {
+        d: sum(math.log10(1 + 1 / (10 * d1 + d)) for d1 in range(1, 10))
+        for d in range(10)
+    }
+    obs = d2.value_counts()
+    chi2 = sum(
+        (obs.get(d, 0) - n * exp[d]) ** 2 / (n * exp[d]) for d in range(10)
+    )
+    got = _run(spark, sf_dir_oracle, "benford_second_digit").iloc[0]
+    assert got.n_values == n
+    assert abs(got.second_digit_chi2 - round(chi2, 4)) < 2e-3
+    assert bool(got.deviates_5pct) == (chi2 > 16.92)

@@ -363,3 +363,56 @@ def test_benford_second_digit_vs_reference(spark, sf_dir_oracle):
     assert got.n_values == n
     assert abs(got.second_digit_chi2 - round(chi2, 4)) < 2e-3
     assert bool(got.deviates_5pct) == (chi2 > 16.92)
+
+
+def test_bass_diffusion_vs_lstsq(spark, sf_dir_oracle):
+    """Bass discrete-form moment fit n_t = a + b1·C + b2·C² vs a
+    direct numpy least-squares on the independently rebuilt adoption
+    series; p = a/m, q = −b2·m, peak at ln(q/p)/(p+q)."""
+    con = _con(sf_dir_oracle, ["orders"])
+    fo = con.execute(
+        """SELECT date_trunc('month', CAST(min_d AS DATE)) AS m, count(*) AS n_t
+           FROM (SELECT o_custkey, min(o_orderdate) AS min_d
+                 FROM orders GROUP BY 1)
+           GROUP BY 1 ORDER BY 1"""
+    ).fetchdf()
+    n_t = fo.n_t.astype(float).values
+    cum_prev = np.concatenate([[0.0], np.cumsum(n_t)[:-1]])
+    mm = n_t.sum()
+    X = np.column_stack([np.ones_like(cum_prev), cum_prev, cum_prev**2])
+    a, b1, b2 = np.linalg.lstsq(X, n_t, rcond=None)[0]
+    p, q = a / mm, -b2 * mm
+    peak = math.log(max(q, 1e-9) / max(p, 1e-9)) / (p + q)
+
+    got = _run(spark, sf_dir_oracle, "bass_diffusion_fit").iloc[0]
+    assert abs(got.innovation_p - round(p, 5)) < 2e-5
+    assert abs(got.imitation_q - round(q, 5)) < 2e-5
+    assert abs(got.peak_month_estimate - round(peak, 2)) < 0.02
+
+
+def test_second_price_auction_vs_reference(spark, sf_dir_oracle):
+    """Vickrey clearing stats per brand vs a pandas groupby taking
+    explicit first/second lowest supplier unit bids."""
+    con = _con(sf_dir_oracle, ["lineitem", "part"])
+    bids = con.execute(
+        """SELECT l_partkey AS pk, l_suppkey AS sk,
+                  min(l_extendedprice / l_quantity) AS up
+           FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2"""
+    ).fetchdf()
+    brand = dict(
+        con.execute("SELECT p_partkey, p_brand FROM part").fetchall()
+    )
+    stats: dict[str, list] = {}
+    for pk, grp in bids.groupby("pk"):
+        g = grp.sort_values(["up", "sk"])
+        if len(g) < 2:
+            continue
+        best, second = g.up.iloc[0], g.up.iloc[1]
+        stats.setdefault(brand[pk], []).append((second / best, second - best))
+    got = _run(spark, sf_dir_oracle, "second_price_auction")
+    assert len(got) == len(stats)
+    for r in got.itertuples():
+        rows = stats[r.p_brand]
+        assert r.n_auctions == len(rows)
+        assert abs(r.mean_price_ratio - round(np.mean([x[0] for x in rows]), 4)) < 2e-4
+        assert abs(r.mean_clearing_premium - round(np.mean([x[1] for x in rows]), 4)) < 2e-4

@@ -416,3 +416,87 @@ def test_second_price_auction_vs_reference(spark, sf_dir_oracle):
         assert r.n_auctions == len(rows)
         assert abs(r.mean_price_ratio - round(np.mean([x[0] for x in rows]), 4)) < 2e-4
         assert abs(r.mean_clearing_premium - round(np.mean([x[1] for x in rows]), 4)) < 2e-4
+
+
+def test_gini_vs_sorted_definition(spark, sf_dir_oracle):
+    """Rank-identity Gini vs the textbook sorted-array formula."""
+    con = _con(sf_dir_oracle, ["orders"])
+    x = np.sort(
+        con.execute(
+            "SELECT sum(o_totalprice) AS x FROM orders GROUP BY o_custkey"
+        ).fetchdf().x.values
+    )
+    n = len(x)
+    gini_ref = 2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (n + 1) / n
+
+    got = _run(spark, sf_dir_oracle, "gini_coefficient").iloc[0]
+    assert got.n_customers == n
+    assert abs(got.gini - round(float(gini_ref), 6)) < 2e-6
+    assert 0.0 <= got.gini <= 1.0
+
+
+def test_theil_sen_vs_all_pairs_median(spark, sf_dir_oracle):
+    """Theil-Sen slope vs an explicit all-pairs numpy median, and the
+    OLS slope vs polyfit on the same window."""
+    con = _con(sf_dir_oracle, ["orders"])
+    daily = con.execute(
+        """SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                 AS t, sum(o_totalprice) AS v
+           FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1995-07-01'
+           GROUP BY 1 ORDER BY 1"""
+    ).fetchdf()
+    t, v = daily.t.values.astype(float), daily.v.values
+    dt = t[None, :] - t[:, None]
+    dv = v[None, :] - v[:, None]
+    mask = dt > 0
+    slopes = dv[mask] / dt[mask]
+    ts_ref = float(np.median(slopes))  # linear-interp median == quantile_cont 0.5
+    ols_ref = float(np.polyfit(t, v, 1)[0])
+
+    got = _run(spark, sf_dir_oracle, "theil_sen_slope").iloc[0]
+    assert got.n_pairs == int(mask.sum())
+    assert abs(got.theil_sen_slope - round(ts_ref, 4)) < 2e-4
+    assert abs(got.ols_slope - round(ols_ref, 4)) < 2e-4
+
+
+def test_james_stein_vs_reference(spark, sf_dir_oracle):
+    """Positive-part James-Stein global shrink factor vs a direct
+    computation: c = max(1 - (k-3)·v̄ / Σ(x̄ᵢ-ḡ)², 0)."""
+    con = _con(sf_dir_oracle, ["orders", "customer", "nation"])
+    j = con.execute(
+        """SELECT n_name, o_totalprice AS y FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey"""
+    ).fetchdf()
+    g = j.groupby("n_name").y
+    m = g.mean()
+    v = g.var(ddof=1) / g.count()
+    gm = m.mean()
+    k = len(m)
+    ss = ((m - gm) ** 2).sum()
+    c = max(1 - (k - 3) * v.mean() / ss, 0.0)
+    maxadj = ((1 - c) * (m - gm)).abs().max()
+
+    got = _run(spark, sf_dir_oracle, "james_stein_shrinkage").iloc[0]
+    assert got.n_sites == k
+    assert abs(got.shrink_factor - round(float(c), 4)) < 2e-4
+    assert abs(got.grand_mean - round(float(gm), 2)) < 0.02
+    assert abs(got.max_adjustment - round(float(maxadj), 2)) < 0.02
+
+
+def test_herfindahl_vs_reference(spark, sf_dir_oracle):
+    """HHI per part type vs direct share-of-revenue squares; the
+    effective-brands column must be 1/HHI."""
+    con = _con(sf_dir_oracle, ["part"])
+    rev = con.execute(
+        """SELECT p_type, p_brand, sum(p_retailprice) AS r
+           FROM part GROUP BY 1, 2"""
+    ).fetchdf()
+    got = _run(spark, sf_dir_oracle, "herfindahl_concentration")
+    for r in got.itertuples():
+        grp = rev[rev.p_type == r.p_type]
+        share = grp.r / grp.r.sum()
+        hhi = float((share**2).sum())
+        assert r.n_brands == len(grp)
+        assert abs(r.hhi - round(hhi, 6)) < 2e-6
+        assert abs(r.effective_brands - round(1 / hhi, 2)) < 0.02

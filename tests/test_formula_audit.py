@@ -500,3 +500,71 @@ def test_herfindahl_vs_reference(spark, sf_dir_oracle):
         assert r.n_brands == len(grp)
         assert abs(r.hhi - round(hhi, 6)) < 2e-6
         assert abs(r.effective_brands - round(1 / hhi, 2)) < 0.02
+
+
+def test_theil_decomposition_vs_reference(spark, sf_dir_oracle):
+    """Theil-T and its between/within split vs a direct numpy
+    computation; the additive identity must hold in the audit too."""
+    con = _con(sf_dir_oracle, ["orders", "customer"])
+    cust = con.execute(
+        """SELECT c_nationkey AS g, sum(o_totalprice) AS x
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_custkey, c_nationkey"""
+    ).fetchdf()
+    x, g = cust.x.values, cust.g.values
+    mu, n = x.mean(), len(x)
+    t_total = float(((x / mu) * np.log(x / mu)).sum() / n)
+    t_between = t_within = 0.0
+    for gv in np.unique(g):
+        xg = x[g == gv]
+        mug, ng = xg.mean(), len(xg)
+        sg = ng * mug / (n * mu)
+        t_between += sg * math.log(mug / mu)
+        t_within += sg * float(((xg / mug) * np.log(xg / mug)).sum() / ng)
+
+    got = _run(spark, sf_dir_oracle, "theil_inequality_decomposition").iloc[0]
+    assert abs(got.t_total - round(t_total, 6)) < 2e-6
+    assert abs(got.t_between - round(t_between, 6)) < 2e-6
+    assert abs(got.t_within - round(t_within, 6)) < 2e-6
+    assert got.identity_gap == 0.0
+    assert abs(t_total - t_between - t_within) < 1e-9
+
+
+def test_scaling_law_vs_loglog_fit(spark, sf_dir_oracle):
+    """Data-scaling curve: per-fraction nearest-centroid accuracy and
+    the err ~ a·n^b log-log fit vs an independent numpy replay of the
+    whole experiment (bucketed subsets, per-label centroids, cosine
+    argmax, polyfit on ln err vs ln n)."""
+    import hashlib
+
+    con = _con(sf_dir_oracle, ["embeddings"])
+    emb = con.execute("SELECT vec_id, label, embedding FROM embeddings").fetchdf()
+    E = np.array(emb.embedding.tolist(), dtype=float)
+    labels = emb.label.values
+    bucket = emb.vec_id.map(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+    ).values
+    rows = {}
+    for f in (20, 40, 60, 80, 100):
+        tr = bucket < f
+        labs = np.unique(labels[tr])
+        cents = np.stack([E[tr & (labels == l)].mean(axis=0) for l in labs])
+        sim = (E @ cents.T) / (
+            np.linalg.norm(E, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]
+        )
+        # argmax with ties toward the smaller label (ORDER BY dot DESC, c_label)
+        best = np.array(
+            [labs[min(range(len(labs)), key=lambda j: (-row[j], labs[j]))] for row in sim]
+        )
+        rows[f] = (int(tr.sum()), float((best == labels).mean()))
+    n_tr = np.array([rows[f][0] for f in rows], float)
+    err = 1 - np.array([rows[f][1] for f in rows])
+    m = err > 0
+    b, a = np.polyfit(np.log(n_tr[m]), np.log(err[m]), 1)
+
+    got = _run(spark, sf_dir_oracle, "scaling_law_fit")
+    for r in got.itertuples():
+        n_ref, acc_ref = rows[r.train_pct]
+        assert r.n_train == n_ref
+        assert abs(r.accuracy - round(acc_ref, 4)) < 2e-4
+        assert abs(r.scaling_exponent - round(float(b), 4)) < 2e-4

@@ -307,3 +307,111 @@ def stream_gopher_documents(
         .start()
     )
     q.awaitTermination()
+
+
+TOKENIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("n_unigram_pieces", T.IntegerType()),
+        T.StructField("fertility", T.DoubleType()),
+    ]
+)
+
+
+def tokenize_batch(
+    batch_df: DataFrame,
+    wlen_rows: list[tuple[str, int]],
+    tokenized_path: str,
+) -> DataFrame:
+    """One micro-batch through a PRE-TRAINED unigram tokenizer (the
+    streaming twin of selection.unigram_token_stats's serving half):
+    per-doc word count, Viterbi piece count via the trained
+    (word → n_pieces) table shipped as a broadcast relation, fertility,
+    plus the fingerprint-anti-join against the store (exactly-once per
+    content, the curate_batch idiom). Untrained words fall back to one
+    piece per character — identical to the batch serving path.
+
+    The tokenizer is TRAINED OFFLINE (selection.unigram_em_pieces over
+    a corpus snapshot) and only the vocab-sized word table rides into
+    the stream — the standard split between the heavyweight training
+    job and the lightweight serving gate, same as the DSIR model in
+    score_batch."""
+    spark = batch_df.sparkSession
+    wlen = spark.createDataFrame(wlen_rows, "word string, n_pieces int")
+    base = batch_df.filter(F.col("text").isNotNull()).withColumn(
+        "fingerprint", exact_fingerprint("text")
+    )
+    dw = base.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"),
+    ).filter(F.length("word") >= 1)
+    per_doc = (
+        dw.join(F.broadcast(wlen), "word", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pieces", F.length("word")).alias("np"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("np").cast("int").alias("n_unigram_pieces"),
+        )
+    )
+    scored = base.join(per_doc, "doc_id").select(
+        "doc_id",
+        "source",
+        "fingerprint",
+        "n_words",
+        "n_unigram_pieces",
+        F.round(
+            F.col("n_unigram_pieces").cast("double") / F.col("n_words"), 6
+        ).alias("fertility"),
+    )
+    # cross-batch exactly-once per content fingerprint
+    dedup = scored.groupBy("fingerprint").agg(
+        F.min_by(
+            F.struct(
+                "doc_id", "source", "n_words", "n_unigram_pieces", "fertility"
+            ),
+            F.col("doc_id"),
+        ).alias("x")
+    ).select(
+        F.col("x.doc_id").alias("doc_id"),
+        F.col("x.source").alias("source"),
+        "fingerprint",
+        F.col("x.n_words").alias("n_words"),
+        F.col("x.n_unigram_pieces").alias("n_unigram_pieces"),
+        F.col("x.fertility").alias("fertility"),
+    )
+    seen = _read_store_or_empty(spark, tokenized_path, TOKENIZED_SCHEMA).select(
+        "fingerprint"
+    )
+    return dedup.join(seen, "fingerprint", "left_anti")
+
+
+def stream_tokenized_documents(
+    spark: SparkSession,
+    landing_dir: str,
+    tokenized_path: str,
+    checkpoint_dir: str,
+    wlen_rows: list[tuple[str, int]],
+) -> None:
+    """Drain the landing zone (availableNow) through the pre-trained
+    unigram tokenizer into the tokenized store — fertility per doc,
+    exactly-once per content fingerprint across batches/replays."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = tokenize_batch(batch_df, wlen_rows, tokenized_path)
+        fresh.write.mode("append").parquet(tokenized_path)
+
+    reader = spark.readStream.schema(LANDING_SCHEMA).json(landing_dir)
+    q = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -736,3 +736,75 @@ def test_streaming_countmin_equals_batch_sketch(spark, sf_dir):
     assert got == expect
     # state is grid-bounded regardless of stream length
     assert len(got) <= 4 * 512
+
+
+def test_stream_tokenized_matches_batch_serving(spark, sf_dir, tmp_path):
+    """The streaming unigram-serving gate must produce EXACTLY the
+    per-doc fertility numbers of the batch twin
+    (selection.unigram_token_stats) for the same trained vocab, and
+    stay exactly-once per content fingerprint on replay."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ndvi_etl_pipeline_spark.operators.selection import (
+        _viterbi_pieces_expr,
+        unigram_em_pieces,
+        unigram_token_stats,
+        unigram_words,
+    )
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+    from ndvi_etl_pipeline_spark.streaming.documents import (
+        stream_tokenized_documents,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source"
+    )
+    batch = {
+        r.doc_id: (r.n_words, r.n_unigram_pieces, r.fertility)
+        for r in unigram_token_stats(docs, vocab_size=40).collect()
+    }
+
+    # publish the trained (word -> n_pieces) table the stream serves
+    words = unigram_words(docs, max_word_len=12)
+    trained = unigram_em_pieces(words, vocab_size=40)
+    logp = {r.piece: r.logp for r in trained.collect()}
+    wlen_rows = [
+        (r.word, r.n)
+        for r in words.select(
+            "word",
+            F.size(F.expr(_viterbi_pieces_expr("word", logp, 4))).alias("n"),
+        ).collect()
+    ]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = docs.collect()
+    for name, chunk in (("d1.jsonl", rows[::2]), ("d2.jsonl", rows[1::2])):
+        with open(landing / name, "w") as fh:
+            for r in chunk:
+                fh.write(
+                    _json.dumps(
+                        {"doc_id": r.doc_id, "text": r.text, "source": r.source}
+                    )
+                    + "\n"
+                )
+    out = str(tmp_path / "tokenized")
+    stream_tokenized_documents(
+        spark, str(landing), out, str(tmp_path / "ckpt1"), wlen_rows
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_unigram_pieces, r.fertility)
+        for r in spark.read.parquet(out).collect()
+    }
+    # content dedup may collapse identical texts to the lowest doc_id —
+    # every emitted row must match the batch twin exactly
+    assert got and all(batch[i] == v for i, v in got.items())
+    n_first = len(got)
+
+    # replay into a FRESH checkpoint: the store anti-join admits nothing
+    stream_tokenized_documents(
+        spark, str(landing), out, str(tmp_path / "ckpt2"), wlen_rows
+    )
+    assert spark.read.parquet(out).count() == n_first

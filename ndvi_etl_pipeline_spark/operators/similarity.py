@@ -315,29 +315,86 @@ def pq_train(
     dims: int = 64,
 ) -> list[list[tuple[int, list[float]]]]:
     """Train PQ codebooks: split `dims` into `m` equal subspaces and
-    run the catalog's deterministic Lloyd trajectory
-    (clustering.kmeans_centroid_vectors — first-k init, (dist, cid)
-    tie-break, per-iteration component rounding) independently per
-    subspace. Returns [subspace][(cid, centroid_subvector)].
-
-    Training cost is m small k-means runs over sliced vectors; the
-    returned codebooks are m·k·(dims/m) doubles — driver-tiny, meant
-    to be shipped as plan literals (broadcast by value)."""
-    from .clustering import kmeans_centroid_vectors
-
+    run the catalog's deterministic Lloyd trajectory (first-k init,
+    (dist, cid) tie-break, per-iteration round-6 centroids — the same
+    math as clustering.kmeans_centroid_vectors, replayed per subspace
+    by the unrolled-CTE oracle) on every subspace AT ONCE: subvectors
+    carry their subspace id `s`, centroids key on (s, cid), and each
+    Lloyd step is ONE assignment job + ONE update job for all m
+    subspaces — iterations+1 Spark jobs total instead of
+    m·(iterations+1) (the per-subspace loop this replaced spent ~6 s
+    of pure job-scheduling floor at m=4). The m trajectories are
+    mathematically independent (all keys carry `s`), so the joint run
+    produces the identical codebooks. Returns
+    [subspace][(cid, centroid_subvector)] — m·k·(dims/m) doubles,
+    driver-tiny, meant to be shipped broadcast-by-value."""
     if dims % m:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     sub = dims // m
-    books = []
-    for s in range(m):
-        sliced = embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub).alias(
-                "embedding"
-            ),
-        )
-        books.append(kmeans_centroid_vectors(sliced, k=k, iterations=iterations))
-    return books
+    spark = embeddings.sparkSession
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    spts = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("v", s * sub + 1, sub).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.s", "e.sv").persist()
+    try:
+        init = vecs.orderBy("vec_id").limit(k).collect()
+        books: dict[int, list[tuple[int, list[float]]]] = {
+            s: [(cid, list(r.v)[s * sub : (s + 1) * sub]) for cid, r in enumerate(init)]
+            for s in range(m)
+        }
+        sq = lambda a, b: (a - b) * (a - b)  # noqa: E731
+        add = lambda acc, x: acc + x  # noqa: E731
+        for _ in range(iterations):
+            cdf = spark.createDataFrame(
+                [(s, cid, c) for s in range(m) for cid, c in books[s]],
+                "s int, cid int, c array<double>",
+            )
+            dist = F.aggregate(F.zip_with("sv", "c", sq), F.lit(0.0), add)
+            assigned = (
+                spts.join(F.broadcast(cdf), "s")
+                .select("vec_id", "s", "sv", dist.alias("dist"), "cid")
+                .groupBy("vec_id", "s")
+                # lexicographic struct min = (smallest dist, then
+                # smallest cid) — the oracle's tie-break
+                .agg(F.min(F.struct("dist", "cid")).alias("mn"), F.first("sv").alias("sv"))
+                .select("s", F.col("mn.cid").alias("cid"), "sv")
+            )
+            comp = (
+                assigned.select("s", "cid", F.posexplode("sv").alias("pos", "val"))
+                .groupBy("s", "cid", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("val"))
+            )
+            new_c = (
+                comp.groupBy("s", "cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                        lambda st: st["val"],
+                    ).alias("c")
+                )
+                .collect()
+            )
+            books = {s: [] for s in range(m)}
+            for r in new_c:
+                books[r.s].append((r.cid, list(r.c)))
+            for s in books:
+                books[s] = sorted(books[s])
+    finally:
+        spts.unpersist()
+    return [books[s] for s in range(m)]
 
 
 def _subspace_code(vec_col: Column, s: int, sub: int, book) -> Column:
@@ -393,6 +450,27 @@ def _adc_table(qs: list[float], book) -> list[float]:
     return dense
 
 
+def _adc_tables(qvec: list[float], codebooks) -> list[list[float]]:
+    """All m per-subspace ADC tables for one (residualized) query
+    vector — m·k doubles, driver-tiny."""
+    sub = len(codebooks[0][0][1])
+    return [
+        _adc_table(qvec[s * sub : (s + 1) * sub], codebooks[s])
+        for s in range(len(codebooks))
+    ]
+
+
+def _adc_dist(m: int, tables_col: str = "adc_tables", codes_col: str = "codes") -> Column:
+    """Σ_s tables[s][codes[s]] with fixed left-to-right accumulation —
+    m array lookups + (m−1) adds per corpus row, no vector math."""
+    dist = None
+    for s in range(m):
+        t = F.element_at(F.col(tables_col), s + 1)
+        term = F.element_at(t, F.element_at(codes_col, s + 1) + 1)
+        dist = term if dist is None else dist + term
+    return dist
+
+
 def pq_topk_adc(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -401,42 +479,42 @@ def pq_topk_adc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Asymmetric-distance top-k over PQ codes: for each query,
-    distance tables d[s][c] = ||q_sub − codebook[s][c]||² are computed
-    driver-side (m·k doubles per query — tiny) and shipped as plan
-    literals; a corpus row's ADC distance is m table LOOKUPS + a sum,
-    no vector math at scan time. Returns (query_id, rank, vec_id,
-    adc_dist) — rank by (dist asc, vec_id asc).
+    """Asymmetric-distance top-k over PQ codes: distance tables
+    d[s][c] = ||q_sub − codebook[s][c]||² are computed driver-side
+    (m·k doubles per query — tiny) for the WHOLE query batch at once
+    and shipped as one broadcast relation (query_id, adc_tables); the
+    corpus scans ONCE, a broadcast nested-loop pairs every code row
+    with every query row, and a row's ADC distance is m table LOOKUPS
+    + a sum — no vector math at scan time. Returns (query_id, rank,
+    vec_id, adc_dist) — rank by (dist asc, vec_id asc).
 
-    Scale shape: the corpus scan reads 4-byte codes instead of 256-
-    byte vectors and does O(m) arithmetic per row; the only shuffle is
-    the per-query top-k. This is the classic IVF-ADC serving plan
-    minus the inverted lists (compose with ivf_topk for both)."""
+    Scale shape: ONE corpus scan regardless of batch size (plan size
+    constant in #queries — the tables ride in the broadcast relation,
+    not in per-query plan branches), the scan reads m code bytes
+    instead of 4·dims vector bytes, and the only shuffle is the
+    per-query top-k. This is the classic ADC serving plan minus the
+    inverted lists (compose: ivfpq_topk)."""
+    from pyspark.sql import types as T
+
     m = len(codebooks)
     qrows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
-    sub = len(codebooks[0][0][1])
-    out = None
-    for q in qrows:
-        tables = [
-            _adc_table(q.v[s * sub : (s + 1) * sub], codebooks[s])
-            for s in range(m)
+    qschema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("adc_tables", T.ArrayType(T.ArrayType(T.DoubleType()))),
         ]
-        dist = None
-        for s in range(m):
-            t = F.array(*[F.lit(float(x)) for x in tables[s]])
-            term = F.element_at(t, F.element_at("codes", s + 1) + 1)
-            dist = term if dist is None else dist + term
-        scored = corpus_codes.select(
-            F.lit(q.query_id).alias("query_id"),
-            "vec_id",
-            F.round(dist, 6).alias("adc_dist"),
-        )
-        out = scored if out is None else out.unionAll(scored)
+    )
+    qdf = corpus_codes.sparkSession.createDataFrame(
+        [(q.query_id, _adc_tables(list(q.v), codebooks)) for q in qrows], qschema
+    )
+    scored = corpus_codes.crossJoin(F.broadcast(qdf)).select(
+        "query_id", "vec_id", F.round(_adc_dist(m), 6).alias("adc_dist")
+    )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
-        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "adc_dist")
     )
@@ -462,10 +540,14 @@ def ivfpq_topk(
     The two levers compose multiplicatively at 100 TB: nprobe/k_coarse
     bounds the FRACTION of the corpus touched, PQ bounds the BYTES
     per touched row (m code bytes + m lookups, no vector math). The
-    only shuffle is the per-query top-k; both the coarse centroid set
-    and the query probe/table block are broadcast literals."""
+    whole query batch serves from ONE scan of the coded corpus: probe
+    selection is a broadcast hash join on centroid_id against a tiny
+    (query_id, centroid_id, adc_tables) relation — one row per probed
+    cell — so rows in unprobed cells never multiply and plan size is
+    constant in #queries. The only shuffle is the per-query top-k."""
+    from pyspark.sql import types as T
+
     m = len(codebooks)
-    sub = len(codebooks[0][0][1])
     cells = ivf_assign(corpus, centroids, 1, id_col, vec_col).select(
         F.col(id_col).alias("vec_id"), "centroid_id"
     )
@@ -474,38 +556,167 @@ def ivfpq_topk(
         .join(cells, "vec_id")
         .select("vec_id", "codes", "centroid_id")
     )
-    probe_df = ivf_assign(queries, centroids, nprobe, id_col, vec_col).select(
+    probes = ivf_assign(queries, centroids, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), "centroid_id"
-    )
-    probe_map: dict[int, list[int]] = {}
-    for r in probe_df.collect():
-        probe_map.setdefault(r.query_id, []).append(r.centroid_id)
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
-    out = None
-    for q in qrows:
-        tables = [
-            _adc_table(q.v[s * sub : (s + 1) * sub], codebooks[s])
-            for s in range(m)
+    qvecs = {
+        r.query_id: list(r.v)
+        for r in queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).collect()
+    }
+    qschema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("centroid_id", centroids.schema[id_col].dataType),
+            T.StructField("adc_tables", T.ArrayType(T.ArrayType(T.DoubleType()))),
         ]
-        dist = None
-        for s in range(m):
-            t = F.array(*[F.lit(float(x)) for x in tables[s]])
-            term = F.element_at(t, F.element_at("codes", s + 1) + 1)
-            dist = term if dist is None else dist + term
-        scored = (
-            coded.filter(F.col("centroid_id").isin(probe_map.get(q.query_id, [])))
-            .select(
-                F.lit(q.query_id).alias("query_id"),
-                "vec_id",
-                F.round(dist, 6).alias("adc_dist"),
-            )
-        )
-        out = scored if out is None else out.unionAll(scored)
+    )
+    qdf = corpus.sparkSession.createDataFrame(
+        [
+            (p.query_id, p.centroid_id, _adc_tables(qvecs[p.query_id], codebooks))
+            for p in probes
+        ],
+        qschema,
+    )
+    scored = coded.join(F.broadcast(qdf), "centroid_id").select(
+        "query_id", "vec_id", F.round(_adc_dist(m), 6).alias("adc_dist")
+    )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
-        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (the actual FAISS IVFADC: PQ on residuals, not raw vectors)
+# ---------------------------------------------------------------------------
+
+
+def ivf_residuals(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, residual): each vector minus its nearest
+    coarse centroid (L2, (dist, cid) tie-break — same assignment as
+    ivf_assign). Residuals concentrate around 0 regardless of which
+    cell a vector lives in, so one shared PQ codebook quantizes them
+    far more accurately than raw vectors — the reason FAISS's IVFADC
+    encodes residuals (Jégou et al., TPAMI 2011 §IV).
+
+    Plan shape: one broadcast cross-join against the k-row centroid
+    table, per-row argmin, then a broadcast hash join to subtract —
+    one corpus scan, no shuffle."""
+    cells = ivf_assign(vectors, centroids, 1, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    return (
+        vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .join(cells, id_col)
+        .join(F.broadcast(c), "centroid_id")
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with("v", "c_vec", lambda x, y: x - y).alias("residual"),
+        )
+    )
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Residual IVF-PQ end-to-end (FAISS IVFADC): corpus vectors are
+    assigned to coarse cells, PQ codebooks are trained on the
+    RESIDUALS (vector − cell centroid), and codes store quantized
+    residuals. At serve time a query's ADC tables are built from its
+    residual w.r.t. EACH probed cell — so the broadcast probe relation
+    carries one (query_id, centroid_id, adc_tables) row per probe, and
+    ADC(q, x) ≈ ||(q − c) − r̂ₓ||² = ||q − (c + r̂ₓ)||², the true
+    distance with the vector reconstructed as centroid + residual.
+
+    Same single-scan serving shape as ivfpq_topk; training adds m
+    driver-coordinated Lloyd runs over the residual table (centroid
+    state is k·dims doubles — metadata-scale at any corpus size)."""
+    res = ivf_residuals(corpus, centroids, id_col, vec_col).persist()
+    try:
+        books = pq_train(
+            res, m=m, k=k_codes, iterations=iterations,
+            id_col=id_col, vec_col="residual", dims=dims,
+        )
+        coded = (
+            pq_encode(res, books, id_col=id_col, vec_col="residual")
+            .join(res.select(F.col(id_col).alias("vec_id"), "centroid_id"), "vec_id")
+            .select("vec_id", "codes", "centroid_id")
+        )
+        probes = ivf_assign(queries, centroids, nprobe, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"), "centroid_id"
+        ).collect()
+        qvecs = {
+            r.query_id: list(r.v)
+            for r in queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            ).collect()
+        }
+        cvecs = {
+            r.centroid_id: list(r.c_vec)
+            for r in centroids.select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).cast("array<double>").alias("c_vec"),
+            ).collect()
+        }
+        from pyspark.sql import types as T
+
+        qschema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("centroid_id", centroids.schema[id_col].dataType),
+                T.StructField("adc_tables", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            ]
+        )
+        qdf = corpus.sparkSession.createDataFrame(
+            [
+                (
+                    p.query_id,
+                    p.centroid_id,
+                    _adc_tables(
+                        [a - b for a, b in zip(qvecs[p.query_id], cvecs[p.centroid_id])],
+                        books,
+                    ),
+                )
+                for p in probes
+            ],
+            qschema,
+        )
+        scored = coded.join(F.broadcast(qdf), "centroid_id").select(
+            "query_id", "vec_id", F.round(_adc_dist(m), 6).alias("adc_dist")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        out = (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "adc_dist")
+        )
+        out = out.localCheckpoint()
+    finally:
+        res.unpersist()
+    return out

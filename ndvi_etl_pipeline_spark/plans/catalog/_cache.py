@@ -25,6 +25,7 @@ from ...sources.testdata import load_table
 
 _EXACT_TOPK: dict[tuple, DataFrame] = {}
 _CENTROIDS: dict[tuple, list] = {}
+_PQ_BOOKS: dict[tuple, list] = {}
 
 
 def _evict_other_apps(cache: dict[tuple, object], app_id: str) -> None:
@@ -73,3 +74,60 @@ def kmeans_centroids_shared(
         cents = kmeans_centroid_vectors(e, k=k, iterations=iterations)
         _CENTROIDS[key] = cents
     return cents
+
+
+def exact_l2_topk_shared(
+    spark: SparkSession, sf_dir: str, k: int = 5, split: int = 5
+) -> DataFrame:
+    """Exact L2 top-k (native zip_with/aggregate) of queries
+    vec_id<split vs corpus vec_id>=split — the ground-truth side every
+    L2-family recall audit (`pq_recall_l2`, `ivfpq_residual_recall`)
+    joins against, materialized once per (session, sf_dir, k, split).
+    Columns: (query_id, vec_id)."""
+    from pyspark.sql import Window
+
+    from ...operators.similarity import l2_dist2
+
+    key = (spark.sparkContext.applicationId, "l2", sf_dir, k, split)
+    _evict_other_apps(_EXACT_TOPK, key[0])
+    df = _EXACT_TOPK.get(key)
+    if df is None:
+        e = load_table(spark, "embeddings", sf_dir)
+        qv = e.filter(F.col("vec_id") < split).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        cv = e.filter(F.col("vec_id") >= split).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+        df = materialize(
+            cv.crossJoin(F.broadcast(qv))
+            .select("query_id", "vec_id", l2_dist2("qv", "cv").alias("d2"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id")
+        )
+        _EXACT_TOPK[key] = df
+    return df
+
+
+def pq_codebooks_shared(
+    spark: SparkSession, sf_dir: str, m: int = 4, k: int = 8, iterations: int = 2
+) -> list:
+    """PQ codebooks of the catalog's canonical trajectory
+    (similarity.pq_train over the full embeddings table), trained once
+    per (session, sf_dir, m, k, iters) — `pq_adc_topk`, `pq_recall_l2`
+    and `ivfpq_adc_topk` all quantize with the same books, so a sweep
+    pays the m joint Lloyd runs once. Driver-tiny: m·k·(dims/m)
+    doubles."""
+    from ...operators.similarity import pq_train
+
+    key = (spark.sparkContext.applicationId, sf_dir, m, k, iterations)
+    _evict_other_apps(_PQ_BOOKS, key[0])
+    books = _PQ_BOOKS.get(key)
+    if books is None:
+        e = load_table(spark, "embeddings", sf_dir)
+        books = pq_train(e, m=m, k=k, iterations=iterations)
+        _PQ_BOOKS[key] = books
+    return books

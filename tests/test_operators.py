@@ -424,6 +424,82 @@ def test_pq_adc_with_noncontiguous_codebook_cids(spark):
     assert by_vec[1] == 100.0 and by_vec[3] == 200.0
 
 
+def test_ivfpq_residual_quantization_tighter_than_raw(spark, sf_dir):
+    """Residual encoding (FAISS IVFADC) must quantize strictly more
+    accurately than raw-vector PQ with the same (m, k) budget:
+    reconstruction MSE of centroid + decoded-residual < MSE of
+    decoded-raw. On this isotropic synthetic corpus the margin is
+    small (~3%) — on clustered real embeddings it is the reason
+    IVFADC exists — but the inequality is the mechanism and must
+    hold. Also sanity-checks the serving output shape."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ndvi_etl_pipeline_spark.operators.clustering import kmeans_centroid_vectors
+    from ndvi_etl_pipeline_spark.operators.similarity import (
+        ivf_residuals,
+        ivfpq_residual_topk,
+        pq_encode,
+        pq_train,
+    )
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = kmeans_centroid_vectors(e, k=4, iterations=3)
+    cdf = spark.createDataFrame(
+        [(c, v) for c, v in cents], "vec_id int, embedding array<double>"
+    )
+    corpus = e.filter(F.col("vec_id") >= 5)
+
+    res = ivf_residuals(corpus, cdf).persist()
+    books_res = pq_train(res, m=4, k=8, iterations=2, vec_col="residual")
+    books_raw = pq_train(corpus, m=4, k=8, iterations=2)
+
+    vecs = {
+        r.vec_id: (np.array(r.v), r.centroid_id)
+        for r in corpus.join(
+            res.select("vec_id", "centroid_id"), "vec_id"
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"), "centroid_id"
+        ).collect()
+    }
+    cvec = {c: np.array(v) for c, v in cents}
+
+    def recon_mse(codes_rows, books, residual):
+        books_idx = [dict(b) for b in books]
+        sub = len(books[0][0][1])
+        err = []
+        for r in codes_rows:
+            dec = np.concatenate(
+                [books_idx[s][r.codes[s]] for s in range(len(books))]
+            )
+            x, cell = vecs[r.vec_id]
+            recon = cvec[cell] + dec if residual else dec
+            err.append(float(((x - recon) ** 2).sum()))
+        return float(np.mean(err))
+
+    mse_res = recon_mse(
+        pq_encode(res, books_res, vec_col="residual").collect(), books_res, True
+    )
+    mse_raw = recon_mse(pq_encode(corpus, books_raw).collect(), books_raw, False)
+    res.unpersist()
+    assert mse_res < mse_raw, (mse_res, mse_raw)
+
+    top = ivfpq_residual_topk(
+        corpus, e.filter(F.col("vec_id") < 5), cdf,
+        m=4, k_codes=8, iterations=2, k=5, nprobe=2,
+    ).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        dists = [r.adc_dist for r in rows]
+        assert dists == sorted(dists)
+
+
 def test_asof_join_null_timestamps_never_match(spark):
     """A right row with NULL right_ts must not become anyone's match
     (it used to sort first and act as the fallback); a left row with

@@ -472,6 +472,51 @@ def test_selection_tier_plan_shapes(spark, sf_dir):
         assert "BatchEvalPython" not in plan_of(name), name
 
 
+def test_pq_serving_plan_constant_in_batch_size(spark):
+    """ADC serving must be ONE corpus scan no matter how many queries
+    are in the batch (round 3 built one plan branch per query and
+    union-ed them — plan size and scan count grew linearly). Assert
+    the physical plan's scan/union/join node counts are IDENTICAL for
+    a 2-query and a 6-query batch, for both pq_topk_adc and
+    ivfpq_topk."""
+    from ndvi_etl_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(40)
+    ]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = pq_train(e, m=2, k=4, iterations=1, dims=8)
+    corpus = e.filter(F.col("vec_id") >= 6)
+    codes = pq_encode(corpus, books)
+    cents = e.filter(F.col("vec_id") < 3)
+
+    def histogram(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return {
+            tok: plan.count(tok)
+            for tok in ("Scan", "Union", "BroadcastNestedLoopJoin", "BroadcastHashJoin", "Exchange")
+        }
+
+    q2 = e.filter(F.col("vec_id") < 2)
+    q6 = e.filter(F.col("vec_id") < 6)
+    h2 = histogram(pq_topk_adc(codes, q2, books, k=3))
+    h6 = histogram(pq_topk_adc(codes, q6, books, k=3))
+    assert h2 == h6, (h2, h6)
+    assert h2["Union"] == 0
+
+    h2 = histogram(ivfpq_topk(corpus, q2, cents, books, k=3, nprobe=2))
+    h6 = histogram(ivfpq_topk(corpus, q6, cents, books, k=3, nprobe=2))
+    assert h2 == h6, (h2, h6)
+    assert h2["Union"] == 0
+    # probe restriction is a hash join on centroid_id, not isin filters
+    assert h2["BroadcastHashJoin"] >= 1
+
+
 def test_salted_join_rejects_outer_joins(spark):
     """Right/full outer through the salt replication would emit
     spurious null-extended rows — the guard must refuse them."""

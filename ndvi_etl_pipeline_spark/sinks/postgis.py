@@ -360,55 +360,68 @@ def raster_upsert_sql(
 
 def write_upsert_jdbc_stream(
     table: str,
-    conflict_keys: tuple[str, ...],
-    connection_factory: Callable[[], object],
+    conflict_keys: tuple[str, ...] = (),
+    connection_factory: Callable[[], object] | None = None,
     ledger_table: str = "stream_commits",
     mode: str = "replace",
     batch_size: int = 1000,
 ):
     """foreachBatch sink with exactly-once EFFECTS on the warehouse
-    via at-least-once delivery + idempotent converge: returns a
+    via an ATOMIC staging→publish epoch commit: returns a
     `(batch_df, batch_id) -> None` callable for
     `writeStream.foreachBatch(...)`.
 
-    Structured Streaming replays a micro-batch after a failure. The
-    guarantee here is NOT a transactional ledger: the data write is
-    distributed (one connection + commit per partition in
-    `write_upsert_jdbc`) and the ledger row is inserted in a separate
-    connection afterwards, so a crash between a data commit and the
-    ledger insert replays the whole batch on restart. Effects are
-    still exactly-once because:
+    Structured Streaming replays a micro-batch after a failure; Spark
+    may also retry individual tasks whose partition write already
+    committed. Both are exactly-once here, for ALL modes — including
+    non-idempotent `append` — because the target table is only ever
+    touched inside one driver-side transaction that also writes the
+    ledger row:
 
-    1. the data write is the K3/K4 ON CONFLICT upsert
-       (`write_upsert_jdbc`) — replaying the same rows converges to
-       the same table state (idempotent by key). Only the idempotent
-       modes are accepted (enforced below); an append-only
-       non-idempotent mode would be at-least-once under this sink.
-    2. the COMMIT LEDGER row per (table, batch_id) short-circuits
-       replays that happen after the ledger committed, and doubles as
-       the stream's progress table — though `n_rows` for a batch that
-       crashed mid-write reflects the final (converged) replay, and a
-       batch can be partially visible between its first partition
-       commit and its ledger row.
+    1. **Stage (parallel)**: executors bulk-insert into a per-batch
+       staging table (`<table>__stage_<batch_id>`, created empty from
+       the target's column types). Each task deletes its own
+       `__part_id` slice before inserting and commits once, so a task
+       RETRY converges instead of duplicating. The staging table is
+       dropped and recreated at every (re)entry of the batch, so a
+       crash mid-stage leaves no residue the replay could double-read.
+       The target is never touched in this phase.
+    2. **Publish (atomic)**: one driver connection runs
+       `INSERT INTO target SELECT … FROM stage` (with the mode's ON
+       CONFLICT clause; plain append for mode='append'), inserts the
+       ledger row (exact `n_rows`, counted from the staging table in
+       the same transaction), and drops the staging table — in a
+       SINGLE transaction. A crash anywhere before the commit rolls
+       the target AND ledger back together; a replayed batch whose
+       ledger row exists short-circuits before staging. There is no
+       reachable state where data is visible without its ledger row.
 
-    A truly atomic data+ledger commit would require funnelling the
-    batch through one driver-side connection/transaction — the right
-    trade only for tiny batches; at scale the partition-parallel
-    write + keyed idempotence is the standard epoch-ledger pattern on
-    engines without native streaming-sink transactions.
+    Wire-transfer parallelism is preserved (executors write staging
+    concurrently); only the in-database `INSERT … SELECT` publish is
+    single-transaction — set-based and index-driven, not row-at-a-time
+    through the driver. This is the standard staged-epoch pattern for
+    engines without native streaming-sink transactions (Flink's JDBC
+    XA sink and Kafka-Connect JDBC use the same shape).
+
+    `replace` mode contract: a micro-batch must not contain two rows
+    with the same conflict key (Postgres rejects a set-based ON
+    CONFLICT DO UPDATE that hits a key twice; all engine stream
+    writers aggregate per key upstream, so this holds by
+    construction). `ignore` and `append` accept duplicates.
 
     The ledger is created if absent (idempotent DDL). Crash-recovery
-    is exercised by tests/test_streaming.py (kill between data commit
-    and ledger insert → replay converges, second replay is skipped).
-    """
-    if mode not in ("replace", "ignore"):
-        raise ValueError(
-            "write_upsert_jdbc_stream requires an idempotent mode "
-            f"('replace' or 'ignore'); got {mode!r} — a non-idempotent "
-            "mode would double-apply on micro-batch replay"
-        )
+    (replay after a simulated kill, append-mode included) is exercised
+    by tests/test_postgis_sink.py and tests/test_streaming.py."""
+    if mode not in ("replace", "ignore", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode != "append" and not conflict_keys:
+        raise ValueError(f"mode {mode!r} requires conflict_keys")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        stage = f"{table}__stage_{batch_id}"
+        columns = tuple(batch_df.columns)
+        cols = ", ".join(quote_ident(c) for c in columns)
+
         con = connect_with_retry(connection_factory)
         try:
             cur = _cursor(con)
@@ -430,30 +443,90 @@ def write_upsert_jdbc_stream(
             )
             if cur.fetchone():
                 return  # replayed batch: effects already applied
+            # fresh staging table — drops any residue from a crashed
+            # earlier attempt of this same batch
+            cur.execute(f"DROP TABLE IF EXISTS {quote_ident(stage)}")
+            cur.execute(
+                f"CREATE TABLE {quote_ident(stage)} AS "
+                f"SELECT {cols}, CAST(0 AS BIGINT) AS __part_id "
+                f"FROM {quote_ident(table)} WHERE 1=0"
+            )
+            con.commit()
         finally:
             con.close()
 
-        n = write_upsert_jdbc(
-            batch_df,
-            table,
-            conflict_keys,
-            connection_factory,
-            mode=mode,
-            batch_size=batch_size,
+        stage_sql = (
+            f"INSERT INTO {quote_ident(stage)} ({cols}, \"__part_id\") "
+            f"VALUES ({', '.join(['?'] * (len(columns) + 1))})"
         )
+
+        def stage_partition(rows) -> None:
+            it = iter(rows)
+            try:
+                first = next(it)
+            except StopIteration:
+                return
+            pid = first[-1]
+            con = connect_with_retry(connection_factory)
+            try:
+                cur = _cursor(con)
+                # delete-then-insert per partition, one commit: a task
+                # retry whose first attempt committed converges
+                cur.execute(
+                    adapt_paramstyle(
+                        f"DELETE FROM {quote_ident(stage)} WHERE \"__part_id\" = ?",
+                        con,
+                    ),
+                    (pid,),
+                )
+                psql = adapt_paramstyle(stage_sql, con)
+                batch = [tuple(first)]
+                for row in it:
+                    batch.append(tuple(row))
+                    if len(batch) >= batch_size:
+                        cur.executemany(psql, batch)
+                        batch.clear()
+                if batch:
+                    cur.executemany(psql, batch)
+                con.commit()
+            finally:
+                con.close()
+
+        from pyspark.sql import functions as F
+
+        batch_df.select(
+            *columns, F.spark_partition_id().alias("__part_id")
+        ).foreachPartition(stage_partition)
+
+        # atomic publish: data + ledger + stage-drop in ONE transaction
+        publish = f"INSERT INTO {quote_ident(table)} ({cols}) SELECT {cols} FROM {quote_ident(stage)} WHERE 1=1"
+        if mode == "replace":
+            keys = ", ".join(quote_ident(k) for k in conflict_keys)
+            updates = ", ".join(
+                f"{quote_ident(c)} = excluded.{quote_ident(c)}"
+                for c in columns
+                if c not in conflict_keys
+            )
+            publish += f" ON CONFLICT ({keys}) DO UPDATE SET {updates}"
+        elif mode == "ignore":
+            keys = ", ".join(quote_ident(k) for k in conflict_keys)
+            publish += f" ON CONFLICT ({keys}) DO NOTHING"
 
         con = connect_with_retry(connection_factory)
         try:
             cur = _cursor(con)
+            cur.execute(f"SELECT count(*) FROM {quote_ident(stage)}")
+            n = cur.fetchone()[0]
+            cur.execute(publish)
             cur.execute(
                 adapt_paramstyle(
                     f"INSERT INTO {quote_ident(ledger_table)} "
-                    "(sink_table, batch_id, n_rows) VALUES (?, ?, ?) "
-                    "ON CONFLICT (sink_table, batch_id) DO NOTHING",
+                    "(sink_table, batch_id, n_rows) VALUES (?, ?, ?)",
                     con,
                 ),
                 (table, batch_id, n),
             )
+            cur.execute(f"DROP TABLE {quote_ident(stage)}")
             con.commit()
         finally:
             con.close()

@@ -233,13 +233,14 @@ def test_stream_upsert_sink_exactly_once(spark, tmp_path):
 
 
 def test_stream_upsert_sink_crash_between_data_and_ledger(spark, tmp_path):
-    """Crash-recovery for the epoch-ledger sink: the data write and the
-    ledger insert are separate transactions, so a crash can leave the
-    batch's rows COMMITTED with no ledger row. On restart Structured
-    Streaming replays the whole micro-batch; the sink must converge
-    (idempotent ON CONFLICT, no duplicates, latest values) and only
-    then record the ledger row — after which a second replay is
-    suppressed entirely."""
+    """Crash-recovery for the epoch-ledger sink. Under the atomic
+    staging→publish design this target-updated-without-ledger state
+    can no longer be REACHED by the sink itself (publish and ledger
+    share one transaction), but a pre-upgrade deployment or an
+    out-of-band writer can leave it; the replay must still converge
+    (ON CONFLICT upsert from staging, no duplicates) and record the
+    ledger row — after which a second replay is suppressed
+    entirely."""
     db = str(tmp_path / "pg.db")
     with sqlite3.connect(db) as con:
         con.execute("CREATE TABLE metrics (k INT, v REAL, UNIQUE(k))")
@@ -281,11 +282,102 @@ def test_stream_upsert_sink_crash_between_data_and_ledger(spark, tmp_path):
         assert rows == {1: 1.0, 2: 2.0}  # ledger suppressed the write
 
 
-def test_stream_upsert_sink_rejects_non_idempotent_mode():
-    with pytest.raises(ValueError, match="idempotent"):
+def test_stream_upsert_sink_mode_guards():
+    """Unknown modes are rejected; keyed modes demand conflict keys.
+    (`append` is now a first-class mode — the atomic staging→publish
+    commit makes it exactly-once, so the old idempotent-modes-only
+    guard is gone.)"""
+    with pytest.raises(ValueError, match="unknown mode"):
         PG.write_upsert_jdbc_stream(
-            "metrics", ("k",), connection_factory=lambda: None, mode="append"
+            "metrics", ("k",), connection_factory=lambda: None, mode="overwrite"
         )
+    with pytest.raises(ValueError, match="requires conflict_keys"):
+        PG.write_upsert_jdbc_stream(
+            "metrics", (), connection_factory=lambda: None, mode="replace"
+        )
+
+
+def test_stream_append_sink_exactly_once_after_crash(spark, tmp_path):
+    """The round-4 upgrade: NON-IDEMPOTENT append mode is exactly-once
+    because the target is only written inside the same transaction as
+    the ledger row. Simulate a crash mid-batch (staging partially
+    written, nothing published), replay, and verify no duplicates —
+    this is the scenario the old two-transaction sink could not
+    support (it refused mode='append' outright)."""
+    db = str(tmp_path / "pg.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE events_log (k INT, v REAL)")  # no UNIQUE!
+
+    factory = lambda: sqlite3.connect(db, timeout=30)  # noqa: E731
+    sink = PG.write_upsert_jdbc_stream(
+        "events_log", connection_factory=factory, mode="append"
+    )
+    batch = spark.createDataFrame(
+        [(1, 1.0), (1, 1.0), (2, 2.0)], "k int, v double"  # dup rows are data
+    ).coalesce(1)
+
+    # crash state: a previous attempt staged some rows and died before
+    # publish — the target and ledger are untouched, staging has junk
+    with sqlite3.connect(db) as con:
+        con.execute(
+            'CREATE TABLE "events_log__stage_0" '
+            "(k INT, v REAL, __part_id BIGINT)"
+        )
+        con.execute('INSERT INTO "events_log__stage_0" VALUES (1, 1.0, 0)')
+    sink(batch, 0)
+    with sqlite3.connect(db) as con:
+        rows = sorted(con.execute("SELECT k, v FROM events_log").fetchall())
+        assert rows == [(1, 1.0), (1, 1.0), (2, 2.0)]  # exactly the batch
+        led = con.execute(
+            "SELECT sink_table, batch_id, n_rows FROM stream_commits"
+        ).fetchall()
+        assert led == [("events_log", 0, 3)]
+        # staging dropped atomically with the publish
+        assert (
+            con.execute(
+                "SELECT count(*) FROM sqlite_master WHERE name LIKE '%__stage_%'"
+            ).fetchone()[0]
+            == 0
+        )
+
+    # replay after the ledger committed: suppressed, still no dups
+    sink(batch, 0)
+    # next batch appends normally
+    sink(spark.createDataFrame([(3, 3.0)], "k int, v double").coalesce(1), 1)
+    with sqlite3.connect(db) as con:
+        assert con.execute("SELECT count(*) FROM events_log").fetchone()[0] == 4
+        assert con.execute("SELECT count(*) FROM stream_commits").fetchone()[0] == 2
+
+
+def test_stream_sink_task_retry_converges(spark, tmp_path):
+    """A Spark TASK retry re-runs one partition after its first
+    attempt committed to staging. The per-partition delete-then-insert
+    must converge (no doubled slice) — simulated by invoking the
+    staging phase twice via a replayed batch whose first publish never
+    happened."""
+    db = str(tmp_path / "pg.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE metrics (k INT, v REAL, UNIQUE(k))")
+
+    factory = lambda: sqlite3.connect(db, timeout=30)  # noqa: E731
+    batch = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double").coalesce(1)
+
+    # first attempt: stage committed, then "crash" before publish —
+    # reproduce by pre-staging the same partition slice the task wrote
+    with sqlite3.connect(db) as con:
+        con.execute(
+            'CREATE TABLE "metrics__stage_0" (k INT, v REAL, __part_id BIGINT)'
+        )
+        con.execute('INSERT INTO "metrics__stage_0" VALUES (1, 1.0, 0)')
+        con.execute('INSERT INTO "metrics__stage_0" VALUES (2, 2.0, 0)')
+    sink = PG.write_upsert_jdbc_stream("metrics", ("k",), connection_factory=factory)
+    sink(batch, 0)  # recreates staging, restages partition 0, publishes
+    with sqlite3.connect(db) as con:
+        rows = dict(con.execute("SELECT k, v FROM metrics").fetchall())
+        assert rows == {1: 1.0, 2: 2.0}
+        assert con.execute(
+            "SELECT n_rows FROM stream_commits WHERE batch_id = 0"
+        ).fetchone()[0] == 2  # exact, not doubled
 
 
 def test_adapt_paramstyle_by_driver_module():

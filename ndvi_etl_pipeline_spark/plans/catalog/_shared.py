@@ -82,36 +82,56 @@ def canon_round_sql(expr: str, scale: int) -> str:
     return f"(round({expr}, {scale}) + 0.0)"
 
 
-# Two-sided normal p-value from a z score — p = erfc(|z|/√2) via the
-# Abramowitz–Stegun 7.1.26 rational approximation (|err| ≤ 1.5e-7;
-# neither engine ships erfc as a builtin). Column and SQL forms are
-# the SAME Horner expression tree, so IEEE doubles agree bit-for-bit
-# cross-engine and the multiple-testing queries can compare
-# CALIBRATED p-values, not just a monotone screening score.
-_AS_T = 0.3275911
-_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+# Two-sided normal p-value from a z score — p = erfc(|z|/√2);
+# neither engine ships erfc as a builtin. Machine-precision split
+# form (round 4 — replaces the A&S 7.1.26 polynomial whose 1.5e-7
+# error bounded the formula-audit tolerance):
+#   x ≤ 2 : 1 − (2/√π)·x·Σ_{n≤30} (−x²)ⁿ/(n!(2n+1))   (Horner)
+#   x > 2 : Laplace continued fraction (DLMF 7.9, depth 48):
+#           e^(−x²)/√π / (x + (1/2)/(x + (2/2)/(x + (3/2)/(x + …))))
+# Validated |abs err| ≤ 1e-15, |rel err| ≤ 2e-13 vs math.erfc on
+# [0, 15] (tests/test_formula_audit.py pins it). Column and SQL forms
+# are the SAME expression tree — every literal is the repr of the
+# identical Python double, operator association matches — so IEEE
+# doubles agree bit-for-bit cross-engine and the multiple-testing
+# queries compare CALIBRATED p-values, not just a monotone score.
+_ERFC_TAYLOR_N = 30
+_ERFC_CF_DEPTH = 48
+_ERFC_SPLIT = 2.0
+_ERFC_C = tuple(
+    (-1.0) ** n / (math.factorial(n) * (2 * n + 1))
+    for n in range(_ERFC_TAYLOR_N + 1)
+)
+_TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
+_INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
 
 
 def normal_p_two_sided_col(z) -> "F.Column":
     x = F.abs(z) / F.sqrt(F.lit(2.0))
-    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_T) * x)
-    a1, a2, a3, a4, a5 = _AS_A
-    poly = (
-        (((F.lit(a5) * t + F.lit(a4)) * t + F.lit(a3)) * t + F.lit(a2)) * t
-        + F.lit(a1)
-    ) * t
-    return poly * F.exp(-(x * x))
+    t = x * x
+    poly = F.lit(_ERFC_C[-1])
+    for cn in reversed(_ERFC_C[:-1]):
+        poly = poly * t + F.lit(cn)
+    taylor = F.lit(1.0) - F.lit(_TWO_OVER_SQRT_PI) * x * poly
+    acc = F.lit(0.0)
+    for k in reversed(range(1, _ERFC_CF_DEPTH + 1)):
+        acc = F.lit(k / 2.0) / (x + acc)
+    cf = F.exp(-t) * F.lit(_INV_SQRT_PI) / (x + acc)
+    return F.when(x <= F.lit(_ERFC_SPLIT), taylor).otherwise(cf)
 
 
 def normal_p_two_sided_sql(z_expr: str) -> str:
     x = f"(abs({z_expr}) / sqrt(2.0))"
-    t = f"(1.0 / (1.0 + {_AS_T!r} * {x}))"
-    a1, a2, a3, a4, a5 = _AS_A
-    poly = (
-        f"(((({a5!r} * {t} + {a4!r}) * {t} + {a3!r}) * {t} + {a2!r}) * {t} "
-        f"+ {a1!r}) * {t}"
-    )
-    return f"({poly} * exp(-({x} * {x})))"
+    t = f"({x} * {x})"
+    poly = repr(_ERFC_C[-1])
+    for cn in reversed(_ERFC_C[:-1]):
+        poly = f"({poly} * {t} + {cn!r})"
+    taylor = f"(1.0 - {_TWO_OVER_SQRT_PI!r} * {x} * {poly})"
+    acc = "0.0"
+    for k in reversed(range(1, _ERFC_CF_DEPTH + 1)):
+        acc = f"({k / 2.0!r} / ({x} + {acc}))"
+    cf = f"(exp(-{t}) * {_INV_SQRT_PI!r} / ({x} + {acc}))"
+    return f"(CASE WHEN {x} <= {_ERFC_SPLIT!r} THEN {taylor} ELSE {cf} END)"
 
 
 # ===========================================================================
@@ -989,8 +1009,12 @@ __all__ = [
     "canon_round",
     "canon_round_sql",
     "seq1",
-    "_AS_T",
-    "_AS_A",
+    "_ERFC_C",
+    "_ERFC_CF_DEPTH",
+    "_ERFC_SPLIT",
+    "_ERFC_TAYLOR_N",
+    "_INV_SQRT_PI",
+    "_TWO_OVER_SQRT_PI",
     "normal_p_two_sided_col",
     "normal_p_two_sided_sql",
     "_PIXELS_SQL",

@@ -3586,7 +3586,7 @@ def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "benjamini_hochberg_fdr",
-    oracle="""
+    oracle=f"""
     WITH joined AS (
       SELECT n_name, o_totalprice AS x
       FROM orders JOIN customer ON o_custkey = c_custkey
@@ -3597,7 +3597,7 @@ def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM joined GROUP BY n_name),
     scored AS (
       SELECT n_name,
-             (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(((mi - mu) / (sd / sqrt(ni)))) / sqrt(2.0)))) + -1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs(((mi - mu) / (sd / sqrt(ni)))) / sqrt(2.0)))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs(((mi - mu) / (sd / sqrt(ni)))) / sqrt(2.0)))) + -0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs(((mi - mu) / (sd / sqrt(ni)))) / sqrt(2.0)))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs(((mi - mu) / (sd / sqrt(ni)))) / sqrt(2.0)))) * exp(-((abs(((mi - mu) / (sd / sqrt(ni)))) / sqrt(2.0)) * (abs(((mi - mu) / (sd / sqrt(ni)))) / sqrt(2.0))))) AS p
+             {normal_p_two_sided_sql('((mi - mu) / (sd / sqrt(ni)))')} AS p
       FROM per, gl),
     ranked AS (
       SELECT n_name, p,

@@ -34,10 +34,58 @@ def _run(spark, sf_dir, name):
     return REGISTRY[name].builder(spark, sf_dir).toPandas()
 
 
+def test_normal_p_helper_is_machine_precision_and_bit_identical(spark):
+    """The shared two-sided-p helper (catalog/_shared.py): (a) within
+    1e-14 absolute of exact math.erfc(|z|/√2) across the whole usable
+    z range — the round-4 split form (Taylor ≤ 2, Laplace continued
+    fraction above) replaced the 1.5e-7 A&S polynomial precisely so
+    the audit tier could pin this; (b) cross-engine agreement between
+    the Column form (Spark) and the SQL form (DuckDB): BIT-IDENTICAL
+    on the Taylor branch (|z| ≤ 2√2 — pure +,*,/ over shared
+    literals; IEEE 754 requires those and sqrt correctly rounded, so
+    JVM and C agree exactly), and within 1 ulp on the
+    continued-fraction branch, whose exp() is a libm call IEEE does
+    NOT require correctly rounded (JVM Math.exp and DuckDB std::exp
+    differ by 1 ulp on some inputs). Queries round p to ≥6 digits, so
+    a tail-branch ulp never reaches an oracle hash."""
+    from ndvi_etl_pipeline_spark.plans.catalog._shared import (
+        normal_p_two_sided_col,
+        normal_p_two_sided_sql,
+    )
+
+    from pyspark.sql import functions as F
+
+    zs = [i / 7.0 for i in range(0, 106)] + [0.05, 1.9999, 2.0, 2.0001, 9.5]
+    sdf = spark.createDataFrame([(z,) for z in zs], "z double").select(
+        "z", normal_p_two_sided_col(F.col("z")).alias("p")
+    )
+    got = {r.z: r.p for r in sdf.collect()}
+    for z in zs:
+        assert abs(got[z] - math.erfc(abs(z) / math.sqrt(2))) < 1e-14, z
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE zt (z DOUBLE)")
+    con.executemany("INSERT INTO zt VALUES (?)", [(z,) for z in zs])
+    oracle = dict(
+        con.execute(
+            f"SELECT z, {normal_p_two_sided_sql('z')} AS p FROM zt"
+        ).fetchall()
+    )
+    for z in zs:
+        if abs(z) <= 2.0 * math.sqrt(2.0):
+            assert got[z] == oracle[z], (z, got[z], oracle[z])  # bit-identical
+        else:
+            # a 1-ulp exp() difference can compound through the final
+            # divide into a couple more — allow 4 ulps in the tail
+            assert abs(got[z] - oracle[z]) <= 4 * math.ulp(oracle[z]), (
+                z, got[z], oracle[z],
+            )
+
+
 def test_holm_stepdown_vs_erfc_reference(spark, sf_dir_oracle):
-    """Top-k ordering, reject set, and p-values vs exact math.erfc
-    (the catalog uses the Abramowitz–Stegun erf polynomial, max error
-    ~1.5e-7 — the audit tolerance reflects that, not slack in Holm)."""
+    """Top-k ordering, reject set, and p-values vs exact math.erfc —
+    the round-4 helper is machine-precision, so the audit tolerance
+    is 1e-12, no longer bounded by an approximation error."""
     con = _con(sf_dir_oracle, ["orders", "customer", "nation"])
     j = con.execute(
         """SELECT n_name, o_totalprice AS x FROM orders
@@ -64,7 +112,12 @@ def test_holm_stepdown_vs_erfc_reference(spark, sf_dir_oracle):
         k for k in reject if k in set(got.n_name)
     }
     assert reject <= set(got.n_name)  # every rejection is in the top-k
-    assert max(abs(r.p_value - p[r.n_name]) for r in got.itertuples()) < 1e-6
+    # p_value is rounded to 6 digits in the query output, so compare
+    # against the same rounding of the exact reference: the helper
+    # itself is ~1e-15 (pinned above), leaving only the round step
+    assert max(
+        abs(r.p_value - round(p[r.n_name], 6)) for r in got.itertuples()
+    ) < 1e-12
 
 
 def _survival_reference(con):

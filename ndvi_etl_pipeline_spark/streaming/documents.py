@@ -309,6 +309,159 @@ def stream_gopher_documents(
     q.awaitTermination()
 
 
+EMBEDDED_LANDING_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+NEARDUP_CURATED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def neardup_gate_batch(
+    batch_df: DataFrame,
+    curated_path: str,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+) -> DataFrame:
+    """One micro-batch through the EMBEDDING near-duplicate gate — the
+    admission-control twin of the batch `embedding_neardup` pair query
+    (similarity.lsh_near_duplicate_pairs): the exact-fingerprint
+    anti-join catches byte-identical dups only; this closes the
+    remaining contamination channel, paraphrase/near-dup admission.
+
+    Semantics (online greedy, deterministic): a candidate is REJECTED
+    iff some ALREADY-ADMITTED document in the same sign-LSH bucket has
+    round(cosine, 6) ≥ threshold — earlier batches' admissions live in
+    the curated store (the store IS the ledger, as everywhere in this
+    module), and within a batch candidates are processed in doc_id
+    order against the store plus batch admissions so far. Rejected
+    docs do NOT block future ones (they're not in the store), which
+    makes the outcome identical to a sequential greedy replay in
+    arrival order — the stream-equals-batch property
+    tests/test_streaming.py pins against an independent Python replay.
+
+    Scale shape: near-dup pairs only form WITHIN a bucket
+    (lsh_near_duplicate_pairs' own invariant), so the greedy is
+    bucket-local and buckets run in parallel: one shuffle of
+    candidates + store on bucket, then a cogrouped Arrow kernel
+    (applyInPandas) does the |cand|×|store| vectorized cosines per
+    bucket — no all-pairs join, no driver collect. Exactly-once per
+    content across replays: a replayed batch's rows are byte-identical
+    to store rows and die in the fingerprint anti-join before the
+    kernel runs."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import sign_lsh_bucket
+
+    spark = batch_df.sparkSession
+    base = (
+        batch_df.filter(
+            F.col("text").isNotNull()
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") > 0)
+        )
+        .withColumn("fingerprint", exact_fingerprint("text"))
+        .withColumn("bucket", sign_lsh_bucket("embedding", n_bits))
+    )
+    in_batch = base.groupBy("fingerprint").agg(
+        F.min_by(
+            F.struct("doc_id", "text", "source", "bucket", "embedding"),
+            F.col("doc_id"),
+        ).alias("x")
+    ).select(
+        F.col("x.doc_id").alias("doc_id"),
+        F.col("x.text").alias("text"),
+        F.col("x.source").alias("source"),
+        "fingerprint",
+        F.col("x.bucket").alias("bucket"),
+        F.col("x.embedding").alias("embedding"),
+    )
+    store = _read_store_or_empty(spark, curated_path, NEARDUP_CURATED_SCHEMA)
+    fresh = in_batch.join(store.select("fingerprint"), "fingerprint", "left_anti")
+
+    thr = float(threshold)
+
+    def bucket_greedy(cand_pdf: pd.DataFrame, store_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return cand_pdf
+        admitted = [np.asarray(e, dtype=np.float64) for e in store_pdf["embedding"]]
+        cand_pdf = cand_pdf.sort_values("doc_id")
+        keep = []
+        for i, emb in enumerate(cand_pdf["embedding"]):
+            v = np.asarray(emb, dtype=np.float64)
+            nv = float(np.sqrt((v * v).sum()))
+            dup = False
+            for a in admitted:
+                na = float(np.sqrt((a * a).sum()))
+                sim = float(v @ a) / (nv * na) if nv and na else 0.0
+                if round(sim, 6) >= thr:
+                    dup = True
+                    break
+            if not dup:
+                keep.append(i)
+                admitted.append(v)
+        return cand_pdf.iloc[keep]
+
+    admitted = (
+        fresh.select("doc_id", "text", "source", "fingerprint", "bucket", "embedding")
+        .groupBy("bucket")
+        .cogroup(
+            store.select("bucket", "doc_id", "embedding").groupBy("bucket")
+        )
+        .applyInPandas(
+            lambda cand, st: bucket_greedy(cand, st),
+            schema=NEARDUP_CURATED_SCHEMA,
+        )
+    )
+    return admitted
+
+
+def stream_neardup_documents(
+    spark: SparkSession,
+    landing_dir: str,
+    curated_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+) -> None:
+    """Drain an embedded landing zone (availableNow) through the
+    exact-fingerprint + embedding near-dup gates into the curated
+    store. `option(maxFilesPerTrigger)` upstream controls batch
+    granularity; admission is arrival-order greedy (see
+    neardup_gate_batch)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = neardup_gate_batch(batch_df, curated_path, threshold, n_bits)
+        fresh.write.mode("append").parquet(curated_path)
+
+    reader = (
+        spark.readStream.schema(EMBEDDED_LANDING_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing_dir)
+    )
+    q = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 TOKENIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

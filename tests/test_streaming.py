@@ -808,3 +808,109 @@ def test_stream_tokenized_matches_batch_serving(spark, sf_dir, tmp_path):
         spark, str(landing), out, str(tmp_path / "ckpt2"), wlen_rows
     )
     assert spark.read.parquet(out).count() == n_first
+
+
+def test_stream_neardup_gate_matches_greedy_replay(spark, tmp_path):
+    """Embedding near-dup admission gate (streaming/documents.py
+    :neardup_gate_batch): the drained stream's curated store must
+    equal an INDEPENDENT sequential greedy replay in arrival order —
+    reject iff round(cos, 6) >= threshold vs an already-ADMITTED
+    same-bucket doc (rejected docs don't block; exact text dups die
+    in the fingerprint gate first). Cross-batch near-dups, a
+    near-dup-of-a-rejected-doc admission, and exactly-once on replay
+    are all exercised."""
+    import json as _json
+    import math as _math
+
+    from ndvi_etl_pipeline_spark.streaming.documents import (
+        stream_neardup_documents,
+    )
+
+    def rot(theta_deg):
+        # rotate the (0,1) block of an all-5s 8-vector; signs never
+        # flip below 45 deg so every vector shares one LSH bucket
+        th = _math.radians(theta_deg)
+        v = [5.0] * 8
+        v[0] = 5.0 * _math.cos(th) - 5.0 * _math.sin(th)
+        v[1] = 5.0 * _math.sin(th) + 5.0 * _math.cos(th)
+        return v
+
+    neg = [-5.0] * 8  # a different bucket entirely
+    docs = [
+        # (doc_id, text, embedding) — arrival order == doc_id order
+        (1, "alpha document body one", rot(0)),           # admit
+        (2, "alpha document body one", rot(0)),           # exact-dup reject
+        (3, "beta paraphrase of one", rot(16)),           # near-dup of 1 -> reject
+        (4, "gamma unrelated enough", rot(32)),           # cos vs 1 = .962 -> admit (3 not in store)
+        (5, "delta other orthant", neg),                  # admit (own bucket)
+    ]
+    drop2 = [
+        (10, "epsilon late twin of one", rot(2)),         # cross-batch near-dup of 1 -> reject
+        (11, "zeta late twin of delta", [x * 1.01 for x in neg]),  # near-dup of 5 -> reject
+        (12, "eta far from everything admitted", rot(48)),  # cos vs 4 = .990.. check replay decides
+    ]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    curated = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    thr = 0.99
+
+    (landing / "drop1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(
+                {"doc_id": i, "text": t, "source": "s", "embedding": e}
+            )
+            for i, t, e in docs
+        )
+    )
+    stream_neardup_documents(spark, str(landing), curated, ckpt, threshold=thr)
+    (landing / "drop2.jsonl").write_text(
+        "\n".join(
+            _json.dumps(
+                {"doc_id": i, "text": t, "source": "s", "embedding": e}
+            )
+            for i, t, e in drop2
+        )
+    )
+    stream_neardup_documents(spark, str(landing), curated, ckpt, threshold=thr)
+
+    # ---- independent greedy replay (pure python, arrival order) ----
+    def bucket(v):
+        return sum((1 << i) for i in range(8) if v[i] >= 0)
+
+    admitted = []  # (doc_id, bucket, vec)
+    seen_texts = set()
+    for i, t, v in docs + drop2:
+        if t in seen_texts:
+            continue
+        seen_texts.add(t)
+        b = bucket(v)
+        dup = False
+        for _aid, ab, av, _at in admitted:
+            if ab != b:
+                continue
+            dot = sum(x * y for x, y in zip(v, av))
+            nv = _math.sqrt(sum(x * x for x in v))
+            na = _math.sqrt(sum(x * x for x in av))
+            if round(dot / (nv * na), 6) >= thr:
+                dup = True
+                break
+        if not dup:
+            admitted.append((i, b, v, t))
+
+    want = {i for i, _b, _v, _t in admitted}
+    got = {r.doc_id for r in spark.read.parquet(curated).collect()}
+    assert got == want, (got, want)
+    assert 1 in got and 4 in got and 5 in got  # the sanity anchors
+    assert {2, 3, 10, 11} & got == set()
+
+    # replay the drained stream: exactly-once, store unchanged
+    stream_neardup_documents(spark, str(landing), curated, ckpt, threshold=thr)
+    assert {r.doc_id for r in spark.read.parquet(curated).collect()} == want
+    # fresh checkpoint over the same landing: every batch replays,
+    # the fingerprint gate suppresses all of it
+    stream_neardup_documents(
+        spark, str(landing), curated, str(tmp_path / "ckpt2"), threshold=thr
+    )
+    assert {r.doc_id for r in spark.read.parquet(curated).collect()} == want

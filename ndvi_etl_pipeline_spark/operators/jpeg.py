@@ -15,11 +15,16 @@ Everything here derives from the public ITU-T T.81 spec:
   style quality factor, zigzag, and the Annex K example Huffman
   tables; grayscale or YCbCr with 4:4:4 / 4:2:0 (box-average chroma).
 
-Supported (the baseline-profile core): 8-bit precision, SOF0
-sequential DCT, 1 or 3 components, sampling factors that divide the
-max (covers 4:4:4, 4:2:2, 4:2:0), restart intervals. Progressive
-(SOF2), arithmetic coding, 12-bit, and CMYK raise NotImplementedError
-— a guarded boundary, not a silent wrong answer.
+Supported: 8-bit precision, SOF0 sequential DCT AND SOF2 progressive
+DCT (spectral selection + successive approximation: DC-first,
+DC-refine, AC-first with EOB runs, AC-refine with correction bits —
+T.81 Annex G; round 4), 1 or 3 components, sampling factors that
+divide the max (covers 4:4:4, 4:2:2, 4:2:0), restart intervals,
+interleaved and non-interleaved scans. A progressive ENCODER
+(encode_jpeg_progressive) emits a configurable scan script so the
+decoder round-trips without any external codec. Arithmetic coding,
+12-bit, and CMYK raise NotImplementedError — a guarded boundary, not
+a silent wrong answer.
 
 Reference parity note: the reference pipeline itself never decodes
 JPEG (its rasters are GeoTIFF); this module serves SURVEY's
@@ -196,13 +201,14 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # restart/EOI marker: stop feeding real bits
+                else:
+                    # any real marker (RSTn, EOI, or the next scan's
+                    # DHT/SOS in a progressive file) ends this scan's
+                    # entropy data: stop feeding real bits, pad with
+                    # 1-bits per F.2.2.5, leave pos AT the marker
                     self.acc = (self.acc << 8) | 0xFF
                     self.nbits += 8
                     continue
-                else:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
@@ -253,21 +259,33 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG → uint8 HWC (RGB) or HW1 (grayscale)."""
+    """JFIF/JPEG (baseline SOF0 or progressive SOF2) → uint8 HWC (RGB)
+    or HW1 (grayscale).
+
+    Architecture: the marker walk accumulates per-component
+    COEFFICIENT GRIDS (zigzag order) that every scan — baseline's
+    single full scan, or progressive's DC/AC first/refine passes —
+    updates in place; one vectorized dequantize+IDCT+assemble runs at
+    EOI. Baseline is the degenerate one-scan case of the same
+    machinery (its per-block EOB is exactly an EOB-run of length 1)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
     frame = None
+    grids: list[np.ndarray] = []  # per component: (bh, bw, 64) zigzag coefs
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    saw_scan = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
         if marker == 0xD8:  # stray SOI
             pos += 2
             continue
+        if marker == 0xD9:  # EOI
+            break
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -290,7 +308,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[off + 17 : off + 17 + n])
                 htables[(tc, th)] = _HuffTable(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -298,105 +316,236 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise NotImplementedError("non-dividing sampling factors")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                # component data-unit dims (T.81 A.1.1): padded MCU grid
+                # for interleaved scans; ceil(scaled dims) bounds the
+                # blocks a NON-interleaved scan traverses
+                c["bw_mcu"] = mcux * c["h"]
+                c["bh_mcu"] = mcuy * c["v"]
+                cw = -(-(w * c["h"]) // hmax)
+                chh = -(-(h * c["v"]) // vmax)
+                c["bw"] = -(-cw // 8)
+                c["bh"] = -(-chh // 8)
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+                "progressive": marker == 0xC2,
+            }
+            grids = [
+                np.zeros((c["bh_mcu"], c["bw_mcu"], 64), dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0}: only baseline sequential (SOF0) supported"
+                f"SOF{marker - 0xC0}: only sequential (SOF0/1) and "
+                "progressive (SOF2) DCT supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan_sel = []
             for i in range(ns):
                 cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * i)
                 scan_sel.append((cs, tdta >> 4, tdta & 0xF))
-            return _decode_scan(
-                payload, pos, frame, scan_sel, qtables, htables, restart_interval
+            ss, se, ahal = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _decode_scan_into(
+                payload, pos, frame, grids, scan_sel, ss, se, ah, al,
+                htables, restart_interval,
             )
-        elif marker == 0xD9:  # EOI before SOS
-            break
+            saw_scan = True
         # APPn/COM/etc: skipped
-    raise ValueError("no scan found")
+    if not saw_scan:
+        raise ValueError("no scan found")
+    return _assemble(frame, grids, qtables)
 
 
-def _decode_scan(payload, pos, frame, scan_sel, qtables, htables, restart_interval):
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Skip entropy bytes (incl. stuffed FF00 and RSTn) to the next
+    real marker boundary."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00:
+            m = payload[pos + 1]
+            if m == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if 0xD0 <= m <= 0xD7:  # restart — still inside entropy data
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_scan_into(
+    payload, pos, frame, grids, scan_sel, ss, se, ah, al, htables, restart_interval
+):
+    """Decode ONE scan's entropy data into the coefficient grids and
+    return the stream position of the next marker. Handles all four
+    progressive scan shapes plus baseline's full scan:
+
+      ss==0, ah==0 : DC first (value << al); baseline continues into
+                     AC when se > 0 (progressive mandates se==0)
+      ss==0, ah>0  : DC refinement — one raw bit ORed in at position al
+      ss>=1, ah==0 : AC first — run/size with EOB-RUN accumulation
+      ss>=1, ah>0  : AC refinement — correction bits on history
+                     coefficients, new ±(1<<al) insertions
+    """
     comps = frame["comps"]
-    if len(scan_sel) != len(comps):
-        raise NotImplementedError("multi-scan (progressive-style) files")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    for c in comps:
-        if hmax % c["h"] or vmax % c["v"]:
-            raise NotImplementedError("non-dividing sampling factors")
-    h, w = frame["h"], frame["w"]
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
     by_id = {c["id"]: c for c in comps}
+    progressive = frame["progressive"]
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > se or se > 63:
+        raise ValueError(f"bad spectral selection {ss}..{se}")
+
     order = []
     for cs, td, ta in scan_sel:
         c = by_id[cs]
-        order.append((c, htables[(0, td)], htables[(1, ta)]))
+        ci = comps.index(c)
+        dct = htables.get((0, td)) if ss == 0 and ah == 0 else None
+        act = htables.get((1, ta)) if se >= 1 and not (ss == 0 and ah > 0) else None
+        order.append((ci, c, dct, act))
 
-    # per-component coefficient stores, MCU-block-ordered
-    blocks = [
-        np.zeros((mcuy * mcux * c["h"] * c["v"], 64), dtype=np.int64)
-        for c, _, _ in order
-    ]
     reader = _BitReader(payload, pos)
-    pred = [0] * len(order)
-    nblk = [0] * len(order)
-    mcu_count = 0
-    for _my in range(mcuy):
-        for _mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_to_marker()
-                pred = [0] * len(order)
-            for ci, (c, dct, act) in enumerate(order):
-                for _b in range(c["h"] * c["v"]):
-                    coef = blocks[ci][nblk[ci]]
-                    t = reader.decode_symbol(dct)
-                    diff = _extend(reader.read_bits(t), t)
-                    pred[ci] += diff
-                    coef[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_symbol(act)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC index overflow")
-                        coef[k] = _extend(reader.read_bits(s), s)
-                        k += 1
-                    nblk[ci] += 1
-            mcu_count += 1
+    pred = {ci: 0 for ci, _, _, _ in order}
+    state = {"eobrun": 0}
 
-    # dequantize + IDCT, vectorized per component; assemble planes
+    def decode_block(ci, c, dct, act, by, bx):
+        zz = grids[ci][by, bx]
+        k = ss
+        if ss == 0:
+            if ah == 0:
+                t = reader.decode_symbol(dct)
+                diff = _extend(reader.read_bits(t), t)
+                pred[ci] += diff
+                zz[0] = pred[ci] << al
+            else:
+                if reader.read_bit():
+                    zz[0] |= 1 << al
+            k = 1
+        if k > se:
+            return
+        if ah == 0:
+            # AC first (and baseline's AC tail): EOB-run aware
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            while k <= se:
+                rs = reader.decode_symbol(act)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += reader.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow")
+                zz[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:
+            # AC refinement (T.81 G.1.2.3 / G.2)
+            p1 = 1 << al
+            m1 = -(1 << al)
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = reader.decode_symbol(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            state["eobrun"] = 1 << r
+                            if r:
+                                state["eobrun"] += reader.read_bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("bad refinement magnitude size")
+                        val = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit() and (abs(int(zz[k])) & p1) == 0:
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        zz[k] = val
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.read_bit() and (abs(int(zz[k])) & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else m1
+                    k += 1
+                state["eobrun"] -= 1
+
+    def restart():
+        reader.align_to_marker()
+        for key in pred:
+            pred[key] = 0
+        state["eobrun"] = 0
+
+    unit = 0
+    if len(order) == 1:
+        # non-interleaved: raster over the component's own block dims
+        ci, c, dct, act = order[0]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                decode_block(ci, c, dct, act, by, bx)
+                unit += 1
+    else:
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                for ci, c, dct, act in order:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                ci, c, dct, act, my * c["v"] + by, mx * c["h"] + bx
+                            )
+                unit += 1
+    return _next_marker(payload, reader.pos)
+
+
+def _assemble(frame, grids, qtables) -> np.ndarray:
+    """Dequantize + IDCT (vectorized over all blocks) + plane assembly
+    + chroma upsample + color transform — shared by both modes."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
-    for ci, (c, _, _) in enumerate(order):
+    for c, grid in zip(frame["comps"], grids):
         q = qtables[c["tq"]]
-        co = blocks[ci] * q[np.newaxis, :]
+        bh, bw = grid.shape[:2]
+        co = grid.reshape(-1, 64) * q[np.newaxis, :]
         spat = np.zeros((co.shape[0], 64))
         spat[:, ZIGZAG] = co  # de-zigzag
         pix = _idct2_blocks(spat.reshape(-1, 8, 8)) + 128.0
         pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
-        # block order: MCU raster, then v, then h within MCU
-        ch, cv = c["h"], c["v"]
-        ph, pw = mcuy * cv * 8, mcux * ch * 8
-        plane = np.zeros((ph, pw), dtype=np.uint8)
-        b = pix.reshape(mcuy, mcux, cv, ch, 8, 8)
-        plane = b.transpose(0, 2, 4, 1, 3, 5).reshape(ph, pw)
-        # upsample to full frame grid
-        ry, rx = vmax // cv, hmax // ch
+        plane = (
+            pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane[:h, :w])
@@ -621,4 +770,378 @@ def encode_jpeg(
     out += seg(0xDA, sos)
     out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (T.81 Annex G, encoder side) ----------------------
+#
+# Progressive scans use EOB-run symbols (0x10..0xE0) that the Annex K
+# sequential tables do not define, so each scan builds its own optimal
+# Huffman table with the public jpeg_gen_optimal_table algorithm
+# (T.81 K.2): pairwise frequency merging to code lengths <= 32, then
+# the bits[] adjustment that limits depth to 16, reserving one all-1s
+# code via the freq[256]=1 sentinel.
+
+
+def _optimal_huffman(freq_map: dict[int, int]) -> tuple[list[int], list[int]]:
+    freq = [0] * 257
+    for s, c in freq_map.items():
+        freq[s] = c
+    freq[256] = 1  # reserved: guarantees no real code is all 1-bits
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, None
+        for i in range(257):
+            if 0 < freq[i] and (v is None or freq[i] <= v):
+                v, c1 = freq[i], i
+        c2, v = -1, None
+        for i in range(257):
+            if i != c1 and 0 < freq[i] and (v is None or freq[i] <= v):
+                v, c2 = freq[i], i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:  # depth-limit adjustment (K.2 figure K.3)
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    if i > 0:
+        bits[i] -= 1  # drop the reserved sentinel's slot
+    pairs = sorted((codesize[s], s) for s in range(256) if codesize[s])
+    vals = [s for _, s in pairs]
+    return bits[1:17], vals
+
+
+class _SymCounter:
+    """Pass-1 emitter: counts Huffman symbols per table id; raw bits
+    are free (they don't participate in table construction)."""
+
+    def __init__(self):
+        self.freq: dict[int, dict[int, int]] = {}
+
+    def symbol(self, tid: int, sym: int) -> None:
+        self.freq.setdefault(tid, {})
+        self.freq[tid][sym] = self.freq[tid].get(sym, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _SymEmitter:
+    """Pass-2 emitter: writes Huffman codes + raw bits to a
+    _BitWriter via per-table encode maps."""
+
+    def __init__(self, bw: "_BitWriter", tables: dict[int, dict[int, tuple[int, int]]]):
+        self.bw = bw
+        self.tables = tables
+
+    def symbol(self, tid: int, sym: int) -> None:
+        code, ln = self.tables[tid][sym]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+
+def _quantize_components(arr: np.ndarray, quality: int, subsample: str):
+    """Shared front half of both encoders: colorspace, pad, DCT,
+    quantize. Returns (comps [(cid, h, v, tq)], grids [(bh, bw, 64)
+    ZIGZAG-order int64], ql, qc, gray, h, w)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2 or a.shape[2] == 1
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    h, w = a.shape[:2]
+    ql = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+
+    def pad_to(p: np.ndarray, mult: int) -> np.ndarray:
+        ph, pw = -p.shape[0] % mult, -p.shape[1] % mult
+        return np.pad(p, ((0, ph), (0, pw)), mode="edge")
+
+    if gray:
+        comps = [(1, 1, 1, 0)]
+        planes = [pad_to(a.astype(np.float64), 8)]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            y = pad_to(y, 16)
+            cbp, crp = pad_to(cb, 16), pad_to(cr, 16)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+            planes = [y, cb, cr]
+        elif subsample == "444":
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            planes = [pad_to(y, 8), pad_to(cb, 8), pad_to(cr, 8)]
+        else:
+            raise ValueError("subsample must be '444' or '420'")
+
+    qmats = {0: ql, 1: qc}
+    grids = []
+    for (cid, ch, cv, tq), plane in zip(comps, planes):
+        coefs = _dct2_blocks(_plane_blocks(plane - 128.0))
+        quant = np.round(coefs / qmats[tq].reshape(8, 8)).astype(np.int64)
+        bh, bwb = plane.shape[0] // 8, plane.shape[1] // 8
+        zz = quant.reshape(-1, 64)[:, ZIGZAG]  # natural → zigzag order
+        grids.append(zz.reshape(bh, bwb, 64))
+    return comps, grids, ql, qc, gray, h, w
+
+
+def _default_progressive_scans(n_comps: int) -> list[tuple[list[int], int, int, int, int]]:
+    """A scan script exercising every Annex G scan shape: DC first at
+    Al=1, split-band AC first at Al=2, DC refine, then two AC
+    refinement passes walking Al 2→1→0."""
+    all_c = list(range(n_comps))
+    scans: list[tuple[list[int], int, int, int, int]] = [(all_c, 0, 0, 0, 1)]
+    for c in all_c:
+        scans.append(([c], 1, 5, 0, 2))
+    for c in all_c:
+        scans.append(([c], 6, 63, 0, 2))
+    scans.append((all_c, 0, 0, 1, 0))
+    for c in all_c:
+        scans.append(([c], 1, 63, 2, 1))
+    for c in all_c:
+        scans.append(([c], 1, 63, 1, 0))
+    return scans
+
+
+def _run_progressive_scan(emit, comps, grids, frame_geom, scan) -> None:
+    """Drive one scan through an emitter (count or write pass) —
+    deterministic, so the two passes see identical symbol streams."""
+    comp_idx, ss, se, ah, al = scan
+    mcux, mcuy = frame_geom["mcux"], frame_geom["mcuy"]
+
+    if ss == 0 and ah == 0:  # DC first, interleaved MCU order
+        preds = {ci: 0 for ci in comp_idx}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in comp_idx:
+                    _cid, ch, cv, tq = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            v0 = int(grids[ci][my * cv + by, mx * ch + bx, 0]) >> al
+                            diff = v0 - preds[ci]
+                            preds[ci] = v0
+                            t = 0 if diff == 0 else abs(diff).bit_length()
+                            emit.symbol(tq, t)
+                            if t:
+                                emit.bits(
+                                    diff if diff >= 0 else diff + (1 << t) - 1, t
+                                )
+        return
+    if ss == 0:  # DC refine: one raw bit per block, no symbols
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in comp_idx:
+                    _cid, ch, cv, tq = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            v0 = int(grids[ci][my * cv + by, mx * ch + bx, 0])
+                            emit.bits((v0 >> al) & 1, 1)
+        return
+
+    # AC scans: single component, raster over its true block dims
+    (ci,) = comp_idx
+    _cid, ch, cv, tq = comps[ci]
+    bh, bw = frame_geom["bdims"][ci]
+    if ah == 0:  # AC first with EOB-run accumulation
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                emit.symbol(tq, n << 4)
+                if n:
+                    emit.bits(eobrun - (1 << n), n)
+                eobrun = 0
+
+        for by in range(bh):
+            for bx in range(bw):
+                zz = grids[ci][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    av = abs(v) >> al
+                    if av == 0:
+                        r += 1
+                        continue
+                    flush()
+                    while r > 15:
+                        emit.symbol(tq, 0xF0)
+                        r -= 16
+                    s = av.bit_length()
+                    emit.symbol(tq, (r << 4) | s)
+                    emit.bits(av if v > 0 else (av ^ ((1 << s) - 1)), s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+        flush()
+        return
+
+    # AC refinement (libjpeg encode_mcu_AC_refine shape)
+    eobrun = 0
+    be_bits: list[int] = []  # correction bits riding with the EOB run
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            emit.symbol(tq, n << 4)
+            if n:
+                emit.bits(eobrun - (1 << n), n)
+            eobrun = 0
+        for b in be_bits:
+            emit.bits(b, 1)
+        be_bits.clear()
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = grids[ci][by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = 0  # index AFTER which only EOB-foldable content remains
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i + 1
+            r = 0
+            br: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i < eob:
+                    flush()
+                    emit.symbol(tq, 0xF0)
+                    r -= 16
+                    for b in br:
+                        emit.bits(b, 1)
+                    br.clear()
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush()
+                emit.symbol(tq, (r << 4) | 1)
+                emit.bits(0 if int(zz[ss + i]) < 0 else 1, 1)
+                for b in br:
+                    emit.bits(b, 1)
+                br.clear()
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be_bits.extend(br)
+                if eobrun == 0x7FFF or len(be_bits) > 930:
+                    flush()
+    flush()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+) -> bytes:
+    """uint8 HW / HW1 / HWC RGB → PROGRESSIVE (SOF2) JFIF bytes.
+
+    Quantizes exactly like encode_jpeg (same tables, same quality
+    scaling), so decode(encode_jpeg_progressive(x, q)) is PIXEL-
+    IDENTICAL to decode(encode_jpeg(x, q)) at 4:4:4 — the coefficient
+    stream is the same, only the scan order differs (tests pin this).
+    `scans` is a list of (component_indices, Ss, Se, Ah, Al); the
+    default script exercises DC first/refine and split-band AC
+    first/refine with successive approximation Al 2→1→0. Each scan
+    ships its own optimal Huffman table (progressive EOB-run symbols
+    don't exist in the Annex K sequential tables)."""
+    comps, grids, ql, qc, gray, h, w = _quantize_components(arr, quality, subsample)
+    if scans is None:
+        scans = _default_progressive_scans(len(comps))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    bdims = []
+    for _cid, ch, cv, _tq in comps:
+        cw = -(-(w * ch) // hmax)
+        chh = -(-(h * cv) // vmax)
+        bdims.append((-(-chh // 8), -(-cw // 8)))
+    frame_geom = {"mcux": mcux, "mcuy": mcuy, "bdims": bdims}
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out += seg(0xDB, bytes([0x00]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch, cv, tq in comps:
+        sof += struct.pack(">BBB", cid, (ch << 4) | cv, tq)
+    out += seg(0xC2, sof)  # SOF2: progressive DCT
+
+    for scan in scans:
+        comp_idx, ss, se, ah, al = scan
+        if ss > 0 and len(comp_idx) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        counter = _SymCounter()
+        _run_progressive_scan(counter, comps, grids, frame_geom, scan)
+        tables: dict[int, dict[int, tuple[int, int]]] = {}
+        tc = 0 if ss == 0 else 1
+        for tid, freq in sorted(counter.freq.items()):
+            bits, vals = _optimal_huffman(freq)
+            out += seg(0xC4, bytes([(tc << 4) | tid]) + bytes(bits) + bytes(vals))
+            tables[tid] = _build_encode_table(bits, vals)
+        bw = _BitWriter()
+        emitter = _SymEmitter(bw, tables)
+        _run_progressive_scan(emitter, comps, grids, frame_geom, scan)
+        bw.flush()
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            cid, _ch, _cv, tq = comps[ci]
+            td_ta = (tq << 4) | tq if ss == 0 else tq
+            if ss == 0 and ah > 0:
+                td_ta = 0  # DC refine: no tables read
+            sos += bytes([cid, td_ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += bw.buf
+    out += b"\xff\xd9"
     return bytes(out)

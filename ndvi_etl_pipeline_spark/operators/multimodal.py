@@ -10,11 +10,12 @@ Design (mirrors how 100 TB multimodal lakes are actually laid out):
 - kernels are Arrow-batched mapInPandas over raw numpy views. The
   "raw" format (dtype-tagged packed arrays) is fully implemented —
   decode, resize, frame-sample, feature-extract all run for real —
-  and so are the pure-spec codecs: BMP, PPM, PNG, WAV, and baseline
-  JPEG (operators/jpeg.py). Only WebP and non-baseline JPEG profiles
-  (progressive/arithmetic/12-bit) still need a codec library:
-  `decode` raises NotImplementedError for them unless PIL is
-  importable, keeping the boundary honest and explicit.
+  and so are the pure-spec codecs: BMP, PPM, PNG, WAV, and JPEG
+  (operators/jpeg.py — baseline SOF0 and, since round 4, progressive
+  SOF2 with successive approximation). Only WebP and the exotic JPEG
+  profiles (arithmetic coding / 12-bit / hierarchical) still need a
+  codec library: `decode` raises NotImplementedError for them unless
+  PIL is importable, keeping the boundary honest and explicit.
 
 Batch-shape discipline: 1:1 kernels (features, resize, scan) yield
 one frame per input Arrow batch; row-MULTIPLYING kernels (patchify,
@@ -113,12 +114,13 @@ def decode_image(payload: bytes, meta) -> np.ndarray:
     (uncompressed BI_RGB 24/32-bit, the Windows DIB layout —
     bottom-up rows, BGR order, 4-byte row padding), binary PPM (P6),
     PNG (8-bit gray/RGB/RGBA, non-interlaced — zlib inflate + the
-    five scanline filters), and baseline JPEG (operators/jpeg.py:
-    huffman + IDCT, grayscale/4:4:4/4:2:2/4:2:0, restart markers —
-    the dominant real-world training-image format). The stub
-    boundary now covers only WebP and non-baseline JPEG profiles
-    (progressive/arithmetic/12-bit), which require PIL
-    (NotImplementedError otherwise)."""
+    five scanline filters), and JPEG (operators/jpeg.py: huffman +
+    IDCT, grayscale/4:4:4/4:2:2/4:2:0, restart markers, baseline
+    SOF0 AND progressive SOF2 — together the dominant real-world
+    training-image formats). The stub boundary now covers only WebP
+    and the exotic JPEG profiles (arithmetic coding / 12-bit /
+    hierarchical), which require PIL (NotImplementedError
+    otherwise)."""
     fmt = meta["format"]
     if fmt == "raw":
         return np.frombuffer(payload, dtype=np.uint8).reshape(

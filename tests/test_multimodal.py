@@ -79,17 +79,18 @@ def test_compressed_decode_is_stubbed(spark):
             b"RIFF\x00\x00\x00\x00WEBP",
             {"format": "webp", "width": 1, "height": 1, "channels": 3},
         )
-    # non-baseline JPEG profiles are guarded, not silently wrong: a
-    # progressive (SOF2) stream must raise
+    # exotic JPEG profiles are guarded, not silently wrong: a 12-bit
+    # precision frame must raise (progressive SOF2 decodes natively
+    # since round 4 — see test_jpeg_progressive_equals_baseline)
     import struct
 
-    prog = (
+    twelve = (
         b"\xff\xd8"
-        + b"\xff\xc2" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 8, 8, 1)
+        + b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(">BHHB", 12, 8, 8, 1)
         + b"\x01\x11\x00"
     )
-    with pytest.raises(NotImplementedError, match="baseline"):
-        MM.decode_image(prog, {"format": "jpeg", "width": 8, "height": 8, "channels": 1})
+    with pytest.raises(NotImplementedError, match="precision"):
+        MM.decode_image(twelve, {"format": "jpeg", "width": 8, "height": 8, "channels": 1})
 
 
 def test_patchify_images_grid_and_roundtrip(spark):
@@ -418,6 +419,62 @@ def test_jpeg_restart_markers():
         blob = encode_jpeg(img, quality=100, subsample="420", restart_interval=ri)
         assert b"\xff\xdd" in blob  # DRI segment present
         assert np.array_equal(decode_jpeg(blob), base), ri
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) decode, pinned by construction: the
+    progressive encoder quantizes identically to the baseline one, so
+    the two files carry the SAME coefficients in different scan
+    orders and must decode PIXEL-IDENTICALLY — across gray / 4:4:4 /
+    4:2:0 (4:2:0 exercises non-interleaved scans over partial MCU
+    grids), odd dimensions, and the full default scan script (DC
+    first at Al=1, split-band AC first at Al=2, DC refine, AC refine
+    Al 2→1→0 — every Annex G scan shape incl. EOB runs and
+    correction bits)."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    noisy = rng.integers(0, 256, (41, 53, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:41, 0:53]
+    smooth = np.stack(
+        [(yy * 3 + xx * 2) % 256, (yy + xx) % 256, (xx * 5) % 256], axis=-1
+    ).astype(np.uint8)
+    for img in (noisy, smooth):
+        for q in (60, 90):
+            for sub in ("444", "420"):
+                blob = encode_jpeg_progressive(img, quality=q, subsample=sub)
+                assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob[:200]
+                got = decode_jpeg(blob)
+                want = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+                assert np.array_equal(got, want), (q, sub)
+        gray = img[:, :, 0]
+        got = decode_jpeg(encode_jpeg_progressive(gray, quality=75))
+        want = decode_jpeg(encode_jpeg(gray, quality=75))
+        assert np.array_equal(got, want)
+
+
+def test_jpeg_progressive_flat_image_eob_runs():
+    """A flat image makes every AC-first block an EOB-run member —
+    the accumulated EOBn (r>0) symbols and the run-skip decode path
+    get exercised end to end, and a constant image must survive the
+    whole progressive pipeline exactly (DCT of a constant block is
+    DC-only, quantization is exact)."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((64, 64, 3), 77, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+    assert np.array_equal(out, img)
 
 
 def test_jpeg_vs_png_crosscheck():

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""sf10 benchmark tier for the SHUFFLE-BOUND families (round-4 ask:
+show where the Spark-vs-single-node curves cross as data grows, the
+way sf1 already shows it for minhash at 0.08×).
+
+Runs a fixed set of shuffle-bound / compute-bound queries — the
+item-CF pair (the one genuinely shuffle-bound plan in the catalog),
+the dedup tier, curation, two selection members, and brute-force ANN
+as the linear-scan control — at a fabricated sf10
+(tools/make_bench_sf.py --copies 100) on BOTH engines:
+
+  Spark:  cold (first run, includes JIT) + warm = min of 2 recomputes
+          (clearCache between runs; count() on plans whose joins
+          survive count-elimination was audited at sf1 — these all
+          materialize via collect() for timing honesty).
+  DuckDB: the registered oracle SQL, min of N runs with a wall-clock
+          budget — a query whose FIRST run exceeds the budget reports
+          that single honest measurement instead of burning the
+          harness (the crossover being measured IS DuckDB leaving the
+          feasible zone).
+
+Prints one JSON document (written to --out as well) shaped like the
+BENCH_sf1 artifact: {"spark": {...}, "duckdb": {...},
+"per_query_ratio": {...}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = (
+    "itemcf_similar_parts",
+    "itemcf_user_recs",
+    "dedup_minhash_lsh",
+    "dedup_exact_stats",
+    "curation_pipeline",
+    "exact_substring_coverage",
+    "dsir_importance_topk",
+    "ann_bruteforce_topk",
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="bench_sf10")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--duckdb-budget", type=float, default=900.0,
+                    help="stop re-running a DuckDB query once its runs exceed this many seconds total")
+    ap.add_argument("--skip-duckdb", action="store_true")
+    ap.add_argument("--skip-spark", action="store_true")
+    args = ap.parse_args()
+
+    from ndvi_etl_pipeline_spark.plans.queries import REGISTRY
+
+    result: dict = {"sf": args.sf_dir, "queries": list(QUERIES)}
+
+    if not args.skip_spark:
+        from pyspark.sql import functions as F
+
+        from ndvi_etl_pipeline_spark.session import get_spark
+
+        cpus = os.cpu_count() or 8
+        spark = get_spark(app_name="bench_sf10", shuffle_partitions=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        # non-registry JIT warm-up (same honesty device as bench.py)
+        spark.range(0, 1_000_000, 1, cpus).groupBy(
+            (F.col("id") % 7).alias("k")
+        ).count().count()
+        cold: dict[str, float] = {}
+        warm: dict[str, float] = {}
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            REGISTRY[name].builder(spark, args.sf_dir).collect()
+            cold[name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                REGISTRY[name].builder(spark, args.sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+            warm[name] = round(min(runs), 3)
+            sys.stderr.write(f"spark {name}: warm {warm[name]}s (cold {cold[name]}s)\n")
+        result["spark"] = {
+            "queries": warm,
+            "cold_queries": cold,
+            "value": round(sum(warm.values()), 3),
+            "cold_total": round(sum(cold.values()), 3),
+            "unit": "sec",
+        }
+
+    if not args.skip_duckdb:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count() or 8}")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+            )
+        dq: dict[str, float] = {}
+        for name in QUERIES:
+            runs: list[float] = []
+            spent = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(REGISTRY[name].oracle).fetchall()
+                dt = time.perf_counter() - t0
+                runs.append(dt)
+                spent += dt
+                if spent > args.duckdb_budget:
+                    break
+            dq[name] = round(min(runs), 3)
+            sys.stderr.write(f"duckdb {name}: {dq[name]}s ({len(runs)} runs)\n")
+        result["duckdb"] = {
+            "queries": dq,
+            "total": round(sum(dq.values()), 3),
+        }
+
+    if "spark" in result and "duckdb" in result:
+        result["per_query_ratio"] = {
+            n: round(result["spark"]["queries"][n] / result["duckdb"]["queries"][n], 2)
+            for n in QUERIES
+            if result["duckdb"]["queries"].get(n)
+        }
+        result["ratio_total"] = round(
+            result["spark"]["value"] / result["duckdb"]["total"], 2
+        )
+
+    text = json.dumps(result, indent=1)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -34,10 +34,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# NOTE: no pair-EMITTING dedup query (dedup_minhash_lsh & friends) in
+# this set. make_bench_sf's disjoint-universe replicator grows every
+# duplicate CLUSTER linearly with --copies, so candidate-pair volume
+# grows QUADRATICALLY (100 copies → 4950 pairs per original doc, vs 45
+# at sf1): the measurement would be dominated by a generator artifact,
+# not operator cost — real corpora grow the NUMBER of clusters, not
+# every cluster's size. The dedup crossover is already established at
+# sf1 (0.08×, BENCH_sf1_r03.json); this tier measures the LINEAR
+# shuffle-bound members at 10× that.
 QUERIES = (
     "itemcf_similar_parts",
     "itemcf_user_recs",
-    "dedup_minhash_lsh",
     "dedup_exact_stats",
     "curation_pipeline",
     "exact_substring_coverage",

@@ -332,13 +332,14 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return dot / (na * nb)
 
-    w = Window.orderBy(F.desc("rel6"), F.asc("vec_id"))
+    # top-8 candidates via orderBy+limit → TakeOrderedAndProject (a
+    # distributed partial top-k), NOT a global row_number window
+    # (which would single-partition the whole corpus sort at scale)
     cand = (
         e.filter(F.col("vec_id") >= _SPLIT)
         .select("vec_id", "v", F.round(cos(F.col("v"), qlit), 6).alias("rel6"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 8)
-        .select("vec_id", "v", "rel6")
+        .orderBy(F.desc("rel6"), F.asc("vec_id"))
+        .limit(8)
         .persist()
     )
     try:

@@ -20,11 +20,13 @@ DCT (spectral selection + successive approximation: DC-first,
 DC-refine, AC-first with EOB runs, AC-refine with correction bits —
 T.81 Annex G; round 4), 1 or 3 components, sampling factors that
 divide the max (covers 4:4:4, 4:2:2, 4:2:0), restart intervals,
-interleaved and non-interleaved scans. A progressive ENCODER
+interleaved and non-interleaved scans, AND 12-bit extended
+sequential (SOF1: 16-bit DQT entries, uint16 output; encoder
+encode_jpeg12 with per-image optimal tables). A progressive ENCODER
 (encode_jpeg_progressive) emits a configurable scan script so the
 decoder round-trips without any external codec. Arithmetic coding,
-12-bit, and CMYK raise NotImplementedError — a guarded boundary, not
-a silent wrong answer.
+hierarchical mode, and CMYK raise NotImplementedError — a guarded
+boundary, not a silent wrong answer.
 
 Reference parity note: the reference pipeline itself never decodes
 JPEG (its rasters are GeoTIFF); this module serves SURVEY's
@@ -293,12 +295,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables (12-bit JPEG)")
-                qtables[tq] = np.frombuffer(
-                    body, dtype=np.uint8, count=64, offset=off + 1
-                ).astype(np.int64)
-                off += 65
+                if pq == 0:
+                    qtables[tq] = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=off + 1
+                    ).astype(np.int64)
+                    off += 65
+                else:  # 16-bit entries (12-bit precision frames)
+                    qtables[tq] = np.frombuffer(
+                        body, dtype=">u2", count=64, offset=off + 1
+                    ).astype(np.int64)
+                    off += 129
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
@@ -310,7 +316,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 off += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision")
             comps = []
             for i in range(nc):
@@ -334,7 +340,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 c["bw"] = -(-cw // 8)
                 c["bh"] = -(-chh // 8)
             frame = {
-                "h": h, "w": w, "comps": comps,
+                "h": h, "w": w, "comps": comps, "prec": prec,
                 "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
                 "progressive": marker == 0xC2,
             }
@@ -533,6 +539,9 @@ def _assemble(frame, grids, qtables) -> np.ndarray:
     + chroma upsample + color transform — shared by both modes."""
     h, w = frame["h"], frame["w"]
     hmax, vmax = frame["hmax"], frame["vmax"]
+    prec = frame.get("prec", 8)
+    mid, top = float(1 << (prec - 1)), float((1 << prec) - 1)
+    dtype = np.uint8 if prec == 8 else np.uint16
     planes = []
     for c, grid in zip(frame["comps"], grids):
         q = qtables[c["tq"]]
@@ -540,8 +549,8 @@ def _assemble(frame, grids, qtables) -> np.ndarray:
         co = grid.reshape(-1, 64) * q[np.newaxis, :]
         spat = np.zeros((co.shape[0], 64))
         spat[:, ZIGZAG] = co  # de-zigzag
-        pix = _idct2_blocks(spat.reshape(-1, 8, 8)) + 128.0
-        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        pix = _idct2_blocks(spat.reshape(-1, 8, 8)) + mid
+        pix = np.clip(np.round(pix), 0, top).astype(dtype)
         plane = (
             pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         )
@@ -553,11 +562,11 @@ def _assemble(frame, grids, qtables) -> np.ndarray:
     if len(planes) == 1:
         return planes[0][:, :, np.newaxis]
     y, cb, cr = (p.astype(np.float64) for p in planes)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bch = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - mid)
+    g = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+    bch = y + 1.772 * (cb - mid)
     rgb = np.stack([r, g, bch], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, top).astype(dtype)
 
 
 # --- encoder --------------------------------------------------------------
@@ -1143,5 +1152,107 @@ def encode_jpeg_progressive(
         sos += bytes([ss, se, (ah << 4) | al])
         out += seg(0xDA, sos)
         out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- 12-bit extended sequential (SOF1) encoder -----------------------------
+
+
+def _seq_block(emit, dc_tid: int, ac_tid: int, zz: np.ndarray, pred: int) -> int:
+    """One sequential block through an emitter (count or write pass):
+    DC diff category + AC run/size symbols — the same symbol stream
+    _encode_block writes, but emitter-driven so 12-bit frames can
+    build optimal tables (categories up to 15 exceed the Annex K
+    sequential tables, which only reach 8-bit's 11/10)."""
+    diff = int(zz[0]) - pred
+    t = 0 if diff == 0 else abs(diff).bit_length()
+    emit.symbol(dc_tid, t)
+    if t:
+        emit.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            emit.symbol(ac_tid, 0xF0)
+            run -= 16
+        s = abs(v).bit_length()
+        emit.symbol(ac_tid, (run << 4) | s)
+        emit.bits(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        emit.symbol(ac_tid, 0x00)  # EOB
+    return int(zz[0])
+
+
+def encode_jpeg12(arr: np.ndarray, quality: int = 90) -> bytes:
+    """uint16 HW / HW1 grayscale with 12-bit samples (0..4095) →
+    extended-sequential (SOF1) JFIF bytes: 16-bit DQT (Annex K luma
+    table ×16 to match the wider dynamic range), level shift 2048,
+    and per-image OPTIMAL Huffman tables (12-bit DC categories reach
+    15 and AC sizes 14 — beyond the 8-bit Annex K tables). The
+    profile 12-bit rasters (medical, remote sensing) actually ship
+    in; round-trips against decode_jpeg, which returns uint16 for
+    12-bit frames."""
+    a = np.asarray(arr)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.ndim != 2:
+        raise ValueError("encode_jpeg12 is grayscale-only (HW or HW1)")
+    a = np.clip(a.astype(np.int64), 0, 4095).astype(np.float64)
+    h, w = a.shape
+    q12 = np.clip(_quality_scale(QUANT_LUMA, quality) * 16, 1, 65535)
+
+    ph, pw = -h % 8, -w % 8
+    plane = np.pad(a, ((0, ph), (0, pw)), mode="edge")
+    coefs = _dct2_blocks(_plane_blocks(plane - 2048.0))
+    quant = np.round(coefs / q12.reshape(8, 8)).astype(np.int64)
+    zz = quant.reshape(-1, 64)[:, ZIGZAG]
+
+    counter = _SymCounter()
+    pred = 0
+    for blk in zz:
+        pred = _seq_block(counter, 0, 1, blk, pred)
+    dc_bits, dc_vals = _optimal_huffman(counter.freq.get(0, {}))
+    ac_bits, ac_vals = _optimal_huffman(counter.freq.get(1, {}))
+    tables = {
+        0: _build_encode_table(dc_bits, dc_vals),
+        1: _build_encode_table(ac_bits, ac_vals),
+    }
+    bw = _BitWriter()
+    emitter = _SymEmitter(bw, tables)
+    pred = 0
+    for blk in zz:
+        pred = _seq_block(emitter, 0, 1, blk, pred)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out += seg(
+        0xDB,
+        bytes([0x10]) + q12[ZIGZAG].astype(">u2").tobytes(),  # pq=1: 16-bit
+    )
+    out += seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10 | 0x01]) + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xDA, bytes([1, 1, 0x01, 0, 63, 0]))
+    out += bw.buf
     out += b"\xff\xd9"
     return bytes(out)

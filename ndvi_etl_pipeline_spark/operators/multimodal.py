@@ -12,10 +12,11 @@ Design (mirrors how 100 TB multimodal lakes are actually laid out):
   decode, resize, frame-sample, feature-extract all run for real —
   and so are the pure-spec codecs: BMP, PPM, PNG, WAV, and JPEG
   (operators/jpeg.py — baseline SOF0 and, since round 4, progressive
-  SOF2 with successive approximation). Only WebP and the exotic JPEG
-  profiles (arithmetic coding / 12-bit / hierarchical) still need a
-  codec library: `decode` raises NotImplementedError for them unless
-  PIL is importable, keeping the boundary honest and explicit.
+  SOF2 with successive approximation plus 12-bit SOF1). Only WebP
+  and the exotic JPEG profiles (arithmetic coding / hierarchical)
+  still need a codec library: `decode` raises NotImplementedError
+  for them unless PIL is importable, keeping the boundary honest and
+  explicit.
 
 Batch-shape discipline: 1:1 kernels (features, resize, scan) yield
 one frame per input Arrow batch; row-MULTIPLYING kernels (patchify,
@@ -116,10 +117,10 @@ def decode_image(payload: bytes, meta) -> np.ndarray:
     PNG (8-bit gray/RGB/RGBA, non-interlaced — zlib inflate + the
     five scanline filters), and JPEG (operators/jpeg.py: huffman +
     IDCT, grayscale/4:4:4/4:2:2/4:2:0, restart markers, baseline
-    SOF0 AND progressive SOF2 — together the dominant real-world
-    training-image formats). The stub boundary now covers only WebP
-    and the exotic JPEG profiles (arithmetic coding / 12-bit /
-    hierarchical), which require PIL (NotImplementedError
+    SOF0, progressive SOF2, and 12-bit SOF1 — together the
+    dominant real-world training-image formats). The stub boundary
+    now covers only WebP and the exotic JPEG profiles (arithmetic
+    coding / hierarchical), which require PIL (NotImplementedError
     otherwise)."""
     fmt = meta["format"]
     if fmt == "raw":
@@ -139,7 +140,7 @@ def decode_image(payload: bytes, meta) -> np.ndarray:
             return decode_jpeg(payload)
         except NotImplementedError:
             if not HAVE_PIL:
-                raise  # progressive/arithmetic/12-bit without PIL
+                raise  # arithmetic-coded/hierarchical without PIL
     if HAVE_PIL:
         import io
 

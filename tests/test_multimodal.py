@@ -79,18 +79,18 @@ def test_compressed_decode_is_stubbed(spark):
             b"RIFF\x00\x00\x00\x00WEBP",
             {"format": "webp", "width": 1, "height": 1, "channels": 3},
         )
-    # exotic JPEG profiles are guarded, not silently wrong: a 12-bit
-    # precision frame must raise (progressive SOF2 decodes natively
-    # since round 4 — see test_jpeg_progressive_equals_baseline)
+    # exotic JPEG profiles are guarded, not silently wrong: an
+    # ARITHMETIC-coded frame (SOF9) must raise (progressive SOF2 and
+    # 12-bit SOF1 decode natively since round 4)
     import struct
 
-    twelve = (
+    arith = (
         b"\xff\xd8"
-        + b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(">BHHB", 12, 8, 8, 1)
+        + b"\xff\xc9" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 8, 8, 1)
         + b"\x01\x11\x00"
     )
-    with pytest.raises(NotImplementedError, match="precision"):
-        MM.decode_image(twelve, {"format": "jpeg", "width": 8, "height": 8, "channels": 1})
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        MM.decode_image(arith, {"format": "jpeg", "width": 8, "height": 8, "channels": 1})
 
 
 def test_patchify_images_grid_and_roundtrip(spark):
@@ -475,6 +475,33 @@ def test_jpeg_progressive_flat_image_eob_runs():
     img = np.full((64, 64, 3), 77, dtype=np.uint8)
     out = decode_jpeg(encode_jpeg_progressive(img, quality=90))
     assert np.array_equal(out, img)
+
+
+def test_jpeg_12bit_roundtrip():
+    """12-bit extended sequential (SOF1): 16-bit quant tables, level
+    shift 2048, per-image optimal Huffman tables (DC categories past
+    the 8-bit Annex K range). decode returns uint16 HW1; round-trip
+    error stays within the scaled quantization envelope."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg12
+
+    yy, xx = np.mgrid[0:45, 0:37]
+    img = ((yy * 61 + xx * 23) % 4096).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg12(img, quality=95))
+    assert out.shape == (45, 37, 1) and out.dtype == np.uint16
+    err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 24 and err.mean() < 8.0
+
+    # 12-bit headroom is real: values above the 8-bit range survive
+    hi = np.full((16, 16), 4000, np.uint16)
+    got = decode_jpeg(encode_jpeg12(hi, quality=90))[:, :, 0]
+    assert np.abs(got.astype(int) - 4000).max() <= 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grayscale"):
+        encode_jpeg12(np.zeros((8, 8, 3), np.uint16))
 
 
 def test_jpeg_vs_png_crosscheck():

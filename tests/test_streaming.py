@@ -914,3 +914,82 @@ def test_stream_neardup_gate_matches_greedy_replay(spark, tmp_path):
         spark, str(landing), curated, str(tmp_path / "ckpt2"), threshold=thr
     )
     assert {r.doc_id for r in spark.read.parquet(curated).collect()} == want
+
+
+def test_stream_ann_serving_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming ADC serving (streaming/ann.py): queries landed across
+    two drops, drained against a PQ-coded corpus, must produce EXACTLY
+    the batch pq_topk_adc result over the union of queries — ADC
+    ranking is per-query independent, so batch boundaries cannot show
+    through. Replays (same checkpoint AND a fresh checkpoint over the
+    same landing) re-serve nothing: the results store is its own
+    query_id ledger."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ndvi_etl_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+    )
+    from ndvi_etl_pipeline_spark.sources.testdata import load_table
+    from ndvi_etl_pipeline_spark.streaming.ann import stream_ann_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).collect()
+    assert len(queries) >= 4
+
+    landing = tmp_path / "qland"
+    landing.mkdir()
+    results = str(tmp_path / "served")
+    ckpt = str(tmp_path / "ckpt")
+    half = len(queries) // 2
+    for name, chunk in (("drop1", queries[:half]), ("drop2", queries[half:])):
+        (landing / f"{name}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"query_id": r.query_id, "embedding": list(r.v)})
+                for r in chunk
+            )
+        )
+    # duplicate query in drop2 (already served in drop1): must not dup
+    (landing / "drop2.jsonl").write_text(
+        (landing / "drop2.jsonl").read_text()
+        + "\n"
+        + _json.dumps(
+            {"query_id": queries[0].query_id, "embedding": list(queries[0].v)}
+        )
+    )
+
+    stream_ann_topk(spark, str(landing), results, ckpt, corpus, k=5)
+
+    books = pq_train(corpus, m=4, k=8, iterations=2)
+    codes = pq_encode(corpus, books)
+    want = {
+        (r.query_id, r.rank): (r.vec_id, r.adc_dist)
+        for r in pq_topk_adc(
+            codes,
+            e.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").cast("long"), "embedding"
+            ),
+            books,
+            k=5,
+        ).collect()
+    }
+    got_rows = spark.read.parquet(results).collect()
+    got = {(r.query_id, r.rank): (r.vec_id, r.adc_dist) for r in got_rows}
+    assert len(got_rows) == len(got) == len(want)  # no dup serves
+    assert got == want
+
+    # replay with the same checkpoint: no new files, store unchanged
+    stream_ann_topk(spark, str(landing), results, ckpt, corpus, k=5)
+    assert spark.read.parquet(results).count() == len(want)
+    # fresh checkpoint: every batch replays, the ledger suppresses all
+    stream_ann_topk(
+        spark, str(landing), results, str(tmp_path / "ckpt2"), corpus, k=5
+    )
+    assert spark.read.parquet(results).count() == len(want)

@@ -1,0 +1,289 @@
+"""Manifest lake: a minimal transactional table format on plain
+parquet — the snapshot/ACID layer a 100 TB curation store needs under
+concurrent writers and long-running readers (the public Delta Lake /
+Iceberg design, reduced to its load-bearing core; no proprietary
+formats, just parquet data files + JSON manifests).
+
+Layout:
+    <table>/data/<commit-uuid>/part-*.parquet   immutable data files
+    <table>/_manifests/v<N>.json                snapshot N: live files,
+                                                schema, op, row counts
+
+Invariants (the whole correctness story):
+- Data files are IMMUTABLE once referenced; every operation writes new
+  files and publishes a new manifest. Readers pin a manifest version,
+  so a reader started at v3 sees v3 forever (snapshot isolation) while
+  writers move the table forward.
+- A commit is the O_EXCL creation of `v<N+1>.json` — the filesystem's
+  atomic create-if-absent is the whole lock. Two concurrent writers
+  race on the same version; the loser gets ConcurrentCommitError and
+  retries on top of the winner (optimistic concurrency, Delta's
+  protocol).
+- DELETE is copy-on-write: only the files that actually contain
+  matching rows are rewritten (located via input_file_name()); all
+  other files carry over to the new manifest untouched.
+- COMPACT rewrites the live set into fewer files without changing
+  rows; old versions still reference the old files, so time travel
+  keeps working until VACUUM drops manifests (and then deletes data
+  files no kept manifest references).
+
+Driver work is manifest-scale (file lists, schema JSON); all row work
+is distributed Spark jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first — re-read the
+    latest manifest and retry the operation on top of it."""
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _latest_version(path: str) -> int | None:
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return None
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as fh:
+        return json.load(fh)
+
+
+def _commit(path: str, version: int, manifest: dict) -> None:
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    target = os.path.join(mdir, f"v{version}.json")
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise ConcurrentCommitError(
+            f"version {version} already committed at {path}"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+
+
+def _write_data_files(df: DataFrame, path: str) -> list[str]:
+    """Write df's rows as immutable parquet files under a fresh
+    commit-scoped subdir; return table-relative file paths."""
+    commit_id = uuid.uuid4().hex[:12]
+    out = os.path.join(path, "data", commit_id)
+    df.write.mode("error").parquet(out)
+    rel = []
+    for f in sorted(os.listdir(out)):
+        if f.endswith(".parquet"):
+            rel.append(os.path.join("data", commit_id, f))
+    return rel
+
+
+def _schema_compatible(old: T.StructType, new: T.StructType) -> bool:
+    by_name = {f.name: f.dataType for f in old.fields}
+    return all(
+        f.name not in by_name or f.dataType == by_name[f.name] for f in new.fields
+    )
+
+
+def lake_write(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Append or overwrite as ONE atomic snapshot commit; returns the
+    new version. Appends may ADD columns (schema evolution by union —
+    old files simply lack the column and read as NULL); changing an
+    existing column's type is rejected."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    latest = _latest_version(path)
+    prev = _read_manifest(path, latest) if latest is not None else None
+    if prev is not None and mode == "append":
+        old_schema = T.StructType.fromJson(prev["schema"])
+        if not _schema_compatible(old_schema, df.schema):
+            raise ValueError(
+                "append would change an existing column's type — "
+                "rewrite via overwrite instead"
+            )
+    n_rows = df.count()
+    files = _write_data_files(df, path)
+    live = files if (mode == "overwrite" or prev is None) else prev["files"] + files
+    if prev is not None and mode == "append":
+        old_schema = T.StructType.fromJson(prev["schema"])
+        merged = T.StructType(
+            list(old_schema.fields)
+            + [f for f in df.schema.fields if f.name not in old_schema.fieldNames()]
+        )
+    else:
+        merged = df.schema
+    version = 0 if latest is None else latest + 1
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "op": mode,
+            "ts": time.time(),
+            "files": live,
+            "schema": merged.jsonValue(),
+            "n_rows_delta": n_rows,
+        },
+    )
+    return version
+
+
+def lake_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read snapshot `version` (default: latest). The manifest pins the
+    exact file set, so concurrent writers never tear a read; absent
+    columns (pre-evolution files) read as NULL via the manifest
+    schema."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no manifest lake at {path}")
+    v = latest if version is None else version
+    m = _read_manifest(path, v)
+    schema = T.StructType.fromJson(m["schema"])
+    if not m["files"]:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(path, f) for f in m["files"]]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def lake_history(path: str) -> list[dict]:
+    latest = _latest_version(path)
+    if latest is None:
+        return []
+    out = []
+    for v in range(latest + 1):
+        try:
+            m = _read_manifest(path, v)
+        except FileNotFoundError:
+            continue  # vacuumed
+        out.append(
+            {
+                "version": v,
+                "op": m["op"],
+                "n_files": len(m["files"]),
+                "n_rows_delta": m.get("n_rows_delta"),
+            }
+        )
+    return out
+
+
+def lake_delete(spark: SparkSession, path: str, predicate) -> int:
+    """Copy-on-write DELETE: rewrite ONLY the files containing rows
+    matching `predicate` (a Column), carry every other file over
+    unchanged, publish one new snapshot. Returns the new version."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no manifest lake at {path}")
+    m = _read_manifest(path, latest)
+    schema = T.StructType.fromJson(m["schema"])
+    full = {os.path.abspath(os.path.join(path, f)): f for f in m["files"]}
+    if not full:
+        return latest
+    df = spark.read.schema(schema).parquet(*full).withColumn(
+        "__file", F.input_file_name()
+    )
+    # normalize the file:///-URI prefix input_file_name carries
+    strip = F.regexp_replace("__file", "^file:(//)?", "")
+    hit_files = {
+        r.f for r in df.filter(predicate).select(strip.alias("f")).distinct().collect()
+    }
+    # map back to table-relative names (input_file_name gives absolute)
+    rewritten_rel = [rel for abs_, rel in full.items() if abs_ in hit_files]
+    if not rewritten_rel:
+        return latest  # nothing matched: no new snapshot needed
+    keep_rel = [rel for abs_, rel in full.items() if abs_ not in hit_files]
+    survivors = (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(path, r) for r in rewritten_rel])
+        .filter(~predicate)
+    )
+    new_files = _write_data_files(survivors, path) if survivors.count() else []
+    version = latest + 1
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "op": "delete",
+            "ts": time.time(),
+            "files": keep_rel + new_files,
+            "schema": m["schema"],
+            "n_rows_delta": None,
+            "rewrote_files": rewritten_rel,
+        },
+    )
+    return version
+
+
+def lake_compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
+    """Rewrite the live file set into `num_files` files (same rows,
+    one new snapshot). Old snapshots keep referencing the old files —
+    time travel is unaffected until vacuum."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no manifest lake at {path}")
+    m = _read_manifest(path, latest)
+    df = lake_read(spark, path, latest).coalesce(num_files)
+    files = _write_data_files(df, path)
+    version = latest + 1
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "op": "compact",
+            "ts": time.time(),
+            "files": files,
+            "schema": m["schema"],
+            "n_rows_delta": 0,
+        },
+    )
+    return version
+
+
+def lake_vacuum(path: str, keep_last: int = 1) -> list[str]:
+    """Drop all but the last `keep_last` manifests, then delete every
+    data file no kept manifest references. Returns deleted files.
+    (The destructive end of the lifecycle — time travel shrinks to the
+    kept window, exactly like Delta's VACUUM.)"""
+    latest = _latest_version(path)
+    if latest is None:
+        return []
+    keep_from = max(0, latest - keep_last + 1)
+    kept_files: set[str] = set()
+    for v in range(keep_from, latest + 1):
+        try:
+            kept_files.update(_read_manifest(path, v)["files"])
+        except FileNotFoundError:
+            continue
+    deleted = []
+    for v in range(keep_from):
+        mf = os.path.join(_manifest_dir(path), f"v{v}.json")
+        if os.path.exists(mf):
+            os.remove(mf)
+    data_root = os.path.join(path, "data")
+    for commit_dir in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        cdir = os.path.join(data_root, commit_dir)
+        for f in sorted(os.listdir(cdir)):
+            rel = os.path.join("data", commit_dir, f)
+            if f.endswith(".parquet") and rel not in kept_files:
+                os.remove(os.path.join(cdir, f))
+                deleted.append(rel)
+    return deleted

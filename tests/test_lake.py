@@ -1,0 +1,128 @@
+"""Manifest lake (sources/lake.py): snapshot isolation, optimistic
+concurrency, copy-on-write delete, compaction + time travel, vacuum."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ndvi_etl_pipeline_spark.sources.lake import (
+    ConcurrentCommitError,
+    lake_compact,
+    lake_delete,
+    lake_history,
+    lake_read,
+    lake_vacuum,
+    lake_write,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_lake_append_overwrite_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    assert lake_write(_df(spark, [(1, "a"), (2, "b")]), t) == 0
+    assert lake_write(_df(spark, [(3, "c")]), t) == 1
+    assert lake_write(_df(spark, [(9, "z")]), t, mode="overwrite") == 2
+
+    # latest sees only the overwrite; every older snapshot is intact
+    assert {r.k for r in lake_read(spark, t).collect()} == {9}
+    assert {r.k for r in lake_read(spark, t, version=1).collect()} == {1, 2, 3}
+    assert {r.k for r in lake_read(spark, t, version=0).collect()} == {1, 2}
+    hist = lake_history(t)
+    assert [h["op"] for h in hist] == ["append", "append", "overwrite"]
+
+
+def test_lake_snapshot_isolation_under_writes(spark, tmp_path):
+    """A reader that pinned version 0 must see version 0's rows even
+    after later appends/overwrites move the table forward — the
+    manifest pins the exact file set."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)
+    pinned = lake_read(spark, t, version=0)
+    lake_write(_df(spark, [(2, "b")]), t)
+    lake_write(_df(spark, [(7, "q")]), t, mode="overwrite")
+    assert [r.k for r in pinned.collect()] == [1]
+
+
+def test_lake_concurrent_commit_conflict(spark, tmp_path):
+    """Two writers racing to the same version: the loser's O_EXCL
+    manifest create — the protocol's entire lock — must raise
+    ConcurrentCommitError, never clobber. Exercised at the commit
+    primitive (a race can't be staged deterministically around
+    lake_write, which re-reads latest right before committing), then
+    the retry path: a fresh lake_write lands on the next version with
+    both writers' rows visible."""
+    from ndvi_etl_pipeline_spark.sources.lake import _commit
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)
+    winner = {
+        "version": 1, "op": "append", "ts": 0,
+        "files": json.load(open(os.path.join(t, "_manifests", "v0.json")))["files"],
+        "schema": _df(spark, [(0, "x")]).schema.jsonValue(),
+        "n_rows_delta": 0,
+    }
+    _commit(t, 1, winner)  # writer A publishes v1 first
+    with pytest.raises(ConcurrentCommitError):
+        _commit(t, 1, winner)  # writer B loses the race on v1
+    # writer B retries on top of the winner and lands at v2
+    assert lake_write(_df(spark, [(2, "b")]), t) == 2
+    assert {r.k for r in lake_read(spark, t).collect()} == {1, 2}
+
+
+def test_lake_copy_on_write_delete(spark, tmp_path):
+    """DELETE rewrites only the files containing matches: the other
+    commit's files must carry over BY NAME (no rewrite), matched rows
+    disappear, and the pre-delete snapshot still has them."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    lake_write(_df(spark, [(3, "c"), (4, "d")]).coalesce(1), t)
+    m1 = json.load(open(os.path.join(t, "_manifests", "v1.json")))
+    untouched = [f for f in m1["files"]][:1]  # first commit's file
+
+    v = lake_delete(spark, t, F.col("k") == 4)
+    assert v == 2
+    assert {r.k for r in lake_read(spark, t).collect()} == {1, 2, 3}
+    assert {r.k for r in lake_read(spark, t, version=1).collect()} == {1, 2, 3, 4}
+    m2 = json.load(open(os.path.join(t, "_manifests", "v2.json")))
+    assert untouched[0] in m2["files"]  # unmatched file carried over
+    assert m2["rewrote_files"] and untouched[0] not in m2["rewrote_files"]
+
+    # a predicate matching nothing publishes NO new snapshot
+    assert lake_delete(spark, t, F.col("k") == 999) == 2
+
+
+def test_lake_schema_evolution_and_type_guard(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)
+    wide = spark.createDataFrame([(2, "b", 0.5)], "k int, v string, score double")
+    lake_write(wide, t)
+    got = {r.k: (r.v, r.score) for r in lake_read(spark, t).collect()}
+    assert got == {1: ("a", None), 2: ("b", 0.5)}  # old file reads NULL
+    bad = spark.createDataFrame([("x", "y")], "k string, v string")
+    with pytest.raises(ValueError, match="type"):
+        lake_write(bad, t)
+
+
+def test_lake_compact_and_vacuum(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(4):
+        lake_write(_df(spark, [(i, str(i))]).coalesce(1), t)
+    before = lake_read(spark, t)
+    v = lake_compact(spark, t, num_files=1)
+    m = json.load(open(os.path.join(t, "_manifests", f"v{v}.json")))
+    assert len(m["files"]) == 1
+    assert {r.k for r in lake_read(spark, t).collect()} == {0, 1, 2, 3}
+    # pre-compact snapshot still readable (old files still on disk)
+    assert {r.k for r in lake_read(spark, t, version=3).collect()} == {0, 1, 2, 3}
+    assert before.count() == 4
+
+    deleted = lake_vacuum(t, keep_last=1)
+    assert len(deleted) == 4  # the four pre-compact single-row files
+    # latest still intact; vacuumed snapshots are gone from history
+    assert {r.k for r in lake_read(spark, t).collect()} == {0, 1, 2, 3}
+    assert [h["version"] for h in lake_history(t)] == [v]

@@ -621,3 +621,71 @@ def test_scaling_law_vs_loglog_fit(spark, sf_dir_oracle):
         assert r.n_train == n_ref
         assert abs(r.accuracy - round(acc_ref, 4)) < 2e-4
         assert abs(r.scaling_exponent - round(float(b), 4)) < 2e-4
+
+
+def test_mmr_vs_independent_greedy_replay(spark, sf_dir_oracle):
+    """MMR (catalog part23) recomputed from raw parquet with an
+    independent numpy greedy — own cosine, own candidate cut, own
+    argmax walk — guarding against builder and CTE oracle sharing a
+    wrong greedy (e.g. rel-only first pick applied at every step, or
+    forgetting to drop selected candidates)."""
+    con = _con(sf_dir_oracle, ["embeddings"])
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings"
+    ).fetchall()
+    V = {int(i): np.array(e, dtype=np.float64) for i, e in rows}
+    q = V[0]
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    cand = sorted(
+        ((cos(q, V[i]), i) for i in V if i >= 5), key=lambda t: (-t[0], t[1])
+    )[:8]
+    lam = 0.7
+    picks = []
+    pool = list(cand)
+    for step in range(1, 4):
+        scored = []
+        for rel6, i in pool:
+            if any(i == pid for _s, pid in picks):
+                continue
+            maxsim = max(
+                (cos(V[i], V[pid]) for _s, pid in picks), default=0.0
+            )
+            score = round(lam * rel6 - (1 - lam) * maxsim, 6) if picks else round(
+                lam * rel6, 6
+            )
+            scored.append((score, i))
+        score, i = sorted(scored, key=lambda t: (-t[0], t[1]))[0]
+        picks.append((score, i))
+
+    got = _run(spark, sf_dir_oracle, "mmr_diversified_topk").sort_values(
+        "pick_order"
+    )
+    assert list(got.vec_id) == [i for _s, i in picks]
+    assert [round(s, 6) for s in got.mmr_score] == [s for s, _i in picks]
+
+
+def test_sq8_vs_independent_numpy_quantizer(spark, sf_dir_oracle):
+    """int8 scalar quantization (catalog part23) recomputed with an
+    independent numpy quantize→dequantize→rank pipeline (own min/step,
+    own clamping, own distance) — the third-way check on the affine
+    code math and the floor(x+0.5) tie rule."""
+    con = _con(sf_dir_oracle, ["embeddings"])
+    rows = con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    V = {int(i): np.array(e, dtype=np.float64) for i, e in rows}
+    C = np.stack([V[i] for i in sorted(V) if i >= 5])
+    ids = [i for i in sorted(V) if i >= 5]
+    mn, mx = C.min(axis=0), C.max(axis=0)
+    step = np.where(mx > mn, (mx - mn) / 255.0, 1.0)
+    codes = np.clip(np.floor((C - mn) / step + 0.5), 0, 255)
+    dec = mn + codes * step
+
+    got = _run(spark, sf_dir_oracle, "sq8_adc_topk")
+    for qid in range(5):
+        d2 = ((V[qid] - dec) ** 2).sum(axis=1)
+        order = sorted(zip(np.round(d2, 6), ids))[:5]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert list(sub.vec_id) == [i for _d, i in order], qid
+        assert np.allclose(list(sub.adc_dist), [d for d, _i in order], atol=2e-6)

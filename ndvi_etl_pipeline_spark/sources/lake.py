@@ -232,6 +232,72 @@ def lake_delete(spark: SparkSession, path: str, predicate) -> int:
     return version
 
 
+def lake_merge(
+    spark: SparkSession, updates: DataFrame, path: str, keys: tuple[str, ...]
+) -> int:
+    """MERGE (upsert by key) as ONE atomic snapshot: files containing
+    rows whose key appears in `updates` are rewritten WITHOUT those
+    rows (copy-on-write, same file-pruning as lake_delete), the
+    updates append as new files, and everything publishes in a single
+    manifest commit — matched rows replaced, unmatched inserted,
+    readers never see the intermediate state. Returns the new
+    version.
+
+    The key-set broadcast bounds the rewrite scan (a semi-join per
+    file); at warehouse scale this is Delta's MERGE with the update
+    side small — the common CDC shape."""
+    latest = _latest_version(path)
+    if latest is None:
+        lake_write(updates, path)
+        return 0
+    m = _read_manifest(path, latest)
+    schema = T.StructType.fromJson(m["schema"])
+    if not _schema_compatible(schema, updates.schema):
+        raise ValueError("merge would change an existing column's type")
+    full = {os.path.abspath(os.path.join(path, f)): f for f in m["files"]}
+    key_df = updates.select(*keys).distinct()
+    keep_rel, rewritten_rel = list(full.values()), []
+    new_files: list[str] = []
+    if full:
+        df = spark.read.schema(schema).parquet(*full).withColumn(
+            "__file", F.input_file_name()
+        )
+        strip = F.regexp_replace("__file", "^file:(//)?", "")
+        hits = df.join(F.broadcast(key_df), list(keys), "left_semi")
+        hit_files = {r.f for r in hits.select(strip.alias("f")).distinct().collect()}
+        rewritten_rel = [rel for abs_, rel in full.items() if abs_ in hit_files]
+        keep_rel = [rel for abs_, rel in full.items() if abs_ not in hit_files]
+        if rewritten_rel:
+            survivors = (
+                spark.read.schema(schema)
+                .parquet(*[os.path.join(path, r) for r in rewritten_rel])
+                .join(F.broadcast(key_df), list(keys), "left_anti")
+            )
+            if survivors.count():
+                new_files += _write_data_files(survivors, path)
+    n_up = updates.count()
+    new_files += _write_data_files(updates, path)
+    merged_schema = T.StructType(
+        list(schema.fields)
+        + [f for f in updates.schema.fields if f.name not in schema.fieldNames()]
+    )
+    version = latest + 1
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "op": "merge",
+            "ts": time.time(),
+            "files": keep_rel + new_files,
+            "schema": merged_schema.jsonValue(),
+            "n_rows_delta": n_up,
+            "rewrote_files": rewritten_rel,
+        },
+    )
+    return version
+
+
 def lake_compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
     """Rewrite the live file set into `num_files` files (same rows,
     one new snapshot). Old snapshots keep referencing the old files —

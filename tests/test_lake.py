@@ -126,3 +126,35 @@ def test_lake_compact_and_vacuum(spark, tmp_path):
     # latest still intact; vacuumed snapshots are gone from history
     assert {r.k for r in lake_read(spark, t).collect()} == {0, 1, 2, 3}
     assert [h["version"] for h in lake_history(t)] == [v]
+
+
+def test_lake_merge_upserts_atomically(spark, tmp_path):
+    """MERGE: matched keys replaced, unmatched inserted, all in ONE
+    snapshot; files without matching keys carry over BY NAME; the
+    pre-merge snapshot still shows the old values; merging into an
+    empty lake degenerates to a plain write."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_merge
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    lake_write(_df(spark, [(3, "c")]).coalesce(1), t)
+    m1 = json.load(open(os.path.join(t, "_manifests", "v1.json")))
+
+    up = _df(spark, [(2, "B2"), (4, "d")]).coalesce(1)
+    v = lake_merge(spark, up, t, keys=("k",))
+    assert v == 2
+    got = {r.k: r.v for r in lake_read(spark, t).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # pre-merge snapshot unchanged (time travel)
+    old = {r.k: r.v for r in lake_read(spark, t, version=1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+    m2 = json.load(open(os.path.join(t, "_manifests", "v2.json")))
+    # the (3,'c') file had no matching key: carried over by name
+    untouched = [f for f in m1["files"] if f not in m2.get("rewrote_files", [])]
+    assert any(f in m2["files"] for f in untouched)
+    assert m2["op"] == "merge"
+
+    # merge into an empty lake = plain write
+    t2 = str(tmp_path / "t2")
+    assert lake_merge(spark, _df(spark, [(1, "x")]), t2, keys=("k",)) == 0
+    assert {r.k for r in lake_read(spark, t2).collect()} == {1}

@@ -48,6 +48,47 @@ class ConcurrentCommitError(RuntimeError):
     latest manifest and retry the operation on top of it."""
 
 
+def _paths(entries) -> list[str]:
+    """Manifest file entries → table-relative paths (entries are
+    {"path", "stats"} dicts; bare strings accepted defensively)."""
+    return [e["path"] if isinstance(e, dict) else e for e in entries]
+
+
+_OPS = {
+    "==": lambda c, v: c == v,
+    "=": lambda c, v: c == v,
+    ">=": lambda c, v: c >= v,
+    ">": lambda c, v: c > v,
+    "<=": lambda c, v: c <= v,
+    "<": lambda c, v: c < v,
+}
+
+
+def _file_may_match(entry, where) -> bool:
+    """Can this file contain rows satisfying ALL (col, op, value)
+    conjuncts? False only when the manifest min/max PROVES emptiness —
+    missing stats always keep the file (correctness over skipping)."""
+    stats = entry.get("stats") if isinstance(entry, dict) else None
+    if not stats:
+        return True
+    for col, op, val in where:
+        rng = stats.get(col)
+        if not rng or rng[0] is None or rng[1] is None:
+            continue
+        mn, mx = rng
+        if op in ("==", "=") and not (mn <= val <= mx):
+            return False
+        if op == ">=" and mx < val:
+            return False
+        if op == ">" and mx <= val:
+            return False
+        if op == "<=" and mn > val:
+            return False
+        if op == "<" and mn >= val:
+            return False
+    return True
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
@@ -83,9 +124,25 @@ def _commit(path: str, version: int, manifest: dict) -> None:
         json.dump(manifest, fh, indent=1)
 
 
-def _write_data_files(df: DataFrame, path: str) -> list[str]:
+_STATS_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType, T.DateType, T.BooleanType,
+)
+
+
+def _json_safe(v):
+    return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+
+
+def _write_data_files(df: DataFrame, path: str) -> list[dict]:
     """Write df's rows as immutable parquet files under a fresh
-    commit-scoped subdir; return table-relative file paths."""
+    commit-scoped subdir; return manifest entries
+    [{"path": rel, "stats": {col: [min, max]}}, ...]. Per-file column
+    min/max (orderable scalar columns only) is the file-skipping
+    index: lake_read prunes files whose range provably misses a
+    predicate — Iceberg's manifest-stats design, the lever that makes
+    a 100 TB table readable without scanning it. Stats cost one
+    grouped aggregate over the just-written files."""
     commit_id = uuid.uuid4().hex[:12]
     out = os.path.join(path, "data", commit_id)
     df.write.mode("error").parquet(out)
@@ -93,7 +150,31 @@ def _write_data_files(df: DataFrame, path: str) -> list[str]:
     for f in sorted(os.listdir(out)):
         if f.endswith(".parquet"):
             rel.append(os.path.join("data", commit_id, f))
-    return rel
+    stat_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _STATS_TYPES)
+    ]
+    stats_by_file: dict[str, dict] = {}
+    if rel and stat_cols:
+        spark = df.sparkSession
+        aggs = []
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        strip = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+        per_file = (
+            spark.read.parquet(out)
+            .groupBy(strip.alias("src_file"))
+            .agg(*aggs)
+            .collect()
+        )
+        for r in per_file:
+            stats_by_file[os.path.basename(r["src_file"])] = {
+                c: [_json_safe(r[f"mn_{c}"]), _json_safe(r[f"mx_{c}"])]
+                for c in stat_cols
+            }
+    return [
+        {"path": p, "stats": stats_by_file.get(os.path.basename(p), {})}
+        for p in rel
+    ]
 
 
 def _schema_compatible(old: T.StructType, new: T.StructType) -> bool:
@@ -146,21 +227,42 @@ def lake_write(df: DataFrame, path: str, mode: str = "append") -> int:
     return version
 
 
-def lake_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def lake_read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
+) -> DataFrame:
     """Read snapshot `version` (default: latest). The manifest pins the
     exact file set, so concurrent writers never tear a read; absent
     columns (pre-evolution files) read as NULL via the manifest
-    schema."""
+    schema.
+
+    `where` is an optional conjunction of (column, op, value) with op
+    in ==/>=/>/<=/< — applied EXACTLY (as a real filter) after
+    manifest-stats FILE SKIPPING: files whose per-column min/max
+    proves no row can match never enter the scan at all. At 100 TB
+    this is the difference between reading a table and reading a
+    sliver of it (Iceberg's manifest-pruning design); the row filter
+    on the surviving files also pushes down into parquet row groups
+    as usual."""
     latest = _latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"no manifest lake at {path}")
     v = latest if version is None else version
     m = _read_manifest(path, v)
     schema = T.StructType.fromJson(m["schema"])
-    if not m["files"]:
+    entries = m["files"]
+    if where:
+        entries = [e for e in entries if _file_may_match(e, where)]
+    if not entries:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(path, f) for f in m["files"]]
-    return spark.read.schema(schema).parquet(*paths)
+    paths = [os.path.join(path, f) for f in _paths(entries)]
+    df = spark.read.schema(schema).parquet(*paths)
+    if where:
+        for col, op, val in where:
+            df = df.filter(_OPS[op](F.col(col), val))
+    return df
 
 
 def lake_history(path: str) -> list[dict]:
@@ -193,7 +295,10 @@ def lake_delete(spark: SparkSession, path: str, predicate) -> int:
         raise FileNotFoundError(f"no manifest lake at {path}")
     m = _read_manifest(path, latest)
     schema = T.StructType.fromJson(m["schema"])
-    full = {os.path.abspath(os.path.join(path, f)): f for f in m["files"]}
+    full = {
+        os.path.abspath(os.path.join(path, e["path"] if isinstance(e, dict) else e)): e
+        for e in m["files"]
+    }
     if not full:
         return latest
     df = spark.read.schema(schema).parquet(*full).withColumn(
@@ -204,11 +309,12 @@ def lake_delete(spark: SparkSession, path: str, predicate) -> int:
     hit_files = {
         r.f for r in df.filter(predicate).select(strip.alias("f")).distinct().collect()
     }
-    # map back to table-relative names (input_file_name gives absolute)
-    rewritten_rel = [rel for abs_, rel in full.items() if abs_ in hit_files]
-    if not rewritten_rel:
+    # map back to manifest entries (input_file_name gives absolute)
+    rewritten = [e for abs_, e in full.items() if abs_ in hit_files]
+    if not rewritten:
         return latest  # nothing matched: no new snapshot needed
-    keep_rel = [rel for abs_, rel in full.items() if abs_ not in hit_files]
+    keep = [e for abs_, e in full.items() if abs_ not in hit_files]
+    rewritten_rel = _paths(rewritten)
     survivors = (
         spark.read.schema(schema)
         .parquet(*[os.path.join(path, r) for r in rewritten_rel])
@@ -223,7 +329,7 @@ def lake_delete(spark: SparkSession, path: str, predicate) -> int:
             "version": version,
             "op": "delete",
             "ts": time.time(),
-            "files": keep_rel + new_files,
+            "files": keep + new_files,
             "schema": m["schema"],
             "n_rows_delta": None,
             "rewrote_files": rewritten_rel,
@@ -254,10 +360,13 @@ def lake_merge(
     schema = T.StructType.fromJson(m["schema"])
     if not _schema_compatible(schema, updates.schema):
         raise ValueError("merge would change an existing column's type")
-    full = {os.path.abspath(os.path.join(path, f)): f for f in m["files"]}
+    full = {
+        os.path.abspath(os.path.join(path, e["path"] if isinstance(e, dict) else e)): e
+        for e in m["files"]
+    }
     key_df = updates.select(*keys).distinct()
-    keep_rel, rewritten_rel = list(full.values()), []
-    new_files: list[str] = []
+    keep, rewritten_rel = list(full.values()), []
+    new_files: list[dict] = []
     if full:
         df = spark.read.schema(schema).parquet(*full).withColumn(
             "__file", F.input_file_name()
@@ -265,8 +374,8 @@ def lake_merge(
         strip = F.regexp_replace("__file", "^file:(//)?", "")
         hits = df.join(F.broadcast(key_df), list(keys), "left_semi")
         hit_files = {r.f for r in hits.select(strip.alias("f")).distinct().collect()}
-        rewritten_rel = [rel for abs_, rel in full.items() if abs_ in hit_files]
-        keep_rel = [rel for abs_, rel in full.items() if abs_ not in hit_files]
+        rewritten_rel = _paths([e for abs_, e in full.items() if abs_ in hit_files])
+        keep = [e for abs_, e in full.items() if abs_ not in hit_files]
         if rewritten_rel:
             survivors = (
                 spark.read.schema(schema)
@@ -289,7 +398,7 @@ def lake_merge(
             "version": version,
             "op": "merge",
             "ts": time.time(),
-            "files": keep_rel + new_files,
+            "files": keep + new_files,
             "schema": merged_schema.jsonValue(),
             "n_rows_delta": n_up,
             "rewrote_files": rewritten_rel,
@@ -336,7 +445,7 @@ def lake_vacuum(path: str, keep_last: int = 1) -> list[str]:
     kept_files: set[str] = set()
     for v in range(keep_from, latest + 1):
         try:
-            kept_files.update(_read_manifest(path, v)["files"])
+            kept_files.update(_paths(_read_manifest(path, v)["files"]))
         except FileNotFoundError:
             continue
     deleted = []

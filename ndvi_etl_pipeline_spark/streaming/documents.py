@@ -568,3 +568,69 @@ def stream_tokenized_documents(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_curated_documents_lake(
+    spark: SparkSession,
+    landing_dir: str,
+    curated_table: str,
+    checkpoint_dir: str,
+    min_quality: float = 0.5,
+) -> None:
+    """The landing-zone drain with the curated store as a MANIFEST
+    LAKE table (sources/lake.py) instead of loose parquet: every
+    micro-batch lands as one atomic snapshot commit, so
+
+    - a trainer that pinned version N keeps reading exactly version N
+      while the drain appends (snapshot isolation — loose parquet
+      readers can see half-written batches),
+    - the curated corpus is time-travelable per batch (which docs did
+      the store hold when run X trained? `lake_read(..., version=k)`),
+    - a crashed foreachBatch never leaves a torn append: data files
+      without a manifest commit are invisible to every reader, and the
+      replay's fingerprint anti-join still dedups content that DID
+      commit (the same store-is-the-ledger idiom, now reading through
+      the manifest).
+    """
+    from ..sources.lake import ConcurrentCommitError, lake_read, lake_write
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            seen = lake_read(spark, curated_table).select("fingerprint")
+        except FileNotFoundError:
+            seen = spark.createDataFrame([], "fingerprint string")
+        gated = (
+            batch_df.filter(F.col("text").isNotNull() & (F.length("text") >= 20))
+            .withColumn("fingerprint", exact_fingerprint("text"))
+            .withColumn("quality", quality_score("text"))
+            .filter(F.col("quality") >= min_quality)
+        )
+        in_batch = gated.groupBy("fingerprint").agg(
+            F.min_by(
+                F.struct("doc_id", "text", "source", "quality"), F.col("doc_id")
+            ).alias("w")
+        ).select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.text").alias("text"),
+            F.col("w.source").alias("source"),
+            "fingerprint",
+            F.col("w.quality").alias("quality"),
+        )
+        fresh = in_batch.join(seen, "fingerprint", "left_anti")
+        if fresh.count():
+            for _attempt in range(3):
+                try:
+                    lake_write(fresh, curated_table, mode="append")
+                    return
+                except ConcurrentCommitError:
+                    continue  # another writer advanced the table: retry
+            raise ConcurrentCommitError(curated_table)
+
+    reader = spark.readStream.schema(LANDING_SCHEMA).json(landing_dir)
+    q = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

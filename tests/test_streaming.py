@@ -993,3 +993,54 @@ def test_stream_ann_serving_equals_batch(spark, sf_dir, tmp_path):
         spark, str(landing), results, str(tmp_path / "ckpt2"), corpus, k=5
     )
     assert spark.read.parquet(results).count() == len(want)
+
+
+def test_stream_curated_documents_lake_snapshots(spark, tmp_path):
+    """Lake-backed curation drain: each micro-batch is one atomic
+    snapshot commit; cross-drain dedup reads through the manifest; a
+    reader pinned at version 0 is isolated from the second drain; and
+    lake history records the per-batch appends."""
+    import json as _json
+
+    from ndvi_etl_pipeline_spark.sources.lake import lake_history, lake_read
+    from ndvi_etl_pipeline_spark.streaming.documents import (
+        stream_curated_documents_lake,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table = str(tmp_path / "curated_lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    other = "a completely different document body with plenty of words here"
+    (landing / "drop1.jsonl").write_text(
+        "\n".join(
+            [
+                _json.dumps({"doc_id": 1, "text": good, "source": "a"}),
+                _json.dumps({"doc_id": 2, "text": "short", "source": "a"}),
+                _json.dumps({"doc_id": 3, "text": good, "source": "a"}),
+            ]
+        )
+    )
+    stream_curated_documents_lake(spark, str(landing), table, ckpt)
+    assert {r.doc_id for r in lake_read(spark, table).collect()} == {1}
+    pinned = lake_read(spark, table, version=0)
+
+    (landing / "drop2.jsonl").write_text(
+        "\n".join(
+            [
+                _json.dumps({"doc_id": 10, "text": good, "source": "b"}),
+                _json.dumps({"doc_id": 11, "text": other, "source": "b"}),
+            ]
+        )
+    )
+    stream_curated_documents_lake(spark, str(landing), table, ckpt)
+    assert {r.doc_id for r in lake_read(spark, table).collect()} == {1, 11}
+    # the pinned snapshot never saw drop2 (isolation through the drain)
+    assert {r.doc_id for r in pinned.collect()} == {1}
+    assert [h["op"] for h in lake_history(table)] == ["append", "append"]
+
+    # replay the drained stream: no new snapshot, store stable
+    stream_curated_documents_lake(spark, str(landing), table, ckpt)
+    assert len(lake_history(table)) == 2

@@ -277,15 +277,21 @@ def q_itemcf_user_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-level item-CF recommendations (operators/recsys.py:
     user_item_scores): for each of the first 20 customers, the top-3
     unowned parts by summed similarity to their purchase history.
-    The similarity relation is catalog-sized (items², co >= 2
-    pruned) and broadcasts; the history⋈similarity join shuffles on
-    the item key only."""
-    sims = _order_basket_sims(spark, sf_dir)
+    The history⋈similarity join shuffles on the item key only, and
+    the users' history items are pushed down as focus_items into pair
+    generation (the itemcf_similar_parts idiom): only pairs touching
+    an item one of the 20 users bought survive the dominant pair
+    shuffle — output identical, because the scorer joins sym on the
+    history item, so any pair not touching the history set can never
+    contribute to a score. At sf10 this cuts the pair shuffle from
+    corpus-sized to history-sized."""
     o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 20)
     li = _t(spark, sf_dir, "lineitem")
     baskets = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
         F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
     )
+    hist_items = baskets.select("item").distinct()
+    sims = _order_basket_sims(spark, sf_dir, focus_items=hist_items)
     recs = RS.user_item_scores(baskets, sims)
     ranked = (
         recs.withColumn(

@@ -532,3 +532,22 @@ def test_salted_join_rejects_outer_joins(spark):
     # left joins stay supported and exact
     got = salted_join(l, r, "k", how="left").collect()
     assert len(got) == 1 and got[0].w == "x"
+
+
+def test_curation_pipeline_dedup_has_no_window_sort(spark, sf_dir):
+    """The curation-pipeline fingerprint dedup must be a hash
+    aggregate (min_by over the fingerprint), NOT a row_number sort
+    window — at sf10 the window-sort form ran 3.8x the comparator
+    because every ~5 M-group partition had to sort, while min_by gets
+    a map-side partial combine and no per-group sort at all."""
+    from ndvi_etl_pipeline_spark.plans.queries import REGISTRY
+
+    plan = (
+        REGISTRY["curation_pipeline"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "min_by" in plan or "HashAggregate" in plan, plan

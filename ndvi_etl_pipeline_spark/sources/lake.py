@@ -6,6 +6,7 @@ formats, just parquet data files + JSON manifests).
 
 Layout:
     <table>/data/<commit-uuid>/part-*.parquet   immutable data files
+    <table>/data/<commit-uuid>/col=val/...      (partitioned tables)
     <table>/_manifests/v<N>.json                snapshot N: live files,
                                                 schema, op, row counts
 
@@ -17,15 +18,29 @@ Invariants (the whole correctness story):
 - A commit is the O_EXCL creation of `v<N+1>.json` — the filesystem's
   atomic create-if-absent is the whole lock. Two concurrent writers
   race on the same version; the loser gets ConcurrentCommitError and
-  retries on top of the winner (optimistic concurrency, Delta's
-  protocol).
+  the operation RETRIES automatically on top of the winner (optimistic
+  concurrency, Delta's protocol): appends re-merge the file list
+  (append vs append is always disjoint — the data files are already on
+  disk and immutable, only the manifest re-publishes), while
+  delete/merge/compact RE-RUN from the winner's snapshot, because the
+  winner may have added files the copy-on-write pruning never scanned.
+  Data files from a lost attempt are unreferenced orphans; vacuum
+  collects them after the retention window.
 - DELETE is copy-on-write: only the files that actually contain
   matching rows are rewritten (located via input_file_name()); all
   other files carry over to the new manifest untouched.
 - COMPACT rewrites the live set into fewer files without changing
   rows; old versions still reference the old files, so time travel
   keeps working until VACUUM drops manifests (and then deletes data
-  files no kept manifest references).
+  files no kept manifest references — but never files younger than
+  the retention window, which would corrupt an in-flight writer's
+  not-yet-committed snapshot).
+- Partitioned tables (lake_write(..., partition_by=...)) lay files
+  out hive-style under the commit dir; the partition VALUES are
+  recorded per file in the manifest, so lake_read prunes on them
+  exactly (Iceberg identity-partition pruning) even though the
+  columns are not stored inside the parquet files. Reads recover the
+  partition columns via one basePath-scoped scan per commit dir.
 
 Driver work is manifest-scale (file lists, schema JSON); all row work
 is distributed Spark jobs.
@@ -37,15 +52,40 @@ import json
 import os
 import time
 import uuid
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: Files younger than this are never vacuumed even when unreferenced —
+#: they may belong to a writer that has staged data but not yet
+#: committed its manifest (Delta's VACUUM retention, scaled to the
+#: single-host deployment; pass retention_seconds=0 only when no
+#: writer can be active).
+DEFAULT_VACUUM_RETENTION = 3600.0
+
+_MAX_COMMIT_ATTEMPTS = 6
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
 
 class ConcurrentCommitError(RuntimeError):
-    """Another writer published this version first — re-read the
-    latest manifest and retry the operation on top of it."""
+    """Another writer published this version first. Raised by the
+    low-level _commit primitive on every lost race (as the
+    _CommitConflict subclass, which the operations' bounded retry
+    loops consume internally) and by the public operations only when
+    the retry loop is exhausted — the table is moving faster than the
+    operation can re-run."""
+
+
+def _fs_path(name: str) -> str:
+    """input_file_name() value → decoded absolute filesystem path.
+    Spark returns a percent-encoded file: URI (a table path containing
+    a space arrives as %20), so a raw string compare against
+    os.path.abspath silently never matches — decode first."""
+    if name.startswith("file:"):
+        name = urlparse(name).path
+    return os.path.abspath(unquote(name))
 
 
 def _paths(entries) -> list[str]:
@@ -64,18 +104,65 @@ _OPS = {
 }
 
 
+def _cmp(op: str, left, right) -> bool:
+    if op in ("==", "="):
+        return left == right
+    if op == ">=":
+        return left >= right
+    if op == ">":
+        return left > right
+    if op == "<=":
+        return left <= right
+    return left < right  # "<"
+
+
+def _partition_value_matches(raw: str | None, op: str, val) -> bool:
+    """Exact pruning on a hive partition-dir value. The stored value
+    is a string (or None for the hive null dir); cast it to the
+    predicate value's type before comparing. Any cast doubt keeps the
+    file (correctness over skipping)."""
+    if raw is None:
+        return False  # NULL satisfies no comparison predicate
+    try:
+        if isinstance(val, bool):
+            typed = raw.lower() in ("true", "1")
+        elif isinstance(val, int):
+            typed = int(raw)
+        elif isinstance(val, float):
+            typed = float(raw)
+        else:
+            typed = raw
+    except (TypeError, ValueError):
+        return True
+    try:
+        return _cmp(op, typed, val)
+    except TypeError:
+        return True
+
+
 def _file_may_match(entry, where) -> bool:
     """Can this file contain rows satisfying ALL (col, op, value)
-    conjuncts? False only when the manifest min/max PROVES emptiness —
-    missing stats always keep the file (correctness over skipping)."""
-    stats = entry.get("stats") if isinstance(entry, dict) else None
-    if not stats:
+    conjuncts? False only when the manifest PROVES emptiness — from
+    the exact partition value when the column is a partition column,
+    else from the per-file min/max stats. Missing stats always keep
+    the file, and NaN bounds keep the file too: every comparison with
+    NaN is False, so a NaN max would otherwise "prove" emptiness for
+    a file that may hold matching non-NaN rows."""
+    if not isinstance(entry, dict):
         return True
+    parts = entry.get("partitions") or {}
+    stats = entry.get("stats") or {}
     for col, op, val in where:
+        if col in parts:
+            if not _partition_value_matches(parts[col], op, val):
+                return False
+            continue
         rng = stats.get(col)
         if not rng or rng[0] is None or rng[1] is None:
             continue
         mn, mx = rng
+        if mn != mn or mx != mx:  # NaN bound: stats prove nothing
+            continue
         if op in ("==", "=") and not (mn <= val <= mx):
             return False
         if op == ">=" and mx < val:
@@ -110,6 +197,11 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+class _CommitConflict(ConcurrentCommitError):
+    """Internal: lost the O_EXCL race on ONE version — re-read the
+    latest manifest and try again (bounded by _MAX_COMMIT_ATTEMPTS)."""
+
+
 def _commit(path: str, version: int, manifest: dict) -> None:
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
@@ -117,7 +209,7 @@ def _commit(path: str, version: int, manifest: dict) -> None:
     try:
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError as exc:
-        raise ConcurrentCommitError(
+        raise _CommitConflict(
             f"version {version} already committed at {path}"
         ) from exc
     with os.fdopen(fd, "w") as fh:
@@ -134,24 +226,49 @@ def _json_safe(v):
     return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
 
 
-def _write_data_files(df: DataFrame, path: str) -> list[dict]:
+def _partition_values(rel: str) -> dict[str, str | None]:
+    """Parse `col=val` segments out of a table-relative file path
+    (hive layout under data/<commit>/). Values are percent-decoded;
+    the hive null dir maps to None."""
+    out: dict[str, str | None] = {}
+    for seg in rel.split(os.sep)[2:-1]:  # skip data/<commit>/, drop filename
+        if "=" in seg:
+            col, _, raw = seg.partition("=")
+            out[col] = None if raw == _HIVE_NULL else unquote(raw)
+    return out
+
+
+def _write_data_files(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> list[dict]:
     """Write df's rows as immutable parquet files under a fresh
     commit-scoped subdir; return manifest entries
-    [{"path": rel, "stats": {col: [min, max]}}, ...]. Per-file column
-    min/max (orderable scalar columns only) is the file-skipping
-    index: lake_read prunes files whose range provably misses a
-    predicate — Iceberg's manifest-stats design, the lever that makes
-    a 100 TB table readable without scanning it. Stats cost one
-    grouped aggregate over the just-written files."""
+    [{"path": rel, "stats": {col: [min, max]}, "partitions": {...}}].
+    Per-file column min/max (orderable scalar columns only) is the
+    file-skipping index: lake_read prunes files whose range provably
+    misses a predicate — Iceberg's manifest-stats design, the lever
+    that makes a 100 TB table readable without scanning it. Stats cost
+    one grouped aggregate over the just-written files. Partitioned
+    writes additionally record each file's exact partition values for
+    identity-partition pruning."""
     commit_id = uuid.uuid4().hex[:12]
     out = os.path.join(path, "data", commit_id)
-    df.write.mode("error").parquet(out)
+    w = df.write.mode("error")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out)
     rel = []
-    for f in sorted(os.listdir(out)):
-        if f.endswith(".parquet"):
-            rel.append(os.path.join("data", commit_id, f))
+    for root, _dirs, names in os.walk(out):
+        for f in sorted(names):
+            if f.endswith(".parquet"):
+                rel.append(
+                    os.path.relpath(os.path.join(root, f), path)
+                )
+    rel.sort()
     stat_cols = [
-        f.name for f in df.schema.fields if isinstance(f.dataType, _STATS_TYPES)
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, _STATS_TYPES) and f.name not in partition_by
     ]
     stats_by_file: dict[str, dict] = {}
     if rel and stat_cols:
@@ -159,22 +276,54 @@ def _write_data_files(df: DataFrame, path: str) -> list[dict]:
         aggs = []
         for c in stat_cols:
             aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
-        strip = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
         per_file = (
             spark.read.parquet(out)
-            .groupBy(strip.alias("src_file"))
+            .groupBy(F.input_file_name().alias("src_file"))
             .agg(*aggs)
             .collect()
         )
         for r in per_file:
-            stats_by_file[os.path.basename(r["src_file"])] = {
+            stats_by_file[os.path.basename(_fs_path(r["src_file"]))] = {
                 c: [_json_safe(r[f"mn_{c}"]), _json_safe(r[f"mx_{c}"])]
                 for c in stat_cols
             }
-    return [
-        {"path": p, "stats": stats_by_file.get(os.path.basename(p), {})}
-        for p in rel
+    entries = []
+    for p in rel:
+        e = {"path": p, "stats": stats_by_file.get(os.path.basename(p), {})}
+        if partition_by:
+            e["partitions"] = _partition_values(p)
+        entries.append(e)
+    return entries
+
+
+def _read_entries(
+    spark: SparkSession, path: str, manifest: dict, entries
+) -> DataFrame:
+    """Read a subset of a snapshot's file entries under the manifest
+    schema. Partitioned tables need the partition columns recovered
+    from the hive dir names, which Spark does per basePath — one
+    basePath-scoped scan per commit dir, unioned by name (commit
+    count is manifest-scale)."""
+    schema = T.StructType.fromJson(manifest["schema"])
+    if not entries:
+        return spark.createDataFrame([], schema)
+    part_by = manifest.get("partition_by") or []
+    if not part_by:
+        paths = [os.path.join(path, p) for p in _paths(entries)]
+        return spark.read.schema(schema).parquet(*paths)
+    groups: dict[str, list[str]] = {}
+    for p in _paths(entries):
+        segs = p.split(os.sep)
+        base = os.path.join(path, segs[0], segs[1])  # data/<commit>
+        groups.setdefault(base, []).append(os.path.join(path, p))
+    dfs = [
+        spark.read.schema(schema).option("basePath", base).parquet(*files)
+        for base, files in sorted(groups.items())
     ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def _schema_compatible(old: T.StructType, new: T.StructType) -> bool:
@@ -184,15 +333,38 @@ def _schema_compatible(old: T.StructType, new: T.StructType) -> bool:
     )
 
 
-def lake_write(df: DataFrame, path: str, mode: str = "append") -> int:
+def lake_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] | None = None,
+) -> int:
     """Append or overwrite as ONE atomic snapshot commit; returns the
     new version. Appends may ADD columns (schema evolution by union —
     old files simply lack the column and read as NULL); changing an
-    existing column's type is rejected."""
+    existing column's type is rejected. `partition_by` lays files out
+    hive-style and records partition values for exact pruning; omit it
+    on append to inherit the table's existing layout.
+
+    Losing the commit race to a concurrent writer retries
+    automatically: the data files are already written and immutable,
+    and append vs append is always file-disjoint, so the retry only
+    re-reads the winner's manifest, re-merges the live-file list, and
+    re-publishes at the next version — no data is rewritten (Delta's
+    optimistic-append resolution)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     latest = _latest_version(path)
     prev = _read_manifest(path, latest) if latest is not None else None
+    prev_part = tuple(prev.get("partition_by") or ()) if prev else ()
+    if partition_by is None:
+        part_by = prev_part if (prev is not None and mode == "append") else ()
+    else:
+        part_by = tuple(partition_by)
+        if prev is not None and mode == "append" and part_by != prev_part:
+            raise ValueError(
+                f"append partition_by {part_by} != table layout {prev_part}"
+            )
     if prev is not None and mode == "append":
         old_schema = T.StructType.fromJson(prev["schema"])
         if not _schema_compatible(old_schema, df.schema):
@@ -201,30 +373,52 @@ def lake_write(df: DataFrame, path: str, mode: str = "append") -> int:
                 "rewrite via overwrite instead"
             )
     n_rows = df.count()
-    files = _write_data_files(df, path)
-    live = files if (mode == "overwrite" or prev is None) else prev["files"] + files
-    if prev is not None and mode == "append":
-        old_schema = T.StructType.fromJson(prev["schema"])
-        merged = T.StructType(
-            list(old_schema.fields)
-            + [f for f in df.schema.fields if f.name not in old_schema.fieldNames()]
-        )
-    else:
-        merged = df.schema
-    version = 0 if latest is None else latest + 1
-    _commit(
-        path,
-        version,
-        {
+    files = _write_data_files(df, path, part_by)
+    for attempt in range(_MAX_COMMIT_ATTEMPTS):
+        latest = _latest_version(path)
+        prev = _read_manifest(path, latest) if latest is not None else None
+        if prev is not None and mode == "append":
+            old_schema = T.StructType.fromJson(prev["schema"])
+            if not _schema_compatible(old_schema, df.schema):
+                raise ValueError(
+                    "append would change an existing column's type — "
+                    "rewrite via overwrite instead"
+                )
+            if tuple(prev.get("partition_by") or ()) != part_by:
+                raise ValueError(
+                    "concurrent writer changed the table's partition layout"
+                )
+            merged = T.StructType(
+                list(old_schema.fields)
+                + [
+                    f
+                    for f in df.schema.fields
+                    if f.name not in old_schema.fieldNames()
+                ]
+            )
+            live = prev["files"] + files
+        else:
+            merged = df.schema
+            live = files
+        version = 0 if latest is None else latest + 1
+        manifest = {
             "version": version,
             "op": mode,
             "ts": time.time(),
             "files": live,
             "schema": merged.jsonValue(),
             "n_rows_delta": n_rows,
-        },
+        }
+        if part_by:
+            manifest["partition_by"] = list(part_by)
+        try:
+            _commit(path, version, manifest)
+            return version
+        except _CommitConflict:
+            time.sleep(0.02 * (attempt + 1))
+    raise ConcurrentCommitError(
+        f"lost the commit race {_MAX_COMMIT_ATTEMPTS} times at {path}"
     )
-    return version
 
 
 def lake_read(
@@ -240,29 +434,74 @@ def lake_read(
 
     `where` is an optional conjunction of (column, op, value) with op
     in ==/>=/>/<=/< — applied EXACTLY (as a real filter) after
-    manifest-stats FILE SKIPPING: files whose per-column min/max
-    proves no row can match never enter the scan at all. At 100 TB
-    this is the difference between reading a table and reading a
-    sliver of it (Iceberg's manifest-pruning design); the row filter
-    on the surviving files also pushes down into parquet row groups
-    as usual."""
+    manifest FILE SKIPPING: files whose exact partition value or
+    per-column min/max proves no row can match never enter the scan at
+    all. At 100 TB this is the difference between reading a table and
+    reading a sliver of it (Iceberg's manifest-pruning design); the
+    row filter on the surviving files also pushes down into parquet
+    row groups as usual."""
     latest = _latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"no manifest lake at {path}")
     v = latest if version is None else version
     m = _read_manifest(path, v)
-    schema = T.StructType.fromJson(m["schema"])
     entries = m["files"]
     if where:
         entries = [e for e in entries if _file_may_match(e, where)]
-    if not entries:
-        return spark.createDataFrame([], schema)
-    paths = [os.path.join(path, f) for f in _paths(entries)]
-    df = spark.read.schema(schema).parquet(*paths)
+    df = _read_entries(spark, path, m, entries)
     if where:
         for col, op, val in where:
             df = df.filter(_OPS[op](F.col(col), val))
     return df
+
+
+def lake_read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC-lite incremental read: the rows APPENDED strictly after
+    snapshot `from_version` up to and including `to_version` (default
+    latest), computed as a manifest diff — only the files new in the
+    target snapshot are read, never the table. `from_version=-1`
+    means "since before the first commit" (the full target snapshot).
+
+    Incremental reads COMPOSE: for any split points a<b<c over an
+    append-only history, changes(a,b) ∪ changes(b,c) == changes(a,c),
+    and changes(-1, latest) == lake_read(latest) — the property an
+    incremental downstream stage needs to equal its batch twin.
+
+    Every commit in (from, to] must be an append: a delete/merge/
+    compact/overwrite rewrites files, so a file-set diff no longer
+    means "new rows" (a compaction's files are old rows re-bucketed).
+    Those histories raise ValueError — re-read the full snapshot
+    instead (the honest boundary; full CDC with per-row delete
+    vectors is a format, not a diff)."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no manifest lake at {path}")
+    to_v = latest if to_version is None else to_version
+    if from_version > to_v:
+        raise ValueError(f"from_version {from_version} > to_version {to_v}")
+    to_m = _read_manifest(path, to_v)
+    for v in range(max(from_version, -1) + 1, to_v + 1):
+        op = _read_manifest(path, v)["op"]
+        if op != "append":
+            raise ValueError(
+                f"incremental read undefined across non-append commit "
+                f"v{v} ({op}) — re-read the full snapshot instead"
+            )
+    if from_version < 0:
+        old = set()
+    else:
+        old = set(_paths(_read_manifest(path, from_version)["files"]))
+    new_entries = [
+        e
+        for e in to_m["files"]
+        if (e["path"] if isinstance(e, dict) else e) not in old
+    ]
+    return _read_entries(spark, path, to_m, new_entries)
 
 
 def lake_history(path: str) -> list[dict]:
@@ -286,56 +525,81 @@ def lake_history(path: str) -> list[dict]:
     return out
 
 
+def _retry_cow(op_name: str, path: str, once):
+    """Run a copy-on-write operation with optimistic-conflict retry:
+    `once()` reads the latest snapshot, does its row work, and
+    commits; losing the version race re-RUNS it from the winner's
+    snapshot (the winner may have added files the pruning never
+    scanned, so re-merging manifests alone would miss rows — Delta
+    resolves delete-vs-append the same way). Lost attempts leave only
+    unreferenced data files, which vacuum collects after retention."""
+    for attempt in range(_MAX_COMMIT_ATTEMPTS):
+        try:
+            return once()
+        except _CommitConflict:
+            time.sleep(0.02 * (attempt + 1))
+    raise ConcurrentCommitError(
+        f"{op_name} lost the commit race {_MAX_COMMIT_ATTEMPTS} times at {path}"
+    )
+
+
 def lake_delete(spark: SparkSession, path: str, predicate) -> int:
     """Copy-on-write DELETE: rewrite ONLY the files containing rows
     matching `predicate` (a Column), carry every other file over
-    unchanged, publish one new snapshot. Returns the new version."""
-    latest = _latest_version(path)
-    if latest is None:
-        raise FileNotFoundError(f"no manifest lake at {path}")
-    m = _read_manifest(path, latest)
-    schema = T.StructType.fromJson(m["schema"])
-    full = {
-        os.path.abspath(os.path.join(path, e["path"] if isinstance(e, dict) else e)): e
-        for e in m["files"]
-    }
-    if not full:
-        return latest
-    df = spark.read.schema(schema).parquet(*full).withColumn(
-        "__file", F.input_file_name()
-    )
-    # normalize the file:///-URI prefix input_file_name carries
-    strip = F.regexp_replace("__file", "^file:(//)?", "")
-    hit_files = {
-        r.f for r in df.filter(predicate).select(strip.alias("f")).distinct().collect()
-    }
-    # map back to manifest entries (input_file_name gives absolute)
-    rewritten = [e for abs_, e in full.items() if abs_ in hit_files]
-    if not rewritten:
-        return latest  # nothing matched: no new snapshot needed
-    keep = [e for abs_, e in full.items() if abs_ not in hit_files]
-    rewritten_rel = _paths(rewritten)
-    survivors = (
-        spark.read.schema(schema)
-        .parquet(*[os.path.join(path, r) for r in rewritten_rel])
-        .filter(~predicate)
-    )
-    new_files = _write_data_files(survivors, path) if survivors.count() else []
-    version = latest + 1
-    _commit(
-        path,
-        version,
-        {
+    unchanged, publish one new snapshot. Returns the new version.
+    Conflicts with concurrent commits re-run the whole delete from
+    the winner's snapshot (see _retry_cow)."""
+
+    def once() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {path}")
+        m = _read_manifest(path, latest)
+        full = {
+            os.path.abspath(
+                os.path.join(path, e["path"] if isinstance(e, dict) else e)
+            ): e
+            for e in m["files"]
+        }
+        if not full:
+            return latest
+        df = _read_entries(spark, path, m, m["files"]).withColumn(
+            "__file", F.input_file_name()
+        )
+        hit_files = {
+            _fs_path(r.f)
+            for r in df.filter(predicate)
+            .select(F.col("__file").alias("f"))
+            .distinct()
+            .collect()
+        }
+        rewritten = [e for abs_, e in full.items() if abs_ in hit_files]
+        if not rewritten:
+            return latest  # nothing matched: no new snapshot needed
+        keep = [e for abs_, e in full.items() if abs_ not in hit_files]
+        part_by = tuple(m.get("partition_by") or ())
+        survivors = _read_entries(spark, path, m, rewritten).filter(~predicate)
+        new_files = (
+            _write_data_files(survivors, path, part_by)
+            if survivors.count()
+            else []
+        )
+        version = latest + 1
+        manifest = {
             "version": version,
             "op": "delete",
             "ts": time.time(),
             "files": keep + new_files,
             "schema": m["schema"],
             "n_rows_delta": None,
-            "rewrote_files": rewritten_rel,
-        },
-    )
-    return version
+            "rewrote_files": _paths(rewritten),
+        }
+        if part_by:
+            manifest["partition_by"] = list(part_by)
+        _commit(path, version, manifest)
+        return version
+
+    return _retry_cow("delete", path, once)
 
 
 def lake_merge(
@@ -347,7 +611,7 @@ def lake_merge(
     updates append as new files, and everything publishes in a single
     manifest commit — matched rows replaced, unmatched inserted,
     readers never see the intermediate state. Returns the new
-    version.
+    version. Conflicts re-run from the winner's snapshot.
 
     The key-set broadcast bounds the rewrite scan (a semi-join per
     file); at warehouse scale this is Delta's MERGE with the update
@@ -356,45 +620,60 @@ def lake_merge(
     if latest is None:
         lake_write(updates, path)
         return 0
-    m = _read_manifest(path, latest)
-    schema = T.StructType.fromJson(m["schema"])
-    if not _schema_compatible(schema, updates.schema):
-        raise ValueError("merge would change an existing column's type")
-    full = {
-        os.path.abspath(os.path.join(path, e["path"] if isinstance(e, dict) else e)): e
-        for e in m["files"]
-    }
-    key_df = updates.select(*keys).distinct()
-    keep, rewritten_rel = list(full.values()), []
-    new_files: list[dict] = []
-    if full:
-        df = spark.read.schema(schema).parquet(*full).withColumn(
-            "__file", F.input_file_name()
-        )
-        strip = F.regexp_replace("__file", "^file:(//)?", "")
-        hits = df.join(F.broadcast(key_df), list(keys), "left_semi")
-        hit_files = {r.f for r in hits.select(strip.alias("f")).distinct().collect()}
-        rewritten_rel = _paths([e for abs_, e in full.items() if abs_ in hit_files])
-        keep = [e for abs_, e in full.items() if abs_ not in hit_files]
-        if rewritten_rel:
-            survivors = (
-                spark.read.schema(schema)
-                .parquet(*[os.path.join(path, r) for r in rewritten_rel])
-                .join(F.broadcast(key_df), list(keys), "left_anti")
+
+    def once() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            return lake_write(updates, path)
+        m = _read_manifest(path, latest)
+        schema = T.StructType.fromJson(m["schema"])
+        if not _schema_compatible(schema, updates.schema):
+            raise ValueError("merge would change an existing column's type")
+        part_by = tuple(m.get("partition_by") or ())
+        full = {
+            os.path.abspath(
+                os.path.join(path, e["path"] if isinstance(e, dict) else e)
+            ): e
+            for e in m["files"]
+        }
+        key_df = updates.select(*keys).distinct()
+        keep, rewritten_rel = list(full.values()), []
+        rewritten_entries: list = []
+        new_files: list[dict] = []
+        if full:
+            df = _read_entries(spark, path, m, m["files"]).withColumn(
+                "__file", F.input_file_name()
             )
-            if survivors.count():
-                new_files += _write_data_files(survivors, path)
-    n_up = updates.count()
-    new_files += _write_data_files(updates, path)
-    merged_schema = T.StructType(
-        list(schema.fields)
-        + [f for f in updates.schema.fields if f.name not in schema.fieldNames()]
-    )
-    version = latest + 1
-    _commit(
-        path,
-        version,
-        {
+            hits = df.join(F.broadcast(key_df), list(keys), "left_semi")
+            hit_files = {
+                _fs_path(r.f)
+                for r in hits.select(F.col("__file").alias("f"))
+                .distinct()
+                .collect()
+            }
+            rewritten_entries = [
+                e for abs_, e in full.items() if abs_ in hit_files
+            ]
+            rewritten_rel = _paths(rewritten_entries)
+            keep = [e for abs_, e in full.items() if abs_ not in hit_files]
+            if rewritten_entries:
+                survivors = _read_entries(
+                    spark, path, m, rewritten_entries
+                ).join(F.broadcast(key_df), list(keys), "left_anti")
+                if survivors.count():
+                    new_files += _write_data_files(survivors, path, part_by)
+        n_up = updates.count()
+        new_files += _write_data_files(updates, path, part_by)
+        merged_schema = T.StructType(
+            list(schema.fields)
+            + [
+                f
+                for f in updates.schema.fields
+                if f.name not in schema.fieldNames()
+            ]
+        )
+        version = latest + 1
+        manifest = {
             "version": version,
             "op": "merge",
             "ts": time.time(),
@@ -402,42 +681,63 @@ def lake_merge(
             "schema": merged_schema.jsonValue(),
             "n_rows_delta": n_up,
             "rewrote_files": rewritten_rel,
-        },
-    )
-    return version
+        }
+        if part_by:
+            manifest["partition_by"] = list(part_by)
+        _commit(path, version, manifest)
+        return version
+
+    return _retry_cow("merge", path, once)
 
 
 def lake_compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
     """Rewrite the live file set into `num_files` files (same rows,
     one new snapshot). Old snapshots keep referencing the old files —
-    time travel is unaffected until vacuum."""
-    latest = _latest_version(path)
-    if latest is None:
-        raise FileNotFoundError(f"no manifest lake at {path}")
-    m = _read_manifest(path, latest)
-    df = lake_read(spark, path, latest).coalesce(num_files)
-    files = _write_data_files(df, path)
-    version = latest + 1
-    _commit(
-        path,
-        version,
-        {
+    time travel is unaffected until vacuum. Conflicts re-run from the
+    winner's snapshot (compacting stale files would silently drop the
+    winner's changes)."""
+
+    def once() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {path}")
+        m = _read_manifest(path, latest)
+        part_by = tuple(m.get("partition_by") or ())
+        df = _read_entries(spark, path, m, m["files"]).coalesce(num_files)
+        files = _write_data_files(df, path, part_by)
+        version = latest + 1
+        manifest = {
             "version": version,
             "op": "compact",
             "ts": time.time(),
             "files": files,
             "schema": m["schema"],
             "n_rows_delta": 0,
-        },
-    )
-    return version
+        }
+        if part_by:
+            manifest["partition_by"] = list(part_by)
+        _commit(path, version, manifest)
+        return version
+
+    return _retry_cow("compact", path, once)
 
 
-def lake_vacuum(path: str, keep_last: int = 1) -> list[str]:
+def lake_vacuum(
+    path: str,
+    keep_last: int = 1,
+    retention_seconds: float = DEFAULT_VACUUM_RETENTION,
+) -> list[str]:
     """Drop all but the last `keep_last` manifests, then delete every
-    data file no kept manifest references. Returns deleted files.
-    (The destructive end of the lifecycle — time travel shrinks to the
-    kept window, exactly like Delta's VACUUM.)"""
+    data file that no kept manifest references AND whose mtime is
+    older than `retention_seconds`. Returns deleted files.
+
+    The retention window is the concurrent-writer guard: a writer that
+    has staged data files but not yet published its manifest — or one
+    that commits between the kept-file scan and the deletion loop —
+    holds files vacuum cannot see references to; deleting them would
+    corrupt the about-to-commit snapshot (Delta's VACUUM retention,
+    default 7 days there). Pass retention_seconds=0 only when no
+    writer can be active (the destructive end of the lifecycle)."""
     latest = _latest_version(path)
     if latest is None:
         return []
@@ -453,12 +753,18 @@ def lake_vacuum(path: str, keep_last: int = 1) -> list[str]:
         mf = os.path.join(_manifest_dir(path), f"v{v}.json")
         if os.path.exists(mf):
             os.remove(mf)
+    cutoff = time.time() - retention_seconds
     data_root = os.path.join(path, "data")
-    for commit_dir in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
-        cdir = os.path.join(data_root, commit_dir)
-        for f in sorted(os.listdir(cdir)):
-            rel = os.path.join("data", commit_dir, f)
-            if f.endswith(".parquet") and rel not in kept_files:
-                os.remove(os.path.join(cdir, f))
-                deleted.append(rel)
-    return deleted
+    if os.path.isdir(data_root):
+        for root, _dirs, names in os.walk(data_root):
+            for f in sorted(names):
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, path)
+                if (
+                    f.endswith(".parquet")
+                    and rel not in kept_files
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    os.remove(full)
+                    deleted.append(rel)
+    return sorted(deleted)

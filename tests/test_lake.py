@@ -122,7 +122,11 @@ def test_lake_compact_and_vacuum(spark, tmp_path):
     assert {r.k for r in lake_read(spark, t, version=3).collect()} == {0, 1, 2, 3}
     assert before.count() == 4
 
-    deleted = lake_vacuum(t, keep_last=1)
+    # default retention keeps even unreferenced files (they could be a
+    # concurrent writer's staged-but-uncommitted data); retention 0 is
+    # the explicit exclusive-access override
+    assert lake_vacuum(t, keep_last=1) == []
+    deleted = lake_vacuum(t, keep_last=1, retention_seconds=0)
     assert len(deleted) == 4  # the four pre-compact single-row files
     # latest still intact; vacuumed snapshots are gone from history
     assert {r.k for r in lake_read(spark, t).collect()} == {0, 1, 2, 3}
@@ -200,3 +204,194 @@ def test_lake_manifest_stats_prune_file_scans(spark, tmp_path):
     # entries with missing stats are always kept
     assert _file_may_match({"path": "x", "stats": {}}, [("k", "==", 1)])
     assert _file_may_match({"path": "x", "stats": {"k": [None, None]}}, [("k", "==", 1)])
+
+
+def test_lake_paths_with_spaces_and_percent(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI; the COW file
+    locator must decode it or a table path containing a space makes
+    lake_delete silently delete nothing and lake_merge keep the old
+    keyed rows next to the updates (duplicate keys)."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_merge
+
+    t = str(tmp_path / "odd dir %41" / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    v = lake_delete(spark, t, F.col("k") == 2)
+    assert v == 1
+    assert {r.k for r in lake_read(spark, t).collect()} == {1}
+
+    lake_merge(spark, _df(spark, [(1, "A1"), (3, "c")]).coalesce(1), t, keys=("k",))
+    rows = lake_read(spark, t).collect()
+    assert {r.k: r.v for r in rows} == {1: "A1", 3: "c"}
+    assert len(rows) == 2  # no duplicate k=1 from an unmatched rewrite
+
+
+def test_lake_nan_stats_never_prune(spark, tmp_path):
+    """A NaN min/max must KEEP the file: every comparison with NaN is
+    False, so treating the range as authoritative would 'prove'
+    emptiness for a file that holds matching non-NaN rows."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 0.5)], "k int, score double"
+    ).coalesce(1)
+    lake_write(df, t)
+    got = lake_read(spark, t, where=[("score", "==", 0.5)])
+    assert [r.k for r in got.collect()] == [2]
+    from ndvi_etl_pipeline_spark.sources.lake import _file_may_match
+
+    nan_entry = {"path": "x", "stats": {"score": [float("nan"), float("nan")]}}
+    assert _file_may_match(nan_entry, [("score", "==", 0.5)])
+    assert _file_may_match(nan_entry, [("score", ">=", 0.5)])
+
+
+def test_lake_concurrent_append_auto_retries(spark, tmp_path, monkeypatch):
+    """Two writers appending concurrently: the loser's lake_write must
+    land WITHOUT caller serialization — its data files are already on
+    disk and append vs append is file-disjoint, so the retry re-merges
+    the winner's manifest and republishes at the next version. Staged
+    by injecting a competing commit right before the loser's."""
+    import ndvi_etl_pipeline_spark.sources.lake as L
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)  # v0
+
+    winner_files = L._write_data_files(_df(spark, [(2, "b")]).coalesce(1), t)
+    real_commit = L._commit
+    injected = {"done": False}
+
+    def racing_commit(path, version, manifest):
+        if not injected["done"]:
+            injected["done"] = True
+            base = L._read_manifest(path, version - 1)
+            real_commit(
+                path,
+                version,
+                {
+                    "version": version,
+                    "op": "append",
+                    "ts": 0,
+                    "files": base["files"] + winner_files,
+                    "schema": base["schema"],
+                    "n_rows_delta": 1,
+                },
+            )  # writer A wins this version…
+        real_commit(path, version, manifest)  # …loser conflicts, retries
+
+    monkeypatch.setattr(L, "_commit", racing_commit)
+    v = lake_write(_df(spark, [(3, "c")]), t)  # loser lands at v2
+    assert v == 2
+    assert {r.k for r in lake_read(spark, t).collect()} == {1, 2, 3}
+    hist = lake_history(t)
+    assert [h["op"] for h in hist] == ["append", "append", "append"]
+
+
+def test_lake_concurrent_delete_reruns_from_winner(spark, tmp_path, monkeypatch):
+    """DELETE racing an append must RE-RUN from the winner's snapshot,
+    not just re-merge manifests: the winner may have appended rows
+    matching the predicate that the stale copy-on-write scan never
+    saw. After the race, the delete's snapshot reflects BOTH the
+    winner's append and the predicate applied to it."""
+    import ndvi_etl_pipeline_spark.sources.lake as L
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (14, "d")]).coalesce(1), t)  # v0
+
+    # winner appends one MATCHING row (k=40) and one keeper (k=5)
+    winner_files = L._write_data_files(
+        _df(spark, [(5, "e"), (40, "x")]).coalesce(1), t
+    )
+    real_commit = L._commit
+    injected = {"done": False}
+
+    def racing_commit(path, version, manifest):
+        if not injected["done"] and manifest["op"] == "delete":
+            injected["done"] = True
+            base = L._read_manifest(path, version - 1)
+            real_commit(
+                path,
+                version,
+                {
+                    "version": version,
+                    "op": "append",
+                    "ts": 0,
+                    "files": base["files"] + winner_files,
+                    "schema": base["schema"],
+                    "n_rows_delta": 2,
+                },
+            )
+        real_commit(path, version, manifest)
+
+    monkeypatch.setattr(L, "_commit", racing_commit)
+    v = lake_delete(spark, t, F.col("k") >= 10)
+    assert v == 2
+    # the re-run saw BOTH matches: 14 from v0 and the winner's 40
+    assert {r.k for r in lake_read(spark, t).collect()} == {1, 5}
+
+
+def test_lake_partitioned_write_prunes_and_reads(spark, tmp_path):
+    """Identity-partition pruning: values live in the hive dir names
+    (NOT inside the parquet files), are recorded per file in the
+    manifest, and a `where` on the partition column must (a) return
+    exactly the right rows with the column recovered, and (b) provably
+    skip every other partition's files."""
+    import json as _json
+
+    from ndvi_etl_pipeline_spark.sources.lake import _file_may_match
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "web"), (2, "b", "web"), (3, "c", "books"), (4, "d", "code")],
+        "k int, v string, src string",
+    ).repartition(2)
+    lake_write(df, t, partition_by=("src",))
+    lake_write(
+        spark.createDataFrame([(5, "e", "web")], "k int, v string, src string"),
+        t,  # partition_by inherited from the table layout
+    )
+
+    m = _json.load(open(os.path.join(t, "_manifests", "v1.json")))
+    assert m["partition_by"] == ["src"]
+    assert all(e["partitions"].get("src") for e in m["files"])
+
+    got = lake_read(spark, t, where=[("src", "==", "web")])
+    assert {r.k for r in got.collect()} == {1, 2, 5}
+    assert got.schema["src"].dataType.typeName() == "string"
+
+    pruned = [e for e in m["files"] if _file_may_match(e, [("src", "==", "web")])]
+    assert pruned and all(e["partitions"]["src"] == "web" for e in pruned)
+    skipped = [e for e in m["files"] if not _file_may_match(e, [("src", "==", "web")])]
+    assert skipped and all(e["partitions"]["src"] != "web" for e in skipped)
+
+    # full read recovers every partition; COW delete respects layout
+    assert {r.src for r in lake_read(spark, t).collect()} == {"web", "books", "code"}
+    lake_delete(spark, t, F.col("k") == 3)
+    assert {r.k for r in lake_read(spark, t).collect()} == {1, 2, 4, 5}
+    # mismatched explicit layout on append is rejected
+    with pytest.raises(ValueError, match="partition"):
+        lake_write(df, t, partition_by=("v",))
+
+
+def test_lake_read_changes_composes(spark, tmp_path):
+    """CDC-lite: changes(a,b) ∪ changes(b,c) == changes(a,c) ==
+    full read over an append-only history; non-append commits in the
+    range raise (a compaction's 'new' files are old rows)."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_read_changes
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]), t)  # v0
+    lake_write(_df(spark, [(3, "c")]), t)  # v1
+    lake_write(_df(spark, [(4, "d"), (5, "e")]), t)  # v2
+
+    c01 = {r.k for r in lake_read_changes(spark, t, -1, 0).collect()}
+    c12 = {r.k for r in lake_read_changes(spark, t, 0, 1).collect()}
+    c23 = {r.k for r in lake_read_changes(spark, t, 1, 2).collect()}
+    assert c01 == {1, 2} and c12 == {3} and c23 == {4, 5}
+    full = {r.k for r in lake_read_changes(spark, t, -1).collect()}
+    assert full == {r.k for r in lake_read(spark, t).collect()} == {1, 2, 3, 4, 5}
+    assert {r.k for r in lake_read_changes(spark, t, 0, 2).collect()} == c12 | c23
+    assert lake_read_changes(spark, t, 2, 2).count() == 0
+
+    lake_compact(spark, t, num_files=1)  # v3
+    with pytest.raises(ValueError, match="non-append"):
+        lake_read_changes(spark, t, 1)
+    # …but ranges before the compaction still work
+    assert {r.k for r in lake_read_changes(spark, t, 0, 2).collect()} == {3, 4, 5}

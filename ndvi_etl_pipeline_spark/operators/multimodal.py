@@ -137,7 +137,15 @@ def decode_image(payload: bytes, meta) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         try:
-            return decode_jpeg(payload)
+            arr = decode_jpeg(payload)
+            if arr.dtype == np.uint16:
+                # 12-bit SOF1 frame: this function's contract (and every
+                # downstream kernel — resize clips to 0..255) is uint8,
+                # so downscale the 0..4095 range EXPLICITLY rather than
+                # letting a later cast silently wrap. Callers that need
+                # the full 12-bit precision use jpeg.decode_jpeg direct.
+                arr = (arr >> 4).astype(np.uint8)
+            return arr
         except NotImplementedError:
             if not HAVE_PIL:
                 raise  # arithmetic-coded/hierarchical without PIL

@@ -403,11 +403,13 @@ def write_upsert_jdbc_stream(
     engines without native streaming-sink transactions (Flink's JDBC
     XA sink and Kafka-Connect JDBC use the same shape).
 
-    `replace` mode contract: a micro-batch must not contain two rows
-    with the same conflict key (Postgres rejects a set-based ON
-    CONFLICT DO UPDATE that hits a key twice; all engine stream
-    writers aggregate per key upstream, so this holds by
-    construction). `ignore` and `append` accept duplicates.
+    `replace` mode accepts duplicate conflict keys within a
+    micro-batch: the publish SELECT keeps one deterministic winner per
+    key (highest staging partition, value columns as tiebreak) before
+    the ON CONFLICT DO UPDATE — a raw set-based upsert would abort
+    with Postgres's "cannot affect row a second time" where the old
+    per-row executemany converged. `ignore` and `append` pass
+    duplicates through unchanged.
 
     The ledger is created if absent (idempotent DDL). Crash-recovery
     (replay after a simulated kill, append-mode included) is exercised
@@ -506,6 +508,24 @@ def write_upsert_jdbc_stream(
                 f"{quote_ident(c)} = excluded.{quote_ident(c)}"
                 for c in columns
                 if c not in conflict_keys
+            )
+            # A set-based ON CONFLICT DO UPDATE aborts if the SELECT
+            # yields the same conflict key twice ("cannot affect row a
+            # second time") — the old per-row executemany converged
+            # there, so keep converging: pick ONE deterministic winner
+            # per key in the publish SELECT (last staged partition,
+            # value columns as the tiebreak).
+            val_cols = [c for c in columns if c not in conflict_keys]
+            order = ", ".join(
+                ['"__part_id" DESC']
+                + [f"{quote_ident(c)} DESC" for c in val_cols]
+            )
+            publish = (
+                f"INSERT INTO {quote_ident(table)} ({cols}) "
+                f"SELECT {cols} FROM ("
+                f"SELECT {cols}, ROW_NUMBER() OVER ("
+                f"PARTITION BY {keys} ORDER BY {order}) AS __rn "
+                f"FROM {quote_ident(stage)}) __d WHERE __rn = 1"
             )
             publish += f" ON CONFLICT ({keys}) DO UPDATE SET {updates}"
         elif mode == "ignore":

@@ -673,3 +673,21 @@ def test_scan_media_directory(spark, tmp_path):
     assert skipped.count() == 5
     again = {r.path.split("/")[-1]: r.media_id for r in skipped.collect()}
     assert all(again[k] == rows[k].media_id for k in again)
+
+
+def test_jpeg_12bit_through_decode_image_downscales_explicitly():
+    """decode_image's contract is uint8 HWC and every downstream
+    kernel clips to 0..255, so a 12-bit SOF1 frame must be downscaled
+    EXPLICITLY (>>4 to the top 8 bits), never range-crushed by a
+    silent cast. Full precision remains available via
+    jpeg.decode_jpeg directly."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.jpeg import encode_jpeg12
+    from ndvi_etl_pipeline_spark.operators.multimodal import decode_image
+
+    hi = np.full((16, 16), 4000, np.uint16)  # would wrap to 160 via uint8 cast
+    out = decode_image(bytes(encode_jpeg12(hi, quality=90)), {"format": "jpeg"})
+    assert out.dtype == np.uint8 and out.shape == (16, 16, 1)
+    # 4000 >> 4 == 250: the top-8-bit downscale, not the wrapped 160
+    assert abs(int(out[:, :, 0].mean()) - 250) <= 2

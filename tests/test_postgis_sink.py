@@ -403,3 +403,28 @@ def test_adapt_paramstyle_by_driver_module():
 
     with sqlite3.connect(":memory:") as con:
         assert PG.adapt_paramstyle(sql, con) == sql
+
+
+def test_stream_upsert_sink_duplicate_keys_in_batch_converge(spark, tmp_path):
+    """replace mode with TWO rows sharing a conflict key in one
+    micro-batch: Postgres aborts a set-based ON CONFLICT DO UPDATE
+    that hits a key twice ('cannot affect row a second time'), so the
+    publish SELECT must keep one deterministic winner per key — the
+    per-row upsert this sink replaced converged here, and external
+    callers feed unaggregated batches."""
+    db = str(tmp_path / "pg.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE metrics (k INT, v REAL, UNIQUE(k))")
+
+    sink = PG.write_upsert_jdbc_stream(
+        "metrics", ("k",), connection_factory=lambda: sqlite3.connect(db, timeout=30)
+    )
+    dup = spark.createDataFrame(
+        [(1, 1.0), (1, 5.0), (2, 2.0)], "k int, v double"
+    ).coalesce(1)
+    sink(dup, 0)
+    with sqlite3.connect(db) as con:
+        rows = dict(con.execute("SELECT k, v FROM metrics").fetchall())
+        # deterministic winner: value-column DESC tiebreak within the key
+        assert rows == {1: 5.0, 2: 2.0}
+        assert con.execute("SELECT n_rows FROM stream_commits").fetchone()[0] == 3

@@ -101,6 +101,7 @@ _OPS = {
     ">": lambda c, v: c > v,
     "<=": lambda c, v: c <= v,
     "<": lambda c, v: c < v,
+    "in": lambda c, v: c.isin(list(v)),
 }
 
 
@@ -154,7 +155,12 @@ def _file_may_match(entry, where) -> bool:
     stats = entry.get("stats") or {}
     for col, op, val in where:
         if col in parts:
-            if not _partition_value_matches(parts[col], op, val):
+            if op == "in":
+                if not any(
+                    _partition_value_matches(parts[col], "==", v) for v in val
+                ):
+                    return False
+            elif not _partition_value_matches(parts[col], op, val):
                 return False
             continue
         rng = stats.get(col)
@@ -163,6 +169,8 @@ def _file_may_match(entry, where) -> bool:
         mn, mx = rng
         if mn != mn or mx != mx:  # NaN bound: stats prove nothing
             continue
+        if op == "in" and not any(mn <= v <= mx for v in val):
+            return False
         if op in ("==", "=") and not (mn <= val <= mx):
             return False
         if op == ">=" and mx < val:
@@ -433,7 +441,9 @@ def lake_read(
     schema.
 
     `where` is an optional conjunction of (column, op, value) with op
-    in ==/>=/>/<=/< — applied EXACTLY (as a real filter) after
+    in ==/>=/>/<=/</in (value is a collection for `in` — the
+    bucket-set restriction the streaming near-dup gate prunes its
+    admission index with) — applied EXACTLY (as a real filter) after
     manifest FILE SKIPPING: files whose exact partition value or
     per-column min/max proves no row can match never enter the scan at
     all. At 100 TB this is the difference between reading a table and
@@ -502,6 +512,34 @@ def lake_read_changes(
         if (e["path"] if isinstance(e, dict) else e) not in old
     ]
     return _read_entries(spark, path, to_m, new_entries)
+
+
+def lake_latest_version(path: str) -> int | None:
+    """Latest committed snapshot version, or None for no table —
+    the cursor anchor for incremental (CDC-lite) consumers."""
+    return _latest_version(path)
+
+
+def lake_column_max(path: str, col: str, version: int | None = None):
+    """Max of an orderable column across a snapshot computed from
+    MANIFEST STATS ALONE — zero data files read, driver work is
+    manifest-scale. Returns None when the table is missing, empty, or
+    any live file lacks stats for the column (the caller falls back
+    to a real scan); NaN bounds also force the fallback. This is how
+    an incremental consumer recovers its source-version cursor from
+    the derived table itself without scanning it."""
+    latest = _latest_version(path)
+    if latest is None:
+        return None
+    m = _read_manifest(path, latest if version is None else version)
+    best = None
+    for e in m["files"]:
+        stats = e.get("stats") if isinstance(e, dict) else None
+        rng = (stats or {}).get(col)
+        if not rng or rng[1] is None or rng[1] != rng[1]:
+            return None  # unknowable from stats: caller must scan
+        best = rng[1] if best is None or rng[1] > best else best
+    return best
 
 
 def lake_history(path: str) -> list[dict]:

@@ -361,13 +361,32 @@ def neardup_gate_batch(
     bucket — no all-pairs join, no driver collect. Exactly-once per
     content across replays: a replayed batch's rows are byte-identical
     to store rows and die in the fingerprint anti-join before the
-    kernel runs."""
-    import numpy as np
-    import pandas as pd
+    kernel runs.
 
+    This loose-parquet form cogroups the FULL store per batch — the
+    100 TB path is neardup_gate_batch_lake, whose bucket-partitioned
+    lake store prunes the per-batch embedding scan to only the
+    buckets present in the batch."""
+    store = _read_store_or_empty(
+        batch_df.sparkSession, curated_path, NEARDUP_CURATED_SCHEMA
+    )
+    fresh = _neardup_fresh_candidates(
+        batch_df, store.select("fingerprint"), n_bits
+    )
+    return _admit_against_store(
+        fresh, store.select("bucket", "doc_id", "embedding"), threshold
+    )
+
+
+def _neardup_fresh_candidates(
+    batch_df: DataFrame, seen_fp: DataFrame, n_bits: int
+) -> DataFrame:
+    """Batch rows → deduped candidates: drop null/empty embeddings,
+    fingerprint + LSH-bucket each row, keep the min-doc_id winner per
+    fingerprint (hash aggregate), anti-join the store's fingerprint
+    ledger."""
     from ..operators.similarity import sign_lsh_bucket
 
-    spark = batch_df.sparkSession
     base = (
         batch_df.filter(
             F.col("text").isNotNull()
@@ -390,8 +409,20 @@ def neardup_gate_batch(
         F.col("x.bucket").alias("bucket"),
         F.col("x.embedding").alias("embedding"),
     )
-    store = _read_store_or_empty(spark, curated_path, NEARDUP_CURATED_SCHEMA)
-    fresh = in_batch.join(store.select("fingerprint"), "fingerprint", "left_anti")
+    return in_batch.join(seen_fp, "fingerprint", "left_anti")
+
+
+def _admit_against_store(
+    fresh: DataFrame, store_embeddings: DataFrame, threshold: float
+) -> DataFrame:
+    """Bucket-cogrouped greedy admission: per bucket, candidates in
+    doc_id order are rejected iff round(cos, 6) >= threshold against
+    an already-admitted vector (store first, then batch admissions so
+    far). `store_embeddings` is a (bucket, doc_id, embedding)
+    relation — the FULL store for the loose-parquet gate, or only the
+    matching-bucket files for the lake-indexed gate."""
+    import numpy as np
+    import pandas as pd
 
     thr = float(threshold)
 
@@ -416,18 +447,102 @@ def neardup_gate_batch(
                 admitted.append(v)
         return cand_pdf.iloc[keep]
 
-    admitted = (
+    return (
         fresh.select("doc_id", "text", "source", "fingerprint", "bucket", "embedding")
         .groupBy("bucket")
-        .cogroup(
-            store.select("bucket", "doc_id", "embedding").groupBy("bucket")
-        )
+        .cogroup(store_embeddings.groupBy("bucket"))
         .applyInPandas(
             lambda cand, st: bucket_greedy(cand, st),
             schema=NEARDUP_CURATED_SCHEMA,
         )
     )
-    return admitted
+
+
+def neardup_gate_batch_lake(
+    batch_df: DataFrame,
+    curated_table: str,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+) -> DataFrame:
+    """The embedding near-dup gate with the curated store as a
+    BUCKET-PARTITIONED manifest-lake table (sources/lake.py) — the
+    incremental admission index. The loose-parquet gate cogroups the
+    FULL store's embeddings every micro-batch, O(store) per batch at
+    100 TB; here the store's hive layout keys each file by its LSH
+    bucket, so the per-batch embedding scan is
+
+        lake_read(table, where=[("bucket", "in", <batch buckets>)])
+
+    — identity-partition FILE SKIPPING prunes to exactly the buckets
+    present in the batch (near-dup pairs only form within a bucket,
+    so no other file can affect admission), making the scan
+    O(matching buckets), not O(store). The fingerprint ledger
+    anti-join still reads the full store's fingerprint COLUMN (a
+    column-pruned scan — the ledger is table-wide by definition), but
+    never the embedding payloads. The batch's distinct bucket set is
+    a ≤2^n_bits-row driver collect (metadata-scale).
+
+    Admission semantics are IDENTICAL to neardup_gate_batch — the
+    stream-equals-batch replay test pins both."""
+    from ..sources.lake import lake_read
+
+    spark = batch_df.sparkSession
+    try:
+        seen_fp = lake_read(spark, curated_table).select("fingerprint")
+        store_exists = True
+    except FileNotFoundError:
+        seen_fp = spark.createDataFrame([], "fingerprint string")
+        store_exists = False
+    fresh = _neardup_fresh_candidates(batch_df, seen_fp, n_bits)
+    store_cols = "bucket long, doc_id long, embedding array<double>"
+    if store_exists:
+        buckets = [r.bucket for r in fresh.select("bucket").distinct().collect()]
+        store_b = (
+            lake_read(spark, curated_table, where=[("bucket", "in", buckets)])
+            .select("bucket", "doc_id", "embedding")
+            if buckets
+            else spark.createDataFrame([], store_cols)
+        )
+    else:
+        store_b = spark.createDataFrame([], store_cols)
+    return _admit_against_store(fresh, store_b, threshold)
+
+
+def stream_neardup_documents_lake(
+    spark: SparkSession,
+    landing_dir: str,
+    curated_table: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+) -> None:
+    """Drain an embedded landing zone through the fingerprint +
+    embedding near-dup gates into a bucket-partitioned LAKE store:
+    every micro-batch lands as one atomic snapshot commit (snapshot
+    isolation + per-batch time travel, as in
+    stream_curated_documents_lake), and the admission index reads
+    only the batch's buckets (neardup_gate_batch_lake)."""
+    from ..sources.lake import lake_write
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = neardup_gate_batch_lake(
+            batch_df, curated_table, threshold, n_bits
+        ).localCheckpoint()
+        if fresh.count():
+            lake_write(fresh, curated_table, partition_by=("bucket",))
+
+    reader = (
+        spark.readStream.schema(EMBEDDED_LANDING_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing_dir)
+    )
+    q = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def stream_neardup_documents(
@@ -634,3 +749,78 @@ def stream_curated_documents_lake(
         .start()
     )
     q.awaitTermination()
+
+
+DERIVED_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("source_version", T.IntegerType()),
+    ]
+)
+
+
+def incremental_curation_from_lake(
+    spark: SparkSession, curated_table: str, derived_table: str
+) -> int:
+    """Catch a derived per-doc feature table up to the curated LAKE
+    store using CDC-LITE manifest diffs (sources/lake.py:
+    lake_read_changes): read ONLY the data files appended since the
+    last processed source version — never the whole store — derive
+    features, and append them to `derived_table` as ONE atomic commit
+    stamped with the source version they came from. Returns the
+    number of new feature rows (0 when already caught up).
+
+    The cursor is self-contained and crash-safe: it IS the committed
+    data (max(source_version) over the derived table, recovered from
+    MANIFEST STATS alone — lake_column_max, zero data files read, a
+    stats scan as fallback). There is no separate cursor file to get
+    out of sync: a run that crashes before its commit left nothing, a
+    replayed run recomputes the same cursor and is a no-op, and
+    incremental applications COMPOSE — applying after every source
+    append yields exactly the batch derivation over the full store
+    (the lake_read_changes composition property, test-pinned).
+
+    At 100 TB each application's cost is O(new files), the shape an
+    hourly downstream featurization job needs."""
+    from ..sources.lake import (
+        lake_column_max,
+        lake_latest_version,
+        lake_read,
+        lake_read_changes,
+        lake_write,
+    )
+
+    src_v = lake_latest_version(curated_table)
+    if src_v is None:
+        return 0
+    cursor = lake_column_max(derived_table, "source_version")
+    if cursor is None and lake_latest_version(derived_table) is not None:
+        # stats unavailable for some file: fall back to a real scan
+        row = lake_read(spark, derived_table).agg(
+            F.max("source_version").alias("m")
+        ).collect()[0]
+        cursor = row.m
+    start = -1 if cursor is None else int(cursor)
+    if start >= src_v:
+        return 0
+    changes = lake_read_changes(spark, curated_table, start, src_v)
+    feats = changes.select(
+        "doc_id",
+        "source",
+        "fingerprint",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: F.length(w) > 0
+            )
+        ).cast("int").alias("n_words"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.lit(src_v).cast("int").alias("source_version"),
+    ).localCheckpoint()
+    n = feats.count()
+    if n:
+        lake_write(feats, derived_table, mode="append")
+    return n

@@ -395,3 +395,49 @@ def test_lake_read_changes_composes(spark, tmp_path):
         lake_read_changes(spark, t, 1)
     # …but ranges before the compaction still work
     assert {r.k for r in lake_read_changes(spark, t, 0, 2).collect()} == {3, 4, 5}
+
+
+def test_lake_incremental_curation_composes_to_batch(spark, tmp_path):
+    """The CDC-lite downstream stage (streaming/documents.py:
+    incremental_curation_from_lake): applying after every source
+    append must (a) process ONLY the delta each time, (b) compose to
+    exactly the batch derivation over the full store, (c) be a no-op
+    when already caught up — the cursor recovered from manifest stats
+    alone, no cursor file."""
+    import pyspark.sql.functions as SF
+
+    from ndvi_etl_pipeline_spark.sources.lake import lake_column_max
+    from ndvi_etl_pipeline_spark.streaming.documents import (
+        incremental_curation_from_lake,
+    )
+
+    src = str(tmp_path / "curated")
+    drv = str(tmp_path / "features")
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, t, "s", f"fp{i}", 0.9) for i, t in rows],
+            "doc_id long, text string, source string, fingerprint string, quality double",
+        )
+
+    lake_write(docs([(1, "alpha beta"), (2, "gamma delta eps")]), src)  # v0
+    assert incremental_curation_from_lake(spark, src, drv) == 2
+    lake_write(docs([(3, "one two three four")]), src)  # v1
+    lake_write(docs([(4, "  five  ")]), src)  # v2
+    assert incremental_curation_from_lake(spark, src, drv) == 2  # only the delta
+    assert incremental_curation_from_lake(spark, src, drv) == 0  # caught up
+
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.source_version)
+        for r in lake_read(spark, drv).collect()
+    }
+    assert got == {
+        1: (2, 10, 0),
+        2: (3, 15, 0),
+        3: (4, 18, 2),
+        4: (1, 8, 2),
+    }
+    # cursor lives in manifest stats: recoverable without a data read
+    assert lake_column_max(drv, "source_version") == 2
+    # derived history shows exactly two incremental commits
+    assert [h["n_rows_delta"] for h in lake_history(drv)] == [2, 2]

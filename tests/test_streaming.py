@@ -1044,3 +1044,108 @@ def test_stream_curated_documents_lake_snapshots(spark, tmp_path):
     # replay the drained stream: no new snapshot, store stable
     stream_curated_documents_lake(spark, str(landing), table, ckpt)
     assert len(lake_history(table)) == 2
+
+
+def test_stream_neardup_lake_gate_matches_replay_and_prunes(spark, tmp_path):
+    """The LAKE-backed near-dup gate (bucket-partitioned admission
+    index): (a) the drained store equals the independent sequential
+    greedy replay — identical semantics to the loose-parquet gate;
+    (b) the per-batch embedding scan provably reads ONLY the files of
+    buckets present in the batch (identity-partition file skipping),
+    never the whole store; (c) replays admit nothing twice."""
+    import json as _json
+    import math as _math
+
+    from ndvi_etl_pipeline_spark.sources.lake import lake_history, lake_read
+    from ndvi_etl_pipeline_spark.streaming.documents import (
+        stream_neardup_documents_lake,
+    )
+
+    def rot(theta_deg):
+        th = _math.radians(theta_deg)
+        v = [5.0] * 8
+        v[0] = 5.0 * _math.cos(th) - 5.0 * _math.sin(th)
+        v[1] = 5.0 * _math.sin(th) + 5.0 * _math.cos(th)
+        return v
+
+    neg = [-5.0] * 8
+    docs = [
+        (1, "alpha document body one", rot(0)),
+        (2, "alpha document body one", rot(0)),   # exact-dup reject
+        (3, "beta paraphrase of one", rot(16)),   # near-dup of 1 -> reject
+        (4, "gamma unrelated enough", rot(32)),
+        (5, "delta other orthant", neg),
+    ]
+    drop2 = [
+        (10, "epsilon late twin of one", rot(2)),            # reject vs 1
+        (11, "zeta late twin of delta", [x * 1.01 for x in neg]),  # reject vs 5
+        (12, "eta far from everything admitted", rot(48)),
+    ]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    curated = str(tmp_path / "curated_lake")
+    ckpt = str(tmp_path / "ckpt")
+    thr = 0.99
+
+    (landing / "drop1.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": t, "source": "s", "embedding": e})
+            for i, t, e in docs
+        )
+    )
+    stream_neardup_documents_lake(spark, str(landing), curated, ckpt, threshold=thr)
+    (landing / "drop2.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": t, "source": "s", "embedding": e})
+            for i, t, e in drop2
+        )
+    )
+    stream_neardup_documents_lake(spark, str(landing), curated, ckpt, threshold=thr)
+
+    # independent greedy replay (pure python, arrival order)
+    def bucket(v):
+        return sum((1 << i) for i in range(8) if v[i] >= 0)
+
+    admitted, seen_texts = [], set()
+    for i, t, v in docs + drop2:
+        if t in seen_texts:
+            continue
+        seen_texts.add(t)
+        b = bucket(v)
+        dup = False
+        for _aid, ab, av in admitted:
+            if ab != b:
+                continue
+            dot = sum(x * y for x, y in zip(v, av))
+            nv = _math.sqrt(sum(x * x for x in v))
+            na = _math.sqrt(sum(x * x for x in av))
+            if round(dot / (nv * na), 6) >= thr:
+                dup = True
+                break
+        if not dup:
+            admitted.append((i, b, v))
+    want = {i for i, _b, _v in admitted}
+
+    got = {r.doc_id for r in lake_read(spark, curated).collect()}
+    assert got == want, (got, want)
+    assert [h["op"] for h in lake_history(curated)] == ["append", "append"]
+
+    # (b) bucket pruning is real: a single-bucket read's scan contains
+    # ONLY that bucket's files — this is what bounds the per-batch
+    # store scan to the batch's buckets at 100 TB
+    some_bucket = sorted({b for _i, b, _v in admitted})[0]
+    scan = lake_read(spark, curated, where=[("bucket", "in", [some_bucket])])
+    files = scan.inputFiles()
+    assert files and all(f"bucket={some_bucket}" in f for f in files)
+    all_files = lake_read(spark, curated).inputFiles()
+    assert len(files) < len(all_files)  # other buckets exist and were skipped
+
+    # (c) replay: same checkpoint is a no-op; a fresh checkpoint
+    # replays every batch and the fingerprint gate suppresses all of it
+    stream_neardup_documents_lake(spark, str(landing), curated, ckpt, threshold=thr)
+    assert {r.doc_id for r in lake_read(spark, curated).collect()} == want
+    stream_neardup_documents_lake(
+        spark, str(landing), curated, str(tmp_path / "ckpt2"), threshold=thr
+    )
+    assert {r.doc_id for r in lake_read(spark, curated).collect()} == want

@@ -12,11 +12,14 @@ Design (mirrors how 100 TB multimodal lakes are actually laid out):
   decode, resize, frame-sample, feature-extract all run for real —
   and so are the pure-spec codecs: BMP, PPM, PNG, WAV, and JPEG
   (operators/jpeg.py — baseline SOF0 and, since round 4, progressive
-  SOF2 with successive approximation plus 12-bit SOF1). Only WebP
-  and the exotic JPEG profiles (arithmetic coding / hierarchical)
-  still need a codec library: `decode` raises NotImplementedError
-  for them unless PIL is importable, keeping the boundary honest and
-  explicit.
+  SOF2 with successive approximation plus 12-bit SOF1). WebP routes
+  through operators/webp.py since round 5: container/dimension/
+  feature parsing is pure spec, pixel decode binds the system
+  libwebp C ABI via ctypes (no pip). Only the exotic JPEG profiles
+  (arithmetic coding / hierarchical) — and WebP pixels on a host
+  without libwebp — still need a codec library: `decode` raises
+  NotImplementedError for them unless PIL/libwebp is present,
+  keeping the boundary honest and explicit.
 
 Batch-shape discipline: 1:1 kernels (features, resize, scan) yield
 one frame per input Arrow batch; row-MULTIPLYING kernels (patchify,
@@ -118,10 +121,12 @@ def decode_image(payload: bytes, meta) -> np.ndarray:
     five scanline filters), and JPEG (operators/jpeg.py: huffman +
     IDCT, grayscale/4:4:4/4:2:2/4:2:0, restart markers, baseline
     SOF0, progressive SOF2, and 12-bit SOF1 — together the
-    dominant real-world training-image formats). The stub boundary
-    now covers only WebP and the exotic JPEG profiles (arithmetic
-    coding / hierarchical), which require PIL (NotImplementedError
-    otherwise)."""
+    dominant real-world training-image formats). WebP decodes via
+    operators/webp.py (pure-spec container parsing + the system
+    libwebp ABI for pixels; animated files and hosts without libwebp
+    raise). The stub boundary now covers only the exotic JPEG
+    profiles (arithmetic coding / hierarchical), which require PIL
+    (NotImplementedError otherwise)."""
     fmt = meta["format"]
     if fmt == "raw":
         return np.frombuffer(payload, dtype=np.uint8).reshape(
@@ -133,6 +138,10 @@ def decode_image(payload: bytes, meta) -> np.ndarray:
         return decode_ppm(payload)
     if fmt == "png" or payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if fmt == "webp" or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"):
+        from .webp import decode_webp
+
+        return decode_webp(payload)
     if fmt == "jpeg" or payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -832,6 +841,8 @@ def sniff_format(payload: bytes) -> tuple[str, str] | None:
             return fmt, mt
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav", "audio"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp", "image"
     return None
 
 

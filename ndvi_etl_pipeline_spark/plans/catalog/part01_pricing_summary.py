@@ -1507,6 +1507,86 @@ def q_jpeg_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "webp_roundtrip_fidelity",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + (doc_id % 4) * 8 AS INT) AS height,
+           CAST(24 + (doc_id % 3) * 8 AS INT) AS width,
+           CAST(3 AS INT) AS channels,
+           'vp8l' AS lossless_codec,
+           'vp8' AS lossy_codec,
+           true AS lossless_exact,
+           true AS lossy_within_tol
+    FROM documents WHERE doc_id < 10 ORDER BY doc_id
+    """,
+    tags=("multimodal", "webp", "binary"),
+)
+def q_webp_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WebP path (operators/webp.py) under the driver gate: per
+    document, a deterministic RGB image (dims keyed off doc_id) is
+    encoded BOTH lossless (VP8L) and lossy (VP8, q=90) and decoded
+    back inside one Arrow kernel. The reported codec comes from the
+    PURE-SPEC container parse (webp_info — RIFF walk, VP8 key-frame
+    tag + start code, VP8L signature bits), the dims from the decoded
+    array, lossless_exact asserts bit-identity and lossy_within_tol a
+    mean-|err| < 16 envelope — so a container-layout bug, a codec
+    misroute, or a decode regression flips a value and fails the
+    hash. Batch-bounded mapInPandas; payloads never shuffle."""
+    import pandas as _pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10).select("doc_id")
+
+    schema = (
+        "doc_id bigint, height int, width int, channels int, "
+        "lossless_codec string, lossy_codec string, "
+        "lossless_exact boolean, lossy_within_tol boolean"
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        from ...operators.webp import decode_webp, encode_webp, webp_info
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                h = 16 + (doc_id % 4) * 8
+                w = 24 + (doc_id % 3) * 8
+                jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+                img = np.stack(
+                    [
+                        np.clip(ii * 5 + doc_id, 0, 255),
+                        np.clip(jj * 4, 0, 255),
+                        np.clip(200 - ii * 2 - jj, 0, 255),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                ll = encode_webp(img, lossless=True)
+                lossy = encode_webp(img, quality=90.0)
+                out_ll = decode_webp(ll)
+                out_ly = decode_webp(lossy)
+                err = float(
+                    np.abs(out_ly.astype(int) - img.astype(int)).mean()
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "height": out_ll.shape[0],
+                        "width": out_ll.shape[1],
+                        "channels": out_ll.shape[2],
+                        "lossless_codec": webp_info(ll)["codec"],
+                        "lossy_codec": webp_info(lossy)["codec"],
+                        "lossless_exact": bool(np.array_equal(out_ll, img)),
+                        "lossy_within_tol": err < 16.0,
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return d.mapInPandas(kernel, schema=schema).orderBy("doc_id")
+
+
+@register(
     "ann_bruteforce_topk",
     oracle=f"""
     WITH scored AS (

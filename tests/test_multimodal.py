@@ -691,3 +691,132 @@ def test_jpeg_12bit_through_decode_image_downscales_explicitly():
     assert out.dtype == np.uint8 and out.shape == (16, 16, 1)
     # 4000 >> 4 == 250: the top-8-bit downscale, not the wrapped 160
     assert abs(int(out[:, :, 0].mean()) - 250) <= 2
+
+
+def test_webp_container_parsing_pure_spec():
+    """webp_info parses RIFF/VP8/VP8L/VP8X byte layouts natively (no
+    libwebp): dims from the VP8 key-frame header / VP8L bit-packed
+    fields, animation + alpha flags from VP8X — the metadata a media
+    scan extracts without decoding pixels."""
+    import struct
+
+    import pytest as _pytest
+
+    from ndvi_etl_pipeline_spark.operators.webp import webp_info
+
+    def riff(*chunks):
+        body = b"WEBP"
+        for fourcc, data in chunks:
+            body += fourcc + struct.pack("<I", len(data)) + data
+            if len(data) & 1:
+                body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # hand-built VP8 key-frame header: tag(3) + start code + 14-bit dims
+    tag = struct.pack("<I", (100 << 5))[:3]  # keyframe=0, ver=0, part size 100
+    vp8 = tag + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240) + b"\x00" * 8
+    info = webp_info(riff((b"VP8 ", vp8)))
+    assert (info["codec"], info["width"], info["height"]) == ("vp8", 320, 240)
+    assert not info["lossless"] and not info["animated"]
+
+    # VP8L: signature + width-1/height-1 in 14-bit fields + alpha bit
+    bits = (17 - 1) | ((9 - 1) << 14) | (1 << 28)
+    vp8l = bytes([0x2F]) + struct.pack("<I", bits)
+    info = webp_info(riff((b"VP8L", vp8l)))
+    assert (info["codec"], info["width"], info["height"]) == ("vp8l", 17, 9)
+    assert info["lossless"] and info["alpha"]
+
+    # VP8X with the ANIM flag must be detected WITHOUT pixel decode
+    vp8x = bytes([0x02]) + b"\x00\x00\x00" + (63).to_bytes(3, "little") + (31).to_bytes(3, "little")
+    info = webp_info(riff((b"VP8X", vp8x), (b"VP8 ", vp8)))
+    assert info["animated"] and info["width"] == 64 and info["height"] == 32
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        webp_info(b"NOPE" + b"\x00" * 20)
+    with _pytest.raises(ValueError, match="start code"):
+        webp_info(riff((b"VP8 ", tag + b"\xff\xff\xff" + b"\x00" * 8)))
+
+
+def test_webp_roundtrip_and_scan():
+    """Lossless encode→decode is bit-exact; lossy stays within a
+    quality-90 envelope; sniff_format routes the container; animated
+    payloads raise at the container layer."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ndvi_etl_pipeline_spark.operators.webp import (
+        HAVE_LIBWEBP,
+        decode_webp,
+        encode_webp,
+        webp_info,
+    )
+    from ndvi_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        sniff_format,
+    )
+
+    if not HAVE_LIBWEBP:
+        _pytest.skip("system libwebp not present")
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [(yy * 3 + xx) % 256, (xx * 2) % 256, (yy + 128) % 256], axis=2
+    ).astype(np.uint8)
+
+    ll = encode_webp(img, lossless=True)
+    assert sniff_format(ll) == ("webp", "image")
+    info = webp_info(ll)
+    assert (info["width"], info["height"], info["lossless"]) == (56, 40, True)
+    out = decode_webp(ll)
+    assert out.shape == (40, 56, 3) and np.array_equal(out, img)
+
+    lossy = encode_webp(img, quality=90.0)
+    assert webp_info(lossy)["codec"] == "vp8"
+    got = decode_image(lossy, {"format": "webp"})
+    assert got.shape == (40, 56, 3)
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.mean() < 16.0  # q90 lossy envelope on a smooth ramp
+
+
+def test_webp_through_scan_media(spark, tmp_path):
+    """scan_media must count a .webp file as an ok image row with real
+    dims (not quarantine it); an animated container quarantines with
+    the boundary error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ndvi_etl_pipeline_spark.operators.webp import HAVE_LIBWEBP, encode_webp
+    from ndvi_etl_pipeline_spark.operators.multimodal import scan_media
+
+    if not HAVE_LIBWEBP:
+        _pytest.skip("system libwebp not present")
+
+    media = tmp_path / "media"
+    media.mkdir()
+    img = (np.arange(24 * 32 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(24, 32, 3)
+    (media / "a.webp").write_bytes(encode_webp(img, lossless=True))
+    rows = {r.path.split("/")[-1]: r for r in scan_media(spark, str(media)).collect()}
+    r = rows["a.webp"]
+    assert r.status == "ok" and r.media_type == "image"
+    assert (r.meta["format"], r.meta["width"], r.meta["height"], r.meta["channels"]) == (
+        "webp", 32, 24, 3,
+    )
+
+
+def test_webp_decode_without_libwebp_is_honest_boundary(monkeypatch):
+    """With libwebp absent, webp_info (pure spec) keeps working and
+    pixel decode raises NotImplementedError — the quarantine path."""
+    import numpy as np
+    import pytest as _pytest
+
+    import ndvi_etl_pipeline_spark.operators.webp as W
+
+    if not W.HAVE_LIBWEBP:
+        _pytest.skip("system libwebp not present (fixture needs encode)")
+    payload = W.encode_webp(
+        np.zeros((8, 8, 3), np.uint8), lossless=True
+    )
+    monkeypatch.setattr(W, "HAVE_LIBWEBP", False)
+    assert W.webp_info(payload)["lossless"]
+    with _pytest.raises(NotImplementedError, match="libwebp"):
+        W.decode_webp(payload)

@@ -34,19 +34,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# NOTE: no pair-EMITTING dedup query (dedup_minhash_lsh & friends) in
-# this set. make_bench_sf's disjoint-universe replicator grows every
-# duplicate CLUSTER linearly with --copies, so candidate-pair volume
-# grows QUADRATICALLY (100 copies → 4950 pairs per original doc, vs 45
-# at sf1): the measurement would be dominated by a generator artifact,
-# not operator cost — real corpora grow the NUMBER of clusters, not
-# every cluster's size. The dedup crossover is already established at
-# sf1 (0.08×, BENCH_sf1_r03.json); this tier measures the LINEAR
-# shuffle-bound members at 10× that.
+# dedup_minhash_lsh is measurable here since round 5: make_bench_sf's
+# default `tagged` payload mode replicates text through a PER-COPY
+# substitution cipher, so duplicate clusters keep their sf0.1 SIZE and
+# only their COUNT scales with --copies — candidate-pair volume grows
+# linearly, the shape a real crawl has. (The old verbatim replication
+# grew every cluster ×copies and pair volume quadratically — a
+# generator artifact that forced the round-4 exclusion.)
 QUERIES = (
     "itemcf_similar_parts",
     "itemcf_user_recs",
     "dedup_exact_stats",
+    "dedup_minhash_lsh",
     "curation_pipeline",
     "exact_substring_coverage",
     "dsir_importance_topk",

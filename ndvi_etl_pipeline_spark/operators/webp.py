@@ -13,17 +13,27 @@ Two deliberately different layers:
    animation/alpha flags — METADATA, extracted without decoding a
    single pixel (`webp_info`).
 
-2. **Pixel decode/encode — ctypes against the system libwebp**
-   (`WebPDecodeRGB` / `WebPEncodeRGB`, the library's stable public
-   ABI; no pip packages). A from-scratch VP8 entropy decode in the
-   jpeg.py style requires RFC 6386's normative constant tables — the
-   1056-entry default coefficient probabilities, their 1056-entry
-   update probabilities, the 900-entry keyframe B-mode table, the
-   128-entry quantizer lookups — which cannot be reproduced reliably
-   offline; shipping guessed tables would decode real files silently
-   wrong. Honest boundary: when libwebp is absent the decode raises
-   NotImplementedError and scan_media quarantines the row (E1), while
-   `webp_info` keeps working everywhere.
+2. **Lossless (VP8L) pixel decode — native, zero libraries**
+   (operators/vp8l.py): a from-scratch implementation of the public
+   WebP Lossless Bitstream Specification (RFC 9649) — prefix codes,
+   LZ77 + color cache, meta-prefix groups, and all four inverse
+   transforms — pinned bit-exact against libwebp across a fixture
+   matrix in tests. Used automatically when the system library is
+   absent; with the library present the C fast path serves both
+   codecs.
+
+3. **Lossy (VP8) pixel decode/encode — ctypes against the system
+   libwebp** (`WebPDecodeRGB` / `WebPEncodeRGB`, the library's
+   stable public ABI; no pip packages). A from-scratch VP8 entropy
+   decode in the jpeg.py style requires RFC 6386's normative
+   constant tables — the 1056-entry default coefficient
+   probabilities, their 1056-entry update probabilities, the
+   900-entry keyframe B-mode table, the 128-entry quantizer
+   lookups — which cannot be reproduced reliably offline; shipping
+   guessed tables would decode real files silently wrong. Honest
+   boundary: when libwebp is absent, LOSSY decode raises
+   NotImplementedError and scan_media quarantines the row (E1),
+   while VP8L decode and `webp_info` keep working everywhere.
 
 Animated (VP8X ANIM) and fragmented payloads raise NotImplementedError
 at the container layer by design — a frame extractor is a video
@@ -173,9 +183,19 @@ def decode_webp(payload: bytes) -> np.ndarray:
             "not an image decode"
         )
     if not HAVE_LIBWEBP:
+        if info["codec"] == "vp8l":
+            # lossless decodes NATIVELY (operators/vp8l.py — pure
+            # spec, pinned bit-exact against libwebp); only lossy VP8
+            # pixels need the library
+            from .vp8l import decode_vp8l
+
+            data = next(d for f, d in _chunks(payload) if f == b"VP8L")
+            rgba = decode_vp8l(data)
+            return rgba if info["alpha"] else rgba[:, :, :3]
         raise NotImplementedError(
-            "WebP pixel decode requires the system libwebp (container "
-            "metadata via webp_info works without it)"
+            "lossy (VP8) WebP pixel decode requires the system libwebp "
+            "(VP8L decodes natively; container metadata via webp_info "
+            "works everywhere)"
         )
     w = ctypes.c_int()
     h = ctypes.c_int()

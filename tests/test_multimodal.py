@@ -805,7 +805,9 @@ def test_webp_through_scan_media(spark, tmp_path):
 
 def test_webp_decode_without_libwebp_is_honest_boundary(monkeypatch):
     """With libwebp absent, webp_info (pure spec) keeps working and
-    pixel decode raises NotImplementedError — the quarantine path."""
+    LOSSY pixel decode raises NotImplementedError — the quarantine
+    path. (Lossless decodes natively via operators/vp8l.py; see
+    test_vp8l_native_serves_decode_webp_without_libwebp.)"""
     import numpy as np
     import pytest as _pytest
 
@@ -813,10 +815,83 @@ def test_webp_decode_without_libwebp_is_honest_boundary(monkeypatch):
 
     if not W.HAVE_LIBWEBP:
         _pytest.skip("system libwebp not present (fixture needs encode)")
-    payload = W.encode_webp(
-        np.zeros((8, 8, 3), np.uint8), lossless=True
-    )
+    payload = W.encode_webp(np.zeros((8, 8, 3), np.uint8), quality=80.0)
     monkeypatch.setattr(W, "HAVE_LIBWEBP", False)
-    assert W.webp_info(payload)["lossless"]
+    assert W.webp_info(payload)["codec"] == "vp8"
     with _pytest.raises(NotImplementedError, match="libwebp"):
         W.decode_webp(payload)
+
+
+def test_vp8l_native_decode_bit_exact_vs_libwebp():
+    """The native VP8L decoder (operators/vp8l.py — pure spec, zero
+    libraries) must be BIT-EXACT against libwebp's own decode across
+    a fixture matrix that exercises every bitstream feature: literals
+    + color cache (noise), LZ77 with 2D distances (flat/stripes),
+    the predictor transform (gradients), the cross-channel color
+    transform (correlated photo-ish), palettes with sub-byte bundling
+    (2/3/12-color), meta-prefix groups (mixed content), and 1-pixel
+    edge geometries."""
+    import ctypes
+
+    import numpy as np
+    import pytest as _pytest
+
+    import ndvi_etl_pipeline_spark.operators.webp as W
+    from ndvi_etl_pipeline_spark.operators.vp8l import decode_vp8l
+
+    if not W.HAVE_LIBWEBP:
+        _pytest.skip("system libwebp needed to generate/verify fixtures")
+
+    def ref_rgba(payload):
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        ptr = W._LIB.WebPDecodeRGBA(payload, len(payload), ctypes.byref(w), ctypes.byref(h))
+        arr = np.ctypeslib.as_array(ptr, shape=(w.value * h.value * 4,)).copy()
+        W._LIB.WebPFree(ptr)
+        return arr.reshape(h.value, w.value, 4)
+
+    def vp8l_chunk(payload):
+        return next(d for f, d in W._chunks(payload) if f == b"VP8L")
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:28, 0:40]
+    cases = {
+        "noise": rng.integers(0, 256, (21, 33, 3)),
+        "flat": np.full((16, 24, 3), 77),
+        "grad": np.stack([yy * 4 % 256, xx * 3 % 256, (yy + xx) % 256], axis=2),
+        "fewcol": rng.integers(0, 3, (19, 27, 1)) * np.array([40, 80, 120])[None, None, :],
+        "stripes": np.tile(rng.integers(0, 256, (1, 64, 3)), (32, 1, 1)),
+        "photoish": np.clip(rng.normal(128, 40, (48, 48, 3)).cumsum(axis=1) % 256, 0, 255),
+        "bigpal": rng.integers(0, 12, (33, 41, 1)) * np.arange(1, 4)[None, None, :] * 20,
+        "two": rng.integers(0, 2, (9, 65, 1)) * np.array([255, 255, 255])[None, None, :],
+        "tall": rng.integers(0, 256, (200, 5, 3)),
+        "wide1px": rng.integers(0, 256, (1, 300, 3)),
+    }
+    for name, img in cases.items():
+        img = np.ascontiguousarray(img.astype(np.uint8))
+        payload = W.encode_webp(img, lossless=True)
+        got = decode_vp8l(vp8l_chunk(payload))
+        ref = ref_rgba(payload)
+        assert np.array_equal(got, ref), f"{name}: native VP8L != libwebp"
+        assert np.array_equal(got[:, :, :3], img), f"{name}: lossless != source"
+
+
+def test_vp8l_native_serves_decode_webp_without_libwebp(monkeypatch):
+    """With libwebp absent, decode_webp must still decode LOSSLESS
+    payloads via the native VP8L path (only lossy VP8 raises)."""
+    import numpy as np
+    import pytest as _pytest
+
+    import ndvi_etl_pipeline_spark.operators.webp as W
+
+    if not W.HAVE_LIBWEBP:
+        _pytest.skip("system libwebp needed to build the fixture")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+    lossless = W.encode_webp(img, lossless=True)
+    lossy = W.encode_webp(img, quality=80.0)
+    monkeypatch.setattr(W, "HAVE_LIBWEBP", False)
+    out = W.decode_webp(lossless)
+    assert np.array_equal(out, img)
+    with _pytest.raises(NotImplementedError, match="lossy"):
+        W.decode_webp(lossy)

@@ -41,6 +41,12 @@ Invariants (the whole correctness story):
   exactly (Iceberg identity-partition pruning) even though the
   columns are not stored inside the parquet files. Reads recover the
   partition columns via one basePath-scoped scan per commit dir.
+- Partition TRANSFORMS (bucket(N,col), truncate(W,col), day/month/
+  year(col)) give Iceberg-style HIDDEN partitioning: the layout keys
+  on a derived dir column, the source column stays in the data, and
+  a `where` on the source column prunes files by applying the same
+  transform to the predicate value — equality/in for buckets,
+  ranges too for the order-preserving transforms.
 
 Driver work is manifest-scale (file lists, schema JSON); all row work
 is distributed Spark jobs.
@@ -50,6 +56,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from urllib.parse import unquote, urlparse
@@ -117,6 +124,131 @@ def _cmp(op: str, left, right) -> bool:
     return left < right  # "<"
 
 
+# --- partition transforms (Iceberg-style hidden partitioning) ------------
+#
+# partition_by entries are either a bare column name (identity — hive
+# layout on the column itself, value recovered from the dir name) or a
+# TRANSFORM over a source column:
+#
+#     bucket(N, col)    crc32(string(col)) mod N — equality/in pruning
+#     truncate(W, col)  ints: (col div W)*W; strings: first W chars —
+#                       equality + range pruning (order-preserving)
+#     day(col) / month(col) / year(col)
+#                       calendar truncation of a date/timestamp to an
+#                       ISO string — equality + range pruning (ISO
+#                       strings are order-preserving at one granularity)
+#
+# A transform partitions the LAYOUT on a derived dir column while the
+# source column stays inside the data files, so reads need no
+# dir-value recovery and a `where` on the SOURCE column prunes files
+# by applying the same transform to the predicate value (the whole
+# point of hidden partitioning: callers never mention the transform).
+# The bucket hash is crc32-of-string — deliberately reproducible on
+# both the JVM (F.crc32) and the Python pruning side (zlib.crc32), at
+# the cost of documenting that bucket columns should be int/string
+# (float string forms differ between engines).
+
+_TRANSFORM_RE = re.compile(r"^(bucket|truncate|day|month|year)\((?:(\d+)\s*,\s*)?([A-Za-z_]\w*)\)$")
+
+
+def _parse_partition_spec(spec: str):
+    """spec → (kind, param, source_col, dir_col). Identity specs are
+    (identity, None, col, col)."""
+    m = _TRANSFORM_RE.match(spec.strip())
+    if not m:
+        if not re.match(r"^[A-Za-z_]\w*$", spec.strip()):
+            raise ValueError(f"bad partition spec {spec!r}")
+        c = spec.strip()
+        return ("identity", None, c, c)
+    kind, param, col = m.group(1), m.group(2), m.group(3)
+    if kind in ("bucket", "truncate"):
+        if not param:
+            raise ValueError(f"{kind} needs a numeric parameter: {spec!r}")
+        param = int(param)
+        if param <= 0:
+            raise ValueError(f"{kind} parameter must be positive: {spec!r}")
+    elif param:
+        raise ValueError(f"{kind} takes no parameter: {spec!r}")
+    return (kind, param, col, f"{col}__{kind}{param or ''}")
+
+
+def _transform_column(df: DataFrame, kind: str, param, col: str):
+    """The Spark-side derived dir column for a transform spec."""
+    if kind == "bucket":
+        return F.pmod(F.crc32(F.col(col).cast("string")), F.lit(param))
+    if kind == "truncate":
+        dt = df.schema[col].dataType
+        if isinstance(dt, T.StringType):
+            return F.substring(F.col(col), 1, param)
+        return (F.floor(F.col(col) / F.lit(param)) * F.lit(param)).cast("long")
+    fmt = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "year": "yyyy"}[kind]
+    return F.date_format(F.col(col), fmt)
+
+
+def _transform_value(kind: str, param, val):
+    """Apply the same transform to a predicate value on the Python
+    side (for manifest pruning). Returns None when the value can't be
+    transformed faithfully — the caller keeps the file."""
+    import datetime
+    import zlib
+
+    if kind == "bucket":
+        if isinstance(val, bool) or not isinstance(val, (int, str)):
+            return None  # floats/dates: string forms differ across engines
+        return zlib.crc32(str(val).encode()) % param
+    if kind == "truncate":
+        if isinstance(val, str):
+            return val[:param]
+        if isinstance(val, bool) or not isinstance(val, int):
+            return None
+        return (val // param) * param
+    if isinstance(val, datetime.datetime):
+        d = val
+    elif isinstance(val, datetime.date):
+        d = datetime.datetime(val.year, val.month, val.day)
+    elif isinstance(val, str):
+        try:
+            d = datetime.datetime.fromisoformat(val[:19])
+        except ValueError:
+            return None
+    else:
+        return None
+    if kind == "day":
+        return d.strftime("%Y-%m-%d")
+    if kind == "month":
+        return d.strftime("%Y-%m")
+    return d.strftime("%Y")
+
+
+def _transform_prunes(kind: str, param, parts_val: str | None, op: str, val) -> bool:
+    """True when the transform PROVES this file cannot match
+    (col, op, val). Buckets prune equality only; truncate and the
+    calendar transforms are order-preserving, so ranges prune too."""
+    if parts_val is None:
+        return False
+    if op == "in":
+        tv = [_transform_value(kind, param, v) for v in val]
+        if any(t is None for t in tv):
+            return False
+        return not any(
+            _partition_value_matches(parts_val, "==", t) for t in tv
+        )
+    t = _transform_value(kind, param, val)
+    if t is None:
+        return False
+    if op in ("==", "="):
+        return not _partition_value_matches(parts_val, "==", t)
+    if kind == "bucket":
+        return False  # hash buckets carry no order
+    # order-preserving transforms: file value f, predicate value t.
+    # col > val  can only match files with f >= t (truncation loses
+    # the sub-unit offset, so the boundary unit must be kept) — and
+    # symmetrically for the other inequalities.
+    return not _partition_value_matches(
+        parts_val, op + "=" if op in (">", "<") else op, t
+    )
+
+
 def _partition_value_matches(raw: str | None, op: str, val) -> bool:
     """Exact pruning on a hive partition-dir value. The stored value
     is a string (or None for the hive null dir); cast it to the
@@ -141,19 +273,30 @@ def _partition_value_matches(raw: str | None, op: str, val) -> bool:
         return True
 
 
-def _file_may_match(entry, where) -> bool:
+def _file_may_match(entry, where, partition_by: tuple[str, ...] = ()) -> bool:
     """Can this file contain rows satisfying ALL (col, op, value)
     conjuncts? False only when the manifest PROVES emptiness — from
     the exact partition value when the column is a partition column,
-    else from the per-file min/max stats. Missing stats always keep
-    the file, and NaN bounds keep the file too: every comparison with
-    NaN is False, so a NaN max would otherwise "prove" emptiness for
-    a file that may hold matching non-NaN rows."""
+    from a partition TRANSFORM applied to the predicate value when the
+    layout is transform-partitioned (hidden partitioning — the
+    predicate references the SOURCE column), else from the per-file
+    min/max stats. Missing stats always keep the file, and NaN bounds
+    keep the file too: every comparison with NaN is False, so a NaN
+    max would otherwise "prove" emptiness for a file that may hold
+    matching non-NaN rows."""
     if not isinstance(entry, dict):
         return True
     parts = entry.get("partitions") or {}
     stats = entry.get("stats") or {}
+    transforms: dict[str, list] = {}
+    for sp in partition_by:
+        kind, param, col, dcol = _parse_partition_spec(sp)
+        if kind != "identity":
+            transforms.setdefault(col, []).append((kind, param, dcol))
     for col, op, val in where:
+        for kind, param, dcol in transforms.get(col, ()):
+            if _transform_prunes(kind, param, parts.get(dcol), op, val):
+                return False
         if col in parts:
             if op == "in":
                 if not any(
@@ -246,6 +389,20 @@ def _partition_values(rel: str) -> dict[str, str | None]:
     return out
 
 
+def _spec_info(partition_by: tuple[str, ...]):
+    """Parse a partition_by tuple; reject identity/transform mixing
+    (identity layouts need dir-value recovery, transform layouts keep
+    every real column in the data files — one table uses one read
+    path)."""
+    specs = [_parse_partition_spec(sp) for sp in partition_by]
+    kinds = {k for k, _p, _c, _d in specs}
+    if "identity" in kinds and len(kinds) > 1:
+        raise ValueError(
+            "cannot mix identity and transform partition specs in one table"
+        )
+    return specs, bool(kinds - {"identity"})
+
+
 def _write_data_files(
     df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
 ) -> list[dict]:
@@ -257,13 +414,23 @@ def _write_data_files(
     misses a predicate — Iceberg's manifest-stats design, the lever
     that makes a 100 TB table readable without scanning it. Stats cost
     one grouped aggregate over the just-written files. Partitioned
-    writes additionally record each file's exact partition values for
-    identity-partition pruning."""
+    writes additionally record each file's exact partition-dir values
+    for identity/transform pruning; transform specs (bucket/truncate/
+    day/month/year) partition the LAYOUT on a derived dir column while
+    the source column stays in the data."""
     commit_id = uuid.uuid4().hex[:12]
     out = os.path.join(path, "data", commit_id)
-    w = df.write.mode("error")
+    wdf = df
+    dir_cols: list[str] = []
     if partition_by:
-        w = w.partitionBy(*partition_by)
+        specs, has_transform = _spec_info(tuple(partition_by))
+        for kind, param, col, dcol in specs:
+            dir_cols.append(dcol)
+            if kind != "identity":
+                wdf = wdf.withColumn(dcol, _transform_column(df, kind, param, col))
+    w = wdf.write.mode("error")
+    if dir_cols:
+        w = w.partitionBy(*dir_cols)
     w.parquet(out)
     rel = []
     for root, _dirs, names in os.walk(out):
@@ -276,7 +443,7 @@ def _write_data_files(
     stat_cols = [
         f.name
         for f in df.schema.fields
-        if isinstance(f.dataType, _STATS_TYPES) and f.name not in partition_by
+        if isinstance(f.dataType, _STATS_TYPES) and f.name not in dir_cols
     ]
     stats_by_file: dict[str, dict] = {}
     if rel and stat_cols:
@@ -290,15 +457,19 @@ def _write_data_files(
             .agg(*aggs)
             .collect()
         )
+        # key stats by TABLE-RELATIVE path, never basename: partitioned
+        # writes reuse part-<n>-<uuid> basenames across partition dirs,
+        # so a basename key silently collapses different files' stats
         for r in per_file:
-            stats_by_file[os.path.basename(_fs_path(r["src_file"]))] = {
+            relp = os.path.relpath(_fs_path(r["src_file"]), os.path.abspath(path))
+            stats_by_file[relp] = {
                 c: [_json_safe(r[f"mn_{c}"]), _json_safe(r[f"mx_{c}"])]
                 for c in stat_cols
             }
     entries = []
     for p in rel:
-        e = {"path": p, "stats": stats_by_file.get(os.path.basename(p), {})}
-        if partition_by:
+        e = {"path": p, "stats": stats_by_file.get(p, {})}
+        if dir_cols:
             e["partitions"] = _partition_values(p)
         entries.append(e)
     return entries
@@ -316,7 +487,13 @@ def _read_entries(
     if not entries:
         return spark.createDataFrame([], schema)
     part_by = manifest.get("partition_by") or []
-    if not part_by:
+    identity_layout = part_by and all(
+        _parse_partition_spec(sp)[0] == "identity" for sp in part_by
+    )
+    if not identity_layout:
+        # unpartitioned OR transform-partitioned: every real column
+        # lives inside the data files (transforms partition on derived
+        # dir columns) — a plain schema-pinned scan suffices
         paths = [os.path.join(path, p) for p in _paths(entries)]
         return spark.read.schema(schema).parquet(*paths)
     groups: dict[str, list[str]] = {}
@@ -457,7 +634,8 @@ def lake_read(
     m = _read_manifest(path, v)
     entries = m["files"]
     if where:
-        entries = [e for e in entries if _file_may_match(e, where)]
+        part_by = tuple(m.get("partition_by") or ())
+        entries = [e for e in entries if _file_may_match(e, where, part_by)]
     df = _read_entries(spark, path, m, entries)
     if where:
         for col, op, val in where:

@@ -441,3 +441,66 @@ def test_lake_incremental_curation_composes_to_batch(spark, tmp_path):
     assert lake_column_max(drv, "source_version") == 2
     # derived history shows exactly two incremental commits
     assert [h["n_rows_delta"] for h in lake_history(drv)] == [2, 2]
+
+
+def test_lake_partition_transforms_prune_hidden(spark, tmp_path):
+    """Iceberg-style hidden partitioning: the layout is keyed by a
+    TRANSFORM (bucket/truncate/day) of a source column, the source
+    column stays in the data files, and a `where` on the SOURCE
+    column — the caller never mentions the transform — provably skips
+    files whose transformed value can't match."""
+    import datetime
+
+    from ndvi_etl_pipeline_spark.sources.lake import _file_may_match
+
+    # bucket(4, k): equality prunes to one bucket's files
+    t1 = str(tmp_path / "bucketed")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k int, v string")
+    lake_write(df.repartition(2), t1, partition_by=("bucket(4,k)",))
+    m = json.load(open(os.path.join(t1, "_manifests", "v0.json")))
+    assert m["partition_by"] == ["bucket(4,k)"]
+    assert all("k__bucket4" in e["partitions"] for e in m["files"])
+    got = lake_read(spark, t1, where=[("k", "==", 7)])
+    assert [r.v for r in got.collect()] == ["v7"]
+    import zlib
+
+    b7 = zlib.crc32(b"7") % 4
+    surviving = [
+        e for e in m["files"] if _file_may_match(e, [("k", "==", 7)], ("bucket(4,k)",))
+    ]
+    assert surviving and all(
+        int(e["partitions"]["k__bucket4"]) == b7 for e in surviving
+    )
+    assert len(surviving) < len(m["files"])
+    # scan files are only the matching bucket's
+    assert all(f"k__bucket4={b7}" in f for f in got.inputFiles())
+
+    # truncate(10, k): order-preserving — ranges prune too
+    t2 = str(tmp_path / "truncated")
+    lake_write(df.repartition(2), t2, partition_by=("truncate(10,k)",))
+    got = lake_read(spark, t2, where=[("k", ">=", 25)])
+    assert {r.k for r in got.collect()} == set(range(25, 40))
+    assert all(
+        int(f.split("k__truncate10=")[1].split("/")[0]) >= 20
+        for f in got.inputFiles()
+    )
+
+    # day(ts): calendar truncation, equality + range on the source col
+    t3 = str(tmp_path / "daily")
+    rows = [
+        (i, datetime.datetime(2026, 8, 10 + i % 3, 6 + i, 30)) for i in range(6)
+    ]
+    lake_write(
+        spark.createDataFrame(rows, "k int, ts timestamp"),
+        t3,
+        partition_by=("day(ts)",),
+    )
+    got = lake_read(spark, t3, where=[("ts", ">=", datetime.datetime(2026, 8, 12, 0, 0))])
+    assert {r.k for r in got.collect()} == {2, 5}
+    assert all("ts__day=2026-08-12" in f for f in got.inputFiles())
+
+    # COW delete respects the transform layout; identity+transform mixing rejected
+    lake_delete(spark, t1, F.col("k") == 7)
+    assert lake_read(spark, t1).count() == 39
+    with pytest.raises(ValueError, match="mix"):
+        lake_write(df, str(tmp_path / "bad"), partition_by=("v", "bucket(4,k)"))

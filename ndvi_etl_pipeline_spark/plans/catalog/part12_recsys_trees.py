@@ -203,13 +203,12 @@ def q_itemcf_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
-    hot = (
-        freq.withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("item")))
-        )
-        .where(F.col("rk") <= 10)
-        .select("item")
-    )
+    # top-10 via orderBy+limit -> TakeOrderedAndProject (distributed
+    # partial top-k per partition), NOT a global row_number window,
+    # which would funnel the items-sized freq relation through ONE
+    # task's sort at corpus scale. Same rows: identical ordering key
+    # and tie-break.
+    hot = freq.orderBy(F.desc("n"), F.asc("item")).limit(10).select("item")
     # the hot restriction is pushed below the pair shuffle (see
     # operators/recsys.py focus_items) — output identical: only pairs
     # touching a hot item survive the downstream rank anyway

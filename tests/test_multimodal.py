@@ -73,8 +73,10 @@ def test_audio_features(media):
 def test_compressed_decode_is_stubbed(spark):
     if MM.HAVE_PIL:
         pytest.skip("PIL installed — compressed path is real here")
-    # WebP has its own entropy coder and stays behind the guard
-    with pytest.raises(NotImplementedError, match="codec"):
+    # WebP routes through operators/webp.py since round 5 (container
+    # parse + VP8L native / libwebp pixels); a chunkless container is
+    # a MALFORMED file now — ValueError (quarantine), not a stub
+    with pytest.raises(ValueError, match="VP8"):
         MM.decode_image(
             b"RIFF\x00\x00\x00\x00WEBP",
             {"format": "webp", "width": 1, "height": 1, "channels": 3},

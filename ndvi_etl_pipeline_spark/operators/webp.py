@@ -52,6 +52,9 @@ __all__ = [
     "webp_info",
     "decode_webp",
     "encode_webp",
+    "webp_frame_headers",
+    "webp_frames",
+    "encode_webp_animation",
 ]
 
 
@@ -165,7 +168,15 @@ def webp_info(payload: bytes) -> dict:
             info["alpha"] = info["alpha"] or bool((bits >> 28) & 1)
         elif fourcc == b"ALPH":
             info["alpha"] = True
-    if info["codec"] is None:
+        elif fourcc == b"ANMF" and len(data) >= 20 and info["codec"] is None:
+            # animated: image chunks ride INSIDE the frame; sniff the
+            # first frame's fourcc for the codec field
+            sub = data[16:20]
+            if sub == b"VP8L":
+                info["codec"], info["lossless"] = "vp8l", True
+            elif sub == b"VP8 ":
+                info["codec"] = "vp8"
+    if info["codec"] is None and not info["animated"]:
         raise ValueError("no VP8/VP8L image chunk in container")
     return info
 
@@ -250,3 +261,177 @@ def encode_webp(
         return ctypes.string_at(out, size)
     finally:
         _LIB.WebPFree(out)
+
+
+# --------------------------------------------------------------------------
+# animated WebP: ANMF frame walk + canvas compositing (a VIDEO operator —
+# decode_webp deliberately refuses animations; this is the explicit path)
+# --------------------------------------------------------------------------
+
+
+def _u24(b: bytes) -> int:
+    return int.from_bytes(b[:3], "little")
+
+
+def webp_frame_headers(payload: bytes) -> list[dict]:
+    """Parse ANMF frame metadata WITHOUT decoding pixels (pure spec):
+    per frame {x, y, width, height, duration_ms, blend, dispose_bg}.
+    Offsets ride the container as value/2 (frames are even-aligned on
+    the canvas); width/height as value-1; the flags byte carries
+    dispose-to-background in bit 0 and no-blend in bit 1 (the demuxer
+    convention for the spec's D/B fields)."""
+    frames = []
+    for fourcc, data in _chunks(payload):
+        if fourcc == b"ANMF" and len(data) >= 16:
+            flags = data[15]
+            frames.append(
+                {
+                    "x": _u24(data[0:3]) * 2,
+                    "y": _u24(data[3:6]) * 2,
+                    "width": _u24(data[6:9]) + 1,
+                    "height": _u24(data[9:12]) + 1,
+                    "duration_ms": _u24(data[12:15]),
+                    "blend": not (flags & 0x02),
+                    "dispose_bg": bool(flags & 0x01),
+                    "_data": data[16:],
+                }
+            )
+    return frames
+
+
+def _decode_frame_chunks(data: bytes) -> np.ndarray:
+    """Decode the image chunks inside one ANMF frame to uint8 RGBA.
+    VP8L frames decode NATIVELY (operators/vp8l.py); lossy VP8 frames
+    re-wrap into a minimal RIFF container for the libwebp path."""
+    pos = 0
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            from .vp8l import decode_vp8l
+
+            return decode_vp8l(body)
+        if fourcc == b"VP8 ":
+            chunk = fourcc + struct.pack("<I", size) + body
+            if size & 1:
+                chunk += b"\x00"
+            riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+            rgb = decode_webp(riff)
+            if rgb.shape[2] == 3:
+                rgb = np.concatenate(
+                    [rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)], axis=2
+                )
+            return rgb
+        if fourcc == b"ALPH":
+            raise NotImplementedError(
+                "lossy-with-alpha (ALPH) animation frames unsupported"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("ANMF frame without an image chunk")
+
+
+def webp_frames(payload: bytes) -> tuple[np.ndarray, list[dict]]:
+    """Extract an animated WebP to (frames, meta): frames is uint8
+    (n, H, W, 4) — each entry the fully COMPOSITED canvas after that
+    frame (alpha-blend or replace per the frame's blend flag, then
+    dispose-to-background clears the frame rect for the next one) —
+    and meta the per-frame headers (duration_ms etc., `_data`
+    stripped). The video-operator twin of decode_webp; still images
+    yield a single frame. Works without libwebp when every frame is
+    VP8L (the native decoder)."""
+    info = webp_info(payload)
+    if not info["animated"]:
+        arr = decode_webp(payload)
+        if arr.shape[2] == 3:
+            arr = np.concatenate(
+                [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)], axis=2
+            )
+        return arr[None, ...], [
+            {"x": 0, "y": 0, "width": info["width"], "height": info["height"],
+             "duration_ms": 0, "blend": False, "dispose_bg": False}
+        ]
+    heads = webp_frame_headers(payload)
+    if not heads:
+        raise ValueError("animated container without ANMF frames")
+    h, w = info["height"], info["width"]
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    out = []
+    metas = []
+    for fr in heads:
+        rgba = _decode_frame_chunks(fr.pop("_data"))
+        fy, fx = fr["y"], fr["x"]
+        fh, fw = fr["height"], fr["width"]
+        if rgba.shape[:2] != (fh, fw):
+            raise ValueError("ANMF rect / frame bitstream size mismatch")
+        region = canvas[fy : fy + fh, fx : fx + fw].astype(np.float64)
+        src = rgba.astype(np.float64)
+        if fr["blend"]:
+            sa = src[:, :, 3:4] / 255.0
+            da = region[:, :, 3:4] / 255.0
+            oa = sa + da * (1.0 - sa)
+            safe = np.where(oa == 0.0, 1.0, oa)
+            rgb = (src[:, :, :3] * sa + region[:, :, :3] * da * (1.0 - sa)) / safe
+            blended = np.concatenate([rgb, oa * 255.0], axis=2)
+            blended[(oa == 0.0)[:, :, 0]] = 0.0
+            canvas[fy : fy + fh, fx : fx + fw] = np.round(blended).astype(np.uint8)
+        else:
+            canvas[fy : fy + fh, fx : fx + fw] = rgba
+        out.append(canvas.copy())
+        if fr["dispose_bg"]:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        metas.append(fr)
+    return np.stack(out), metas
+
+
+def encode_webp_animation(
+    frames, durations_ms, rects=None, blend=False, dispose_bg=False,
+    lossless: bool = True,
+) -> bytes:
+    """Build an animated WebP container (VP8X + ANIM + ANMF chunks,
+    per the public container spec) from uint8 RGB/RGBA frames —
+    the fixture/writer twin of webp_frames. `rects` optionally places
+    each frame at (x, y) on the canvas of frame 0's size; offsets
+    must be even (the container stores them halved). Frames encode as
+    VP8L via libwebp (alpha dropped — the lossless RGB path)."""
+    frames = [np.asarray(f) for f in frames]
+    h, w = frames[0].shape[:2]
+    rects = rects or [(0, 0)] * len(frames)
+    body = b"WEBP"
+    flags = 0x02  # ANIM
+    vp8x = bytes([flags, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + (
+        h - 1
+    ).to_bytes(3, "little")
+    body += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = struct.pack("<I", 0) + struct.pack("<H", 0)  # bg color, loop forever
+    body += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for frame, dur, (x, y) in zip(frames, durations_ms, rects):
+        if x % 2 or y % 2:
+            raise ValueError("frame offsets must be even")
+        rgb = frame[:, :, :3]
+        sub = encode_webp(np.ascontiguousarray(rgb), lossless=lossless)
+        img_chunks = b""
+        for fourcc, data in _chunks(sub):
+            if fourcc in (b"VP8 ", b"VP8L"):
+                img_chunks = fourcc + struct.pack("<I", len(data)) + data
+                if len(data) & 1:
+                    img_chunks += b"\x00"
+        fh, fw = rgb.shape[:2]
+        fbits = 0
+        if dispose_bg:
+            fbits |= 0x01
+        if not blend:
+            fbits |= 0x02
+        anmf = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([fbits])
+            + img_chunks
+        )
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -551,3 +551,22 @@ def test_curation_pipeline_dedup_has_no_window_sort(spark, sf_dir):
     )
     assert "Window" not in plan, plan
     assert "min_by" in plan or "HashAggregate" in plan, plan
+
+
+def test_itemcf_hot_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    """itemcf_similar_parts' hot-10 selection must be a distributed
+    TakeOrderedAndProject (orderBy+limit — per-partition partial
+    top-k), never a row_number over an UNPARTITIONED window, which
+    funnels the items-sized freq relation through one task's sort at
+    corpus scale. The user_recs sibling keeps its window but it is
+    partitioned (per-user rank)."""
+    from ndvi_etl_pipeline_spark.plans.queries import REGISTRY
+
+    plan = (
+        REGISTRY["itemcf_similar_parts"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan

@@ -47,6 +47,11 @@ Invariants (the whole correctness story):
   a `where` on the source column prunes files by applying the same
   transform to the predicate value — equality/in for buckets,
   ranges too for the order-preserving transforms.
+- Per-file BLOOM filters (lake_write(..., bloom_cols=...)) prune
+  equality/IN point lookups on high-entropy key columns that min/max
+  ranges cannot (a fingerprint column's per-file range spans the
+  whole domain) — 1 KiB per file per column in the manifest,
+  inherited by appends and rebuilt by COW rewrites.
 
 Driver work is manifest-scale (file lists, schema JSON); all row work
 is distributed Spark jobs.
@@ -249,6 +254,47 @@ def _transform_prunes(kind: str, param, parts_val: str | None, op: str, val) -> 
     )
 
 
+# --- per-file Bloom filters (point-lookup file skipping) ------------------
+#
+# min/max ranges cannot prune high-entropy keys (a fingerprint or id
+# column's per-file range spans the whole domain), so equality/IN
+# lookups degenerate to full-table scans. A small per-file Bloom
+# filter in the manifest — Iceberg puts them in parquet, Delta in the
+# checkpoint — makes "find these K keys among N files" read only the
+# files that may contain them. m=8192 bits (1 KiB) / k=4 gives a
+# ~2.4% false-positive rate at ~1.2k distinct keys per file; false
+# positives only cost an extra file read, never correctness. The hash
+# is crc32 over "<i>|<string form>" so the JVM build side (F.crc32)
+# and the Python pruning side (zlib.crc32) agree — bloom columns are
+# therefore restricted to int/string (float string forms differ).
+
+_BLOOM_M = 8192
+_BLOOM_K = 4
+
+
+def _bloom_positions_py(val) -> list[int]:
+    import zlib
+
+    return [
+        zlib.crc32(f"{i}|{val}".encode()) % _BLOOM_M for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_may_contain(bloom: dict, val) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["bits"])
+    m = int(bloom.get("m", _BLOOM_M))
+    k = int(bloom.get("k", _BLOOM_K))
+    import zlib
+
+    for i in range(k):
+        pos = zlib.crc32(f"{i}|{val}".encode()) % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 def _partition_value_matches(raw: str | None, op: str, val) -> bool:
     """Exact pruning on a hive partition-dir value. The stored value
     is a string (or None for the hive null dir); cast it to the
@@ -288,12 +334,19 @@ def _file_may_match(entry, where, partition_by: tuple[str, ...] = ()) -> bool:
         return True
     parts = entry.get("partitions") or {}
     stats = entry.get("stats") or {}
+    bloom = entry.get("bloom") or {}
     transforms: dict[str, list] = {}
     for sp in partition_by:
         kind, param, col, dcol = _parse_partition_spec(sp)
         if kind != "identity":
             transforms.setdefault(col, []).append((kind, param, dcol))
     for col, op, val in where:
+        bl = bloom.get(col)
+        if bl:
+            if op in ("==", "=") and not _bloom_may_contain(bl, val):
+                return False
+            if op == "in" and not any(_bloom_may_contain(bl, v) for v in val):
+                return False
         for kind, param, dcol in transforms.get(col, ()):
             if _transform_prunes(kind, param, parts.get(dcol), op, val):
                 return False
@@ -404,7 +457,10 @@ def _spec_info(partition_by: tuple[str, ...]):
 
 
 def _write_data_files(
-    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     """Write df's rows as immutable parquet files under a fresh
     commit-scoped subdir; return manifest entries
@@ -466,11 +522,62 @@ def _write_data_files(
                 c: [_json_safe(r[f"mn_{c}"]), _json_safe(r[f"mx_{c}"])]
                 for c in stat_cols
             }
+    bloom_by_file: dict[str, dict] = {}
+    if rel and bloom_cols:
+        import base64
+
+        spark = df.sparkSession
+        for c in bloom_cols:
+            dt = df.schema[c].dataType
+            if not isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)
+            ):
+                raise ValueError(
+                    f"bloom column {c!r} must be int/string (cross-engine "
+                    "string form)"
+                )
+            pos_arr = F.array(
+                *[
+                    F.pmod(
+                        F.crc32(
+                            F.concat(F.lit(f"{i}|"), F.col(c).cast("string"))
+                        ),
+                        F.lit(_BLOOM_M),
+                    )
+                    for i in range(_BLOOM_K)
+                ]
+            )
+            per_file_pos = (
+                spark.read.parquet(out)
+                .where(F.col(c).isNotNull())
+                .select(
+                    F.input_file_name().alias("src_file"),
+                    F.explode(pos_arr).alias("pos"),
+                )
+                .distinct()  # bounded: <= m positions per file
+                .groupBy("src_file")
+                .agg(F.collect_set("pos").alias("ps"))
+                .collect()
+            )
+            for r in per_file_pos:
+                relp = os.path.relpath(
+                    _fs_path(r["src_file"]), os.path.abspath(path)
+                )
+                bits = bytearray(_BLOOM_M // 8)
+                for pos in r["ps"]:
+                    bits[pos >> 3] |= 1 << (pos & 7)
+                bloom_by_file.setdefault(relp, {})[c] = {
+                    "m": _BLOOM_M,
+                    "k": _BLOOM_K,
+                    "bits": base64.b64encode(bytes(bits)).decode(),
+                }
     entries = []
     for p in rel:
         e = {"path": p, "stats": stats_by_file.get(p, {})}
         if dir_cols:
             e["partitions"] = _partition_values(p)
+        if bloom_cols:
+            e["bloom"] = bloom_by_file.get(p, {})
         entries.append(e)
     return entries
 
@@ -523,13 +630,16 @@ def lake_write(
     path: str,
     mode: str = "append",
     partition_by: tuple[str, ...] | None = None,
+    bloom_cols: tuple[str, ...] | None = None,
 ) -> int:
     """Append or overwrite as ONE atomic snapshot commit; returns the
     new version. Appends may ADD columns (schema evolution by union —
     old files simply lack the column and read as NULL); changing an
     existing column's type is rejected. `partition_by` lays files out
-    hive-style and records partition values for exact pruning; omit it
-    on append to inherit the table's existing layout.
+    hive-style and records partition values for exact pruning;
+    `bloom_cols` records a per-file Bloom filter for point-lookup
+    skipping on int/string key columns; omit either on append to
+    inherit the table's existing settings.
 
     Losing the commit race to a concurrent writer retries
     automatically: the data files are already written and immutable,
@@ -550,6 +660,11 @@ def lake_write(
             raise ValueError(
                 f"append partition_by {part_by} != table layout {prev_part}"
             )
+    prev_bloom = tuple(prev.get("bloom_cols") or ()) if prev else ()
+    if bloom_cols is None:
+        bl_cols = prev_bloom if (prev is not None and mode == "append") else ()
+    else:
+        bl_cols = tuple(bloom_cols)
     if prev is not None and mode == "append":
         old_schema = T.StructType.fromJson(prev["schema"])
         if not _schema_compatible(old_schema, df.schema):
@@ -558,7 +673,7 @@ def lake_write(
                 "rewrite via overwrite instead"
             )
     n_rows = df.count()
-    files = _write_data_files(df, path, part_by)
+    files = _write_data_files(df, path, part_by, bl_cols)
     for attempt in range(_MAX_COMMIT_ATTEMPTS):
         latest = _latest_version(path)
         prev = _read_manifest(path, latest) if latest is not None else None
@@ -596,6 +711,8 @@ def lake_write(
         }
         if part_by:
             manifest["partition_by"] = list(part_by)
+        if bl_cols:
+            manifest["bloom_cols"] = list(bl_cols)
         try:
             _commit(path, version, manifest)
             return version
@@ -794,9 +911,10 @@ def lake_delete(spark: SparkSession, path: str, predicate) -> int:
             return latest  # nothing matched: no new snapshot needed
         keep = [e for abs_, e in full.items() if abs_ not in hit_files]
         part_by = tuple(m.get("partition_by") or ())
+        bl_cols = tuple(m.get("bloom_cols") or ())
         survivors = _read_entries(spark, path, m, rewritten).filter(~predicate)
         new_files = (
-            _write_data_files(survivors, path, part_by)
+            _write_data_files(survivors, path, part_by, bl_cols)
             if survivors.count()
             else []
         )
@@ -812,6 +930,8 @@ def lake_delete(spark: SparkSession, path: str, predicate) -> int:
         }
         if part_by:
             manifest["partition_by"] = list(part_by)
+        if bl_cols:
+            manifest["bloom_cols"] = list(bl_cols)
         _commit(path, version, manifest)
         return version
 
@@ -846,6 +966,7 @@ def lake_merge(
         if not _schema_compatible(schema, updates.schema):
             raise ValueError("merge would change an existing column's type")
         part_by = tuple(m.get("partition_by") or ())
+        bl_cols = tuple(m.get("bloom_cols") or ())
         full = {
             os.path.abspath(
                 os.path.join(path, e["path"] if isinstance(e, dict) else e)
@@ -877,9 +998,9 @@ def lake_merge(
                     spark, path, m, rewritten_entries
                 ).join(F.broadcast(key_df), list(keys), "left_anti")
                 if survivors.count():
-                    new_files += _write_data_files(survivors, path, part_by)
+                    new_files += _write_data_files(survivors, path, part_by, bl_cols)
         n_up = updates.count()
-        new_files += _write_data_files(updates, path, part_by)
+        new_files += _write_data_files(updates, path, part_by, bl_cols)
         merged_schema = T.StructType(
             list(schema.fields)
             + [
@@ -900,6 +1021,8 @@ def lake_merge(
         }
         if part_by:
             manifest["partition_by"] = list(part_by)
+        if bl_cols:
+            manifest["bloom_cols"] = list(bl_cols)
         _commit(path, version, manifest)
         return version
 
@@ -919,8 +1042,9 @@ def lake_compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
             raise FileNotFoundError(f"no manifest lake at {path}")
         m = _read_manifest(path, latest)
         part_by = tuple(m.get("partition_by") or ())
+        bl_cols = tuple(m.get("bloom_cols") or ())
         df = _read_entries(spark, path, m, m["files"]).coalesce(num_files)
-        files = _write_data_files(df, path, part_by)
+        files = _write_data_files(df, path, part_by, bl_cols)
         version = latest + 1
         manifest = {
             "version": version,
@@ -932,6 +1056,8 @@ def lake_compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
         }
         if part_by:
             manifest["partition_by"] = list(part_by)
+        if bl_cols:
+            manifest["bloom_cols"] = list(bl_cols)
         _commit(path, version, manifest)
         return version
 

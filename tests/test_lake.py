@@ -504,3 +504,56 @@ def test_lake_partition_transforms_prune_hidden(spark, tmp_path):
     assert lake_read(spark, t1).count() == 39
     with pytest.raises(ValueError, match="mix"):
         lake_write(df, str(tmp_path / "bad"), partition_by=("v", "bucket(4,k)"))
+
+
+def test_lake_bloom_stats_prune_point_lookups(spark, tmp_path):
+    """Per-file Bloom filters: min/max cannot prune a high-entropy key
+    (every file's range spans the domain), but the 1 KiB per-file
+    bloom in the manifest skips files that provably lack the key —
+    the Iceberg/Delta point-lookup device. Checks: equality and IN
+    lookups read only the containing file(s) (+ rare false
+    positives), results stay exact, appends inherit bloom_cols, and
+    compaction rebuilds blooms for the rewritten files."""
+    from ndvi_etl_pipeline_spark.sources.lake import _file_may_match
+
+    t = str(tmp_path / "t")
+    # interleaved ids: per-file min/max ranges all overlap, so range
+    # stats can never prune — only the bloom can
+    rows_a = [(i, f"a{i}") for i in range(0, 3000, 3)]
+    rows_b = [(i, f"b{i}") for i in range(1, 3000, 3)]
+    rows_c = [(i, f"c{i}") for i in range(2, 3000, 3)]
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v string").coalesce(1)
+    lake_write(mk(rows_a), t, bloom_cols=("k",))
+    lake_write(mk(rows_b), t)  # bloom_cols inherited
+    lake_write(mk(rows_c), t)
+
+    m = json.load(open(os.path.join(t, "_manifests", "v2.json")))
+    assert m["bloom_cols"] == ["k"]
+    assert all(e["bloom"].get("k", {}).get("bits") for e in m["files"])
+    # min/max genuinely can't prune this lookup...
+    kranges = [tuple(e["stats"]["k"]) for e in m["files"]]
+    assert all(mn <= 1501 <= mx for mn, mx in kranges)
+
+    got = lake_read(spark, t, where=[("k", "==", 1501)])
+    assert [(r.k, r.v) for r in got.collect()] == [(1501, "b1501")]
+    surviving = [e for e in m["files"] if _file_may_match(e, [("k", "==", 1501)])]
+    assert len(surviving) < len(m["files"])  # the bloom pruned
+    assert len(got.inputFiles()) < 3
+
+    # IN over keys from two files keeps those two (±false positives)
+    got = lake_read(spark, t, where=[("k", "in", [9, 1501])])
+    assert {r.k for r in got.collect()} == {9, 1501}
+
+    # a key in NO file: bloom proves emptiness without reading data
+    assert lake_read(spark, t, where=[("k", "==", 999999)]).count() == 0
+
+    # compaction rebuilds blooms on the rewritten file
+    lake_compact(spark, t, num_files=1)
+    m2 = json.load(open(os.path.join(t, "_manifests", "v3.json")))
+    assert m2["bloom_cols"] == ["k"] and m2["files"][0]["bloom"]["k"]["bits"]
+    assert {r.v for r in lake_read(spark, t, where=[("k", "==", 1501)]).collect()} == {"b1501"}
+
+    # float bloom columns are rejected (cross-engine string forms)
+    bad = spark.createDataFrame([(0.5, "x")], "f double, v string")
+    with pytest.raises(ValueError, match="bloom"):
+        lake_write(bad, str(tmp_path / "bad"), bloom_cols=("f",))

@@ -59,6 +59,7 @@ is distributed Spark jobs.
 
 from __future__ import annotations
 
+import functools as _functools
 import json
 import os
 import re
@@ -272,27 +273,30 @@ _BLOOM_M = 8192
 _BLOOM_K = 4
 
 
-def _bloom_positions_py(val) -> list[int]:
+@_functools.lru_cache(maxsize=1 << 16)
+def _bloom_positions_py(val, m: int = _BLOOM_M, k: int = _BLOOM_K) -> tuple[int, ...]:
     import zlib
 
-    return [
-        zlib.crc32(f"{i}|{val}".encode()) % _BLOOM_M for i in range(_BLOOM_K)
-    ]
+    return tuple(
+        zlib.crc32(f"{i}|{val}".encode()) % m for i in range(k)
+    )
+
+
+@_functools.lru_cache(maxsize=256)
+def _bloom_bits(b64: str) -> bytes:
+    import base64
+
+    return base64.b64decode(b64)
 
 
 def _bloom_may_contain(bloom: dict, val) -> bool:
-    import base64
-
-    bits = base64.b64decode(bloom["bits"])
+    bits = _bloom_bits(bloom["bits"])
     m = int(bloom.get("m", _BLOOM_M))
     k = int(bloom.get("k", _BLOOM_K))
-    import zlib
-
-    for i in range(k):
-        pos = zlib.crc32(f"{i}|{val}".encode()) % m
-        if not (bits[pos >> 3] >> (pos & 7)) & 1:
-            return False
-    return True
+    return all(
+        (bits[pos >> 3] >> (pos & 7)) & 1
+        for pos in _bloom_positions_py(val, m, k)
+    )
 
 
 def _partition_value_matches(raw: str | None, op: str, val) -> bool:
@@ -728,6 +732,7 @@ def lake_read(
     path: str,
     version: int | None = None,
     where: list[tuple] | None = None,
+    prune_only: bool = False,
 ) -> DataFrame:
     """Read snapshot `version` (default: latest). The manifest pins the
     exact file set, so concurrent writers never tear a read; absent
@@ -743,7 +748,12 @@ def lake_read(
     all. At 100 TB this is the difference between reading a table and
     reading a sliver of it (Iceberg's manifest-pruning design); the
     row filter on the surviving files also pushes down into parquet
-    row groups as usual."""
+    row groups as usual. `prune_only=True` applies the FILE SKIPPING
+    but skips the exact row filter — for callers that re-filter
+    exactly themselves (the streaming gates' ledger anti-join passes
+    a 10k-value `in` purely to prune files; materializing it as an
+    isin() would bloat the plan for rows the join re-checks
+    anyway)."""
     latest = _latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"no manifest lake at {path}")
@@ -754,7 +764,7 @@ def lake_read(
         part_by = tuple(m.get("partition_by") or ())
         entries = [e for e in entries if _file_may_match(e, where, part_by)]
     df = _read_entries(spark, path, m, entries)
-    if where:
+    if where and not prune_only:
         for col, op, val in where:
             df = df.filter(_OPS[op](F.col(col), val))
     return df

@@ -381,10 +381,17 @@ def neardup_gate_batch(
 def _neardup_fresh_candidates(
     batch_df: DataFrame, seen_fp: DataFrame, n_bits: int
 ) -> DataFrame:
-    """Batch rows → deduped candidates: drop null/empty embeddings,
+    """Batch rows → deduped candidates: _neardup_in_batch then the
+    anti-join against the store's fingerprint ledger."""
+    return _neardup_in_batch(batch_df, n_bits).join(
+        seen_fp, "fingerprint", "left_anti"
+    )
+
+
+def _neardup_in_batch(batch_df: DataFrame, n_bits: int) -> DataFrame:
+    """Within-batch candidate prep: drop null/empty embeddings,
     fingerprint + LSH-bucket each row, keep the min-doc_id winner per
-    fingerprint (hash aggregate), anti-join the store's fingerprint
-    ledger."""
+    fingerprint (hash aggregate)."""
     from ..operators.similarity import sign_lsh_bucket
 
     base = (
@@ -409,7 +416,7 @@ def _neardup_fresh_candidates(
         F.col("x.bucket").alias("bucket"),
         F.col("x.embedding").alias("embedding"),
     )
-    return in_batch.join(seen_fp, "fingerprint", "left_anti")
+    return in_batch
 
 
 def _admit_against_store(
@@ -487,13 +494,36 @@ def neardup_gate_batch_lake(
     from ..sources.lake import lake_read
 
     spark = batch_df.sparkSession
+    in_batch = _neardup_in_batch(batch_df, n_bits)
+    store_exists = True
     try:
-        seen_fp = lake_read(spark, curated_table).select("fingerprint")
-        store_exists = True
+        lake_read(spark, curated_table)
     except FileNotFoundError:
-        seen_fp = spark.createDataFrame([], "fingerprint string")
         store_exists = False
-    fresh = _neardup_fresh_candidates(batch_df, seen_fp, n_bits)
+    if store_exists:
+        # ledger anti-join, bloom-pruned: only files whose fingerprint
+        # bloom may contain one of THIS batch's fingerprints can
+        # produce an anti-join match, so the ledger scan is O(matching
+        # files), not O(store). prune_only: the anti-join re-checks
+        # membership exactly; an isin() row filter over thousands of
+        # literals would only bloat the plan.
+        fps = [
+            r.fingerprint
+            for r in in_batch.select("fingerprint").distinct().collect()
+        ]
+        seen_fp = (
+            lake_read(
+                spark,
+                curated_table,
+                where=[("fingerprint", "in", fps)],
+                prune_only=True,
+            ).select("fingerprint")
+            if fps
+            else spark.createDataFrame([], "fingerprint string")
+        )
+    else:
+        seen_fp = spark.createDataFrame([], "fingerprint string")
+    fresh = in_batch.join(seen_fp, "fingerprint", "left_anti")
     store_cols = "bucket long, doc_id long, embedding array<double>"
     if store_exists:
         buckets = [r.bucket for r in fresh.select("bucket").distinct().collect()]
@@ -529,7 +559,12 @@ def stream_neardup_documents_lake(
             batch_df, curated_table, threshold, n_bits
         ).localCheckpoint()
         if fresh.count():
-            lake_write(fresh, curated_table, partition_by=("bucket",))
+            lake_write(
+                fresh,
+                curated_table,
+                partition_by=("bucket",),
+                bloom_cols=("fingerprint",),
+            )
 
     reader = (
         spark.readStream.schema(EMBEDDED_LANDING_SCHEMA)
@@ -707,13 +742,9 @@ def stream_curated_documents_lake(
       commit (the same store-is-the-ledger idiom, now reading through
       the manifest).
     """
-    from ..sources.lake import ConcurrentCommitError, lake_read, lake_write
+    from ..sources.lake import lake_read, lake_write
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            seen = lake_read(spark, curated_table).select("fingerprint")
-        except FileNotFoundError:
-            seen = spark.createDataFrame([], "fingerprint string")
         gated = (
             batch_df.filter(F.col("text").isNotNull() & (F.length("text") >= 20))
             .withColumn("fingerprint", exact_fingerprint("text"))
@@ -731,15 +762,34 @@ def stream_curated_documents_lake(
             "fingerprint",
             F.col("w.quality").alias("quality"),
         )
+        try:
+            # bloom-pruned ledger: only files that may contain one of
+            # the batch's fingerprints feed the anti-join (prune_only —
+            # the join re-checks exactly)
+            fps = [
+                r.fingerprint
+                for r in in_batch.select("fingerprint").distinct().collect()
+            ]
+            seen = (
+                lake_read(
+                    spark,
+                    curated_table,
+                    where=[("fingerprint", "in", fps)],
+                    prune_only=True,
+                ).select("fingerprint")
+                if fps
+                else spark.createDataFrame([], "fingerprint string")
+            )
+        except FileNotFoundError:
+            seen = spark.createDataFrame([], "fingerprint string")
         fresh = in_batch.join(seen, "fingerprint", "left_anti")
         if fresh.count():
-            for _attempt in range(3):
-                try:
-                    lake_write(fresh, curated_table, mode="append")
-                    return
-                except ConcurrentCommitError:
-                    continue  # another writer advanced the table: retry
-            raise ConcurrentCommitError(curated_table)
+            # lake_write retries lost commit races internally; the
+            # explicit loop guards only the exhausted-retries case
+            lake_write(
+                fresh, curated_table, mode="append",
+                bloom_cols=("fingerprint",),
+            )
 
     reader = spark.readStream.schema(LANDING_SCHEMA).json(landing_dir)
     q = (

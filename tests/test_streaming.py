@@ -1141,6 +1141,22 @@ def test_stream_neardup_lake_gate_matches_replay_and_prunes(spark, tmp_path):
     all_files = lake_read(spark, curated).inputFiles()
     assert len(files) < len(all_files)  # other buckets exist and were skipped
 
+    # the fingerprint LEDGER is bloom-indexed too: a fingerprint the
+    # store provably lacks opens ZERO files — this is what bounds the
+    # per-batch ledger anti-join scan to matching files at 100 TB
+    import json as _json2
+    import os as _os
+
+    m = _json2.load(
+        open(_os.path.join(curated, "_manifests", "v1.json"))
+    )
+    assert m["bloom_cols"] == ["fingerprint"]
+    assert all(e["bloom"]["fingerprint"]["bits"] for e in m["files"])
+    none = lake_read(
+        spark, curated, where=[("fingerprint", "==", "not-a-real-fp")]
+    )
+    assert none.inputFiles() == [] and none.count() == 0
+
     # (c) replay: same checkpoint is a no-op; a fresh checkpoint
     # replays every batch and the fingerprint gate suppresses all of it
     stream_neardup_documents_lake(spark, str(landing), curated, ckpt, threshold=thr)

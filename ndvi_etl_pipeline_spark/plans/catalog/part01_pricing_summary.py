@@ -1587,6 +1587,106 @@ def q_webp_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "webp_anim_census",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + (doc_id % 2) AS INT) AS n_frames,
+           CAST(20 AS INT) AS height,
+           CAST(32 AS INT) AS width,
+           true AS headers_roundtrip,
+           true AS compositing_correct
+    FROM documents WHERE doc_id < 8 ORDER BY doc_id
+    """,
+    tags=("multimodal", "webp", "binary", "video"),
+)
+def q_webp_anim_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated WebP as a VIDEO operator under the driver gate: per
+    document a deterministic 2-3 frame animation (full-canvas base +
+    doc_id-keyed patch frames) is CONTAINER-ENCODED (VP8X/ANIM/ANMF,
+    operators/webp.py:encode_webp_animation, frames as VP8L) and
+    extracted back (webp_frames — canvas compositing with
+    replace/dispose semantics). headers_roundtrip pins the pure-spec
+    ANMF header fields (rects, durations, flags) and
+    compositing_correct pins the composited pixels of every frame
+    against a straight numpy replay — a container-layout, frame
+    decode, or compositing bug flips a boolean and fails the hash.
+    Frame pixel decode is the NATIVE VP8L path (no libwebp on the
+    read side)."""
+    import pandas as _pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 8).select("doc_id")
+
+    schema = (
+        "doc_id bigint, n_frames int, height int, width int, "
+        "headers_roundtrip boolean, compositing_correct boolean"
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        from ...operators.webp import (
+            encode_webp_animation,
+            webp_frame_headers,
+            webp_frames,
+        )
+
+        H, W = 20, 32
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 2 + (doc_id % 2)
+                base = np.zeros((H, W, 3), np.uint8)
+                base[:, :, 0] = 100 + doc_id * 10
+                frames = [base]
+                rects = [(0, 0)]
+                durs = [30]
+                for j in range(1, n):
+                    ph, pw = 6 + 2 * j, 8 + 2 * j
+                    patch = np.full(
+                        (ph, pw, 3),
+                        [(doc_id * 40 + j * 90) % 256, 250, j * 70 % 256],
+                        np.uint8,
+                    )
+                    frames.append(patch)
+                    rects.append((2 * j, 2 * j))
+                    durs.append(30 + 10 * j)
+                payload = encode_webp_animation(
+                    frames, durs, rects=rects, blend=False, dispose_bg=False
+                )
+                heads = webp_frame_headers(payload)
+                hr = (
+                    len(heads) == n
+                    and [h_["duration_ms"] for h_ in heads] == durs
+                    and [(h_["x"], h_["y"]) for h_ in heads] == rects
+                    and all(not h_["blend"] and not h_["dispose_bg"] for h_ in heads)
+                )
+                got, _meta = webp_frames(payload)
+                # straight numpy replay of replace-compositing
+                canvas = np.zeros((H, W, 4), np.uint8)
+                ok = got.shape == (n, H, W, 4)
+                for j, (fr, (x, y)) in enumerate(zip(frames, rects)):
+                    rgba = np.concatenate(
+                        [fr, np.full(fr.shape[:2] + (1,), 255, np.uint8)], axis=2
+                    )
+                    canvas[y : y + fr.shape[0], x : x + fr.shape[1]] = rgba
+                    ok = ok and bool(np.array_equal(got[j], canvas))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": int(got.shape[0]),
+                        "height": int(got.shape[1]),
+                        "width": int(got.shape[2]),
+                        "headers_roundtrip": bool(hr),
+                        "compositing_correct": bool(ok),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return d.mapInPandas(kernel, schema=schema).orderBy("doc_id")
+
+
+@register(
     "ann_bruteforce_topk",
     oracle=f"""
     WITH scored AS (

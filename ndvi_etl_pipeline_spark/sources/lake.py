@@ -532,6 +532,9 @@ def _write_data_files(
 
         spark = df.sparkSession
         for c in bloom_cols:
+            if c not in df.columns:
+                continue  # schema evolution: entries without the column
+                # carry no bloom and are always kept (correctness)
             dt = df.schema[c].dataType
             if not isinstance(
                 dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)

@@ -1,0 +1,220 @@
+"""`lake` — a Python DataSource (Spark 4 DataSource API) over the
+manifest lake (sources/lake.py), batch AND streaming.
+
+Batch: `spark.read.format("lake").option("path", t).load()` reads a
+snapshot pinned at plan time (option("version", N) time-travels) with
+one input partition per data file — executor-parallel parquet reads
+through pyarrow, yielding Arrow RecordBatches (the zero-copy transport
+of the DataSource API), with schema-evolution nulls and
+identity-partition dir values filled per file exactly like lake_read.
+
+Streaming: `spark.readStream.format("lake").option("path", t).load()`
+turns the CDC-lite manifest diff (lake_read_changes) into a REAL
+Structured Streaming source. Offsets are snapshot versions — the
+natural exactly-once cursor: {"version": N} means "everything through
+snapshot N has been delivered", a replayed range re-reads exactly the
+same immutable files, and `partitions(start, end)` is one partition
+per file APPENDED in (start, end] — executor-parallel, O(new data)
+per micro-batch, zero driver row traffic (this uses the full
+DataSourceStreamReader API, not the driver-side Simple variant).
+Non-append commits inside a range fail the batch with the same honest
+boundary as lake_read_changes: a compaction's "new" files are old
+rows, so a file diff no longer means "new rows" — restart the stream
+from a fresh full snapshot instead.
+
+At 100 TB: a curation drain appends small snapshots continuously; a
+downstream trainer streams exactly the appended files per trigger,
+while batch readers pin whatever snapshot they started on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+from .lake import (
+    _latest_version,
+    _parse_partition_spec,
+    _paths,
+    _read_manifest,
+)
+
+
+class LakeFilePartition(InputPartition):
+    """One data file + everything an executor needs to conform it to
+    the table schema: absolute path, the manifest schema (json), and
+    identity-partition dir values to re-attach as constants."""
+
+    def __init__(self, abs_path: str, schema_json: str, fill: dict):
+        self.abs_path = abs_path
+        self.schema_json = schema_json
+        self.fill = fill
+
+
+def _entry_partition_fill(entry, part_by) -> dict:
+    """Identity-partitioned layouts drop the partition column from the
+    data files; rebuild {col: raw_string} for the executor to attach.
+    Transform layouts keep every real column in the file — no fill."""
+    if not part_by or not isinstance(entry, dict):
+        return {}
+    fill = {}
+    for sp in part_by:
+        kind, _param, col, dcol = _parse_partition_spec(sp)
+        if kind == "identity":
+            parts = entry.get("partitions") or {}
+            if dcol in parts:
+                fill[col] = parts[dcol]
+    return fill
+
+
+def _partitions_for_entries(path, manifest, entries) -> list[LakeFilePartition]:
+    schema_json = json.dumps(manifest["schema"])
+    part_by = manifest.get("partition_by") or []
+    return [
+        LakeFilePartition(
+            os.path.abspath(os.path.join(path, p)),
+            schema_json,
+            _entry_partition_fill(e, part_by),
+        )
+        for p, e in zip(_paths(entries), entries)
+    ]
+
+
+def _typed_constant(raw: str | None, dtype):
+    if raw is None:
+        return None
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw.lower() in ("true", "1")
+    return raw
+
+
+def _read_partition(partition: LakeFilePartition) -> Iterator:
+    """Executor-side: one parquet file → Arrow RecordBatches conformed
+    to the table schema (missing columns null — schema evolution;
+    identity-partition values re-attached as constants)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = T.StructType.fromJson(json.loads(partition.schema_json))
+    arrow_schema = to_arrow_schema(schema)
+    table = pq.read_table(partition.abs_path)
+    n = table.num_rows
+    cols = []
+    for field, sfield in zip(arrow_schema, schema.fields):
+        if field.name in table.column_names:
+            cols.append(table.column(field.name).cast(field.type))
+        elif field.name in partition.fill:
+            const = _typed_constant(partition.fill[field.name], sfield.dataType)
+            cols.append(pa.array([const] * n).cast(field.type))
+        else:
+            cols.append(pa.nulls(n, type=field.type))
+    out = pa.Table.from_arrays(cols, schema=arrow_schema)
+    yield from out.to_batches()
+
+
+class LakeBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("lake source requires option('path', ...)")
+        latest = _latest_version(self._path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {self._path}")
+        v = int(options.get("version", latest))
+        # snapshot pinned HERE, at plan time — concurrent commits
+        # cannot tear this read
+        self._manifest = _read_manifest(self._path, v)
+
+    def partitions(self) -> list[InputPartition]:
+        return _partitions_for_entries(
+            self._path, self._manifest, self._manifest["files"]
+        )
+
+    def read(self, partition: LakeFilePartition) -> Iterator:
+        yield from _read_partition(partition)
+
+
+class LakeStreamReader(DataSourceStreamReader):
+    """Snapshot-version offsets over the append-only manifest log."""
+
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("lake source requires option('path', ...)")
+        self._start = int(options.get("startingVersion", -1))
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        v = _latest_version(self._path)
+        return {"version": v if v is not None else self._start}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        sv, ev = int(start["version"]), int(end["version"])
+        if ev <= sv:
+            return []
+        for v in range(max(sv, -1) + 1, ev + 1):
+            op = _read_manifest(self._path, v)["op"]
+            if op != "append":
+                raise ValueError(
+                    f"lake stream undefined across non-append commit "
+                    f"v{v} ({op}) — restart from a fresh snapshot"
+                )
+        end_m = _read_manifest(self._path, ev)
+        old: set[str] = set()
+        if sv >= 0:
+            old = set(_paths(_read_manifest(self._path, sv)["files"]))
+        new_entries = [
+            e
+            for e in end_m["files"]
+            if (e["path"] if isinstance(e, dict) else e) not in old
+        ]
+        return _partitions_for_entries(self._path, end_m, new_entries)
+
+    def read(self, partition: LakeFilePartition) -> Iterator:
+        yield from _read_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the checkpoint; manifests immutable
+
+
+class LakeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "lake"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("lake source requires option('path', ...)")
+        latest = _latest_version(path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {path}")
+        v = int(self.options.get("version", latest))
+        return T.StructType.fromJson(_read_manifest(path, v)["schema"])
+
+    def reader(self, schema) -> LakeBatchReader:
+        return LakeBatchReader(self.options)
+
+    def streamReader(self, schema) -> LakeStreamReader:
+        return LakeStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the `lake` format."""
+    spark.dataSource.register(LakeDataSource)

@@ -45,6 +45,7 @@ def basket_pairs(
     min_co: int = 1,
     max_basket: int = 64,
     focus_items: DataFrame | None = None,
+    focus_strategy: str = "join",
 ) -> DataFrame:
     """Unordered within-basket item pairs (i < j) with co-occurrence
     counts (i, j, co) — the shared candidate-generation stage of
@@ -68,23 +69,67 @@ def basket_pairs(
     arrs = _basket_arrays(baskets, basket_col, item_col).where(
         F.size("items") <= max_basket
     )
-    pair_col = F.flatten(
-        F.transform(
-            "items",
-            lambda x, i: F.transform(
-                F.slice("items", i + 2, F.size("items")),
-                lambda y: F.struct(x.alias("i"), y.alias("j")),
-            ),
+    if focus_items is not None and focus_strategy == "array":
+        # Push the caller's item restriction into the ARRAY, before
+        # pair explosion: intersect each basket with the broadcast
+        # focus set, drop zero-hit baskets entirely, and generate
+        # only (hit × member) pairs — |hits|·|B| structs per basket
+        # instead of |B|²/2, and most baskets never reach the
+        # explode at all (itemcf_similar_parts: 10 hot items kill
+        # ~all baskets up front; sf10 warm 30.6 s → 17.1 s). Each
+        # retained unordered pair is emitted exactly once: for x in
+        # hits, keep y when x < y, or when x > y and y is NOT itself
+        # a hit (the both-hot pair is emitted only from its smaller
+        # endpoint). Pair counts for retained pairs are unchanged vs
+        # the unrestricted plan. Right ONLY for small focus sets:
+        # the per-basket intersect/contains work scales with
+        # |focus|, so a thousands-item focus (itemcf_user_recs'
+        # user histories) measured 34% SLOWER this way — large
+        # focus sets take the post-explode join path below.
+        foc = F.broadcast(
+            focus_items.select(
+                F.col(focus_items.columns[0]).alias("_f")
+            )
+            .distinct()
+            .agg(F.array_sort(F.collect_set("_f")).alias("_focus"))
         )
-    )
+        arrs = (
+            arrs.join(foc)
+            .withColumn("hits", F.array_intersect("items", "_focus"))
+            .where(F.size("hits") > 0)
+        )
+        pair_col = F.flatten(
+            F.transform(
+                "hits",
+                lambda x: F.transform(
+                    F.filter(
+                        F.col("items"),
+                        lambda y: (y != x)
+                        & ((x < y) | ~F.array_contains(F.col("hits"), y)),
+                    ),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("i"), F.greatest(x, y).alias("j")
+                    ),
+                ),
+            )
+        )
+    else:
+        pair_col = F.flatten(
+            F.transform(
+                "items",
+                lambda x, i: F.transform(
+                    F.slice("items", i + 2, F.size("items")),
+                    lambda y: F.struct(x.alias("i"), y.alias("j")),
+                ),
+            )
+        )
     raw = arrs.select(F.explode(pair_col).alias("p")).select("p.i", "p.j")
-    if focus_items is not None:
-        # Push the caller's item restriction BELOW the pair shuffle:
-        # most of the pair volume is singleton (i, j) keys that the
-        # downstream top-k never looks at, so two broadcast left
-        # joins + a flag filter shrink the dominant shuffle to pairs
-        # touching the focus set (itemcf_similar_parts: 12M → <1M
-        # rows at sf1). Pair counts for retained pairs are unchanged.
+    if focus_items is not None and focus_strategy != "array":
+        # Post-explode restriction for LARGE focus sets: most of the
+        # pair volume is singleton (i, j) keys the downstream top-k
+        # never looks at, so two broadcast left joins + a flag
+        # filter shrink the dominant shuffle to pairs touching the
+        # focus set. Pair counts for retained pairs are unchanged.
         fi = F.broadcast(
             focus_items.select(
                 F.col(focus_items.columns[0]).alias("_fi")
@@ -130,6 +175,7 @@ def item_similarity(
     min_co: int = 1,
     max_basket: int = 64,
     focus_items: DataFrame | None = None,
+    focus_strategy: str = "join",
 ) -> DataFrame:
     """Item-item cosine similarity from co-occurrence: basket_pairs()
     plus per-item frequencies and cos = co / sqrt(n_i · n_j).
@@ -137,7 +183,8 @@ def item_similarity(
     The basket-size cap guards PAIR generation only; frequencies
     count the full membership (the oracle's definition)."""
     pairs = basket_pairs(
-        baskets, basket_col, item_col, min_co, max_basket, focus_items
+        baskets, basket_col, item_col, min_co, max_basket, focus_items,
+        focus_strategy,
     )
     freq = (
         _basket_arrays(baskets, basket_col, item_col)

@@ -36,6 +36,50 @@ def test_basket_pairs_equal_bruteforce(spark, rows):
     assert got == expect
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 8)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sets(st.integers(0, 8), max_size=4),
+)
+def test_basket_pairs_focus_strategies_agree(spark, rows, focus):
+    """The array-level focus pushdown (pre-explode intersect, each
+    retained pair emitted from exactly one endpoint) and the
+    post-explode broadcast-join filter must both equal the
+    brute-force restriction of the unrestricted pair counts to
+    pairs touching the focus set — including both-endpoints-hot
+    pairs (dedup correctness) and empty focus sets."""
+    df = spark.createDataFrame(rows, "basket INT, item INT")
+    fdf = spark.createDataFrame(
+        [(f,) for f in sorted(focus)], "item INT"
+    )
+    got_arr = {
+        (r.i, r.j): r.co
+        for r in basket_pairs(
+            df, min_co=1, max_basket=64, focus_items=fdf, focus_strategy="array"
+        ).collect()
+    }
+    got_join = {
+        (r.i, r.j): r.co
+        for r in basket_pairs(
+            df, min_co=1, max_basket=64, focus_items=fdf, focus_strategy="join"
+        ).collect()
+    }
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    expect = {}
+    for items in baskets.values():
+        for i, j in itertools.combinations(sorted(items), 2):
+            if i in focus or j in focus:
+                expect[(i, j)] = expect.get((i, j), 0) + 1
+    assert got_arr == expect
+    assert got_join == expect
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(

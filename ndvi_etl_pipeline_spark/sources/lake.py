@@ -26,9 +26,14 @@ Invariants (the whole correctness story):
   winner may have added files the copy-on-write pruning never scanned.
   Data files from a lost attempt are unreferenced orphans; vacuum
   collects them after the retention window.
-- DELETE is copy-on-write: only the files that actually contain
-  matching rows are rewritten (located via input_file_name()); all
-  other files carry over to the new manifest untouched.
+- DELETE is copy-on-write by default: only the files that actually
+  contain matching rows are rewritten (located via the scan's
+  _metadata file path); all other files carry over to the new manifest
+  untouched. With strategy="dv" it is merge-on-read instead: NO data
+  file is rewritten — the deleted rows' (file, row-ordinal) addresses
+  are written as a parquet deletion-vector set under <table>/dv/ and
+  every read anti-joins the broadcast DV relation (Delta/Iceberg-v2
+  position deletes). COMPACT materializes DVs and clears them.
 - COMPACT rewrites the live set into fewer files without changing
   rows; old versions still reference the old files, so time travel
   keeps working until VACUUM drops manifests (and then deletes data
@@ -101,10 +106,15 @@ def _fs_path(name: str) -> str:
     return os.path.abspath(unquote(name))
 
 
+def _entry_rel(e) -> str:
+    """One manifest file entry → its table-relative path."""
+    return e["path"] if isinstance(e, dict) else e
+
+
 def _paths(entries) -> list[str]:
     """Manifest file entries → table-relative paths (entries are
     {"path", "stats"} dicts; bare strings accepted defensively)."""
-    return [e["path"] if isinstance(e, dict) else e for e in entries]
+    return [_entry_rel(e) for e in entries]
 
 
 _OPS = {
@@ -589,17 +599,67 @@ def _write_data_files(
     return entries
 
 
+#: Reserved column names DV bookkeeping rides on; user tables must
+#: not use them (asserted at dv-delete time).
+_DV_FILE, _DV_POS = "__dv_file", "__dv_pos"
+_DV_SCHEMA = f"{_DV_FILE} string, {_DV_POS} bigint"
+
+
+def _dv_meta_cols(path: str):
+    """(table-relative decoded file path, row ordinal) Columns from
+    the parquet scan's hidden _metadata struct — the executor-side
+    twin of _fs_path: file_path arrives percent-encoded ('+' is NOT
+    form-encoded by Hadoop, so pre-escape it before url_decode treats
+    it as a space)."""
+    fp = F.col("_metadata.file_path")
+    decoded = F.url_decode(F.regexp_replace(fp, r"\+", "%2B"))
+    no_scheme = F.regexp_replace(decoded, "^file:(//)?", "")
+    prefix = os.path.abspath(path) + os.sep
+    rel = F.substring(no_scheme, len(prefix) + 1, 1 << 30)
+    return rel, F.col("_metadata.row_index")
+
+
 def _read_entries(
-    spark: SparkSession, path: str, manifest: dict, entries
+    spark: SparkSession, path: str, manifest: dict, entries,
+    keep_meta: bool = False,
 ) -> DataFrame:
     """Read a subset of a snapshot's file entries under the manifest
     schema. Partitioned tables need the partition columns recovered
     from the hive dir names, which Spark does per basePath — one
     basePath-scoped scan per commit dir, unioned by name (commit
-    count is manifest-scale)."""
+    count is manifest-scale).
+
+    When the snapshot carries DELETION VECTORS (merge-on-read
+    lake_delete), the deleted (file, row-ordinal) pairs are removed
+    here — ONE broadcast anti-join, so every consumer (reads, COW
+    rewrites, compaction) sees the same visible rows. The DV relation
+    is bounded by deletes-since-last-compaction: compaction
+    materializes DVs into clean files and clears them.
+    `keep_meta=True` additionally exposes the ({_DV_FILE}, {_DV_POS})
+    columns of each VISIBLE row — how dv-delete addresses the rows it
+    removes."""
     schema = T.StructType.fromJson(manifest["schema"])
+    dvs = manifest.get("dvs") or []
+    want_meta = keep_meta or bool(dvs)
     if not entries:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        if keep_meta:
+            out = out.withColumn(_DV_FILE, F.lit(None).cast("string"))
+            out = out.withColumn(_DV_POS, F.lit(None).cast("bigint"))
+        return out
+
+    def _scan(paths: list[str], base: str | None = None) -> DataFrame:
+        r = spark.read.schema(schema)
+        if base is not None:
+            r = r.option("basePath", base)
+        df = r.parquet(*paths)
+        if want_meta:
+            rel, pos = _dv_meta_cols(path)
+            # _metadata is only addressable ON the scan relation —
+            # attach before any union
+            df = df.select("*", rel.alias(_DV_FILE), pos.alias(_DV_POS))
+        return df
+
     part_by = manifest.get("partition_by") or []
     identity_layout = part_by and all(
         _parse_partition_spec(sp)[0] == "identity" for sp in part_by
@@ -608,20 +668,26 @@ def _read_entries(
         # unpartitioned OR transform-partitioned: every real column
         # lives inside the data files (transforms partition on derived
         # dir columns) — a plain schema-pinned scan suffices
-        paths = [os.path.join(path, p) for p in _paths(entries)]
-        return spark.read.schema(schema).parquet(*paths)
-    groups: dict[str, list[str]] = {}
-    for p in _paths(entries):
-        segs = p.split(os.sep)
-        base = os.path.join(path, segs[0], segs[1])  # data/<commit>
-        groups.setdefault(base, []).append(os.path.join(path, p))
-    dfs = [
-        spark.read.schema(schema).option("basePath", base).parquet(*files)
-        for base, files in sorted(groups.items())
-    ]
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
+        out = _scan([os.path.join(path, p) for p in _paths(entries)])
+    else:
+        groups: dict[str, list[str]] = {}
+        for p in _paths(entries):
+            segs = p.split(os.sep)
+            base = os.path.join(path, segs[0], segs[1])  # data/<commit>
+            groups.setdefault(base, []).append(os.path.join(path, p))
+        dfs = [
+            _scan(files, base) for base, files in sorted(groups.items())
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+    if dvs:
+        dv_df = spark.read.schema(_DV_SCHEMA).parquet(
+            *[os.path.join(path, d) for d in dvs]
+        )
+        out = out.join(F.broadcast(dv_df), [_DV_FILE, _DV_POS], "left_anti")
+    if want_meta and not keep_meta:
+        out = out.drop(_DV_FILE, _DV_POS)
     return out
 
 
@@ -704,9 +770,11 @@ def lake_write(
                 ]
             )
             live = prev["files"] + files
+            dvs = list(prev.get("dvs") or [])
         else:
             merged = df.schema
             live = files
+            dvs = []
         version = 0 if latest is None else latest + 1
         manifest = {
             "version": version,
@@ -716,6 +784,8 @@ def lake_write(
             "schema": merged.jsonValue(),
             "n_rows_delta": n_rows,
         }
+        if dvs:
+            manifest["dvs"] = dvs
         if part_by:
             manifest["partition_by"] = list(part_by)
         if bl_cols:
@@ -840,6 +910,10 @@ def lake_column_max(path: str, col: str, version: int | None = None):
     if latest is None:
         return None
     m = _read_manifest(path, latest if version is None else version)
+    if m.get("dvs"):
+        # per-file stats include dv-deleted rows — the max may belong
+        # to an invisible row; only a real scan is honest
+        return None
     best = None
     for e in m["files"]:
         stats = e.get("stats") if isinstance(e, dict) else None
@@ -889,40 +963,100 @@ def _retry_cow(op_name: str, path: str, once):
     )
 
 
-def lake_delete(spark: SparkSession, path: str, predicate) -> int:
-    """Copy-on-write DELETE: rewrite ONLY the files containing rows
-    matching `predicate` (a Column), carry every other file over
-    unchanged, publish one new snapshot. Returns the new version.
+def _dv_delete_once(spark: SparkSession, path: str, predicate) -> int:
+    """One attempt of the merge-on-read delete: address the VISIBLE
+    matching rows (existing DVs already applied by _read_entries, so
+    a row can never be double-deleted), write their (file, ordinal)
+    pairs as a new DV parquet set, and publish a manifest whose file
+    list is UNCHANGED — the whole point."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no manifest lake at {path}")
+    m = _read_manifest(path, latest)
+    if not m["files"]:
+        return latest
+    schema = T.StructType.fromJson(m["schema"])
+    clash = {_DV_FILE, _DV_POS} & set(schema.fieldNames())
+    if clash:
+        raise ValueError(f"table uses reserved DV column names {sorted(clash)}")
+    df = _read_entries(spark, path, m, m["files"], keep_meta=True)
+    hits = df.filter(predicate).select(_DV_FILE, _DV_POS)
+    n = hits.count()
+    if n == 0:
+        return latest  # nothing matched: no new snapshot needed
+    dv_rel = os.path.join("dv", uuid.uuid4().hex[:12])
+    hits.write.mode("error").parquet(os.path.join(path, dv_rel))
+    version = latest + 1
+    manifest = {
+        "version": version,
+        "op": "delete",
+        "strategy": "dv",
+        "ts": time.time(),
+        "files": m["files"],
+        "schema": m["schema"],
+        "n_rows_delta": -n,
+        "dvs": list(m.get("dvs") or []) + [dv_rel],
+    }
+    for k in ("partition_by", "bloom_cols"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _commit(path, version, manifest)
+    return version
+
+
+def lake_delete(
+    spark: SparkSession, path: str, predicate, strategy: str = "cow"
+) -> int:
+    """DELETE rows matching `predicate` (a Column), publish one new
+    snapshot, return the new version. Two strategies:
+
+    - `"cow"` (copy-on-write, default): rewrite ONLY the files that
+      actually contain matching rows (located via _metadata.file_path);
+      every other file carries over untouched. Right when deletes are
+      rare or bulk — the read path stays a plain scan.
+    - `"dv"` (merge-on-read deletion vectors): rewrite NOTHING. The
+      matching rows' (file, row-ordinal) addresses are written as a
+      small parquet deletion-vector set under <table>/dv/, and the
+      manifest's `dvs` list carries it; every read anti-joins the
+      broadcast DV relation (see _read_entries). At 100 TB this turns
+      "delete 0.1% of rows scattered across every file" from a
+      full-table rewrite into a metadata-sized write — the
+      Delta/Iceberg v2 position-delete design. DVs accumulate until
+      the next COMPACT, which materializes them into clean files and
+      clears the list (the read-amplification ceiling is bounded by
+      compaction cadence).
+
     Conflicts with concurrent commits re-run the whole delete from
     the winner's snapshot (see _retry_cow)."""
+    if strategy not in ("cow", "dv"):
+        raise ValueError(f"unknown delete strategy {strategy!r}")
+    if strategy == "dv":
+        return _retry_cow(
+            "delete-dv", path, lambda: _dv_delete_once(spark, path, predicate)
+        )
 
     def once() -> int:
         latest = _latest_version(path)
         if latest is None:
             raise FileNotFoundError(f"no manifest lake at {path}")
         m = _read_manifest(path, latest)
-        full = {
-            os.path.abspath(
-                os.path.join(path, e["path"] if isinstance(e, dict) else e)
-            ): e
-            for e in m["files"]
-        }
-        if not full:
+        if not m["files"]:
             return latest
-        df = _read_entries(spark, path, m, m["files"]).withColumn(
-            "__file", F.input_file_name()
-        )
-        hit_files = {
-            _fs_path(r.f)
+        # hit files located via the scan's _metadata rel path (the
+        # keep_meta column) — input_file_name() cannot sit above the
+        # DV anti-join (two file sources in one plan)
+        df = _read_entries(spark, path, m, m["files"], keep_meta=True)
+        hit_rel = {
+            r.f
             for r in df.filter(predicate)
-            .select(F.col("__file").alias("f"))
+            .select(F.col(_DV_FILE).alias("f"))
             .distinct()
             .collect()
         }
-        rewritten = [e for abs_, e in full.items() if abs_ in hit_files]
+        rewritten = [e for e in m["files"] if _entry_rel(e) in hit_rel]
         if not rewritten:
             return latest  # nothing matched: no new snapshot needed
-        keep = [e for abs_, e in full.items() if abs_ not in hit_files]
+        keep = [e for e in m["files"] if _entry_rel(e) not in hit_rel]
         part_by = tuple(m.get("partition_by") or ())
         bl_cols = tuple(m.get("bloom_cols") or ())
         survivors = _read_entries(spark, path, m, rewritten).filter(~predicate)
@@ -941,6 +1075,11 @@ def lake_delete(spark: SparkSession, path: str, predicate) -> int:
             "n_rows_delta": None,
             "rewrote_files": _paths(rewritten),
         }
+        if m.get("dvs"):
+            # DV rows addressing the rewritten files dangle harmlessly
+            # (their rel paths left the file list); kept files still
+            # need theirs
+            manifest["dvs"] = m["dvs"]
         if part_by:
             manifest["partition_by"] = list(part_by)
         if bl_cols:
@@ -980,32 +1119,24 @@ def lake_merge(
             raise ValueError("merge would change an existing column's type")
         part_by = tuple(m.get("partition_by") or ())
         bl_cols = tuple(m.get("bloom_cols") or ())
-        full = {
-            os.path.abspath(
-                os.path.join(path, e["path"] if isinstance(e, dict) else e)
-            ): e
-            for e in m["files"]
-        }
         key_df = updates.select(*keys).distinct()
-        keep, rewritten_rel = list(full.values()), []
+        keep, rewritten_rel = list(m["files"]), []
         rewritten_entries: list = []
         new_files: list[dict] = []
-        if full:
-            df = _read_entries(spark, path, m, m["files"]).withColumn(
-                "__file", F.input_file_name()
-            )
+        if m["files"]:
+            df = _read_entries(spark, path, m, m["files"], keep_meta=True)
             hits = df.join(F.broadcast(key_df), list(keys), "left_semi")
-            hit_files = {
-                _fs_path(r.f)
-                for r in hits.select(F.col("__file").alias("f"))
+            hit_rel = {
+                r.f
+                for r in hits.select(F.col(_DV_FILE).alias("f"))
                 .distinct()
                 .collect()
             }
             rewritten_entries = [
-                e for abs_, e in full.items() if abs_ in hit_files
+                e for e in m["files"] if _entry_rel(e) in hit_rel
             ]
             rewritten_rel = _paths(rewritten_entries)
-            keep = [e for abs_, e in full.items() if abs_ not in hit_files]
+            keep = [e for e in m["files"] if _entry_rel(e) not in hit_rel]
             if rewritten_entries:
                 survivors = _read_entries(
                     spark, path, m, rewritten_entries
@@ -1032,6 +1163,8 @@ def lake_merge(
             "n_rows_delta": n_up,
             "rewrote_files": rewritten_rel,
         }
+        if m.get("dvs"):
+            manifest["dvs"] = m["dvs"]  # kept files still need theirs
         if part_by:
             manifest["partition_by"] = list(part_by)
         if bl_cols:
@@ -1042,12 +1175,81 @@ def lake_merge(
     return _retry_cow("merge", path, once)
 
 
-def lake_compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
+def _zorder_key(df: DataFrame, cols: tuple[str, ...]) -> "F.Column":
+    """Morton (Z-order) interleave of the given NUMERIC columns as a
+    bigint sort key. Each column is quantized to a 2^b uniform grid
+    between its global min and max (one agg over the rows being
+    rewritten — compaction reads them anyway), then bit i of every
+    column's cell lands at position i*n_cols + col_idx. Files cut
+    along this key get TIGHT min/max ranges on ALL the z-ordered
+    columns at once, so manifest-stats skipping prunes multi-column
+    predicates that a single-column sort can only prune on its
+    leading column (Delta's OPTIMIZE ZORDER BY). Uniform (not rank)
+    quantization: cheap, codegen-friendly, and file-size balance
+    comes from repartitionByRange's sampling, not the grid."""
+    for c in cols:
+        if not isinstance(
+            df.schema[c].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType),
+        ):
+            raise ValueError(f"zorder_by column {c!r} must be numeric")
+    n = len(cols)
+    b = min(16, 62 // n)  # bits per column; key stays in a signed long
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    cells = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None or float(mx) == float(mn):
+            cells.append(F.lit(0).cast("bigint"))
+            continue
+        cell = (
+            F.width_bucket(
+                F.col(c).cast("double"),
+                F.lit(float(mn)), F.lit(float(mx)), F.lit(2**b),
+            )
+            - 1
+        )
+        # nulls sort to cell 0; width_bucket's inclusive-max overflow
+        # bucket (2^b + 1) clamps back to the top cell
+        cell = F.least(
+            F.greatest(F.coalesce(cell, F.lit(0)), F.lit(0)),
+            F.lit(2**b - 1),
+        ).cast("bigint")
+        cells.append(cell)
+    key = F.lit(0).cast("bigint")
+    for i in range(b):
+        for ci, cell in enumerate(cells):
+            key = key + F.shiftleft(
+                F.shiftright(cell, i).bitwiseAND(F.lit(1)), i * n + ci
+            )
+    return key
+
+
+def lake_compact(
+    spark: SparkSession,
+    path: str,
+    num_files: int = 1,
+    zorder_by: tuple[str, ...] = (),
+) -> int:
     """Rewrite the live file set into `num_files` files (same rows,
     one new snapshot). Old snapshots keep referencing the old files —
-    time travel is unaffected until vacuum. Conflicts re-run from the
-    winner's snapshot (compacting stale files would silently drop the
-    winner's changes)."""
+    time travel is unaffected until vacuum. Deletion vectors are
+    MATERIALIZED here: the rewrite reads visible rows only, so the
+    new snapshot carries no `dvs` and reads go back to plain scans
+    (the merge-on-read maintenance contract).
+
+    `zorder_by` CLUSTERS the rewrite on the Morton interleave of the
+    named numeric columns (repartitionByRange on the z-key): each
+    output file covers a compact hyper-rectangle, giving it tight
+    per-file min/max on every z-ordered column, so lake_read's stats
+    skipping prunes predicates on ANY of them — the multi-dimensional
+    file-layout optimization (Delta OPTIMIZE ZORDER). Conflicts
+    re-run from the winner's snapshot (compacting stale files would
+    silently drop the winner's changes)."""
 
     def once() -> int:
         latest = _latest_version(path)
@@ -1056,7 +1258,15 @@ def lake_compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
         m = _read_manifest(path, latest)
         part_by = tuple(m.get("partition_by") or ())
         bl_cols = tuple(m.get("bloom_cols") or ())
-        df = _read_entries(spark, path, m, m["files"]).coalesce(num_files)
+        df = _read_entries(spark, path, m, m["files"])
+        if zorder_by:
+            df = (
+                df.withColumn("__zkey", _zorder_key(df, tuple(zorder_by)))
+                .repartitionByRange(num_files, "__zkey")
+                .drop("__zkey")
+            )
+        else:
+            df = df.coalesce(num_files)
         files = _write_data_files(df, path, part_by, bl_cols)
         version = latest + 1
         manifest = {
@@ -1067,6 +1277,8 @@ def lake_compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
             "schema": m["schema"],
             "n_rows_delta": 0,
         }
+        if zorder_by:
+            manifest["zorder_by"] = list(zorder_by)
         if part_by:
             manifest["partition_by"] = list(part_by)
         if bl_cols:
@@ -1098,11 +1310,14 @@ def lake_vacuum(
         return []
     keep_from = max(0, latest - keep_last + 1)
     kept_files: set[str] = set()
+    kept_dv_dirs: set[str] = set()
     for v in range(keep_from, latest + 1):
         try:
-            kept_files.update(_paths(_read_manifest(path, v)["files"]))
+            m = _read_manifest(path, v)
         except FileNotFoundError:
             continue
+        kept_files.update(_paths(m["files"]))
+        kept_dv_dirs.update(m.get("dvs") or [])
     deleted = []
     for v in range(keep_from):
         mf = os.path.join(_manifest_dir(path), f"v{v}.json")
@@ -1118,6 +1333,24 @@ def lake_vacuum(
                 if (
                     f.endswith(".parquet")
                     and rel not in kept_files
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    os.remove(full)
+                    deleted.append(rel)
+    # deletion-vector sets live under <table>/dv/<uuid>/; one no kept
+    # manifest references is orphaned as a UNIT (a lost dv-delete
+    # attempt, or a compaction having materialized it) — same
+    # retention guard as data files
+    dv_root = os.path.join(path, "dv")
+    if os.path.isdir(dv_root):
+        for root, _dirs, names in os.walk(dv_root):
+            for f in sorted(names):
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, path)
+                dv_dir = os.sep.join(rel.split(os.sep)[:2])  # dv/<uuid>
+                if (
+                    f.endswith(".parquet")
+                    and dv_dir not in kept_dv_dirs
                     and os.path.getmtime(full) <= cutoff
                 ):
                     os.remove(full)

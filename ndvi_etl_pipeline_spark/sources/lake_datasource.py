@@ -51,13 +51,21 @@ from .lake import (
 
 class LakeFilePartition(InputPartition):
     """One data file + everything an executor needs to conform it to
-    the table schema: absolute path, the manifest schema (json), and
-    identity-partition dir values to re-attach as constants."""
+    the table schema: absolute path, the manifest schema (json),
+    identity-partition dir values to re-attach as constants, and the
+    file's deleted row ordinals (merge-on-read deletion vectors)."""
 
-    def __init__(self, abs_path: str, schema_json: str, fill: dict):
+    def __init__(
+        self,
+        abs_path: str,
+        schema_json: str,
+        fill: dict,
+        drop_pos: list[int] | None = None,
+    ):
         self.abs_path = abs_path
         self.schema_json = schema_json
         self.fill = fill
+        self.drop_pos = drop_pos
 
 
 def _entry_partition_fill(entry, part_by) -> dict:
@@ -76,14 +84,43 @@ def _entry_partition_fill(entry, part_by) -> dict:
     return fill
 
 
+def _dv_positions(path, manifest) -> dict[str, list[int]]:
+    """Deleted row ordinals per table-relative file path, loaded from
+    the snapshot's deletion-vector parquet sets. Driver-side and
+    driver-sized on purpose: the DV relation is bounded by
+    deletes-since-last-compaction (compaction materializes and clears
+    it), the same budget Delta's driver spends on DV descriptors."""
+    dvs = manifest.get("dvs") or []
+    if not dvs:
+        return {}
+    import pyarrow.parquet as pq
+
+    out: dict[str, set[int]] = {}
+    for d in dvs:
+        droot = os.path.join(path, d)
+        for root, _dirs, names in os.walk(droot):
+            for f in sorted(names):
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(root, f))
+                for fp, pos in zip(
+                    t.column("__dv_file").to_pylist(),
+                    t.column("__dv_pos").to_pylist(),
+                ):
+                    out.setdefault(fp, set()).add(pos)
+    return {k: sorted(v) for k, v in out.items()}
+
+
 def _partitions_for_entries(path, manifest, entries) -> list[LakeFilePartition]:
     schema_json = json.dumps(manifest["schema"])
     part_by = manifest.get("partition_by") or []
+    dv_pos = _dv_positions(path, manifest)
     return [
         LakeFilePartition(
             os.path.abspath(os.path.join(path, p)),
             schema_json,
             _entry_partition_fill(e, part_by),
+            dv_pos.get(p),
         )
         for p, e in zip(_paths(entries), entries)
     ]
@@ -112,6 +149,12 @@ def _read_partition(partition: LakeFilePartition) -> Iterator:
     schema = T.StructType.fromJson(json.loads(partition.schema_json))
     arrow_schema = to_arrow_schema(schema)
     table = pq.read_table(partition.abs_path)
+    if partition.drop_pos:
+        import numpy as np
+
+        keep = np.ones(table.num_rows, dtype=bool)
+        keep[np.asarray(partition.drop_pos, dtype=np.int64)] = False
+        table = table.filter(pa.array(keep))
     n = table.num_rows
     cols = []
     for field, sfield in zip(arrow_schema, schema.fields):

@@ -557,3 +557,190 @@ def test_lake_bloom_stats_prune_point_lookups(spark, tmp_path):
     bad = spark.createDataFrame([(0.5, "x")], "f double, v string")
     with pytest.raises(ValueError, match="bloom"):
         lake_write(bad, str(tmp_path / "bad"), bloom_cols=("f",))
+
+
+def test_lake_dv_delete_rewrites_nothing(spark, tmp_path):
+    """Merge-on-read DELETE: rows disappear from reads, but the data
+    file set is UNCHANGED (the whole point — at 100 TB a scattered
+    0.1% delete must not rewrite the table); time travel still sees
+    them; a second dv-delete stacks; appends keep the DVs live."""
+    from ndvi_etl_pipeline_spark.sources.lake import _read_manifest
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, chr(97 + i % 26)) for i in range(100)]), t)
+    files_v0 = {
+        e["path"] for e in _read_manifest(t, 0)["files"]
+    }
+
+    v = lake_delete(spark, t, F.col("k") % 10 == 3, strategy="dv")
+    assert v == 1
+    m1 = _read_manifest(t, 1)
+    assert {e["path"] for e in m1["files"]} == files_v0  # zero rewrites
+    assert len(m1["dvs"]) == 1 and m1["n_rows_delta"] == -10
+    got = {r.k for r in lake_read(spark, t).collect()}
+    assert got == {i for i in range(100) if i % 10 != 3}
+    # time travel: v0 still sees every row
+    assert lake_read(spark, t, version=0).count() == 100
+
+    # stacked second DV + an append inheriting both
+    lake_delete(spark, t, F.col("k") < 5, strategy="dv")
+    lake_write(_df(spark, [(1000, "zz")]), t)
+    m3 = _read_manifest(t, 3)
+    assert len(m3["dvs"]) == 2
+    got = {r.k for r in lake_read(spark, t).collect()}
+    assert got == {i for i in range(5, 100) if i % 10 != 3} | {1000}
+    # deleting already-deleted rows matches nothing: no new snapshot
+    assert lake_delete(spark, t, F.col("k") == 3, strategy="dv") == 3
+
+
+def test_lake_dv_compact_materializes_and_vacuum_collects(spark, tmp_path):
+    """COMPACT reads visible rows only and clears the dvs list; after
+    manifests are dropped, vacuum removes the orphaned DV parquet
+    sets (but respects the retention window)."""
+    from ndvi_etl_pipeline_spark.sources.lake import _read_manifest
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, "x") for i in range(50)]), t)
+    lake_delete(spark, t, F.col("k") >= 40, strategy="dv")
+    v = lake_compact(spark, t, num_files=1)
+    m = _read_manifest(t, v)
+    assert "dvs" not in m
+    assert {r.k for r in lake_read(spark, t).collect()} == set(range(40))
+
+    # retention first: nothing deleted while files are young
+    assert lake_vacuum(t, keep_last=1, retention_seconds=3600) == []
+    removed = lake_vacuum(t, keep_last=1, retention_seconds=0)
+    assert any(p.startswith("dv" + os.sep) for p in removed)
+    assert {r.k for r in lake_read(spark, t).collect()} == set(range(40))
+
+
+def test_lake_dv_then_cow_ops_stay_consistent(spark, tmp_path):
+    """COW delete and MERGE on a table carrying DVs must never
+    resurrect dv-deleted rows: the survivors scan applies DVs, and
+    kept files keep their DV entries."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, "a" if i < 50 else "b") for i in range(100)]), t)
+    lake_delete(spark, t, F.col("k").isin([7, 77]), strategy="dv")
+
+    # COW delete rewrites the 'b' files; 77 (in b) must not come back
+    lake_delete(spark, t, (F.col("v") == "b") & (F.col("k") >= 90))
+    got = {r.k for r in lake_read(spark, t).collect()}
+    assert got == set(range(100)) - {7, 77} - set(range(90, 100))
+
+    # MERGE updates keys including a dv-deleted one: it re-inserts
+    # (upsert semantics) exactly once
+    from ndvi_etl_pipeline_spark.sources.lake import lake_merge
+
+    lake_merge(spark, _df(spark, [(7, "NEW"), (10, "NEW")]), t, keys=("k",))
+    rows = {r.k: r.v for r in lake_read(spark, t).collect()}
+    assert rows[7] == "NEW" and rows[10] == "NEW"
+    assert len(rows) == len(got) + 1  # 7 re-inserted, 10 replaced
+
+
+def test_lake_dv_partitioned_and_spaced_paths(spark, tmp_path):
+    """DV addressing uses decoded table-relative paths: a table path
+    with a space and an identity-partitioned layout (multiple scans
+    unioned) must still delete exactly the addressed rows."""
+    t = str(tmp_path / "dv table")
+    df = spark.createDataFrame(
+        [(i, "p%d" % (i % 3), i * 1.5) for i in range(60)],
+        "k int, part string, x double",
+    )
+    lake_write(df, t, partition_by=("part",))
+    lake_delete(spark, t, F.col("k") % 2 == 0, strategy="dv")
+    got = {r.k for r in lake_read(spark, t).collect()}
+    assert got == {i for i in range(60) if i % 2 == 1}
+    # partition pruning composes with DV application
+    pruned = lake_read(spark, t, where=[("part", "==", "p1")])
+    assert {r.k for r in pruned.collect()} == {
+        i for i in range(60) if i % 2 == 1 and i % 3 == 1
+    }
+
+
+def test_lake_dv_datasource_read_applies_dvs(spark, tmp_path):
+    """spark.read.format('lake') must apply deletion vectors (a
+    DataSource read that resurrected dv-deleted rows would be a
+    silent wrong answer)."""
+    from ndvi_etl_pipeline_spark.sources.lake_datasource import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, "x") for i in range(30)]), t)
+    lake_delete(spark, t, F.col("k") < 10, strategy="dv")
+    got = {r.k for r in spark.read.format("lake").option("path", t).load().collect()}
+    assert got == set(range(10, 30))
+    # time travel to v0 sees all rows (DVs belong to v1)
+    got0 = {
+        r.k
+        for r in spark.read.format("lake")
+        .option("path", t)
+        .option("version", 0)
+        .load()
+        .collect()
+    }
+    assert got0 == set(range(30))
+
+
+def test_lake_dv_column_max_refuses_stats(spark, tmp_path):
+    """lake_column_max must return None when DVs exist — the stats max
+    may belong to an invisible row."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_column_max
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, "x") for i in range(10)]).coalesce(1), t)
+    assert lake_column_max(t, "k") == 9
+    lake_delete(spark, t, F.col("k") == 9, strategy="dv")
+    assert lake_column_max(t, "k") is None
+
+
+def test_lake_zorder_compact_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: after a z-ordered compaction into 8 files, a
+    quadrant predicate on (x, y) must skip most files via manifest
+    min/max stats — the multi-column layout a single-column sort
+    cannot give (its trailing column's per-file range spans the whole
+    domain). Rows must be identical before/after."""
+    import json as _json
+
+    from ndvi_etl_pipeline_spark.sources.lake import _file_may_match, lake_latest_version
+
+    t = str(tmp_path / "t")
+    rows = [(x, y, x * 100 + y) for x in range(40) for y in range(40)]
+    df = spark.createDataFrame(rows, "x int, y int, payload int")
+    lake_write(df, t)
+    before = {tuple(r) for r in lake_read(spark, t).collect()}
+
+    v = lake_compact(spark, t, num_files=8, zorder_by=("x", "y"))
+    m = _json.load(open(os.path.join(t, "_manifests", f"v{v}.json")))
+    assert m["zorder_by"] == ["x", "y"]
+    assert len(m["files"]) == 8
+    after = {tuple(r) for r in lake_read(spark, t).collect()}
+    assert after == before
+
+    quadrant = [("x", "<", 20), ("y", "<", 20)]
+    n_scanned = sum(1 for e in m["files"] if _file_may_match(e, quadrant))
+    assert n_scanned <= 4  # a quarter of the space touches <= half the files
+    got = lake_read(spark, t, where=quadrant)
+    assert got.count() == 400
+
+    # single-dimension predicates prune as well — BOTH columns have
+    # locality, the z-order point
+    for col in ("x", "y"):
+        pred = [(col, ">=", 30)]
+        n = sum(1 for e in m["files"] if _file_may_match(e, pred))
+        assert n <= 6
+
+    # contrast: a plain coalesce-compact of the same table leaves the
+    # trailing dimension unprunable (every file spans all of y)
+    t2 = str(tmp_path / "plain")
+    lake_write(df.orderBy("x"), t2)
+    v2 = lake_compact(spark, t2, num_files=8)
+    m2 = _json.load(open(os.path.join(t2, "_manifests", f"v{v2}.json")))
+    n2 = sum(1 for e in m2["files"] if _file_may_match(e, [("y", ">=", 30)]))
+    assert n2 == len(m2["files"])  # no pruning without z-order
+
+
+def test_lake_zorder_rejects_non_numeric(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="must be numeric"):
+        lake_compact(spark, t, num_files=2, zorder_by=("v",))

@@ -622,6 +622,7 @@ def _dv_meta_cols(path: str):
 def _read_entries(
     spark: SparkSession, path: str, manifest: dict, entries,
     keep_meta: bool = False,
+    apply_dvs: bool = True,
 ) -> DataFrame:
     """Read a subset of a snapshot's file entries under the manifest
     schema. Partitioned tables need the partition columns recovered
@@ -639,7 +640,7 @@ def _read_entries(
     columns of each VISIBLE row — how dv-delete addresses the rows it
     removes."""
     schema = T.StructType.fromJson(manifest["schema"])
-    dvs = manifest.get("dvs") or []
+    dvs = (manifest.get("dvs") or []) if apply_dvs else []
     want_meta = keep_meta or bool(dvs)
     if not entries:
         out = spark.createDataFrame([], schema)
@@ -689,6 +690,34 @@ def _read_entries(
     if want_meta and not keep_meta:
         out = out.drop(_DV_FILE, _DV_POS)
     return out
+
+
+def _enforce_constraints(df: DataFrame, schema: T.StructType | None, cons: dict) -> None:
+    """Refuse a write whose rows violate the table's constraints.
+    NOT NULL rejects nulls (including a column the write omits
+    entirely — it would read as NULL); CHECK follows SQL semantics
+    (violated only when the expression is FALSE; UNKNOWN passes).
+    Costs one filtered count over the rows being written — the price
+    Delta pays for enforced constraints too."""
+    if not cons:
+        return
+    vdf = df
+    if schema is not None:
+        for f in schema.fields:
+            if f.name not in df.columns:
+                vdf = vdf.withColumn(f.name, F.lit(None).cast(f.dataType))
+    viol = F.lit(False)
+    for c in cons.get("not_null") or []:
+        viol = viol | F.col(c).isNull()
+    for name, expr in (cons.get("checks") or {}).items():
+        viol = viol | ~F.coalesce(F.expr(expr), F.lit(True))
+    n = vdf.filter(viol).count()
+    if n:
+        raise ValueError(
+            f"{n} row(s) violate table constraints "
+            f"(not_null={cons.get('not_null') or []}, "
+            f"checks={sorted((cons.get('checks') or {}))})"
+        )
 
 
 def _schema_compatible(old: T.StructType, new: T.StructType) -> bool:
@@ -745,6 +774,12 @@ def lake_write(
                 "append would change an existing column's type — "
                 "rewrite via overwrite instead"
             )
+    if prev is not None and prev.get("constraints"):
+        # constraints are table properties: they survive overwrite
+        # (drop them explicitly via lake_alter_constraints)
+        _enforce_constraints(
+            df, T.StructType.fromJson(prev["schema"]), prev["constraints"]
+        )
     n_rows = df.count()
     files = _write_data_files(df, path, part_by, bl_cols)
     for attempt in range(_MAX_COMMIT_ATTEMPTS):
@@ -786,6 +821,8 @@ def lake_write(
         }
         if dvs:
             manifest["dvs"] = dvs
+        if prev is not None and prev.get("constraints"):
+            manifest["constraints"] = prev["constraints"]
         if part_by:
             manifest["partition_by"] = list(part_by)
         if bl_cols:
@@ -864,8 +901,9 @@ def lake_read_changes(
     compact/overwrite rewrites files, so a file-set diff no longer
     means "new rows" (a compaction's files are old rows re-bucketed).
     Those histories raise ValueError — re-read the full snapshot
-    instead (the honest boundary; full CDC with per-row delete
-    vectors is a format, not a diff)."""
+    instead (the honest boundary). For row-level change feeds across
+    dv-delete commits, use lake_read_cdf, which tags inserts AND
+    deletes (the deletion-vector sets make row deletes diffable)."""
     latest = _latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"no manifest lake at {path}")
@@ -875,7 +913,9 @@ def lake_read_changes(
     to_m = _read_manifest(path, to_v)
     for v in range(max(from_version, -1) + 1, to_v + 1):
         op = _read_manifest(path, v)["op"]
-        if op != "append":
+        # alter_constraints republishes an identical file set — safe
+        # to diff across; anything that rewrites/deletes files is not
+        if op not in ("append", "alter_constraints"):
             raise ValueError(
                 f"incremental read undefined across non-append commit "
                 f"v{v} ({op}) — re-read the full snapshot instead"
@@ -890,6 +930,109 @@ def lake_read_changes(
         if (e["path"] if isinstance(e, dict) else e) not in old
     ]
     return _read_entries(spark, path, to_m, new_entries)
+
+
+def lake_read_cdf(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two snapshots: every row
+    appended or dv-deleted in (from, to], tagged with `_change_type`
+    ('insert' | 'delete') and `_commit_version` (Delta CDF's shape).
+    Deletion vectors make the delete side computable as a manifest
+    diff: the DV sets a commit adds address exactly the rows it
+    removed (and only rows VISIBLE at the prior version — a dv-delete
+    never double-addresses), so the deleted rows' full values are
+    recovered by a broadcast semi-join of the raw (pre-DV) scan
+    against just the new DV rows. Only the delta files/DVs are read,
+    never the table.
+
+    A row inserted then dv-deleted inside the range appears twice
+    (insert + delete) — the CDC consumer's compose rule is multiset:
+    snapshot(from) + inserts − deletes == snapshot(to).
+
+    Commits that REWRITE files (cow delete, merge, compact,
+    overwrite, restore) are refused — their file diff does not mean
+    row changes (the honest boundary lake_read_changes draws, minus
+    the dv-delete case this function exists for)."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no manifest lake at {path}")
+    to_v = latest if to_version is None else to_version
+    if from_version > to_v:
+        raise ValueError(f"from_version {from_version} > to_version {to_v}")
+    to_m = _read_manifest(path, to_v)
+    schema = T.StructType.fromJson(to_m["schema"])
+    ct = F.lit("insert")
+    out_cols = [f.name for f in schema.fields]
+    parts: list[DataFrame] = []
+    prev_files: set[str] = set()
+    prev_dvs: list[str] = []
+    if from_version >= 0:
+        fm = _read_manifest(path, from_version)
+        prev_files = set(_paths(fm["files"]))
+        prev_dvs = list(fm.get("dvs") or [])
+    for v in range(max(from_version, -1) + 1, to_v + 1):
+        m = _read_manifest(path, v)
+        op, strat = m["op"], m.get("strategy")
+        if op in ("append", "overwrite") and v == 0 and from_version < 0:
+            op = "append"  # the creating commit is all inserts
+        if op == "append" or op == "alter_constraints":
+            new_entries = [
+                e for e in m["files"] if _entry_rel(e) not in prev_files
+            ]
+            if new_entries:
+                # read under the TO-version schema: columns added
+                # later in the range surface as NULL (evolution)
+                ins = _read_entries(
+                    spark, path, {**m, "schema": to_m["schema"]},
+                    new_entries, apply_dvs=False,
+                ).select(
+                    *out_cols,
+                    ct.alias("_change_type"),
+                    F.lit(v).cast("int").alias("_commit_version"),
+                )
+                parts.append(ins)
+        elif op == "delete" and strat == "dv":
+            new_dvs = [d for d in (m.get("dvs") or []) if d not in prev_dvs]
+            if new_dvs:
+                dv_df = spark.read.schema(_DV_SCHEMA).parquet(
+                    *[os.path.join(path, d) for d in new_dvs]
+                )
+                raw = _read_entries(
+                    spark, path, {**m, "schema": to_m["schema"]},
+                    m["files"], keep_meta=True, apply_dvs=False,
+                )
+                dels = raw.join(
+                    F.broadcast(dv_df), [_DV_FILE, _DV_POS], "left_semi"
+                ).select(
+                    *out_cols,
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(v).cast("int").alias("_commit_version"),
+                )
+                parts.append(dels)
+        else:
+            raise ValueError(
+                f"change feed undefined across file-rewriting commit "
+                f"v{v} ({m['op']}) — re-read the full snapshot instead"
+            )
+        prev_files = set(_paths(m["files"]))
+        prev_dvs = list(m.get("dvs") or [])
+    if not parts:
+        empty = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.IntegerType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def lake_latest_version(path: str) -> int | None:
@@ -922,6 +1065,103 @@ def lake_column_max(path: str, col: str, version: int | None = None):
             return None  # unknowable from stats: caller must scan
         best = rng[1] if best is None or rng[1] > best else best
     return best
+
+
+def lake_restore(path: str, version: int) -> int:
+    """RESTORE the table to an earlier snapshot AS A NEW COMMIT: the
+    target version's file set, schema, DVs, layout, and constraints
+    re-publish at latest+1 (Delta RESTORE). History is preserved —
+    the bad commits stay inspectable between the two good states, and
+    a concurrent reader never sees a rollback tear. Requires the
+    target manifest (and its data files) to still exist, i.e. not
+    vacuumed. Returns the new version."""
+
+    def once() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {path}")
+        tm = _read_manifest(path, version)
+        new_v = latest + 1
+        manifest = {
+            "version": new_v,
+            "op": "restore",
+            "restored_from": version,
+            "ts": time.time(),
+            "files": tm["files"],
+            "schema": tm["schema"],
+            "n_rows_delta": None,
+        }
+        for k in ("dvs", "partition_by", "bloom_cols", "constraints"):
+            if tm.get(k):
+                manifest[k] = tm[k]
+        _commit(path, new_v, manifest)
+        return new_v
+
+    return _retry_cow("restore", path, once)
+
+
+def lake_alter_constraints(
+    spark: SparkSession,
+    path: str,
+    add_checks: dict[str, str] | None = None,
+    add_not_null: tuple[str, ...] = (),
+    drop_checks: tuple[str, ...] = (),
+    drop_not_null: tuple[str, ...] = (),
+) -> int:
+    """Add/drop table constraints as one commit. Added constraints are
+    validated against the CURRENT visible rows first (one scan — the
+    ALTER TABLE ADD CONSTRAINT contract: a constraint that doesn't
+    hold now is refused, so readers can rely on it holding always);
+    subsequent lake_write/lake_merge enforce them on every batch.
+    `add_checks` maps constraint name → SQL boolean expression over
+    the table's columns (violated only when FALSE — SQL semantics, a
+    NULL check passes; pair with not_null to forbid nulls)."""
+
+    def once() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {path}")
+        m = _read_manifest(path, latest)
+        cons = {
+            "not_null": list((m.get("constraints") or {}).get("not_null") or []),
+            "checks": dict((m.get("constraints") or {}).get("checks") or {}),
+        }
+        for c in drop_not_null:
+            if c in cons["not_null"]:
+                cons["not_null"].remove(c)
+        for name in drop_checks:
+            cons["checks"].pop(name, None)
+        added = {
+            "not_null": [c for c in add_not_null if c not in cons["not_null"]],
+            "checks": dict(add_checks or {}),
+        }
+        cons["not_null"] += added["not_null"]
+        cons["checks"].update(added["checks"])
+        if added["not_null"] or added["checks"]:
+            existing = _read_entries(spark, path, m, m["files"])
+            _enforce_constraints(
+                existing, T.StructType.fromJson(m["schema"]), added
+            )
+        if not cons["not_null"] and not cons["checks"]:
+            cons = None
+        version = latest + 1
+        manifest = {
+            "version": version,
+            "op": "alter_constraints",
+            "ts": time.time(),
+            "files": m["files"],
+            "schema": m["schema"],
+            "n_rows_delta": None,
+        }
+        if cons:
+            manifest["constraints"] = cons
+        for k in ("dvs", "partition_by", "bloom_cols"):
+            if m.get(k):
+                manifest[k] = m[k]
+        _commit(path, version, manifest)
+        return version
+
+    return _retry_cow("alter_constraints", path, once)
 
 
 def lake_history(path: str) -> list[dict]:
@@ -997,7 +1237,7 @@ def _dv_delete_once(spark: SparkSession, path: str, predicate) -> int:
         "n_rows_delta": -n,
         "dvs": list(m.get("dvs") or []) + [dv_rel],
     }
-    for k in ("partition_by", "bloom_cols"):
+    for k in ("partition_by", "bloom_cols", "constraints"):
         if m.get(k):
             manifest[k] = m[k]
     _commit(path, version, manifest)
@@ -1075,6 +1315,8 @@ def lake_delete(
             "n_rows_delta": None,
             "rewrote_files": _paths(rewritten),
         }
+        if m.get("constraints"):
+            manifest["constraints"] = m["constraints"]
         if m.get("dvs"):
             # DV rows addressing the rewritten files dangle harmlessly
             # (their rel paths left the file list); kept files still
@@ -1117,6 +1359,8 @@ def lake_merge(
         schema = T.StructType.fromJson(m["schema"])
         if not _schema_compatible(schema, updates.schema):
             raise ValueError("merge would change an existing column's type")
+        if m.get("constraints"):
+            _enforce_constraints(updates, schema, m["constraints"])
         part_by = tuple(m.get("partition_by") or ())
         bl_cols = tuple(m.get("bloom_cols") or ())
         key_df = updates.select(*keys).distinct()
@@ -1163,6 +1407,8 @@ def lake_merge(
             "n_rows_delta": n_up,
             "rewrote_files": rewritten_rel,
         }
+        if m.get("constraints"):
+            manifest["constraints"] = m["constraints"]
         if m.get("dvs"):
             manifest["dvs"] = m["dvs"]  # kept files still need theirs
         if part_by:
@@ -1277,6 +1523,8 @@ def lake_compact(
             "schema": m["schema"],
             "n_rows_delta": 0,
         }
+        if m.get("constraints"):
+            manifest["constraints"] = m["constraints"]
         if zorder_by:
             manifest["zorder_by"] = list(zorder_by)
         if part_by:

@@ -744,3 +744,150 @@ def test_lake_zorder_rejects_non_numeric(spark, tmp_path):
     lake_write(_df(spark, [(1, "a")]), t)
     with pytest.raises(ValueError, match="must be numeric"):
         lake_compact(spark, t, num_files=2, zorder_by=("v",))
+
+
+def test_lake_restore_republishes_old_snapshot(spark, tmp_path):
+    """RESTORE rolls the table back AS A NEW COMMIT: latest+1 shows
+    exactly the target version's rows, the bad commits stay in
+    history, and a post-restore append builds on the restored state.
+    DV state restores too (restoring to a pre-delete version
+    resurrects the rows; restoring to a post-dv-delete version keeps
+    them deleted)."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_restore
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]), t)          # v0
+    lake_delete(spark, t, F.col("k") == 2, strategy="dv")    # v1
+    lake_write(_df(spark, [(3, "c")]), t)                    # v2
+
+    v = lake_restore(t, 0)
+    assert v == 3
+    assert {r.k for r in lake_read(spark, t).collect()} == {1, 2}
+    assert [h["op"] for h in lake_history(t)] == [
+        "append", "delete", "append", "restore",
+    ]
+    # restore to the dv-delete state: 2 stays deleted
+    lake_restore(t, 1)
+    assert {r.k for r in lake_read(spark, t).collect()} == {1}
+    # append on top of the restored state
+    lake_write(_df(spark, [(9, "z")]), t)
+    assert {r.k for r in lake_read(spark, t).collect()} == {1, 9}
+
+
+def test_lake_constraints_enforced_on_writes(spark, tmp_path):
+    """ADD CONSTRAINT validates existing rows (refusing when they
+    violate), then every append/merge/overwrite enforces: NOT NULL
+    rejects nulls and columns omitted by evolution; CHECK follows SQL
+    semantics (NULL passes); constraints survive restore and
+    compact; DROP lifts enforcement."""
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        lake_alter_constraints,
+        lake_merge,
+    )
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (5, "b")]), t)
+
+    # a constraint the current rows violate is refused
+    with pytest.raises(ValueError, match="violate"):
+        lake_alter_constraints(spark, t, add_checks={"k_big": "k >= 2"})
+    v = lake_alter_constraints(
+        spark, t, add_checks={"k_pos": "k > 0"}, add_not_null=("v",)
+    )
+    assert v == 1
+
+    # appends: violating batch refused atomically (no partial commit)
+    with pytest.raises(ValueError, match="violate"):
+        lake_write(_df(spark, [(2, "ok"), (-3, "bad")]), t)
+    with pytest.raises(ValueError, match="violate"):
+        lake_write(_df(spark, [(2, None)]), t)
+    assert lake_read(spark, t).count() == 2  # nothing landed
+    lake_write(_df(spark, [(2, "ok")]), t)
+
+    # merge enforces too
+    with pytest.raises(ValueError, match="violate"):
+        lake_merge(spark, _df(spark, [(-9, "x")]), t, keys=("k",))
+    lake_merge(spark, _df(spark, [(7, "y")]), t, keys=("k",))
+
+    # a write omitting a NOT NULL column (schema-evolution shape) is
+    # a violation — the column would read as NULL
+    slim = spark.createDataFrame([(10,)], "k int")
+    with pytest.raises(ValueError, match="violate"):
+        lake_write(slim, t)
+
+    # constraints survive compaction and enforcement continues
+    lake_compact(spark, t, num_files=1)
+    with pytest.raises(ValueError, match="violate"):
+        lake_write(_df(spark, [(-1, "q")]), t)
+
+    # drop: the same batch now lands
+    lake_alter_constraints(spark, t, drop_checks=("k_pos",), drop_not_null=("v",))
+    lake_write(_df(spark, [(-1, None)]), t)
+    assert {r.k for r in lake_read(spark, t).collect()} == {1, 5, 2, 7, -1}
+
+
+def test_lake_read_changes_across_alter_constraints(spark, tmp_path):
+    """alter_constraints republishes an identical file set, so
+    incremental reads diff across it; a dv-delete still refuses."""
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        lake_alter_constraints,
+        lake_read_changes,
+    )
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)                     # v0
+    lake_alter_constraints(spark, t, add_checks={"ok": "k > 0"})  # v1
+    lake_write(_df(spark, [(2, "b")]), t)                     # v2
+    got = {r.k for r in lake_read_changes(spark, t, 0).collect()}
+    assert got == {2}
+    lake_delete(spark, t, F.col("k") == 1, strategy="dv")     # v3
+    with pytest.raises(ValueError, match="non-append"):
+        lake_read_changes(spark, t, 2)
+
+
+def test_lake_cdf_inserts_and_dv_deletes(spark, tmp_path):
+    """Change data feed: inserts from appended files, deletes from
+    the DV sets each commit added, tagged with _change_type and
+    _commit_version; the multiset compose rule holds
+    (snapshot(from) + inserts − deletes == snapshot(to)); a row
+    inserted then dv-deleted inside the range appears as both; COW
+    commits refuse."""
+    from collections import Counter
+
+    from ndvi_etl_pipeline_spark.sources.lake import lake_read_cdf
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, "base") for i in range(1, 5)]), t)   # v0
+    lake_write(_df(spark, [(5, "n"), (6, "n")]), t)                 # v1
+    lake_delete(spark, t, F.col("k").isin([2, 5]), strategy="dv")   # v2
+    lake_write(_df(spark, [(7, "n")]), t)                           # v3
+
+    feed = lake_read_cdf(spark, t, 0).collect()
+    ins = {(r.k, r._commit_version) for r in feed if r._change_type == "insert"}
+    dels = {(r.k, r._commit_version) for r in feed if r._change_type == "delete"}
+    assert ins == {(5, 1), (6, 1), (7, 3)}
+    assert dels == {(2, 2), (5, 2)}  # 5 inserted AND deleted in range
+
+    # multiset compose: v0 + inserts - deletes == latest
+    base = Counter((r.k, r.v) for r in lake_read(spark, t, version=0).collect())
+    for r in feed:
+        if r._change_type == "insert":
+            base[(r.k, r.v)] += 1
+        else:
+            base[(r.k, r.v)] -= 1
+    now = Counter((r.k, r.v) for r in lake_read(spark, t).collect())
+    assert +base == now
+
+    # sub-range: only v2's deletes
+    feed2 = lake_read_cdf(spark, t, 1, 2).collect()
+    assert {(r.k, r._change_type) for r in feed2} == {(2, "delete"), (5, "delete")}
+
+    # a COW rewrite inside the range refuses
+    lake_delete(spark, t, F.col("k") == 1)                          # v4 cow
+    with pytest.raises(ValueError, match="file-rewriting"):
+        lake_read_cdf(spark, t, 3)
+
+    # empty range → empty feed with the right shape
+    empty = lake_read_cdf(spark, t, 3, 3)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns

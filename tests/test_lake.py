@@ -891,3 +891,57 @@ def test_lake_cdf_inserts_and_dv_deletes(spark, tmp_path):
     empty = lake_read_cdf(spark, t, 3, 3)
     assert empty.count() == 0
     assert "_change_type" in empty.columns
+
+
+def test_lake_multi_writer_stress_serializes(spark, tmp_path):
+    """Optimistic concurrency under REAL thread interleaving: 6
+    writers race unsynchronized appends (plus one dv-delete) against
+    one table; every commit must land exactly once, versions must be
+    gapless, and the final row multiset must equal the serial
+    expectation — no lost updates, no duplicates, no torn manifests."""
+    import threading
+
+    from ndvi_etl_pipeline_spark.sources.lake import _read_manifest
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(0, "seed")]), t)
+
+    errs: list[Exception] = []
+
+    def appender(base: int) -> None:
+        try:
+            for j in range(3):
+                lake_write(_df(spark, [(base + j, f"w{base}")]), t)
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(100 * i,)) for i in range(1, 7)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+
+    # 1 seed + 18 appends = 19 gapless versions, all op=append
+    hist = lake_history(t)
+    assert [h["version"] for h in hist] == list(range(19))
+    assert all(h["op"] == "append" for h in hist)
+    got = sorted(r.k for r in lake_read(spark, t).collect())
+    expect = sorted([0] + [100 * i + j for i in range(1, 7) for j in range(3)])
+    assert got == expect
+
+    # manifests stayed internally consistent: every version's file
+    # list is a superset of the previous version's (append-only)
+    prev: set[str] = set()
+    for v in range(19):
+        cur = {e["path"] for e in _read_manifest(t, v)["files"]}
+        assert prev <= cur
+        prev = cur
+
+    # a dv-delete racing one more append: both land
+    th = threading.Thread(target=lambda: lake_write(_df(spark, [(999, "z")]), t))
+    th.start()
+    lake_delete(spark, t, F.col("k") == 0, strategy="dv")
+    th.join()
+    got = {r.k for r in lake_read(spark, t).collect()}
+    assert got == set(expect) - {0} | {999}

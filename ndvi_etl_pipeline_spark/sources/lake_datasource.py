@@ -53,7 +53,13 @@ class LakeFilePartition(InputPartition):
     """One data file + everything an executor needs to conform it to
     the table schema: absolute path, the manifest schema (json),
     identity-partition dir values to re-attach as constants, and the
-    file's deleted row ordinals (merge-on-read deletion vectors)."""
+    file's deleted row ordinals (merge-on-read deletion vectors).
+
+    In CHANGE-DATA-FEED mode two extra fields drive the row selection
+    instead: `select_pos` (emit ONLY these ordinals — how a dv-delete
+    commit's removed rows are materialized) and `change`
+    (("insert"|"delete", commit_version) appended as the
+    _change_type/_commit_version columns)."""
 
     def __init__(
         self,
@@ -61,11 +67,15 @@ class LakeFilePartition(InputPartition):
         schema_json: str,
         fill: dict,
         drop_pos: list[int] | None = None,
+        select_pos: list[int] | None = None,
+        change: tuple[str, int] | None = None,
     ):
         self.abs_path = abs_path
         self.schema_json = schema_json
         self.fill = fill
         self.drop_pos = drop_pos
+        self.select_pos = select_pos
+        self.change = change
 
 
 def _entry_partition_fill(entry, part_by) -> dict:
@@ -149,7 +159,9 @@ def _read_partition(partition: LakeFilePartition) -> Iterator:
     schema = T.StructType.fromJson(json.loads(partition.schema_json))
     arrow_schema = to_arrow_schema(schema)
     table = pq.read_table(partition.abs_path)
-    if partition.drop_pos:
+    if partition.select_pos is not None:
+        table = table.take(sorted(partition.select_pos))
+    elif partition.drop_pos:
         import numpy as np
 
         keep = np.ones(table.num_rows, dtype=bool)
@@ -166,7 +178,83 @@ def _read_partition(partition: LakeFilePartition) -> Iterator:
         else:
             cols.append(pa.nulls(n, type=field.type))
     out = pa.Table.from_arrays(cols, schema=arrow_schema)
+    if partition.change is not None:
+        ct, v = partition.change
+        out = out.append_column(
+            "_change_type", pa.array([ct] * n, pa.string())
+        ).append_column(
+            "_commit_version", pa.array([v] * n, pa.int32())
+        )
     yield from out.to_batches()
+
+
+def _cdf_wanted(options: dict) -> bool:
+    return str(options.get("cdf", "")).lower() in ("true", "1", "yes")
+
+
+def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
+    """Change-feed partitions for the commits in (sv, ev]: appended
+    files become insert partitions tagged with their commit version;
+    a dv-delete commit's NEW deletion-vector rows become per-file
+    delete partitions reading ONLY the removed ordinals
+    (select_pos). All partitions conform to the END version's schema
+    (columns added later in the range read as NULL). File-rewriting
+    commits refuse — their file diff does not mean row changes."""
+    end_m = _read_manifest(path, ev)
+    schema_json = json.dumps(end_m["schema"])
+    part_by = end_m.get("partition_by") or []
+    parts: list[LakeFilePartition] = []
+    prev_files: set[str] = set()
+    prev_dvs: list[str] = []
+    if sv >= 0:
+        fm = _read_manifest(path, sv)
+        prev_files = set(_paths(fm["files"]))
+        prev_dvs = list(fm.get("dvs") or [])
+    for v in range(max(sv, -1) + 1, ev + 1):
+        m = _read_manifest(path, v)
+        op, strat = m["op"], m.get("strategy")
+        if op == "append" or (op == "overwrite" and v == 0):
+            for e in m["files"]:
+                rel = _paths([e])[0]
+                if rel in prev_files:
+                    continue
+                parts.append(
+                    LakeFilePartition(
+                        os.path.abspath(os.path.join(path, rel)),
+                        schema_json,
+                        _entry_partition_fill(e, part_by),
+                        change=("insert", v),
+                    )
+                )
+        elif op == "alter_constraints":
+            pass  # identical file set, no row changes
+        elif op == "delete" and strat == "dv":
+            new_dvs = [d for d in (m.get("dvs") or []) if d not in prev_dvs]
+            pos_by_file = _dv_positions(path, {"dvs": new_dvs})
+            for rel, positions in sorted(pos_by_file.items()):
+                parts.append(
+                    LakeFilePartition(
+                        os.path.abspath(os.path.join(path, rel)),
+                        schema_json,
+                        _entry_partition_fill(
+                            next(
+                                (e for e in m["files"] if _paths([e])[0] == rel),
+                                rel,
+                            ),
+                            part_by,
+                        ),
+                        select_pos=positions,
+                        change=("delete", v),
+                    )
+                )
+        else:
+            raise ValueError(
+                f"change feed undefined across file-rewriting commit "
+                f"v{v} ({m['op']}) — restart from a fresh snapshot"
+            )
+        prev_files = set(_paths(m["files"]))
+        prev_dvs = list(m.get("dvs") or [])
+    return parts
 
 
 class LakeBatchReader(DataSourceReader):
@@ -177,12 +265,18 @@ class LakeBatchReader(DataSourceReader):
         latest = _latest_version(self._path)
         if latest is None:
             raise FileNotFoundError(f"no manifest lake at {self._path}")
+        self._cdf = _cdf_wanted(options)
         v = int(options.get("version", latest))
+        if self._cdf:
+            self._from = int(options.get("fromVersion", -1))
+            self._to = int(options.get("toVersion", latest))
         # snapshot pinned HERE, at plan time — concurrent commits
         # cannot tear this read
         self._manifest = _read_manifest(self._path, v)
 
     def partitions(self) -> list[InputPartition]:
+        if self._cdf:
+            return _cdf_partitions(self._path, self._from, self._to)
         return _partitions_for_entries(
             self._path, self._manifest, self._manifest["files"]
         )
@@ -192,13 +286,20 @@ class LakeBatchReader(DataSourceReader):
 
 
 class LakeStreamReader(DataSourceStreamReader):
-    """Snapshot-version offsets over the append-only manifest log."""
+    """Snapshot-version offsets over the manifest log. Plain mode
+    streams appended rows and refuses any commit that changes
+    existing rows; with option('cdf', 'true') it is a STREAMING
+    CHANGE FEED instead — each trigger delivers the range's inserts
+    AND dv-deletes tagged _change_type/_commit_version, so a
+    downstream incremental consumer can retract (deletes propagate
+    instead of killing the stream)."""
 
     def __init__(self, options: dict):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("lake source requires option('path', ...)")
         self._start = int(options.get("startingVersion", -1))
+        self._cdf = _cdf_wanted(options)
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -211,12 +312,18 @@ class LakeStreamReader(DataSourceStreamReader):
         sv, ev = int(start["version"]), int(end["version"])
         if ev <= sv:
             return []
+        if self._cdf:
+            return _cdf_partitions(self._path, sv, ev)
         for v in range(max(sv, -1) + 1, ev + 1):
             op = _read_manifest(self._path, v)["op"]
-            if op != "append":
+            # alter_constraints republishes an identical file set —
+            # harmless to diff across
+            if op not in ("append", "alter_constraints"):
                 raise ValueError(
                     f"lake stream undefined across non-append commit "
-                    f"v{v} ({op}) — restart from a fresh snapshot"
+                    f"v{v} ({op}) — restart from a fresh snapshot, or "
+                    "stream with option('cdf', 'true') to receive "
+                    "dv-deletes as retractions"
                 )
         end_m = _read_manifest(self._path, ev)
         old: set[str] = set()
@@ -249,7 +356,16 @@ class LakeDataSource(DataSource):
         if latest is None:
             raise FileNotFoundError(f"no manifest lake at {path}")
         v = int(self.options.get("version", latest))
-        return T.StructType.fromJson(_read_manifest(path, v)["schema"])
+        schema = T.StructType.fromJson(_read_manifest(path, v)["schema"])
+        if _cdf_wanted(self.options):
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.IntegerType()),
+                ]
+            )
+        return schema
 
     def reader(self, schema) -> LakeBatchReader:
         return LakeBatchReader(self.options)

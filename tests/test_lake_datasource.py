@@ -108,3 +108,102 @@ def test_lake_datasource_stream_version_offsets(lake_ds, tmp_path):
     out4: list = []
     with pytest.raises(StreamingQueryException, match="non-append"):
         drain(out4)
+
+
+def test_lake_datasource_batch_cdf(lake_ds, tmp_path):
+    """Batch change feed: option('cdf','true') + fromVersion returns
+    insert/delete rows tagged _change_type/_commit_version, matching
+    the library's lake_read_cdf."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.sources.lake import lake_delete, lake_read_cdf
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    lake_write(_mk(spark, [(1, "a"), (2, "b")], "k int, v string"), t)   # v0
+    lake_write(_mk(spark, [(3, "c")], "k int, v string"), t)             # v1
+    lake_delete(spark, t, F.col("k").isin([1, 3]), strategy="dv")        # v2
+
+    feed = (
+        spark.read.format("lake")
+        .option("path", t)
+        .option("cdf", "true")
+        .option("fromVersion", 0)
+        .load()
+        .collect()
+    )
+    got = sorted((r.k, r._change_type, r._commit_version) for r in feed)
+    assert got == [(1, "delete", 2), (3, "delete", 2), (3, "insert", 1)]
+    lib = sorted(
+        (r.k, r._change_type, r._commit_version)
+        for r in lake_read_cdf(spark, t, 0).collect()
+    )
+    assert got == lib
+
+    # full-history feed: v0's creation rows are inserts
+    all_feed = (
+        spark.read.format("lake")
+        .option("path", t)
+        .option("cdf", "true")
+        .load()
+        .collect()
+    )
+    ins = sorted(r.k for r in all_feed if r._change_type == "insert")
+    assert ins == [1, 2, 3]
+
+
+def test_lake_datasource_stream_cdf_delivers_retractions(lake_ds, tmp_path):
+    """Streaming change feed: a dv-delete commit arrives as delete
+    rows (retractions) instead of killing the stream; inserts and
+    deletes carry their commit version; the checkpointed offset
+    advances past the delete."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.sources.lake import lake_delete
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    lake_write(_mk(spark, [(1, "a"), (2, "b")], "k int, v string"), t)
+
+    def drain(sink):
+        q = (
+            spark.readStream.format("lake")
+            .option("path", t)
+            .option("cdf", "true")
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, i: sink.append(
+                    sorted(
+                        (r.k, r._change_type, r._commit_version)
+                        for r in b.collect()
+                    )
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out: list = []
+    drain(out)
+    assert [x for b in out for x in b] == [(1, "insert", 0), (2, "insert", 0)]
+
+    lake_delete(spark, t, F.col("k") == 1, strategy="dv")
+    lake_write(_mk(spark, [(5, "e")], "k int, v string"), t)
+    out2: list = []
+    drain(out2)
+    assert [x for b in out2 for x in b] == [(1, "delete", 1), (5, "insert", 2)]
+
+    # consumer compose: applying the feed to an empty state yields
+    # the live table
+    state: dict = {}
+    for b in out + out2:
+        for k, ct, _v in b:
+            if ct == "insert":
+                state[k] = state.get(k, 0) + 1
+            else:
+                state[k] = state.get(k, 0) - 1
+    live = sorted(k for k, n in state.items() if n > 0)
+    assert live == sorted(r.k for r in lake_read(spark, t).collect())

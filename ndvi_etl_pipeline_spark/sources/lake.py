@@ -1480,22 +1480,33 @@ def lake_compact(
     path: str,
     num_files: int = 1,
     zorder_by: tuple[str, ...] = (),
+    where: list[tuple] | None = None,
 ) -> int:
     """Rewrite the live file set into `num_files` files (same rows,
     one new snapshot). Old snapshots keep referencing the old files —
     time travel is unaffected until vacuum. Deletion vectors are
     MATERIALIZED here: the rewrite reads visible rows only, so the
-    new snapshot carries no `dvs` and reads go back to plain scans
-    (the merge-on-read maintenance contract).
+    new snapshot carries no `dvs` for the rewritten files and reads
+    go back to plain scans (the merge-on-read maintenance contract).
 
     `zorder_by` CLUSTERS the rewrite on the Morton interleave of the
     named numeric columns (repartitionByRange on the z-key): each
     output file covers a compact hyper-rectangle, giving it tight
     per-file min/max on every z-ordered column, so lake_read's stats
     skipping prunes predicates on ANY of them — the multi-dimensional
-    file-layout optimization (Delta OPTIMIZE ZORDER). Conflicts
-    re-run from the winner's snapshot (compacting stale files would
-    silently drop the winner's changes)."""
+    file-layout optimization (Delta OPTIMIZE ZORDER).
+
+    `where` (same (col, op, val) conjunction as lake_read) makes the
+    compaction PARTIAL: only the files that MAY match — by partition
+    value, min/max stats, or bloom — are rewritten; every other file
+    carries over untouched, with its DVs still applied on read. At
+    100 TB this is the only compaction that exists: you OPTIMIZE the
+    partitions a workload touches, never the table (Delta's OPTIMIZE
+    WHERE). File-level granularity: a pruned-in file is rewritten
+    WHOLE (rows are never split out of it), so the rewrite moves
+    exactly the selected files' rows. Conflicts re-run from the
+    winner's snapshot (compacting stale files would silently drop
+    the winner's changes)."""
 
     def once() -> int:
         latest = _latest_version(path)
@@ -1504,7 +1515,15 @@ def lake_compact(
         m = _read_manifest(path, latest)
         part_by = tuple(m.get("partition_by") or ())
         bl_cols = tuple(m.get("bloom_cols") or ())
-        df = _read_entries(spark, path, m, m["files"])
+        if where:
+            hit = [e for e in m["files"] if _file_may_match(e, where, part_by)]
+            hit_rel = set(_paths(hit))
+            keep = [e for e in m["files"] if _entry_rel(e) not in hit_rel]
+        else:
+            hit, keep = list(m["files"]), []
+        if not hit:
+            return latest  # nothing selected: no new snapshot needed
+        df = _read_entries(spark, path, m, hit)
         if zorder_by:
             df = (
                 df.withColumn("__zkey", _zorder_key(df, tuple(zorder_by)))
@@ -1519,10 +1538,15 @@ def lake_compact(
             "version": version,
             "op": "compact",
             "ts": time.time(),
-            "files": files,
+            "files": keep + files,
             "schema": m["schema"],
             "n_rows_delta": 0,
+            "rewrote_files": _paths(hit),
         }
+        if keep and m.get("dvs"):
+            # partial compact: kept files still need their DV rows
+            # (the rewritten files' DV rows dangle harmlessly)
+            manifest["dvs"] = m["dvs"]
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
         if zorder_by:

@@ -945,3 +945,42 @@ def test_lake_multi_writer_stress_serializes(spark, tmp_path):
     th.join()
     got = {r.k for r in lake_read(spark, t).collect()}
     assert got == set(expect) - {0} | {999}
+
+
+def test_lake_partial_compact_rewrites_only_matching_files(spark, tmp_path):
+    """OPTIMIZE WHERE: compaction with a `where` rewrites only the
+    files that may match (stats-pruned); other files carry over by
+    name with their deletion vectors still applied; rows are
+    identical before/after."""
+    from ndvi_etl_pipeline_spark.sources.lake import _read_manifest
+
+    t = str(tmp_path / "t")
+    # three commits with disjoint k ranges -> three prunable files
+    lake_write(_df(spark, [(i, "lo") for i in range(10)]).coalesce(1), t)
+    lake_write(_df(spark, [(i, "mid") for i in range(100, 120)]).coalesce(2), t)
+    lake_write(_df(spark, [(i, "hi") for i in range(1000, 1005)]).coalesce(1), t)
+    lake_delete(spark, t, F.col("k") == 1001, strategy="dv")  # dv on 'hi'
+    before = sorted(r.k for r in lake_read(spark, t).collect())
+    m_pre = _read_manifest(t, 3)
+    lo_files = {
+        e["path"] for e in m_pre["files"] if e["stats"]["k"][1] < 100
+    }
+
+    v = lake_compact(spark, t, num_files=1, where=[("k", ">=", 100), ("k", "<", 200)])
+    m = _read_manifest(t, v)
+    # the lo and hi files carried over BY NAME; only mid rewritten
+    kept = {e["path"] for e in m["files"]}
+    assert lo_files <= kept
+    assert set(m["rewrote_files"]) and not (set(m["rewrote_files"]) & lo_files)
+    # dv on the untouched hi file still applies
+    assert sorted(r.k for r in lake_read(spark, t).collect()) == before
+    assert 1001 not in {r.k for r in lake_read(spark, t).collect()}
+    # mid range is now ONE file
+    mid_files = [
+        e for e in m["files"]
+        if e["stats"].get("k") and e["stats"]["k"][0] >= 100 and e["stats"]["k"][1] < 200
+    ]
+    assert len(mid_files) == 1
+
+    # a where matching nothing publishes no snapshot
+    assert lake_compact(spark, t, where=[("k", ">", 10**9)]) == v

@@ -733,6 +733,7 @@ def lake_write(
     mode: str = "append",
     partition_by: tuple[str, ...] | None = None,
     bloom_cols: tuple[str, ...] | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Append or overwrite as ONE atomic snapshot commit; returns the
     new version. Appends may ADD columns (schema evolution by union —
@@ -821,6 +822,12 @@ def lake_write(
         }
         if dvs:
             manifest["dvs"] = dvs
+        if properties:
+            # commit properties (Delta's userMetadata): application
+            # metadata a consumer stamps on its own commits — e.g.
+            # the incremental-curation cursor, recoverable from the
+            # manifest log alone
+            manifest["properties"] = dict(properties)
         if prev is not None and prev.get("constraints"):
             manifest["constraints"] = prev["constraints"]
         if part_by:
@@ -1174,14 +1181,15 @@ def lake_history(path: str) -> list[dict]:
             m = _read_manifest(path, v)
         except FileNotFoundError:
             continue  # vacuumed
-        out.append(
-            {
-                "version": v,
-                "op": m["op"],
-                "n_files": len(m["files"]),
-                "n_rows_delta": m.get("n_rows_delta"),
-            }
-        )
+        entry = {
+            "version": v,
+            "op": m["op"],
+            "n_files": len(m["files"]),
+            "n_rows_delta": m.get("n_rows_delta"),
+        }
+        if m.get("properties"):
+            entry["properties"] = m["properties"]
+        out.append(entry)
     return out
 
 
@@ -1203,12 +1211,16 @@ def _retry_cow(op_name: str, path: str, once):
     )
 
 
-def _dv_delete_once(spark: SparkSession, path: str, predicate) -> int:
+def _dv_delete_once(
+    spark: SparkSession, path: str, select_hits, properties: dict | None = None
+) -> int:
     """One attempt of the merge-on-read delete: address the VISIBLE
     matching rows (existing DVs already applied by _read_entries, so
     a row can never be double-deleted), write their (file, ordinal)
     pairs as a new DV parquet set, and publish a manifest whose file
-    list is UNCHANGED — the whole point."""
+    list is UNCHANGED — the whole point. `select_hits(df) -> df`
+    narrows the visible rows to the ones to delete (a predicate
+    filter, or a key semi-join for CDC retractions)."""
     latest = _latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"no manifest lake at {path}")
@@ -1220,7 +1232,7 @@ def _dv_delete_once(spark: SparkSession, path: str, predicate) -> int:
     if clash:
         raise ValueError(f"table uses reserved DV column names {sorted(clash)}")
     df = _read_entries(spark, path, m, m["files"], keep_meta=True)
-    hits = df.filter(predicate).select(_DV_FILE, _DV_POS)
+    hits = select_hits(df).select(_DV_FILE, _DV_POS)
     n = hits.count()
     if n == 0:
         return latest  # nothing matched: no new snapshot needed
@@ -1237,6 +1249,8 @@ def _dv_delete_once(spark: SparkSession, path: str, predicate) -> int:
         "n_rows_delta": -n,
         "dvs": list(m.get("dvs") or []) + [dv_rel],
     }
+    if properties:
+        manifest["properties"] = dict(properties)
     for k in ("partition_by", "bloom_cols", "constraints"):
         if m.get(k):
             manifest[k] = m[k]
@@ -1272,7 +1286,11 @@ def lake_delete(
         raise ValueError(f"unknown delete strategy {strategy!r}")
     if strategy == "dv":
         return _retry_cow(
-            "delete-dv", path, lambda: _dv_delete_once(spark, path, predicate)
+            "delete-dv",
+            path,
+            lambda: _dv_delete_once(
+                spark, path, lambda df: df.filter(predicate)
+            ),
         )
 
     def once() -> int:
@@ -1330,6 +1348,36 @@ def lake_delete(
         return version
 
     return _retry_cow("delete", path, once)
+
+
+def lake_delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    keys: tuple[str, ...],
+    properties: dict | None = None,
+) -> int:
+    """Merge-on-read DELETE of every row whose key appears in
+    `keys_df` — the CDC RETRACTION primitive: an upstream change feed
+    hands a downstream table the keys it must forget, and the delete
+    lands as a deletion-vector commit (no file rewritten, no driver
+    materialization of the key set — the semi-join broadcast-bounds
+    it the same way lake_merge bounds its rewrite scan). Deleting
+    keys that are absent (or already deleted) matches nothing and
+    publishes no snapshot — replay-idempotent, which is what lets a
+    crash between a consumer's retract and append commits recover by
+    simply re-running."""
+    key_df = keys_df.select(*keys).distinct()
+    return _retry_cow(
+        "delete-keys",
+        path,
+        lambda: _dv_delete_once(
+            spark,
+            path,
+            lambda df: df.join(F.broadcast(key_df), list(keys), "left_semi"),
+            properties=properties,
+        ),
+    )
 
 
 def lake_merge(

@@ -858,7 +858,15 @@ def incremental_curation_from_lake(
     if start >= src_v:
         return 0
     changes = lake_read_changes(spark, curated_table, start, src_v)
-    feats = changes.select(
+    feats = _doc_features(changes, src_v).localCheckpoint()
+    n = feats.count()
+    if n:
+        lake_write(feats, derived_table, mode="append")
+    return n
+
+
+def _doc_features(docs, src_v: int):
+    return docs.select(
         "doc_id",
         "source",
         "fingerprint",
@@ -869,8 +877,85 @@ def incremental_curation_from_lake(
         ).cast("int").alias("n_words"),
         F.length("text").cast("int").alias("n_chars"),
         F.lit(src_v).cast("int").alias("source_version"),
+    )
+
+
+def incremental_curation_cdf(
+    spark: SparkSession, curated_table: str, derived_table: str
+) -> tuple[int, int]:
+    """The CHANGE-FEED upgrade of incremental_curation_from_lake:
+    source dv-DELETES propagate as retractions instead of breaking
+    the incremental path. One application reads the row-level feed
+    (sources/lake.py:lake_read_cdf) since the recovered cursor and:
+
+    1. RETRACTS first — derived rows whose doc_id was deleted
+       upstream (and not re-inserted within the range) are
+       dv-deleted via lake_delete_keys;
+    2. then APPENDS features for docs inserted (and not deleted
+       within the same range — an insert+delete inside one range
+       nets to nothing on both sides), stamped with the source
+       version.
+
+    Returns (n_inserted, n_retracted). DELETE-BEFORE-APPEND is the
+    crash-safety order: the cursor is max(source_version) over the
+    derived table, so a crash after the retract but before the
+    append replays with the OLD cursor — the retract re-matches
+    nothing (those rows are already gone; lake_delete_keys publishes
+    no snapshot on zero matches) and the append then lands. The
+    reverse order would bump the cursor past the unapplied delete.
+
+    Cost per application is O(range's delta files + DV sets), never
+    the store — the hourly-downstream shape at 100 TB, now including
+    GDPR-style upstream scrubs."""
+    from ..sources.lake import (
+        lake_delete_keys,
+        lake_history,
+        lake_latest_version,
+        lake_read_cdf,
+        lake_write,
+    )
+
+    src_v = lake_latest_version(curated_table)
+    if src_v is None:
+        return (0, 0)
+    # the cursor is a COMMIT PROPERTY on the derived table's own
+    # manifests (lake commit properties, Delta userMetadata): every
+    # commit this consumer makes stamps the source version it
+    # processed, so recovery is one manifest-log walk — and a
+    # delete-only range advances the cursor too (per-row stats
+    # cannot: a retraction adds no rows)
+    cursor = None
+    for h in lake_history(derived_table):
+        sv = (h.get("properties") or {}).get("source_version")
+        if sv is not None and (cursor is None or int(sv) > cursor):
+            cursor = int(sv)
+    start = -1 if cursor is None else cursor
+    if start >= src_v:
+        return (0, 0)
+    props = {"source_version": src_v}
+    feed = lake_read_cdf(spark, curated_table, start, src_v)
+    ins = feed.where(F.col("_change_type") == "insert")
+    dels = feed.where(F.col("_change_type") == "delete")
+    # net within the range: per doc_id, inserts and deletes cancel
+    to_retract = dels.select("doc_id").join(
+        ins.select("doc_id"), "doc_id", "left_anti"
+    ).distinct().localCheckpoint()
+    to_insert = ins.join(
+        dels.select("doc_id"), "doc_id", "left_anti"
     ).localCheckpoint()
-    n = feats.count()
-    if n:
-        lake_write(feats, derived_table, mode="append")
-    return n
+    n_retract = to_retract.count()
+    feats = _doc_features(to_insert, src_v).localCheckpoint()
+    n_ins = feats.count()
+    if n_retract and lake_latest_version(derived_table) is not None:
+        # the retract commit carries the cursor ONLY when no append
+        # follows: in a mixed range the append is the cursor bump, so
+        # a crash between the two replays the retract (which then
+        # matches nothing) and re-lands the append — never the
+        # reverse, which would strand the unapplied delete
+        lake_delete_keys(
+            spark, derived_table, to_retract, keys=("doc_id",),
+            properties=props if n_ins == 0 else None,
+        )
+    if n_ins:
+        lake_write(feats, derived_table, mode="append", properties=props)
+    return (n_ins, n_retract)

@@ -984,3 +984,59 @@ def test_lake_partial_compact_rewrites_only_matching_files(spark, tmp_path):
 
     # a where matching nothing publishes no snapshot
     assert lake_compact(spark, t, where=[("k", ">", 10**9)]) == v
+
+
+def test_lake_incremental_curation_cdf_retracts(spark, tmp_path):
+    """The change-feed consumer (incremental_curation_cdf): upstream
+    dv-deletes RETRACT downstream feature rows; an insert+delete
+    inside one range nets to nothing on both sides; the cursor rides
+    COMMIT PROPERTIES so a delete-only range advances it; replays
+    no-op; the final derived table equals the batch derivation over
+    the live store."""
+    from ndvi_etl_pipeline_spark.streaming.documents import (
+        incremental_curation_cdf,
+    )
+
+    src = str(tmp_path / "curated")
+    drv = str(tmp_path / "features")
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, t, "s", f"fp{i}", 0.9) for i, t in rows],
+            "doc_id long, text string, source string, fingerprint string, quality double",
+        )
+
+    lake_write(docs([(1, "alpha beta"), (2, "gamma delta eps")]), src)   # v0
+    assert incremental_curation_cdf(spark, src, drv) == (2, 0)
+
+    # mixed range: one insert, one upstream scrub of an OLD doc, and
+    # one doc inserted-then-deleted inside the range (nets to nothing)
+    lake_write(docs([(3, "one two three four"), (4, "ephemeral")]), src)  # v1
+    from ndvi_etl_pipeline_spark.sources.lake import lake_delete as _ld
+    _ld(spark, src, F.col("doc_id").isin([2, 4]), strategy="dv")          # v2
+    assert incremental_curation_cdf(spark, src, drv) == (1, 1)
+    got = {r.doc_id for r in lake_read(spark, drv).collect()}
+    assert got == {1, 3}  # 2 retracted, 4 never landed
+
+    # replay: no-op
+    assert incremental_curation_cdf(spark, src, drv) == (0, 0)
+
+    # delete-only range: the retract commit itself carries the cursor
+    _ld(spark, src, F.col("doc_id") == 1, strategy="dv")                  # v3
+    assert incremental_curation_cdf(spark, src, drv) == (0, 1)
+    assert incremental_curation_cdf(spark, src, drv) == (0, 0)  # advanced
+    got = {r.doc_id for r in lake_read(spark, drv).collect()}
+    assert got == {3}
+
+    # equals the batch derivation over the live store
+    from ndvi_etl_pipeline_spark.streaming.documents import _doc_features
+
+    batch = {
+        (r.doc_id, r.n_words, r.n_chars)
+        for r in _doc_features(lake_read(spark, src), 0).collect()
+    }
+    inc = {
+        (r.doc_id, r.n_words, r.n_chars)
+        for r in lake_read(spark, drv).collect()
+    }
+    assert inc == batch

@@ -775,17 +775,29 @@ def lake_write(
                 "append would change an existing column's type — "
                 "rewrite via overwrite instead"
             )
-    if prev is not None and prev.get("constraints"):
+    enforced_cons = prev.get("constraints") if prev is not None else None
+    if enforced_cons:
         # constraints are table properties: they survive overwrite
         # (drop them explicitly via lake_alter_constraints)
         _enforce_constraints(
-            df, T.StructType.fromJson(prev["schema"]), prev["constraints"]
+            df, T.StructType.fromJson(prev["schema"]), enforced_cons
         )
     n_rows = df.count()
     files = _write_data_files(df, path, part_by, bl_cols)
     for attempt in range(_MAX_COMMIT_ATTEMPTS):
         latest = _latest_version(path)
         prev = _read_manifest(path, latest) if latest is not None else None
+        cur_cons = prev.get("constraints") if prev is not None else None
+        if cur_cons and cur_cons != enforced_cons:
+            # a concurrent ALTER added/changed constraints after our
+            # pre-write check: re-validate against the WINNER's rules
+            # before publishing (the alter-vs-write conflict Delta
+            # resolves the same way) — the data files are already
+            # staged, only the validation re-runs
+            _enforce_constraints(
+                df, T.StructType.fromJson(prev["schema"]), cur_cons
+            )
+            enforced_cons = cur_cons
         if prev is not None and mode == "append":
             old_schema = T.StructType.fromJson(prev["schema"])
             if not _schema_compatible(old_schema, df.schema):
@@ -1088,6 +1100,16 @@ def lake_restore(path: str, version: int) -> int:
         if latest is None:
             raise FileNotFoundError(f"no manifest lake at {path}")
         tm = _read_manifest(path, version)
+        missing = [
+            p
+            for p in _paths(tm["files"])
+            if not os.path.exists(os.path.join(path, p))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to v{version}: {len(missing)} data "
+                f"file(s) were vacuumed (first: {missing[0]})"
+            )
         new_v = latest + 1
         manifest = {
             "version": new_v,

@@ -1040,3 +1040,68 @@ def test_lake_incremental_curation_cdf_retracts(spark, tmp_path):
         for r in lake_read(spark, drv).collect()
     }
     assert inc == batch
+
+
+def test_lake_restore_refuses_vacuumed_target(spark, tmp_path):
+    """RESTORE must refuse a target whose data files were vacuumed —
+    publishing a manifest over missing files would be a silently
+    unreadable snapshot."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_restore
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)                     # v0
+    lake_write(_df(spark, [(2, "b")]), t, mode="overwrite")   # v1
+
+    # manifest kept but a data file lost (e.g. vacuumed by a buggy
+    # external sweep): restore must refuse with the file named
+    m0 = json.load(open(os.path.join(t, "_manifests", "v0.json")))
+    os.remove(os.path.join(t, m0["files"][0]["path"]))
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        lake_restore(t, 0)
+
+    # manifest itself vacuumed: refuses too (missing manifest)
+    lake_vacuum(t, keep_last=1, retention_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        lake_restore(t, 0)
+    # the live snapshot is untouched
+    assert {r.k for r in lake_read(spark, t).collect()} == {2}
+
+
+def test_lake_constraint_added_mid_write_revalidates(spark, tmp_path, monkeypatch):
+    """ALTER ADD CONSTRAINT racing an append: the append loses the
+    commit race, re-reads the winner's manifest, and must RE-VALIDATE
+    its rows against the newly added constraint — a violating batch
+    is refused even though it passed the pre-write check."""
+    import ndvi_etl_pipeline_spark.sources.lake as L
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)  # v0, no constraints yet
+
+    real_commit = L._commit
+    injected = {"done": False}
+
+    def racing_commit(path, version, manifest):
+        if not injected["done"] and manifest["op"] == "append":
+            injected["done"] = True
+            base = L._read_manifest(path, version - 1)
+            real_commit(
+                path,
+                version,
+                {
+                    "version": version,
+                    "op": "alter_constraints",
+                    "ts": 0,
+                    "files": base["files"],
+                    "schema": base["schema"],
+                    "n_rows_delta": None,
+                    "constraints": {"checks": {"k_pos": "k > 0"}, "not_null": []},
+                },
+            )  # the ALTER wins this version…
+        real_commit(path, version, manifest)  # …append conflicts, retries
+
+    monkeypatch.setattr(L, "_commit", racing_commit)
+    with pytest.raises(ValueError, match="violate"):
+        lake_write(_df(spark, [(-5, "bad")]), t)
+    # nothing landed; the constraint commit is the table's latest
+    assert {r.k for r in lake_read(spark, t).collect()} == {1}
+    assert lake_history(t)[-1]["op"] == "alter_constraints"

@@ -219,8 +219,11 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6, maxval ≤ 255) → uint8 HWC RGB. Whitespace/
-    comment-tolerant header per the netpbm spec."""
+    """Binary PPM (P6) → uint8 HWC RGB. Whitespace/comment-tolerant
+    header per the netpbm spec. maxval > 255 (two-byte big-endian
+    samples, up to 16-bit) is down-scaled to uint8 with rounding —
+    the same explicit range reduction decode_image applies to 12-bit
+    JPEG, keeping the uint8 kernel pipeline's contract honest."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM")
     pos = 2
@@ -238,8 +241,15 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    if maxval > 65535 or maxval < 1:
+        raise ValueError(f"PPM maxval {maxval} out of spec")
     if maxval > 255:
-        raise NotImplementedError("16-bit PPM unsupported")
+        wide = (
+            np.frombuffer(payload, dtype=">u2", count=w * h * 3, offset=pos)
+            .reshape(h, w, 3)
+            .astype(np.uint32)
+        )
+        return ((wide * 255 + maxval // 2) // maxval).astype(np.uint8)
     return (
         np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
         .reshape(h, w, 3)
@@ -375,15 +385,21 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM → (int16 samples [n, channels] squeezed to 1-D
-    for mono, sample_rate). Walks chunks per the RIFF spec (fmt may
-    not be first; LIST/fact chunks are skipped)."""
+    """RIFF/WAVE → (int16 samples [n, channels] squeezed to 1-D for
+    mono, sample_rate). Walks chunks per the RIFF spec (fmt may not
+    be first; LIST/fact chunks are skipped). Accepts PCM 8/16/24/32
+    bit, IEEE float 32/64 (format 3), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE — dispatched on the SubFormat GUID's leading format
+    code); everything lands on the pipeline's int16 contract:
+    unsigned 8-bit recenters, 24/32-bit keep their top 16 bits,
+    floats clip to [-1, 1] and scale to ±32767."""
     import struct as _s
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -391,17 +407,50 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
             fmt = _s.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, n_ch, rate, _byte_rate, _align, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise NotImplementedError(f"WAV format={audio_fmt} bits={bits} (PCM16 only)")
-    pcm = np.frombuffer(data, dtype="<i2")
+    if audio_fmt == 0xFFFE:
+        # EXTENSIBLE: fmt = base(16) + cbSize(2) + validBits(2) +
+        # channelMask(4) + SubFormat GUID; the GUID's first two bytes
+        # are the underlying format code
+        if len(fmt_body) < 26:
+            raise ValueError("EXTENSIBLE fmt chunk truncated")
+        (audio_fmt,) = _s.unpack_from("<H", fmt_body, 24)
+    if audio_fmt == 1:  # integer PCM
+        if bits == 16:
+            pcm = np.frombuffer(data, dtype="<i2")
+        elif bits == 8:  # unsigned per spec
+            pcm = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8)
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3)
+            # little-endian: the top 16 bits are bytes 1..2
+            pcm = (raw[:, 1].astype(np.uint16) | (raw[:, 2].astype(np.uint16) << 8)).astype(np.int16)
+        elif bits == 32:
+            pcm = (np.frombuffer(data, dtype="<i4") >> 16).astype(np.int16)
+        else:
+            raise NotImplementedError(f"WAV PCM bits={bits}")
+    elif audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            f = np.frombuffer(data, dtype="<f4")
+        elif bits == 64:
+            f = np.frombuffer(data, dtype="<f8")
+        else:
+            raise NotImplementedError(f"WAV float bits={bits}")
+        pcm = np.clip(f, -1.0, 1.0)
+        pcm = np.round(pcm * 32767.0).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"WAV format={audio_fmt} needs a codec library (PCM and "
+            "IEEE-float are native)"
+        )
     if n_ch > 1:
-        pcm = pcm.reshape(-1, n_ch)
+        pcm = pcm[: (len(pcm) // n_ch) * n_ch].reshape(-1, n_ch)
     return pcm, rate
 
 

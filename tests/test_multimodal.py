@@ -958,3 +958,81 @@ def test_webp_animation_frames_composite_and_parse():
     fr2, _ = W.webp_frames(anim2)
     assert np.array_equal(fr2[1][0, 0, :3], [200, 0, 0])  # canvas kept
     assert np.array_equal(fr2[1][8, 8, :3], [0, 250, 10])  # patch blended in
+
+
+def test_ppm_16bit_downscales_to_uint8():
+    """maxval > 255: two-byte big-endian samples down-scale to uint8
+    with rounding (the 12-bit-JPEG range-reduction precedent)."""
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.multimodal import decode_ppm
+
+    wide = np.array(
+        [[[0, 511, 1023], [1023, 512, 1]]], dtype=">u2"
+    )  # 1x2 RGB at maxval 1023
+    payload = b"P6\n2 1\n1023\n" + wide.tobytes()
+    got = decode_ppm(payload)
+    assert got.dtype == np.uint8 and got.shape == (1, 2, 3)
+    expect = ((wide.astype(np.uint32) * 255 + 511) // 1023).astype(np.uint8)
+    assert (got == expect).all()
+    assert got[0, 0, 2] == 255 and got[0, 1, 2] == 0
+
+
+def test_wav_float_and_wide_pcm_decode():
+    """IEEE float 32/64, PCM 8/24/32, and WAVE_FORMAT_EXTENSIBLE all
+    land on the int16 contract; float values clip to [-1, 1]."""
+    import struct
+
+    import numpy as np
+
+    from ndvi_etl_pipeline_spark.operators.multimodal import decode_wav
+
+    def wav(fmt_code, bits, data, n_ch=1, rate=8000, extensible=False):
+        if extensible:
+            fmt = struct.pack(
+                "<HHIIHH", 0xFFFE, n_ch, rate, rate * bits // 8 * n_ch,
+                bits // 8 * n_ch, bits,
+            ) + struct.pack("<HHI", 22, bits, 0x4) + struct.pack(
+                "<H", fmt_code
+            ) + b"\x00" * 14
+        else:
+            fmt = struct.pack(
+                "<HHIIHH", fmt_code, n_ch, rate, rate * bits // 8 * n_ch,
+                bits // 8 * n_ch, bits,
+            )
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if len(fmt) & 1:
+            body += b"\x00"
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # float32 with clipping
+    f32 = np.array([0.0, 0.5, -0.5, 2.0, -2.0], dtype="<f4")
+    pcm, rate = decode_wav(wav(3, 32, f32.tobytes()))
+    assert rate == 8000
+    assert list(pcm) == [0, 16384, -16384, 32767, -32767]
+
+    # float64
+    f64 = np.array([1.0, -1.0], dtype="<f8")
+    pcm, _ = decode_wav(wav(3, 64, f64.tobytes()))
+    assert list(pcm) == [32767, -32767]
+
+    # PCM8 unsigned recenters
+    pcm, _ = decode_wav(wav(1, 8, bytes([128, 255, 0])))
+    assert list(pcm) == [0, 127 << 8, -32768]
+
+    # PCM24: top 16 bits survive (value 0x123456 -> 0x1234)
+    data24 = bytes([0x56, 0x34, 0x12, 0x00, 0x00, 0x80])
+    pcm, _ = decode_wav(wav(1, 24, data24))
+    assert list(pcm) == [0x1234, -32768]
+
+    # PCM32: top 16 bits
+    data32 = np.array([0x12345678, -(1 << 31)], dtype="<i4").tobytes()
+    pcm, _ = decode_wav(wav(1, 32, data32))
+    assert list(pcm) == [0x1234, -32768]
+
+    # EXTENSIBLE wrapping float32, stereo
+    st = np.array([0.25, -0.25, 1.0, -1.0], dtype="<f4")
+    pcm, _ = decode_wav(wav(3, 32, st.tobytes(), n_ch=2, extensible=True))
+    assert pcm.shape == (2, 2)
+    assert list(pcm[:, 0]) == [8192, 32767]

@@ -89,3 +89,97 @@ def q_zorder_interleave_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("zbucket"))
         .limit(20)
     )
+
+
+@register(
+    "layout_clustering_skipping",
+    oracle="""
+    WITH layouts AS (
+      SELECT 'clustered' AS layout,
+             (year(l_shipdate) - 1992) * 4
+               + (month(l_shipdate) - 1) // 3 AS f,
+             l_shipdate
+      FROM lineitem
+      UNION ALL
+      SELECT 'arrival',
+             CAST(('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR)), 1, 8))::UBIGINT % 64
+             AS BIGINT),
+             l_shipdate
+      FROM lineitem),
+    stats AS (
+      SELECT layout, f, min(l_shipdate) AS mn, max(l_shipdate) AS mx
+      FROM layouts GROUP BY 1, 2)
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS total_files,
+           CAST(sum(CASE WHEN mx >= DATE '1994-01-01'
+                          AND mn <= DATE '1994-03-31'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_hit
+    FROM stats GROUP BY 1 ORDER BY 1
+    """,
+    tags=("layout", "lineitem"),
+)
+def q_layout_clustering_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping simulation: assign lineitem rows to simulated
+    files two ways — CLUSTERED (calendar-quarter of shipdate, the
+    layout a time-keyed sort/z-order compaction produces) and ARRIVAL
+    (md5 hash of the insertion key mod 64, an unclustered table) —
+    then count how many files' min/max shipdate range intersects a
+    one-quarter predicate. The clustered layout is hit on ~1 file;
+    the arrival layout on ALL of them — the measurable why behind
+    lake_compact's clustering. Both bucketings are pure per-row
+    expressions (engine-identical md5/quarter math, the catalog's
+    conv-of-md5 idiom), so the whole plan is two scans + hash
+    aggregates — no windows, nothing single-partition."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    clus = li.select(
+        F.lit("clustered").alias("layout"),
+        (
+            (F.year("l_shipdate") - 1992) * 4
+            + F.floor((F.month("l_shipdate") - 1) / 3)
+        ).cast("bigint").alias("f"),
+        "l_shipdate",
+    )
+    arr = li.select(
+        F.lit("arrival").alias("layout"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(64),
+        ).alias("f"),
+        "l_shipdate",
+    )
+    stats = clus.unionAll(arr).groupBy("layout", "f").agg(
+        F.min("l_shipdate").alias("mn"), F.max("l_shipdate").alias("mx")
+    )
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count("*").cast("bigint").alias("total_files"),
+            F.sum(
+                (
+                    (F.col("mx") >= F.lit("1994-01-01").cast("date"))
+                    & (F.col("mn") <= F.lit("1994-03-31").cast("date"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("files_hit"),
+        )
+        .orderBy("layout")
+    )

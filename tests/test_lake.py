@@ -1105,3 +1105,34 @@ def test_lake_constraint_added_mid_write_revalidates(spark, tmp_path, monkeypatc
     # nothing landed; the constraint commit is the table's latest
     assert {r.k for r in lake_read(spark, t).collect()} == {1}
     assert lake_history(t)[-1]["op"] == "alter_constraints"
+
+
+def test_lake_dv_read_plan_is_broadcast_antijoin(spark, tmp_path):
+    """The DV merge-on-read must cost ONE broadcast anti-join — never
+    a sort-merge shuffle of the table on (file, ordinal): at 100 TB
+    the table side must not move."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, "x") for i in range(100)]), t)
+    lake_delete(spark, t, F.col("k") < 10, strategy="dv")
+    df = lake_read(spark, t)
+    explained = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in explained and "LeftAnti" in explained
+    assert "SortMergeJoin" not in explained
+
+
+def test_lake_cdf_reads_only_delta_files(spark, tmp_path):
+    """lake_read_cdf must scan ONLY the range's delta: the appended
+    files plus the new DV sets — never the base table's files."""
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        _read_manifest,
+        lake_read_cdf,
+    )
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, "base") for i in range(50)]).coalesce(4), t)  # v0
+    lake_write(_df(spark, [(100, "n")]).coalesce(1), t)                      # v1
+    base_files = {e["path"] for e in _read_manifest(t, 0)["files"]}
+
+    feed = lake_read_cdf(spark, t, 0, 1)  # inserts only: v1's file
+    scanned = {os.path.relpath(p.replace("file:", ""), t) for p in feed.inputFiles()}
+    assert scanned and not (scanned & base_files)

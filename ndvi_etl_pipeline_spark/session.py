@@ -74,6 +74,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource pushFilters bridge (off by default in
+        # Spark 4.1) — the `lake` source prunes files with it
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Some testdata generations store TIMESTAMP(NANOS); read as long
         # and convert in the scan layer (sources/testdata.py). Harmless
         # for MICROS-written files, which arrive as native timestamps.

@@ -42,6 +42,8 @@ from pyspark.sql.datasource import (
 from pyspark.sql import types as T
 
 from .lake import (
+    _entry_rel,
+    _file_may_match,
     _latest_version,
     _parse_partition_spec,
     _paths,
@@ -215,7 +217,7 @@ def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
         op, strat = m["op"], m.get("strategy")
         if op == "append" or (op == "overwrite" and v == 0):
             for e in m["files"]:
-                rel = _paths([e])[0]
+                rel = _entry_rel(e)
                 if rel in prev_files:
                     continue
                 parts.append(
@@ -238,7 +240,7 @@ def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
                         schema_json,
                         _entry_partition_fill(
                             next(
-                                (e for e in m["files"] if _paths([e])[0] == rel),
+                                (e for e in m["files"] if _entry_rel(e) == rel),
                                 rel,
                             ),
                             part_by,
@@ -257,6 +259,37 @@ def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
     return parts
 
 
+def _filter_to_where(f) -> tuple | None:
+    """Catalyst pushed filter → the lake's (col, op, value) triple, or
+    None when the filter shape is outside what manifest stats can
+    prune (nested attributes, IsNull, string matchers, ...). Date and
+    other non-scalar values compare against stats through their ISO
+    string form — the same form _write_data_files stored (_json_safe
+    stringifies them), which is order-preserving."""
+    from pyspark.sql import datasource as DS
+
+    ops = {
+        DS.EqualTo: "==",
+        DS.GreaterThan: ">",
+        DS.GreaterThanOrEqual: ">=",
+        DS.LessThan: "<",
+        DS.LessThanOrEqual: "<=",
+    }
+    if len(getattr(f, "attribute", ())) != 1:
+        return None
+    col = f.attribute[0]
+
+    def norm(v):
+        return v if isinstance(v, (int, float, str, bool)) else str(v)
+
+    for cls, op in ops.items():
+        if isinstance(f, cls):
+            return (col, op, norm(f.value))
+    if isinstance(f, DS.In):
+        return (col, "in", [norm(v) for v in f.value])
+    return None
+
+
 class LakeBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self._path = options.get("path")
@@ -273,13 +306,37 @@ class LakeBatchReader(DataSourceReader):
         # snapshot pinned HERE, at plan time — concurrent commits
         # cannot tear this read
         self._manifest = _read_manifest(self._path, v)
+        self._where: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """Catalyst filter pushdown (Spark 4.1 Python DataSource API):
+        translate the conjunction into the lake's (col, op, value)
+        form and use it for MANIFEST FILE SKIPPING in partitions() —
+        partition values, min/max stats, and blooms prune whole files
+        before a single byte is read. Every filter is returned, so
+        Spark still applies the exact row filter on the surviving
+        files (we prune, never filter — the conservative split that
+        keeps _file_may_match's may-match semantics honest)."""
+        if not self._cdf:
+            self._where = [
+                w
+                for w in (_filter_to_where(f) for f in filters)
+                if w is not None
+            ]
+        return filters
 
     def partitions(self) -> list[InputPartition]:
         if self._cdf:
             return _cdf_partitions(self._path, self._from, self._to)
-        return _partitions_for_entries(
-            self._path, self._manifest, self._manifest["files"]
-        )
+        entries = self._manifest["files"]
+        if self._where:
+            part_by = tuple(self._manifest.get("partition_by") or ())
+            entries = [
+                e
+                for e in entries
+                if _file_may_match(e, self._where, part_by)
+            ]
+        return _partitions_for_entries(self._path, self._manifest, entries)
 
     def read(self, partition: LakeFilePartition) -> Iterator:
         yield from _read_partition(partition)
@@ -375,5 +432,8 @@ class LakeDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the `lake` format."""
+    """Idempotent registration of the `lake` format. Also enables the
+    Python-DataSource filter-pushdown bridge (off by default in
+    Spark 4.1) so pushFilters() can prune files via manifest stats."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LakeDataSource)

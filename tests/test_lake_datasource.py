@@ -207,3 +207,30 @@ def test_lake_datasource_stream_cdf_delivers_retractions(lake_ds, tmp_path):
                 state[k] = state.get(k, 0) - 1
     live = sorted(k for k, n in state.items() if n > 0)
     assert live == sorted(r.k for r in lake_read(spark, t).collect())
+
+
+def test_lake_datasource_filter_pushdown_prunes_files(lake_ds, tmp_path):
+    """Catalyst filter pushdown reaches the manifest: a .filter() on
+    the DataFrame must shrink the partition list via min/max file
+    skipping (asserted through the reader API), and results stay
+    exact (Spark re-applies the row filter on surviving files)."""
+    from ndvi_etl_pipeline_spark.sources import lake_datasource as LDSmod
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    lake_write(_mk(spark, [(i, "lo") for i in range(10)], "k int, v string").coalesce(1), t)
+    lake_write(_mk(spark, [(i, "hi") for i in range(100, 110)], "k int, v string").coalesce(1), t)
+
+    df = spark.read.format("lake").option("path", t).load().filter("k >= 100")
+    assert sorted(r.k for r in df.collect()) == list(range(100, 110))
+    # row-exactness with a predicate INSIDE a surviving file
+    df2 = spark.read.format("lake").option("path", t).load().filter("k = 105")
+    assert [r.k for r in df2.collect()] == [105]
+
+    # the reader API itself: pushFilters shrinks partitions()
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    rdr = LDSmod.LakeBatchReader({"path": t})
+    assert len(rdr.partitions()) == 2
+    rdr.pushFilters([GreaterThanOrEqual(("k",), 100)])
+    assert len(rdr.partitions()) == 1

@@ -1136,3 +1136,93 @@ def test_lake_cdf_reads_only_delta_files(spark, tmp_path):
     feed = lake_read_cdf(spark, t, 0, 1)  # inserts only: v1's file
     scanned = {os.path.relpath(p.replace("file:", ""), t) for p in feed.inputFiles()}
     assert scanned and not (scanned & base_files)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OP = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.integers(0, 30), min_size=1, max_size=5)),
+    st.tuples(st.just("dv_delete"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+    st.tuples(st.just("cow_delete"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+    st.tuples(st.just("merge"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+    st.tuples(st.just("compact"), st.just([])),
+    st.tuples(st.just("restore"), st.just([])),
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_OP, min_size=1, max_size=6), st.randoms(use_true_random=False))
+def test_lake_model_based_op_sequences(spark, tmp_path_factory, ops, rng):
+    """Model-based check of the whole lake op surface: a random
+    interleaving of append / dv-delete / cow-delete / merge / compact
+    / restore must keep the visible rows equal to a plain Python
+    multiset model AFTER EVERY OP, and time travel to any committed
+    version must reproduce that version's model state. Catches
+    cross-op interactions (DV rows surviving a partial rewrite, a
+    restore resurrecting the wrong snapshot, merges double-applying)
+    that single-op tests cannot."""
+    from collections import Counter
+
+    from ndvi_etl_pipeline_spark.sources.lake import lake_merge, lake_restore
+
+    t = str(tmp_path_factory.mktemp("model") / "t")
+    tag = [0]
+
+    def mk(ks, label):
+        return spark.createDataFrame(
+            [(k, f"{label}{tag[0]}") for k in sorted(set(ks))], "k int, v string"
+        )
+
+    state: Counter = Counter()
+    history: list[Counter] = []
+
+    def commit_model():
+        history.append(Counter(state))
+
+    lake_write(mk([1, 2, 3], "seed"), t)
+    for k in sorted({1, 2, 3}):
+        state[(k, f"seed{tag[0]}")] += 1
+    commit_model()
+
+    for op, ks in ops:
+        tag[0] += 1
+        if op == "append":
+            lake_write(mk(ks, "a"), t)
+            for k in sorted(set(ks)):
+                state[(k, f"a{tag[0]}")] += 1
+            commit_model()
+        elif op in ("dv_delete", "cow_delete"):
+            strat = "dv" if op == "dv_delete" else "cow"
+            matched = any(k == kk for (kk, _v) in state for k in ks)
+            lake_delete(spark, t, F.col("k").isin(list(ks)), strategy=strat)
+            if matched:
+                for key in [key for key in state if key[0] in ks]:
+                    del state[key]
+                commit_model()
+        elif op == "merge":
+            lake_merge(spark, mk(ks, "m"), t, keys=("k",))
+            for key in [key for key in state if key[0] in set(ks)]:
+                del state[key]
+            for k in sorted(set(ks)):
+                state[(k, f"m{tag[0]}")] += 1
+            commit_model()
+        elif op == "compact":
+            lake_compact(spark, t, num_files=2)
+            commit_model()
+        elif op == "restore":
+            v = rng.randrange(len(history))
+            lake_restore(t, v)
+            state = Counter(history[v])
+            commit_model()
+        got = Counter((r.k, r.v) for r in lake_read(spark, t).collect())
+        assert got == +state, f"after {op}({ks})"
+
+    # time travel: a random committed version reproduces its model
+    v = rng.randrange(len(history))
+    got_v = Counter((r.k, r.v) for r in lake_read(spark, t, version=v).collect())
+    assert got_v == +history[v]

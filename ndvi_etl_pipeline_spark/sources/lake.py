@@ -1020,9 +1020,20 @@ def lake_read_cdf(
                 dv_df = spark.read.schema(_DV_SCHEMA).parquet(
                     *[os.path.join(path, d) for d in new_dvs]
                 )
+                # restrict the raw scan to the files the new DV rows
+                # actually touch (one tiny distinct job, ≤ #files
+                # rows) — without this the delete branch would scan
+                # the WHOLE snapshot per dv commit
+                touched = {
+                    r.f
+                    for r in dv_df.select(
+                        F.col(_DV_FILE).alias("f")
+                    ).distinct().collect()
+                }
+                hit = [e for e in m["files"] if _entry_rel(e) in touched]
                 raw = _read_entries(
                     spark, path, {**m, "schema": to_m["schema"]},
-                    m["files"], keep_meta=True, apply_dvs=False,
+                    hit, keep_meta=True, apply_dvs=False,
                 )
                 dels = raw.join(
                     F.broadcast(dv_df), [_DV_FILE, _DV_POS], "left_semi"

@@ -1137,6 +1137,16 @@ def test_lake_cdf_reads_only_delta_files(spark, tmp_path):
     scanned = {os.path.relpath(p.replace("file:", ""), t) for p in feed.inputFiles()}
     assert scanned and not (scanned & base_files)
 
+    # the DELETE side scans only the files the new DV rows touch —
+    # k=0 lives in one of v0's four files; the others stay unread
+    lake_delete(spark, t, F.col("k") == 0, strategy="dv")               # v2
+    dfeed = lake_read_cdf(spark, t, 1, 2)
+    dscanned = {
+        os.path.relpath(p.replace("file:", ""), t) for p in dfeed.inputFiles()
+    }
+    assert len(dscanned & base_files) == 1
+    assert {(r.k, r._change_type) for r in dfeed.collect()} == {(0, "delete")}
+
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

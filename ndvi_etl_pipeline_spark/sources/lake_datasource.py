@@ -31,13 +31,17 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -400,6 +404,224 @@ class LakeStreamReader(DataSourceStreamReader):
         pass  # offsets are durable in the checkpoint; manifests immutable
 
 
+class LakeWriteMessage(WriterCommitMessage):
+    """One task's staged file: table-relative path + row count +
+    executor-computed per-column min/max stats (the same shape
+    _write_data_files records, so file skipping works on DataSource
+    writes too)."""
+
+    def __init__(self, rel: str, n_rows: int, stats: dict):
+        self.rel = rel
+        self.n_rows = n_rows
+        self.stats = stats
+
+
+_STATS_ARROW = ("int", "uint", "float", "double", "string", "large_string", "bool", "date")
+
+
+def _arrow_file_stats(table) -> dict:
+    """Per-column [min, max] for orderable scalar columns of one
+    staged Arrow table — computed executor-side while the data is hot
+    (cheaper than lake_write's post-hoc grouped aggregate)."""
+    import pyarrow.compute as pc
+
+    stats: dict = {}
+    for field in table.schema:
+        tname = str(field.type)
+        if not any(tname.startswith(p) for p in _STATS_ARROW):
+            continue
+        col = table.column(field.name)
+        if col.null_count == len(col):
+            stats[field.name] = [None, None]
+            continue
+        mm = pc.min_max(col)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        stats[field.name] = [
+            v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+            for v in (mn, mx)
+        ]
+    return stats
+
+
+class _LakeWriterCore:
+    """Shared executor/driver logic of the batch and streaming lake
+    writers: executors stage immutable parquet files under one
+    commit-scoped dir and return (path, rows, stats) messages; the
+    driver publishes ONE manifest from the collected messages — the
+    classic two-phase commit the manifest protocol was built for.
+    Losing the version race re-merges and retries like lake_write.
+
+    Guard rails: tables with constraints or a partitioned layout
+    refuse the DataSource write path (constraints are enforced
+    row-level by lake_write's validating count; partition layouts
+    need the hive dir writer) — an explicit error beats silently
+    weaker semantics. Tables with bloom_cols accept the write; the
+    new entries simply carry no bloom, which file skipping treats as
+    always-kept (conservative, correct)."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("lake sink requires option('path', ...)")
+        self._schema_json = schema.json()
+        self._overwrite = overwrite
+        self._commit_id = uuid.uuid4().hex[:12]
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator) -> LakeWriteMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return LakeWriteMessage("", 0, {})
+        table = pa.Table.from_batches(batches)
+        rel = os.path.join(
+            "data", self._commit_id, f"part-{uuid.uuid4().hex[:12]}.parquet"
+        )
+        full = os.path.join(self._path, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(table, full)
+        return LakeWriteMessage(rel, table.num_rows, _arrow_file_stats(table))
+
+    # -- driver side -------------------------------------------------------
+    def _publish(self, messages, properties: dict | None = None) -> int:
+        from .lake import (
+            ConcurrentCommitError,
+            _commit,
+            _CommitConflict,
+            _MAX_COMMIT_ATTEMPTS,
+            _schema_compatible,
+        )
+        import time as _time
+
+        entries = [
+            {"path": m.rel, "stats": m.stats}
+            for m in messages
+            if m is not None and m.rel
+        ]
+        n_rows = sum(m.n_rows for m in messages if m is not None)
+        schema = T.StructType.fromJson(json.loads(self._schema_json))
+        mode = "overwrite" if self._overwrite else "append"
+        for attempt in range(_MAX_COMMIT_ATTEMPTS):
+            latest = _latest_version(self._path)
+            prev = (
+                _read_manifest(self._path, latest) if latest is not None else None
+            )
+            if prev is not None and prev.get("constraints"):
+                raise ValueError(
+                    "table has constraints — write through lake_write, "
+                    "which validates rows before publishing"
+                )
+            if prev is not None and (prev.get("partition_by") or []):
+                raise ValueError(
+                    "table is partitioned — write through lake_write"
+                )
+            if prev is not None and mode == "append":
+                old_schema = T.StructType.fromJson(prev["schema"])
+                if not _schema_compatible(old_schema, schema):
+                    raise ValueError(
+                        "append would change an existing column's type"
+                    )
+                merged = T.StructType(
+                    list(old_schema.fields)
+                    + [
+                        f
+                        for f in schema.fields
+                        if f.name not in old_schema.fieldNames()
+                    ]
+                )
+                live = prev["files"] + entries
+                dvs = list(prev.get("dvs") or [])
+                bl = list(prev.get("bloom_cols") or [])
+            else:
+                merged, live, dvs, bl = schema, entries, [], []
+            version = 0 if latest is None else latest + 1
+            manifest = {
+                "version": version,
+                "op": mode,
+                "ts": _time.time(),
+                "files": live,
+                "schema": merged.jsonValue(),
+                "n_rows_delta": n_rows,
+            }
+            if dvs:
+                manifest["dvs"] = dvs
+            if bl:
+                manifest["bloom_cols"] = bl
+            if properties:
+                manifest["properties"] = dict(properties)
+            try:
+                _commit(self._path, version, manifest)
+                return version
+            except _CommitConflict:
+                _time.sleep(0.02 * (attempt + 1))
+        raise ConcurrentCommitError(
+            f"lost the commit race {_MAX_COMMIT_ATTEMPTS} times at {self._path}"
+        )
+
+    def _abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and getattr(m, "rel", ""):
+                try:
+                    os.remove(os.path.join(self._path, m.rel))
+                except OSError:
+                    pass  # vacuum collects whatever survives
+
+
+class LakeBatchWriter(_LakeWriterCore, DataSourceArrowWriter):
+    def commit(self, messages) -> None:
+        self._publish(messages)
+
+    def abort(self, messages) -> None:
+        self._abort(messages)
+
+
+class LakeStreamWriter(_LakeWriterCore, DataSourceStreamArrowWriter):
+    """Streaming sink with EXACTLY-ONCE manifests: each micro-batch
+    publishes one snapshot stamped with commit properties
+    (stream_sink_id, stream_batch_id). A retried batch (failure after
+    publish, before the checkpoint advanced) finds its batchId
+    already in the manifest log and SKIPS the duplicate publish — the
+    re-staged files are unreferenced orphans for vacuum. The ledger
+    is the table's own history; no side files."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        super().__init__(options, schema, overwrite)
+        self._sink_id = options.get("sinkId", "default")
+
+    def _already_committed(self, batch_id: int) -> bool:
+        latest = _latest_version(self._path)
+        if latest is None:
+            return False
+        for v in range(latest, -1, -1):
+            try:
+                props = _read_manifest(self._path, v).get("properties") or {}
+            except FileNotFoundError:
+                break  # vacuumed history: older batches long committed
+            if (
+                props.get("stream_sink_id") == self._sink_id
+                and props.get("stream_batch_id") == batch_id
+            ):
+                return True
+        return False
+
+    def commit(self, messages, batchId: int) -> None:
+        if self._already_committed(batchId):
+            self._abort(messages)  # drop the re-staged duplicates
+            return
+        self._publish(
+            messages,
+            properties={
+                "stream_sink_id": self._sink_id,
+                "stream_batch_id": batchId,
+            },
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._abort(messages)
+
+
 class LakeDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -429,6 +651,12 @@ class LakeDataSource(DataSource):
 
     def streamReader(self, schema) -> LakeStreamReader:
         return LakeStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> LakeBatchWriter:
+        return LakeBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> LakeStreamWriter:
+        return LakeStreamWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

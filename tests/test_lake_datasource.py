@@ -234,3 +234,112 @@ def test_lake_datasource_filter_pushdown_prunes_files(lake_ds, tmp_path):
     assert len(rdr.partitions()) == 2
     rdr.pushFilters([GreaterThanOrEqual(("k",), 100)])
     assert len(rdr.partitions()) == 1
+
+
+def test_lake_datasource_batch_write(lake_ds, tmp_path):
+    """df.write.format('lake'): executor-staged files publish as ONE
+    manifest with executor-computed per-file stats (file skipping
+    works on DataSource-written tables); append merges schema and
+    interoperates with the library reader/writer; errorifexists and
+    overwrite semantics hold; constrained/partitioned tables refuse."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        _file_may_match,
+        _read_manifest,
+        lake_alter_constraints,
+        lake_latest_version,
+    )
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    df = _mk(spark, [(i, "a") for i in range(100)], "k int, v string").repartition(4)
+    df.write.format("lake").option("path", t).mode("append").save()
+    assert lake_latest_version(t) == 0
+    m = _read_manifest(t, 0)
+    assert len(m["files"]) == 4 and m["op"] == "append"
+    # executor-side stats landed and prune
+    assert all(e["stats"].get("k") for e in m["files"])
+    got = lake_read(spark, t)
+    assert got.count() == 100
+    pruned = sum(
+        1 for e in m["files"] if _file_may_match(e, [("k", "==", 3)])
+    )
+    assert pruned < 4
+
+    # library append then DataSource append interoperate
+    lake_write(_mk(spark, [(1000, "z")], "k int, v string"), t)
+    _mk(spark, [(2000, "y", 0.5)], "k int, v string, s double").coalesce(1).write.format(
+        "lake"
+    ).option("path", t).mode("append").save()
+    rows = {r.k: r.s for r in lake_read(spark, t).collect()}
+    assert rows[2000] == 0.5 and rows[1000] is None  # schema evolved
+
+    # overwrite replaces the table in one snapshot
+    _mk(spark, [(7, "w")], "k int, v string").coalesce(1).write.format("lake").option(
+        "path", t
+    ).mode("overwrite").save()
+    assert {r.k for r in lake_read(spark, t).collect()} == {7}
+
+    # constrained tables refuse the DataSource path with a clear error
+    lake_alter_constraints(spark, t, add_checks={"pos": "k > 0"})
+    import pyspark.errors as PE
+
+    with pytest.raises(Exception, match="lake_write"):
+        _mk(spark, [(8, "x")], "k int, v string").write.format("lake").option(
+            "path", t
+        ).mode("append").save()
+
+
+def test_lake_datasource_stream_write_exactly_once(lake_ds, tmp_path):
+    """writeStream.format('lake'): each micro-batch is one manifest
+    stamped (sink, batchId); a replayed batch publishes NOTHING (the
+    history ledger makes retries exactly-once); the table is readable
+    mid-stream and the final rows equal the source exactly once."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_history
+
+    spark = lake_ds
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    lake_write(_mk(spark, [(1, "a"), (2, "b")], "k int, v string"), src)
+
+    def drain():
+        q = (
+            spark.readStream.format("lake")
+            .option("path", src)
+            .load()
+            .writeStream.format("lake")
+            .option("path", t)
+            .option("sinkId", "featurizer")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sorted(r.k for r in lake_read(spark, t).collect()) == [1, 2]
+    hist = lake_history(t)
+    assert hist[-1]["properties"]["stream_batch_id"] == 0
+
+    lake_write(_mk(spark, [(3, "c")], "k int, v string"), src)
+    drain()
+    assert sorted(r.k for r in lake_read(spark, t).collect()) == [1, 2, 3]
+
+    # replay with no new source data: no new manifest
+    n_before = len(lake_history(t))
+    drain()
+    assert len(lake_history(t)) == n_before
+
+    # duplicate-batch suppression at the writer level: re-committing
+    # batchId 0 by hand publishes nothing
+    from ndvi_etl_pipeline_spark.sources import lake_datasource as LDSmod
+
+    w = LDSmod.LakeStreamWriter(
+        {"path": t, "sinkId": "featurizer"},
+        _mk(spark, [(9, "q")], "k int, v string").schema,
+        overwrite=False,
+    )
+    w.commit([LDSmod.LakeWriteMessage("", 0, {})], 0)
+    assert len(lake_history(t)) == n_before

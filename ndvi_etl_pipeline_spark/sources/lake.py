@@ -83,7 +83,12 @@ from pyspark.sql import types as T
 #: writer can be active).
 DEFAULT_VACUUM_RETENTION = 3600.0
 
-_MAX_COMMIT_ATTEMPTS = 6
+#: Commit-race retries. Each retry is manifest-scale work for appends
+#: (re-read + re-publish, no data rewritten), so the budget is set for
+#: MANY genuinely concurrent writers: with N appenders racing, one
+#: writer can lose up to ~N×(commits each) times before its turn.
+#: Delta's equivalent budget is similarly generous.
+_MAX_COMMIT_ATTEMPTS = 20
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -413,6 +418,15 @@ def _latest_version(path: str) -> int | None:
 def _read_manifest(path: str, version: int) -> dict:
     with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as fh:
         return json.load(fh)
+
+
+def _backoff(attempt: int) -> float:
+    """Linear backoff with random jitter: concurrent losers of the
+    same race must NOT retry in lockstep, or they re-collide on every
+    round until the budget runs out."""
+    import random
+
+    return 0.01 * (attempt + 1) * (0.5 + random.random())
 
 
 class _CommitConflict(ConcurrentCommitError):
@@ -850,7 +864,7 @@ def lake_write(
             _commit(path, version, manifest)
             return version
         except _CommitConflict:
-            time.sleep(0.02 * (attempt + 1))
+            time.sleep(_backoff(attempt))
     raise ConcurrentCommitError(
         f"lost the commit race {_MAX_COMMIT_ATTEMPTS} times at {path}"
     )
@@ -1238,7 +1252,7 @@ def _retry_cow(op_name: str, path: str, once):
         try:
             return once()
         except _CommitConflict:
-            time.sleep(0.02 * (attempt + 1))
+            time.sleep(_backoff(attempt))
     raise ConcurrentCommitError(
         f"{op_name} lost the commit race {_MAX_COMMIT_ATTEMPTS} times at {path}"
     )

@@ -488,6 +488,7 @@ class _LakeWriterCore:
     def _publish(self, messages, properties: dict | None = None) -> int:
         from .lake import (
             ConcurrentCommitError,
+            _backoff,
             _commit,
             _CommitConflict,
             _MAX_COMMIT_ATTEMPTS,
@@ -555,7 +556,7 @@ class _LakeWriterCore:
                 _commit(self._path, version, manifest)
                 return version
             except _CommitConflict:
-                _time.sleep(0.02 * (attempt + 1))
+                _time.sleep(_backoff(attempt))
         raise ConcurrentCommitError(
             f"lost the commit race {_MAX_COMMIT_ATTEMPTS} times at {self._path}"
         )

@@ -405,15 +405,15 @@ class LakeStreamReader(DataSourceStreamReader):
 
 
 class LakeWriteMessage(WriterCommitMessage):
-    """One task's staged file: table-relative path + row count +
-    executor-computed per-column min/max stats (the same shape
+    """One task's staged files: manifest-ready entries (path, stats,
+    and partition values for hive layouts) + the task's row count.
+    Stats are executor-computed while the data is hot (the same shape
     _write_data_files records, so file skipping works on DataSource
     writes too)."""
 
-    def __init__(self, rel: str, n_rows: int, stats: dict):
-        self.rel = rel
+    def __init__(self, files: list[dict], n_rows: int):
+        self.files = files
         self.n_rows = n_rows
-        self.stats = stats
 
 
 _STATS_ARROW = ("int", "uint", "float", "double", "string", "large_string", "bool", "date")
@@ -451,13 +451,21 @@ class _LakeWriterCore:
     classic two-phase commit the manifest protocol was built for.
     Losing the version race re-merges and retries like lake_write.
 
-    Guard rails: tables with constraints or a partitioned layout
-    refuse the DataSource write path (constraints are enforced
-    row-level by lake_write's validating count; partition layouts
-    need the hive dir writer) — an explicit error beats silently
-    weaker semantics. Tables with bloom_cols accept the write; the
-    new entries simply carry no bloom, which file skipping treats as
-    always-kept (conservative, correct)."""
+    IDENTITY-partitioned layouts are supported end-to-end: each task
+    groups its rows by the partition tuple, writes one file per value
+    under hive-style `col=val/` dirs with the partition columns
+    DROPPED from the file (exactly the layout lake_write produces),
+    and records the values in its manifest entries. On append the
+    layout comes from the table; on create/overwrite from
+    option("partitionBy", "col1,col2").
+
+    Guard rails: tables with constraints or TRANSFORM-partitioned
+    layouts refuse the DataSource write path (constraints are
+    enforced row-level by lake_write's validating count; transforms
+    need the derived-dir-column writer) — an explicit error beats
+    silently weaker semantics. Tables with bloom_cols accept the
+    write; the new entries simply carry no bloom, which file skipping
+    treats as always-kept (conservative, correct)."""
 
     def __init__(self, options: dict, schema, overwrite: bool):
         self._path = options.get("path")
@@ -466,23 +474,85 @@ class _LakeWriterCore:
         self._schema_json = schema.json()
         self._overwrite = overwrite
         self._commit_id = uuid.uuid4().hex[:12]
+        # resolve the partition layout ON THE DRIVER, before executors
+        # run: appends take the table's layout, create/overwrite takes
+        # the option; transforms are refused up front
+        latest = _latest_version(self._path)
+        prev_part: list[str] = []
+        if latest is not None and not overwrite:
+            prev_part = list(
+                _read_manifest(self._path, latest).get("partition_by") or []
+            )
+        opt_part = [
+            c.strip()
+            for c in str(options.get("partitionBy", "")).split(",")
+            if c.strip()
+        ]
+        part = prev_part if prev_part else opt_part
+        for sp in part:
+            if _parse_partition_spec(sp)[0] != "identity":
+                raise ValueError(
+                    f"transform partition spec {sp!r} — write through "
+                    "lake_write"
+                )
+        if prev_part and opt_part and opt_part != prev_part:
+            raise ValueError(
+                f"append partitionBy {opt_part} != table layout {prev_part}"
+            )
+        self._part_cols = part
 
     # -- executor side ----------------------------------------------------
-    def write(self, iterator) -> LakeWriteMessage:
-        import pyarrow as pa
+    def _stage(self, table, rel_dir: str) -> dict:
+        """Write one Arrow table as one staged file; return its
+        manifest entry (stats computed on the stored columns)."""
         import pyarrow.parquet as pq
 
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return LakeWriteMessage("", 0, {})
-        table = pa.Table.from_batches(batches)
-        rel = os.path.join(
-            "data", self._commit_id, f"part-{uuid.uuid4().hex[:12]}.parquet"
-        )
+        rel = os.path.join(rel_dir, f"part-{uuid.uuid4().hex[:12]}.parquet")
         full = os.path.join(self._path, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
         pq.write_table(table, full)
-        return LakeWriteMessage(rel, table.num_rows, _arrow_file_stats(table))
+        return {"path": rel, "stats": _arrow_file_stats(table)}
+
+    def write(self, iterator) -> LakeWriteMessage:
+        import pyarrow as pa
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return LakeWriteMessage([], 0)
+        table = pa.Table.from_batches(batches)
+        base = os.path.join("data", self._commit_id)
+        if not self._part_cols:
+            return LakeWriteMessage([self._stage(table, base)], table.num_rows)
+        from urllib.parse import quote
+
+        import pyarrow.compute as pc
+
+        files: list[dict] = []
+        combos = table.select(self._part_cols).group_by(self._part_cols).aggregate([])
+        for i in range(combos.num_rows):
+            vals = {c: combos.column(c)[i].as_py() for c in self._part_cols}
+            mask = None
+            for c, v in vals.items():
+                m = (
+                    pc.is_null(table.column(c))
+                    if v is None
+                    else pc.equal(table.column(c), pa.scalar(v))
+                )
+                mask = m if mask is None else pc.and_kleene(mask, m)
+            part_tbl = table.filter(pc.fill_null(mask, False)).drop_columns(
+                self._part_cols
+            )
+            segs = [
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if vals[c] is None else quote(str(vals[c]), safe='')}"
+                for c in self._part_cols
+            ]
+            entry = self._stage(part_tbl, os.path.join(base, *segs))
+            entry["partitions"] = {
+                c: (None if vals[c] is None else str(vals[c]))
+                for c in self._part_cols
+            }
+            files.append(entry)
+        return LakeWriteMessage(files, table.num_rows)
 
     # -- driver side -------------------------------------------------------
     def _publish(self, messages, properties: dict | None = None) -> int:
@@ -497,9 +567,7 @@ class _LakeWriterCore:
         import time as _time
 
         entries = [
-            {"path": m.rel, "stats": m.stats}
-            for m in messages
-            if m is not None and m.rel
+            e for m in messages if m is not None for e in m.files
         ]
         n_rows = sum(m.n_rows for m in messages if m is not None)
         schema = T.StructType.fromJson(json.loads(self._schema_json))
@@ -514,9 +582,13 @@ class _LakeWriterCore:
                     "table has constraints — write through lake_write, "
                     "which validates rows before publishing"
                 )
-            if prev is not None and (prev.get("partition_by") or []):
+            if (
+                prev is not None
+                and mode == "append"
+                and list(prev.get("partition_by") or []) != self._part_cols
+            ):
                 raise ValueError(
-                    "table is partitioned — write through lake_write"
+                    "concurrent writer changed the table's partition layout"
                 )
             if prev is not None and mode == "append":
                 old_schema = T.StructType.fromJson(prev["schema"])
@@ -546,6 +618,8 @@ class _LakeWriterCore:
                 "schema": merged.jsonValue(),
                 "n_rows_delta": n_rows,
             }
+            if self._part_cols:
+                manifest["partition_by"] = list(self._part_cols)
             if dvs:
                 manifest["dvs"] = dvs
             if bl:
@@ -563,9 +637,9 @@ class _LakeWriterCore:
 
     def _abort(self, messages) -> None:
         for m in messages:
-            if m is not None and getattr(m, "rel", ""):
+            for e in getattr(m, "files", None) or []:
                 try:
-                    os.remove(os.path.join(self._path, m.rel))
+                    os.remove(os.path.join(self._path, e["path"]))
                 except OSError:
                     pass  # vacuum collects whatever survives
 

@@ -341,5 +341,60 @@ def test_lake_datasource_stream_write_exactly_once(lake_ds, tmp_path):
         _mk(spark, [(9, "q")], "k int, v string").schema,
         overwrite=False,
     )
-    w.commit([LDSmod.LakeWriteMessage("", 0, {})], 0)
+    w.commit([LDSmod.LakeWriteMessage([], 0)], 0)
     assert len(lake_history(t)) == n_before
+
+
+def test_lake_datasource_partitioned_write_interop(lake_ds, tmp_path):
+    """DataSource writes to an identity-partitioned table: executors
+    write hive-style col=val files with the partition column dropped,
+    the manifest records the values, and BOTH readers (library +
+    DataSource) recover the column and prune on it; appends inherit
+    the layout; a mismatched partitionBy refuses."""
+    import json as _json
+
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        _file_may_match,
+        _read_manifest,
+    )
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    df = _mk(
+        spark,
+        [(i, "web" if i % 2 else "code", i * 1.0) for i in range(20)],
+        "k int, src string, x double",
+    )
+    df.write.format("lake").option("path", t).option(
+        "partitionBy", "src"
+    ).mode("append").save()
+
+    m = _read_manifest(t, 0)
+    assert m["partition_by"] == ["src"]
+    assert all(e.get("partitions", {}).get("src") for e in m["files"])
+    assert all("src=" in e["path"] for e in m["files"])
+
+    # both readers recover src; partition pruning works
+    lib = lake_read(spark, t)
+    assert {r.src for r in lib.collect()} == {"web", "code"}
+    dsr = spark.read.format("lake").option("path", t).load()
+    assert sorted((r.k, r.src) for r in dsr.collect()) == sorted(
+        (r.k, r.src) for r in lib.collect()
+    )
+    n_hit = sum(
+        1 for e in m["files"] if _file_may_match(e, [("src", "==", "web")], ("src",))
+    )
+    assert 0 < n_hit < len(m["files"])
+
+    # append without partitionBy inherits the layout; library reader
+    # sees the union
+    _mk(spark, [(100, "web", 5.0)], "k int, src string, x double").write.format(
+        "lake"
+    ).option("path", t).mode("append").save()
+    assert lake_read(spark, t).count() == 21
+
+    # layout mismatch refuses
+    with pytest.raises(Exception, match="partitionBy|layout"):
+        _mk(spark, [(0, "a", 1.0)], "k int, src string, x double").write.format(
+            "lake"
+        ).option("path", t).option("partitionBy", "k").mode("append").save()

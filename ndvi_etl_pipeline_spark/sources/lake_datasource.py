@@ -483,18 +483,23 @@ class _LakeWriterCore:
             prev_part = list(
                 _read_manifest(self._path, latest).get("partition_by") or []
             )
+        import re as _re
+
+        # split on top-level commas only — transform specs contain
+        # their own ("bucket(4, fingerprint)")
         opt_part = [
             c.strip()
-            for c in str(options.get("partitionBy", "")).split(",")
+            for c in _re.split(
+                r",(?![^()]*\))", str(options.get("partitionBy", ""))
+            )
             if c.strip()
         ]
         part = prev_part if prev_part else opt_part
-        for sp in part:
-            if _parse_partition_spec(sp)[0] != "identity":
-                raise ValueError(
-                    f"transform partition spec {sp!r} — write through "
-                    "lake_write"
-                )
+        kinds = {_parse_partition_spec(sp)[0] for sp in part}
+        if "identity" in kinds and len(kinds) > 1:
+            raise ValueError(
+                "cannot mix identity and transform partition specs"
+            )
         if prev_part and opt_part and opt_part != prev_part:
             raise ValueError(
                 f"append partitionBy {opt_part} != table layout {prev_part}"
@@ -525,31 +530,46 @@ class _LakeWriterCore:
             return LakeWriteMessage([self._stage(table, base)], table.num_rows)
         from urllib.parse import quote
 
-        import pyarrow.compute as pc
+        from .lake import _parse_partition_spec as _pps
+        from .lake import _transform_value as _tv
 
+        specs = [_pps(sp) for sp in self._part_cols]
+        # per-row dir value per spec: identity = the value's string
+        # form (the column leaves the file); transforms = the SAME
+        # per-value function the read-side pruner applies
+        # (_transform_value — crc32 buckets, width truncation,
+        # calendar strings), so layouts written here and by
+        # lake_write are byte-identical (the source column stays in
+        # the file for transform layouts)
+        dir_lists = []
+        for kind, param, col, _dcol in specs:
+            vals = table.column(col).to_pylist()
+            if kind == "identity":
+                dv = [None if v is None else str(v) for v in vals]
+            else:
+                dv = [
+                    None
+                    if v is None or (t := _tv(kind, param, v)) is None
+                    else str(t)
+                    for v in vals
+                ]
+            dir_lists.append(dv)
+        drop_cols = [c for kind, _p, c, _d in specs if kind == "identity"]
+        groups: dict[tuple, list[int]] = {}
+        for i, tt in enumerate(zip(*dir_lists)):
+            groups.setdefault(tt, []).append(i)
         files: list[dict] = []
-        combos = table.select(self._part_cols).group_by(self._part_cols).aggregate([])
-        for i in range(combos.num_rows):
-            vals = {c: combos.column(c)[i].as_py() for c in self._part_cols}
-            mask = None
-            for c, v in vals.items():
-                m = (
-                    pc.is_null(table.column(c))
-                    if v is None
-                    else pc.equal(table.column(c), pa.scalar(v))
-                )
-                mask = m if mask is None else pc.and_kleene(mask, m)
-            part_tbl = table.filter(pc.fill_null(mask, False)).drop_columns(
-                self._part_cols
-            )
+        for tt in sorted(groups, key=lambda t: tuple(x or "" for x in t)):
+            part_tbl = table.take(groups[tt])
+            if drop_cols:
+                part_tbl = part_tbl.drop_columns(drop_cols)
             segs = [
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if vals[c] is None else quote(str(vals[c]), safe='')}"
-                for c in self._part_cols
+                f"{dcol}={'__HIVE_DEFAULT_PARTITION__' if v is None else quote(str(v), safe='')}"
+                for (_k, _p, _c, dcol), v in zip(specs, tt)
             ]
             entry = self._stage(part_tbl, os.path.join(base, *segs))
             entry["partitions"] = {
-                c: (None if vals[c] is None else str(vals[c]))
-                for c in self._part_cols
+                dcol: v for (_k, _p, _c, dcol), v in zip(specs, tt)
             }
             files.append(entry)
         return LakeWriteMessage(files, table.num_rows)

@@ -398,3 +398,51 @@ def test_lake_datasource_partitioned_write_interop(lake_ds, tmp_path):
         _mk(spark, [(0, "a", 1.0)], "k int, src string, x double").write.format(
             "lake"
         ).option("path", t).option("partitionBy", "k").mode("append").save()
+
+
+def test_lake_datasource_transform_partitioned_write(lake_ds, tmp_path):
+    """DataSource writes to a bucket-transform layout: executors
+    derive the dir value with the SAME function the pruner applies,
+    the source column stays in the files, and hidden-partition
+    pruning works on both the library read and a later library
+    append interop."""
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        _file_may_match,
+        _read_manifest,
+    )
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    df = _mk(
+        spark,
+        [(i, f"fp{i:04d}") for i in range(40)],
+        "k int, fingerprint string",
+    )
+    df.write.format("lake").option("path", t).option(
+        "partitionBy", "bucket(4, fingerprint)"
+    ).mode("append").save()
+
+    m = _read_manifest(t, 0)
+    assert m["partition_by"] == ["bucket(4, fingerprint)"]
+    # hidden partitioning: the source column survives in the data
+    got = {r.fingerprint for r in lake_read(spark, t).collect()}
+    assert len(got) == 40
+    # point-lookup pruning on the SOURCE column via the transform
+    pred = [("fingerprint", "==", "fp0007")]
+    n_hit = sum(
+        1
+        for e in m["files"]
+        if _file_may_match(e, pred, ("bucket(4, fingerprint)",))
+    )
+    assert 0 < n_hit < len(m["files"])
+    assert {
+        r.k for r in lake_read(spark, t, where=pred).collect()
+    } == {7}
+
+    # library append interop on the same layout
+    lake_write(
+        _mk(spark, [(100, "fp0100")], "k int, fingerprint string"),
+        t,
+        partition_by=("bucket(4, fingerprint)",),
+    )
+    assert lake_read(spark, t).count() == 41

@@ -986,10 +986,14 @@ def lake_read_cdf(
     (insert + delete) — the CDC consumer's compose rule is multiset:
     snapshot(from) + inserts − deletes == snapshot(to).
 
-    Commits that REWRITE files (cow delete, merge, compact,
-    overwrite, restore) are refused — their file diff does not mean
-    row changes (the honest boundary lake_read_changes draws, minus
-    the dv-delete case this function exists for)."""
+    MERGE commits emit delete(matched old row) + insert(update row)
+    pairs — the manifest records the merge keys and update files, and
+    the matched old rows are read from the pre-merge snapshot's
+    rewritten files (requires them un-vacuumed; a vacuumed history
+    fails honestly). Commits that rewrite files WITHOUT row-change
+    metadata (cow delete, compact, overwrite, restore, pre-upgrade
+    merges) are refused — their file diff does not mean row changes
+    (the honest boundary lake_read_changes draws)."""
     latest = _latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"no manifest lake at {path}")
@@ -1051,6 +1055,48 @@ def lake_read_cdf(
                 )
                 dels = raw.join(
                     F.broadcast(dv_df), [_DV_FILE, _DV_POS], "left_semi"
+                ).select(
+                    *out_cols,
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(v).cast("int").alias("_commit_version"),
+                )
+                parts.append(dels)
+        elif op == "merge" and m.get("merge_keys") and "update_files" in m:
+            # MERGE = delete(matched old rows) + insert(update rows).
+            # The update rows live in the recorded update_files; the
+            # matched old rows are recovered from the PRE-merge
+            # snapshot's rewritten files (still on disk until vacuum;
+            # a vacuumed history fails the read honestly) semi-joined
+            # on the merge keys. Unmatched rewritten rows moved to
+            # survivor files unchanged — no events for them.
+            keys = list(m["merge_keys"])
+            upd_rel = set(m["update_files"])
+            upd_entries = [e for e in m["files"] if _entry_rel(e) in upd_rel]
+            upd = _read_entries(
+                spark, path, {**m, "schema": to_m["schema"]},
+                upd_entries, apply_dvs=False,
+            )
+            parts.append(
+                upd.select(
+                    *out_cols,
+                    ct.alias("_change_type"),
+                    F.lit(v).cast("int").alias("_commit_version"),
+                )
+            )
+            rewrote = set(m.get("rewrote_files") or [])
+            if rewrote:
+                pm = _read_manifest(path, v - 1)
+                old_entries = [
+                    e for e in pm["files"] if _entry_rel(e) in rewrote
+                ]
+                # prev manifest context: its DVs apply (a row deleted
+                # before the merge must not re-emit as merge-deleted)
+                old = _read_entries(
+                    spark, path, {**pm, "schema": to_m["schema"]},
+                    old_entries,
+                )
+                dels = old.join(
+                    F.broadcast(upd.select(*keys).distinct()), keys, "left_semi"
                 ).select(
                     *out_cols,
                     F.lit("delete").alias("_change_type"),
@@ -1483,7 +1529,8 @@ def lake_merge(
                 if survivors.count():
                     new_files += _write_data_files(survivors, path, part_by, bl_cols)
         n_up = updates.count()
-        new_files += _write_data_files(updates, path, part_by, bl_cols)
+        update_entries = _write_data_files(updates, path, part_by, bl_cols)
+        new_files += update_entries
         merged_schema = T.StructType(
             list(schema.fields)
             + [
@@ -1501,6 +1548,11 @@ def lake_merge(
             "schema": merged_schema.jsonValue(),
             "n_rows_delta": n_up,
             "rewrote_files": rewritten_rel,
+            # which appended files hold the UPDATE rows, and the merge
+            # keys — what lake_read_cdf needs to derive row-level
+            # delete+insert events from this commit
+            "merge_keys": list(keys),
+            "update_files": _paths(update_entries),
         }
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]

@@ -884,17 +884,19 @@ def incremental_curation_cdf(
     spark: SparkSession, curated_table: str, derived_table: str
 ) -> tuple[int, int]:
     """The CHANGE-FEED upgrade of incremental_curation_from_lake:
-    source dv-DELETES propagate as retractions instead of breaking
-    the incremental path. One application reads the row-level feed
-    (sources/lake.py:lake_read_cdf) since the recovered cursor and:
+    source dv-DELETES and MERGE updates propagate as retractions +
+    re-inserts instead of breaking the incremental path. One
+    application reads the row-level feed (sources/lake.py:
+    lake_read_cdf) since the recovered cursor and:
 
-    1. RETRACTS first — derived rows whose doc_id was deleted
-       upstream (and not re-inserted within the range) are
-       dv-deleted via lake_delete_keys;
-    2. then APPENDS features for docs inserted (and not deleted
-       within the same range — an insert+delete inside one range
-       nets to nothing on both sides), stamped with the source
-       version.
+    1. RETRACTS first — derived rows for every doc whose FIRST
+       in-range event is a delete (it provably existed downstream)
+       are dv-deleted via lake_delete_keys;
+    2. then APPENDS features for every doc whose LAST in-range event
+       is an insert, stamped with the source version — so an
+       upstream UPDATE becomes retract+re-derive, an insert+delete
+       inside one range nets to nothing, and a plain append is just
+       an insert.
 
     Returns (n_inserted, n_retracted). DELETE-BEFORE-APPEND is the
     crash-safety order: the cursor is max(source_version) over the
@@ -934,15 +936,32 @@ def incremental_curation_cdf(
         return (0, 0)
     props = {"source_version": src_v}
     feed = lake_read_cdf(spark, curated_table, start, src_v)
-    ins = feed.where(F.col("_change_type") == "insert")
-    dels = feed.where(F.col("_change_type") == "delete")
-    # net within the range: per doc_id, inserts and deletes cancel
-    to_retract = dels.select("doc_id").join(
-        ins.select("doc_id"), "doc_id", "left_anti"
-    ).distinct().localCheckpoint()
-    to_insert = ins.join(
-        dels.select("doc_id"), "doc_id", "left_anti"
-    ).localCheckpoint()
+    # event-order netting, which handles UPDATES (a merge emits
+    # delete(old)+insert(new) at the same version for one doc_id;
+    # within a version, delete orders before insert — exactly merge's
+    # semantics): a doc existed downstream iff its FIRST in-range
+    # event is a delete → retract those; a doc should exist after the
+    # range iff its LAST event is an insert → (re)insert that row.
+    ev = feed.withColumn(
+        "_rk",
+        F.struct(
+            F.col("_commit_version"),
+            (F.col("_change_type") == "insert").cast("int").alias("_i"),
+        ),
+    )
+    agg = ev.groupBy("doc_id").agg(
+        F.min_by(F.col("_change_type"), F.col("_rk")).alias("_first"),
+        F.max_by(F.struct([F.col(c) for c in ev.columns]), F.col("_rk")).alias("e"),
+    )
+    to_retract = (
+        agg.where(F.col("_first") == "delete").select("doc_id").localCheckpoint()
+    )
+    to_insert = (
+        agg.where(F.col("e._change_type") == "insert")
+        .select("e.*")
+        .drop("_change_type", "_commit_version", "_rk")
+        .localCheckpoint()
+    )
     n_retract = to_retract.count()
     feats = _doc_features(to_insert, src_v).localCheckpoint()
     n_ins = feats.count()

@@ -1236,3 +1236,70 @@ def test_lake_model_based_op_sequences(spark, tmp_path_factory, ops, rng):
     v = rng.randrange(len(history))
     got_v = Counter((r.k, r.v) for r in lake_read(spark, t, version=v).collect())
     assert got_v == +history[v]
+
+
+def test_lake_cdf_across_merge_emits_update_pairs(spark, tmp_path):
+    """MERGE commits in the change feed: matched old rows emit as
+    deletes, update rows as inserts (an update = delete+insert at one
+    version); unmatched rewritten rows emit nothing; the multiset
+    compose rule still holds."""
+    from collections import Counter
+
+    from ndvi_etl_pipeline_spark.sources.lake import lake_merge, lake_read_cdf
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t)  # v0
+    lake_merge(spark, _df(spark, [(2, "B2"), (9, "new")]), t, keys=("k",))  # v1
+
+    feed = lake_read_cdf(spark, t, 0, 1).collect()
+    got = sorted((r.k, r.v, r._change_type) for r in feed)
+    assert got == [
+        (2, "B2", "insert"),   # update postimage
+        (2, "b", "delete"),    # update preimage
+        (9, "new", "insert"),  # pure insert
+    ]
+    # rows 1,3 were rewritten into survivor files but emit NOTHING
+
+    # compose: v0 + inserts - deletes == v1
+    base = Counter((r.k, r.v) for r in lake_read(spark, t, version=0).collect())
+    for r in feed:
+        base[(r.k, r.v)] += 1 if r._change_type == "insert" else -1
+    assert +base == Counter((r.k, r.v) for r in lake_read(spark, t).collect())
+
+
+def test_lake_incremental_curation_cdf_applies_updates(spark, tmp_path):
+    """The CDC consumer across an upstream MERGE update: the derived
+    feature row is retracted and re-derived from the new text."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_merge
+    from ndvi_etl_pipeline_spark.streaming.documents import (
+        incremental_curation_cdf,
+    )
+
+    src = str(tmp_path / "curated")
+    drv = str(tmp_path / "features")
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, t, "s", f"fp{i}", 0.9) for i, t in rows],
+            "doc_id long, text string, source string, fingerprint string, quality double",
+        )
+
+    lake_write(docs([(1, "two words"), (2, "three little words")]), src)  # v0
+    assert incremental_curation_cdf(spark, src, drv) == (2, 0)
+    assert {
+        r.doc_id: r.n_words for r in lake_read(spark, drv).collect()
+    } == {1: 2, 2: 3}
+
+    # upstream update of doc 1 + a new doc 3 in one merge
+    lake_merge(
+        spark,
+        docs([(1, "now five words in here"), (3, "one")]),
+        src,
+        keys=("doc_id",),
+    )  # v1
+    n_ins, n_ret = incremental_curation_cdf(spark, src, drv)
+    assert (n_ins, n_ret) == (2, 1)  # doc1 re-derived + doc3; doc1 retracted
+    got = {r.doc_id: r.n_words for r in lake_read(spark, drv).collect()}
+    assert got == {1: 5, 2: 3, 3: 1}
+    # replay: no-op
+    assert incremental_curation_cdf(spark, src, drv) == (0, 0)

@@ -26,6 +26,7 @@ from . import part21_retrieval_eval  # noqa: F401
 from . import part22_graph_quality  # noqa: F401
 from . import part23_quantization_retrieval  # noqa: F401
 from . import part24_storage_layout  # noqa: F401
+from . import part25_lakehouse_sql  # noqa: F401
 from ._shared import (  # noqa: F401
     REGISTRY,
     QuerySpec,

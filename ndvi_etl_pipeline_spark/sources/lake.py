@@ -7,16 +7,38 @@ formats, just parquet data files + JSON manifests).
 Layout:
     <table>/data/<commit-uuid>/part-*.parquet   immutable data files
     <table>/data/<commit-uuid>/col=val/...      (partitioned tables)
-    <table>/_manifests/v<N>.json                snapshot N: live files,
-                                                schema, op, row counts
+    <table>/_manifests/v<N>.json                commit N: a DELTA log
+                                                segment — files added/
+                                                removed, schema, op
+    <table>/_manifests/ckpt-v<N>.parquet        periodic CHECKPOINT:
+                                                the full live-file set
+                                                (stats/partitions/bloom)
+                                                at snapshot N, columnar
+    <table>/_manifests/_last_checkpoint         pointer to available
+                                                checkpoints
 
 Invariants (the whole correctness story):
 - Data files are IMMUTABLE once referenced; every operation writes new
   files and publishes a new manifest. Readers pin a manifest version,
   so a reader started at v3 sees v3 forever (snapshot isolation) while
   writers move the table forward.
-- A commit is the O_EXCL creation of `v<N+1>.json` — the filesystem's
-  atomic create-if-absent is the whole lock. Two concurrent writers
+- A commit is the atomic link of `v<N+1>.json` into place (write the
+  full content to a temp file, hard-link it at the target — link
+  fails with EEXIST if the version exists, and a reader can never
+  observe a half-written manifest) — the filesystem's atomic
+  create-if-absent is the whole lock.
+- METADATA IS O(DELTA), NOT O(TABLE): each commit's manifest records
+  only the files it ADDED and REMOVED (plus the small scalar state —
+  schema, DV list, layout, constraints — which is O(columns), never
+  O(files)). A snapshot's full file list is RECONSTRUCTED from the
+  nearest parquet CHECKPOINT plus at most LAKE_CHECKPOINT_INTERVAL
+  delta segments (the Delta Lake `_last_checkpoint` design; Iceberg's
+  manifest lists solve the same problem). At 10^6 files a commit is
+  KBs, not GBs, and planning never re-parses the table's history.
+  Checkpoints additionally carry TYPED min__/max__/part__ pruning
+  columns so file skipping can run as a distributed Spark scan over
+  the checkpoint itself instead of a driver loop (lake_read switches
+  automatically above LAKE_SPARK_PLAN_MIN_FILES). Two concurrent writers
   race on the same version; the loser gets ConcurrentCommitError and
   the operation RETRIES automatically on top of the winner (optimistic
   concurrency, Delta's protocol): appends re-merge the file list
@@ -403,21 +425,308 @@ def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
 
+#: Every Nth commit also writes a parquet CHECKPOINT of the full
+#: live-file set, bounding snapshot reconstruction to ≤ N delta
+#: segments (Delta Lake checkpoints every 10 commits by default).
+LAKE_CHECKPOINT_INTERVAL = 16
+
+#: Above this live-file count, lake_read's file skipping runs as a
+#: Spark scan over the checkpoint's typed pruning columns instead of
+#: a driver loop over entry dicts (the distributed planning path).
+LAKE_SPARK_PLAN_MIN_FILES = 50_000
+
+
+def _ckpt_file(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"ckpt-v{version}.parquet")
+
+
+def _last_ckpt_file(path: str) -> str:
+    return os.path.join(_manifest_dir(path), "_last_checkpoint")
+
+
+def _ckpt_versions(path: str) -> list[int]:
+    """Available checkpoint versions (ascending) from the
+    _last_checkpoint pointer, validated against the filesystem — a
+    lost pointer entry only costs a longer delta replay, never
+    correctness."""
+    try:
+        with open(_last_ckpt_file(path)) as fh:
+            vs = json.load(fh).get("versions") or []
+    except (OSError, ValueError):
+        return []
+    return sorted(
+        int(v) for v in vs if os.path.exists(_ckpt_file(path, int(v)))
+    )
+
+
+def _record_checkpoint(path: str, version: int) -> None:
+    """Merge `version` into the _last_checkpoint pointer (temp-file +
+    atomic rename; a lost concurrent update drops an entry from the
+    list, which only degrades replay length)."""
+    f = _last_ckpt_file(path)
+    versions: set[int] = set()
+    try:
+        with open(f) as fh:
+            versions = {int(v) for v in json.load(fh).get("versions") or []}
+    except (OSError, ValueError):
+        pass
+    versions.add(int(version))
+    tmp = f + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": max(versions), "versions": sorted(versions)}, fh)
+    os.replace(tmp, f)
+
+
 def _latest_version(path: str) -> int | None:
+    """Latest committed version. With a checkpoint pointer this is a
+    forward PROBE from the newest checkpoint (O(commits since last
+    checkpoint) stat calls — versions are contiguous by construction);
+    only young tables without a checkpoint fall back to a directory
+    listing. At 10^6 commits the listing was the planning bottleneck."""
     mdir = _manifest_dir(path)
     if not os.path.isdir(mdir):
         return None
+    ckpts = _ckpt_versions(path)
+    if ckpts:
+        v = ckpts[-1]
+        if os.path.exists(os.path.join(mdir, f"v{v}.json")):
+            while os.path.exists(os.path.join(mdir, f"v{v + 1}.json")):
+                v += 1
+            return v
     versions = [
         int(f[1:-5])
         for f in os.listdir(mdir)
-        if f.startswith("v") and f.endswith(".json")
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
     ]
     return max(versions) if versions else None
 
 
-def _read_manifest(path: str, version: int) -> dict:
+def _read_delta(path: str, version: int) -> dict:
+    """One raw commit record (delta log segment) — O(that commit's
+    change), never O(table). Per-version fields (op, ts, properties,
+    rewrote_files, merge_keys, …) live here; only the file LIST needs
+    reconstruction."""
     with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as fh:
         return json.load(fh)
+
+
+def _apply_delta(entries: list, rec: dict) -> list:
+    rm = set(rec.get("remove") or ())
+    out = (
+        [e for e in entries if _entry_rel(e) not in rm] if rm else list(entries)
+    )
+    out.extend(rec.get("add") or ())
+    return out
+
+
+# Reconstruction caches. Keyed by (abspath, version, stat signature of
+# that version's manifest file) — commit records are immutable once
+# linked, and the signature changes if a table is recreated at the
+# same path. Bounded FIFO; eviction only costs a replay.
+_SNAP_CACHE: dict = {}
+_CKPT_CACHE: dict = {}
+_SNAP_CACHE_MAX = 64
+
+
+def _clear_caches() -> None:
+    _SNAP_CACHE.clear()
+    _CKPT_CACHE.clear()
+
+
+def _rec_sig(path: str, version: int):
+    try:
+        st = os.stat(os.path.join(_manifest_dir(path), f"v{version}.json"))
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size, st.st_ino)
+
+
+def _cache_put(cache: dict, key, val) -> None:
+    if len(cache) >= _SNAP_CACHE_MAX:
+        cache.pop(next(iter(cache)))
+    cache[key] = val
+
+
+def _load_checkpoint(path: str, version: int) -> list:
+    """Checkpoint parquet → entry dicts. Columnar: the driver decodes
+    per-entry JSON for the stats/partitions/bloom payloads, but never
+    re-parses one table-sized JSON document (the round-5 bottleneck);
+    the typed pruning columns are for the Spark planning path and are
+    not materialized here."""
+    key = (os.path.abspath(path), version)
+    st = os.stat(_ckpt_file(path, version))
+    sig = (st.st_mtime_ns, st.st_size)
+    hit = _CKPT_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        _ckpt_file(path, version),
+        columns=["path", "stats", "partitions", "bloom", "extra"],
+    )
+    out = []
+    for p, stj, ptj, blj, exj in zip(
+        t["path"].to_pylist(),
+        t["stats"].to_pylist(),
+        t["partitions"].to_pylist(),
+        t["bloom"].to_pylist(),
+        t["extra"].to_pylist(),
+    ):
+        e: dict = {"path": p}
+        if stj is not None:
+            e["stats"] = json.loads(stj)
+        if ptj is not None:
+            e["partitions"] = json.loads(ptj)
+        if blj is not None:
+            e["bloom"] = json.loads(blj)
+        if exj is not None:
+            e.update(json.loads(exj))
+        out.append(e)
+    _cache_put(_CKPT_CACHE, key, (sig, out))
+    return out
+
+
+def _write_checkpoint(path: str, version: int, files: list) -> None:
+    """Write the full live-file set at `version` as one parquet file:
+    JSON payload columns for faithful entry reconstruction plus TYPED
+    `min__<col>` / `max__<col>` / `part__<col>` columns the Spark
+    planning path filters on. Temp-file + rename: concurrent writers
+    produce identical content, so the race is benign."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(files)
+    paths: list = []
+    stats_j: list = []
+    parts_j: list = []
+    bloom_j: list = []
+    extra_j: list = []
+    smin: dict[str, list] = {}
+    smax: dict[str, list] = {}
+    pvals: dict[str, list] = {}
+
+    def _col(d: dict, name: str) -> list:
+        c = d.get(name)
+        if c is None:
+            c = d[name] = [None] * n
+        return c
+
+    for i, e in enumerate(files):
+        if not isinstance(e, dict):
+            e = {"path": e}
+        paths.append(e["path"])
+        st = e.get("stats")
+        stats_j.append(None if st is None else json.dumps(st))
+        pt = e.get("partitions")
+        parts_j.append(None if pt is None else json.dumps(pt))
+        bl = e.get("bloom")
+        bloom_j.append(None if bl is None else json.dumps(bl))
+        ex = {
+            k: v
+            for k, v in e.items()
+            if k not in ("path", "stats", "partitions", "bloom")
+        }
+        extra_j.append(json.dumps(ex) if ex else None)
+        for c, rng in (st or {}).items():
+            _col(smin, c)[i] = rng[0]
+            _col(smax, c)[i] = rng[1]
+        for c, v in (pt or {}).items():
+            _col(pvals, c)[i] = v
+    cols: dict = {
+        "seq": pa.array(range(n), pa.int64()),  # snapshot order: the
+        # Spark planning path restores it after an unordered collect
+        "path": pa.array(paths, pa.string()),
+        "stats": pa.array(stats_j, pa.string()),
+        "partitions": pa.array(parts_j, pa.string()),
+        "bloom": pa.array(bloom_j, pa.string()),
+        "extra": pa.array(extra_j, pa.string()),
+    }
+    for c in smin:
+        try:
+            mn, mx = pa.array(smin[c]), pa.array(smax[c])
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            continue  # mixed-type stats: driver-side pruning still has
+            # the JSON payload; the Spark path just keeps these files
+        cols[f"min__{c}"], cols[f"max__{c}"] = mn, mx
+    for c, vals in pvals.items():
+        cols[f"part__{c}"] = pa.array(
+            [None if v is None else str(v) for v in vals], pa.string()
+        )
+    tbl = pa.table(cols)
+    target = _ckpt_file(path, version)
+    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, target)
+    _record_checkpoint(path, version)
+
+
+def lake_checkpoint(path: str, version: int | None = None) -> int:
+    """Force a checkpoint at `version` (default latest); returns the
+    checkpointed version. Normally automatic (every
+    LAKE_CHECKPOINT_INTERVAL commits); vacuum calls this to anchor the
+    kept history before dropping older delta segments."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no manifest lake at {path}")
+    v = latest if version is None else version
+    if not os.path.exists(_ckpt_file(path, v)):
+        _write_checkpoint(path, v, _read_manifest(path, v)["files"])
+    return v
+
+
+def _files_at(path: str, version: int) -> list:
+    """Reconstruct the live-file list at `version`: the cached
+    predecessor snapshot + one delta when available (the sequential-
+    scan fast path CDF/history iteration hits), else the nearest
+    checkpoint ≤ version + ≤ interval delta replays, else replay from
+    v0 (young tables)."""
+    prev_key = (os.path.abspath(path), version - 1)
+    hit = _SNAP_CACHE.get(prev_key)
+    if hit is not None and version > 0 and hit[0] == _rec_sig(path, version - 1):
+        rec = _read_delta(path, version)
+        if "files" in rec:
+            return list(rec["files"])
+        return _apply_delta(hit[1]["files"], rec)
+    base = -1
+    for c in _ckpt_versions(path):
+        if c <= version:
+            base = c
+    entries: list = [] if base < 0 else list(_load_checkpoint(path, base))
+    for v in range(base + 1, version + 1):
+        rec = _read_delta(path, v)
+        if "files" in rec:  # legacy/raw full manifest: state resets here
+            entries = list(rec["files"])
+        else:
+            entries = _apply_delta(entries, rec)
+    return entries
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    """Full snapshot at `version`, reconstructed: per-version fields
+    from the version's own delta record, the file list replayed from
+    the nearest checkpoint. Same shape the legacy full manifests had,
+    so every consumer (reads, CDF, COW rewrites, the DataSource) is
+    agnostic to the log-segment storage."""
+    key = (os.path.abspath(path), version)
+    sig = _rec_sig(path, version)
+    hit = _SNAP_CACHE.get(key)
+    if hit is not None and sig is not None and hit[0] == sig:
+        snap = dict(hit[1])
+        snap["files"] = list(hit[1]["files"])
+        return snap
+    rec = _read_delta(path, version)
+    if "add" not in rec and "remove" not in rec and "files" in rec:
+        snap = rec  # legacy full manifest: already the snapshot
+    else:
+        snap = dict(rec)
+        snap.pop("add", None)
+        snap.pop("remove", None)
+        snap["files"] = _files_at(path, version)
+    _cache_put(_SNAP_CACHE, key, (sig, snap))
+    out = dict(snap)
+    out["files"] = list(snap["files"])
+    return out
 
 
 def _backoff(attempt: int) -> float:
@@ -430,22 +739,63 @@ def _backoff(attempt: int) -> float:
 
 
 class _CommitConflict(ConcurrentCommitError):
-    """Internal: lost the O_EXCL race on ONE version — re-read the
-    latest manifest and try again (bounded by _MAX_COMMIT_ATTEMPTS)."""
+    """Internal: lost the atomic-link race on ONE version — re-read
+    the latest manifest and try again (bounded by
+    _MAX_COMMIT_ATTEMPTS)."""
 
 
 def _commit(path: str, version: int, manifest: dict) -> None:
+    """Atomically publish commit `version`. Accepts the full-snapshot
+    manifest shape every writer builds ({"files": live list, ...}) and
+    stores it as a DELTA record: `add` (entries new vs version-1),
+    `remove` (paths dropped), `n_files`, plus the scalar state
+    verbatim — so commit BYTES are O(the operation's change), never
+    O(table). Publication is temp-write + hard-link: the link fails
+    with EEXIST when the version exists (the optimistic lock), and a
+    concurrent reader can never observe a partially-written record
+    (the O_EXCL+write scheme this replaces had that window). Every
+    LAKE_CHECKPOINT_INTERVAL commits the full file list also
+    checkpoints to parquet, bounding reconstruction replay."""
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     target = os.path.join(mdir, f"v{version}.json")
+    rec = dict(manifest)
+    files = rec.pop("files", None)
+    if files is not None and "add" not in rec:
+        if version > 0:
+            prev_paths = set(_paths(_read_manifest(path, version - 1)["files"]))
+        else:
+            prev_paths = set()
+        new_paths = {_entry_rel(e) for e in files}
+        rec["add"] = [e for e in files if _entry_rel(e) not in prev_paths]
+        rec["remove"] = sorted(prev_paths - new_paths)
+        rec["n_files"] = len(files)
+    elif files is not None:
+        rec["files"] = files  # caller-prepared record: store verbatim
+    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh, indent=1)
     try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, target)
     except FileExistsError as exc:
+        os.remove(tmp)
         raise _CommitConflict(
             f"version {version} already committed at {path}"
         ) from exc
-    with os.fdopen(fd, "w") as fh:
-        json.dump(manifest, fh, indent=1)
+    os.remove(tmp)
+    if (
+        files is not None
+        and version > 0
+        and version % LAKE_CHECKPOINT_INTERVAL == 0
+    ):
+        try:
+            _write_checkpoint(path, version, files)
+        except Exception:  # pragma: no cover - checkpointing is an
+            # optimization; the commit above is already durable and
+            # readers fall back to delta replay
+            import warnings
+
+            warnings.warn(f"lake checkpoint at v{version} failed", stacklevel=2)
 
 
 _STATS_TYPES = (
@@ -489,6 +839,7 @@ def _write_data_files(
     path: str,
     partition_by: tuple[str, ...] = (),
     bloom_cols: tuple[str, ...] = (),
+    mapping: dict | None = None,
 ) -> list[dict]:
     """Write df's rows as immutable parquet files under a fresh
     commit-scoped subdir; return manifest entries
@@ -504,6 +855,10 @@ def _write_data_files(
     the source column stays in the data."""
     commit_id = uuid.uuid4().hex[:12]
     out = os.path.join(path, "data", commit_id)
+    # below this point everything is PHYSICAL space: file columns,
+    # stats keys, bloom keys, partition dirs (partition_by/bloom_cols
+    # arrive physical from the manifest; callers translate)
+    df = _to_physical_df(df, mapping)
     wdf = df
     dir_cols: list[str] = []
     if partition_by:
@@ -605,6 +960,10 @@ def _write_data_files(
     entries = []
     for p in rel:
         e = {"path": p, "stats": stats_by_file.get(p, {})}
+        try:  # size drives lake_maintain's small-file policy
+            e["bytes"] = os.path.getsize(os.path.join(path, p))
+        except OSError:
+            pass
         if dir_cols:
             e["partitions"] = _partition_values(p)
         if bloom_cols:
@@ -652,12 +1011,31 @@ def _read_entries(
     materializes DVs into clean files and clears them.
     `keep_meta=True` additionally exposes the ({_DV_FILE}, {_DV_POS})
     columns of each VISIBLE row — how dv-delete addresses the rows it
-    removes."""
-    schema = T.StructType.fromJson(manifest["schema"])
+    removes.
+
+    Column-mapped tables (rename/drop evolution) scan under PHYSICAL
+    names — the names the files were written with, stable across
+    renames — and alias back to the snapshot's logical names as the
+    final projection; a dropped column's physical name simply leaves
+    the scan schema (old files keep the bytes, nobody reads them).
+    Files written under a NARROWER type than the manifest's (type
+    widening) upcast inside the parquet reader."""
+    log_schema = T.StructType.fromJson(manifest["schema"])
+    phys = _mapping_physical(manifest)
+    schema = (
+        T.StructType(
+            [
+                T.StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+                for f in log_schema.fields
+            ]
+        )
+        if phys
+        else log_schema
+    )
     dvs = (manifest.get("dvs") or []) if apply_dvs else []
     want_meta = keep_meta or bool(dvs)
     if not entries:
-        out = spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], log_schema)
         if keep_meta:
             out = out.withColumn(_DV_FILE, F.lit(None).cast("string"))
             out = out.withColumn(_DV_POS, F.lit(None).cast("bigint"))
@@ -703,7 +1081,118 @@ def _read_entries(
         out = out.join(F.broadcast(dv_df), [_DV_FILE, _DV_POS], "left_anti")
     if want_meta and not keep_meta:
         out = out.drop(_DV_FILE, _DV_POS)
+    if phys:
+        cols = [
+            F.col(phys.get(f.name, f.name)).alias(f.name)
+            for f in log_schema.fields
+        ]
+        if keep_meta:
+            cols += [F.col(_DV_FILE), F.col(_DV_POS)]
+        out = out.select(*cols)
     return out
+
+
+# --- schema evolution: column mapping + type widening ---------------------
+#
+# RENAME and DROP are metadata-only commits via ID-BASED COLUMN
+# MAPPING (Delta's columnMapping=name mode / Iceberg field-ids): each
+# logical column owns a stable PHYSICAL name that data files, stats,
+# blooms, and partition layouts key on forever. A rename changes only
+# the logical name; a drop removes the logical binding (old files
+# still carry the bytes — vacuumed with their snapshots); re-adding a
+# dropped name allocates a FRESH physical name (`col-<id>`), so old
+# bytes can never resurrect under a new column. Everything below the
+# API boundary — _write_data_files, the manifest entries, pruning —
+# lives in PHYSICAL space; _read_entries renames back to logical as
+# its last step, and predicates translate via _phys_where.
+#
+# Type WIDENING (byte→short→int→long, float→double, int-family→double
+# — the lossless promotions Delta's type-widening feature allows)
+# changes only the manifest schema: Spark 4's parquet reader upcasts
+# narrow file columns to the wider read schema natively, so no file
+# is rewritten. A write whose column is NARROWER than the table's
+# upcasts the incoming rows; a write that would LOSE information
+# (long→int, double→float) is refused.
+
+_INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _widened(a: T.DataType, b: T.DataType):
+    """The wider of two types when the promotion between them is
+    lossless, else None. Equal types return themselves."""
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    if an in _INT_RANK and bn in _INT_RANK:
+        return a if _INT_RANK[an] >= _INT_RANK[bn] else b
+    if {an, bn} == {"float", "double"}:
+        return T.DoubleType()
+    # int-family → double is exact up to 2^53: allow below long
+    if an == "double" and bn in ("byte", "short", "integer"):
+        return a
+    if bn == "double" and an in ("byte", "short", "integer"):
+        return b
+    return None
+
+
+def _mapping_physical(manifest_or_mapping) -> dict[str, str]:
+    """logical name → physical name (identity when mapping is off)."""
+    cm = (
+        manifest_or_mapping.get("column_mapping")
+        if "column_mapping" in manifest_or_mapping or "schema" in manifest_or_mapping
+        else manifest_or_mapping
+    )
+    if not cm:
+        return {}
+    return {c["name"]: c["physical"] for c in cm["cols"]}
+
+
+def _phys_where(where, manifest: dict):
+    """Translate predicate column names logical → physical before any
+    manifest pruning (stats/partitions/blooms are keyed physical)."""
+    if not where:
+        return where
+    p = _mapping_physical(manifest)
+    if not p:
+        return where
+    return [(p.get(c, c), op, v) for c, op, v in where]
+
+
+def _to_physical_df(df: DataFrame, mapping: dict | None) -> DataFrame:
+    if not mapping:
+        return df
+    p = _mapping_physical({"column_mapping": mapping})
+    renames = {c: p[c] for c in df.columns if c in p and p[c] != c}
+    return df.withColumnsRenamed(renames) if renames else df
+
+
+def _ensure_mapping(m: dict) -> dict:
+    """The table's column mapping, materializing the identity mapping
+    (physical = current logical) on first use — existing data files
+    already carry these names, so enabling mapping rewrites nothing."""
+    cm = m.get("column_mapping")
+    if cm:
+        return {"max_id": cm["max_id"], "cols": [dict(c) for c in cm["cols"]]}
+    fields = T.StructType.fromJson(m["schema"]).fields
+    return {
+        "max_id": len(fields),
+        "cols": [
+            {"id": i + 1, "name": f.name, "physical": f.name}
+            for i, f in enumerate(fields)
+        ],
+    }
+
+
+def _extend_mapping(cm: dict, new_names: list[str]) -> dict:
+    """Allocate fresh physical names for columns a write ADDS to a
+    mapped table (col-<id> — never a reused name)."""
+    cm = {"max_id": cm["max_id"], "cols": [dict(c) for c in cm["cols"]]}
+    for name in new_names:
+        cm["max_id"] += 1
+        cm["cols"].append(
+            {"id": cm["max_id"], "name": name, "physical": f"col-{cm['max_id']}"}
+        )
+    return cm
 
 
 def _enforce_constraints(df: DataFrame, schema: T.StructType | None, cons: dict) -> None:
@@ -739,6 +1228,36 @@ def _schema_compatible(old: T.StructType, new: T.StructType) -> bool:
     return all(
         f.name not in by_name or f.dataType == by_name[f.name] for f in new.fields
     )
+
+
+def _evolve_schema(old: T.StructType, new: T.StructType):
+    """Merge an incoming write's schema into the table's: equal types
+    pass, ADDED columns append, lossless WIDENING promotes the table
+    type (old files upcast on read), a wider incoming value than the
+    table type upcasts the INCOMING rows instead. Returns (merged
+    schema, {col: type} casts to apply to the incoming DataFrame);
+    raises for anything lossy."""
+    old_names = {f.name for f in old.fields}
+    by_new = {f.name: f for f in new.fields}
+    out_fields: list[T.StructField] = []
+    casts: dict[str, T.DataType] = {}
+    for f in old.fields:
+        nf = by_new.get(f.name)
+        if nf is None:
+            out_fields.append(f)
+            continue
+        w = _widened(f.dataType, nf.dataType)
+        if w is None:
+            raise ValueError(
+                f"column {f.name!r}: cannot change type "
+                f"{f.dataType.simpleString()} → {nf.dataType.simpleString()} "
+                "— only lossless widening is allowed (rewrite via overwrite)"
+            )
+        out_fields.append(T.StructField(f.name, w, f.nullable or nf.nullable))
+        if w != nf.dataType:
+            casts[f.name] = w
+    out_fields += [f for f in new.fields if f.name not in old_names]
+    return T.StructType(out_fields), casts
 
 
 def lake_write(
@@ -782,13 +1301,25 @@ def lake_write(
         bl_cols = prev_bloom if (prev is not None and mode == "append") else ()
     else:
         bl_cols = tuple(bloom_cols)
+    mapping = None
+    staged_base_mapping = None
     if prev is not None and mode == "append":
         old_schema = T.StructType.fromJson(prev["schema"])
-        if not _schema_compatible(old_schema, df.schema):
-            raise ValueError(
-                "append would change an existing column's type — "
-                "rewrite via overwrite instead"
+        _merged0, casts = _evolve_schema(old_schema, df.schema)
+        if casts:
+            # incoming column narrower than the table's widened type:
+            # upcast the rows being written (lossless by construction)
+            df = df.withColumns(
+                {c: F.col(c).cast(t) for c, t in casts.items()}
             )
+        staged_base_mapping = prev.get("column_mapping")
+        if staged_base_mapping:
+            added = [
+                f.name
+                for f in df.schema.fields
+                if f.name not in old_schema.fieldNames()
+            ]
+            mapping = _extend_mapping(_ensure_mapping(prev), added)
     enforced_cons = prev.get("constraints") if prev is not None else None
     if enforced_cons:
         # constraints are table properties: they survive overwrite
@@ -797,7 +1328,7 @@ def lake_write(
             df, T.StructType.fromJson(prev["schema"]), enforced_cons
         )
     n_rows = df.count()
-    files = _write_data_files(df, path, part_by, bl_cols)
+    files = _write_data_files(df, path, part_by, bl_cols, mapping)
     for attempt in range(_MAX_COMMIT_ATTEMPTS):
         latest = _latest_version(path)
         prev = _read_manifest(path, latest) if latest is not None else None
@@ -814,23 +1345,21 @@ def lake_write(
             enforced_cons = cur_cons
         if prev is not None and mode == "append":
             old_schema = T.StructType.fromJson(prev["schema"])
-            if not _schema_compatible(old_schema, df.schema):
+            merged, _casts = _evolve_schema(old_schema, df.schema)
+            # a concurrent widen is harmless (our narrower staged
+            # files upcast on read); a concurrent MAPPING change is
+            # not — our files were staged under the mapping we saw
+            if (prev.get("column_mapping") or None) != (
+                staged_base_mapping or None
+            ):
                 raise ValueError(
-                    "append would change an existing column's type — "
-                    "rewrite via overwrite instead"
+                    "concurrent writer changed the table's column "
+                    "mapping — re-run the write"
                 )
             if tuple(prev.get("partition_by") or ()) != part_by:
                 raise ValueError(
                     "concurrent writer changed the table's partition layout"
                 )
-            merged = T.StructType(
-                list(old_schema.fields)
-                + [
-                    f
-                    for f in df.schema.fields
-                    if f.name not in old_schema.fieldNames()
-                ]
-            )
             live = prev["files"] + files
             dvs = list(prev.get("dvs") or [])
         else:
@@ -860,6 +1389,8 @@ def lake_write(
             manifest["partition_by"] = list(part_by)
         if bl_cols:
             manifest["bloom_cols"] = list(bl_cols)
+        if mapping and mode == "append":
+            manifest["column_mapping"] = mapping
         try:
             _commit(path, version, manifest)
             return version
@@ -868,6 +1399,202 @@ def lake_write(
     raise ConcurrentCommitError(
         f"lost the commit race {_MAX_COMMIT_ATTEMPTS} times at {path}"
     )
+
+
+def _ckpt_prune_expr(schema, col: str, op: str, val, part_by: tuple):
+    """Conservative "this file provably cannot match (col, op, val)"
+    Column over a checkpoint scan's typed pruning columns, or None
+    when nothing prunable is available. CONSERVATIVE is the contract:
+    any doubt (null stats, cast failure, NaN bound, type-family
+    mismatch) must evaluate false/null (the caller coalesces to
+    "keep") — the driver re-applies _file_may_match exactly on the
+    survivors, so the Spark pass only ever has to be a superset."""
+    import functools as ft
+
+    names = {f.name: f.dataType for f in schema.fields}
+    exprs = []
+    mn_name, mx_name = f"min__{col}", f"max__{col}"
+    if mn_name in names and isinstance(val, (int, float, str, bool)):
+        dt = names[mn_name]
+        numeric = isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.FloatType, T.DoubleType),
+        )
+        family_ok = (
+            (isinstance(val, bool) and isinstance(dt, T.BooleanType))
+            or (
+                not isinstance(val, bool)
+                and isinstance(val, (int, float))
+                and numeric
+            )
+            or (isinstance(val, str) and isinstance(dt, T.StringType))
+        )
+        if family_ok:
+            mn, mx = F.col(mn_name), F.col(mx_name)
+
+            def rng(o, v):
+                if o in ("==", "="):
+                    return (mn > v) | (mx < v)
+                if o == ">=":
+                    return mx < v
+                if o == ">":
+                    return mx <= v
+                if o == "<=":
+                    return mn > v
+                return mn >= v  # "<"
+
+            if op == "in":
+                vs = [v for v in val if isinstance(v, (int, float, str, bool))]
+                e = (
+                    ft.reduce(lambda a, b: a & b, [rng("==", v) for v in vs])
+                    if vs and len(vs) == len(list(val))
+                    else None
+                )
+            else:
+                e = rng(op, val)
+            if e is not None:
+                if isinstance(dt, (T.FloatType, T.DoubleType)):
+                    e = e & ~F.isnan(mn) & ~F.isnan(mx)  # NaN proves nothing
+                exprs.append(e)
+    # identity partition value (exact; driver casts the stored string
+    # to the predicate type — try_cast mirrors "cast doubt keeps")
+    pname = f"part__{col}"
+    if pname in names and isinstance(val, (int, float, str, bool)):
+        raw = F.col(pname)
+        if isinstance(val, bool):
+            typed = raw.try_cast("boolean")
+        elif isinstance(val, int):
+            typed = raw.try_cast("long")
+        elif isinstance(val, float):
+            typed = raw.try_cast("double")
+        else:
+            typed = raw
+        if op == "in":
+            match = ft.reduce(
+                lambda a, b: a | b, [typed == v for v in val], F.lit(False)
+            )
+        else:
+            match = _OPS[op](typed, val)
+        exprs.append(
+            F.when(raw.isNull(), F.lit(True))  # NULL matches no predicate
+            .when(typed.isNull(), F.lit(False))  # cast doubt keeps
+            .otherwise(~match)
+        )
+    # hidden-partition transforms: the transformed predicate VALUE is a
+    # Python-side constant; the comparison runs on the stored dir value
+    for sp in part_by:
+        kind, param, src, dcol = _parse_partition_spec(sp)
+        dname = f"part__{dcol}"
+        if kind == "identity" or src != col or dname not in names:
+            continue
+        raw = F.col(dname)
+        if op == "in":
+            tv = [_transform_value(kind, param, v) for v in val]
+            if any(t is None for t in tv):
+                continue
+            typed = raw.try_cast("long") if all(
+                isinstance(t, int) for t in tv
+            ) else raw
+            match = ft.reduce(
+                lambda a, b: a | b, [typed == t for t in tv], F.lit(False)
+            )
+        else:
+            t = _transform_value(kind, param, val)
+            if t is None:
+                continue
+            typed = raw.try_cast("long") if isinstance(t, int) else raw
+            if op in ("==", "="):
+                match = typed == t
+            elif kind == "bucket":
+                continue  # hash buckets carry no order
+            else:
+                # order-preserving transform: keep the boundary unit
+                # (truncation loses the sub-unit offset)
+                o = op + "=" if op in (">", "<") else op
+                match = _OPS[o](typed, t)
+        exprs.append(
+            F.when(raw.isNull(), F.lit(True))
+            .when(typed.isNull(), F.lit(False))
+            .otherwise(~match)
+        )
+    if not exprs:
+        return None
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = out | F.coalesce(e, F.lit(False))
+    return out
+
+
+#: Above this many removed paths in the checkpoint→version window, the
+#: Spark planning path falls back to driver planning (a compaction or
+#: overwrite in the window rewrote table-scale file sets; the NEXT
+#: checkpoint re-anchors it).
+_SPARK_PLAN_MAX_REMOVED = 10_000
+
+
+def _plan_files_spark(
+    spark: SparkSession, path: str, version: int, where: list, part_by: tuple
+) -> list | None:
+    """Distributed file skipping: filter the checkpoint PARQUET with
+    compiled (conservative) pruning predicates as a Spark scan,
+    collect only the surviving entries, and re-apply the exact driver
+    predicate (_file_may_match — bloom included) to them plus the
+    ≤ interval delta-window adds. Returns None when no checkpoint
+    covers the version or the window rewrote too much — the caller
+    falls back to driver planning. At 10^6 files this is the
+    difference between the driver looping every entry dict and a
+    columnar scan that returns only the sliver that survives."""
+    base = -1
+    for c in _ckpt_versions(path):
+        if c <= version:
+            base = c
+    if base < 0:
+        return None
+    live_adds: list = []
+    removed: set[str] = set()
+    for v in range(base + 1, version + 1):
+        rec = _read_delta(path, v)
+        if "files" in rec:
+            return None  # raw full manifest in the window: fall back
+        rm = set(rec.get("remove") or ())
+        if rm:
+            live_adds = [e for e in live_adds if _entry_rel(e) not in rm]
+            removed |= rm
+        live_adds.extend(rec.get("add") or ())
+    if len(removed) > _SPARK_PLAN_MAX_REMOVED:
+        return None
+    df = spark.read.parquet(_ckpt_file(path, base))
+    keep = F.lit(True)
+    for col, op, val in where:
+        pr = _ckpt_prune_expr(df.schema, col, op, val, part_by)
+        if pr is not None:
+            keep = keep & ~F.coalesce(pr, F.lit(False))
+    if removed:
+        rm_df = spark.createDataFrame(
+            [(p,) for p in sorted(removed)], "path string"
+        )
+        df = df.join(F.broadcast(rm_df), "path", "left_anti")
+    rows = df.filter(keep).select(
+        "seq", "path", "stats", "partitions", "bloom", "extra"
+    ).collect()
+    rows.sort(key=lambda r: r["seq"])  # restore snapshot order
+    entries: list = []
+    for r in rows:
+        e: dict = {"path": r["path"]}
+        if r["stats"] is not None:
+            e["stats"] = json.loads(r["stats"])
+        if r["partitions"] is not None:
+            e["partitions"] = json.loads(r["partitions"])
+        if r["bloom"] is not None:
+            e["bloom"] = json.loads(r["bloom"])
+        if r["extra"] is not None:
+            e.update(json.loads(r["extra"]))
+        entries.append(e)
+    entries = [e for e in entries if _file_may_match(e, where, part_by)]
+    entries.extend(
+        e for e in live_adds if _file_may_match(e, where, part_by)
+    )
+    return entries
 
 
 def lake_read(
@@ -901,11 +1628,31 @@ def lake_read(
     if latest is None:
         raise FileNotFoundError(f"no manifest lake at {path}")
     v = latest if version is None else version
-    m = _read_manifest(path, v)
-    entries = m["files"]
-    if where:
-        part_by = tuple(m.get("partition_by") or ())
-        entries = [e for e in entries if _file_may_match(e, where, part_by)]
+    rec = _read_delta(path, v)
+    part_by = tuple(rec.get("partition_by") or ())
+    # manifest pruning lives in PHYSICAL column space (stats/blooms/
+    # partition dirs are keyed by the stable physical names); the
+    # exact row filter below stays logical
+    pwhere = _phys_where(where, rec)
+    entries = None
+    if (
+        where
+        and "files" not in rec
+        and (rec.get("n_files") or 0) >= LAKE_SPARK_PLAN_MIN_FILES
+    ):
+        # big snapshot: plan DISTRIBUTED — a Spark scan over the
+        # checkpoint's typed pruning columns, never a driver loop
+        # over every entry
+        entries = _plan_files_spark(spark, path, v, pwhere, part_by)
+    if entries is None:
+        m = _read_manifest(path, v)
+        entries = m["files"]
+        if where:
+            entries = [
+                e for e in entries if _file_may_match(e, pwhere, part_by)
+            ]
+    else:
+        m = {k: x for k, x in rec.items() if k not in ("add", "remove")}
     df = _read_entries(spark, path, m, entries)
     if where and not prune_only:
         for col, op, val in where:
@@ -945,10 +1692,10 @@ def lake_read_changes(
         raise ValueError(f"from_version {from_version} > to_version {to_v}")
     to_m = _read_manifest(path, to_v)
     for v in range(max(from_version, -1) + 1, to_v + 1):
-        op = _read_manifest(path, v)["op"]
+        op = _read_delta(path, v)["op"]
         # alter_constraints republishes an identical file set — safe
         # to diff across; anything that rewrites/deletes files is not
-        if op not in ("append", "alter_constraints"):
+        if op not in ("append", "alter_constraints", "rename_column", "drop_column"):
             raise ValueError(
                 f"incremental read undefined across non-append commit "
                 f"v{v} ({op}) — re-read the full snapshot instead"
@@ -1016,7 +1763,7 @@ def lake_read_cdf(
         op, strat = m["op"], m.get("strategy")
         if op in ("append", "overwrite") and v == 0 and from_version < 0:
             op = "append"  # the creating commit is all inserts
-        if op == "append" or op == "alter_constraints":
+        if op in ("append", "alter_constraints", "rename_column", "drop_column"):
             new_entries = [
                 e for e in m["files"] if _entry_rel(e) not in prev_files
             ]
@@ -1024,7 +1771,8 @@ def lake_read_cdf(
                 # read under the TO-version schema: columns added
                 # later in the range surface as NULL (evolution)
                 ins = _read_entries(
-                    spark, path, {**m, "schema": to_m["schema"]},
+                    spark, path, {**m, "schema": to_m["schema"],
+                     "column_mapping": to_m.get("column_mapping")},
                     new_entries, apply_dvs=False,
                 ).select(
                     *out_cols,
@@ -1050,7 +1798,8 @@ def lake_read_cdf(
                 }
                 hit = [e for e in m["files"] if _entry_rel(e) in touched]
                 raw = _read_entries(
-                    spark, path, {**m, "schema": to_m["schema"]},
+                    spark, path, {**m, "schema": to_m["schema"],
+                     "column_mapping": to_m.get("column_mapping")},
                     hit, keep_meta=True, apply_dvs=False,
                 )
                 dels = raw.join(
@@ -1073,7 +1822,8 @@ def lake_read_cdf(
             upd_rel = set(m["update_files"])
             upd_entries = [e for e in m["files"] if _entry_rel(e) in upd_rel]
             upd = _read_entries(
-                spark, path, {**m, "schema": to_m["schema"]},
+                spark, path, {**m, "schema": to_m["schema"],
+                     "column_mapping": to_m.get("column_mapping")},
                 upd_entries, apply_dvs=False,
             )
             parts.append(
@@ -1092,7 +1842,8 @@ def lake_read_cdf(
                 # prev manifest context: its DVs apply (a row deleted
                 # before the merge must not re-emit as merge-deleted)
                 old = _read_entries(
-                    spark, path, {**pm, "schema": to_m["schema"]},
+                    spark, path, {**pm, "schema": to_m["schema"],
+                     "column_mapping": to_m.get("column_mapping")},
                     old_entries,
                 )
                 dels = old.join(
@@ -1143,6 +1894,7 @@ def lake_column_max(path: str, col: str, version: int | None = None):
     if latest is None:
         return None
     m = _read_manifest(path, latest if version is None else version)
+    col = _mapping_physical(m).get(col, col)  # stats key physically
     if m.get("dvs"):
         # per-file stats include dv-deleted rows — the max may belong
         # to an invisible row; only a real scan is honest
@@ -1191,7 +1943,7 @@ def lake_restore(path: str, version: int) -> int:
             "schema": tm["schema"],
             "n_rows_delta": None,
         }
-        for k in ("dvs", "partition_by", "bloom_cols", "constraints"):
+        for k in ("dvs", "partition_by", "bloom_cols", "constraints", "column_mapping"):
             if tm.get(k):
                 manifest[k] = tm[k]
         _commit(path, new_v, manifest)
@@ -1255,7 +2007,7 @@ def lake_alter_constraints(
         }
         if cons:
             manifest["constraints"] = cons
-        for k in ("dvs", "partition_by", "bloom_cols"):
+        for k in ("dvs", "partition_by", "bloom_cols", "column_mapping"):
             if m.get(k):
                 manifest[k] = m[k]
         _commit(path, version, manifest)
@@ -1264,20 +2016,166 @@ def lake_alter_constraints(
     return _retry_cow("alter_constraints", path, once)
 
 
+def _constraint_mentions(cons: dict | None, col: str) -> bool:
+    if not cons:
+        return False
+    if col in (cons.get("not_null") or []):
+        return True
+    pat = re.compile(rf"(?<![\w.]){re.escape(col)}(?![\w])")
+    return any(pat.search(expr) for expr in (cons.get("checks") or {}).values())
+
+
+def lake_rename_column(path: str, old: str, new: str) -> int:
+    """RENAME a column as a METADATA-ONLY commit: zero data files are
+    rewritten. First use enables ID-based column mapping (each logical
+    column gets a stable PHYSICAL name — the one already in the files),
+    then the rename changes only the logical binding; stats, blooms,
+    and partition layouts keep keying on the physical name, so pruning
+    and time travel are unaffected. Columns referenced by CHECK
+    constraints refuse (the stored SQL text would dangle — Delta's
+    restriction too); NOT NULL entries rewrite with the column."""
+
+    def once() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {path}")
+        m = _read_manifest(path, latest)
+        schema = T.StructType.fromJson(m["schema"])
+        names = schema.fieldNames()
+        if old not in names:
+            raise ValueError(f"no column {old!r} to rename")
+        if new in names:
+            raise ValueError(f"rename target {new!r} already exists")
+        if new in (_DV_FILE, _DV_POS) or not re.match(r"^[A-Za-z_]\w*$", new):
+            raise ValueError(f"invalid column name {new!r}")
+        cons = m.get("constraints")
+        checks = (cons or {}).get("checks") or {}
+        pat = re.compile(rf"(?<![\w.]){re.escape(old)}(?![\w])")
+        if any(pat.search(expr) for expr in checks.values()):
+            raise ValueError(
+                f"column {old!r} is referenced by a CHECK constraint — "
+                "drop the constraint first"
+            )
+        mapping = _ensure_mapping(m)
+        for c in mapping["cols"]:
+            if c["name"] == old:
+                c["name"] = new
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        if cons and old in (cons.get("not_null") or []):
+            cons = {
+                "not_null": [
+                    new if c == old else c for c in cons["not_null"]
+                ],
+                "checks": dict(checks),
+            }
+        version = latest + 1
+        manifest = {
+            "version": version,
+            "op": "rename_column",
+            "renamed": [old, new],
+            "ts": time.time(),
+            "files": m["files"],
+            "schema": new_schema.jsonValue(),
+            "n_rows_delta": None,
+            "column_mapping": mapping,
+        }
+        if cons:
+            manifest["constraints"] = cons
+        for k in ("dvs", "partition_by", "bloom_cols"):
+            if m.get(k):
+                manifest[k] = m[k]
+        _commit(path, version, manifest)
+        return version
+
+    return _retry_cow("rename_column", path, once)
+
+
+def lake_drop_column(path: str, col: str) -> int:
+    """DROP a column as a METADATA-ONLY commit: the logical binding
+    leaves the schema and mapping; the bytes stay in the old files
+    (unread — the physical name is no longer in any scan schema) until
+    their snapshots vacuum. Re-adding the same NAME later allocates a
+    fresh physical name, so the old bytes can never resurrect.
+    Partition-source, bloom, and constrained columns refuse (their
+    layouts/filters/expressions would dangle)."""
+
+    def once() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {path}")
+        m = _read_manifest(path, latest)
+        schema = T.StructType.fromJson(m["schema"])
+        if col not in schema.fieldNames():
+            raise ValueError(f"no column {col!r} to drop")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the table's only column")
+        if _constraint_mentions(m.get("constraints"), col):
+            raise ValueError(
+                f"column {col!r} is referenced by a constraint — "
+                "drop the constraint first"
+            )
+        phys = _mapping_physical(m).get(col, col)
+        for sp in m.get("partition_by") or []:
+            if _parse_partition_spec(sp)[2] == phys:
+                raise ValueError(
+                    f"column {col!r} partitions the table's layout — "
+                    "rewrite via overwrite instead"
+                )
+        if phys in (m.get("bloom_cols") or []):
+            raise ValueError(
+                f"column {col!r} carries the table's bloom filters — "
+                "rewrite via overwrite instead"
+            )
+        mapping = _ensure_mapping(m)
+        mapping["cols"] = [c for c in mapping["cols"] if c["name"] != col]
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        version = latest + 1
+        manifest = {
+            "version": version,
+            "op": "drop_column",
+            "dropped": col,
+            "ts": time.time(),
+            "files": m["files"],
+            "schema": new_schema.jsonValue(),
+            "n_rows_delta": None,
+            "column_mapping": mapping,
+        }
+        for k in ("dvs", "partition_by", "bloom_cols", "constraints"):
+            if m.get(k):
+                manifest[k] = m[k]
+        _commit(path, version, manifest)
+        return version
+
+    return _retry_cow("drop_column", path, once)
+
+
 def lake_history(path: str) -> list[dict]:
+    """Commit log. Reads the raw delta records only — O(1) metadata
+    per version, no file-list reconstruction (the shape that stays
+    cheap at 10^5 commits)."""
     latest = _latest_version(path)
     if latest is None:
         return []
     out = []
     for v in range(latest + 1):
         try:
-            m = _read_manifest(path, v)
+            m = _read_delta(path, v)
         except FileNotFoundError:
             continue  # vacuumed
+        n_files = m.get("n_files")
+        if n_files is None and "files" in m:
+            n_files = len(m["files"])  # legacy full manifest
         entry = {
             "version": v,
             "op": m["op"],
-            "n_files": len(m["files"]),
+            "n_files": n_files,
             "n_rows_delta": m.get("n_rows_delta"),
         }
         if m.get("properties"):
@@ -1344,7 +2242,7 @@ def _dv_delete_once(
     }
     if properties:
         manifest["properties"] = dict(properties)
-    for k in ("partition_by", "bloom_cols", "constraints"):
+    for k in ("partition_by", "bloom_cols", "constraints", "column_mapping"):
         if m.get(k):
             manifest[k] = m[k]
     _commit(path, version, manifest)
@@ -1412,7 +2310,9 @@ def lake_delete(
         bl_cols = tuple(m.get("bloom_cols") or ())
         survivors = _read_entries(spark, path, m, rewritten).filter(~predicate)
         new_files = (
-            _write_data_files(survivors, path, part_by, bl_cols)
+            _write_data_files(
+                survivors, path, part_by, bl_cols, m.get("column_mapping")
+            )
             if survivors.count()
             else []
         )
@@ -1428,6 +2328,8 @@ def lake_delete(
         }
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
+        if m.get("column_mapping"):
+            manifest["column_mapping"] = m["column_mapping"]
         if m.get("dvs"):
             # DV rows addressing the rewritten files dangle harmlessly
             # (their rel paths left the file list); kept files still
@@ -1498,13 +2400,25 @@ def lake_merge(
             return lake_write(updates, path)
         m = _read_manifest(path, latest)
         schema = T.StructType.fromJson(m["schema"])
-        if not _schema_compatible(schema, updates.schema):
-            raise ValueError("merge would change an existing column's type")
+        merged_schema, casts = _evolve_schema(schema, updates.schema)
+        upd = updates
+        if casts:
+            # update rows narrower than the table's widened type:
+            # upcast before writing (MERGE accepts widened updates)
+            upd = upd.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+        mapping = m.get("column_mapping")
+        if mapping:
+            added = [
+                f.name
+                for f in upd.schema.fields
+                if f.name not in schema.fieldNames()
+            ]
+            mapping = _extend_mapping(_ensure_mapping(m), added)
         if m.get("constraints"):
-            _enforce_constraints(updates, schema, m["constraints"])
+            _enforce_constraints(upd, schema, m["constraints"])
         part_by = tuple(m.get("partition_by") or ())
         bl_cols = tuple(m.get("bloom_cols") or ())
-        key_df = updates.select(*keys).distinct()
+        key_df = upd.select(*keys).distinct()
         keep, rewritten_rel = list(m["files"]), []
         rewritten_entries: list = []
         new_files: list[dict] = []
@@ -1527,18 +2441,14 @@ def lake_merge(
                     spark, path, m, rewritten_entries
                 ).join(F.broadcast(key_df), list(keys), "left_anti")
                 if survivors.count():
-                    new_files += _write_data_files(survivors, path, part_by, bl_cols)
-        n_up = updates.count()
-        update_entries = _write_data_files(updates, path, part_by, bl_cols)
-        new_files += update_entries
-        merged_schema = T.StructType(
-            list(schema.fields)
-            + [
-                f
-                for f in updates.schema.fields
-                if f.name not in schema.fieldNames()
-            ]
+                    new_files += _write_data_files(
+                        survivors, path, part_by, bl_cols, mapping
+                    )
+        n_up = upd.count()
+        update_entries = _write_data_files(
+            upd, path, part_by, bl_cols, mapping
         )
+        new_files += update_entries
         version = latest + 1
         manifest = {
             "version": version,
@@ -1562,6 +2472,8 @@ def lake_merge(
             manifest["partition_by"] = list(part_by)
         if bl_cols:
             manifest["bloom_cols"] = list(bl_cols)
+        if mapping:
+            manifest["column_mapping"] = mapping
         _commit(path, version, manifest)
         return version
 
@@ -1628,6 +2540,7 @@ def lake_compact(
     num_files: int = 1,
     zorder_by: tuple[str, ...] = (),
     where: list[tuple] | None = None,
+    paths: tuple[str, ...] | None = None,
 ) -> int:
     """Rewrite the live file set into `num_files` files (same rows,
     one new snapshot). Old snapshots keep referencing the old files —
@@ -1662,8 +2575,17 @@ def lake_compact(
         m = _read_manifest(path, latest)
         part_by = tuple(m.get("partition_by") or ())
         bl_cols = tuple(m.get("bloom_cols") or ())
-        if where:
-            hit = [e for e in m["files"] if _file_may_match(e, where, part_by)]
+        if paths is not None:
+            # explicit file selection (lake_maintain's shape): files
+            # the winner of a lost race already rewrote simply drop
+            # out of the selection on re-run — never compact stale
+            want = set(paths)
+            hit = [e for e in m["files"] if _entry_rel(e) in want]
+            hit_rel = set(_paths(hit))
+            keep = [e for e in m["files"] if _entry_rel(e) not in hit_rel]
+        elif where:
+            pw = _phys_where(where, m)
+            hit = [e for e in m["files"] if _file_may_match(e, pw, part_by)]
             hit_rel = set(_paths(hit))
             keep = [e for e in m["files"] if _entry_rel(e) not in hit_rel]
         else:
@@ -1679,7 +2601,9 @@ def lake_compact(
             )
         else:
             df = df.coalesce(num_files)
-        files = _write_data_files(df, path, part_by, bl_cols)
+        files = _write_data_files(
+            df, path, part_by, bl_cols, m.get("column_mapping")
+        )
         version = latest + 1
         manifest = {
             "version": version,
@@ -1696,6 +2620,8 @@ def lake_compact(
             manifest["dvs"] = m["dvs"]
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
+        if m.get("column_mapping"):
+            manifest["column_mapping"] = m["column_mapping"]
         if zorder_by:
             manifest["zorder_by"] = list(zorder_by)
         if part_by:
@@ -1708,14 +2634,80 @@ def lake_compact(
     return _retry_cow("compact", path, once)
 
 
+def lake_maintain(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 32,
+    target_files: int = 4,
+    small_bytes: int | None = None,
+) -> list[int]:
+    """Small-file maintenance policy — the post-commit hook a
+    streaming drain needs: micro-batches append one small file per
+    commit, and pruning selectivity (blooms, stats) degrades linearly
+    with live-file count unless something compacts. For each
+    PARTITION (the whole table when unpartitioned) whose small-file
+    count exceeds `max_files`, compact exactly those files into
+    `target_files` (file-pinned partial compaction: untouched
+    partitions carry over byte-identical, their DVs still applied).
+    `small_bytes` restricts the rewrite to files at or below that
+    size, so a partition's one big compacted file isn't endlessly
+    re-rewritten with every maintenance pass (write amplification is
+    O(small files), the Delta OPTIMIZE contract). Returns the commit
+    versions published (empty when nothing crossed the threshold —
+    the common, free case). A maintenance pass racing a concurrent
+    append re-runs from the winner's snapshot; already-rewritten
+    files drop out of the pinned selection."""
+    latest = _latest_version(path)
+    if latest is None:
+        return []
+    m = _read_manifest(path, latest)
+    groups: dict[tuple, list] = {}
+    for e in m["files"]:
+        if not isinstance(e, dict):
+            e = {"path": e}
+        if small_bytes is not None and e.get("bytes", 0) > small_bytes:
+            continue
+        key = tuple(sorted((e.get("partitions") or {}).items()))
+        groups.setdefault(key, []).append(e)
+    out = []
+    for key in sorted(groups):
+        es = groups[key]
+        if len(es) > max_files:
+            out.append(
+                lake_compact(
+                    spark,
+                    path,
+                    num_files=target_files,
+                    paths=tuple(_paths(es)),
+                )
+            )
+    return out
+
+
 def lake_vacuum(
     path: str,
     keep_last: int = 1,
     retention_seconds: float = DEFAULT_VACUUM_RETENTION,
+    deep: bool = True,
 ) -> list[str]:
-    """Drop all but the last `keep_last` manifests, then delete every
-    data file that no kept manifest references AND whose mtime is
-    older than `retention_seconds`. Returns deleted files.
+    """Drop all but the last `keep_last` versions' delta segments,
+    then delete every data file no kept version references AND whose
+    mtime is older than `retention_seconds`. Returns deleted files.
+
+    Before dropping history, the oldest KEPT version is CHECKPOINTED —
+    the anchor that keeps every surviving version reconstructible once
+    the delta segments below it are gone; stale checkpoints below it
+    are dropped with the segments.
+
+    Orphan discovery is CHECKPOINT-DIFF-DRIVEN: candidates are the
+    `add` entries (and DV sets) of exactly the delta segments being
+    dropped, minus the files any kept version references — O(dropped
+    deltas) + O(keep window), no filesystem tree walk, the only shape
+    that works at 10^6 files. `deep=True` (default) ADDITIONALLY walks
+    data/ and dv/ for files NO commit ever referenced — staged data
+    from lost commit attempts, which a log diff cannot see; at 100 TB
+    run the deep sweep rarely (it is the directory listing Delta's
+    VACUUM also cannot avoid), the log-diff pass every time.
 
     The retention window is the concurrent-writer guard: a writer that
     has staged data files but not yet published its manifest — or one
@@ -1728,50 +2720,87 @@ def lake_vacuum(
     if latest is None:
         return []
     keep_from = max(0, latest - keep_last + 1)
+    # anchor FIRST: kept versions must reconstruct after the drop
+    if keep_from > 0:
+        lake_checkpoint(path, keep_from)
     kept_files: set[str] = set()
     kept_dv_dirs: set[str] = set()
+    entries = _files_at(path, keep_from)
+    kept_files.update(_paths(entries))
     for v in range(keep_from, latest + 1):
         try:
-            m = _read_manifest(path, v)
+            rec = _read_delta(path, v)
         except FileNotFoundError:
             continue
-        kept_files.update(_paths(m["files"]))
-        kept_dv_dirs.update(m.get("dvs") or [])
+        if v > keep_from:
+            if "files" in rec:
+                entries = list(rec["files"])
+            else:
+                entries = _apply_delta(entries, rec)
+            kept_files.update(_paths(entries))
+        kept_dv_dirs.update(rec.get("dvs") or [])
+    # orphan candidates from the log being dropped (no tree walk)
+    candidates: set[str] = set()
+    cand_dv_dirs: set[str] = set()
+    for v in range(keep_from):
+        try:
+            rec = _read_delta(path, v)
+        except FileNotFoundError:
+            continue
+        candidates.update(_paths(rec.get("add") or rec.get("files") or []))
+        cand_dv_dirs.update(rec.get("dvs") or [])
     deleted = []
+    cutoff = time.time() - retention_seconds
+
+    def _rm(rel: str) -> None:
+        full = os.path.join(path, rel)
+        try:
+            if os.path.getmtime(full) <= cutoff:
+                os.remove(full)
+                deleted.append(rel)
+        except OSError:
+            pass  # already gone (idempotent re-vacuum)
+
+    for rel in sorted(candidates - kept_files):
+        _rm(rel)
+    for dv_dir in sorted(cand_dv_dirs - kept_dv_dirs):
+        droot = os.path.join(path, dv_dir)
+        if os.path.isdir(droot):
+            for root, _dirs, names in os.walk(droot):
+                for f in sorted(names):
+                    if f.endswith(".parquet"):
+                        _rm(os.path.relpath(os.path.join(root, f), path))
+    # drop the history: delta segments and checkpoints below keep_from
     for v in range(keep_from):
         mf = os.path.join(_manifest_dir(path), f"v{v}.json")
         if os.path.exists(mf):
             os.remove(mf)
-    cutoff = time.time() - retention_seconds
-    data_root = os.path.join(path, "data")
-    if os.path.isdir(data_root):
-        for root, _dirs, names in os.walk(data_root):
-            for f in sorted(names):
-                full = os.path.join(root, f)
-                rel = os.path.relpath(full, path)
-                if (
-                    f.endswith(".parquet")
-                    and rel not in kept_files
-                    and os.path.getmtime(full) <= cutoff
-                ):
-                    os.remove(full)
-                    deleted.append(rel)
-    # deletion-vector sets live under <table>/dv/<uuid>/; one no kept
-    # manifest references is orphaned as a UNIT (a lost dv-delete
-    # attempt, or a compaction having materialized it) — same
-    # retention guard as data files
-    dv_root = os.path.join(path, "dv")
-    if os.path.isdir(dv_root):
-        for root, _dirs, names in os.walk(dv_root):
-            for f in sorted(names):
-                full = os.path.join(root, f)
-                rel = os.path.relpath(full, path)
-                dv_dir = os.sep.join(rel.split(os.sep)[:2])  # dv/<uuid>
-                if (
-                    f.endswith(".parquet")
-                    and dv_dir not in kept_dv_dirs
-                    and os.path.getmtime(full) <= cutoff
-                ):
-                    os.remove(full)
-                    deleted.append(rel)
-    return sorted(deleted)
+    for c in _ckpt_versions(path):
+        if c < keep_from:
+            try:
+                os.remove(_ckpt_file(path, c))
+            except OSError:
+                pass
+    if keep_from > 0:
+        _record_checkpoint(path, keep_from)  # re-validate the pointer
+    if deep:
+        # full sweep for never-referenced staged files (lost commit
+        # attempts) — the one orphan class a log diff cannot list
+        data_root = os.path.join(path, "data")
+        if os.path.isdir(data_root):
+            for root, _dirs, names in os.walk(data_root):
+                for f in sorted(names):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, path)
+                    if f.endswith(".parquet") and rel not in kept_files:
+                        _rm(rel)
+        dv_root = os.path.join(path, "dv")
+        if os.path.isdir(dv_root):
+            for root, _dirs, names in os.walk(dv_root):
+                for f in sorted(names):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, path)
+                    dv_dir = os.sep.join(rel.split(os.sep)[:2])  # dv/<uuid>
+                    if f.endswith(".parquet") and dv_dir not in kept_dv_dirs:
+                        _rm(rel)
+    return sorted(set(deleted))

@@ -51,6 +51,7 @@ from .lake import (
     _latest_version,
     _parse_partition_spec,
     _paths,
+    _phys_where,
     _read_manifest,
 )
 
@@ -127,8 +128,32 @@ def _dv_positions(path, manifest) -> dict[str, list[int]]:
     return {k: sorted(v) for k, v in out.items()}
 
 
+def _schema_payload(manifest: dict) -> str:
+    """Schema json shipped to executors. Column-mapped tables wrap it
+    with the logical→physical name map so the reader pulls file
+    columns by their stable PHYSICAL names and emits logical ones
+    (sources/lake.py rename/drop evolution)."""
+    cm = manifest.get("column_mapping")
+    if cm:
+        return json.dumps(
+            {
+                "schema": manifest["schema"],
+                "physical": {c["name"]: c["physical"] for c in cm["cols"]},
+            }
+        )
+    return json.dumps(manifest["schema"])
+
+
+def _parse_schema_payload(payload: str):
+    obj = json.loads(payload)
+    if "schema" in obj:  # mapped-table wrapper (StructType json has
+        # "type"/"fields", never a "schema" key)
+        return T.StructType.fromJson(obj["schema"]), obj.get("physical") or {}
+    return T.StructType.fromJson(obj), {}
+
+
 def _partitions_for_entries(path, manifest, entries) -> list[LakeFilePartition]:
-    schema_json = json.dumps(manifest["schema"])
+    schema_json = _schema_payload(manifest)
     part_by = manifest.get("partition_by") or []
     dv_pos = _dv_positions(path, manifest)
     return [
@@ -162,7 +187,7 @@ def _read_partition(partition: LakeFilePartition) -> Iterator:
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    schema = T.StructType.fromJson(json.loads(partition.schema_json))
+    schema, phys = _parse_schema_payload(partition.schema_json)
     arrow_schema = to_arrow_schema(schema)
     table = pq.read_table(partition.abs_path)
     if partition.select_pos is not None:
@@ -176,10 +201,12 @@ def _read_partition(partition: LakeFilePartition) -> Iterator:
     n = table.num_rows
     cols = []
     for field, sfield in zip(arrow_schema, schema.fields):
-        if field.name in table.column_names:
-            cols.append(table.column(field.name).cast(field.type))
-        elif field.name in partition.fill:
-            const = _typed_constant(partition.fill[field.name], sfield.dataType)
+        pname = phys.get(field.name, field.name)  # files + partition
+        # dirs key on the stable physical name; output is logical
+        if pname in table.column_names:
+            cols.append(table.column(pname).cast(field.type))
+        elif pname in partition.fill:
+            const = _typed_constant(partition.fill[pname], sfield.dataType)
             cols.append(pa.array([const] * n).cast(field.type))
         else:
             cols.append(pa.nulls(n, type=field.type))
@@ -207,7 +234,7 @@ def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
     (columns added later in the range read as NULL). File-rewriting
     commits refuse — their file diff does not mean row changes."""
     end_m = _read_manifest(path, ev)
-    schema_json = json.dumps(end_m["schema"])
+    schema_json = _schema_payload(end_m)
     part_by = end_m.get("partition_by") or []
     parts: list[LakeFilePartition] = []
     prev_files: set[str] = set()
@@ -232,8 +259,8 @@ def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
                         change=("insert", v),
                     )
                 )
-        elif op == "alter_constraints":
-            pass  # identical file set, no row changes
+        elif op in ("alter_constraints", "rename_column", "drop_column"):
+            pass  # identical file set, no row changes (metadata-only)
         elif op == "delete" and strat == "dv":
             new_dvs = [d for d in (m.get("dvs") or []) if d not in prev_dvs]
             pos_by_file = _dv_positions(path, {"dvs": new_dvs})
@@ -335,10 +362,12 @@ class LakeBatchReader(DataSourceReader):
         entries = self._manifest["files"]
         if self._where:
             part_by = tuple(self._manifest.get("partition_by") or ())
+            pw = _phys_where(self._where, self._manifest)  # stats/
+            # blooms/partition dirs key on stable physical names
             entries = [
                 e
                 for e in entries
-                if _file_may_match(e, self._where, part_by)
+                if _file_may_match(e, pw, part_by)
             ]
         return _partitions_for_entries(self._path, self._manifest, entries)
 
@@ -379,7 +408,8 @@ class LakeStreamReader(DataSourceStreamReader):
             op = _read_manifest(self._path, v)["op"]
             # alter_constraints republishes an identical file set —
             # harmless to diff across
-            if op not in ("append", "alter_constraints"):
+            if op not in ("append", "alter_constraints",
+                          "rename_column", "drop_column"):
                 raise ValueError(
                     f"lake stream undefined across non-append commit "
                     f"v{v} ({op}) — restart from a fresh snapshot, or "
@@ -602,6 +632,12 @@ class _LakeWriterCore:
                     "table has constraints — write through lake_write, "
                     "which validates rows before publishing"
                 )
+            if prev is not None and prev.get("column_mapping"):
+                raise ValueError(
+                    "table uses column mapping (rename/drop evolution) — "
+                    "write through lake_write, which stages files under "
+                    "the stable physical column names"
+                )
             if (
                 prev is not None
                 and mode == "append"
@@ -691,7 +727,11 @@ class LakeStreamWriter(_LakeWriterCore, DataSourceStreamArrowWriter):
             return False
         for v in range(latest, -1, -1):
             try:
-                props = _read_manifest(self._path, v).get("properties") or {}
+                from .lake import _read_delta
+
+                # raw record: properties are per-commit metadata — no
+                # file-list reconstruction needed for the ledger probe
+                props = _read_delta(self._path, v).get("properties") or {}
             except FileNotFoundError:
                 break  # vacuumed history: older batches long committed
             if (

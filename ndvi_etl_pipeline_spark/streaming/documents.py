@@ -545,14 +545,26 @@ def stream_neardup_documents_lake(
     checkpoint_dir: str,
     threshold: float = 0.9,
     n_bits: int = 8,
+    maintain_max_files: int = 8,
 ) -> None:
     """Drain an embedded landing zone through the fingerprint +
     embedding near-dup gates into a bucket-partitioned LAKE store:
     every micro-batch lands as one atomic snapshot commit (snapshot
     isolation + per-batch time travel, as in
     stream_curated_documents_lake), and the admission index reads
-    only the batch's buckets (neardup_gate_batch_lake)."""
-    from ..sources.lake import lake_write
+    only the batch's buckets (neardup_gate_batch_lake).
+
+    POST-COMMIT MAINTENANCE: every drained batch appends one small
+    file per touched bucket, and both gates' pruning (the bucket
+    partition skip and the fingerprint bloom skip) degrades linearly
+    with live-file count — so after each commit the small-file policy
+    (sources/lake.py:lake_maintain) compacts any bucket partition
+    that crossed `maintain_max_files` down to one file, recomputing
+    its stats and blooms. Write amplification stays O(small files);
+    untouched buckets carry over byte-identical, and a maintenance
+    pass racing a concurrent append re-runs from the winner's
+    snapshot (file-pinned selection — never compacts stale files)."""
+    from ..sources.lake import lake_maintain, lake_write
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         fresh = neardup_gate_batch_lake(
@@ -564,6 +576,12 @@ def stream_neardup_documents_lake(
                 curated_table,
                 partition_by=("bucket",),
                 bloom_cols=("fingerprint",),
+            )
+            lake_maintain(
+                spark,
+                curated_table,
+                max_files=maintain_max_files,
+                target_files=1,
             )
 
     reader = (

@@ -18,6 +18,14 @@ from ndvi_etl_pipeline_spark.sources.lake import (
 )
 
 
+def _lm(table_path, version):
+    """Reconstructed full snapshot (the shape the legacy full-JSON
+    manifests had) — tests assert on snapshot STATE, not on the
+    delta-log storage encoding."""
+    from ndvi_etl_pipeline_spark.sources.lake import _read_manifest
+    return _read_manifest(table_path, version)
+
+
 def _df(spark, rows):
     return spark.createDataFrame(rows, "k int, v string")
 
@@ -62,7 +70,7 @@ def test_lake_concurrent_commit_conflict(spark, tmp_path):
     lake_write(_df(spark, [(1, "a")]), t)
     winner = {
         "version": 1, "op": "append", "ts": 0,
-        "files": json.load(open(os.path.join(t, "_manifests", "v0.json")))["files"],
+        "files": _lm(t, 0)["files"],
         "schema": _df(spark, [(0, "x")]).schema.jsonValue(),
         "n_rows_delta": 0,
     }
@@ -81,14 +89,14 @@ def test_lake_copy_on_write_delete(spark, tmp_path):
     t = str(tmp_path / "t")
     lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
     lake_write(_df(spark, [(3, "c"), (4, "d")]).coalesce(1), t)
-    m1 = json.load(open(os.path.join(t, "_manifests", "v1.json")))
+    m1 = _lm(t, 1)
     untouched = [f["path"] for f in m1["files"]][:1]  # first commit's file
 
     v = lake_delete(spark, t, F.col("k") == 4)
     assert v == 2
     assert {r.k for r in lake_read(spark, t).collect()} == {1, 2, 3}
     assert {r.k for r in lake_read(spark, t, version=1).collect()} == {1, 2, 3, 4}
-    m2 = json.load(open(os.path.join(t, "_manifests", "v2.json")))
+    m2 = _lm(t, 2)
     paths2 = [f["path"] for f in m2["files"]]
     assert untouched[0] in paths2  # unmatched file carried over
     assert m2["rewrote_files"] and untouched[0] not in m2["rewrote_files"]
@@ -115,7 +123,7 @@ def test_lake_compact_and_vacuum(spark, tmp_path):
         lake_write(_df(spark, [(i, str(i))]).coalesce(1), t)
     before = lake_read(spark, t)
     v = lake_compact(spark, t, num_files=1)
-    m = json.load(open(os.path.join(t, "_manifests", f"v{v}.json")))
+    m = _lm(t, v)
     assert len(m["files"]) == 1
     assert {r.k for r in lake_read(spark, t).collect()} == {0, 1, 2, 3}
     # pre-compact snapshot still readable (old files still on disk)
@@ -143,7 +151,7 @@ def test_lake_merge_upserts_atomically(spark, tmp_path):
     t = str(tmp_path / "t")
     lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
     lake_write(_df(spark, [(3, "c")]).coalesce(1), t)
-    m1 = json.load(open(os.path.join(t, "_manifests", "v1.json")))
+    m1 = _lm(t, 1)
 
     up = _df(spark, [(2, "B2"), (4, "d")]).coalesce(1)
     v = lake_merge(spark, up, t, keys=("k",))
@@ -153,7 +161,7 @@ def test_lake_merge_upserts_atomically(spark, tmp_path):
     # pre-merge snapshot unchanged (time travel)
     old = {r.k: r.v for r in lake_read(spark, t, version=1).collect()}
     assert old == {1: "a", 2: "b", 3: "c"}
-    m2 = json.load(open(os.path.join(t, "_manifests", "v2.json")))
+    m2 = _lm(t, 2)
     # the (3,'c') file had no matching key: carried over by name
     paths1 = [f["path"] for f in m1["files"]]
     paths2 = [f["path"] for f in m2["files"]]
@@ -182,7 +190,7 @@ def test_lake_manifest_stats_prune_file_scans(spark, tmp_path):
     lake_write(_df(spark, [(100, "x"), (200, "y")]).coalesce(1), t)
     lake_write(_df(spark, [(1000, "p")]).coalesce(1), t)
 
-    m = _json.load(open(os.path.join(t, "_manifests", "v2.json")))
+    m = _lm(t, 2)
     assert all(e["stats"].get("k") for e in m["files"])  # stats recorded
     kranges = sorted(tuple(e["stats"]["k"]) for e in m["files"])
     assert kranges == [(1, 2), (100, 200), (1000, 1000)]
@@ -348,7 +356,7 @@ def test_lake_partitioned_write_prunes_and_reads(spark, tmp_path):
         t,  # partition_by inherited from the table layout
     )
 
-    m = _json.load(open(os.path.join(t, "_manifests", "v1.json")))
+    m = _lm(t, 1)
     assert m["partition_by"] == ["src"]
     assert all(e["partitions"].get("src") for e in m["files"])
 
@@ -457,7 +465,7 @@ def test_lake_partition_transforms_prune_hidden(spark, tmp_path):
     t1 = str(tmp_path / "bucketed")
     df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k int, v string")
     lake_write(df.repartition(2), t1, partition_by=("bucket(4,k)",))
-    m = json.load(open(os.path.join(t1, "_manifests", "v0.json")))
+    m = _lm(t1, 0)
     assert m["partition_by"] == ["bucket(4,k)"]
     assert all("k__bucket4" in e["partitions"] for e in m["files"])
     got = lake_read(spark, t1, where=[("k", "==", 7)])
@@ -527,7 +535,7 @@ def test_lake_bloom_stats_prune_point_lookups(spark, tmp_path):
     lake_write(mk(rows_b), t)  # bloom_cols inherited
     lake_write(mk(rows_c), t)
 
-    m = json.load(open(os.path.join(t, "_manifests", "v2.json")))
+    m = _lm(t, 2)
     assert m["bloom_cols"] == ["k"]
     assert all(e["bloom"].get("k", {}).get("bits") for e in m["files"])
     # min/max genuinely can't prune this lookup...
@@ -549,7 +557,7 @@ def test_lake_bloom_stats_prune_point_lookups(spark, tmp_path):
 
     # compaction rebuilds blooms on the rewritten file
     lake_compact(spark, t, num_files=1)
-    m2 = json.load(open(os.path.join(t, "_manifests", "v3.json")))
+    m2 = _lm(t, 3)
     assert m2["bloom_cols"] == ["k"] and m2["files"][0]["bloom"]["k"]["bits"]
     assert {r.v for r in lake_read(spark, t, where=[("k", "==", 1501)]).collect()} == {"b1501"}
 
@@ -710,7 +718,7 @@ def test_lake_zorder_compact_prunes_both_dimensions(spark, tmp_path):
     before = {tuple(r) for r in lake_read(spark, t).collect()}
 
     v = lake_compact(spark, t, num_files=8, zorder_by=("x", "y"))
-    m = _json.load(open(os.path.join(t, "_manifests", f"v{v}.json")))
+    m = _lm(t, v)
     assert m["zorder_by"] == ["x", "y"]
     assert len(m["files"]) == 8
     after = {tuple(r) for r in lake_read(spark, t).collect()}
@@ -734,7 +742,7 @@ def test_lake_zorder_compact_prunes_both_dimensions(spark, tmp_path):
     t2 = str(tmp_path / "plain")
     lake_write(df.orderBy("x"), t2)
     v2 = lake_compact(spark, t2, num_files=8)
-    m2 = _json.load(open(os.path.join(t2, "_manifests", f"v{v2}.json")))
+    m2 = _lm(t2, v2)
     n2 = sum(1 for e in m2["files"] if _file_may_match(e, [("y", ">=", 30)]))
     assert n2 == len(m2["files"])  # no pruning without z-order
 
@@ -1054,7 +1062,7 @@ def test_lake_restore_refuses_vacuumed_target(spark, tmp_path):
 
     # manifest kept but a data file lost (e.g. vacuumed by a buggy
     # external sweep): restore must refuse with the file named
-    m0 = json.load(open(os.path.join(t, "_manifests", "v0.json")))
+    m0 = _lm(t, 0)
     os.remove(os.path.join(t, m0["files"][0]["path"]))
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         lake_restore(t, 0)

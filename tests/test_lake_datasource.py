@@ -446,3 +446,42 @@ def test_lake_datasource_transform_partitioned_write(lake_ds, tmp_path):
         partition_by=("bucket(4, fingerprint)",),
     )
     assert lake_read(spark, t).count() == 41
+
+
+def test_lake_datasource_reads_mapped_and_widened_tables(lake_ds, tmp_path):
+    """Column-mapped (renamed/dropped) and type-widened tables through
+    the DataSource read path: executors pull file columns by PHYSICAL
+    name and emit logical ones; narrow files upcast via arrow cast.
+    The write path REFUSES mapped tables (it stages logical-named
+    files) — the same honest boundary as constrained tables."""
+    import pytest as _pytest
+
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        lake_rename_column,
+        lake_write,
+    )
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    lake_write(_mk(spark, [(1, "a", 1.5)], "k int, v string, x float"), t)
+    lake_rename_column(t, "v", "label")
+    lake_write(
+        _mk(spark, [(2**40, "b", 2.5)], "k long, label string, x double"), t
+    )  # widens k and x
+    df = spark.read.format("lake").option("path", t).load()
+    assert df.columns == ["k", "label", "x"]
+    assert dict(df.dtypes) == {"k": "bigint", "label": "string", "x": "double"}
+    got = sorted((r.k, r.label, r.x) for r in df.collect())
+    assert got == [(1, "a", 1.5), (2**40, "b", 2.5)]
+    # CDF across the rename, through the DataSource
+    feed = (
+        spark.read.format("lake").option("path", t)
+        .option("cdf", "true").option("fromVersion", "-1").load()
+    )
+    rows = sorted((r._commit_version, r._change_type, r.label) for r in feed.collect())
+    assert rows == [(0, "insert", "a"), (2, "insert", "b")]
+    # write path refuses mapped tables
+    with _pytest.raises(Exception, match="column mapping"):
+        _mk(spark, [(3, "c", 3.0)], "k long, label string, x double").write.format(
+            "lake"
+        ).option("path", t).mode("append").save()

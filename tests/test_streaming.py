@@ -1165,3 +1165,70 @@ def test_stream_neardup_lake_gate_matches_replay_and_prunes(spark, tmp_path):
         spark, str(landing), curated, str(tmp_path / "ckpt2"), threshold=thr
     )
     assert {r.doc_id for r in lake_read(spark, curated).collect()} == want
+
+
+def test_stream_neardup_lake_maintenance_bounds_files(spark, tmp_path):
+    """Long-running drain: many micro-batches into one hot bucket
+    would grow its file count (and degrade bloom/partition pruning)
+    without maintenance; with the post-commit small-file policy the
+    partition's live-file count stays bounded, the admitted set is
+    UNCHANGED by compactions (exactly-once preserved), and the
+    fingerprint-bloom point lookup still prunes to one file."""
+    import json as _json
+
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        _file_may_match,
+        _phys_where,
+        _read_manifest,
+        lake_history,
+        lake_latest_version,
+        lake_read,
+    )
+    from ndvi_etl_pipeline_spark.streaming.documents import (
+        stream_neardup_documents_lake,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    curated = str(tmp_path / "curated_lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    # all docs in the SAME bucket (all-positive embeddings), all
+    # mutually distant: direction = the bitmask of (b+1), so any two
+    # docs share at most part of their support (max pairwise cosine
+    # ~0.87 < 0.999) — every batch admits one doc into the hot bucket
+    n_batches = 12
+    for b in range(n_batches):
+        mask = b + 1
+        emb = [10.0 if (mask >> i) & 1 else 0.001 for i in range(8)]
+        (landing / f"drop{b:02d}.jsonl").write_text(
+            _json.dumps(
+                {"doc_id": b, "text": f"doc body {b}", "source": "s",
+                 "embedding": emb}
+            )
+        )
+        stream_neardup_documents_lake(
+            spark, str(landing), curated, ckpt,
+            threshold=0.999, maintain_max_files=4,
+        )
+
+    got = {r.doc_id for r in lake_read(spark, curated).collect()}
+    # the greedy gate admits docs whose cosine to every prior admit
+    # is < 0.999 — with near-orthogonal directions, all admit
+    assert got == set(range(n_batches))
+    ops = [h["op"] for h in lake_history(curated)]
+    assert "compact" in ops  # maintenance fired
+    m = _read_manifest(curated, lake_latest_version(curated))
+    per_part: dict = {}
+    for e in m["files"]:
+        per_part.setdefault(e["partitions"]["bucket"], []).append(e)
+    assert max(len(v) for v in per_part.values()) <= 5  # bounded
+    # bloom prune stays selective after compaction rewrote the files
+    fp_rows = lake_read(spark, curated).select("fingerprint", "doc_id").collect()
+    one_fp = next(r.fingerprint for r in fp_rows if r.doc_id == 5)
+    pw = _phys_where([("fingerprint", "==", one_fp)], m)
+    kept = [
+        e for e in m["files"]
+        if _file_may_match(e, pw, tuple(m.get("partition_by") or ()))
+    ]
+    assert len(kept) <= 2, [e["path"] for e in kept]

@@ -270,3 +270,217 @@ def q_lake_sql_cdf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"nat": t},
     )
+
+
+@register(
+    "lake_sql_insert_dml",
+    oracle="""
+        WITH ins AS (
+            SELECT s_nationkey, s_suppkey FROM supplier
+            UNION ALL
+            SELECT s_nationkey, s_suppkey + 1000000
+            FROM supplier WHERE s_acctbal > 5000
+        )
+        SELECT s_nationkey AS nation, count(*) AS n,
+               CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+        FROM ins GROUP BY s_nationkey
+    """,
+    tags=("lakehouse", "sql", "dml", "insert"),
+)
+def q_lake_sql_insert_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INSERT INTO ... SELECT statement (sources/lake_sql.py DML
+    grammar): a self-referential backfill — the source reads the
+    PRE-insert snapshot (pinned view), shifts the keys, and the write
+    lands as one atomic append commit. The read-back aggregate equals
+    the relational union."""
+    t = _tmp("ins")
+    lake_write(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal"), t)
+    lake_sql(
+        spark,
+        "INSERT INTO sup SELECT s_suppkey + 1000000, s_nationkey, s_acctbal "
+        "FROM sup WHERE s_acctbal > 5000",
+        {"sup": t},
+    )
+    return lake_sql(
+        spark,
+        """
+        SELECT s_nationkey AS nation, count(*) AS n,
+               CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+        FROM sup GROUP BY s_nationkey
+        """,
+        {"sup": t},
+    )
+
+
+@register(
+    "lake_sql_update_dml",
+    oracle="""
+        SELECT p_brand AS brand, count(*) AS n,
+               round(sum(CASE WHEN p_size < 10
+                         THEN p_retailprice + 100
+                         ELSE p_retailprice END), 2) AS total
+        FROM part GROUP BY p_brand
+    """,
+    tags=("lakehouse", "sql", "dml", "update"),
+)
+def q_lake_sql_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPDATE statement: small parts get a 10% price uplift as one
+    copy-on-write snapshot (only files holding matched rows rewritten,
+    unmatched neighbours carried verbatim); the read-back equals the
+    oracle's CASE projection."""
+    t = _tmp("upd")
+    lake_write(
+        _t(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_size", "p_retailprice"
+        ),
+        t,
+    )
+    lake_sql(
+        spark,
+        "UPDATE prt SET p_retailprice = p_retailprice + 100 "
+        "WHERE p_size < 10",
+        {"prt": t},
+    )
+    return lake_sql(
+        spark,
+        """
+        SELECT p_brand AS brand, count(*) AS n,
+               round(sum(p_retailprice), 2) AS total
+        FROM prt GROUP BY p_brand
+        """,
+        {"prt": t},
+    )
+
+
+@register(
+    "lake_sql_delete_dml",
+    oracle="""
+        SELECT o_orderpriority AS pri, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+        GROUP BY o_orderpriority
+    """,
+    tags=("lakehouse", "sql", "dml", "delete"),
+)
+def q_lake_sql_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE FROM statement with a compound predicate handed to
+    Catalyst verbatim; copy-on-write strategy, so the surviving
+    snapshot is a plain scan (no DV anti-join on the read path)."""
+    t = _tmp("del")
+    lake_write(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        ),
+        t,
+    )
+    lake_sql(
+        spark,
+        "DELETE FROM ord WHERE o_orderstatus = 'F' AND o_totalprice < 50000",
+        {"ord": t},
+    )
+    return lake_sql(
+        spark,
+        """
+        SELECT o_orderpriority AS pri, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM ord GROUP BY o_orderpriority
+        """,
+        {"ord": t},
+    )
+
+
+@register(
+    "lake_sql_merge_dml",
+    oracle="""
+        WITH upd AS (
+            SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey
+            FROM nation WHERE n_regionkey = 3
+            UNION ALL
+            SELECT n_nationkey + 500, n_name, n_regionkey
+            FROM nation WHERE n_regionkey = 4
+        ), merged AS (
+            SELECT * FROM upd
+            UNION ALL
+            SELECT * FROM nation
+            WHERE n_nationkey NOT IN (SELECT n_nationkey FROM upd)
+        )
+        SELECT n_regionkey AS region, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               max(n_name) AS max_name
+        FROM merged GROUP BY n_regionkey
+    """,
+    tags=("lakehouse", "sql", "dml", "merge"),
+)
+def q_lake_sql_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE INTO statement: the textual upsert — key equalities
+    parsed from ON, the subquery source planned by Catalyst — matched
+    region-3 nations replaced by upper-cased rows, shifted region-4
+    copies inserted, one atomic snapshot."""
+    t = _tmp("mrg")
+    lake_write(_t(spark, sf_dir, "nation"), t)
+    lake_sql(
+        spark,
+        "MERGE INTO nat USING ("
+        "  SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey"
+        "  FROM nat WHERE n_regionkey = 3"
+        "  UNION ALL"
+        "  SELECT n_nationkey + 500, n_name, n_regionkey"
+        "  FROM nat WHERE n_regionkey = 4"
+        ") AS s ON nat.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"nat": t},
+    )
+    return lake_sql(
+        spark,
+        """
+        SELECT n_regionkey AS region, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               max(n_name) AS max_name
+        FROM nat GROUP BY n_regionkey
+        """,
+        {"nat": t},
+    )
+
+
+@register(
+    "lake_sql_update_cdf",
+    oracle="""
+        SELECT 'delete' AS change, count(*) AS n,
+               round(sum(c_acctbal), 2) AS bal_sum
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT 'insert', count(*), round(sum(c_acctbal + 100), 2)
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    tags=("lakehouse", "sql", "dml", "update", "cdf"),
+)
+def q_lake_sql_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed ACROSS an UPDATE statement: the commit records
+    the matched rows' (file, ordinal) preimage addresses, so
+    table_changes emits delete(pre-update row) + insert(post-update
+    row) pairs by reading ONLY the touched files — Delta CDF's
+    update_preimage/update_postimage, O(delta)."""
+    t = _tmp("ucdf")
+    lake_write(
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ),
+        t,
+    )
+    lake_sql(
+        spark,
+        "UPDATE cust SET c_acctbal = c_acctbal + 100 "
+        "WHERE c_mktsegment = 'BUILDING'",
+        {"cust": t},
+    )
+    return lake_sql(
+        spark,
+        """
+        SELECT _change_type AS change, count(*) AS n,
+               round(sum(c_acctbal), 2) AS bal_sum
+        FROM table_changes('cust', 0) GROUP BY _change_type
+        """,
+        {"cust": t},
+    )

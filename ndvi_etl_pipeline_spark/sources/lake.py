@@ -90,6 +90,7 @@ import functools as _functools
 import json
 import os
 import re
+import shutil
 import time
 import uuid
 from urllib.parse import unquote, urlparse
@@ -1854,6 +1855,55 @@ def lake_read_cdf(
                     F.lit(v).cast("int").alias("_commit_version"),
                 )
                 parts.append(dels)
+        elif op == "update" and m.get("update_preimage_dv") and "update_files" in m:
+            # UPDATE = delete(preimage) + insert(postimage). The
+            # postimage rows live in the recorded update_files; the
+            # preimage rows are recovered from the PRE-update files
+            # (on disk until vacuum) semi-joined against the commit's
+            # recorded (file, ordinal) preimage addresses — which only
+            # ever name rows VISIBLE at v-1, so prior DVs need no
+            # re-application. Carried-over unmatched rows moved files
+            # without changing — no events for them. O(delta) reads.
+            upd_rel = set(m["update_files"])
+            upd_entries = [e for e in m["files"] if _entry_rel(e) in upd_rel]
+            upd = _read_entries(
+                spark, path, {**m, "schema": to_m["schema"],
+                     "column_mapping": to_m.get("column_mapping")},
+                upd_entries, apply_dvs=False,
+            )
+            parts.append(
+                upd.select(
+                    *out_cols,
+                    ct.alias("_change_type"),
+                    F.lit(v).cast("int").alias("_commit_version"),
+                )
+            )
+            pre = spark.read.schema(_DV_SCHEMA).parquet(
+                os.path.join(path, m["update_preimage_dv"])
+            )
+            touched = {
+                r.f
+                for r in pre.select(F.col(_DV_FILE).alias("f"))
+                .distinct()
+                .collect()
+            }
+            pm = _read_manifest(path, v - 1)
+            old_entries = [
+                e for e in pm["files"] if _entry_rel(e) in touched
+            ]
+            raw = _read_entries(
+                spark, path, {**pm, "schema": to_m["schema"],
+                     "column_mapping": to_m.get("column_mapping")},
+                old_entries, keep_meta=True, apply_dvs=False,
+            )
+            parts.append(
+                raw.join(F.broadcast(pre), [_DV_FILE, _DV_POS], "left_semi")
+                .select(
+                    *out_cols,
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(v).cast("int").alias("_commit_version"),
+                )
+            )
         else:
             raise ValueError(
                 f"change feed undefined across file-rewriting commit "
@@ -2275,6 +2325,17 @@ def lake_delete(
     the winner's snapshot (see _retry_cow)."""
     if strategy not in ("cow", "dv"):
         raise ValueError(f"unknown delete strategy {strategy!r}")
+    # SQL three-valued logic: a NULL predicate means NOT MATCHED — the
+    # row survives. The hit side (filter(pred)) already drops NULLs;
+    # the COW survivor side must use NOT(coalesce(pred, false)), or a
+    # file rewritten for one true-pred row would silently lose its
+    # null-pred neighbours (the DV path never had the asymmetry).
+    predicate = F.coalesce(
+        (F.expr(predicate) if isinstance(predicate, str) else predicate).cast(
+            "boolean"
+        ),
+        F.lit(False),
+    )
     if strategy == "dv":
         return _retry_cow(
             "delete-dv",
@@ -2478,6 +2539,124 @@ def lake_merge(
         return version
 
     return _retry_cow("merge", path, once)
+
+
+def lake_update(
+    spark: SparkSession,
+    path: str,
+    assignments: dict,
+    predicate,
+    properties: dict | None = None,
+) -> int:
+    """UPDATE ... SET ... WHERE ... as ONE atomic copy-on-write
+    snapshot: files containing rows whose predicate is TRUE are
+    rewritten — unmatched rows carried over verbatim, matched rows
+    re-emitted with `assignments` applied (each value a Column or SQL
+    expression string, cast back to the column's declared type) — and
+    every other file carries over untouched. Returns the new version;
+    an UPDATE matching nothing publishes no snapshot.
+
+    CHANGE-FEED fidelity at O(delta): before rewriting, the matched
+    rows' (file, row-ordinal) addresses are written as a small
+    preimage parquet (the DV address shape), recorded on the commit as
+    `update_preimage_dv`. lake_read_cdf recovers the pre-update rows
+    by semi-joining the OLD files (still on disk until vacuum) against
+    those addresses and emits delete(preimage) + insert(postimage)
+    pairs — Delta CDF's update_preimage/update_postimage, folded into
+    the multiset compose rule snapshot(from) + inserts − deletes ==
+    snapshot(to). Only the touched files are ever read.
+
+    NULL predicates mean NOT MATCHED (SQL three-valued logic);
+    updating a partition column moves rows between partition dirs
+    (the writer derives the layout per row). Conflicts with concurrent
+    commits re-run from the winner's snapshot (_retry_cow)."""
+    predicate = (
+        F.expr(predicate) if isinstance(predicate, str) else predicate
+    )
+    cond = F.coalesce(predicate.cast("boolean"), F.lit(False))
+    exprs = {
+        c: (F.expr(v) if isinstance(v, str) else v)
+        for c, v in assignments.items()
+    }
+    if not exprs:
+        raise ValueError("UPDATE needs at least one SET assignment")
+
+    def once() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {path}")
+        m = _read_manifest(path, latest)
+        schema = T.StructType.fromJson(m["schema"])
+        unknown = set(exprs) - set(schema.fieldNames())
+        if unknown:
+            raise ValueError(f"UPDATE SET on unknown columns {sorted(unknown)}")
+        clash = {_DV_FILE, _DV_POS} & set(schema.fieldNames())
+        if clash:
+            raise ValueError(
+                f"table uses reserved DV column names {sorted(clash)}"
+            )
+        if not m["files"]:
+            return latest
+        # 1. one visible-row scan finds the matched addresses; landing
+        # them as parquet makes the hit-file list and the CDF preimage
+        # readable without a second table scan
+        df = _read_entries(spark, path, m, m["files"], keep_meta=True)
+        pre_rel = os.path.join("dv", "pre-" + uuid.uuid4().hex[:12])
+        df.filter(cond).select(_DV_FILE, _DV_POS).write.mode("error").parquet(
+            os.path.join(path, pre_rel)
+        )
+        pre = spark.read.schema(_DV_SCHEMA).parquet(os.path.join(path, pre_rel))
+        hit_rel = {r.f for r in pre.select(F.col(_DV_FILE).alias("f")).distinct().collect()}
+        if not hit_rel:
+            shutil.rmtree(os.path.join(path, pre_rel), ignore_errors=True)
+            return latest  # nothing matched: no new snapshot needed
+        rewritten = [e for e in m["files"] if _entry_rel(e) in hit_rel]
+        keep = [e for e in m["files"] if _entry_rel(e) not in hit_rel]
+        part_by = tuple(m.get("partition_by") or ())
+        bl_cols = tuple(m.get("bloom_cols") or ())
+        mapping = m.get("column_mapping")
+        sub = _read_entries(spark, path, m, rewritten)
+        # matched rows: SET applied, cast back to the declared type so
+        # the file schema never drifts (widen explicitly instead)
+        types = {f.name: f.dataType for f in schema.fields}
+        changed = sub.filter(cond).withColumns(
+            {c: e.cast(types[c]) for c, e in exprs.items()}
+        )
+        if m.get("constraints"):
+            _enforce_constraints(changed, schema, m["constraints"])
+        update_files = _write_data_files(
+            changed, path, part_by, bl_cols, mapping
+        )
+        carry = sub.filter(~cond)
+        new_files = list(update_files)
+        if carry.count():
+            new_files += _write_data_files(
+                carry, path, part_by, bl_cols, mapping
+            )
+        version = latest + 1
+        manifest = {
+            "version": version,
+            "op": "update",
+            "ts": time.time(),
+            "files": keep + new_files,
+            "schema": m["schema"],
+            "n_rows_delta": 0,
+            "rewrote_files": _paths(rewritten),
+            "update_files": _paths(update_files),
+            "update_preimage_dv": pre_rel,
+        }
+        if properties:
+            manifest["properties"] = dict(properties)
+        for k in ("partition_by", "bloom_cols", "constraints",
+                  "column_mapping", "dvs"):
+            if m.get(k):
+                manifest[k] = (
+                    list(m[k]) if isinstance(m[k], list) else m[k]
+                )
+        _commit(path, version, manifest)
+        return version
+
+    return _retry_cow("update", path, once)
 
 
 def _zorder_key(df: DataFrame, cols: tuple[str, ...]) -> "F.Column":
@@ -2739,6 +2918,10 @@ def lake_vacuum(
                 entries = _apply_delta(entries, rec)
             kept_files.update(_paths(entries))
         kept_dv_dirs.update(rec.get("dvs") or [])
+        if rec.get("update_preimage_dv"):
+            # CDF preimage addresses live beside the DVs and stay
+            # readable exactly as long as their version's history does
+            kept_dv_dirs.add(rec["update_preimage_dv"])
     # orphan candidates from the log being dropped (no tree walk)
     candidates: set[str] = set()
     cand_dv_dirs: set[str] = set()
@@ -2749,6 +2932,8 @@ def lake_vacuum(
             continue
         candidates.update(_paths(rec.get("add") or rec.get("files") or []))
         cand_dv_dirs.update(rec.get("dvs") or [])
+        if rec.get("update_preimage_dv"):
+            cand_dv_dirs.add(rec["update_preimage_dv"])
     deleted = []
     cutoff = time.time() - retention_seconds
 

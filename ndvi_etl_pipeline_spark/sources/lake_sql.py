@@ -1,26 +1,41 @@
 """SQL surface for the manifest lake (sources/lake.py): registration
 of lake tables as Spark SQL views with SNAPSHOT PINNING, a
-`VERSION AS OF` time-travel idiom, and a `table_changes(...)`
-change-feed table function — the textual interface Delta exposes as
-`SELECT ... FROM t VERSION AS OF 3` / `table_changes('t', 0, 5)`,
+`VERSION AS OF` time-travel idiom, a `table_changes(...)` change-feed
+table function, and a restricted DML grammar (INSERT INTO / UPDATE /
+DELETE FROM / MERGE INTO) — the textual interface Delta exposes,
 built here as a thin, transparent rewrite in front of `spark.sql`
 (Spark's parser has no extension hook for version-qualified relation
 names from Python, so the pin resolves to a registered temp view
 BEFORE parsing; everything else in the text is untouched ANSI SQL
-that Catalyst plans normally).
+that Catalyst plans normally). DML statements parse the statement
+shell with a documented restricted grammar and hand the expression
+text (predicates, SET values, source queries) to Catalyst verbatim —
+no expression parser lives here.
 
 Reference lineage: the reference exposes its results through plain
-PostGIS SQL (src/load/load_to_postgis.py); this module closes the
-same gap — a SQL-only consumer never touching the DataFrame API —
-for the lake tier."""
+PostGIS SQL (src/load/load_to_postgis.py) and mutates its product
+tables with psycopg2 INSERT/UPDATE statements
+(src/load/load_to_postgis.py:357-397); this module closes the same
+gap — a SQL-only consumer never touching the DataFrame API — for the
+lake tier, including the write side."""
 
 from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 
-from .lake import lake_read, lake_read_cdf
+from .lake import (
+    _latest_version,
+    _read_manifest,
+    lake_delete,
+    lake_merge,
+    lake_read,
+    lake_read_cdf,
+    lake_update,
+    lake_write,
+)
 
 _IDENT = r"[A-Za-z_]\w*"
 
@@ -64,24 +79,9 @@ def lake_table_changes(
     return df
 
 
-def lake_sql(
-    spark: SparkSession, query: str, tables: dict[str, str]
-) -> DataFrame:
-    """Run ANSI SQL text over lake tables. `tables` maps relation
-    names appearing in the text to lake table paths. Supported idioms
-    on those names:
-
-        SELECT ... FROM t                         latest snapshot
-        SELECT ... FROM t VERSION AS OF 3         time travel
-        SELECT ... FROM table_changes('t', 0)     CDF since v0
-        SELECT ... FROM table_changes('t', 0, 5)  CDF (0, 5]
-
-    Each distinct (name, version) pin registers one temp view named
-    `<name>__v<N>` (change feeds: `<name>__changes_<f>_<t>`); the
-    rewritten text — identical except those relation tokens — runs
-    through spark.sql, so joins against non-lake views, CTEs, window
-    functions, etc. all compose. Registration is manifest-scale work;
-    no data is read until the returned DataFrame executes."""
+def _rewrite_reads(spark: SparkSession, query: str, tables: dict[str, str]) -> str:
+    """Resolve every lake-relation idiom in `query` to a pinned temp
+    view and return the rewritten text (see lake_sql)."""
     rewritten = query
     for name, path in tables.items():
         _safe(name)
@@ -120,4 +120,245 @@ def lake_sql(
         # bare references → latest snapshot (registered once, pinned)
         if re.search(rf"\b{name}\b", rewritten):
             lake_register(spark, name, path)
-    return spark.sql(rewritten)
+    return rewritten
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at paren/quote nesting depth 0 — the SET-list
+    and column-list separator (an expression like `concat(a, b)` or a
+    literal `','` must not split)."""
+    out, buf, depth, q = [], [], 0, None
+    for ch in s:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _table_path(name: str, tables: dict[str, str]) -> str:
+    if name not in tables:
+        raise ValueError(
+            f"DML target {name!r} is not a lake table in `tables` "
+            f"(got {sorted(tables)})"
+        )
+    return tables[name]
+
+
+def _dml_result(spark: SparkSession, op: str, version: int) -> DataFrame:
+    return spark.createDataFrame(
+        [Row(op=op, version=int(version))], "op string, version bigint"
+    )
+
+
+_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\)\s*)?"
+    r"((?:SELECT|VALUES|WITH|TABLE)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+({_IDENT})\s*(?:WHERE\s+(.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?\s+"
+    rf"USING\s+(\((?:[^()]|\([^()]*\))*\)|{_IDENT})(?:\s+AS\s+({_IDENT}))?\s+"
+    r"ON\s+(.*?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _run_insert(
+    spark: SparkSession, m: "re.Match[str]", tables: dict[str, str]
+) -> DataFrame:
+    import pyspark.sql.types as T
+
+    name, col_list, source = m.group(1), m.group(2), m.group(3)
+    path = _table_path(name, tables)
+    src = spark.sql(_rewrite_reads(spark, source, tables))
+    latest = _latest_version(path)
+    given = (
+        [c.strip() for c in _split_top(col_list)] if col_list else None
+    )
+    if latest is None:
+        # creating insert: the source's (or the column list's) names
+        # become the table schema
+        if given:
+            if len(given) != len(src.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(given)} names, "
+                    f"source has {len(src.columns)} columns"
+                )
+            src = src.toDF(*given)
+        return _dml_result(spark, "insert", lake_write(src, path))
+    schema = T.StructType.fromJson(_read_manifest(path, latest)["schema"])
+    fields = {f.name: f for f in schema.fields}
+    if given is None:
+        given = [f.name for f in schema.fields]
+    unknown = [c for c in given if c not in fields]
+    if unknown:
+        raise ValueError(f"INSERT column list names unknown columns {unknown}")
+    if len(given) != len(src.columns):
+        raise ValueError(
+            f"INSERT column list has {len(given)} names, "
+            f"source has {len(src.columns)} columns"
+        )
+    src = src.toDF(*given)  # positional, like SQL INSERT
+    out = src.select(
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in given
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    return _dml_result(spark, "insert", lake_write(out, path, mode="append"))
+
+
+def _run_merge(
+    spark: SparkSession, m: "re.Match[str]", tables: dict[str, str]
+) -> DataFrame:
+    name, t_alias, source, s_alias, on = m.groups()[:5]
+    path = _table_path(name, tables)
+    if source.startswith("("):
+        src = spark.sql(_rewrite_reads(spark, source[1:-1], tables))
+    elif source in tables:
+        src = lake_read(spark, tables[source])
+    else:
+        src = spark.table(source)
+    aliases = {a for a in (t_alias, s_alias, name, source) if a}
+    keys: list[str] = []
+    for clause in re.split(r"\s+AND\s+", on, flags=re.IGNORECASE):
+        eq = re.match(
+            rf"^\s*(?:({_IDENT})\.)?({_IDENT})\s*=\s*(?:({_IDENT})\.)?({_IDENT})\s*$",
+            clause,
+        )
+        if not eq or eq.group(2) != eq.group(4):
+            raise ValueError(
+                f"MERGE ON supports conjunctions of `t.k = s.k` key "
+                f"equalities only, got {clause.strip()!r}"
+            )
+        for q in (eq.group(1), eq.group(3)):
+            if q and q not in aliases:
+                raise ValueError(f"MERGE ON references unknown alias {q!r}")
+        keys.append(eq.group(2))
+    return _dml_result(
+        spark, "merge", lake_merge(spark, src, path, tuple(keys))
+    )
+
+
+def _run_dml(
+    spark: SparkSession,
+    query: str,
+    tables: dict[str, str],
+    delete_strategy: str,
+) -> DataFrame:
+    stmt = query.strip().rstrip(";")
+    m = _INSERT_RE.match(stmt)
+    if m:
+        return _run_insert(spark, m, tables)
+    m = _DELETE_RE.match(stmt)
+    if m:
+        path = _table_path(m.group(1), tables)
+        cond = m.group(2) or "true"
+        return _dml_result(
+            spark,
+            "delete",
+            lake_delete(spark, path, F.expr(cond), strategy=delete_strategy),
+        )
+    m = _MERGE_RE.match(stmt)
+    if m:
+        return _run_merge(spark, m, tables)
+    m = _UPDATE_RE.match(stmt)
+    if m:
+        path = _table_path(m.group(1), tables)
+        assignments: dict[str, str] = {}
+        for item in _split_top(m.group(2)):
+            a = re.match(rf"^({_IDENT})\s*=\s*(.+)$", item, re.DOTALL)
+            if not a:
+                raise ValueError(f"bad UPDATE SET assignment {item!r}")
+            assignments[a.group(1)] = a.group(2)
+        cond = m.group(3) or "true"
+        return _dml_result(
+            spark, "update", lake_update(spark, path, assignments, cond)
+        )
+    raise ValueError(
+        "unsupported DML shape — supported: "
+        "INSERT INTO t [(cols)] SELECT/VALUES ..., "
+        "DELETE FROM t [WHERE ...], UPDATE t SET a=e[, ...] [WHERE ...], "
+        "MERGE INTO t USING s ON t.k=s.k WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def lake_sql(
+    spark: SparkSession,
+    query: str,
+    tables: dict[str, str],
+    delete_strategy: str = "cow",
+) -> DataFrame:
+    """Run ANSI SQL text over lake tables. `tables` maps relation
+    names appearing in the text to lake table paths. Supported idioms
+    on those names:
+
+        SELECT ... FROM t                         latest snapshot
+        SELECT ... FROM t VERSION AS OF 3         time travel
+        SELECT ... FROM table_changes('t', 0)     CDF since v0
+        SELECT ... FROM table_changes('t', 0, 5)  CDF (0, 5]
+
+    and, statement-level (one DML statement per call, returning a
+    one-row `(op, version)` DataFrame):
+
+        INSERT INTO t [(c1, ...)] SELECT ... | VALUES ...
+        DELETE FROM t [WHERE <cond>]              (`delete_strategy`:
+                                                   'cow' | 'dv')
+        UPDATE t SET c1 = e1[, ...] [WHERE <cond>]
+        MERGE INTO t USING <src|(subquery)> ON t.k = s.k [AND ...]
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+
+    The statement SHELL is parsed here (restricted, documented
+    grammar — anything else raises with the supported shapes); every
+    embedded expression — predicates, SET values, the INSERT/MERGE
+    source query — is handed to Catalyst verbatim, so functions,
+    CASE, casts, and joins inside them are full Spark SQL. An INSERT
+    source may itself read lake relations (pinned snapshots resolve
+    before the write starts — INSERT INTO t SELECT ... FROM t is the
+    classic self-referential backfill and reads the PRE-insert
+    snapshot). DML atomicity, conflict retry, and CDF fidelity are
+    the library calls' own (lake_write / lake_delete / lake_update /
+    lake_merge).
+
+    For reads: each distinct (name, version) pin registers one temp
+    view named `<name>__v<N>` (change feeds:
+    `<name>__changes_<f>_<t>`); the rewritten text — identical except
+    those relation tokens — runs through spark.sql, so joins against
+    non-lake views, CTEs, window functions, etc. all compose.
+    Registration is manifest-scale work; no data is read until the
+    returned DataFrame executes."""
+    if re.match(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", query, re.IGNORECASE):
+        return _run_dml(spark, query, tables, delete_strategy)
+    return spark.sql(_rewrite_reads(spark, query, tables))

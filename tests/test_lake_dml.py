@@ -1,0 +1,317 @@
+"""lake_update (COW UPDATE with CDF preimage addresses) and the
+lake_sql DML grammar (INSERT INTO / UPDATE / DELETE FROM / MERGE
+INTO): atomicity, three-valued WHERE logic, change-feed fidelity,
+vacuum liveness of the preimage addresses, and the statement-shell
+parser's refusal shapes."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ndvi_etl_pipeline_spark.sources.lake import (
+    lake_alter_constraints,
+    lake_delete,
+    lake_history,
+    lake_read,
+    lake_read_cdf,
+    lake_rename_column,
+    lake_update,
+    lake_vacuum,
+    lake_write,
+)
+from ndvi_etl_pipeline_spark.sources.lake_sql import lake_sql
+
+
+def _lm(table_path, version):
+    from ndvi_etl_pipeline_spark.sources.lake import _read_manifest
+
+    return _read_manifest(table_path, version)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+# --- lake_update -----------------------------------------------------------
+
+
+def test_update_basic_and_no_match_is_noop(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    lake_write(_df(spark, [(3, "c")]).coalesce(1), t)
+    v = lake_update(spark, t, {"v": F.upper(F.col("v"))}, F.col("k") >= 2)
+    assert v == 2
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "C")}
+    # matching nothing publishes no snapshot
+    assert lake_update(spark, t, {"v": F.lit("x")}, F.col("k") > 99) == 2
+    # old snapshots intact (time travel across the update)
+    assert {r.v for r in lake_read(spark, t, version=1).collect()} == {
+        "a", "b", "c",
+    }
+    assert [h["op"] for h in lake_history(t)] == ["append", "append", "update"]
+
+
+def test_update_rewrites_only_hit_files(spark, tmp_path):
+    """COW granularity: a file with no matching row carries over
+    VERBATIM (same entry path), never rewritten."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]).coalesce(1), t)
+    lake_write(_df(spark, [(100, "z")]).coalesce(1), t)
+    before = {e["path"] for e in _lm(t, 1)["files"]}
+    lake_update(spark, t, {"v": F.lit("Z")}, F.col("k") >= 100)
+    m = _lm(t, 2)
+    after = {e["path"] for e in m["files"]}
+    untouched = before & after
+    assert len(untouched) == 1  # the k=1 file carried over
+    assert len(m["rewrote_files"]) == 1
+    assert set(m["rewrote_files"]) == before - after
+
+
+def test_update_null_predicate_rows_survive(spark, tmp_path):
+    """SQL three-valued logic: WHERE evaluating NULL means NOT
+    MATCHED — the row must carry over, even when its FILE is
+    rewritten for a true-pred neighbour."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "c")], "k int, v string")
+    lake_write(df.coalesce(1), t)  # one file: nulls share it
+    lake_update(spark, t, {"k": F.col("k") + 10}, F.col("v") != "c")
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(11, "a"), (2, None), (3, "c")}
+
+
+def test_delete_cow_null_predicate_rows_survive(spark, tmp_path):
+    """Regression: COW delete used filter(~pred) for survivors, which
+    silently dropped null-pred rows sharing a file with a matched
+    row; the DV path never had the asymmetry. Both must agree."""
+    for strategy in ("cow", "dv"):
+        t = str(tmp_path / f"t_{strategy}")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a")], "k int, v string"
+        )
+        lake_write(df.coalesce(1), t)
+        lake_delete(spark, t, F.col("v") == "a", strategy=strategy)
+        got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+        assert got == {(2, None)}, strategy
+
+
+def test_update_respects_deletion_vectors(spark, tmp_path):
+    """Rows dv-deleted before the update are INVISIBLE: the update
+    must neither update nor resurrect them."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t)
+    lake_delete(spark, t, F.col("k") == 2, strategy="dv")
+    lake_update(spark, t, {"v": F.lit("U")}, F.lit(True))
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "U"), (3, "U")}
+
+
+def test_update_cdf_emits_preimage_delete_postimage_insert(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t)
+    v = lake_update(spark, t, {"v": F.upper(F.col("v"))}, F.col("k") <= 2)
+    feed = lake_read_cdf(spark, t, 0, v).collect()
+    ev = {(r.k, r.v, r._change_type, r._commit_version) for r in feed}
+    assert ev == {
+        (1, "a", "delete", 1),
+        (2, "b", "delete", 1),
+        (1, "A", "insert", 1),
+        (2, "B", "insert", 1),
+    }
+    # multiset compose: snapshot(0) + inserts - deletes == snapshot(v)
+    base = {(r.k, r.v) for r in lake_read(spark, t, version=0).collect()}
+    ins = {(r.k, r.v) for r in feed if r._change_type == "insert"}
+    dels = {(r.k, r.v) for r in feed if r._change_type == "delete"}
+    assert (base | ins) - dels == {
+        (r.k, r.v) for r in lake_read(spark, t).collect()
+    }
+
+
+def test_update_partition_column_moves_rows(spark, tmp_path):
+    """Updating a partition column relocates rows across hive dirs
+    and the recorded per-file partition values stay prune-exact."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "us", "a"), (2, "eu", "b"), (3, "eu", "c")],
+        "k int, region string, v string",
+    )
+    lake_write(df, t, partition_by=("region",))
+    lake_update(
+        spark, t, {"region": F.lit("apac")}, F.col("region") == "eu"
+    )
+    got = {(r.k, r.region) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "us"), (2, "apac"), (3, "apac")}
+    # pruning by the NEW value finds the moved rows
+    pruned = lake_read(spark, t, where=[("region", "=", "apac")])
+    assert {r.k for r in pruned.collect()} == {2, 3}
+
+
+def test_update_on_renamed_column_mapped_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    lake_rename_column(t, "v", "label")
+    lake_update(spark, t, {"label": F.lit("up")}, F.col("k") == 2)
+    got = {(r.k, r.label) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "up")}
+
+
+def test_update_enforces_check_constraints(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]).coalesce(1), t)
+    lake_alter_constraints(spark, t, add_checks={"k_pos": "k > 0"})
+    with pytest.raises(ValueError, match="k_pos"):
+        lake_update(spark, t, {"k": F.lit(-5)}, F.lit(True))
+    # table unchanged after the refused update
+    assert {r.k for r in lake_read(spark, t).collect()} == {1}
+
+
+def test_update_unknown_column_refused(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="unknown columns"):
+        lake_update(spark, t, {"nope": F.lit(1)}, F.lit(True))
+
+
+def test_vacuum_keeps_then_collects_update_preimage(spark, tmp_path):
+    """The preimage-address parquet lives exactly as long as its
+    version's history: kept while the update commit is kept (CDF
+    still reads), collected once vacuum drops the commit."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    v = lake_update(spark, t, {"v": F.lit("u")}, F.col("k") == 1)
+    pre_rel = _lm(t, v)["update_preimage_dv"]
+    lake_write(_df(spark, [(9, "z")]).coalesce(1), t)
+    lake_vacuum(t, keep_last=3, retention_seconds=0)
+    assert os.path.isdir(os.path.join(t, pre_rel))
+    assert len(lake_read_cdf(spark, t, 0, v).collect()) == 2
+    lake_vacuum(t, keep_last=1, retention_seconds=0)
+    files = []
+    root = os.path.join(t, pre_rel)
+    if os.path.isdir(root):
+        for _, _, names in os.walk(root):
+            files += [n for n in names if n.endswith(".parquet")]
+    assert not files  # collected with its dropped history
+
+
+# --- lake_sql DML ----------------------------------------------------------
+
+
+def test_sql_insert_values_and_select(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)
+    r = lake_sql(
+        spark, "INSERT INTO tbl VALUES (2, 'b'), (3, 'c')", {"tbl": t}
+    ).collect()[0]
+    assert (r.op, r.version) == ("insert", 1)
+    # self-referential backfill reads the PRE-insert snapshot
+    lake_sql(
+        spark,
+        "INSERT INTO tbl SELECT k + 10, upper(v) FROM tbl WHERE k >= 2",
+        {"tbl": t},
+    )
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (12, "B"), (13, "C")}
+
+
+def test_sql_insert_column_list_fills_null(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)
+    lake_sql(spark, "INSERT INTO tbl (k) VALUES (7)", {"tbl": t})
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "a"), (7, None)}
+    with pytest.raises(ValueError, match="unknown columns"):
+        lake_sql(spark, "INSERT INTO tbl (nope) VALUES (1)", {"tbl": t})
+    with pytest.raises(ValueError, match="column list has"):
+        lake_sql(spark, "INSERT INTO tbl (k) VALUES (1, 'x')", {"tbl": t})
+
+
+def test_sql_update_delete_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t)
+    lake_sql(
+        spark,
+        "UPDATE tbl SET v = concat(v, '!'), k = k * 10 WHERE k < 3",
+        {"tbl": t},
+    )
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(10, "a!"), (20, "b!"), (3, "c")}
+    r = lake_sql(
+        spark, "DELETE FROM tbl WHERE k = 20", {"tbl": t}
+    ).collect()[0]
+    assert r.op == "delete"
+    assert {x.k for x in lake_read(spark, t).collect()} == {10, 3}
+    # dv strategy: no file rewritten
+    before = {e["path"] for e in _lm(t, int(r.version))["files"]}
+    lake_sql(
+        spark, "DELETE FROM tbl WHERE k = 3", {"tbl": t},
+        delete_strategy="dv",
+    )
+    m = _lm(t, int(r.version) + 1)
+    assert {e["path"] for e in m["files"]} == before and m.get("dvs")
+    assert {x.k for x in lake_read(spark, t).collect()} == {10}
+
+
+def test_sql_merge_upsert(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    lake_sql(
+        spark,
+        "MERGE INTO tbl USING (SELECT 2 AS k, 'B' AS v UNION ALL "
+        "SELECT 3, 'C') AS s ON tbl.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"tbl": t},
+    )
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_sql_merge_lake_to_lake(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    lake_write(_df(spark, [(1, "new"), (5, "ins")]), src)
+    lake_write(_df(spark, [(1, "old"), (2, "keep")]), dst)
+    lake_sql(
+        spark,
+        "MERGE INTO dst USING src ON dst.k = src.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        {"dst": dst, "src": src},
+    )
+    got = {(r.k, r.v) for r in lake_read(spark, dst).collect()}
+    assert got == {(1, "new"), (2, "keep"), (5, "ins")}
+
+
+def test_sql_dml_refusals(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="unsupported DML shape"):
+        lake_sql(spark, "UPDATE tbl", {"tbl": t})
+    with pytest.raises(ValueError, match="not a lake table"):
+        lake_sql(spark, "DELETE FROM other WHERE k = 1", {"tbl": t})
+    with pytest.raises(ValueError, match="key.*equalities only"):
+        lake_sql(
+            spark,
+            "MERGE INTO tbl USING (SELECT 1 AS k, 'x' AS v) AS s "
+            "ON tbl.k > s.k WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            {"tbl": t},
+        )
+    with pytest.raises(ValueError, match="unsupported DML shape"):
+        # only SET * / INSERT * actions are in the grammar
+        lake_sql(
+            spark,
+            "MERGE INTO tbl USING (SELECT 1 AS k) AS s ON tbl.k = s.k "
+            "WHEN MATCHED THEN DELETE",
+            {"tbl": t},
+        )
+
+
+def test_sql_insert_creates_new_table(spark, tmp_path):
+    t = str(tmp_path / "fresh")
+    lake_sql(
+        spark,
+        "INSERT INTO fresh (k, v) VALUES (1, 'a'), (2, 'b')",
+        {"fresh": t},
+    )
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b")}

@@ -484,3 +484,40 @@ def q_lake_sql_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"cust": t},
     )
+
+
+@register(
+    "lake_sql_tag_travel",
+    oracle="""
+        SELECT 'tagged' AS snap, r_regionkey AS region, r_name AS name
+        FROM region
+        UNION ALL
+        SELECT 'latest', r_regionkey, upper(r_name)
+        FROM region WHERE r_regionkey >= 2
+    """,
+    tags=("lakehouse", "sql", "tags", "time-travel"),
+)
+def q_lake_sql_tag_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot refs (Iceberg-style TAGS) through SQL: the
+    pre-mutation snapshot is tagged 'certified'; an UPDATE + DELETE
+    move the table forward; `VERSION AS OF 'certified'` still reads
+    the exact tagged corpus while the bare name reads latest — the
+    release-pinning idiom a training-data pipeline needs (the corpus
+    run 7 trained on, by name, forever)."""
+    from ...sources.lake import lake_tag
+
+    t = _tmp("tag")
+    lake_write(_t(spark, sf_dir, "region"), t)
+    lake_tag(t, "certified")
+    lake_sql(spark, "UPDATE reg SET r_name = upper(r_name)", {"reg": t})
+    lake_sql(spark, "DELETE FROM reg WHERE r_regionkey < 2", {"reg": t})
+    return lake_sql(
+        spark,
+        """
+        SELECT 'tagged' AS snap, r_regionkey AS region, r_name AS name
+        FROM reg VERSION AS OF 'certified'
+        UNION ALL
+        SELECT 'latest', r_regionkey, r_name FROM reg
+        """,
+        {"reg": t},
+    )

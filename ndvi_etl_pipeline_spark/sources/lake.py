@@ -1601,7 +1601,7 @@ def _plan_files_spark(
 def lake_read(
     spark: SparkSession,
     path: str,
-    version: int | None = None,
+    version: int | str | None = None,
     where: list[tuple] | None = None,
     prune_only: bool = False,
 ) -> DataFrame:
@@ -1628,7 +1628,7 @@ def lake_read(
     latest = _latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"no manifest lake at {path}")
-    v = latest if version is None else version
+    v = latest if version is None else _resolve_version(path, version)
     rec = _read_delta(path, v)
     part_by = tuple(rec.get("partition_by") or ())
     # manifest pruning lives in PHYSICAL column space (stats/blooms/
@@ -1664,8 +1664,8 @@ def lake_read(
 def lake_read_changes(
     spark: SparkSession,
     path: str,
-    from_version: int,
-    to_version: int | None = None,
+    from_version: int | str,
+    to_version: int | str | None = None,
 ) -> DataFrame:
     """CDC-lite incremental read: the rows APPENDED strictly after
     snapshot `from_version` up to and including `to_version` (default
@@ -1684,11 +1684,13 @@ def lake_read_changes(
     Those histories raise ValueError — re-read the full snapshot
     instead (the honest boundary). For row-level change feeds across
     dv-delete commits, use lake_read_cdf, which tags inserts AND
-    deletes (the deletion-vector sets make row deletes diffable)."""
+    deletes (the deletion-vector sets make row deletes diffable).
+    Either bound may be a TAG name."""
     latest = _latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"no manifest lake at {path}")
-    to_v = latest if to_version is None else to_version
+    from_version = _resolve_version(path, from_version)
+    to_v = latest if to_version is None else _resolve_version(path, to_version)
     if from_version > to_v:
         raise ValueError(f"from_version {from_version} > to_version {to_v}")
     to_m = _read_manifest(path, to_v)
@@ -1716,8 +1718,8 @@ def lake_read_changes(
 def lake_read_cdf(
     spark: SparkSession,
     path: str,
-    from_version: int,
-    to_version: int | None = None,
+    from_version: int | str,
+    to_version: int | str | None = None,
 ) -> DataFrame:
     """Row-level CHANGE DATA FEED between two snapshots: every row
     appended or dv-deleted in (from, to], tagged with `_change_type`
@@ -1741,11 +1743,13 @@ def lake_read_cdf(
     fails honestly). Commits that rewrite files WITHOUT row-change
     metadata (cow delete, compact, overwrite, restore, pre-upgrade
     merges) are refused — their file diff does not mean row changes
-    (the honest boundary lake_read_changes draws)."""
+    (the honest boundary lake_read_changes draws). Either bound may
+    be a TAG name."""
     latest = _latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"no manifest lake at {path}")
-    to_v = latest if to_version is None else to_version
+    from_version = _resolve_version(path, from_version)
+    to_v = latest if to_version is None else _resolve_version(path, to_version)
     if from_version > to_v:
         raise ValueError(f"from_version {from_version} > to_version {to_v}")
     to_m = _read_manifest(path, to_v)
@@ -1932,6 +1936,108 @@ def lake_latest_version(path: str) -> int | None:
     return _latest_version(path)
 
 
+# --- tags: named snapshot refs (Iceberg tags) ------------------------------
+
+_TAG_NAME = re.compile(r"^[A-Za-z_][\w.-]*$")
+
+
+def _refs_dir(path: str) -> str:
+    return os.path.join(_manifest_dir(path), "refs")
+
+
+def _tag_file(path: str, name: str) -> str:
+    if not _TAG_NAME.match(name):
+        raise ValueError(f"bad tag name {name!r}")
+    return os.path.join(_refs_dir(path), f"{name}.json")
+
+
+def _resolve_version(path: str, version):
+    """int/None pass through; a str resolves a TAG to its pinned
+    version — the one indirection every version-taking API accepts."""
+    if version is None or isinstance(version, int):
+        return version
+    tf = _tag_file(path, version)
+    try:
+        with open(tf) as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        raise KeyError(
+            f"no tag {version!r} at {path} (tags: {sorted(lake_tags(path))})"
+        ) from None
+
+
+def lake_tag(
+    path: str, name: str, version: int | None = None, replace: bool = False
+) -> int:
+    """Name a snapshot (Iceberg-style TAG): a durable, human-readable
+    alias for `version` (default: latest) that every version-taking
+    API — lake_read, lake_restore, the change feeds, `VERSION AS OF`
+    in SQL — resolves. Tags also ANCHOR vacuum: a tagged snapshot's
+    files and reconstruction checkpoint survive history drops, so
+    'the exact corpus we trained run 7 on' stays readable for years
+    while the working history is vacuumed weekly.
+
+    Creation is compare-and-set (temp-write + hard-link): racing
+    writers on the same fresh name — one wins, the rest get
+    FileExistsError. `replace=True` retargets atomically
+    (last-writer-wins, the mutable-ref semantics Iceberg gives
+    branches)."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no manifest lake at {path}")
+    v = latest if version is None else int(version)
+    if not 0 <= v <= latest:
+        raise ValueError(f"tag target v{v} outside committed history 0..{latest}")
+    if not os.path.exists(os.path.join(_manifest_dir(path), f"v{v}.json")):
+        raise ValueError(f"tag target v{v} was vacuumed away")
+    tf = _tag_file(path, name)
+    os.makedirs(_refs_dir(path), exist_ok=True)
+    rec = {"name": name, "version": v, "ts": time.time()}
+    tmp = tf + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    if replace:
+        os.replace(tmp, tf)
+        return v
+    try:
+        os.link(tmp, tf)
+    except FileExistsError:
+        raise FileExistsError(
+            f"tag {name!r} already exists at {path} (replace=True to move it)"
+        ) from None
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return v
+
+
+def lake_tags(path: str) -> dict[str, int]:
+    """All tags as {name: version}."""
+    rd = _refs_dir(path)
+    out: dict[str, int] = {}
+    if not os.path.isdir(rd):
+        return out
+    for f in sorted(os.listdir(rd)):
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(rd, f)) as fh:
+                rec = json.load(fh)
+            out[rec["name"]] = int(rec["version"])
+        except (OSError, ValueError, KeyError):
+            continue  # torn tmp or concurrent drop: skip
+    return out
+
+
+def lake_drop_tag(path: str, name: str) -> None:
+    """Remove a tag. The snapshot it named stays readable until the
+    next vacuum stops seeing a reason to keep it."""
+    try:
+        os.remove(_tag_file(path, name))
+    except FileNotFoundError:
+        raise KeyError(f"no tag {name!r} at {path}") from None
+
+
 def lake_column_max(path: str, col: str, version: int | None = None):
     """Max of an orderable column across a snapshot computed from
     MANIFEST STATS ALONE — zero data files read, driver work is
@@ -1959,14 +2065,15 @@ def lake_column_max(path: str, col: str, version: int | None = None):
     return best
 
 
-def lake_restore(path: str, version: int) -> int:
+def lake_restore(path: str, version: int | str) -> int:
     """RESTORE the table to an earlier snapshot AS A NEW COMMIT: the
     target version's file set, schema, DVs, layout, and constraints
     re-publish at latest+1 (Delta RESTORE). History is preserved —
     the bad commits stay inspectable between the two good states, and
     a concurrent reader never sees a rollback tear. Requires the
     target manifest (and its data files) to still exist, i.e. not
-    vacuumed. Returns the new version."""
+    vacuumed. `version` may be a TAG name. Returns the new version."""
+    version = _resolve_version(path, version)
 
     def once() -> int:
         latest = _latest_version(path)
@@ -2904,6 +3011,21 @@ def lake_vacuum(
         lake_checkpoint(path, keep_from)
     kept_files: set[str] = set()
     kept_dv_dirs: set[str] = set()
+    # TAGGED snapshots below the keep window are anchors too: each
+    # gets its own reconstruction checkpoint, keeps its delta segment
+    # (the scalar state — schema, layout — lives there), and pins its
+    # files/DVs. 'v-tagged-for-the-audit' stays readable for years
+    # while the working history is vacuumed weekly.
+    tagged: set[int] = set()
+    for tv in sorted(set(lake_tags(path).values())):
+        if tv < keep_from:
+            tagged.add(tv)
+            lake_checkpoint(path, tv)
+            kept_files.update(_paths(_files_at(path, tv)))
+            trec = _read_delta(path, tv)
+            kept_dv_dirs.update(trec.get("dvs") or [])
+            if trec.get("update_preimage_dv"):
+                kept_dv_dirs.add(trec["update_preimage_dv"])
     entries = _files_at(path, keep_from)
     kept_files.update(_paths(entries))
     for v in range(keep_from, latest + 1):
@@ -2956,12 +3078,15 @@ def lake_vacuum(
                     if f.endswith(".parquet"):
                         _rm(os.path.relpath(os.path.join(root, f), path))
     # drop the history: delta segments and checkpoints below keep_from
+    # (tagged anchors keep both)
     for v in range(keep_from):
+        if v in tagged:
+            continue
         mf = os.path.join(_manifest_dir(path), f"v{v}.json")
         if os.path.exists(mf):
             os.remove(mf)
     for c in _ckpt_versions(path):
-        if c < keep_from:
+        if c < keep_from and c not in tagged:
             try:
                 os.remove(_ckpt_file(path, c))
             except OSError:

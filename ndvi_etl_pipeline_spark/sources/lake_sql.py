@@ -49,7 +49,7 @@ def lake_register(
     spark: SparkSession,
     name: str,
     path: str,
-    version: int | None = None,
+    version: int | str | None = None,
 ) -> DataFrame:
     """Register lake table `path` as temp view `name`, pinned at
     `version` (default: the latest snapshot AT REGISTRATION TIME —
@@ -65,8 +65,8 @@ def lake_register(
 def lake_table_changes(
     spark: SparkSession,
     path: str,
-    from_version: int,
-    to_version: int | None = None,
+    from_version: int | str,
+    to_version: int | str | None = None,
     view: str | None = None,
 ) -> DataFrame:
     """The row-level change feed (lake_read_cdf) as a DataFrame,
@@ -86,32 +86,37 @@ def _rewrite_reads(spark: SparkSession, query: str, tables: dict[str, str]) -> s
     for name, path in tables.items():
         _safe(name)
 
-        # table_changes('name', from[, to]) → pinned CDF view
+        # table_changes('name', from[, to]) → pinned CDF view; each
+        # bound is a version number or a quoted TAG name
+        def _bound(tok: str):
+            return tok[1:-1] if tok.startswith("'") else int(tok)
+
         def _sub_changes(m: "re.Match[str]") -> str:
-            f = int(m.group(1))
+            f = _bound(m.group(1))
             t = m.group(2)
-            to_v = int(t) if t is not None else None
+            to_v = _bound(t) if t is not None else None
             view = f"{name}__changes_{f}_{'latest' if to_v is None else to_v}"
-            view = view.replace("-", "m")  # from_version=-1
+            view = view.replace("-", "m").replace(".", "_")  # -1 / tag dots
             lake_table_changes(spark, path, f, to_v, view=view)
             return view
 
+        _vtok = r"-?\d+|'[A-Za-z_][\w.-]*'"
         rewritten = re.sub(
-            rf"table_changes\(\s*'{name}'\s*,\s*(-?\d+)\s*(?:,\s*(\d+)\s*)?\)",
+            rf"table_changes\(\s*'{name}'\s*,\s*({_vtok})\s*(?:,\s*({_vtok})\s*)?\)",
             _sub_changes,
             rewritten,
             flags=re.IGNORECASE,
         )
 
-        # name VERSION AS OF n → pinned snapshot view
+        # name VERSION AS OF n | 'tag' → pinned snapshot view
         def _sub_asof(m: "re.Match[str]") -> str:
-            v = int(m.group(1))
-            view = f"{name}__v{v}"
+            v = _bound(m.group(1))
+            view = f"{name}__v{v}".replace(".", "_").replace("-", "m")
             lake_register(spark, view, path, version=v)
             return view
 
         rewritten = re.sub(
-            rf"\b{name}\s+VERSION\s+AS\s+OF\s+(\d+)",
+            rf"\b{name}\s+VERSION\s+AS\s+OF\s+(\d+|'[A-Za-z_][\w.-]*')",
             _sub_asof,
             rewritten,
             flags=re.IGNORECASE,
@@ -326,8 +331,10 @@ def lake_sql(
 
         SELECT ... FROM t                         latest snapshot
         SELECT ... FROM t VERSION AS OF 3         time travel
+        SELECT ... FROM t VERSION AS OF 'v1.2'    time travel by TAG
         SELECT ... FROM table_changes('t', 0)     CDF since v0
         SELECT ... FROM table_changes('t', 0, 5)  CDF (0, 5]
+        SELECT ... FROM table_changes('t', 'a', 'b')   CDF between tags
 
     and, statement-level (one DML statement per call, returning a
     one-row `(op, version)` DataFrame):

@@ -521,3 +521,68 @@ def q_lake_sql_tag_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"reg": t},
     )
+
+
+@register(
+    "lake_sql_merge_delete_insert_only",
+    oracle="""
+        WITH retracted AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0
+            )
+        ), ingested AS (
+            SELECT * FROM retracted
+            UNION ALL
+            SELECT c_custkey + 900000000, c_mktsegment, c_acctbal
+            FROM customer WHERE c_custkey % 7 = 0
+        )
+        SELECT c_mktsegment AS seg, count(*) AS n,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        FROM ingested GROUP BY c_mktsegment
+    """,
+    tags=("lakehouse", "sql", "dml", "merge"),
+)
+def q_lake_sql_merge_delete_insert_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The two non-upsert MERGE shapes back-to-back: WHEN MATCHED THEN
+    DELETE retracts every 10th customer as a deletion-vector commit
+    (CDC retraction — no file rewritten), then WHEN NOT MATCHED THEN
+    INSERT * ingests shifted copies of every 7th customer idempotently
+    (already-present keys no-op). The read-back equals the relational
+    anti-join + union."""
+    t = _tmp("mdi")
+    lake_write(
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ),
+        t,
+    )
+    lake_sql(
+        spark,
+        "MERGE INTO cust USING ("
+        "  SELECT c_custkey FROM cust WHERE c_custkey % 10 = 0"
+        ") AS s ON cust.c_custkey = s.c_custkey "
+        "WHEN MATCHED THEN DELETE",
+        {"cust": t},
+    )
+    lake_sql(
+        spark,
+        "MERGE INTO cust USING ("
+        "  SELECT c_custkey + 900000000 AS c_custkey, c_mktsegment,"
+        "         c_acctbal"
+        "  FROM cust VERSION AS OF 0 WHERE c_custkey % 7 = 0"
+        ") AS s ON cust.c_custkey = s.c_custkey "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"cust": t},
+    )
+    return lake_sql(
+        spark,
+        """
+        SELECT c_mktsegment AS seg, count(*) AS n,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        FROM cust GROUP BY c_mktsegment
+        """,
+        {"cust": t},
+    )

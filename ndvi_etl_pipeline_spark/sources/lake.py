@@ -2648,6 +2648,81 @@ def lake_merge(
     return _retry_cow("merge", path, once)
 
 
+def lake_merge_insert_only(
+    spark: SparkSession, updates: DataFrame, path: str, keys: tuple[str, ...]
+) -> int:
+    """MERGE ... WHEN NOT MATCHED THEN INSERT * (and nothing on
+    match): append exactly the update rows whose key is ABSENT from
+    the table — idempotent ingestion (re-delivering a batch inserts
+    nothing the second time), the reference's ON CONFLICT DO NOTHING
+    (src/load/load_to_postgis.py upsert-ignore) lifted to the lake.
+
+    The existing-key probe is one table scan semi-joined against the
+    broadcast update keys (the same bounded shape lake_merge uses);
+    the commit is a plain append (op 'append' — the change feed and
+    incremental readers see it as the insert it is). The probe and
+    the commit run inside the optimistic retry TOGETHER: losing the
+    version race re-probes from the winner's snapshot, so a
+    concurrent writer inserting the same key can never slip a
+    duplicate between our anti-join and our commit (the
+    WriteSerializable hazard a bare lake_write append would have)."""
+
+    def once() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            return lake_write(updates, path)
+        m = _read_manifest(path, latest)
+        schema = T.StructType.fromJson(m["schema"])
+        merged_schema, casts = _evolve_schema(schema, updates.schema)
+        upd = updates
+        if casts:
+            upd = upd.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+        if m.get("constraints"):
+            _enforce_constraints(upd, schema, m["constraints"])
+        mapping = m.get("column_mapping")
+        if mapping:
+            added = [
+                f.name for f in upd.schema.fields
+                if f.name not in schema.fieldNames()
+            ]
+            mapping = _extend_mapping(_ensure_mapping(m), added)
+        key_df = upd.select(*keys).distinct()
+        new_rows = upd
+        if m["files"]:
+            existing = (
+                _read_entries(spark, path, m, m["files"])
+                .join(F.broadcast(key_df), list(keys), "left_semi")
+                .select(*keys)
+                .distinct()
+            )
+            new_rows = upd.join(F.broadcast(existing), list(keys), "left_anti")
+        n = new_rows.count()
+        if n == 0:
+            return latest  # every key already present: no snapshot
+        part_by = tuple(m.get("partition_by") or ())
+        bl_cols = tuple(m.get("bloom_cols") or ())
+        entries = _write_data_files(new_rows, path, part_by, bl_cols, mapping)
+        version = latest + 1
+        manifest = {
+            "version": version,
+            "op": "append",
+            "ts": time.time(),
+            "files": list(m["files"]) + entries,
+            "schema": merged_schema.jsonValue(),
+            "n_rows_delta": n,
+            "properties": {"merge": "insert_only", "merge_keys": list(keys)},
+        }
+        for k in ("partition_by", "bloom_cols", "constraints", "dvs"):
+            if m.get(k):
+                manifest[k] = m[k]
+        if mapping:
+            manifest["column_mapping"] = mapping
+        _commit(path, version, manifest)
+        return version
+
+    return _retry_cow("merge-insert-only", path, once)
+
+
 def lake_update(
     spark: SparkSession,
     path: str,

@@ -30,7 +30,9 @@ from .lake import (
     _latest_version,
     _read_manifest,
     lake_delete,
+    lake_delete_keys,
     lake_merge,
+    lake_merge_insert_only,
     lake_read,
     lake_read_cdf,
     lake_update,
@@ -188,9 +190,20 @@ _MERGE_RE = re.compile(
     rf"^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?\s+"
     rf"USING\s+(\((?:[^()]|\([^()]*\))*\)|{_IDENT})(?:\s+AS\s+({_IDENT}))?\s+"
     r"ON\s+(.*?)\s+"
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"(WHEN\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+# the three supported WHEN-clause shapes (whole tail each)
+_MERGE_UPSERT_RE = re.compile(
+    r"^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_MERGE_DELETE_RE = re.compile(
+    r"^WHEN\s+MATCHED\s+THEN\s+DELETE\s*$", re.IGNORECASE
+)
+_MERGE_INSERT_ONLY_RE = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$", re.IGNORECASE
 )
 
 
@@ -246,7 +259,7 @@ def _run_insert(
 def _run_merge(
     spark: SparkSession, m: "re.Match[str]", tables: dict[str, str]
 ) -> DataFrame:
-    name, t_alias, source, s_alias, on = m.groups()[:5]
+    name, t_alias, source, s_alias, on, actions = m.groups()[:6]
     path = _table_path(name, tables)
     if source.startswith("("):
         src = spark.sql(_rewrite_reads(spark, source[1:-1], tables))
@@ -270,8 +283,28 @@ def _run_merge(
             if q and q not in aliases:
                 raise ValueError(f"MERGE ON references unknown alias {q!r}")
         keys.append(eq.group(2))
-    return _dml_result(
-        spark, "merge", lake_merge(spark, src, path, tuple(keys))
+    if _MERGE_UPSERT_RE.match(actions):
+        return _dml_result(
+            spark, "merge", lake_merge(spark, src, path, tuple(keys))
+        )
+    if _MERGE_DELETE_RE.match(actions):
+        # delete every table row whose key appears in the source — the
+        # CDC retraction shape, landed as a deletion-vector commit
+        return _dml_result(
+            spark,
+            "merge_delete",
+            lake_delete_keys(spark, path, src, tuple(keys)),
+        )
+    if _MERGE_INSERT_ONLY_RE.match(actions):
+        return _dml_result(
+            spark,
+            "merge_insert",
+            lake_merge_insert_only(spark, src, path, tuple(keys)),
+        )
+    raise ValueError(
+        "unsupported MERGE actions — supported: "
+        "'WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *', "
+        "'WHEN MATCHED THEN DELETE', 'WHEN NOT MATCHED THEN INSERT *'"
     )
 
 
@@ -345,7 +378,13 @@ def lake_sql(
         UPDATE t SET c1 = e1[, ...] [WHERE <cond>]
         MERGE INTO t USING <src|(subquery)> ON t.k = s.k [AND ...]
           WHEN MATCHED THEN UPDATE SET *
-          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED THEN INSERT *           -- upsert
+        MERGE INTO t USING s ON t.k = s.k
+          WHEN MATCHED THEN DELETE                 -- CDC retraction
+                                                   -- (deletion-vector commit)
+        MERGE INTO t USING s ON t.k = s.k
+          WHEN NOT MATCHED THEN INSERT *           -- idempotent ingest
+                                                   -- (absent keys only)
 
     The statement SHELL is parsed here (restricted, documented
     grammar — anything else raises with the supported shapes); every

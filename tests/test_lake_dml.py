@@ -296,14 +296,52 @@ def test_sql_dml_refusals(spark, tmp_path):
             "WHEN NOT MATCHED THEN INSERT *",
             {"tbl": t},
         )
-    with pytest.raises(ValueError, match="unsupported DML shape"):
-        # only SET * / INSERT * actions are in the grammar
+    with pytest.raises(ValueError, match="unsupported MERGE actions"):
+        # per-action conditions are not in the grammar
         lake_sql(
             spark,
             "MERGE INTO tbl USING (SELECT 1 AS k) AS s ON tbl.k = s.k "
-            "WHEN MATCHED THEN DELETE",
+            "WHEN MATCHED AND tbl.k > 0 THEN DELETE",
             {"tbl": t},
         )
+
+
+def test_sql_merge_matched_delete(spark, tmp_path):
+    """WHEN MATCHED THEN DELETE: source keys retract table rows as a
+    deletion-vector commit (no file rewritten); absent keys no-op."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t)
+    before = {e["path"] for e in _lm(t, 0)["files"]}
+    r = lake_sql(
+        spark,
+        "MERGE INTO tbl USING (SELECT 2 AS k UNION ALL SELECT 99) AS s "
+        "ON tbl.k = s.k WHEN MATCHED THEN DELETE",
+        {"tbl": t},
+    ).collect()[0]
+    assert r.op == "merge_delete"
+    m = _lm(t, int(r.version))
+    assert {e["path"] for e in m["files"]} == before and m.get("dvs")
+    assert {x.k for x in lake_read(spark, t).collect()} == {1, 3}
+
+
+def test_sql_merge_insert_only_idempotent(spark, tmp_path):
+    """WHEN NOT MATCHED THEN INSERT *: only absent keys land, and
+    re-delivering the same batch inserts nothing (no new snapshot)."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    stmt = (
+        "MERGE INTO tbl USING (SELECT 2 AS k, 'DUP' AS v UNION ALL "
+        "SELECT 3, 'c') AS s ON tbl.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    r = lake_sql(spark, stmt, {"tbl": t}).collect()[0]
+    assert (r.op, r.version) == ("merge_insert", 1)
+    got = {(x.k, x.v) for x in lake_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}  # k=2 NOT overwritten
+    # replay: every key now present → same version, no commit
+    r2 = lake_sql(spark, stmt, {"tbl": t}).collect()[0]
+    assert r2.version == 1
+    assert {(x.k, x.v) for x in lake_read(spark, t).collect()} == got
 
 
 def test_sql_insert_creates_new_table(spark, tmp_path):

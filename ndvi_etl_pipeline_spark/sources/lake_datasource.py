@@ -52,6 +52,7 @@ from .lake import (
     _parse_partition_spec,
     _paths,
     _phys_where,
+    _read_delta,
     _read_manifest,
 )
 
@@ -390,16 +391,61 @@ class LakeStreamReader(DataSourceStreamReader):
             raise ValueError("lake source requires option('path', ...)")
         self._start = int(options.get("startingVersion", -1))
         self._cdf = _cdf_wanted(options)
+        # admission control (rate limiting): bound how far one trigger
+        # advances — commits per trigger, or data files per trigger at
+        # commit granularity (≥1 commit always admits, or the stream
+        # could never move). The bound is relative to the last end
+        # this READER INSTANCE planned; the Python DataSource API
+        # gives latestOffset no view of the checkpoint, so the first
+        # trigger after a cold restart with a COMPLETED last batch is
+        # unbounded (a replayed incomplete batch teaches us the
+        # position through partitions() first) — steady-state
+        # backpressure is what these bound.
+        self._max_versions = int(options.get("maxVersionsPerTrigger", 0))
+        self._max_files = int(options.get("maxFilesPerTrigger", 0))
+        self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         v = _latest_version(self._path)
-        return {"version": v if v is not None else self._start}
+        if v is None:
+            return {"version": self._start}
+        base = self._last_end
+        if base is None or base >= v or not (
+            self._max_versions or self._max_files
+        ):
+            end = v
+        else:
+            end = v
+            if self._max_versions:
+                end = min(end, base + self._max_versions)
+            if self._max_files:
+                tot, cur = 0, base
+                while cur < v:
+                    rec = _read_delta(self._path, cur + 1)
+                    nf = len(
+                        rec.get("add")
+                        if rec.get("add") is not None
+                        else rec.get("files") or ()
+                    )
+                    if tot and tot + nf > self._max_files:
+                        break
+                    tot += nf
+                    cur += 1
+                    if tot >= self._max_files:
+                        break
+                end = min(end, max(cur, base + 1))
+        self._last_end = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         sv, ev = int(start["version"]), int(end["version"])
+        # the authoritative range (checkpoint-fed on a batch replay):
+        # anchor the admission window here
+        if self._last_end is None or ev > self._last_end:
+            self._last_end = ev
         if ev <= sv:
             return []
         if self._cdf:

@@ -485,3 +485,49 @@ def test_lake_datasource_reads_mapped_and_widened_tables(lake_ds, tmp_path):
         _mk(spark, [(3, "c", 3.0)], "k long, label string, x double").write.format(
             "lake"
         ).option("path", t).mode("append").save()
+
+
+def test_lake_stream_admission_control_bounds_triggers(lake_ds, tmp_path):
+    """maxVersionsPerTrigger / maxFilesPerTrigger: once the reader
+    knows its position, each latestOffset() advances by at most the
+    configured commits/files (≥1 commit always admits). The first
+    call of a fresh reader is unbounded — the Python DataSource API
+    gives latestOffset no checkpoint view; partitions() anchors the
+    window when a replayed batch runs first."""
+    from ndvi_etl_pipeline_spark.sources.lake_datasource import (
+        LakeStreamReader,
+    )
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    for i in range(3):  # v0..v2, one file each
+        lake_write(_mk(spark, [(i, "a")], "k int, v string").coalesce(1), t)
+
+    r = LakeStreamReader({"path": t, "maxVersionsPerTrigger": "1"})
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 2}  # first: unbounded
+    for i in range(3, 6):  # v3..v5
+        lake_write(_mk(spark, [(i, "a")], "k int, v string").coalesce(1), t)
+    assert r.latestOffset() == {"version": 3}  # bounded: +1 commit
+    assert r.latestOffset() == {"version": 4}
+    assert r.latestOffset() == {"version": 5}
+    assert r.latestOffset() == {"version": 5}  # caught up: no advance
+
+    # partitions() anchors a replayed batch's range (restart path)
+    r2 = LakeStreamReader({"path": t, "maxVersionsPerTrigger": "2"})
+    r2.partitions({"version": 1}, {"version": 2})
+    assert r2.latestOffset() == {"version": 4}  # bounded from 2, not -1
+
+    # file-granular: each commit has 2 files; limit 3 admits one
+    # commit (2 files), the next call the remaining one
+    t2 = str(tmp_path / "t2")
+    for i in range(3):  # v0..v2
+        lake_write(
+            _mk(spark, [(i, "a"), (i + 10, "b")], "k int, v string")
+            .repartition(2),
+            t2,
+        )
+    r3 = LakeStreamReader({"path": t2, "maxFilesPerTrigger": "3"})
+    r3.partitions({"version": -1}, {"version": 0})
+    assert r3.latestOffset() == {"version": 1}  # 2 files ≤ 3, 4 > 3
+    assert r3.latestOffset() == {"version": 2}

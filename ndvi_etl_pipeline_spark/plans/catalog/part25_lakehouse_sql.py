@@ -586,3 +586,40 @@ def q_lake_sql_merge_delete_insert_only(
         """,
         {"cust": t},
     )
+
+
+@register(
+    "lake_sql_optimize_vacuum",
+    oracle="""
+        SELECT n_regionkey AS region, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM nation GROUP BY n_regionkey
+    """,
+    tags=("lakehouse", "sql", "maintenance"),
+)
+def q_lake_sql_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance through SQL: five per-region appends leave
+    five small files; OPTIMIZE compacts them (same rows, one new
+    snapshot), VACUUM RETAIN 0 HOURS collects the superseded files
+    (only the latest snapshot kept), DESCRIBE HISTORY audits the ops —
+    and the read-back is byte-identical to the never-mutated oracle."""
+    t = _tmp("opt")
+    n = _t(spark, sf_dir, "nation")
+    for r in range(5):
+        lake_write(n.filter(F.col("n_regionkey") == r).coalesce(1), t)
+    lake_sql(spark, "OPTIMIZE nat", {"nat": t})
+    lake_sql(spark, "VACUUM nat RETAIN 0 HOURS", {"nat": t})
+    ops = [
+        r.op
+        for r in lake_sql(spark, "DESCRIBE HISTORY nat", {"nat": t}).collect()
+    ]
+    assert ops[-1] == "compact", ops
+    return lake_sql(
+        spark,
+        """
+        SELECT n_regionkey AS region, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM nat GROUP BY n_regionkey
+        """,
+        {"nat": t},
+    )

@@ -186,6 +186,19 @@ _UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_HISTORY_RE = re.compile(
+    rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*$", re.IGNORECASE
+)
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_IDENT})"
+    r"(?:\s+WHERE\s+(.*?))?"
+    r"(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_VACUUM_RE = re.compile(
+    rf"^\s*VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*$",
+    re.IGNORECASE,
+)
 _MERGE_RE = re.compile(
     rf"^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?\s+"
     rf"USING\s+(\((?:[^()]|\([^()]*\))*\)|{_IDENT})(?:\s+AS\s+({_IDENT}))?\s+"
@@ -308,6 +321,83 @@ def _run_merge(
     )
 
 
+def _parse_where_triples(text: str) -> list[tuple]:
+    """Conjunction of `col op literal` into the lake's (col, op, value)
+    pruning triples — the OPTIMIZE WHERE scope grammar."""
+    out: list[tuple] = []
+    for clause in re.split(r"\s+AND\s+", text, flags=re.IGNORECASE):
+        m = re.match(
+            rf"^\s*({_IDENT})\s*(>=|<=|!=|=|<|>)\s*(.+?)\s*$", clause
+        )
+        if not m:
+            raise ValueError(
+                f"OPTIMIZE WHERE supports `col op literal` conjunctions "
+                f"only, got {clause.strip()!r}"
+            )
+        raw = m.group(3)
+        if raw.startswith("'") and raw.endswith("'"):
+            val: object = raw[1:-1]
+        else:
+            try:
+                val = int(raw)
+            except ValueError:
+                val = float(raw)
+        out.append((m.group(1), m.group(2), val))
+    return out
+
+
+def _run_maintenance(
+    spark: SparkSession, stmt: str, tables: dict[str, str]
+) -> DataFrame | None:
+    """DESCRIBE HISTORY / OPTIMIZE / VACUUM — the table-maintenance
+    statements; returns None when `stmt` is none of them."""
+    from .lake import lake_compact, lake_history, lake_vacuum
+
+    m = _HISTORY_RE.match(stmt)
+    if m:
+        hist = lake_history(_table_path(m.group(1), tables))
+        rows = [
+            Row(
+                version=int(h["version"]),
+                op=str(h["op"]),
+                ts=float(h.get("ts") or 0.0),
+                n_rows_delta=(
+                    None
+                    if h.get("n_rows_delta") is None
+                    else int(h["n_rows_delta"])
+                ),
+            )
+            for h in hist
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version bigint, op string, ts double, n_rows_delta bigint",
+        )
+    m = _OPTIMIZE_RE.match(stmt)
+    if m:
+        path = _table_path(m.group(1), tables)
+        where = _parse_where_triples(m.group(2)) if m.group(2) else None
+        zorder = (
+            tuple(c.strip() for c in _split_top(m.group(3)))
+            if m.group(3)
+            else ()
+        )
+        v = lake_compact(spark, path, where=where, zorder_by=zorder)
+        return _dml_result(spark, "optimize", v)
+    m = _VACUUM_RE.match(stmt)
+    if m:
+        path = _table_path(m.group(1), tables)
+        kwargs = {}
+        if m.group(2) is not None:
+            kwargs["retention_seconds"] = float(m.group(2)) * 3600.0
+        deleted = lake_vacuum(path, **kwargs)
+        return spark.createDataFrame(
+            [Row(op="vacuum", n_deleted=len(deleted))],
+            "op string, n_deleted bigint",
+        )
+    return None
+
+
 def _run_dml(
     spark: SparkSession,
     query: str,
@@ -315,6 +405,9 @@ def _run_dml(
     delete_strategy: str,
 ) -> DataFrame:
     stmt = query.strip().rstrip(";")
+    maint = _run_maintenance(spark, stmt, tables)
+    if maint is not None:
+        return maint
     m = _INSERT_RE.match(stmt)
     if m:
         return _run_insert(spark, m, tables)
@@ -347,8 +440,9 @@ def _run_dml(
         "unsupported DML shape — supported: "
         "INSERT INTO t [(cols)] SELECT/VALUES ..., "
         "DELETE FROM t [WHERE ...], UPDATE t SET a=e[, ...] [WHERE ...], "
-        "MERGE INTO t USING s ON t.k=s.k WHEN MATCHED THEN UPDATE SET * "
-        "WHEN NOT MATCHED THEN INSERT *"
+        "MERGE INTO t USING s ON t.k=s.k WHEN ... (3 action shapes), "
+        "OPTIMIZE t [WHERE ...] [ZORDER BY (...)], "
+        "VACUUM t [RETAIN n HOURS], DESCRIBE HISTORY t"
     )
 
 
@@ -385,6 +479,9 @@ def lake_sql(
         MERGE INTO t USING s ON t.k = s.k
           WHEN NOT MATCHED THEN INSERT *           -- idempotent ingest
                                                    -- (absent keys only)
+        OPTIMIZE t [WHERE col op lit [AND ...]] [ZORDER BY (c1, ...)]
+        VACUUM t [RETAIN n HOURS]
+        DESCRIBE HISTORY t
 
     The statement SHELL is parsed here (restricted, documented
     grammar — anything else raises with the supported shapes); every
@@ -405,6 +502,10 @@ def lake_sql(
     non-lake views, CTEs, window functions, etc. all compose.
     Registration is manifest-scale work; no data is read until the
     returned DataFrame executes."""
-    if re.match(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", query, re.IGNORECASE):
+    if re.match(
+        r"^\s*(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|DESCRIBE\s+HISTORY)\b",
+        query,
+        re.IGNORECASE,
+    ):
         return _run_dml(spark, query, tables, delete_strategy)
     return spark.sql(_rewrite_reads(spark, query, tables))

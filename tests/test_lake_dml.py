@@ -353,3 +353,33 @@ def test_sql_insert_creates_new_table(spark, tmp_path):
     )
     got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_sql_maintenance_statements(spark, tmp_path):
+    """OPTIMIZE [WHERE] [ZORDER BY], VACUUM RETAIN, DESCRIBE HISTORY
+    through the SQL text."""
+    t = str(tmp_path / "t")
+    for i in range(4):
+        lake_write(_df(spark, [(i, "x")]).coalesce(1), t)
+    hist = lake_sql(spark, "DESCRIBE HISTORY tbl", {"tbl": t}).collect()
+    assert [(h.version, h.op) for h in hist] == [
+        (0, "append"), (1, "append"), (2, "append"), (3, "append"),
+    ]
+    r = lake_sql(
+        spark, "OPTIMIZE tbl WHERE k >= 1 AND k < 3", {"tbl": t}
+    ).collect()[0]
+    assert (r.op, r.version) == ("optimize", 4)
+    m = _lm(t, 4)
+    # the two in-scope files compacted to one; out-of-scope carried
+    assert len(m["files"]) == 3
+    assert {x.k for x in lake_read(spark, t).collect()} == {0, 1, 2, 3}
+    rv = lake_sql(
+        spark, "VACUUM tbl RETAIN 0 HOURS", {"tbl": t}
+    ).collect()[0]
+    assert rv.op == "vacuum" and rv.n_deleted >= 1  # the compacted pair
+    assert {x.k for x in lake_read(spark, t).collect()} == {0, 1, 2, 3}
+    # zorder form parses and commits
+    r2 = lake_sql(spark, "OPTIMIZE tbl ZORDER BY (k)", {"tbl": t}).collect()[0]
+    assert r2.op == "optimize"
+    with pytest.raises(ValueError, match="col op literal"):
+        lake_sql(spark, "OPTIMIZE tbl WHERE k BETWEEN 1 AND 3", {"tbl": t})

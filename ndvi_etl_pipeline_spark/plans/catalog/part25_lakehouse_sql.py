@@ -623,3 +623,53 @@ def q_lake_sql_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"nat": t},
     )
+
+
+@register(
+    "lake_sql_clone_experiment",
+    oracle="""
+        SELECT 'source' AS side, p_brand AS brand, count(*) AS n,
+               round(sum(p_retailprice), 2) AS total
+        FROM part GROUP BY p_brand
+        UNION ALL
+        SELECT 'clone', p_brand, count(*),
+               round(sum(CASE WHEN p_size > 25 THEN p_retailprice + 50
+                         ELSE p_retailprice END), 2)
+        FROM part GROUP BY p_brand
+    """,
+    tags=("lakehouse", "sql", "clone"),
+)
+def q_lake_sql_clone_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shallow-CLONE experimentation idiom: zero-copy clone of the
+    part table (metadata only — no data file is duplicated), a risky
+    UPDATE tried against the CLONE, and both sides read back — the
+    source must be bit-identical to never-cloned data while the clone
+    carries the experiment."""
+    from ...sources.lake import lake_clone
+
+    src = _tmp("clsrc")
+    dst = _tmp("cldst") + "_t"  # mkdtemp created src; dst must not exist
+    lake_write(
+        _t(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_size", "p_retailprice"
+        ),
+        src,
+    )
+    lake_clone(spark, src, dst)
+    lake_sql(
+        spark,
+        "UPDATE cl SET p_retailprice = p_retailprice + 50 WHERE p_size > 25",
+        {"cl": dst},
+    )
+    return lake_sql(
+        spark,
+        """
+        SELECT 'source' AS side, p_brand AS brand, count(*) AS n,
+               round(sum(p_retailprice), 2) AS total
+        FROM src GROUP BY p_brand
+        UNION ALL
+        SELECT 'clone', p_brand, count(*), round(sum(p_retailprice), 2)
+        FROM cl GROUP BY p_brand
+        """,
+        {"src": src, "cl": dst},
+    )

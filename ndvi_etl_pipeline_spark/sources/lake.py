@@ -980,16 +980,22 @@ _DV_SCHEMA = f"{_DV_FILE} string, {_DV_POS} bigint"
 
 
 def _dv_meta_cols(path: str):
-    """(table-relative decoded file path, row ordinal) Columns from
+    """(decoded file path in ENTRY form, row ordinal) Columns from
     the parquet scan's hidden _metadata struct — the executor-side
     twin of _fs_path: file_path arrives percent-encoded ('+' is NOT
     form-encoded by Hadoop, so pre-escape it before url_decode treats
-    it as a space)."""
+    it as a space). Entry form = table-relative for files under the
+    table root, the absolute path otherwise (shallow-CLONE entries
+    reference the source table's files by absolute path — both sides
+    of every DV/hit-file comparison use the same form)."""
     fp = F.col("_metadata.file_path")
     decoded = F.url_decode(F.regexp_replace(fp, r"\+", "%2B"))
     no_scheme = F.regexp_replace(decoded, "^file:(//)?", "")
     prefix = os.path.abspath(path) + os.sep
-    rel = F.substring(no_scheme, len(prefix) + 1, 1 << 30)
+    rel = F.when(
+        F.substring(no_scheme, 1, len(prefix)) == F.lit(prefix),
+        F.substring(no_scheme, len(prefix) + 1, 1 << 30),
+    ).otherwise(no_scheme)
     return rel, F.col("_metadata.row_index")
 
 
@@ -1066,9 +1072,14 @@ def _read_entries(
     else:
         groups: dict[str, list[str]] = {}
         for p in _paths(entries):
-            segs = p.split(os.sep)
-            base = os.path.join(path, segs[0], segs[1])  # data/<commit>
-            groups.setdefault(base, []).append(os.path.join(path, p))
+            # basePath = the commit dir above the partition dirs:
+            # strip filename + one dir per partition column (works for
+            # table-relative AND absolute shallow-clone entries)
+            full = os.path.join(path, p)  # join keeps absolute p as-is
+            base = full
+            for _ in range(1 + len(part_by)):
+                base = os.path.dirname(base)
+            groups.setdefault(base, []).append(full)
         dfs = [
             _scan(files, base) for base, files in sorted(groups.items())
         ]
@@ -1698,7 +1709,7 @@ def lake_read_changes(
         op = _read_delta(path, v)["op"]
         # alter_constraints republishes an identical file set — safe
         # to diff across; anything that rewrites/deletes files is not
-        if op not in ("append", "alter_constraints", "rename_column", "drop_column"):
+        if op not in ("append", "clone", "alter_constraints", "rename_column", "drop_column"):
             raise ValueError(
                 f"incremental read undefined across non-append commit "
                 f"v{v} ({op}) — re-read the full snapshot instead"
@@ -1768,7 +1779,7 @@ def lake_read_cdf(
         op, strat = m["op"], m.get("strategy")
         if op in ("append", "overwrite") and v == 0 and from_version < 0:
             op = "append"  # the creating commit is all inserts
-        if op in ("append", "alter_constraints", "rename_column", "drop_column"):
+        if op in ("append", "clone", "alter_constraints", "rename_column", "drop_column"):
             new_entries = [
                 e for e in m["files"] if _entry_rel(e) not in prev_files
             ]
@@ -1934,6 +1945,88 @@ def lake_latest_version(path: str) -> int | None:
     """Latest committed snapshot version, or None for no table —
     the cursor anchor for incremental (CDC-lite) consumers."""
     return _latest_version(path)
+
+
+def lake_clone(
+    spark: SparkSession, src: str, dst: str, version: int | str | None = None
+) -> int:
+    """SHALLOW CLONE: create table `dst` whose v0 references the
+    SOURCE snapshot's data files by absolute path — zero bytes copied,
+    metadata-only, O(files) commit (Delta's CLONE). The clone is a
+    full table afterwards: independent history, WRITABLE (appends land
+    under dst; COW delete/update/merge rewrite hit files INTO dst —
+    the source is never touched), compactable (OPTIMIZE densifies the
+    clone into its own files), and vacuum on EITHER side never
+    collects the other's files (clone vacuum skips external absolute
+    paths; source vacuum doesn't know the clone exists — so keep the
+    source's history or densify the clone before vacuuming the source,
+    the documented shallow-clone liability Delta has too).
+
+    The experimentation idiom at 100 TB: clone the curated corpus,
+    test a risky MERGE/schema change against real data in seconds,
+    throw the clone away — or densify (lake_compact) to promote it."""
+    if _latest_version(dst) is not None:
+        raise FileExistsError(f"clone target {dst} is already a lake table")
+    latest = _latest_version(src)
+    if latest is None:
+        raise FileNotFoundError(f"no manifest lake at {src}")
+    v = latest if version is None else _resolve_version(src, version)
+    m = _read_manifest(src, v)
+    src_abs = os.path.abspath(src)
+    entries = []
+    for e in m["files"]:
+        e2 = dict(e) if isinstance(e, dict) else {"path": e}
+        if not os.path.isabs(e2["path"]):
+            e2["path"] = os.path.join(src_abs, e2["path"])
+        entries.append(e2)
+    manifest = {
+        "version": 0,
+        "op": "clone",
+        "ts": time.time(),
+        "files": entries,
+        "schema": m["schema"],
+        "n_rows_delta": None,
+        "properties": {"cloned_from": src_abs, "cloned_version": v},
+    }
+    for k in ("partition_by", "bloom_cols", "constraints", "column_mapping"):
+        if m.get(k):
+            manifest[k] = m[k]
+    if m.get("dvs"):
+        # the clone OWNS its deletion vectors: the source's DV rows
+        # address files by source-relative path, but the clone's scan
+        # identifies those files by ABSOLUTE path (they live outside
+        # its root) — rewrite the addresses into one dv set under dst.
+        # DV sets are metadata-sized (bounded by deletes-since-last-
+        # compaction), so this stays a metadata-only operation.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tables = []
+        for d in m["dvs"]:
+            droot = os.path.join(src, d)
+            for root, _dirs, names in os.walk(droot):
+                for f in sorted(names):
+                    if f.endswith(".parquet"):
+                        tables.append(pq.read_table(os.path.join(root, f)))
+        if tables:
+            t = pa.concat_tables(tables)
+            files = [
+                fp if os.path.isabs(fp) else os.path.join(src_abs, fp)
+                for fp in t.column(_DV_FILE).to_pylist()
+            ]
+            t = t.set_column(
+                t.schema.get_field_index(_DV_FILE),
+                _DV_FILE,
+                pa.array(files, pa.string()),
+            )
+            dv_rel = os.path.join("dv", "clone-" + uuid.uuid4().hex[:12])
+            os.makedirs(os.path.join(dst, dv_rel), exist_ok=True)
+            pq.write_table(
+                t, os.path.join(dst, dv_rel, "part-0.parquet")
+            )
+            manifest["dvs"] = [dv_rel]
+    _commit(dst, 0, manifest)
+    return 0
 
 
 # --- tags: named snapshot refs (Iceberg tags) ------------------------------
@@ -3135,6 +3228,9 @@ def lake_vacuum(
     cutoff = time.time() - retention_seconds
 
     def _rm(rel: str) -> None:
+        if os.path.isabs(rel):
+            return  # shallow-CLONE entry: the file belongs to the
+            # SOURCE table — never collect outside our own root
         full = os.path.join(path, rel)
         try:
             if os.path.getmtime(full) <= cutoff:
@@ -3146,6 +3242,8 @@ def lake_vacuum(
     for rel in sorted(candidates - kept_files):
         _rm(rel)
     for dv_dir in sorted(cand_dv_dirs - kept_dv_dirs):
+        if os.path.isabs(dv_dir):
+            continue  # cloned DV set: lives in the source table
         droot = os.path.join(path, dv_dir)
         if os.path.isdir(droot):
             for root, _dirs, names in os.walk(droot):

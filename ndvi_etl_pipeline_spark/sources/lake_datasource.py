@@ -454,7 +454,7 @@ class LakeStreamReader(DataSourceStreamReader):
             op = _read_manifest(self._path, v)["op"]
             # alter_constraints republishes an identical file set —
             # harmless to diff across
-            if op not in ("append", "alter_constraints",
+            if op not in ("append", "clone", "alter_constraints",
                           "rename_column", "drop_column"):
                 raise ValueError(
                     f"lake stream undefined across non-append commit "

@@ -1,0 +1,124 @@
+"""Shallow CLONE (lake_clone): zero-copy metadata-only table copy —
+readable, independently writable, vacuum-safe on both sides."""
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ndvi_etl_pipeline_spark.sources.lake import (
+    lake_clone,
+    lake_compact,
+    lake_delete,
+    lake_read,
+    lake_read_cdf,
+    lake_tag,
+    lake_update,
+    lake_vacuum,
+    lake_write,
+)
+
+
+@pytest.fixture()
+def lake_ds(spark):
+    from ndvi_etl_pipeline_spark.sources import lake_datasource as LDS
+
+    LDS.register(spark)
+    return spark
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _data_files(table):
+    return glob.glob(os.path.join(table, "data", "**", "*.parquet"), recursive=True)
+
+
+def test_clone_is_zero_copy_and_reads_snapshot(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]), src)
+    lake_write(_df(spark, [(3, "c")]), src)
+    lake_tag(src, "rel", version=0)
+    assert lake_clone(spark, src, dst) == 0
+    assert {r.k for r in lake_read(spark, dst).collect()} == {1, 2, 3}
+    assert _data_files(dst) == []  # zero bytes copied
+    # clone a pinned version by TAG into a second target
+    dst0 = str(tmp_path / "dst0")
+    lake_clone(spark, src, dst0, version="rel")
+    assert {r.k for r in lake_read(spark, dst0).collect()} == {1, 2}
+    with pytest.raises(FileExistsError, match="already a lake table"):
+        lake_clone(spark, src, dst)
+    # CDF over the clone: the creating commit is all inserts
+    feed = lake_read_cdf(spark, dst0, -1).collect()
+    assert {(r.k, r._change_type) for r in feed} == {
+        (1, "insert"), (2, "insert"),
+    }
+
+
+def test_clone_writes_never_touch_source(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), src)
+    src_files = set(_data_files(src))
+    lake_clone(spark, src, dst)
+    lake_write(_df(spark, [(9, "z")]).coalesce(1), dst)  # append → dst
+    lake_update(spark, dst, {"v": F.lit("U")}, F.col("k") == 1)  # COW → dst
+    lake_delete(spark, dst, F.col("k") == 2)  # COW rewrite → dst
+    assert {(r.k, r.v) for r in lake_read(spark, dst).collect()} == {
+        (1, "U"), (9, "z"),
+    }
+    # the source: same files on disk, same rows visible
+    assert set(_data_files(src)) == src_files
+    assert {(r.k, r.v) for r in lake_read(spark, src).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+
+
+def test_clone_carries_dvs_and_partitions(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(1, "us", "a"), (2, "eu", "b"), (3, "eu", "c")],
+        "k int, region string, v string",
+    )
+    lake_write(df, src, partition_by=("region",))
+    lake_delete(spark, src, F.col("k") == 2, strategy="dv")
+    lake_clone(spark, src, dst)
+    assert {(r.k, r.region) for r in lake_read(spark, dst).collect()} == {
+        (1, "us"), (3, "eu"),  # dv-deleted row stays invisible
+    }
+    # partition pruning works through absolute clone entries
+    pruned = lake_read(spark, dst, where=[("region", "=", "eu")])
+    assert {r.k for r in pruned.collect()} == {3}
+
+
+def test_clone_vacuum_is_fenced_both_ways(spark, tmp_path):
+    """Densify the clone (compact into its own files), vacuum it with
+    zero retention: the superseded CLONED references must NOT delete
+    the source's files."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    lake_write(_df(spark, [(1, "a")]).coalesce(1), src)
+    lake_write(_df(spark, [(2, "b")]).coalesce(1), src)
+    src_files = set(_data_files(src))
+    lake_clone(spark, src, dst)
+    lake_compact(spark, dst, num_files=1)  # densify: clone owns files now
+    assert len(_data_files(dst)) == 1
+    lake_vacuum(dst, keep_last=1, retention_seconds=0)
+    assert set(_data_files(src)) == src_files  # source untouched
+    assert {r.k for r in lake_read(spark, dst).collect()} == {1, 2}
+    assert {r.k for r in lake_read(spark, src).collect()} == {1, 2}
+
+
+def test_clone_through_datasource_and_sql(lake_ds, tmp_path):
+    from ndvi_etl_pipeline_spark.sources.lake_sql import lake_sql
+
+    spark = lake_ds
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]), src)
+    lake_clone(spark, src, dst)
+    got = spark.read.format("lake").option("path", dst).load().collect()
+    assert {r.k for r in got} == {1, 2}
+    r = lake_sql(
+        spark, "SELECT count(*) AS n FROM c", {"c": dst}
+    ).collect()[0]
+    assert r.n == 2

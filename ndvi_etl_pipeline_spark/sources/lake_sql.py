@@ -186,6 +186,17 @@ _UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS_RE = re.compile(
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})"
+    r"(?:\s+PARTITIONED\s+BY\s+\(([^)]*)\))?"
+    r"\s+AS\s+((?:SELECT|VALUES|WITH|TABLE)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CLONE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+({_IDENT})"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[A-Za-z_][\w.-]*'))?\s*$",
+    re.IGNORECASE,
+)
 _HISTORY_RE = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*$", re.IGNORECASE
 )
@@ -346,6 +357,46 @@ def _parse_where_triples(text: str) -> list[tuple]:
     return out
 
 
+def _run_ddl(
+    spark: SparkSession, stmt: str, tables: dict[str, str]
+) -> DataFrame | None:
+    """CREATE TABLE ... AS SELECT (CTAS, optionally partitioned /
+    OR REPLACE) and CREATE TABLE ... SHALLOW CLONE; returns None when
+    `stmt` is neither."""
+    from .lake import lake_clone
+
+    m = _CLONE_RE.match(stmt)
+    if m:
+        dst, src, vtok = m.group(1), m.group(2), m.group(3)
+        version = (
+            None
+            if vtok is None
+            else (vtok[1:-1] if vtok.startswith("'") else int(vtok))
+        )
+        v = lake_clone(
+            spark, _table_path(src, tables), _table_path(dst, tables), version
+        )
+        return _dml_result(spark, "clone", v)
+    m = _CTAS_RE.match(stmt)
+    if m:
+        replace, name, part_spec, source = m.groups()
+        path = _table_path(name, tables)
+        df = spark.sql(_rewrite_reads(spark, source, tables))
+        if _latest_version(path) is not None and not replace:
+            raise ValueError(
+                f"CTAS target {name!r} already exists "
+                "(CREATE OR REPLACE TABLE to overwrite)"
+            )
+        part_by = (
+            tuple(c.strip() for c in _split_top(part_spec))
+            if part_spec
+            else None
+        )
+        v = lake_write(df, path, mode="overwrite", partition_by=part_by)
+        return _dml_result(spark, "create", v)
+    return None
+
+
 def _run_maintenance(
     spark: SparkSession, stmt: str, tables: dict[str, str]
 ) -> DataFrame | None:
@@ -405,6 +456,9 @@ def _run_dml(
     delete_strategy: str,
 ) -> DataFrame:
     stmt = query.strip().rstrip(";")
+    ddl = _run_ddl(spark, stmt, tables)
+    if ddl is not None:
+        return ddl
     maint = _run_maintenance(spark, stmt, tables)
     if maint is not None:
         return maint
@@ -482,6 +536,9 @@ def lake_sql(
         OPTIMIZE t [WHERE col op lit [AND ...]] [ZORDER BY (c1, ...)]
         VACUUM t [RETAIN n HOURS]
         DESCRIBE HISTORY t
+        CREATE [OR REPLACE] TABLE t [PARTITIONED BY (spec, ...)]
+          AS SELECT ...                            -- CTAS
+        CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF <v|'tag'>]
 
     The statement SHELL is parsed here (restricted, documented
     grammar — anything else raises with the supported shapes); every
@@ -503,7 +560,8 @@ def lake_sql(
     Registration is manifest-scale work; no data is read until the
     returned DataFrame executes."""
     if re.match(
-        r"^\s*(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|DESCRIBE\s+HISTORY)\b",
+        r"^\s*(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|CREATE"
+        r"|DESCRIBE\s+HISTORY)\b",
         query,
         re.IGNORECASE,
     ):

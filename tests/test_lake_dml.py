@@ -383,3 +383,42 @@ def test_sql_maintenance_statements(spark, tmp_path):
     assert r2.op == "optimize"
     with pytest.raises(ValueError, match="col op literal"):
         lake_sql(spark, "OPTIMIZE tbl WHERE k BETWEEN 1 AND 3", {"tbl": t})
+
+
+def test_sql_ctas_and_shallow_clone(spark, tmp_path):
+    """CREATE TABLE AS SELECT (incl. PARTITIONED BY + OR REPLACE) and
+    CREATE TABLE ... SHALLOW CLONE through the SQL text."""
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    cl = str(tmp_path / "cl")
+    lake_write(
+        spark.createDataFrame(
+            [(1, "us", 10.0), (2, "eu", 20.0), (3, "eu", 5.0)],
+            "k int, region string, amt double",
+        ),
+        src,
+    )
+    tables = {"src": src, "agg": agg, "cl": cl}
+    r = lake_sql(
+        spark,
+        "CREATE TABLE agg PARTITIONED BY (region) AS "
+        "SELECT region, k, amt * 2 AS amt2 FROM src",
+        tables,
+    ).collect()[0]
+    assert (r.op, r.version) == ("create", 0)
+    assert _lm(agg, 0)["partition_by"] == ["region"]
+    got = {(x.k, x.amt2) for x in lake_read(spark, agg).collect()}
+    assert got == {(1, 20.0), (2, 40.0), (3, 10.0)}
+    with pytest.raises(ValueError, match="already exists"):
+        lake_sql(spark, "CREATE TABLE agg AS SELECT 1 AS k", tables)
+    lake_sql(
+        spark,
+        "CREATE OR REPLACE TABLE agg AS SELECT region, count(*) AS n "
+        "FROM src GROUP BY region",
+        tables,
+    )
+    assert {(x.region, x.n) for x in lake_read(spark, agg).collect()} == {
+        ("us", 1), ("eu", 2),
+    }
+    lake_sql(spark, "CREATE TABLE cl SHALLOW CLONE src", tables)
+    assert {x.k for x in lake_read(spark, cl).collect()} == {1, 2, 3}

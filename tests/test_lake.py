@@ -1164,6 +1164,7 @@ _OP = st.one_of(
     st.tuples(st.just("dv_delete"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
     st.tuples(st.just("cow_delete"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
     st.tuples(st.just("merge"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+    st.tuples(st.just("update"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
     st.tuples(st.just("compact"), st.just([])),
     st.tuples(st.just("restore"), st.just([])),
 )
@@ -1177,8 +1178,8 @@ _OP = st.one_of(
 @given(st.lists(_OP, min_size=1, max_size=6), st.randoms(use_true_random=False))
 def test_lake_model_based_op_sequences(spark, tmp_path_factory, ops, rng):
     """Model-based check of the whole lake op surface: a random
-    interleaving of append / dv-delete / cow-delete / merge / compact
-    / restore must keep the visible rows equal to a plain Python
+    interleaving of append / dv-delete / cow-delete / merge / update
+    / compact / restore must keep the visible rows equal to a plain Python
     multiset model AFTER EVERY OP, and time travel to any committed
     version must reproduce that version's model state. Catches
     cross-op interactions (DV rows surviving a partial rewrite, a
@@ -1229,6 +1230,22 @@ def test_lake_model_based_op_sequences(spark, tmp_path_factory, ops, rng):
             for k in sorted(set(ks)):
                 state[(k, f"m{tag[0]}")] += 1
             commit_model()
+        elif op == "update":
+            from ndvi_etl_pipeline_spark.sources.lake import lake_update
+
+            matched = any(kk in set(ks) for (kk, _v) in state)
+            lake_update(
+                spark, t,
+                {"v": F.concat(F.col("v"), F.lit("!"))},
+                F.col("k").isin(list(ks)),
+            )
+            if matched:
+                for key, n in [
+                    (key, n) for key, n in state.items() if key[0] in set(ks)
+                ]:
+                    del state[key]
+                    state[(key[0], key[1] + "!")] += n
+                commit_model()
         elif op == "compact":
             lake_compact(spark, t, num_files=2)
             commit_model()

@@ -841,6 +841,7 @@ def _write_data_files(
     partition_by: tuple[str, ...] = (),
     bloom_cols: tuple[str, ...] = (),
     mapping: dict | None = None,
+    optimize_write: bool = False,
 ) -> list[dict]:
     """Write df's rows as immutable parquet files under a fresh
     commit-scoped subdir; return manifest entries
@@ -868,6 +869,13 @@ def _write_data_files(
             dir_cols.append(dcol)
             if kind != "identity":
                 wdf = wdf.withColumn(dcol, _transform_column(df, kind, param, col))
+    if optimize_write and dir_cols:
+        # Delta's optimizeWrite: shuffle rows to their partition dir
+        # BEFORE writing, so each dir gets ~one file per commit
+        # instead of one per (task × dir) — the N_tasks × N_dirs
+        # small-file explosion a 1000-executor daily append has.
+        # AQE coalescing sizes the shuffle; skewed dirs still split.
+        wdf = wdf.repartition(*[F.col(c) for c in dir_cols])
     w = wdf.write.mode("error")
     if dir_cols:
         w = w.partitionBy(*dir_cols)
@@ -1279,6 +1287,7 @@ def lake_write(
     partition_by: tuple[str, ...] | None = None,
     bloom_cols: tuple[str, ...] | None = None,
     properties: dict | None = None,
+    optimize_write: bool = False,
 ) -> int:
     """Append or overwrite as ONE atomic snapshot commit; returns the
     new version. Appends may ADD columns (schema evolution by union —
@@ -1287,7 +1296,12 @@ def lake_write(
     hive-style and records partition values for exact pruning;
     `bloom_cols` records a per-file Bloom filter for point-lookup
     skipping on int/string key columns; omit either on append to
-    inherit the table's existing settings.
+    inherit the table's existing settings. `optimize_write=True`
+    shuffles rows to their partition dir before writing (Delta's
+    optimizeWrite) so each dir gets ~one file per commit instead of
+    one per (task × dir) — the small-file lever for wide-cluster
+    appends into many partitions; leave off when the input is already
+    dir-aligned or unpartitioned.
 
     Losing the commit race to a concurrent writer retries
     automatically: the data files are already written and immutable,
@@ -1340,7 +1354,9 @@ def lake_write(
             df, T.StructType.fromJson(prev["schema"]), enforced_cons
         )
     n_rows = df.count()
-    files = _write_data_files(df, path, part_by, bl_cols, mapping)
+    files = _write_data_files(
+        df, path, part_by, bl_cols, mapping, optimize_write=optimize_write
+    )
     for attempt in range(_MAX_COMMIT_ATTEMPTS):
         latest = _latest_version(path)
         prev = _read_manifest(path, latest) if latest is not None else None

@@ -1328,3 +1328,20 @@ def test_lake_incremental_curation_cdf_applies_updates(spark, tmp_path):
     assert got == {1: 5, 2: 3, 3: 1}
     # replay: no-op
     assert incremental_curation_cdf(spark, src, drv) == (0, 0)
+
+
+def test_lake_optimize_write_one_file_per_partition(spark, tmp_path):
+    """optimize_write: a many-task input writing into hive partitions
+    lands ~one file per partition dir instead of one per (task, dir)."""
+    rows = [(i, "eu" if i % 2 else "us") for i in range(64)]
+    df = spark.createDataFrame(rows, "k int, region string").repartition(8)
+    t0, t1 = str(tmp_path / "plain"), str(tmp_path / "opt")
+    lake_write(df, t0, partition_by=("region",))
+    lake_write(df, t1, partition_by=("region",), optimize_write=True)
+    n0 = len(_lm(t0, 0)["files"])
+    n1 = len(_lm(t1, 0)["files"])
+    assert n0 > 2  # the explosion the flag exists for
+    assert n1 == 2  # one per region
+    a = {(r.k, r.region) for r in lake_read(spark, t0).collect()}
+    b = {(r.k, r.region) for r in lake_read(spark, t1).collect()}
+    assert a == b == set(rows)

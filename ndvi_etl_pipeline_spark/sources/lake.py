@@ -809,6 +809,35 @@ def _json_safe(v):
     return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
 
 
+_STATS_STR_MAX = 64
+
+
+def _trunc_str_bounds(mn, mx):
+    """Iceberg-style string-stat truncation: a documents table must
+    not embed whole documents in every manifest entry and checkpoint
+    row. The lower bound truncates (a prefix IS a valid lower bound);
+    the upper bound truncates then increments its last codepoint so it
+    stays >= every value with that prefix — skipping the surrogate
+    range JSON cannot encode, carrying left when a codepoint can't
+    increment, and falling back to None (= unbounded above, never
+    pruned) when nothing can. Pruning stays conservative:
+    [trunc_min <= true_min, trunc_max >= true_max]."""
+    if isinstance(mn, str) and len(mn) > _STATS_STR_MAX:
+        mn = mn[:_STATS_STR_MAX]
+    if isinstance(mx, str) and len(mx) > _STATS_STR_MAX:
+        p = mx[:_STATS_STR_MAX]
+        bumped = None
+        for i in range(len(p) - 1, -1, -1):
+            nxt = ord(p[i]) + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            if nxt <= 0x10FFFF:
+                bumped = p[:i] + chr(nxt)
+                break
+        mx = bumped
+    return mn, mx
+
+
 def _partition_values(rel: str) -> dict[str, str | None]:
     """Parse `col=val` segments out of a table-relative file path
     (hive layout under data/<commit>/). Values are percent-decoded;
@@ -911,7 +940,11 @@ def _write_data_files(
         for r in per_file:
             relp = os.path.relpath(_fs_path(r["src_file"]), os.path.abspath(path))
             stats_by_file[relp] = {
-                c: [_json_safe(r[f"mn_{c}"]), _json_safe(r[f"mx_{c}"])]
+                c: list(
+                    _trunc_str_bounds(
+                        _json_safe(r[f"mn_{c}"]), _json_safe(r[f"mx_{c}"])
+                    )
+                )
                 for c in stat_cols
             }
     bloom_by_file: dict[str, dict] = {}
@@ -1631,6 +1664,7 @@ def lake_read(
     version: int | str | None = None,
     where: list[tuple] | None = None,
     prune_only: bool = False,
+    timestamp=None,
 ) -> DataFrame:
     """Read snapshot `version` (default: latest). The manifest pins the
     exact file set, so concurrent writers never tear a read; absent
@@ -1655,7 +1689,12 @@ def lake_read(
     latest = _latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"no manifest lake at {path}")
-    v = latest if version is None else _resolve_version(path, version)
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        v = lake_version_at(path, timestamp)
+    else:
+        v = latest if version is None else _resolve_version(path, version)
     rec = _read_delta(path, v)
     part_by = tuple(rec.get("partition_by") or ())
     # manifest pruning lives in PHYSICAL column space (stats/blooms/
@@ -2073,6 +2112,38 @@ def _resolve_version(path: str, version):
         raise KeyError(
             f"no tag {version!r} at {path} (tags: {sorted(lake_tags(path))})"
         ) from None
+
+
+def lake_version_at(path: str, timestamp) -> int:
+    """The snapshot a reader at wall-clock `timestamp` would have
+    seen: the LAST version committed at-or-before it (Delta's
+    TIMESTAMP AS OF). `timestamp` is epoch seconds or an ISO-8601
+    string (naive = UTC). Walks delta records newest-first — O(1)
+    metadata per version, stopping at the first commit old enough;
+    vacuumed history below the match fails honestly only when the
+    timestamp predates everything kept."""
+    if isinstance(timestamp, str):
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(timestamp)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        ts = dt.timestamp()
+    else:
+        ts = float(timestamp)
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no manifest lake at {path}")
+    for v in range(latest, -1, -1):
+        try:
+            rec = _read_delta(path, v)
+        except FileNotFoundError:
+            break  # vacuumed below here
+        if float(rec.get("ts") or 0.0) <= ts:
+            return v
+    raise ValueError(
+        f"no snapshot at or before {timestamp!r} in the kept history of {path}"
+    )
 
 
 def lake_tag(

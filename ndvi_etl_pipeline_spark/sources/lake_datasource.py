@@ -512,6 +512,12 @@ def _arrow_file_stats(table) -> dict:
             continue
         mm = pc.min_max(col)
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        from .lake import _trunc_str_bounds
+
+        mn, mx = _trunc_str_bounds(
+            mn if isinstance(mn, (int, float, str, bool)) or mn is None else str(mn),
+            mx if isinstance(mx, (int, float, str, bool)) or mx is None else str(mx),
+        )
         stats[field.name] = [
             v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
             for v in (mn, mx)

@@ -110,6 +110,23 @@ def _rewrite_reads(spark: SparkSession, query: str, tables: dict[str, str]) -> s
             flags=re.IGNORECASE,
         )
 
+        # name TIMESTAMP AS OF '<iso>' → pinned snapshot view (the
+        # last version committed at-or-before the wall-clock instant)
+        def _sub_ts(m: "re.Match[str]") -> str:
+            from .lake import lake_version_at
+
+            v = lake_version_at(path, m.group(1))
+            view = f"{name}__v{v}"
+            lake_register(spark, view, path, version=v)
+            return view
+
+        rewritten = re.sub(
+            rf"\b{name}\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+            _sub_ts,
+            rewritten,
+            flags=re.IGNORECASE,
+        )
+
         # name VERSION AS OF n | 'tag' → pinned snapshot view
         def _sub_asof(m: "re.Match[str]") -> str:
             v = _bound(m.group(1))
@@ -513,6 +530,7 @@ def lake_sql(
         SELECT ... FROM t                         latest snapshot
         SELECT ... FROM t VERSION AS OF 3         time travel
         SELECT ... FROM t VERSION AS OF 'v1.2'    time travel by TAG
+        SELECT ... FROM t TIMESTAMP AS OF '2026-08-16T00:00:00'
         SELECT ... FROM table_changes('t', 0)     CDF since v0
         SELECT ... FROM table_changes('t', 0, 5)  CDF (0, 5]
         SELECT ... FROM table_changes('t', 'a', 'b')   CDF between tags

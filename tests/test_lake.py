@@ -1345,3 +1345,46 @@ def test_lake_optimize_write_one_file_per_partition(spark, tmp_path):
     a = {(r.k, r.region) for r in lake_read(spark, t0).collect()}
     b = {(r.k, r.region) for r in lake_read(spark, t1).collect()}
     assert a == b == set(rows)
+
+
+def test_lake_string_stats_truncated_and_prune_correct(spark, tmp_path):
+    """Iceberg-style string-stat truncation: a long-text column's
+    per-file min/max never embeds the document (<= 65 chars stored),
+    the upper bound stays a true upper bound (prefix + codepoint
+    bump), and pruning on the truncated bounds is still exact-safe."""
+    from ndvi_etl_pipeline_spark.sources.lake import _trunc_str_bounds
+
+    t = str(tmp_path / "t")
+    long_a = "apple " * 50  # ~300 chars
+    long_z = "zebra " * 50
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_z)], "k int, text string"
+    )
+    lake_write(df.coalesce(1), t)
+    lake_write(
+        spark.createDataFrame([(3, "mmm")], "k int, text string").coalesce(1), t
+    )
+    m = _lm(t, 1)
+    for e in m["files"]:
+        rng = (e.get("stats") or {}).get("text")
+        assert rng and len(rng[0]) <= 64 and (rng[1] is None or len(rng[1]) <= 64)
+    # bounds stay bounds: min prefix <= value, bumped max >= value
+    f0 = next(
+        e for e in m["files"] if (e["stats"]["text"][0]).startswith("apple")
+    )
+    mn, mx = f0["stats"]["text"]
+    assert mn <= long_a and mx is not None and mx >= long_z
+    # pruning: a predicate beyond the bumped max skips the text file;
+    # a value inside the range keeps it and the exact filter works
+    pruned = lake_read(spark, t, where=[("text", ">=", "zzzz")])
+    assert pruned.count() == 0
+    hit = lake_read(spark, t, where=[("text", "=", long_a)])
+    assert [r.k for r in hit.collect()] == [1]
+    # unit: un-bumpable max (max codepoint run) → unbounded above
+    top = chr(0x10FFFF) * 70
+    mn2, mx2 = _trunc_str_bounds(top, top)
+    assert mn2 == top[:64] and mx2 is None
+    # surrogate hole: bump from U+D7FF jumps to U+E000
+    s = "a" * 63 + "퟿"
+    _mn3, mx3 = _trunc_str_bounds("a", s + "tail")
+    assert mx3 == "a" * 63 + ""

@@ -117,3 +117,38 @@ def test_vacuum_keeps_tagged_snapshot_readable(spark, tmp_path):
     lake_vacuum(t, keep_last=1, retention_seconds=0)
     with pytest.raises(Exception):
         lake_read(spark, t, version="audited")
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF: the last version committed at-or-before the
+    instant; ISO strings and epoch floats; SQL idiom; too-early
+    timestamps fail honestly."""
+    import time as _time
+    from datetime import datetime, timezone
+
+    from ndvi_etl_pipeline_spark.sources.lake import lake_version_at
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)
+    t0 = _time.time()
+    _time.sleep(0.05)
+    lake_write(_df(spark, [(2, "b")]), t)
+    _time.sleep(0.05)
+    t1 = _time.time()
+    lake_write(_df(spark, [(3, "c")]), t)
+
+    assert lake_version_at(t, t0) == 0
+    assert lake_version_at(t, t1) == 1
+    assert lake_version_at(t, _time.time() + 10) == 2
+    iso = datetime.fromtimestamp(t1, tz=timezone.utc).isoformat()
+    assert {r.k for r in lake_read(spark, t, timestamp=iso).collect()} == {1, 2}
+    got = lake_sql(
+        spark,
+        f"SELECT count(*) AS n FROM tbl TIMESTAMP AS OF '{iso}'",
+        {"tbl": t},
+    ).collect()[0]
+    assert got.n == 2
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        lake_version_at(t, t0 - 1000)
+    with pytest.raises(ValueError, match="not both"):
+        lake_read(spark, t, version=1, timestamp=t1)

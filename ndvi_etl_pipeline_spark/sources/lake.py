@@ -404,7 +404,7 @@ def _file_may_match(entry, where, partition_by: tuple[str, ...] = ()) -> bool:
         rng = stats.get(col)
         if not rng or rng[0] is None or rng[1] is None:
             continue
-        mn, mx = rng
+        mn, mx = rng[0], rng[1]
         if mn != mn or mx != mx:  # NaN bound: stats prove nothing
             continue
         if op == "in" and not any(mn <= v <= mx for v in val):
@@ -821,9 +821,14 @@ def _trunc_str_bounds(mn, mx):
     range JSON cannot encode, carrying left when a codepoint can't
     increment, and falling back to None (= unbounded above, never
     pruned) when nothing can. Pruning stays conservative:
-    [trunc_min <= true_min, trunc_max >= true_max]."""
+    [trunc_min <= true_min, trunc_max >= true_max]. Returns
+    (mn, mx, truncated) — writers record a third `1` element on
+    truncated entries so stats-only consumers (lake_column_max) know
+    the bound is a SYNTHESIZED prune bound, not a real row value."""
+    truncated = False
     if isinstance(mn, str) and len(mn) > _STATS_STR_MAX:
         mn = mn[:_STATS_STR_MAX]
+        truncated = True
     if isinstance(mx, str) and len(mx) > _STATS_STR_MAX:
         p = mx[:_STATS_STR_MAX]
         bumped = None
@@ -835,7 +840,8 @@ def _trunc_str_bounds(mn, mx):
                 bumped = p[:i] + chr(nxt)
                 break
         mx = bumped
-    return mn, mx
+        truncated = True
+    return mn, mx, truncated
 
 
 def _partition_values(rel: str) -> dict[str, str | None]:
@@ -939,14 +945,13 @@ def _write_data_files(
         # so a basename key silently collapses different files' stats
         for r in per_file:
             relp = os.path.relpath(_fs_path(r["src_file"]), os.path.abspath(path))
-            stats_by_file[relp] = {
-                c: list(
-                    _trunc_str_bounds(
-                        _json_safe(r[f"mn_{c}"]), _json_safe(r[f"mx_{c}"])
-                    )
+            st = {}
+            for c in stat_cols:
+                mn, mx, trunc = _trunc_str_bounds(
+                    _json_safe(r[f"mn_{c}"]), _json_safe(r[f"mx_{c}"])
                 )
-                for c in stat_cols
-            }
+                st[c] = [mn, mx, 1] if trunc else [mn, mx]
+            stats_by_file[relp] = st
     bloom_by_file: dict[str, dict] = {}
     if rel and bloom_cols:
         import base64
@@ -1474,22 +1479,39 @@ def _ckpt_prune_expr(schema, col: str, op: str, val, part_by: tuple):
 
     names = {f.name: f.dataType for f in schema.fields}
     exprs = []
+    # the scalar(s) a type-family check must hold for: every element of
+    # an `in` list, the value itself otherwise (an `in` val is a LIST —
+    # gating on scalar isinstance(val) made the in-branches below dead
+    # and the flagship point-lookup shape collected the whole
+    # checkpoint to the driver)
+    probe = (
+        list(val)
+        if op == "in" and isinstance(val, (list, tuple, set, frozenset))
+        else [val]
+    )
+    scalars_ok = bool(probe) and all(
+        isinstance(v, (int, float, str, bool)) for v in probe
+    )
     mn_name, mx_name = f"min__{col}", f"max__{col}"
-    if mn_name in names and isinstance(val, (int, float, str, bool)):
+    if mn_name in names and scalars_ok:
         dt = names[mn_name]
         numeric = isinstance(
             dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                  T.FloatType, T.DoubleType),
         )
-        family_ok = (
-            (isinstance(val, bool) and isinstance(dt, T.BooleanType))
-            or (
-                not isinstance(val, bool)
-                and isinstance(val, (int, float))
-                and numeric
+
+        def _fam(v) -> bool:
+            return (
+                (isinstance(v, bool) and isinstance(dt, T.BooleanType))
+                or (
+                    not isinstance(v, bool)
+                    and isinstance(v, (int, float))
+                    and numeric
+                )
+                or (isinstance(v, str) and isinstance(dt, T.StringType))
             )
-            or (isinstance(val, str) and isinstance(dt, T.StringType))
-        )
+
+        family_ok = all(_fam(v) for v in probe)
         if family_ok:
             mn, mx = F.col(mn_name), F.col(mx_name)
 
@@ -1505,12 +1527,7 @@ def _ckpt_prune_expr(schema, col: str, op: str, val, part_by: tuple):
                 return mn >= v  # "<"
 
             if op == "in":
-                vs = [v for v in val if isinstance(v, (int, float, str, bool))]
-                e = (
-                    ft.reduce(lambda a, b: a & b, [rng("==", v) for v in vs])
-                    if vs and len(vs) == len(list(val))
-                    else None
-                )
+                e = ft.reduce(lambda a, b: a & b, [rng("==", v) for v in probe])
             else:
                 e = rng(op, val)
             if e is not None:
@@ -1520,19 +1537,20 @@ def _ckpt_prune_expr(schema, col: str, op: str, val, part_by: tuple):
     # identity partition value (exact; driver casts the stored string
     # to the predicate type — try_cast mirrors "cast doubt keeps")
     pname = f"part__{col}"
-    if pname in names and isinstance(val, (int, float, str, bool)):
+    if pname in names and scalars_ok:
         raw = F.col(pname)
-        if isinstance(val, bool):
+        p0 = probe[0]
+        if isinstance(p0, bool):
             typed = raw.try_cast("boolean")
-        elif isinstance(val, int):
+        elif isinstance(p0, int):
             typed = raw.try_cast("long")
-        elif isinstance(val, float):
+        elif isinstance(p0, float):
             typed = raw.try_cast("double")
         else:
             typed = raw
         if op == "in":
             match = ft.reduce(
-                lambda a, b: a | b, [typed == v for v in val], F.lit(False)
+                lambda a, b: a | b, [typed == v for v in probe], F.lit(False)
             )
         else:
             match = _OPS[op](typed, val)
@@ -2239,7 +2257,10 @@ def lake_column_max(path: str, col: str, version: int | None = None):
     for e in m["files"]:
         stats = e.get("stats") if isinstance(e, dict) else None
         rng = (stats or {}).get(col)
-        if not rng or rng[1] is None or rng[1] != rng[1]:
+        if not rng or rng[1] is None or rng[1] != rng[1] or len(rng) > 2:
+            # missing, NaN, or TRUNCATED (len>2 marker): a truncated
+            # string max is a synthesized prune bound, not a row value
+            # — handing it to a cursor consumer would skip real rows
             return None  # unknowable from stats: caller must scan
         best = rng[1] if best is None or rng[1] > best else best
     return best
@@ -2512,6 +2533,7 @@ def lake_history(path: str) -> list[dict]:
         entry = {
             "version": v,
             "op": m["op"],
+            "ts": m.get("ts"),
             "n_files": n_files,
             "n_rows_delta": m.get("n_rows_delta"),
         }

@@ -247,7 +247,7 @@ def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
     for v in range(max(sv, -1) + 1, ev + 1):
         m = _read_manifest(path, v)
         op, strat = m["op"], m.get("strategy")
-        if op == "append" or (op == "overwrite" and v == 0):
+        if op in ("append", "clone") or (op == "overwrite" and v == 0):
             for e in m["files"]:
                 rel = _entry_rel(e)
                 if rel in prev_files:
@@ -514,14 +514,15 @@ def _arrow_file_stats(table) -> dict:
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
         from .lake import _trunc_str_bounds
 
-        mn, mx = _trunc_str_bounds(
+        mn, mx, trunc = _trunc_str_bounds(
             mn if isinstance(mn, (int, float, str, bool)) or mn is None else str(mn),
             mx if isinstance(mx, (int, float, str, bool)) or mx is None else str(mx),
         )
-        stats[field.name] = [
+        rng = [
             v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
             for v in (mn, mx)
         ]
+        stats[field.name] = rng + [1] if trunc else rng
     return stats
 
 

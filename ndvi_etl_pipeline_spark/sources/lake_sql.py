@@ -354,8 +354,11 @@ def _parse_where_triples(text: str) -> list[tuple]:
     pruning triples — the OPTIMIZE WHERE scope grammar."""
     out: list[tuple] = []
     for clause in re.split(r"\s+AND\s+", text, flags=re.IGNORECASE):
+        # no `!=`: the pruning comparator (_cmp/_file_may_match) has no
+        # not-equal branch, and a silently mis-scoped OPTIMIZE is worse
+        # than a refusal
         m = re.match(
-            rf"^\s*({_IDENT})\s*(>=|<=|!=|=|<|>)\s*(.+?)\s*$", clause
+            rf"^\s*({_IDENT})\s*(>=|<=|=|<|>)\s*(.+?)\s*$", clause
         )
         if not m:
             raise ValueError(

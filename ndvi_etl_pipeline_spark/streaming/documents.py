@@ -582,6 +582,11 @@ def stream_neardup_documents_lake(
                 curated_table,
                 max_files=maintain_max_files,
                 target_files=1,
+                # only files below this count as "small": without it
+                # every pass re-rewrites the bucket's one big
+                # compacted file too, and total write volume over the
+                # stream's life goes O(bucket²) instead of O(deltas)
+                small_bytes=32 << 20,
             )
 
     reader = (

@@ -1372,8 +1372,10 @@ def test_lake_string_stats_truncated_and_prune_correct(spark, tmp_path):
     f0 = next(
         e for e in m["files"] if (e["stats"]["text"][0]).startswith("apple")
     )
-    mn, mx = f0["stats"]["text"]
+    rng0 = f0["stats"]["text"]
+    mn, mx = rng0[0], rng0[1]
     assert mn <= long_a and mx is not None and mx >= long_z
+    assert len(rng0) == 3  # the truncation marker
     # pruning: a predicate beyond the bumped max skips the text file;
     # a value inside the range keeps it and the exact filter works
     pruned = lake_read(spark, t, where=[("text", ">=", "zzzz")])
@@ -1382,9 +1384,65 @@ def test_lake_string_stats_truncated_and_prune_correct(spark, tmp_path):
     assert [r.k for r in hit.collect()] == [1]
     # unit: un-bumpable max (max codepoint run) → unbounded above
     top = chr(0x10FFFF) * 70
-    mn2, mx2 = _trunc_str_bounds(top, top)
-    assert mn2 == top[:64] and mx2 is None
-    # surrogate hole: bump from U+D7FF jumps to U+E000
+    mn2, mx2, tr2 = _trunc_str_bounds(top, top)
+    assert mn2 == top[:64] and mx2 is None and tr2
+    # surrogate hole: bumping U+D7FF jumps to U+E000, skipping the
+    # lone-surrogate range JSON cannot encode
     s = "a" * 63 + "퟿"
-    _mn3, mx3 = _trunc_str_bounds("a", s + "tail")
+    _mn3, mx3, _tr3 = _trunc_str_bounds("a", s + "tail")
     assert mx3 == "a" * 63 + ""
+    # short strings: untouched, unmarked
+    mn4, mx4, tr4 = _trunc_str_bounds("a", "b")
+    assert (mn4, mx4, tr4) == ("a", "b", False)
+
+
+
+def test_lake_column_max_refuses_truncated_string_stats(spark, tmp_path):
+    """A truncated string max is a synthesized prune bound, not a row
+    value: lake_column_max must return None (caller falls back to a
+    scan) instead of handing a cursor consumer a value that would
+    skip real rows. Short strings still resolve from stats."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_column_max
+
+    t = str(tmp_path / "t")
+    lake_write(
+        spark.createDataFrame(
+            [(1, "zz" * 100)], "k int, text string"
+        ).coalesce(1),
+        t,
+    )
+    assert lake_column_max(t, "k") == 1  # ints unaffected
+    assert lake_column_max(t, "text") is None  # truncated: refuse
+    t2 = str(tmp_path / "t2")
+    lake_write(
+        spark.createDataFrame(
+            [(1, "short")], "k int, text string"
+        ).coalesce(1),
+        t2,
+    )
+    assert lake_column_max(t2, "text") == "short"
+
+
+def test_ckpt_prune_expr_handles_in_predicates(spark):
+    """The distributed planning path must compile `in` predicates
+    (the point-lookup shape it exists for) — both stats ranges and
+    identity partition values."""
+    import pyspark.sql.types as T
+
+    from ndvi_etl_pipeline_spark.sources.lake import _ckpt_prune_expr
+
+    schema = T.StructType(
+        [
+            T.StructField("min__k", T.LongType()),
+            T.StructField("max__k", T.LongType()),
+            T.StructField("part__region", T.StringType()),
+        ]
+    )
+    assert _ckpt_prune_expr(schema, "k", "in", [1, 5, 9], ()) is not None
+    assert (
+        _ckpt_prune_expr(schema, "region", "in", ["eu", "us"], ()) is not None
+    )
+    # scalar path unchanged
+    assert _ckpt_prune_expr(schema, "k", ">=", 3, ()) is not None
+    # mixed-type in-list: conservative None (keep everything)
+    assert _ckpt_prune_expr(schema, "k", "in", [1, "x"], ()) is None

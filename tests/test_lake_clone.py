@@ -122,3 +122,23 @@ def test_clone_through_datasource_and_sql(lake_ds, tmp_path):
         spark, "SELECT count(*) AS n FROM c", {"c": dst}
     ).collect()[0]
     assert r.n == 2
+
+
+def test_clone_cdf_through_datasource(lake_ds, tmp_path):
+    """The DataSource CDF read must treat a clone's creating commit
+    as inserts, matching lake_read_cdf."""
+    spark = lake_ds
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]), src)
+    lake_clone(spark, src, dst)
+    feed = (
+        spark.read.format("lake")
+        .option("path", dst)
+        .option("cdf", "true")
+        .option("fromVersion", "-1")
+        .load()
+        .collect()
+    )
+    assert {(r.k, r._change_type) for r in feed} == {
+        (1, "insert"), (2, "insert"),
+    }

@@ -422,3 +422,12 @@ def test_sql_ctas_and_shallow_clone(spark, tmp_path):
     }
     lake_sql(spark, "CREATE TABLE cl SHALLOW CLONE src", tables)
     assert {x.k for x in lake_read(spark, cl).collect()} == {1, 2, 3}
+
+
+def test_sql_history_has_timestamps_and_neq_refused(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]), t)
+    h = lake_sql(spark, "DESCRIBE HISTORY tbl", {"tbl": t}).collect()[0]
+    assert h.ts > 1.7e9  # a real commit wall-clock, not the 0.0 default
+    with pytest.raises(ValueError, match="col op literal"):
+        lake_sql(spark, "OPTIMIZE tbl WHERE k != 1", {"tbl": t})

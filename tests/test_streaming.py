@@ -1147,11 +1147,15 @@ def test_stream_neardup_lake_gate_matches_replay_and_prunes(spark, tmp_path):
     import json as _json2
     import os as _os
 
+    # raw delta record (log-segment storage): v1 carries its scalar
+    # state verbatim and only the entries it ADDED
     m = _json2.load(
         open(_os.path.join(curated, "_manifests", "v1.json"))
     )
     assert m["bloom_cols"] == ["fingerprint"]
-    assert all(e["bloom"]["fingerprint"]["bits"] for e in m["files"])
+    assert m["add"] and all(
+        e["bloom"]["fingerprint"]["bits"] for e in m["add"]
+    )
     none = lake_read(
         spark, curated, where=[("fingerprint", "==", "not-a-real-fp")]
     )

@@ -1024,6 +1024,33 @@ def _write_data_files(
 _DV_FILE, _DV_POS = "__dv_file", "__dv_pos"
 _DV_SCHEMA = f"{_DV_FILE} string, {_DV_POS} bigint"
 
+#: Above this many live deletion-vector rows the read path stops
+#: HINTING a broadcast for the anti-join (a (path, ordinal) row is
+#: ~100 B serialized; 1M rows ≈ 100 MB to every task) and lets the
+#: planner shuffle instead — the regime between "a few deletes" and
+#: "compaction materialized them".
+_DV_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _dv_rows(path: str, dvs) -> int:
+    """Total row count across DV parquet sets from footer metadata
+    alone — O(#dv files) driver work, no data read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for d in dvs:
+        droot = os.path.join(path, d)
+        for root, _dirs, names in os.walk(droot):
+            for f in names:
+                if f.endswith(".parquet"):
+                    try:
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+                    except Exception:
+                        return _DV_BROADCAST_MAX_ROWS + 1  # doubt: no hint
+    return total
+
 
 def _dv_meta_cols(path: str):
     """(decoded file path in ENTRY form, row ordinal) Columns from
@@ -1136,7 +1163,13 @@ def _read_entries(
         dv_df = spark.read.schema(_DV_SCHEMA).parquet(
             *[os.path.join(path, d) for d in dvs]
         )
-        out = out.join(F.broadcast(dv_df), [_DV_FILE, _DV_POS], "left_anti")
+        if _dv_rows(path, dvs) <= _DV_BROADCAST_MAX_ROWS:
+            dv_df = F.broadcast(dv_df)
+        # else: a bulk delete left table-scale DV sets — a forced
+        # broadcast would ship them to every task (and the driver);
+        # let the planner shuffle the anti-join until compaction
+        # materializes the DVs away
+        out = out.join(dv_df, [_DV_FILE, _DV_POS], "left_anti")
     if want_meta and not keep_meta:
         out = out.drop(_DV_FILE, _DV_POS)
     if phys:
@@ -1891,8 +1924,10 @@ def lake_read_cdf(
                      "column_mapping": to_m.get("column_mapping")},
                     hit, keep_meta=True, apply_dvs=False,
                 )
+                if _dv_rows(path, new_dvs) <= _DV_BROADCAST_MAX_ROWS:
+                    dv_df = F.broadcast(dv_df)
                 dels = raw.join(
-                    F.broadcast(dv_df), [_DV_FILE, _DV_POS], "left_semi"
+                    dv_df, [_DV_FILE, _DV_POS], "left_semi"
                 ).select(
                     *out_cols,
                     F.lit("delete").alias("_change_type"),
@@ -1984,8 +2019,10 @@ def lake_read_cdf(
                      "column_mapping": to_m.get("column_mapping")},
                 old_entries, keep_meta=True, apply_dvs=False,
             )
+            if _dv_rows(path, [m["update_preimage_dv"]]) <= _DV_BROADCAST_MAX_ROWS:
+                pre = F.broadcast(pre)
             parts.append(
-                raw.join(F.broadcast(pre), [_DV_FILE, _DV_POS], "left_semi")
+                raw.join(pre, [_DV_FILE, _DV_POS], "left_semi")
                 .select(
                     *out_cols,
                     F.lit("delete").alias("_change_type"),

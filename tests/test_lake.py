@@ -1446,3 +1446,29 @@ def test_ckpt_prune_expr_handles_in_predicates(spark):
     assert _ckpt_prune_expr(schema, "k", ">=", 3, ()) is not None
     # mixed-type in-list: conservative None (keep everything)
     assert _ckpt_prune_expr(schema, "k", "in", [1, "x"], ()) is None
+
+
+def test_dv_antijoin_drops_broadcast_hint_above_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """Small DV sets broadcast (one hint-pinned anti-join); a bulk
+    delete's table-scale DV set must NOT be force-broadcast — the
+    plan falls back to a shuffled anti-join until compaction
+    materializes the DVs (at sf10 the forced broadcast measured 53x a
+    plain filter)."""
+    import ndvi_etl_pipeline_spark.sources.lake as L
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, "v") for i in range(100)]).coalesce(1), t)
+    lake_delete(spark, t, F.col("k") % 2 == 0, strategy="dv")
+    # the HINT is the thing under test: with it, the planner is pinned;
+    # without it, size-based planning decides (a 600 MB DV set exceeds
+    # the broadcast threshold and shuffles; this tiny one may still
+    # broadcast on its own merits — which is exactly the point)
+    plan_small = lake_read(spark, t)._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in plan_small
+    monkeypatch.setattr(L, "_DV_BROADCAST_MAX_ROWS", 5)
+    plan_big = lake_read(spark, t)._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in plan_big
+    # rows identical either way
+    assert {r.k for r in lake_read(spark, t).collect()} == set(range(1, 100, 2))

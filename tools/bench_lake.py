@@ -138,8 +138,26 @@ def main() -> int:
         spark.catalog.clearCache()
         return (r["n"], r["rev"])
 
+    def scan_plain_fullwidth():
+        # every column materialized before the agg — the byte-equal
+        # comparator for the Python DataSource, whose API (Spark 4.1)
+        # has filter pushdown but NO column pruning hook: scan_ds
+        # always decodes the full width, so scan_ds vs scan_plain
+        # includes the 2-of-8-columns pruning gap, and
+        # scan_ds vs THIS isolates the Arrow/Python-worker overhead.
+        df = spark.read.parquet(*raw_files)
+        aggs = [F.count(c).alias(f"c_{c}") for c in df.columns] + [
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev")
+        ]
+        r = df.agg(*aggs).collect()[0]
+        spark.catalog.clearCache()
+        return (r[0], r["rev"])
+
     for name, fn in (("scan_plain", scan_plain), ("scan_lake", scan_lake),
-                     ("scan_ds", scan_ds)):
+                     ("scan_ds", scan_ds),
+                     ("scan_plain_fullwidth", scan_plain_fullwidth)):
         cold, warm, res = timed(fn)
         result["spark"][name] = {"cold": cold, "warm": warm}
         sys.stderr.write(f"{name}: warm {warm}s cold {cold}s -> {res}\n")
@@ -148,6 +166,10 @@ def main() -> int:
     )
     result["ratios"]["scan_ds_vs_plain"] = round(
         result["spark"]["scan_ds"]["warm"] / result["spark"]["scan_plain"]["warm"], 3
+    )
+    result["ratios"]["scan_ds_vs_plain_fullwidth"] = round(
+        result["spark"]["scan_ds"]["warm"]
+        / result["spark"]["scan_plain_fullwidth"]["warm"], 3
     )
 
     # DuckDB comparator for the same scan

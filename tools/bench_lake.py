@@ -211,7 +211,11 @@ def main() -> int:
     result["spark"]["dv_read"] = {"cold": cold, "warm": warm}
     cold, warm, res_pf = timed(plain_filtered)
     result["spark"]["plain_filtered_read"] = {"cold": cold, "warm": warm}
-    assert res_dv == res_pf, (res_dv, res_pf)  # correctness while timing
+    # correctness while timing: counts exact; the double revenue sum
+    # is order-dependent in its last bits at ~1e12 magnitude, so
+    # compare with relative tolerance instead of the rounded string
+    assert res_dv[0] == res_pf[0], (res_dv, res_pf)
+    assert abs(res_dv[1] - res_pf[1]) <= 1e-9 * abs(res_pf[1]), (res_dv, res_pf)
     result["ratios"]["dv_read_vs_plain_filter"] = round(
         result["spark"]["dv_read"]["warm"]
         / result["spark"]["plain_filtered_read"]["warm"], 3
@@ -254,6 +258,14 @@ def main() -> int:
     result["spark"]["full_recompute"] = {"cold": cold, "warm": warm}
     result["ratios"]["cdf_vs_full_recompute"] = round(
         result["spark"]["cdf_incremental"]["warm"]
+        / result["spark"]["full_recompute"]["warm"], 3
+    )
+    # the DV read's fair yardstick at bulk-delete scale: its anti-join
+    # must touch every row, like a full-table aggregate does — the
+    # 2-column plain filter it also reports against gets to prune 6 of
+    # 8 columns, which no row-level merge-on-read can
+    result["ratios"]["dv_read_vs_full_scan"] = round(
+        result["spark"]["dv_read"]["warm"]
         / result["spark"]["full_recompute"]["warm"], 3
     )
     dd = []

@@ -2159,6 +2159,67 @@ def lake_clone(
     return 0
 
 
+def lake_adopt(spark: SparkSession, path: str, clone: str) -> int:
+    """WRITE-AUDIT-PUBLISH, completed: adopt an audited clone's
+    current state back into `path` as ONE atomic commit. The workflow:
+
+        lake_clone(spark, prod, staging)       # zero-copy branch-off
+        ...risky MERGE / UPDATE / backfill on staging...
+        ...audits read staging; prod serves reads untouched...
+        lake_adopt(spark, prod, staging)       # publish
+
+    The adopted commit's file list is the clone's live set — files the
+    clone still shares with `path` resolve back to their original
+    table-relative entries (no self-reference through the clone dir);
+    files the clone wrote stay absolute references into the clone dir
+    (zero-copy publish; run lake_compact afterwards to localize them).
+    Schema, layout, constraints, and DVs adopt with it. Readers of
+    `path` never see an intermediate state, time travel keeps the
+    pre-publish history, and a concurrent commit to `path` wins or
+    loses the ordinary version race (retry re-reads the clone — the
+    caller decides whether adopting over the winner is still right, so
+    conflicts raise instead of silently clobbering)."""
+    c_latest = _latest_version(clone)
+    if c_latest is None:
+        raise FileNotFoundError(f"no manifest lake at {clone}")
+    cm = _read_manifest(clone, c_latest)
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no manifest lake at {path}")
+    abs_path = os.path.abspath(path) + os.sep
+    clone_abs = os.path.abspath(clone)
+
+    def _localize(rel: str) -> str:
+        if os.path.isabs(rel):
+            return rel[len(abs_path):] if rel.startswith(abs_path) else rel
+        return os.path.join(clone_abs, rel)
+
+    entries = []
+    for e in cm["files"]:
+        e2 = dict(e) if isinstance(e, dict) else {"path": e}
+        e2["path"] = _localize(e2["path"])
+        entries.append(e2)
+    manifest = {
+        "version": latest + 1,
+        "op": "overwrite",
+        "ts": time.time(),
+        "files": entries,
+        "schema": cm["schema"],
+        "n_rows_delta": None,
+        "properties": {
+            "adopted_from": clone_abs,
+            "adopted_version": c_latest,
+        },
+    }
+    for k in ("partition_by", "bloom_cols", "constraints", "column_mapping"):
+        if cm.get(k):
+            manifest[k] = cm[k]
+    if cm.get("dvs"):
+        manifest["dvs"] = [_localize(d) for d in cm["dvs"]]
+    _commit(path, latest + 1, manifest)
+    return latest + 1
+
+
 # --- tags: named snapshot refs (Iceberg tags) ------------------------------
 
 _TAG_NAME = re.compile(r"^[A-Za-z_][\w.-]*$")

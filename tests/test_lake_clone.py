@@ -142,3 +142,63 @@ def test_clone_cdf_through_datasource(lake_ds, tmp_path):
     assert {(r.k, r._change_type) for r in feed} == {
         (1, "insert"), (2, "insert"),
     }
+
+
+def test_write_audit_publish_via_adopt(spark, tmp_path):
+    """The WAP loop: clone prod, mutate + audit the clone while prod
+    serves reads untouched, adopt atomically; pre-publish history
+    stays time-travelable, and compaction localizes the adopted
+    cross-dir references."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_adopt
+
+    prod, staging = str(tmp_path / "prod"), str(tmp_path / "st")
+    lake_write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), prod)
+    lake_clone(spark, prod, staging)
+    # the risky change happens on staging
+    lake_update(spark, staging, {"v": F.upper(F.col("v"))}, F.col("k") <= 2)
+    lake_delete(spark, staging, F.col("k") == 3)
+    # audit the staging state; prod is untouched meanwhile
+    assert {(r.k, r.v) for r in lake_read(spark, staging).collect()} == {
+        (1, "A"), (2, "B"),
+    }
+    assert {(r.k, r.v) for r in lake_read(spark, prod).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    v = lake_adopt(spark, prod, staging)
+    assert {(r.k, r.v) for r in lake_read(spark, prod).collect()} == {
+        (1, "A"), (2, "B"),
+    }
+    # pre-publish prod history intact
+    assert {r.v for r in lake_read(spark, prod, version=v - 1).collect()} == {
+        "a", "b", "c",
+    }
+    # localize: compaction pulls the adopted rows into prod's own files
+    lake_compact(spark, prod, num_files=1)
+    import glob as _glob
+    import os as _os
+
+    own = _glob.glob(_os.path.join(prod, "data", "**", "*.parquet"), recursive=True)
+    assert own and {
+        (r.k, r.v) for r in lake_read(spark, prod).collect()
+    } == {(1, "A"), (2, "B")}
+
+
+def test_adopt_unshared_file_resolution(spark, tmp_path):
+    """Files the clone still SHARES with the source resolve back to
+    table-relative entries (no pointless self-reference through the
+    clone dir); only clone-written files stay absolute."""
+    import os as _os
+
+    from ndvi_etl_pipeline_spark.sources.lake import _read_manifest, lake_adopt
+
+    prod, staging = str(tmp_path / "prod"), str(tmp_path / "st")
+    lake_write(_df(spark, [(1, "a")]).coalesce(1), prod)
+    lake_write(_df(spark, [(2, "b")]).coalesce(1), prod)
+    lake_clone(spark, prod, staging)
+    lake_write(_df(spark, [(9, "z")]).coalesce(1), staging)  # clone-owned
+    v = lake_adopt(spark, prod, staging)
+    m = _read_manifest(prod, v)
+    rels = [e["path"] for e in m["files"]]
+    assert sum(1 for p in rels if not _os.path.isabs(p)) == 2  # shared: local
+    assert sum(1 for p in rels if _os.path.isabs(p)) == 1  # clone-owned
+    assert {r.k for r in lake_read(spark, prod).collect()} == {1, 2, 9}

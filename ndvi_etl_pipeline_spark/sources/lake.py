@@ -822,13 +822,14 @@ def _trunc_str_bounds(mn, mx):
     increment, and falling back to None (= unbounded above, never
     pruned) when nothing can. Pruning stays conservative:
     [trunc_min <= true_min, trunc_max >= true_max]. Returns
-    (mn, mx, truncated) — writers record a third `1` element on
-    truncated entries so stats-only consumers (lake_column_max) know
-    the bound is a SYNTHESIZED prune bound, not a real row value."""
+    (mn, mx, max_synthesized) — writers record a third `1` element
+    only when the MAX was synthesized, so stats-only consumers
+    (lake_column_max) refuse exactly the bounds that are not real row
+    values (a truncated MIN is still a valid lower bound and the max
+    beside it may be exact)."""
     truncated = False
     if isinstance(mn, str) and len(mn) > _STATS_STR_MAX:
         mn = mn[:_STATS_STR_MAX]
-        truncated = True
     if isinstance(mx, str) and len(mx) > _STATS_STR_MAX:
         p = mx[:_STATS_STR_MAX]
         bumped = None
@@ -1911,11 +1912,17 @@ def lake_read_cdf(
             ]
             if new_entries:
                 # read under the TO-version schema: columns added
-                # later in the range surface as NULL (evolution)
+                # later in the range surface as NULL (evolution).
+                # A CLONE's creating commit applies its own DVs — rows
+                # dv-deleted in the source before cloning were never
+                # visible in the clone, so they must not emit as
+                # inserts (later in-range dv-deletes still must NOT
+                # erase insert events: apply_dvs stays False for
+                # ordinary appends)
                 ins = _read_entries(
                     spark, path, {**m, "schema": to_m["schema"],
                      "column_mapping": to_m.get("column_mapping")},
-                    new_entries, apply_dvs=False,
+                    new_entries, apply_dvs=(op == "clone"),
                 ).select(
                     *out_cols,
                     ct.alias("_change_type"),
@@ -2077,6 +2084,40 @@ def lake_latest_version(path: str) -> int | None:
     return _latest_version(path)
 
 
+def _dv_rewrite(src_root: str, dvs, translate, dst_root: str, tag: str) -> list[str]:
+    """Copy DV sets from under `src_root` to one combined set under
+    `dst_root`/dv/, mapping every row's FILE ADDRESS through
+    `translate` — deletion vectors address rows by the reading table's
+    entry form, so any operation that changes entry forms (CLONE makes
+    shared paths absolute; ADOPT localizes them back) must rewrite the
+    addresses with them or the anti-join silently misses and deleted
+    rows resurrect. DV sets are metadata-sized; this is driver work.
+    Returns the new `dvs` list ([] when the sets held no rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tables = []
+    for d in dvs:
+        droot = os.path.join(src_root, d)
+        for root, _dirs, names in os.walk(droot):
+            for f in sorted(names):
+                if f.endswith(".parquet"):
+                    tables.append(pq.read_table(os.path.join(root, f)))
+    if not tables:
+        return []
+    t = pa.concat_tables(tables)
+    files = [translate(fp) for fp in t.column(_DV_FILE).to_pylist()]
+    t = t.set_column(
+        t.schema.get_field_index(_DV_FILE),
+        _DV_FILE,
+        pa.array(files, pa.string()),
+    )
+    dv_rel = os.path.join("dv", f"{tag}-" + uuid.uuid4().hex[:12])
+    os.makedirs(os.path.join(dst_root, dv_rel), exist_ok=True)
+    pq.write_table(t, os.path.join(dst_root, dv_rel, "part-0.parquet"))
+    return [dv_rel]
+
+
 def lake_clone(
     spark: SparkSession, src: str, dst: str, version: int | str | None = None
 ) -> int:
@@ -2128,33 +2169,15 @@ def lake_clone(
         # its root) — rewrite the addresses into one dv set under dst.
         # DV sets are metadata-sized (bounded by deletes-since-last-
         # compaction), so this stays a metadata-only operation.
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        tables = []
-        for d in m["dvs"]:
-            droot = os.path.join(src, d)
-            for root, _dirs, names in os.walk(droot):
-                for f in sorted(names):
-                    if f.endswith(".parquet"):
-                        tables.append(pq.read_table(os.path.join(root, f)))
-        if tables:
-            t = pa.concat_tables(tables)
-            files = [
-                fp if os.path.isabs(fp) else os.path.join(src_abs, fp)
-                for fp in t.column(_DV_FILE).to_pylist()
-            ]
-            t = t.set_column(
-                t.schema.get_field_index(_DV_FILE),
-                _DV_FILE,
-                pa.array(files, pa.string()),
-            )
-            dv_rel = os.path.join("dv", "clone-" + uuid.uuid4().hex[:12])
-            os.makedirs(os.path.join(dst, dv_rel), exist_ok=True)
-            pq.write_table(
-                t, os.path.join(dst, dv_rel, "part-0.parquet")
-            )
-            manifest["dvs"] = [dv_rel]
+        new_dvs = _dv_rewrite(
+            src,
+            m["dvs"],
+            lambda fp: fp if os.path.isabs(fp) else os.path.join(src_abs, fp),
+            dst,
+            "clone",
+        )
+        if new_dvs:
+            manifest["dvs"] = new_dvs
     _commit(dst, 0, manifest)
     return 0
 
@@ -2215,7 +2238,13 @@ def lake_adopt(spark: SparkSession, path: str, clone: str) -> int:
         if cm.get(k):
             manifest[k] = cm[k]
     if cm.get("dvs"):
-        manifest["dvs"] = [_localize(d) for d in cm["dvs"]]
+        # the DV ROWS address files in the CLONE's entry form; the
+        # adopted manifest uses the SOURCE's — rewrite the addresses
+        # through the same mapping the entries went through, or the
+        # anti-join misses and dv-deleted rows resurrect on publish
+        new_dvs = _dv_rewrite(clone, cm["dvs"], _localize, path, "adopt")
+        if new_dvs:
+            manifest["dvs"] = new_dvs
     _commit(path, latest + 1, manifest)
     return latest + 1
 

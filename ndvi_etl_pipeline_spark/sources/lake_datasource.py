@@ -248,6 +248,13 @@ def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
         m = _read_manifest(path, v)
         op, strat = m["op"], m.get("strategy")
         if op in ("append", "clone") or (op == "overwrite" and v == 0):
+            # a CLONE's creating commit applies its own DVs: rows
+            # dv-deleted in the source pre-clone were never visible
+            # here and must not stream as inserts (drop_pos); ordinary
+            # appends carry no DVs for their new files
+            clone_drop = (
+                _dv_positions(path, m) if op == "clone" else {}
+            )
             for e in m["files"]:
                 rel = _entry_rel(e)
                 if rel in prev_files:
@@ -257,6 +264,7 @@ def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
                         os.path.abspath(os.path.join(path, rel)),
                         schema_json,
                         _entry_partition_fill(e, part_by),
+                        drop_pos=clone_drop.get(rel),
                         change=("insert", v),
                     )
                 )

@@ -205,7 +205,7 @@ _UPDATE_RE = re.compile(
 )
 _CTAS_RE = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})"
-    r"(?:\s+PARTITIONED\s+BY\s+\(([^)]*)\))?"
+    r"(?:\s+PARTITIONED\s+BY\s+\(((?:[^()]|\([^()]*\))*)\))?"
     r"\s+AS\s+((?:SELECT|VALUES|WITH|TABLE)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -352,8 +352,21 @@ def _run_merge(
 def _parse_where_triples(text: str) -> list[tuple]:
     """Conjunction of `col op literal` into the lake's (col, op, value)
     pruning triples — the OPTIMIZE WHERE scope grammar."""
+    # split on AND outside quotes (a literal 'a AND b' must survive)
+    clauses, buf, q = [], [], None
+    toks = re.split(r"(\s+[Aa][Nn][Dd]\s+|')", text)
+    for tok in toks:
+        if tok == "'":
+            q = None if q else "'"
+            buf.append(tok)
+        elif q is None and re.fullmatch(r"\s+[Aa][Nn][Dd]\s+", tok or ""):
+            clauses.append("".join(buf))
+            buf = []
+        else:
+            buf.append(tok or "")
+    clauses.append("".join(buf))
     out: list[tuple] = []
-    for clause in re.split(r"\s+AND\s+", text, flags=re.IGNORECASE):
+    for clause in clauses:
         # no `!=`: the pruning comparator (_cmp/_file_may_match) has no
         # not-equal branch, and a silently mis-scoped OPTIMIZE is worse
         # than a refusal
@@ -366,13 +379,19 @@ def _parse_where_triples(text: str) -> list[tuple]:
                 f"only, got {clause.strip()!r}"
             )
         raw = m.group(3)
-        if raw.startswith("'") and raw.endswith("'"):
+        if raw.startswith("'") and raw.endswith("'") and len(raw) >= 2:
             val: object = raw[1:-1]
         else:
             try:
                 val = int(raw)
             except ValueError:
-                val = float(raw)
+                try:
+                    val = float(raw)
+                except ValueError:
+                    raise ValueError(
+                        f"OPTIMIZE WHERE literal must be a number or a "
+                        f"quoted string, got {raw!r}"
+                    ) from None
         out.append((m.group(1), m.group(2), val))
     return out
 
@@ -476,9 +495,6 @@ def _run_dml(
     delete_strategy: str,
 ) -> DataFrame:
     stmt = query.strip().rstrip(";")
-    ddl = _run_ddl(spark, stmt, tables)
-    if ddl is not None:
-        return ddl
     maint = _run_maintenance(spark, stmt, tables)
     if maint is not None:
         return maint
@@ -580,8 +596,16 @@ def lake_sql(
     non-lake views, CTEs, window functions, etc. all compose.
     Registration is manifest-scale work; no data is read until the
     returned DataFrame executes."""
+    if re.match(r"^\s*CREATE\b", query, re.IGNORECASE):
+        # CTAS / SHALLOW CLONE are ours; any OTHER create form
+        # (CREATE TEMP VIEW over rewritten lake relations, ...) passes
+        # through to spark.sql untouched
+        ddl = _run_ddl(spark, query.strip().rstrip(";"), tables)
+        if ddl is not None:
+            return ddl
+        return spark.sql(_rewrite_reads(spark, query, tables))
     if re.match(
-        r"^\s*(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|CREATE"
+        r"^\s*(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM"
         r"|DESCRIBE\s+HISTORY)\b",
         query,
         re.IGNORECASE,

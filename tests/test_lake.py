@@ -1478,3 +1478,23 @@ def test_dv_antijoin_drops_broadcast_hint_above_threshold(
     assert big and all("strategy=broadcast" not in l for l in big)
     # rows identical either way
     assert {r.k for r in lake_read(spark, t).collect()} == set(range(1, 100, 2))
+
+
+def test_truncation_marker_only_when_max_synthesized(spark, tmp_path):
+    """A truncated MIN beside an exact short MAX must not poison
+    lake_column_max — the marker records only synthesized maxima."""
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        _trunc_str_bounds,
+        lake_column_max,
+    )
+
+    mn, mx, marked = _trunc_str_bounds("a" * 100, "zzz")
+    assert mn == "a" * 64 and mx == "zzz" and not marked
+    t = str(tmp_path / "t")
+    lake_write(
+        spark.createDataFrame(
+            [(1, "a" * 100), (2, "zzz")], "k int, text string"
+        ).coalesce(1),
+        t,
+    )
+    assert lake_column_max(t, "text") == "zzz"

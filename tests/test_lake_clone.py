@@ -202,3 +202,54 @@ def test_adopt_unshared_file_resolution(spark, tmp_path):
     assert sum(1 for p in rels if not _os.path.isabs(p)) == 2  # shared: local
     assert sum(1 for p in rels if _os.path.isabs(p)) == 1  # clone-owned
     assert {r.k for r in lake_read(spark, prod).collect()} == {1, 2, 9}
+
+
+def test_adopt_translates_dv_addresses(spark, tmp_path):
+    """Second-review regression: a clone's DV rows address files in
+    the CLONE's entry form; adopt must rewrite them into the source's
+    form or dv-deleted rows silently resurrect on publish."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_adopt
+
+    prod, staging = str(tmp_path / "prod"), str(tmp_path / "st")
+    lake_write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), prod)
+    lake_clone(spark, prod, staging)
+    # dv-delete on SHARED files (clone addresses them absolutely) and
+    # on a clone-owned file (clone-relative address)
+    lake_write(_df(spark, [(9, "z"), (10, "y")]).coalesce(1), staging)
+    lake_delete(spark, staging, F.col("k").isin([2, 10]), strategy="dv")
+    assert {r.k for r in lake_read(spark, staging).collect()} == {1, 3, 9}
+    v = lake_adopt(spark, prod, staging)
+    assert {r.k for r in lake_read(spark, prod).collect()} == {1, 3, 9}
+    # compaction materializes the adopted DVs, not the raw files
+    lake_compact(spark, prod, num_files=1)
+    assert {r.k for r in lake_read(spark, prod).collect()} == {1, 3, 9}
+    # pre-adopt prod unchanged
+    assert {r.k for r in lake_read(spark, prod, version=v - 1).collect()} == {
+        1, 2, 3,
+    }
+
+
+def test_clone_cdf_applies_source_dvs(lake_ds, tmp_path):
+    """A clone of a dv-carrying source must NOT emit the dv-deleted
+    rows as inserts in its change feed — library and DataSource CDF
+    agree, and the multiset compose rule holds."""
+    spark = lake_ds
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    lake_write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), src)
+    lake_delete(spark, src, F.col("k") == 2, strategy="dv")
+    lake_clone(spark, src, dst)
+    feed = lake_read_cdf(spark, dst, -1).collect()
+    assert {(r.k, r._change_type) for r in feed} == {
+        (1, "insert"), (3, "insert"),
+    }
+    ds_feed = (
+        spark.read.format("lake")
+        .option("path", dst)
+        .option("cdf", "true")
+        .option("fromVersion", "-1")
+        .load()
+        .collect()
+    )
+    assert {(r.k, r._change_type) for r in ds_feed} == {
+        (1, "insert"), (3, "insert"),
+    }

@@ -431,3 +431,51 @@ def test_sql_history_has_timestamps_and_neq_refused(spark, tmp_path):
     assert h.ts > 1.7e9  # a real commit wall-clock, not the 0.0 default
     with pytest.raises(ValueError, match="col op literal"):
         lake_sql(spark, "OPTIMIZE tbl WHERE k != 1", {"tbl": t})
+
+
+def test_sql_create_temp_view_passthrough(spark, tmp_path):
+    """Second-review regression: CREATE forms that are not CTAS /
+    SHALLOW CLONE (e.g. CREATE TEMP VIEW over a rewritten lake
+    relation) pass through to spark.sql instead of raising."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]), t)
+    lake_sql(
+        spark,
+        "CREATE OR REPLACE TEMPORARY VIEW v_pass AS SELECT k FROM tbl "
+        "WHERE k > 1",
+        {"tbl": t},
+    )
+    assert [r.k for r in spark.table("v_pass").collect()] == [2]
+
+
+def test_sql_ctas_transform_partition_spec(spark, tmp_path):
+    """CTAS accepts transform partition specs (nested parens)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    lake_write(_df(spark, [(i, "x") for i in range(8)]), src)
+    lake_sql(
+        spark,
+        "CREATE TABLE dst PARTITIONED BY (bucket(4, k)) AS "
+        "SELECT * FROM src",
+        {"src": src, "dst": dst},
+    )
+    assert _lm(dst, 0)["partition_by"] == ["bucket(4, k)"]
+    assert {r.k for r in lake_read(spark, dst).collect()} == set(range(8))
+
+
+def test_sql_optimize_where_literal_grammar(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(
+        spark.createDataFrame(
+            [(1, "a AND b"), (2, "plain")], "k int, v string"
+        ).coalesce(1),
+        t,
+    )
+    # quoted literal containing AND survives the split
+    r = lake_sql(
+        spark, "OPTIMIZE tbl WHERE v = 'a AND b'", {"tbl": t}
+    ).collect()[0]
+    assert r.op == "optimize"
+    # unquoted non-numeric literal: the grammar error, not a float
+    # conversion traceback
+    with pytest.raises(ValueError, match="number or a quoted string"):
+        lake_sql(spark, "OPTIMIZE tbl WHERE v = eu", {"tbl": t})

@@ -673,3 +673,242 @@ def q_lake_sql_clone_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"src": src, "cl": dst},
     )
+
+
+@register(
+    "lake_sql_mor_merge",
+    oracle="""
+        WITH src AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal + 50 AS c_acctbal
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 900000000, 'NEWSEG', c_acctbal
+            FROM customer WHERE c_custkey % 13 = 0
+        ), merged AS (
+            SELECT * FROM src
+            UNION ALL
+            SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+            FROM customer c
+            WHERE c.c_custkey NOT IN (SELECT c_custkey FROM src)
+        )
+        SELECT c_mktsegment AS seg, count(*) AS n,
+               round(sum(c_acctbal), 2) AS bal_sum,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        FROM merged GROUP BY c_mktsegment
+    """,
+    tags=("lakehouse", "sql", "dml", "merge", "mor"),
+)
+def q_lake_sql_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ MERGE through SQL (merge_strategy='mor'): the
+    matched old rows' addresses land as a deletion-vector set and the
+    update rows append as postimage files — ZERO pre-existing files
+    rewritten (asserted on the manifest), which is the only MERGE
+    shape that survives 0.1-1% scattered updates at 100 TB. The
+    read-back equals the relational upsert."""
+    from ...sources.lake import _read_manifest
+
+    t = _tmp("mormerge")
+    lake_write(
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ),
+        t,
+    )
+    lake_sql(
+        spark,
+        "MERGE INTO cust USING ("
+        "  SELECT c_custkey, c_mktsegment, c_acctbal + 50 AS c_acctbal"
+        "  FROM cust VERSION AS OF 0 WHERE c_custkey % 10 = 0"
+        "  UNION ALL"
+        "  SELECT c_custkey + 900000000, 'NEWSEG', c_acctbal"
+        "  FROM cust VERSION AS OF 0 WHERE c_custkey % 13 = 0"
+        ") AS s ON cust.c_custkey = s.c_custkey "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        {"cust": t},
+        merge_strategy="mor",
+    )
+    m0 = {e["path"] for e in _read_manifest(t, 0)["files"]}
+    m1 = _read_manifest(t, 1)
+    assert m0 <= {e["path"] for e in m1["files"]}, "MoR merge rewrote a file"
+    assert m1["strategy"] == "mor" and m1.get("dvs"), m1.get("strategy")
+    return lake_sql(
+        spark,
+        """
+        SELECT c_mktsegment AS seg, count(*) AS n,
+               round(sum(c_acctbal), 2) AS bal_sum,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        FROM cust GROUP BY c_mktsegment
+        """,
+        {"cust": t},
+    )
+
+
+@register(
+    "lake_sql_mor_update_cdf",
+    oracle="""
+        SELECT 'delete' AS change, count(*) AS n,
+               round(sum(c_acctbal), 2) AS bal_sum
+        FROM customer WHERE c_mktsegment = 'MACHINERY'
+        UNION ALL
+        SELECT 'insert', count(*), round(sum(c_acctbal + 25), 2)
+        FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+    tags=("lakehouse", "sql", "dml", "update", "cdf", "mor"),
+)
+def q_lake_sql_mor_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed across a MERGE-ON-READ UPDATE: no file rewritten
+    (asserted), old row versions hidden by the preimage deletion
+    vector, postimages appended — and table_changes still emits the
+    same delete(pre)+insert(post) pairs as the COW path, O(delta)."""
+    from ...sources.lake import _read_manifest
+
+    t = _tmp("morucdf")
+    lake_write(
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ),
+        t,
+    )
+    lake_sql(
+        spark,
+        "UPDATE cust SET c_acctbal = c_acctbal + 25 "
+        "WHERE c_mktsegment = 'MACHINERY'",
+        {"cust": t},
+        update_strategy="mor",
+    )
+    m0 = {e["path"] for e in _read_manifest(t, 0)["files"]}
+    m1 = _read_manifest(t, 1)
+    assert m0 <= {e["path"] for e in m1["files"]}, "MoR update rewrote a file"
+    return lake_sql(
+        spark,
+        """
+        SELECT _change_type AS change, count(*) AS n,
+               round(sum(c_acctbal), 2) AS bal_sum
+        FROM table_changes('cust', 0) GROUP BY _change_type
+        """,
+        {"cust": t},
+    )
+
+
+@register(
+    "lake_sql_alter_rename_widen",
+    oracle="""
+        WITH t AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS nkey,
+                   n_name AS nation_name, n_regionkey
+            FROM nation
+            UNION ALL
+            SELECT 5000000000, 'zz_new', 0
+        )
+        SELECT n_regionkey AS region, count(*) AS n,
+               CAST(sum(nkey) AS BIGINT) AS key_sum,
+               max(nation_name) AS max_name
+        FROM t GROUP BY n_regionkey
+    """,
+    tags=("lakehouse", "sql", "ddl", "evolution"),
+)
+def q_lake_sql_alter_rename_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE through SQL text (round-6 verdict: a SQL user hits
+    ALTER within days): RENAME COLUMN is a metadata-only commit via
+    id-based column mapping, ALTER COLUMN TYPE a lossless int→bigint
+    widen (no file rewritten — the parquet reader upcasts), and the
+    follow-up INSERT proves the widened key range is live. Old files
+    read back under the NEW logical names."""
+    t = _tmp("alter")
+    lake_write(_t(spark, sf_dir, "nation"), t)
+    T = {"nat": t}
+    lake_sql(spark, "ALTER TABLE nat RENAME COLUMN n_name TO nation_name", T)
+    lake_sql(spark, "ALTER TABLE nat ALTER COLUMN n_nationkey TYPE bigint", T)
+    lake_sql(
+        spark,
+        "INSERT INTO nat SELECT CAST(5000000000 AS BIGINT) AS n_nationkey, "
+        "'zz_new' AS nation_name, 0 AS n_regionkey",
+        T,
+    )
+    return lake_sql(
+        spark,
+        """
+        SELECT n_regionkey AS region, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               max(nation_name) AS max_name
+        FROM nat GROUP BY n_regionkey
+        """,
+        T,
+    )
+
+
+@register(
+    "lake_sql_restore_tag_ddl",
+    oracle="""
+        SELECT r_regionkey AS region, r_name AS name FROM region
+        UNION ALL
+        SELECT 99, 'marker'
+    """,
+    tags=("lakehouse", "sql", "ddl", "tags", "time-travel"),
+)
+def q_lake_sql_restore_tag_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version control through SQL text: CREATE TAG pins the clean
+    snapshot, two mutations dirty the table, RESTORE TABLE ... TO
+    VERSION AS OF '<tag>' rolls it back as ONE new commit (history
+    preserved — DESCRIBE HISTORY shows the restore), and a post-restore
+    INSERT proves the table is live again. Final state = clean corpus
+    + marker row, exactly."""
+    t = _tmp("restore")
+    T = {"reg": t}
+    lake_write(_t(spark, sf_dir, "region"), t)
+    lake_sql(spark, "ALTER TABLE reg CREATE TAG clean.base", T)
+    lake_sql(spark, "UPDATE reg SET r_name = upper(r_name)", T)
+    lake_sql(spark, "DELETE FROM reg WHERE r_regionkey < 2", T)
+    lake_sql(spark, "RESTORE TABLE reg TO VERSION AS OF 'clean.base'", T)
+    lake_sql(
+        spark,
+        "INSERT INTO reg SELECT 99 AS r_regionkey, 'marker' AS r_name",
+        T,
+    )
+    ops = [
+        r.op
+        for r in lake_sql(spark, "DESCRIBE HISTORY reg", T).collect()
+    ]
+    assert "restore" in ops, ops
+    lake_sql(spark, "ALTER TABLE reg DROP TAG clean.base", T)
+    return lake_sql(
+        spark,
+        "SELECT r_regionkey AS region, r_name AS name FROM reg",
+        T,
+    )
+
+
+@register(
+    "lake_ds_pruned_scan",
+    oracle="""
+        SELECT o_orderpriority AS pri, count(*) AS n,
+               round(sum(o_totalprice), 2) AS price_sum
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("lakehouse", "datasource", "projection"),
+)
+def q_lake_ds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource with an EXPLICIT column projection
+    (option('columns', ...)): Spark 4.1's DataSource API has
+    pushFilters but no column-pruning hook, so without this a
+    2-of-6-column read decodes the full width. The projected source's
+    output schema narrows at plan time, executors decode only the
+    named parquet columns, and the aggregate equals the relational
+    oracle."""
+    from ...sources import lake_datasource as LDS
+
+    LDS.register(spark)
+    t = _tmp("dsproj")
+    lake_write(_t(spark, sf_dir, "orders"), t)
+    df = (
+        spark.read.format("lake")
+        .option("path", t)
+        .option("columns", "o_orderpriority,o_totalprice")
+        .load()
+    )
+    # projection narrows the source schema (TABLE order preserved)
+    assert set(df.columns) == {"o_orderpriority", "o_totalprice"}, df.columns
+    return df.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )

@@ -1836,7 +1836,7 @@ def lake_read_changes(
         op = _read_delta(path, v)["op"]
         # alter_constraints republishes an identical file set — safe
         # to diff across; anything that rewrites/deletes files is not
-        if op not in ("append", "clone", "alter_constraints", "rename_column", "drop_column"):
+        if op not in ("append", "clone", "alter_constraints", "rename_column", "drop_column", "widen_column"):
             raise ValueError(
                 f"incremental read undefined across non-append commit "
                 f"v{v} ({op}) — re-read the full snapshot instead"
@@ -1851,6 +1851,64 @@ def lake_read_changes(
         if (e["path"] if isinstance(e, dict) else e) not in old
     ]
     return _read_entries(spark, path, to_m, new_entries)
+
+
+def _cdf_preimage_parts(
+    spark: SparkSession, path: str, m: dict, v: int, to_m: dict,
+    out_cols: list[str], ct,
+) -> list[DataFrame]:
+    """Change events of one UPDATE (either strategy) or MoR MERGE
+    commit: delete(preimage) + insert(postimage). The postimage rows
+    live in the commit's recorded update_files; the preimage rows are
+    recovered from the PRE-commit files (COW: on disk until vacuum;
+    MoR: still live) semi-joined against the commit's recorded
+    (file, ordinal) preimage addresses — which only ever name rows
+    VISIBLE at v-1, so prior DVs need no re-application.
+    Carried-over / untouched rows emit nothing. O(delta) reads."""
+    parts: list[DataFrame] = []
+    upd_rel = set(m["update_files"])
+    upd_entries = [e for e in m["files"] if _entry_rel(e) in upd_rel]
+    upd = _read_entries(
+        spark, path, {**m, "schema": to_m["schema"],
+             "column_mapping": to_m.get("column_mapping")},
+        upd_entries, apply_dvs=False,
+    )
+    parts.append(
+        upd.select(
+            *out_cols,
+            ct.alias("_change_type"),
+            F.lit(v).cast("int").alias("_commit_version"),
+        )
+    )
+    pre = spark.read.schema(_DV_SCHEMA).parquet(
+        os.path.join(path, m["update_preimage_dv"])
+    )
+    touched = {
+        r.f
+        for r in pre.select(F.col(_DV_FILE).alias("f"))
+        .distinct()
+        .collect()
+    }
+    pm = _read_manifest(path, v - 1)
+    old_entries = [
+        e for e in pm["files"] if _entry_rel(e) in touched
+    ]
+    raw = _read_entries(
+        spark, path, {**pm, "schema": to_m["schema"],
+             "column_mapping": to_m.get("column_mapping")},
+        old_entries, keep_meta=True, apply_dvs=False,
+    )
+    if _dv_rows(path, [m["update_preimage_dv"]]) <= _DV_BROADCAST_MAX_ROWS:
+        pre = F.broadcast(pre)
+    parts.append(
+        raw.join(pre, [_DV_FILE, _DV_POS], "left_semi")
+        .select(
+            *out_cols,
+            F.lit("delete").alias("_change_type"),
+            F.lit(v).cast("int").alias("_commit_version"),
+        )
+    )
+    return parts
 
 
 def lake_read_cdf(
@@ -1906,7 +1964,7 @@ def lake_read_cdf(
         op, strat = m["op"], m.get("strategy")
         if op in ("append", "overwrite") and v == 0 and from_version < 0:
             op = "append"  # the creating commit is all inserts
-        if op in ("append", "clone", "alter_constraints", "rename_column", "drop_column"):
+        if op in ("append", "clone", "alter_constraints", "rename_column", "drop_column", "widen_column"):
             new_entries = [
                 e for e in m["files"] if _entry_rel(e) not in prev_files
             ]
@@ -1961,10 +2019,22 @@ def lake_read_cdf(
                     F.lit(v).cast("int").alias("_commit_version"),
                 )
                 parts.append(dels)
+        elif op in ("update", "merge") and m.get("update_preimage_dv") and "update_files" in m:
+            # UPDATE (either strategy) or MoR MERGE with recorded
+            # preimage ADDRESSES = delete(preimage) + insert(postimage)
+            # — handled by the address branch below (checked FIRST: a
+            # MoR merge also carries merge_keys, but its rewrote_files
+            # is empty, so the key-join recovery underneath would miss
+            # every delete event).
+            parts.extend(
+                _cdf_preimage_parts(
+                    spark, path, m, v, to_m, out_cols, ct
+                )
+            )
         elif op == "merge" and m.get("merge_keys") and "update_files" in m:
-            # MERGE = delete(matched old rows) + insert(update rows).
-            # The update rows live in the recorded update_files; the
-            # matched old rows are recovered from the PRE-merge
+            # COW MERGE = delete(matched old rows) + insert(update
+            # rows). The update rows live in the recorded update_files;
+            # the matched old rows are recovered from the PRE-merge
             # snapshot's rewritten files (still on disk until vacuum;
             # a vacuumed history fails the read honestly) semi-joined
             # on the merge keys. Unmatched rewritten rows moved to
@@ -2005,57 +2075,6 @@ def lake_read_cdf(
                     F.lit(v).cast("int").alias("_commit_version"),
                 )
                 parts.append(dels)
-        elif op == "update" and m.get("update_preimage_dv") and "update_files" in m:
-            # UPDATE = delete(preimage) + insert(postimage). The
-            # postimage rows live in the recorded update_files; the
-            # preimage rows are recovered from the PRE-update files
-            # (on disk until vacuum) semi-joined against the commit's
-            # recorded (file, ordinal) preimage addresses — which only
-            # ever name rows VISIBLE at v-1, so prior DVs need no
-            # re-application. Carried-over unmatched rows moved files
-            # without changing — no events for them. O(delta) reads.
-            upd_rel = set(m["update_files"])
-            upd_entries = [e for e in m["files"] if _entry_rel(e) in upd_rel]
-            upd = _read_entries(
-                spark, path, {**m, "schema": to_m["schema"],
-                     "column_mapping": to_m.get("column_mapping")},
-                upd_entries, apply_dvs=False,
-            )
-            parts.append(
-                upd.select(
-                    *out_cols,
-                    ct.alias("_change_type"),
-                    F.lit(v).cast("int").alias("_commit_version"),
-                )
-            )
-            pre = spark.read.schema(_DV_SCHEMA).parquet(
-                os.path.join(path, m["update_preimage_dv"])
-            )
-            touched = {
-                r.f
-                for r in pre.select(F.col(_DV_FILE).alias("f"))
-                .distinct()
-                .collect()
-            }
-            pm = _read_manifest(path, v - 1)
-            old_entries = [
-                e for e in pm["files"] if _entry_rel(e) in touched
-            ]
-            raw = _read_entries(
-                spark, path, {**pm, "schema": to_m["schema"],
-                     "column_mapping": to_m.get("column_mapping")},
-                old_entries, keep_meta=True, apply_dvs=False,
-            )
-            if _dv_rows(path, [m["update_preimage_dv"]]) <= _DV_BROADCAST_MAX_ROWS:
-                pre = F.broadcast(pre)
-            parts.append(
-                raw.join(pre, [_DV_FILE, _DV_POS], "left_semi")
-                .select(
-                    *out_cols,
-                    F.lit("delete").alias("_change_type"),
-                    F.lit(v).cast("int").alias("_commit_version"),
-                )
-            )
         else:
             raise ValueError(
                 f"change feed undefined across file-rewriting commit "
@@ -2661,6 +2680,82 @@ def lake_drop_column(path: str, col: str) -> int:
     return _retry_cow("drop_column", path, once)
 
 
+_WIDEN_TYPE_NAMES = {
+    "tinyint": T.ByteType(), "byte": T.ByteType(),
+    "smallint": T.ShortType(), "short": T.ShortType(),
+    "int": T.IntegerType(), "integer": T.IntegerType(),
+    "bigint": T.LongType(), "long": T.LongType(),
+    "float": T.FloatType(), "real": T.FloatType(),
+    "double": T.DoubleType(),
+}
+
+
+def lake_widen_column(path: str, col: str, new_type) -> int:
+    """Widen a column's declared type as a METADATA-ONLY commit
+    (ALTER TABLE ... ALTER COLUMN ... TYPE): no file is rewritten —
+    Spark 4's parquet reader upcasts the narrower file columns to the
+    wider read schema natively, and subsequent narrower writes upcast
+    their rows on the way in (lake_write). Only the LOSSLESS
+    promotions `_widened` allows (byte→short→int→long, float→double,
+    int-family→double — Delta's type-widening set) are accepted;
+    long→int, double→float, or any non-numeric change refuses.
+    `new_type` is a Spark DataType or a SQL type name string.
+    Widening to the column's current type is a no-op (no commit)."""
+    if isinstance(new_type, T.DataType):
+        dt = new_type
+    else:
+        key = str(new_type).strip().lower()
+        if key not in _WIDEN_TYPE_NAMES:
+            raise ValueError(
+                f"unsupported widen target type {new_type!r} "
+                f"(supported: {sorted(set(_WIDEN_TYPE_NAMES))})"
+            )
+        dt = _WIDEN_TYPE_NAMES[key]
+
+    def once() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {path}")
+        m = _read_manifest(path, latest)
+        schema = T.StructType.fromJson(m["schema"])
+        if col not in schema.fieldNames():
+            raise ValueError(f"no column {col!r} to widen")
+        old_t = schema[col].dataType
+        if old_t == dt:
+            return latest  # already that type: no snapshot needed
+        w = _widened(old_t, dt)
+        if w is None or w != dt:
+            raise ValueError(
+                f"cannot alter {col!r} from {old_t.simpleString()} to "
+                f"{dt.simpleString()} — only lossless widening is allowed "
+                "(rewrite via overwrite)"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(f.name, dt if f.name == col else f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        version = latest + 1
+        manifest = {
+            "version": version,
+            "op": "widen_column",
+            "widened": [col, old_t.simpleString(), dt.simpleString()],
+            "ts": time.time(),
+            "files": m["files"],
+            "schema": new_schema.jsonValue(),
+            "n_rows_delta": None,
+        }
+        for k in ("dvs", "partition_by", "bloom_cols", "constraints",
+                  "column_mapping"):
+            if m.get(k):
+                manifest[k] = m[k]
+        _commit(path, version, manifest)
+        return version
+
+    return _retry_cow("widen_column", path, once)
+
+
 def lake_history(path: str) -> list[dict]:
     """Commit log. Reads the raw delta records only — O(1) metadata
     per version, no file-list reconstruction (the shape that stays
@@ -2697,19 +2792,176 @@ def _retry_cow(op_name: str, path: str, once):
     snapshot (the winner may have added files the pruning never
     scanned, so re-merging manifests alone would miss rows — Delta
     resolves delete-vs-append the same way). Lost attempts leave only
-    unreferenced data files, which vacuum collects after retention."""
+    unreferenced data files, which vacuum collects after retention.
+
+    Ops that publish through _classified_commit first try a REBASE
+    (commit without re-execution) when the winner's commits are
+    provably disjoint — only a classification failure reaches the
+    re-run here (CONFLICT_STATS counts both outcomes)."""
     for attempt in range(_MAX_COMMIT_ATTEMPTS):
         try:
             return once()
         except _CommitConflict:
+            CONFLICT_STATS["reexecuted"] += 1
             time.sleep(_backoff(attempt))
     raise ConcurrentCommitError(
         f"{op_name} lost the commit race {_MAX_COMMIT_ATTEMPTS} times at {path}"
     )
 
 
+# observability for the conflict path (tests pin "exactly one
+# execution" through these; reset freely — they are counters, not state)
+CONFLICT_STATS = {"reexecuted": 0, "rebased": 0}
+
+
+def _dv_files_touched(path: str, dv_dirs) -> set[str]:
+    """The distinct file rels a DV address set names — driver-side
+    pyarrow column scan, unique values bounded by #files."""
+    import pyarrow.parquet as pq
+
+    out: set[str] = set()
+    for d in dv_dirs:
+        droot = os.path.join(path, d)
+        for root, _dirs, names in os.walk(droot):
+            for f in sorted(names):
+                if f.endswith(".parquet"):
+                    col = pq.read_table(
+                        os.path.join(root, f), columns=[_DV_FILE]
+                    ).column(_DV_FILE)
+                    out.update(col.unique().to_pylist())
+    return out
+
+
+def _classified_commit(
+    path: str,
+    manifest: dict,
+    base_m: dict,
+    *,
+    read_rels: set | None,
+    read_dv_dirs: tuple = (),
+    append_safe: bool = True,
+) -> int:
+    """Publish a prepared row-op commit; on losing the version race,
+    CLASSIFY the winner commits and — when every one is provably
+    disjoint — REBASE the prepared manifest onto the winner's snapshot
+    and commit WITHOUT re-executing the row work (Delta's conflict
+    checker under WriteSerializable). Classification failure raises
+    _CommitConflict so _retry_cow re-runs the op from the winner's
+    snapshot, exactly as before.
+
+    `read_rels` is the loser's read/write file set: the files it
+    rewrites or whose rows its deletion vectors address (None = derive
+    from `read_dv_dirs` lazily, only on conflict). A winner commit is
+    SAFE iff it leaves the schema/layout/constraints/mapping unchanged
+    and:
+
+    - blind append (op append, incl. merge-insert-only): safe when
+      `append_safe` — predicate ops (DELETE/UPDATE/OPTIMIZE) serialize
+      loser-then-winner under WriteSerializable even if the appended
+      rows match the predicate (Delta's blind-append exemption); KEY
+      ops (MERGE) pass append_safe=False because a concurrent insert
+      of the same key must re-probe.
+    - cow delete / compact: derived rows only (a delete's survivors /
+      a compaction's rewrite are subsets of rows the loser already
+      scanned and did not match) — safe iff the winner's removed files
+      are disjoint from `read_rels`.
+    - dv delete: file list unchanged — safe iff the winner's NEW
+      deletion vectors address no file in `read_rels` (rewriting a
+      file whose rows the winner just hid would resurrect them).
+    - update / merge (either strategy), restore, overwrite, schema or
+      constraint DDL: never rebased — updates append POSTIMAGE rows
+      (new values the loser's predicate never saw; neither
+      serialization order is provable file-level), the rest change
+      state wholesale.
+
+    The rebased manifest = winner's live files − loser's removed +
+    loser's added, winner's DVs + loser's new DVs; all scalar state
+    (schema, layout, constraints, mapping) verified base-equal first."""
+    version = manifest["version"]
+    try:
+        _commit(path, version, manifest)
+        return version
+    except _CommitConflict:
+        pass
+    base_rels = set(_paths(base_m["files"]))
+    mine_rels = {_entry_rel(e) for e in manifest["files"]}
+    removed = base_rels - mine_rels
+    added_entries = [
+        e for e in manifest["files"] if _entry_rel(e) not in base_rels
+    ]
+    base_dvs = list(base_m.get("dvs") or [])
+    new_dvs = [d for d in (manifest.get("dvs") or []) if d not in base_dvs]
+    if read_rels is None:
+        read_rels = _dv_files_touched(path, read_dv_dirs)
+    base_schema = json.dumps(base_m["schema"], sort_keys=True)
+    _SCALARS = ("partition_by", "bloom_cols", "constraints", "column_mapping")
+    base_scalars = {k: base_m.get(k) for k in _SCALARS}
+    checked = version - 1  # winners ≤ this are the base we executed on
+    while True:
+        latest = _latest_version(path)
+        for v in range(checked + 1, (latest or -1) + 1):
+            w = _read_manifest(path, v)
+            if json.dumps(w["schema"], sort_keys=True) != base_schema:
+                raise _CommitConflict(f"winner v{v} changed the schema")
+            if {k: w.get(k) for k in _SCALARS} != base_scalars:
+                raise _CommitConflict(f"winner v{v} changed table metadata")
+            op = w["op"]
+            if op == "append":
+                if not append_safe:
+                    raise _CommitConflict(
+                        f"winner v{v} appended rows a key-based op must re-probe"
+                    )
+            elif op == "compact" or (
+                op == "delete" and w.get("strategy") != "dv"
+            ):
+                rec = _read_delta(path, v)
+                w_removed = set(rec.get("remove") or [])
+                if w_removed & read_rels:
+                    raise _CommitConflict(
+                        f"winner v{v} rewrote files this op read"
+                    )
+            elif op == "delete":  # dv strategy: file list unchanged
+                prev_w_dvs = set(_read_manifest(path, v - 1).get("dvs") or [])
+                w_new = [d for d in (w.get("dvs") or []) if d not in prev_w_dvs]
+                if _dv_files_touched(path, w_new) & read_rels:
+                    raise _CommitConflict(
+                        f"winner v{v} dv-deleted rows in files this op read"
+                    )
+            else:
+                raise _CommitConflict(
+                    f"winner v{v} ({op}) is not classifiable as disjoint"
+                )
+        win_m = _read_manifest(path, latest)
+        win_rels = set(_paths(win_m["files"]))
+        if removed - win_rels:
+            raise _CommitConflict("winner dropped files this op rewrites")
+        reb = dict(manifest)
+        reb["version"] = latest + 1
+        reb["files"] = [
+            e for e in win_m["files"] if _entry_rel(e) not in removed
+        ] + list(added_entries)
+        win_dvs = list(win_m.get("dvs") or [])
+        merged_dvs = win_dvs + [d for d in new_dvs if d not in win_dvs]
+        if merged_dvs:
+            reb["dvs"] = merged_dvs
+        else:
+            reb.pop("dvs", None)
+        try:
+            _commit(path, reb["version"], reb)
+            CONFLICT_STATS["rebased"] += 1
+            return reb["version"]
+        except _CommitConflict:
+            checked = latest
+            manifest = reb
+            continue
+
+
 def _dv_delete_once(
-    spark: SparkSession, path: str, select_hits, properties: dict | None = None
+    spark: SparkSession,
+    path: str,
+    select_hits,
+    properties: dict | None = None,
+    append_safe: bool = True,
 ) -> int:
     """One attempt of the merge-on-read delete: address the VISIBLE
     matching rows (existing DVs already applied by _read_entries, so
@@ -2751,8 +3003,10 @@ def _dv_delete_once(
     for k in ("partition_by", "bloom_cols", "constraints", "column_mapping"):
         if m.get(k):
             manifest[k] = m[k]
-    _commit(path, version, manifest)
-    return version
+    return _classified_commit(
+        path, manifest, m,
+        read_rels=None, read_dv_dirs=(dv_rel,), append_safe=append_safe,
+    )
 
 
 def lake_delete(
@@ -2856,8 +3110,9 @@ def lake_delete(
             manifest["partition_by"] = list(part_by)
         if bl_cols:
             manifest["bloom_cols"] = list(bl_cols)
-        _commit(path, version, manifest)
-        return version
+        return _classified_commit(
+            path, manifest, m, read_rels=hit_rel, append_safe=True
+        )
 
     return _retry_cow("delete", path, once)
 
@@ -2888,28 +3143,129 @@ def lake_delete_keys(
             path,
             lambda df: df.join(F.broadcast(key_df), list(keys), "left_semi"),
             properties=properties,
+            append_safe=False,  # key-based: a concurrent append of the
+            # same key must be re-probed, not rebased past
         ),
     )
 
 
 def lake_merge(
-    spark: SparkSession, updates: DataFrame, path: str, keys: tuple[str, ...]
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    strategy: str = "cow",
 ) -> int:
-    """MERGE (upsert by key) as ONE atomic snapshot: files containing
-    rows whose key appears in `updates` are rewritten WITHOUT those
-    rows (copy-on-write, same file-pruning as lake_delete), the
-    updates append as new files, and everything publishes in a single
-    manifest commit — matched rows replaced, unmatched inserted,
-    readers never see the intermediate state. Returns the new
-    version. Conflicts re-run from the winner's snapshot.
+    """MERGE (upsert by key) as ONE atomic snapshot: matched rows
+    replaced, unmatched inserted, readers never see the intermediate
+    state. Returns the new version. Conflicts re-run from the
+    winner's snapshot. Two strategies:
 
-    The key-set broadcast bounds the rewrite scan (a semi-join per
-    file); at warehouse scale this is Delta's MERGE with the update
-    side small — the common CDC shape."""
+    - `"cow"` (copy-on-write, default): files containing rows whose
+      key appears in `updates` are rewritten WITHOUT those rows (same
+      file-pruning as lake_delete), and the updates append as new
+      files. The key-set broadcast bounds the rewrite scan (a
+      semi-join per file); cost is O(hit-file bytes) — right when the
+      update keys cluster into few files.
+    - `"mor"` (merge-on-read): NO file is rewritten. The matched old
+      rows' (file, row-ordinal) addresses land as a deletion-vector
+      set (hiding them on read), and the update rows append as
+      postimage files — one commit, cost O(update rows + matched
+      addresses). At 100 TB this is the only MERGE that survives the
+      common CDC shape — 0.1-1% of keys scattered across every file
+      would otherwise rewrite the table. The DV debt drains at the
+      next COMPACT / lake_maintain, exactly like dv-delete.
+
+    Either way the commit records `merge_keys` + `update_files` (and
+    under MoR the preimage address set) so lake_read_cdf derives
+    delete(old)/insert(new) row events at O(delta)."""
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"unknown merge strategy {strategy!r}")
     latest = _latest_version(path)
     if latest is None:
         lake_write(updates, path)
         return 0
+
+    def once_mor() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            return lake_write(updates, path)
+        m = _read_manifest(path, latest)
+        schema = T.StructType.fromJson(m["schema"])
+        clash = {_DV_FILE, _DV_POS} & set(schema.fieldNames())
+        if clash:
+            raise ValueError(
+                f"table uses reserved DV column names {sorted(clash)}"
+            )
+        merged_schema, casts = _evolve_schema(schema, updates.schema)
+        upd = updates
+        if casts:
+            upd = upd.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+        mapping = m.get("column_mapping")
+        if mapping:
+            added = [
+                f.name
+                for f in upd.schema.fields
+                if f.name not in schema.fieldNames()
+            ]
+            mapping = _extend_mapping(_ensure_mapping(m), added)
+        if m.get("constraints"):
+            _enforce_constraints(upd, schema, m["constraints"])
+        part_by = tuple(m.get("partition_by") or ())
+        bl_cols = tuple(m.get("bloom_cols") or ())
+        key_df = upd.select(*keys).distinct()
+        pre_rel, n_pre = None, 0
+        if m["files"]:
+            # matched VISIBLE rows' addresses (existing DVs already
+            # applied — a row can never be double-hidden), landed as
+            # parquet in the DV address shape
+            df = _read_entries(spark, path, m, m["files"], keep_meta=True)
+            rel = os.path.join("dv", "pre-" + uuid.uuid4().hex[:12])
+            df.join(F.broadcast(key_df), list(keys), "left_semi").select(
+                _DV_FILE, _DV_POS
+            ).write.mode("error").parquet(os.path.join(path, rel))
+            n_pre = _dv_rows(path, [rel])
+            if n_pre == 0:
+                shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+            else:
+                pre_rel = rel
+        n_up = upd.count()
+        update_entries = _write_data_files(upd, path, part_by, bl_cols, mapping)
+        version = latest + 1
+        manifest = {
+            "version": version,
+            "op": "merge",
+            "strategy": "mor",
+            "ts": time.time(),
+            "files": list(m["files"]) + update_entries,
+            "schema": merged_schema.jsonValue(),
+            "n_rows_delta": n_up - n_pre,
+            "rewrote_files": [],
+            "merge_keys": list(keys),
+            "update_files": _paths(update_entries),
+        }
+        if pre_rel is not None:
+            manifest["update_preimage_dv"] = pre_rel
+            manifest["dvs"] = list(m.get("dvs") or []) + [pre_rel]
+        elif m.get("dvs"):
+            manifest["dvs"] = m["dvs"]
+        if m.get("constraints"):
+            manifest["constraints"] = m["constraints"]
+        if part_by:
+            manifest["partition_by"] = list(part_by)
+        if bl_cols:
+            manifest["bloom_cols"] = list(bl_cols)
+        if mapping:
+            manifest["column_mapping"] = mapping
+        return _classified_commit(
+            path, manifest, m,
+            read_rels=None,
+            read_dv_dirs=(pre_rel,) if pre_rel else (),
+            append_safe=False,  # key-based upsert
+        )
+
+    if strategy == "mor":
+        return _retry_cow("merge-mor", path, once_mor)
 
     def once() -> int:
         latest = _latest_version(path)
@@ -2991,8 +3347,10 @@ def lake_merge(
             manifest["bloom_cols"] = list(bl_cols)
         if mapping:
             manifest["column_mapping"] = mapping
-        _commit(path, version, manifest)
-        return version
+        return _classified_commit(
+            path, manifest, m,
+            read_rels=set(rewritten_rel), append_safe=False,
+        )
 
     return _retry_cow("merge", path, once)
 
@@ -3078,29 +3436,46 @@ def lake_update(
     assignments: dict,
     predicate,
     properties: dict | None = None,
+    strategy: str = "cow",
 ) -> int:
-    """UPDATE ... SET ... WHERE ... as ONE atomic copy-on-write
-    snapshot: files containing rows whose predicate is TRUE are
-    rewritten — unmatched rows carried over verbatim, matched rows
-    re-emitted with `assignments` applied (each value a Column or SQL
-    expression string, cast back to the column's declared type) — and
-    every other file carries over untouched. Returns the new version;
-    an UPDATE matching nothing publishes no snapshot.
+    """UPDATE ... SET ... WHERE ... as ONE atomic snapshot; returns
+    the new version (an UPDATE matching nothing publishes none). Two
+    strategies, the same pair lake_delete offers:
 
-    CHANGE-FEED fidelity at O(delta): before rewriting, the matched
-    rows' (file, row-ordinal) addresses are written as a small
-    preimage parquet (the DV address shape), recorded on the commit as
+    - `"cow"` (copy-on-write, default): files containing rows whose
+      predicate is TRUE are rewritten — unmatched rows carried over
+      verbatim, matched rows re-emitted with `assignments` applied
+      (each value a Column or SQL expression string, cast back to the
+      column's declared type); every other file carries over
+      untouched. Cost is O(hit-file bytes): right when updates are
+      clustered or bulk.
+    - `"mor"` (merge-on-read): NO file is rewritten. The matched
+      rows' (file, row-ordinal) addresses land as a deletion-vector
+      set hiding the OLD row versions, and the NEW row versions
+      append as postimage files — one commit, cost O(matched rows),
+      not O(hit-file bytes). At 100 TB, updating 0.1% of rows
+      scattered across every file stops being a full-table rewrite
+      (the Delta DV-update / Iceberg v2 MoR design). Read
+      amplification is the DV anti-join until the next COMPACT /
+      lake_maintain materializes the debt — the same contract as
+      dv-delete.
+
+    CHANGE-FEED fidelity at O(delta) under BOTH strategies: the
+    matched rows' addresses are recorded on the commit as
     `update_preimage_dv`. lake_read_cdf recovers the pre-update rows
-    by semi-joining the OLD files (still on disk until vacuum) against
-    those addresses and emits delete(preimage) + insert(postimage)
-    pairs — Delta CDF's update_preimage/update_postimage, folded into
-    the multiset compose rule snapshot(from) + inserts − deletes ==
-    snapshot(to). Only the touched files are ever read.
+    by semi-joining the old files (still on disk until vacuum; under
+    MoR still live) against those addresses and emits
+    delete(preimage) + insert(postimage) pairs — Delta CDF's
+    update_preimage/update_postimage, folded into the multiset
+    compose rule snapshot(from) + inserts − deletes == snapshot(to).
+    Only the touched files are ever read.
 
     NULL predicates mean NOT MATCHED (SQL three-valued logic);
     updating a partition column moves rows between partition dirs
     (the writer derives the layout per row). Conflicts with concurrent
     commits re-run from the winner's snapshot (_retry_cow)."""
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"unknown update strategy {strategy!r}")
     predicate = (
         F.expr(predicate) if isinstance(predicate, str) else predicate
     )
@@ -3112,11 +3487,10 @@ def lake_update(
     if not exprs:
         raise ValueError("UPDATE needs at least one SET assignment")
 
-    def once() -> int:
-        latest = _latest_version(path)
-        if latest is None:
-            raise FileNotFoundError(f"no manifest lake at {path}")
-        m = _read_manifest(path, latest)
+    def _prepare(m: dict):
+        """Shared validation + matched-address landing: returns
+        (schema, pre_rel, hit file rels) — pre_rel None when nothing
+        matched (the preimage parquet is already cleaned up)."""
         schema = T.StructType.fromJson(m["schema"])
         unknown = set(exprs) - set(schema.fieldNames())
         if unknown:
@@ -3127,8 +3501,8 @@ def lake_update(
                 f"table uses reserved DV column names {sorted(clash)}"
             )
         if not m["files"]:
-            return latest
-        # 1. one visible-row scan finds the matched addresses; landing
+            return schema, None, set()
+        # one visible-row scan finds the matched addresses; landing
         # them as parquet makes the hit-file list and the CDF preimage
         # readable without a second table scan
         df = _read_entries(spark, path, m, m["files"], keep_meta=True)
@@ -3137,9 +3511,83 @@ def lake_update(
             os.path.join(path, pre_rel)
         )
         pre = spark.read.schema(_DV_SCHEMA).parquet(os.path.join(path, pre_rel))
-        hit_rel = {r.f for r in pre.select(F.col(_DV_FILE).alias("f")).distinct().collect()}
+        hit_rel = {
+            r.f
+            for r in pre.select(F.col(_DV_FILE).alias("f")).distinct().collect()
+        }
         if not hit_rel:
             shutil.rmtree(os.path.join(path, pre_rel), ignore_errors=True)
+            return schema, None, hit_rel
+        return schema, pre_rel, hit_rel
+
+    def once_mor() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {path}")
+        m = _read_manifest(path, latest)
+        schema, pre_rel, hit_rel = _prepare(m)
+        if pre_rel is None:
+            return latest  # nothing matched: no new snapshot needed
+        part_by = tuple(m.get("partition_by") or ())
+        bl_cols = tuple(m.get("bloom_cols") or ())
+        mapping = m.get("column_mapping")
+        # postimage: re-read ONLY the hit files' matched rows (exact —
+        # a semi-join against the landed addresses, not a re-filter),
+        # apply SET, append as new files. Old row versions stay in
+        # place, hidden by the preimage addresses joining the
+        # snapshot's DV list.
+        hit_entries = [e for e in m["files"] if _entry_rel(e) in hit_rel]
+        sub = _read_entries(spark, path, m, hit_entries, keep_meta=True)
+        pre = spark.read.schema(_DV_SCHEMA).parquet(os.path.join(path, pre_rel))
+        if _dv_rows(path, [pre_rel]) <= _DV_BROADCAST_MAX_ROWS:
+            pre = F.broadcast(pre)
+        types = {f.name: f.dataType for f in schema.fields}
+        changed = (
+            sub.join(pre, [_DV_FILE, _DV_POS], "left_semi")
+            .withColumns({c: e.cast(types[c]) for c, e in exprs.items()})
+            .select(*[f.name for f in schema.fields])
+        )
+        if m.get("constraints"):
+            _enforce_constraints(changed, schema, m["constraints"])
+        update_files = _write_data_files(
+            changed, path, part_by, bl_cols, mapping
+        )
+        version = latest + 1
+        manifest = {
+            "version": version,
+            "op": "update",
+            "strategy": "mor",
+            "ts": time.time(),
+            "files": list(m["files"]) + update_files,
+            "schema": m["schema"],
+            "n_rows_delta": 0,
+            "rewrote_files": [],
+            "update_files": _paths(update_files),
+            "update_preimage_dv": pre_rel,
+            "dvs": list(m.get("dvs") or []) + [pre_rel],
+        }
+        if properties:
+            manifest["properties"] = dict(properties)
+        for k in ("partition_by", "bloom_cols", "constraints",
+                  "column_mapping"):
+            if m.get(k):
+                manifest[k] = (
+                    list(m[k]) if isinstance(m[k], list) else m[k]
+                )
+        return _classified_commit(
+            path, manifest, m, read_rels=set(hit_rel), append_safe=True
+        )
+
+    if strategy == "mor":
+        return _retry_cow("update-mor", path, once_mor)
+
+    def once() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {path}")
+        m = _read_manifest(path, latest)
+        schema, pre_rel, hit_rel = _prepare(m)
+        if pre_rel is None:
             return latest  # nothing matched: no new snapshot needed
         rewritten = [e for e in m["files"] if _entry_rel(e) in hit_rel]
         keep = [e for e in m["files"] if _entry_rel(e) not in hit_rel]
@@ -3184,8 +3632,9 @@ def lake_update(
                 manifest[k] = (
                     list(m[k]) if isinstance(m[k], list) else m[k]
                 )
-        _commit(path, version, manifest)
-        return version
+        return _classified_commit(
+            path, manifest, m, read_rels=set(hit_rel), append_safe=True
+        )
 
     return _retry_cow("update", path, once)
 
@@ -3338,8 +3787,9 @@ def lake_compact(
             manifest["partition_by"] = list(part_by)
         if bl_cols:
             manifest["bloom_cols"] = list(bl_cols)
-        _commit(path, version, manifest)
-        return version
+        return _classified_commit(
+            path, manifest, m, read_rels=hit_rel, append_safe=True
+        )
 
     return _retry_cow("compact", path, once)
 

@@ -129,20 +129,60 @@ def _dv_positions(path, manifest) -> dict[str, list[int]]:
     return {k: sorted(v) for k, v in out.items()}
 
 
-def _schema_payload(manifest: dict) -> str:
+def _parse_columns_option(options: dict) -> list[str] | None:
+    """option("columns", "a,b") → ordered de-duped name list, or None
+    when absent/blank."""
+    raw = options.get("columns")
+    if raw is None:
+        return None
+    cols: list[str] = []
+    for c in str(raw).split(","):
+        c = c.strip()
+        if c and c not in cols:
+            cols.append(c)
+    return cols or None
+
+
+def _project_schema_json(schema_json: dict, columns: list[str]) -> dict:
+    """Subset a manifest schema (StructType json) to `columns`,
+    TABLE order preserved; unknown names raise at plan time — the
+    validation the round-6 verdict asked to pin. Case-sensitive, like
+    every other lake name comparison."""
+    known = [f["name"] for f in schema_json["fields"]]
+    unknown = [c for c in columns if c not in known]
+    if unknown:
+        raise ValueError(
+            f"columns option names unknown columns {unknown} "
+            f"(table schema: {known})"
+        )
+    want = set(columns)
+    return {
+        **schema_json,
+        "fields": [f for f in schema_json["fields"] if f["name"] in want],
+    }
+
+
+def _schema_payload(manifest: dict, columns: list[str] | None = None) -> str:
     """Schema json shipped to executors. Column-mapped tables wrap it
     with the logical→physical name map so the reader pulls file
     columns by their stable PHYSICAL names and emits logical ones
-    (sources/lake.py rename/drop evolution)."""
+    (sources/lake.py rename/drop evolution). `columns` narrows the
+    payload to an EXPLICIT projection — the Python DataSource API
+    (Spark 4.1) has pushFilters but no column-pruning hook, so
+    option("columns", ...) is how a narrow read skips decoding the
+    full width (executors then read only those parquet columns)."""
+    sj = manifest["schema"]
+    if columns is not None:
+        sj = _project_schema_json(sj, columns)
     cm = manifest.get("column_mapping")
     if cm:
         return json.dumps(
             {
-                "schema": manifest["schema"],
+                "schema": sj,
                 "physical": {c["name"]: c["physical"] for c in cm["cols"]},
             }
         )
-    return json.dumps(manifest["schema"])
+    return json.dumps(sj)
 
 
 def _parse_schema_payload(payload: str):
@@ -153,8 +193,10 @@ def _parse_schema_payload(payload: str):
     return T.StructType.fromJson(obj), {}
 
 
-def _partitions_for_entries(path, manifest, entries) -> list[LakeFilePartition]:
-    schema_json = _schema_payload(manifest)
+def _partitions_for_entries(
+    path, manifest, entries, columns: list[str] | None = None
+) -> list[LakeFilePartition]:
+    schema_json = _schema_payload(manifest, columns)
     part_by = manifest.get("partition_by") or []
     dv_pos = _dv_positions(path, manifest)
     return [
@@ -190,7 +232,15 @@ def _read_partition(partition: LakeFilePartition) -> Iterator:
 
     schema, phys = _parse_schema_payload(partition.schema_json)
     arrow_schema = to_arrow_schema(schema)
-    table = pq.read_table(partition.abs_path)
+    # decode ONLY the payload schema's physical columns — under an
+    # explicit option("columns", ...) projection this is the whole
+    # point: a 2-of-8-column read skips 6 columns' decode (row
+    # ordinals for DV drop/select are column-independent)
+    want_phys = {phys.get(f.name, f.name) for f in schema.fields}
+    avail = pq.read_schema(partition.abs_path).names
+    table = pq.read_table(
+        partition.abs_path, columns=[c for c in avail if c in want_phys]
+    )
     if partition.select_pos is not None:
         table = table.take(sorted(partition.select_pos))
     elif partition.drop_pos:
@@ -226,7 +276,9 @@ def _cdf_wanted(options: dict) -> bool:
     return str(options.get("cdf", "")).lower() in ("true", "1", "yes")
 
 
-def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
+def _cdf_partitions(
+    path: str, sv: int, ev: int, columns: list[str] | None = None
+) -> list[LakeFilePartition]:
     """Change-feed partitions for the commits in (sv, ev]: appended
     files become insert partitions tagged with their commit version;
     a dv-delete commit's NEW deletion-vector rows become per-file
@@ -235,7 +287,7 @@ def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
     (columns added later in the range read as NULL). File-rewriting
     commits refuse — their file diff does not mean row changes."""
     end_m = _read_manifest(path, ev)
-    schema_json = _schema_payload(end_m)
+    schema_json = _schema_payload(end_m, columns)
     part_by = end_m.get("partition_by") or []
     parts: list[LakeFilePartition] = []
     prev_files: set[str] = set()
@@ -268,7 +320,7 @@ def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
                         change=("insert", v),
                     )
                 )
-        elif op in ("alter_constraints", "rename_column", "drop_column"):
+        elif op in ("alter_constraints", "rename_column", "drop_column", "widen_column"):
             pass  # identical file set, no row changes (metadata-only)
         elif op == "delete" and strat == "dv":
             new_dvs = [d for d in (m.get("dvs") or []) if d not in prev_dvs]
@@ -289,6 +341,48 @@ def _cdf_partitions(path: str, sv: int, ev: int) -> list[LakeFilePartition]:
                         change=("delete", v),
                     )
                 )
+        elif "update_files" in m and (
+            op == "update" or (op == "merge" and not m.get("rewrote_files"))
+        ):
+            # UPDATE (either strategy) or MoR MERGE: address-based
+            # recovery. The commit's recorded update_files emit as
+            # insert partitions (postimages); its preimage ADDRESS set
+            # emits per-file delete partitions reading only the
+            # matched ordinals (select_pos) from the PRE-commit files
+            # — under MoR still live, under COW update still on disk
+            # until vacuum. COW MERGE stays refused below: its deletes
+            # are key-join recoveries (lake_read_cdf territory), not
+            # addresses a single-file partition can materialize.
+            upd_rel = set(m.get("update_files") or [])
+            for e in m["files"]:
+                rel = _entry_rel(e)
+                if rel not in upd_rel:
+                    continue
+                parts.append(
+                    LakeFilePartition(
+                        os.path.abspath(os.path.join(path, rel)),
+                        schema_json,
+                        _entry_partition_fill(e, part_by),
+                        change=("insert", v),
+                    )
+                )
+            pre_dv = m.get("update_preimage_dv")
+            if pre_dv:
+                pos_by_file = _dv_positions(path, {"dvs": [pre_dv]})
+                pm = _read_manifest(path, v - 1)
+                pm_by_rel = {_entry_rel(e): e for e in pm["files"]}
+                for rel, positions in sorted(pos_by_file.items()):
+                    parts.append(
+                        LakeFilePartition(
+                            os.path.abspath(os.path.join(path, rel)),
+                            schema_json,
+                            _entry_partition_fill(
+                                pm_by_rel.get(rel, rel), part_by
+                            ),
+                            select_pos=positions,
+                            change=("delete", v),
+                        )
+                    )
         else:
             raise ValueError(
                 f"change feed undefined across file-rewriting commit "
@@ -346,6 +440,9 @@ class LakeBatchReader(DataSourceReader):
         # snapshot pinned HERE, at plan time — concurrent commits
         # cannot tear this read
         self._manifest = _read_manifest(self._path, v)
+        self._columns = _parse_columns_option(options)
+        if self._columns is not None:  # unknown names fail at plan time
+            _project_schema_json(self._manifest["schema"], self._columns)
         self._where: list[tuple] = []
 
     def pushFilters(self, filters):
@@ -367,7 +464,9 @@ class LakeBatchReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         if self._cdf:
-            return _cdf_partitions(self._path, self._from, self._to)
+            return _cdf_partitions(
+                self._path, self._from, self._to, self._columns
+            )
         entries = self._manifest["files"]
         if self._where:
             part_by = tuple(self._manifest.get("partition_by") or ())
@@ -378,7 +477,9 @@ class LakeBatchReader(DataSourceReader):
                 for e in entries
                 if _file_may_match(e, pw, part_by)
             ]
-        return _partitions_for_entries(self._path, self._manifest, entries)
+        return _partitions_for_entries(
+            self._path, self._manifest, entries, self._columns
+        )
 
     def read(self, partition: LakeFilePartition) -> Iterator:
         yield from _read_partition(partition)
@@ -399,6 +500,7 @@ class LakeStreamReader(DataSourceStreamReader):
             raise ValueError("lake source requires option('path', ...)")
         self._start = int(options.get("startingVersion", -1))
         self._cdf = _cdf_wanted(options)
+        self._columns = _parse_columns_option(options)
         # admission control (rate limiting): bound how far one trigger
         # advances — commits per trigger, or data files per trigger at
         # commit granularity (≥1 commit always admits, or the stream
@@ -457,7 +559,7 @@ class LakeStreamReader(DataSourceStreamReader):
         if ev <= sv:
             return []
         if self._cdf:
-            return _cdf_partitions(self._path, sv, ev)
+            return _cdf_partitions(self._path, sv, ev, self._columns)
         for v in range(max(sv, -1) + 1, ev + 1):
             op = _read_manifest(self._path, v)["op"]
             # alter_constraints republishes an identical file set —
@@ -479,7 +581,9 @@ class LakeStreamReader(DataSourceStreamReader):
             for e in end_m["files"]
             if (e["path"] if isinstance(e, dict) else e) not in old
         ]
-        return _partitions_for_entries(self._path, end_m, new_entries)
+        return _partitions_for_entries(
+            self._path, end_m, new_entries, self._columns
+        )
 
     def read(self, partition: LakeFilePartition) -> Iterator:
         yield from _read_partition(partition)
@@ -831,7 +935,14 @@ class LakeDataSource(DataSource):
         if latest is None:
             raise FileNotFoundError(f"no manifest lake at {path}")
         v = int(self.options.get("version", latest))
-        schema = T.StructType.fromJson(_read_manifest(path, v)["schema"])
+        schema_json = _read_manifest(path, v)["schema"]
+        columns = _parse_columns_option(self.options)
+        if columns is not None:
+            # explicit projection: the source's output schema narrows
+            # and executors decode only these parquet columns — the
+            # column-pruning lever the Python DataSource API lacks
+            schema_json = _project_schema_json(schema_json, columns)
+        schema = T.StructType.fromJson(schema_json)
         if _cdf_wanted(self.options):
             schema = T.StructType(
                 list(schema.fields)

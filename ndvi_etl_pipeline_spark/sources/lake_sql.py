@@ -227,6 +227,35 @@ _VACUUM_RE = re.compile(
     rf"^\s*VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*$",
     re.IGNORECASE,
 )
+_TAG = r"[A-Za-z_][\w.-]*"
+_ALTER_RENAME_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})"
+    rf"\s+TO\s+({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+_ALTER_TYPE_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})"
+    rf"\s+TYPE\s+({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+_ALTER_CREATE_TAG_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+CREATE\s+(OR\s+REPLACE\s+)?TAG\s+"
+    rf"({_TAG})(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_TAG_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+TAG\s+({_TAG})\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
+    rf"(\d+|'{_TAG}')\s*$",
+    re.IGNORECASE,
+)
 _MERGE_RE = re.compile(
     rf"^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?\s+"
     rf"USING\s+(\((?:[^()]|\([^()]*\))*\)|{_IDENT})(?:\s+AS\s+({_IDENT}))?\s+"
@@ -298,7 +327,10 @@ def _run_insert(
 
 
 def _run_merge(
-    spark: SparkSession, m: "re.Match[str]", tables: dict[str, str]
+    spark: SparkSession,
+    m: "re.Match[str]",
+    tables: dict[str, str],
+    merge_strategy: str = "cow",
 ) -> DataFrame:
     name, t_alias, source, s_alias, on, actions = m.groups()[:6]
     path = _table_path(name, tables)
@@ -326,7 +358,9 @@ def _run_merge(
         keys.append(eq.group(2))
     if _MERGE_UPSERT_RE.match(actions):
         return _dml_result(
-            spark, "merge", lake_merge(spark, src, path, tuple(keys))
+            spark,
+            "merge",
+            lake_merge(spark, src, path, tuple(keys), strategy=merge_strategy),
         )
     if _MERGE_DELETE_RE.match(actions):
         # delete every table row whose key appears in the source — the
@@ -436,6 +470,69 @@ def _run_ddl(
     return None
 
 
+def _run_alter(
+    spark: SparkSession, stmt: str, tables: dict[str, str]
+) -> DataFrame | None:
+    """ALTER TABLE (RENAME/DROP COLUMN, widening ALTER COLUMN TYPE,
+    CREATE/DROP TAG) and RESTORE TABLE — the schema-evolution /
+    version-control statements (round-6 verdict: a SQL user hits
+    ALTER within days of adopting the DML surface); returns None when
+    `stmt` is none of them."""
+    from .lake import (
+        lake_drop_column,
+        lake_drop_tag,
+        lake_rename_column,
+        lake_restore,
+        lake_tag,
+        lake_widen_column,
+    )
+
+    m = _ALTER_RENAME_RE.match(stmt)
+    if m:
+        path = _table_path(m.group(1), tables)
+        return _dml_result(
+            spark, "rename_column",
+            lake_rename_column(path, m.group(2), m.group(3)),
+        )
+    m = _ALTER_DROP_RE.match(stmt)
+    if m:
+        path = _table_path(m.group(1), tables)
+        return _dml_result(
+            spark, "drop_column", lake_drop_column(path, m.group(2))
+        )
+    m = _ALTER_TYPE_RE.match(stmt)
+    if m:
+        path = _table_path(m.group(1), tables)
+        return _dml_result(
+            spark, "widen_column",
+            lake_widen_column(path, m.group(2), m.group(3)),
+        )
+    m = _ALTER_CREATE_TAG_RE.match(stmt)
+    if m:
+        path = _table_path(m.group(1), tables)
+        version = None if m.group(4) is None else int(m.group(4))
+        return _dml_result(
+            spark, "create_tag",
+            lake_tag(path, m.group(3), version, replace=bool(m.group(2))),
+        )
+    m = _ALTER_DROP_TAG_RE.match(stmt)
+    if m:
+        path = _table_path(m.group(1), tables)
+        lake_drop_tag(path, m.group(2))
+        from .lake import lake_latest_version
+
+        return _dml_result(
+            spark, "drop_tag", lake_latest_version(path) or 0
+        )
+    m = _RESTORE_RE.match(stmt)
+    if m:
+        path = _table_path(m.group(1), tables)
+        tok = m.group(2)
+        target = tok[1:-1] if tok.startswith("'") else int(tok)
+        return _dml_result(spark, "restore", lake_restore(path, target))
+    return None
+
+
 def _run_maintenance(
     spark: SparkSession, stmt: str, tables: dict[str, str]
 ) -> DataFrame | None:
@@ -493,11 +590,16 @@ def _run_dml(
     query: str,
     tables: dict[str, str],
     delete_strategy: str,
+    update_strategy: str = "cow",
+    merge_strategy: str = "cow",
 ) -> DataFrame:
     stmt = query.strip().rstrip(";")
     maint = _run_maintenance(spark, stmt, tables)
     if maint is not None:
         return maint
+    alter = _run_alter(spark, stmt, tables)
+    if alter is not None:
+        return alter
     m = _INSERT_RE.match(stmt)
     if m:
         return _run_insert(spark, m, tables)
@@ -512,7 +614,7 @@ def _run_dml(
         )
     m = _MERGE_RE.match(stmt)
     if m:
-        return _run_merge(spark, m, tables)
+        return _run_merge(spark, m, tables, merge_strategy)
     m = _UPDATE_RE.match(stmt)
     if m:
         path = _table_path(m.group(1), tables)
@@ -524,7 +626,11 @@ def _run_dml(
             assignments[a.group(1)] = a.group(2)
         cond = m.group(3) or "true"
         return _dml_result(
-            spark, "update", lake_update(spark, path, assignments, cond)
+            spark,
+            "update",
+            lake_update(
+                spark, path, assignments, cond, strategy=update_strategy
+            ),
         )
     raise ValueError(
         "unsupported DML shape — supported: "
@@ -532,7 +638,11 @@ def _run_dml(
         "DELETE FROM t [WHERE ...], UPDATE t SET a=e[, ...] [WHERE ...], "
         "MERGE INTO t USING s ON t.k=s.k WHEN ... (3 action shapes), "
         "OPTIMIZE t [WHERE ...] [ZORDER BY (...)], "
-        "VACUUM t [RETAIN n HOURS], DESCRIBE HISTORY t"
+        "VACUUM t [RETAIN n HOURS], DESCRIBE HISTORY t, "
+        "ALTER TABLE t RENAME COLUMN a TO b | DROP COLUMN a | "
+        "ALTER COLUMN a TYPE <wider> | CREATE [OR REPLACE] TAG name "
+        "[AS OF VERSION n] | DROP TAG name, "
+        "RESTORE TABLE t TO VERSION AS OF <n|'tag'>"
     )
 
 
@@ -541,6 +651,8 @@ def lake_sql(
     query: str,
     tables: dict[str, str],
     delete_strategy: str = "cow",
+    update_strategy: str = "cow",
+    merge_strategy: str = "cow",
 ) -> DataFrame:
     """Run ANSI SQL text over lake tables. `tables` maps relation
     names appearing in the text to lake table paths. Supported idioms
@@ -561,6 +673,9 @@ def lake_sql(
         DELETE FROM t [WHERE <cond>]              (`delete_strategy`:
                                                    'cow' | 'dv')
         UPDATE t SET c1 = e1[, ...] [WHERE <cond>]
+                                                  (`update_strategy`,
+                                                   `merge_strategy`:
+                                                   'cow' | 'mor')
         MERGE INTO t USING <src|(subquery)> ON t.k = s.k [AND ...]
           WHEN MATCHED THEN UPDATE SET *
           WHEN NOT MATCHED THEN INSERT *           -- upsert
@@ -573,6 +688,12 @@ def lake_sql(
         OPTIMIZE t [WHERE col op lit [AND ...]] [ZORDER BY (c1, ...)]
         VACUUM t [RETAIN n HOURS]
         DESCRIBE HISTORY t
+        ALTER TABLE t RENAME COLUMN a TO b       -- metadata-only
+        ALTER TABLE t DROP COLUMN a              -- metadata-only
+        ALTER TABLE t ALTER COLUMN a TYPE bigint -- lossless widen
+        ALTER TABLE t CREATE [OR REPLACE] TAG name [AS OF VERSION n]
+        ALTER TABLE t DROP TAG name
+        RESTORE TABLE t TO VERSION AS OF <n|'tag'>
         CREATE [OR REPLACE] TABLE t [PARTITIONED BY (spec, ...)]
           AS SELECT ...                            -- CTAS
         CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF <v|'tag'>]
@@ -606,9 +727,12 @@ def lake_sql(
         return spark.sql(_rewrite_reads(spark, query, tables))
     if re.match(
         r"^\s*(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM"
-        r"|DESCRIBE\s+HISTORY)\b",
+        r"|ALTER\s+TABLE|RESTORE\s+TABLE|DESCRIBE\s+HISTORY)\b",
         query,
         re.IGNORECASE,
     ):
-        return _run_dml(spark, query, tables, delete_strategy)
+        return _run_dml(
+            spark, query, tables, delete_strategy,
+            update_strategy, merge_strategy,
+        )
     return spark.sql(_rewrite_reads(spark, query, tables))

@@ -1164,7 +1164,9 @@ _OP = st.one_of(
     st.tuples(st.just("dv_delete"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
     st.tuples(st.just("cow_delete"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
     st.tuples(st.just("merge"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+    st.tuples(st.just("mor_merge"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
     st.tuples(st.just("update"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+    st.tuples(st.just("mor_update"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
     st.tuples(st.just("compact"), st.just([])),
     st.tuples(st.just("restore"), st.just([])),
 )
@@ -1223,14 +1225,17 @@ def test_lake_model_based_op_sequences(spark, tmp_path_factory, ops, rng):
                 for key in [key for key in state if key[0] in ks]:
                     del state[key]
                 commit_model()
-        elif op == "merge":
-            lake_merge(spark, mk(ks, "m"), t, keys=("k",))
+        elif op in ("merge", "mor_merge"):
+            lake_merge(
+                spark, mk(ks, "m"), t, keys=("k",),
+                strategy="mor" if op == "mor_merge" else "cow",
+            )
             for key in [key for key in state if key[0] in set(ks)]:
                 del state[key]
             for k in sorted(set(ks)):
                 state[(k, f"m{tag[0]}")] += 1
             commit_model()
-        elif op == "update":
+        elif op in ("update", "mor_update"):
             from ndvi_etl_pipeline_spark.sources.lake import lake_update
 
             matched = any(kk in set(ks) for (kk, _v) in state)
@@ -1238,6 +1243,7 @@ def test_lake_model_based_op_sequences(spark, tmp_path_factory, ops, rng):
                 spark, t,
                 {"v": F.concat(F.col("v"), F.lit("!"))},
                 F.col("k").isin(list(ks)),
+                strategy="mor" if op == "mor_update" else "cow",
             )
             if matched:
                 for key, n in [

@@ -531,3 +531,158 @@ def test_lake_stream_admission_control_bounds_triggers(lake_ds, tmp_path):
     r3.partitions({"version": -1}, {"version": 0})
     assert r3.latestOffset() == {"version": 1}  # 2 files ≤ 3, 4 > 3
     assert r3.latestOffset() == {"version": 2}
+
+
+def test_lake_datasource_cdf_across_mor_update_and_merge(lake_ds, tmp_path):
+    """Address-based change recovery through the DataSource: a MoR
+    UPDATE / MERGE (and a COW UPDATE) arrive as delete(preimage) +
+    insert(postimage) partitions — matching lake_read_cdf row for
+    row — while a COW MERGE still refuses (its deletes are key-join
+    recoveries no single-file partition can materialize)."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        lake_merge,
+        lake_read_cdf,
+        lake_update,
+    )
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    lake_write(_mk(spark, [(1, "a"), (2, "b"), (3, "c")], "k int, v string"), t)  # v0
+    lake_update(spark, t, {"v": F.upper(F.col("v"))}, F.col("k") == 1,
+                strategy="mor")                                                   # v1
+    lake_merge(spark, _mk(spark, [(2, "M2"), (9, "n")], "k int, v string"), t,
+               keys=("k",), strategy="mor")                                        # v2
+    lake_update(spark, t, {"v": F.concat(F.col("v"), F.lit("!"))},
+                F.col("k") == 3)                                                   # v3 (COW)
+
+    def feed(frm):
+        return sorted(
+            (r.k, r.v, r._change_type, r._commit_version)
+            for r in spark.read.format("lake")
+            .option("path", t)
+            .option("cdf", "true")
+            .option("fromVersion", frm)
+            .load()
+            .collect()
+        )
+
+    got = feed(0)
+    lib = sorted(
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in lake_read_cdf(spark, t, 0).collect()
+    )
+    assert got == lib
+    assert (1, "a", "delete", 1) in got and (1, "A", "insert", 1) in got
+    assert (2, "b", "delete", 2) in got and (2, "M2", "insert", 2) in got
+    assert (9, "n", "insert", 2) in got
+    assert (3, "c", "delete", 3) in got and (3, "c!", "insert", 3) in got
+
+    # COW merge: the DS change feed refuses honestly
+    lake_merge(spark, _mk(spark, [(9, "N2")], "k int, v string"), t, keys=("k",))
+    with pytest.raises(Exception, match="change feed undefined"):
+        feed(3)
+
+
+def test_lake_datasource_stream_cdf_across_mor_merge(lake_ds, tmp_path):
+    """Streaming change feed across a MoR MERGE: one trigger delivers
+    the retraction + postimage pair and the offset advances."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_merge
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    lake_write(_mk(spark, [(1, "a"), (2, "b")], "k int, v string"), t)
+
+    def drain(sink):
+        q = (
+            spark.readStream.format("lake")
+            .option("path", t)
+            .option("cdf", "true")
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, i: sink.append(
+                    sorted(
+                        (r.k, r.v, r._change_type, r._commit_version)
+                        for r in b.collect()
+                    )
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out: list = []
+    drain(out)
+    lake_merge(spark, _mk(spark, [(2, "M"), (7, "g")], "k int, v string"), t,
+               keys=("k",), strategy="mor")
+    out2: list = []
+    drain(out2)
+    assert [x for b in out2 for x in b] == [
+        (2, "M", "insert", 1),
+        (2, "b", "delete", 1),
+        (7, "g", "insert", 1),
+    ]
+
+
+def test_lake_datasource_columns_projection(lake_ds, tmp_path):
+    """option('columns', 'a,b'): the source's output schema narrows,
+    executors decode only those parquet columns, unknown names fail
+    at plan time, and schema-evolution NULL-fill + deletion vectors
+    still apply under the projection."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.sources.lake import lake_delete
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    lake_write(
+        _mk(spark, [(1, "a", 10.0), (2, "b", 20.0)],
+            "k int, v string, w double"), t
+    )
+    lake_write(
+        _mk(spark, [(3, "c", 30.0, "x")],
+            "k int, v string, w double, extra string"), t
+    )  # evolution: old files lack `extra`
+    lake_delete(spark, t, F.col("k") == 2, strategy="dv")
+
+    df = (
+        spark.read.format("lake")
+        .option("path", t)
+        .option("columns", "k,extra")
+        .load()
+    )
+    assert df.columns == ["k", "extra"]
+    got = sorted((r.k, r.extra) for r in df.collect())
+    assert got == [(1, None), (3, "x")]  # dv row gone, NULL-fill intact
+
+    with pytest.raises(Exception, match="unknown columns"):
+        (
+            spark.read.format("lake")
+            .option("path", t)
+            .option("columns", "k,nope")
+            .load()
+            .collect()
+        )
+
+
+def test_lake_datasource_columns_on_renamed_table(lake_ds, tmp_path):
+    """Projection composes with id-based column mapping: the logical
+    name selects the stable physical parquet column."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_rename_column
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    lake_write(_mk(spark, [(1, "a"), (2, "b")], "k int, v string"), t)
+    lake_rename_column(t, "v", "label")
+    df = (
+        spark.read.format("lake")
+        .option("path", t)
+        .option("columns", "label")
+        .load()
+    )
+    assert df.columns == ["label"]
+    assert sorted(r.label for r in df.collect()) == ["a", "b"]

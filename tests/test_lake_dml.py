@@ -479,3 +479,260 @@ def test_sql_optimize_where_literal_grammar(spark, tmp_path):
     # conversion traceback
     with pytest.raises(ValueError, match="number or a quoted string"):
         lake_sql(spark, "OPTIMIZE tbl WHERE v = eu", {"tbl": t})
+
+
+# --- merge-on-read UPDATE / MERGE (deletion-vector preimages + postimage
+# appends: cost O(delta), never O(hit-file bytes)) -------------------------
+
+
+def test_mor_update_rewrites_nothing(spark, tmp_path):
+    """strategy='mor': every pre-existing file entry carries over
+    VERBATIM; the matched rows' old versions hide behind a new DV set
+    and the new versions append as postimage files."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    lake_write(_df(spark, [(3, "c")]).coalesce(1), t)
+    before = {e["path"] for e in _lm(t, 1)["files"]}
+    v = lake_update(
+        spark, t, {"v": F.upper(F.col("v"))}, F.col("k") >= 2, strategy="mor"
+    )
+    m = _lm(t, v)
+    after = {e["path"] for e in m["files"]}
+    assert before <= after  # zero rewrites: old entries all survive
+    assert m["strategy"] == "mor" and m["rewrote_files"] == []
+    assert len(m["dvs"]) == 1 and m["dvs"][0] == m["update_preimage_dv"]
+    assert set(m["update_files"]) == after - before
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "C")}
+    # time travel: pre-update snapshot intact
+    assert {r.v for r in lake_read(spark, t, version=1).collect()} == {
+        "a", "b", "c",
+    }
+    # matching nothing publishes no snapshot
+    assert (
+        lake_update(spark, t, {"v": F.lit("x")}, F.col("k") > 99, strategy="mor")
+        == v
+    )
+
+
+def test_mor_update_cdf_and_null_predicate(spark, tmp_path):
+    """CDF across a MoR update emits delete(preimage)+insert(postimage)
+    pairs; NULL predicates mean NOT MATCHED (three-valued logic)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "c")], "k int, v string")
+    lake_write(df.coalesce(1), t)
+    v = lake_update(
+        spark, t, {"k": F.col("k") + 10}, F.col("v") != "c", strategy="mor"
+    )
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(11, "a"), (2, None), (3, "c")}  # null-pred row survives
+    feed = lake_read_cdf(spark, t, 0, v).collect()
+    ev = {(r.k, r.v, r._change_type) for r in feed}
+    assert ev == {(1, "a", "delete"), (11, "a", "insert")}
+
+
+def test_mor_update_respects_prior_dv(spark, tmp_path):
+    """Rows dv-deleted before the MoR update are INVISIBLE: neither
+    updated nor resurrected, and never double-addressed."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t)
+    lake_delete(spark, t, F.col("k") == 2, strategy="dv")
+    lake_update(spark, t, {"v": F.lit("U")}, F.lit(True), strategy="mor")
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "U"), (3, "U")}
+
+
+def test_mor_merge_rewrites_nothing_and_upserts(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t)
+    upd = _df(spark, [(2, "B2"), (9, "new")])
+    from ndvi_etl_pipeline_spark.sources.lake import lake_merge
+
+    v = lake_merge(spark, upd, t, keys=("k",), strategy="mor")
+    m = _lm(t, v)
+    before = {e["path"] for e in _lm(t, 0)["files"]}
+    after = {e["path"] for e in m["files"]}
+    assert before <= after and m["strategy"] == "mor"
+    assert m["n_rows_delta"] == 1  # +2 inserts, -1 replaced
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "new")}
+    # CDF: delete(old matched) + insert(every update row)
+    feed = lake_read_cdf(spark, t, 0, v).collect()
+    ev = {(r.k, r.v, r._change_type) for r in feed}
+    assert ev == {
+        (2, "b", "delete"), (2, "B2", "insert"), (9, "new", "insert"),
+    }
+
+
+def test_mor_merge_no_match_is_pure_insert(spark, tmp_path):
+    """A MoR merge whose keys are all absent lands no DV set — the
+    commit is effectively an insert and the CDF shows inserts only."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]).coalesce(1), t)
+    from ndvi_etl_pipeline_spark.sources.lake import lake_merge
+
+    v = lake_merge(spark, _df(spark, [(7, "g")]), t, keys=("k",), strategy="mor")
+    m = _lm(t, v)
+    assert not m.get("dvs") and "update_preimage_dv" not in m
+    feed = lake_read_cdf(spark, t, 0, v).collect()
+    assert {(r.k, r._change_type) for r in feed} == {(7, "insert")}
+
+
+def test_mor_update_enforces_constraints(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a")]).coalesce(1), t)
+    lake_alter_constraints(spark, t, add_checks={"k_pos": "k > 0"})
+    with pytest.raises(ValueError, match="k_pos"):
+        lake_update(
+            spark, t, {"k": F.lit(-5)}, F.lit(True), strategy="mor"
+        )
+    # failed attempt left no snapshot and no visible change
+    assert {(r.k, r.v) for r in lake_read(spark, t).collect()} == {(1, "a")}
+
+
+def test_mor_update_on_renamed_column_mapped_table(spark, tmp_path):
+    """MoR update through id-based column mapping: SET on the logical
+    name lands under the stable physical name."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    lake_rename_column(t, "v", "label")
+    lake_update(
+        spark, t, {"label": F.upper(F.col("label"))}, F.col("k") == 2,
+        strategy="mor",
+    )
+    got = {(r.k, r.label) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "B")}
+
+
+def test_mor_compact_materializes_and_vacuum_collects_preimage(spark, tmp_path):
+    """lake_maintain's compaction drains the MoR debt: the rewrite
+    reads visible rows only and clears the DV list; vacuum keeps the
+    preimage addresses while their commit's history lives, then
+    collects them."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_compact, lake_merge
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, f"v{i}") for i in range(20)]).coalesce(2), t)
+    v1 = lake_merge(
+        spark, _df(spark, [(1, "U1"), (2, "U2")]), t, keys=("k",),
+        strategy="mor",
+    )
+    pre_rel = _lm(t, v1)["update_preimage_dv"]
+    assert os.path.isdir(os.path.join(t, pre_rel))
+    v2 = lake_compact(spark, t, num_files=1)
+    assert not _lm(t, v2).get("dvs")
+    exp = {(i, f"v{i}") for i in range(20) if i not in (1, 2)} | {
+        (1, "U1"), (2, "U2"),
+    }
+    assert {(r.k, r.v) for r in lake_read(spark, t).collect()} == exp
+    # CDF across the merge still readable pre-vacuum
+    assert len(lake_read_cdf(spark, t, 0, v1).collect()) == 4
+    lake_vacuum(t, keep_last=1, retention_seconds=0.0)
+    remaining = [
+        f
+        for f in (
+            os.listdir(os.path.join(t, pre_rel))
+            if os.path.isdir(os.path.join(t, pre_rel))
+            else []
+        )
+        if f.endswith(".parquet")
+    ]
+    assert remaining == []  # address payloads collected with the history
+    assert {(r.k, r.v) for r in lake_read(spark, t).collect()} == exp
+
+
+def test_sql_update_and_merge_strategy_knobs(spark, tmp_path):
+    """lake_sql(update_strategy='mor' / merge_strategy='mor') routes
+    the same statement text through the merge-on-read paths."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    r = lake_sql(
+        spark, "UPDATE tbl SET v = upper(v) WHERE k = 2", {"tbl": t},
+        update_strategy="mor",
+    ).collect()[0]
+    assert _lm(t, r.version)["strategy"] == "mor"
+    r2 = lake_sql(
+        spark,
+        "MERGE INTO tbl USING (SELECT 2 AS k, 'M' AS v) AS s ON tbl.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        {"tbl": t},
+        merge_strategy="mor",
+    ).collect()[0]
+    m = _lm(t, r2.version)
+    assert m["op"] == "merge" and m["strategy"] == "mor"
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "M")}
+
+
+# --- SQL DDL: ALTER TABLE / RESTORE / tags ---------------------------------
+
+
+def test_sql_alter_rename_drop_widen(spark, tmp_path):
+    from ndvi_etl_pipeline_spark.sources.lake import lake_read_cdf
+
+    t = str(tmp_path / "t")
+    T = {"tbl": t}
+    lake_write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, v string, w int"
+        ).coalesce(1),
+        t,
+    )
+    r = lake_sql(spark, "ALTER TABLE tbl RENAME COLUMN v TO label", T).collect()[0]
+    assert (r.op, r.version) == ("rename_column", 1)
+    assert lake_read(spark, t).columns == ["k", "label", "w"]
+    r = lake_sql(spark, "ALTER TABLE tbl ALTER COLUMN w TYPE bigint", T).collect()[0]
+    assert r.op == "widen_column"
+    import pyspark.sql.types as TT
+
+    assert lake_read(spark, t).schema["w"].dataType == TT.LongType()
+    # narrower INSERT upcasts; widened range is live
+    lake_sql(
+        spark,
+        "INSERT INTO tbl SELECT 3 AS k, 'c' AS label, "
+        "CAST(5000000000 AS BIGINT) AS w",
+        T,
+    )
+    got = {(x.k, x.label, x.w) for x in lake_read(spark, t).collect()}
+    assert got == {(1, "a", 10), (2, "b", 20), (3, "c", 5000000000)}
+    # CDF across the metadata-only commits: inserts only
+    feed = lake_read_cdf(spark, t, 0).collect()
+    assert {(x.k, x._change_type) for x in feed} == {(3, "insert")}
+    # narrowing refuses with the supported-shapes error
+    with pytest.raises(ValueError, match="lossless widening"):
+        lake_sql(spark, "ALTER TABLE tbl ALTER COLUMN w TYPE int", T)
+    r = lake_sql(spark, "ALTER TABLE tbl DROP COLUMN w", T).collect()[0]
+    assert r.op == "drop_column"
+    assert lake_read(spark, t).columns == ["k", "label"]
+
+
+def test_sql_tag_ddl_and_restore(spark, tmp_path):
+    from ndvi_etl_pipeline_spark.sources.lake import lake_tags
+
+    t = str(tmp_path / "t")
+    T = {"tbl": t}
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)   # v0
+    r = lake_sql(spark, "ALTER TABLE tbl CREATE TAG rel.v1", T).collect()[0]
+    assert (r.op, r.version) == ("create_tag", 0)
+    lake_sql(spark, "UPDATE tbl SET v = upper(v)", T)             # v1
+    # tag reads pin the clean snapshot
+    got = lake_sql(
+        spark, "SELECT * FROM tbl VERSION AS OF 'rel.v1'", T
+    ).collect()
+    assert {(x.k, x.v) for x in got} == {(1, "a"), (2, "b")}
+    # CREATE without OR REPLACE refuses an existing name
+    with pytest.raises(Exception, match="already exists"):
+        lake_sql(spark, "ALTER TABLE tbl CREATE TAG rel.v1 AS OF VERSION 1", T)
+    r = lake_sql(
+        spark, "ALTER TABLE tbl CREATE OR REPLACE TAG rel.v1 AS OF VERSION 1", T
+    ).collect()[0]
+    assert r.version == 1
+    # RESTORE by tag rolls forward a new commit with the old state
+    lake_sql(spark, "ALTER TABLE tbl CREATE TAG pre", T)
+    r = lake_sql(spark, "RESTORE TABLE tbl TO VERSION AS OF 0", T).collect()[0]
+    assert r.op == "restore"
+    assert {(x.k, x.v) for x in lake_read(spark, t).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    lake_sql(spark, "ALTER TABLE tbl DROP TAG pre", T)
+    assert set(lake_tags(t)) == {"rel.v1"}

@@ -41,6 +41,45 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 EXECUTES_ON_BUILD: set[str] = set()
 
 
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a plan line tail (expr groups nest)."""
+    groups: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _global_window_nodes(plan: str) -> int:
+    """Window nodes with NO partition spec — the 'Moving all data to
+    a single partition' warning sites. A partitioned Window prints
+    `Window [exprs], [part], [order]` (3 groups); a global one prints
+    `Window [exprs], [order]` (2 groups, the last a sort order).
+    Round-6 verdict #4: these were warnings in the logs but invisible
+    to the audit — every site must be bounded-state (trajectory/series
+    replays) or fixed."""
+    n = 0
+    for line in plan.splitlines():
+        i = line.find("Window [")
+        if i < 0 or "WindowGroupLimit" in line:
+            continue
+        g = _bracket_groups(line[i + len("Window "):])
+        if len(g) == 2 and ("ASC" in g[1] or "DESC" in g[1]):
+            n += 1
+    return n
+
+
 def audit_one(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     # shuffles only: 'BroadcastExchange ...' and 'ReusedExchange [...]'
@@ -58,6 +97,8 @@ def audit_one(df) -> dict:
             + plan.count("ArrowEvalPython")
         ),
         "row_python_nodes": plan.count("BatchEvalPython"),
+        "global_window_nodes": _global_window_nodes(plan),
+        "single_partition_exchanges": plan.count("Exchange SinglePartition"),
     }
 
 
@@ -92,6 +133,13 @@ def main() -> int:
         "total_exchanges": sum(v["n_exchanges"] for v in audited),
         "queries_with_pushdown": sum(1 for v in audited if v["pushed_filters"]),
         "queries_with_arrow_python": sum(1 for v in audited if v["arrow_python_nodes"]),
+        "global_window_nodes": sum(v["global_window_nodes"] for v in audited),
+        "queries_with_global_window": sorted(
+            n for n, v in out.items() if v.get("global_window_nodes")
+        ),
+        "single_partition_exchanges": sum(
+            v["single_partition_exchanges"] for v in audited
+        ),
         "row_python_violations": [n for n, _ in violations],
     }
     Path("PLANS_AUDIT.json").write_text(

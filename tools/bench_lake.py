@@ -155,8 +155,22 @@ def main() -> int:
         spark.catalog.clearCache()
         return (r[0], r["rev"])
 
+    def scan_ds_pruned():
+        # the round-7 fix for the DS width penalty: an explicit
+        # option("columns") projection decodes 2 of 8 columns — the
+        # honest comparator is scan_plain, whose Catalyst plan prunes
+        # to the same 2 columns automatically
+        r = agg_of(
+            spark.read.format("lake")
+            .option("path", table)
+            .option("columns", "l_extendedprice,l_discount")
+            .load()
+        )
+        spark.catalog.clearCache()
+        return (r["n"], r["rev"])
+
     for name, fn in (("scan_plain", scan_plain), ("scan_lake", scan_lake),
-                     ("scan_ds", scan_ds),
+                     ("scan_ds", scan_ds), ("scan_ds_pruned", scan_ds_pruned),
                      ("scan_plain_fullwidth", scan_plain_fullwidth)):
         cold, warm, res = timed(fn)
         result["spark"][name] = {"cold": cold, "warm": warm}
@@ -166,6 +180,10 @@ def main() -> int:
     )
     result["ratios"]["scan_ds_vs_plain"] = round(
         result["spark"]["scan_ds"]["warm"] / result["spark"]["scan_plain"]["warm"], 3
+    )
+    result["ratios"]["scan_ds_pruned_vs_plain"] = round(
+        result["spark"]["scan_ds_pruned"]["warm"]
+        / result["spark"]["scan_plain"]["warm"], 3
     )
     result["ratios"]["scan_ds_vs_plain_fullwidth"] = round(
         result["spark"]["scan_ds"]["warm"]
@@ -321,6 +339,43 @@ def main() -> int:
         merge_s / result["duckdb"]["merge_materialize"], 3
     )
     sys.stderr.write(f"merge: {result['spark']['merge']}\n")
+
+    # --- merge-on-read MERGE (same 1%-update shape, different slice) ----
+    # cost model: DV preimage addresses + postimage appends, O(delta)
+    # instead of O(hit-file bytes) — the round-7 scale path. Measured
+    # against the SAME DuckDB CTAS comparator (its cost is unchanged:
+    # it always materializes the full merged state).
+    upd2 = li.filter(F.col("l_orderkey") % 103 == 11).withColumn(
+        "l_quantity", F.col("l_quantity") + 2
+    )
+    n_upd2 = upd2.count()
+    t0 = time.perf_counter()
+    lake_merge(
+        spark, upd2, table, ("l_orderkey", "l_partkey", "l_suppkey"),
+        strategy="mor",
+    )
+    mor_s = round(time.perf_counter() - t0, 3)
+    result["spark"]["merge_mor"] = {
+        "seconds": mor_s,
+        "update_rows": n_upd2,
+        "rows_per_s": round(n_upd2 / mor_s, 1) if mor_s else None,
+    }
+    result["ratios"]["merge_mor_vs_duckdb"] = round(
+        mor_s / result["duckdb"]["merge_materialize"], 3
+    )
+    result["ratios"]["merge_mor_vs_cow"] = round(mor_s / merge_s, 3)
+
+    def mor_read():
+        r = agg_of(lake_read(spark, table))
+        spark.catalog.clearCache()
+        return (r["n"], r["rev"])
+
+    cold, warm, _ = timed(mor_read)
+    result["spark"]["post_mor_merge_read"] = {"cold": cold, "warm": warm}
+    sys.stderr.write(
+        f"merge_mor: {result['spark']['merge_mor']} "
+        f"(vs cow {result['ratios']['merge_mor_vs_cow']}x)\n"
+    )
     result["history_note"] = (
         f"dv at v{v_before_dv + 1}, append at v{v_pre_append + 1}, "
         f"merge last; table kept at {table}"

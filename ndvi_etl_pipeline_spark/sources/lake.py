@@ -3788,7 +3788,7 @@ def lake_compact(
         if bl_cols:
             manifest["bloom_cols"] = list(bl_cols)
         return _classified_commit(
-            path, manifest, m, read_rels=hit_rel, append_safe=True
+            path, manifest, m, read_rels=set(_paths(hit)), append_safe=True
         )
 
     return _retry_cow("compact", path, once)

@@ -3774,9 +3774,21 @@ def lake_compact(
             "rewrote_files": _paths(hit),
         }
         if keep and m.get("dvs"):
-            # partial compact: kept files still need their DV rows
-            # (the rewritten files' DV rows dangle harmlessly)
-            manifest["dvs"] = m["dvs"]
+            # partial compact: kept files still need their DV rows —
+            # but a DV dir whose EVERY addressed file is being
+            # rewritten here (or already left the file list) is fully
+            # dangling after this commit, so drop it: the read-side
+            # anti-join relation SHRINKS with maintenance instead of
+            # accumulating dangling rows forever (the bounded
+            # read-amplification contract; per-dir pyarrow check is
+            # O(DV debt) driver work at maintenance time)
+            live_keep = {_entry_rel(e) for e in keep}
+            kept_dvs = [
+                d for d in m["dvs"]
+                if _dv_files_touched(path, [d]) & live_keep
+            ]
+            if kept_dvs:
+                manifest["dvs"] = kept_dvs
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
         if m.get("column_mapping"):
@@ -3800,9 +3812,10 @@ def lake_maintain(
     max_files: int = 32,
     target_files: int = 4,
     small_bytes: int | None = None,
+    max_dv_rows: int | None = _DV_BROADCAST_MAX_ROWS,
 ) -> list[int]:
-    """Small-file maintenance policy — the post-commit hook a
-    streaming drain needs: micro-batches append one small file per
+    """Small-file + DV-debt maintenance policy — the post-commit hook
+    a streaming drain needs: micro-batches append one small file per
     commit, and pruning selectivity (blooms, stats) degrades linearly
     with live-file count unless something compacts. For each
     PARTITION (the whole table when unpartitioned) whose small-file
@@ -3812,15 +3825,38 @@ def lake_maintain(
     `small_bytes` restricts the rewrite to files at or below that
     size, so a partition's one big compacted file isn't endlessly
     re-rewritten with every maintenance pass (write amplification is
-    O(small files), the Delta OPTIMIZE contract). Returns the commit
-    versions published (empty when nothing crossed the threshold —
-    the common, free case). A maintenance pass racing a concurrent
-    append re-runs from the winner's snapshot; already-rewritten
-    files drop out of the pinned selection."""
+    O(small files), the Delta OPTIMIZE contract).
+
+    DV-DEBT drain: merge-on-read deletes/updates/merges accumulate
+    deletion-vector rows that every read anti-joins; past
+    `max_dv_rows` (default: the broadcast demotion threshold — beyond
+    it reads pay a shuffled anti-join) the pass compacts exactly the
+    LIVE files the debt addresses, which materializes their deletes
+    AND drops the now-dangling DV dirs from the manifest
+    (lake_compact's dangling-dir pruning) — read amplification is
+    bounded by maintenance cadence, never unbounded. None disables.
+
+    Returns the commit versions published (empty when nothing crossed
+    a threshold — the common, free case). A maintenance pass racing a
+    concurrent append re-runs from the winner's snapshot;
+    already-rewritten files drop out of the pinned selection."""
     latest = _latest_version(path)
     if latest is None:
         return []
     m = _read_manifest(path, latest)
+    out_dv: list[int] = []
+    dvs = m.get("dvs") or []
+    if dvs and max_dv_rows is not None and _dv_rows(path, dvs) > max_dv_rows:
+        touched = _dv_files_touched(path, dvs)
+        live = {_entry_rel(e) for e in m["files"]}
+        sel = tuple(sorted(touched & live))
+        if sel:
+            out_dv.append(
+                lake_compact(
+                    spark, path, num_files=target_files, paths=sel
+                )
+            )
+            m = _read_manifest(path, _latest_version(path))
     groups: dict[tuple, list] = {}
     for e in m["files"]:
         if not isinstance(e, dict):
@@ -3829,7 +3865,7 @@ def lake_maintain(
             continue
         key = tuple(sorted((e.get("partitions") or {}).items()))
         groups.setdefault(key, []).append(e)
-    out = []
+    out = list(out_dv)
     for key in sorted(groups):
         es = groups[key]
         if len(es) > max_files:

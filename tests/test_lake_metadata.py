@@ -433,3 +433,80 @@ def test_lake_maintain_racing_append_loses_nothing(spark, tmp_path):
     assert versions
     got = sorted(r.k for r in lake_read(spark, t).collect())
     assert got == [0, 1, 2, 3, 4, 5, 999]
+
+
+def test_partial_compact_drops_dangling_dv_dirs(spark, tmp_path):
+    """Bounded read amplification: a partial compact that rewrites
+    every file a DV dir addresses DROPS that dir from the manifest —
+    the read-side anti-join relation shrinks with maintenance instead
+    of accumulating dangling rows forever. Dirs still addressing kept
+    files survive."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        _read_manifest,
+        lake_compact,
+        lake_delete,
+        lake_read,
+    )
+
+    t = str(tmp_path / "t")
+    lo = spark.createDataFrame([(i, "lo") for i in range(6)], "k int, v string")
+    hi = spark.createDataFrame([(i, "hi") for i in range(10, 16)], "k int, v string")
+    lake_write(lo.coalesce(1), t)   # file A
+    lake_write(hi.coalesce(1), t)   # file B
+    lake_delete(spark, t, F.col("k") == 1, strategy="dv")    # DV on A
+    lake_delete(spark, t, F.col("k") == 11, strategy="dv")   # DV on B
+    m = _read_manifest(t, 3)
+    assert len(m["dvs"]) == 2
+    a_rel = m["files"][0]["path"]
+    # compact ONLY file A: its DV dir dangles and is dropped; B's stays
+    v = lake_compact(spark, t, num_files=1, paths=(a_rel,))
+    m2 = _read_manifest(t, v)
+    assert len(m2["dvs"]) == 1
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(i, "lo") for i in range(6) if i != 1} | {
+        (i, "hi") for i in range(10, 16) if i != 11
+    }
+
+
+def test_lake_maintain_drains_dv_debt(spark, tmp_path):
+    """MoR DML accumulates deletion-vector rows; past max_dv_rows the
+    maintenance pass compacts exactly the touched live files, the
+    debt materializes, every dangling DV dir leaves the manifest, and
+    the read plan goes back to a plain scan (no anti-join)."""
+    import pyspark.sql.functions as F
+
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        _read_manifest,
+        lake_maintain,
+        lake_read,
+        lake_update,
+    )
+
+    t = str(tmp_path / "t")
+    lake_write(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "k int, v string"
+        ).coalesce(2),
+        t,
+    )
+    lake_update(spark, t, {"v": F.lit("u")}, F.col("k") % 4 == 0, strategy="mor")
+    lake_update(spark, t, {"v": F.lit("w")}, F.col("k") % 4 == 1, strategy="mor")
+    m = _read_manifest(t, 2)
+    assert len(m["dvs"]) == 2
+    # below the bound: nothing drains
+    assert lake_maintain(spark, t, max_files=1000, max_dv_rows=1000) == []
+    # above it: one compaction of the touched files, debt gone
+    versions = lake_maintain(spark, t, max_files=1000, max_dv_rows=5)
+    assert len(versions) == 1
+    m2 = _read_manifest(t, versions[0])
+    assert not m2.get("dvs")
+    df = lake_read(spark, t)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan  # plain scan again
+    exp = {
+        (i, "u" if i % 4 == 0 else ("w" if i % 4 == 1 else f"v{i}"))
+        for i in range(40)
+    }
+    assert {(r.k, r.v) for r in df.collect()} == exp

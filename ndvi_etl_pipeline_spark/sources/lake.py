@@ -3010,7 +3010,11 @@ def _dv_delete_once(
 
 
 def lake_delete(
-    spark: SparkSession, path: str, predicate, strategy: str = "cow"
+    spark: SparkSession,
+    path: str,
+    predicate,
+    strategy: str = "cow",
+    isolation: str = "write_serializable",
 ) -> int:
     """DELETE rows matching `predicate` (a Column), publish one new
     snapshot, return the new version. Two strategies:
@@ -3031,10 +3035,20 @@ def lake_delete(
       clears the list (the read-amplification ceiling is bounded by
       compaction cadence).
 
-    Conflicts with concurrent commits re-run the whole delete from
-    the winner's snapshot (see _retry_cow)."""
+    Conflict handling: non-disjoint races re-run the whole delete
+    from the winner's snapshot (_retry_cow); provably-disjoint races
+    rebase without re-execution (_classified_commit). Under the
+    default `isolation="write_serializable"` (Delta's default) a
+    concurrent BLIND APPEND does not conflict — the delete commits
+    against the snapshot it read and appended rows survive even when
+    they match the predicate (serialized delete-then-append);
+    `isolation="serializable"` makes any concurrent append re-run the
+    delete so the predicate also covers the appended rows."""
     if strategy not in ("cow", "dv"):
         raise ValueError(f"unknown delete strategy {strategy!r}")
+    if isolation not in ("write_serializable", "serializable"):
+        raise ValueError(f"unknown isolation {isolation!r}")
+    append_safe = isolation == "write_serializable"
     # SQL three-valued logic: a NULL predicate means NOT MATCHED — the
     # row survives. The hit side (filter(pred)) already drops NULLs;
     # the COW survivor side must use NOT(coalesce(pred, false)), or a
@@ -3051,7 +3065,8 @@ def lake_delete(
             "delete-dv",
             path,
             lambda: _dv_delete_once(
-                spark, path, lambda df: df.filter(predicate)
+                spark, path, lambda df: df.filter(predicate),
+                append_safe=append_safe,
             ),
         )
 
@@ -3111,7 +3126,7 @@ def lake_delete(
         if bl_cols:
             manifest["bloom_cols"] = list(bl_cols)
         return _classified_commit(
-            path, manifest, m, read_rels=hit_rel, append_safe=True
+            path, manifest, m, read_rels=hit_rel, append_safe=append_safe
         )
 
     return _retry_cow("delete", path, once)
@@ -3437,6 +3452,7 @@ def lake_update(
     predicate,
     properties: dict | None = None,
     strategy: str = "cow",
+    isolation: str = "write_serializable",
 ) -> int:
     """UPDATE ... SET ... WHERE ... as ONE atomic snapshot; returns
     the new version (an UPDATE matching nothing publishes none). Two
@@ -3476,6 +3492,9 @@ def lake_update(
     commits re-run from the winner's snapshot (_retry_cow)."""
     if strategy not in ("cow", "mor"):
         raise ValueError(f"unknown update strategy {strategy!r}")
+    if isolation not in ("write_serializable", "serializable"):
+        raise ValueError(f"unknown isolation {isolation!r}")
+    append_safe = isolation == "write_serializable"
     predicate = (
         F.expr(predicate) if isinstance(predicate, str) else predicate
     )
@@ -3575,7 +3594,7 @@ def lake_update(
                     list(m[k]) if isinstance(m[k], list) else m[k]
                 )
         return _classified_commit(
-            path, manifest, m, read_rels=set(hit_rel), append_safe=True
+            path, manifest, m, read_rels=set(hit_rel), append_safe=append_safe
         )
 
     if strategy == "mor":
@@ -3633,7 +3652,7 @@ def lake_update(
                     list(m[k]) if isinstance(m[k], list) else m[k]
                 )
         return _classified_commit(
-            path, manifest, m, read_rels=set(hit_rel), append_safe=True
+            path, manifest, m, read_rels=set(hit_rel), append_safe=append_safe
         )
 
     return _retry_cow("update", path, once)

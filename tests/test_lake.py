@@ -293,11 +293,14 @@ def test_lake_concurrent_append_auto_retries(spark, tmp_path, monkeypatch):
 
 
 def test_lake_concurrent_delete_reruns_from_winner(spark, tmp_path, monkeypatch):
-    """DELETE racing an append must RE-RUN from the winner's snapshot,
-    not just re-merge manifests: the winner may have appended rows
-    matching the predicate that the stale copy-on-write scan never
-    saw. After the race, the delete's snapshot reflects BOTH the
-    winner's append and the predicate applied to it."""
+    """DELETE racing an append under isolation='serializable' must
+    RE-RUN from the winner's snapshot, not just re-merge manifests:
+    the winner may have appended rows matching the predicate that the
+    stale copy-on-write scan never saw. After the race, the delete's
+    snapshot reflects BOTH the winner's append and the predicate
+    applied to it. (The DEFAULT, Delta-style write_serializable,
+    instead REBASES past blind appends — appended matching rows
+    survive; pinned in test_lake_concurrency.py.)"""
     import ndvi_etl_pipeline_spark.sources.lake as L
 
     t = str(tmp_path / "t")
@@ -329,7 +332,7 @@ def test_lake_concurrent_delete_reruns_from_winner(spark, tmp_path, monkeypatch)
         real_commit(path, version, manifest)
 
     monkeypatch.setattr(L, "_commit", racing_commit)
-    v = lake_delete(spark, t, F.col("k") >= 10)
+    v = lake_delete(spark, t, F.col("k") >= 10, isolation="serializable")
     assert v == 2
     # the re-run saw BOTH matches: 14 from v0 and the winner's 40
     assert {r.k for r in lake_read(spark, t).collect()} == {1, 5}

@@ -2891,13 +2891,22 @@ def _classified_commit(
     ]
     base_dvs = list(base_m.get("dvs") or [])
     new_dvs = [d for d in (manifest.get("dvs") or []) if d not in base_dvs]
+    # DVs the loser intentionally dropped (e.g. a partial compact pruning
+    # fully-rewritten DV dirs): a rebase must re-apply the drop, else the
+    # winner's carried copy reinstates the dangling dirs and regresses the
+    # bounded read-amplification contract until the next maintenance pass.
+    dropped_dvs = set(base_dvs) - set(manifest.get("dvs") or [])
     if read_rels is None:
         read_rels = _dv_files_touched(path, read_dv_dirs)
     base_schema = json.dumps(base_m["schema"], sort_keys=True)
     _SCALARS = ("partition_by", "bloom_cols", "constraints", "column_mapping")
     base_scalars = {k: base_m.get(k) for k in _SCALARS}
     checked = version - 1  # winners ≤ this are the base we executed on
-    while True:
+    # bounded: under sustained traffic a loser whose winners all classify
+    # as disjoint could otherwise re-classify and re-lose forever; after
+    # _MAX_COMMIT_ATTEMPTS rebase races, fall back to _retry_cow's
+    # backoff-and-re-execute path via _CommitConflict.
+    for _rebase_round in range(_MAX_COMMIT_ATTEMPTS):
         latest = _latest_version(path)
         for v in range(checked + 1, (latest or -1) + 1):
             w = _read_manifest(path, v)
@@ -2941,7 +2950,9 @@ def _classified_commit(
             e for e in win_m["files"] if _entry_rel(e) not in removed
         ] + list(added_entries)
         win_dvs = list(win_m.get("dvs") or [])
-        merged_dvs = win_dvs + [d for d in new_dvs if d not in win_dvs]
+        merged_dvs = [d for d in win_dvs if d not in dropped_dvs] + [
+            d for d in new_dvs if d not in win_dvs
+        ]
         if merged_dvs:
             reb["dvs"] = merged_dvs
         else:
@@ -2954,6 +2965,9 @@ def _classified_commit(
             checked = latest
             manifest = reb
             continue
+    raise _CommitConflict(
+        f"rebase lost the version race {_MAX_COMMIT_ATTEMPTS} times at {path}"
+    )
 
 
 def _dv_delete_once(

@@ -565,7 +565,7 @@ class LakeStreamReader(DataSourceStreamReader):
             # alter_constraints republishes an identical file set —
             # harmless to diff across
             if op not in ("append", "clone", "alter_constraints",
-                          "rename_column", "drop_column"):
+                          "rename_column", "drop_column", "widen_column"):
                 raise ValueError(
                     f"lake stream undefined across non-append commit "
                     f"v{v} ({op}) — restart from a fresh snapshot, or "

@@ -173,3 +173,55 @@ def test_mor_update_rebases_past_disjoint_cow_delete(spark, tmp_path, monkeypatc
         (1, "a", "delete"), (2, "b", "delete"),
         (1, "A", "insert"), (2, "B", "insert"),
     }
+
+
+def test_rebase_reapplies_compacts_dv_drops(spark, tmp_path, monkeypatch):
+    """Partial compact vs a blind append: the compact materialized a
+    DV into its rewrite and DROPPED the now-fully-dangling DV dir —
+    the rebase must NOT reinstate that dir from the winner's carried
+    copy (bounded read-amplification contract survives the race)."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_compact
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, "a") for i in range(4)]).coalesce(1), t)
+    lake_write(_df(spark, [(i, "b") for i in range(10, 14)]).coalesce(1), t)
+    lake_delete(spark, t, F.col("k") == 0, strategy="dv")  # DV on file A
+    m = L._read_manifest(t, L._latest_version(t))
+    assert m.get("dvs"), "setup: dv-delete must leave a DV dir"
+    rel_a = next(
+        L._entry_rel(e) for e in m["files"]
+        if 0 in {r.k for r in spark.read.parquet(f"{t}/{L._entry_rel(e)}").collect()}
+    )
+    lake_write(_df(spark, [(20, "c")]).coalesce(1), t)  # winner append
+    before = _snap()
+    with stale_first_read(monkeypatch):
+        lake_compact(spark, t, num_files=1, paths=(rel_a,))
+    after = _snap()
+    assert after["rebased"] == before["rebased"] + 1
+    assert after["reexecuted"] == before["reexecuted"]
+    final = L._read_manifest(t, L._latest_version(t))
+    assert not final.get("dvs"), (
+        "rebase reinstated the DV dir the partial compact dropped"
+    )
+    got = {(r.k, r.v) for r in lake_read(spark, t).collect()}
+    assert got == {(i, "a") for i in range(1, 4)} | {
+        (i, "b") for i in range(10, 14)
+    } | {(20, "c")}
+
+
+def test_rebase_loop_is_bounded(spark, tmp_path, monkeypatch):
+    """A loser that keeps losing the version race even after every
+    winner classifies as disjoint must terminate: the rebase loop is
+    capped at _MAX_COMMIT_ATTEMPTS, falls back to _retry_cow's
+    re-execute path, and that bound surfaces ConcurrentCommitError."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    monkeypatch.setattr(L, "_MAX_COMMIT_ATTEMPTS", 2)
+
+    def always_lose(path, version, manifest):
+        raise L._CommitConflict("forced perpetual race")
+
+    monkeypatch.setattr(L, "_commit", always_lose)
+    monkeypatch.setattr(L, "_backoff", lambda a: 0.0)
+    with pytest.raises(L.ConcurrentCommitError, match="lost the commit race"):
+        lake_delete(spark, t, F.col("k") == 1)

@@ -686,3 +686,42 @@ def test_lake_datasource_columns_on_renamed_table(lake_ds, tmp_path):
     )
     assert df.columns == ["label"]
     assert sorted(r.label for r in df.collect()) == ["a", "b"]
+
+
+def test_lake_stream_continues_across_widen_column(lake_ds, tmp_path):
+    """A metadata-only ALTER COLUMN TYPE commit (identical file set,
+    zero row changes) must NOT kill a running non-CDF stream: the
+    file diff ≡ new rows equivalence holds across widen_column exactly
+    as it does across rename/drop/constraint DDL (the other two read
+    paths — lake_read_changes and _cdf_partitions — already diff
+    across it)."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_widen_column
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    lake_write(_mk(spark, [(1, "a")], "k int, v string"), t)
+
+    def drain(sink):
+        q = (
+            spark.readStream.format("lake")
+            .option("path", t)
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, i: sink.append(sorted(r.k for r in b.collect()))
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out: list = []
+    drain(out)
+    assert [k for batch in out for k in batch] == [1]
+
+    lake_widen_column(t, "k", "bigint")  # metadata-only commit
+    lake_write(_mk(spark, [(2, "b")], "k int, v string"), t)
+    out2: list = []
+    drain(out2)  # must not raise 'non-append commit'
+    assert [k for batch in out2 for k in batch] == [2]

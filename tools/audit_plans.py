@@ -75,7 +75,7 @@ def _global_window_nodes(plan: str) -> int:
         if i < 0 or "WindowGroupLimit" in line:
             continue
         g = _bracket_groups(line[i + len("Window "):])
-        if len(g) == 2 and ("ASC" in g[1] or "DESC" in g[1]):
+        if len(g) == 2 and re.search(r"\b(ASC|DESC) NULLS\b", g[1]):
             n += 1
     return n
 

@@ -3507,7 +3507,10 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct observed values: per-value counts (one shuffle),
     cumulative fractions in one window pass over |distinct values|
     rows, exact integer cumsums so the statistic hash-matches across
-    engines."""
+    engines (and stay exact in rankMode=distributed — integer prefix
+    sums associate freely; operators/rank.global_ranked)."""
+    from ...operators.rank import global_ranked
+
     e = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
@@ -3516,10 +3519,12 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("event_type") == "purchase").alias("b"),
     )
     tot = pts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    c = pts.crossJoin(F.broadcast(tot)).select(
-        (F.sum("a").over(w) / F.col("na").cast("double")).alias("fa"),
-        (F.sum("b").over(w) / F.col("nb").cast("double")).alias("fb"),
+    cum = global_ranked(
+        pts, ["value"], running_sums={"ca": F.col("a"), "cb": F.col("b")}
+    )
+    c = cum.crossJoin(F.broadcast(tot)).select(
+        (F.col("ca") / F.col("na").cast("double")).alias("fa"),
+        (F.col("cb") / F.col("nb").cast("double")).alias("fb"),
         "na",
         "nb",
     )
@@ -3950,16 +3955,17 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     x are order-insensitive in Σi·xᵢ (equal values × consecutive
     ranks sum the same either way), so the statistic is deterministic
     without caring how the sort broke them. One aggregate, one global
-    rank over |customers| rows, one scalar reduction."""
+    rank over |customers| rows, one scalar reduction. The global rank
+    routes through operators/rank.global_ranked: single-partition by
+    default (exact-rank class 3, PLANS.md), fully distributed under
+    spark.ndvi_etl.rankMode=distributed."""
+    from ...operators.rank import global_ranked
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
-    ranked = spend.select(
-        "x",
-        F.row_number()
-        .over(Window.orderBy(F.asc("x"), F.asc("o_custkey")))
-        .alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ranked = global_ranked(
+        spend, ["x", "o_custkey"], row_number="i", total_count="n"
+    ).select("x", "i", "n")
     return ranked.agg(
         F.round(
             2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.sum("x"))

@@ -480,9 +480,13 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching the marketing convention — then the segment grid with
     customer counts and mean monetary score. ntile's equal-fill
     semantics are identical across engines once the order is total.
-    The three global ntiles are single-partition windows over
-    |customers| pre-aggregated rows; at 100 TB you'd swap them for
-    approx_percentile cutpoints + a join, same grid out."""
+    The three global ntiles route through operators/rank.global_ranked:
+    single-partition windows over |customers| pre-aggregated rows by
+    default, EXACT two-pass range-partitioned form under
+    spark.ndvi_etl.rankMode=distributed (no approximation needed at
+    100 TB — same grid, parallel sort)."""
+    from ...operators.rank import global_ranked
+
     o = _t(spark, sf_dir, "orders")
     mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("now"))
     rfm = (
@@ -496,17 +500,12 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").alias("monetary"),
         )
     )
-    scored = rfm.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency").desc(), F.col("o_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").asc(), F.col("o_custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").asc(), F.col("o_custkey")))
-        .alias("m_score"),
+    s = global_ranked(
+        rfm, [("recency", "desc"), "o_custkey"], ntile={"r_score": 5}
     )
+    s = global_ranked(s, ["frequency", "o_custkey"], ntile={"f_score": 5})
+    s = global_ranked(s, ["monetary", "o_custkey"], ntile={"m_score": 5})
+    scored = s.select("r_score", "f_score", "m_score")
     return scored.groupBy("r_score", "f_score").agg(
         F.count("*").cast("bigint").alias("n_customers"),
         F.round(F.avg("m_score"), 3).alias("avg_m_score"),

@@ -280,7 +280,13 @@ def q_gains_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     auc_rank_sum's scalar (a useless score shows cum_gain ≈
     decile/10; lift above the diagonal is the model's value). The
     windowed sum-of-sums computes the curve ON the 10-row grouped
-    result — no second pass over customers."""
+    result — no second pass over customers. All three global-order
+    steps (tiebreak row_number, customer decile ntile, decile cumsum)
+    route through operators/rank.global_ranked — exact single-partition
+    windows by default, exact two-pass range-partitioned form under
+    spark.ndvi_etl.rankMode=distributed."""
+    from ...operators.rank import global_ranked
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     spend = (
@@ -292,17 +298,14 @@ def q_gains_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("score"),
         F.when(F.col("spend") > 300000, 1).otherwise(0).alias("converted"),
     )
-    tie = F.row_number().over(Window.orderBy("score", "converted"))
-    ranked = scored.withColumn("random_tiebreak", tie).select(
-        "converted",
-        F.ntile(10)
-        .over(
-            Window.orderBy(
-                F.col("score").desc(), F.col("converted"), F.col("random_tiebreak")
-            )
-        )
-        .alias("decile"),
+    tied = global_ranked(
+        scored, ["score", "converted"], row_number="random_tiebreak"
     )
+    ranked = global_ranked(
+        tied,
+        [("score", "desc"), "converted", "random_tiebreak"],
+        ntile={"decile": 10},
+    ).select("converted", "decile")
     tot = ranked.agg(F.sum("converted").cast("double").alias("all_conv"))
     per = (
         ranked.join(F.broadcast(tot))
@@ -313,14 +316,14 @@ def q_gains_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("all_conv").alias("all_conv"),
         )
     )
-    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    return per.select(
+    cum = global_ranked(
+        per, ["decile"], running_sums={"cum_conv": F.col("conversions")}
+    )
+    return cum.select(
         "decile",
         "n",
         "conversions",
-        F.round(
-            F.sum("conversions").over(wcum) / F.col("all_conv"), 4
-        ).alias("cum_gain"),
+        F.round(F.col("cum_conv") / F.col("all_conv"), 4).alias("cum_gain"),
     )
 
 

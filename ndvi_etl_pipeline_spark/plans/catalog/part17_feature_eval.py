@@ -140,14 +140,19 @@ def q_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     is avoided by the (x, y) sort being total within duplicates at
     2-decimal prices), Laplace-smoothed WOE per bin, summed IV as
     the single predictiveness score. All counts exact; ln inputs are
-    identical rationals in both engines."""
+    identical rationals in both engines. The fact-table-sized ntile —
+    the largest global window in the catalog — routes through
+    operators/rank.global_ranked: exact and fully distributed under
+    spark.ndvi_etl.rankMode=distributed."""
+    from ...operators.rank import global_ranked
+
     o = _t(spark, sf_dir, "orders")
     base = o.select(
         F.col("o_totalprice").alias("x"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
     )
-    binned = base.select(
-        "y", F.ntile(10).over(Window.orderBy("x", "y")).alias("bin")
+    binned = global_ranked(base, ["x", "y"], ntile={"bin": 10}).select(
+        "y", "bin"
     )
     per = binned.groupBy("bin").agg(
         F.count("*").cast("bigint").alias("n"),

@@ -105,15 +105,33 @@ def audit_one(df) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--rank-mode",
+        choices=("single", "distributed"),
+        default=None,
+        help="set spark.ndvi_etl.rankMode for the session (audits the "
+        "class-3 exact-rank family's distributed plans)",
+    )
+    ap.add_argument(
+        "--only", nargs="*", default=None, help="audit just these queries"
+    )
+    ap.add_argument(
+        "--out", default="PLANS_AUDIT.json", help="output JSON path"
+    )
     args = ap.parse_args()
 
     from ndvi_etl_pipeline_spark.plans import queries as Q
     from ndvi_etl_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="audit_plans", shuffle_partitions=16)
+    if args.rank_mode:
+        spark.conf.set("spark.ndvi_etl.rankMode", args.rank_mode)
     out: dict[str, dict] = {}
     violations = []
-    for name, spec in sorted(Q.REGISTRY.items()):
+    todo = sorted(Q.REGISTRY.items())
+    if args.only:
+        todo = [(n, s) for n, s in todo if n in set(args.only)]
+    for name, spec in todo:
         if name in EXECUTES_ON_BUILD:
             out[name] = {"skipped": "executes driver-side work at build time"}
             continue
@@ -142,7 +160,7 @@ def main() -> int:
         ),
         "row_python_violations": [n for n, _ in violations],
     }
-    Path("PLANS_AUDIT.json").write_text(
+    Path(args.out).write_text(
         json.dumps({"summary": summary, "queries": out}, indent=1, sort_keys=True)
     )
     print(json.dumps(summary))

@@ -912,3 +912,135 @@ def q_lake_ds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
     )
+
+
+@register(
+    "lake_sql_check_constraint_ddl",
+    oracle="""
+        WITH t AS (
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+            UNION ALL
+            SELECT -1, 'neg_marker', 0
+        )
+        SELECT n_regionkey AS region, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               min(n_name) AS min_name
+        FROM t GROUP BY n_regionkey
+    """,
+    tags=("lakehouse", "sql", "ddl", "constraints"),
+)
+def q_lake_sql_check_constraint_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD/DROP CONSTRAINT through SQL text (round-7
+    verdict ask #5): ADD CONSTRAINT ... CHECK gates every subsequent
+    INSERT atomically (a violating insert leaves NO snapshot — the
+    version is asserted unchanged), SET NOT NULL forbids nulls the
+    same way, and DROP CONSTRAINT / DROP NOT NULL lift the gates so
+    the once-refused row lands. The final aggregate proves exactly
+    one marker row exists."""
+    from ...sources.lake import _latest_version
+
+    t = _tmp("checkcon")
+    T = {"nat": t}
+    lake_write(_t(spark, sf_dir, "nation"), t)
+    lake_sql(
+        spark, "ALTER TABLE nat ADD CONSTRAINT key_pos CHECK (n_nationkey >= 0)", T
+    )
+    lake_sql(spark, "ALTER TABLE nat ALTER COLUMN n_name SET NOT NULL", T)
+    v_gated = _latest_version(t)
+    for bad in (
+        "INSERT INTO nat SELECT -1 AS n_nationkey, 'neg_marker' AS n_name, 0 AS n_regionkey",
+        "INSERT INTO nat SELECT 999 AS n_nationkey, CAST(NULL AS STRING) AS n_name, 0 AS n_regionkey",
+    ):
+        try:
+            lake_sql(spark, bad, T)
+            raise AssertionError(f"constraint did not gate: {bad}")
+        except AssertionError:
+            raise
+        except Exception:
+            pass  # refused, as required
+    assert _latest_version(t) == v_gated, "violating INSERT left a snapshot"
+    lake_sql(spark, "ALTER TABLE nat DROP CONSTRAINT key_pos", T)
+    lake_sql(spark, "ALTER TABLE nat ALTER COLUMN n_name DROP NOT NULL", T)
+    lake_sql(
+        spark,
+        "INSERT INTO nat SELECT -1 AS n_nationkey, 'neg_marker' AS n_name, "
+        "0 AS n_regionkey",
+        T,
+    )
+    return lake_sql(
+        spark,
+        """
+        SELECT n_regionkey AS region, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               min(n_name) AS min_name
+        FROM nat GROUP BY n_regionkey
+        """,
+        T,
+    )
+
+
+@register(
+    "lake_sql_partition_spec_evolution",
+    oracle="""
+        WITH t AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+            UNION ALL
+            SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT c_mktsegment AS segment, count(*) AS n,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+               round(sum(c_acctbal), 2) AS bal_sum
+        FROM t GROUP BY c_mktsegment
+    """,
+    tags=("lakehouse", "sql", "ddl", "spec-evolution"),
+)
+def q_lake_sql_partition_spec_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-spec EVOLUTION through SQL text (round-7 verdict ask
+    #4, Iceberg's versioned specs): the table starts identity-
+    partitioned on c_mktsegment — right at small scale, wrong at 100 TB
+    — and ALTER TABLE ... WRITE PARTITIONED BY (bucket(8, c_custkey))
+    re-layouts FUTURE writes as a metadata-only commit (file set
+    asserted unchanged). The follow-up INSERT lands under the bucket
+    spec (both populations asserted live via per-entry spec ids), and
+    the final aggregate reads the union of both layouts."""
+    from ...sources.lake import _latest_version, _read_manifest
+
+    t = _tmp("specevo")
+    T = {"cust": t}
+    lake_write(
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ),
+        t,
+        partition_by=("c_mktsegment",),
+    )
+    files_v0 = {e["path"] for e in _read_manifest(t, 0)["files"]}
+    lake_sql(
+        spark, "ALTER TABLE cust WRITE PARTITIONED BY (bucket(8, c_custkey))", T
+    )
+    m = _read_manifest(t, 1)
+    assert {e["path"] for e in m["files"]} == files_v0, "alter rewrote files"
+    assert m["partition_specs"] == [["c_mktsegment"], ["bucket(8, c_custkey)"]]
+    lake_sql(
+        spark,
+        "INSERT INTO cust SELECT c_custkey + 10000000 AS c_custkey, "
+        "c_mktsegment, c_acctbal FROM cust WHERE c_mktsegment = 'BUILDING'",
+        T,
+    )
+    m = _read_manifest(t, _latest_version(t))
+    assert sorted({e.get("spec", 0) for e in m["files"]}) == [0, 1], (
+        "both spec populations must be live"
+    )
+    return lake_sql(
+        spark,
+        """
+        SELECT c_mktsegment AS segment, count(*) AS n,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+               round(sum(c_acctbal), 2) AS bal_sum
+        FROM cust GROUP BY c_mktsegment
+        """,
+        T,
+    )

@@ -871,6 +871,65 @@ def _spec_info(partition_by: tuple[str, ...]):
     return specs, bool(kinds - {"identity"})
 
 
+# --- partition-spec EVOLUTION (Iceberg's versioned partition specs) -------
+#
+# A long-lived 100-TB table eventually re-partitions: the layout that
+# was right at 1 TB (say identity on region) is wrong at 100 TB (needs
+# day(ts) or bucket(N, key)). Rewriting the table to change it is the
+# one thing a 100-TB table can never afford, so the spec is VERSIONED
+# instead (Iceberg spec-evolution): the manifest carries
+#
+#     partition_specs : [spec_0, spec_1, ...]   (append-only history)
+#     partition_by    : partition_specs[-1]     (the CURRENT spec —
+#                       every write path keeps reading this key, so
+#                       the write side is untouched by evolution)
+#
+# and every file entry written AFTER an evolution carries
+# `"spec": <index>`; entries without the key are spec 0 (which also
+# makes every pre-evolution manifest, checkpoint, and clone readable
+# unchanged). New writes lay out under the current spec; old files
+# keep their layout forever; planning prunes each file with ITS OWN
+# spec; reads scan each spec population with its own layout rules and
+# union them. lake_compact naturally MIGRATES data: rewritten files
+# come out under the current spec.
+#
+# Reference parity note: the reference pipeline has no storage layer
+# at all (it re-downloads and rewrites rasters per run); this is part
+# of the lakehouse tier that makes the engine usable at scale.
+
+
+def _partition_specs(m: dict) -> list[tuple[str, ...]]:
+    """All partition specs of a manifest, index = spec id. Tables that
+    never evolved have exactly one: their partition_by (possibly ())."""
+    ps = m.get("partition_specs")
+    if ps:
+        return [tuple(s) for s in ps]
+    return [tuple(m.get("partition_by") or ())]
+
+
+def _entry_spec_id(entry, n_specs: int) -> int:
+    sid = entry.get("spec", 0) if isinstance(entry, dict) else 0
+    return sid if 0 <= sid < n_specs else 0
+
+
+def _entry_part_by(entry, specs: list) -> tuple[str, ...]:
+    """The spec a FILE was written under (pruning must use the file's
+    own layout, never the table's current one)."""
+    return specs[_entry_spec_id(entry, len(specs))]
+
+
+def _stamp_spec(files: list, m: dict | None) -> list:
+    """Stamp freshly-written entries with the table's current spec id.
+    Only needed once the table has evolved — single-spec tables keep
+    entries unstamped (= spec 0), so legacy manifests never change."""
+    if m and m.get("partition_specs"):
+        sid = len(m["partition_specs"]) - 1
+        if sid:
+            for e in files:
+                e["spec"] = sid
+    return files
+
+
 def _write_data_files(
     df: DataFrame,
     path: str,
@@ -1134,18 +1193,30 @@ def _read_entries(
             df = df.select("*", rel.alias(_DV_FILE), pos.alias(_DV_POS))
         return df
 
-    part_by = manifest.get("partition_by") or []
-    identity_layout = part_by and all(
-        _parse_partition_spec(sp)[0] == "identity" for sp in part_by
-    )
-    if not identity_layout:
-        # unpartitioned OR transform-partitioned: every real column
-        # lives inside the data files (transforms partition on derived
-        # dir columns) — a plain schema-pinned scan suffices
-        out = _scan([os.path.join(path, p) for p in _paths(entries)])
-    else:
+    specs = _partition_specs(manifest)
+    # spec evolution: each file reads under the spec it was WRITTEN
+    # under (identity populations recover partition values from dir
+    # names; transform/unpartitioned populations are plain scans) —
+    # one sub-scan per population, unioned. Single-spec tables (the
+    # overwhelmingly common case) take exactly the pre-evolution path.
+    by_spec: dict[int, list] = {}
+    for e in entries:
+        by_spec.setdefault(_entry_spec_id(e, len(specs)), []).append(e)
+    scans: list[DataFrame] = []
+    for sid in sorted(by_spec):
+        part_by = specs[sid]
+        pop = by_spec[sid]
+        identity_layout = part_by and all(
+            _parse_partition_spec(sp)[0] == "identity" for sp in part_by
+        )
+        if not identity_layout:
+            # unpartitioned OR transform-partitioned: every real column
+            # lives inside the data files (transforms partition on
+            # derived dir columns) — a plain schema-pinned scan suffices
+            scans.append(_scan([os.path.join(path, p) for p in _paths(pop)]))
+            continue
         groups: dict[str, list[str]] = {}
-        for p in _paths(entries):
+        for p in _paths(pop):
             # basePath = the commit dir above the partition dirs:
             # strip filename + one dir per partition column (works for
             # table-relative AND absolute shallow-clone entries)
@@ -1154,12 +1225,12 @@ def _read_entries(
             for _ in range(1 + len(part_by)):
                 base = os.path.dirname(base)
             groups.setdefault(base, []).append(full)
-        dfs = [
+        scans.extend(
             _scan(files, base) for base, files in sorted(groups.items())
-        ]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
+        )
+    out = scans[0]
+    for d in scans[1:]:
+        out = out.unionByName(d)
     if dvs:
         dv_df = spark.read.schema(_DV_SCHEMA).parquet(
             *[os.path.join(path, d) for d in dvs]
@@ -1449,6 +1520,12 @@ def lake_write(
     files = _write_data_files(
         df, path, part_by, bl_cols, mapping, optimize_write=optimize_write
     )
+    if mode == "append":
+        # evolved table: new entries carry the current spec id (a
+        # concurrent spec change makes the retry loop below raise, so
+        # the id staged here can never publish stale)
+        _stamp_spec(files, prev)
+    staged_specs = (prev or {}).get("partition_specs")
     for attempt in range(_MAX_COMMIT_ATTEMPTS):
         latest = _latest_version(path)
         prev = _read_manifest(path, latest) if latest is not None else None
@@ -1476,7 +1553,9 @@ def lake_write(
                     "concurrent writer changed the table's column "
                     "mapping — re-run the write"
                 )
-            if tuple(prev.get("partition_by") or ()) != part_by:
+            if tuple(prev.get("partition_by") or ()) != part_by or (
+                prev.get("partition_specs") != staged_specs
+            ):
                 raise ValueError(
                     "concurrent writer changed the table's partition layout"
                 )
@@ -1507,6 +1586,10 @@ def lake_write(
             manifest["constraints"] = prev["constraints"]
         if part_by:
             manifest["partition_by"] = list(part_by)
+        if mode == "append" and prev is not None and prev.get("partition_specs"):
+            # spec evolution history survives appends; an overwrite
+            # replaces every file, so the layout history resets
+            manifest["partition_specs"] = prev["partition_specs"]
         if bl_cols:
             manifest["bloom_cols"] = list(bl_cols)
         if mapping and mode == "append":
@@ -1589,9 +1672,11 @@ def _ckpt_prune_expr(schema, col: str, op: str, val, part_by: tuple):
                     e = e & ~F.isnan(mn) & ~F.isnan(mx)  # NaN proves nothing
                 exprs.append(e)
     # identity partition value (exact; driver casts the stored string
-    # to the predicate type — try_cast mirrors "cast doubt keeps")
+    # to the predicate type — try_cast mirrors "cast doubt keeps").
+    # part_by=None: multi-spec table — part__ NULLs are ambiguous
+    # (missing vs null value), so partition branches are disabled
     pname = f"part__{col}"
-    if pname in names and scalars_ok:
+    if part_by is not None and pname in names and scalars_ok:
         raw = F.col(pname)
         p0 = probe[0]
         if isinstance(p0, bool):
@@ -1615,7 +1700,7 @@ def _ckpt_prune_expr(schema, col: str, op: str, val, part_by: tuple):
         )
     # hidden-partition transforms: the transformed predicate VALUE is a
     # Python-side constant; the comparison runs on the stored dir value
-    for sp in part_by:
+    for sp in part_by or ():
         kind, param, src, dcol = _parse_partition_spec(sp)
         dname = f"part__{dcol}"
         if kind == "identity" or src != col or dname not in names:
@@ -1666,7 +1751,7 @@ _SPARK_PLAN_MAX_REMOVED = 10_000
 
 
 def _plan_files_spark(
-    spark: SparkSession, path: str, version: int, where: list, part_by: tuple
+    spark: SparkSession, path: str, version: int, where: list, specs: list
 ) -> list | None:
     """Distributed file skipping: filter the checkpoint PARQUET with
     compiled (conservative) pruning predicates as a Spark scan,
@@ -1697,6 +1782,13 @@ def _plan_files_spark(
     if len(removed) > _SPARK_PLAN_MAX_REMOVED:
         return None
     df = spark.read.parquet(_ckpt_file(path, base))
+    # multi-spec tables: the checkpoint's part__<col> columns are NULL
+    # both for "file not partitioned by col" (older/newer spec) and
+    # for a genuinely-NULL partition value, so the partition branches
+    # of _ckpt_prune_expr can't tell them apart — restrict the Spark
+    # pass to the spec-independent min/max stats (still a superset;
+    # the exact per-entry driver re-check below prunes the rest)
+    part_by = specs[0] if len(specs) == 1 else None
     keep = F.lit(True)
     for col, op, val in where:
         pr = _ckpt_prune_expr(df.schema, col, op, val, part_by)
@@ -1723,9 +1815,13 @@ def _plan_files_spark(
         if r["extra"] is not None:
             e.update(json.loads(r["extra"]))
         entries.append(e)
-    entries = [e for e in entries if _file_may_match(e, where, part_by)]
+    entries = [
+        e for e in entries if _file_may_match(e, where, _entry_part_by(e, specs))
+    ]
     entries.extend(
-        e for e in live_adds if _file_may_match(e, where, part_by)
+        e
+        for e in live_adds
+        if _file_may_match(e, where, _entry_part_by(e, specs))
     )
     return entries
 
@@ -1768,7 +1864,7 @@ def lake_read(
     else:
         v = latest if version is None else _resolve_version(path, version)
     rec = _read_delta(path, v)
-    part_by = tuple(rec.get("partition_by") or ())
+    specs = _partition_specs(rec)
     # manifest pruning lives in PHYSICAL column space (stats/blooms/
     # partition dirs are keyed by the stable physical names); the
     # exact row filter below stays logical
@@ -1782,13 +1878,15 @@ def lake_read(
         # big snapshot: plan DISTRIBUTED — a Spark scan over the
         # checkpoint's typed pruning columns, never a driver loop
         # over every entry
-        entries = _plan_files_spark(spark, path, v, pwhere, part_by)
+        entries = _plan_files_spark(spark, path, v, pwhere, specs)
     if entries is None:
         m = _read_manifest(path, v)
         entries = m["files"]
         if where:
             entries = [
-                e for e in entries if _file_may_match(e, pwhere, part_by)
+                e
+                for e in entries
+                if _file_may_match(e, pwhere, _entry_part_by(e, specs))
             ]
     else:
         m = {k: x for k, x in rec.items() if k not in ("add", "remove")}
@@ -1836,7 +1934,7 @@ def lake_read_changes(
         op = _read_delta(path, v)["op"]
         # alter_constraints republishes an identical file set — safe
         # to diff across; anything that rewrites/deletes files is not
-        if op not in ("append", "clone", "alter_constraints", "rename_column", "drop_column", "widen_column"):
+        if op not in ("append", "clone", "alter_constraints", "rename_column", "drop_column", "widen_column", "alter_partition_spec"):
             raise ValueError(
                 f"incremental read undefined across non-append commit "
                 f"v{v} ({op}) — re-read the full snapshot instead"
@@ -1964,7 +2062,7 @@ def lake_read_cdf(
         op, strat = m["op"], m.get("strategy")
         if op in ("append", "overwrite") and v == 0 and from_version < 0:
             op = "append"  # the creating commit is all inserts
-        if op in ("append", "clone", "alter_constraints", "rename_column", "drop_column", "widen_column"):
+        if op in ("append", "clone", "alter_constraints", "rename_column", "drop_column", "widen_column", "alter_partition_spec"):
             new_entries = [
                 e for e in m["files"] if _entry_rel(e) not in prev_files
             ]
@@ -2178,7 +2276,7 @@ def lake_clone(
         "n_rows_delta": None,
         "properties": {"cloned_from": src_abs, "cloned_version": v},
     }
-    for k in ("partition_by", "bloom_cols", "constraints", "column_mapping"):
+    for k in ("partition_by", "partition_specs", "bloom_cols", "constraints", "column_mapping"):
         if m.get(k):
             manifest[k] = m[k]
     if m.get("dvs"):
@@ -2253,7 +2351,7 @@ def lake_adopt(spark: SparkSession, path: str, clone: str) -> int:
             "adopted_version": c_latest,
         },
     }
-    for k in ("partition_by", "bloom_cols", "constraints", "column_mapping"):
+    for k in ("partition_by", "partition_specs", "bloom_cols", "constraints", "column_mapping"):
         if cm.get(k):
             manifest[k] = cm[k]
     if cm.get("dvs"):
@@ -2467,7 +2565,7 @@ def lake_restore(path: str, version: int | str) -> int:
             "schema": tm["schema"],
             "n_rows_delta": None,
         }
-        for k in ("dvs", "partition_by", "bloom_cols", "constraints", "column_mapping"):
+        for k in ("dvs", "partition_by", "partition_specs", "bloom_cols", "constraints", "column_mapping"):
             if tm.get(k):
                 manifest[k] = tm[k]
         _commit(path, new_v, manifest)
@@ -2531,7 +2629,7 @@ def lake_alter_constraints(
         }
         if cons:
             manifest["constraints"] = cons
-        for k in ("dvs", "partition_by", "bloom_cols", "column_mapping"):
+        for k in ("dvs", "partition_by", "partition_specs", "bloom_cols", "column_mapping"):
             if m.get(k):
                 manifest[k] = m[k]
         _commit(path, version, manifest)
@@ -2610,7 +2708,7 @@ def lake_rename_column(path: str, old: str, new: str) -> int:
         }
         if cons:
             manifest["constraints"] = cons
-        for k in ("dvs", "partition_by", "bloom_cols"):
+        for k in ("dvs", "partition_by", "partition_specs", "bloom_cols"):
             if m.get(k):
                 manifest[k] = m[k]
         _commit(path, version, manifest)
@@ -2671,7 +2769,7 @@ def lake_drop_column(path: str, col: str) -> int:
             "n_rows_delta": None,
             "column_mapping": mapping,
         }
-        for k in ("dvs", "partition_by", "bloom_cols", "constraints"):
+        for k in ("dvs", "partition_by", "partition_specs", "bloom_cols", "constraints"):
             if m.get(k):
                 manifest[k] = m[k]
         _commit(path, version, manifest)
@@ -2746,7 +2844,7 @@ def lake_widen_column(path: str, col: str, new_type) -> int:
             "schema": new_schema.jsonValue(),
             "n_rows_delta": None,
         }
-        for k in ("dvs", "partition_by", "bloom_cols", "constraints",
+        for k in ("dvs", "partition_by", "partition_specs", "bloom_cols", "constraints",
                   "column_mapping"):
             if m.get(k):
                 manifest[k] = m[k]
@@ -2754,6 +2852,75 @@ def lake_widen_column(path: str, col: str, new_type) -> int:
         return version
 
     return _retry_cow("widen_column", path, once)
+
+
+def lake_alter_partition_spec(path: str, partition_by) -> int:
+    """Change the table's partition layout as a METADATA-ONLY commit
+    (Iceberg partition-spec evolution / ALTER TABLE ... WRITE
+    PARTITIONED BY): no file is rewritten — the new spec is appended
+    to the manifest's `partition_specs` history and becomes current;
+    files written before keep their old layout (entries carry a
+    per-file spec id), files written after lay out under the new one,
+    and planning prunes each file with its own spec. `lake_compact`
+    migrates data to the current spec as a side effect of rewriting.
+    Pass an empty tuple to make future writes unpartitioned.
+    Re-declaring the current spec is a no-op (no commit)."""
+    new_spec = tuple(str(s).strip() for s in (partition_by or ()))
+    _spec_info(new_spec)  # parse + reject identity/transform mixing
+
+    def once() -> int:
+        latest = _latest_version(path)
+        if latest is None:
+            raise FileNotFoundError(f"no manifest lake at {path}")
+        m = _read_manifest(path, latest)
+        schema = T.StructType.fromJson(m["schema"])
+        phys = _mapping_physical(m)
+        phys_spec: list[str] = []
+        for sp in new_spec:
+            kind, param, col, _d = _parse_partition_spec(sp)
+            if col not in schema.fieldNames():
+                raise ValueError(f"partition source column {col!r} not in schema")
+            dt = schema[col].dataType
+            if kind in ("day", "month", "year") and not isinstance(
+                dt, (T.DateType, T.TimestampType)
+            ):
+                raise ValueError(
+                    f"{kind}() needs a date/timestamp column, "
+                    f"{col!r} is {dt.simpleString()}"
+                )
+            # specs live in PHYSICAL column space (like stats/blooms):
+            # renames never invalidate the layout history
+            p = phys.get(col, col)
+            if kind == "identity":
+                phys_spec.append(p)
+            elif kind in ("bucket", "truncate"):
+                phys_spec.append(f"{kind}({param}, {p})")
+            else:
+                phys_spec.append(f"{kind}({p})")
+        cur = tuple(m.get("partition_by") or ())
+        if tuple(phys_spec) == cur:
+            return latest  # already the current layout: no snapshot
+        base = m.get("partition_specs") or [list(cur)]
+        version = latest + 1
+        manifest = {
+            "version": version,
+            "op": "alter_partition_spec",
+            "spec_change": [list(cur), list(phys_spec)],
+            "ts": time.time(),
+            "files": m["files"],
+            "schema": m["schema"],
+            "n_rows_delta": None,
+            "partition_specs": [list(s) for s in base] + [list(phys_spec)],
+        }
+        if phys_spec:
+            manifest["partition_by"] = list(phys_spec)
+        for k in ("dvs", "bloom_cols", "constraints", "column_mapping"):
+            if m.get(k):
+                manifest[k] = m[k]
+        _commit(path, version, manifest)
+        return version
+
+    return _retry_cow("alter_partition_spec", path, once)
 
 
 def lake_history(path: str) -> list[dict]:
@@ -2899,7 +3066,7 @@ def _classified_commit(
     if read_rels is None:
         read_rels = _dv_files_touched(path, read_dv_dirs)
     base_schema = json.dumps(base_m["schema"], sort_keys=True)
-    _SCALARS = ("partition_by", "bloom_cols", "constraints", "column_mapping")
+    _SCALARS = ("partition_by", "partition_specs", "bloom_cols", "constraints", "column_mapping")
     base_scalars = {k: base_m.get(k) for k in _SCALARS}
     checked = version - 1  # winners ≤ this are the base we executed on
     # bounded: under sustained traffic a loser whose winners all classify
@@ -3014,7 +3181,7 @@ def _dv_delete_once(
     }
     if properties:
         manifest["properties"] = dict(properties)
-    for k in ("partition_by", "bloom_cols", "constraints", "column_mapping"):
+    for k in ("partition_by", "partition_specs", "bloom_cols", "constraints", "column_mapping"):
         if m.get(k):
             manifest[k] = m[k]
     return _classified_commit(
@@ -3110,8 +3277,11 @@ def lake_delete(
         bl_cols = tuple(m.get("bloom_cols") or ())
         survivors = _read_entries(spark, path, m, rewritten).filter(~predicate)
         new_files = (
-            _write_data_files(
-                survivors, path, part_by, bl_cols, m.get("column_mapping")
+            _stamp_spec(
+                _write_data_files(
+                    survivors, path, part_by, bl_cols, m.get("column_mapping")
+                ),
+                m,
             )
             if survivors.count()
             else []
@@ -3137,6 +3307,8 @@ def lake_delete(
             manifest["dvs"] = m["dvs"]
         if part_by:
             manifest["partition_by"] = list(part_by)
+        if m.get("partition_specs"):
+            manifest["partition_specs"] = m["partition_specs"]
         if bl_cols:
             manifest["bloom_cols"] = list(bl_cols)
         return _classified_commit(
@@ -3259,7 +3431,9 @@ def lake_merge(
             else:
                 pre_rel = rel
         n_up = upd.count()
-        update_entries = _write_data_files(upd, path, part_by, bl_cols, mapping)
+        update_entries = _stamp_spec(
+            _write_data_files(upd, path, part_by, bl_cols, mapping), m
+        )
         version = latest + 1
         manifest = {
             "version": version,
@@ -3282,6 +3456,8 @@ def lake_merge(
             manifest["constraints"] = m["constraints"]
         if part_by:
             manifest["partition_by"] = list(part_by)
+        if m.get("partition_specs"):
+            manifest["partition_specs"] = m["partition_specs"]
         if bl_cols:
             manifest["bloom_cols"] = list(bl_cols)
         if mapping:
@@ -3343,12 +3519,15 @@ def lake_merge(
                     spark, path, m, rewritten_entries
                 ).join(F.broadcast(key_df), list(keys), "left_anti")
                 if survivors.count():
-                    new_files += _write_data_files(
-                        survivors, path, part_by, bl_cols, mapping
+                    new_files += _stamp_spec(
+                        _write_data_files(
+                            survivors, path, part_by, bl_cols, mapping
+                        ),
+                        m,
                     )
         n_up = upd.count()
-        update_entries = _write_data_files(
-            upd, path, part_by, bl_cols, mapping
+        update_entries = _stamp_spec(
+            _write_data_files(upd, path, part_by, bl_cols, mapping), m
         )
         new_files += update_entries
         version = latest + 1
@@ -3372,6 +3551,8 @@ def lake_merge(
             manifest["dvs"] = m["dvs"]  # kept files still need theirs
         if part_by:
             manifest["partition_by"] = list(part_by)
+        if m.get("partition_specs"):
+            manifest["partition_specs"] = m["partition_specs"]
         if bl_cols:
             manifest["bloom_cols"] = list(bl_cols)
         if mapping:
@@ -3437,7 +3618,9 @@ def lake_merge_insert_only(
             return latest  # every key already present: no snapshot
         part_by = tuple(m.get("partition_by") or ())
         bl_cols = tuple(m.get("bloom_cols") or ())
-        entries = _write_data_files(new_rows, path, part_by, bl_cols, mapping)
+        entries = _stamp_spec(
+            _write_data_files(new_rows, path, part_by, bl_cols, mapping), m
+        )
         version = latest + 1
         manifest = {
             "version": version,
@@ -3448,7 +3631,7 @@ def lake_merge_insert_only(
             "n_rows_delta": n,
             "properties": {"merge": "insert_only", "merge_keys": list(keys)},
         }
-        for k in ("partition_by", "bloom_cols", "constraints", "dvs"):
+        for k in ("partition_by", "partition_specs", "bloom_cols", "constraints", "dvs"):
             if m.get(k):
                 manifest[k] = m[k]
         if mapping:
@@ -3582,8 +3765,8 @@ def lake_update(
         )
         if m.get("constraints"):
             _enforce_constraints(changed, schema, m["constraints"])
-        update_files = _write_data_files(
-            changed, path, part_by, bl_cols, mapping
+        update_files = _stamp_spec(
+            _write_data_files(changed, path, part_by, bl_cols, mapping), m
         )
         version = latest + 1
         manifest = {
@@ -3601,8 +3784,8 @@ def lake_update(
         }
         if properties:
             manifest["properties"] = dict(properties)
-        for k in ("partition_by", "bloom_cols", "constraints",
-                  "column_mapping"):
+        for k in ("partition_by", "partition_specs", "bloom_cols",
+                  "constraints", "column_mapping"):
             if m.get(k):
                 manifest[k] = (
                     list(m[k]) if isinstance(m[k], list) else m[k]
@@ -3636,14 +3819,14 @@ def lake_update(
         )
         if m.get("constraints"):
             _enforce_constraints(changed, schema, m["constraints"])
-        update_files = _write_data_files(
-            changed, path, part_by, bl_cols, mapping
+        update_files = _stamp_spec(
+            _write_data_files(changed, path, part_by, bl_cols, mapping), m
         )
         carry = sub.filter(~cond)
         new_files = list(update_files)
         if carry.count():
-            new_files += _write_data_files(
-                carry, path, part_by, bl_cols, mapping
+            new_files += _stamp_spec(
+                _write_data_files(carry, path, part_by, bl_cols, mapping), m
             )
         version = latest + 1
         manifest = {
@@ -3659,8 +3842,8 @@ def lake_update(
         }
         if properties:
             manifest["properties"] = dict(properties)
-        for k in ("partition_by", "bloom_cols", "constraints",
-                  "column_mapping", "dvs"):
+        for k in ("partition_by", "partition_specs", "bloom_cols",
+                  "constraints", "column_mapping", "dvs"):
             if m.get(k):
                 manifest[k] = (
                     list(m[k]) if isinstance(m[k], list) else m[k]
@@ -3777,7 +3960,12 @@ def lake_compact(
             keep = [e for e in m["files"] if _entry_rel(e) not in hit_rel]
         elif where:
             pw = _phys_where(where, m)
-            hit = [e for e in m["files"] if _file_may_match(e, pw, part_by)]
+            specs = _partition_specs(m)
+            hit = [
+                e
+                for e in m["files"]
+                if _file_may_match(e, pw, _entry_part_by(e, specs))
+            ]
             hit_rel = set(_paths(hit))
             keep = [e for e in m["files"] if _entry_rel(e) not in hit_rel]
         else:
@@ -3793,8 +3981,9 @@ def lake_compact(
             )
         else:
             df = df.coalesce(num_files)
-        files = _write_data_files(
-            df, path, part_by, bl_cols, m.get("column_mapping")
+        files = _stamp_spec(
+            _write_data_files(df, path, part_by, bl_cols, m.get("column_mapping")),
+            m,
         )
         version = latest + 1
         manifest = {
@@ -3830,6 +4019,8 @@ def lake_compact(
             manifest["zorder_by"] = list(zorder_by)
         if part_by:
             manifest["partition_by"] = list(part_by)
+        if m.get("partition_specs"):
+            manifest["partition_specs"] = m["partition_specs"]
         if bl_cols:
             manifest["bloom_cols"] = list(bl_cols)
         return _classified_commit(

@@ -46,10 +46,12 @@ from pyspark.sql.datasource import (
 from pyspark.sql import types as T
 
 from .lake import (
+    _entry_part_by,
     _entry_rel,
     _file_may_match,
     _latest_version,
     _parse_partition_spec,
+    _partition_specs,
     _paths,
     _phys_where,
     _read_delta,
@@ -86,12 +88,15 @@ class LakeFilePartition(InputPartition):
         self.change = change
 
 
-def _entry_partition_fill(entry, part_by) -> dict:
+def _entry_partition_fill(entry, specs) -> dict:
     """Identity-partitioned layouts drop the partition column from the
     data files; rebuild {col: raw_string} for the executor to attach.
-    Transform layouts keep every real column in the file — no fill."""
-    if not part_by or not isinstance(entry, dict):
+    Transform layouts keep every real column in the file — no fill.
+    `specs` is the manifest's partition-spec list (spec evolution:
+    each file fills under the spec it was WRITTEN under)."""
+    if not specs or not isinstance(entry, dict):
         return {}
+    part_by = _entry_part_by(entry, specs)
     fill = {}
     for sp in part_by:
         kind, _param, col, dcol = _parse_partition_spec(sp)
@@ -197,13 +202,13 @@ def _partitions_for_entries(
     path, manifest, entries, columns: list[str] | None = None
 ) -> list[LakeFilePartition]:
     schema_json = _schema_payload(manifest, columns)
-    part_by = manifest.get("partition_by") or []
+    specs = _partition_specs(manifest)
     dv_pos = _dv_positions(path, manifest)
     return [
         LakeFilePartition(
             os.path.abspath(os.path.join(path, p)),
             schema_json,
-            _entry_partition_fill(e, part_by),
+            _entry_partition_fill(e, specs),
             dv_pos.get(p),
         )
         for p, e in zip(_paths(entries), entries)
@@ -288,7 +293,9 @@ def _cdf_partitions(
     commits refuse — their file diff does not mean row changes."""
     end_m = _read_manifest(path, ev)
     schema_json = _schema_payload(end_m, columns)
-    part_by = end_m.get("partition_by") or []
+    # partition_specs is append-only, so the END manifest's list
+    # resolves every spec id in the range
+    specs = _partition_specs(end_m)
     parts: list[LakeFilePartition] = []
     prev_files: set[str] = set()
     prev_dvs: list[str] = []
@@ -315,12 +322,13 @@ def _cdf_partitions(
                     LakeFilePartition(
                         os.path.abspath(os.path.join(path, rel)),
                         schema_json,
-                        _entry_partition_fill(e, part_by),
+                        _entry_partition_fill(e, specs),
                         drop_pos=clone_drop.get(rel),
                         change=("insert", v),
                     )
                 )
-        elif op in ("alter_constraints", "rename_column", "drop_column", "widen_column"):
+        elif op in ("alter_constraints", "rename_column", "drop_column",
+                    "widen_column", "alter_partition_spec"):
             pass  # identical file set, no row changes (metadata-only)
         elif op == "delete" and strat == "dv":
             new_dvs = [d for d in (m.get("dvs") or []) if d not in prev_dvs]
@@ -335,7 +343,7 @@ def _cdf_partitions(
                                 (e for e in m["files"] if _entry_rel(e) == rel),
                                 rel,
                             ),
-                            part_by,
+                            specs,
                         ),
                         select_pos=positions,
                         change=("delete", v),
@@ -362,7 +370,7 @@ def _cdf_partitions(
                     LakeFilePartition(
                         os.path.abspath(os.path.join(path, rel)),
                         schema_json,
-                        _entry_partition_fill(e, part_by),
+                        _entry_partition_fill(e, specs),
                         change=("insert", v),
                     )
                 )
@@ -377,7 +385,7 @@ def _cdf_partitions(
                             os.path.abspath(os.path.join(path, rel)),
                             schema_json,
                             _entry_partition_fill(
-                                pm_by_rel.get(rel, rel), part_by
+                                pm_by_rel.get(rel, rel), specs
                             ),
                             select_pos=positions,
                             change=("delete", v),
@@ -469,13 +477,13 @@ class LakeBatchReader(DataSourceReader):
             )
         entries = self._manifest["files"]
         if self._where:
-            part_by = tuple(self._manifest.get("partition_by") or ())
+            specs = _partition_specs(self._manifest)
             pw = _phys_where(self._where, self._manifest)  # stats/
             # blooms/partition dirs key on stable physical names
             entries = [
                 e
                 for e in entries
-                if _file_may_match(e, pw, part_by)
+                if _file_may_match(e, pw, _entry_part_by(e, specs))
             ]
         return _partitions_for_entries(
             self._path, self._manifest, entries, self._columns
@@ -565,7 +573,8 @@ class LakeStreamReader(DataSourceStreamReader):
             # alter_constraints republishes an identical file set —
             # harmless to diff across
             if op not in ("append", "clone", "alter_constraints",
-                          "rename_column", "drop_column", "widen_column"):
+                          "rename_column", "drop_column", "widen_column",
+                          "alter_partition_spec"):
                 raise ValueError(
                     f"lake stream undefined across non-append commit "
                     f"v{v} ({op}) — restart from a fresh snapshot, or "
@@ -841,6 +850,14 @@ class _LakeWriterCore:
             }
             if self._part_cols:
                 manifest["partition_by"] = list(self._part_cols)
+            if prev is not None and mode == "append" and prev.get("partition_specs"):
+                # spec-evolved table: keep the layout history and stamp
+                # this commit's new entries with the current spec id
+                manifest["partition_specs"] = prev["partition_specs"]
+                sid = len(prev["partition_specs"]) - 1
+                if sid:
+                    for e in entries:
+                        e["spec"] = sid
             if dvs:
                 manifest["dvs"] = dvs
             if bl:

@@ -251,6 +251,25 @@ _ALTER_DROP_TAG_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+TAG\s+({_TAG})\s*$",
     re.IGNORECASE,
 )
+_ALTER_ADD_CON_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+({_IDENT})"
+    r"\s+CHECK\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_CON_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+_ALTER_NOT_NULL_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})"
+    r"\s+(SET|DROP)\s+NOT\s+NULL\s*$",
+    re.IGNORECASE,
+)
+_ALTER_WRITE_PART_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+WRITE\s+"
+    r"(?:PARTITIONED\s+BY\s*\((.*)\)|(UNPARTITIONED))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _RESTORE_RE = re.compile(
     rf"^\s*RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
     rf"(\d+|'{_TAG}')\s*$",
@@ -474,10 +493,12 @@ def _run_alter(
     spark: SparkSession, stmt: str, tables: dict[str, str]
 ) -> DataFrame | None:
     """ALTER TABLE (RENAME/DROP COLUMN, widening ALTER COLUMN TYPE,
-    CREATE/DROP TAG) and RESTORE TABLE — the schema-evolution /
-    version-control statements (round-6 verdict: a SQL user hits
-    ALTER within days of adopting the DML surface); returns None when
-    `stmt` is none of them."""
+    CREATE/DROP TAG, ADD/DROP CONSTRAINT ... CHECK, ALTER COLUMN
+    SET/DROP NOT NULL, WRITE PARTITIONED BY (...) / WRITE
+    UNPARTITIONED — partition-spec evolution) and RESTORE TABLE — the
+    schema-evolution / version-control statements (round-6 verdict: a
+    SQL user hits ALTER within days of adopting the DML surface);
+    returns None when `stmt` is none of them."""
     from .lake import (
         lake_drop_column,
         lake_drop_tag,
@@ -523,6 +544,58 @@ def _run_alter(
 
         return _dml_result(
             spark, "drop_tag", lake_latest_version(path) or 0
+        )
+    m = _ALTER_ADD_CON_RE.match(stmt)
+    if m:
+        from .lake import lake_alter_constraints
+
+        path = _table_path(m.group(1), tables)
+        return _dml_result(
+            spark, "alter_constraints",
+            lake_alter_constraints(
+                spark, path, add_checks={m.group(2): m.group(3).strip()}
+            ),
+        )
+    m = _ALTER_DROP_CON_RE.match(stmt)
+    if m:
+        from .lake import lake_alter_constraints
+
+        path = _table_path(m.group(1), tables)
+        return _dml_result(
+            spark, "alter_constraints",
+            lake_alter_constraints(spark, path, drop_checks=(m.group(2),)),
+        )
+    m = _ALTER_NOT_NULL_RE.match(stmt)
+    if m:
+        from .lake import lake_alter_constraints
+
+        path = _table_path(m.group(1), tables)
+        col = m.group(2)
+        kw = {"SET": "add_not_null", "DROP": "drop_not_null"}[
+            m.group(3).upper()
+        ]
+        return _dml_result(
+            spark, "alter_constraints",
+            lake_alter_constraints(spark, path, **{kw: (col,)}),
+        )
+    m = _ALTER_WRITE_PART_RE.match(stmt)
+    if m:
+        from .lake import lake_alter_partition_spec
+
+        path = _table_path(m.group(1), tables)
+        if m.group(3):  # WRITE UNPARTITIONED
+            spec: tuple = ()
+        else:
+            # split on top-level commas only — transform specs carry
+            # their own ("bucket(4, k)")
+            spec = tuple(
+                c.strip()
+                for c in re.split(r",(?![^()]*\))", m.group(2))
+                if c.strip()
+            )
+        return _dml_result(
+            spark, "alter_partition_spec",
+            lake_alter_partition_spec(path, spec),
         )
     m = _RESTORE_RE.match(stmt)
     if m:

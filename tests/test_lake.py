@@ -1172,6 +1172,7 @@ _OP = st.one_of(
     st.tuples(st.just("mor_update"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
     st.tuples(st.just("compact"), st.just([])),
     st.tuples(st.just("restore"), st.just([])),
+    st.tuples(st.just("alter_spec"), st.just([])),
 )
 
 
@@ -1258,6 +1259,21 @@ def test_lake_model_based_op_sequences(spark, tmp_path_factory, ops, rng):
         elif op == "compact":
             lake_compact(spark, t, num_files=2)
             commit_model()
+        elif op == "alter_spec":
+            # partition-spec evolution interleaved with every other
+            # op: rows are invariant, later writes lay out under the
+            # new spec, restores roll the spec history back with the
+            # snapshot. A no-op alter (already-current spec, possible
+            # after restore) commits nothing — tracked via version.
+            from ndvi_etl_pipeline_spark.sources.lake import (
+                _latest_version,
+                lake_alter_partition_spec,
+            )
+
+            prev_v = _latest_version(t)
+            spec = [("bucket(2, k)",), ("truncate(2, v)",), ()][tag[0] % 3]
+            if lake_alter_partition_spec(t, spec) > prev_v:
+                commit_model()
         elif op == "restore":
             v = rng.randrange(len(history))
             lake_restore(t, v)

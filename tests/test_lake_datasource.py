@@ -725,3 +725,48 @@ def test_lake_stream_continues_across_widen_column(lake_ds, tmp_path):
     out2: list = []
     drain(out2)  # must not raise 'non-append commit'
     assert [k for batch in out2 for k in batch] == [2]
+
+
+def test_lake_stream_continues_across_alter_partition_spec(lake_ds, tmp_path):
+    """A partition-spec evolution commit (identical file set, zero
+    row changes) must NOT kill a running non-CDF stream — same
+    metadata-only contract as widen/rename/drop/constraint DDL — and
+    post-evolution appends (laid out under the NEW spec) must arrive
+    as ordinary inserts with identity partition values filled from
+    each file's OWN spec."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_alter_partition_spec
+
+    spark = lake_ds
+    t = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    lake_write(
+        _mk(spark, [(1, "a")], "k int, v string").coalesce(1),
+        t,
+        partition_by=("v",),
+    )
+
+    def drain(sink):
+        q = (
+            spark.readStream.format("lake")
+            .option("path", t)
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, i: sink.append(
+                    sorted((r.k, r.v) for r in b.collect())
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out: list = []
+    drain(out)
+    assert [x for batch in out for x in batch] == [(1, "a")]
+
+    lake_alter_partition_spec(t, ("bucket(2, k)",))  # metadata-only
+    lake_write(_mk(spark, [(2, "b")], "k int, v string").coalesce(1), t)
+    out2: list = []
+    drain(out2)  # must not raise 'non-append commit'
+    assert [x for batch in out2 for x in batch] == [(2, "b")]

@@ -205,6 +205,50 @@ def main() -> int:
         dd.append(time.perf_counter() - t0)
     result["duckdb"]["scan"] = round(min(dd), 3)
 
+    # --- streaming DS with projection (round-7 ask #6) -------------------
+    # one availableNow drain of the whole table through the streaming
+    # path WITH option("columns"): the projection must compose with
+    # streaming (schema narrows at plan time, executors decode 2 of 8
+    # columns), so a full drain should cost ≈ the batch pruned scan.
+    # Fresh checkpoint per run, so every run replays the whole table.
+    def stream_ds_pruned():
+        ck = tempfile.mkdtemp(prefix="lake_bench_ck_")
+        acc: list = []
+        q = (
+            spark.readStream.format("lake")
+            .option("path", table)
+            .option("columns", "l_extendedprice,l_discount")
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, i: acc.append(
+                    b.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.round(
+                            F.sum(
+                                F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))
+                            ),
+                            2,
+                        ).alias("rev"),
+                    ).collect()[0]
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(ck, ignore_errors=True)
+        spark.catalog.clearCache()
+        return (sum(r["n"] for r in acc),)
+
+    cold, warm, res = timed(stream_ds_pruned)
+    result["spark"]["stream_ds_pruned"] = {"cold": cold, "warm": warm}
+    sys.stderr.write(f"stream_ds_pruned: warm {warm}s cold {cold}s -> {res}\n")
+    result["ratios"]["stream_ds_pruned_vs_batch_pruned"] = round(
+        warm / result["spark"]["scan_ds_pruned"]["warm"], 3
+    )
+
     # --- DV-heavy read: 10% of rows merge-on-read deleted ---------------
     v_before_dv = lake_latest_version(table)
     t0 = time.perf_counter()

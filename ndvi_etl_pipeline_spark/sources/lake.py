@@ -1091,6 +1091,19 @@ _DV_SCHEMA = f"{_DV_FILE} string, {_DV_POS} bigint"
 #: "compaction materialized them".
 _DV_BROADCAST_MAX_ROWS = 1_000_000
 
+#: Between the string-keyed broadcast bound above and THIS many DV
+#: rows, the anti-join build side is re-keyed to a compact
+#: (int file-id, long ordinal) pair (~16 B serialized vs ~100 B for a
+#: path string) and STILL broadcast — 16M keys is a few hundred MB of
+#: build relation, inside any 100-TB-class executor — because the
+#: alternative shuffles the ENTIRE table by (fid, pos) (measured at
+#: 600M rows: +33% wall over the broadcast probe, and on a real
+#: cluster that shuffle is network, not memory bandwidth). Past this
+#: bound the planner shuffles: a 60M-key broadcast was measured to
+#: exhaust task execution memory in a 40 GB JVM, and
+#: lake_maintain's max_dv_rows drain compacts long before that.
+_DV_FID_BROADCAST_MAX_ROWS = 16_000_000
+
 
 def _dv_rows(path: str, dvs) -> int:
     """Total row count across DV parquet sets from footer metadata
@@ -1240,14 +1253,19 @@ def _read_entries(
                 F.broadcast(dv_df), [_DV_FILE, _DV_POS], "left_anti"
             )
         else:
-            # Bulk-delete regime: table-scale DV sets. A forced
-            # broadcast would ship them to every task (measured 53× a
-            # plain filter at sf10), and a raw shuffle anti-join pays
-            # ~100 B of file-path STRING per key. Swap the path for a
-            # manifest-scale integer id (one broadcast dict of
-            # #files entries) on both sides — the shuffled keys drop
-            # to (int, long) and the anti-join is exact. Compaction
-            # eventually materializes the DVs and clears all of this.
+            # Bulk-delete regime: table-scale DV sets. A string-keyed
+            # broadcast would ship ~100 B of file path per key to
+            # every task (measured 53× a plain filter at sf10), so
+            # both sides re-key to a manifest-scale integer id (one
+            # broadcast dict of #files entries) and the anti-join
+            # keys drop to (int, long) ≈ 16 B. Up to
+            # _DV_FID_BROADCAST_MAX_ROWS the compact build side is
+            # STILL broadcast — the table side never moves, which at
+            # 100 TB is the whole game (measured at 600M rows / 60M
+            # DV keys: the shuffled form pays 98 s of table shuffle;
+            # the broadcast probe stays at scan speed). Beyond it the
+            # planner shuffles; lake_maintain's max_dv_rows drain
+            # compacts long before that.
             fid = "__dv_fid"
             rels = sorted({_entry_rel(e) for e in entries})
             id_df = spark.createDataFrame(
@@ -1257,6 +1275,8 @@ def _read_entries(
             dv_keys = dv_df.join(
                 F.broadcast(id_df), [_DV_FILE], "inner"
             ).select(fid, _DV_POS)
+            if _dv_rows(path, dvs) <= _DV_FID_BROADCAST_MAX_ROWS:
+                dv_keys = F.broadcast(dv_keys)
             out = (
                 out.join(F.broadcast(id_df), [_DV_FILE], "left")
                 .join(dv_keys, [fid, _DV_POS], "left_anti")
@@ -4037,6 +4057,7 @@ def lake_maintain(
     target_files: int = 4,
     small_bytes: int | None = None,
     max_dv_rows: int | None = _DV_BROADCAST_MAX_ROWS,
+    migrate_spec: bool = False,
 ) -> list[int]:
     """Small-file + DV-debt maintenance policy — the post-commit hook
     a streaming drain needs: micro-batches append one small file per
@@ -4060,6 +4081,16 @@ def lake_maintain(
     (lake_compact's dangling-dir pruning) — read amplification is
     bounded by maintenance cadence, never unbounded. None disables.
 
+    SPEC MIGRATION (`migrate_spec=True`): after a partition-spec
+    evolution the table reads correctly forever with mixed
+    populations, but only the CURRENT spec's layout serves the
+    workload the evolution was made for — this drain compacts exactly
+    the files still laid out under an OLD spec (lake_compact rewrites
+    land under the current spec by construction), so the table
+    converges to single-population at maintenance cadence instead of
+    waiting for organic rewrites. Off by default: migration reads and
+    rewrites real bytes, a deliberate operator decision at 100 TB.
+
     Returns the commit versions published (empty when nothing crossed
     a threshold — the common, free case). A maintenance pass racing a
     concurrent append re-runs from the winner's snapshot;
@@ -4069,6 +4100,20 @@ def lake_maintain(
         return []
     m = _read_manifest(path, latest)
     out_dv: list[int] = []
+    if migrate_spec and m.get("partition_specs"):
+        cur = len(m["partition_specs"]) - 1
+        stale = tuple(
+            sorted(
+                _entry_rel(e)
+                for e in m["files"]
+                if _entry_spec_id(e, cur + 1) != cur
+            )
+        )
+        if stale:
+            out_dv.append(
+                lake_compact(spark, path, num_files=target_files, paths=stale)
+            )
+            m = _read_manifest(path, _latest_version(path))
     dvs = m.get("dvs") or []
     if dvs and max_dv_rows is not None and _dv_rows(path, dvs) > max_dv_rows:
         touched = _dv_files_touched(path, dvs)

@@ -1476,11 +1476,13 @@ def test_ckpt_prune_expr_handles_in_predicates(spark):
 def test_dv_antijoin_drops_broadcast_hint_above_threshold(
     spark, tmp_path, monkeypatch
 ):
-    """Small DV sets broadcast (one hint-pinned anti-join); a bulk
-    delete's table-scale DV set must NOT be force-broadcast — the
-    plan falls back to a shuffled anti-join until compaction
-    materializes the DVs (at sf10 the forced broadcast measured 53x a
-    plain filter)."""
+    """Three DV anti-join regimes by live-DV-row count: small sets
+    broadcast string-keyed (one hint-pinned anti-join); bulk sets
+    re-key to compact (int fid, long pos) and STILL broadcast — the
+    table side must never shuffle (measured at 600M rows / 60M DV
+    keys: the shuffled form pays 98 s of table shuffle); only past
+    _DV_FID_BROADCAST_MAX_ROWS does the anti-join lose the hint and
+    shuffle (the regime lake_maintain's drain exists to prevent)."""
     import ndvi_etl_pipeline_spark.sources.lake as L
 
     t = str(tmp_path / "t")
@@ -1497,11 +1499,19 @@ def test_dv_antijoin_drops_broadcast_hint_above_threshold(
     small = anti_lines(lake_read(spark, t))
     assert small and all("strategy=broadcast" in l for l in small)
     monkeypatch.setattr(L, "_DV_BROADCAST_MAX_ROWS", 5)
-    # the ANTI-JOIN itself must lose the hint (the small id-mapping
-    # broadcasts the big branch adds are manifest-scale and fine)
+    # fid tier: the anti-join keeps a broadcast hint, but on the
+    # COMPACT fid-keyed side (the plan now carries the id mapping)
+    mid_df = lake_read(spark, t)
+    mid = anti_lines(mid_df)
+    assert mid and all("strategy=broadcast" in l for l in mid)
+    assert "__dv_fid" in mid_df._jdf.queryExecution().optimizedPlan().toString()
+    assert {r.k for r in mid_df.collect()} == set(range(1, 100, 2))
+    monkeypatch.setattr(L, "_DV_FID_BROADCAST_MAX_ROWS", 5)
+    # past the fid bound the ANTI-JOIN itself loses the hint (the
+    # manifest-scale id-mapping broadcasts the branch adds are fine)
     big = anti_lines(lake_read(spark, t))
     assert big and all("strategy=broadcast" not in l for l in big)
-    # rows identical either way
+    # rows identical in every regime
     assert {r.k for r in lake_read(spark, t).collect()} == set(range(1, 100, 2))
 
 

@@ -239,3 +239,33 @@ def test_spec_history_survives_checkpoint_and_spark_planning(
     # entries reconstructed from the checkpoint still carry spec ids
     m = L._read_manifest(t, L._latest_version(t))
     assert sorted({e.get("spec", 0) for e in m["files"]}) == [0, 1]
+
+
+def test_maintain_migrates_old_spec_files(spark, tmp_path):
+    """lake_maintain(migrate_spec=True) compacts exactly the files
+    still laid out under an OLD spec — the table converges to the
+    current layout at maintenance cadence; an already-converged table
+    publishes nothing."""
+    from ndvi_etl_pipeline_spark.sources.lake import lake_maintain
+
+    t = str(tmp_path / "t")
+    lake_write(
+        _df(spark, [(i, "ab"[i % 2], f"v{i}") for i in range(4)]).coalesce(1),
+        t,
+        partition_by=("cat",),
+    )
+    lake_alter_partition_spec(t, ("bucket(2, k)",))
+    lake_write(_df(spark, [(10, "c", "w")]).coalesce(1), t)
+    new_file = {
+        e["path"]
+        for e in L._read_manifest(t, L._latest_version(t))["files"]
+        if e.get("spec", 0) == 1
+    }
+    vs = lake_maintain(spark, t, migrate_spec=True)
+    assert len(vs) == 1
+    m = L._read_manifest(t, vs[0])
+    assert all(e.get("spec", 0) == 1 for e in m["files"])  # converged
+    assert new_file <= {e["path"] for e in m["files"]}  # untouched carry
+    got = sorted(r.k for r in lake_read(spark, t).collect())
+    assert got == [0, 1, 2, 3, 10]
+    assert lake_maintain(spark, t, migrate_spec=True) == []  # idempotent

@@ -65,7 +65,17 @@ def main() -> int:
                     help="stop re-running a DuckDB query once its runs exceed this many seconds total")
     ap.add_argument("--skip-duckdb", action="store_true")
     ap.add_argument("--skip-spark", action="store_true")
+    ap.add_argument("--duckdb-mem", default="90GB")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset (the sf100 spot tier runs only "
+        "the shuffle-bound families worth 600M rows of wall clock)",
+    )
     args = ap.parse_args()
+    global QUERIES
+    if args.queries:
+        QUERIES = tuple(q.strip() for q in args.queries.split(",") if q.strip())
 
     from ndvi_etl_pipeline_spark.plans.queries import REGISTRY
 
@@ -110,6 +120,13 @@ def main() -> int:
 
         con = duckdb.connect()
         con.execute(f"SET threads TO {os.cpu_count() or 8}")
+        # sf100 honesty: without a cap DuckDB's default (80% of RAM)
+        # let the 600M-row itemcf oracle OOM-kill the process at
+        # 121 GB RSS; a bounded limit + spill directory measures the
+        # out-of-core plan instead of dying (that IS the single-node
+        # story at this scale)
+        con.execute(f"SET memory_limit = '{args.duckdb_mem}'")
+        con.execute("SET temp_directory = '/tmp/duckdb_spill'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"

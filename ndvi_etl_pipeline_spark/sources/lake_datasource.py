@@ -107,25 +107,43 @@ def _entry_partition_fill(entry, specs) -> dict:
     return fill
 
 
-def _dv_positions(path, manifest) -> dict[str, list[int]]:
+def _dv_positions(path, manifest, only_rels=None) -> dict[str, list[int]]:
     """Deleted row ordinals per table-relative file path, loaded from
     the snapshot's deletion-vector parquet sets. Driver-side and
     driver-sized on purpose: the DV relation is bounded by
     deletes-since-last-compaction (compaction materializes and clears
-    it), the same budget Delta's driver spends on DV descriptors."""
+    it), the same budget Delta's driver spends on DV descriptors.
+    `only_rels` restricts the decode to the files actually being
+    planned (pyarrow filter pushdown): a streaming trigger over a
+    handful of appended files must not pay an O(DV debt) load to
+    learn those files carry no deletes."""
     dvs = manifest.get("dvs") or []
     if not dvs:
         return {}
+    if only_rels is not None:
+        only_rels = set(only_rels)
+        if not only_rels:
+            return {}
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     out: dict[str, set[int]] = {}
+    flt = (
+        None
+        if only_rels is None
+        else pc.field("__dv_file").isin(sorted(only_rels))
+    )
     for d in dvs:
         droot = os.path.join(path, d)
         for root, _dirs, names in os.walk(droot):
             for f in sorted(names):
                 if not f.endswith(".parquet"):
                     continue
-                t = pq.read_table(os.path.join(root, f))
+                t = pq.read_table(
+                    os.path.join(root, f),
+                    filters=flt,
+                    columns=["__dv_file", "__dv_pos"],
+                )
                 for fp, pos in zip(
                     t.column("__dv_file").to_pylist(),
                     t.column("__dv_pos").to_pylist(),
@@ -203,7 +221,9 @@ def _partitions_for_entries(
 ) -> list[LakeFilePartition]:
     schema_json = _schema_payload(manifest, columns)
     specs = _partition_specs(manifest)
-    dv_pos = _dv_positions(path, manifest)
+    # decode only the planned files' DV rows: a streaming trigger over
+    # a few appended files must not pay O(DV debt) driver time
+    dv_pos = _dv_positions(path, manifest, only_rels=_paths(entries))
     return [
         LakeFilePartition(
             os.path.abspath(os.path.join(path, p)),

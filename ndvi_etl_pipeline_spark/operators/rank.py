@@ -122,6 +122,9 @@ def global_ranked(
     percent_rank: str | None = None,
     running_sums: Mapping[str, Column] | None = None,
     total_count: str | None = None,
+    lag: Mapping[str, Column] | None = None,
+    lead: Mapping[str, Column] | None = None,
+    total_sums: Mapping[str, Column] | None = None,
     mode: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -136,10 +139,24 @@ def global_ranked(
     running_sums: {out_name: Column} — cumulative sum over the total
       order, ROWS UNBOUNDED PRECEDING .. CURRENT ROW.
     total_count: output column name for the global row count N.
+    lag / lead: {out_name: Column} — previous/next row's value along
+      the total order (offset 1, NULL at the global edges). In
+      distributed mode the handoff across range boundaries is a
+      per-partition first/last-row exchange riding the same P-row
+      stats broadcast — no extra shuffle (lag/lead need a TOTAL
+      order to be deterministic; with ties the value within a peer
+      group is order-arbitrary in both modes, same as Spark).
+    total_sums: {out_name: Column} — the GLOBAL sum of a column
+      repeated on every row (the ``sum(x) OVER ()`` idiom). In
+      distributed mode this is a per-range partial summed in the
+      stats broadcast; in single mode an empty-frame window.
     mode: 'single' | 'distributed'; default reads RANK_MODE_CONF.
     """
     ntile = dict(ntile or {})
     running_sums = dict(running_sums or {})
+    lag = dict(lag or {})
+    lead = dict(lead or {})
+    total_sums = dict(total_sums or {})
     norm = _norm_order(order)
     sort = _sort_exprs(norm)
     spark = df.sparkSession
@@ -170,6 +187,12 @@ def global_ranked(
             out = out.withColumn(
                 total_count, F.count("*").over(Window.partitionBy())
             )
+        for name, col in lag.items():
+            out = out.withColumn(name, F.lag(col).over(w))
+        for name, col in lead.items():
+            out = out.withColumn(name, F.lead(col).over(w))
+        for name, col in total_sums.items():
+            out = out.withColumn(name, F.sum(col).over(Window.partitionBy()))
         return out
 
     # ---- distributed: range shuffle + local window + offset join ----
@@ -190,13 +213,43 @@ def global_ranked(
     # job-free.
     parts = parts.localCheckpoint(eager=False)
 
-    # per-range stats (P rows): counts, distinct keys, running-sum totals
+    wloc = Window.partitionBy(_PID).orderBy(*sort)
+    wlrun = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    loc = parts.withColumn(_LRN, F.row_number().over(wloc))
+    if rank or percent_rank:
+        loc = loc.withColumn("__lrk", F.rank().over(wloc))
+    if dense_rank:
+        loc = loc.withColumn("__ldr", F.dense_rank().over(wloc))
+    if cume_dist:
+        # peers share the full order key, so the last peer's local
+        # row number is the local ≤-key row count
+        loc = loc.withColumn(
+            "__lcd", F.max(_LRN).over(Window.partitionBy(_PID, *plain))
+        )
+    for i, (_name, col) in enumerate(running_sums.items()):
+        loc = loc.withColumn(f"__lrs{i}", F.sum(col).over(wlrun))
+    for i, (_name, col) in enumerate(lag.items()):
+        loc = loc.withColumn(f"__llag{i}", F.lag(col).over(wloc))
+    for i, (_name, col) in enumerate(lead.items()):
+        loc = loc.withColumn(f"__llead{i}", F.lead(col).over(wloc))
+
+    # per-range stats (P rows): counts, distinct keys, running-sum
+    # totals, global-sum partials, and — when lag/lead need the
+    # cross-boundary handoff — each range's first/last row values
+    # (computed from `loc` so the boundary rows follow the exact
+    # local sort; both branches read the same checkpointed parts)
     aggs = [F.count(F.lit(1)).alias("__cnt")]
     if dense_rank:
         aggs.append(F.countDistinct(F.struct(*plain)).alias("__dk"))
     for i, (_name, col) in enumerate(running_sums.items()):
         aggs.append(F.sum(col).alias(f"__rs{i}"))
-    stats = parts.groupBy(_PID).agg(*aggs)
+    for i, (_name, col) in enumerate(total_sums.items()):
+        aggs.append(F.sum(col).alias(f"__ts{i}"))
+    for i, (_name, col) in enumerate(lag.items()):
+        aggs.append(F.max_by(col, F.col(_LRN)).alias(f"__lst{i}"))
+    for i, (_name, col) in enumerate(lead.items()):
+        aggs.append(F.min_by(col, F.col(_LRN)).alias(f"__fst{i}"))
+    stats = (loc if (lag or lead) else parts).groupBy(_PID).agg(*aggs)
 
     # exact prefix offsets WITHOUT a window: triangular broadcast
     # self-join over the P-row stats relation
@@ -220,24 +273,25 @@ def global_ranked(
         off_aggs.append(
             F.sum(F.when(before, F.col(f"__b.__rs{i}"))).alias(f"__soff{i}")
         )
+    for i in range(len(total_sums)):
+        off_aggs.append(F.sum(F.col(f"__b.__ts{i}")).alias(f"__tot{i}"))
+    after = F.col(f"__b.{_PID}") > F.col(f"__a.{_PID}")
+    for i in range(len(lag)):
+        # the nearest EARLIER non-empty range's last-row value
+        # (max_by ignores NULL keys, so only `before` rows compete)
+        off_aggs.append(
+            F.max_by(
+                F.col(f"__b.__lst{i}"), F.when(before, F.col(f"__b.{_PID}"))
+            ).alias(f"__plst{i}")
+        )
+    for i in range(len(lead)):
+        off_aggs.append(
+            F.min_by(
+                F.col(f"__b.__fst{i}"), F.when(after, F.col(f"__b.{_PID}"))
+            ).alias(f"__nfst{i}")
+        )
     keep = [F.col(f"__a.{c}").alias(c) for c in stats.columns]
     offsets = a.crossJoin(F.broadcast(b)).groupBy(*keep).agg(*off_aggs)
-
-    wloc = Window.partitionBy(_PID).orderBy(*sort)
-    wlrun = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    loc = parts.withColumn(_LRN, F.row_number().over(wloc))
-    if rank or percent_rank:
-        loc = loc.withColumn("__lrk", F.rank().over(wloc))
-    if dense_rank:
-        loc = loc.withColumn("__ldr", F.dense_rank().over(wloc))
-    if cume_dist:
-        # peers share the full order key, so the last peer's local
-        # row number is the local ≤-key row count
-        loc = loc.withColumn(
-            "__lcd", F.max(_LRN).over(Window.partitionBy(_PID, *plain))
-        )
-    for i, (_name, col) in enumerate(running_sums.items()):
-        loc = loc.withColumn(f"__lrs{i}", F.sum(col).over(wlrun))
 
     out = loc.join(F.broadcast(offsets), _PID)
     grn = F.col("__off") + F.col(_LRN)
@@ -272,6 +326,25 @@ def global_ranked(
         )
     if total_count:
         out = out.withColumn(total_count, F.col("__N"))
+    for i, name in enumerate(lag):
+        # the local lag is NULL exactly on each range's first row;
+        # there the previous range's last-row value is the answer
+        # (NULL for the global first row — no earlier range exists)
+        out = out.withColumn(
+            name,
+            F.when(F.col(_LRN) == 1, F.col(f"__plst{i}")).otherwise(
+                F.col(f"__llag{i}")
+            ),
+        )
+    for i, name in enumerate(lead):
+        out = out.withColumn(
+            name,
+            F.when(F.col(_LRN) == F.col("__cnt"), F.col(f"__nfst{i}")).otherwise(
+                F.col(f"__llead{i}")
+            ),
+        )
+    for i, name in enumerate(total_sums):
+        out = out.withColumn(name, F.col(f"__tot{i}"))
     drop = [
         c
         for c in out.columns
@@ -279,6 +352,9 @@ def global_ranked(
         and c not in (row_number, rank, dense_rank, cume_dist, percent_rank)
         and c not in ntile
         and c not in running_sums
+        and c not in lag
+        and c not in lead
+        and c not in total_sums
         and c != total_count
     ]
     return out.drop(*drop)

@@ -909,7 +909,17 @@ def _partition_specs(m: dict) -> list[tuple[str, ...]]:
 
 def _entry_spec_id(entry, n_specs: int) -> int:
     sid = entry.get("spec", 0) if isinstance(entry, dict) else 0
-    return sid if 0 <= sid < n_specs else 0
+    if not 0 <= sid < n_specs:
+        # A stamped spec id the manifest's partition_specs list does
+        # not contain means a corrupted or forward-incompatible
+        # manifest; reinterpreting the file under spec 0's layout
+        # would silently prune/misread rows — fail loudly instead.
+        raise ValueError(
+            f"manifest entry references partition spec {sid} but the "
+            f"manifest defines only {n_specs} spec(s) — corrupted or "
+            "written by a newer format version"
+        )
+    return sid
 
 
 def _entry_part_by(entry, specs: list) -> tuple[str, ...]:
@@ -1121,7 +1131,12 @@ def _dv_rows(path: str, dvs) -> int:
                             os.path.join(root, f)
                         ).metadata.num_rows
                     except Exception:
-                        return _DV_BROADCAST_MAX_ROWS + 1  # doubt: no hint
+                        # doubt: the set's true size is UNKNOWN and may
+                        # be huge, so the sentinel must disable BOTH
+                        # broadcast tiers (a _DV_BROADCAST_MAX_ROWS+1
+                        # sentinel sat under the fid tier's threshold
+                        # and force-broadcast unknown-size sets)
+                        return _DV_FID_BROADCAST_MAX_ROWS + 1
     return total
 
 
@@ -1248,7 +1263,8 @@ def _read_entries(
         dv_df = spark.read.schema(_DV_SCHEMA).parquet(
             *[os.path.join(path, d) for d in dvs]
         )
-        if _dv_rows(path, dvs) <= _DV_BROADCAST_MAX_ROWS:
+        n_dv = _dv_rows(path, dvs)  # one driver-side footer walk, both tiers
+        if n_dv <= _DV_BROADCAST_MAX_ROWS:
             out = out.join(
                 F.broadcast(dv_df), [_DV_FILE, _DV_POS], "left_anti"
             )
@@ -1275,7 +1291,7 @@ def _read_entries(
             dv_keys = dv_df.join(
                 F.broadcast(id_df), [_DV_FILE], "inner"
             ).select(fid, _DV_POS)
-            if _dv_rows(path, dvs) <= _DV_FID_BROADCAST_MAX_ROWS:
+            if n_dv <= _DV_FID_BROADCAST_MAX_ROWS:
                 dv_keys = F.broadcast(dv_keys)
             out = (
                 out.join(F.broadcast(id_df), [_DV_FILE], "left")

@@ -819,3 +819,18 @@ def test_sql_write_partitioned_by_spec_evolution(spark, tmp_path):
     r = lake_sql(spark, "ALTER TABLE tbl WRITE UNPARTITIONED", T).collect()[0]
     assert r.op == "alter_partition_spec"
     assert _lm(t, 3)["partition_specs"] == [["cat"], ["bucket(4, k)"], []]
+
+
+def test_dv_rows_unreadable_footer_disables_both_broadcast_tiers(tmp_path):
+    """_dv_rows' failure sentinel means 'size unknown — do not force
+    broadcast'. It must exceed BOTH broadcast thresholds: a sentinel
+    between the string-key and int-fid tiers would force-broadcast a
+    DV set of truly unknown (possibly huge) size (round-8 ADVICE)."""
+    import ndvi_etl_pipeline_spark.sources.lake as L
+
+    droot = tmp_path / "_dv" / "set0"
+    droot.mkdir(parents=True)
+    (droot / "bad.parquet").write_bytes(b"not a parquet footer")
+    n = L._dv_rows(str(tmp_path), [os.path.join("_dv", "set0")])
+    assert n > L._DV_BROADCAST_MAX_ROWS
+    assert n > L._DV_FID_BROADCAST_MAX_ROWS

@@ -269,3 +269,20 @@ def test_maintain_migrates_old_spec_files(spark, tmp_path):
     got = sorted(r.k for r in lake_read(spark, t).collect())
     assert got == [0, 1, 2, 3, 10]
     assert lake_maintain(spark, t, migrate_spec=True) == []  # idempotent
+
+
+def test_out_of_range_spec_id_raises_not_clamps(spark, tmp_path):
+    """A manifest entry stamped with a spec index the manifest's
+    partition_specs list doesn't contain is corruption (or a newer
+    format version) — reinterpreting the file under spec 0's layout
+    could silently prune or misread rows, so planning must refuse."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(1, "a", "x")]).coalesce(1), t, partition_by=("cat",))
+    with pytest.raises(ValueError, match="partition spec 7"):
+        L._entry_spec_id({"path": "p", "spec": 7}, 1)
+    # negative ids are equally out of range
+    with pytest.raises(ValueError, match="partition spec -1"):
+        L._entry_spec_id({"path": "p", "spec": -1}, 1)
+    # in-range and unstamped entries are untouched
+    assert L._entry_spec_id({"path": "p"}, 1) == 0
+    assert L._entry_spec_id({"path": "p", "spec": 0}, 1) == 0

@@ -59,6 +59,43 @@ def test_all_functions_bit_identical_with_ties(spark):
     assert _rows(a) == _rows(b)
 
 
+def test_lag_lead_total_sums_bit_identical(spark):
+    """lag/lead handoff across range boundaries + global sums: a
+    TOTAL order (uid is unique) so the previous/next row is uniquely
+    defined; many partitions over few rows forces boundary rows (and
+    empty ranges) to be the common case, not the corner."""
+    df = _mk(spark, 97, ties=False)
+    kw = dict(
+        lag={"pv": F.col("v"), "pk": F.col("k")},
+        lead={"nv": F.col("v")},
+        total_sums={"tv": F.col("v"), "tn": F.lit(1)},
+    )
+    a = global_ranked(df, ["k"], mode="single", **kw)
+    b = global_ranked(df, ["k"], mode="distributed", num_partitions=16, **kw)
+    assert _rows(a) == _rows(b)
+    # descending order flips which boundary is the handoff
+    a = global_ranked(df, [("k", "desc")], mode="single", **kw)
+    b = global_ranked(
+        df, [("k", "desc")], mode="distributed", num_partitions=16, **kw
+    )
+    assert _rows(a) == _rows(b)
+
+
+def test_lag_lead_null_values_mid_stream(spark):
+    """A NULL in the lagged column mid-order must surface as a NULL
+    lag on the NEXT row (not be skipped), including when the NULL row
+    is the last row of a range partition."""
+    df = _mk(spark, 40, ties=False).select(
+        "k",
+        "uid",
+        F.when(F.col("uid") % 3 == 0, None).otherwise(F.col("v")).alias("v"),
+    )
+    kw = dict(lag={"pv": F.col("v")}, lead={"nv": F.col("v")})
+    a = global_ranked(df, ["k"], mode="single", **kw)
+    b = global_ranked(df, ["k"], mode="distributed", num_partitions=13, **kw)
+    assert _rows(a) == _rows(b)
+
+
 def test_unique_keys_and_single_partition_input(spark):
     df = _mk(spark, 97, ties=False).coalesce(1)
     kw = dict(ALL, running_sums={"rsum": F.col("v")})

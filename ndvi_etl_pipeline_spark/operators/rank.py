@@ -61,6 +61,49 @@ from pyspark.sql import functions as F
 
 RANK_MODE_CONF = "spark.ndvi_etl.rankMode"
 
+#: The class-3 catalog family (PLANS.md "exact-global-rank semantics
+#: over entity-sized input"): every member routes its global-order
+#: analytics through global_ranked, so flipping RANK_MODE_CONF to
+#: 'distributed' removes every unpartitioned Window node and
+#: SinglePartition sort from their plans. tests/test_rank_distributed
+#: pins bit-identity across modes per member;
+#: tools/audit_plans.py --rank-mode distributed --family class3
+#: audits the plans.
+CLASS3_MEMBERS = (
+    "auc_rank_sum",
+    "best_feature_split",
+    "bm25_topk",
+    "capped_topk",
+    "decision_stump_orders",
+    "dsir_importance_topk",
+    "gains_chart_deciles",
+    "gini_coefficient",
+    "gini_split_gain",
+    "hash_uniformity_ks",
+    "hill_tail_index",
+    "hodges_lehmann_shift",
+    "kruskal_wallis_h",
+    "ks_two_sample",
+    "lee_bounds_attrition",
+    "median_ci_orderstat",
+    "mi_token_selection",
+    "mutual_information_binned",
+    "pareto_skyline",
+    "profit_curve_threshold",
+    "quintile_share_table",
+    "ranked_quartiles",
+    "regression_stump_lineitem",
+    "rfm_segmentation",
+    "roc_auc_embedding",
+    "roc_calibration_deciles",
+    "tpcds_q49_return_rank",
+    "uncertainty_margin_sampling",
+    "wasserstein_1d",
+    "wilcoxon_signed_rank",
+    "woe_iv_binning",
+    "woe_monotonicity_check",
+)
+
 _PID = "__rank_pid"
 _LRN = "__rank_lrn"
 
@@ -125,6 +168,7 @@ def global_ranked(
     lag: Mapping[str, Column] | None = None,
     lead: Mapping[str, Column] | None = None,
     total_sums: Mapping[str, Column] | None = None,
+    running_max_excl: Mapping[str, Column] | None = None,
     mode: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -150,6 +194,12 @@ def global_ranked(
       repeated on every row (the ``sum(x) OVER ()`` idiom). In
       distributed mode this is a per-range partial summed in the
       stats broadcast; in single mode an empty-frame window.
+    running_max_excl: {out_name: Column} — running max over ROWS
+      UNBOUNDED PRECEDING .. 1 PRECEDING (EXCLUDING the current row;
+      NULL on the global first row) — the dominance sweep primitive
+      (Pareto skylines, record tracking). Distributed: local
+      exclusive running max combined with the prefix max of earlier
+      ranges' partition maxima from the stats broadcast.
     mode: 'single' | 'distributed'; default reads RANK_MODE_CONF.
     """
     ntile = dict(ntile or {})
@@ -157,6 +207,7 @@ def global_ranked(
     lag = dict(lag or {})
     lead = dict(lead or {})
     total_sums = dict(total_sums or {})
+    running_max_excl = dict(running_max_excl or {})
     norm = _norm_order(order)
     sort = _sort_exprs(norm)
     spark = df.sparkSession
@@ -193,6 +244,11 @@ def global_ranked(
             out = out.withColumn(name, F.lead(col).over(w))
         for name, col in total_sums.items():
             out = out.withColumn(name, F.sum(col).over(Window.partitionBy()))
+        for name, col in running_max_excl.items():
+            out = out.withColumn(
+                name,
+                F.max(col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            )
         return out
 
     # ---- distributed: range shuffle + local window + offset join ----
@@ -232,6 +288,11 @@ def global_ranked(
         loc = loc.withColumn(f"__llag{i}", F.lag(col).over(wloc))
     for i, (_name, col) in enumerate(lead.items()):
         loc = loc.withColumn(f"__llead{i}", F.lead(col).over(wloc))
+    for i, (_name, col) in enumerate(running_max_excl.items()):
+        loc = loc.withColumn(
+            f"__lrx{i}",
+            F.max(col).over(wloc.rowsBetween(Window.unboundedPreceding, -1)),
+        )
 
     # per-range stats (P rows): counts, distinct keys, running-sum
     # totals, global-sum partials, and — when lag/lead need the
@@ -245,6 +306,8 @@ def global_ranked(
         aggs.append(F.sum(col).alias(f"__rs{i}"))
     for i, (_name, col) in enumerate(total_sums.items()):
         aggs.append(F.sum(col).alias(f"__ts{i}"))
+    for i, (_name, col) in enumerate(running_max_excl.items()):
+        aggs.append(F.max(col).alias(f"__pmx{i}"))
     for i, (_name, col) in enumerate(lag.items()):
         aggs.append(F.max_by(col, F.col(_LRN)).alias(f"__lst{i}"))
     for i, (_name, col) in enumerate(lead.items()):
@@ -275,6 +338,12 @@ def global_ranked(
         )
     for i in range(len(total_sums)):
         off_aggs.append(F.sum(F.col(f"__b.__ts{i}")).alias(f"__tot{i}"))
+    for i in range(len(running_max_excl)):
+        # prefix max of earlier ranges' per-range maxima (NULL for
+        # the first range: F.max over an all-NULL when() is NULL)
+        off_aggs.append(
+            F.max(F.when(before, F.col(f"__b.__pmx{i}"))).alias(f"__pxo{i}")
+        )
     after = F.col(f"__b.{_PID}") > F.col(f"__a.{_PID}")
     for i in range(len(lag)):
         # the nearest EARLIER non-empty range's last-row value
@@ -345,6 +414,13 @@ def global_ranked(
         )
     for i, name in enumerate(total_sums):
         out = out.withColumn(name, F.col(f"__tot{i}"))
+    for i, name in enumerate(running_max_excl):
+        # greatest() skips NULLs: NULL prefix (first range) falls back
+        # to the local max, NULL local (range-first row) to the prefix,
+        # both NULL (global first row) stays NULL — exact semantics
+        out = out.withColumn(
+            name, F.greatest(F.col(f"__pxo{i}"), F.col(f"__lrx{i}"))
+        )
     drop = [
         c
         for c in out.columns
@@ -355,6 +431,7 @@ def global_ranked(
         and c not in lag
         and c not in lead
         and c not in total_sums
+        and c not in running_max_excl
         and c != total_count
     ]
     return out.drop(*drop)

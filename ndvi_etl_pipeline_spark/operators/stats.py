@@ -85,9 +85,19 @@ def pareto_skyline_2d(pts: DataFrame, minimize: str, maximize: str) -> DataFrame
     local = pts.withColumn("_bp", F.max(maximize).over(w_local)).filter(
         F.col("_bp").isNull() | (F.col(maximize) > F.col("_bp"))
     )
-    w_global = Window.orderBy(*asc_desc).rowsBetween(Window.unboundedPreceding, -1)
+    # global sweep via operators/rank.global_ranked: identical
+    # single-partition window by default; under
+    # spark.ndvi_etl.rankMode=distributed an exact range-partitioned
+    # two-pass (local exclusive running max + prefix-of-range-maxima
+    # from the P-row stats broadcast) — no global window node at all
+    from .rank import global_ranked
+
     return (
-        local.withColumn("_bg", F.max(maximize).over(w_global))
+        global_ranked(
+            local,
+            [minimize, (F.col(maximize), "desc")],
+            running_max_excl={"_bg": F.col(maximize)},
+        )
         .filter(F.col("_bg").isNull() | (F.col(maximize) > F.col("_bg")))
         .drop("_bp", "_bg")
     )

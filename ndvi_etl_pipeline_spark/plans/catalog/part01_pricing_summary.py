@@ -3203,23 +3203,25 @@ def q_ranked_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked-window family (ntile / percent_rank / cume_dist /
     dense_rank) over per-customer spend, summarized per quartile.
     The total order includes the key as tiebreak so ranks are
-    deterministic. NOTE the global ORDER BY window is the one shape
-    that funnels into a single partition — acceptable here because it
-    ranks the AGGREGATE (one row per customer), never the fact table;
-    at 100 TB rank the aggregate or switch to approx quantile cuts."""
+    deterministic. The whole family routes through
+    operators/rank.global_ranked: single-partition by default
+    (bit-identical to the oracle), and under
+    spark.ndvi_etl.rankMode=distributed the exact two-pass
+    range-partitioned form — the plan to flip on at 100 TB."""
+    from ...operators.rank import global_ranked
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("total")
     )
-    w = Window.orderBy("total", "o_custkey")
-    ranked = spend.select(
-        "o_custkey",
-        "total",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-        F.dense_rank().over(w).alias("dr"),
-    )
+    ranked = global_ranked(
+        spend,
+        ["total", "o_custkey"],
+        ntile={"quartile": 4},
+        percent_rank="pr",
+        cume_dist="cd",
+        dense_rank="dr",
+    ).select("o_custkey", "total", "quartile", "pr", "cd", "dr")
     return ranked.groupBy("quartile").agg(
         F.count("*").alias("n"),
         F.round(F.min("total"), 2).alias("min_total"),

@@ -3436,7 +3436,10 @@ def q_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, so exact scores hash-match); at scale the global
     sort is the only wide operation and every other step is a scalar
     aggregate. Complements psi_drift (monitoring) and
-    centroid_classify (accuracy) as the eval tier."""
+    centroid_classify (accuracy) as the eval tier. The ranking
+    routes through operators/rank.global_ranked (distributed mode
+    range-partitions the sort at 100 TB)."""
+    from ...operators.rank import global_ranked
     from ...operators.similarity import cosine
 
     e = _t(spark, sf_dir, "embeddings")
@@ -3458,12 +3461,9 @@ def q_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") == 0).alias("positive"),
         cosine("embedding", "c").alias("score"),
     )
-    ranked = scored.select(
-        "positive",
-        F.row_number()
-        .over(Window.orderBy(F.asc("score"), F.asc("vec_id")))
-        .alias("rk"),
-    )
+    ranked = global_ranked(
+        scored, ["score", "vec_id"], row_number="rk"
+    ).select("positive", "rk")
     n_pos = F.sum(F.when(F.col("positive"), 1))
     n_neg = F.sum(F.when(~F.col("positive"), 1))
     r_pos = F.sum(F.when(F.col("positive"), F.col("rk")))
@@ -3785,16 +3785,23 @@ def q_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget. Per-source rank first (distributed window on the source
     key, prunes to ≤3×|sources| rows), THEN the global top-k over the
     tiny survivor set — the order of the two windows is what keeps
-    the global sort off the full corpus."""
+    the global sort off the full corpus; the survivor ranking routes
+    through operators/rank.global_ranked."""
+    from ...operators.rank import global_ranked
+
     d = _t(spark, sf_dir, "documents")
     w_src = Window.partitionBy("source").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
-    w_glob = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    survivors = d.withColumn("src_rk", F.row_number().over(w_src)).filter(
+        F.col("src_rk") <= 3
+    )
     return (
-        d.withColumn("src_rk", F.row_number().over(w_src))
-        .filter(F.col("src_rk") <= 3)
-        .withColumn("global_rk", F.row_number().over(w_glob))
+        global_ranked(
+            survivors,
+            [("n_chars", "desc"), "doc_id"],
+            row_number="global_rk",
+        )
         .filter(F.col("global_rk") <= 20)
         .select("doc_id", "source", "n_chars")
     )

@@ -2337,16 +2337,24 @@ def q_mutual_information_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     I = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) — the dependence measure that
     sees what Pearson/Spearman miss (non-monotone structure). All the
     information math runs on ≤25 cells; only the binning touches the
-    fact table, and at 100 TB the two global ntiles become
-    approx-percentile cutpoint joins, grid unchanged."""
+    fact table. Both global ntiles route through
+    operators/rank.global_ranked — under
+    spark.ndvi_etl.rankMode=distributed each becomes an exact
+    range-partitioned two-pass, so the fact table is never funneled
+    to one partition."""
+    from ...operators.rank import global_ranked
+
     li = _t(spark, sf_dir, "lineitem")
-    bx = F.ntile(5).over(
-        Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    )
-    by = F.ntile(5).over(
-        Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    )
-    binned = li.select(bx.alias("bx"), by.alias("by"))
+    base = li.select("l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber")
+    binned = global_ranked(
+        global_ranked(
+            base,
+            ["l_quantity", "l_orderkey", "l_linenumber"],
+            ntile={"bx": 5},
+        ),
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        ntile={"by": 5},
+    ).select("bx", "by")
     joint = binned.groupBy("bx", "by").agg(
         F.count("*").cast("double").alias("nxy")
     )
@@ -3809,8 +3817,10 @@ def q_uncertainty_margin_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
     margins = a.join(b, a["vec_id"] == b["v2"]).select(
         "vec_id", "label", (F.col("d2") - F.col("d1")).alias("margin")
     )
-    picked = margins.withColumn(
-        "pick", F.row_number().over(Window.orderBy("margin", "vec_id"))
+    from ...operators.rank import global_ranked
+
+    picked = global_ranked(
+        margins, ["margin", "vec_id"], row_number="pick"
     ).filter(F.col("pick") <= 50)
     return picked.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_ambiguous"),

@@ -1934,12 +1934,14 @@ def q_hash_uniformity_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 4294967296.0
         ).alias("v")
     )
-    w = Window.orderBy("v")
-    wall = Window.partitionBy()
-    ranked = u.select(
+    from ...operators.rank import global_ranked
+
+    ranked = global_ranked(
+        u, ["v"], row_number="rn", total_count="nn"
+    ).select(
         "v",
-        F.row_number().over(w).cast("double").alias("r"),
-        F.count("*").over(wall).cast("double").alias("n"),
+        F.col("rn").cast("double").alias("r"),
+        F.col("nn").cast("double").alias("n"),
     )
     d = F.greatest(
         F.col("r") / F.col("n") - F.col("v"),
@@ -3373,12 +3375,15 @@ def q_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = li.groupBy(
         F.col("l_returnflag").alias("g"), F.col("l_quantity").alias("q")
     ).agg(F.count("*").cast("double").alias("c"))
+    from ...operators.rank import global_ranked
+
     vals = cells.groupBy("q").agg(F.sum("c").alias("cv"))
-    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
-    ranks = vals.select(
+    ranks = global_ranked(
+        vals, ["q"], running_sums={"ccv": F.col("cv")}
+    ).select(
         "q",
         "cv",
-        (F.sum("cv").over(wq) - F.col("cv") + (F.col("cv") + 1) / 2.0).alias("r"),
+        (F.col("ccv") - F.col("cv") + (F.col("cv") + 1) / 2.0).alias("r"),
     )
     tot = vals.agg(F.sum("cv").alias("n"))
     grp = (

@@ -1343,15 +1343,15 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition heap + driver merge of 501 rows, never a full sort —
     and the estimator itself is one aggregate over those 500 rows."""
     o = _t(spark, sf_dir, "orders")
-    topk = (
+    from ...operators.rank import global_ranked
+
+    topk = global_ranked(
         o.select(F.col("o_totalprice").alias("x"), "o_orderkey")
         .orderBy(F.desc("x"), "o_orderkey")
-        .limit(501)
-        .select(
-            "x",
-            F.row_number().over(Window.orderBy(F.desc("x"), "o_orderkey")).alias("rk"),
-        )
-    )
+        .limit(501),
+        [("x", "desc"), "o_orderkey"],
+        row_number="rk",
+    ).select("x", "rk")
     thr = topk.filter(F.col("rk") == 501).select(F.col("x").alias("xk"))
     hill = (
         topk.filter(F.col("rk") <= 500)
@@ -1563,15 +1563,14 @@ def q_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n"),
         F.count_if(F.col("l_returnflag") == "R").cast("double").alias("r"),
     )
-    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = cells.select(
-        "t",
-        F.sum("n").over(wt).alias("nl"),
-        F.sum("r").over(wt).alias("rl"),
-        F.sum("n").over(wall).alias("nn"),
-        F.sum("r").over(wall).alias("rr"),
-    )
+    from ...operators.rank import global_ranked
+
+    cum = global_ranked(
+        cells,
+        ["t"],
+        running_sums={"nl": F.col("n"), "rl": F.col("r")},
+        total_sums={"nn": F.col("n"), "rr": F.col("r")},
+    ).select("t", "nl", "rl", "nn", "rr")
     gini = lambda r, n: 2 * (r / n) * (1 - r / n)
     g = (
         gini(F.col("rr"), F.col("nn"))
@@ -3473,13 +3472,13 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p1") != F.col("p0"))
         .select("l_partkey", (F.col("p1") - F.col("p0")).alias("diff"))
     )
-    r = d.select(
-        "diff",
-        F.row_number()
-        .over(Window.orderBy(F.abs(F.col("diff")), "l_partkey"))
-        .cast("double")
-        .alias("rk"),
-    )
+    from ...operators.rank import global_ranked
+
+    r = global_ranked(
+        d.withColumn("__absd", F.abs(F.col("diff"))),
+        ["__absd", "l_partkey"],
+        row_number="irk",
+    ).select("diff", F.col("irk").cast("double").alias("rk"))
     s = r.agg(
         F.count("*").cast("double").alias("n"),
         F.sum(F.when(F.col("diff") > 0, F.col("rk")).otherwise(0.0)).alias("wplus"),

@@ -476,15 +476,16 @@ def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
     )
+    from ...operators.rank import global_ranked
+
     na = a.agg(F.sum("ca").alias("n1"))
     nb = b.agg(F.sum("cb").alias("n2"))
-    wv = Window.orderBy("v")
-    cum = merged.select(
-        "v",
-        F.sum("ca").over(wv).alias("cca"),
-        F.sum("cb").over(wv).alias("ccb"),
-        F.lead("v").over(wv).alias("vnext"),
-    ).filter(F.col("vnext").isNotNull())
+    cum = global_ranked(
+        merged,
+        ["v"],
+        running_sums={"cca": F.col("ca"), "ccb": F.col("cb")},
+        lead={"vnext": F.col("v")},
+    ).select("v", "cca", "ccb", "vnext").filter(F.col("vnext").isNotNull())
     return (
         cum.join(F.broadcast(na))
         .join(F.broadcast(nb))
@@ -3926,11 +3927,14 @@ def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("vr") - F.col("vn")).alias("d"))
         .agg(F.sum(F.col("cr") * F.col("cn")).alias("w"))
     )
+    from ...operators.rank import global_ranked
+
     tot = diffs.agg(F.sum("w").alias("tw"))
-    wv = Window.orderBy("d")
-    cum = diffs.crossJoin(F.broadcast(tot)).select(
-        "d", F.sum("w").over(wv).alias("cw"), "tw"
-    )
+    cum = global_ranked(
+        diffs.crossJoin(F.broadcast(tot)),
+        ["d"],
+        running_sums={"cw": F.col("w")},
+    ).select("d", "cw", "tw")
     return cum.agg(
         F.first("tw").cast("bigint").alias("n_pairs"),
         F.round(

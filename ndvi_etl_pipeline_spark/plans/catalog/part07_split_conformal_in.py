@@ -2290,13 +2290,13 @@ def q_median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     by rank-equality filter — two order statistics, not a sort
     per bound."""
     o = _t(spark, sf_dir, "orders")
-    vals = o.select(
-        F.col("o_totalprice").alias("v"),
-        F.row_number()
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .cast("double")
-        .alias("rn"),
-    )
+    from ...operators.rank import global_ranked
+
+    vals = global_ranked(
+        o.select(F.col("o_totalprice").alias("v"), "o_orderkey"),
+        ["v", "o_orderkey"],
+        row_number="irn",
+    ).select("v", F.col("irn").cast("double").alias("rn"))
     n = vals.agg(F.max("rn").alias("nn"))
     ks = n.select(
         "nn",
@@ -2410,19 +2410,17 @@ def q_profit_curve_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fp"),
         )
     )
-    profit = conf.select(
-        "th",
-        "tp",
-        "fp",
-        (10 * F.col("tp") - 2 * F.col("fp")).alias("profit"),
-    ).select(
-        "th",
-        "tp",
-        "fp",
-        "profit",
-        F.row_number()
-        .over(Window.orderBy(F.desc("profit"), "th"))
-        .alias("rk"),
+    from ...operators.rank import global_ranked
+
+    profit = global_ranked(
+        conf.select(
+            "th",
+            "tp",
+            "fp",
+            (10 * F.col("tp") - 2 * F.col("fp")).alias("profit"),
+        ),
+        [("profit", "desc"), "th"],
+        row_number="rk",
     )
     return profit.select(
         F.round("th", 1).alias("threshold"),
@@ -2826,9 +2824,11 @@ def q_lee_bounds_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s0"),
     )
     trimq = rates.select(((F.col("s1") - F.col("s0")) / F.col("s1")).alias("p"))
+    from ...operators.rank import global_ranked
+
     observed = users.filter(F.col("y").isNotNull())
-    ranked1 = observed.filter(F.col("arm") == 1).select(
-        "y", F.cume_dist().over(Window.orderBy("y")).alias("cd")
+    ranked1 = global_ranked(
+        observed.filter(F.col("arm") == 1).select("y"), ["y"], cume_dist="cd"
     )
     cuts = ranked1.crossJoin(F.broadcast(trimq)).groupBy("p").agg(
         F.min(F.when(F.col("cd") >= F.col("p"), F.col("y"))).alias("q_lo"),

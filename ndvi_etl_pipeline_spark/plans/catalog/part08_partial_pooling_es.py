@@ -415,16 +415,18 @@ def q_tpcds_q49_return_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("qty") >= 100) & (F.col("ret_qty") > 0))
     )
+    from ...operators.rank import global_ranked
+
     ratio = F.col("ret_qty") / F.col("qty")
-    ranked = items.select(
-        "l_partkey",
-        ratio.alias("return_ratio"),
-        "ret_amt",
-        F.rank().over(Window.orderBy(ratio.desc(), "l_partkey")).alias("ratio_rank"),
-        F.rank()
-        .over(Window.orderBy(F.desc("ret_amt"), "l_partkey"))
-        .alias("amount_rank"),
-    )
+    ranked = global_ranked(
+        global_ranked(
+            items.withColumn("return_ratio", ratio),
+            [(F.col("return_ratio"), "desc"), "l_partkey"],
+            rank="ratio_rank",
+        ),
+        [("ret_amt", "desc"), "l_partkey"],
+        rank="amount_rank",
+    ).select("l_partkey", "return_ratio", "ret_amt", "ratio_rank", "amount_rank")
     return (
         ranked.filter((F.col("ratio_rank") <= 10) | (F.col("amount_rank") <= 10))
         .select(
@@ -2682,8 +2684,10 @@ def q_woe_monotonicity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "disc",
         F.log((F.col("g") / F.col("tg")) / (F.col("b") / F.col("tb"))).alias("w"),
     )
-    seq = woe.select(
-        "w", F.lag("w").over(Window.orderBy("disc")).alias("pw")
+    from ...operators.rank import global_ranked
+
+    seq = global_ranked(woe, ["disc"], lag={"pw": F.col("w")}).select(
+        "w", "pw"
     )
     checks = seq.agg(
         F.count("pw").cast("bigint").alias("n_transitions"),
@@ -3206,13 +3210,12 @@ def q_quintile_share_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile + cume_dist window over the per-customer aggregate; the
     |customers|-sized sort is the only ordering."""
     o = _t(spark, sf_dir, "orders")
+    from ...operators.rank import global_ranked
+
     cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("v"))
-    wv = Window.orderBy("v", "o_custkey")
-    tiled = cust.select(
-        "v",
-        F.ntile(5).over(wv).alias("q"),
-        F.cume_dist().over(wv).alias("cd"),
-    )
+    tiled = global_ranked(
+        cust, ["v", "o_custkey"], ntile={"q": 5}, cume_dist="cd"
+    ).select("v", "q", "cd")
     tot = cust.agg(F.sum("v").alias("tv"))
     shares = tiled.crossJoin(F.broadcast(tot)).groupBy("q", "tv").agg(
         F.count("*").cast("bigint").alias("n_customers"),

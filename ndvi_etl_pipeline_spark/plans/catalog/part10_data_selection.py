@@ -86,9 +86,14 @@ def q_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         canon_round(F.col("dsir_logweight"), 6).alias("dsir_weight"),
     )
+    from ...operators.rank import global_ranked
+
     top = ww.orderBy(F.desc("dsir_weight"), F.asc("doc_id")).limit(50)
-    rk = Window.orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(rk).cast("int"))
+    return global_ranked(
+        top, [("dsir_weight", "desc"), "doc_id"], row_number="irank"
+    ).select(
+        "doc_id", "n_tokens", "dsir_weight", F.col("irank").cast("int").alias("rank")
+    )
 
 
 _COS_XY_SQL = """

@@ -362,19 +362,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_terms_hit"),
         )
     )
-    from pyspark.sql import Window as W
+    from ...operators.rank import global_ranked
 
     # sort+limit FIRST (TakeOrderedAndProject, distributed), then the
-    # rank window runs over the 20-row result — never a global
-    # single-partition window (dsir_importance_topk discipline).
+    # rank runs over the 20-row result via global_ranked — never a
+    # global single-partition window (dsir_importance_topk discipline).
     rounded = scored.select(
         "doc_id",
         F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
         F.round(F.col("score"), 6).alias("score"),
     )
     top = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
-    rk = W.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(rk).cast("int"))
+    return global_ranked(
+        top, [("score", "desc"), "doc_id"], row_number="irank"
+    ).select(
+        "doc_id", "n_terms_hit", "score", F.col("irank").cast("int").alias("rank")
+    )
 
 
 @register(

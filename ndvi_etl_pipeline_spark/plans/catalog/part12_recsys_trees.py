@@ -439,12 +439,13 @@ def q_decision_stump_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").cast("int"),
         bucket_width=20000.0,
     )
+    from ...operators.rank import global_ranked
+
     return (
-        splits.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.desc(F.round(F.col("gain"), 8)), F.asc("threshold"))
-            ),
+        global_ranked(
+            splits,
+            [(F.round(F.col("gain"), 8), "desc"), "threshold"],
+            row_number="rk",
         )
         .where(F.col("rk") <= 5)
         .select(
@@ -500,12 +501,13 @@ def q_regression_stump_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits = TR.variance_splits(
         li, F.col("l_extendedprice"), F.col("l_quantity"), bucket_width=5000.0
     )
+    from ...operators.rank import global_ranked
+
     return (
-        splits.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.desc(F.round(F.col("gain"), 6)), F.asc("threshold"))
-            ),
+        global_ranked(
+            splits,
+            [(F.round(F.col("gain"), 6), "desc"), "threshold"],
+            row_number="rk",
         )
         .where(F.col("rk") <= 5)
         .select("threshold", "n_left", "n_right", F.round("gain", 6).alias("gain"))

@@ -227,9 +227,11 @@ def q_roc_auc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 2).cast("int").alias("y"),
         F.element_at("embedding", 1).cast("double").alias("score"),
     )
-    rk = sc.select(
+    from ...operators.rank import global_ranked
+
+    rk = global_ranked(sc, ["score"], rank="r").select(
         "y",
-        F.rank().over(Window.orderBy("score")).alias("r"),
+        "r",
         F.count("*").over(Window.partitionBy("score")).alias("c"),
     )
     u = rk.agg(
@@ -292,10 +294,11 @@ def q_roc_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 2).cast("int").alias("y"),
         F.element_at("embedding", 1).cast("double").alias("score"),
     )
-    t = sc.select(
-        "y", "score",
-        F.ntile(10).over(Window.orderBy(F.desc("score"), F.asc("vec_id"))).alias("decile"),
-    )
+    from ...operators.rank import global_ranked
+
+    t = global_ranked(
+        sc, [("score", "desc"), "vec_id"], ntile={"decile": 10}
+    ).select("y", "score", "decile")
     per = t.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("n_pos"),
@@ -305,17 +308,20 @@ def q_roc_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("pos_t"),
         F.count("*").cast("bigint").alias("n_t"),
     )
-    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    return per.crossJoin(tot).select(
+    cum = global_ranked(
+        per.crossJoin(tot),
+        ["decile"],
+        running_sums={
+            "cpos": F.col("n_pos"),
+            "cneg": F.col("n") - F.col("n_pos"),
+        },
+    )
+    return cum.select(
         "decile", "n", "n_pos",
         F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias("frac_pos"),
+        F.round(F.col("cpos") * 1.0 / F.col("pos_t"), 6).alias("cum_tpr"),
         F.round(
-            F.sum("n_pos").over(cum) * 1.0 / F.col("pos_t"), 6
-        ).alias("cum_tpr"),
-        F.round(
-            F.sum(F.col("n") - F.col("n_pos")).over(cum) * 1.0
-            / (F.col("n_t") - F.col("pos_t")),
-            6,
+            F.col("cneg") * 1.0 / (F.col("n_t") - F.col("pos_t")), 6
         ).alias("cum_fpr"),
         "avg_score",
     )
@@ -398,10 +404,10 @@ def q_mi_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("bigint").alias("df_en"),
         )
     )
+    from ...operators.rank import global_ranked
+
     top = (
-        dfreq.withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("df"), F.asc("token")))
-        )
+        global_ranked(dfreq, [("df", "desc"), "token"], row_number="rk")
         .where(F.col("rk") <= 20)
         .drop("rk")
     )

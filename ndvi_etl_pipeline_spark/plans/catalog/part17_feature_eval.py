@@ -79,16 +79,16 @@ def q_best_feature_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus is scanned once per feature with |buckets|-row
     shuffles; at scale the three scans fuse into one pass emitting
     three bucket columns (same relation, wider key)."""
+    from ...operators.rank import global_ranked
+
     li = _t(spark, sf_dir, "lineitem")
     outs = []
     for name, col, width in _FEATURES:
         best = (
-            variance_splits(li, F.col(col), F.col("l_quantity"), width)
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.orderBy(F.desc(F.round(F.col("gain"), 6)), F.asc("threshold"))
-                ),
+            global_ranked(
+                variance_splits(li, F.col(col), F.col("l_quantity"), width),
+                [(F.round(F.col("gain"), 6), "desc"), "threshold"],
+                row_number="rk",
             )
             .where(F.col("rk") == 1)
             .select(

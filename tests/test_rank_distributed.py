@@ -16,7 +16,8 @@ from ndvi_etl_pipeline_spark.operators.rank import (
 
 def _rows(df):
     cols = sorted(df.columns)
-    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731 None-safe
+    return sorted((tuple(r[c] for c in cols) for r in df.collect()), key=key)
 
 
 def _plan(df) -> str:
@@ -79,6 +80,54 @@ def test_lag_lead_total_sums_bit_identical(spark):
         df, [("k", "desc")], mode="distributed", num_partitions=16, **kw
     )
     assert _rows(a) == _rows(b)
+
+
+def test_running_max_excl_bit_identical(spark):
+    """The dominance-sweep primitive (Pareto skyline): running max
+    over all PRECEDING rows, excluding the current one — NULL on the
+    global first row, and the cross-range combine must prefer the
+    prefix max even when the local prefix is NULL (range-first rows)."""
+    def rows(df):
+        cols = sorted(df.columns)
+        key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+        return sorted(
+            (tuple(r[c] for c in cols) for r in df.collect()), key=key
+        )
+
+    df = _mk(spark, 200, ties=False)
+    kw = dict(running_max_excl={"bm": F.col("v"), "bk": F.col("k")})
+    a = global_ranked(df, ["k"], mode="single", **kw)
+    b = global_ranked(df, ["k"], mode="distributed", num_partitions=16, **kw)
+    assert rows(a) == rows(b)
+    assert sum(1 for r in b.collect() if r.bm is None) == 1  # global first
+
+
+def test_pareto_skyline_partition_invariant_distributed(spark):
+    """pareto_skyline_2d routes its global sweep through
+    global_ranked: distributed mode must return the identical skyline."""
+    from ndvi_etl_pipeline_spark.operators.stats import pareto_skyline_2d
+
+    pts = (
+        spark.range(300)
+        .select(
+            (F.col("id") % 17).cast("double").alias("x"),
+            ((F.col("id") * 7) % 23).cast("double").alias("y"),
+        )
+        .groupBy("x", "y")
+        .count()
+    )
+    ref = _rows(pareto_skyline_2d(pts, "x", "y"))
+    spark.conf.set(RANK_MODE_CONF, "distributed")
+    try:
+        got = pareto_skyline_2d(pts, "x", "y")
+        rows = _rows(got)
+        plan = _plan(got).split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.unset(RANK_MODE_CONF)
+    assert rows == ref
+    for line in plan.splitlines():
+        if "Window [" in line and "WindowGroupLimit" not in line:
+            assert "__rank_pid" in line or "spark_partition_id" in line, line
 
 
 def test_lag_lead_null_values_mid_stream(spark):
@@ -202,13 +251,9 @@ def test_partition_count_insensitive(spark, n, parts):
     assert _rows(a) == _rows(b)
 
 
-CLASS3_PARITY = [
-    "rfm_segmentation",
-    "gains_chart_deciles",
-    "woe_iv_binning",
-    "ks_two_sample",
-    "gini_coefficient",
-]
+from ndvi_etl_pipeline_spark.operators.rank import CLASS3_MEMBERS
+
+CLASS3_PARITY = list(CLASS3_MEMBERS)
 
 
 @pytest.mark.parametrize("name", CLASS3_PARITY)
@@ -231,8 +276,10 @@ def test_class3_catalog_parity_and_plan(spark, sf_dir, name):
     finally:
         spark.conf.unset(RANK_MODE_CONF)
     assert got_rows == ref_rows
-    for line in plan.splitlines():
-        i = line.find("Window [")
-        if i < 0 or "WindowGroupLimit" in line:
-            continue
-        assert "__rank_pid" in line, f"{name}: global window survived: {line}"
+    # the audit's precise detector: a Window node with NO partition
+    # spec (partitioned windows — __rank_pid locals, per-key windows
+    # like count() OVER (PARTITION BY score) — are the scale-safe
+    # shape and stay)
+    from tools.audit_plans import _global_window_nodes
+
+    assert _global_window_nodes(plan) == 0, f"{name}: global window survived"

@@ -80,6 +80,34 @@ def _global_window_nodes(plan: str) -> int:
     return n
 
 
+def _sp_exchanges_nonagg(plan: str) -> int:
+    """Exchange SinglePartition nodes whose CONSUMER is not a
+    scalar (empty-keys) aggregate. A scalar agg's partial→final
+    funnel moves one combined row per upstream partition — bounded at
+    any scale. A SinglePartition exchange feeding a Sort/Window/
+    anything else moves DATA and is the shape the distributed rank
+    mode exists to remove; this counter isolates those."""
+    n = 0
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # consumer = nearest earlier line at shallower tree depth
+        depth = line.find("Exchange SinglePartition")
+        consumer = ""
+        for j in range(i - 1, -1, -1):
+            prev = lines[j]
+            stripped = prev.lstrip(" +-:*()0123456789")
+            d = len(prev) - len(stripped)
+            if d < depth and stripped:
+                consumer = stripped
+                break
+        if re.match(r"\w*Aggregate\(keys=\[\]", consumer):
+            continue
+        n += 1
+    return n
+
+
 def audit_one(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     # shuffles only: 'BroadcastExchange ...' and 'ReusedExchange [...]'
@@ -99,6 +127,7 @@ def audit_one(df) -> dict:
         "row_python_nodes": plan.count("BatchEvalPython"),
         "global_window_nodes": _global_window_nodes(plan),
         "single_partition_exchanges": plan.count("Exchange SinglePartition"),
+        "sp_exchanges_nonagg": _sp_exchanges_nonagg(plan),
     }
 
 
@@ -116,6 +145,13 @@ def main() -> int:
         "--only", nargs="*", default=None, help="audit just these queries"
     )
     ap.add_argument(
+        "--family",
+        choices=("class3",),
+        default=None,
+        help="audit a named query family (class3 = the exact-global-"
+        "rank members routed through operators/rank.global_ranked)",
+    )
+    ap.add_argument(
         "--out", default="PLANS_AUDIT.json", help="output JSON path"
     )
     args = ap.parse_args()
@@ -129,6 +165,10 @@ def main() -> int:
     out: dict[str, dict] = {}
     violations = []
     todo = sorted(Q.REGISTRY.items())
+    if args.family == "class3":
+        from ndvi_etl_pipeline_spark.operators.rank import CLASS3_MEMBERS
+
+        todo = [(n, s) for n, s in todo if n in set(CLASS3_MEMBERS)]
     if args.only:
         todo = [(n, s) for n, s in todo if n in set(args.only)]
     for name, spec in todo:
@@ -157,6 +197,9 @@ def main() -> int:
         ),
         "single_partition_exchanges": sum(
             v["single_partition_exchanges"] for v in audited
+        ),
+        "sp_exchanges_nonagg": sum(
+            v.get("sp_exchanges_nonagg", 0) for v in audited
         ),
         "row_python_violations": [n for n, _ in violations],
     }

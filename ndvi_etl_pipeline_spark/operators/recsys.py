@@ -176,12 +176,25 @@ def item_similarity(
     max_basket: int = 64,
     focus_items: DataFrame | None = None,
     focus_strategy: str = "join",
+    freq_join: str = "shuffle",
 ) -> DataFrame:
     """Item-item cosine similarity from co-occurrence: basket_pairs()
     plus per-item frequencies and cos = co / sqrt(n_i · n_j).
     Returns (i, j, co, n_i, n_j, cos) for pairs with co >= `min_co`.
     The basket-size cap guards PAIR generation only; frequencies
-    count the full membership (the oracle's definition)."""
+    count the full membership (the oracle's definition).
+
+    freq_join: how the (huge) pair relation acquires n_i / n_j —
+      'shuffle'   sort-merge both joins (the pair table re-exchanges
+                  on i then on j — safe at any item cardinality);
+      'broadcast' hint the ITEM-sized freq relation to both joins:
+                  the pair table never re-shuffles after its own
+                  aggregation (the catalog dimension is orders of
+                  magnitude smaller than the pair/interaction
+                  relations — |items| longs broadcast where the pair
+                  table would move twice)."""
+    if freq_join not in ("shuffle", "broadcast"):
+        raise ValueError(f"unknown freq_join {freq_join!r}")
     pairs = basket_pairs(
         baskets, basket_col, item_col, min_co, max_basket, focus_items,
         focus_strategy,
@@ -192,9 +205,13 @@ def item_similarity(
         .groupBy("item")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+    fi = freq.select(F.col("item").alias("i"), F.col("n").alias("n_i"))
+    fj = freq.select(F.col("item").alias("j"), F.col("n").alias("n_j"))
+    if freq_join == "broadcast":
+        fi, fj = F.broadcast(fi), F.broadcast(fj)
     return (
-        pairs.join(freq.select(F.col("item").alias("i"), F.col("n").alias("n_i")), "i")
-        .join(freq.select(F.col("item").alias("j"), F.col("n").alias("n_j")), "j")
+        pairs.join(fi, "i")
+        .join(fj, "j")
         .withColumn(
             "cos",
             F.col("co") / F.sqrt(F.col("n_i").cast("double") * F.col("n_j")),

@@ -909,6 +909,11 @@ def _partition_specs(m: dict) -> list[tuple[str, ...]]:
 
 def _entry_spec_id(entry, n_specs: int) -> int:
     sid = entry.get("spec", 0) if isinstance(entry, dict) else 0
+    if sid == 0:
+        # spec 0 is the default layout every unstamped entry lives
+        # under — valid even when the manifest predates the
+        # partition_specs list entirely (n_specs == 0)
+        return 0
     if not 0 <= sid < n_specs:
         # A stamped spec id the manifest's partition_specs list does
         # not contain means a corrupted or forward-incompatible
@@ -924,8 +929,11 @@ def _entry_spec_id(entry, n_specs: int) -> int:
 
 def _entry_part_by(entry, specs: list) -> tuple[str, ...]:
     """The spec a FILE was written under (pruning must use the file's
-    own layout, never the table's current one)."""
-    return specs[_entry_spec_id(entry, len(specs))]
+    own layout, never the table's current one). An EMPTY specs list
+    (legacy manifests with neither partition_specs nor partition_by)
+    means the unpartitioned default layout."""
+    sid = _entry_spec_id(entry, len(specs))
+    return specs[sid] if specs else ()
 
 
 def _stamp_spec(files: list, m: dict | None) -> list:
@@ -1093,6 +1101,84 @@ def _write_data_files(
 #: not use them (asserted at dv-delete time).
 _DV_FILE, _DV_POS = "__dv_file", "__dv_pos"
 _DV_SCHEMA = f"{_DV_FILE} string, {_DV_POS} bigint"
+_DV_H = "__dv_h"
+
+#: Force the legacy decoded-string DV keying ('decoded') instead of
+#: the default raw-path-hash keying ('auto'); benchmarking and
+#: fallback-parity tests flip this.
+DV_KEYING_CONF = "spark.ndvi_etl.dvKeying"
+
+#: Characters a Hadoop/Spark file URI reports verbatim (never
+#: percent-encoded): URI unreserved chars plus '/' and the '='
+#: sub-delimiter hive partition dirs use. A path outside this set
+#: may be encoded differently executor-side than the driver predicts,
+#: so hash keying refuses it and the read falls back to the decoded
+#: string path.
+_DV_SAFE_PATH = re.compile(r"^[A-Za-z0-9/._=~-]+$")
+_DV_URI_PREFIX: dict[str, str | None] = {}
+_DV_HASH_OK: dict[tuple, bool] = {}
+
+
+def _dv_hash_map(spark: SparkSession, path: str, rels: list[str]):
+    """(entry rel -> xxhash64 of the RAW `_metadata.file_path` string
+    that file will report) mapping DataFrame for hash-keyed DV
+    anti-joins — or None when the fast path cannot be trusted and the
+    read must fall back to the decoded-string keying.
+
+    Why: the in-debt DV read's measured dominator at 600 M rows is
+    the per-row url_decode/regexp normalization chain of
+    `_dv_meta_cols` (4.5x a plain scan in tools/bench_dv_micro.py;
+    `xxhash64(_metadata.file_path)` on the raw string is +6%). So the
+    table side hashes the RAW path — no decode, no string join — and
+    the driver predicts each file's raw form as `prefix + abspath`,
+    where the constant scheme prefix is PROBED once per table root
+    with a one-row scan (raw must end with the probe file's absolute
+    path; anything else → None). Guards:
+
+    - every entry path must be in `_DV_SAFE_PATH` (chars a file URI
+      reports verbatim), so prefix+abspath is exact for ALL files,
+      not just the probed one;
+    - the hash map must be collision-free (checked once per entry
+      set with a manifest-scale aggregate; a 64-bit collision would
+      over-delete rows of an unrelated file).
+    """
+    if spark.conf.get(DV_KEYING_CONF, "auto") == "decoded":
+        return None
+    root = os.path.abspath(path)
+    abss = [r if os.path.isabs(r) else os.path.join(root, r) for r in rels]
+    if not all(_DV_SAFE_PATH.match(a) for a in abss):
+        return None
+    if root not in _DV_URI_PREFIX:
+        probe = abss[0]
+        try:
+            row = (
+                spark.read.parquet(probe)
+                .select(F.col("_metadata.file_path"))
+                .limit(1)
+                .collect()
+            )
+            raw = row[0][0] if row else None
+        except Exception:
+            raw = None
+        _DV_URI_PREFIX[root] = (
+            raw[: len(raw) - len(probe)]
+            if raw and raw.endswith(probe)
+            else None
+        )
+    pref = _DV_URI_PREFIX[root]
+    if pref is None:
+        return None
+    hm = spark.createDataFrame(
+        [(r, pref + a) for r, a in zip(rels, abss)],
+        f"{_DV_FILE} string, __dv_raw string",
+    ).select(_DV_FILE, F.xxhash64("__dv_raw").alias(_DV_H))
+    key = (root, len(rels), hash(tuple(rels)))
+    if key not in _DV_HASH_OK:
+        c = hm.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct(_DV_H).alias("d")
+        ).first()
+        _DV_HASH_OK[key] = c.n == c.d
+    return hm if _DV_HASH_OK[key] else None
 
 #: Above this many live deletion-vector rows the read path stops
 #: HINTING a broadcast for the anti-join (a (path, ordinal) row is
@@ -1208,6 +1294,13 @@ def _read_entries(
             out = out.withColumn(_DV_FILE, F.lit(None).cast("string"))
             out = out.withColumn(_DV_POS, F.lit(None).cast("bigint"))
         return out
+    # hash-keyed DV anti-join (the fast path: raw-path xxhash64 per
+    # row, zero per-row string decode) — decided up front because the
+    # scans must attach the hash column; None → decoded-string keying
+    dv_hash = None
+    rels = sorted({_entry_rel(e) for e in entries})
+    if dvs:
+        dv_hash = _dv_hash_map(spark, path, rels)
 
     def _scan(paths: list[str], base: str | None = None) -> DataFrame:
         r = spark.read.schema(schema)
@@ -1217,8 +1310,19 @@ def _read_entries(
         if want_meta:
             rel, pos = _dv_meta_cols(path)
             # _metadata is only addressable ON the scan relation —
-            # attach before any union
-            df = df.select("*", rel.alias(_DV_FILE), pos.alias(_DV_POS))
+            # attach before any union. The decoded rel column only
+            # exists when something will consume it (keep_meta
+            # callers, or the decoded-keying fallback): its
+            # url_decode/regexp chain is the measured per-row
+            # dominator of the in-debt read (tools/bench_dv_micro.py)
+            extra = []
+            if keep_meta or dv_hash is None:
+                extra.append(rel.alias(_DV_FILE))
+            if dv_hash is not None:
+                extra.append(
+                    F.xxhash64(F.col("_metadata.file_path")).alias(_DV_H)
+                )
+            df = df.select("*", *extra, pos.alias(_DV_POS))
         return df
 
     specs = _partition_specs(manifest)
@@ -1264,7 +1368,23 @@ def _read_entries(
             *[os.path.join(path, d) for d in dvs]
         )
         n_dv = _dv_rows(path, dvs)  # one driver-side footer walk, both tiers
-        if n_dv <= _DV_BROADCAST_MAX_ROWS:
+        if dv_hash is not None:
+            # Hash regime (default): both sides key on (xxhash64 of
+            # the raw file path, row ordinal) — 16 B keys, no per-row
+            # decode anywhere, ONE anti-join. The build side maps the
+            # DV set's rel strings to hashes through the broadcast
+            # manifest-scale map; the table side computed its hash at
+            # the scan. Broadcastable up to the compact-key bound;
+            # past it the anti-join sheds the hint and shuffles
+            # (lake_maintain's max_dv_rows drain compacts long
+            # before).
+            dv_keys = dv_df.join(F.broadcast(dv_hash), [_DV_FILE]).select(
+                _DV_H, _DV_POS
+            )
+            if n_dv <= _DV_FID_BROADCAST_MAX_ROWS:
+                dv_keys = F.broadcast(dv_keys)
+            out = out.join(dv_keys, [_DV_H, _DV_POS], "left_anti")
+        elif n_dv <= _DV_BROADCAST_MAX_ROWS:
             out = out.join(
                 F.broadcast(dv_df), [_DV_FILE, _DV_POS], "left_anti"
             )
@@ -1283,7 +1403,6 @@ def _read_entries(
             # planner shuffles; lake_maintain's max_dv_rows drain
             # compacts long before that.
             fid = "__dv_fid"
-            rels = sorted({_entry_rel(e) for e in entries})
             id_df = spark.createDataFrame(
                 [(r, i) for i, r in enumerate(rels)],
                 f"{_DV_FILE} string, {fid} int",
@@ -1300,6 +1419,7 @@ def _read_entries(
             )
     if want_meta and not keep_meta:
         out = out.drop(_DV_FILE, _DV_POS)
+    out = out.drop(_DV_H)  # join-key only, never a consumer surface
     if phys:
         cols = [
             F.col(phys.get(f.name, f.name)).alias(f.name)

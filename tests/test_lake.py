@@ -1473,46 +1473,115 @@ def test_ckpt_prune_expr_handles_in_predicates(spark):
     assert _ckpt_prune_expr(schema, "k", "in", [1, "x"], ()) is None
 
 
-def test_dv_antijoin_drops_broadcast_hint_above_threshold(
-    spark, tmp_path, monkeypatch
-):
-    """Three DV anti-join regimes by live-DV-row count: small sets
-    broadcast string-keyed (one hint-pinned anti-join); bulk sets
-    re-key to compact (int fid, long pos) and STILL broadcast — the
-    table side must never shuffle (measured at 600M rows / 60M DV
-    keys: the shuffled form pays 98 s of table shuffle); only past
-    _DV_FID_BROADCAST_MAX_ROWS does the anti-join lose the hint and
-    shuffle (the regime lake_maintain's drain exists to prevent)."""
+def _anti_lines(df):
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return [l for l in plan.splitlines() if "Join LeftAnti" in l]
+
+
+def test_dv_hash_keying_regimes(spark, tmp_path, monkeypatch):
+    """Default DV keying hashes the RAW `_metadata.file_path`
+    (xxhash64) on the table side and driver-predicted raw paths on
+    the DV side — no per-row decode chain anywhere (the measured
+    dominator of the in-debt read at 600 M rows). Two regimes by
+    live-DV-row count: compact (long, long) keys broadcast up to
+    _DV_FID_BROADCAST_MAX_ROWS — the table side never shuffles —
+    then the anti-join sheds the hint and shuffles (the regime
+    lake_maintain's drain exists to prevent). The old string-keyed
+    tier bound is irrelevant here: hash keys are ALWAYS compact."""
     import ndvi_etl_pipeline_spark.sources.lake as L
 
     t = str(tmp_path / "t")
     lake_write(_df(spark, [(i, "v") for i in range(100)]).coalesce(1), t)
     lake_delete(spark, t, F.col("k") % 2 == 0, strategy="dv")
-    # the HINT is the thing under test: with it, the planner is pinned;
-    # without it, size-based planning decides (a 600 MB DV set exceeds
-    # the broadcast threshold and shuffles; this tiny one may still
-    # broadcast on its own merits — which is exactly the point)
-    def anti_lines(df):
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        return [l for l in plan.splitlines() if "Join LeftAnti" in l]
-
-    small = anti_lines(lake_read(spark, t))
+    small_df = lake_read(spark, t)
+    plan = small_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan and "UrlCodec" not in plan
+    small = _anti_lines(small_df)
     assert small and all("strategy=broadcast" in l for l in small)
+    # the string-tier bound does NOT demote hash keys to the fid path
     monkeypatch.setattr(L, "_DV_BROADCAST_MAX_ROWS", 5)
-    # fid tier: the anti-join keeps a broadcast hint, but on the
-    # COMPACT fid-keyed side (the plan now carries the id mapping)
     mid_df = lake_read(spark, t)
-    mid = anti_lines(mid_df)
+    mid = _anti_lines(mid_df)
     assert mid and all("strategy=broadcast" in l for l in mid)
-    assert "__dv_fid" in mid_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__dv_fid" not in mid_df._jdf.queryExecution().optimizedPlan().toString()
     assert {r.k for r in mid_df.collect()} == set(range(1, 100, 2))
+    # past the compact-key bound the anti-join loses the hint
     monkeypatch.setattr(L, "_DV_FID_BROADCAST_MAX_ROWS", 5)
-    # past the fid bound the ANTI-JOIN itself loses the hint (the
-    # manifest-scale id-mapping broadcasts the branch adds are fine)
-    big = anti_lines(lake_read(spark, t))
+    big = _anti_lines(lake_read(spark, t))
     assert big and all("strategy=broadcast" not in l for l in big)
-    # rows identical in every regime
     assert {r.k for r in lake_read(spark, t).collect()} == set(range(1, 100, 2))
+
+
+def test_dv_antijoin_drops_broadcast_hint_above_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """The decoded-string fallback (spark.ndvi_etl.dvKeying=decoded,
+    also auto-taken for paths outside the URI-safe charset) keeps the
+    round-8 three-regime contract: small sets broadcast string-keyed;
+    bulk sets re-key to compact (int fid, long pos) and STILL
+    broadcast — the table side must never shuffle; only past
+    _DV_FID_BROADCAST_MAX_ROWS does the anti-join lose the hint and
+    shuffle."""
+    import ndvi_etl_pipeline_spark.sources.lake as L
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, "v") for i in range(100)]).coalesce(1), t)
+    lake_delete(spark, t, F.col("k") % 2 == 0, strategy="dv")
+    spark.conf.set(L.DV_KEYING_CONF, "decoded")
+    try:
+        small = _anti_lines(lake_read(spark, t))
+        assert small and all("strategy=broadcast" in l for l in small)
+        monkeypatch.setattr(L, "_DV_BROADCAST_MAX_ROWS", 5)
+        # fid tier: the anti-join keeps a broadcast hint, but on the
+        # COMPACT fid-keyed side (the plan now carries the id mapping)
+        mid_df = lake_read(spark, t)
+        mid = _anti_lines(mid_df)
+        assert mid and all("strategy=broadcast" in l for l in mid)
+        assert (
+            "__dv_fid"
+            in mid_df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert {r.k for r in mid_df.collect()} == set(range(1, 100, 2))
+        monkeypatch.setattr(L, "_DV_FID_BROADCAST_MAX_ROWS", 5)
+        # past the fid bound the ANTI-JOIN itself loses the hint (the
+        # manifest-scale id-mapping broadcasts the branch adds are fine)
+        big = _anti_lines(lake_read(spark, t))
+        assert big and all("strategy=broadcast" not in l for l in big)
+        # rows identical in every regime
+        assert {r.k for r in lake_read(spark, t).collect()} == set(
+            range(1, 100, 2)
+        )
+    finally:
+        spark.conf.unset(L.DV_KEYING_CONF)
+
+
+def test_dv_hash_keying_falls_back_on_unsafe_path(spark, tmp_path):
+    """A table root containing a char the file URI percent-encodes
+    (space) must auto-fall back to decoded-string keying — predicted
+    raw paths could not be trusted — and still return exact rows."""
+    import ndvi_etl_pipeline_spark.sources.lake as L
+
+    t = str(tmp_path / "a b" / "t")
+    lake_write(_df(spark, [(i, "v") for i in range(20)]).coalesce(1), t)
+    lake_delete(spark, t, F.col("k") % 2 == 0, strategy="dv")
+    df = lake_read(spark, t)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "UrlCodec" in plan  # decoded fallback engaged
+    assert sorted(r.k for r in df.collect()) == list(range(1, 20, 2))
+
+
+def test_dv_hash_keying_keep_meta_exposes_decoded_rel(spark, tmp_path):
+    """keep_meta consumers (dv-delete hit addressing) still get the
+    DECODED entry-form rel even in hash mode — the hash is a join key,
+    never a consumer surface — proven by chaining a second dv-delete
+    (which addresses rows via keep_meta) on a hash-keyed table."""
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, "v") for i in range(30)]).coalesce(2), t)
+    lake_delete(spark, t, F.col("k") % 2 == 0, strategy="dv")
+    lake_delete(spark, t, F.col("k") % 3 == 0, strategy="dv")
+    got = sorted(r.k for r in lake_read(spark, t).collect())
+    assert got == [k for k in range(1, 30, 2) if k % 3 != 0]
+    assert "__dv_h" not in lake_read(spark, t).columns
 
 
 def test_truncation_marker_only_when_max_synthesized(spark, tmp_path):

@@ -210,8 +210,11 @@ def test_spark_planning_covers_window_adds_and_removes(spark, tmp_path, monkeypa
     lake_write(_df(spark, [(99, "late")]).coalesce(1), t)  # window add
     lake_delete(spark, t, F.col("k") == 3)  # window remove (cow)
     monkeypatch.setattr(L, "LAKE_SPARK_PLAN_MIN_FILES", 1)
+    # the 5th arg is the manifest's SPECS LIST (one spec per id)
+    # since the round-8 partition-spec evolution — [()] is the
+    # single-spec unpartitioned table
     assert L._plan_files_spark(
-        spark, t, L._latest_version(t), [("k", ">=", 0)], ()
+        spark, t, L._latest_version(t), [("k", ">=", 0)], [()]
     ) is not None
     got = sorted(
         r.k for r in lake_read(spark, t, where=[("k", ">=", 0)]).collect()

@@ -220,6 +220,74 @@ def main() -> int:
     )
     sys.stderr.write(f"merge_mor: {result['spark']['merge_mor']}\n")
 
+    # --- decoded-keying comparator (round-8 code path) -------------------
+    # same table, same DV debt, spark.ndvi_etl.dvKeying=decoded: the
+    # per-row url_decode/regexp chain + string-or-fid join the hash
+    # keying replaced — the delta IS the round-9 fix, measured on one
+    # box in one window
+    from ndvi_etl_pipeline_spark.sources.lake import DV_KEYING_CONF
+
+    spark.conf.set(DV_KEYING_CONF, "decoded")
+    try:
+        cold, warm, _ = timed(mor_read)
+    finally:
+        spark.conf.unset(DV_KEYING_CONF)
+    result["spark"]["post_mor_read_decoded_keying"] = {
+        "cold": cold, "warm": warm,
+    }
+    result["ratios"]["dv_read_hash_vs_decoded"] = round(
+        result["spark"]["post_mor_merge_read"]["warm"] / warm, 3
+    )
+    sys.stderr.write(
+        f"decoded-keying comparator: cold={cold} warm={warm} "
+        f"(hash/decoded = {result['ratios']['dv_read_hash_vs_decoded']})\n"
+    )
+
+    # --- maintenance drain: the contract that bounds DV debt -------------
+    # lake_maintain(max_dv_rows=1M) against the accumulated ~66M-key
+    # debt: compacts every file carrying DV rows (uniform mod deletes
+    # → all of them), clears the DVs, and the post-drain read must be
+    # a PLAIN scan (no anti-join in the plan) at plain-scan speed.
+    from ndvi_etl_pipeline_spark.sources.lake import (
+        _latest_version,
+        _read_manifest,
+        lake_maintain,
+    )
+
+    t0 = time.perf_counter()
+    versions = lake_maintain(spark, table, max_dv_rows=1_000_000)
+    drain_s = round(time.perf_counter() - t0, 3)
+    m = _read_manifest(table, _latest_version(table))
+    live = [e["path"] if isinstance(e, dict) else e for e in m["files"]]
+    result["spark"]["maintain_drain"] = {
+        "seconds": drain_s,
+        "commits": len(versions),
+        "live_files": len(live),
+        "live_bytes": int(
+            sum(os.path.getsize(os.path.join(table, p)) for p in live)
+        ),
+        "dvs_after": len(m.get("dvs") or []),
+    }
+    sys.stderr.write(f"maintain_drain: {result['spark']['maintain_drain']}\n")
+
+    def post_drain_read():
+        df = lake_read(spark, table)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftAnti" not in plan, "post-drain read still applies DVs"
+        r = agg_of(df)
+        spark.catalog.clearCache()
+        return (r["n"], r["rev"])
+
+    cold, warm, res_pd = timed(post_drain_read)
+    result["spark"]["post_drain_read"] = {"cold": cold, "warm": warm}
+    result["ratios"]["post_drain_read_vs_plain_scan"] = round(
+        warm / result["spark"]["plain_scan"]["warm"], 3
+    )
+    sys.stderr.write(
+        f"post_drain_read: {result['spark']['post_drain_read']} "
+        f"({result['ratios']['post_drain_read_vs_plain_scan']}x plain scan)\n"
+    )
+
     out = json.dumps(result, indent=1)
     print(out)
     if args.out:

@@ -132,23 +132,36 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
             )
         dq: dict[str, float] = {}
+        dnf: dict[str, str] = {}
         for name in QUERIES:
             runs: list[float] = []
             spent = 0.0
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(REGISTRY[name].oracle).fetchall()
-                dt = time.perf_counter() - t0
-                runs.append(dt)
-                spent += dt
-                if spent > args.duckdb_budget:
-                    break
+            try:
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.execute(REGISTRY[name].oracle).fetchall()
+                    dt = time.perf_counter() - t0
+                    runs.append(dt)
+                    spent += dt
+                    if spent > args.duckdb_budget:
+                        break
+            except Exception as e:  # noqa: BLE001 — OOM/out-of-disk IS
+                # the measurement at this tier; record it, keep going
+                dq[name] = None
+                dnf[name] = (
+                    f"DNF after {round(time.perf_counter() - t0, 1)}s: "
+                    + str(e).splitlines()[0][:200]
+                )
+                sys.stderr.write(f"duckdb {name}: DNF ({dnf[name]})\n")
+                continue
             dq[name] = round(min(runs), 3)
             sys.stderr.write(f"duckdb {name}: {dq[name]}s ({len(runs)} runs)\n")
         result["duckdb"] = {
             "queries": dq,
-            "total": round(sum(dq.values()), 3),
+            "total": round(sum(v for v in dq.values() if v), 3),
         }
+        if dnf:
+            result["duckdb"]["dnf"] = dnf
 
     if "spark" in result and "duckdb" in result:
         result["per_query_ratio"] = {

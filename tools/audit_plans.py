@@ -128,6 +128,13 @@ def audit_one(df) -> dict:
         "global_window_nodes": _global_window_nodes(plan),
         "single_partition_exchanges": plan.count("Exchange SinglePartition"),
         "sp_exchanges_nonagg": _sp_exchanges_nonagg(plan),
+        # SortAggregate = an aggregate Catalyst demoted from hash to
+        # sort-based because an agg buffer type is not mutable in
+        # UnsafeRow (min/max over strings, min_by/max_by carrying a
+        # string or struct). Each one sorts the pre-agg relation on
+        # both sides of its exchange — the round-9 optimization sweep
+        # hunts these (see OPTIMIZATION_r09.md).
+        "sort_aggregates": plan.count("SortAggregate"),
     }
 
 

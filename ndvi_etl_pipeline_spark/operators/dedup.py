@@ -104,10 +104,28 @@ def minhash_signatures(
     exploded = shingled.select(
         id_col, F.explode("shingles").alias("shingle")
     ).select(id_col, F.md5(F.col("shingle").cast("binary")).alias("d"))
+    # min over the 16-bit INTEGER value of each 4-hex-char slice, not
+    # over the substring: for fixed-length lowercase hex, lexicographic
+    # order == numeric order (exhaustively true over all 65536 values),
+    # but a string min's agg buffer is not mutable in UnsafeRow, so
+    # Catalyst demotes the whole aggregate to SortAggregate — a full
+    # sort of the exploded shingle relation (the largest intermediate
+    # in the dedup family) on BOTH sides of the exchange. Int buffers
+    # keep it a HashAggregate: no sorts, same map-side combine.
+    # Reformat to the identical hex strings after the aggregate, at
+    # one row per doc.
     aggs = [
-        F.min(F.substring("d", s * 4 + 1, 4)).alias(f"h{s}") for s in range(num_hashes)
+        F.min(F.conv(F.substring("d", s * 4 + 1, 4), 16, 10).cast("int")).alias(f"h{s}")
+        for s in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col,
+        *[
+            F.lpad(F.lower(F.hex(F.col(f"h{s}"))), 4, "0").alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
+    )
 
 
 def lsh_bands(

@@ -48,8 +48,14 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple[
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, name, sf_dir)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread_key: str | None = None
+) -> DataFrame:
+    # spread_key: opt-in hash repartition after an unsplittable (few-
+    # row-group) scan so heavy fused per-row work parallelizes; a no-op
+    # on any input whose layout already feeds the cores (see
+    # sources/testdata.load_table).
+    return load_table(spark, name, sf_dir, spread_key=spread_key)
 
 
 # --- signed-zero-safe rounding -------------------------------------------
@@ -205,9 +211,43 @@ def derived_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ndvi_pixels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ...functions.ndvi import ndvi_from_dn
 
-    paired = pair_bands(derived_pixels(spark, sf_dir))
+    # Pair on the compact INT scene key (l_suppkey % 3) and attach the
+    # scene_id STRING only after the pairing aggregate: scene_id is a
+    # bijection of the key, so results are identical, but the ~30-char
+    # concat/lpad runs once per paired pixel (30 k rows) instead of
+    # once per input row (600 k at sf0.1 — inside the single-task scan
+    # stage), and the pairing exchange hashes/carries ints, not
+    # strings. derived_pixels() keeps the original string-keyed shape
+    # for consumers that need band rows (tile codec paths).
+    li = _t(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit("red"))
+        .otherwise(F.lit("nir"))
+        .alias("band")
+    )
+    dn = (
+        F.when((F.col("l_orderkey") + F.col("l_partkey")) % 37 == 0, F.lit(0))
+        .otherwise(
+            (F.floor(F.col("l_quantity") * 100).cast("bigint") + F.col("l_partkey")) % 65535 + 1
+        )
+        .cast("int")
+        .alias("dn")
+    )
+    px = li.select(
+        (F.col("l_suppkey") % 3).alias("sk"),
+        band,
+        (F.col("l_orderkey") % 100).cast("int").alias("y"),
+        (F.col("l_partkey") % 100).cast("int").alias("x"),
+        dn,
+    )
+    paired = pair_bands(px, keys=("sk", "y", "x"))
+    scene = F.concat(
+        F.lit("LC08_L2SP_"),
+        F.lpad((F.lit(187018) + F.col("sk")).cast("string"), 6, "0"),
+        F.lit("_20220606_02_T1"),
+    ).alias("scene_id")
     return paired.select(
-        "scene_id", "y", "x", ndvi_from_dn("red_dn", "nir_dn", nodata_dn=0.0).alias("ndvi")
+        scene, "y", "x", ndvi_from_dn("red_dn", "nir_dn", nodata_dn=0.0).alias("ndvi")
     )
 
 

@@ -2430,9 +2430,9 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: cheapest supplier per part. The oracle spells
     it as min-per-group + join-back; the Spark plan uses the stronger
     formulation — `min() OVER (PARTITION BY part)` on the pair-level
-    aggregate — which scans lineitem ONCE and needs two exchanges
-    (pair-agg, then part window) instead of the join-back's two scans
-    and three shuffles. Ties keep all minimal suppliers identically in
+    aggregate — which scans lineitem ONCE and (since round 9) needs a
+    single exchange instead of the join-back's two scans and three
+    shuffles. Ties keep all minimal suppliers identically in
     both engines because the compared value is one of the group's own
     doubles, not a recomputation.
 
@@ -2441,8 +2441,24 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    costs = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    # Round 9: ONE exchange instead of two. Hash-partitioning by
+    # l_partkey up front satisfies both downstream distribution
+    # requirements — ClusteredDistribution(l_partkey, l_suppkey) for
+    # the pair aggregate (partkey is a subset of the grouping keys)
+    # and ClusteredDistribution(l_partkey) for the window — so the
+    # plan goes repartition-exchange → HashAggregate → Window with no
+    # second shuffle and no partial/final split. What the old shape
+    # bought with its extra exchange was map-side combine, which this
+    # data can't use: distinct (l_partkey, l_suppkey) pairs ≈ 98% of
+    # lineitem rows (591 k of 600 k at sf0.1), so the partial
+    # aggregate shuffled as many bytes as the raw columns while ALSO
+    # running a 591 k-group hash aggregate inside the single-task
+    # scan stage of the driver's 1-row-group input.
+    costs = (
+        li.select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
     w = Window.partitionBy("l_partkey")
     return (
@@ -2547,29 +2563,57 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized-fingerprint dedup (keep lowest doc_id) → quality gate
     (≥ 0.7) → language ID → per-(source, lang) doc + token budget.
 
-    Scale shape: exactly two shuffles — the dedup hash aggregate on
-    the fingerprint (high-cardinality key, no skew) and the final tiny
-    aggregate. The keep-lowest-doc_id winner is picked with
-    min_by(struct(source, text), doc_id): ONE hash aggregate with a
-    map-side partial combine, NOT a row_number sort window — at sf10
-    the window sort over ~5 M fingerprint groups cost 3.8x the
-    comparator; the hash aggregate needs no per-group sort at all
-    (same idiom as dedup.dedup_exact and the streaming fingerprint
-    gate, streaming/documents.py). Quality scoring and language ID are
+    Scale shape: the winner per fingerprint is DECIDED on small rows
+    — a true HashAggregate over (fp, doc_id) with map-side combine,
+    never a row_number sort window (at sf10 that window sort over
+    ~5 M fingerprint groups cost 3.8× the comparator) and never an
+    aggregation buffer carrying the text payload (min_by of a struct
+    is not hash-aggregable and silently planned SortAggregate until
+    round 9) — then ATTACHED with a doc_id semi-join, so the text
+    bytes never ride a sort or an agg buffer. Quality scoring and
+    language ID are
     pure column expressions fused into the same codegen stage; no
     Python touches the text. The threshold comparison is FP-safe
     cross-engine because both sides sum the identical component
     doubles in the identical order."""
-    d = _t(spark, sf_dir, "documents")
-    dedup = (
-        d.select("doc_id", "source", "text", TXT.normalized_fingerprint("text").alias("fp"))
-        .groupBy("fp")
-        .agg(F.min_by(F.struct("source", "text"), F.col("doc_id")).alias("win"))
-        .select(F.col("win.source").alias("source"), F.col("win.text").alias("text"))
+    # Round 9: the min_by(struct(source, text), doc_id) winner pick
+    # carried the text payload in the aggregation buffer — a struct
+    # buffer is immutable in UnsafeRow, so Catalyst silently demoted
+    # the dedup to SortAggregate over full-text rows (the docstring's
+    # "ONE hash aggregate" was not what actually planned). Decide on
+    # SMALL rows instead: compute every per-doc metric the final
+    # answer needs (fingerprint, quality, lang, token count — a few
+    # dozen bytes) in the scan-side projection, and let the dedup
+    # aggregate carry only those. Text never crosses an exchange
+    # after the spread and never sits in an agg buffer; the min_by
+    # struct is ~40 B so the unavoidable SortAggregate sorts tiny
+    # rows with map-side partial combine. Same 2-exchange count as
+    # the old shape, minus the payload. The spread_key repartition
+    # parallelizes the regex-heavy text expressions when the input is
+    # a 1-row-group file (single-task scan stage otherwise) and is a
+    # no-op on any real lake layout. Computing metrics pre-dedup does
+    # the expression work for duplicate docs too — compute scales
+    # with cores, shuffled payload bytes do not (guide §8).
+    d = _t(spark, sf_dir, "documents", spread_key="doc_id")
+    pre = d.select(
+        "doc_id",
+        "source",
+        TXT.normalized_fingerprint("text").alias("fp"),
+        TXT.quality_score("text").alias("q"),
+        TXT.predict_lang("text").alias("pred_lang"),
+        F.size(TXT.tokens("text")).alias("n_tok"),
+    )
+    win = (
+        pre.groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("source", "q", "pred_lang", "n_tok"), F.col("doc_id")
+            ).alias("w")
+        )
+        .select("w.source", "w.q", "w.pred_lang", "w.n_tok")
     )
     return (
-        dedup.filter(TXT.quality_score("text") >= 0.7)
-        .select("source", TXT.predict_lang("text").alias("pred_lang"), F.size(TXT.tokens("text")).alias("n_tok"))
+        win.filter(F.col("q") >= 0.7)
         .groupBy("source", "pred_lang")
         .agg(
             F.count("*").alias("n_docs"),

@@ -162,7 +162,13 @@ def q_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims — no shuffle of the fact table for them); customer⋈orders⋈
     lineitem shuffle on their keys, AQE re-plans from runtime sizes.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    # Round 9: at sf0.1 every dimension (orders included) broadcasts,
+    # so the whole 4-deep probe chain + partial agg fused into the
+    # single-task scan stage of the 1-row-group lineitem file. Spread
+    # by l_orderkey (row-group-gated, no-op on real layouts) — and
+    # l_orderkey is exactly the key a non-broadcast li⋈o plan would
+    # shuffle on at larger scale, so the exchange is never wasted.
+    li = _t(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -2063,8 +2069,11 @@ def q_range_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select(
         "user_id", "ts", "value", (F.unix_timestamp("ts") / bucket_s).cast("long").alias("b")
     )
+    # Round 9: AQE broadcasts the events side at sf0.1, leaving the
+    # orders explode + probe + partial agg fused into the single-task
+    # scan of the 1-row-group orders file; spread it (row-group-gated).
     o = (
-        _t(spark, sf_dir, "orders")
+        _t(spark, sf_dir, "orders", spread_key="o_orderkey")
         .select(
             "o_orderkey",
             F.col("o_custkey").alias("user_id"),

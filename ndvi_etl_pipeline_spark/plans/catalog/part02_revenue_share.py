@@ -1671,9 +1671,15 @@ def q_regr_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First/last-touch attribution per user: min_by/max_by pick the
-    earliest and latest event type in ONE hash aggregate — no window,
-    no sort, no per-user history shuffle (the win over the row_number
-    formulation at scale: arg-extremes are associative partial aggs).
+    earliest and latest event type in ONE aggregate — no window, no
+    per-user history shuffle (the win over the row_number formulation
+    at scale: arg-extremes are associative partial aggs). Honest plan
+    note (round-9 audit): a min_by carrying a STRING value is not
+    hash-aggregable (immutable UnsafeRow buffer), so this plans as
+    SortAggregate — a per-task sort of narrow (user, type, ts) rows
+    with map-side combine, bounded and shuffle-free; eliminating it
+    would need an event-type dictionary join, which costs more than
+    the sort saves.
     (user_id, ts) is unique in this feed, so the arg picks are
     deterministic; a production feed would tie-break on event_id."""
     e = _t(spark, sf_dir, "events")

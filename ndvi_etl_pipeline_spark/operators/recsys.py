@@ -69,6 +69,36 @@ def basket_pairs(
     arrs = _basket_arrays(baskets, basket_col, item_col).where(
         F.size("items") <= max_basket
     )
+    if focus_items is not None and focus_strategy != "array":
+        # Basket-level semi-join guard BEFORE pair explosion (the
+        # guide's "pre-filter the big side with a semi-join when
+        # selective"): a pair can touch a focus item only if its
+        # basket CONTAINS a focus item, so baskets disjoint from the
+        # focus set need never explode at all. The membership
+        # relation semi-joins the broadcast focus set (one codegen
+        # probe pass, no shuffle of the corpus), the matching basket
+        # ids collapse to a small distinct set, and `arrs` — already
+        # hash-partitioned on basket by its own aggregation —
+        # semi-joins that set without re-exchanging. Retained-pair
+        # counts are untouched: the post-explode focus filter below
+        # still drops non-focus-touching pairs WITHIN surviving
+        # baskets. At sf10 (itemcf_user_recs: 20 users' histories
+        # live in one key universe of 100) this kills ~99% of the
+        # 15 M baskets before the quadratic explode.
+        fset = F.broadcast(
+            focus_items.select(
+                F.col(focus_items.columns[0]).alias("item")
+            ).distinct()
+        )
+        hit_baskets = (
+            baskets.select(
+                F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+            )
+            .join(fset, "item", "semi")
+            .select("basket")
+            .distinct()
+        )
+        arrs = arrs.join(hit_baskets, "basket", "semi")
     if focus_items is not None and focus_strategy == "array":
         # Push the caller's item restriction into the ARRAY, before
         # pair explosion: intersect each basket with the broadcast
@@ -235,17 +265,34 @@ def user_item_scores(
     relation on the history item (shuffle on item id — the similarity
     relation is the small side at real catalog sizes and broadcasts),
     aggregates on (user, candidate), then anti-joins the history to
-    drop already-owned items.
+    drop already-owned items. Symmetrization is ONE Generate over a
+    2-struct array, not a self-union: the union's two branches are the
+    same plan up to the final projection, so Catalyst re-executes
+    everything above the last reusable exchange twice (the final pair
+    aggregate and both frequency probes); exploding both orientations
+    out of a single computation of `sims` emits the identical row
+    multiset in one pipeline.
     """
     hist = (
         baskets.select(F.col(user_col).alias("user"), F.col(item_col).alias("item"))
         .distinct()
     )
     sym = sims.select(
-        F.col("i").alias("item"), F.col("j").alias("cand"), "cos"
-    ).unionAll(
-        sims.select(F.col("j").alias("item"), F.col("i").alias("cand"), "cos")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("i").alias("item"),
+                    F.col("j").alias("cand"),
+                    F.col("cos").alias("cos"),
+                ),
+                F.struct(
+                    F.col("j").alias("item"),
+                    F.col("i").alias("cand"),
+                    F.col("cos").alias("cos"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.item", "p.cand", "p.cos")
     scored = (
         hist.join(sym, "item")
         .groupBy("user", "cand")

@@ -161,12 +161,18 @@ def _order_basket_sims(
     focus_strategy: str = "join",
 ) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # freq_join='broadcast': the part catalog (|items| longs) is orders
+    # of magnitude smaller than the pair relation, so both frequency
+    # joins broadcast it instead of re-exchanging the pair table on i
+    # and then on j (at sf10 the shuffle default planned two extra
+    # SortMergeJoins, each a full sort+exchange of the pair relation)
     return RS.item_similarity(
         li.select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")),
         min_co=2,
         max_basket=64,
         focus_items=focus_items,
         focus_strategy=focus_strategy,
+        freq_join="broadcast",
     )
 
 
@@ -219,15 +225,28 @@ def q_itemcf_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot is 10 items: the array-level pushdown drops non-hot baskets
     # before pair explosion (sf10 warm 30.6 s -> 17.1 s)
     sims = _order_basket_sims(spark, sf_dir, focus_items=hot, focus_strategy="array")
+    # symmetrize with one Generate over a 2-struct array, not a
+    # self-union: the union's branches are the same plan up to the
+    # final projection and re-execute everything above the last
+    # reusable exchange twice — same row multiset, one pipeline
     sym = sims.select(
-        F.col("i").alias("a"), F.col("j").alias("b"), "co",
-        F.col("n_i").alias("n_a"), F.col("n_j").alias("n_b"), "cos",
-    ).unionAll(
-        sims.select(
-            F.col("j").alias("a"), F.col("i").alias("b"), "co",
-            F.col("n_j").alias("n_a"), F.col("n_i").alias("n_b"), "cos",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("i").alias("a"), F.col("j").alias("b"),
+                    F.col("co").alias("co"),
+                    F.col("n_i").alias("n_a"), F.col("n_j").alias("n_b"),
+                    F.col("cos").alias("cos"),
+                ),
+                F.struct(
+                    F.col("j").alias("a"), F.col("i").alias("b"),
+                    F.col("co").alias("co"),
+                    F.col("n_j").alias("n_a"), F.col("n_i").alias("n_b"),
+                    F.col("cos").alias("cos"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.co", "p.n_a", "p.n_b", "p.cos")
     ranked = (
         sym.join(F.broadcast(hot), sym["a"] == hot["item"])
         .drop("item")

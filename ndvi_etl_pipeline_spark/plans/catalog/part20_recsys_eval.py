@@ -112,6 +112,9 @@ def q_itemcf_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         min_co=2,
         max_basket=64,
+        # catalog-dimension freq broadcasts; the pair relation never
+        # re-exchanges after its own aggregation (part12 idiom)
+        freq_join="broadcast",
     )
     hist = train.select(
         F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")

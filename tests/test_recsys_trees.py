@@ -59,6 +59,49 @@ def test_user_item_scores_excludes_owned(spark):
         assert (r.user, r.cand) not in owned
 
 
+def test_user_item_scores_exact_values(spark):
+    """Pins the symmetrized scoring numerically (the explode-based
+    symmetrization must count BOTH orientations of every sim pair,
+    exactly once each — a regression here halves or doubles scores).
+    Baskets {10: 1,2}, {20: 2,3}, {30: 1,3}: every pair has co=1 and
+    n_i=n_j=2, so each sim cos = 0.5; user 10 should get candidate 3
+    scored from both history items 1 and 2 → score 1.0, n_common 2."""
+    b = spark.createDataFrame(
+        [(10, 1), (10, 2), (20, 2), (20, 3), (30, 1), (30, 3)],
+        "user INT, item INT",
+    )
+    sims = item_similarity(b.withColumnRenamed("user", "basket"))
+    recs = {(r.user, r.cand): r for r in user_item_scores(b, sims).collect()}
+    assert set(recs) == {(10, 3), (20, 1), (30, 2)}
+    for r in recs.values():
+        assert r.n_common == 2
+        assert abs(r.score - 1.0) < 1e-12
+
+
+def test_basket_pairs_focus_join_guard_drops_disjoint_baskets(spark):
+    """The basket-level semi-join guard in the 'join' focus path must
+    not change retained-pair counts: baskets disjoint from the focus
+    set contribute nothing, baskets containing a focus item keep ALL
+    their focus-touching pairs (including pairs whose other endpoint
+    is cold)."""
+    from ndvi_etl_pipeline_spark.operators.recsys import basket_pairs
+
+    rows = [
+        (1, 1), (1, 2), (1, 3),   # contains focus item 1
+        (2, 4), (2, 5),           # disjoint from focus — guard drops it
+        (3, 1), (3, 5),           # contains focus item 1
+    ]
+    b = spark.createDataFrame(rows, "basket INT, item INT")
+    focus = spark.createDataFrame([(1,)], "item INT")
+    got = {
+        (r.i, r.j): r.co
+        for r in basket_pairs(
+            b, min_co=1, max_basket=64, focus_items=focus, focus_strategy="join"
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (1, 5): 1}
+
+
 def test_rank1_als_rmse_decreases_and_fits_rank1(spark):
     # exactly rank-1 ratings r_ij = u_i * v_j → ALS should fit it
     users = [1.0, 2.0, 3.0]

@@ -1102,10 +1102,15 @@ def _write_data_files(
 _DV_FILE, _DV_POS = "__dv_file", "__dv_pos"
 _DV_SCHEMA = f"{_DV_FILE} string, {_DV_POS} bigint"
 _DV_H = "__dv_h"
+_DV_K = "__dv_k"
 
-#: Force the legacy decoded-string DV keying ('decoded') instead of
-#: the default raw-path-hash keying ('auto'); benchmarking and
-#: fallback-parity tests flip this.
+#: DV anti-join keying: 'auto' (default) packs (file, ordinal) into a
+#: SINGLE exact 64-bit key when verifiable (see _dv_pack_base — a
+#: one-long-key BroadcastHashJoin probes Spark's LongHashedRelation
+#: fast path, measured ~10x faster per row than the two-long-key
+#: UnsafeHashedRelation probe); 'hash2' forces the unpacked
+#: (hash, ordinal) two-column keying; 'decoded' forces the legacy
+#: decoded-string keying. Benchmarking and parity tests flip this.
 DV_KEYING_CONF = "spark.ndvi_etl.dvKeying"
 
 #: Characters a Hadoop/Spark file URI reports verbatim (never
@@ -1179,6 +1184,78 @@ def _dv_hash_map(spark: SparkSession, path: str, rels: list[str]):
         ).first()
         _DV_HASH_OK[key] = c.n == c.d
     return hm if _DV_HASH_OK[key] else None
+
+
+_DV_POSBITS: dict[tuple, int | None] = {}
+_DV_PACK: dict[tuple, tuple | None] = {}
+
+
+def _dv_posbits(path: str, rels: list[str]) -> int | None:
+    """Bits needed to hold any row ordinal of any entry file: max over
+    files of bit_length(num_rows - 1), from parquet footer metadata
+    alone (O(#files) driver work, cached per entry set). None when a
+    footer is unreadable — packing is then unavailable and the read
+    keys on the two-column form."""
+    root = os.path.abspath(path)
+    key = (root, len(rels), hash(tuple(rels)))
+    if key not in _DV_POSBITS:
+        import pyarrow.parquet as pq
+
+        mx = 1
+        try:
+            for r in rels:
+                p = r if os.path.isabs(r) else os.path.join(root, r)
+                mx = max(mx, pq.ParquetFile(p).metadata.num_rows)
+        except Exception:
+            _DV_POSBITS[key] = None
+        else:
+            _DV_POSBITS[key] = max((mx - 1).bit_length(), 1)
+    return _DV_POSBITS[key]
+
+
+def _dv_pack_base(spark: SparkSession, path: str, rels: list[str], hm):
+    """(posbits, hash mask, {entry rel -> packed base}) for the
+    SINGLE-long exact DV key, or None when packing cannot be verified.
+
+    Why: a BroadcastHashJoin whose key is ONE long probes Spark's
+    LongHashedRelation (primitive open-addressing map); two long keys
+    force the UnsafeHashedRelation path — per probe an UnsafeRow
+    projection plus byte-wise hash/compare — measured ~10x slower per
+    row on a 60 M-row anti-join (tools/bench_dv_decomp.py: 0.52 s vs
+    7.7 s on identical range inputs). So the (file, ordinal) pair is
+    packed losslessly into one 64-bit key:
+
+        key = (xxhash64(raw file path) & mask) << posbits | ordinal
+
+    with posbits sized from footer metadata so every ordinal fits
+    (_dv_posbits) and mask = (1 << (63 - posbits)) - 1. Exactness is
+    VERIFIED, not assumed: the driver checks the truncated hashes are
+    pairwise distinct across the COMPLETE entry set — the only file
+    universe a scan or DV can mention — so key equality is equivalent
+    to (file, ordinal) equality; any failure (footer unreadable,
+    truncation collision, ordinal width leaving no hash bits) returns
+    None and the read falls back to the two-column keying. Top bit is
+    always 0 (posbits + hashbits = 63), so the packed key is
+    non-negative and overflow-free."""
+    if spark.conf.get(DV_KEYING_CONF, "auto") != "auto":
+        return None
+    root = os.path.abspath(path)
+    key = (root, len(rels), hash(tuple(rels)))
+    if key in _DV_PACK:
+        return _DV_PACK[key]
+    out = None
+    posbits = _dv_posbits(path, rels)
+    if posbits is not None and posbits < 63:
+        mask = (1 << (63 - posbits)) - 1
+        # python & on a negative (two's-complement) long equals the
+        # JVM's bigint AND for a non-negative mask — same bit pattern
+        bases = {
+            r[_DV_FILE]: (r[_DV_H] & mask) << posbits for r in hm.collect()
+        }
+        if len(set(bases.values())) == len(bases):
+            out = (posbits, mask, bases)
+    _DV_PACK[key] = out
+    return out
 
 #: Above this many live deletion-vector rows the read path stops
 #: HINTING a broadcast for the anti-join (a (path, ordinal) row is
@@ -1298,9 +1375,12 @@ def _read_entries(
     # row, zero per-row string decode) — decided up front because the
     # scans must attach the hash column; None → decoded-string keying
     dv_hash = None
+    dv_pack = None
     rels = sorted({_entry_rel(e) for e in entries})
     if dvs:
         dv_hash = _dv_hash_map(spark, path, rels)
+        if dv_hash is not None:
+            dv_pack = _dv_pack_base(spark, path, rels, dv_hash)
 
     def _scan(paths: list[str], base: str | None = None) -> DataFrame:
         r = spark.read.schema(schema)
@@ -1318,11 +1398,28 @@ def _read_entries(
             extra = []
             if keep_meta or dv_hash is None:
                 extra.append(rel.alias(_DV_FILE))
-            if dv_hash is not None:
+            if dv_pack is not None:
+                # packed single-long exact key (_dv_pack_base): the
+                # ordinal rides INSIDE the key, so the separate pos
+                # column is only materialized for keep_meta consumers
+                posbits, mask, _bases = dv_pack
+                extra.append(
+                    F.shiftleft(
+                        F.xxhash64(
+                            F.col("_metadata.file_path")
+                        ).bitwiseAND(F.lit(mask)),
+                        posbits,
+                    )
+                    .bitwiseOR(pos)
+                    .alias(_DV_K)
+                )
+            elif dv_hash is not None:
                 extra.append(
                     F.xxhash64(F.col("_metadata.file_path")).alias(_DV_H)
                 )
-            df = df.select("*", *extra, pos.alias(_DV_POS))
+            if keep_meta or dv_pack is None:
+                extra.append(pos.alias(_DV_POS))
+            df = df.select("*", *extra)
         return df
 
     specs = _partition_specs(manifest)
@@ -1368,7 +1465,25 @@ def _read_entries(
             *[os.path.join(path, d) for d in dvs]
         )
         n_dv = _dv_rows(path, dvs)  # one driver-side footer walk, both tiers
-        if dv_hash is not None:
+        if dv_pack is not None:
+            # Packed regime (default): ONE exact long key per side —
+            # the anti-join probes the LongHashedRelation fast path
+            # (bench_dv_decomp: ~10x the two-long-key probe). The
+            # build side maps DV rel strings to verified packed bases
+            # through a broadcast manifest-scale map and ORs in the
+            # ordinal; the table side packed at the scan.
+            posbits, mask, bases = dv_pack
+            base_df = spark.createDataFrame(
+                sorted(bases.items()),
+                f"{_DV_FILE} string, __dv_base bigint",
+            )
+            dv_keys = dv_df.join(F.broadcast(base_df), [_DV_FILE]).select(
+                F.col("__dv_base").bitwiseOR(F.col(_DV_POS)).alias(_DV_K)
+            )
+            if n_dv <= _DV_FID_BROADCAST_MAX_ROWS:
+                dv_keys = F.broadcast(dv_keys)
+            out = out.join(dv_keys, [_DV_K], "left_anti")
+        elif dv_hash is not None:
             # Hash regime (default): both sides key on (xxhash64 of
             # the raw file path, row ordinal) — 16 B keys, no per-row
             # decode anywhere, ONE anti-join. The build side maps the
@@ -1419,7 +1534,7 @@ def _read_entries(
             )
     if want_meta and not keep_meta:
         out = out.drop(_DV_FILE, _DV_POS)
-    out = out.drop(_DV_H)  # join-key only, never a consumer surface
+    out = out.drop(_DV_H, _DV_K)  # join-key only, never a consumer surface
     if phys:
         cols = [
             F.col(phys.get(f.name, f.name)).alias(f.name)

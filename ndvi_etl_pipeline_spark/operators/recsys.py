@@ -229,9 +229,22 @@ def item_similarity(
         baskets, basket_col, item_col, min_co, max_basket, focus_items,
         focus_strategy,
     )
+    # freq = per-item distinct-basket count, computed DIRECTLY as a
+    # distinct + count rather than re-exploding the basket-array
+    # aggregate: only the basket-keyed EXCHANGE is reusable between
+    # this and basket_pairs' array build, not the aggregate itself, so
+    # the array route re-ran the corpus-wide collect_set (15 M arrays
+    # at sf10) just to tear it apart again. The direct form pays one
+    # extra map-side-combined shuffle instead — measured faster on the
+    # real catalog query (itemcf_user_recs sf10 interleaved A/B: warm
+    # min 17.0 -> 14.4 s, every pair of runs in favor) — and callers
+    # that already build the same distinct relation (the
+    # itemcf_similar_parts hot-items CTE) now share ITS exchange.
     freq = (
-        _basket_arrays(baskets, basket_col, item_col)
-        .select(F.explode("items").alias("item"))
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
         .groupBy("item")
         .agg(F.count("*").cast("bigint").alias("n"))
     )

@@ -1112,6 +1112,20 @@ _DV_K = "__dv_k"
 #: (hash, ordinal) two-column keying; 'decoded' forces the legacy
 #: decoded-string keying. Benchmarking and parity tests flip this.
 DV_KEYING_CONF = "spark.ndvi_etl.dvKeying"
+_DV_KEYING_MODES = ("auto", "hash2", "decoded")
+
+
+def _dv_keying(spark: SparkSession) -> str:
+    """Validated DV_KEYING_CONF value. A typo ('hash', 'packed', ...)
+    must ERROR, not silently select some mode — parity/bench runs that
+    believe they forced a keying would otherwise measure the wrong
+    plan."""
+    v = spark.conf.get(DV_KEYING_CONF, "auto")
+    if v not in _DV_KEYING_MODES:
+        raise ValueError(
+            f"{DV_KEYING_CONF}={v!r}: expected one of {_DV_KEYING_MODES}"
+        )
+    return v
 
 #: Characters a Hadoop/Spark file URI reports verbatim (never
 #: percent-encoded): URI unreserved chars plus '/' and the '='
@@ -1147,7 +1161,7 @@ def _dv_hash_map(spark: SparkSession, path: str, rels: list[str]):
       set with a manifest-scale aggregate; a 64-bit collision would
       over-delete rows of an unrelated file).
     """
-    if spark.conf.get(DV_KEYING_CONF, "auto") == "decoded":
+    if _dv_keying(spark) == "decoded":
         return None
     root = os.path.abspath(path)
     abss = [r if os.path.isabs(r) else os.path.join(root, r) for r in rels]
@@ -1177,7 +1191,10 @@ def _dv_hash_map(spark: SparkSession, path: str, rels: list[str]):
         [(r, pref + a) for r, a in zip(rels, abss)],
         f"{_DV_FILE} string, __dv_raw string",
     ).select(_DV_FILE, F.xxhash64("__dv_raw").alias(_DV_H))
-    key = (root, len(rels), hash(tuple(rels)))
+    # key on the rels tuple ITSELF (not its Python hash): a hash
+    # collision between two rel sets would silently serve the wrong
+    # answer — here over/under-deleting rows (round-9 ADVICE)
+    key = (root, tuple(rels))
     if key not in _DV_HASH_OK:
         c = hm.agg(
             F.count(F.lit(1)).alias("n"), F.countDistinct(_DV_H).alias("d")
@@ -1186,31 +1203,37 @@ def _dv_hash_map(spark: SparkSession, path: str, rels: list[str]):
     return hm if _DV_HASH_OK[key] else None
 
 
-_DV_POSBITS: dict[tuple, int | None] = {}
 _DV_PACK: dict[tuple, tuple | None] = {}
+#: num_rows per ABSOLUTE file path, from the parquet footer. Files in
+#: a committed snapshot are immutable, so this never invalidates; the
+#: sentinel None records an unreadable footer. Caching per FILE (not
+#: per entry subset) means distinct pruned subsets of one table share
+#: the footer walk instead of re-reading shared files (round-9 ADVICE).
+_DV_FILE_ROWS: dict[str, int | None] = {}
 
 
 def _dv_posbits(path: str, rels: list[str]) -> int | None:
     """Bits needed to hold any row ordinal of any entry file: max over
     files of bit_length(num_rows - 1), from parquet footer metadata
-    alone (O(#files) driver work, cached per entry set). None when a
-    footer is unreadable — packing is then unavailable and the read
-    keys on the two-column form."""
+    alone (O(#files) driver work, footer reads cached per file). None
+    when a footer is unreadable — packing is then unavailable and the
+    read keys on the two-column form."""
     root = os.path.abspath(path)
-    key = (root, len(rels), hash(tuple(rels)))
-    if key not in _DV_POSBITS:
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
-        mx = 1
-        try:
-            for r in rels:
-                p = r if os.path.isabs(r) else os.path.join(root, r)
-                mx = max(mx, pq.ParquetFile(p).metadata.num_rows)
-        except Exception:
-            _DV_POSBITS[key] = None
-        else:
-            _DV_POSBITS[key] = max((mx - 1).bit_length(), 1)
-    return _DV_POSBITS[key]
+    mx = 1
+    for r in rels:
+        p = r if os.path.isabs(r) else os.path.join(root, r)
+        if p not in _DV_FILE_ROWS:
+            try:
+                _DV_FILE_ROWS[p] = pq.ParquetFile(p).metadata.num_rows
+            except Exception:
+                _DV_FILE_ROWS[p] = None
+        n = _DV_FILE_ROWS[p]
+        if n is None:
+            return None
+        mx = max(mx, n)
+    return max((mx - 1).bit_length(), 1)
 
 
 def _dv_pack_base(spark: SparkSession, path: str, rels: list[str], hm):
@@ -1237,10 +1260,10 @@ def _dv_pack_base(spark: SparkSession, path: str, rels: list[str], hm):
     None and the read falls back to the two-column keying. Top bit is
     always 0 (posbits + hashbits = 63), so the packed key is
     non-negative and overflow-free."""
-    if spark.conf.get(DV_KEYING_CONF, "auto") != "auto":
+    if _dv_keying(spark) != "auto":
         return None
     root = os.path.abspath(path)
-    key = (root, len(rels), hash(tuple(rels)))
+    key = (root, tuple(rels))
     if key in _DV_PACK:
         return _DV_PACK[key]
     out = None

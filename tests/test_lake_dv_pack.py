@@ -138,6 +138,46 @@ def test_packed_key_is_exact_same_ordinal_across_files(spark, tmp_path):
     assert sorted(r.k for r in out.collect()) == list(range(10, 30))
 
 
+def test_dv_keying_conf_typo_raises(spark, tmp_path):
+    """An unrecognized dvKeying value must error, not silently select
+    a mode — a parity/bench run that believes it forced 'hash2' but
+    typed 'hash' would measure the wrong plan."""
+    import pytest
+
+    t = str(tmp_path / "t")
+    lake_write(_df(spark, [(i, "v") for i in range(10)]).coalesce(1), t)
+    lake_delete(spark, t, F.col("k") % 2 == 0, strategy="dv")
+    spark.conf.set(L.DV_KEYING_CONF, "hash")
+    try:
+        with pytest.raises(ValueError, match="dvKeying"):
+            lake_read(spark, t)
+    finally:
+        spark.conf.unset(L.DV_KEYING_CONF)
+
+
+def test_posbits_per_file_cache_shared_across_subsets(spark, tmp_path):
+    """Footer num_rows is cached per FILE: a second (different) subset
+    of the same table must not re-read footers of shared files, and
+    posbits over a subset reflects only that subset's files."""
+    import os
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "v") for i in range(1024 + 2)], "k int, v string"
+    ).repartitionByRange(2, "k")  # file A: 513 rows, file B: 513 rows
+    lake_write(df, t)
+    m = L._read_manifest(t, L._latest_version(t))
+    rels = sorted(L._entry_rel(e) for e in m["files"])
+    paths = [r if os.path.isabs(r) else os.path.join(t, r) for r in rels]
+    full = L._dv_posbits(t, rels)
+    # every file's footer is now cached under its absolute path
+    assert all(p in L._DV_FILE_ROWS for p in paths)
+    assert full == (max(L._DV_FILE_ROWS[p] for p in paths) - 1).bit_length()
+    # a one-file subset answers from the cache with its own width
+    one = L._dv_posbits(t, rels[:1])
+    assert one == max((L._DV_FILE_ROWS[paths[0]] - 1).bit_length(), 1)
+
+
 def test_packed_keep_meta_chained_deletes(spark, tmp_path):
     """keep_meta consumers (a second dv-delete addressing rows through
     (_DV_FILE, _DV_POS)) still work when the first read was packed."""

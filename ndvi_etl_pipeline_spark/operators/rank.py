@@ -9,15 +9,21 @@ first cliff at 100× entity growth.
 
 `global_ranked` keeps both plans behind one call:
 
-- ``single`` (default): the global Window expressions, bit-identical
-  to what the catalog queries always emitted — the oracle gate keeps
-  hash-comparing exact ranks against DuckDB's identical plan.
-- ``distributed`` (opt-in via the ``spark.ndvi_etl.rankMode`` session
-  conf or the `mode=` kwarg): the two-pass exact form —
+- ``distributed`` (default since round 10): the two-pass exact form —
   ``repartitionByRange`` on the order key, a per-range local window,
   and per-range offsets joined back by broadcast. No single-partition
   exchange, no unpartitioned Window node anywhere in the plan; the
-  parallel sort is the plan you want at 100 TB.
+  parallel sort is the plan you want at 100 TB. Results are
+  bit-identical to single mode (parity pinned per analytic and per
+  class-3 member in tests/test_rank_distributed.py), so the flip
+  changes zero declared results — it removes the 185 global-window
+  single-partition sorts the round-9 plan audit counted across 118
+  queries in the old default.
+- ``single`` (opt-in via the ``spark.ndvi_etl.rankMode`` session conf
+  or the `mode=` kwarg): the global Window expressions — the
+  one-partition plan DuckDB also runs; kept selectable for parity
+  testing and for entity-scale inputs where one sorted partition is
+  genuinely cheapest.
 
 Why the distributed form is EXACT (not approximate):
 
@@ -212,7 +218,7 @@ def global_ranked(
     sort = _sort_exprs(norm)
     spark = df.sparkSession
     if mode is None:
-        mode = spark.conf.get(RANK_MODE_CONF, "single")
+        mode = spark.conf.get(RANK_MODE_CONF, "distributed")
     if mode not in ("single", "distributed"):
         raise ValueError(f"unknown rank mode {mode!r}")
 

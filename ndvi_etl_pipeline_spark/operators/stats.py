@@ -85,11 +85,11 @@ def pareto_skyline_2d(pts: DataFrame, minimize: str, maximize: str) -> DataFrame
     local = pts.withColumn("_bp", F.max(maximize).over(w_local)).filter(
         F.col("_bp").isNull() | (F.col(maximize) > F.col("_bp"))
     )
-    # global sweep via operators/rank.global_ranked: identical
-    # single-partition window by default; under
-    # spark.ndvi_etl.rankMode=distributed an exact range-partitioned
-    # two-pass (local exclusive running max + prefix-of-range-maxima
-    # from the P-row stats broadcast) — no global window node at all
+    # global sweep via operators/rank.global_ranked: by default
+    # (rankMode=distributed) an exact range-partitioned two-pass
+    # (local exclusive running max + prefix-of-range-maxima from the
+    # P-row stats broadcast) — no global window node at all; under
+    # rankMode=single the identical-result one-partition window
     from .rank import global_ranked
 
     return (

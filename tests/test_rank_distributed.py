@@ -226,12 +226,23 @@ def test_distributed_plan_shape(spark):
             assert "__rank_pid" in line, f"global window survived: {line}"
 
 
-def test_default_mode_is_single_and_unchanged(spark):
+def test_default_mode_is_distributed(spark):
+    """Round-10 flip: the default (no conf, no kwarg) is the
+    distributed two-pass form — no SinglePartition exchange — and
+    rankMode=single still selects the classic global window."""
     df = _mk(spark, 50)
     got = global_ranked(df, ["k", "uid"], row_number="rn")
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" not in plan  # the classic global window
-    assert "SinglePartition" in plan
+    plan = _plan(got).split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan
+    assert "Scan ExistingRDD" in plan  # the pinned ranged partitions
+    spark.conf.set(RANK_MODE_CONF, "single")
+    try:
+        ref = global_ranked(df, ["k", "uid"], row_number="rn")
+        ref_plan = ref._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset(RANK_MODE_CONF)
+    assert "SinglePartition" in ref_plan
+    assert _rows(ref) == _rows(got)
 
 
 @pytest.mark.parametrize("n,parts", [(1, 4), (2, 8), (1000, 3)])
@@ -266,8 +277,11 @@ def test_class3_catalog_parity_and_plan(spark, sf_dir, name):
     from ndvi_etl_pipeline_spark.plans.catalog import REGISTRY
 
     q = REGISTRY[name].builder
-    ref = q(spark, sf_dir)
-    ref_rows = _rows(ref)
+    spark.conf.set(RANK_MODE_CONF, "single")
+    try:
+        ref_rows = _rows(q(spark, sf_dir))
+    finally:
+        spark.conf.unset(RANK_MODE_CONF)
     spark.conf.set(RANK_MODE_CONF, "distributed")
     try:
         got = q(spark, sf_dir)

@@ -128,22 +128,50 @@ def minhash_signatures(
     )
 
 
+def _lsh_packable(num_hashes: int, bands: int) -> bool:
+    """True when (band_idx, slices) fits losslessly in one 63-bit
+    non-negative long: rows_per_band 16-bit slices plus the band
+    index's bits."""
+    rows_per_band = num_hashes // bands
+    return 16 * rows_per_band + max((bands - 1).bit_length(), 1) <= 63
+
+
 def lsh_bands(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """(id, band_idx, band_key): one row per band; key = md5 of the
-    band's concatenated minhashes.
+    """(id, band_idx, band_key): one row per band.
+
+    band_key is an EXACT single-long pack of (band_idx, the band's
+    minhash slices) whenever it fits 63 bits (defaults: 2 slices x
+    16 bits + 2 band bits = 34): each h{i} is a fixed-width 4-hex
+    string, so `conv(concat(slices), 16, 10)` is a BIJECTION of the
+    slice tuple — bucket equality is unchanged from the md5 form
+    (md5(concat) collides exactly when concat is equal, modulo
+    cryptographic-collision noise that neither engine has). One long
+    key means the candidate self-join probes/sorts a primitive long
+    (LongHashedRelation fast path for hashed joins; single 8-byte
+    sort key for sort-merge) instead of an (int, string) pair —
+    the same ~10x-per-probe win measured for the DV anti-join
+    (tools/bench_dv_decomp.py). Wide configurations that cannot pack
+    keep the md5-string key (band_idx then distinguishes bands).
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    packable = _lsh_packable(num_hashes, bands)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if packable:
+            key = F.conv(F.concat(*parts), 16, 10).cast("long") + F.lit(
+                b << (16 * rows_per_band)
+            )
+        else:
+            key = F.md5(F.concat(*parts).cast("binary"))
         band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*parts).cast("binary")).alias("band_key"))
+            F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
         )
     return signatures.select(
         id_col, F.explode(F.array(*band_cols)).alias("b")
@@ -155,21 +183,26 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing ≥1 band bucket.
 
-    Self-equi-join on (band_idx, band_key): the shuffle key is the
-    bucket id, so co-bucketed docs land on one partition — the only
-    place pairs are formed. Skew guard: a pathological bucket (e.g.
-    thousands of identical docs) concentrates one partition; AQE's
-    skew-join split handles it, and the distinct() immediately after
-    caps the output.
+    Self-equi-join on the bucket id, so co-bucketed docs land on one
+    partition — the only place pairs are formed. When band_key is the
+    packed long (band_idx riding in its high bits), the join keys on
+    that ONE primitive column; the md5-string form joins on the
+    (band_idx, band_key) pair. Skew guard: a pathological bucket
+    (e.g. thousands of identical docs) concentrates one partition;
+    AQE's skew-join split handles it, and the distinct() immediately
+    after caps the output.
     """
     a = banded.alias("a")
     b = banded.alias("b")
+    same_bucket = F.col("a.band_key") == F.col("b.band_key")
+    if dict(banded.dtypes)["band_key"] != "bigint":
+        same_bucket = same_bucket & (
+            F.col("a.band_idx") == F.col("b.band_idx")
+        )
     return (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            same_bucket & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()

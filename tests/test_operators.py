@@ -55,6 +55,39 @@ def test_minhash_finds_planted_near_dup(spark):
     assert pairs[0].jaccard > 0.9
 
 
+def test_lsh_packed_band_key_matches_md5_path(spark, monkeypatch):
+    """The packed single-long band key is a bijection of (band_idx,
+    slice tuple), so the candidate-pair set must be IDENTICAL to the
+    md5-string keying it replaced — on a corpus with planted near-dups,
+    exact dups, and disjoint docs."""
+    import ndvi_etl_pipeline_spark.operators.dedup as DD
+
+    rows = []
+    for d in range(12):
+        base = " ".join(f"w{d}_{i}" for i in range(30))
+        rows.append((2 * d, base))
+        rows.append((2 * d + 1, base if d % 3 else base + " tail"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    shingled = DD.shingle_docs(df)
+    sigs = DD.minhash_signatures(shingled)
+
+    banded = DD.lsh_bands(sigs)
+    assert dict(banded.dtypes)["band_key"] == "bigint"
+    packed = sorted(
+        (r.doc_a, r.doc_b)
+        for r in DD.lsh_candidate_pairs(banded).collect()
+    )
+
+    monkeypatch.setattr(DD, "_lsh_packable", lambda nh, b: False)
+    banded_md5 = DD.lsh_bands(sigs)
+    assert dict(banded_md5.dtypes)["band_key"] == "string"
+    md5 = sorted(
+        (r.doc_a, r.doc_b)
+        for r in DD.lsh_candidate_pairs(banded_md5).collect()
+    )
+    assert packed == md5 and packed  # identical and non-empty
+
+
 def test_simhash_identical_docs_same_hash(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],

@@ -60,9 +60,22 @@ def word_shingles(toks: Column, n: int = 3, distinct: bool = True) -> Column:
     """
     # Guard short docs with CASE WHEN rather than greatest(.., -1):
     # sequence(0, -1) is DESCENDING in Spark (step defaults to -1), and
-    # its i=-1 element would reach slice(toks, 0, n), which throws.
+    # its i=-1 element would reach element_at(toks, 0), which throws.
+    #
+    # Unrolled element_at lookups instead of concat_ws(slice(toks,.,n)):
+    # higher-order-function lambdas run interpreted, and slice()
+    # allocates a fresh n-element array per WINDOW before concat reads
+    # it — n array reads replace that allocation. Same strings in the
+    # same order (proven byte-identical over all 23.6M sf10 windows);
+    # measured 1.9x on the sf10 window-explode stage
+    # (OPTIMIZATION_r10.md).
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + 1 + k) for k in range(n)]
+        ),
+    )
     sh = F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(sh) if distinct else sh
 
@@ -182,7 +195,14 @@ def winnowing_fingerprints(
     win_idx = F.when(
         F.size(hashes) >= w, F.sequence(F.lit(1), F.size(hashes) - w + 1)
     ).otherwise(empty_i)
-    fps = F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
+    # least() over w unrolled element_at lookups == array_min(slice):
+    # both are the lexicographic min of the same non-null strings, and
+    # the unroll skips a fresh w-element array allocation per window
+    # (the word_shingles element_at rationale; interpreted HOF lambda)
+    fps = F.transform(
+        win_idx,
+        lambda j: F.least(*[F.element_at(hashes, j + k) for k in range(w)]),
+    )
     return F.array_distinct(fps)
 
 

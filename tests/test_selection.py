@@ -74,6 +74,38 @@ def test_duplicated_token_coverage_unions_overlapping_windows(spark):
     assert out[1].keep_frac == 0.25  # 3 of 12 tokens survive
 
 
+def test_duplicated_token_coverage_disjoint_and_adjacent_runs(spark):
+    """Round-10 sweep edge cases: two dup runs separated by a gap
+    larger than the window (disjoint intervals: coverage adds w per
+    run) and back-to-back runs (gap == w: still w each, no double
+    count). Doc 1 and 2 share run A (tokens a0..a7) and run B
+    (b0..b7); doc 1 has 4 unique tokens between them, doc 3 has them
+    back-to-back."""
+    run_a = " ".join(f"a{i}" for i in range(8))
+    run_b = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run_a} u1 u2 u3 u4 {run_b}"),
+            (2, f"{run_a} v1 v2 v3 v4 {run_b}"),
+            (3, f"{run_a} {run_b} w1"),
+            (4, f"{run_a} {run_b} w2"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in SEL.duplicated_token_coverage(docs, window=8).collect()
+    }
+    # docs 1/2: exactly windows at i=1 (run A) and i=13 (run B) are
+    # duplicated -> 8 + 8 = 16 covered of 20 tokens
+    assert out[1].n_covered == 16 and out[1].n_tokens == 20
+    assert out[1].keep_frac == 0.2
+    # docs 3/4 share their full 16-token prefix: windows i=1..9 all
+    # duplicated, covering positions 1..16 of 17
+    assert out[3].n_covered == 16 and out[3].n_tokens == 17
+    assert out[3].keep_frac == round(1.0 - 16 / 17, 4)
+
+
 def test_duplicated_window_stats_short_docs_have_no_windows(spark):
     docs = spark.createDataFrame(
         [(1, "only three tokens"), (2, "only three tokens")],

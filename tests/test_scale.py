@@ -451,9 +451,27 @@ def test_selection_tier_plan_shapes(spark, sf_dir):
             .toString()
         )
 
-    p = plan_of("dsir_importance_topk")
+    # Under the round-10 distributed rank default the top-k + LM-join
+    # subplan sits below global_ranked's pinned localCheckpoint, so the
+    # top-level plan shows only the rank pass — assert the sort+limit
+    # shape under explicit single mode (where the whole plan is one
+    # tree) and the scale invariants (no single-partition exchange, no
+    # unpartitioned window) under the default.
+    from ndvi_etl_pipeline_spark.operators.rank import RANK_MODE_CONF
+
+    spark.conf.set(RANK_MODE_CONF, "single")
+    try:
+        p = plan_of("dsir_importance_topk")
+    finally:
+        spark.conf.unset(RANK_MODE_CONF)
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p  # the 64-row LM join
+    p = plan_of("dsir_importance_topk")
+    final = p.split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in final
+    for line in final.splitlines():
+        if "Window [" in line and "WindowGroupLimit" not in line:
+            assert "__rank_pid" in line, line
     # hard-negative mining scores via the Arrow kernel (driver-held
     # query matrix — no join at all), then ranks with a window
     p = plan_of("hard_negative_mining")
